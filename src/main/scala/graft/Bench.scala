@@ -1,24 +1,57 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main, mirroring the reference's protocol (BASELINE.md:
+  * prewarm runs then measured runs, median per query — reference
+  * presto-benchto-benchmarks tpch.yaml:3-4 uses 2 prewarm + 6 measured;
+  * we default to 1+3 to keep a full sweep inside the driver's budget,
+  * overridable via SPARK_GRAFT_BENCH_RUNS / SPARK_GRAFT_PREWARM).
+  * Prints ONE JSON line the driver collects into BENCH_r{N}.json.
+  */
 object Bench {
+
+  /** Headline queries: the TPC-H-style core plus one representative of
+    * each extension family (dedup, similarity, text, event windows).
+    */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier",
+    "q06_revenue_forecast", "q09_product_profit", "q13_customer_distribution",
+    "q18_large_orders", "q21_suppliers_waiting",
+    "win_topn_per_group", "agg_grouping_sets",
+    "dd_exact", "dd_minhash_lsh", "sim_cosine_topk", "tx_stats",
+    "ev_sliding_window")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val prewarm = sys.env.getOrElse("SPARK_GRAFT_PREWARM", "1").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val spark = GraftSession("graft-bench")
+
+    def execute(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // noop sink: full execution, no driver-side collection
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+      val timing =
+        try {
+          (1 to prewarm).foreach(_ => execute(name))
+          val times = (1 to runs).map(_ => execute(name)).sorted
+          times(times.size / 2) // median
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
+      name -> timing
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

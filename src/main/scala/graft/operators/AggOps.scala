@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.QueryGroup
+import org.apache.spark.sql.functions._
+
+/** Aggregation operator coverage beyond the TPC-H suite — mirrors the
+  * reference's aggregate library (SURVEY.md §2.4; reference registration
+  * list presto-main/.../metadata/BuiltInFunctionNamespaceManager.java:446-493).
+  * All grouped aggs are partial+final hash aggregation in Spark's physical
+  * planning (map-side combine — the 100 TB-critical property).
+  */
+object AggOps extends QueryGroup {
+
+  def defs = Seq(
+    // ungrouped "global" aggregation (reference AggregationOperator.java:35)
+    q("agg_global_stats",
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(stddev_pop(l_quantity), 6) AS sdp_qty,
+        |  round(var_pop(l_quantity), 6) AS varp_qty,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq,
+        |  round(covar_pop(l_extendedprice, l_quantity), 4) AS covp_pq
+        |FROM lineitem""".stripMargin) { (s, _) =>
+      s.table("lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(stddev_pop(col("l_quantity")), 6).as("sdp_qty"),
+        round(var_pop(col("l_quantity")), 6).as("varp_qty"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pq"),
+        round(covar_pop(col("l_extendedprice"), col("l_quantity")), 4).as("covp_pq"))
+    },
+
+    // skewness/kurtosis: Spark computes population central moments
+    // (g1 = m3/m2^1.5, excess g2 = m4/m2^2 - 3); the oracle spells the
+    // same formula out so the semantics are pinned, not assumed
+    // (reference: CentralMomentsAggregation.java, SURVEY.md §2.4).
+    q("agg_central_moments",
+      """WITH s AS (SELECT avg(l_quantity) AS mu, count(*) AS n FROM lineitem),
+        |m AS (SELECT sum(pow(l_quantity - mu, 2)) / max(n) AS m2,
+        |             sum(pow(l_quantity - mu, 3)) / max(n) AS m3,
+        |             sum(pow(l_quantity - mu, 4)) / max(n) AS m4
+        |      FROM lineitem, s)
+        |SELECT round(m3 / pow(m2, 1.5), 6) AS skew_qty,
+        |       round(m4 / pow(m2, 2) - 3, 6) AS kurt_qty
+        |FROM m""".stripMargin) { (s, _) =>
+      s.table("lineitem").agg(
+        round(skewness(col("l_quantity")), 6).as("skew_qty"),
+        round(kurtosis(col("l_quantity")), 6).as("kurt_qty"))
+    },
+
+    // multiple DISTINCT aggregates in one pass (reference
+    // MarkDistinctOperator.java:35 ≙ Catalyst RewriteDistinctAggregates)
+    q("agg_multi_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS d_supp,
+        |  count(DISTINCT l_partkey) AS d_part,
+        |  round(sum(DISTINCT l_quantity), 2) AS d_qty_sum,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("d_supp"),
+          countDistinct(col("l_partkey")).as("d_part"),
+          round(sum_distinct(col("l_quantity")), 2).as("d_qty_sum"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // min_by / max_by (reference AbstractMinMaxByAggregationFunction;
+    // DuckDB oracle spells them arg_min/arg_max)
+    q("agg_minmax_by",
+      """SELECT c_nationkey,
+        |  arg_max(c_custkey, c_acctbal) AS richest_cust,
+        |  arg_min(c_custkey, c_acctbal) AS poorest_cust,
+        |  round(max(c_acctbal), 2) AS max_bal
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) { (s, _) =>
+      s.table("customer").groupBy("c_nationkey")
+        .agg(
+          max_by(col("c_custkey"), col("c_acctbal")).as("richest_cust"),
+          min_by(col("c_custkey"), col("c_acctbal")).as("poorest_cust"),
+          round(max("c_acctbal"), 2).as("max_bal"))
+        .orderBy("c_nationkey")
+    },
+
+    // array_agg with deterministic order (reference
+    // arrayagg/ArrayAggregationFunction.java:50); emitted as a joined
+    // string so the hash compare sees a scalar
+    q("agg_collect_sorted",
+      """SELECT n_nationkey,
+        |  array_to_string(list_sort(list(s_name)), ',') AS suppliers,
+        |  count(*) AS n_supp
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey
+        |ORDER BY n_nationkey""".stripMargin) { (s, _) =>
+      s.table("supplier")
+        .join(broadcast(s.table("nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+          array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"),
+          count(lit(1)).as("n_supp"))
+        .orderBy("n_nationkey")
+    },
+
+    // exact percentiles (reference approx_percentile's exact sibling;
+    // Spark `percentile` ≙ DuckDB quantile_cont)
+    q("agg_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(median(l_quantity), 4) AS med_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
+          round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
+          round(median(col("l_quantity")), 4).as("med_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // numeric histogram by fixed-width binning (reference
+    // DoubleHistogramAggregation.java analog, done the scalable way:
+    // bin-on-map-side then count — one shuffle of ~n_bins rows)
+    q("agg_numeric_histogram",
+      """SELECT cast(floor(l_quantity / 10.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  round(min(l_quantity), 2) AS lo,
+        |  round(max(l_quantity), 2) AS hi
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, _) =>
+      s.table("lineitem")
+        .groupBy(floor(col("l_quantity") / 10.0).cast("bigint").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min("l_quantity"), 2).as("lo"),
+          round(max("l_quantity"), 2).as("hi"))
+        .orderBy("bin")
+    },
+
+    // approximate aggregates — sketch outputs can't hash-match a foreign
+    // engine (SURVEY.md §7.3 "sketch binary formats"); spec-tested for
+    // error bounds instead (AggSpec)
+    qNoOracle("agg_approx_sketches") { (s, _) =>
+      s.table("lineitem").groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"))
+        .orderBy("l_returnflag")
+    },
+
+    // GROUPING SETS with grouping() marker (reference GroupIdOperator.java:32
+    // ≙ ExpandExec)
+    q("agg_grouping_sets",
+      """SELECT coalesce(r_name, '<all>') AS region_name,
+        |  coalesce(n_name, '<all>') AS nation_name,
+        |  grouping(r_name) AS g_r, grouping(n_name) AS g_n,
+        |  count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        |ORDER BY region_name, nation_name""".stripMargin) { (s, _) =>
+      s.sql("""SELECT coalesce(r_name, '<all>') AS region_name,
+              |  coalesce(n_name, '<all>') AS nation_name,
+              |  grouping(r_name) AS g_r, grouping(n_name) AS g_n,
+              |  count(*) AS n_cust
+              |FROM customer
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+              |ORDER BY region_name, nation_name""".stripMargin)
+    },
+
+    q("agg_rollup",
+      """SELECT coalesce(r_name, '<all>') AS region_name,
+        |  coalesce(n_name, '<all>') AS nation_name,
+        |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin) { (s, _) =>
+      s.table("customer")
+        .join(broadcast(s.table("nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(s.table("region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("bal"))
+        .select(
+          coalesce(col("r_name"), lit("<all>")).as("region_name"),
+          coalesce(col("n_name"), lit("<all>")).as("nation_name"),
+          col("n_cust"), col("bal"))
+        .orderBy("region_name", "nation_name")
+    },
+
+    q("agg_cube",
+      """SELECT coalesce(l_returnflag, '<all>') AS rf,
+        |  coalesce(l_linestatus, '<all>') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin) { (s, _) =>
+      s.table("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // SELECT DISTINCT ... LIMIT (reference DistinctLimitOperator.java:37);
+    // ordered for determinism
+    q("agg_distinct_limit",
+      """SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment LIMIT 3""") { (s, _) =>
+      s.table("customer").select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment").limit(3)
+    },
+
+    // bool_and/bool_or + count_if (reference CountIfAggregation.java)
+    q("agg_bool",
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_big_disc,
+        |  count(*) FILTER (WHERE l_tax > 0.05) AS n_taxed
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_returnflag")
+        .agg(
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_big_disc"),
+          count_if(col("l_tax") > 0.05).as("n_taxed"))
+        .orderBy("l_returnflag")
+    },
+
+    // inline VALUES (reference ValuesOperator.java:27 ≙ LocalTableScan)
+    q("agg_values_inline",
+      """SELECT k, sum(v) AS s FROM (VALUES (1, 10), (1, 20), (2, 30)) t(k, v)
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, _) =>
+      s.sql("SELECT k, sum(v) AS s FROM VALUES (1, 10), (1, 20), (2, 30) AS t(k, v) GROUP BY k ORDER BY k")
+    },
+  )
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.QueryGroup
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table. The reference engine has
+  * no streaming semantics at all (SURVEY.md §2.11 — Kafka topics are just
+  * scanned as tables), so this surface is pure Spark Structured-Streaming
+  * vocabulary: tumbling/sliding/session windows. Here they run in batch
+  * mode (the same `window()`/`session_window()` operators Structured
+  * Streaming uses); StreamingSpec drives the identical aggregation through
+  * readStream→writeStream and asserts batch ≡ streaming results.
+  */
+object EventOps extends QueryGroup {
+
+  def defs = Seq(
+    // tumbling 1-hour windows (≙ readStream + withWatermark + window())
+    q("ev_tumbling_window",
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, _) =>
+      s.table("events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // sliding windows: 1 hour length, 15-minute slide (each event lands in
+    // 4 windows — oracle reproduces that via an offset cross join)
+    q("ev_sliding_window",
+      """SELECT CAST(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |         - k * INTERVAL '15 minutes' AS TIMESTAMP) AS window_start,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) offsets(k)
+        |GROUP BY 1
+        |ORDER BY window_start""".stripMargin) { (s, _) =>
+      s.table("events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(col("window.start").as("window_start"), col("n"), col("total_value"))
+        .orderBy("window_start")
+    },
+
+    // session windows with a 30-minute gap per user
+    // (≙ session_window() in streaming; oracle is the classic
+    // gaps-and-islands rewrite)
+    q("ev_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, _) =>
+      s.table("events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // event-time join: each event enriched with its user's previous event
+    // (streaming analog: stream-stream join with watermark; batch twin here)
+    q("ev_lag_enrich",
+      """SELECT event_id, user_id, event_type,
+        |  CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP) AS prev_ts,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, _) =>
+      s.sql("""SELECT event_id, user_id, event_type,
+              |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+              |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+              |FROM events
+              |ORDER BY event_id""".stripMargin)
+    },
+
+    // JSON props extraction + grouped agg (events carry a JSON payload)
+    q("ev_props_agg",
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, _) =>
+      s.table("events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 4).as("avg_k"), max("k").as("max_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+  )
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("brute-force top-k: self excluded, sims within [-1, 1], k per query") {
+    val out = SparkEntry.queries("sim_cosine_topk")(spark, TestSession.sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val sim = r.getAs[Double]("sim")
+      sim >= -1.0001 && sim <= 1.0001 && r.getAs[Long]("n_id") != r.getAs[Long]("q_id")
+    })
+    val perQuery = out.groupBy(_.getAs[Long]("q_id")).map(_._2.length)
+    assert(perQuery.forall(_ == 5))
+  }
+
+  test("LSH ANN results agree with exact cosine for returned pairs") {
+    Tables.register(spark, TestSession.sf)
+    val ann = SparkEntry.queries("sim_lsh_ann")(spark, TestSession.sf)
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, TestSession.sf)
+      .select(col("q_id"), col("n_id"), col("sim").as("exact_sim"))
+    // every ANN pair that also appears in the exact top-k must carry the
+    // same similarity value (same math, independent path)
+    val joined = ann.join(exact, Seq("q_id", "n_id"))
+      .filter(abs(col("sim") - col("exact_sim")) > 1e-9)
+    assert(joined.count() == 0)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming parity: the same tumbling-window aggregation run
+  * through readStream → writeStream(memory) must equal the batch result
+  * (SURVEY.md §2.11 — the streaming surface is a strict extension, so the
+  * batch query is its own oracle).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("streaming tumbling window equals batch window") {
+    val dir = TestSession.sf
+    val batchRaw = spark.read.parquet(s"$dir/events.parquet")
+    val stream = spark.readStream.schema(batchRaw.schema).parquet(s"$dir/events.parquet")
+
+    def normalize(df: org.apache.spark.sql.DataFrame) = {
+      val withTs =
+        if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else df
+      withTs
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+    }
+
+    val q = normalize(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_out")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streaming = spark.table("stream_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = normalize(batchRaw).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streaming == batch)
+    assert(streaming.nonEmpty)
+  }
+}

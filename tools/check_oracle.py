@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL
+in DuckDB over the testdata parquet, load the Spark result parquet dumped
+by graft.Verify, canonicalize both (columns sorted by name, rows sorted),
+and compare values + dtypes. Usage:
+
+    python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            has_arr = df[c].map(lambda v: hasattr(v, "__len__")
+                                and not isinstance(v, (str, bytes))).any()
+            if has_arr:
+                df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        res_dir = Path(out_dir, name)
+        if not res_dir.exists():
+            print(f"FAIL {name}: spark result missing (query errored)")
+            n_fail += 1
+            continue
+        try:
+            oracle = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        spark = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchdf()
+        o, s = canon(oracle), canon(spark)
+        problems = []
+        if list(o.columns) != list(s.columns):
+            problems.append(f"columns oracle={list(o.columns)} spark={list(s.columns)}")
+        elif len(o) != len(s):
+            problems.append(f"rowcount oracle={len(o)} spark={len(s)}")
+        else:
+            if [str(d) for d in o.dtypes] != [str(d) for d in s.dtypes]:
+                problems.append(
+                    "dtypes " + str([(c, str(od), str(sd)) for c, od, sd
+                                     in zip(o.columns, o.dtypes, s.dtypes)
+                                     if str(od) != str(sd)]))
+            bad = 0
+            first = None
+            for col in o.columns:
+                ov, sv = o[col].tolist(), s[col].tolist()
+                for i, (x, y) in enumerate(zip(ov, sv)):
+                    if not values_equal(x, y):
+                        bad += 1
+                        if first is None:
+                            first = f"col={col} row={i} oracle={x!r} spark={y!r}"
+                        break
+            if bad:
+                problems.append(f"{bad} mismatched col(s); first: {first}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(o)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len([n for n in oracles if not only or n in only])} checked")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
