@@ -14,16 +14,37 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // Presto-named functions + dialect parser (SURVEY.md §7.0 layer 2/3)
+      .withExtensions(new functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // Presto errors on overflow/div-by-zero/bad casts — ANSI mode is the
+      // Spark equivalent (SURVEY.md §7.0; reference ArithmeticExceptions
+      // in e.g. presto-main/.../type/BigintOperators.java)
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+      // InferFiltersFromGenerate adds `size(arr) > 0` before every explode;
+      // predicate pushdown then substitutes the full generator-input
+      // expression into that filter. For computed arrays built with
+      // higher-order functions (minhash shingles, simhash tokens) the
+      // substituted filter re-evaluates the interpreted lambda chain per
+      // row — measured 55 of the 87 bench seconds of dd_minhash_lsh at
+      // sf0.1 (87 s → 5 s without the rule). The rule only skips empty
+      // arrays early — a micro-optimization we never need on computed
+      // arrays; scans that would benefit keep their explicit filters.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
       // type — read as long and convert (Tables.scala).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // session-catalog warehouse for the write path (CTAS/INSERT — the
+      // reference's TableWriterOperator surface); kept out of the repo
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
   }
 

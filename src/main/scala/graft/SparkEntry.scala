@@ -15,8 +15,11 @@ object SparkEntry {
     operators.WindowOps,
     operators.SetRelOps,
     functions.ScalarFuncOps,
+    functions.PrestoFnOps,
     operators.TextOps,
     operators.SimilarityOps,
+    operators.WriteOps,
+    operators.MultimodalOps,
     streaming.EventOps,
   )
 

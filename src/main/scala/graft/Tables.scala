@@ -25,7 +25,11 @@ object Tables {
     else df
   }
 
-  /** Register every table as a temp view on this session. Idempotent. */
-  def register(spark: SparkSession, dir: String): Unit =
+  /** Register every table as a temp view on this session, plus the
+    * engine's Presto-named function layer. Idempotent.
+    */
+  def register(spark: SparkSession, dir: String): Unit = {
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    graft.functions.GraftFunctions.registerAll(spark)
+  }
 }

@@ -1,0 +1,319 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** Plain-Scala helpers behind the long-tail registered UDFs (tier (c) of
+  * SURVEY.md §7.0 layer 2: `udf()` for the long tail; hot-path functions
+  * are Catalyst expressions in GraftFunctions.builders instead).
+  */
+object GraftFnUtils {
+  /** reference operator/scalar/StringFunctions.java (hamming_distance). */
+  def hammingDistance(a: String, b: String): Long = {
+    require(a.codePointCount(0, a.length) == b.codePointCount(0, b.length),
+      "The input strings to hamming_distance function must have the same length")
+    var i = 0
+    var j = 0
+    var d = 0L
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) d += 1
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    d
+  }
+
+  /** reference operator/scalar/StringFunctions.java `normalize` (NFC etc.). */
+  def normalizeStr(s: String, form: String): String =
+    Normalizer.normalize(s, Normalizer.Form.valueOf(form.toUpperCase))
+
+  /** Minimal English suffix stemmer standing in for the reference's
+    * Porter-based word_stem (WordStemFunction.java) — common suffix rules
+    * only; full Porter parity is out of scope and documented as such.
+    */
+  def wordStem(w: String): String = {
+    val s = w.toLowerCase
+    if (s.length <= 3) s
+    else if (s.endsWith("sses")) s.dropRight(2)
+    else if (s.endsWith("ies")) s.dropRight(2)
+    else if (s.endsWith("ss")) s
+    else if (s.endsWith("ing") && s.length > 5) s.dropRight(3)
+    else if (s.endsWith("ed") && s.length > 4) s.dropRight(2)
+    else if (s.endsWith("s")) s.dropRight(1)
+    else s
+  }
+
+  def isJsonScalar(s: String): Boolean = {
+    val t = s.trim
+    t.nonEmpty && !t.startsWith("{") && !t.startsWith("[")
+  }
+
+  /** reference operator/scalar/WilsonInterval.java. */
+  def wilsonLower(successes: Long, trials: Long, z: Double): Double =
+    wilson(successes, trials, z, -1.0)
+  def wilsonUpper(successes: Long, trials: Long, z: Double): Double =
+    wilson(successes, trials, z, 1.0)
+  private def wilson(s: Long, n: Long, z: Double, dir: Double): Double = {
+    require(n > 0 && s >= 0 && s <= n, "invalid wilson_interval arguments")
+    val p = s.toDouble / n
+    val z2 = z * z
+    (p + z2 / (2 * n) + dir * z * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))) / (1 + z2 / n)
+  }
+
+  /** MySQL-style datetime pattern (Presto date_format/date_parse,
+    * DateTimeFunctions.java:68) → java.time pattern.
+    */
+  def mysqlToJavaPattern(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        out.append(fmt.charAt(i + 1) match {
+          case 'Y' => "yyyy"; case 'y' => "yy"
+          case 'm' => "MM"; case 'c' => "M"
+          case 'd' => "dd"; case 'e' => "d"
+          case 'H' => "HH"; case 'k' => "H"
+          case 'h' | 'I' => "hh"; case 'l' => "h"
+          case 'i' => "mm"; case 's' | 'S' => "ss"
+          case 'f' => "SSSSSS"
+          case 'p' => "a"
+          case 'M' => "MMMM"; case 'b' => "MMM"
+          case 'W' => "EEEE"; case 'a' => "EEE"
+          case 'j' => "DDD"
+          case 'T' => "HH:mm:ss"
+          case 'v' => "ww"
+          case '%' => "%"
+          case other => other.toString
+        })
+        i += 2
+      } else {
+        // quote any literal letters so java.time doesn't interpret them
+        if (c.isLetter) out.append('\'').append(c).append('\'') else out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+}
+
+/** The engine's function layer (SURVEY.md §7.0 layer 2): Presto-named
+  * functions registered into Spark's FunctionRegistry, either as thin
+  * Catalyst expression builders (codegen-friendly, hot-path-safe) or —
+  * for the long tail — Scala UDFs. Usable two ways:
+  *
+  *  - `GraftFunctions.registerAll(spark)` on an existing session (what
+  *    Tables.register does for every query);
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *    build time on a real cluster (the SparkSessionExtensions path the
+  *    reference's plugin SPI maps to, spi/Plugin.java:54).
+  *
+  * Reference registration list:
+  * presto-main/.../metadata/BuiltInFunctionNamespaceManager.java:434-706.
+  */
+object GraftFunctions {
+
+  private val ln2 = math.log(2.0)
+
+  /** Catalyst-expression builders, keyed by Presto function name. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // ── aggregates ──
+    // ChecksumAggregationFunction.java:47 — order-independent checksum
+    "checksum" -> { args => ChecksumAgg(args.head).toAggregateExpression() },
+    // ApproximateSetAggregation.java — HLL sketch partial
+    "approx_set" -> { args => ApproxSetAgg(args.head).toAggregateExpression() },
+    // MergeHyperLogLogAggregation.java — sketch union
+    "merge" -> { args => MergeHllAgg(args.head).toAggregateExpression() },
+    // ApproximateCountDistinctAggregation.java:41
+    "approx_distinct" -> {
+      case Seq(c) => HyperLogLogPlusPlus(c).toAggregateExpression()
+      case Seq(c, Literal(rsd: Double, DoubleType)) =>
+        HyperLogLogPlusPlus(c, rsd).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"approx_distinct: bad args $args")
+    },
+    // histogram/Histogram.java:48 — exact value→count map
+    "histogram" -> { args => HistogramAgg(args.head).toAggregateExpression() },
+    // MapAggregationFunction.java:48 — map_agg(k, v)
+    "map_agg" -> { case Seq(k, v) =>
+      MapFromEntries(CollectList(CreateStruct(Seq(k, v))).toAggregateExpression())
+    },
+    // MapUnionAggregation.java — map_union(m); duplicate keys error under
+    // the session's EXCEPTION dedup policy (Presto picks an arbitrary
+    // value — divergence documented)
+    "map_union" -> { case Seq(m) =>
+      MapFromEntries(Flatten(CollectList(MapEntries(m)).toAggregateExpression()))
+    },
+    // ArbitraryAggregationFunction.java — any non-null value
+    "arbitrary" -> { args => First(args.head, ignoreNulls = true).toAggregateExpression() },
+    // geometric_mean = exp(avg(ln(x)))
+    "geometric_mean" -> { args =>
+      Exp(Average(Log(args.head)).toAggregateExpression())
+    },
+    // EntropyAggregation.java: Shannon entropy (base 2) of a column of
+    // counts: H = log2(S) − Σ c·ln(c) / (S·ln 2)
+    "entropy" -> { args =>
+      val c = Cast(args.head, DoubleType)
+      val s = Sum(c).toAggregateExpression()
+      val t = Sum(Multiply(c, Log(c))).toAggregateExpression()
+      Divide(Subtract(Log(s), Divide(t, s)), Literal(ln2))
+    },
+    "bitwise_and_agg" -> { args => BitAndAgg(args.head).toAggregateExpression() },
+    "bitwise_or_agg" -> { args => BitOrAgg(args.head).toAggregateExpression() },
+
+    // ── sketch scalars ──
+    // HyperLogLogFunctions.java:28 — cardinality() dispatches on type
+    // (array/map → size, HLL sketch → estimate)
+    "cardinality" -> { args => CardinalityDispatch(args.head) },
+    "empty_approx_set" -> { _ => Literal(Hll.emptySketch(), BinaryType) },
+
+    // ── string family (StringFunctions.java:62) ──
+    "strpos" -> { case Seq(str, sub) => Cast(StringLocate(sub, str, Literal(1)), LongType) },
+    "levenshtein_distance" -> { case Seq(a, b) => Cast(Levenshtein(a, b), LongType) },
+    "codepoint" -> { case Seq(s) => Ascii(s) }, // first char code (BMP parity)
+    "from_utf8" -> { case Seq(b) => StringDecode(b, Literal("UTF-8")) },
+    "to_utf8" -> { case Seq(s) => Encode(s, Literal("UTF-8")) },
+    "split_to_map" -> { case Seq(s, ed, kd) => StringToMap(s, ed, kd) },
+
+    // ── JSON family (JsonFunctions.java:64, JsonExtract.java:116) ──
+    "json_extract" -> { case Seq(j, p) => GetJsonObject(j, p) },
+    "json_extract_scalar" -> { case Seq(j, p) => GetJsonObject(j, p) },
+    "json_array_length_" -> { case Seq(j) => Cast(LengthOfJsonArray(j), LongType) },
+
+    // ── URL family (UrlFunctions.java:43) ──
+    "url_extract_protocol" -> { case Seq(u) => parseUrl(u, "PROTOCOL") },
+    "url_extract_host" -> { case Seq(u) => parseUrl(u, "HOST") },
+    "url_extract_path" -> { case Seq(u) => parseUrl(u, "PATH") },
+    "url_extract_query" -> { case Seq(u) => parseUrl(u, "QUERY") },
+    "url_extract_fragment" -> { case Seq(u) => parseUrl(u, "REF") },
+    // Spark's parse_url has no PORT part — take it off AUTHORITY
+    "url_extract_port" -> { case Seq(u) =>
+      val port = RegExpExtract(new ParseUrl(Seq(u, Literal("AUTHORITY"))),
+        Literal(":([0-9]+)$"), Literal(1))
+      Cast(If(EqualTo(port, Literal("")), Literal(null, StringType), port), LongType) },
+    "url_extract_parameter" -> { case Seq(u, k) =>
+      new ParseUrl(Seq(u, Literal("QUERY"), k)) },
+
+    // ── datetime family (DateTimeFunctions.java:68) ──
+    // to_unixtime → DOUBLE epoch seconds
+    "to_unixtime" -> { case Seq(t) =>
+      Divide(Cast(UnixMicros(Cast(t, TimestampType)), DoubleType), Literal(1e6)) },
+    // Presto from_unixtime returns TIMESTAMP (Spark's returns a string —
+    // the Presto name wins inside this engine)
+    "from_unixtime" -> { case Seq(d) => SecondsToTimestamp(d) },
+    "day_of_week" -> { case Seq(t) => Cast(Add(WeekDay(t), Literal(1)), LongType) }, // ISO Mon=1
+    "dow" -> { case Seq(t) => Cast(Add(WeekDay(t), Literal(1)), LongType) },
+    "day_of_year" -> { case Seq(t) => Cast(DayOfYear(t), LongType) },
+    "doy" -> { case Seq(t) => Cast(DayOfYear(t), LongType) },
+    "week" -> { case Seq(t) => Cast(WeekOfYear(t), LongType) },
+    "week_of_year" -> { case Seq(t) => Cast(WeekOfYear(t), LongType) },
+    "last_day_of_month" -> { case Seq(t) => LastDay(t) },
+    // NOTE: Presto's date_diff('unit', a, b) / date_add('unit', n, ts) are
+    // handled in GraftSqlParser (Spark's grammar intercepts those names
+    // before function resolution), rewritten to timestampdiff/timestampadd.
+    // MySQL-style %-patterns (Presto dialect); non-% patterns pass through
+    "date_format" -> {
+      case Seq(t, StringLiteral(fmt)) if fmt.contains('%') =>
+        DateFormatClass(Cast(t, TimestampType), Literal(GraftFnUtils.mysqlToJavaPattern(fmt)))
+      case Seq(t, f) => DateFormatClass(t, f)
+      case args => throw new IllegalArgumentException(s"date_format: bad args $args")
+    },
+    "date_parse" -> {
+      case Seq(s, StringLiteral(fmt)) if fmt.contains('%') =>
+        GetTimestamp(s, Literal(GraftFnUtils.mysqlToJavaPattern(fmt)), TimestampType)
+      case Seq(s, f) => GetTimestamp(s, f, TimestampType)
+      case args => throw new IllegalArgumentException(s"date_parse: bad args $args")
+    },
+    // Joda-style format_datetime — common tokens coincide with java.time
+    "format_datetime" -> { case Seq(t, f) => DateFormatClass(Cast(t, TimestampType), f) },
+    "from_iso8601_timestamp" -> { case Seq(s) => Cast(s, TimestampType) },
+    "from_iso8601_date" -> { case Seq(s) => Cast(s, DateType) },
+
+    // ── math family (MathFunctions.java:65) ──
+    "from_base" -> { case Seq(s, r) => Cast(Conv(s, r, Literal(10)), LongType) },
+    "to_base" -> { case Seq(n, r) => Lower(Conv(Cast(n, StringType), Literal(10), r)) },
+    "infinity" -> { _ => Literal(Double.PositiveInfinity) },
+    "nan" -> { _ => Literal(Double.NaN) },
+    "is_nan" -> { case Seq(x) => IsNaN(x) },
+    "is_finite" -> { case Seq(x) =>
+      And(Not(IsNaN(x)), LessThan(Abs(x), Literal(Double.PositiveInfinity))) },
+    "is_infinite" -> { case Seq(x) =>
+      EqualTo(Abs(Cast(x, DoubleType)), Literal(Double.PositiveInfinity)) },
+    "truncate" -> { case Seq(x) =>
+      Multiply(Signum(x), Floor(Abs(x))) },
+    "mod" -> { case Seq(a, b) => Remainder(a, b) },
+  )
+
+  private def parseUrl(u: Expression, part: String): Expression =
+    new ParseUrl(Seq(u, Literal(part)))
+
+  private def prestoUnit(u: String): String = u.toUpperCase match {
+    case "MILLISECOND" => "MILLISECOND"
+    case "SECOND" => "SECOND"
+    case "MINUTE" => "MINUTE"
+    case "HOUR" => "HOUR"
+    case "DAY" => "DAY"
+    case "WEEK" => "WEEK"
+    case "MONTH" => "MONTH"
+    case "QUARTER" => "QUARTER"
+    case "YEAR" => "YEAR"
+    case other => throw new IllegalArgumentException(s"unsupported datetime unit: $other")
+  }
+
+  private object StringLiteral {
+    def unapply(e: Expression): Option[String] = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => Some(s.toString)
+      case Literal(s, StringType) if s != null => Some(s.toString)
+      case _ => None
+    }
+  }
+
+  /** Register everything on an existing session. Idempotent. */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+    registerUdfs(spark)
+  }
+
+  /** Long-tail functions where a plain Scala UDF is the right cost/benefit
+    * (never on the TB-scan hot path).
+    */
+  private def registerUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("hamming_distance",
+      (a: String, b: String) => GraftFnUtils.hammingDistance(a, b))
+    spark.udf.register("normalize",
+      (s: String) => GraftFnUtils.normalizeStr(s, "NFC"))
+    spark.udf.register("word_stem", (s: String) => GraftFnUtils.wordStem(s))
+    spark.udf.register("is_json_scalar", (s: String) => GraftFnUtils.isJsonScalar(s))
+    spark.udf.register("wilson_interval_lower",
+      (s: Long, n: Long, z: Double) => GraftFnUtils.wilsonLower(s, n, z))
+    spark.udf.register("wilson_interval_upper",
+      (s: Long, n: Long, z: Double) => GraftFnUtils.wilsonUpper(s, n, z))
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  * cluster-deployment path: injects every Presto-named function at
+  * session build time (≙ the reference's plugin function namespace,
+  * spi/Plugin.java:54 getFunctions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name),
+        b))
+    }
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
+}

@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Dense HyperLogLog sketch, built from scratch on public HLL math
+  * (Flajolet et al. 2007), giving the reference's re-aggregatable
+  * sketch surface: `approx_set` / `merge` / `cardinality(hll)`
+  * (reference: presto-main/.../aggregation/ApproximateSetAggregation.java,
+  * MergeHyperLogLogAggregation.java, scalar/HyperLogLogFunctions.java:28;
+  * type presto-spi/.../type/HyperLogLogType.java:27).
+  *
+  * Value-compatible, not byte-compatible (SURVEY.md §7.3): estimates agree
+  * within error bounds; the serialized form is our own
+  * (magic ‖ p ‖ registers).
+  *
+  * Why sketches matter at 100 TB: a distinct count over a petabyte
+  * shuffles 4 KiB per group instead of the key universe, and sketches can
+  * be stored per-partition then merged later — the same two-level
+  * (partial/final) contract TypedImperativeAggregate gives us under AQE.
+  *
+  * p = 12 → m = 4096 registers → rsd ≈ 1.04/√m ≈ 1.6%.
+  */
+object Hll {
+  val P: Int = 12
+  val M: Int = 1 << P
+  private val Magic: Byte = 0x48 // 'H'
+  val HeaderLen: Int = 2
+
+  def emptySketch(): Array[Byte] = {
+    val a = new Array[Byte](HeaderLen + M)
+    a(0) = Magic
+    a(1) = P.toByte
+    a
+  }
+
+  /** Register update with a 64-bit hash: bucket = top P bits, rank =
+    * leading zeros of the remainder + 1.
+    */
+  def add(sketch: Array[Byte], hash: Long): Unit = {
+    val bucket = (hash >>> (64 - P)).toInt
+    val rest = hash << P
+    val rank = (if (rest == 0L) (64 - P) else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+    val idx = HeaderLen + bucket
+    if ((sketch(idx) & 0xFF) < rank) sketch(idx) = rank.toByte
+  }
+
+  def mergeInto(acc: Array[Byte], other: Array[Byte]): Unit = {
+    require(other.length == acc.length && other(0) == Magic && other(1) == P.toByte,
+      s"incompatible HLL sketch (len=${other.length})")
+    var i = HeaderLen
+    while (i < acc.length) {
+      if ((other(i) & 0xFF) > (acc(i) & 0xFF)) acc(i) = other(i)
+      i += 1
+    }
+  }
+
+  /** Classic HLL estimator with linear-counting small-range correction. */
+  def cardinality(sketch: Array[Byte]): Long = {
+    require(sketch.length == HeaderLen + M && sketch(0) == Magic, "not an HLL sketch")
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    var invSum = 0.0
+    var zeros = 0
+    var i = HeaderLen
+    while (i < sketch.length) {
+      val r = sketch(i) & 0xFF
+      invSum += java.lang.Math.pow(2.0, -r)
+      if (r == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * M.toDouble * M.toDouble / invSum
+    val est =
+      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) // linear counting
+      else raw
+    math.round(est)
+  }
+
+  /** Hash an already-evaluated value the same way XxHash64(expr) would, so
+    * approx_set(x) agrees with the codegen'd hash of the same column.
+    */
+  def hashValue(v: Any, dt: DataType): Long = {
+    XxHash64Function.hash(v, dt, 42L)
+  }
+}
+
+/** `approx_set(x)` → VARBINARY HLL sketch (re-aggregatable partial). */
+case class ApproxSetAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "approx_set"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): Array[Byte] = Hll.emptySketch()
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Hll.add(buffer, Hll.hashValue(v, child.dataType))
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    Hll.mergeInto(buffer, other)
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = buffer
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(storageFormat: Array[Byte]): Array[Byte] = storageFormat
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ApproxSetAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ApproxSetAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ApproxSetAgg =
+    copy(child = newChild)
+}
+
+/** `merge(hll)` — union of HLL sketches (MergeHyperLogLogAggregation). */
+case class MergeHllAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "merge"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"merge(hll) expects a VARBINARY sketch, got ${child.dataType.sql}")
+
+  override def createAggregationBuffer(): Array[Byte] = Hll.emptySketch()
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Hll.mergeInto(buffer, v.asInstanceOf[Array[Byte]])
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    Hll.mergeInto(buffer, other)
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = buffer
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(storageFormat: Array[Byte]): Array[Byte] = storageFormat
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MergeHllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MergeHllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MergeHllAgg =
+    copy(child = newChild)
+}
+
+/** `cardinality(hll sketch)` → BIGINT estimate (HyperLogLogFunctions.java:28). */
+case class HllCardinality(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "cardinality"
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hll.cardinality(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): HllCardinality =
+    copy(child = newChild)
+}
+
+/** Presto's `cardinality` is overloaded: arrays/maps → size, HLL sketch →
+  * estimated distinct count. Dispatch on the resolved child type.
+  */
+case class CardinalityDispatch(child: Expression)
+    extends UnaryExpression with RuntimeReplaceable {
+
+  override def prettyName: String = "cardinality"
+
+  override lazy val replacement: Expression = child.dataType match {
+    case BinaryType => HllCardinality(child)
+    case _ => Cast(Size(child), LongType) // Presto cardinality returns BIGINT
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CardinalityDispatch =
+    copy(child = newChild)
+}

@@ -1,0 +1,206 @@
+package graft.functions
+
+import graft.QueryGroup
+
+/** Exercises the engine's registered Presto-named function layer
+  * (GraftFunctions) through `spark.sql` — the same entry path a Presto
+  * user would take. Every query runs against the DuckDB oracle; where a
+  * function's output is engine-specific (hashes, sketches) the query
+  * asserts the *property* the reference guarantees (order independence,
+  * error bounds) and emits booleans the oracle can reproduce.
+  */
+object PrestoFnOps extends QueryGroup {
+
+  def defs = Seq(
+    // checksum (ChecksumAggregationFunction.java:47): same rows in any
+    // order / partitioning → same checksum; different rows → different
+    q("fn_checksum",
+      """SELECT l_returnflag, true AS order_independent, true AS sensitive
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, _) =>
+      s.sql("""WITH a AS (
+              |  SELECT l_returnflag, checksum(l_partkey) AS c FROM lineitem GROUP BY l_returnflag),
+              |b AS (
+              |  SELECT l_returnflag, checksum(l_partkey) AS c
+              |  FROM (SELECT l_returnflag, l_partkey FROM lineitem
+              |        DISTRIBUTE BY l_suppkey SORT BY l_extendedprice DESC)
+              |  GROUP BY l_returnflag),
+              |d AS (
+              |  SELECT l_returnflag, checksum(l_partkey + 1) AS c FROM lineitem GROUP BY l_returnflag)
+              |SELECT a.l_returnflag,
+              |  a.c = b.c AS order_independent,
+              |  a.c <> d.c AS sensitive
+              |FROM a JOIN b ON a.l_returnflag = b.l_returnflag
+              |JOIN d ON a.l_returnflag = d.l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // approx_set / merge / cardinality (HLL sketch family): per-group
+    // estimates and the merged global estimate within the p=12 error bound
+    q("fn_approx_set_hll",
+      """SELECT l_returnflag AS grp, true AS within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL SELECT '<merged>', true
+        |ORDER BY grp""".stripMargin) { (s, _) =>
+      s.sql("""WITH g AS (
+              |  SELECT l_returnflag, approx_set(l_orderkey) AS hll,
+              |         count(DISTINCT l_orderkey) AS exact
+              |  FROM lineitem GROUP BY l_returnflag),
+              |per_group AS (
+              |  SELECT l_returnflag AS grp,
+              |    abs(cardinality(hll) - exact) / CAST(exact AS DOUBLE) < 0.05 AS within_bound
+              |  FROM g),
+              |merged AS (
+              |  SELECT '<merged>' AS grp,
+              |    abs(cardinality(merge(hll)) -
+              |        (SELECT count(DISTINCT l_orderkey) FROM lineitem))
+              |      / CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem) AS DOUBLE) < 0.05
+              |      AS within_bound
+              |  FROM g)
+              |SELECT grp, within_bound FROM per_group
+              |UNION ALL SELECT grp, within_bound FROM merged
+              |ORDER BY grp""".stripMargin)
+    },
+
+    // histogram (histogram/Histogram.java:48): exact value→count map,
+    // emitted as a sorted entry string so the oracle can reproduce it
+    q("fn_histogram_map",
+      """SELECT array_to_string(list_sort(list(event_type || ':' || CAST(n AS VARCHAR))), ',') AS hist
+        |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)""".stripMargin) { (s, _) =>
+      s.sql("""SELECT array_join(
+              |  array_sort(transform(map_entries(histogram(event_type)),
+              |    e -> concat(e.key, ':', CAST(e.value AS STRING)))), ',') AS hist
+              |FROM events""".stripMargin)
+    },
+
+    // map_agg + map_union (MapAggregationFunction.java:48)
+    q("fn_map_agg",
+      """WITH m AS (SELECT n_regionkey, map(list(n_name), list(n_nationkey)) AS m
+        |           FROM nation GROUP BY n_regionkey)
+        |SELECT n_regionkey,
+        |  array_to_string(list_sort(list_transform(map_entries(m),
+        |    e -> e.key || '=' || CAST(e.value AS VARCHAR))), ',') AS entries
+        |FROM m ORDER BY n_regionkey""".stripMargin) { (s, _) =>
+      s.sql("""WITH m AS (SELECT n_regionkey, map_agg(n_name, n_nationkey) AS m
+              |          FROM nation GROUP BY n_regionkey)
+              |SELECT n_regionkey,
+              |  array_join(array_sort(transform(map_entries(m),
+              |    e -> concat(e.key, '=', CAST(e.value AS STRING)))), ',') AS entries
+              |FROM m ORDER BY n_regionkey""".stripMargin)
+    },
+
+    // Presto datetime dialect: date_diff/date_add with unit strings,
+    // ISO day_of_week, MySQL-style date_format (DateTimeFunctions.java:68)
+    q("fn_presto_datetime",
+      """SELECT o_orderkey,
+        |  date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS dd,
+        |  date_diff('month', TIMESTAMP '1995-01-01', o_orderdate) AS dm,
+        |  CAST(o_orderdate + INTERVAL 45 DAY AS TIMESTAMP) AS plus45d,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP) AS plus2m,
+        |  isodow(o_orderdate) AS dow_iso,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt,
+        |  strftime(o_orderdate, '%d/%m/%Y') AS fmt2,
+        |  CAST(epoch(o_orderdate) AS DOUBLE) AS unix_d
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin) { (s, _) =>
+      s.sql("""SELECT o_orderkey,
+              |  date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS dd,
+              |  date_diff('month', TIMESTAMP '1995-01-01', o_orderdate) AS dm,
+              |  date_add('day', 45, o_orderdate) AS plus45d,
+              |  date_add('month', 2, o_orderdate) AS plus2m,
+              |  day_of_week(o_orderdate) AS dow_iso,
+              |  day_of_year(o_orderdate) AS doy,
+              |  date_format(o_orderdate, '%Y-%m-%d %H:%i:%s') AS fmt,
+              |  date_format(o_orderdate, '%d/%m/%Y') AS fmt2,
+              |  to_unixtime(o_orderdate) AS unix_d
+              |FROM orders WHERE o_orderkey < 2000
+              |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Presto string + URL families over synthesized URLs
+    // (StringFunctions.java:62, UrlFunctions.java:43)
+    q("fn_presto_string_url",
+      """WITH u AS (
+        |  SELECT doc_id, source, lang,
+        |    'https://data.example.com:8443/' || source || '/doc?id=' ||
+        |      CAST(doc_id AS VARCHAR) || '&lang=' || lang || '#top' AS url
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  'https' AS proto, 'data.example.com' AS host, 8443 AS port,
+        |  '/' || source || '/doc' AS path,
+        |  'id=' || CAST(doc_id AS VARCHAR) || '&lang=' || lang AS query,
+        |  'top' AS frag,
+        |  lang AS param_lang,
+        |  CAST(strpos(url, 'doc') AS BIGINT) AS pos,
+        |  CAST(levenshtein(source, lang) AS BIGINT) AS lev,
+        |  0 AS ham_same
+        |FROM u ORDER BY doc_id""".stripMargin) { (s, _) =>
+      s.sql("""WITH u AS (
+              |  SELECT doc_id, source, lang,
+              |    concat('https://data.example.com:8443/', source, '/doc?id=',
+              |      CAST(doc_id AS STRING), '&lang=', lang, '#top') AS url
+              |  FROM documents WHERE doc_id < 200)
+              |SELECT doc_id,
+              |  url_extract_protocol(url) AS proto,
+              |  url_extract_host(url) AS host,
+              |  CAST(url_extract_port(url) AS INT) AS port,
+              |  url_extract_path(url) AS path,
+              |  url_extract_query(url) AS query,
+              |  url_extract_fragment(url) AS frag,
+              |  url_extract_parameter(url, 'lang') AS param_lang,
+              |  strpos(url, 'doc') AS pos,
+              |  levenshtein_distance(source, lang) AS lev,
+              |  CAST(hamming_distance(source, source) AS INT) AS ham_same
+              |FROM u ORDER BY doc_id""".stripMargin)
+    },
+
+    // Presto math dialect: base conversion, truncate, finiteness, wilson
+    q("fn_presto_math",
+      """SELECT l_orderkey,
+        |  lower(format('{:x}', l_orderkey)) AS hex,
+        |  l_orderkey AS roundtrip,
+        |  trunc(l_extendedprice / 100.0) AS trunc_price,
+        |  isfinite(l_extendedprice) AS fin,
+        |  true AS inf_detected,
+        |  round((0.6 + 1.96*1.96/200 - 1.96*sqrt(0.6*0.4/100 + 1.96*1.96/(4*100*100)))
+        |        / (1 + 1.96*1.96/100), 6) AS wilson_lo
+        |FROM lineitem WHERE l_orderkey < 100 AND l_linenumber = 1
+        |ORDER BY l_orderkey""".stripMargin) { (s, _) =>
+      s.sql("""SELECT l_orderkey,
+              |  to_base(l_orderkey, 16) AS hex,
+              |  from_base(to_base(l_orderkey, 16), 16) AS roundtrip,
+              |  truncate(l_extendedprice / 100.0) AS trunc_price,
+              |  is_finite(l_extendedprice) AS fin,
+              |  is_infinite(infinity()) AND is_nan(nan()) AND NOT is_finite(infinity()) AS inf_detected,
+              |  round(wilson_interval_lower(60, 100, 1.96), 6) AS wilson_lo
+              |FROM lineitem WHERE l_orderkey < 100 AND l_linenumber = 1
+              |ORDER BY l_orderkey""".stripMargin)
+    },
+
+    // aggregate veneers: geometric_mean, entropy, arbitrary
+    q("fn_entropy_gmean",
+      """WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+        |SELECT round(exp(avg(ln(n))), 6) AS gmean,
+        |  round(log2(sum(n)) - sum(n * ln(n)) / (sum(n) * ln(2)), 6) AS ent,
+        |  count(*) AS n_groups
+        |FROM c""".stripMargin) { (s, _) =>
+      s.sql("""WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+              |SELECT round(geometric_mean(n), 6) AS gmean,
+              |  round(entropy(n), 6) AS ent,
+              |  count(*) AS n_groups
+              |FROM c""".stripMargin)
+    },
+
+    // arbitrary() on a column constant within its group → deterministic
+    q("fn_arbitrary",
+      """SELECT o_orderkey, min(o_custkey) AS cust
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey < 1000
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, _) =>
+      s.sql("""SELECT o_orderkey, arbitrary(o_custkey) AS cust
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE o_orderkey < 1000
+              |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+    },
+  )
+}

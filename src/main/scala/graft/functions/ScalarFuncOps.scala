@@ -16,7 +16,7 @@ object ScalarFuncOps extends QueryGroup {
     // string family (reference operator/scalar/StringFunctions.java:62)
     q("fn_string",
       """SELECT c_custkey,
-        |  length(c_name) AS len,
+        |  CAST(length(c_name) AS BIGINT) AS len,
         |  upper(c_name) AS up,
         |  lower(c_name) AS lo,
         |  substr(c_name, 1, 8) AS pre,
@@ -29,21 +29,21 @@ object ScalarFuncOps extends QueryGroup {
         |  ltrim('xx' || c_name, 'x') AS ltrimmed,
         |  concat(c_name, '|', c_mktsegment) AS joined,
         |  split_part(c_name, '#', 2) AS part2,
-        |  strpos(c_name, '#') AS hashpos,
+        |  CAST(strpos(c_name, '#') AS BIGINT) AS hashpos,
         |  left(c_name, 4) AS l4,
         |  right(c_name, 4) AS r4,
         |  repeat('ab', 3) AS rep,
         |  ascii(c_name) AS first_code,
         |  chr(65 + CAST(c_custkey % 26 AS INT)) AS cyc,
         |  translate(c_name, '#0', '_O') AS trans,
-        |  levenshtein(c_name, c_mktsegment) AS lev,
+        |  CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev,
         |  contains(c_name, '1') AS has1,
         |  starts_with(c_name, 'Customer') AS pfx,
         |  ends_with(c_name, '0') AS sfx
         |FROM customer
         |ORDER BY c_custkey""".stripMargin) { (s, _) =>
       s.sql("""SELECT c_custkey,
-              |  length(c_name) AS len,
+              |  CAST(length(c_name) AS BIGINT) AS len,
               |  upper(c_name) AS up,
               |  lower(c_name) AS lo,
               |  substr(c_name, 1, 8) AS pre,
@@ -53,17 +53,17 @@ object ScalarFuncOps extends QueryGroup {
               |  lpad(CAST(c_custkey AS STRING), 8, '0') AS pad,
               |  rpad(CAST(c_custkey AS STRING), 8, 'x') AS rpadded,
               |  trim('  ' || c_name || ' ') AS trimmed,
-              |  ltrim('xx' || c_name, 'x') AS ltrimmed,
+              |  ltrim('x', 'xx' || c_name) AS ltrimmed,
               |  concat(c_name, '|', c_mktsegment) AS joined,
               |  split_part(c_name, '#', 2) AS part2,
-              |  instr(c_name, '#') AS hashpos,
+              |  CAST(instr(c_name, '#') AS BIGINT) AS hashpos,
               |  left(c_name, 4) AS l4,
               |  right(c_name, 4) AS r4,
               |  repeat('ab', 3) AS rep,
               |  ascii(c_name) AS first_code,
               |  chr(65 + CAST(c_custkey % 26 AS INT)) AS cyc,
               |  translate(c_name, '#0', '_O') AS trans,
-              |  levenshtein(c_name, c_mktsegment) AS lev,
+              |  CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev,
               |  contains(c_name, '1') AS has1,
               |  startswith(c_name, 'Customer') AS pfx,
               |  endswith(c_name, '0') AS sfx
@@ -126,7 +126,7 @@ object ScalarFuncOps extends QueryGroup {
         |  round(log2(l_quantity + 1), 8) AS l2,
         |  round(pow(l_quantity, 2), 4) AS p2,
         |  mod(CAST(l_quantity AS BIGINT), 7) AS m7,
-        |  sign(l_discount - 0.05) AS sg,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
         |  greatest(l_quantity, l_discount * 100) AS gr,
         |  least(l_quantity, l_discount * 100) AS le,
         |  round(degrees(l_discount), 6) AS dg,
@@ -315,12 +315,60 @@ object ScalarFuncOps extends QueryGroup {
               |ORDER BY vec_id""".stripMargin)
     },
 
+    // DECIMAL(38) semantics (reference Decimals.java:43,
+    // UnscaledDecimal128Arithmetic.java): exact arithmetic pinned against
+    // the oracle. Inputs derive from integer columns (exact decimal
+    // construction); divisions use power-of-2 divisors so no engine
+    // rounding-mode choice is ever exercised — cross-engine decimal
+    // *rounding* is pinned separately via the cents-quantization pattern
+    // (q10). ANSI div-by-zero becomes NULL through try_divide, matching
+    // Presto's TRY().
+    q("fn_decimal",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_orderkey AS DECIMAL(18,2)) + CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS d_add,
+        |  CAST(CAST(l_orderkey AS DECIMAL(12,0)) * CAST(l_suppkey AS DECIMAL(12,0)) AS DECIMAL(24,0)) AS d_mul,
+        |  CAST(CAST(l_orderkey AS DECIMAL(18,0)) / 8 AS DECIMAL(24,3)) AS d_div8,
+        |  CAST(CAST(l_orderkey AS DECIMAL(18,0)) % 7 AS DECIMAL(18,0)) AS d_mod,
+        |  CAST(-CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS d_neg,
+        |  CAST(l_orderkey AS DECIMAL(18,2)) > CAST(l_partkey AS DECIMAL(18,2)) AS d_gt,
+        |  l_orderkey / 0 IS NULL AS div0_null
+        |FROM lineitem
+        |WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, _) =>
+      s.sql("""SELECT l_orderkey, l_linenumber,
+              |  CAST(CAST(l_orderkey AS DECIMAL(18,2)) + CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS d_add,
+              |  CAST(CAST(l_orderkey AS DECIMAL(12,0)) * CAST(l_suppkey AS DECIMAL(12,0)) AS DECIMAL(24,0)) AS d_mul,
+              |  CAST(CAST(l_orderkey AS DECIMAL(18,0)) / 8 AS DECIMAL(24,3)) AS d_div8,
+              |  CAST(CAST(l_orderkey AS DECIMAL(18,0)) % 7 AS DECIMAL(18,0)) AS d_mod,
+              |  CAST(-CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS d_neg,
+              |  CAST(l_orderkey AS DECIMAL(18,2)) > CAST(l_partkey AS DECIMAL(18,2)) AS d_gt,
+              |  try_divide(l_orderkey, 0) IS NULL AS div0_null
+              |FROM lineitem
+              |WHERE l_orderkey < 300
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
+
+    // decimal aggregation: exact, order-independent money sums (the scale
+    // story: decimal addition is associative, double addition is not)
+    q("agg_decimal_sum",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS qty_sum,
+        |  CAST(min(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS qty_min,
+        |  CAST(max(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS qty_max
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, _) =>
+      s.sql("""SELECT l_returnflag,
+              |  CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS qty_sum,
+              |  CAST(min(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS qty_min,
+              |  CAST(max(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS qty_max
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // map family — maps built on the fly (no map columns in the fixtures);
     // emitted back as scalars so the compare sees plain columns
     q("fn_map",
       """SELECT n_nationkey,
-        |  element_at(map {'key': n_name}, 'key') AS self_name,
-        |  cardinality(map {'a': 1, 'b': 2}) AS msize,
+        |  (map {'key': n_name})['key'][1] AS self_name,
+        |  CAST(cardinality(map {'a': 1, 'b': 2}) AS INT) AS msize,
         |  array_to_string(map_keys(map {'x': 1, 'y': 2}), ',') AS ks,
         |  array_to_string(map_values(map {'x': 7, 'y': 8}), ',') AS vs
         |FROM nation

@@ -202,16 +202,16 @@ object AggOps extends QueryGroup {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin) { (s, _) =>
-      s.table("customer")
-        .join(broadcast(s.table("nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(s.table("region")), col("n_regionkey") === col("r_regionkey"))
-        .rollup("r_name", "n_name")
-        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("bal"))
-        .select(
-          coalesce(col("r_name"), lit("<all>")).as("region_name"),
-          coalesce(col("n_name"), lit("<all>")).as("nation_name"),
-          col("n_cust"), col("bal"))
-        .orderBy("region_name", "nation_name")
+      // SQL form (like agg_grouping_sets): the DataFrame rollup-after-join
+      // form hit ambiguous-attribute resolution on the dim columns.
+      s.sql("""SELECT coalesce(r_name, '<all>') AS region_name,
+              |  coalesce(n_name, '<all>') AS nation_name,
+              |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+              |FROM customer
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP (r_name, n_name)
+              |ORDER BY region_name, nation_name""".stripMargin)
     },
 
     q("agg_cube",
@@ -258,7 +258,7 @@ object AggOps extends QueryGroup {
 
     // inline VALUES (reference ValuesOperator.java:27 ≙ LocalTableScan)
     q("agg_values_inline",
-      """SELECT k, sum(v) AS s FROM (VALUES (1, 10), (1, 20), (2, 30)) t(k, v)
+      """SELECT k, CAST(sum(v) AS BIGINT) AS s FROM (VALUES (1, 10), (1, 20), (2, 30)) t(k, v)
         |GROUP BY k ORDER BY k""".stripMargin) { (s, _) =>
       s.sql("SELECT k, sum(v) AS s FROM VALUES (1, 10), (1, 20), (2, 30) AS t(k, v) GROUP BY k ORDER BY k")
     },

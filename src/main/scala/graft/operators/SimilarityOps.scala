@@ -28,13 +28,71 @@ object SimilarityOps extends QueryGroup {
 
   private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Multi-table random-hyperplane LSH ANN.
+    *
+    * Scale design (the round-1 version recomputed an interpreted-HOF
+    * signature on both sides of the bucket join AND was single-probe —
+    * unusable recall at scale):
+    *  - embedding dims are exploded ONCE; every (vec, dim) row computes
+    *    T×B codegen'd ±1 contributions (hyperplane component for (table t,
+    *    bit j, dim d) is a deterministic Rademacher sign from
+    *    xxhash64(t, j, d) — reproducible on any executor, no driver state);
+    *  - one grouped aggregation sums them into T×B projections (map-side
+    *    partial agg → shuffle is one row per vector);
+    *  - per table, B sign bits pack into a scalar LONG bucket key (table
+    *    id in the high bits) — the join key is a single long;
+    *  - candidates = bucket equi-join, dedup, then exact cosine re-score
+    *    and top-k. Only candidates are ever scored.
+    *
+    * T/B tuning: collision prob per bit for angle θ is 1−θ/π. The fixture
+    * embeddings' true top-5 neighbors are only weakly similar (cos
+    * ≈0.26–0.49 → p≈0.6 vs 0.5 for random), so defaults favor many short
+    * tables (T=16, B=4 → pair recall ≈0.9). For dedup-grade neighbors
+    * (cos ≥ 0.8, p ≥ 0.8) fewer, longer tables (e.g. T=8, B=16) keep the
+    * candidate set sparse at billions of vectors.
+    */
+  def lshAnnTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
+                 tables: Int = 16, bits: Int = 4): DataFrame = {
+    val dims = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
+    val contribCols = for (t <- 0 until tables; j <- 0 until bits) yield
+      (col("x") * when(xxhash64(lit(t), lit(j), col("d")).bitwiseAND(lit(1L)) === 0L, 1.0)
+        .otherwise(-1.0)).as(s"c_${t}_$j")
+    val proj = dims.select(col("vec_id") +: contribCols: _*)
+      .groupBy("vec_id")
+      .agg(sum("c_0_0").as("p_0_0"),
+        (for (t <- 0 until tables; j <- 0 until bits if (t, j) != (0, 0))
+          yield sum(s"c_${t}_$j").as(s"p_${t}_$j")): _*)
+    val bucketCols = (0 until tables).map { t =>
+      (0 until bits).map(j => when(col(s"p_${t}_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+        .bitwiseOR(lit(t.toLong << 32))
+    }
+    val sig = proj.select(col("vec_id"), explode(array(bucketCols: _*)).as("bucket"))
+    val qs = sig.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+    val cand = qs.join(sig, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val qEmb = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val nEmb = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = cand.join(broadcast(qEmb), "q_id").join(nEmb, "n_id")
+      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rk")
+  }
+
   def defs = Seq(
     // ── brute-force cosine top-k (k=5) for a 10-vector query set ──
     q("sim_cosine_topk",
       """WITH qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
         |scored AS (
         |  SELECT q_id, vec_id AS n_id,
-        |    list_cosine_similarity(q_emb, embedding) AS sim
+        |    CAST(list_cosine_similarity(q_emb, embedding) AS DOUBLE) AS sim
         |  FROM qs CROSS JOIN embeddings
         |  WHERE vec_id <> q_id),
         |ranked AS (
@@ -61,7 +119,7 @@ object SimilarityOps extends QueryGroup {
     // ── pairwise cosine over a restricted id band (exact, oracle-able) ──
     q("sim_pairwise_band",
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 5
         |WHERE a.vec_id < 40
@@ -74,38 +132,10 @@ object SimilarityOps extends QueryGroup {
         .orderBy("id_a", "id_b")
     },
 
-    // ── LSH-bucketed ANN: 16 random-hyperplane sign bits → bucket ──
-    // Hyperplane j's component for dimension d is a deterministic ±1 from
-    // xxhash64(j, d) — reproducible across runs/executors, no driver state.
-    // Engine-specific hashing → no SQL oracle; SimilaritySpec measures
-    // recall against sim_cosine_topk's exact answers.
+    // ── multi-table LSH ANN (engine-specific hashing → no SQL oracle;
+    // SimilaritySpec measures recall@5 against sim_cosine_topk) ──
     qNoOracle("sim_lsh_ann") { (s, _) =>
-      s.sql("""WITH sig AS (
-              |  SELECT vec_id, embedding,
-              |    aggregate(sequence(0, 15), 0L, (acc, j) -> acc + IF(
-              |      aggregate(
-              |        zip_with(embedding, sequence(0, size(embedding) - 1),
-              |          (x, d) -> CAST(x AS DOUBLE) * IF(pmod(xxhash64(j, d), 2) = 0, 1.0D, -1.0D)),
-              |        0.0D, (a, v) -> a + v) > 0,
-              |      shiftleft(1L, j), 0L)) AS bucket
-              |  FROM embeddings),
-              |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM sig WHERE vec_id < 10),
-              |cand AS (
-              |  SELECT q.q_id, s.vec_id AS n_id, q.q_emb, s.embedding
-              |  FROM qs q JOIN sig s ON q.bucket = s.bucket AND s.vec_id <> q.q_id),
-              |scored AS (
-              |  SELECT q_id, n_id,
-              |    aggregate(zip_with(q_emb, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (a, v) -> a + v)
-              |    / (sqrt(aggregate(q_emb, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-              |       * sqrt(aggregate(embedding, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS sim
-              |  FROM cand),
-              |ranked AS (
-              |  SELECT q_id, n_id, sim,
-              |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
-              |  FROM scored)
-              |SELECT q_id, rk, n_id, round(sim, 4) AS sim
-              |FROM ranked WHERE rk <= 5
-              |ORDER BY q_id, rk""".stripMargin)
+      lshAnnTopK(s.table("embeddings"))
     },
 
     // ── vector stats: norms and centroid distance per label ──

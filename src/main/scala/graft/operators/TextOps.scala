@@ -27,23 +27,135 @@ object TextOps extends QueryGroup {
       split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +"),
       t => t =!= "")
 
-  /** Word 3-gram shingles of the normalized tokens. */
+  /** Word 3-gram shingles of the normalized tokens; empty for docs with
+    * fewer than 3 tokens (guard: sequence(1, n-2) would otherwise emit a
+    * descending [1,0] and hit element_at(tokens, 0)).
+    */
   private def shinglesCol(tokens: Column): Column =
-    transform(
-      sequence(lit(1), greatest(size(tokens) - 2, lit(0))),
-      i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))
+    when(size(tokens) >= 3,
+      transform(
+        sequence(lit(1), size(tokens) - 2),
+        i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))
+      .otherwise(lit(Array.empty[String]))
 
-  private def withShingles(s: SparkSession): DataFrame = {
-    val t = s.table("documents").withColumn("tokens", tokensCol)
-    t.withColumn("shingles", array_distinct(shinglesCol(col("tokens"))))
+  /** (doc_id, tokens, shingles) for docs with ≥3 tokens.
+    *
+    * PERFORMANCE-CRITICAL SHAPE: the `filter` between the tokens
+    * projection and the shingles projection keeps `tokens` a bound
+    * attribute when the shingle lambda runs. Without it, Catalyst
+    * collapses the projects and inlines the whole tokenize expression
+    * into each `element_at(tokens, i)` inside the (interpreted) lambda —
+    * re-running regexp+split ~3×shingle-count times per document. That
+    * inlining was the actual 87-second bottleneck in round 1's bench
+    * profile (measured: 60 s → 1.1 s at sf0.1 with the barrier).
+    */
+  def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("tokens", tokensCol)
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("shingles", array_distinct(shinglesCol(col("tokens"))))
+
+  private val MinhashPerms = 64  // 16 bands x 4 rows
+  private val MinhashBands = 16
+
+  /** MinHash-LSH near-duplicate candidate pairs verified by exact shingle
+    * Jaccard — the 100 TB design:
+    *
+    *  1. explode shingles → ONE string hash per (doc, shingle), then 64
+    *     cheap integer re-hashes `xxhash64(i, h)` — every step is a
+    *     codegen'd fixed-width expression (no interpreted higher-order
+    *     functions, the round-1 bottleneck);
+    *  2. signature = groupBy(doc_id) with 64 min() aggregates →
+    *     map-side partial aggregation, the shuffle carries ~one row per
+    *     document;
+    *  3. banding: 16 scalar band keys per doc via xxhash64 over 4
+    *     signature columns — LONG join keys, not ARRAY;
+    *  4. candidate pairs come from groupBy(band_key) + within-bucket pair
+    *     expansion, so the signature subtree is evaluated ONCE (round 1
+    *     evaluated it on both sides of a self-join);
+    *  5. exact-Jaccard verification re-tokenizes only for the join against
+    *     candidate pairs (linear, no 64-hash work).
+    *
+    * Candidate generation never goes all-pairs: cost is Σ bucket² over
+    * band buckets, which stays linear while near-dup density is bounded.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // no size(shingles) filter here: withShingles already guarantees ≥1
+    // shingle (≥3 tokens), and a filter on `shingles` would be pushed
+    // below its projection with the full expression substituted in —
+    // re-introducing the quadratic tokenize-per-shingle evaluation
+    val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
+    // one string hash per shingle, then 64 integer permutation hashes
+    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val permed = exploded.select(
+      col("doc_id") +: (0 until MinhashPerms).map(i => xxhash64(lit(i), col("h")).as(s"p$i")): _*)
+    val sig = permed.groupBy("doc_id")
+      .agg((0 until MinhashPerms).map(i => min(s"p$i").as(s"s$i")).head,
+           (1 until MinhashPerms).map(i => min(s"p$i").as(s"s$i")): _*)
+    // 16 scalar band keys: xxhash64(band, s[4b], s[4b+1], s[4b+2], s[4b+3])
+    val rowsPerBand = MinhashPerms / MinhashBands
+    val bandKeys = (0 until MinhashBands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+    // within-bucket pair expansion — signatures evaluated once, no self-join
+    val buckets = banded.groupBy("band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
+      .select(col("doc_a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("doc_b"))
+      .distinct()
+    // exact-Jaccard verification on candidates only
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-permutation MinHash signature, computed map-side:
-    * sig[i] = min over shingles of xxhash64(shingle, i).
+  /** 64-bit SimHash near-dup pairs, same codegen-first shape: explode
+    * tokens → one hash per token → 64 per-bit ±1 contributions summed in a
+    * single grouped aggregation → simhash assembled with bitwise OR →
+    * 4×16-bit bands → within-bucket pairs filtered by exact hamming ≤ 3
+    * (banding by 16-bit quarters guarantees recall for hamming ≤ 3).
     */
-  private def minhashSig: Column =
-    transform(sequence(lit(0), lit(63)),
-      i => array_min(transform(col("shingles"), sh => xxhash64(sh, i))))
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val toks = docs.withColumn("tokens", tokensCol)
+      .filter(size(col("tokens")) > 0)
+      .select(col("doc_id"), array_distinct(col("tokens")).as("tokens"))
+    val th = toks.select(col("doc_id"), explode(col("tokens")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val contrib = th.select(
+      col("doc_id") +: (0 until 64).map { b =>
+        when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)).as(s"c$b")
+      }: _*)
+    val sums = contrib.groupBy("doc_id")
+      .agg(sum("c0").as("b0"), (1 until 64).map(b => sum(s"c$b").as(s"b$b")): _*)
+    val simhash = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sh = sums.select(col("doc_id"), simhash.as("simhash"))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L))
+          .bitwiseOR(lit(b.toLong << 32))): _*)).as("band_key"))
+    val buckets = banded.groupBy("band_key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .filter(size(col("members")) > 1)
+    buckets
+      .select(posexplode(col("members")).as(Seq("i", "a")), col("members"))
+      .select(col("a"), explode(slice(col("members"), col("i") + 2, size(col("members")))).as("b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
 
   def defs = Seq(
     // ── exact dedup: hash-groupBy on content digest (one shuffle) ──
@@ -75,59 +187,12 @@ object TextOps extends QueryGroup {
     // Engine-specific hashing → no SQL oracle; TextOpsSpec validates the
     // candidates against exact Jaccard ground truth.
     qNoOracle("dd_minhash_lsh") { (s, _) =>
-      val docs = withShingles(s).filter(size(col("shingles")) > 0)
-        .select(col("doc_id"), col("shingles"), minhashSig.as("sig"))
-      val banded = docs.select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(15)),
-          b => slice(col("sig"), b * 4 + 1, lit(4)))).as(Seq("band", "band_sig")))
-      val pairs = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band")
-            && col("a.band_sig") === col("b.band_sig")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // verify candidates with exact shingle Jaccard ≥ 0.5
-      val sh = withShingles(s).select(col("doc_id"), col("shingles"))
-      pairs
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+      minhashPairs(s.table("documents"))
     },
 
     // ── SimHash (64-bit) + banded hamming-distance candidate pairs ──
-    // bit b of simhash = sign of Σ over tokens of ±1 per token-hash bit;
-    // candidates must share one of four 16-bit bands (guarantees recall
-    // for hamming ≤ 3), then are filtered by exact bit_count(xor).
-    // Fully map-side until the tiny band-bucket self-join.
     qNoOracle("dd_simhash") { (s, _) =>
-      s.sql("""WITH toks AS (
-              |  SELECT doc_id,
-              |    array_distinct(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +'), t -> t <> '')) AS tokens
-              |  FROM documents),
-              |sh AS (
-              |  SELECT doc_id,
-              |    aggregate(sequence(0, 63), 0L, (acc, b) -> acc + IF(
-              |      aggregate(tokens, 0L,
-              |        (a, t) -> a + IF((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)) > 0,
-              |      shiftleft(1L, b), 0L)) AS simhash
-              |  FROM toks WHERE size(tokens) > 0),
-              |banded AS (
-              |  SELECT doc_id, simhash, band,
-              |    (shiftright(simhash, band * 16) & 65535) AS band_val
-              |  FROM sh LATERAL VIEW explode(sequence(0, 3)) AS band)
-              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |  bit_count(a.simhash ^ b.simhash) AS hamming
-              |FROM banded a JOIN banded b
-              |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-              |WHERE bit_count(a.simhash ^ b.simhash) <= 3
-              |ORDER BY doc_a, doc_b""".stripMargin)
+      simhashPairs(s.table("documents"))
     },
 
     // ── exact n-gram Jaccard, all pairs within a source bucket ──

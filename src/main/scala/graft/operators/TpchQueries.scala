@@ -247,7 +247,7 @@ object TpchQueries extends QueryGroup {
     // ── Q10 (adapted cols): top returned-revenue customers ──
     q("q10_returned_items",
       """SELECT c_custkey, c_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
         |  round(c_acctbal, 2) AS c_acctbal, n_name
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -266,7 +266,10 @@ object TpchQueries extends QueryGroup {
         .filter(col("l_returnflag") === "R")
         .join(broadcast(s.table("nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(round(sum(rev), 2).as("revenue"))
+        // per-row cents quantization in pure IEEE double ops (identical on
+        // any engine), then an exact integer sum — order-independent under
+        // any partitioning, no decimal-cast rounding-mode divergence
+        .agg((sum(floor(rev * 100 + 0.5).cast("bigint")).cast("double") / 100).as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"),
           round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
         .orderBy(desc("revenue"), col("c_custkey"))
@@ -276,8 +279,8 @@ object TpchQueries extends QueryGroup {
     // ── Q12 (adapted: no shipmode): conditional counts ──
     q("q12_priority_shipping",
       """SELECT l_returnflag,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'

@@ -10,15 +10,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class AggSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
 
-  test("approx_count_distinct within 5% of exact") {
+  test("approx_count_distinct within 3 sigma of its configured rsd") {
     Tables.register(spark, TestSession.sf)
+    // rsd set explicitly (default is 5%, so a 5% assertion is a coin flip
+    // — round-1 lesson); 3σ at rsd=0.01 → 3% bound
     val rows = spark.table("lineitem")
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
         countDistinct(col("l_orderkey")).as("exact"))
       .collect()(0)
     val (a, e) = (rows.getLong(0).toDouble, rows.getLong(1).toDouble)
-    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+    assert(math.abs(a - e) / e < 0.03, s"approx=$a exact=$e")
   }
 
   test("percentile_approx close to exact percentile") {

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the engine's own function layer (graft.functions.GraftFunctions):
+  * checksum order-independence, HLL sketch re-aggregatability (the
+  * partial/merge contract that makes sketches work under AQE at scale),
+  * histogram correctness, and dialect-function semantics.
+  */
+class FnSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def ready(): Unit = Tables.register(spark, TestSession.sf)
+
+  test("checksum is order-independent and value-sensitive") {
+    ready()
+    val a = spark.sql("SELECT checksum(l_partkey) FROM lineitem").collect()(0).getLong(0)
+    val b = spark.sql(
+      """SELECT checksum(l_partkey) FROM
+        |(SELECT l_partkey FROM lineitem DISTRIBUTE BY l_orderkey SORT BY l_extendedprice)""".stripMargin)
+      .collect()(0).getLong(0)
+    val c = spark.sql("SELECT checksum(l_partkey + 1) FROM lineitem").collect()(0).getLong(0)
+    assert(a == b, "checksum must not depend on row order/partitioning")
+    assert(a != c, "checksum must be sensitive to values")
+  }
+
+  test("checksum handles nulls like the reference (null adds PRIME64)") {
+    ready()
+    val r = spark.sql(
+      """SELECT checksum(x) FROM VALUES (1), (CAST(NULL AS INT)), (2) AS t(x)""").collect()(0).getLong(0)
+    val noNull = spark.sql(
+      """SELECT checksum(x) FROM VALUES (1), (2) AS t(x)""").collect()(0).getLong(0)
+    assert(r == noNull + 0x9E3779B185EBCA87L)
+  }
+
+  test("HLL sketch: partial sketches merge to the global estimate") {
+    ready()
+    // aggregate per-group sketches, merge them, compare against both the
+    // direct global sketch and the exact count — under deliberately tiny
+    // shuffle parallelism to force multi-partition partial/final paths
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val row = spark.sql(
+        """WITH g AS (SELECT l_returnflag, approx_set(l_orderkey) AS hll FROM lineitem GROUP BY 1)
+          |SELECT cardinality(merge(hll)) AS merged,
+          |  (SELECT cardinality(approx_set(l_orderkey)) FROM lineitem) AS direct,
+          |  (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS exact
+          |FROM g""".stripMargin).collect()(0)
+      val (merged, direct, exact) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      assert(merged == direct, s"merge of partials ($merged) must equal direct sketch ($direct)")
+      assert(math.abs(merged - exact).toDouble / exact < 0.05,
+        s"estimate $merged vs exact $exact exceeds 5%")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("cardinality dispatches: array size vs HLL estimate") {
+    ready()
+    val r = spark.sql(
+      "SELECT cardinality(array(1,2,3)), cardinality(approx_set(x)) FROM VALUES (1),(2),(3),(3) AS t(x)")
+      .collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 3L) // tiny cardinality → exact under linear counting
+  }
+
+  test("histogram counts match groupBy counts under forced partial/final") {
+    ready()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val hist = spark.sql("SELECT histogram(o_orderpriority) AS h FROM orders")
+        .collect()(0).getMap[String, Long](0)
+      val exact = spark.sql("SELECT o_orderpriority, count(*) FROM orders GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(hist.size == exact.size)
+      exact.foreach { case (k, v) => assert(hist(k) == v, s"key $k: ${hist(k)} != $v") }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("presto dialect scalars: strpos, from_base/to_base, day_of_week, date_diff") {
+    ready()
+    val r = spark.sql(
+      """SELECT strpos('hello world', 'world'),
+        |  to_base(255, 16), from_base('ff', 16),
+        |  day_of_week(DATE '2026-08-12'),
+        |  date_diff('day', TIMESTAMP '2026-01-01', TIMESTAMP '2026-08-12'),
+        |  date_format(TIMESTAMP '2026-08-12 13:45:00', '%Y-%m-%d %H:%i'),
+        |  hamming_distance('abcde', 'abcdf')""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 7L)
+    assert(r.getString(1) == "ff")
+    assert(r.getLong(2) == 255L)
+    assert(r.getLong(3) == 3L) // 2026-08-12 is a Wednesday (ISO 3)
+    assert(r.getLong(4) == 223L)
+    assert(r.getString(5) == "2026-08-12 13:45")
+    assert(r.getLong(6) == 1L)
+  }
+
+  test("map_agg and map_union build real maps") {
+    ready()
+    val m = spark.sql(
+      "SELECT map_agg(n_name, n_nationkey) FROM nation WHERE n_regionkey = 0")
+      .collect()(0).getMap[String, Long](0)
+    assert(m.size == 5)
+    val u = spark.sql(
+      """SELECT map_union(m) FROM (
+        |  SELECT map('a', 1) AS m UNION ALL SELECT map('b', 2))""".stripMargin)
+      .collect()(0).getMap[String, Int](0)
+    assert(u == Map("a" -> 1, "b" -> 2))
+  }
+}

@@ -28,4 +28,16 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(abs(col("sim") - col("exact_sim")) > 1e-9)
     assert(joined.count() == 0)
   }
+
+  test("LSH ANN recall@5 vs exact top-5 is at least 0.6") {
+    Tables.register(spark, TestSession.sf)
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, TestSession.sf)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("sim_lsh_ann")(spark, TestSession.sf)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 = $recall (found ${(exact & ann).size} of ${exact.size})")
+  }
 }

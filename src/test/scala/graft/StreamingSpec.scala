@@ -12,9 +12,15 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
 
   test("streaming tumbling window equals batch window") {
-    val dir = TestSession.sf
-    val batchRaw = spark.read.parquet(s"$dir/events.parquet")
-    val stream = spark.readStream.schema(batchRaw.schema).parquet(s"$dir/events.parquet")
+    // readStream requires a DIRECTORY of files; stage the single events
+    // parquet file into a temp dir (round 1 pointed at the file itself and
+    // the test never ran)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSession.sf}/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val batchRaw = spark.read.parquet(stageDir.toString)
+    val stream = spark.readStream.schema(batchRaw.schema).parquet(stageDir.toString)
 
     def normalize(df: org.apache.spark.sql.DataFrame) = {
       val withTs =

@@ -18,26 +18,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
-  test("minhash LSH finds near-identical documents (recall on plants)") {
-    // plant two synthetic near-duplicates through the same pipeline
-    // shape: identical token multisets must share every minhash band
+  test("minhash LSH finds planted near-duplicates (recall)") {
+    // plant near-duplicates into the corpus and run the REAL pipeline:
+    // a doc and its copy-with-one-extra-token have jaccard ≈ 1 on word
+    // 3-gram shingles, so identical signatures must collide in every band
     val docs = Tables.load(spark, TestSession.sf, "documents")
+      .select(col("doc_id"), col("text"))
     val t0 = docs.filter(col("doc_id") === 0).select(col("text")).collect()(0).getString(0)
     val planted = spark.createDataFrame(Seq(
       (100001L, t0), (100002L, t0 + " extra"),
     )).toDF("doc_id", "text")
-    planted.createOrReplaceTempView("documents_planted")
-    // identical prefix of ~n tokens → jaccard near 1 → must collide
-    val toks = udf((s: String) => s.toLowerCase.split("\\s+").toSet)
-    val a = toks(lit(t0))
-    assert(planted.count() == 2 && a != null)
+    val pairs = graft.operators.TextOps.minhashPairs(docs.union(planted))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100001L, 100002L)), s"planted pair missing from ${pairs.size} pairs")
+    // the planted docs also duplicate doc 0 itself
+    assert(pairs.contains((0L, 100001L)), "copy of doc 0 not recalled")
   }
 
-  test("simhash of identical docs is identical (hamming 0)") {
-    val df = run("dd_simhash")
-    // structural check: pairs table with hamming <= 3
+  test("simhash finds planted near-identical docs; emitted hammings are exact") {
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val t0 = docs.filter(col("doc_id") === 0).select(col("text")).collect()(0).getString(0)
+    val planted = spark.createDataFrame(Seq((100001L, t0))).toDF("doc_id", "text")
+    val df = graft.operators.TextOps.simhashPairs(docs.union(planted))
     assert(df.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
-    assert(df.collect().forall(_.getAs[Long]("hamming") <= 3))
+    val rows = df.collect()
+    assert(rows.forall(_.getAs[Int]("hamming") <= 3))
+    // identical token set → identical simhash → hamming 0
+    val plantRow = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 100001L)
+    assert(plantRow.exists(_.getAs[Int]("hamming") == 0), s"planted pair missing")
   }
 
   test("fingerprint equality implies token-set equality") {
