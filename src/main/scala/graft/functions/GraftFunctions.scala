@@ -56,6 +56,89 @@ object GraftFnUtils {
     t.nonEmpty && !t.startsWith("{") && !t.startsWith("[")
   }
 
+  @transient private lazy val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Walk a $.a.b[i] JSONPath subset (what the reference's JsonExtract
+    * fast path supports, JsonExtract.java:116).
+    */
+  private def jsonNavigate(json: String,
+      path: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    try {
+      var node = jsonMapper.readTree(json)
+      if (node == null) return None
+      val p = path.trim
+      require(p.startsWith("$"), s"JSONPath must start with $$: $path")
+      val steps = raw"\.([A-Za-z0-9_]+)|\[(\d+)\]".r
+      for (m <- steps.findAllMatchIn(p.substring(1))) {
+        if (node == null) return None
+        node = if (m.group(1) != null) node.get(m.group(1)) else node.get(m.group(2).toInt)
+      }
+      Option(node)
+    } catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+  }
+
+  /** json_size: members of an object / elements of an array at path;
+    * 0 for scalars; null for missing/bad json (JsonFunctions.java).
+    */
+  def jsonSize(json: String, path: String): java.lang.Long =
+    jsonNavigate(json, path)
+      .map(n => if (n.isContainerNode) n.size().toLong else 0L)
+      .map(Long.box).orNull
+
+  def jsonArrayContains(json: String, value: String): java.lang.Boolean = {
+    try {
+      val node = jsonMapper.readTree(json)
+      if (node == null || !node.isArray) null
+      else {
+        val it = node.elements()
+        var found = false
+        while (!found && it.hasNext) {
+          val e = it.next()
+          found = (e.isTextual && e.asText() == value) ||
+            (!e.isTextual && e.asText() == value)
+        }
+        Boolean.box(found)
+      }
+    } catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+  }
+
+  /** json_array_get: element at index (negative = from the end) as its
+    * JSON text (JsonFunctions.java json_array_get).
+    */
+  def jsonArrayGet(json: String, index: Long): String = {
+    try {
+      val node = jsonMapper.readTree(json)
+      if (node == null || !node.isArray) null
+      else {
+        val i = if (index < 0) node.size() + index else index
+        val e = node.get(i.toInt)
+        if (e == null) null
+        else if (e.isTextual) e.asText()
+        else e.toString
+      }
+    } catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+  }
+
+  /** reference ArrayNgramsFunction (ngrams over any array — string
+    * specialization here, the text-pipeline case).
+    */
+  def ngrams(tokens: Seq[String], n: Int): Seq[Seq[String]] = {
+    require(n > 0, "ngrams: n must be positive")
+    if (tokens == null || tokens.length < n) Seq.empty
+    else tokens.sliding(n).toSeq
+  }
+
+  /** reference CombinationsFunction — positional n-subsets (duplicate
+    * values yield duplicate subsets, unlike Scala's deduplicating
+    * .combinations), capped like the reference (n ≤ 5) to bound output.
+    */
+  def combinations(tokens: Seq[String], n: Int): Seq[Seq[String]] = {
+    require(n >= 0 && n <= 5, "combinations: n must be in [0, 5]")
+    if (tokens == null) Seq.empty
+    else tokens.indices.combinations(n).map(_.map(tokens)).toSeq
+  }
+
   /** reference operator/scalar/WilsonInterval.java. */
   def wilsonLower(successes: Long, trials: Long, z: Double): Double =
     wilson(successes, trials, z, -1.0)
@@ -167,12 +250,29 @@ object GraftFunctions {
     },
     "bitwise_and_agg" -> { args => BitAndAgg(args.head).toAggregateExpression() },
     "bitwise_or_agg" -> { args => BitOrAgg(args.head).toAggregateExpression() },
+    // QuantileDigestAggregationFunction.java:32 — re-aggregatable
+    // quantile sketch (Presto's merge(qdigest) is merge_qdigest here: the
+    // sketch types share BinaryType, so name-level dispatch can't tell
+    // them apart at plan time)
+    "qdigest_agg" -> {
+      case Seq(c) => QDigestAgg(c).toAggregateExpression()
+      case Seq(c, Literal(eps: Double, DoubleType)) =>
+        QDigestAgg(c, eps).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"qdigest_agg: bad args $args")
+    },
+    "merge_qdigest" -> { args => MergeQDigestAgg(args.head).toAggregateExpression() },
+    // MultimapAggregationFunction — map<k, array<v>>
+    "multimap_agg" -> { case Seq(k, v) => MultimapAgg(k, v).toAggregateExpression() },
 
     // ── sketch scalars ──
     // HyperLogLogFunctions.java:28 — cardinality() dispatches on type
     // (array/map → size, HLL sketch → estimate)
     "cardinality" -> { args => CardinalityDispatch(args.head) },
     "empty_approx_set" -> { _ => Literal(Hll.emptySketch(), BinaryType) },
+    // QuantileDigestFunctions.java — sketch decode scalars
+    "value_at_quantile" -> { case Seq(s, q) => ValueAtQuantile(s, Cast(q, DoubleType)) },
+    "values_at_quantiles" -> { case Seq(s, qs) =>
+      ValuesAtQuantiles(s, Cast(qs, ArrayType(DoubleType))) },
 
     // ── string family (StringFunctions.java:62) ──
     "strpos" -> { case Seq(str, sub) => Cast(StringLocate(sub, str, Literal(1)), LongType) },
@@ -185,7 +285,6 @@ object GraftFunctions {
     // ── JSON family (JsonFunctions.java:64, JsonExtract.java:116) ──
     "json_extract" -> { case Seq(j, p) => GetJsonObject(j, p) },
     "json_extract_scalar" -> { case Seq(j, p) => GetJsonObject(j, p) },
-    "json_array_length_" -> { case Seq(j) => Cast(LengthOfJsonArray(j), LongType) },
 
     // ── URL family (UrlFunctions.java:43) ──
     "url_extract_protocol" -> { case Seq(u) => parseUrl(u, "PROTOCOL") },
@@ -294,6 +393,16 @@ object GraftFunctions {
       (s: String) => GraftFnUtils.normalizeStr(s, "NFC"))
     spark.udf.register("word_stem", (s: String) => GraftFnUtils.wordStem(s))
     spark.udf.register("is_json_scalar", (s: String) => GraftFnUtils.isJsonScalar(s))
+    spark.udf.register("json_size",
+      (j: String, p: String) => GraftFnUtils.jsonSize(j, p))
+    spark.udf.register("json_array_contains",
+      (j: String, v: String) => GraftFnUtils.jsonArrayContains(j, v))
+    spark.udf.register("json_array_get",
+      (j: String, i: Long) => GraftFnUtils.jsonArrayGet(j, i))
+    spark.udf.register("ngrams",
+      (ts: Seq[String], n: Int) => GraftFnUtils.ngrams(ts, n))
+    spark.udf.register("combinations",
+      (ts: Seq[String], n: Int) => GraftFnUtils.combinations(ts, n))
     spark.udf.register("wilson_interval_lower",
       (s: Long, n: Long, z: Double) => GraftFnUtils.wilsonLower(s, n, z))
     spark.udf.register("wilson_interval_upper",

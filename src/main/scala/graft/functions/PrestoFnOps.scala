@@ -191,6 +191,96 @@ object PrestoFnOps extends QueryGroup {
               |FROM c""".stripMargin)
     },
 
+    // qdigest quantile sketch: per-group sketches, partial merge, decode
+    // at several quantiles — estimates must sit within the ε=0.01 rank
+    // bound of the exact quantiles (emitted as booleans for the oracle)
+    q("fn_qdigest",
+      """SELECT l_returnflag AS grp, true AS p50_ok, true AS p90_ok, true AS merged_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY grp""".stripMargin) { (s, _) =>
+      s.sql("""WITH g AS (
+              |  SELECT l_returnflag, qdigest_agg(l_extendedprice) AS qd
+              |  FROM lineitem GROUP BY l_returnflag),
+              |ex AS (
+              |  SELECT l_returnflag,
+              |    percentile(l_extendedprice, 0.49) AS p50_lo, percentile(l_extendedprice, 0.51) AS p50_hi,
+              |    percentile(l_extendedprice, 0.89) AS p90_lo, percentile(l_extendedprice, 0.91) AS p90_hi
+              |  FROM lineitem GROUP BY l_returnflag),
+              |m AS (
+              |  SELECT value_at_quantile(merge_qdigest(qd), 0.5D) AS p50_all FROM g),
+              |exm AS (
+              |  SELECT percentile(l_extendedprice, 0.49) AS lo, percentile(l_extendedprice, 0.51) AS hi
+              |  FROM lineitem)
+              |SELECT g.l_returnflag AS grp,
+              |  value_at_quantile(qd, 0.5D) BETWEEN ex.p50_lo AND ex.p50_hi AS p50_ok,
+              |  value_at_quantile(qd, 0.9D) BETWEEN ex.p90_lo AND ex.p90_hi AS p90_ok,
+              |  (SELECT p50_all FROM m) BETWEEN (SELECT lo FROM exm) AND (SELECT hi FROM exm) AS merged_ok
+              |FROM g JOIN ex ON g.l_returnflag = ex.l_returnflag
+              |ORDER BY grp""".stripMargin)
+    },
+
+    // multimap_agg: all values per key as map<k, array<v>>
+    q("fn_multimap",
+      """WITH m AS (
+        |  SELECT n_regionkey, list_sort(list(n_name)) AS names
+        |  FROM nation GROUP BY n_regionkey)
+        |SELECT n_regionkey, array_to_string(names, ',') AS names
+        |FROM m ORDER BY n_regionkey""".stripMargin) { (s, _) =>
+      s.sql("""WITH m AS (SELECT multimap_agg(n_regionkey, n_name) AS mm FROM nation)
+              |SELECT e.key AS n_regionkey,
+              |  array_join(array_sort(e.value), ',') AS names
+              |FROM m LATERAL VIEW explode(map_entries(mm)) AS e
+              |ORDER BY n_regionkey""".stripMargin)
+    },
+
+    // JSON extras: json_size / json_array_contains / json_array_get over
+    // synthesized nested JSON (the events.props fixture is flat)
+    q("fn_json_extras",
+      """WITH j AS (
+        |  SELECT n_nationkey,
+        |    '{"a": {"x": 1, "y": 2}, "arr": [' || CAST(n_nationkey AS VARCHAR) || ', 7, 9]}' AS doc
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  2 AS size_a, 3 AS size_arr, 0 AS size_scalar,
+        |  true AS has7,
+        |  CAST(n_nationkey AS VARCHAR) AS first_elem,
+        |  '9' AS last_elem
+        |FROM j ORDER BY n_nationkey""".stripMargin) { (s, _) =>
+      s.sql("""WITH j AS (
+              |  SELECT n_nationkey,
+              |    concat('{"a": {"x": 1, "y": 2}, "arr": [', CAST(n_nationkey AS STRING), ', 7, 9]}') AS doc
+              |  FROM nation)
+              |SELECT n_nationkey,
+              |  CAST(json_size(doc, '$.a') AS INT) AS size_a,
+              |  CAST(json_size(doc, '$.arr') AS INT) AS size_arr,
+              |  CAST(json_size(doc, '$.a.x') AS INT) AS size_scalar,
+              |  json_array_contains(get_json_object(doc, '$.arr'), '7') AS has7,
+              |  json_array_get(get_json_object(doc, '$.arr'), 0) AS first_elem,
+              |  json_array_get(get_json_object(doc, '$.arr'), -1) AS last_elem
+              |FROM j ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // ngrams + combinations over tokenized documents
+    q("fn_ngrams",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  greatest(len(toks) - 1, 0) AS n_bigrams,
+        |  greatest(len(toks) - 2, 0) AS n_trigrams,
+        |  CAST(least(len(toks), 10) * (least(len(toks), 10) - 1) / 2 AS INT) AS n_pairs
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, _) =>
+      s.sql("""WITH t AS (
+              |  SELECT doc_id,
+              |    filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +'), x -> x <> '') AS toks
+              |  FROM documents WHERE doc_id < 100)
+              |SELECT doc_id,
+              |  greatest(size(ngrams(toks, 2)), 0) AS n_bigrams,
+              |  greatest(size(ngrams(toks, 3)), 0) AS n_trigrams,
+              |  size(combinations(slice(toks, 1, least(size(toks), 10)), 2)) AS n_pairs
+              |FROM t ORDER BY doc_id""".stripMargin)
+    },
+
     // arbitrary() on a column constant within its group → deterministic
     q("fn_arbitrary",
       """SELECT o_orderkey, min(o_custkey) AS cust

@@ -69,6 +69,42 @@ object WriteOps extends QueryGroup {
         .orderBy("source")
     },
 
+    // ANALYZE TABLE + catalog statistics read-back (the reference's
+    // StatisticsWriterOperator.java:35 / ANALYZE surface). The stats this
+    // writes are what CBO join-reordering consumes on real catalog tables
+    // — row count, per-column NDV/min/max.
+    q("wr_analyze_stats",
+      """SELECT count(*) AS n_rows,
+        |  true AS ndv_ok,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS graft_docs_stats")
+      val loc = new java.io.File(
+        s"${s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")}/graft_docs_stats")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete())
+        loc.delete()
+      }
+      s.sql("CREATE TABLE graft_docs_stats USING parquet AS SELECT * FROM documents")
+      s.sql("ANALYZE TABLE graft_docs_stats COMPUTE STATISTICS FOR COLUMNS doc_id, source")
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_docs_stats"))
+      val st = meta.stats.getOrElse(sys.error("ANALYZE produced no stats"))
+      val cols = st.colStats
+      // NDV is an HLL estimate (like the reference's stats) — check it
+      // against the exact count within the sketch error, not for equality
+      val exactNdv = s.table("documents")
+        .select(org.apache.spark.sql.functions.countDistinct("source"))
+        .collect()(0).getLong(0)
+      val ndv = cols("source").distinctCount.get.toLong
+      val row = (
+        st.rowCount.get.toLong,
+        math.abs(ndv - exactNdv).toDouble / exactNdv <= 0.1,
+        cols("doc_id").min.get.toLong,
+        cols("doc_id").max.get.toLong)
+      s.createDataFrame(Seq(row)).toDF("n_rows", "ndv_ok", "min_id", "max_id")
+    },
+
     // DELETE on an immutable columnar table = filter + overwrite (the
     // reference's MetadataDeleteOperator / filtered-rewrite equivalent)
     q("wr_delete_rewrite",

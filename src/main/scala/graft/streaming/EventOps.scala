@@ -3,6 +3,14 @@ package graft.streaming
 import graft.QueryGroup
 import org.apache.spark.sql.functions._
 
+/** Typed rows for the custom-state operators (Dataset[T] + Encoder
+  * surface; SURVEY.md §1.2 "Dataset[T] where type safety helps").
+  */
+case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+case class SessionOut(
+    user_id: Long, session_start: java.sql.Timestamp,
+    n_events: Long, total_value: Double)
+
 /** Event-time windowing over the `events` table. The reference engine has
   * no streaming semantics at all (SURVEY.md §2.11 — Kafka topics are just
   * scanned as tables), so this surface is pure Spark Structured-Streaming
@@ -84,6 +92,54 @@ object EventOps extends QueryGroup {
               |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
               |FROM events
               |ORDER BY event_id""".stripMargin)
+    },
+
+    // custom per-key stateful operator: imperative sessionization via
+    // KeyValueGroupedDataset.flatMapGroups — the escape hatch for session
+    // semantics SQL can't express (here: a 20-minute gap, different from
+    // ev_session_window's 30, to prove it's a separate code path). The
+    // streaming twin (mapGroupsWithState) is exercised in StreamingSpec.
+    // Scale: one shuffle on user_id; per-group work is linear in the
+    // user's events and never materializes other groups.
+    q("ev_custom_sessionize",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '20 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val gapMs = 20L * 60 * 1000
+      s.table("events").select(col("user_id"), col("ts"), col("value")).as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
+          val evs = it.toArray.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var start: java.sql.Timestamp = null
+          var lastMs = Long.MinValue
+          var n = 0L
+          var total = 0.0
+          evs.foreach { e =>
+            if (start == null || e.ts.getTime - lastMs > gapMs) {
+              if (start != null) out += SessionOut(uid, start, n, total)
+              start = e.ts; n = 0L; total = 0.0
+            }
+            lastMs = e.ts.getTime; n += 1; total += e.value
+          }
+          if (start != null) out += SessionOut(uid, start, n, total)
+          out.iterator
+        }
+        .withColumn("total_value", round(col("total_value"), 2))
+        .orderBy("user_id", "session_start")
     },
 
     // JSON props extraction + grouped agg (events carry a JSON payload)

@@ -96,6 +96,33 @@ class FnSpec extends AnyFunSuite {
     assert(r.getLong(6) == 1L)
   }
 
+  test("qdigest sketch: quantiles within rank error, partials merge") {
+    ready()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val row = spark.sql(
+        """WITH g AS (SELECT l_returnflag, qdigest_agg(l_quantity) AS qd FROM lineitem GROUP BY 1)
+          |SELECT value_at_quantile(merge_qdigest(qd), 0.5D) AS est,
+          |  (SELECT percentile(l_quantity, 0.48) FROM lineitem) AS lo,
+          |  (SELECT percentile(l_quantity, 0.52) FROM lineitem) AS hi,
+          |  (SELECT values_at_quantiles(qdigest_agg(l_quantity), array(0.1D, 0.9D)) FROM lineitem) AS vq
+          |FROM g""".stripMargin).collect()(0)
+      val (est, lo, hi) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      assert(est >= lo && est <= hi, s"merged p50 $est outside [$lo, $hi]")
+      val vq = row.getSeq[Double](3)
+      assert(vq.length == 2 && vq(0) <= vq(1))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("multimap_agg groups all values per key") {
+    ready()
+    val mm = spark.sql("SELECT multimap_agg(n_regionkey, n_name) FROM nation")
+      .collect()(0).getMap[Long, scala.collection.Seq[String]](0)
+    assert(mm.size == 5)
+    assert(mm.values.map(_.size).sum == 25)
+  }
+
   test("map_agg and map_union build real maps") {
     ready()
     val m = spark.sql(

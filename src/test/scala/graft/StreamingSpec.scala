@@ -49,4 +49,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming == batch)
     assert(streaming.nonEmpty)
   }
+
+  test("mapGroupsWithState running count equals batch groupBy count") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-state")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSession.sf}/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val batchRaw = spark.read.parquet(stageDir.toString)
+    val toTyped = (df: org.apache.spark.sql.DataFrame) => {
+      val withTs =
+        if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else df
+      withTs.select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.Ev]
+    }
+    // custom per-key state: running event count via mapGroupsWithState —
+    // the KeyValueGroupedDataset custom-state surface the brief names
+    val counts = toTyped(
+      spark.readStream.schema(batchRaw.schema).parquet(stageDir.toString))
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[graft.streaming.Ev],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + evs.size
+          state.update(next)
+          (uid, next)
+      }
+    val q = counts.writeStream
+      .outputMode("update").format("memory").queryName("state_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // last update per user must equal the batch count
+    val streaming = spark.table("state_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    val batch = toTyped(batchRaw).groupByKey(_.user_id).count().collect().toMap
+    assert(streaming == batch)
+    assert(streaming.nonEmpty)
+  }
 }
