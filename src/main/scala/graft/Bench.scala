@@ -17,8 +17,9 @@ object Bench {
     "q06_revenue_forecast", "q09_product_profit", "q13_customer_distribution",
     "q18_large_orders", "q21_suppliers_waiting",
     "win_topn_per_group", "agg_grouping_sets",
-    "dd_exact", "dd_minhash_lsh", "sim_cosine_topk", "tx_stats",
-    "ev_sliding_window")
+    "dd_exact", "dd_minhash_lsh", "dd_simhash", "sim_cosine_topk",
+    "sim_lsh_ann", "tx_stats", "ev_sliding_window", "ev_custom_sessionize",
+    "fn_checksum", "fn_approx_set_hll")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

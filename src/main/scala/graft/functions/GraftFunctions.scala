@@ -263,6 +263,12 @@ object GraftFunctions {
     "merge_qdigest" -> { args => MergeQDigestAgg(args.head).toAggregateExpression() },
     // MultimapAggregationFunction — map<k, array<v>>
     "multimap_agg" -> { case Seq(k, v) => MultimapAgg(k, v).toAggregateExpression() },
+    // ReduceAggregationFunction — lambda-fold aggregate, via a scalar
+    // HigherOrderFunction placeholder + the ResolveReduceAgg analyzer rule
+    // (see ReduceAgg.scala for why two steps are needed). Requires the
+    // GraftExtensions session (GraftSession builds with them).
+    "reduce_agg" -> { case Seq(in, init, f, c) =>
+      org.apache.spark.sql.graft.ReduceAggPlaceholder(in, init, f, c) },
 
     // ── sketch scalars ──
     // HyperLogLogFunctions.java:28 — cardinality() dispatches on type
@@ -424,5 +430,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         b))
     }
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => org.apache.spark.sql.graft.ResolveReduceAgg)
   }
 }

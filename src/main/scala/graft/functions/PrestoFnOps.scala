@@ -281,6 +281,21 @@ object PrestoFnOps extends QueryGroup {
               |FROM t ORDER BY doc_id""".stripMargin)
     },
 
+    // reduce_agg: lambda-fold aggregate over exact integer state
+    q("fn_reduce_agg",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq,
+        |  max(l_partkey) AS maxpart
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, _) =>
+      s.sql("""SELECT l_returnflag,
+              |  reduce_agg(CAST(l_quantity AS BIGINT), 0L,
+              |    (s, x) -> s + x * x, (a, b) -> a + b) AS sumsq,
+              |  reduce_agg(l_partkey, CAST(NULL AS BIGINT),
+              |    (s, x) -> CASE WHEN s IS NULL OR x > s THEN x ELSE s END,
+              |    (a, b) -> CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a WHEN b > a THEN b ELSE a END) AS maxpart
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // arbitrary() on a column constant within its group → deterministic
     q("fn_arbitrary",
       """SELECT o_orderkey, min(o_custkey) AS cust

@@ -82,6 +82,27 @@ object AggOps extends QueryGroup {
         .orderBy("l_returnflag")
     },
 
+    // linear-regression aggregates (reference
+    // DoubleRegressionAggregation.java: regr_slope/regr_intercept)
+    q("agg_regression",
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, _) =>
+      s.sql("""SELECT l_returnflag,
+              |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+              |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+              |  regr_count(l_extendedprice, l_quantity) AS n,
+              |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+              |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+              |FROM lineitem
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // min_by / max_by (reference AbstractMinMaxByAggregationFunction;
     // DuckDB oracle spells them arg_min/arg_max)
     q("agg_minmax_by",

@@ -115,6 +115,26 @@ class FnSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("reduce_agg folds with lambdas and merges partials") {
+    ready()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val r = spark.sql(
+        """SELECT
+          |  reduce_agg(CAST(l_quantity AS BIGINT), 0L, (s, x) -> s + x * x, (a, b) -> a + b) AS sumsq,
+          |  (SELECT CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT)
+          |   FROM lineitem) AS expected,
+          |  reduce_agg(l_orderkey, CAST(NULL AS BIGINT),
+          |    (s, x) -> CASE WHEN s IS NULL OR x > s THEN x ELSE s END,
+          |    (a, b) -> CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a WHEN b > a THEN b ELSE a END) AS mx,
+          |  (SELECT max(l_orderkey) FROM lineitem) AS mx_expected
+          |FROM lineitem""".stripMargin).collect()(0)
+      assert(r.getLong(0) == r.getLong(1), s"sumsq ${r.getLong(0)} != ${r.getLong(1)}")
+      assert(r.getLong(2) == r.getLong(3), s"max ${r.getLong(2)} != ${r.getLong(3)}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("multimap_agg groups all values per key") {
     ready()
     val mm = spark.sql("SELECT multimap_agg(n_regionkey, n_name) FROM nation")

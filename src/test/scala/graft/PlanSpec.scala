@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the PHYSICAL PLAN SHAPE of representative queries — the
+  * properties that decide whether a plan survives a 100× scale-up:
+  * filters reaching the parquet scan, column pruning, broadcast joins on
+  * dims, rank-limit pushdown, no stray cartesian products. A regression
+  * here can keep results correct while silently destroying scalability,
+  * which correctness gates never catch.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+
+  test("q06: predicates pushed to the parquet scan, columns pruned") {
+    val p = plan("q06_revenue_forecast")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("l_shipdate") && p.contains("GreaterThanOrEqual"),
+      "shipdate range must reach the scan")
+    // projection needs only 4 columns; the 16-column row must not be read
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      "column pruning failed — scan reads unused columns")
+  }
+
+  test("q05: dimension joins broadcast, fact tables never broadcast") {
+    val p = plan("q05_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian product in q05")
+  }
+
+  test("win_topn_per_group: rank filter pushes into WindowGroupLimit") {
+    val p = plan("win_topn_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k should use WindowGroupLimit (TopNRowNumber analog):\n$p")
+  }
+
+  test("sort_topn: orderBy+limit becomes TakeOrderedAndProject") {
+    val p = plan("sort_topn")
+    assert(p.contains("TakeOrderedAndProject"),
+      "TopN must not globally sort")
+  }
+
+  test("minhash: whole pipeline has no cartesian product and prunes text column early") {
+    val p = plan("dd_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), "LSH must never go all-pairs")
+    assert(p.contains("HashAggregate"), "signature min-agg must be hash aggregation")
+  }
+
+  test("q18: IN-subquery becomes a semi join, not a full join") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("LeftSemi"), s"IN subquery should plan as semi join:\n$p")
+  }
+
+  test("whole-stage codegen covers the TPC-H aggregation path") {
+    // AQE prints no codegen spans before execution — ask explain directly
+    val p = SparkEntry.queries("q01_pricing_summary")(spark, TestSession.sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), "agg path must be codegen'd")
+  }
+}
