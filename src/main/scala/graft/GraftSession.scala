@@ -22,6 +22,10 @@ object GraftSession {
       // Spark equivalent (SURVEY.md §7.0; reference ArithmeticExceptions
       // in e.g. presto-main/.../type/BigintOperators.java)
       .config("spark.sql.ansi.enabled", "true")
+      // CHAR(n) keeps its type and blank-pads on cast — Presto CHAR
+      // semantics (CharType.java); without this Spark erases CHAR to
+      // STRING and never pads
+      .config("spark.sql.preserveCharVarcharTypeInfo", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")

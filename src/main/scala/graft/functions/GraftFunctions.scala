@@ -224,6 +224,9 @@ object GraftFunctions {
     },
     // histogram/Histogram.java:48 — exact value→count map
     "histogram" -> { args => HistogramAgg(args.head).toAggregateExpression() },
+    // DoubleHistogramAggregation.java — streaming approximate histogram
+    "numeric_histogram" -> { case Seq(b, v) =>
+      NumericHistogramAgg(b, v).toAggregateExpression() },
     // MapAggregationFunction.java:48 — map_agg(k, v)
     "map_agg" -> { case Seq(k, v) =>
       MapFromEntries(CollectList(CreateStruct(Seq(k, v))).toAggregateExpression())
@@ -236,6 +239,17 @@ object GraftFunctions {
     },
     // ArbitraryAggregationFunction.java — any non-null value
     "arbitrary" -> { args => First(args.head, ignoreNulls = true).toAggregateExpression() },
+    // arrayagg/ArrayAggregationFunction.java:50 — Presto's array_agg KEEPS
+    // nulls; Spark's collect_list drops them. Wrap each value in a struct
+    // (struct fields preserve null), collect, then unwrap with an
+    // already-bound lambda.
+    "array_agg" -> { case Seq(x) =>
+      val structType = StructType(Seq(StructField("v", x.dataType, nullable = true)))
+      val lv = NamedLambdaVariable("e", structType, nullable = false)
+      ArrayTransform(
+        CollectList(CreateNamedStruct(Seq(Literal("v"), x))).toAggregateExpression(),
+        LambdaFunction(GetStructField(lv, 0, Some("v")), Seq(lv)))
+    },
     // geometric_mean = exp(avg(ln(x)))
     "geometric_mean" -> { args =>
       Exp(Average(Log(args.head)).toAggregateExpression())
@@ -282,6 +296,8 @@ object GraftFunctions {
 
     // ── string family (StringFunctions.java:62) ──
     "strpos" -> { case Seq(str, sub) => Cast(StringLocate(sub, str, Literal(1)), LongType) },
+    // Teradata-compat index(str, sub) ≡ strpos (TeradataStringFunctions)
+    "index" -> { case Seq(str, sub) => Cast(StringLocate(sub, str, Literal(1)), LongType) },
     "levenshtein_distance" -> { case Seq(a, b) => Cast(Levenshtein(a, b), LongType) },
     "codepoint" -> { case Seq(s) => Ascii(s) }, // first char code (BMP parity)
     "from_utf8" -> { case Seq(b) => StringDecode(b, Literal("UTF-8")) },
@@ -340,6 +356,8 @@ object GraftFunctions {
     "format_datetime" -> { case Seq(t, f) => DateFormatClass(Cast(t, TimestampType), f) },
     "from_iso8601_timestamp" -> { case Seq(s) => Cast(s, TimestampType) },
     "from_iso8601_date" -> { case Seq(s) => Cast(s, DateType) },
+    "to_iso8601" -> { case Seq(t) =>
+      DateFormatClass(Cast(t, TimestampType), Literal("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")) },
 
     // ── math family (MathFunctions.java:65) ──
     "from_base" -> { case Seq(s, r) => Cast(Conv(s, r, Literal(10)), LongType) },

@@ -281,6 +281,70 @@ object PrestoFnOps extends QueryGroup {
               |FROM t ORDER BY doc_id""".stripMargin)
     },
 
+    // array_agg keeps NULLs (ArrayAggregationFunction.java:50 — Spark's
+    // collect_list drops them; the engine's array_agg must not)
+    q("fn_array_agg_nulls",
+      """WITH v AS (SELECT * FROM (VALUES (1, 10), (2, NULL), (3, 30), (4, NULL)) t(i, x))
+        |SELECT array_to_string(list_transform(list(x ORDER BY i),
+        |  e -> coalesce(CAST(e AS VARCHAR), 'NULL')), ',') AS vals,
+        |  4 AS n_kept
+        |FROM v""".stripMargin) { (s, _) =>
+      s.sql("""WITH v AS (SELECT * FROM VALUES (1, 10), (2, NULL), (3, 30), (4, NULL) t(i, x)),
+              |a AS (SELECT array_agg(x) AS xs FROM (SELECT * FROM v ORDER BY i))
+              |SELECT array_join(transform(xs, e -> CAST(e AS STRING)), ',', 'NULL') AS vals,
+              |  size(xs) AS n_kept
+              |FROM a""".stripMargin)
+    },
+
+    // NaN semantics (SURVEY §7.3): NaN groups as itself, sorts largest —
+    // Presto and Spark agree; pinned against the oracle
+    q("fn_nan_semantics",
+      """WITH v AS (SELECT CAST(x AS DOUBLE) AS x
+        |           FROM (VALUES ('1.5'), ('NaN'), ('2.5'), ('NaN'), ('0.5')) t(x))
+        |SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_distinct,
+        |  isnan(max(x)) AS max_is_nan,
+        |  array_to_string(list_transform(list_sort(list(x)),
+        |    e -> CAST(round(e, 1) AS VARCHAR)), ',') AS sorted_vals
+        |FROM v""".stripMargin) { (s, _) =>
+      s.sql("""WITH v AS (SELECT CAST(x AS DOUBLE) AS x
+              |          FROM VALUES ('1.5'), ('NaN'), ('2.5'), ('NaN'), ('0.5') t(x))
+              |SELECT count(DISTINCT x) AS n_distinct,
+              |  isnan(max(x)) AS max_is_nan,
+              |  array_join(transform(array_sort(collect_list(x)),
+              |    e -> lower(CAST(round(e, 1) AS STRING))), ',') AS sorted_vals
+              |FROM v""".stripMargin)
+    },
+
+    // CHAR(n) blank-padding (CharType.java — DuckDB CHAR doesn't pad, so
+    // the oracle spells the padding out)
+    q("fn_char_padding",
+      """SELECT n_nationkey,
+        |  rpad(substr(n_name, 1, 3), 8, ' ') AS padded,
+        |  8 AS padded_len,
+        |  true AS trailing_spaces
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, _) =>
+      s.sql("""SELECT n_nationkey,
+              |  CAST(substr(n_name, 1, 3) AS CHAR(8)) AS padded,
+              |  length(CAST(substr(n_name, 1, 3) AS CHAR(8))) AS padded_len,
+              |  endswith(CAST(substr(n_name, 1, 3) AS CHAR(8)), ' ') AS trailing_spaces
+              |FROM nation ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // numeric_histogram (streaming approximate): structure + mass + mean
+    // preserved within algorithmic error (properties, like the reference
+    // tests it — exact bins are not part of the contract)
+    q("fn_numeric_histogram",
+      """SELECT true AS nbuckets_ok, true AS count_ok, true AS mean_ok""") { (s, _) =>
+      s.sql("""WITH h AS (
+              |  SELECT numeric_histogram(10, l_extendedprice) AS m,
+              |         count(*) AS n, avg(l_extendedprice) AS mu
+              |  FROM lineitem)
+              |SELECT cardinality(m) = 10 AS nbuckets_ok,
+              |  abs(aggregate(map_values(m), 0.0D, (a, x) -> a + x) - n) < 0.5 AS count_ok,
+              |  abs(aggregate(map_entries(m), 0.0D, (a, e) -> a + e.key * e.value) / n - mu) / mu < 0.05 AS mean_ok
+              |FROM h""".stripMargin)
+    },
+
     // reduce_agg: lambda-fold aggregate over exact integer state
     q("fn_reduce_agg",
       """SELECT l_returnflag,
