@@ -275,6 +275,16 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(s"qdigest_agg: bad args $args")
     },
     "merge_qdigest" -> { args => MergeQDigestAgg(args.head).toAggregateExpression() },
+    // tdigest_agg (TDigestAggregationFunction.java:29): same value
+    // contract (mergeable quantile estimates within error bounds) served
+    // by the GK summary — sketch algorithm differs, estimates agree
+    "tdigest_agg" -> {
+      case Seq(c) => QDigestAgg(c).toAggregateExpression()
+      case Seq(c, Literal(eps: Double, DoubleType)) =>
+        QDigestAgg(c, eps).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"tdigest_agg: bad args $args")
+    },
+    "merge_tdigest" -> { args => MergeQDigestAgg(args.head).toAggregateExpression() },
     // MultimapAggregationFunction — map<k, array<v>>
     "multimap_agg" -> { case Seq(k, v) => MultimapAgg(k, v).toAggregateExpression() },
     // ReduceAggregationFunction — lambda-fold aggregate, via a scalar

@@ -20,6 +20,34 @@ object WriteOps extends QueryGroup {
   private def tmp(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-write/$name"
 
+  private def dropManaged(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      s"${s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")}/$table")
+    if (loc.exists()) {
+      loc.listFiles().foreach(_.delete())
+      loc.delete()
+    }
+  }
+
+  /** Create bucketed orders/lineitem catalog tables (8 buckets on the
+    * join key). Buckets ≙ the reference's fixed-hash partitioning; a join
+    * on the bucket key needs no exchange on either side.
+    */
+  def bucketedTables(s: org.apache.spark.sql.SparkSession): Unit = {
+    if (!s.catalog.tableExists("graft_orders_bkt") ||
+        !s.catalog.tableExists("graft_lineitem_bkt")) {
+      dropManaged(s, "graft_orders_bkt")
+      dropManaged(s, "graft_lineitem_bkt")
+      s.table("orders").write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_bkt")
+      s.table("lineitem").write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_bkt")
+    }
+  }
+
   def defs = Seq(
     // CTAS + INSERT INTO + read-back through the session catalog
     q("wr_ctas_insert",
@@ -69,6 +97,28 @@ object WriteOps extends QueryGroup {
         .orderBy("source")
     },
 
+    // views + DESCRIBE (reference DDL surface, SqlBase.g4:35-124 subset)
+    q("meta_views_describe",
+      """SELECT * FROM (VALUES
+        |  ('n_name', 'string'), ('n_nationkey', 'int'), ('r_name', 'string')
+        |) t(col_name, data_type) ORDER BY col_name""".stripMargin) { (s, _) =>
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW nation_region_v AS
+              |SELECT n_nationkey, n_name, r_name
+              |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin)
+      s.sql("SELECT count(*) FROM nation_region_v").collect() // view is queryable
+      s.sql("DESCRIBE nation_region_v")
+        .select(col("col_name"), col("data_type")).orderBy("col_name")
+    },
+
+    // EXPLAIN surface (reference ExplainAnalyzeOperator.java:34 /
+    // EXPLAIN) — plan text production is the contract; PlanSpec asserts
+    // plan *content*
+    qNoOracle("meta_explain") { (s, _) =>
+      s.sql("""EXPLAIN FORMATTED
+              |SELECT o_orderpriority, count(*) FROM orders
+              |JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1""".stripMargin)
+    },
+
     // ANALYZE TABLE + catalog statistics read-back (the reference's
     // StatisticsWriterOperator.java:35 / ANALYZE surface). The stats this
     // writes are what CBO join-reordering consumes on real catalog tables
@@ -105,7 +155,55 @@ object WriteOps extends QueryGroup {
       s.createDataFrame(Seq(row)).toDF("n_rows", "ndv_ok", "min_id", "max_id")
     },
 
-    // DELETE on an immutable columnar table = filter + overwrite (the
+    // ORC source/sink (reference presto-orc native reader/writer — here
+    // Spark's built-in ORC path): write, read back, aggregate
+    q("wr_orc_roundtrip",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, _) =>
+      val out = tmp("orders_orc")
+      s.table("orders").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint")).cast("bigint").as("cents"))
+        .orderBy("o_orderstatus")
+    },
+
+    // CSV + JSON text formats (schema round-trips through header/fields)
+    q("wr_csv_json_roundtrip",
+      """WITH src AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)
+        |SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  count(DISTINCT n_regionkey) AS n_regions
+        |FROM src""".stripMargin) { (s, _) =>
+      val csvOut = tmp("nation_csv")
+      val jsonOut = tmp("nation_json")
+      val src = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+      src.write.mode("overwrite").option("header", "true").csv(csvOut)
+      s.read.option("header", "true").option("inferSchema", "true").csv(csvOut)
+        .write.mode("overwrite").json(jsonOut)
+      s.read.json(jsonOut).agg(
+        count(lit(1)).as("n"),
+        sum("n_nationkey").cast("bigint").as("key_sum"),
+        countDistinct(col("n_regionkey")).as("n_regions"))
+    },
+
+    // bucketed co-located join: both sides pre-bucketed on the join key →
+    // the join runs with NO shuffle exchange (the 100 TB pattern for
+    // repeated fact-fact joins; PlanSpec asserts the exchange-free plan).
+    // Analog of the reference's fixed-hash-bucket PARTITIONED distribution
+    // (SystemPartitioningHandle.java).
+    q("wr_bucketed_join",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, _) =>
+      bucketedTables(s)
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  sum(CAST(l_quantity AS BIGINT)) AS qty
+              |FROM graft_orders_bkt JOIN graft_lineitem_bkt ON o_orderkey = l_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
     // reference's MetadataDeleteOperator / filtered-rewrite equivalent)
     q("wr_delete_rewrite",
       """WITH kept AS (SELECT * FROM orders WHERE o_orderstatus <> 'F')

@@ -56,6 +56,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"IN subquery should plan as semi join:\n$p")
   }
 
+  test("bucketed co-located join plans without a shuffle exchange") {
+    Tables.register(spark, TestSession.sf)
+    graft.operators.WriteOps.bucketedTables(spark)
+    val p = spark.sql(
+      """SELECT o_orderpriority, count(*) FROM graft_orders_bkt
+        |JOIN graft_lineitem_bkt ON o_orderkey = l_orderkey GROUP BY 1""".stripMargin)
+      .queryExecution.executedPlan.toString
+    val joinPart = p.substring(p.indexOf("Join"))
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle either side:\n$p")
+  }
+
   test("whole-stage codegen covers the TPC-H aggregation path") {
     // AQE prints no codegen spans before execution — ask explain directly
     val p = SparkEntry.queries("q01_pricing_summary")(spark, TestSession.sf)
