@@ -301,6 +301,7 @@ object GraftFunctions {
     "empty_approx_set" -> { _ => Literal(Hll.emptySketch(), BinaryType) },
     // QuantileDigestFunctions.java — sketch decode scalars
     "value_at_quantile" -> { case Seq(s, q) => ValueAtQuantile(s, Cast(q, DoubleType)) },
+    "quantile_at_value" -> { case Seq(s, v) => QuantileAtValue(s, Cast(v, DoubleType)) },
     "values_at_quantiles" -> { case Seq(s, qs) =>
       ValuesAtQuantiles(s, Cast(qs, ArrayType(DoubleType))) },
 

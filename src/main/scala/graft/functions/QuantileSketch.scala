@@ -169,6 +169,38 @@ case class ValueAtQuantile(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `quantile_at_value(sketch, x)` → DOUBLE rank of x in [0,1]
+  * (QuantileDigestFunctions.java quantile_at_value) — inverse quantile by
+  * bisection over the summary (20 steps ≈ 1e-6 rank precision, well
+  * inside the sketch's own ε).
+  */
+case class QuantileAtValue(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "quantile_at_value"
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(sketch: Any, v: Any): Any = {
+    val summary = QSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+    val x = v.asInstanceOf[Double]
+    var lo = 0.0
+    var hi = 1.0
+    var i = 0
+    while (i < 20) {
+      val mid = (lo + hi) / 2
+      summary.query(mid) match {
+        case Some(q) => if (q < x) lo = mid else hi = mid
+        case None => return null
+      }
+      i += 1
+    }
+    (lo + hi) / 2
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantileAtValue =
+    copy(left = l, right = r)
+}
+
 /** `values_at_quantiles(sketch, array(q...))` → ARRAY<DOUBLE>. */
 case class ValuesAtQuantiles(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deployment-matrix discipline (mirrors the reference's re-running of
+  * its suite distributed / local / spill-forced,
+  * presto-tests/.../TestDistributedSpilledQueries.java): representative
+  * queries must return IDENTICAL rows with AQE off and shuffle
+  * parallelism forced to 2 — catching anything that silently depends on
+  * partition count, partial/final split, or adaptive replanning.
+  */
+class ConfigMatrixSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private val queries = Seq(
+    "q01_pricing_summary", "q05_local_supplier", "join_full_outer",
+    "agg_grouping_sets", "win_ranking", "fn_checksum",
+    "dd_exact", "ev_session_window")
+
+  private def snapshot(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, TestSession.sf)
+      .collect().map(_.toString).sorted.toSeq
+
+  for (name <- queries) {
+    test(s"config matrix: $name identical under AQE-off + 2 shuffle partitions") {
+      val defaults = snapshot(name)
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        val constrained = snapshot(name)
+        assert(constrained == defaults,
+          s"$name diverges under constrained config")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    }
+  }
+}

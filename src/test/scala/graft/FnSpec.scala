@@ -112,6 +112,11 @@ class FnSpec extends AnyFunSuite {
       assert(est >= lo && est <= hi, s"merged p50 $est outside [$lo, $hi]")
       val vq = row.getSeq[Double](3)
       assert(vq.length == 2 && vq(0) <= vq(1))
+      // inverse quantile: rank of the p50 estimate must be ~0.5
+      val rank = spark.sql(
+        s"""SELECT quantile_at_value(qdigest_agg(l_quantity), ${est}D) FROM lineitem""")
+        .collect()(0).getDouble(0)
+      assert(math.abs(rank - 0.5) < 0.08, s"quantile_at_value($est) = $rank, expected ~0.5")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
