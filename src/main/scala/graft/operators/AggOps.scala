@@ -82,6 +82,25 @@ object AggOps extends QueryGroup {
         .orderBy("l_returnflag")
     },
 
+    // salted two-phase aggregation — the skew pattern for heavy keys at
+    // scale: l_returnflag has only 3 values, so a direct groupBy sends
+    // each key's entire mass to one reducer; salting fans each hot key
+    // across 16 partial groups (map-side combine per salt), then a cheap
+    // 48-row final merge. Results must equal the direct plan exactly.
+    q("agg_salted_twophase",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(col("l_quantity").cast("bigint")).as("pq"), count(lit(1)).as("pn"))
+        .groupBy("l_returnflag")
+        .agg(sum("pq").cast("bigint").as("qty"), sum("pn").cast("bigint").as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // linear-regression aggregates (reference
     // DoubleRegressionAggregation.java: regr_slope/regr_intercept)
     q("agg_regression",

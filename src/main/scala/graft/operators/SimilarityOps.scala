@@ -86,7 +86,59 @@ object SimilarityOps extends QueryGroup {
       .orderBy("q_id", "rk")
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer (Spark MLlib
+    * k-means‖) partitions the corpus into `nlist` cells; a query probes
+    * its `nprobe` nearest centroids and exact-scores only those cells.
+    *
+    * The scale path vs LSH: cells adapt to the data distribution, and
+    * candidate volume is tunable as nprobe/nlist of the corpus
+    * (~nprobe/nlist · N distance computations per query instead of N).
+    * Centroids are tiny (nlist × dim) and ship in the probe-assignment
+    * closure — the corpus itself never leaves its partitions. A real
+    * deployment persists `assigned` as the index table, bucketed by
+    * cell id, so probe queries prune to nprobe buckets.
+    */
+  def ivfAnnTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
+                 nlist: Int = 16, nprobe: Int = 6): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val df = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("features", toVec(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(df)
+    val assigned = model.transform(df)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val centroids = model.clusterCenters.map(_.toArray) // nlist × dim, driver-side
+    val probe = udf((a: Seq[Float]) => {
+      val x = a.map(_.toDouble).toArray
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < x.length) { val t = c(j) - x(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    })
+    val qs = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probe(col("embedding"))).as("cell"))
+    val scored = qs.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rk")
+  }
+
   def defs = Seq(
+    // ── IVF-bucketed ANN (k-means coarse quantizer; engine-specific
+    // clustering → no SQL oracle; SimilaritySpec measures recall@5) ──
+    qNoOracle("sim_ivf_ann") { (s, _) =>
+      ivfAnnTopK(s.table("embeddings"))
+    },
     // ── brute-force cosine top-k (k=5) for a 10-vector query set ──
     q("sim_cosine_topk",
       """WITH qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

@@ -29,6 +29,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("IVF ANN recall@5 vs exact top-5 is at least 0.5 at sf0.01") {
+    // sf0.01 (500 vectors): sf0.001's 50 vectors make 16 k-means cells
+    // degenerate. IVF trades recall for ~nprobe/nlist of the distance
+    // computations; 6/16 probing must still find half the true top-5.
+    val sf = "/root/testdata/sf0.01"
+    Tables.register(spark, sf)
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("sim_ivf_ann")(spark, sf)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    Tables.register(spark, TestSession.sf) // restore views for other specs
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+  }
+
   test("LSH ANN recall@5 vs exact top-5 is at least 0.6") {
     Tables.register(spark, TestSession.sf)
     val exact = SparkEntry.queries("sim_cosine_topk")(spark, TestSession.sf)
