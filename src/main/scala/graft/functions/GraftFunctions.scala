@@ -388,19 +388,6 @@ object GraftFunctions {
   private def parseUrl(u: Expression, part: String): Expression =
     new ParseUrl(Seq(u, Literal(part)))
 
-  private def prestoUnit(u: String): String = u.toUpperCase match {
-    case "MILLISECOND" => "MILLISECOND"
-    case "SECOND" => "SECOND"
-    case "MINUTE" => "MINUTE"
-    case "HOUR" => "HOUR"
-    case "DAY" => "DAY"
-    case "WEEK" => "WEEK"
-    case "MONTH" => "MONTH"
-    case "QUARTER" => "QUARTER"
-    case "YEAR" => "YEAR"
-    case other => throw new IllegalArgumentException(s"unsupported datetime unit: $other")
-  }
-
   private object StringLiteral {
     def unapply(e: Expression): Option[String] = e match {
       case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => Some(s.toString)
