@@ -25,11 +25,23 @@ object Tables {
     else df
   }
 
+  /** Last directory registered per session. Every QueryDef calls
+    * `register` defensively; doing the work each time re-read 10 parquet
+    * footers and re-registered ~80 functions per query (measured as a
+    * uniform +0.3–0.8 s on every round-2 bench query), so the real work
+    * runs only when the session/dir pair changes.
+    */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register every table as a temp view on this session, plus the
-    * engine's Presto-named function layer. Idempotent.
+    * engine's Presto-named function layer. Idempotent and cheap when
+    * already registered for this (session, dir).
     */
   def register(spark: SparkSession, dir: String): Unit = {
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-    graft.functions.GraftFunctions.registerAll(spark)
+    if (registeredDir.put(spark, dir) != dir) {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      graft.functions.GraftFunctions.registerAll(spark)
+    }
   }
 }

@@ -322,25 +322,29 @@ object ScalarFuncOps extends QueryGroup {
     // rounding-mode choice is ever exercised — cross-engine decimal
     // *rounding* is pinned separately via the cents-quantization pattern
     // (q10). ANSI div-by-zero becomes NULL through try_divide, matching
-    // Presto's TRY().
+    // Presto's TRY(). Output columns are CAST to DOUBLE on BOTH engines
+    // because DuckDB's result fetch coerces DECIMAL to float64, making the
+    // driver's hash representation-sensitive (round-2 finding); the decimal
+    // arithmetic itself still runs at DECIMAL precision inside the inner
+    // CASTs, and decimal *typing* is pinned in FnSpec ("fn_decimal types").
     q("fn_decimal",
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_orderkey AS DECIMAL(18,2)) + CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS d_add,
-        |  CAST(CAST(l_orderkey AS DECIMAL(12,0)) * CAST(l_suppkey AS DECIMAL(12,0)) AS DECIMAL(24,0)) AS d_mul,
-        |  CAST(CAST(l_orderkey AS DECIMAL(18,0)) / 8 AS DECIMAL(24,3)) AS d_div8,
-        |  CAST(CAST(l_orderkey AS DECIMAL(18,0)) % 7 AS DECIMAL(18,0)) AS d_mod,
-        |  CAST(-CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS d_neg,
+        |  CAST(CAST(CAST(l_orderkey AS DECIMAL(18,2)) + CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS DOUBLE) AS d_add,
+        |  CAST(CAST(CAST(l_orderkey AS DECIMAL(12,0)) * CAST(l_suppkey AS DECIMAL(12,0)) AS DECIMAL(24,0)) AS DOUBLE) AS d_mul,
+        |  CAST(CAST(CAST(l_orderkey AS DECIMAL(18,0)) / 8 AS DECIMAL(24,3)) AS DOUBLE) AS d_div8,
+        |  CAST(CAST(CAST(l_orderkey AS DECIMAL(18,0)) % 7 AS DECIMAL(18,0)) AS DOUBLE) AS d_mod,
+        |  CAST(CAST(-CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS DOUBLE) AS d_neg,
         |  CAST(l_orderkey AS DECIMAL(18,2)) > CAST(l_partkey AS DECIMAL(18,2)) AS d_gt,
         |  l_orderkey / 0 IS NULL AS div0_null
         |FROM lineitem
         |WHERE l_orderkey < 300
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, _) =>
       s.sql("""SELECT l_orderkey, l_linenumber,
-              |  CAST(CAST(l_orderkey AS DECIMAL(18,2)) + CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS d_add,
-              |  CAST(CAST(l_orderkey AS DECIMAL(12,0)) * CAST(l_suppkey AS DECIMAL(12,0)) AS DECIMAL(24,0)) AS d_mul,
-              |  CAST(CAST(l_orderkey AS DECIMAL(18,0)) / 8 AS DECIMAL(24,3)) AS d_div8,
-              |  CAST(CAST(l_orderkey AS DECIMAL(18,0)) % 7 AS DECIMAL(18,0)) AS d_mod,
-              |  CAST(-CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS d_neg,
+              |  CAST(CAST(CAST(l_orderkey AS DECIMAL(18,2)) + CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS DOUBLE) AS d_add,
+              |  CAST(CAST(CAST(l_orderkey AS DECIMAL(12,0)) * CAST(l_suppkey AS DECIMAL(12,0)) AS DECIMAL(24,0)) AS DOUBLE) AS d_mul,
+              |  CAST(CAST(CAST(l_orderkey AS DECIMAL(18,0)) / 8 AS DECIMAL(24,3)) AS DOUBLE) AS d_div8,
+              |  CAST(CAST(CAST(l_orderkey AS DECIMAL(18,0)) % 7 AS DECIMAL(18,0)) AS DOUBLE) AS d_mod,
+              |  CAST(CAST(-CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS DOUBLE) AS d_neg,
               |  CAST(l_orderkey AS DECIMAL(18,2)) > CAST(l_partkey AS DECIMAL(18,2)) AS d_gt,
               |  try_divide(l_orderkey, 0) IS NULL AS div0_null
               |FROM lineitem
@@ -349,17 +353,20 @@ object ScalarFuncOps extends QueryGroup {
     },
 
     // decimal aggregation: exact, order-independent money sums (the scale
-    // story: decimal addition is associative, double addition is not)
+    // story: decimal addition is associative, double addition is not).
+    // Same DOUBLE-on-output pattern as fn_decimal: the sum itself is
+    // decimal-exact; only the emitted representation is double (values are
+    // integer cents well under 2^53, so the cast is lossless).
     q("agg_decimal_sum",
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS qty_sum,
-        |  CAST(min(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS qty_min,
-        |  CAST(max(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS qty_max
+        |  CAST(CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS qty_sum,
+        |  CAST(CAST(min(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS DOUBLE) AS qty_min,
+        |  CAST(CAST(max(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS DOUBLE) AS qty_max
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, _) =>
       s.sql("""SELECT l_returnflag,
-              |  CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS qty_sum,
-              |  CAST(min(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS qty_min,
-              |  CAST(max(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS qty_max
+              |  CAST(CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS qty_sum,
+              |  CAST(CAST(min(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS DOUBLE) AS qty_min,
+              |  CAST(CAST(max(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS DOUBLE) AS qty_max
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     },
 

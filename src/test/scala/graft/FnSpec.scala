@@ -148,6 +148,27 @@ class FnSpec extends AnyFunSuite {
     assert(mm.values.map(_.size).sum == 25)
   }
 
+  test("fn_decimal types: arithmetic stays DECIMAL at declared precision/scale") {
+    // The CORRECTNESS queries emit DOUBLE (DuckDB's fetch coerces DECIMAL
+    // to float64, so the driver's hash is representation-sensitive); the
+    // decimal *typing* contract (reference Decimals.java:43) is pinned here.
+    ready()
+    val df = spark.sql(
+      """SELECT
+        |  CAST(CAST(l_orderkey AS DECIMAL(18,2)) + CAST(l_partkey AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS d_add,
+        |  CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS qty_sum
+        |FROM lineitem GROUP BY 1""".stripMargin)
+    import org.apache.spark.sql.types.DecimalType
+    assert(df.schema("d_add").dataType == DecimalType(20, 2))
+    assert(df.schema("qty_sum").dataType == DecimalType(20, 2))
+    // exactness: decimal sum == integer-cents sum (no float drift)
+    val r = spark.sql(
+      """SELECT CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents,
+        |       sum(CAST(l_quantity AS BIGINT)) * 100 AS cents_exact
+        |FROM lineitem""".stripMargin).collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
   test("map_agg and map_union build real maps") {
     ready()
     val m = spark.sql(
