@@ -22,6 +22,9 @@ object GraftSession {
       // Spark equivalent (SURVEY.md §7.0; reference ArithmeticExceptions
       // in e.g. presto-main/.../type/BigintOperators.java)
       .config("spark.sql.ansi.enabled", "true")
+      // Presto treats "..." as identifiers (ANSI); needed to run the
+      // reference's benchto SQL texts verbatim (DialectOps)
+      .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
       // CHAR(n) keeps its type and blank-pads on cast — Presto CHAR
       // semantics (CharType.java); without this Spark erases CHAR to
       // STRING and never pads

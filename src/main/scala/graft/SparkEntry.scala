@@ -20,6 +20,7 @@ object SparkEntry {
     operators.SimilarityOps,
     operators.WriteOps,
     operators.MultimodalOps,
+    operators.DialectOps,
     streaming.EventOps,
   )
 

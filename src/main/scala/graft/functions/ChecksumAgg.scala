@@ -17,7 +17,10 @@ import org.apache.spark.sql.types._
   * Divergences (SURVEY.md §7.3 "sketch binary formats" applies in spirit):
   * the row hash is Spark's xxhash64 rather than Presto's per-type hash,
   * and the output is BIGINT rather than VARBINARY — equal inputs give
-  * equal checksums, which is the contract the oracle needs.
+  * equal checksums, which is the contract the oracle needs. Like the
+  * reference's NullableLongState, an empty group (no rows at all) yields
+  * NULL — distinct from an all-NULLs group, which contributes PRIME64
+  * per row.
   *
   * Declarative (not imperative) so update/merge stay inside whole-stage
   * codegen; arithmetic is pinned to EvalMode.LEGACY wrap-around so the
@@ -30,25 +33,27 @@ case class ChecksumAgg(child: Expression)
 
   override def prettyName: String = "checksum"
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
 
   private lazy val acc = AttributeReference("checksum_acc", LongType, nullable = false)()
+  private lazy val seen = AttributeReference("checksum_seen", BooleanType, nullable = false)()
 
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(acc)
-  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L))
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(acc, seen)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L), Literal(false))
 
   override lazy val updateExpressions: Seq[Expression] = {
     val rowHash = new XxHash64(Seq(child))
     val contribution = If(IsNull(child),
       Literal(prime64),
       Multiply(rowHash, Literal(prime64), EvalMode.LEGACY))
-    Seq(Add(acc, contribution, EvalMode.LEGACY))
+    Seq(Add(acc, contribution, EvalMode.LEGACY), Literal(true))
   }
 
   override lazy val mergeExpressions: Seq[Expression] =
-    Seq(Add(acc.left, acc.right, EvalMode.LEGACY))
+    Seq(Add(acc.left, acc.right, EvalMode.LEGACY), Or(seen.left, seen.right))
 
-  override lazy val evaluateExpression: Expression = acc
+  override lazy val evaluateExpression: Expression =
+    If(seen, acc, Literal(null, LongType))
 
   override protected def withNewChildInternal(newChild: Expression): ChecksumAgg =
     copy(child = newChild)

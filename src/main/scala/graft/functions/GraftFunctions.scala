@@ -51,9 +51,92 @@ object GraftFnUtils {
     else s
   }
 
+  /** reference JsonFunctions.java:92 is_json_scalar: parses the input —
+    * true for a single scalar token (number/string/true/false/null),
+    * false for objects/arrays, error for invalid JSON.
+    */
   def isJsonScalar(s: String): Boolean = {
-    val t = s.trim
-    t.nonEmpty && !t.startsWith("{") && !t.startsWith("[")
+    val node =
+      try jsonMapper.readTree(s)
+      catch {
+        case _: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"Invalid JSON value: $s")
+      }
+    if (node == null) throw new IllegalArgumentException(s"Invalid JSON value: $s")
+    !node.isContainerNode
+  }
+
+  /** json_parse (JsonFunctions.java:64): validate and canonicalize a
+    * varchar into the engine's JSON representation (canonical compact
+    * text); invalid input errors like the reference.
+    */
+  def jsonParse(s: String): String = {
+    try {
+      val node = jsonMapper.readTree(s)
+      if (node == null) throw new IllegalArgumentException(s"Cannot convert value to JSON: '$s'")
+      jsonMapper.writeValueAsString(node)
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException =>
+        throw new IllegalArgumentException(s"Cannot convert value to JSON: '$s'")
+    }
+  }
+
+  /** json_format (JsonFunctions.java): the JSON text of a JSON value —
+    * with JSON-as-canonical-varchar this re-serializes (validating).
+    */
+  def jsonFormat(j: String): String = jsonParse(j)
+
+  /** JSON string literal of a varchar (CAST(varchar AS JSON) — Presto
+    * JsonOperators): quotes + escapes via Jackson. UTF8String signature
+    * so StaticInvoke stays converter-free inside codegen.
+    */
+  def jsonQuote(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (s == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      jsonMapper.writeValueAsString(s.toString))
+
+  /** url_encode / url_decode (UrlFunctions.java:155): form-parameter
+    * escaping (space→'+', unreserved -_.* kept) — what Guava's
+    * urlFormParameterEscaper and java.net.URLEncoder both implement.
+    */
+  def urlEncode(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** HmacFunctions.java: HMAC digests over varbinary with a varbinary key. */
+  def hmac(algo: String, data: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance(algo)
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, algo))
+    mac.doFinal(data)
+  }
+
+  /** VarbinaryFunctions.java:38 big-endian codecs. */
+  def toBigEndian64(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+  def fromBigEndian64(b: Array[Byte]): Long = {
+    require(b.length == 8, "expected 8-byte value")
+    java.nio.ByteBuffer.wrap(b).getLong
+  }
+  def toBigEndian32(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  def fromBigEndian32(b: Array[Byte]): Int = {
+    require(b.length == 4, "expected 4-byte value")
+    java.nio.ByteBuffer.wrap(b).getInt
+  }
+
+  /** MathFunctions.java cosine_similarity(map<varchar,double>,
+    * map<varchar,double>): sparse-vector cosine; NULL when either norm
+    * is zero (matches the reference's NaN-avoidance contract).
+    */
+  def cosineSimilarityMaps(a: Map[String, Double], b: Map[String, Double]): java.lang.Double = {
+    if (a == null || b == null) return null
+    val (small, large) = if (a.size <= b.size) (a, b) else (b, a)
+    var dot = 0.0
+    small.foreach { case (k, v) => large.get(k).foreach(w => dot += v * w) }
+    val na = math.sqrt(a.valuesIterator.map(x => x * x).sum)
+    val nb = math.sqrt(b.valuesIterator.map(x => x * x).sum)
+    if (na == 0.0 || nb == 0.0) null else Double.box(dot / (na * nb))
   }
 
   @transient private lazy val jsonMapper =
@@ -227,16 +310,12 @@ object GraftFunctions {
     // DoubleHistogramAggregation.java — streaming approximate histogram
     "numeric_histogram" -> { case Seq(b, v) =>
       NumericHistogramAgg(b, v).toAggregateExpression() },
-    // MapAggregationFunction.java:48 — map_agg(k, v)
-    "map_agg" -> { case Seq(k, v) =>
-      MapFromEntries(CollectList(CreateStruct(Seq(k, v))).toAggregateExpression())
-    },
-    // MapUnionAggregation.java — map_union(m); duplicate keys error under
-    // the session's EXCEPTION dedup policy (Presto picks an arbitrary
-    // value — divergence documented)
-    "map_union" -> { case Seq(m) =>
-      MapFromEntries(Flatten(CollectList(MapEntries(m)).toAggregateExpression()))
-    },
+    // MapAggregationFunction.java:48 — map_agg(k, v): null keys skipped,
+    // first-arrival value kept per duplicate key (never errors, unlike a
+    // MapFromEntries build under mapKeyDedupPolicy=EXCEPTION)
+    "map_agg" -> { case Seq(k, v) => MapAggAgg(k, v).toAggregateExpression() },
+    // MapUnionAggregation.java — map_union(m): same first-wins contract
+    "map_union" -> { case Seq(m) => MapUnionAgg(m).toAggregateExpression() },
     // ArbitraryAggregationFunction.java — any non-null value
     "arbitrary" -> { args => First(args.head, ignoreNulls = true).toAggregateExpression() },
     // arrayagg/ArrayAggregationFunction.java:50 — Presto's array_agg KEEPS
@@ -287,6 +366,14 @@ object GraftFunctions {
     "merge_tdigest" -> { args => MergeQDigestAgg(args.head).toAggregateExpression() },
     // MultimapAggregationFunction — map<k, array<v>>
     "multimap_agg" -> { case Seq(k, v) => MultimapAgg(k, v).toAggregateExpression() },
+    // skew-safety primitive (no reference equivalent): collect_list with a
+    // hard per-group cap — the buffer never exceeds `max` elements
+    "bounded_collect_list" -> {
+      case Seq(c, Literal(m: Int, IntegerType)) =>
+        BoundedCollectListAgg(c, m).toAggregateExpression()
+      case Seq(c, Literal(m: Long, LongType)) =>
+        BoundedCollectListAgg(c, m.toInt).toAggregateExpression()
+    },
     // ReduceAggregationFunction — lambda-fold aggregate, via a scalar
     // HigherOrderFunction placeholder + the ResolveReduceAgg analyzer rule
     // (see ReduceAgg.scala for why two steps are needed). Requires the
@@ -305,8 +392,19 @@ object GraftFunctions {
     "values_at_quantiles" -> { case Seq(s, qs) =>
       ValuesAtQuantiles(s, Cast(qs, ArrayType(DoubleType))) },
 
+    // ── error handling ──
+    // TryFunction.java (registered BuiltInFunctionNamespaceManager.java:624):
+    // TRY(expr) → NULL on runtime error. Spark's TryEval is exactly that
+    // wrapper (the machinery under try_add/try_divide); under ANSI mode
+    // div-by-zero, bad casts and overflow all throw, so TryEval catches
+    // the same class of errors the reference's TRY does.
+    "try" -> { case Seq(e) => TryEval(e) },
+
     // ── string family (StringFunctions.java:62) ──
-    "strpos" -> { case Seq(str, sub) => Cast(StringLocate(sub, str, Literal(1)), LongType) },
+    "strpos" -> {
+      case Seq(str, sub) => Cast(StringLocate(sub, str, Literal(1)), LongType)
+      case Seq(str, sub, inst) => StrPosInstance(str, sub, Cast(inst, LongType))
+    },
     // Teradata-compat index(str, sub) ≡ strpos (TeradataStringFunctions)
     "index" -> { case Seq(str, sub) => Cast(StringLocate(sub, str, Literal(1)), LongType) },
     "levenshtein_distance" -> { case Seq(a, b) => Cast(Levenshtein(a, b), LongType) },
@@ -317,7 +415,17 @@ object GraftFunctions {
 
     // ── JSON family (JsonFunctions.java:64, JsonExtract.java:116) ──
     "json_extract" -> { case Seq(j, p) => GetJsonObject(j, p) },
-    "json_extract_scalar" -> { case Seq(j, p) => GetJsonObject(j, p) },
+    // json_extract_scalar returns NULL when the path lands on an
+    // object/array (JsonExtract scalar value provider) — GetJsonObject
+    // would return their JSON text, so null those out (CSE dedupes the
+    // double GetJsonObject reference in codegen)
+    "json_extract_scalar" -> { case Seq(j, p) =>
+      val g = GetJsonObject(j, p)
+      If(RLike(g, Literal("^\\s*[\\[{]")), Literal(null, StringType), g)
+    },
+    // lowering target for Presto's `CAST(x AS JSON)` (GraftSqlParser
+    // rewrites the cast; JsonOperators.java semantics in CastToJson)
+    "cast_to_json" -> { case Seq(e) => CastToJson(e) },
 
     // ── URL family (UrlFunctions.java:43) ──
     "url_extract_protocol" -> { case Seq(u) => parseUrl(u, "PROTOCOL") },
@@ -369,6 +477,15 @@ object GraftFunctions {
     "from_iso8601_date" -> { case Seq(s) => Cast(s, DateType) },
     "to_iso8601" -> { case Seq(t) =>
       DateFormatClass(Cast(t, TimestampType), Literal("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")) },
+    // at_timezone / with_timezone (DateTimeFunctions.java). The engine's
+    // documented TIMESTAMP WITH TIME ZONE approximation (SURVEY.md §1.2):
+    // instants are UTC timestamps (session TZ pinned to UTC), the zone
+    // annotation is not carried. at_timezone(ts, zone) then means "the
+    // wall-clock of this instant in `zone`" = from_utc_timestamp;
+    // with_timezone(ts, zone) means "the instant whose wall-clock in
+    // `zone` is ts" = to_utc_timestamp.
+    "at_timezone" -> { case Seq(t, z) => FromUTCTimestamp(Cast(t, TimestampType), z) },
+    "with_timezone" -> { case Seq(t, z) => ToUTCTimestamp(Cast(t, TimestampType), z) },
 
     // ── math family (MathFunctions.java:65) ──
     "from_base" -> { case Seq(s, r) => Cast(Conv(s, r, Literal(10)), LongType) },
@@ -380,13 +497,47 @@ object GraftFunctions {
       And(Not(IsNaN(x)), LessThan(Abs(x), Literal(Double.PositiveInfinity))) },
     "is_infinite" -> { case Seq(x) =>
       EqualTo(Abs(Cast(x, DoubleType)), Literal(Double.PositiveInfinity)) },
-    "truncate" -> { case Seq(x) =>
-      Multiply(Signum(x), Floor(Abs(x))) },
+    "truncate" -> {
+      case Seq(x) => Multiply(Signum(x), Floor(Abs(x)))
+      // truncate(x, n): drop digits past n decimal places (MathFunctions)
+      case Seq(x, n) =>
+        val xd = Cast(x, DoubleType)
+        val factor = Pow(Literal(10.0), Cast(n, DoubleType))
+        Multiply(Signum(xd), Divide(Cast(Floor(Multiply(Abs(xd), factor)), DoubleType), factor))
+    },
     "mod" -> { case Seq(a, b) => Remainder(a, b) },
+    // width_bucket (MathFunctions.java:65): 4-arg equi-width form maps to
+    // Spark's native WidthBucket; the bins-array form is the count of
+    // (sorted ascending) bin bounds ≤ x, composed from codegen'd HOFs
+    "width_bucket" -> {
+      case Seq(v, lo, hi, n) =>
+        WidthBucket(Cast(v, DoubleType), Cast(lo, DoubleType), Cast(hi, DoubleType),
+          Cast(n, LongType))
+      case Seq(x, bins) =>
+        val lv = NamedLambdaVariable("b", DoubleType, nullable = true)
+        Cast(Size(ArrayFilter(Cast(bins, ArrayType(DoubleType)),
+          LambdaFunction(LessThanOrEqual(lv, Cast(x, DoubleType)), Seq(lv)))), LongType)
+    },
   )
 
   private def parseUrl(u: Expression, part: String): Expression =
     new ParseUrl(Seq(u, Literal(part)))
+
+  /** Builders are partial functions over argument lists; an unsupported
+    * arity must surface as a clear per-function message, not a raw
+    * scala.MatchError from plan construction.
+    */
+  private[functions] def safeBuilder(
+      name: String, b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      try b(args)
+      catch {
+        case _: MatchError =>
+          throw new IllegalArgumentException(
+            s"Function '$name' does not support this signature " +
+              s"(${args.length} argument(s): ${args.map(_.sql).mkString(", ")}); " +
+              "see the reference signature list in GraftFunctions.builders")
+      }
 
   private object StringLiteral {
     def unapply(e: Expression): Option[String] = e match {
@@ -400,7 +551,7 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      registry.createOrReplaceTempFunction(name, b, "scala_udf")
+      registry.createOrReplaceTempFunction(name, safeBuilder(name, b), "scala_udf")
     }
     registerUdfs(spark)
   }
@@ -429,6 +580,25 @@ object GraftFunctions {
       (s: Long, n: Long, z: Double) => GraftFnUtils.wilsonLower(s, n, z))
     spark.udf.register("wilson_interval_upper",
       (s: Long, n: Long, z: Double) => GraftFnUtils.wilsonUpper(s, n, z))
+    spark.udf.register("json_parse", (s: String) => GraftFnUtils.jsonParse(s))
+    spark.udf.register("json_format", (j: String) => GraftFnUtils.jsonFormat(j))
+    spark.udf.register("url_encode", (s: String) => GraftFnUtils.urlEncode(s))
+    spark.udf.register("url_decode", (s: String) => GraftFnUtils.urlDecode(s))
+    spark.udf.register("hmac_md5",
+      (d: Array[Byte], k: Array[Byte]) => GraftFnUtils.hmac("HmacMD5", d, k))
+    spark.udf.register("hmac_sha1",
+      (d: Array[Byte], k: Array[Byte]) => GraftFnUtils.hmac("HmacSHA1", d, k))
+    spark.udf.register("hmac_sha256",
+      (d: Array[Byte], k: Array[Byte]) => GraftFnUtils.hmac("HmacSHA256", d, k))
+    spark.udf.register("hmac_sha512",
+      (d: Array[Byte], k: Array[Byte]) => GraftFnUtils.hmac("HmacSHA512", d, k))
+    spark.udf.register("to_big_endian_64", (v: Long) => GraftFnUtils.toBigEndian64(v))
+    spark.udf.register("from_big_endian_64", (b: Array[Byte]) => GraftFnUtils.fromBigEndian64(b))
+    spark.udf.register("to_big_endian_32", (v: Int) => GraftFnUtils.toBigEndian32(v))
+    spark.udf.register("from_big_endian_32", (b: Array[Byte]) => GraftFnUtils.fromBigEndian32(b))
+    spark.udf.register("cosine_similarity",
+      (a: Map[String, Double], b: Map[String, Double]) =>
+        GraftFnUtils.cosineSimilarityMaps(a, b))
   }
 }
 
@@ -443,7 +613,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name),
-        b))
+        GraftFunctions.safeBuilder(name, b)))
     }
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectResolutionRule(_ => org.apache.spark.sql.graft.ResolveReduceAgg)

@@ -18,6 +18,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    identical semantics (to − from; unit arithmetic).
   *  - `ARRAY[1, 2, 3]` literal syntax → `array(1, 2, 3)` (innermost-first,
   *    so nesting works).
+  *  - `CAST(x AS JSON)` → `cast_to_json(x)` (JsonOperators.java semantics
+  *    in the CastToJson expression), and `CAST(j AS ARRAY(…)/MAP(…)/
+  *    ROW(…))` — the JSON-to-complex casts, JsonToArrayCast.java et al. —
+  *    → `from_json(j, '<spark ddl>')` with Presto type spellings
+  *    (VARCHAR, ROW(a T), ARRAY(T)) translated to Spark DDL. In valid
+  *    Presto only JSON casts to complex types, so routing every
+  *    string-source complex cast through from_json is semantics-safe.
+  *  - `CROSS JOIN UNNEST(args) AS t(cols)` (grammar SqlBase.g4:304,
+  *    UnnestOperator.java:48) → `LATERAL VIEW explode(arg) t AS cols`
+  *    (single arg: array element or map key/value) or
+  *    `LATERAL VIEW inline(arrays_zip(args)) t AS cols` (multi-arg zip,
+  *    null-padded to the longest input like the reference). Argument
+  *    expressions containing parentheses and WITH ORDINALITY are out of
+  *    scope for the textual form (use posexplode directly).
   *
   * Textual rewriting is deliberately conservative: patterns are anchored
   * to the exact call shapes above. A string literal that *contains* one of
@@ -54,6 +68,9 @@ object GraftSqlParser {
     raw"(?i)\bdate_(add|diff)\s*\(\s*'(\w+)'\s*,".r
   private val ArrayLiteral =
     raw"(?i)\bARRAY\[([^\[\]]*)\]".r
+  private val CastStart = raw"(?i)\bCAST\s*\(".r
+  private val UnnestStart = raw"(?is)\bCROSS\s+JOIN\s+UNNEST\s*\(".r
+  private val UnnestAlias = raw"(?is)^\s+AS\s+(\w+)\s*\(([^()]*)\)".r
 
   def rewrite(sql: String): String = {
     var out = DateAddDiff.replaceAllIn(sql, m =>
@@ -64,6 +81,148 @@ object GraftSqlParser {
       prev = out
       out = ArrayLiteral.replaceAllIn(out, m => s"array(${m.group(1)})")
     }
-    out
+    rewriteCasts(rewriteUnnest(out))
+  }
+
+  /** `CROSS JOIN UNNEST(args) AS t(cols)` → LATERAL VIEW form (see class
+    * doc); paren-balanced so args may be arbitrary expressions.
+    */
+  private def rewriteUnnest(sql: String): String = {
+    UnnestStart.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchingParen(sql, open)
+        if (close < 0) return sql
+        UnnestAlias.findFirstMatchIn(sql.substring(close + 1)) match {
+          case Some(t) =>
+            val args = splitTopLevel(sql.substring(open + 1, close))
+            val gen =
+              if (args.length == 1) s"explode(${args.head})"
+              else s"inline(arrays_zip(${args.mkString(", ")}))"
+            sql.substring(0, m.start) +
+              s" LATERAL VIEW $gen ${t.group(1)} AS ${t.group(2)}" +
+              rewriteUnnest(sql.substring(close + 1 + t.end))
+          case None => // no alias list — leave for the real parser to reject
+            sql.substring(0, close + 1) + rewriteUnnest(sql.substring(close + 1))
+        }
+    }
+  }
+
+  /** Split on commas at paren depth 0, outside single quotes. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inQuote = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case ',' if !inQuote && depth == 0 =>
+          parts += s.substring(start, i).trim
+          start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    parts += s.substring(start).trim
+    parts.toSeq
+  }
+
+  /** Find the index just past the ')' matching the '(' at `open`. */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var inQuote = false
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Last top-level ` AS ` inside a CAST body (the type separator — the
+    * expression side may itself contain casts, already rewritten by the
+    * innermost-first recursion).
+    */
+  private def lastTopLevelAs(s: String): Int = {
+    var depth = 0
+    var inQuote = false
+    var found = -1
+    var i = 0
+    while (i < s.length - 3) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case c if !inQuote && depth == 0 && (c == 'A' || c == 'a') =>
+          if (i > 0 && s.charAt(i - 1).isWhitespace &&
+            (s.charAt(i + 1) == 'S' || s.charAt(i + 1) == 's') &&
+            i + 2 < s.length && s.charAt(i + 2).isWhitespace) found = i
+        case _ =>
+      }
+      i += 1
+    }
+    found
+  }
+
+  /** Presto type text → Spark DDL (recursive). Returns None when the type
+    * needs no translation (already valid Spark).
+    */
+  private[graft] def translateType(t0: String): String = {
+    val t = t0.trim
+    val up = t.toUpperCase
+    if (up.startsWith("ARRAY(") && t.endsWith(")"))
+      s"ARRAY<${translateType(t.substring(6, t.length - 1))}>"
+    else if (up.startsWith("MAP(") && t.endsWith(")")) {
+      val kv = splitTopLevel(t.substring(4, t.length - 1))
+      require(kv.length == 2, s"bad MAP type: $t0")
+      s"MAP<${translateType(kv.head)}, ${translateType(kv(1))}>"
+    } else if (up.startsWith("ROW(") && t.endsWith(")")) {
+      val fields = splitTopLevel(t.substring(4, t.length - 1)).map { f =>
+        val sp = f.trim.indexOf(' ')
+        require(sp > 0, s"ROW field needs 'name type': $f")
+        s"${f.trim.substring(0, sp)}: ${translateType(f.trim.substring(sp + 1))}"
+      }
+      s"STRUCT<${fields.mkString(", ")}>"
+    } else if (up == "VARCHAR") "STRING"
+    else if (up == "INTEGER") "INT"
+    else if (up == "REAL") "FLOAT"
+    else t
+  }
+
+  /** Rewrite Presto-specific CASTs (innermost-first so nesting works). */
+  private def rewriteCasts(sql: String): String = {
+    CastStart.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchingParen(sql, open)
+        if (close < 0) return sql // unbalanced — let the real parser error
+        val body = rewriteCasts(sql.substring(open + 1, close))
+        val tail = rewriteCasts(sql.substring(close + 1))
+        val asIdx = lastTopLevelAs(body)
+        val rewritten = if (asIdx < 0) s"CAST($body)" else {
+          val expr = body.substring(0, asIdx).trim
+          val tpe = body.substring(asIdx + 3).trim
+          val up = tpe.toUpperCase
+          if (up == "JSON") s"cast_to_json($expr)"
+          else if (up.startsWith("ARRAY(") || up.startsWith("MAP(") || up.startsWith("ROW("))
+            s"from_json($expr, '${translateType(tpe)}')"
+          else if (up == "VARCHAR") s"CAST($expr AS STRING)"
+          else s"CAST($expr AS $tpe)"
+        }
+        sql.substring(0, m.start) + rewritten + tail
+    }
   }
 }

@@ -24,12 +24,13 @@ case class MultimapAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]]]
-    with BinaryLike[Expression] {
+    with BinaryLike[Expression] with BufferKeyNormalization {
 
   override def prettyName: String = "multimap_agg"
   override def dataType: DataType =
     MapType(left.dataType, ArrayType(right.dataType, containsNull = true), valueContainsNull = false)
   override def nullable: Boolean = true
+  override protected def keyType: DataType = left.dataType
 
   override def createAggregationBuffer(): mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]] =
     mutable.LinkedHashMap.empty
@@ -39,7 +40,7 @@ case class MultimapAgg(
       input: InternalRow): mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]] = {
     val k = left.eval(input)
     if (k != null) {
-      val key = InternalRow.copyValue(k)
+      val key = normKey(k)
       val v = InternalRow.copyValue(right.eval(input))
       buffer.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += v
     }
@@ -59,7 +60,7 @@ case class MultimapAgg(
     if (buffer.isEmpty) return null
     val entries = buffer.toArray
     new ArrayBasedMapData(
-      new GenericArrayData(entries.map(_._1)),
+      new GenericArrayData(entries.map(e => keyValue(e._1))),
       new GenericArrayData(entries.map { case (_, vs) => new GenericArrayData(vs.toArray) }))
   }
 
@@ -69,7 +70,7 @@ case class MultimapAgg(
   override def serialize(buffer: mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    val pairs = buffer.iterator.flatMap { case (k, vs) => vs.iterator.map(k -> _) }.toArray
+    val pairs = buffer.iterator.flatMap { case (k, vs) => vs.iterator.map(keyValue(k) -> _) }.toArray
     out.writeInt(pairs.length)
     pairs.foreach { case (k, v) =>
       val row = proj(InternalRow(k, v))
@@ -92,7 +93,7 @@ case class MultimapAgg(
       in.readFully(bytes)
       val row = new UnsafeRow(2)
       row.pointTo(bytes, len)
-      val k = InternalRow.copyValue(row.get(0, left.dataType))
+      val k = normKey(row.get(0, left.dataType))
       val v = InternalRow.copyValue(row.get(1, right.dataType))
       buffer.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += v
       i += 1

@@ -360,6 +360,140 @@ object PrestoFnOps extends QueryGroup {
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     },
 
+    // TRY(expr) — NULL instead of error for div-by-zero, bad casts and
+    // overflow (TryFunction.java; registered
+    // BuiltInFunctionNamespaceManager.java:624). All three error classes
+    // throw under the session's ANSI mode, so each NULL here proves the
+    // wrapper caught a real runtime error.
+    q("fn_try",
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey = 3 THEN NULL
+        |       ELSE round(100.0 / (n_nationkey - 3), 2) END AS div_or_null,
+        |  CASE WHEN n_nationkey = 5 THEN NULL
+        |       ELSE n_nationkey END AS cast_or_null,
+        |  CASE WHEN n_nationkey >= 10 THEN NULL
+        |       ELSE CAST(power(10, n_nationkey) AS INTEGER) END AS pow_or_null,
+        |  CASE WHEN n_nationkey >= 11 THEN NULL
+        |       ELSE n_nationkey * 200000000 END AS mul_or_null
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, _) =>
+      s.sql("""SELECT n_nationkey,
+              |  round(CAST(TRY(CAST(100 AS DECIMAL(10,2)) / (n_nationkey - 3)) AS DOUBLE), 2) AS div_or_null,
+              |  TRY(CAST(CASE WHEN n_nationkey = 5 THEN 'oops'
+              |                ELSE CAST(n_nationkey AS VARCHAR) END AS BIGINT)) AS cast_or_null,
+              |  TRY(CAST(power(10, n_nationkey) AS INTEGER)) AS pow_or_null,
+              |  TRY(CAST(n_nationkey AS INTEGER) * 200000000) AS mul_or_null
+              |FROM nation ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // at_timezone / with_timezone under the engine's documented
+    // TIMESTAMP-WITH-TIME-ZONE approximation (instants = UTC timestamps;
+    // DateTimeFunctions.java, DateTimeEncoding.java). The oracle
+    // reproduces the instant→wall-clock rendering with DuckDB's timezone()
+    q("fn_at_timezone",
+      """SELECT o_orderkey,
+        |  CAST(timezone('Asia/Tokyo', timezone('UTC', CAST(o_orderdate AS TIMESTAMP))) AS VARCHAR) AS tokyo_wall,
+        |  CAST(timezone('America/Los_Angeles', timezone('UTC', CAST(o_orderdate AS TIMESTAMP))) AS VARCHAR) AS la_wall,
+        |  true AS roundtrip_ok
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin) { (s, _) =>
+      s.sql("""SELECT o_orderkey,
+              |  CAST(at_timezone(CAST(o_orderdate AS TIMESTAMP), 'Asia/Tokyo') AS STRING) AS tokyo_wall,
+              |  CAST(at_timezone(CAST(o_orderdate AS TIMESTAMP), 'America/Los_Angeles') AS STRING) AS la_wall,
+              |  with_timezone(at_timezone(CAST(o_orderdate AS TIMESTAMP), 'Asia/Tokyo'), 'Asia/Tokyo')
+              |    = CAST(o_orderdate AS TIMESTAMP) AS roundtrip_ok
+              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // width_bucket both forms (MathFunctions.java:65) + sparse-map
+    // cosine_similarity. Equi-width bounds are powers of two so the
+    // bucket arithmetic is FP-exact on both engines.
+    q("fn_width_bucket",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CASE WHEN l_extendedprice < 0 THEN 0
+        |            WHEN l_extendedprice >= 131072 THEN 17
+        |            ELSE FLOOR(l_extendedprice / 8192.0) + 1 END AS BIGINT) AS wb,
+        |  CAST((l_extendedprice >= 10000)::INT + (l_extendedprice >= 30000)::INT
+        |     + (l_extendedprice >= 60000)::INT AS BIGINT) AS wb_arr,
+        |  round((l_quantity * 1.0 + l_discount * 2.0)
+        |        / (sqrt(l_quantity * l_quantity + l_discount * l_discount) * sqrt(5.0)), 6) AS cos_sim
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, _) =>
+      s.sql("""SELECT l_orderkey, l_linenumber,
+              |  width_bucket(l_extendedprice, 0.0D, 131072.0D, 16) AS wb,
+              |  width_bucket(l_extendedprice, array(10000.0D, 30000.0D, 60000.0D)) AS wb_arr,
+              |  round(cosine_similarity(
+              |    map('a', CAST(l_quantity AS DOUBLE), 'b', CAST(l_discount AS DOUBLE)),
+              |    map('a', 1.0D, 'b', 2.0D)), 6) AS cos_sim
+              |FROM lineitem WHERE l_orderkey < 500
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
+
+    // url_encode/url_decode (UrlFunctions.java:155) + HMAC family
+    // (HmacFunctions.java, pinned to RFC 2202/4231 test vectors) +
+    // big-endian codecs (VarbinaryFunctions.java:38)
+    q("fn_url_hmac_endian",
+      """SELECT s, enc, s AS roundtrip, mac256, mac_md5, mac_sha1, be64, be64_rt, be32, be32_rt
+        |FROM (VALUES
+        |  ('hello world', 'hello+world'),
+        |  ('a+b&c=d', 'a%2Bb%26c%3Dd'),
+        |  ('100%', '100%25')) t(s, enc)
+        |CROSS JOIN (SELECT
+        |  '5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843' AS mac256,
+        |  '750c783e6ab0b503eaa86e310a5db738' AS mac_md5,
+        |  'effcdf6ae5eb2fa2d27416d5f184df9c259a7c79' AS mac_sha1,
+        |  '0000000000001234' AS be64,
+        |  CAST(-9876543210 AS BIGINT) AS be64_rt,
+        |  '12345678' AS be32,
+        |  CAST(-42 AS BIGINT) AS be32_rt) c
+        |ORDER BY s""".stripMargin) { (s, _) =>
+      s.sql("""SELECT s,
+              |  url_encode(s) AS enc,
+              |  url_decode(url_encode(s)) AS roundtrip,
+              |  lower(hex(hmac_sha256(to_utf8('what do ya want for nothing?'), to_utf8('Jefe')))) AS mac256,
+              |  lower(hex(hmac_md5(to_utf8('what do ya want for nothing?'), to_utf8('Jefe')))) AS mac_md5,
+              |  lower(hex(hmac_sha1(to_utf8('what do ya want for nothing?'), to_utf8('Jefe')))) AS mac_sha1,
+              |  lower(hex(to_big_endian_64(4660))) AS be64,
+              |  from_big_endian_64(to_big_endian_64(-9876543210)) AS be64_rt,
+              |  lower(hex(to_big_endian_32(305419896))) AS be32,
+              |  CAST(from_big_endian_32(to_big_endian_32(-42)) AS BIGINT) AS be32_rt
+              |FROM VALUES ('hello world'), ('a+b&c=d'), ('100%') t(s)
+              |ORDER BY s""".stripMargin)
+    },
+
+    // json_parse / json_format / CAST(… AS JSON) / JSON→complex casts
+    // (JsonFunctions.java:64, JsonOperators.java, JsonToArrayCast.java) +
+    // the json_extract_scalar container→NULL contract
+    q("fn_json_roundtrip",
+      """WITH j AS (SELECT n_nationkey AS k,
+        |    '{"a": ' || CAST(n_nationkey AS VARCHAR) || ', "xs": [1, 2, 3], "s": "hi"}' AS doc,
+        |    '[1, 2, ' || CAST(n_nationkey AS VARCHAR) || ']' AS arrtxt
+        |  FROM nation)
+        |SELECT k,
+        |  '{"a":' || CAST(k AS VARCHAR) || ',"xs":[1,2,3],"s":"hi"}' AS canon,
+        |  '1,2,' || CAST(k AS VARCHAR) AS arr_joined,
+        |  CAST(k AS BIGINT) AS third,
+        |  '"q\"x"' AS quoted,
+        |  CAST(k AS VARCHAR) AS numj,
+        |  '[1,2]' AS arrj,
+        |  CAST(k AS VARCHAR) AS scalar_a,
+        |  CAST(NULL AS VARCHAR) AS scalar_container
+        |FROM j ORDER BY k""".stripMargin) { (s, _) =>
+      s.sql("""WITH j AS (SELECT n_nationkey AS k,
+              |    concat('{"a": ', CAST(n_nationkey AS STRING), ', "xs": [1, 2, 3], "s": "hi"}') AS doc,
+              |    concat('[1, 2, ', CAST(n_nationkey AS STRING), ']') AS arrtxt
+              |  FROM nation)
+              |SELECT k,
+              |  json_format(json_parse(doc)) AS canon,
+              |  array_join(transform(CAST(json_parse(arrtxt) AS ARRAY(INTEGER)),
+              |    e -> CAST(e AS STRING)), ',') AS arr_joined,
+              |  element_at(CAST(json_parse(arrtxt) AS ARRAY(BIGINT)), 3) AS third,
+              |  CAST('q"x' AS JSON) AS quoted,
+              |  CAST(k AS JSON) AS numj,
+              |  CAST(ARRAY[1, 2] AS JSON) AS arrj,
+              |  json_extract_scalar(doc, '$.a') AS scalar_a,
+              |  json_extract_scalar(doc, '$.xs') AS scalar_container
+              |FROM j ORDER BY k""".stripMargin)
+    },
+
     // arbitrary() on a column constant within its group → deterministic
     q("fn_arbitrary",
       """SELECT o_orderkey, min(o_custkey) AS cust

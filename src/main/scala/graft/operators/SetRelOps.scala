@@ -106,6 +106,36 @@ object SetRelOps extends QueryGroup {
         .orderBy("label")
     },
 
+    // UNNEST of a map → (key, value) rows (reference UnnestOperator.java:48,
+    // grammar SqlBase.g4:304). Runs Presto's CROSS JOIN UNNEST … AS t(k, v)
+    // surface through the dialect parser (→ LATERAL VIEW explode).
+    q("unnest_map",
+      """SELECT n_nationkey, 'a' AS k, n_nationkey AS v FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, 'b' AS k, n_nationkey * 2 AS v FROM nation
+        |ORDER BY n_nationkey, k""".stripMargin) { (s, _) =>
+      s.sql("""SELECT n_nationkey, t.k, t.v
+              |FROM nation
+              |CROSS JOIN UNNEST(map_from_arrays(array('a', 'b'),
+              |  array(n_nationkey, n_nationkey * 2))) AS t(k, v)
+              |ORDER BY n_nationkey, k""".stripMargin)
+    },
+
+    // multi-argument UNNEST = positional zip, null-padded to the longest
+    // input (UnnestOperator.java:48) — lengths 1..3 vs a fixed 2 exercise
+    // padding in both directions
+    q("unnest_multiarg",
+      """SELECT n_nationkey,
+        |  unnest(range(1, n_nationkey % 3 + 2)) AS x,
+        |  unnest(['p', 'q']) AS y
+        |FROM nation
+        |ORDER BY n_nationkey, coalesce(x, 99), y""".stripMargin) { (s, _) =>
+      s.sql("""SELECT n_nationkey, t.x, t.y
+              |FROM nation
+              |CROSS JOIN UNNEST(sequence(1, n_nationkey % 3 + 1), array('p', 'q')) AS t(x, y)
+              |ORDER BY n_nationkey, coalesce(x, 99), y""".stripMargin)
+    },
+
     // TABLESAMPLE (reference SampleNode.java:32) — sampling is
     // engine-specific, so the check is rows-only; the spec pins bounds
     qNoOracle("sample_bernoulli") { (s, _) =>

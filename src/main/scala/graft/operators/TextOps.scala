@@ -57,6 +57,18 @@ object TextOps extends QueryGroup {
   private val MinhashPerms = 64  // 16 bands x 4 rows
   private val MinhashBands = 16
 
+  /** Per-band-bucket membership cap (skew guard). A duplicate-saturated
+    * corpus can put millions of near-identical docs into ONE band bucket;
+    * uncapped, that bucket alone costs bucket² candidate pairs and an
+    * unbounded collect buffer. The cap bounds both (BoundedCollectListAgg
+    * caps during update/merge, so the buffer never grows past it). Recall
+    * cost is negligible: a doc dropped from a saturated band still pairs
+    * through its 15 other bands, and a bucket this size means the docs
+    * are duplicates of each other anyway — a dedup consumer keeps one
+    * survivor per cluster, not every edge.
+    */
+  private val MinhashMaxBucket = 256
+
   /** MinHash-LSH near-duplicate candidate pairs verified by exact shingle
     * Jaccard — the 100 TB design:
     *
@@ -98,9 +110,10 @@ object TextOps extends QueryGroup {
       xxhash64(lit(b) +: (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)
     }
     val banded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
-    // within-bucket pair expansion — signatures evaluated once, no self-join
+    // within-bucket pair expansion — signatures evaluated once, no
+    // self-join; bucket membership hard-capped at MinhashMaxBucket
     val buckets = banded.groupBy("band_key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(expr(s"bounded_collect_list(doc_id, $MinhashMaxBucket)")).as("ids"))
       .filter(size(col("ids")) > 1)
     val pairs = buckets
       .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))

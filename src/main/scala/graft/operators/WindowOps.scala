@@ -136,5 +136,39 @@ object WindowOps extends QueryGroup {
         .filter(col("rn") <= 3)
         .orderBy("c_nationkey", "rn")
     },
+
+    // IGNORE NULLS variants of lag / lead / first_value / last_value
+    // (reference operator/window/LagFunction.java et al. — load-bearing in
+    // real sessionization SQL: "carry forward the last non-null reading")
+    q("win_ignore_nulls",
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'click' THEN NULL ELSE round(value, 4) END AS v
+        |  FROM events)
+        |SELECT event_id,
+        |  lag(v IGNORE NULLS) OVER w AS prev_v,
+        |  lead(v IGNORE NULLS) OVER w AS next_v,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_v
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, _) =>
+      s.sql("""WITH e AS (
+              |  SELECT event_id, user_id, ts,
+              |    CASE WHEN event_type = 'click' THEN NULL ELSE round(value, 4) END AS v
+              |  FROM events)
+              |SELECT event_id,
+              |  lag(v) IGNORE NULLS OVER w AS prev_v,
+              |  lead(v) IGNORE NULLS OVER w AS next_v,
+              |  first_value(v) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+              |  last_value(v) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_v
+              |FROM e
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              |ORDER BY event_id""".stripMargin)
+    },
   )
 }

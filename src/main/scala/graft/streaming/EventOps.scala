@@ -94,13 +94,17 @@ object EventOps extends QueryGroup {
               |ORDER BY event_id""".stripMargin)
     },
 
-    // custom per-key stateful operator: imperative sessionization via
-    // KeyValueGroupedDataset.flatMapGroups — the escape hatch for session
-    // semantics SQL can't express (here: a 20-minute gap, different from
-    // ev_session_window's 30, to prove it's a separate code path). The
-    // streaming twin (mapGroupsWithState) is exercised in StreamingSpec.
-    // Scale: one shuffle on user_id; per-group work is linear in the
-    // user's events and never materializes other groups.
+    // custom per-key stateful operator: imperative sessionization — the
+    // escape hatch for session semantics SQL can't express (here: a
+    // 20-minute gap, different from ev_session_window's 30, to prove it's
+    // a separate code path). The streaming twin (mapGroupsWithState) is
+    // exercised in StreamingSpec.
+    // Scale: secondary sort — repartition on user_id + sortWithinPartitions
+    // (user_id, ts), then ONE streaming pass per partition holding a
+    // single open-session accumulator. No per-user materialization at all
+    // (a groupByKey+flatMapGroups toArray would buffer a whole user's
+    // history — the skew hazard when one key has 100 M events); the sort
+    // spills to disk under memory pressure, the walk is O(1) memory.
     q("ev_custom_sessionize",
       """WITH marked AS (
         |  SELECT user_id, ts, value,
@@ -120,23 +124,43 @@ object EventOps extends QueryGroup {
       import s.implicits._
       val gapMs = 20L * 60 * 1000
       s.table("events").select(col("user_id"), col("ts"), col("value")).as[Ev]
-        .groupByKey(_.user_id)
-        .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
-          val evs = it.toArray.sortBy(_.ts.getTime)
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var start: java.sql.Timestamp = null
-          var lastMs = Long.MinValue
-          var n = 0L
-          var total = 0.0
-          evs.foreach { e =>
-            if (start == null || e.ts.getTime - lastMs > gapMs) {
-              if (start != null) out += SessionOut(uid, start, n, total)
-              start = e.ts; n = 0L; total = 0.0
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"))
+        .mapPartitions { rows =>
+          new Iterator[SessionOut] {
+            private var uid = 0L
+            private var start: java.sql.Timestamp = null
+            private var lastMs = Long.MinValue
+            private var n = 0L
+            private var total = 0.0
+            private var pending: SessionOut = null
+
+            private def close(): SessionOut = {
+              val out = SessionOut(uid, start, n, total)
+              start = null
+              out
             }
-            lastMs = e.ts.getTime; n += 1; total += e.value
+
+            // advance until a session closes (new user / gap) or input ends
+            private def fill(): Unit = {
+              while (pending == null && rows.hasNext) {
+                val e = rows.next()
+                if (start != null && (e.user_id != uid || e.ts.getTime - lastMs > gapMs))
+                  pending = close() // close() clears start, so e opens fresh below
+                if (start == null) { uid = e.user_id; start = e.ts; n = 0L; total = 0.0 }
+                lastMs = e.ts.getTime; n += 1; total += e.value
+              }
+              if (pending == null && start != null && !rows.hasNext) pending = close()
+            }
+
+            override def hasNext: Boolean = { fill(); pending != null }
+            override def next(): SessionOut = {
+              fill()
+              val out = pending
+              pending = null
+              out
+            }
           }
-          if (start != null) out += SessionOut(uid, start, n, total)
-          out.iterator
         }
         .withColumn("total_value", round(col("total_value"), 2))
         .orderBy("user_id", "session_start")

@@ -181,4 +181,112 @@ class FnSpec extends AnyFunSuite {
       .collect()(0).getMap[String, Int](0)
     assert(u == Map("a" -> 1, "b" -> 2))
   }
+
+  test("map_agg skips null keys and keeps one value per duplicate key") {
+    ready()
+    // reference MapAggregationFunction (KeyValuePairs.add): null keys
+    // silently dropped, duplicate keys keep an arbitrary single value —
+    // NEVER an error (the session's EXCEPTION dedup policy must not leak)
+    val m = spark.sql(
+      """SELECT map_agg(k, v) FROM VALUES
+        |  ('a', 1), (CAST(NULL AS STRING), 99), ('a', 2), ('b', 3) AS t(k, v)""".stripMargin)
+      .collect()(0).getMap[String, Int](0)
+    assert(m.keySet == Set("a", "b"))
+    assert(Set(1, 2).contains(m("a")) && m("b") == 3)
+    val u = spark.sql(
+      """SELECT map_union(m) FROM (
+        |  SELECT map('a', 1, 'c', 7) AS m UNION ALL SELECT map('a', 5, 'b', 2))""".stripMargin)
+      .collect()(0).getMap[String, Int](0)
+    assert(u.keySet == Set("a", "b", "c"))
+    assert(Set(1, 5).contains(u("a")) && u("b") == 2 && u("c") == 7)
+  }
+
+  test("histogram and multimap_agg merge value-equal binary keys") {
+    ready()
+    // Array[Byte] compares by reference — without key normalization every
+    // occurrence of the same varbinary value became its own bucket
+    val h = spark.sql(
+      """SELECT histogram(to_utf8(k)) FROM VALUES ('x'), ('x'), ('y') AS t(k)""")
+      .collect()(0).getMap[Array[Byte], Long](0)
+    assert(h.size == 2, s"binary keys must merge by value, got ${h.size} buckets")
+    assert(h.values.toSeq.sorted == Seq(1L, 2L))
+    val mm = spark.sql(
+      """SELECT multimap_agg(to_utf8(k), v) FROM
+        |  VALUES ('x', 1), ('x', 2), ('y', 3) AS t(k, v)""".stripMargin)
+      .collect()(0).getMap[Array[Byte], Seq[Int]](0)
+    assert(mm.size == 2)
+    // struct keys likewise
+    val hs = spark.sql(
+      """SELECT histogram(named_struct('a', k)) FROM VALUES (1), (1), (2) AS t(k)""")
+      .collect()(0).getMap[Any, Long](0)
+    assert(hs.size == 2)
+  }
+
+  test("checksum returns NULL for an empty group (reference NullableLongState)") {
+    ready()
+    val r = spark.sql("SELECT checksum(l_partkey) FROM lineitem WHERE l_orderkey < 0")
+      .collect()(0)
+    assert(r.isNullAt(0), "checksum over zero rows must be NULL")
+    // all-nulls group is NOT empty: contributes PRIME64 per row
+    val r2 = spark.sql("SELECT checksum(x) FROM VALUES (CAST(NULL AS INT)) AS t(x)").collect()(0)
+    assert(!r2.isNullAt(0))
+  }
+
+  test("TRY returns NULL on runtime errors, value otherwise") {
+    ready()
+    val r = spark.sql(
+      """SELECT TRY(1 + 1) AS ok,
+        |  TRY(CAST(100 AS DECIMAL(10,2)) / 0) AS div0,
+        |  TRY(CAST('oops' AS INTEGER)) AS badcast,
+        |  TRY(CAST(1e18 AS INTEGER)) AS overflow""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("strpos instance arity and unsupported-arity error message") {
+    ready()
+    val r = spark.sql(
+      """SELECT strpos('ababab', 'ab') AS p1, strpos('ababab', 'ab', 2) AS p2,
+        |  strpos('ababab', 'ab', -1) AS plast, strpos('ababab', 'zz', 2) AS missing""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) == 5L && r.getLong(3) == 0L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT truncate(1.5, 2, 3, 4)").collect()
+    }
+    assert(e.getMessage.contains("truncate"), s"arity error must name the function: ${e.getMessage}")
+    assert(!e.getClass.getName.contains("MatchError"))
+  }
+
+  test("bounded_collect_list caps the buffer in update and merge") {
+    ready()
+    val r = spark.sql(
+      """SELECT size(bounded_collect_list(l_partkey, 7)) FROM
+        |(SELECT l_partkey FROM lineitem DISTRIBUTE BY l_orderkey)""".stripMargin)
+      .collect()(0).getInt(0)
+    assert(r == 7)
+    val small = spark.sql("SELECT size(bounded_collect_list(x, 100)) FROM VALUES (1), (2) t(x)")
+      .collect()(0).getInt(0)
+    assert(small == 2)
+  }
+
+  test("is_json_scalar validates; json_parse canonicalizes; bad JSON errors") {
+    ready()
+    val r = spark.sql(
+      """SELECT is_json_scalar('1'), is_json_scalar('"abc"'), is_json_scalar('null'),
+        |  is_json_scalar('[1,2]'), is_json_scalar('{"a":1}'),
+        |  json_parse(' { "b" : [ 1 , 2 ] } ')""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    assert(!r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getString(5) == """{"b":[1,2]}""")
+    val bad = intercept[Exception] { spark.sql("SELECT json_parse('{nope')").collect() }
+    assert(bad.getMessage.contains("JSON") || bad.getCause != null)
+  }
+
+  test("Presto type spellings translate to Spark DDL") {
+    import graft.functions.GraftSqlParser.translateType
+    assert(translateType("ARRAY(VARCHAR)") == "ARRAY<STRING>")
+    assert(translateType("MAP(VARCHAR, ARRAY(INTEGER))") == "MAP<STRING, ARRAY<INT>>")
+    assert(translateType("ROW(a VARCHAR, b ARRAY(DOUBLE))") == "STRUCT<a: STRING, b: ARRAY<DOUBLE>>")
+    assert(translateType("DECIMAL(10,2)") == "DECIMAL(10,2)")
+  }
 }
