@@ -75,4 +75,45 @@ class PlanSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(p.contains("WholeStageCodegen"), "agg path must be codegen'd")
   }
+
+  test("CBO: ANALYZE feeds rowCount stats and join reorder uses them") {
+    // The session claims spark.sql.cbo.* — this pins that the claim is
+    // real for CATALOG tables (temp views carry no stats, documented):
+    // after ANALYZE, relations expose rowCount, and CostBasedJoinReorder
+    // moves a filtered-to-tiny dimension ahead of the syntactically-first
+    // one. Mirrors the reference's stats-driven planning
+    // (presto-main/.../cost/CostBasedOptimizer surface).
+    Tables.register(spark, TestSession.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    try {
+      spark.sql("DROP TABLE IF EXISTS cbo_fact")
+      spark.sql("DROP TABLE IF EXISTS cbo_dim_big")
+      spark.sql("DROP TABLE IF EXISTS cbo_dim_small")
+      spark.sql("CREATE TABLE cbo_fact USING parquet AS SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem")
+      spark.sql("CREATE TABLE cbo_dim_big USING parquet AS SELECT o_orderkey, o_orderpriority FROM orders")
+      spark.sql("CREATE TABLE cbo_dim_small USING parquet AS SELECT s_suppkey, s_name FROM supplier")
+      Seq("cbo_fact", "cbo_dim_big", "cbo_dim_small").foreach { t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+        val stats = spark.table(t).queryExecution.optimizedPlan.stats
+        assert(stats.rowCount.isDefined, s"$t must expose rowCount after ANALYZE")
+      }
+      // syntactic order joins the BIG dim first; the small dim is further
+      // filtered to ~1 row — a cost-based reorder must pull it forward
+      val q = spark.sql(
+        """SELECT count(*) FROM cbo_fact f
+          |JOIN cbo_dim_big b ON f.l_orderkey = b.o_orderkey
+          |JOIN cbo_dim_small s ON f.l_suppkey = s.s_suppkey
+          |WHERE s.s_suppkey = 1""".stripMargin)
+      val joins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty)
+      val innermost = joins.last // deepest join in the reordered tree
+      val leaves = innermost.collectLeaves().map(_.toString).mkString("\n")
+      assert(leaves.contains("cbo_dim_small") && !leaves.contains("cbo_dim_big"),
+        s"stats-informed reorder should join the filtered tiny dim first:\n${q.queryExecution.optimizedPlan}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cbo_fact")
+      spark.sql("DROP TABLE IF EXISTS cbo_dim_big")
+      spark.sql("DROP TABLE IF EXISTS cbo_dim_small")
+    }
+  }
 }
