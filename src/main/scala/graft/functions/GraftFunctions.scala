@@ -354,16 +354,13 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(s"qdigest_agg: bad args $args")
     },
     "merge_qdigest" -> { args => MergeQDigestAgg(args.head).toAggregateExpression() },
-    // tdigest_agg (TDigestAggregationFunction.java:29): same value
-    // contract (mergeable quantile estimates within error bounds) served
-    // by the GK summary — sketch algorithm differs, estimates agree
+    // tdigest_agg (TDigestAggregationFunction.java:29): real centroid
+    // t-digest (k1 scale function, tail-accurate) with the weighted arity
     "tdigest_agg" -> {
-      case Seq(c) => QDigestAgg(c).toAggregateExpression()
-      case Seq(c, Literal(eps: Double, DoubleType)) =>
-        QDigestAgg(c, eps).toAggregateExpression()
-      case args => throw new IllegalArgumentException(s"tdigest_agg: bad args $args")
+      case Seq(c) => TDigestAgg(c, Literal(1.0)).toAggregateExpression()
+      case Seq(c, w) => TDigestAgg(c, w).toAggregateExpression()
     },
-    "merge_tdigest" -> { args => MergeQDigestAgg(args.head).toAggregateExpression() },
+    "merge_tdigest" -> { args => MergeTDigestAgg(args.head).toAggregateExpression() },
     // MultimapAggregationFunction — map<k, array<v>>
     "multimap_agg" -> { case Seq(k, v) => MultimapAgg(k, v).toAggregateExpression() },
     // skew-safety primitive (no reference equivalent): collect_list with a

@@ -218,6 +218,32 @@ object PrestoFnOps extends QueryGroup {
               |ORDER BY grp""".stripMargin)
     },
 
+    // t-digest quantile sketch (TDigestAggregationFunction.java:29) —
+    // real centroid digest: mid-quantiles within a ±0.01 rank band and
+    // the MERGED p99.9 inside a tight tail band (the tail accuracy the
+    // GK summary can't promise)
+    q("fn_tdigest",
+      """SELECT l_returnflag AS grp, true AS p50_ok, true AS p99_ok, true AS merged_tail_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY grp""".stripMargin) { (s, _) =>
+      s.sql("""WITH g AS (
+              |  SELECT l_returnflag, tdigest_agg(l_extendedprice) AS td
+              |  FROM lineitem GROUP BY l_returnflag),
+              |ex AS (
+              |  SELECT l_returnflag,
+              |    percentile(l_extendedprice, 0.49) AS p50_lo, percentile(l_extendedprice, 0.51) AS p50_hi,
+              |    percentile(l_extendedprice, 0.985) AS p99_lo, percentile(l_extendedprice, 0.995) AS p99_hi
+              |  FROM lineitem GROUP BY l_returnflag),
+              |m AS (SELECT value_at_quantile(merge_tdigest(td), 0.999D) AS p999 FROM g),
+              |exm AS (SELECT percentile(l_extendedprice, 0.998) AS lo, max(l_extendedprice) AS hi
+              |        FROM lineitem)
+              |SELECT g.l_returnflag AS grp,
+              |  value_at_quantile(td, 0.5D) BETWEEN ex.p50_lo AND ex.p50_hi AS p50_ok,
+              |  value_at_quantile(td, 0.99D) BETWEEN ex.p99_lo AND ex.p99_hi AS p99_ok,
+              |  (SELECT p999 FROM m) BETWEEN (SELECT lo FROM exm) AND (SELECT hi FROM exm) AS merged_tail_ok
+              |FROM g JOIN ex ON g.l_returnflag = ex.l_returnflag
+              |ORDER BY grp""".stripMargin)
+    },
+
     // multimap_agg: all values per key as map<k, array<v>>
     q("fn_multimap",
       """WITH m AS (

@@ -62,6 +62,39 @@ object QSketch {
     deserialize(bytes).query(q)
 }
 
+/** The engine's two quantile-sketch encodings (GK summary 0x51, t-digest
+  * 0x54) share BinaryType, so the decode scalars (`value_at_quantile`
+  * et al. — Presto overloads them per sketch type) dispatch on the
+  * leading magic byte.
+  */
+object SketchDispatch {
+  def quantile(bytes: Array[Byte], q: Double): Option[Double] =
+    if (TDigestCodec.isTDigest(bytes)) {
+      val v = TDigestCodec.deserialize(bytes).quantile(q)
+      if (v.isNaN) None else Some(v)
+    } else QSketch.quantile(bytes, q)
+
+  def rank(bytes: Array[Byte], x: Double): Option[Double] =
+    if (TDigestCodec.isTDigest(bytes)) {
+      val v = TDigestCodec.deserialize(bytes).cdf(x)
+      if (v.isNaN) None else Some(v)
+    } else {
+      val summary = QSketch.deserialize(bytes)
+      var lo = 0.0
+      var hi = 1.0
+      var i = 0
+      while (i < 20) {
+        val mid = (lo + hi) / 2
+        summary.query(mid) match {
+          case Some(q) => if (q < x) lo = mid else hi = mid
+          case None => return None
+        }
+        i += 1
+      }
+      Some((lo + hi) / 2)
+    }
+}
+
 /** `qdigest_agg(x[, eps])` → VARBINARY quantile sketch. */
 case class QDigestAgg(
     child: Expression,
@@ -163,7 +196,7 @@ case class ValueAtQuantile(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override protected def nullSafeEval(sketch: Any, q: Any): Any =
-    QSketch.quantile(sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double]).orNull
+    SketchDispatch.quantile(sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double]).orNull
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ValueAtQuantile =
     copy(left = l, right = r)
@@ -180,22 +213,8 @@ case class QuantileAtValue(left: Expression, right: Expression)
   override def prettyName: String = "quantile_at_value"
   override def dataType: DataType = DoubleType
 
-  override protected def nullSafeEval(sketch: Any, v: Any): Any = {
-    val summary = QSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
-    val x = v.asInstanceOf[Double]
-    var lo = 0.0
-    var hi = 1.0
-    var i = 0
-    while (i < 20) {
-      val mid = (lo + hi) / 2
-      summary.query(mid) match {
-        case Some(q) => if (q < x) lo = mid else hi = mid
-        case None => return null
-      }
-      i += 1
-    }
-    (lo + hi) / 2
-  }
+  override protected def nullSafeEval(sketch: Any, v: Any): Any =
+    SketchDispatch.rank(sketch.asInstanceOf[Array[Byte]], v.asInstanceOf[Double]).orNull
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantileAtValue =
     copy(left = l, right = r)
@@ -209,10 +228,10 @@ case class ValuesAtQuantiles(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(DoubleType)
 
   override protected def nullSafeEval(sketch: Any, qs: Any): Any = {
-    val summary = QSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+    val bytes = sketch.asInstanceOf[Array[Byte]]
     val arr = qs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     new GenericArrayData(
-      arr.toDoubleArray().map(q => summary.query(q).map(Double.box).orNull))
+      arr.toDoubleArray().map(q => SketchDispatch.quantile(bytes, q).map(Double.box).orNull))
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ValuesAtQuantiles =

@@ -282,6 +282,38 @@ class FnSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("JSON") || bad.getCause != null)
   }
 
+  test("t-digest: accurate mid + tail quantiles, partials merge, weights honored") {
+    ready()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val exact = spark.sql(
+        """SELECT percentile(l_extendedprice, array(0.48, 0.5, 0.52, 0.99, 0.995, 0.9985, 0.999, 0.9995)),
+          |  max(l_extendedprice)
+          |FROM lineitem""".stripMargin).collect()(0)
+      val ps = exact.getSeq[Double](0)
+      val mx = exact.getDouble(1)
+      val est = spark.sql(
+        s"""WITH g AS (SELECT l_returnflag, tdigest_agg(l_extendedprice) AS td
+           |           FROM lineitem GROUP BY l_returnflag)
+           |SELECT value_at_quantile(merge_tdigest(td), 0.5D),
+           |       value_at_quantile(merge_tdigest(td), 0.999D),
+           |       quantile_at_value(merge_tdigest(td), CAST(${ps(1)} AS DOUBLE))
+           |FROM g""".stripMargin).collect()(0)
+      assert(est.getDouble(0) >= ps(0) && est.getDouble(0) <= ps(2),
+        s"p50 ${est.getDouble(0)} outside [${ps(0)}, ${ps(2)}]")
+      assert(est.getDouble(1) >= ps(5) && est.getDouble(1) <= mx,
+        s"p999 ${est.getDouble(1)} outside [${ps(5)}, $mx] — tail accuracy is t-digest's point")
+      assert(math.abs(est.getDouble(2) - 0.5) < 0.02,
+        s"rank of exact median should be ~0.5, got ${est.getDouble(2)}")
+      // weighted arity: 10% of mass at 1, 90% at 100 → p50 = 100
+      val w = spark.sql(
+        """SELECT value_at_quantile(tdigest_agg(x, w), 0.5D)
+          |FROM VALUES (1.0, 1.0), (100.0, 9.0) AS t(x, w)""".stripMargin).collect()(0).getDouble(0)
+      assert(w > 50.0, s"weighted median must land on the heavy centroid, got $w")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("Presto type spellings translate to Spark DDL") {
     import graft.functions.GraftSqlParser.translateType
     assert(translateType("ARRAY(VARCHAR)") == "ARRAY<STRING>")
