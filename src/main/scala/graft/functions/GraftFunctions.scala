@@ -361,6 +361,13 @@ object GraftFunctions {
       case Seq(c, w) => TDigestAgg(c, w).toAggregateExpression()
     },
     "merge_tdigest" -> { args => MergeTDigestAgg(args.head).toAggregateExpression() },
+    // setdigest family (type/setdigest/SetDigestFunctions.java) — HLL +
+    // bottom-k minhash; cardinality() dispatches on the sketch magic
+    "make_set_digest" -> { case Seq(c) => MakeSetDigestAgg(c).toAggregateExpression() },
+    "merge_set_digest" -> { case Seq(c) => MergeSetDigestAgg(c).toAggregateExpression() },
+    "intersection_cardinality" -> { case Seq(a, b) => IntersectionCardinality(a, b) },
+    "jaccard_index" -> { case Seq(a, b) => JaccardIndex(a, b) },
+    "hash_counts" -> { case Seq(c) => HashCounts(c) },
     // MultimapAggregationFunction — map<k, array<v>>
     "multimap_agg" -> { case Seq(k, v) => MultimapAgg(k, v).toAggregateExpression() },
     // skew-safety primitive (no reference equivalent): collect_list with a

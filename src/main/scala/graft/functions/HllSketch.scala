@@ -164,15 +164,22 @@ case class MergeHllAgg(
     copy(child = newChild)
 }
 
-/** `cardinality(hll sketch)` → BIGINT estimate (HyperLogLogFunctions.java:28). */
+/** `cardinality(sketch)` → BIGINT estimate — HLL (0x48) or setdigest
+  * (0x44, which carries an HLL inside; HyperLogLogFunctions.java:28,
+  * SetDigestFunctions.java:47).
+  */
 case class HllCardinality(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def prettyName: String = "cardinality"
   override def dataType: DataType = LongType
 
-  override protected def nullSafeEval(input: Any): Any =
-    Hll.cardinality(input.asInstanceOf[Array[Byte]])
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (SetDigestCodec.isSetDigest(bytes))
+      SetDigestCodec.deserialize(bytes).cardinality()
+    else Hll.cardinality(bytes)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): HllCardinality =
     copy(child = newChild)

@@ -244,6 +244,35 @@ object PrestoFnOps extends QueryGroup {
               |ORDER BY grp""".stripMargin)
     },
 
+    // setdigest family (type/setdigest/SetDigestFunctions.java): exact
+    // intersection/jaccard while under the 8192-hash cap, HLL-backed
+    // cardinality — compared against exactly-computed set overlaps
+    q("fn_set_digest",
+      """WITH sets AS (
+        |  SELECT l_partkey,
+        |    max(CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS in_b
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(in_a * in_b) AS BIGINT) AS inter_exact,
+        |  true AS jaccard_ok, true AS card_ok
+        |FROM sets""".stripMargin) { (s, _) =>
+      s.sql("""WITH d AS (
+              |  SELECT make_set_digest(CASE WHEN l_orderkey % 4 = 0 THEN l_partkey END) AS da,
+              |         make_set_digest(CASE WHEN l_orderkey % 2 = 0 THEN l_partkey END) AS db
+              |  FROM lineitem),
+              |sets AS (
+              |  SELECT l_partkey,
+              |    max(CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS in_a,
+              |    max(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS in_b
+              |  FROM lineitem GROUP BY l_partkey),
+              |ex AS (SELECT sum(in_a * in_b) AS inter, sum(greatest(in_a, in_b)) AS uni,
+              |              sum(in_a) AS na FROM sets)
+              |SELECT intersection_cardinality(da, db) AS inter_exact,
+              |  abs(jaccard_index(da, db) - CAST(ex.inter AS DOUBLE) / ex.uni) < 0.05 AS jaccard_ok,
+              |  abs(cardinality(da) - ex.na) <= CAST(0.05 * ex.na AS BIGINT) AS card_ok
+              |FROM d CROSS JOIN ex""".stripMargin)
+    },
+
     // multimap_agg: all values per key as map<k, array<v>>
     q("fn_multimap",
       """WITH m AS (

@@ -314,6 +314,40 @@ class FnSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("set_digest: exact intersection/jaccard under the cap, digests re-merge") {
+    ready()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      // disjoint + overlapping small sets with known overlap: A={1..100},
+      // B={51..150} → |A∩B|=50, J=50/150
+      val r = spark.sql(
+        """WITH v AS (SELECT explode(sequence(1, 150)) AS x),
+          |d AS (SELECT make_set_digest(CASE WHEN x <= 100 THEN x END) AS da,
+          |             make_set_digest(CASE WHEN x > 50 THEN x END) AS db
+          |      FROM v)
+          |SELECT intersection_cardinality(da, db),
+          |       jaccard_index(da, db),
+          |       cardinality(da),
+          |       cardinality(hash_counts(da))
+          |FROM d""".stripMargin).collect()(0)
+      assert(r.getLong(0) == 50L, s"exact intersection must be 50, got ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(1) - 50.0 / 150.0) < 0.12,
+        s"jaccard ~1/3, got ${r.getDouble(1)}")
+      assert(math.abs(r.getLong(2) - 100L) <= 5, s"cardinality ~100, got ${r.getLong(2)}")
+      assert(r.getLong(3) == 100L, "hash_counts must expose every retained hash")
+      // merge path: per-group digests re-merge to the global digest
+      val m = spark.sql(
+        """WITH g AS (SELECT l_returnflag, make_set_digest(l_partkey) AS d
+          |           FROM lineitem GROUP BY l_returnflag)
+          |SELECT intersection_cardinality(merge_set_digest(d), merge_set_digest(d)) AS self_inter,
+          |       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact
+          |FROM g""".stripMargin).collect()(0)
+      assert(m.getLong(0) == m.getLong(1),
+        s"merged digest self-intersection must equal exact distinct count while exact: $m")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("Presto type spellings translate to Spark DDL") {
     import graft.functions.GraftSqlParser.translateType
     assert(translateType("ARRAY(VARCHAR)") == "ARRAY<STRING>")
