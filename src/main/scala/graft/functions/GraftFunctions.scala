@@ -125,6 +125,25 @@ object GraftFnUtils {
     java.nio.ByteBuffer.wrap(b).getInt
   }
 
+  /** great_circle_distance(lat1, lon1, lat2, lon2) → km — the reference's
+    * exact Vincenty-on-sphere formula and 6371.01 km radius
+    * (presto-geospatial-toolkit SphericalGeographyUtils.java:82).
+    */
+  def greatCircleDistance(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    require(lat1 >= -90 && lat1 <= 90 && lat2 >= -90 && lat2 <= 90, "latitude must be in [-90, 90]")
+    require(lon1 >= -180 && lon1 <= 180 && lon2 >= -180 && lon2 <= 180, "longitude must be in [-180, 180]")
+    val rLat1 = math.toRadians(lat1)
+    val rLat2 = math.toRadians(lat2)
+    val sin1 = math.sin(rLat1); val cos1 = math.cos(rLat1)
+    val sin2 = math.sin(rLat2); val cos2 = math.cos(rLat2)
+    val dLon = math.toRadians(lon1) - math.toRadians(lon2)
+    val cosDLon = math.cos(dLon)
+    val t1 = cos2 * math.sin(dLon)
+    val t2 = cos1 * sin2 - sin1 * cos2 * cosDLon
+    val t3 = sin1 * sin2 + cos1 * cos2 * cosDLon
+    math.atan2(math.sqrt(t1 * t1 + t2 * t2), t3) * 6371.01
+  }
+
   /** MathFunctions.java cosine_similarity(map<varchar,double>,
     * map<varchar,double>): sparse-vector cosine; NULL when either norm
     * is zero (matches the reference's NaN-avoidance contract).
@@ -510,6 +529,23 @@ object GraftFunctions {
         Multiply(Signum(xd), Divide(Cast(Floor(Multiply(Abs(xd), factor)), DoubleType), factor))
     },
     "mod" -> { case Seq(a, b) => Remainder(a, b) },
+
+    // ── spatial, points subset (presto-geospatial/GeoFunctions.java;
+    // geometry runtime descoped — no geometry lib in the container) ──
+    "st_point" -> { case Seq(x, y) =>
+      CreateNamedStruct(Seq(Literal("x"), Cast(x, DoubleType), Literal("y"), Cast(y, DoubleType))) },
+    "st_x" -> { case Seq(p) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(p, Literal("x")) },
+    "st_y" -> { case Seq(p) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(p, Literal("y")) },
+    // planar euclidean distance between two points (GeoFunctions ST_Distance)
+    "st_distance" -> { case Seq(a, b) =>
+      def f(p: Expression, n: String) =
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(p, Literal(n))
+      val dx = Subtract(f(a, "x"), f(b, "x"))
+      val dy = Subtract(f(a, "y"), f(b, "y"))
+      Sqrt(Add(Multiply(dx, dx), Multiply(dy, dy)))
+    },
     // width_bucket (MathFunctions.java:65): 4-arg equi-width form maps to
     // Spark's native WidthBucket; the bins-array form is the count of
     // (sorted ascending) bin bounds ≤ x, composed from codegen'd HOFs
@@ -603,6 +639,9 @@ object GraftFunctions {
     spark.udf.register("cosine_similarity",
       (a: Map[String, Double], b: Map[String, Double]) =>
         GraftFnUtils.cosineSimilarityMaps(a, b))
+    spark.udf.register("great_circle_distance",
+      (lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
+        GraftFnUtils.greatCircleDistance(lat1, lon1, lat2, lon2))
   }
 }
 

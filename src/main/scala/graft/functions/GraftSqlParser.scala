@@ -81,7 +81,36 @@ object GraftSqlParser {
       prev = out
       out = ArrayLiteral.replaceAllIn(out, m => s"array(${m.group(1)})")
     }
-    rewriteCasts(rewriteUnnest(out))
+    rewriteCasts(rewriteMapCtor(rewriteUnnest(out)))
+  }
+
+  private val MapCtorStart = raw"(?i)\bMAP\s*\(".r
+
+  /** Presto's two-array map constructor `MAP(ARRAY[…], ARRAY[…])`
+    * (MapConstructor.java) → `map_from_arrays(…)`. Spark's variadic
+    * `map(k1, v1, …)` keeps its meaning: the rewrite fires only when the
+    * call has exactly two top-level arguments and both are array
+    * constructors (by that point ARRAY[…] literals are already
+    * `array(…)`). The one shadowed Spark form — a two-entry
+    * `map(array(…), array(…))` with array KEYS — is pathological (array
+    * keys defeat every map operation) and documented away.
+    */
+  private def rewriteMapCtor(sql: String): String = {
+    MapCtorStart.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchingParen(sql, open)
+        if (close < 0) return sql
+        val body = rewriteMapCtor(sql.substring(open + 1, close))
+        val tail = rewriteMapCtor(sql.substring(close + 1))
+        val args = splitTopLevel(body)
+        val isTwoArrays = args.length == 2 &&
+          args.forall(a => a.toLowerCase.startsWith("array") &&
+            a.drop(5).trim.startsWith("("))
+        val ctor = if (isTwoArrays) s"map_from_arrays($body)" else s"MAP($body)"
+        sql.substring(0, m.start) + ctor + tail
+    }
   }
 
   /** `CROSS JOIN UNNEST(args) AS t(cols)` → LATERAL VIEW form (see class

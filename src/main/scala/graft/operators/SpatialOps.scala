@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.QueryGroup
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spatial join, points subset (reference: SpatialJoinOperator +
+  * ExtractSpatialJoins in presto-main, ST_Point/ST_Distance in
+  * presto-geospatial/GeoFunctions.java). The survey descopes the full
+  * geometry runtime (no geometry library in this container — polygons,
+  * WKT parsing, KdbTree partitioning stay out of scope, documented);
+  * what IS in scope is the part that decides scalability: a distance
+  * join that never goes all-pairs.
+  *
+  * 100 TB design — grid bucketing (the planar analog of the reference's
+  * KdbTree spatial partitioning, SpatialPartitioningAggregateFunction
+  * .java): hash every left point into its radius-sized grid cell, every
+  * right point into its cell AND the 8 neighbors (3×3 explode), then an
+  * EQUI-join on the cell key + exact distance filter. Cost is
+  * Σ|cell|·|neighborhood| — linear for bounded point density — and the
+  * join is a plain shuffled/broadcast hash join Catalyst can plan
+  * (PlanSpec pins: no CartesianProduct). A naive theta-join
+  * `ST_Distance(a, b) < r` is the cross product the reference's
+  * ExtractSpatialJoins optimizer rewrite exists to avoid.
+  */
+object SpatialOps extends QueryGroup {
+
+  /** Distance join: pairs (left, right) with euclidean distance < radius.
+    * Inputs need `x`/`y` columns plus the given id columns.
+    */
+  def distanceJoin(left: DataFrame, right: DataFrame, radius: Double,
+      leftId: String, rightId: String): DataFrame = {
+    def cell(c: Column): Column = floor(c / lit(radius)).cast("long")
+    val l = left.select(col(leftId), col("x").as("lx"), col("y").as("ly"),
+      cell(col("x")).as("cx"), cell(col("y")).as("cy"))
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
+    val r = right.select(col(rightId), col("x").as("rx"), col("y").as("ry"))
+      .withColumn("o", explode(offsets))
+      .select(col(rightId), col("rx"), col("ry"),
+        (cell(col("rx")) + col("o.dx")).as("cx"),
+        (cell(col("ry")) + col("o.dy")).as("cy"))
+    l.join(r, Seq("cx", "cy"))
+      .withColumn("dist",
+        sqrt(pow(col("lx") - col("rx"), 2) + pow(col("ly") - col("ry"), 2)))
+      .filter(col("dist") < radius)
+      .select(col(leftId), col(rightId), round(col("dist"), 4).as("dist"))
+  }
+
+  // deterministic synthetic planar coordinates (the fixture has no geo
+  // columns); same arithmetic on both engines so the oracle reproduces it
+  private def pts(table: String, id: String, a: Int, b: Int): String =
+    s"""SELECT $id, CAST($id * $a % 997 AS DOUBLE) / 10.0 AS x,
+       |  CAST($id * $b % 983 AS DOUBLE) / 10.0 AS y FROM $table""".stripMargin
+
+  def defs = Seq(
+    // grid-bucketed distance join vs the oracle's brute-force cross join
+    q("spatial_distance_join",
+      s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+         |s AS (${pts("supplier", "s_suppkey", 53, 67)})
+         |SELECT c_custkey, s_suppkey,
+         |  round(sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)), 4) AS dist
+         |FROM c CROSS JOIN s
+         |WHERE sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)) < 3.0
+         |ORDER BY c_custkey, s_suppkey""".stripMargin) { (sp, _) =>
+      val c = sp.sql(pts("customer", "c_custkey", 37, 91))
+      val s = sp.sql(pts("supplier", "s_suppkey", 53, 67))
+      distanceJoin(c, s, 3.0, "c_custkey", "s_suppkey")
+        .orderBy("c_custkey", "s_suppkey")
+    },
+
+    // point scalars + spherical distance (SphericalGeoFunctions.java:171)
+    q("spatial_point_fns",
+      s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)})
+         |SELECT c_custkey, x AS px, y AS py,
+         |  round(sqrt(x * x + y * y), 4) AS dist_origin,
+         |  round(2 * 6371.01 * asin(sqrt(
+         |    sin(radians(y / 2 - 40) / 2) * sin(radians(y / 2 - 40) / 2) +
+         |    cos(radians(40)) * cos(radians(y / 2)) *
+         |    sin(radians(x - 70) / 2) * sin(radians(x - 70) / 2))), 1) AS gc_km
+         |FROM c WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin) { (sp, _) =>
+      sp.sql(
+        s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+           |p AS (SELECT c_custkey, st_point(x, y) AS pt FROM c WHERE c_custkey < 200)
+           |SELECT c_custkey, st_x(pt) AS px, st_y(pt) AS py,
+           |  round(st_distance(pt, st_point(0.0D, 0.0D)), 4) AS dist_origin,
+           |  round(great_circle_distance(40.0D, 70.0D, st_y(pt) / 2, st_x(pt)), 1) AS gc_km
+           |FROM p ORDER BY c_custkey""".stripMargin)
+    },
+  )
+}

@@ -348,6 +348,24 @@ class FnSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("MAP(ARRAY[...], ARRAY[...]) constructor and spatial point scalars") {
+    ready()
+    val m = spark.sql("SELECT MAP(ARRAY['a', 'b'], ARRAY[1, 2])")
+      .collect()(0).getMap[String, Int](0)
+    assert(m == Map("a" -> 1, "b" -> 2))
+    // Spark's variadic map() must keep working
+    val m2 = spark.sql("SELECT map('k', 7)").collect()(0).getMap[String, Int](0)
+    assert(m2 == Map("k" -> 7))
+    val r = spark.sql(
+      """SELECT st_x(st_point(3.0D, 4.0D)), st_y(st_point(3.0D, 4.0D)),
+        |  st_distance(st_point(0.0D, 0.0D), st_point(3.0D, 4.0D)),
+        |  round(great_circle_distance(36.12, -86.67, 33.94, -118.40), 0)""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 4.0 && r.getDouble(2) == 5.0)
+    // canonical test pair (BNA→LAX) ≈ 2886 km on a 6371.01 km sphere
+    assert(math.abs(r.getDouble(3) - 2886.0) <= 1.0, s"got ${r.getDouble(3)}")
+  }
+
   test("Presto type spellings translate to Spark DDL") {
     import graft.functions.GraftSqlParser.translateType
     assert(translateType("ARRAY(VARCHAR)") == "ARRAY<STRING>")

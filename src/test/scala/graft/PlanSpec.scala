@@ -76,6 +76,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen"), "agg path must be codegen'd")
   }
 
+  test("spatial distance join is a grid equi-join, not a cartesian product") {
+    val p = plan("spatial_distance_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"distance join must bucket to an equi-join (reference ExtractSpatialJoins analog):\n$p")
+  }
+
   test("CBO: ANALYZE feeds rowCount stats and join reorder uses them") {
     // The session claims spark.sql.cbo.* — this pins that the claim is
     // real for CATALOG tables (temp views carry no stats, documented):
