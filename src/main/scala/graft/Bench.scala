@@ -22,7 +22,11 @@ object Bench {
     // fn_histogram_map (not fn_approx_set_hll): the HLL query's cost is
     // its exact-count verification subqueries, not the sketch itself —
     // the histogram aggregate is the representative sketch-path op
-    "fn_checksum", "fn_histogram_map")
+    "fn_checksum", "fn_histogram_map",
+    // round-3 op: grid-bucketed spatial join. (fn_tdigest is NOT here
+    // for the same reason as fn_approx_set_hll: its runtime is the
+    // exact-percentile verification subqueries, not the sketch.)
+    "spatial_distance_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -15,7 +15,9 @@ class ConfigMatrixSpec extends AnyFunSuite {
   private val queries = Seq(
     "q01_pricing_summary", "q05_local_supplier", "join_full_outer",
     "agg_grouping_sets", "win_ranking", "fn_checksum",
-    "dd_exact", "ev_session_window")
+    "dd_exact", "ev_session_window",
+    // round 3: imperative map aggregate, spatial grid join, verbatim text
+    "fn_map_agg", "spatial_distance_join", "dialect_q01_verbatim")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)
