@@ -70,7 +70,7 @@ object GraftSqlParser {
     raw"(?i)\bARRAY\[([^\[\]]*)\]".r
   private val CastStart = raw"(?i)\bCAST\s*\(".r
   private val UnnestStart = raw"(?is)\bCROSS\s+JOIN\s+UNNEST\s*\(".r
-  private val UnnestAlias = raw"(?is)^\s+AS\s+(\w+)\s*\(([^()]*)\)".r
+  private val UnnestAlias = raw"(?is)^\s+(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(([^()]*)\)".r
 
   def rewrite(sql: String): String = {
     var out = DateAddDiff.replaceAllIn(sql, m =>
@@ -126,11 +126,20 @@ object GraftSqlParser {
         UnnestAlias.findFirstMatchIn(sql.substring(close + 1)) match {
           case Some(t) =>
             val args = splitTopLevel(sql.substring(open + 1, close))
+            val ordinality = t.group(1) != null
             val gen =
-              if (args.length == 1) s"explode(${args.head})"
+              if (ordinality) {
+                // Presto puts the 1-based ordinality column LAST; an
+                // index lambda builds (element, ordinal) structs so
+                // inline emits the columns in that order (arrays only —
+                // maps WITH ORDINALITY are out of textual scope)
+                require(args.length == 1,
+                  "UNNEST WITH ORDINALITY rewrite supports a single array argument")
+                s"inline(transform(${args.head}, (e, i) -> struct(e, CAST(i + 1 AS BIGINT))))"
+              } else if (args.length == 1) s"explode(${args.head})"
               else s"inline(arrays_zip(${args.mkString(", ")}))"
             sql.substring(0, m.start) +
-              s" LATERAL VIEW $gen ${t.group(1)} AS ${t.group(2)}" +
+              s" LATERAL VIEW $gen ${t.group(2)} AS ${t.group(3)}" +
               rewriteUnnest(sql.substring(close + 1 + t.end))
           case None => // no alias list — leave for the real parser to reject
             sql.substring(0, close + 1) + rewriteUnnest(sql.substring(close + 1))

@@ -136,6 +136,21 @@ object SetRelOps extends QueryGroup {
               |ORDER BY n_nationkey, coalesce(x, 99), y""".stripMargin)
     },
 
+    // UNNEST WITH ORDINALITY through the dialect parser's textual form —
+    // ordinality 1-based, LAST column, as the reference's grammar places
+    // it (SqlBase.g4:304)
+    q("unnest_with_ordinality",
+      """SELECT vec_id, round(CAST(unnest(embedding) AS DOUBLE), 5) AS val,
+        |  CAST(generate_subscripts(embedding, 1) AS BIGINT) AS ord
+        |FROM embeddings WHERE vec_id < 30
+        |ORDER BY vec_id, ord""".stripMargin) { (s, _) =>
+      s.sql("""SELECT vec_id, round(CAST(t.v AS DOUBLE), 5) AS val, t.ord
+              |FROM embeddings
+              |CROSS JOIN UNNEST(embedding) WITH ORDINALITY AS t(v, ord)
+              |WHERE vec_id < 30
+              |ORDER BY vec_id, ord""".stripMargin)
+    },
+
     // TABLESAMPLE (reference SampleNode.java:32) — sampling is
     // engine-specific, so the check is rows-only; the spec pins bounds
     qNoOracle("sample_bernoulli") { (s, _) =>
