@@ -247,24 +247,28 @@ object PrestoFnOps extends QueryGroup {
     // setdigest family (type/setdigest/SetDigestFunctions.java): exact
     // intersection/jaccard while under the 8192-hash cap, HLL-backed
     // cardinality — compared against exactly-computed set overlaps
+    // elements taken mod 5000 so the distinct count stays under the
+    // digest's 8192-hash cap at ANY scale factor — the exact-intersection
+    // pin must not silently flip to approximate mode at bigger SFs
+    // (approximate behavior is spec-covered in FnSpec instead)
     q("fn_set_digest",
       """WITH sets AS (
-        |  SELECT l_partkey,
+        |  SELECT l_partkey % 5000 AS k,
         |    max(CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS in_a,
         |    max(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS in_b
-        |  FROM lineitem GROUP BY l_partkey)
+        |  FROM lineitem GROUP BY 1)
         |SELECT CAST(sum(in_a * in_b) AS BIGINT) AS inter_exact,
         |  true AS jaccard_ok, true AS card_ok
         |FROM sets""".stripMargin) { (s, _) =>
       s.sql("""WITH d AS (
-              |  SELECT make_set_digest(CASE WHEN l_orderkey % 4 = 0 THEN l_partkey END) AS da,
-              |         make_set_digest(CASE WHEN l_orderkey % 2 = 0 THEN l_partkey END) AS db
+              |  SELECT make_set_digest(CASE WHEN l_orderkey % 4 = 0 THEN l_partkey % 5000 END) AS da,
+              |         make_set_digest(CASE WHEN l_orderkey % 2 = 0 THEN l_partkey % 5000 END) AS db
               |  FROM lineitem),
               |sets AS (
-              |  SELECT l_partkey,
+              |  SELECT l_partkey % 5000 AS k,
               |    max(CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS in_a,
               |    max(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS in_b
-              |  FROM lineitem GROUP BY l_partkey),
+              |  FROM lineitem GROUP BY 1),
               |ex AS (SELECT sum(in_a * in_b) AS inter, sum(greatest(in_a, in_b)) AS uni,
               |              sum(in_a) AS na FROM sets)
               |SELECT intersection_cardinality(da, db) AS inter_exact,

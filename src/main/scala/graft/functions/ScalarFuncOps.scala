@@ -297,7 +297,7 @@ object ScalarFuncOps extends QueryGroup {
         |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
         |  round(CAST(list_max(embedding) AS DOUBLE), 5) AS mx,
         |  round(CAST(list_min(embedding) AS DOUBLE), 5) AS mn,
-        |  array_to_string(list_transform(embedding[1:3], x -> CAST(round(CAST(x AS DOUBLE), 3) AS VARCHAR)), ',') AS head3
+        |  array_to_string(list_transform(embedding[1:3], x -> CAST(round(CAST(x AS DOUBLE), 3) + 0.0 AS VARCHAR)), ',') AS head3
         |FROM embeddings
         |WHERE vec_id < 100
         |ORDER BY vec_id""".stripMargin) { (s, _) =>
@@ -309,7 +309,9 @@ object ScalarFuncOps extends QueryGroup {
               |  size(filter(embedding, x -> x > 0)) AS n_pos,
               |  round(CAST(array_max(embedding) AS DOUBLE), 5) AS mx,
               |  round(CAST(array_min(embedding) AS DOUBLE), 5) AS mn,
-              |  array_join(transform(slice(embedding, 1, 3), x -> CAST(round(CAST(x AS DOUBLE), 3) AS STRING)), ',') AS head3
+              |  -- "+ 0.0" normalizes IEEE negative zero (round(-0.0002, 3)
+              |  -- prints "-0.0" on one engine and "0.0" on the other)
+              |  array_join(transform(slice(embedding, 1, 3), x -> CAST(round(CAST(x AS DOUBLE), 3) + 0.0D AS STRING)), ',') AS head3
               |FROM embeddings
               |WHERE vec_id < 100
               |ORDER BY vec_id""".stripMargin)

@@ -82,6 +82,35 @@ class PlanSpec extends AnyFunSuite {
       s"distance join must bucket to an equi-join (reference ExtractSpatialJoins analog):\n$p")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The 100 TB skew story has two layers: salting for aggregation
+    // (agg_salted_twophase, oracle-checked) and AQE's OptimizeSkewedJoin
+    // for joins — this pins the latter actually firing: one hot key
+    // carrying ~90% of the probe side must be split after execution.
+    import org.apache.spark.sql.functions.{col, when}
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(200000)
+        .select(when(col("id") < 180000, 0L).otherwise(col("id")).as("k"), col("id").as("v"))
+      val right = spark.range(2000).select(col("id").as("k"))
+      val joined = left.join(right, "k").groupBy().count()
+      joined.collect() // execute THIS QueryExecution so AQE finalizes it
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot-key join as skew-handled:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("CBO: ANALYZE feeds rowCount stats and join reorder uses them") {
     // The session claims spark.sql.cbo.* — this pins that the claim is
     // real for CATALOG tables (temp views carry no stats, documented):
