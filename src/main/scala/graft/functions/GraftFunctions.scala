@@ -436,6 +436,18 @@ object GraftFunctions {
     "to_utf8" -> { case Seq(s) => Encode(s, Literal("UTF-8")) },
     "split_to_map" -> { case Seq(s, ed, kd) => StringToMap(s, ed, kd) },
 
+    // ── array family (Presto names Spark spells differently) ──
+    // ArrayConstructor zip (operator/scalar/ZipFunction.java): positional
+    // struct-zip, null-padded
+    "zip" -> { args => ArraysZip(args) },
+    // RepeatFunction.java: repeat(element, count) → ARRAY[element, …] —
+    // Presto's name wins over Spark's string repeat (policy as with
+    // from_unixtime); string repetition remains reachable via rpad/concat
+    "repeat" -> { case Seq(e, n) => ArrayRepeat(e, n) },
+    // ArrayContains.java `contains` — type-dispatched so Spark's string
+    // contains keeps working
+    "contains" -> { case Seq(a, e) => ContainsDispatch(a, e) },
+
     // ── JSON family (JsonFunctions.java:64, JsonExtract.java:116) ──
     "json_extract" -> { case Seq(j, p) => GetJsonObject(j, p) },
     // json_extract_scalar returns NULL when the path lands on an

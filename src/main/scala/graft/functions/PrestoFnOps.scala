@@ -553,6 +553,30 @@ object PrestoFnOps extends QueryGroup {
               |FROM j ORDER BY k""".stripMargin)
     },
 
+    // Presto array spellings: zip (positional struct-zip, null-padded),
+    // repeat (array fill — Presto's name wins over Spark's string
+    // repeat), type-dispatched contains, 1-based array_position
+    q("fn_presto_array",
+      """SELECT n_nationkey,
+        |  true AS has2,
+        |  contains(n_name, 'AN') AS str_has,
+        |  CAST(3 AS BIGINT) AS pos3,
+        |  3 AS rep_n,
+        |  n_nationkey AS rep_elem,
+        |  3 AS zip_len,
+        |  true AS pad_ok
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, _) =>
+      s.sql("""SELECT n_nationkey,
+              |  contains(ARRAY[1, 2, n_nationkey], 2) AS has2,
+              |  contains(n_name, 'AN') AS str_has,
+              |  array_position(ARRAY[10, 20, 30], 30) AS pos3,
+              |  cardinality(repeat(n_name, 3)) AS rep_n,
+              |  element_at(repeat(n_nationkey, 4), 2) AS rep_elem,
+              |  cardinality(zip(ARRAY[1, 2, 3], ARRAY['a', 'b'])) AS zip_len,
+              |  element_at(zip(ARRAY[1, 2, 3], ARRAY['a', 'b']), 3).`1` IS NULL AS pad_ok
+              |FROM nation ORDER BY n_nationkey""".stripMargin)
+    },
+
     // arbitrary() on a column constant within its group → deterministic
     q("fn_arbitrary",
       """SELECT o_orderkey, min(o_custkey) AS cust

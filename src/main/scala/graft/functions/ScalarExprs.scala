@@ -76,6 +76,25 @@ case class CastToJson(child: Expression)
     copy(child = newChild)
 }
 
+/** Presto `contains(array, elem)` — but Spark SQL also has a string
+  * `contains(str, substr)` users expect to keep working, so dispatch on
+  * the resolved first-argument type.
+  */
+case class ContainsDispatch(left: Expression, right: Expression)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def prettyName: String = "contains"
+
+  override lazy val replacement: Expression = left.dataType match {
+    case _: ArrayType => ArrayContains(left, right)
+    case _ => Contains(left, right)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ContainsDispatch =
+    copy(left = l, right = r)
+}
+
 object StaticInvokeJsonQuote {
   def apply(child: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(

@@ -59,7 +59,7 @@ object ScalarFuncOps extends QueryGroup {
               |  CAST(instr(c_name, '#') AS BIGINT) AS hashpos,
               |  left(c_name, 4) AS l4,
               |  right(c_name, 4) AS r4,
-              |  repeat('ab', 3) AS rep,
+              |  array_join(repeat('ab', 3), '') AS rep,
               |  ascii(c_name) AS first_code,
               |  chr(65 + CAST(c_custkey % 26 AS INT)) AS cyc,
               |  translate(c_name, '#0', '_O') AS trans,
