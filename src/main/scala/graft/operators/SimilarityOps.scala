@@ -133,11 +133,71 @@ object SimilarityOps extends QueryGroup {
       .orderBy("q_id", "rk")
   }
 
+  /** Persisted-index IVF: the deployment shape of ivfAnnTopK. The
+    * assignment table is written ONCE as parquet physically partitioned
+    * by cell id; probes read it back and filter on the (driver-known,
+    * ≤ queries×nprobe element) probed-cell set, so the scan PRUNES to
+    * nprobe/nlist of the index partitions — the property that makes an
+    * ANN probe touch GBs, not the whole 100 TB corpus. The cell list
+    * collect is driver-side by design and tiny (same class as the
+    * centroid array); SimilaritySpec pins both recall and the
+    * PartitionFilters line in the scan.
+    */
+  private val ivfIndexFor =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  def ivfPersistedAnnTopK(spark: SparkSession, emb: DataFrame, sfDir: String,
+      numQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 6): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivf-index-" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val df = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("features", toVec(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(df)
+    if (ivfIndexFor.put(spark, indexDir) != indexDir) {
+      model.transform(df)
+        .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    }
+    val index = spark.read.parquet(indexDir)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val probe = udf((a: Seq[Float]) => {
+      val x = a.map(_.toDouble).toArray
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < x.length) { val t = c(j) - x(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    })
+    val qs = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probe(col("embedding"))).as("cell"))
+    val probedCells = qs.select("cell").distinct().collect().map(_.getInt(0))
+    val pruned = index.filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val scored = broadcast(qs).join(pruned, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rk")
+  }
+
   def defs = Seq(
     // ── IVF-bucketed ANN (k-means coarse quantizer; engine-specific
     // clustering → no SQL oracle; SimilaritySpec measures recall@5) ──
     qNoOracle("sim_ivf_ann") { (s, _) =>
       ivfAnnTopK(s.table("embeddings"))
+    },
+    // persisted-index variant: cell-partitioned parquet + pruned probe
+    qNoOracle("sim_ivf_persisted") { (s, dir) =>
+      ivfPersistedAnnTopK(s, s.table("embeddings"), dir)
     },
     // ── brute-force cosine top-k (k=5) for a 10-vector query set ──
     q("sim_cosine_topk",

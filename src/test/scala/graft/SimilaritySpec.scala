@@ -46,6 +46,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("persisted IVF index: identical results to in-memory IVF, pruned scan") {
+    val sf = "/root/testdata/sf0.01"
+    Tables.register(spark, sf)
+    val mem = SparkEntry.queries("sim_ivf_ann")(spark, sf).collect().toSeq
+    val persisted = SparkEntry.queries("sim_ivf_persisted")(spark, sf)
+    val per = persisted.collect().toSeq
+    assert(per == mem,
+      "probing the persisted cell-partitioned index must reproduce the in-memory IVF results")
+    // the deployment property: the probe's index scan carries a partition
+    // filter on cell — it reads nprobe-ish partitions, never the corpus
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") || plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"index scan must prune on the probed cells:\n$plan")
+    Tables.register(spark, TestSession.sf)
+  }
+
   test("LSH ANN recall@5 vs exact top-5 is at least 0.6") {
     Tables.register(spark, TestSession.sf)
     val exact = SparkEntry.queries("sim_cosine_topk")(spark, TestSession.sf)
