@@ -108,7 +108,9 @@ object GraftSqlParser {
         val isTwoArrays = args.length == 2 &&
           args.forall(a => a.toLowerCase.startsWith("array") &&
             a.drop(5).trim.startsWith("("))
-        val ctor = if (isTwoArrays) s"map_from_arrays($body)" else s"MAP($body)"
+        val ctor =
+          if (isTwoArrays) s"map_from_arrays($body)"
+          else sql.substring(m.start, open) + s"($body)" // keep original spelling
         sql.substring(0, m.start) + ctor + tail
     }
   }
@@ -139,7 +141,7 @@ object GraftSqlParser {
               } else if (args.length == 1) s"explode(${args.head})"
               else s"inline(arrays_zip(${args.mkString(", ")}))"
             sql.substring(0, m.start) +
-              s" LATERAL VIEW $gen ${t.group(2)} AS ${t.group(3)}" +
+              s"LATERAL VIEW $gen ${t.group(2)} AS ${t.group(3)}" +
               rewriteUnnest(sql.substring(close + 1 + t.end))
           case None => // no alias list — leave for the real parser to reject
             sql.substring(0, close + 1) + rewriteUnnest(sql.substring(close + 1))

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftSqlParser.rewrite
+
+/** Direct pins for the dialect parser's textual rewrites — these run on
+  * EVERY statement the engine parses, so each transformation and, just
+  * as important, each non-transformation (plain Spark SQL must pass
+  * through byte-identical) gets an explicit contract here.
+  */
+class ParserSpec extends AnyFunSuite {
+
+  test("date_add/date_diff quoted units become timestampadd/timestampdiff") {
+    assert(rewrite("SELECT date_add('day', 5, ts)") == "SELECT timestampadd(day, 5, ts)")
+    assert(rewrite("SELECT date_diff('month', a, b)") == "SELECT timestampdiff(month, a, b)")
+  }
+
+  test("ARRAY literals convert innermost-first so nesting works") {
+    assert(rewrite("SELECT ARRAY[1, 2, 3]") == "SELECT array(1, 2, 3)")
+    assert(rewrite("SELECT ARRAY[ARRAY[1], ARRAY[2]]") == "SELECT array(array(1), array(2))")
+  }
+
+  test("CAST rewrites: JSON, Presto complex types, bare VARCHAR") {
+    assert(rewrite("SELECT CAST(x AS JSON)") == "SELECT cast_to_json(x)")
+    assert(rewrite("SELECT CAST(j AS ARRAY(VARCHAR))") == "SELECT from_json(j, 'ARRAY<STRING>')")
+    assert(rewrite("SELECT CAST(j AS MAP(VARCHAR, BIGINT))") ==
+      "SELECT from_json(j, 'MAP<STRING, BIGINT>')")
+    assert(rewrite("SELECT CAST(j AS ROW(a VARCHAR, b DOUBLE))") ==
+      "SELECT from_json(j, 'STRUCT<a: STRING, b: DOUBLE>')")
+    assert(rewrite("SELECT CAST(x AS VARCHAR)") == "SELECT CAST(x AS STRING)")
+    // nested: inner cast rewritten inside the outer's expression side
+    assert(rewrite("SELECT CAST(CAST(x AS JSON) AS ARRAY(BIGINT))") ==
+      "SELECT from_json(cast_to_json(x), 'ARRAY<BIGINT>')")
+  }
+
+  test("CAST non-rewrites: Spark types and spellings pass through") {
+    assert(rewrite("SELECT CAST(x AS BIGINT)") == "SELECT CAST(x AS BIGINT)")
+    assert(rewrite("SELECT CAST(x AS DECIMAL(10,2))") == "SELECT CAST(x AS DECIMAL(10,2))")
+    assert(rewrite("SELECT CAST(x AS VARCHAR(10))") == "SELECT CAST(x AS VARCHAR(10))")
+    assert(rewrite("SELECT CAST(x AS ARRAY<STRING>)") == "SELECT CAST(x AS ARRAY<STRING>)")
+  }
+
+  test("UNNEST forms: single, map, multi-arg zip, WITH ORDINALITY") {
+    assert(rewrite("SELECT * FROM t CROSS JOIN UNNEST(xs) AS u(x)") ==
+      "SELECT * FROM t LATERAL VIEW explode(xs) u AS x")
+    assert(rewrite("SELECT * FROM t CROSS JOIN UNNEST(m) AS u(k, v)") ==
+      "SELECT * FROM t LATERAL VIEW explode(m) u AS k, v")
+    assert(rewrite("SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)") ==
+      "SELECT * FROM t LATERAL VIEW inline(arrays_zip(a, b)) u AS x, y")
+    assert(rewrite("SELECT * FROM t CROSS JOIN UNNEST(xs) WITH ORDINALITY AS u(x, o)") ==
+      "SELECT * FROM t LATERAL VIEW inline(transform(xs, (e, i) -> struct(e, CAST(i + 1 AS BIGINT)))) u AS x, o")
+    // parenthesized argument expressions survive (paren-balanced scan)
+    assert(rewrite("SELECT * FROM t CROSS JOIN UNNEST(map_from_arrays(array(1), array(2))) AS u(k, v)") ==
+      "SELECT * FROM t LATERAL VIEW explode(map_from_arrays(array(1), array(2))) u AS k, v")
+  }
+
+  test("MAP constructor: two-array Presto form only") {
+    assert(rewrite("SELECT MAP(ARRAY['a'], ARRAY[1])") ==
+      "SELECT map_from_arrays(array('a'), array(1))")
+    // Spark's variadic map() untouched
+    assert(rewrite("SELECT map('k', 1, 'j', 2)") == "SELECT map('k', 1, 'j', 2)")
+    // CAST type text MAP(...) is handled by the cast rewrite, not this one
+    assert(rewrite("SELECT CAST(j AS MAP(VARCHAR, VARCHAR))") ==
+      "SELECT from_json(j, 'MAP<STRING, STRING>')")
+  }
+
+  test("plain SQL and string literals pass through unchanged") {
+    val q = "SELECT 'a cast as json string', col FROM t WHERE s = 'ARRAY[1]'"
+    // string literals containing trigger words are not corrupted: the
+    // CAST scanner tracks quotes; ARRAY[...] inside quotes is the one
+    // documented textual hazard and stays out of the fixture corpus
+    assert(rewrite("SELECT c1 AS x FROM t") == "SELECT c1 AS x FROM t")
+    assert(rewrite(q).contains("'a cast as json string'"))
+  }
+}

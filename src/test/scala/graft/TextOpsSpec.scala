@@ -36,6 +36,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 100001L)), "copy of doc 0 not recalled")
   }
 
+  test("minhash survives a duplicate-saturated bucket (cap bounds the blowup)") {
+    // 600 identical docs put one value in every band bucket — far over
+    // the 256-member cap. Uncapped this is 600²/2 ≈ 180k candidate pairs
+    // per band; capped, expansion is bounded by cap²/2 and the pipeline
+    // must still link every doc into the duplicate cluster.
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val saturated = (0L until 600L).map(id => (id, base)).toDF("doc_id", "text")
+    val pairs = graft.operators.TextOps.minhashPairs(saturated)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "saturated corpus must still produce duplicate pairs")
+    assert(pairs.length <= 256 * 256 / 2,
+      s"bucket cap must bound candidate expansion, got ${pairs.length} pairs")
+    // every doc surviving in some pair ⇒ a dedup consumer can cluster;
+    // with one shared signature the capped bucket members all pair up
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(members.size >= 2 && members.size <= 600)
+  }
+
   test("simhash finds planted near-identical docs; emitted hammings are exact") {
     val docs = Tables.load(spark, TestSession.sf, "documents")
       .select(col("doc_id"), col("text"))
