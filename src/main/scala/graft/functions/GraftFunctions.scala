@@ -387,6 +387,16 @@ object GraftFunctions {
     "intersection_cardinality" -> { case Seq(a, b) => IntersectionCardinality(a, b) },
     "jaccard_index" -> { case Seq(a, b) => JaccardIndex(a, b) },
     "hash_counts" -> { case Seq(c) => HashCounts(c) },
+    // khyperloglog family (type/khyperloglog/KHyperLogLogFunctions.java) —
+    // per-key value-cardinality sketch (uniqueness / reidentification)
+    "khyperloglog_agg" -> { case Seq(x, uii) => KhllAgg(x, uii).toAggregateExpression() },
+    "merge_khll" -> { case Seq(c) => MergeKhllAgg(c).toAggregateExpression() },
+    "uniqueness_distribution" -> {
+      case Seq(k) => UniquenessDistribution(k, Literal(KhllCodec.DefaultHistogramSize))
+      case Seq(k, s) => UniquenessDistribution(k, Cast(s, LongType))
+    },
+    "reidentification_potential" -> { case Seq(k, t) =>
+      ReidentificationPotential(k, Cast(t, LongType)) },
     // MultimapAggregationFunction — map<k, array<v>>
     "multimap_agg" -> { case Seq(k, v) => MultimapAgg(k, v).toAggregateExpression() },
     // skew-safety primitive (no reference equivalent): collect_list with a

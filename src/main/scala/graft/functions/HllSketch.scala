@@ -178,6 +178,8 @@ case class HllCardinality(child: Expression)
     val bytes = input.asInstanceOf[Array[Byte]]
     if (SetDigestCodec.isSetDigest(bytes))
       SetDigestCodec.deserialize(bytes).cardinality()
+    else if (KhllCodec.isKhll(bytes))
+      KhllCodec.deserialize(bytes).cardinality()
     else Hll.cardinality(bytes)
   }
 

@@ -277,6 +277,30 @@ object PrestoFnOps extends QueryGroup {
               |FROM d CROSS JOIN ex""".stripMargin)
     },
 
+    // khyperloglog (type/khyperloglog/KHyperLogLog.java): per-key
+    // value-cardinality sketch. Key count is EXACT under the 4096 cap
+    // (keys mod 3000 keep it exact at any SF); the distribution /
+    // reidentification numbers ride HLL estimates, so those pins are
+    // property bounds vs the exactly-computed truth
+    q("fn_khll",
+      """SELECT CAST(count(*) AS BIGINT) AS nkeys_exact,
+        |  true AS nkeys_ok, true AS reid_ok, true AS mass_ok, true AS mean_ok
+        |FROM (SELECT l_partkey % 3000 AS g FROM lineitem GROUP BY 1)""".stripMargin) { (s, _) =>
+      s.sql("""WITH k AS (SELECT khyperloglog_agg(l_partkey % 3000, l_suppkey) AS kh FROM lineitem),
+              |ex AS (SELECT count(*) AS nkeys, avg(nv) AS mean_nv,
+              |         avg(CASE WHEN nv <= 2 THEN 1.0D ELSE 0.0D END) AS frac_low
+              |       FROM (SELECT l_partkey % 3000 AS g, count(DISTINCT l_suppkey) AS nv
+              |             FROM lineitem GROUP BY 1)),
+              |d AS (SELECT map_entries(uniqueness_distribution(kh)) AS es, kh FROM k)
+              |SELECT (SELECT nkeys FROM ex) AS nkeys_exact,
+              |  cardinality(kh) = (SELECT nkeys FROM ex) AS nkeys_ok,
+              |  abs(reidentification_potential(kh, 2) - (SELECT frac_low FROM ex)) < 0.05 AS reid_ok,
+              |  abs(aggregate(es, 0.0D, (a, e) -> a + e.value) - 1.0) < 1e-6 AS mass_ok,
+              |  abs(aggregate(es, 0.0D, (a, e) -> a + e.key * e.value) - (SELECT mean_nv FROM ex))
+              |    / (SELECT mean_nv FROM ex) < 0.05 AS mean_ok
+              |FROM d""".stripMargin)
+    },
+
     // multimap_agg: all values per key as map<k, array<v>>
     q("fn_multimap",
       """WITH m AS (

@@ -221,28 +221,43 @@ case class MergeSetDigestAgg(
     copy(child = newChild)
 }
 
-/** `intersection_cardinality(d1, d2)` → BIGINT (SetDigestFunctions.java:54). */
+/** `intersection_cardinality(d1, d2)` → BIGINT — setdigest or
+  * khyperloglog by magic byte (SetDigestFunctions.java:54,
+  * KHyperLogLogFunctions.java:47: Presto overloads by sketch type).
+  */
 case class IntersectionCardinality(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def prettyName: String = "intersection_cardinality"
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    SetDigestCodec.intersectionCardinality(
-      SetDigestCodec.deserialize(a.asInstanceOf[Array[Byte]]),
-      SetDigestCodec.deserialize(b.asInstanceOf[Array[Byte]]))
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ba = a.asInstanceOf[Array[Byte]]
+    val bb = b.asInstanceOf[Array[Byte]]
+    if (KhllCodec.isKhll(ba))
+      KhllCodec.intersectionCardinality(KhllCodec.deserialize(ba), KhllCodec.deserialize(bb))
+    else
+      SetDigestCodec.intersectionCardinality(
+        SetDigestCodec.deserialize(ba), SetDigestCodec.deserialize(bb))
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectionCardinality =
     copy(left = l, right = r)
 }
 
-/** `jaccard_index(d1, d2)` → DOUBLE (SetDigestFunctions.java:77). */
+/** `jaccard_index(d1, d2)` → DOUBLE (SetDigestFunctions.java:77,
+  * KHyperLogLogFunctions.java:70) — dispatched like intersection.
+  */
 case class JaccardIndex(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def prettyName: String = "jaccard_index"
   override def dataType: DataType = DoubleType
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    SetDigestCodec.jaccard(
-      SetDigestCodec.deserialize(a.asInstanceOf[Array[Byte]]),
-      SetDigestCodec.deserialize(b.asInstanceOf[Array[Byte]]))
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ba = a.asInstanceOf[Array[Byte]]
+    val bb = b.asInstanceOf[Array[Byte]]
+    if (KhllCodec.isKhll(ba))
+      KhllCodec.jaccard(KhllCodec.deserialize(ba), KhllCodec.deserialize(bb))
+    else
+      SetDigestCodec.jaccard(
+        SetDigestCodec.deserialize(ba), SetDigestCodec.deserialize(bb))
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardIndex =
     copy(left = l, right = r)
 }
