@@ -5,8 +5,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** TPC-H-derived relational suite, adapted to the slim driver schema
-  * (FIXTURES.md: no partsupp, no comment/address/phone columns, DOUBLE
-  * prices, TIMESTAMP dates). Query shapes follow the reference corpus at
+  * (FIXTURES.md: no comment/address/phone columns, DOUBLE prices,
+  * TIMESTAMP dates; the missing partsupp table is synthesized
+  * deterministically — TpchSynth — as an identical CTE on both engines,
+  * so q02/q11 run their REAL shapes). Query shapes follow the reference corpus at
   * presto-benchto-benchmarks/src/main/resources/sql/presto/tpch/q*.sql;
   * each is expressed with the DataFrame API (declarative — Catalyst picks
   * broadcast vs shuffle joins, partial/final aggregation, TopN).
@@ -25,6 +27,35 @@ object TpchQueries extends QueryGroup {
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
   private def rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q2 over the synthesized partsupp — IDENTICAL text on both
+    * engines (the CTE derives partsupp from part x supplier with pure key
+    * arithmetic, TpchSynth). Correlated min-subquery decorrelates to a
+    * per-part min aggregate joined back — the reference's plan shape too.
+    */
+  private val Q02Sql: String =
+    s"""WITH partsupp AS (
+       |${TpchSynth.partsuppPrefixedSql(identity)}
+       |)
+       |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+       |  p_brand, p_type
+       |FROM part, supplier, partsupp, nation, region
+       |WHERE p_partkey = ps_partkey
+       |  AND s_suppkey = ps_suppkey
+       |  AND p_size BETWEEN 10 AND 20
+       |  AND p_type = 'LARGE'
+       |  AND s_nationkey = n_nationkey
+       |  AND n_regionkey = r_regionkey
+       |  AND r_name = 'EUROPE'
+       |  AND ps_supplycost = (
+       |    SELECT min(ps_supplycost)
+       |    FROM partsupp, supplier, nation, region
+       |    WHERE p_partkey = ps_partkey
+       |      AND s_suppkey = ps_suppkey
+       |      AND s_nationkey = n_nationkey
+       |      AND n_regionkey = r_regionkey
+       |      AND r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
 
   def defs = Seq(
     // ── Q1: full-scan grouped aggregation (partial+final HashAggregate) ──
@@ -56,6 +87,14 @@ object TpchQueries extends QueryGroup {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
+
+    // ── Q2: min-cost supplier — correlated min-subquery over partsupp ──
+    // partsupp is the deterministic TpchSynth derivation, declared as an
+    // IDENTICAL CTE on both engines (the SpatialOps synthetic-coordinate
+    // mechanism); predicates tuned to fixture values ('LARGE' exists,
+    // '%BRASS' doesn't; size widened to a range so several parts qualify) so the result is non-trivial. Reference shape:
+    // presto-benchto-benchmarks/.../tpch/q02.sql.
+    q("q02_min_cost_supplier", Q02Sql) { (s, _) => s.sql(Q02Sql) },
 
     // ── Q3: 3-way join + agg + deterministic top-N ──
     q("q03_shipping_priority",
@@ -274,6 +313,43 @@ object TpchQueries extends QueryGroup {
           round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
         .orderBy(desc("revenue"), col("c_custkey"))
         .limit(20)
+    },
+
+    // ── Q11: important stock — grouped agg vs global-scalar HAVING ──
+    // Same synthesized-partsupp CTE as q02 on the oracle side; the Spark
+    // side is the DataFrame plan you'd run at 100 TB: the 4-supplier dim
+    // slice broadcast, ONE shuffle to (ps_partkey) partial+final sums,
+    // and the global threshold joined back as a broadcast 1-row scalar —
+    // no second scan-side shuffle, no collect. Reference shape:
+    // presto-benchto-benchmarks/.../tpch/q11.sql.
+    q("q11_important_stock",
+      s"""WITH partsupp AS (
+         |${TpchSynth.partsuppPrefixedSql(identity)}
+         |)
+         |SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 2) AS value
+         |FROM partsupp, supplier, nation
+         |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |  AND n_name = 'NATION_7'
+         |GROUP BY ps_partkey
+         |HAVING sum(ps_supplycost * ps_availqty) > (
+         |  SELECT sum(ps_supplycost * ps_availqty) * 0.001
+         |  FROM partsupp, supplier, nation
+         |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |    AND n_name = 'NATION_7')
+         |ORDER BY value DESC, ps_partkey""".stripMargin) { (s, _) =>
+      val ps = s.sql(TpchSynth.partsuppPrefixedSql(identity))
+      val base = ps
+        .join(s.table("supplier"), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(s.table("nation").filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost") * col("ps_availqty")).as("v"))
+      val grouped = base.groupBy("ps_partkey").agg(sum("v").as("value0"))
+      val threshold = base.agg((sum("v") * lit(0.001)).as("threshold"))
+      grouped.join(broadcast(threshold))
+        .filter(col("value0") > col("threshold"))
+        .select(col("ps_partkey"), round(col("value0"), 2).as("value"))
+        .orderBy(desc("value"), col("ps_partkey"))
     },
 
     // ── Q12 (adapted: no shipmode): conditional counts ──
