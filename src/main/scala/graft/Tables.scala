@@ -38,10 +38,15 @@ object Tables {
     * engine's Presto-named function layer. Idempotent and cheap when
     * already registered for this (session, dir).
     */
-  def register(spark: SparkSession, dir: String): Unit = {
-    if (registeredDir.put(spark, dir) != dir) {
-      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      graft.functions.GraftFunctions.registerAll(spark)
-    }
-  }
+  def register(spark: SparkSession, dir: String): Unit =
+    // compute holds the per-key lock until registration completes, so a
+    // concurrent caller on a fresh session can't observe the pair as
+    // registered while views/functions are still being created
+    registeredDir.compute(spark, (_, prev) => {
+      if (prev != dir) {
+        all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+        graft.functions.GraftFunctions.registerAll(spark)
+      }
+      dir
+    })
 }

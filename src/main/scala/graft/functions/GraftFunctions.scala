@@ -180,6 +180,33 @@ object GraftFnUtils {
     } catch { case _: com.fasterxml.jackson.core.JacksonException => None }
   }
 
+  /** json_extract_scalar (JsonExtract.java ScalarValueJsonExtractor):
+    * the text of the scalar token at path — unquoted for strings, literal
+    * text for numbers/booleans — and NULL for JSON null, containers,
+    * missing paths, or malformed JSON. Decided on the PARSED node type,
+    * never on the rendered text: a string scalar whose value begins with
+    * '[' or '{' (e.g. $.a in {"a":"[tag]"}) is still a scalar.
+    */
+  def jsonExtractScalar(json: org.apache.spark.unsafe.types.UTF8String,
+      path: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    jsonNavigate(json.toString, path.toString) match {
+      case Some(n) if !n.isContainerNode && !n.isNull =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(n.asText())
+      case _ => null
+    }
+
+  /** codepoint (StringFunctions.java codepoint): the Unicode code point
+    * of the input, which must be exactly ONE code point — errors
+    * otherwise (the reference's INVALID_FUNCTION_ARGUMENT), and handles
+    * non-BMP input (a surrogate pair is one code point).
+    */
+  def codepointOf(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val str = s.toString
+    require(str.nonEmpty && str.codePointCount(0, str.length) == 1,
+      "Input string must be a single character")
+    str.codePointAt(0)
+  }
+
   /** json_size: members of an object / elements of an array at path;
     * 0 for scalars; null for missing/bad json (JsonFunctions.java).
     */
@@ -438,10 +465,25 @@ object GraftFunctions {
       case Seq(str, sub) => Cast(StringLocate(sub, str, Literal(1)), LongType)
       case Seq(str, sub, inst) => StrPosInstance(str, sub, Cast(inst, LongType))
     },
+    // from-the-end search is its own reference spelling
+    // (StringFunctions.java stringPositionFromEnd), not a negative
+    // instance to strpos
+    "strrpos" -> {
+      case Seq(str, sub) =>
+        StrPosInstance(str, sub, Literal(1L), fromEnd = true)
+      case Seq(str, sub, inst) =>
+        StrPosInstance(str, sub, Cast(inst, LongType), fromEnd = true)
+    },
     // Teradata-compat index(str, sub) ≡ strpos (TeradataStringFunctions)
     "index" -> { case Seq(str, sub) => Cast(StringLocate(sub, str, Literal(1)), LongType) },
     "levenshtein_distance" -> { case Seq(a, b) => Cast(Levenshtein(a, b), LongType) },
-    "codepoint" -> { case Seq(s) => Ascii(s) }, // first char code (BMP parity)
+    // exactly-one-codepoint contract incl. astral plane (StringFunctions
+    // .java codepoint) — Ascii would silently take the first UTF-16 unit
+    "codepoint" -> { case Seq(s) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, IntegerType, "codepointOf",
+        Seq(s), inputTypes = Seq(StringType), propagateNull = true)
+    },
     "from_utf8" -> { case Seq(b) => StringDecode(b, Literal("UTF-8")) },
     "to_utf8" -> { case Seq(s) => Encode(s, Literal("UTF-8")) },
     "split_to_map" -> { case Seq(s, ed, kd) => StringToMap(s, ed, kd) },
@@ -460,13 +502,15 @@ object GraftFunctions {
 
     // ── JSON family (JsonFunctions.java:64, JsonExtract.java:116) ──
     "json_extract" -> { case Seq(j, p) => GetJsonObject(j, p) },
-    // json_extract_scalar returns NULL when the path lands on an
-    // object/array (JsonExtract scalar value provider) — GetJsonObject
-    // would return their JSON text, so null those out (CSE dedupes the
-    // double GetJsonObject reference in codegen)
+    // json_extract_scalar decides scalar-vs-container on the PARSED node
+    // (GraftFnUtils.jsonExtractScalar) — a regex on GetJsonObject's
+    // rendered output would wrongly null string scalars that merely
+    // start with '[' or '{'
     "json_extract_scalar" -> { case Seq(j, p) =>
-      val g = GetJsonObject(j, p)
-      If(RLike(g, Literal("^\\s*[\\[{]")), Literal(null, StringType), g)
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, StringType, "jsonExtractScalar",
+        Seq(j, p), inputTypes = Seq(StringType, StringType),
+        propagateNull = true)
     },
     // lowering target for Presto's `CAST(x AS JSON)` (GraftSqlParser
     // rewrites the cast; JsonOperators.java semantics in CastToJson)
@@ -576,9 +620,12 @@ object GraftFunctions {
         WidthBucket(Cast(v, DoubleType), Cast(lo, DoubleType), Cast(hi, DoubleType),
           Cast(n, LongType))
       case Seq(x, bins) =>
+        // NULL operand -> NULL (a null x would otherwise drop every bin
+        // in the filter and return 0, not NULL as the reference does)
         val lv = NamedLambdaVariable("b", DoubleType, nullable = true)
-        Cast(Size(ArrayFilter(Cast(bins, ArrayType(DoubleType)),
+        val count = Cast(Size(ArrayFilter(Cast(bins, ArrayType(DoubleType)),
           LambdaFunction(LessThanOrEqual(lv, Cast(x, DoubleType)), Seq(lv)))), LongType)
+        If(Or(IsNull(x), IsNull(bins)), Literal(null, LongType), count)
     },
   )
 

@@ -189,7 +189,10 @@ case class KhllAgg(
     buffer
   }
 
-  override def eval(buffer: KhllSketch): Any = KhllCodec.serialize(buffer)
+  // empty group -> NULL, the reference's aggregation null-state contract
+  // (matches TDigestAgg here; KHyperLogLogAggregationFunction)
+  override def eval(buffer: KhllSketch): Any =
+    if (buffer.minhash.isEmpty) null else KhllCodec.serialize(buffer)
   override def serialize(buffer: KhllSketch): Array[Byte] = KhllCodec.serialize(buffer)
   override def deserialize(storageFormat: Array[Byte]): KhllSketch =
     KhllCodec.deserialize(storageFormat)

@@ -547,21 +547,23 @@ object PrestoFnOps extends QueryGroup {
     // the json_extract_scalar container→NULL contract
     q("fn_json_roundtrip",
       """WITH j AS (SELECT n_nationkey AS k,
-        |    '{"a": ' || CAST(n_nationkey AS VARCHAR) || ', "xs": [1, 2, 3], "s": "hi"}' AS doc,
+        |    '{"a": ' || CAST(n_nationkey AS VARCHAR) || ', "xs": [1, 2, 3], "s": "hi", "b": "[tag]", "c": "{y}"}' AS doc,
         |    '[1, 2, ' || CAST(n_nationkey AS VARCHAR) || ']' AS arrtxt
         |  FROM nation)
         |SELECT k,
-        |  '{"a":' || CAST(k AS VARCHAR) || ',"xs":[1,2,3],"s":"hi"}' AS canon,
+        |  '{"a":' || CAST(k AS VARCHAR) || ',"xs":[1,2,3],"s":"hi","b":"[tag]","c":"{y}"}' AS canon,
         |  '1,2,' || CAST(k AS VARCHAR) AS arr_joined,
         |  CAST(k AS BIGINT) AS third,
         |  '"q\"x"' AS quoted,
         |  CAST(k AS VARCHAR) AS numj,
         |  '[1,2]' AS arrj,
         |  CAST(k AS VARCHAR) AS scalar_a,
-        |  CAST(NULL AS VARCHAR) AS scalar_container
+        |  CAST(NULL AS VARCHAR) AS scalar_container,
+        |  '[tag]' AS bracket_str,
+        |  '{y}' AS brace_str
         |FROM j ORDER BY k""".stripMargin) { (s, _) =>
       s.sql("""WITH j AS (SELECT n_nationkey AS k,
-              |    concat('{"a": ', CAST(n_nationkey AS STRING), ', "xs": [1, 2, 3], "s": "hi"}') AS doc,
+              |    concat('{"a": ', CAST(n_nationkey AS STRING), ', "xs": [1, 2, 3], "s": "hi", "b": "[tag]", "c": "{y}"}') AS doc,
               |    concat('[1, 2, ', CAST(n_nationkey AS STRING), ']') AS arrtxt
               |  FROM nation)
               |SELECT k,
@@ -573,7 +575,9 @@ object PrestoFnOps extends QueryGroup {
               |  CAST(k AS JSON) AS numj,
               |  CAST(ARRAY[1, 2] AS JSON) AS arrj,
               |  json_extract_scalar(doc, '$.a') AS scalar_a,
-              |  json_extract_scalar(doc, '$.xs') AS scalar_container
+              |  json_extract_scalar(doc, '$.xs') AS scalar_container,
+              |  json_extract_scalar(doc, '$.b') AS bracket_str,
+              |  json_extract_scalar(doc, '$.c') AS brace_str
               |FROM j ORDER BY k""".stripMargin)
     },
 

@@ -7,22 +7,27 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `strpos(string, substring, instance)` — position of the instance-th
-  * occurrence (1-based; negative instance counts from the end), 0 when
-  * absent; reference StringFunctions.java `stringPosition`. Long-tail
-  * (never a scan hot path) so CodegenFallback is the right cost.
+  * occurrence (1-based), 0 when absent; reference StringFunctions.java
+  * `stringPositionFromStart`, which REJECTS instance <= 0 — searching
+  * from the end is the separate `strrpos` spelling
+  * (`stringPositionFromEnd`), here the same expression with
+  * fromEnd = true. Long-tail (never a scan hot path) so CodegenFallback
+  * is the right cost.
   */
-case class StrPosInstance(first: Expression, second: Expression, third: Expression)
+case class StrPosInstance(first: Expression, second: Expression,
+    third: Expression, fromEnd: Boolean = false)
     extends TernaryExpression with CodegenFallback {
 
-  override def prettyName: String = "strpos"
+  override def prettyName: String = if (fromEnd) "strrpos" else "strpos"
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)
 
   override def nullSafeEval(str: Any, sub: Any, inst: Any): Any = {
     val s = str.asInstanceOf[UTF8String].toString
     val p = sub.asInstanceOf[UTF8String].toString
-    val n = inst.asInstanceOf[Long]
-    require(n != 0, "'instance' must be a positive or negative number")
+    val n0 = inst.asInstanceOf[Long]
+    require(n0 > 0, "'instance' must be a positive number")
+    val n = if (fromEnd) -n0 else n0
     if (p.isEmpty) return 1L
     // collect codepoint-based positions of all occurrences
     val positions = scala.collection.mutable.ArrayBuffer.empty[Long]

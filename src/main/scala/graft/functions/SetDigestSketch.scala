@@ -161,7 +161,11 @@ case class MakeSetDigestAgg(
     buffer
   }
 
-  override def eval(buffer: SetDigestSketch): Any = SetDigestCodec.serialize(buffer)
+  // empty group -> NULL, the reference's aggregation null-state contract
+  // (matches TDigestAgg/KhllAgg; SetDigestStateSerializer)
+  override def eval(buffer: SetDigestSketch): Any =
+    if (buffer.minhash.isEmpty && buffer.cardinality() == 0L) null
+    else SetDigestCodec.serialize(buffer)
   override def serialize(buffer: SetDigestSketch): Array[Byte] = SetDigestCodec.serialize(buffer)
   override def deserialize(storageFormat: Array[Byte]): SetDigestSketch =
     SetDigestCodec.deserialize(storageFormat)

@@ -143,8 +143,10 @@ object SimilarityOps extends QueryGroup {
     * centroid array); SimilaritySpec pins both recall and the
     * PartitionFilters line in the scan.
     */
-  private val ivfIndexFor =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  /** Fit counter — lets SimilaritySpec assert that an index REUSE runs
+    * no KMeans job (the fit is the expensive full-corpus pass at scale).
+    */
+  private[graft] val ivfFitCount = new java.util.concurrent.atomic.AtomicInteger
 
   def ivfPersistedAnnTopK(spark: SparkSession, emb: DataFrame, sfDir: String,
       numQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 6): DataFrame = {
@@ -152,17 +154,32 @@ object SimilarityOps extends QueryGroup {
     import org.apache.spark.ml.linalg.Vectors
     val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivf-index-" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val df = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("features", toVec(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(df)
-    if (ivfIndexFor.put(spark, indexDir) != indexDir) {
-      model.transform(df)
-        .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
-    }
+    // centroids persist BESIDE the index: on reuse both are read back and
+    // the KMeans fit — the expensive full-corpus pass — is skipped
+    // entirely, not just the index write
+    val centroidsDir = s"$indexDir-centroids"
+    def complete(d: String) = new java.io.File(s"$d/_SUCCESS").exists
+    val centroids: Array[Array[Double]] =
+      if (complete(indexDir) && complete(centroidsDir)) {
+        spark.read.parquet(centroidsDir).orderBy("cell").collect()
+          .map(_.getAs[Seq[Double]]("centroid").toArray)
+      } else {
+        ivfFitCount.incrementAndGet()
+        val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+        val df = emb.select(col("vec_id"), col("embedding"))
+          .withColumn("features", toVec(col("embedding")))
+        val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(df)
+        model.transform(df)
+          .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+        val cs = model.clusterCenters.map(_.toArray)
+        import spark.implicits._
+        cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(centroidsDir)
+        cs
+      }
     val index = spark.read.parquet(indexDir)
-    val centroids = model.clusterCenters.map(_.toArray)
     val probe = udf((a: Seq[Float]) => {
       val x = a.map(_.toDouble).toArray
       centroids.zipWithIndex.map { case (c, i) =>

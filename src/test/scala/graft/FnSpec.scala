@@ -247,9 +247,16 @@ class FnSpec extends AnyFunSuite {
     ready()
     val r = spark.sql(
       """SELECT strpos('ababab', 'ab') AS p1, strpos('ababab', 'ab', 2) AS p2,
-        |  strpos('ababab', 'ab', -1) AS plast, strpos('ababab', 'zz', 2) AS missing""".stripMargin)
+        |  strrpos('ababab', 'ab') AS plast, strrpos('ababab', 'ab', 2) AS plast2,
+        |  strpos('ababab', 'zz', 2) AS missing""".stripMargin)
       .collect()(0)
-    assert(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) == 5L && r.getLong(3) == 0L)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) == 5L &&
+      r.getLong(3) == 3L && r.getLong(4) == 0L)
+    // the reference rejects instance <= 0 (stringPositionFromStart);
+    // from-the-end search is strrpos, not a negative instance
+    intercept[Exception] {
+      spark.sql("SELECT strpos('ababab', 'ab', -1)").collect()
+    }
     val e = intercept[Exception] {
       spark.sql("SELECT truncate(1.5, 2, 3, 4)").collect()
     }
@@ -364,6 +371,41 @@ class FnSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 4.0 && r.getDouble(2) == 5.0)
     // canonical test pair (BNA→LAX) ≈ 2886 km on a 6371.01 km sphere
     assert(math.abs(r.getDouble(3) - 2886.0) <= 1.0, s"got ${r.getDouble(3)}")
+  }
+
+  test("json_extract_scalar decides on node type, not rendered text") {
+    ready()
+    val r = spark.sql(
+      """SELECT
+        |  json_extract_scalar('{"a": "[tag]"}', '$.a'),
+        |  json_extract_scalar('{"a": "{y}"}', '$.a'),
+        |  json_extract_scalar('{"a": [1, 2]}', '$.a'),
+        |  json_extract_scalar('{"a": {"b": 1}}', '$.a'),
+        |  json_extract_scalar('{"a": 42}', '$.a'),
+        |  json_extract_scalar('{"a": true}', '$.a'),
+        |  json_extract_scalar('{"a": null}', '$.a'),
+        |  json_extract_scalar('{"a": 1}', '$.missing'),
+        |  json_extract_scalar('not json', '$.a')""".stripMargin).collect()(0)
+    assert(r.getString(0) == "[tag]", "bracket-prefixed string scalar")
+    assert(r.getString(1) == "{y}", "brace-prefixed string scalar")
+    assert(r.isNullAt(2) && r.isNullAt(3), "containers -> NULL")
+    assert(r.getString(4) == "42" && r.getString(5) == "true")
+    assert(r.isNullAt(6), "JSON null -> NULL")
+    assert(r.isNullAt(7) && r.isNullAt(8), "missing path / bad json -> NULL")
+  }
+
+  test("codepoint requires exactly one code point, incl. astral plane") {
+    ready()
+    val r = spark.sql("SELECT codepoint('A'), codepoint('é'), codepoint('😀')")
+      .collect()(0)
+    assert(r.getInt(0) == 65)
+    assert(r.getInt(1) == 0xE9)
+    assert(r.getInt(2) == 0x1F600, "surrogate pair is ONE code point")
+    val err = intercept[Exception] {
+      spark.sql("SELECT codepoint('ab')").collect()
+    }
+    assert(err.getMessage != null)
+    intercept[Exception] { spark.sql("SELECT codepoint('')").collect() }
   }
 
   test("Presto type spellings translate to Spark DDL") {

@@ -59,6 +59,13 @@ class SimilaritySpec extends AnyFunSuite {
     val plan = persisted.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell#") || plan.contains("PartitionFilters: [isnotnull(cell"),
       s"index scan must prune on the probed cells:\n$plan")
+    // index reuse must skip the KMeans refit: at scale the fit IS the
+    // expensive full-corpus pass; the persisted centroids replace it
+    val fitsBefore = operators.SimilarityOps.ivfFitCount.get
+    val again = SparkEntry.queries("sim_ivf_persisted")(spark, sf).collect().toSeq
+    assert(again == per, "reused index must give identical results")
+    assert(operators.SimilarityOps.ivfFitCount.get == fitsBefore,
+      "second invocation must load persisted centroids, not refit KMeans")
     Tables.register(spark, TestSession.sf)
   }
 
