@@ -283,6 +283,55 @@ object GraftFnUtils {
   /** MySQL-style datetime pattern (Presto date_format/date_parse,
     * DateTimeFunctions.java:68) → java.time pattern.
     */
+  /** Joda-Time pattern (Presto's format_datetime/parse_datetime dialect,
+    * DateTimeFunctions.java:68) → Spark datetime pattern. Most letters
+    * coincide; the ones that don't would SILENTLY produce wrong output if
+    * passed through (java.time 'Y' is week-based-year, Joda 'Y' is year
+    * of era; Joda 'ZZ' prints +00:00 where java needs 'ZZZZZ'; Joda
+    * 'ZZZ'+ prints the zone id = java 'VV'). Tokens with no Spark
+    * equivalent (weekyear 'x', week 'w', day-of-week-number 'e', century
+    * 'C') error loudly instead of formatting garbage. Quoted literals
+    * pass through untouched (same escape syntax in both dialects).
+    */
+  def jodaToJavaPattern(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '\'') { // quoted literal: copy verbatim through closing '
+        val end = fmt.indexOf('\'', i + 1)
+        val stop = if (end < 0) fmt.length - 1 else end
+        out.append(fmt.substring(i, stop + 1))
+        i = stop + 1
+      } else if (c.isLetter) {
+        var n = 1
+        while (i + n < fmt.length && fmt.charAt(i + n) == c) n += 1
+        c match {
+          case 'Y' | 'y' => out.append("y" * n) // year of era / year
+          case 'Z' => out.append(
+            if (n == 1) "Z" // +0000
+            // 'xxxxx', not 'ZZZZZ': Joda ZZ prints +00:00 at UTC where
+            // java's ZZZZZ (≡ XXXXX) prints the literal 'Z'
+            else if (n == 2) "xxxxx" // +00:00
+            else "VV") // zone id
+          case 'x' | 'w' | 'e' | 'C' =>
+            throw new IllegalArgumentException(
+              s"format_datetime: Joda token '${c.toString * n}' has no Spark pattern equivalent")
+          case 'G' | 'M' | 'd' | 'D' | 'E' | 'a' | 'H' | 'h' | 'K' | 'k' |
+               'm' | 's' | 'S' | 'z' => out.append(c.toString * n)
+          case other =>
+            throw new IllegalArgumentException(
+              s"format_datetime: unsupported pattern letter '$other'")
+        }
+        i += n
+      } else {
+        out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+
   def mysqlToJavaPattern(fmt: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -560,8 +609,21 @@ object GraftFunctions {
       case Seq(s, f) => GetTimestamp(s, f, TimestampType)
       case args => throw new IllegalArgumentException(s"date_parse: bad args $args")
     },
-    // Joda-style format_datetime — common tokens coincide with java.time
-    "format_datetime" -> { case Seq(t, f) => DateFormatClass(Cast(t, TimestampType), f) },
+    // Joda-style format_datetime/parse_datetime (DateTimeFunctions.java:68)
+    // — literal patterns are TRANSLATED (Y/ZZ/zone-id tokens diverge from
+    // java.time; jodaToJavaPattern), non-literal patterns pass through
+    // (common tokens coincide)
+    "format_datetime" -> {
+      case Seq(t, StringLiteral(fmt)) =>
+        DateFormatClass(Cast(t, TimestampType),
+          Literal(GraftFnUtils.jodaToJavaPattern(fmt)))
+      case Seq(t, f) => DateFormatClass(Cast(t, TimestampType), f)
+    },
+    "parse_datetime" -> {
+      case Seq(s, StringLiteral(fmt)) =>
+        GetTimestamp(s, Literal(GraftFnUtils.jodaToJavaPattern(fmt)), TimestampType)
+      case Seq(s, f) => GetTimestamp(s, f, TimestampType)
+    },
     "from_iso8601_timestamp" -> { case Seq(s) => Cast(s, TimestampType) },
     "from_iso8601_date" -> { case Seq(s) => Cast(s, DateType) },
     "to_iso8601" -> { case Seq(t) =>

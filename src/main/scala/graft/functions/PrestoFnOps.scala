@@ -117,6 +117,34 @@ object PrestoFnOps extends QueryGroup {
               |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // Joda-dialect format_datetime/parse_datetime (DateTimeFunctions
+    // .java:68). The 'YYYY' column is the translation's acid test: Joda
+    // 'Y' is year-of-era, java.time 'Y' is WEEK-based year — around ISO
+    // year boundaries (e.g. 1996-12-30 is week 1 of 1997) an untranslated
+    // pattern silently prints the wrong year; the fixture's 6.5-year
+    // order range contains such dates.
+    q("fn_joda_datetime",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS f_yoe,
+        |  strftime(o_orderdate, '%Y/%m/%d %H:%M:%S') AS f_std,
+        |  '+00:00' AS f_offs,
+        |  '+0000' AS f_off,
+        |  strftime(o_orderdate, '%a %d %b %Y') AS f_text,
+        |  o_orderdate AS rt
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin) { (s, _) =>
+      s.sql("""SELECT o_orderkey,
+              |  format_datetime(o_orderdate, 'YYYY-MM-dd') AS f_yoe,
+              |  format_datetime(o_orderdate, 'yyyy/MM/dd HH:mm:ss') AS f_std,
+              |  format_datetime(o_orderdate, 'ZZ') AS f_offs,
+              |  format_datetime(o_orderdate, 'Z') AS f_off,
+              |  format_datetime(o_orderdate, 'EEE dd MMM yyyy') AS f_text,
+              |  parse_datetime(format_datetime(o_orderdate, 'yyyy-MM-dd HH:mm:ss'),
+              |    'yyyy-MM-dd HH:mm:ss') AS rt
+              |FROM orders WHERE o_orderkey < 2000
+              |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // Presto string + URL families over synthesized URLs
     // (StringFunctions.java:62, UrlFunctions.java:43)
     q("fn_presto_string_url",

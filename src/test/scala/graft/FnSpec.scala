@@ -408,6 +408,24 @@ class FnSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT codepoint('')").collect() }
   }
 
+  test("Joda datetime patterns translate; divergent tokens never pass through") {
+    ready()
+    import graft.functions.GraftFnUtils.jodaToJavaPattern
+    assert(jodaToJavaPattern("YYYY-MM-dd") == "yyyy-MM-dd")
+    assert(jodaToJavaPattern("ZZ") == "xxxxx")
+    assert(jodaToJavaPattern("ZZZ") == "VV")
+    assert(jodaToJavaPattern("'at' HH:mm") == "'at' HH:mm")
+    intercept[IllegalArgumentException] { jodaToJavaPattern("xxxx-ww") }
+    // 1996-12-30 is ISO week 1 of 1997: java.time 'YYYY' would print
+    // 1997; Joda year-of-era must print 1996
+    val r = spark.sql(
+      """SELECT format_datetime(TIMESTAMP '1996-12-30', 'YYYY-MM-dd'),
+        |  parse_datetime('1996-12-30 10:30:00', 'yyyy-MM-dd HH:mm:ss')""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "1996-12-30")
+    assert(r.getTimestamp(1).toString == "1996-12-30 10:30:00.0")
+  }
+
   test("Presto type spellings translate to Spark DDL") {
     import graft.functions.GraftSqlParser.translateType
     assert(translateType("ARRAY(VARCHAR)") == "ARRAY<STRING>")
