@@ -35,21 +35,25 @@ object GraftFnUtils {
   def normalizeStr(s: String, form: String): String =
     Normalizer.normalize(s, Normalizer.Form.valueOf(form.toUpperCase))
 
-  /** Minimal English suffix stemmer standing in for the reference's
-    * Porter-based word_stem (WordStemFunction.java) — common suffix rules
-    * only; full Porter parity is out of scope and documented as such.
+  /** word_stem (reference WordStemFunction.java): the full published
+    * Porter algorithm (PorterStemmer.scala), replacing the earlier
+    * suffix-rule approximation. UTF8String signatures so the StaticInvoke
+    * builder stays converter-free inside codegen.
     */
-  def wordStem(w: String): String = {
-    val s = w.toLowerCase
-    if (s.length <= 3) s
-    else if (s.endsWith("sses")) s.dropRight(2)
-    else if (s.endsWith("ies")) s.dropRight(2)
-    else if (s.endsWith("ss")) s
-    else if (s.endsWith("ing") && s.length > 5) s.dropRight(3)
-    else if (s.endsWith("ed") && s.length > 4) s.dropRight(2)
-    else if (s.endsWith("s")) s.dropRight(1)
-    else s
-  }
+  def wordStem(w: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      PorterStemmer.stem(w.toString.toLowerCase))
+
+  /** word_stem(word, lang) — the reference dispatches to per-language
+    * Snowball stemmers (WordStemFunction.java STEMMERS map); this engine
+    * carries the English algorithm and errors on other languages the way
+    * the reference errors on unknown codes.
+    */
+  def wordStemLang(w: org.apache.spark.unsafe.types.UTF8String,
+      lang: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (lang.toString == "en") wordStem(w)
+    else throw new IllegalArgumentException(
+      s"Unknown stemmer language: $lang")
 
   /** reference JsonFunctions.java:92 is_json_scalar: parses the input —
     * true for a single scalar token (number/string/true/false/null),
@@ -536,6 +540,19 @@ object GraftFunctions {
     "from_utf8" -> { case Seq(b) => StringDecode(b, Literal("UTF-8")) },
     "to_utf8" -> { case Seq(s) => Encode(s, Literal("UTF-8")) },
     "split_to_map" -> { case Seq(s, ed, kd) => StringToMap(s, ed, kd) },
+    // full Porter algorithm; 2-arg form dispatches on language like the
+    // reference's Snowball map (en only here)
+    "word_stem" -> {
+      case Seq(w) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, StringType, "wordStem",
+          Seq(w), inputTypes = Seq(StringType), propagateNull = true)
+      case Seq(w, l) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, StringType, "wordStemLang",
+          Seq(w, l), inputTypes = Seq(StringType, StringType),
+          propagateNull = true)
+    },
 
     // ── array family (Presto names Spark spells differently) ──
     // ArrayConstructor zip (operator/scalar/ZipFunction.java): positional
@@ -735,7 +752,6 @@ object GraftFunctions {
       (a: String, b: String) => GraftFnUtils.hammingDistance(a, b))
     spark.udf.register("normalize",
       (s: String) => GraftFnUtils.normalizeStr(s, "NFC"))
-    spark.udf.register("word_stem", (s: String) => GraftFnUtils.wordStem(s))
     spark.udf.register("is_json_scalar", (s: String) => GraftFnUtils.isJsonScalar(s))
     spark.udf.register("json_size",
       (j: String, p: String) => GraftFnUtils.jsonSize(j, p))

@@ -426,6 +426,52 @@ class FnSpec extends AnyFunSuite {
     assert(r.getTimestamp(1).toString == "1996-12-30 10:30:00.0")
   }
 
+  test("word_stem is the full Porter algorithm (paper example table)") {
+    ready()
+    // FINAL stems. First block: the published demo sample (tartarus.org
+    // Porter page, voc→output); second block: paper-derived pairs traced
+    // through all steps (the paper's own per-step examples are
+    // intermediates — e.g. 1b's "agreed→agree" then loses the e in 5a).
+    val expected = Seq(
+      "consign" -> "consign", "consigned" -> "consign",
+      "consigning" -> "consign", "consignment" -> "consign",
+      "consist" -> "consist", "consisted" -> "consist",
+      "consistency" -> "consist", "consistent" -> "consist",
+      "consistently" -> "consist", "consisting" -> "consist",
+      "consists" -> "consist",
+      "consolation" -> "consol", "consolatory" -> "consolatori",
+      "console" -> "consol", "consoled" -> "consol",
+      "consolidate" -> "consolid", "consolidated" -> "consolid",
+      "consoling" -> "consol", "consonant" -> "conson",
+      "consort" -> "consort", "conspicuous" -> "conspicu",
+      "conspiracy" -> "conspiraci", "conspirator" -> "conspir",
+      "conspire" -> "conspir", "constable" -> "constabl",
+      "constancy" -> "constanc", "constant" -> "constant",
+      // paper-derived:
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "sized" -> "size", "hopping" -> "hop", "tanned" -> "tan",
+      "falling" -> "fall", "hissing" -> "hiss", "fizzed" -> "fizz",
+      "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky",
+      "electriciti" -> "electr", "electrical" -> "electr",
+      "hopeful" -> "hope", "goodness" -> "good",
+      "controll" -> "control", "roll" -> "roll")
+    expected.foreach { case (in, want) =>
+      assert(graft.functions.PorterStemmer.stem(in) == want,
+        s"stem($in) = ${graft.functions.PorterStemmer.stem(in)}, want $want")
+    }
+    val r = spark.sql(
+      "SELECT word_stem('Running'), word_stem('presumably', 'en')").collect()(0)
+    assert(r.getString(0) == "run")
+    assert(r.getString(1) == "presum")
+    intercept[Exception] {
+      spark.sql("SELECT word_stem('maison', 'fr')").collect()
+    }
+  }
+
   test("Presto type spellings translate to Spark DDL") {
     import graft.functions.GraftSqlParser.translateType
     assert(translateType("ARRAY(VARCHAR)") == "ARRAY<STRING>")
