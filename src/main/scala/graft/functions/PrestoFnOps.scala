@@ -117,6 +117,29 @@ object PrestoFnOps extends QueryGroup {
               |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // DST-boundary behavior of the at_timezone/with_timezone
+    // approximation (SURVEY.md §1.2): wall-clock around the US 2026
+    // spring-forward (Mar 8, 07:00 UTC) and fall-back (Nov 1, 06:00 UTC)
+    // transitions, plus the nonexistent-local-time gap (both engines
+    // shift 02:30 EST* forward across the gap). The AMBIGUOUS repeated
+    // hour is deliberately NOT here: java.time resolves 01:30 to the
+    // earlier offset (EDT), Postgres/DuckDB to the later (EST) — that
+    // documented divergence is pinned in FnSpec instead.
+    q("fn_tz_dst",
+      """SELECT
+        |  strftime(timezone('America/New_York', timezone('UTC', TIMESTAMP '2026-03-08 06:30:00')), '%Y-%m-%d %H:%M') AS before_spring,
+        |  strftime(timezone('America/New_York', timezone('UTC', TIMESTAMP '2026-03-08 07:30:00')), '%Y-%m-%d %H:%M') AS after_spring,
+        |  strftime(timezone('America/New_York', timezone('UTC', TIMESTAMP '2026-11-01 05:30:00')), '%Y-%m-%d %H:%M') AS before_fall,
+        |  strftime(timezone('America/New_York', timezone('UTC', TIMESTAMP '2026-11-01 06:30:00')), '%Y-%m-%d %H:%M') AS after_fall,
+        |  strftime(timezone('UTC', timezone('America/New_York', TIMESTAMP '2026-03-08 02:30:00')), '%Y-%m-%d %H:%M') AS gap_utc""".stripMargin) { (s, _) =>
+      s.sql("""SELECT
+              |  date_format(at_timezone(TIMESTAMP '2026-03-08 06:30:00', 'America/New_York'), 'yyyy-MM-dd HH:mm') AS before_spring,
+              |  date_format(at_timezone(TIMESTAMP '2026-03-08 07:30:00', 'America/New_York'), 'yyyy-MM-dd HH:mm') AS after_spring,
+              |  date_format(at_timezone(TIMESTAMP '2026-11-01 05:30:00', 'America/New_York'), 'yyyy-MM-dd HH:mm') AS before_fall,
+              |  date_format(at_timezone(TIMESTAMP '2026-11-01 06:30:00', 'America/New_York'), 'yyyy-MM-dd HH:mm') AS after_fall,
+              |  date_format(with_timezone(TIMESTAMP '2026-03-08 02:30:00', 'America/New_York'), 'yyyy-MM-dd HH:mm') AS gap_utc""".stripMargin)
+    },
+
     // Joda-dialect format_datetime/parse_datetime (DateTimeFunctions
     // .java:68). The 'YYYY' column is the translation's acid test: Joda
     // 'Y' is year-of-era, java.time 'Y' is WEEK-based year — around ISO

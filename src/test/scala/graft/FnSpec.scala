@@ -426,6 +426,18 @@ class FnSpec extends AnyFunSuite {
     assert(r.getTimestamp(1).toString == "1996-12-30 10:30:00.0")
   }
 
+  test("with_timezone resolves the ambiguous fall-back hour to the EARLIER offset") {
+    ready()
+    // 2026-11-01 01:30 America/New_York happens twice; java.time (and so
+    // this engine) picks the earlier offset, EDT = 05:30 UTC. DuckDB/
+    // Postgres pick the later (EST, 06:30) — documented divergence, which
+    // is why this case is spec-pinned rather than in the fn_tz_dst oracle.
+    val r = spark.sql(
+      """SELECT date_format(with_timezone(TIMESTAMP '2026-11-01 01:30:00',
+        |  'America/New_York'), 'yyyy-MM-dd HH:mm')""".stripMargin).collect()(0)
+    assert(r.getString(0) == "2026-11-01 05:30")
+  }
+
   test("word_stem is the full Porter algorithm (paper example table)") {
     ready()
     // FINAL stems. First block: the published demo sample (tartarus.org
