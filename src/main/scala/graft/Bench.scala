@@ -26,7 +26,9 @@ object Bench {
     // round-3 op: grid-bucketed spatial join. (fn_tdigest is NOT here
     // for the same reason as fn_approx_set_hll: its runtime is the
     // exact-percentile verification subqueries, not the sketch.)
-    "spatial_distance_join")
+    "spatial_distance_join",
+    // round-4 ops: the real q02/q11 shapes over the synthesized partsupp
+    "q02_min_cost_supplier", "q11_important_stock")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
