@@ -1,0 +1,297 @@
+package graft.functions
+
+/** Pure-Scala geometry subset (reference: presto-geospatial
+  * GeoFunctions.java + BingTileFunctions.java). The container has no
+  * geometry library, so the engine carries the parts that are pure
+  * arithmetic — WKT POINT/POLYGON (with holes), even-odd containment,
+  * shoelace area/centroid, envelopes, and the complete Bing tile family
+  * (the public Bing Maps tile-system math) — and documents the rest
+  * (linestrings, polygon-polygon set ops, KdbTree partitioning) as out
+  * of scope. Geometries are canonical WKT strings; points interoperate
+  * with SpatialOps' struct points via st_as_text.
+  *
+  * Scale: every function is a per-row scalar (no driver state, no
+  * shuffle); containment joins compose with SpatialOps.distanceJoin-style
+  * grid bucketing rather than a cartesian.
+  */
+object GeometryFns {
+
+  final case class GPoint(x: Double, y: Double)
+  final case class TileXY(x: Int, y: Int)
+
+  // ── WKT ──────────────────────────────────────────────────────────────
+
+  /** rings(0) = shell, rest = holes; each ring is closed (first==last). */
+  final case class Polygon(rings: Seq[Array[GPoint]])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  private def parseCoords(s: String): Array[GPoint] = {
+    val pts = s.split(",").map(_.trim).map { pair =>
+      val nums = pair.split("\\s+")
+      if (nums.length != 2) fail(s"Invalid WKT coordinate: '$pair'")
+      try GPoint(nums(0).toDouble, nums(1).toDouble)
+      catch { case _: NumberFormatException => fail(s"Invalid WKT coordinate: '$pair'") }
+    }
+    if (pts.length < 4 || pts.head != pts.last)
+      fail("Polygon ring must be closed and have at least 3 distinct points")
+    pts
+  }
+
+  /** POLYGON ((x y, …), (hole…)) — whitespace-tolerant. */
+  def parsePolygon(wkt: String): Polygon = {
+    val t = wkt.trim
+    val up = t.toUpperCase
+    if (!up.startsWith("POLYGON")) fail(s"Expected POLYGON WKT, got: $wkt")
+    val body = t.substring("POLYGON".length).trim
+    if (!body.startsWith("(") || !body.endsWith(")")) fail(s"Invalid WKT: $wkt")
+    val inner = body.substring(1, body.length - 1)
+    // split top-level parenthesized rings
+    val rings = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = -1
+    inner.zipWithIndex.foreach { case (c, i) =>
+      if (c == '(') { if (depth == 0) start = i + 1; depth += 1 }
+      else if (c == ')') { depth -= 1; if (depth == 0) rings += inner.substring(start, i) }
+    }
+    if (rings.isEmpty) fail(s"Invalid WKT: $wkt")
+    Polygon(rings.toSeq.map(parseCoords))
+  }
+
+  def parsePoint(wkt: String): GPoint = {
+    val t = wkt.trim
+    if (!t.toUpperCase.startsWith("POINT")) fail(s"Expected POINT WKT, got: $wkt")
+    val body = t.substring("POINT".length).trim
+    if (!body.startsWith("(") || !body.endsWith(")")) fail(s"Invalid WKT: $wkt")
+    val nums = body.substring(1, body.length - 1).trim.split("\\s+")
+    if (nums.length != 2) fail(s"Invalid WKT: $wkt")
+    GPoint(nums(0).toDouble, nums(1).toDouble)
+  }
+
+  private def fmt(d: Double): String =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  def pointWkt(x: Double, y: Double): String = s"POINT (${fmt(x)} ${fmt(y)})"
+
+  def polygonWkt(p: Polygon): String =
+    "POLYGON (" + p.rings.map(r =>
+      "(" + r.map(pt => s"${fmt(pt.x)} ${fmt(pt.y)}").mkString(", ") + ")")
+      .mkString(", ") + ")"
+
+  /** Validate + canonicalize any supported WKT. */
+  def geometryFromText(wkt: String): String = {
+    val up = wkt.trim.toUpperCase
+    if (up.startsWith("POLYGON")) polygonWkt(parsePolygon(wkt))
+    else if (up.startsWith("POINT")) { val p = parsePoint(wkt); pointWkt(p.x, p.y) }
+    else fail(s"Unsupported WKT geometry (POINT/POLYGON subset): $wkt")
+  }
+
+  // ── predicates / measures ────────────────────────────────────────────
+
+  /** Even-odd ray casting over all rings — holes fall out naturally.
+    * Boundary behavior follows the crossing rules (documented
+    * approximation; the reference's Esri engine treats exact-boundary
+    * points with full DE-9IM precision).
+    */
+  def containsPoint(poly: Polygon, px: Double, py: Double): Boolean = {
+    var inside = false
+    poly.rings.foreach { ring =>
+      var i = 0
+      var j = ring.length - 2 // last point == first
+      while (i < ring.length - 1) {
+        val a = ring(i); val b = ring(j)
+        if ((a.y > py) != (b.y > py) &&
+            px < (b.x - a.x) * (py - a.y) / (b.y - a.y) + a.x)
+          inside = !inside
+        j = i
+        i += 1
+      }
+    }
+    inside
+  }
+
+  def stContains(polyWkt: String, pointWkt: String): Boolean = {
+    val p = parsePoint(pointWkt)
+    containsPoint(parsePolygon(polyWkt), p.x, p.y)
+  }
+
+  private def ringSignedArea(r: Array[GPoint]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < r.length - 1) {
+      s += r(i).x * r(i + 1).y - r(i + 1).x * r(i).y
+      i += 1
+    }
+    s / 2.0
+  }
+
+  /** Shell area minus hole areas (orientation-insensitive). */
+  def area(wkt: String): Double = {
+    val p = parsePolygon(wkt)
+    val shell = math.abs(ringSignedArea(p.rings.head))
+    shell - p.rings.tail.map(r => math.abs(ringSignedArea(r))).sum
+  }
+
+  /** Area-weighted centroid: shell positive, holes negative. */
+  def centroid(wkt: String): GPoint = {
+    val p = parsePolygon(wkt)
+    var ax = 0.0; var ay = 0.0; var aSum = 0.0
+    p.rings.zipWithIndex.foreach { case (r, idx) =>
+      val signed = ringSignedArea(r)
+      val w = if (idx == 0) math.abs(signed) else -math.abs(signed)
+      if (signed != 0.0) {
+        var cx = 0.0; var cy = 0.0
+        var i = 0
+        while (i < r.length - 1) {
+          val cross = r(i).x * r(i + 1).y - r(i + 1).x * r(i).y
+          cx += (r(i).x + r(i + 1).x) * cross
+          cy += (r(i).y + r(i + 1).y) * cross
+          i += 1
+        }
+        // ring centroid = (cx, cy) / (6 * signedArea); re-weight by w
+        ax += w * cx / (6.0 * signed)
+        ay += w * cy / (6.0 * signed)
+        aSum += w
+      }
+    }
+    if (aSum == 0.0) fail("Zero-area polygon has no centroid")
+    GPoint(ax / aSum, ay / aSum)
+  }
+
+  private def bounds(wkt: String): (Double, Double, Double, Double) = {
+    val up = wkt.trim.toUpperCase
+    val pts: Iterator[GPoint] =
+      if (up.startsWith("POINT")) Iterator(parsePoint(wkt))
+      else parsePolygon(wkt).rings.iterator.flatten
+    var xmin = Double.MaxValue; var xmax = Double.MinValue
+    var ymin = Double.MaxValue; var ymax = Double.MinValue
+    pts.foreach { p =>
+      xmin = math.min(xmin, p.x); xmax = math.max(xmax, p.x)
+      ymin = math.min(ymin, p.y); ymax = math.max(ymax, p.y)
+    }
+    (xmin, ymin, xmax, ymax)
+  }
+
+  def envelope(wkt: String): String = {
+    val (xmin, ymin, xmax, ymax) = bounds(wkt)
+    polygonWkt(Polygon(Seq(Array(GPoint(xmin, ymin), GPoint(xmax, ymin),
+      GPoint(xmax, ymax), GPoint(xmin, ymax), GPoint(xmin, ymin)))))
+  }
+
+  def xMin(wkt: String): Double = bounds(wkt)._1
+  def yMin(wkt: String): Double = bounds(wkt)._2
+  def xMax(wkt: String): Double = bounds(wkt)._3
+  def yMax(wkt: String): Double = bounds(wkt)._4
+
+  /** Vertex count (closing points not double-counted), ST_NumPoints. */
+  def numPoints(wkt: String): Long = {
+    val up = wkt.trim.toUpperCase
+    if (up.startsWith("POINT")) 1L
+    else parsePolygon(wkt).rings.map(_.length - 1).sum.toLong
+  }
+
+  // ── Bing tiles (public Bing Maps tile-system math) ───────────────────
+
+  val MaxZoom = 23
+  private val MinLat = -85.05112878
+  private val MaxLat = 85.05112878
+
+  private def clip(v: Double, lo: Double, hi: Double): Double =
+    math.max(lo, math.min(hi, v))
+
+  /** Opaque 64-bit encoding zoom(5b) | x(23b) | y(23b). */
+  def encode(x: Int, y: Int, zoom: Int): Long = {
+    if (zoom < 0 || zoom > MaxZoom) fail(s"Zoom level must be <= $MaxZoom: $zoom")
+    val max = 1 << zoom
+    if (x < 0 || x >= max || y < 0 || y >= max)
+      fail(s"XY coordinates for a Bing tile at zoom level $zoom must be within [0, ${max - 1}]: $x, $y")
+    (zoom.toLong << 46) | (x.toLong << 23) | y.toLong
+  }
+  def tileX(t: Long): Int = ((t >> 23) & 0x7FFFFF).toInt
+  def tileY(t: Long): Int = (t & 0x7FFFFF).toInt
+  def tileZoom(t: Long): Int = ((t >> 46) & 0x1F).toInt
+
+  def bingTileAt(lat: Double, lon: Double, zoom: Int): Long = {
+    if (lat < MinLat || lat > MaxLat) fail(s"Latitude must be within [$MinLat, $MaxLat]: $lat")
+    if (lon < -180 || lon > 180) fail(s"Longitude must be within [-180.0, 180.0]: $lon")
+    if (zoom < 0 || zoom > MaxZoom) fail(s"Zoom level must be <= $MaxZoom: $zoom")
+    val x01 = (lon + 180.0) / 360.0
+    val sinLat = math.sin(math.toRadians(lat))
+    val y01 = 0.5 - math.log((1 + sinLat) / (1 - sinLat)) / (4 * math.Pi)
+    val mapSize: Long = 256L << zoom
+    val px = clip(x01 * mapSize + 0.5, 0, mapSize - 1).toLong
+    val py = clip(y01 * mapSize + 0.5, 0, mapSize - 1).toLong
+    encode((px / 256).toInt, (py / 256).toInt, zoom)
+  }
+
+  def quadKey(t: Long): String = {
+    val z = tileZoom(t); val x = tileX(t); val y = tileY(t)
+    val sb = new StringBuilder
+    var i = z
+    while (i > 0) {
+      var digit = 0
+      val mask = 1 << (i - 1)
+      if ((x & mask) != 0) digit += 1
+      if ((y & mask) != 0) digit += 2
+      sb.append(digit)
+      i -= 1
+    }
+    sb.toString
+  }
+
+  def fromQuadKey(qk: String): Long = {
+    val z = qk.length
+    if (z > MaxZoom) fail(s"QuadKey must be <= $MaxZoom characters: $qk")
+    var x = 0; var y = 0
+    var i = z
+    qk.foreach { c =>
+      val mask = 1 << (i - 1)
+      c match {
+        case '0' => ()
+        case '1' => x |= mask
+        case '2' => y |= mask
+        case '3' => x |= mask; y |= mask
+        case _ => fail(s"Invalid QuadKey digit: $c")
+      }
+      i -= 1
+    }
+    encode(x, y, z)
+  }
+
+  /** The up-to-9 valid tiles around a lat/lon (edge tiles clamp). */
+  def tilesAround(lat: Double, lon: Double, zoom: Int): Array[Long] = {
+    val center = bingTileAt(lat, lon, zoom)
+    val cx = tileX(center); val cy = tileY(center)
+    val max = 1 << zoom
+    (for {
+      dx <- -1 to 1
+      dy <- -1 to 1
+      x = cx + dx
+      y = cy + dy
+      if x >= 0 && x < max && y >= 0 && y < max
+    } yield encode(x, y, zoom)).toArray
+  }
+
+  // UTF8String bridges for the StaticInvoke builders (converter-free in
+  // codegen, same discipline as GraftFnUtils.jsonQuote)
+  def pointWktU(x: Double, y: Double): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(pointWkt(x, y))
+  def fromQuadKeyU(qk: org.apache.spark.unsafe.types.UTF8String): Long =
+    fromQuadKey(qk.toString)
+
+  /** Tile footprint as a WKT polygon (inverse Mercator corners). */
+  def tilePolygon(t: Long): String = {
+    val z = tileZoom(t)
+    val mapSize = (256L << z).toDouble
+    def lonOf(px: Double): Double = 360.0 * (px / mapSize) - 180.0
+    def latOf(py: Double): Double =
+      math.toDegrees(math.asin(math.tanh((0.5 - py / mapSize) * 2 * math.Pi)))
+    val x0 = tileX(t) * 256.0; val y0 = tileY(t) * 256.0
+    val (w, e) = (lonOf(x0), lonOf(x0 + 256))
+    val (n, s) = (latOf(y0), latOf(y0 + 256))
+    polygonWkt(Polygon(Seq(Array(GPoint(w, s), GPoint(e, s), GPoint(e, n),
+      GPoint(w, n), GPoint(w, s)))))
+  }
+}

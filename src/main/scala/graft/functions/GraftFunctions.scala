@@ -679,6 +679,29 @@ object GraftFunctions {
     // geometry runtime descoped — no geometry lib in the container) ──
     "st_point" -> { case Seq(x, y) =>
       CreateNamedStruct(Seq(Literal("x"), Cast(x, DoubleType), Literal("y"), Cast(y, DoubleType))) },
+    // struct point → WKT text, bridging the point subset to the WKT
+    // polygon family (GeometryFns)
+    "st_as_text" -> { case Seq(p) =>
+      def f(n: String) =
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(p, Literal(n))
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GeometryFns.getClass, StringType, "pointWktU",
+        Seq(Cast(f("x"), DoubleType), Cast(f("y"), DoubleType)),
+        inputTypes = Seq(DoubleType, DoubleType), propagateNull = true)
+    },
+    // bing_tile has two reference spellings: (x, y, zoom) and (quadkey)
+    "bing_tile" -> {
+      case Seq(x, y, z) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GeometryFns.getClass, LongType, "encode",
+          Seq(Cast(x, IntegerType), Cast(y, IntegerType), Cast(z, IntegerType)),
+          inputTypes = Seq(IntegerType, IntegerType, IntegerType),
+          propagateNull = true)
+      case Seq(qk) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GeometryFns.getClass, LongType, "fromQuadKeyU",
+          Seq(qk), inputTypes = Seq(StringType), propagateNull = true)
+    },
     "st_x" -> { case Seq(p) =>
       org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(p, Literal("x")) },
     "st_y" -> { case Seq(p) =>
@@ -789,6 +812,36 @@ object GraftFunctions {
     spark.udf.register("great_circle_distance",
       (lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
         GraftFnUtils.greatCircleDistance(lat1, lon1, lat2, lon2))
+    // WKT polygon subset + Bing tiles (GeometryFns; reference
+    // presto-geospatial GeoFunctions.java / BingTileFunctions.java)
+    spark.udf.register("st_geometry_from_text",
+      (w: String) => GeometryFns.geometryFromText(w))
+    spark.udf.register("st_polygon",
+      (w: String) => { GeometryFns.parsePolygon(w); GeometryFns.geometryFromText(w) })
+    spark.udf.register("st_contains",
+      (poly: String, pt: String) => GeometryFns.stContains(poly, pt))
+    spark.udf.register("st_within",
+      (pt: String, poly: String) => GeometryFns.stContains(poly, pt))
+    spark.udf.register("st_area", (w: String) => GeometryFns.area(w))
+    spark.udf.register("st_centroid", (w: String) => GeometryFns.centroid(w))
+    spark.udf.register("st_envelope", (w: String) => GeometryFns.envelope(w))
+    spark.udf.register("st_xmin", (w: String) => GeometryFns.xMin(w))
+    spark.udf.register("st_ymin", (w: String) => GeometryFns.yMin(w))
+    spark.udf.register("st_xmax", (w: String) => GeometryFns.xMax(w))
+    spark.udf.register("st_ymax", (w: String) => GeometryFns.yMax(w))
+    spark.udf.register("st_num_points", (w: String) => GeometryFns.numPoints(w))
+    spark.udf.register("bing_tile_at",
+      (lat: Double, lon: Double, zoom: Int) => GeometryFns.bingTileAt(lat, lon, zoom))
+    spark.udf.register("bing_tile_coordinates",
+      (t: Long) => GeometryFns.TileXY(GeometryFns.tileX(t), GeometryFns.tileY(t)))
+    spark.udf.register("bing_tile_zoom_level",
+      (t: Long) => GeometryFns.tileZoom(t))
+    spark.udf.register("bing_tile_quadkey",
+      (t: Long) => GeometryFns.quadKey(t))
+    spark.udf.register("bing_tiles_around",
+      (lat: Double, lon: Double, zoom: Int) => GeometryFns.tilesAround(lat, lon, zoom))
+    spark.udf.register("bing_tile_polygon",
+      (t: Long) => GeometryFns.tilePolygon(t))
   }
 }
 

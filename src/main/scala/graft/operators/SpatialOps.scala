@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Spatial join, points subset (reference: SpatialJoinOperator +
   * ExtractSpatialJoins in presto-main, ST_Point/ST_Distance in
-  * presto-geospatial/GeoFunctions.java). The survey descopes the full
-  * geometry runtime (no geometry library in this container — polygons,
-  * WKT parsing, KdbTree partitioning stay out of scope, documented);
-  * what IS in scope is the part that decides scalability: a distance
-  * join that never goes all-pairs.
+  * presto-geospatial/GeoFunctions.java). The container has no geometry
+  * library, so the engine carries the pure-arithmetic subset itself:
+  * points, WKT polygons with holes (containment/area/centroid/envelope)
+  * and the complete Bing tile family (functions/GeometryFns.scala);
+  * linestrings, polygon-polygon set ops and KdbTree partitioning stay
+  * out of scope, documented. What IS fully in scope is the part that
+  * decides scalability: a distance join that never goes all-pairs.
   *
   * 100 TB design — grid bucketing (the planar analog of the reference's
   * KdbTree spatial partitioning, SpatialPartitioningAggregateFunction
@@ -86,6 +88,78 @@ object SpatialOps extends QueryGroup {
            |  round(st_distance(pt, st_point(0.0D, 0.0D)), 4) AS dist_origin,
            |  round(great_circle_distance(40.0D, 70.0D, st_y(pt) / 2, st_x(pt)), 1) AS gc_km
            |FROM p ORDER BY c_custkey""".stripMargin)
+    },
+
+    // WKT polygon subset (GeometryFns; reference GeoFunctions.java):
+    // per-customer axis-aligned rectangles derived from keys. Bounds sit
+    // on .05 offsets while point coordinates are .1 multiples, so no
+    // point ever lands exactly on a boundary — strict-inside range
+    // checks in the oracle are then EXACTLY the even-odd containment
+    // test (the concave/hole cases ray casting must get right have no
+    // SQL oracle and are pinned in FnSpec).
+    q("spatial_polygon_ops",
+      s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+         |r AS (SELECT c_custkey, x, y,
+         |  CAST(c_custkey % 7 AS DOUBLE) * 10 + 0.05 AS rx,
+         |  CAST(c_custkey % 5 AS DOUBLE) * 12 + 0.05 AS ry,
+         |  16.0 + CAST(c_custkey % 3 AS DOUBLE) * 2 AS h
+         |  FROM c WHERE c_custkey < 300)
+         |SELECT c_custkey,
+         |  (x > rx AND x < rx + 15 AND y > ry AND y < ry + h) AS inside,
+         |  round(15 * h, 4) AS ar,
+         |  round(rx + 7.5, 4) AS cx, round(ry + h / 2, 4) AS cy,
+         |  true AS env_roundtrip,
+         |  4 AS np
+         |FROM r ORDER BY c_custkey""".stripMargin) { (sp, _) =>
+      sp.sql(
+        s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+           |r AS (SELECT c_custkey, x, y,
+           |  CAST(c_custkey % 7 AS DOUBLE) * 10 + 0.05 AS rx,
+           |  CAST(c_custkey % 5 AS DOUBLE) * 12 + 0.05 AS ry,
+           |  16.0 + CAST(c_custkey % 3 AS DOUBLE) * 2 AS h
+           |  FROM c WHERE c_custkey < 300),
+           |w AS (SELECT c_custkey, x, y,
+           |  st_polygon(concat('POLYGON ((', rx, ' ', ry, ', ', rx + 15, ' ', ry,
+           |    ', ', rx + 15, ' ', ry + h, ', ', rx, ' ', ry + h,
+           |    ', ', rx, ' ', ry, '))')) AS poly
+           |  FROM r)
+           |SELECT c_custkey,
+           |  st_contains(poly, st_as_text(st_point(x, y))) AS inside,
+           |  round(st_area(poly), 4) AS ar,
+           |  round(st_x(st_centroid(poly)), 4) AS cx,
+           |  round(st_y(st_centroid(poly)), 4) AS cy,
+           |  st_envelope(poly) = poly AS env_roundtrip,
+           |  CAST(st_num_points(poly) AS INT) AS np
+           |FROM w ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Bing tile family (GeometryFns; reference BingTileFunctions.java):
+    // tile x/y from the public tile-system arithmetic, reproduced by the
+    // oracle in plain SQL; quadkey roundtrip + neighborhood as booleans
+    q("spatial_bing_tiles",
+      s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+         |g AS (SELECT c_custkey, y / 2 - 40 AS lat, x - 70 AS lon
+         |  FROM c WHERE c_custkey < 300),
+         |t AS (SELECT c_custkey,
+         |  CAST(floor(floor(((lon + 180) / 360) * 262144.0 + 0.5) / 256) AS INT) AS tx,
+         |  CAST(floor(floor((0.5 - ln((1 + sin(radians(lat))) / (1 - sin(radians(lat)))) / (4 * pi())) * 262144.0 + 0.5) / 256) AS INT) AS ty
+         |  FROM g)
+         |SELECT c_custkey, tx, ty, 10 AS zl, 10 AS qklen,
+         |  true AS qk_roundtrip, 9 AS n_around
+         |FROM t ORDER BY c_custkey""".stripMargin) { (sp, _) =>
+      sp.sql(
+        s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+           |g AS (SELECT c_custkey, y / 2 - 40 AS lat, x - 70 AS lon
+           |  FROM c WHERE c_custkey < 300),
+           |t AS (SELECT c_custkey, lat, lon, bing_tile_at(lat, lon, 10) AS tile FROM g)
+           |SELECT c_custkey,
+           |  bing_tile_coordinates(tile).x AS tx,
+           |  bing_tile_coordinates(tile).y AS ty,
+           |  bing_tile_zoom_level(tile) AS zl,
+           |  length(bing_tile_quadkey(tile)) AS qklen,
+           |  bing_tile(bing_tile_quadkey(tile)) = tile AS qk_roundtrip,
+           |  size(bing_tiles_around(lat, lon, 10)) AS n_around
+           |FROM t ORDER BY c_custkey""".stripMargin)
     },
   )
 }

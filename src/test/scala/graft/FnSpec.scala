@@ -484,6 +484,63 @@ class FnSpec extends AnyFunSuite {
     }
   }
 
+  test("WKT polygon subset: containment with holes/concavity, measures") {
+    ready()
+    import graft.functions.GeometryFns
+    // donut: outer 10x10 square, inner 4x4 hole
+    val donut = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    assert(GeometryFns.stContains(donut, "POINT (1 1)"), "in shell")
+    assert(!GeometryFns.stContains(donut, "POINT (5 5)"), "in hole")
+    assert(!GeometryFns.stContains(donut, "POINT (11 5)"), "outside")
+    assert(GeometryFns.area(donut) == 100.0 - 16.0)
+    // concave L-shape: the notch is OUTSIDE even though the bbox covers it
+    val ell = "POLYGON ((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0))"
+    assert(GeometryFns.stContains(ell, "POINT (2 8)"))
+    assert(!GeometryFns.stContains(ell, "POINT (8 8)"), "bbox-only hit must be out")
+    assert(GeometryFns.area(ell) == 10.0 * 4 + 4.0 * 6)
+    val c = GeometryFns.centroid("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+    assert(c.x == 2.0 && c.y == 1.0)
+    // SQL surface incl. canonicalization + envelope
+    val r = spark.sql(
+      s"""SELECT st_contains('$donut', 'POINT (5 5)'),
+         |  st_within('POINT (1 1)', '$donut'),
+         |  st_envelope('$ell'),
+         |  st_num_points('$donut'),
+         |  st_as_text(st_point(3.5D, 4.0D))""".stripMargin).collect()(0)
+    assert(!r.getBoolean(0) && r.getBoolean(1))
+    assert(r.getString(2) == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(r.getLong(3) == 8L)
+    assert(r.getString(4) == "POINT (3.5 4)")
+    intercept[Exception] {
+      spark.sql("SELECT st_polygon('POLYGON ((0 0, 1 1))')").collect()
+    }
+  }
+
+  test("Bing tiles: known landmark, quadkey roundtrip, polygon inverse") {
+    ready()
+    import graft.functions.GeometryFns
+    // the Bing docs example: Seattle-area point at zoom 3 → tile (1, 2),
+    // quadkey "021"
+    val t = GeometryFns.bingTileAt(47.61, -122.33, 3)
+    assert(GeometryFns.tileX(t) == 1 && GeometryFns.tileY(t) == 2)
+    assert(GeometryFns.quadKey(t) == "021")
+    assert(GeometryFns.fromQuadKey("021") == t)
+    // tile polygon contains the original point and its centroid maps back
+    val poly = GeometryFns.tilePolygon(t)
+    assert(GeometryFns.stContains(poly, "POINT (-122.33 47.61)"))
+    // zoom-0 tile covers the world; corner tiles clamp the neighborhood
+    assert(GeometryFns.tilesAround(0.0, 0.0, 0).length == 1)
+    assert(GeometryFns.tilesAround(84.0, -179.0, 4).length == 4, "corner clamps to 4")
+    assert(GeometryFns.tilesAround(10.0, 10.0, 4).length == 9)
+    intercept[Exception] { GeometryFns.bingTileAt(89.0, 0.0, 5) }
+    intercept[Exception] { GeometryFns.encode(16, 0, 4) }
+    val r = spark.sql(
+      "SELECT bing_tile_quadkey(bing_tile(3, 5, 4)), bing_tile_zoom_level(bing_tile('0213'))")
+      .collect()(0)
+    assert(r.getString(0) == "0213")
+    assert(r.getInt(1) == 4)
+  }
+
   test("Presto type spellings translate to Spark DDL") {
     import graft.functions.GraftSqlParser.translateType
     assert(translateType("ARRAY(VARCHAR)") == "ARRAY<STRING>")
