@@ -639,6 +639,31 @@ object BenchtoTexts {
       |LIMIT 
       |  100""".stripMargin
 
+  // reference sql/presto/distributed_sort/sort_query_1_col.sql /
+  // sort_query_6_cols.sql — the distributed-sort benchmark pair (count
+  // over a globally ORDER BY'd subquery; note the unquoted three-part
+  // refs and no ${prefix} variable in this corpus)
+  val sort1: String =
+    """SELECT
+      |  count(orderkey)
+      |FROM (
+      |    SELECT *
+      |    FROM ${database}.${schema}.lineitem
+      |    ORDER BY orderkey)""".stripMargin
+
+  val sort6: String =
+    """SELECT
+      |  count(orderkey),
+      |  count(partkey),
+      |  count(suppkey),
+      |  count(linenumber),
+      |  count(quantity),
+      |  count(extendedprice)
+      |FROM (
+      |    SELECT *
+      |    FROM ${database}.${schema}.lineitem
+      |    ORDER BY orderkey)""".stripMargin
+
   val q22: String =
     """SELECT 
       |  cntrycode, 

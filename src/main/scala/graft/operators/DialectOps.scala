@@ -64,10 +64,12 @@ object DialectOps extends QueryGroup {
     .replace("${prefix}", "")
 
   /** Oracle-side: collapse `"${database}"."${schema}"."${prefix}t"` to the
-    * quoted CTE identifier `"tpch_t"`.
+    * quoted CTE identifier `"tpch_t"` (tpch corpus) and the unquoted
+    * `${database}.${schema}.t` form to `tpch_t` (distributed_sort corpus).
     */
-  private def collapse(text: String): String =
-    text.replace("\"${database}\".\"${schema}\".\"${prefix}", "\"tpch_")
+  private def collapse(text: String): String = text
+    .replace("\"${database}\".\"${schema}\".\"${prefix}", "\"tpch_")
+    .replace("${database}.${schema}.", "tpch_")
 
   /** One verbatim corpus entry.
     * @param aliases  positional names for the text's output columns
@@ -219,5 +221,15 @@ object DialectOps extends QueryGroup {
       Seq("cntrycode", "numcust", "totacctbal"),
       Seq("cntrycode", big("numcust"), r2("totacctbal")),
       "cntrycode"),
+
+    // the distributed_sort corpus (count over a global ORDER BY —
+    // Catalyst correctly eliminates the fruitless inner sort; the
+    // reference runs it to benchmark its distributed-sort operator)
+    verbatim("dialect_sort_1col", BenchtoTexts.sort1,
+      Seq("n1"), Seq(big("n1")), ""),
+    verbatim("dialect_sort_6cols", BenchtoTexts.sort6,
+      Seq("n1", "n2", "n3", "n4", "n5", "n6"),
+      Seq(big("n1"), big("n2"), big("n3"), big("n4"), big("n5"), big("n6")),
+      ""),
   )
 }

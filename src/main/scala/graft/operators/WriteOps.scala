@@ -204,6 +204,31 @@ object WriteOps extends QueryGroup {
               |FROM graft_orders_bkt JOIN graft_lineitem_bkt ON o_orderkey = l_orderkey
               |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
+    // JDBC connector (reference presto-base-jdbc): Spark's built-in JDBC
+    // source/sink against the in-process Derby engine that ships with
+    // Spark — the same wiring a cluster points at a real RDBMS. The
+    // read-back is a PARTITIONED JDBC scan (partitionColumn + bounds →
+    // numPartitions parallel range queries), the property that matters
+    // when the relational side is large.
+    q("wr_jdbc_roundtrip",
+      """SELECT n_regionkey, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS keysum
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, _) =>
+      val url = s"jdbc:derby:${tmp("derby-db")};create=true"
+      s.table("nation").write.mode("overwrite")
+        .format("jdbc").option("url", url)
+        .option("dbtable", "nation_jdbc").save()
+      val back = s.read.format("jdbc").option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0").option("upperBound", "25")
+        .option("numPartitions", "4").load()
+      back.groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"),
+          sum("n_nationkey").cast("bigint").as("keysum"))
+        .orderBy("n_regionkey")
+    },
+
     // reference's MetadataDeleteOperator / filtered-rewrite equivalent)
     q("wr_delete_rewrite",
       """WITH kept AS (SELECT * FROM orders WHERE o_orderstatus <> 'F')
