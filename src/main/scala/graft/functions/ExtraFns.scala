@@ -1,0 +1,185 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal}
+import java.net.InetAddress
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Long-tail reference functions with no Spark native: FNV hashes,
+  * IEEE-754 codecs, statistical CDFs (commons-math3, which ships with
+  * Spark), IP/CIDR arithmetic, duration/data-size parsing
+  * (reference: operator/scalar/VarbinaryFunctions.java,
+  * MathFunctions.java, IpPrefixFunctions.java, DataSizeFunctions.java,
+  * DateTimeFunctions.java parse_duration).
+  */
+object ExtraFns {
+
+  // ── FNV (public Fowler–Noll–Vo spec) ─────────────────────────────────
+  def fnv1_32(data: Array[Byte]): Long = {
+    var h = 0x811c9dc5L
+    data.foreach { b => h = (h * 0x01000193L) & 0xffffffffL; h ^= (b & 0xff) }
+    h.toInt.toLong // presto returns the signed 32-bit value as bigint? keep unsigned-in-long
+  }
+  def fnv1_64(data: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    data.foreach { b => h *= 0x100000001b3L; h ^= (b & 0xff) }
+    h
+  }
+  def fnv1a_32(data: Array[Byte]): Long = {
+    var h = 0x811c9dc5L
+    data.foreach { b => h ^= (b & 0xff); h = (h * 0x01000193L) & 0xffffffffL }
+    h.toInt.toLong
+  }
+  def fnv1a_64(data: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    data.foreach { b => h ^= (b & 0xff); h *= 0x100000001b3L }
+    h
+  }
+
+  // ── IEEE 754 big-endian codecs ───────────────────────────────────────
+  def toIeee754_32(v: Float): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(java.lang.Float.floatToIntBits(v)).array()
+  def fromIeee754_32(b: Array[Byte]): Float = {
+    require(b.length == 4, "Input floating-point value must be exactly 4 bytes long")
+    java.lang.Float.intBitsToFloat(java.nio.ByteBuffer.wrap(b).getInt)
+  }
+  def toIeee754_64(v: Double): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(java.lang.Double.doubleToLongBits(v)).array()
+  def fromIeee754_64(b: Array[Byte]): Double = {
+    require(b.length == 8, "Input floating-point value must be exactly 8 bytes long")
+    java.lang.Double.longBitsToDouble(java.nio.ByteBuffer.wrap(b).getLong)
+  }
+
+  // ── statistical CDFs (commons-math3, bundled with Spark) ─────────────
+  def normalCdf(mean: Double, sd: Double, v: Double): Double = {
+    require(sd > 0, "standardDeviation must be > 0")
+    new org.apache.commons.math3.distribution.NormalDistribution(mean, sd)
+      .cumulativeProbability(v)
+  }
+  def inverseNormalCdf(mean: Double, sd: Double, p: Double): Double = {
+    require(p > 0 && p < 1, "p must be 0 > p > 1")
+    require(sd > 0, "sd must be > 0")
+    new org.apache.commons.math3.distribution.NormalDistribution(mean, sd)
+      .inverseCumulativeProbability(p)
+  }
+  def betaCdf(a: Double, b: Double, v: Double): Double = {
+    require(a > 0 && b > 0, "alpha and beta must be > 0")
+    require(v >= 0 && v <= 1, "value must be in the interval [0, 1]")
+    new org.apache.commons.math3.distribution.BetaDistribution(null, a, b)
+      .cumulativeProbability(v)
+  }
+  def inverseBetaCdf(a: Double, b: Double, p: Double): Double = {
+    require(a > 0 && b > 0, "alpha and beta must be > 0")
+    require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
+    new org.apache.commons.math3.distribution.BetaDistribution(null, a, b)
+      .inverseCumulativeProbability(p)
+  }
+
+  // ── IP / CIDR (InetAddress covers v4 + v6) ───────────────────────────
+  private def ipBytes(ip: String): Array[Byte] = InetAddress.getByName(ip).getAddress
+
+  private def canonical(b: Array[Byte]): String = InetAddress.getByAddress(b).getHostAddress
+
+  private def maskedLow(b: Array[Byte], bits: Int): Array[Byte] = {
+    val out = b.clone()
+    var i = bits
+    while (i < out.length * 8) { out(i / 8) = (out(i / 8) & ~(0x80 >> (i % 8))).toByte; i += 1 }
+    out
+  }
+  private def maskedHigh(b: Array[Byte], bits: Int): Array[Byte] = {
+    val out = b.clone()
+    var i = bits
+    while (i < out.length * 8) { out(i / 8) = (out(i / 8) | (0x80 >> (i % 8))).toByte; i += 1 }
+    out
+  }
+
+  /** ip_prefix(ip, bits) → canonical 'network/bits'. */
+  def ipPrefix(ip: String, bits: Int): String = {
+    val b = ipBytes(ip)
+    require(bits >= 0 && bits <= b.length * 8,
+      s"prefixBits must be in [0, ${b.length * 8}]: $bits")
+    s"${canonical(maskedLow(b, bits))}/$bits"
+  }
+
+  private def parseCidr(cidr: String): (Array[Byte], Int) = {
+    val parts = cidr.split("/")
+    require(parts.length == 2, s"Invalid CIDR: $cidr")
+    val b = ipBytes(parts(0))
+    val bits = parts(1).toInt
+    require(bits >= 0 && bits <= b.length * 8, s"Invalid CIDR: $cidr")
+    (b, bits)
+  }
+
+  def ipSubnetMin(cidr: String): String = {
+    val (b, bits) = parseCidr(cidr)
+    canonical(maskedLow(b, bits))
+  }
+  def ipSubnetMax(cidr: String): String = {
+    val (b, bits) = parseCidr(cidr)
+    canonical(maskedHigh(b, bits))
+  }
+  def ipSubnetRange(cidr: String): Array[String] =
+    Array(ipSubnetMin(cidr), ipSubnetMax(cidr))
+
+  /** is_subnet_of(cidr, ip) and is_subnet_of(cidr, cidr2). */
+  def isSubnetOfIp(cidr: String, ip: String): Boolean = {
+    val (b, bits) = parseCidr(cidr)
+    val t = ipBytes(ip)
+    b.length == t.length &&
+      java.util.Arrays.equals(maskedLow(b, bits), maskedLow(t, bits))
+  }
+  def isSubnetOfCidr(cidr: String, sub: String): Boolean = {
+    val (b, bits) = parseCidr(cidr)
+    val (b2, bits2) = parseCidr(sub)
+    b.length == b2.length && bits2 >= bits &&
+      java.util.Arrays.equals(maskedLow(b, bits), maskedLow(maskedLow(b2, bits2), bits))
+  }
+
+  // ── parse_presto_data_size (DataSizeFunctions.java; 1024-based units) ─
+  private val dataSizeUnits = Map("B" -> 0, "kB" -> 1, "MB" -> 2, "GB" -> 3,
+    "TB" -> 4, "PB" -> 5, "EB" -> 6, "ZB" -> 7, "YB" -> 8)
+
+  def parseDataSize(s: String): JBigDecimal = {
+    val m = raw"^\s*(\d+(?:\.\d+)?)\s*([A-Za-z]+)\s*$$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"Invalid data size: '$s'"))
+    val exp = dataSizeUnits.getOrElse(m.group(2),
+      throw new IllegalArgumentException(s"Invalid data size: '$s'"))
+    new JBigDecimal(m.group(1))
+      .multiply(new JBigDecimal(java.math.BigInteger.valueOf(1024).pow(exp)))
+      .setScale(0, java.math.RoundingMode.DOWN)
+  }
+
+  // ── parse_duration (Duration syntax '3.2ms'; returns interval micros) ─
+  private val durationUnits = Map("ns" -> 1e-3, "us" -> 1.0, "ms" -> 1e3,
+    "s" -> 1e6, "m" -> 60e6, "h" -> 3600e6, "d" -> 86400e6)
+
+  /** Returns MICROSECONDS — surfaced as a DAY-TO-SECOND interval by the
+    * StaticInvoke builder (DayTimeIntervalType's physical type is Long
+    * micros).
+    */
+  def parseDurationMicros(s: UTF8String): Long = {
+    val m = raw"^\s*(\d+(?:\.\d+)?)\s*([a-z]+)\s*$$".r
+      .findFirstMatchIn(s.toString)
+      .getOrElse(throw new IllegalArgumentException(s"duration is not a valid data duration string: $s"))
+    val unit = durationUnits.getOrElse(m.group(2),
+      throw new IllegalArgumentException(s"Unknown duration unit: ${m.group(2)}"))
+    math.round(m.group(1).toDouble * unit)
+  }
+
+  /** to_milliseconds(interval day-to-second) → bigint. */
+  def intervalMillis(micros: Long): Long = micros / 1000L
+
+  // ── split_to_multimap (StringFunctions.java) ─────────────────────────
+  def splitToMultimap(s: String, entryDelim: String, kvDelim: String): Map[String, Seq[String]] = {
+    require(entryDelim.nonEmpty && kvDelim.nonEmpty && entryDelim != kvDelim,
+      "entryDelimiter and keyValueDelimiter must be non-empty and distinct")
+    s.split(java.util.regex.Pattern.quote(entryDelim), -1).toSeq
+      .map { entry =>
+        val kv = entry.split(java.util.regex.Pattern.quote(kvDelim), -1)
+        require(kv.length == 2, s"Key-value delimiter must appear exactly once in each entry: '$entry'")
+        kv(0) -> kv(1)
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+  }
+}

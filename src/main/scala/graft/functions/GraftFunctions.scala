@@ -397,6 +397,8 @@ object GraftFunctions {
     "approx_set" -> { args => ApproxSetAgg(args.head).toAggregateExpression() },
     // MergeHyperLogLogAggregation.java — sketch union
     "merge" -> { args => MergeHllAgg(args.head).toAggregateExpression() },
+    // explicit reference spelling for the HLL merge aggregate
+    "merge_hll" -> { args => MergeHllAgg(args.head).toAggregateExpression() },
     // ApproximateCountDistinctAggregation.java:41
     "approx_distinct" -> {
       case Seq(c) => HyperLogLogPlusPlus(c).toAggregateExpression()
@@ -442,6 +444,18 @@ object GraftFunctions {
     },
     "bitwise_and_agg" -> { args => BitAndAgg(args.head).toAggregateExpression() },
     "bitwise_or_agg" -> { args => BitOrAgg(args.head).toAggregateExpression() },
+    // scalar bitwise family (BitwiseFunctions.java) — all on BIGINT like
+    // the reference
+    "bitwise_and" -> { case Seq(a, b) => BitwiseAnd(Cast(a, LongType), Cast(b, LongType)) },
+    "bitwise_or" -> { case Seq(a, b) => BitwiseOr(Cast(a, LongType), Cast(b, LongType)) },
+    "bitwise_xor" -> { case Seq(a, b) => BitwiseXor(Cast(a, LongType), Cast(b, LongType)) },
+    "bitwise_not" -> { case Seq(a) => BitwiseNot(Cast(a, LongType)) },
+    "bitwise_shift_left" -> { case Seq(a, n) =>
+      ShiftLeft(Cast(a, LongType), Cast(n, IntegerType)) },
+    "bitwise_logical_shift_right" -> { case Seq(a, n) =>
+      ShiftRightUnsigned(Cast(a, LongType), Cast(n, IntegerType)) },
+    "bitwise_arithmetic_shift_right" -> { case Seq(a, n) =>
+      ShiftRight(Cast(a, LongType), Cast(n, IntegerType)) },
     // QuantileDigestAggregationFunction.java:32 — re-aggregatable
     // quantile sketch (Presto's merge(qdigest) is merge_qdigest here: the
     // sketch types share BinaryType, so name-level dispatch can't tell
@@ -502,6 +516,8 @@ object GraftFunctions {
     // QuantileDigestFunctions.java — sketch decode scalars
     "value_at_quantile" -> { case Seq(s, q) => ValueAtQuantile(s, Cast(q, DoubleType)) },
     "quantile_at_value" -> { case Seq(s, v) => QuantileAtValue(s, Cast(v, DoubleType)) },
+    "quantiles_at_values" -> { case Seq(s, vs) =>
+      QuantilesAtValues(s, Cast(vs, ArrayType(DoubleType))) },
     "values_at_quantiles" -> { case Seq(s, qs) =>
       ValuesAtQuantiles(s, Cast(qs, ArrayType(DoubleType))) },
 
@@ -658,6 +674,56 @@ object GraftFunctions {
     // ── math family (MathFunctions.java:65) ──
     "from_base" -> { case Seq(s, r) => Cast(Conv(s, r, Literal(10)), LongType) },
     "to_base" -> { case Seq(n, r) => Lower(Conv(Cast(n, StringType), Literal(10), r)) },
+    // binary codecs (VarbinaryFunctions.java): Presto names over Spark
+    // natives; sha256/sha512 return VARBINARY (Spark's sha2 emits hex)
+    "to_base64" -> { case Seq(b) => Base64(b) },
+    "from_base64" -> { case Seq(s) => new UnBase64(s) },
+    "to_hex" -> { case Seq(b) => Hex(b) },
+    "from_hex" -> { case Seq(s) => Unhex(s) },
+    "sha256" -> { case Seq(b) => Unhex(Sha2(b, Literal(256))) },
+    "sha512" -> { case Seq(b) => Unhex(Sha2(b, Literal(512))) },
+    // array lambda predicates (ArrayAllMatchFunction.java et al.)
+    "all_match" -> { case Seq(a, f) => ArrayForAll(a, f) },
+    "any_match" -> { case Seq(a, f) => ArrayExists(a, f) },
+    // none_match ≡ all_match(!pred): the analyzer requires the BUILT
+    // expression to itself be the higher-order function, so the negation
+    // goes inside the lambda body, not around the HOF
+    "none_match" -> { case Seq(a, f: LambdaFunction) =>
+      ArrayForAll(a, f.copy(function = Not(f.function))) },
+    // regexp_split keeps trailing empties like the reference
+    "regexp_split" -> { case Seq(s, p) => StringSplit(s, p, Literal(-1)) },
+    // fail(message) → error of class GENERIC_USER_ERROR (FailureFunction)
+    "fail" -> { case Seq(m) => RaiseError(m) },
+    // combine_hash (CombineHashFunction.java: h1 * 31 + h2)
+    "combine_hash" -> { case Seq(a, b) =>
+      Add(Multiply(Cast(a, LongType), Literal(31L)), Cast(b, LongType)) },
+    // millisecond-of-second (DateTimeFunctions.java millisecond)
+    "millisecond" -> { case Seq(t) =>
+      Cast(DateFormatClass(Cast(t, TimestampType), Literal("SSS")), LongType) },
+    // ISO week-year (year_of_week/yow); Spark spells it YEAROFWEEK
+    "year_of_week" -> { case Seq(t) =>
+      Cast(org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "date_part", Seq(Literal("YEAROFWEEK"), t), isDistinct = false), LongType) },
+    "yow" -> { case Seq(t) =>
+      Cast(org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "date_part", Seq(Literal("YEAROFWEEK"), t), isDistinct = false), LongType) },
+    // timezone_hour/minute: under the engine's documented UTC-instant
+    // approximation every timestamp's zone is UTC → offset 0 (SURVEY §1.2)
+    "timezone_hour" -> { case Seq(t) =>
+      If(IsNull(t), Literal(null, LongType), Literal(0L)) },
+    "timezone_minute" -> { case Seq(t) =>
+      If(IsNull(t), Literal(null, LongType), Literal(0L)) },
+    // parse_duration → DAY-TO-SECOND interval (physical micros);
+    // to_milliseconds is its bigint projection (DateTimeFunctions.java)
+    "parse_duration" -> { case Seq(s) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        ExtraFns.getClass, DayTimeIntervalType(), "parseDurationMicros",
+        Seq(s), inputTypes = Seq(StringType), propagateNull = true) },
+    "to_milliseconds" -> { case Seq(i) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        ExtraFns.getClass, LongType, "intervalMillis",
+        Seq(Cast(i, DayTimeIntervalType())),
+        inputTypes = Seq(DayTimeIntervalType()), propagateNull = true) },
     "infinity" -> { _ => Literal(Double.PositiveInfinity) },
     "nan" -> { _ => Literal(Double.NaN) },
     "is_nan" -> { case Seq(x) => IsNaN(x) },
@@ -842,6 +908,41 @@ object GraftFunctions {
       (lat: Double, lon: Double, zoom: Int) => GeometryFns.tilesAround(lat, lon, zoom))
     spark.udf.register("bing_tile_polygon",
       (t: Long) => GeometryFns.tilePolygon(t))
+    // FNV hashes, IEEE-754 codecs, CDFs, IP/CIDR, data-size parsing
+    // (ExtraFns; long-tail, never scan-hot)
+    spark.udf.register("fnv1_32", (b: Array[Byte]) => ExtraFns.fnv1_32(b))
+    spark.udf.register("fnv1_64", (b: Array[Byte]) => ExtraFns.fnv1_64(b))
+    spark.udf.register("fnv1a_32", (b: Array[Byte]) => ExtraFns.fnv1a_32(b))
+    spark.udf.register("fnv1a_64", (b: Array[Byte]) => ExtraFns.fnv1a_64(b))
+    spark.udf.register("to_ieee754_32", (v: Float) => ExtraFns.toIeee754_32(v))
+    spark.udf.register("from_ieee754_32", (b: Array[Byte]) => ExtraFns.fromIeee754_32(b))
+    spark.udf.register("to_ieee754_64", (v: Double) => ExtraFns.toIeee754_64(v))
+    spark.udf.register("from_ieee754_64", (b: Array[Byte]) => ExtraFns.fromIeee754_64(b))
+    spark.udf.register("normal_cdf",
+      (m: Double, sd: Double, v: Double) => ExtraFns.normalCdf(m, sd, v))
+    spark.udf.register("inverse_normal_cdf",
+      (m: Double, sd: Double, p: Double) => ExtraFns.inverseNormalCdf(m, sd, p))
+    spark.udf.register("beta_cdf",
+      (a: Double, b: Double, v: Double) => ExtraFns.betaCdf(a, b, v))
+    spark.udf.register("inverse_beta_cdf",
+      (a: Double, b: Double, p: Double) => ExtraFns.inverseBetaCdf(a, b, p))
+    spark.udf.register("ip_prefix",
+      (ip: String, bits: Int) => ExtraFns.ipPrefix(ip, bits))
+    spark.udf.register("ip_subnet_min", (c: String) => ExtraFns.ipSubnetMin(c))
+    spark.udf.register("ip_subnet_max", (c: String) => ExtraFns.ipSubnetMax(c))
+    spark.udf.register("ip_subnet_range", (c: String) => ExtraFns.ipSubnetRange(c))
+    spark.udf.register("is_subnet_of",
+      (c: String, target: String) =>
+        if (target.contains("/")) ExtraFns.isSubnetOfCidr(c, target)
+        else ExtraFns.isSubnetOfIp(c, target))
+    spark.udf.register("parse_presto_data_size",
+      (s: String) => ExtraFns.parseDataSize(s))
+    spark.udf.register("split_to_multimap",
+      (s: String, ed: String, kd: String) => ExtraFns.splitToMultimap(s, ed, kd))
+    spark.udf.register("to_base64url",
+      (b: Array[Byte]) => java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b))
+    spark.udf.register("from_base64url",
+      (s: String) => java.util.Base64.getUrlDecoder.decode(s))
   }
 }
 

@@ -168,6 +168,52 @@ object PrestoFnOps extends QueryGroup {
               |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // round-4 long-tail scalar batch: bitwise family, binary codecs,
+    // combine_hash, ISO week-year, millisecond, duration/data-size
+    // parsing, regexp_split (BitwiseFunctions.java,
+    // VarbinaryFunctions.java, DateTimeFunctions.java,
+    // DataSizeFunctions.java)
+    q("fn_extra_scalars",
+      """SELECT n_nationkey,
+        |  CAST(n_nationkey & 12 AS BIGINT) AS band,
+        |  CAST(n_nationkey | 5 AS BIGINT) AS bor,
+        |  CAST(xor(n_nationkey, 9) AS BIGINT) AS bxor,
+        |  CAST(~n_nationkey AS BIGINT) AS bnot,
+        |  CAST(n_nationkey << 3 AS BIGINT) AS bshl,
+        |  CAST((n_nationkey + 1024) >> 2 AS BIGINT) AS bshr,
+        |  CAST(n_nationkey * 31 + n_regionkey AS BIGINT) AS ch,
+        |  base64(encode(n_name)) AS b64,
+        |  n_name AS b64rt,
+        |  hex(encode(n_name)) AS hx,
+        |  upper(sha256(n_name)) AS sh,
+        |  CAST(1997 AS BIGINT) AS yow,
+        |  CAST(123 AS BIGINT) AS ms,
+        |  CAST(0 AS BIGINT) AS tzh,
+        |  CAST(3500 AS BIGINT) AS dur_ms,
+        |  CAST(2560 AS BIGINT) AS dsize,
+        |  'a|b||c' AS rs
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, _) =>
+      s.sql("""SELECT n_nationkey,
+              |  bitwise_and(n_nationkey, 12) AS band,
+              |  bitwise_or(n_nationkey, 5) AS bor,
+              |  bitwise_xor(n_nationkey, 9) AS bxor,
+              |  bitwise_not(n_nationkey) AS bnot,
+              |  bitwise_shift_left(n_nationkey, 3) AS bshl,
+              |  bitwise_logical_shift_right(n_nationkey + 1024, 2) AS bshr,
+              |  combine_hash(n_nationkey, n_regionkey) AS ch,
+              |  to_base64(to_utf8(n_name)) AS b64,
+              |  from_utf8(from_base64(to_base64(to_utf8(n_name)))) AS b64rt,
+              |  to_hex(to_utf8(n_name)) AS hx,
+              |  to_hex(sha256(to_utf8(n_name))) AS sh,
+              |  year_of_week(TIMESTAMP '1996-12-30') AS yow,
+              |  millisecond(TIMESTAMP '2026-01-01 10:30:45.123') AS ms,
+              |  timezone_hour(TIMESTAMP '2026-01-01 10:30:45') AS tzh,
+              |  to_milliseconds(parse_duration('3.5s')) AS dur_ms,
+              |  CAST(parse_presto_data_size('2.5kB') AS BIGINT) AS dsize,
+              |  array_join(regexp_split('a,b,,c', ','), '|') AS rs
+              |FROM nation ORDER BY n_nationkey""".stripMargin)
+    },
+
     // Presto string + URL families over synthesized URLs
     // (StringFunctions.java:62, UrlFunctions.java:43)
     q("fn_presto_string_url",

@@ -220,6 +220,27 @@ case class QuantileAtValue(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `quantiles_at_values(sketch, array(x...))` → ARRAY<DOUBLE> of ranks
+  * (QuantileDigestFunctions.java quantiles_at_values — the plural
+  * inverse-quantile).
+  */
+case class QuantilesAtValues(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "quantiles_at_values"
+  override def dataType: DataType = ArrayType(DoubleType)
+
+  override protected def nullSafeEval(sketch: Any, vs: Any): Any = {
+    val bytes = sketch.asInstanceOf[Array[Byte]]
+    val arr = vs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    new GenericArrayData(
+      arr.toDoubleArray().map(v => SketchDispatch.rank(bytes, v).map(Double.box).orNull))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantilesAtValues =
+    copy(left = l, right = r)
+}
+
 /** `values_at_quantiles(sketch, array(q...))` → ARRAY<DOUBLE>. */
 case class ValuesAtQuantiles(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

@@ -541,6 +541,60 @@ class FnSpec extends AnyFunSuite {
     assert(r.getInt(1) == 4)
   }
 
+  test("long-tail scalar batch: FNV vectors, IEEE-754, CDFs, IP, multimap") {
+    ready()
+    // published FNV test vectors
+    val r = spark.sql(
+      """SELECT fnv1_32(to_utf8('')), fnv1a_32(to_utf8('a')),
+        |  fnv1_64(to_utf8('')), fnv1a_64(to_utf8('a')),
+        |  from_ieee754_64(to_ieee754_64(3.1415926535D)),
+        |  from_ieee754_32(to_ieee754_32(CAST(2.5 AS FLOAT))),
+        |  round(normal_cdf(0.0D, 1.0D, 1.96D), 6),
+        |  round(inverse_normal_cdf(0.0D, 1.0D, 0.975D), 4),
+        |  round(beta_cdf(2.0D, 5.0D, 0.5D), 6),
+        |  ip_prefix('192.168.255.255', 9),
+        |  ip_subnet_min('192.64.0.0/9'), ip_subnet_max('192.64.0.0/9'),
+        |  is_subnet_of('192.64.0.0/9', '192.100.1.2'),
+        |  is_subnet_of('192.64.0.0/9', '192.64.8.0/24'),
+        |  is_subnet_of('192.64.0.0/9', '10.0.0.1'),
+        |  split_to_multimap('a=1;b=2;a=3', ';', '=')['a'],
+        |  from_utf8(from_base64url(to_base64url(to_utf8('h?i/j'))))""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 0x811c9dc5L.toInt.toLong)
+    assert(r.getLong(1) == 0xe40c292cL.toInt.toLong)
+    assert(r.getLong(2) == 0xcbf29ce484222325L)
+    assert(r.getLong(3) == 0xaf63dc4c8601ec8cL)
+    assert(r.getDouble(4) == 3.1415926535)
+    assert(r.getFloat(5) == 2.5f)
+    assert(r.getDouble(6) == 0.975002)
+    assert(r.getDouble(7) == 1.96)
+    assert(math.abs(r.getDouble(8) - 0.890625) < 1e-6)
+    assert(r.getString(9) == "192.128.0.0/9")
+    assert(r.getString(10) == "192.0.0.0")
+    assert(r.getString(11) == "192.127.255.255")
+    assert(r.getBoolean(12) && r.getBoolean(13) && !r.getBoolean(14))
+    assert(r.getSeq[String](15) == Seq("1", "3"))
+    assert(r.getString(16) == "h?i/j")
+    // lambda predicates + fail + plural inverse-quantile
+    val r2 = spark.sql(
+      """SELECT all_match(ARRAY[2, 4, 6], x -> x % 2 = 0),
+        |  any_match(ARRAY[1, 2, 3], x -> x > 2),
+        |  none_match(ARRAY[1, 2, 3], x -> x > 5),
+        |  bitwise_arithmetic_shift_right(-8, 1),
+        |  bitwise_logical_shift_right(-1, 62),
+        |  (SELECT quantiles_at_values(qdigest_agg(l_quantity),
+        |     array(1.0D, 50.0D)) FROM lineitem) AS ranks""".stripMargin).collect()(0)
+    assert(r2.getBoolean(0) && r2.getBoolean(1) && r2.getBoolean(2))
+    assert(r2.getLong(3) == -4L, "arithmetic shift keeps the sign")
+    assert(r2.getLong(4) == 3L, "logical shift zero-fills")
+    val ranks = r2.getSeq[Double](5)
+    assert(ranks.length == 2 && ranks(0) < 0.1 && ranks(1) > 0.9)
+    val err = intercept[Exception] {
+      spark.sql("SELECT fail('boom')").collect()
+    }
+    assert(err.getMessage.contains("boom"))
+  }
+
   test("Presto type spellings translate to Spark DDL") {
     import graft.functions.GraftSqlParser.translateType
     assert(translateType("ARRAY(VARCHAR)") == "ARRAY<STRING>")
