@@ -518,6 +518,17 @@ object GraftFunctions {
     "quantile_at_value" -> { case Seq(s, v) => QuantileAtValue(s, Cast(v, DoubleType)) },
     "quantiles_at_values" -> { case Seq(s, vs) =>
       QuantilesAtValues(s, Cast(vs, ArrayType(DoubleType))) },
+    "scale_qdigest" -> { case Seq(s, f) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        SketchDispatch.getClass, BinaryType, "scale",
+        Seq(s, Cast(f, DoubleType)), inputTypes = Seq(BinaryType, DoubleType),
+        propagateNull = true) },
+    "scale_tdigest" -> { case Seq(s, f) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        SketchDispatch.getClass, BinaryType, "scale",
+        Seq(s, Cast(f, DoubleType)), inputTypes = Seq(BinaryType, DoubleType),
+        propagateNull = true) },
+    "multimap_from_entries" -> { case Seq(e) => MultimapFromEntries(e) },
     "values_at_quantiles" -> { case Seq(s, qs) =>
       ValuesAtQuantiles(s, Cast(qs, ArrayType(DoubleType))) },
 

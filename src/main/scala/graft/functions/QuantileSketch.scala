@@ -68,6 +68,32 @@ object QSketch {
   * leading magic byte.
   */
 object SketchDispatch {
+
+  /** scale_qdigest / scale_tdigest (QuantileDigestFunctions.java
+    * scaleQDigest, TDigestFunctions.java scaleTDigest): multiply the
+    * sketch's weights by a positive factor — the tool for weighting
+    * sketches before a merge. GK scales (g, delta, count); t-digest
+    * re-adds its centroids at scaled weight.
+    */
+  def scale(bytes: Array[Byte], factor: Double): Array[Byte] = {
+    require(factor > 0, "scale factor should be positive")
+    if (TDigestCodec.isTDigest(bytes)) {
+      val td = TDigestCodec.deserialize(bytes)
+      val (means, weights, n) = td.centroids
+      val out = new TDigest(td.compression)
+      var i = 0
+      while (i < n) { out.add(means(i), weights(i) * factor); i += 1 }
+      TDigestCodec.serialize(out)
+    } else {
+      val qs = QSketch.deserialize(bytes)
+      val scaled = qs.sampled.map(s => QuantileSummaries.Stats(s.value,
+        math.max(1L, math.round(s.g * factor)), math.round(s.delta * factor)))
+      QSketch.serialize(new QuantileSummaries(
+        QuantileSummaries.defaultCompressThreshold, qs.relativeError,
+        scaled, math.round(qs.count * factor), true))
+    }
+  }
+
   def quantile(bytes: Array[Byte], q: Double): Option[Double] =
     if (TDigestCodec.isTDigest(bytes)) {
       val v = TDigestCodec.deserialize(bytes).quantile(q)

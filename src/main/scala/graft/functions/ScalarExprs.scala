@@ -110,3 +110,57 @@ object StaticInvokeJsonQuote {
       inputTypes = Seq(StringType),
       propagateNull = true)
 }
+
+/** `multimap_from_entries(array(row(K, V)))` → map(K, array(V))
+  * (reference MultimapFromEntriesFunction.java): values grouped per key,
+  * keys in first-occurrence order, null entries/keys rejected. Field
+  * access is by ORDINAL, so any row(K, V) shape works (map_entries
+  * output, ARRAY[ROW(...)], zipped structs).
+  */
+case class MultimapFromEntries(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "multimap_from_entries"
+
+  private lazy val entryType: StructType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 2 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array(row(K, V)), got ${child.dataType.catalogString}")
+    }
+
+  override def dataType: DataType =
+    MapType(entryType(0).dataType, ArrayType(entryType(1).dataType,
+      containsNull = entryType(1).nullable))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val keyType = entryType(0).dataType
+    val valType = entryType(1).dataType
+    val order = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val groups = scala.collection.mutable.LinkedHashMap.empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    var i = 0
+    while (i < arr.numElements()) {
+      require(!arr.isNullAt(i), "map entry cannot be null")
+      val row = arr.getStruct(i, 2)
+      require(!row.isNullAt(0), "map key cannot be null")
+      val k = row.get(0, keyType)
+      val v = if (row.isNullAt(1)) null else row.get(1, valType)
+      groups.getOrElseUpdate(k, { order += k; scala.collection.mutable.ArrayBuffer.empty })
+        .append(v)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(order.toArray),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        order.map(k => new org.apache.spark.sql.catalyst.util.GenericArrayData(groups(k).toArray)).toArray))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultimapFromEntries =
+    copy(child = newChild)
+}

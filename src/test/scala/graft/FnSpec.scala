@@ -593,6 +593,24 @@ class FnSpec extends AnyFunSuite {
       spark.sql("SELECT fail('boom')").collect()
     }
     assert(err.getMessage.contains("boom"))
+    // multimap_from_entries: grouped values, first-occurrence key order
+    val mm = spark.sql(
+      """SELECT multimap_from_entries(
+        |  ARRAY[struct('a', 1), struct('b', 2), struct('a', 3)])""".stripMargin)
+      .collect()(0).getMap[String, scala.collection.Seq[Int]](0)
+    assert(mm("a") == Seq(1, 3) && mm("b") == Seq(2))
+    // scale_qdigest: doubling every weight must leave quantiles unchanged
+    // but double the implied mass (rank function sees same distribution)
+    val sc = spark.sql(
+      """WITH s AS (SELECT qdigest_agg(l_quantity) AS qd FROM lineitem)
+        |SELECT value_at_quantile(qd, 0.5D) AS p50,
+        |  value_at_quantile(scale_qdigest(qd, 2.0D), 0.5D) AS p50x2,
+        |  value_at_quantile(scale_tdigest(
+        |    (SELECT tdigest_agg(l_quantity) FROM lineitem), 3.0D), 0.5D) AS t50
+        |FROM s""".stripMargin).collect()(0)
+    assert(math.abs(sc.getDouble(0) - sc.getDouble(1)) <= 1.0,
+      s"scaling weights must not move quantiles: ${sc.getDouble(0)} vs ${sc.getDouble(1)}")
+    assert(sc.getDouble(2) > 0)
   }
 
   test("Presto type spellings translate to Spark DDL") {
