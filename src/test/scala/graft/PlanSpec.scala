@@ -27,6 +27,26 @@ class PlanSpec extends AnyFunSuite {
       "column pruning failed — scan reads unused columns")
   }
 
+  test("tpch views: synthesized columns neither block pushdown nor widen the scan") {
+    // the verbatim corpus resolves through TpchSynth views that ADD
+    // derived columns (shipmode, commitdate, …); a query not touching
+    // them must still push its filters into the parquet scan and read
+    // only the base columns it needs — otherwise every verbatim query
+    // pays the full synthetic projection at 100 TB
+    val p = plan("dialect_q06_shifted")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter must reach the scan through the view:\n$p")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("l_orderkey") && !rs.contains("l_linenumber"),
+        s"scan reads columns only the synthetic derivations need: $rs\n$p")
+      assert(rs.split(",").length <= 4, s"scan not pruned: $rs")
+    }
+  }
+
   test("q05: dimension joins broadcast, fact tables never broadcast") {
     val p = plan("q05_local_supplier")
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
