@@ -17,7 +17,11 @@ class ConfigMatrixSpec extends AnyFunSuite {
     "agg_grouping_sets", "win_ranking", "fn_checksum",
     "dd_exact", "ev_session_window",
     // round 3: imperative map aggregate, spatial grid join, verbatim text
-    "fn_map_agg", "spatial_distance_join", "dialect_q01_verbatim")
+    "fn_map_agg", "spatial_distance_join", "dialect_q01_verbatim",
+    // round 4: correlated-min decorrelation over the synthesized
+    // partsupp, and a partsupp-heavy verbatim text (count DISTINCT
+    // through the synth views)
+    "q02_min_cost_supplier", "dialect_q16_verbatim")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)
