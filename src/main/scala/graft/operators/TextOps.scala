@@ -90,11 +90,11 @@ object TextOps extends QueryGroup {
     * Candidate generation never goes all-pairs: cost is Σ bucket² over
     * band buckets, which stays linear while near-dup density is bounded.
     */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    // no size(shingles) filter here: withShingles already guarantees ≥1
-    // shingle (≥3 tokens), and a filter on `shingles` would be pushed
-    // below its projection with the full expression substituted in —
-    // re-introducing the quadratic tokenize-per-shingle evaluation
+  /** (doc_id, band_key) LSH membership — steps 1–3 of the minhash
+    * pipeline (codegen'd signature path, scalar LONG band keys). Shared
+    * by the batch pair-finder and the incremental index.
+    */
+  def bandedDocKeys(docs: DataFrame): DataFrame = {
     val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
     // one string hash per shingle, then 64 integer permutation hashes
     val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -109,7 +109,16 @@ object TextOps extends QueryGroup {
     val bandKeys = (0 until MinhashBands).map { b =>
       xxhash64(lit(b) +: (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+    sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+  }
+
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // no size(shingles) filter here: withShingles already guarantees ≥1
+    // shingle (≥3 tokens), and a filter on `shingles` would be pushed
+    // below its projection with the full expression substituted in —
+    // re-introducing the quadratic tokenize-per-shingle evaluation
+    val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
+    val banded = bandedDocKeys(docs)
     // within-bucket pair expansion — signatures evaluated once, no
     // self-join; bucket membership hard-capped at MinhashMaxBucket
     val buckets = banded.groupBy("band_key")
@@ -121,6 +130,66 @@ object TextOps extends QueryGroup {
       .distinct()
     // exact-Jaccard verification on candidates only
     pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Build counter for the incremental index — the spec asserts a reuse
+    * never re-signatures the historical corpus.
+    */
+  private[graft] val lshIndexBuilds = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Incremental near-dup ingestion — the day-N production shape. The
+    * historical corpus's (band_key, doc_id) membership is persisted ONCE
+    * as parquet; each new batch signatures only ITSELF, equi-joins its
+    * band keys against index ∪ batch, and exact-verifies candidates. At
+    * 100 TB the recurring cost is O(|batch|) signature work plus one
+    * equi-join — the corpus is never re-read, let alone re-signatured.
+    *
+    * Skew guard: band keys whose total membership exceeds the batch
+    * pipeline's bucket cap are dropped before the join (same saturation
+    * semantics as bounded_collect_list there — docs in a bucket that hot
+    * are duplicates of each other and still pair via their other bands).
+    *
+    * "Existing corpus" vs "new batch" is doc_id parity here (a
+    * deterministic split at every scale factor); production would use
+    * ingestion date.
+    */
+  def incrementalMinhashPairs(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, indexKey: String, threshold: Double = 0.5): DataFrame = {
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-lsh-index-" +
+      indexKey.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$indexDir/_SUCCESS").exists) {
+      lshIndexBuilds.incrementAndGet()
+      bandedDocKeys(docs.filter(col("doc_id") % 2 === 0))
+        .write.mode("overwrite").parquet(indexDir)
+    }
+    val index = spark.read.parquet(indexDir)
+    val fresh = bandedDocKeys(docs.filter(col("doc_id") % 2 === 1))
+    val all = index.unionByName(fresh)
+    val okKeys = all.groupBy("band_key").agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1 && col("m") <= MinhashMaxBucket)
+      .select("band_key")
+    val n = fresh.join(okKeys, "band_key")
+      .select(col("band_key"), col("doc_id").as("id_new"))
+    val o = all.join(okKeys, "band_key")
+      .select(col("band_key"), col("doc_id").as("id_other"))
+    // keep every new↔old pair (the old side never initiates, so each
+    // appears once), and dedupe new↔new pairs by id order; canonical
+    // (doc_a < doc_b) orientation via least/greatest
+    val cands = n.join(o, "band_key")
+      .filter(col("id_other") % 2 === 0 || col("id_other") < col("id_new"))
+      .select(least(col("id_new"), col("id_other")).as("doc_a"),
+        greatest(col("id_new"), col("id_other")).as("doc_b"))
+      .distinct()
+    val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
+    cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("jaccard",
@@ -201,6 +270,11 @@ object TextOps extends QueryGroup {
     // candidates against exact Jaccard ground truth.
     qNoOracle("dd_minhash_lsh") { (s, _) =>
       minhashPairs(s.table("documents"))
+    },
+    // incremental ingestion against the persisted band index (parity
+    // with the batch pairs pinned in TextOpsSpec)
+    qNoOracle("dd_incremental_minhash") { (s, dir) =>
+      incrementalMinhashPairs(s, s.table("documents"), dir)
     },
 
     // ── SimHash (64-bit) + banded hamming-distance candidate pairs ──

@@ -90,4 +90,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming == batch)
     assert(streaming.nonEmpty)
   }
+
+  test("watermark drops events later than the allowed lateness (append mode)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-late")
+    def writeBatch(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("user_id", "ts_s", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+
+    // batch 1: three rows in the 10:00 window, plus a 12:05 row that
+    // advances the watermark to 11:05 (> the 10:00 window's end)
+    writeBatch(Seq(
+      (1L, "2026-01-01 10:10:00", 1.0), (1L, "2026-01-01 10:20:00", 1.0),
+      (2L, "2026-01-01 10:40:00", 1.0), (1L, "2026-01-01 12:05:00", 1.0)))
+    val schema = spark.read.parquet(dir.toString).schema
+    val agg = spark.readStream.schema(schema).parquet(dir.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE row into the closed 10:00 window (watermark is
+      // 11:05) must be DROPPED; the 13:10 row advances the watermark so
+      // the finalized 10:00 window is emitted
+      writeBatch(Seq(
+        (3L, "2026-01-01 10:30:00", 1.0), (1L, "2026-01-01 13:10:00", 1.0)))
+      q.processAllAvailable()
+      // one more batch so every window at or before 12:00 finalizes
+      writeBatch(Seq((1L, "2026-01-01 15:00:00", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_out").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(out("2026-01-01 10:00:00.0") == 3L,
+      s"late 10:30 row must NOT be counted into the closed window: $out")
+  }
 }

@@ -36,6 +36,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 100001L)), "copy of doc 0 not recalled")
   }
 
+  test("incremental minhash equals the batch pairs that touch a new doc; reuse skips the index build") {
+    import graft.operators.TextOps
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // ground truth: the full batch pipeline, restricted to pairs with at
+    // least one "new" (odd doc_id) member — old↔old pairs are day-N-1
+    // work the incremental path must NOT redo
+    val full = TextOps.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 2 == 1 || b % 2 == 1 }.toSet
+    val key = s"${TestSession.sf}-spec"
+    val inc1 = TextOps.incrementalMinhashPairs(spark, docs, key).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc1 == full,
+      s"incremental must find exactly the new-touching pairs: missing=${full -- inc1}, extra=${inc1 -- full}")
+    // reuse: the persisted band index replaces re-signaturing the corpus
+    val builds = TextOps.lshIndexBuilds.get
+    val inc2 = TextOps.incrementalMinhashPairs(spark, docs, key).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc2 == inc1)
+    assert(TextOps.lshIndexBuilds.get == builds,
+      "second ingestion must reuse the persisted index, not rebuild it")
+  }
+
   test("minhash survives a duplicate-saturated bucket (cap bounds the blowup)") {
     // 600 identical docs put one value in every band bucket — far over
     // the 256-member cap. Uncapped this is 600²/2 ≈ 180k candidate pairs
