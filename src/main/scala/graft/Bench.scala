@@ -27,8 +27,11 @@ object Bench {
     // for the same reason as fn_approx_set_hll: its runtime is the
     // exact-percentile verification subqueries, not the sketch.)
     "spatial_distance_join",
-    // round-4 ops: the real q02/q11 shapes over the synthesized partsupp
-    "q02_min_cost_supplier", "q11_important_stock")
+    // round-4 ops: the real q02/q11 shapes over the synthesized partsupp,
+    // and incremental LSH ingestion against the persisted band index
+    // (its first execution builds the index; the measured warm runs are
+    // the recurring day-N cost)
+    "q02_min_cost_supplier", "q11_important_stock", "dd_incremental_minhash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
