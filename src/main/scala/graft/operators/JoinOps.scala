@@ -107,11 +107,13 @@ object JoinOps extends QueryGroup {
     q("join_anti",
       """SELECT c_nationkey, count(*) AS n_cust_no_orders
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin) { (s, _) =>
       s.table("customer")
-        .join(s.table("orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(s.table("orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_cust_no_orders"))
         .orderBy("c_nationkey")

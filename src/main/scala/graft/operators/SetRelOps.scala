@@ -47,12 +47,12 @@ object SetRelOps extends QueryGroup {
     },
 
     q("set_except",
-      """SELECT c_nationkey AS k FROM customer
+      """SELECT c_custkey % 200 AS k FROM customer
         |EXCEPT
-        |SELECT s_nationkey FROM supplier
+        |SELECT s_suppkey FROM supplier
         |ORDER BY k""".stripMargin) { (s, _) =>
-      s.table("customer").select(col("c_nationkey").as("k"))
-        .except(s.table("supplier").select(col("s_nationkey").as("k")))
+      s.table("customer").select((col("c_custkey") % 200).as("k"))
+        .except(s.table("supplier").select(col("s_suppkey").as("k")))
         .orderBy("k")
     },
 

@@ -194,8 +194,8 @@ object TpchQueries extends QueryGroup {
         |  JOIN customer ON c_custkey = o_custkey
         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |  WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        |      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
         |) shipping
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, _) =>
@@ -207,8 +207,8 @@ object TpchQueries extends QueryGroup {
         .join(s.table("customer"), col("c_custkey") === col("o_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
-        .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY")
-          || (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8")
+          || (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
         .withColumn("l_year", year(col("l_shipdate")))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(round(sum(rev), 2).as("revenue"))
@@ -258,28 +258,42 @@ object TpchQueries extends QueryGroup {
     },
 
     // ── Q9 (adapted: no partsupp/supplycost): profit by nation × year ──
+    // the REAL q09 shape: profit = revenue − supplycost·quantity over the
+    // synthesized partsupp (round 3's adaptation dropped the partsupp
+    // term AND its '%green%' predicate matched nothing in the fixture —
+    // the query was silently empty). '%red%' matches ~1/8 of parts; the
+    // (partkey, suppkey) equi-join against the derived partsupp keeps the
+    // lineitems sold by one of the part's 4 suppliers.
     q("q09_product_profit",
-      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
-        |FROM (
-        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        |         l_extendedprice * (1 - l_discount) AS amount
-        |  FROM part
-        |  JOIN lineitem ON p_partkey = l_partkey
-        |  JOIN supplier ON s_suppkey = l_suppkey
-        |  JOIN orders ON o_orderkey = l_orderkey
-        |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE p_name LIKE '%green%'
-        |) profit
-        |GROUP BY nation, o_year
-        |ORDER BY nation, o_year DESC""".stripMargin) { (s, _) =>
-      s.table("part").filter(col("p_name").like("%green%"))
+      s"""WITH partsupp AS (
+         |${TpchSynth.partsuppPrefixedSql(identity)}
+         |)
+         |SELECT nation, o_year, round(sum(amount), 2) + 0.0 AS sum_profit
+         |FROM (
+         |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |         l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+         |  FROM part
+         |  JOIN lineitem ON p_partkey = l_partkey
+         |  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE p_name LIKE '%red%'
+         |) profit
+         |GROUP BY nation, o_year
+         |ORDER BY nation, o_year DESC""".stripMargin) { (s, _) =>
+      val ps = s.sql(TpchSynth.partsuppPrefixedSql(identity))
+      s.table("part").filter(col("p_name").like("%red%"))
         .join(s.table("lineitem"), col("p_partkey") === col("l_partkey"))
+        .join(ps, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
         .join(s.table("supplier"), col("s_suppkey") === col("l_suppkey"))
         .join(s.table("orders"), col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(s.table("nation")), col("s_nationkey") === col("n_nationkey"))
-        .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"), rev.as("amount"))
+        .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
+          (rev - col("ps_supplycost") * col("l_quantity")).as("amount"))
         .groupBy("nation", "o_year")
-        .agg(round(sum("amount"), 2).as("sum_profit"))
+        .agg((round(sum("amount"), 2) + lit(0.0)).as("sum_profit"))
         .orderBy(col("nation"), desc("o_year"))
     },
 
@@ -525,10 +539,10 @@ object TpchQueries extends QueryGroup {
       """SELECT s_name, round(s_acctbal, 2) AS s_acctbal
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'CANADA'
+        |WHERE n_name = 'NATION_5'
         |  AND s_suppkey IN (
         |    SELECT l_suppkey FROM lineitem
-        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'forest%')
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
         |      AND l_shipdate >= TIMESTAMP '1996-01-01'
         |      AND l_shipdate < TIMESTAMP '1997-01-01'
         |    GROUP BY l_suppkey
@@ -537,10 +551,10 @@ object TpchQueries extends QueryGroup {
       s.sql("""SELECT s_name, round(s_acctbal, 2) AS s_acctbal
               |FROM supplier
               |JOIN nation ON s_nationkey = n_nationkey
-              |WHERE n_name = 'CANADA'
+              |WHERE n_name = 'NATION_5'
               |  AND s_suppkey IN (
               |    SELECT l_suppkey FROM lineitem
-              |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'forest%')
+              |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
               |      AND l_shipdate >= TIMESTAMP '1996-01-01'
               |      AND l_shipdate < TIMESTAMP '1997-01-01'
               |    GROUP BY l_suppkey
@@ -587,13 +601,15 @@ object TpchQueries extends QueryGroup {
       """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin) { (s, _) =>
       s.sql("""SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
               |FROM customer
               |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              |  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
               |GROUP BY c_nationkey
               |ORDER BY c_nationkey""".stripMargin)
     },

@@ -84,14 +84,14 @@ object WriteOps extends QueryGroup {
     // reference HivePartitionManager.java:183 pruning analog)
     q("wr_partitioned_prune",
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
-        |FROM documents WHERE source = 'web'
+        |FROM documents WHERE source = 'src7'
         |GROUP BY source ORDER BY source""".stripMargin) { (s, _) =>
       val out = tmp("docs_by_source")
       s.table("documents")
         .write.mode("overwrite").partitionBy("source").parquet(out)
       // read back: the source=web predicate prunes to one partition dir
       s.read.parquet(out)
-        .filter(col("source") === "web")
+        .filter(col("source") === "src7")
         .groupBy("source")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
         .orderBy("source")
