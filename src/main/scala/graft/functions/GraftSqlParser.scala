@@ -81,8 +81,33 @@ object GraftSqlParser {
       prev = out
       out = ArrayLiteral.replaceAllIn(out, m => s"array(${m.group(1)})")
     }
-    rewriteCasts(rewriteMapCtor(rewriteUnnest(out)))
+    rewriteCasts(rewriteMapCtor(rewriteUnnest(rewriteExplain(out))))
   }
+
+  private val ExplainOpts = raw"(?is)^(\s*)EXPLAIN\s*\(([^)]*)\)".r
+  private val ExplainAnalyze = raw"(?is)^(\s*)EXPLAIN\s+ANALYZE(\s+VERBOSE)?\b".r
+
+  /** Presto EXPLAIN dialect (grammar SqlBase.g4 `EXPLAIN ('(' option ')')?`,
+    * options TYPE LOGICAL/DISTRIBUTED/IO/VALIDATE + FORMAT TEXT/JSON):
+    * map TYPE LOGICAL to Spark's EXTENDED (logical plans shown) and every
+    * other option set to FORMATTED (the physical/distributed plan).
+    * EXPLAIN ANALYZE renders the plan WITHOUT executing — a documented
+    * approximation (Spark's runtime metrics live in the UI/listener, not
+    * in an EXPLAIN result set).
+    */
+  private def rewriteExplain(sql: String): String =
+    ExplainOpts.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        val target =
+          if (m.group(2).toUpperCase.contains("LOGICAL")) "EXPLAIN EXTENDED"
+          else "EXPLAIN FORMATTED"
+        m.group(1) + target + sql.substring(m.end)
+      case None =>
+        ExplainAnalyze.findFirstMatchIn(sql) match {
+          case Some(m) => m.group(1) + "EXPLAIN FORMATTED" + sql.substring(m.end)
+          case None => sql
+        }
+    }
 
   private val MapCtorStart = raw"(?i)\bMAP\s*\(".r
 

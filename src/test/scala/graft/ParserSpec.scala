@@ -65,6 +65,25 @@ class ParserSpec extends AnyFunSuite {
       "SELECT from_json(j, 'MAP<STRING, STRING>')")
   }
 
+  test("Presto EXPLAIN dialect: option list and ANALYZE map to Spark modes") {
+    assert(rewrite("EXPLAIN (TYPE DISTRIBUTED) SELECT 1") ==
+      "EXPLAIN FORMATTED SELECT 1")
+    assert(rewrite("EXPLAIN (TYPE LOGICAL) SELECT 1") ==
+      "EXPLAIN EXTENDED SELECT 1")
+    assert(rewrite("EXPLAIN (FORMAT TEXT, TYPE IO) SELECT 1") ==
+      "EXPLAIN FORMATTED SELECT 1")
+    assert(rewrite("EXPLAIN ANALYZE SELECT 1") == "EXPLAIN FORMATTED SELECT 1")
+    assert(rewrite("explain analyze verbose SELECT 1") ==
+      "EXPLAIN FORMATTED SELECT 1")
+    // plain EXPLAIN and non-EXPLAIN statements untouched
+    assert(rewrite("EXPLAIN SELECT 1") == "EXPLAIN SELECT 1")
+    assert(rewrite("SELECT 'EXPLAIN (TYPE IO)'") == "SELECT 'EXPLAIN (TYPE IO)'")
+    // end-to-end through the session parser
+    val rows = TestSession.spark.sql(
+      "EXPLAIN (TYPE DISTRIBUTED) SELECT 1 + 1").collect()
+    assert(rows.nonEmpty && rows(0).getString(0).contains("Physical Plan"))
+  }
+
   test("plain SQL and string literals pass through unchanged") {
     val q = "SELECT 'a cast as json string', col FROM t WHERE s = 'ARRAY[1]'"
     // string literals containing trigger words are not corrupted: the
