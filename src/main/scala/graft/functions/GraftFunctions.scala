@@ -693,6 +693,10 @@ object GraftFunctions {
     "from_hex" -> { case Seq(s) => Unhex(s) },
     "sha256" -> { case Seq(b) => Unhex(Sha2(b, Literal(256))) },
     "sha512" -> { case Seq(b) => Unhex(Sha2(b, Literal(512))) },
+    // Presto ROW(...) constructor (RowConstructor; Spark spells it
+    // struct — anonymous field names differ, access by position/.field
+    // works the same)
+    "row" -> { args => CreateStruct(args) },
     // array lambda predicates (ArrayAllMatchFunction.java et al.)
     "all_match" -> { case Seq(a, f) => ArrayForAll(a, f) },
     "any_match" -> { case Seq(a, f) => ArrayExists(a, f) },

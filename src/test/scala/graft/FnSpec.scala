@@ -593,6 +593,9 @@ class FnSpec extends AnyFunSuite {
       spark.sql("SELECT fail('boom')").collect()
     }
     assert(err.getMessage.contains("boom"))
+    // ROW(...) constructor + positional access
+    val rw = spark.sql("SELECT row(1, 'a').col1, row(1, 'a').col2").collect()(0)
+    assert(rw.getInt(0) == 1 && rw.getString(1) == "a")
     // multimap_from_entries: grouped values, first-occurrence key order
     val mm = spark.sql(
       """SELECT multimap_from_entries(
