@@ -81,8 +81,26 @@ object GraftSqlParser {
       prev = out
       out = ArrayLiteral.replaceAllIn(out, m => s"array(${m.group(1)})")
     }
-    rewriteCasts(rewriteMapCtor(rewriteUnnest(rewriteExplain(out))))
+    rewriteCasts(rewriteMapCtor(rewriteUnnest(rewriteExplain(
+      rewriteDecimalLiterals(out)))))
   }
+
+  private val DecimalLiteral = raw"(?i)\bDECIMAL\s*'\s*(-?)(\d*)(?:\.(\d*))?\s*'".r
+
+  /** Presto's typed decimal literal `DECIMAL '12.3'` → DECIMAL(3,1)
+    * (grammar SqlBase.g4 DECIMAL_VALUE; precision/scale taken from the
+    * literal text, DecimalParseResult). Spark's grammar has no such
+    * form — rewrite to an explicit CAST with the same derived type.
+    */
+  private def rewriteDecimalLiterals(sql: String): String =
+    DecimalLiteral.replaceAllIn(sql, m => {
+      val sign = m.group(1)
+      val whole = Option(m.group(2)).getOrElse("")
+      val frac = Option(m.group(3)).getOrElse("")
+      val scale = frac.length
+      val precision = math.max(whole.length + scale, math.max(scale, 1))
+      s"CAST('$sign$whole${if (scale > 0) s".$frac" else ""}' AS DECIMAL($precision, $scale))"
+    })
 
   private val ExplainOpts = raw"(?is)^(\s*)EXPLAIN\s*\(([^)]*)\)".r
   private val ExplainAnalyze = raw"(?is)^(\s*)EXPLAIN\s+ANALYZE(\s+VERBOSE)?\b".r

@@ -84,6 +84,20 @@ class ParserSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows(0).getString(0).contains("Physical Plan"))
   }
 
+  test("Presto DECIMAL literals carry their textual precision/scale") {
+    assert(rewrite("SELECT DECIMAL '12.34'") ==
+      "SELECT CAST('12.34' AS DECIMAL(4, 2))")
+    assert(rewrite("SELECT DECIMAL '-0.001'") ==
+      "SELECT CAST('-0.001' AS DECIMAL(4, 3))")
+    assert(rewrite("SELECT decimal '7'") == "SELECT CAST('7' AS DECIMAL(1, 0))")
+    // a DECIMAL(p,s) TYPE spelling is not a literal and stays put
+    assert(rewrite("SELECT CAST(x AS DECIMAL(10,2))") ==
+      "SELECT CAST(x AS DECIMAL(10,2))")
+    val r = TestSession.spark.sql("SELECT DECIMAL '12.34' + DECIMAL '0.66'")
+      .collect()(0)
+    assert(r.getDecimal(0).toPlainString == "13.00")
+  }
+
   test("plain SQL and string literals pass through unchanged") {
     val q = "SELECT 'a cast as json string', col FROM t WHERE s = 'ARRAY[1]'"
     // string literals containing trigger words are not corrupted: the
