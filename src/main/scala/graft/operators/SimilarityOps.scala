@@ -148,11 +148,22 @@ object SimilarityOps extends QueryGroup {
     */
   private[graft] val ivfFitCount = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Quantizer formula version — bump when the fit recipe (seed, iters,
+    * vectorization) changes. Folded with nlist into the index path so a
+    * parameter/formula change always builds a fresh index instead of
+    * silently probing a stale one. nprobe is probe-time only (it selects
+    * which persisted cells to read, it doesn't shape them), so it is
+    * deliberately NOT in the fingerprint — re-tuning the probe must not
+    * force a full-corpus refit.
+    */
+  private val IvfFormulaVersion = 1
+
   def ivfPersistedAnnTopK(spark: SparkSession, emb: DataFrame, sfDir: String,
       numQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 6): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivf-index-" +
+      s"v$IvfFormulaVersion-k$nlist-" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     // centroids persist BESIDE the index: on reuse both are read back and
     // the KMeans fit — the expensive full-corpus pass — is skipped

@@ -94,19 +94,20 @@ object TextOps extends QueryGroup {
     * pipeline (codegen'd signature path, scalar LONG band keys). Shared
     * by the batch pair-finder and the incremental index.
     */
-  def bandedDocKeys(docs: DataFrame): DataFrame = {
+  def bandedDocKeys(docs: DataFrame, perms: Int = MinhashPerms,
+      bands: Int = MinhashBands): DataFrame = {
     val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
     // one string hash per shingle, then 64 integer permutation hashes
     val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val permed = exploded.select(
-      col("doc_id") +: (0 until MinhashPerms).map(i => xxhash64(lit(i), col("h")).as(s"p$i")): _*)
+      col("doc_id") +: (0 until perms).map(i => xxhash64(lit(i), col("h")).as(s"p$i")): _*)
     val sig = permed.groupBy("doc_id")
-      .agg((0 until MinhashPerms).map(i => min(s"p$i").as(s"s$i")).head,
-           (1 until MinhashPerms).map(i => min(s"p$i").as(s"s$i")): _*)
+      .agg((0 until perms).map(i => min(s"p$i").as(s"s$i")).head,
+           (1 until perms).map(i => min(s"p$i").as(s"s$i")): _*)
     // 16 scalar band keys: xxhash64(band, s[4b], s[4b+1], s[4b+2], s[4b+3])
-    val rowsPerBand = MinhashPerms / MinhashBands
-    val bandKeys = (0 until MinhashBands).map { b =>
+    val rowsPerBand = perms / bands
+    val bandKeys = (0 until bands).map { b =>
       xxhash64(lit(b) +: (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)
     }
     sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
@@ -161,17 +162,31 @@ object TextOps extends QueryGroup {
     * deterministic split at every scale factor); production would use
     * ingestion date.
     */
+  /** Signature/banding formula version — bump whenever bandedDocKeys'
+    * derivation changes shape. It is folded into every persisted index
+    * path (with the perms/bands actually used) so a formula or parameter
+    * change can NEVER silently reuse an index built under the old scheme:
+    * the fingerprinted dir simply doesn't exist yet and a fresh build
+    * runs. Query-time-only knobs (jaccard threshold, bucket cap) are
+    * deliberately NOT in the fingerprint — they don't shape the persisted
+    * (band_key, doc_id) content, and keying on them would force a
+    * full-corpus re-index for a probe-time tuning change.
+    */
+  private val LshFormulaVersion = 1
+
   def incrementalMinhashPairs(spark: org.apache.spark.sql.SparkSession,
-      docs: DataFrame, indexKey: String, threshold: Double = 0.5): DataFrame = {
+      docs: DataFrame, indexKey: String, threshold: Double = 0.5,
+      perms: Int = MinhashPerms, bands: Int = MinhashBands): DataFrame = {
     val indexDir = s"${sys.props("java.io.tmpdir")}/graft-lsh-index-" +
+      s"v$LshFormulaVersion-p$perms-b$bands-" +
       indexKey.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(s"$indexDir/_SUCCESS").exists) {
       lshIndexBuilds.incrementAndGet()
-      bandedDocKeys(docs.filter(col("doc_id") % 2 === 0))
+      bandedDocKeys(docs.filter(col("doc_id") % 2 === 0), perms, bands)
         .write.mode("overwrite").parquet(indexDir)
     }
     val index = spark.read.parquet(indexDir)
-    val fresh = bandedDocKeys(docs.filter(col("doc_id") % 2 === 1))
+    val fresh = bandedDocKeys(docs.filter(col("doc_id") % 2 === 1), perms, bands)
     val all = index.unionByName(fresh)
     val okKeys = all.groupBy("band_key").agg(count(lit(1)).as("m"))
       .filter(col("m") > 1 && col("m") <= MinhashMaxBucket)
@@ -226,8 +241,15 @@ object TextOps extends QueryGroup {
       explode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L))
           .bitwiseOR(lit(b.toLong << 32))): _*)).as("band_key"))
+    // Same skew guard as minhash: a duplicate-saturated (or low-entropy —
+    // near-empty docs all land in one quarter) band bucket would otherwise
+    // cost bucket² pairs and an unbounded collect buffer. Recall argument:
+    // 4 bands, so a doc dropped from one saturated quarter still pairs
+    // through its 3 other quarters, and a bucket that hot is mutual
+    // near-dups anyway — a dedup consumer keeps survivors, not every edge.
     val buckets = banded.groupBy("band_key")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .agg(sort_array(expr(
+        s"bounded_collect_list(struct(doc_id, simhash), $MinhashMaxBucket)")).as("members"))
       .filter(size(col("members")) > 1)
     buckets
       .select(posexplode(col("members")).as(Seq("i", "a")), col("members"))

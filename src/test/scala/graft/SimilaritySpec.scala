@@ -66,6 +66,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == per, "reused index must give identical results")
     assert(operators.SimilarityOps.ivfFitCount.get == fitsBefore,
       "second invocation must load persisted centroids, not refit KMeans")
+    // changing nlist changes the params fingerprint in the index path →
+    // a fresh fit, never a silent probe of the stale 16-cell index
+    operators.SimilarityOps.ivfPersistedAnnTopK(
+      spark, spark.table("embeddings"), sf, nlist = 8).collect()
+    assert(operators.SimilarityOps.ivfFitCount.get == fitsBefore + 1,
+      "changed nlist must build a fresh index")
     Tables.register(spark, TestSession.sf)
   }
 

@@ -60,6 +60,24 @@ class TextOpsSpec extends AnyFunSuite {
       "second ingestion must reuse the persisted index, not rebuild it")
   }
 
+  test("changing LSH params produces a fresh index, never reuses a stale one") {
+    import graft.operators.TextOps
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val key = s"${TestSession.sf}-paramspec"
+    TextOps.incrementalMinhashPairs(spark, docs, key).collect()
+    val builds = TextOps.lshIndexBuilds.get
+    // same key, same params → reuse
+    TextOps.incrementalMinhashPairs(spark, docs, key).collect()
+    assert(TextOps.lshIndexBuilds.get == builds, "unchanged params must reuse")
+    // same key, different banding → the params fingerprint in the dir
+    // name forces a rebuild (a stale 16-band index would silently serve
+    // wrong candidates for an 8-band pipeline)
+    TextOps.incrementalMinhashPairs(spark, docs, key, bands = 8).collect()
+    assert(TextOps.lshIndexBuilds.get == builds + 1,
+      "changed band count must build a fresh index")
+  }
+
   test("minhash survives a duplicate-saturated bucket (cap bounds the blowup)") {
     // 600 identical docs put one value in every band bucket — far over
     // the 256-member cap. Uncapped this is 600²/2 ≈ 180k candidate pairs
@@ -78,6 +96,21 @@ class TextOpsSpec extends AnyFunSuite {
     // with one shared signature the capped bucket members all pair up
     val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     assert(members.size >= 2 && members.size <= 600)
+  }
+
+  test("simhash survives a duplicate-saturated bucket (cap bounds the blowup)") {
+    // 600 identical docs share one simhash, so all four 16-bit band
+    // buckets saturate far past the 256-member cap. Capped, candidate
+    // expansion is bounded by bands × cap²/2; the cluster must still link.
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val saturated = (0L until 600L).map(id => (id, base)).toDF("doc_id", "text")
+    val pairs = graft.operators.TextOps.simhashPairs(saturated)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "saturated corpus must still produce duplicate pairs")
+    assert(pairs.length <= 4 * 256 * 256 / 2,
+      s"bucket cap must bound candidate expansion, got ${pairs.length} pairs")
   }
 
   test("simhash finds planted near-identical docs; emitted hammings are exact") {
