@@ -78,7 +78,35 @@ object ExtraFns {
   // ── IP / CIDR (InetAddress covers v4 + v6) ───────────────────────────
   private def ipBytes(ip: String): Array[Byte] = InetAddress.getByName(ip).getAddress
 
-  private def canonical(b: Array[Byte]): String = InetAddress.getByAddress(b).getHostAddress
+  /** Canonical text form: dotted-quad for v4; RFC 5952 for v6 (lowercase
+    * hex, no leading zeros, longest run of ≥2 zero groups compressed to
+    * '::', leftmost on ties) — InetAddress.getHostAddress never
+    * compresses, printing '2001:db8:0:0:0:0:0:0' where the reference
+    * prints '2001:db8::'.
+    */
+  private def canonical(b: Array[Byte]): String =
+    if (b.length == 4) InetAddress.getByAddress(b).getHostAddress
+    else {
+      val groups = (0 until 8).map(i => ((b(2 * i) & 0xFF) << 8) | (b(2 * i + 1) & 0xFF))
+      // longest run of zero groups, length ≥ 2, leftmost wins ties
+      var bestStart = -1; var bestLen = 0
+      var i = 0
+      while (i < 8) {
+        if (groups(i) == 0) {
+          var j = i
+          while (j < 8 && groups(j) == 0) j += 1
+          if (j - i > bestLen) { bestStart = i; bestLen = j - i }
+          i = j
+        } else i += 1
+      }
+      if (bestLen < 2)
+        groups.map(g => java.lang.Integer.toHexString(g)).mkString(":")
+      else {
+        val head = groups.take(bestStart).map(java.lang.Integer.toHexString(_)).mkString(":")
+        val tail = groups.drop(bestStart + bestLen).map(java.lang.Integer.toHexString(_)).mkString(":")
+        s"$head::$tail"
+      }
+    }
 
   private def maskedLow(b: Array[Byte], bits: Int): Array[Byte] = {
     val out = b.clone()

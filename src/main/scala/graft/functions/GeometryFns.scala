@@ -221,8 +221,11 @@ object GeometryFns {
     val sinLat = math.sin(math.toRadians(lat))
     val y01 = 0.5 - math.log((1 + sinLat) / (1 - sinLat)) / (4 * math.Pi)
     val mapSize: Long = 256L << zoom
-    val px = clip(x01 * mapSize + 0.5, 0, mapSize - 1).toLong
-    val py = clip(y01 * mapSize + 0.5, 0, mapSize - 1).toLong
+    // no +0.5 pixel rounding: the reference's axisToCoordinates
+    // (BingTileFunctions.java:655) clips axis*mapSize directly, so points
+    // within half a pixel of a tile edge stay in the floor tile
+    val px = clip(x01 * mapSize, 0, mapSize - 1).toLong
+    val py = clip(y01 * mapSize, 0, mapSize - 1).toLong
     encode((px / 256).toInt, (py / 256).toInt, zoom)
   }
 

@@ -336,6 +336,16 @@ object GraftFnUtils {
     out.toString
   }
 
+  /** Row-level jodaToJavaPattern for NON-LITERAL pattern expressions
+    * (StaticInvoke path): the translation — and its loud errors for
+    * untranslatable tokens — must apply regardless of pattern form, or a
+    * column-valued 'YYYY'/'ZZ' would silently format with java semantics.
+    * UTF8String in/out so the invoke binds StringType directly.
+    */
+  def jodaToJavaPatternU(fmt: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (fmt == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(jodaToJavaPattern(fmt.toString))
+
   def mysqlToJavaPattern(fmt: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -654,19 +664,21 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(s"date_parse: bad args $args")
     },
     // Joda-style format_datetime/parse_datetime (DateTimeFunctions.java:68)
-    // — literal patterns are TRANSLATED (Y/ZZ/zone-id tokens diverge from
-    // java.time; jodaToJavaPattern), non-literal patterns pass through
-    // (common tokens coincide)
+    // — literal patterns are TRANSLATED at plan time (Y/ZZ/zone-id tokens
+    // diverge from java.time; jodaToJavaPattern), non-literal patterns go
+    // through the same translation per row via StaticInvoke, so divergent
+    // tokens error loudly on both paths instead of silently formatting
+    // with java semantics
     "format_datetime" -> {
       case Seq(t, StringLiteral(fmt)) =>
         DateFormatClass(Cast(t, TimestampType),
           Literal(GraftFnUtils.jodaToJavaPattern(fmt)))
-      case Seq(t, f) => DateFormatClass(Cast(t, TimestampType), f)
+      case Seq(t, f) => DateFormatClass(Cast(t, TimestampType), jodaPatternAt(f))
     },
     "parse_datetime" -> {
       case Seq(s, StringLiteral(fmt)) =>
         GetTimestamp(s, Literal(GraftFnUtils.jodaToJavaPattern(fmt)), TimestampType)
-      case Seq(s, f) => GetTimestamp(s, f, TimestampType)
+      case Seq(s, f) => GetTimestamp(s, jodaPatternAt(f), TimestampType)
     },
     "from_iso8601_timestamp" -> { case Seq(s) => Cast(s, TimestampType) },
     "from_iso8601_date" -> { case Seq(s) => Cast(s, DateType) },
@@ -814,6 +826,13 @@ object GraftFunctions {
 
   private def parseUrl(u: Expression, part: String): Expression =
     new ParseUrl(Seq(u, Literal(part)))
+
+  /** Per-row Joda→java pattern translation for column-valued patterns. */
+  private def jodaPatternAt(f: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      GraftFnUtils.getClass, StringType, "jodaToJavaPatternU",
+      Seq(Cast(f, StringType)), inputTypes = Seq(StringType),
+      propagateNull = true)
 
   /** Builders are partial functions over argument lists; an unsupported
     * arity must surface as a clear per-function message, not a raw

@@ -98,7 +98,10 @@ object GraftSqlParser {
       val whole = Option(m.group(2)).getOrElse("")
       val frac = Option(m.group(3)).getOrElse("")
       val scale = frac.length
-      val precision = math.max(whole.length + scale, math.max(scale, 1))
+      // leading zeros of the integral part don't count toward precision
+      // (reference literal parsing: DECIMAL '0.2' is DECIMAL(1,1))
+      val wholeDigits = whole.dropWhile(_ == '0').length
+      val precision = math.max(wholeDigits + scale, math.max(scale, 1))
       s"CAST('$sign$whole${if (scale > 0) s".$frac" else ""}' AS DECIMAL($precision, $scale))"
     })
 

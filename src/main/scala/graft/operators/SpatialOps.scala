@@ -141,8 +141,8 @@ object SpatialOps extends QueryGroup {
          |g AS (SELECT c_custkey, y / 2 - 40 AS lat, x - 70 AS lon
          |  FROM c WHERE c_custkey < 300),
          |t AS (SELECT c_custkey,
-         |  CAST(floor(floor(((lon + 180) / 360) * 262144.0 + 0.5) / 256) AS INT) AS tx,
-         |  CAST(floor(floor((0.5 - ln((1 + sin(radians(lat))) / (1 - sin(radians(lat)))) / (4 * pi())) * 262144.0 + 0.5) / 256) AS INT) AS ty
+         |  CAST(floor(floor(((lon + 180) / 360) * 262144.0) / 256) AS INT) AS tx,
+         |  CAST(floor(floor((0.5 - ln((1 + sin(radians(lat))) / (1 - sin(radians(lat)))) / (4 * pi())) * 262144.0) / 256) AS INT) AS ty
          |  FROM g)
          |SELECT c_custkey, tx, ty, 10 AS zl, 10 AS qklen,
          |  true AS qk_roundtrip, 9 AS n_around

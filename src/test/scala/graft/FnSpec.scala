@@ -424,6 +424,19 @@ class FnSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.getString(0) == "1996-12-30")
     assert(r.getTimestamp(1).toString == "1996-12-30 10:30:00.0")
+    // column-valued pattern: the SAME translation applies per row — the
+    // divergent 'YYYY' must still print the Joda year-of-era, not java's
+    // week-based year, even when the pattern isn't a literal
+    val c = spark.sql(
+      """SELECT format_datetime(TIMESTAMP '1996-12-30', p)
+        |FROM (SELECT concat('YYY', 'Y-MM-dd') AS p)""".stripMargin).collect()(0)
+    assert(c.getString(0) == "1996-12-30", "non-literal pattern must translate")
+    // ...and untranslatable tokens error loudly on that path too
+    intercept[Exception] {
+      spark.sql(
+        """SELECT format_datetime(TIMESTAMP '1996-12-30', p)
+          |FROM (SELECT concat('x', 'xxx') AS p)""".stripMargin).collect()
+    }
   }
 
   test("with_timezone resolves the ambiguous fall-back hour to the EARLIER offset") {
@@ -575,6 +588,20 @@ class FnSpec extends AnyFunSuite {
     assert(r.getBoolean(12) && r.getBoolean(13) && !r.getBoolean(14))
     assert(r.getSeq[String](15) == Seq("1", "3"))
     assert(r.getString(16) == "h?i/j")
+    // IPv6: RFC 5952 canonical form — longest zero run compressed to '::'
+    // (leftmost on ties), lowercase, no leading zeros
+    val v6 = spark.sql(
+      """SELECT ip_prefix('2001:0db8:85a3:0001:0001:8a2e:0370:7334', 48),
+        |  ip_subnet_min('2001:db8::/32'), ip_subnet_max('64:ff9b::17/64'),
+        |  ip_prefix('::1', 128), ip_prefix('1:0:0:2:0:0:3:4', 128),
+        |  ip_prefix('1:0:0:2:0:0:0:3', 128)""".stripMargin)
+      .collect()(0)
+    assert(v6.getString(0) == "2001:db8:85a3::/48")
+    assert(v6.getString(1) == "2001:db8::")
+    assert(v6.getString(2) == "64:ff9b::ffff:ffff:ffff:ffff")
+    assert(v6.getString(3) == "::1/128")
+    assert(v6.getString(4) == "1::2:0:0:3:4/128", "leftmost run wins the tie")
+    assert(v6.getString(5) == "1:0:0:2::3/128", "longest run is compressed")
     // lambda predicates + fail + plural inverse-quantile
     val r2 = spark.sql(
       """SELECT all_match(ARRAY[2, 4, 6], x -> x % 2 = 0),
