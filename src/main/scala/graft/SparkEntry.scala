@@ -21,6 +21,7 @@ object SparkEntry {
     operators.WriteOps,
     operators.MultimodalOps,
     operators.DialectOps,
+    operators.TpcdsQueries,
     operators.SpatialOps,
     streaming.EventOps,
   )

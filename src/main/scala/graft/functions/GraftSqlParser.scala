@@ -42,8 +42,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   import GraftSqlParser._
 
+  /** Prepared statements (grammar SqlBase.g4:96-104 PREPARE/EXECUTE/
+    * DEALLOCATE). The map lives on the parser INSTANCE — Spark builds one
+    * parser per session, so statements are session-scoped like the
+    * reference's Session.preparedStatements.
+    */
+  private val prepared = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(rewrite(sqlText))
+    sessionStatement(sqlText, prepared) match {
+      case Some(replacement) => delegate.parsePlan(replacement)
+      case None => delegate.parsePlan(rewrite(sqlText))
+    }
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(rewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =
@@ -64,6 +74,90 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
+
+  private val PrepareStmt = raw"(?is)^\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$$".r
+  private val ExecuteStmt = raw"(?is)^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+?))?\s*;?\s*$$".r
+  private val DeallocStmt = raw"(?is)^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*;?\s*$$".r
+  private val SetSession = raw"(?is)^\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*;?\s*$$".r
+  private val ResetSession = raw"(?is)^\s*RESET\s+SESSION\s+([\w.]+)\s*;?\s*$$".r
+
+  /** Reference session properties (SystemSessionProperties.java) with a
+    * faithful Spark SQL-conf equivalent. Properties without one fail by
+    * name rather than silently no-op.
+    */
+  private[graft] def translateSessionProperty(key: String, rawValue: String): String = {
+    val value = rawValue.trim.stripPrefix("'").stripSuffix("'")
+    key.toLowerCase match {
+      // SystemSessionProperties.HASH_PARTITION_COUNT — the number of
+      // partitions a hash-distributed exchange produces ≙ Spark's
+      // shuffle partition count
+      case "hash_partition_count" =>
+        s"SET spark.sql.shuffle.partitions=$value"
+      // JOIN_DISTRIBUTION_TYPE BROADCAST/PARTITIONED/AUTOMATIC ≙ forcing
+      // or forbidding broadcast-hash joins via the size threshold
+      case "join_distribution_type" => value.toUpperCase match {
+        case "PARTITIONED" => "SET spark.sql.autoBroadcastJoinThreshold=-1"
+        case "BROADCAST" => "SET spark.sql.autoBroadcastJoinThreshold=512m"
+        case _ => "SET spark.sql.autoBroadcastJoinThreshold=10485760"
+      }
+      // JOIN_REORDERING_STRATEGY NONE/ELIMINATE_CROSS_JOINS/AUTOMATIC ≙
+      // the CBO join-reorder switch
+      case "join_reordering_strategy" =>
+        s"SET spark.sql.cbo.joinReorder.enabled=${value.toUpperCase == "AUTOMATIC"}"
+      case other => throw new IllegalArgumentException(
+        s"SET SESSION $other: no Spark mapping for this session property " +
+          "(reference SystemSessionProperties.java)")
+    }
+  }
+
+  /** Substitute `?` parameters (top-level, outside string literals) with
+    * the EXECUTE … USING expressions, positionally (SqlBase.g4 `EXECUTE
+    * qualifiedName (USING expression (',' expression)*)?`).
+    */
+  private[graft] def bindParameters(body: String, args: Seq[String]): String = {
+    val out = new StringBuilder
+    var inQuote = false
+    var n = 0
+    body.foreach {
+      case '\'' => inQuote = !inQuote; out += '\''
+      case '?' if !inQuote =>
+        require(n < args.length,
+          s"EXECUTE: statement has more parameters than USING arguments (${args.length})")
+        out ++= s"(${args(n)})"; n += 1
+      case c => out += c
+    }
+    require(n == args.length,
+      s"EXECUTE: ${args.length} USING arguments for $n parameters")
+    out.toString
+  }
+
+  /** Handle the session-statement surface; returns the replacement SQL to
+    * delegate (already dialect-rewritten where needed), or None for
+    * ordinary statements.
+    */
+  private def sessionStatement(sql: String,
+      prepared: java.util.concurrent.ConcurrentHashMap[String, String]): Option[String] = sql match {
+    case PrepareStmt(name, body) =>
+      prepared.put(name.toLowerCase, body.trim.stripSuffix(";"))
+      Some(s"SELECT '${name.toLowerCase}' AS prepared")
+    case ExecuteStmt(name, usingArgs) if !name.equalsIgnoreCase("IMMEDIATE") =>
+      // (EXECUTE IMMEDIATE is Spark's own statement — pass it through)
+      val body = prepared.get(name.toLowerCase)
+      require(body != null, s"EXECUTE: prepared statement '$name' not found")
+      val args = Option(usingArgs).map(splitTopLevel).getOrElse(Seq.empty)
+      Some(rewrite(bindParameters(body, args)))
+    case DeallocStmt(name) =>
+      prepared.remove(name.toLowerCase)
+      Some(s"SELECT '${name.toLowerCase}' AS deallocated")
+    case SetSession(key, value) =>
+      Some(translateSessionProperty(key, value))
+    case ResetSession(key) =>
+      // route through the translator to reuse the name check, then RESET
+      val set = translateSessionProperty(key, "0")
+      Some(set.replaceFirst("(?i)^SET ", "RESET ").takeWhile(_ != '='))
+    case _ => None
+  }
+
   private val DateAddDiff =
     raw"(?i)\bdate_(add|diff)\s*\(\s*'(\w+)'\s*,".r
   private val ArrayLiteral =
@@ -72,8 +166,16 @@ object GraftSqlParser {
   private val UnnestStart = raw"(?is)\bCROSS\s+JOIN\s+UNNEST\s*\(".r
   private val UnnestAlias = raw"(?is)^\s+(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(([^()]*)\)".r
 
+  private val CalledOnNull = raw"(?i)\bCALLED\s+ON\s+NULL\s+INPUT\b".r
+
   def rewrite(sql: String): String = {
-    var out = DateAddDiff.replaceAllIn(sql, m =>
+    // Presto CREATE FUNCTION's CALLED ON NULL INPUT (SqlBase.g4
+    // routineCharacteristic) is Spark's (and Presto's) default null
+    // semantics — strip the clause Spark's grammar lacks. RETURNS NULL ON
+    // NULL INPUT is left to error loudly: silently dropping it would
+    // change null propagation.
+    var out = CalledOnNull.replaceAllIn(sql, "")
+    out = DateAddDiff.replaceAllIn(out, m =>
       s"timestamp${m.group(1).toLowerCase}(${m.group(2)},")
     // innermost-first so ARRAY[ARRAY[1], ARRAY[2]] converges
     var prev: String = null

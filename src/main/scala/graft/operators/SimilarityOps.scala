@@ -162,7 +162,10 @@ object SimilarityOps extends QueryGroup {
       numQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 6): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivf-index-" +
+    // root overridable (graft.index.root) so test JVMs get a fresh dir —
+    // see TextOps.incrementalMinhashPairs
+    val indexDir = sys.props.getOrElse("graft.index.root",
+      sys.props("java.io.tmpdir")) + "/graft-ivf-index-" +
       s"v$IvfFormulaVersion-k$nlist-" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     // centroids persist BESIDE the index: on reuse both are read back and

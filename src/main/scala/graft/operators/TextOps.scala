@@ -177,7 +177,11 @@ object TextOps extends QueryGroup {
   def incrementalMinhashPairs(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, indexKey: String, threshold: Double = 0.5,
       perms: Int = MinhashPerms, bands: Int = MinhashBands): DataFrame = {
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-lsh-index-" +
+    // root overridable (graft.index.root) so test JVMs get a fresh dir —
+    // the reuse-if-exists semantics otherwise make rebuild specs
+    // non-idempotent across runs; production leaves it at tmpdir
+    val indexDir = sys.props.getOrElse("graft.index.root",
+      sys.props("java.io.tmpdir")) + "/graft-lsh-index-" +
       s"v$LshFormulaVersion-p$perms-b$bands-" +
       indexKey.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(s"$indexDir/_SUCCESS").exists) {

@@ -1,0 +1,539 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{QueryDef, QueryGroup, Tables}
+
+/** Adapted TPC-DS shape corpus over the synthesized [[TpcdsSynth]] schema —
+  * 15 representative queries spanning the reference's TPC-DS families
+  * (presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds/qNN.sql,
+  * protocol benchmarks/presto/tpcds.yaml yaml):
+  *
+  *  - reporting aggregates: q03 / q42 / q55 (brand/category roll-ups);
+  *  - CASE-pivot household counting: q34 / q73;
+  *  - EXISTS-chain demographics: q10 / q35 (correlated EXISTS AND
+  *    (EXISTS OR EXISTS) across the three channel fact tables);
+  *  - cross-channel set ops: q38 (3-way INTERSECT), q87 (EXCEPT chain);
+  *  - windowed share/cumulative: q51 (full-join cumulative max),
+  *    q53 (share-of-quarterly-average);
+  *  - deep ROLLUP: q18 (4-level), q22 (inventory 4-level),
+  *    q67 (8-level + rank-per-category), q36 (GROUPING()-hierarchy rank).
+  *
+  * "Adapted" = the reference text's structure (join graph, subquery
+  * nesting, set ops, window frames, ROLLUP shape) kept intact; only
+  * (a) table refs point at the synthesized `tpcds` views, (b) constants
+  * are fixture-tuned so predicates actually select rows (epoch 1995-2001,
+  * the synthesized county/state/brand/demographic domains — round-4
+  * lesson: a verbatim constant that selects zero rows tests nothing),
+  * (c) ORDER BY keys under a LIMIT get explicit NULLS FIRST so both
+  * engines cut the same top-N (Spark defaults ASC NULLS FIRST, DuckDB
+  * NULLS LAST), and (d) rank() inputs over floating sums are rounded so
+  * LSB-level summation-order noise can't flip a rank between engines.
+  *
+  * The oracle runs the IDENTICAL text (modulo `tpcds.` → CTE prefix) over
+  * CTEs built from the same derivation strings — one source, zero drift.
+  */
+object TpcdsQueries extends QueryGroup {
+
+  private val viewsFor =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  private def ensureTpcdsViews(spark: SparkSession, dir: String): Unit =
+    viewsFor.compute(spark, (_, prev) => {
+      if (prev != dir) {
+        spark.sql("CREATE DATABASE IF NOT EXISTS tpcds")
+        TpcdsSynth.tables.foreach { t =>
+          val body = TpcdsSynth.tableSql(t, b => s"parquet.`$dir/$b.parquet`")
+          spark.sql(s"CREATE OR REPLACE VIEW tpcds.$t AS $body")
+        }
+      }
+      dir
+    })
+
+  // Normalizers nudge the value by +1e-6 before rounding: a DECIMAL
+  // average can land EXACTLY on a .xx5 rounding tie (cents/n), and the
+  // engines break ties differently (Spark: BigDecimal HALF_UP on the
+  // shortest decimal repr; DuckDB: rounding the raw float, where the tie
+  // usually reads .xx49999…). The nudge pushes both representations
+  // strictly above the tie so they round identically; honest non-tie
+  // values sit ≥ 5e-3 (r2) / 5e-5 (r4) from a boundary and are unaffected.
+  private def r2(c: String) = s"round(CAST($c AS DOUBLE) + 1e-6, 2) AS $c"
+  private def r4(c: String) = s"round(CAST($c AS DOUBLE) + 1e-6, 4) AS $c"
+  // for values the TEXT already rounds to 6dp from bit-identical doubles:
+  // re-rounding coarser (or nudging at 1e-6, the 6th decimal itself)
+  // would corrupt them — pass through at the same scale instead
+  private def r6(c: String) = s"round(CAST($c AS DOUBLE), 6) AS $c"
+  private def big(c: String) = s"CAST($c AS BIGINT) AS $c"
+
+  /** One adapted corpus entry; wrapper identical to DialectOps.verbatim
+    * (positional aliases + normalization + total ORDER BY).
+    */
+  private def adapted(name: String, text: String, aliases: Seq[String],
+      norm: Seq[String], order: String): QueryDef = {
+    def wrap(inner: String): String = {
+      val sel = s"SELECT ${norm.mkString(", ")}\nFROM (\n$inner\n) AS t(${aliases.mkString(", ")})"
+      if (order.isEmpty) sel else s"$sel\nORDER BY $order"
+    }
+    val oracle = TpcdsSynth.duckCtePreamble + wrap(text.replace("tpcds.", "tpcds_"))
+    QueryDef(name, Some(oracle), (s, dir) => {
+      Tables.register(s, dir)
+      ensureTpcdsViews(s, dir)
+      s.sql(wrap(text))
+    })
+  }
+
+  def defs = Seq(
+    // q03: brand report for one manufacturer in November of every year
+    adapted("tpcds_q03",
+      """SELECT dt.d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+        |  sum(ss_ext_sales_price) AS sum_agg
+        |FROM tpcds.date_dim dt, tpcds.store_sales store_sales, tpcds.item item
+        |WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+        |  AND store_sales.ss_item_sk = item.i_item_sk
+        |  AND item.i_manufact_id = 28
+        |  AND dt.d_moy = 11
+        |GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+        |ORDER BY dt.d_year, sum_agg DESC, brand_id
+        |LIMIT 100""".stripMargin,
+      Seq("d_year", "brand_id", "brand", "sum_agg"),
+      Seq("d_year", "brand_id", "brand", r2("sum_agg")),
+      "d_year, sum_agg DESC, brand_id, brand"),
+
+    // q10: demographics of customers active in-store AND (web OR catalog)
+    adapted("tpcds_q10",
+      """SELECT cd_gender, cd_marital_status, cd_education_status, count(*) AS cnt1,
+        |  cd_purchase_estimate, count(*) AS cnt2, cd_credit_rating, count(*) AS cnt3,
+        |  cd_dep_count, count(*) AS cnt4, cd_dep_employed_count, count(*) AS cnt5,
+        |  cd_dep_college_count, count(*) AS cnt6
+        |FROM tpcds.customer c, tpcds.customer_address ca, tpcds.customer_demographics customer_demographics
+        |WHERE c.c_current_addr_sk = ca.ca_address_sk
+        |  AND ca_county IN ('Rush County', 'Toole County', 'Jefferson County',
+        |                    'Dona Ana County', 'La Porte County')
+        |  AND cd_demo_sk = c.c_current_cdemo_sk
+        |  AND EXISTS (SELECT * FROM tpcds.store_sales store_sales, tpcds.date_dim date_dim
+        |              WHERE c.c_customer_sk = ss_customer_sk
+        |                AND ss_sold_date_sk = d_date_sk AND d_year = 1996
+        |                AND d_moy BETWEEN 1 AND (1 + 3))
+        |  AND (EXISTS (SELECT * FROM tpcds.web_sales web_sales, tpcds.date_dim date_dim
+        |               WHERE c.c_customer_sk = ws_bill_customer_sk
+        |                 AND ws_sold_date_sk = d_date_sk AND d_year = 1996
+        |                 AND d_moy BETWEEN 1 AND (1 + 3))
+        |    OR EXISTS (SELECT * FROM tpcds.catalog_sales catalog_sales, tpcds.date_dim date_dim
+        |               WHERE c.c_customer_sk = cs_ship_customer_sk
+        |                 AND cs_sold_date_sk = d_date_sk AND d_year = 1996
+        |                 AND d_moy BETWEEN 1 AND (1 + 3)))
+        |GROUP BY cd_gender, cd_marital_status, cd_education_status,
+        |  cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+        |  cd_dep_employed_count, cd_dep_college_count
+        |ORDER BY cd_gender, cd_marital_status, cd_education_status,
+        |  cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+        |  cd_dep_employed_count, cd_dep_college_count
+        |LIMIT 100""".stripMargin,
+      Seq("cd_gender", "cd_marital_status", "cd_education_status", "cnt1",
+        "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3",
+        "cd_dep_count", "cnt4", "cd_dep_employed_count", "cnt5",
+        "cd_dep_college_count", "cnt6"),
+      Seq("cd_gender", "cd_marital_status", "cd_education_status", big("cnt1"),
+        "cd_purchase_estimate", big("cnt2"), "cd_credit_rating", big("cnt3"),
+        "cd_dep_count", big("cnt4"), "cd_dep_employed_count", big("cnt5"),
+        "cd_dep_college_count", big("cnt6")),
+      "cd_gender, cd_marital_status, cd_education_status, " +
+        "cd_purchase_estimate, cd_credit_rating, cd_dep_count, " +
+        "cd_dep_employed_count, cd_dep_college_count"),
+
+    // q18: 4-level ROLLUP of catalog averages over a double-demographics join
+    adapted("tpcds_q18",
+      """SELECT i_item_id, ca_country, ca_state, ca_county,
+        |  avg(CAST(cs_quantity AS DECIMAL(12,2))) AS agg1,
+        |  avg(CAST(cs_list_price AS DECIMAL(12,2))) AS agg2,
+        |  avg(CAST(cs_coupon_amt AS DECIMAL(12,2))) AS agg3,
+        |  avg(CAST(cs_sales_price AS DECIMAL(12,2))) AS agg4,
+        |  avg(CAST(cs_net_profit AS DECIMAL(12,2))) AS agg5,
+        |  avg(CAST(c_birth_year AS DECIMAL(12,2))) AS agg6,
+        |  avg(CAST(cd1.cd_dep_count AS DECIMAL(12,2))) AS agg7
+        |FROM tpcds.catalog_sales catalog_sales, tpcds.customer_demographics cd1,
+        |  tpcds.customer_demographics cd2, tpcds.customer customer,
+        |  tpcds.customer_address customer_address, tpcds.date_dim date_dim, tpcds.item item
+        |WHERE cs_sold_date_sk = d_date_sk
+        |  AND cs_item_sk = i_item_sk
+        |  AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+        |  AND cs_bill_customer_sk = c_customer_sk
+        |  AND cd1.cd_gender = 'F'
+        |  AND cd1.cd_education_status = 'Unknown'
+        |  AND c_current_cdemo_sk = cd2.cd_demo_sk
+        |  AND c_current_addr_sk = ca_address_sk
+        |  AND c_birth_month IN (1, 6, 8, 9, 12, 2)
+        |  AND d_year = 1995
+        |  AND ca_state IN ('MS', 'IN', 'ND', 'OK', 'NM', 'VA')
+        |GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+        |ORDER BY ca_country ASC NULLS FIRST, ca_state ASC NULLS FIRST,
+        |  ca_county ASC NULLS FIRST, i_item_id ASC NULLS FIRST
+        |LIMIT 100""".stripMargin,
+      Seq("i_item_id", "ca_country", "ca_state", "ca_county",
+        "agg1", "agg2", "agg3", "agg4", "agg5", "agg6", "agg7"),
+      Seq("i_item_id", "ca_country", "ca_state", "ca_county",
+        r4("agg1"), r4("agg2"), r4("agg3"), r4("agg4"), r4("agg5"),
+        r4("agg6"), r4("agg7")),
+      "ca_country NULLS FIRST, ca_state NULLS FIRST, " +
+        "ca_county NULLS FIRST, i_item_id NULLS FIRST"),
+
+    // q22: inventory quantity-on-hand over a 4-level item ROLLUP
+    adapted("tpcds_q22",
+      """SELECT i_product_name, i_brand, i_class, i_category,
+        |  avg(inv_quantity_on_hand) AS qoh
+        |FROM tpcds.inventory inventory, tpcds.date_dim date_dim, tpcds.item item
+        |WHERE inv_date_sk = d_date_sk
+        |  AND inv_item_sk = i_item_sk
+        |  AND d_month_seq BETWEEN 1200 AND (1200 + 11)
+        |GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+        |ORDER BY qoh ASC NULLS FIRST, i_product_name ASC NULLS FIRST,
+        |  i_brand ASC NULLS FIRST, i_class ASC NULLS FIRST,
+        |  i_category ASC NULLS FIRST
+        |LIMIT 100""".stripMargin,
+      Seq("i_product_name", "i_brand", "i_class", "i_category", "qoh"),
+      Seq("i_product_name", "i_brand", "i_class", "i_category", r4("qoh")),
+      "qoh NULLS FIRST, i_product_name NULLS FIRST, i_brand NULLS FIRST, " +
+        "i_class NULLS FIRST, i_category NULLS FIRST"),
+
+    // q34: month-edge shoppers with 2..20-line tickets, by household profile
+    adapted("tpcds_q34",
+      """SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+        |  ss_ticket_number, cnt
+        |FROM
+        |  (SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+        |   FROM tpcds.store_sales store_sales, tpcds.date_dim date_dim, tpcds.store store,
+        |     tpcds.household_demographics household_demographics
+        |   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |     AND store_sales.ss_store_sk = store.s_store_sk
+        |     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        |     AND (date_dim.d_dom BETWEEN 1 AND 3 OR date_dim.d_dom BETWEEN 25 AND 28)
+        |     AND (household_demographics.hd_buy_potential = '>10000'
+        |       OR household_demographics.hd_buy_potential = 'Unknown')
+        |     AND household_demographics.hd_vehicle_count > 0
+        |     AND (CASE WHEN household_demographics.hd_vehicle_count > 0
+        |               THEN CAST(household_demographics.hd_dep_count AS DECIMAL(7,2))
+        |                    / household_demographics.hd_vehicle_count
+        |               ELSE NULL END) > 1.2
+        |     AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        |     AND store.s_county IN ('Williamson County', 'Williamson County',
+        |       'Williamson County', 'Williamson County', 'Williamson County',
+        |       'Williamson County', 'Williamson County', 'Williamson County')
+        |   GROUP BY ss_ticket_number, ss_customer_sk) dn,
+        |  tpcds.customer customer
+        |WHERE ss_customer_sk = c_customer_sk
+        |  AND cnt BETWEEN 1 AND 20
+        |ORDER BY c_last_name ASC, c_first_name ASC, c_salutation ASC,
+        |  c_preferred_cust_flag DESC, ss_ticket_number ASC""".stripMargin,
+      Seq("c_last_name", "c_first_name", "c_salutation",
+        "c_preferred_cust_flag", "ss_ticket_number", "cnt"),
+      Seq("c_last_name", "c_first_name", "c_salutation",
+        "c_preferred_cust_flag", "ss_ticket_number", big("cnt")),
+      "c_last_name, c_first_name, c_salutation, c_preferred_cust_flag DESC, " +
+        "ss_ticket_number"),
+
+    // q35: per-state demographic stats of multi-channel shoppers
+    adapted("tpcds_q35",
+      """SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+        |  count(*) AS cnt1, min(cd_dep_count) AS min1, max(cd_dep_count) AS max1,
+        |  avg(cd_dep_count) AS avg1,
+        |  cd_dep_employed_count, count(*) AS cnt2,
+        |  min(cd_dep_employed_count) AS min2, max(cd_dep_employed_count) AS max2,
+        |  avg(cd_dep_employed_count) AS avg2,
+        |  cd_dep_college_count, count(*) AS cnt3,
+        |  min(cd_dep_college_count) AS min3, max(cd_dep_college_count) AS max3,
+        |  avg(cd_dep_college_count) AS avg3
+        |FROM tpcds.customer c, tpcds.customer_address ca, tpcds.customer_demographics customer_demographics
+        |WHERE c.c_current_addr_sk = ca.ca_address_sk
+        |  AND cd_demo_sk = c.c_current_cdemo_sk
+        |  AND EXISTS (SELECT * FROM tpcds.store_sales store_sales, tpcds.date_dim date_dim
+        |              WHERE c.c_customer_sk = ss_customer_sk
+        |                AND ss_sold_date_sk = d_date_sk AND d_year = 1996
+        |                AND d_qoy < 4)
+        |  AND (EXISTS (SELECT * FROM tpcds.web_sales web_sales, tpcds.date_dim date_dim
+        |               WHERE c.c_customer_sk = ws_bill_customer_sk
+        |                 AND ws_sold_date_sk = d_date_sk AND d_year = 1996
+        |                 AND d_qoy < 4)
+        |    OR EXISTS (SELECT * FROM tpcds.catalog_sales catalog_sales, tpcds.date_dim date_dim
+        |               WHERE c.c_customer_sk = cs_ship_customer_sk
+        |                 AND cs_sold_date_sk = d_date_sk AND d_year = 1996
+        |                 AND d_qoy < 4))
+        |GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+        |  cd_dep_employed_count, cd_dep_college_count
+        |ORDER BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+        |  cd_dep_employed_count, cd_dep_college_count
+        |LIMIT 100""".stripMargin,
+      Seq("ca_state", "cd_gender", "cd_marital_status", "cd_dep_count",
+        "cnt1", "min1", "max1", "avg1", "cd_dep_employed_count", "cnt2",
+        "min2", "max2", "avg2", "cd_dep_college_count", "cnt3", "min3",
+        "max3", "avg3"),
+      Seq("ca_state", "cd_gender", "cd_marital_status", "cd_dep_count",
+        big("cnt1"), big("min1"), big("max1"), r4("avg1"),
+        "cd_dep_employed_count", big("cnt2"), big("min2"), big("max2"),
+        r4("avg2"), "cd_dep_college_count", big("cnt3"), big("min3"),
+        big("max3"), r4("avg3")),
+      "ca_state, cd_gender, cd_marital_status, cd_dep_count, " +
+        "cd_dep_employed_count, cd_dep_college_count"),
+
+    // q36: gross-margin rank within a GROUPING()-derived hierarchy level.
+    // The DECIMAL sums are exact on both engines; casting them to DOUBLE
+    // before the ratio makes the division inputs (hence the 6dp-rounded
+    // margin and its rank) bit-identical across engines.
+    adapted("tpcds_q36",
+      """SELECT
+        |  round(CAST(sum(ss_net_profit) AS DOUBLE)
+        |        / CAST(sum(ss_ext_sales_price) AS DOUBLE), 6) AS gross_margin,
+        |  i_category, i_class,
+        |  grouping(i_category) + grouping(i_class) AS lochierarchy,
+        |  rank() OVER (
+        |    PARTITION BY grouping(i_category) + grouping(i_class),
+        |      CASE WHEN grouping(i_class) = 0 THEN i_category END
+        |    ORDER BY round(CAST(sum(ss_net_profit) AS DOUBLE)
+        |                   / CAST(sum(ss_ext_sales_price) AS DOUBLE), 6) ASC
+        |  ) AS rank_within_parent
+        |FROM tpcds.store_sales store_sales, tpcds.date_dim d1, tpcds.item item, tpcds.store store
+        |WHERE d1.d_year = 2001
+        |  AND d1.d_date_sk = ss_sold_date_sk
+        |  AND i_item_sk = ss_item_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND s_state IN ('TN', 'TN', 'TN', 'TN', 'TN', 'TN', 'TN', 'TN')
+        |GROUP BY ROLLUP (i_category, i_class)""".stripMargin,
+      Seq("gross_margin", "i_category", "i_class", "lochierarchy",
+        "rank_within_parent"),
+      Seq(r6("gross_margin"), "i_category", "i_class", big("lochierarchy"),
+        big("rank_within_parent")),
+      "lochierarchy DESC, i_category NULLS FIRST, i_class NULLS FIRST"),
+
+    // q38: customers active in ALL three channels (3-way INTERSECT)
+    adapted("tpcds_q38",
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT DISTINCT c_last_name, c_first_name, d_date
+        |  FROM tpcds.store_sales store_sales, tpcds.date_dim date_dim, tpcds.customer customer
+        |  WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |    AND store_sales.ss_customer_sk = customer.c_customer_sk
+        |    AND d_month_seq BETWEEN 1200 AND (1200 + 83)
+        |  INTERSECT
+        |  SELECT DISTINCT c_last_name, c_first_name, d_date
+        |  FROM tpcds.catalog_sales catalog_sales, tpcds.date_dim date_dim, tpcds.customer customer
+        |  WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        |    AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        |    AND d_month_seq BETWEEN 1200 AND (1200 + 83)
+        |  INTERSECT
+        |  SELECT DISTINCT c_last_name, c_first_name, d_date
+        |  FROM tpcds.web_sales web_sales, tpcds.date_dim date_dim, tpcds.customer customer
+        |  WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        |    AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        |    AND d_month_seq BETWEEN 1200 AND (1200 + 83)
+        |) hot_cust
+        |LIMIT 100""".stripMargin,
+      Seq("cnt"), Seq(big("cnt")), ""),
+
+    // q42: category totals for one manager's items in one month
+    adapted("tpcds_q42",
+      """SELECT dt.d_year, item.i_category_id, item.i_category,
+        |  sum(ss_ext_sales_price) AS ext_sales
+        |FROM tpcds.date_dim dt, tpcds.store_sales store_sales, tpcds.item item
+        |WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+        |  AND store_sales.ss_item_sk = item.i_item_sk
+        |  AND item.i_manager_id = 1
+        |  AND dt.d_moy = 11
+        |  AND dt.d_year = 2000
+        |GROUP BY dt.d_year, item.i_category_id, item.i_category
+        |ORDER BY ext_sales DESC, dt.d_year, item.i_category_id, item.i_category
+        |LIMIT 100""".stripMargin,
+      Seq("d_year", "i_category_id", "i_category", "ext_sales"),
+      Seq("d_year", "i_category_id", "i_category", r2("ext_sales")),
+      "ext_sales DESC, d_year, i_category_id, i_category"),
+
+    // q51: web-vs-store cumulative sales race (full join + running max)
+    adapted("tpcds_q51",
+      """WITH web_v1 AS (
+        |  SELECT ws_item_sk AS item_sk, d_date,
+        |    sum(sum(ws_sales_price)) OVER (PARTITION BY ws_item_sk
+        |      ORDER BY d_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cume_sales
+        |  FROM tpcds.web_sales web_sales, tpcds.date_dim date_dim
+        |  WHERE ws_sold_date_sk = d_date_sk
+        |    AND d_month_seq BETWEEN 1200 AND (1200 + 11)
+        |    AND ws_item_sk IS NOT NULL
+        |  GROUP BY ws_item_sk, d_date
+        |),
+        |store_v1 AS (
+        |  SELECT ss_item_sk AS item_sk, d_date,
+        |    sum(sum(ss_sales_price)) OVER (PARTITION BY ss_item_sk
+        |      ORDER BY d_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cume_sales
+        |  FROM tpcds.store_sales store_sales, tpcds.date_dim date_dim
+        |  WHERE ss_sold_date_sk = d_date_sk
+        |    AND d_month_seq BETWEEN 1200 AND (1200 + 11)
+        |    AND ss_item_sk IS NOT NULL
+        |  GROUP BY ss_item_sk, d_date
+        |)
+        |SELECT * FROM (
+        |  SELECT item_sk, d_date, web_sales, store_sales,
+        |    max(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cumulative,
+        |    max(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_cumulative
+        |  FROM (
+        |    SELECT
+        |      CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk ELSE store.item_sk END AS item_sk,
+        |      CASE WHEN web.d_date IS NOT NULL THEN web.d_date ELSE store.d_date END AS d_date,
+        |      web.cume_sales AS web_sales,
+        |      store.cume_sales AS store_sales
+        |    FROM web_v1 web
+        |    FULL JOIN store_v1 store
+        |      ON web.item_sk = store.item_sk AND web.d_date = store.d_date
+        |  ) x
+        |) y
+        |WHERE web_cumulative > store_cumulative
+        |ORDER BY item_sk ASC, d_date ASC
+        |LIMIT 100""".stripMargin,
+      Seq("item_sk", "d_date", "web_sales", "store_sales",
+        "web_cumulative", "store_cumulative"),
+      Seq("item_sk", "d_date", r2("web_sales"), r2("store_sales"),
+        r2("web_cumulative"), r2("store_cumulative")),
+      "item_sk, d_date"),
+
+    // q53: quarterly sales vs each manufacturer's quarterly average
+    adapted("tpcds_q53",
+      """SELECT * FROM (
+        |  SELECT i_manufact_id, sum(ss_sales_price) AS sum_sales,
+        |    avg(CAST(sum(ss_sales_price) AS DOUBLE)) OVER (PARTITION BY i_manufact_id)
+        |      AS avg_quarterly_sales
+        |  FROM tpcds.item item, tpcds.store_sales store_sales, tpcds.date_dim date_dim, tpcds.store store
+        |  WHERE ss_item_sk = i_item_sk
+        |    AND ss_sold_date_sk = d_date_sk
+        |    AND ss_store_sk = s_store_sk
+        |    AND d_month_seq IN (1200, 1200 + 1, 1200 + 2, 1200 + 3, 1200 + 4,
+        |      1200 + 5, 1200 + 6, 1200 + 7, 1200 + 8, 1200 + 9, 1200 + 10,
+        |      1200 + 11)
+        |    AND ((i_category IN ('Books', 'Children', 'Electronics')
+        |          AND i_class IN ('personal', 'portable', 'reference', 'self-help')
+        |          AND i_brand IN ('Brand#1', 'Brand#2', 'Brand#11', 'Brand#12',
+        |                          'Brand#13', 'Brand#21', 'Brand#22', 'Brand#23'))
+        |      OR (i_category IN ('Women', 'Music', 'Men')
+        |          AND i_class IN ('accessories', 'classical', 'fragrances', 'pants')
+        |          AND i_brand IN ('Brand#3', 'Brand#4', 'Brand#5', 'Brand#14',
+        |                          'Brand#15', 'Brand#24', 'Brand#25', 'Brand#6')))
+        |  GROUP BY i_manufact_id, d_qoy
+        |) tmp1
+        |WHERE CASE WHEN avg_quarterly_sales > 0
+        |           THEN abs(CAST(sum_sales AS DECIMAL(38,4)) - avg_quarterly_sales)
+        |                / avg_quarterly_sales
+        |           ELSE NULL END > 0.1
+        |ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id
+        |LIMIT 100""".stripMargin,
+      Seq("i_manufact_id", "sum_sales", "avg_quarterly_sales"),
+      Seq("i_manufact_id", r2("sum_sales"), r4("avg_quarterly_sales")),
+      "avg_quarterly_sales, sum_sales, i_manufact_id"),
+
+    // q55: brand revenue for one manager-month
+    adapted("tpcds_q55",
+      """SELECT i_brand_id AS brand_id, i_brand AS brand,
+        |  sum(ss_ext_sales_price) AS ext_price
+        |FROM tpcds.date_dim date_dim, tpcds.store_sales store_sales, tpcds.item item
+        |WHERE d_date_sk = ss_sold_date_sk
+        |  AND ss_item_sk = i_item_sk
+        |  AND i_manager_id = 6
+        |  AND d_moy = 11
+        |  AND d_year = 1999
+        |GROUP BY i_brand, i_brand_id
+        |ORDER BY ext_price DESC, brand_id
+        |LIMIT 100""".stripMargin,
+      Seq("brand_id", "brand", "ext_price"),
+      Seq("brand_id", "brand", r2("ext_price")),
+      "ext_price DESC, brand_id, brand"),
+
+    // q67: 8-level ROLLUP + per-category rank of every rollup row
+    // (sumsales rounded so rank() is summation-order-stable across engines)
+    adapted("tpcds_q67",
+      """SELECT * FROM (
+        |  SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+        |    d_moy, s_store_id, sumsales,
+        |    rank() OVER (PARTITION BY i_category ORDER BY sumsales DESC) AS rk
+        |  FROM (
+        |    SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+        |      d_moy, s_store_id,
+        |      round(sum(COALESCE(ss_sales_price * ss_quantity, 0)), 2) AS sumsales
+        |    FROM tpcds.store_sales store_sales, tpcds.date_dim date_dim, tpcds.store store, tpcds.item item
+        |    WHERE ss_sold_date_sk = d_date_sk
+        |      AND ss_item_sk = i_item_sk
+        |      AND ss_store_sk = s_store_sk
+        |      AND d_month_seq BETWEEN 1200 AND (1200 + 11)
+        |    GROUP BY ROLLUP (i_category, i_class, i_brand, i_product_name,
+        |      d_year, d_qoy, d_moy, s_store_id)
+        |  ) dw1
+        |) dw2
+        |WHERE rk <= 100
+        |ORDER BY i_category ASC NULLS FIRST, i_class ASC NULLS FIRST,
+        |  i_brand ASC NULLS FIRST, i_product_name ASC NULLS FIRST,
+        |  d_year ASC NULLS FIRST, d_qoy ASC NULLS FIRST,
+        |  d_moy ASC NULLS FIRST, s_store_id ASC NULLS FIRST,
+        |  sumsales ASC, rk ASC
+        |LIMIT 100""".stripMargin,
+      Seq("i_category", "i_class", "i_brand", "i_product_name", "d_year",
+        "d_qoy", "d_moy", "s_store_id", "sumsales", "rk"),
+      Seq("i_category", "i_class", "i_brand", "i_product_name", "d_year",
+        "d_qoy", "d_moy", "s_store_id", r2("sumsales"), big("rk")),
+      "i_category NULLS FIRST, i_class NULLS FIRST, i_brand NULLS FIRST, " +
+        "i_product_name NULLS FIRST, d_year NULLS FIRST, d_qoy NULLS FIRST, " +
+        "d_moy NULLS FIRST, s_store_id NULLS FIRST, sumsales, rk"),
+
+    // q73: 1..5-line tickets at month start, by household buy potential
+    adapted("tpcds_q73",
+      """SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+        |  ss_ticket_number, cnt
+        |FROM
+        |  (SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+        |   FROM tpcds.store_sales store_sales, tpcds.date_dim date_dim, tpcds.store store,
+        |     tpcds.household_demographics household_demographics
+        |   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |     AND store_sales.ss_store_sk = store.s_store_sk
+        |     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        |     AND date_dim.d_dom BETWEEN 1 AND 2
+        |     AND (household_demographics.hd_buy_potential = '>10000'
+        |       OR household_demographics.hd_buy_potential = 'Unknown')
+        |     AND household_demographics.hd_vehicle_count > 0
+        |     AND (CASE WHEN household_demographics.hd_vehicle_count > 0
+        |               THEN CAST(household_demographics.hd_dep_count AS DECIMAL(7,2))
+        |                    / household_demographics.hd_vehicle_count
+        |               ELSE NULL END) > 1
+        |     AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        |     AND store.s_county IN ('Williamson County', 'Franklin Parish',
+        |       'Rush County', 'Orange County')
+        |   GROUP BY ss_ticket_number, ss_customer_sk) dj,
+        |  tpcds.customer customer
+        |WHERE ss_customer_sk = c_customer_sk
+        |  AND cnt BETWEEN 1 AND 5
+        |ORDER BY cnt DESC, c_last_name ASC""".stripMargin,
+      Seq("c_last_name", "c_first_name", "c_salutation",
+        "c_preferred_cust_flag", "ss_ticket_number", "cnt"),
+      Seq("c_last_name", "c_first_name", "c_salutation",
+        "c_preferred_cust_flag", "ss_ticket_number", big("cnt")),
+      "cnt DESC, c_last_name, c_first_name, c_salutation, " +
+        "c_preferred_cust_flag, ss_ticket_number"),
+
+    // q87: store shoppers absent from catalog and web (EXCEPT chain)
+    adapted("tpcds_q87",
+      """SELECT count(*) AS cnt FROM (
+        |  (SELECT DISTINCT c_last_name, c_first_name, d_date
+        |   FROM tpcds.store_sales store_sales, tpcds.date_dim date_dim, tpcds.customer customer
+        |   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |     AND store_sales.ss_customer_sk = customer.c_customer_sk
+        |     AND d_month_seq BETWEEN 1200 AND (1200 + 11))
+        |  EXCEPT
+        |  (SELECT DISTINCT c_last_name, c_first_name, d_date
+        |   FROM tpcds.catalog_sales catalog_sales, tpcds.date_dim date_dim, tpcds.customer customer
+        |   WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        |     AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        |     AND d_month_seq BETWEEN 1200 AND (1200 + 11))
+        |  EXCEPT
+        |  (SELECT DISTINCT c_last_name, c_first_name, d_date
+        |   FROM tpcds.web_sales web_sales, tpcds.date_dim date_dim, tpcds.customer customer
+        |   WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        |     AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        |     AND d_month_seq BETWEEN 1200 AND (1200 + 11))
+        |) cool_cust""".stripMargin,
+      Seq("cnt"), Seq(big("cnt")), ""),
+  )
+}

@@ -1,0 +1,261 @@
+package graft.operators
+
+/** Deterministic TPC-DS schema synthesized from the slim TPC-H fixture —
+  * the same connector-style trick as [[TpchSynth]]: every TPC-DS table the
+  * adapted benchto corpus needs (reference:
+  * presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds/q*.sql)
+  * is a pure per-row projection over a fixture table (or a small
+  * cross-product against an inline digit series), derived with key
+  * arithmetic only. The SAME derivation text builds both sides of the
+  * correctness gate:
+  *
+  *  - Spark: `CREATE VIEW tpcds.<t> AS <tableSql(t, parquetRef)>`;
+  *  - DuckDB oracle: `WITH tpcds_<t> AS (<tableSql(t, identity)>) …`.
+  *
+  * Mapping (fixture → TPC-DS):
+  *  - lineitem, split 3 ways on `(l_orderkey + l_linenumber) % 3`, becomes
+  *    the three channel fact tables store_sales / web_sales /
+  *    catalog_sales (disjoint slices, so cross-channel INTERSECT/EXCEPT
+  *    shapes are meaningful; customers derive from the orderkey alone, so
+  *    one buyer's lines land in several channels like a real multi-channel
+  *    shopper).
+  *  - part → item, customer → customer (+ a 1:1 customer_address),
+  *    supplier → store.
+  *  - date_dim / customer_demographics / household_demographics /
+  *    inventory are generated from inline digit-table series (no fixture
+  *    input; identical row sets on both engines).
+  *
+  * Surrogate-key note: `d_date_sk` (and the fact tables' `*_sold_date_sk`
+  * / `inv_date_sk`) are DATE-typed rather than the spec's julian INT —
+  * day-number arithmetic has no portable Spark/DuckDB spelling, and the
+  * join SHAPE (fact ⋈ date_dim on the surrogate) is what the corpus
+  * exercises, not the key's physical type.
+  *
+  * Scale note: every derivation is a stateless projection (codegen'd, no
+  * shuffle); the generated dimensions are tiny (date_dim 2 557 rows,
+  * demographics 720, inventory |part|×104) and broadcast at any SF, so
+  * the views add nothing to the 100 TB scan cost.
+  */
+object TpcdsSynth {
+
+  /** Tables the adapted corpus references (generated dims first). */
+  val tables: Seq[String] = Seq(
+    "date_dim", "customer_demographics", "household_demographics",
+    "item", "customer", "customer_address", "store",
+    "store_sales", "web_sales", "catalog_sales", "inventory")
+
+  private def digits(alias: String): String =
+    "(SELECT 0 AS n UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL " +
+      "SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL " +
+      "SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9) " + alias
+
+  /** Inline integer series 0 until limit (a cross-product of 10-row digit
+    * tables — portable to any SQL engine, no generate_series dialect).
+    */
+  private def series(limit: Int, alias: String): String = {
+    val k = math.max(1, math.ceil(math.log10(limit.toDouble)).toInt)
+    val term = (0 until k)
+      .map(i => if (i == 0) "d0.n" else s"d$i.n * ${BigInt(10).pow(i)}")
+      .mkString(" + ")
+    val froms = (0 until k).map(i => digits(s"d$i")).mkString(", ")
+    s"(SELECT $term AS n FROM $froms WHERE $term < $limit) $alias"
+  }
+
+  /** Fixture epoch: l_shipdate spans 1995-01-02..2001-11-04, so date_dim
+    * covers 1995-01-01 + 2557 days = through 2001-12-31, and month_seq
+    * 1200 anchors at 1995-01 (the corpus' `BETWEEN 1200 AND 1211` window
+    * selects the fixture's first year).
+    */
+  private val epoch = "DATE '1995-01-01'"
+  private val days = 2557
+
+  /** Channel-split fact columns shared by the three sales tables: the
+    * buyer derives from the orderkey alone (all lines of a ticket share a
+    * customer), per-line demographics/address vary by line.
+    *
+    * Monetary columns are EXACT DECIMAL(18,2) values built from integer
+    * cents with modular arithmetic only — no floating division. Rationale:
+    * the correctness gate hash-compares round()ed aggregates, and Spark
+    * (BigDecimal HALF_UP on the shortest decimal repr) and DuckDB (rounding
+    * the raw float) disagree whenever a float aggregate lands on a .xx5
+    * tie; float-tailed source values made that a 3-in-15-query event at
+    * sf0.1. Integer cents → decimal sums are exact and order-independent
+    * on both engines, so the tie class vanishes at the source. `cents`
+    * (= l_extendedprice in cents) is exact: the parquet double is a
+    * 2-decimal value, so round(x*100) snaps to the true integer.
+    */
+  private def saleCols(p: String, buyer: String, custCount: String): String = {
+    val cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    val qty = "CAST(l_quantity AS BIGINT)"
+    def money(cexpr: String) = s"CAST(CAST($cexpr AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2))"
+    s"""CAST(l_shipdate AS DATE) AS ${p}_sold_date_sk,
+       |  l_partkey AS ${p}_item_sk,
+       |  CAST((l_orderkey * 7 + 3) % $custCount AS BIGINT) AS ${p}_${buyer}customer_sk,
+       |  CAST((l_orderkey * 13 + l_linenumber * 7) % 720 AS BIGINT) AS ${p}_${buyer}cdemo_sk,
+       |  CAST((l_orderkey * 11 + 5) % 720 AS BIGINT) AS ${p}_${buyer}hdemo_sk,
+       |  CAST((l_orderkey * 17 + l_linenumber * 11) % $custCount AS BIGINT) AS ${p}_${buyer}addr_sk,
+       |  CAST(l_quantity AS INT) AS ${p}_quantity,
+       |  ${money(s"$cents % 90000 + 100")} AS ${p}_list_price,
+       |  ${money(s"($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50")} AS ${p}_sales_price,
+       |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $qty")} AS ${p}_ext_sales_price,
+       |  ${money(s"($cents * 11 + 7) % 10000")} AS ${p}_ext_discount_amt,
+       |  ${money(s"($cents * 3 + 1) % 5000")} AS ${p}_coupon_amt,
+       |  ${money(s"($cents * 13 + 17) % 60000 + 50")} AS ${p}_wholesale_cost,
+       |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $qty - (($cents * 13 + 17) % 60000 + 50) * $qty")} AS ${p}_net_profit,
+       |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $qty + CAST(round(l_tax * 100) AS BIGINT) * $qty")} AS ${p}_net_paid""".stripMargin
+  }
+
+  /** Connector-style SELECT producing the TPC-DS column subset the corpus
+    * touches; `ref(table)` supplies the FROM-clause reference for a base
+    * fixture table.
+    */
+  def tableSql(table: String, ref: String => String): String = table match {
+    case "date_dim" =>
+      s"""SELECT d_date AS d_date_sk, d_date,
+         |  CAST(EXTRACT(YEAR FROM d_date) AS INT) AS d_year,
+         |  CAST(EXTRACT(MONTH FROM d_date) AS INT) AS d_moy,
+         |  CAST(EXTRACT(DAY FROM d_date) AS INT) AS d_dom,
+         |  CAST(EXTRACT(QUARTER FROM d_date) AS INT) AS d_qoy,
+         |  1200 + (CAST(EXTRACT(YEAR FROM d_date) AS INT) - 1995) * 12
+         |       + CAST(EXTRACT(MONTH FROM d_date) AS INT) - 1 AS d_month_seq
+         |FROM (SELECT CAST($epoch + s.n * INTERVAL '1' DAY AS DATE) AS d_date
+         |      FROM ${series(days, "s")}) dd""".stripMargin
+
+    case "customer_demographics" =>
+      s"""SELECT CAST(s.n AS BIGINT) AS cd_demo_sk,
+         |  CASE WHEN s.n % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+         |  CASE CAST(s.n % 5 AS INT) WHEN 0 THEN 'M' WHEN 1 THEN 'S'
+         |       WHEN 2 THEN 'D' WHEN 3 THEN 'W' ELSE 'U' END AS cd_marital_status,
+         |  CASE CAST(s.n % 7 AS INT) WHEN 0 THEN 'Primary'
+         |       WHEN 1 THEN 'Secondary' WHEN 2 THEN 'College'
+         |       WHEN 3 THEN '2 yr Degree' WHEN 4 THEN '4 yr Degree'
+         |       WHEN 5 THEN 'Advanced Degree' ELSE 'Unknown' END AS cd_education_status,
+         |  CAST((s.n % 20 + 1) * 500 AS INT) AS cd_purchase_estimate,
+         |  CASE CAST(s.n % 4 AS INT) WHEN 0 THEN 'Good' WHEN 1 THEN 'High Risk'
+         |       WHEN 2 THEN 'Low Risk' ELSE 'Unknown' END AS cd_credit_rating,
+         |  CAST(s.n % 7 AS INT) AS cd_dep_count,
+         |  CAST((s.n * 3 + 1) % 7 AS INT) AS cd_dep_employed_count,
+         |  CAST((s.n * 5 + 2) % 7 AS INT) AS cd_dep_college_count
+         |FROM ${series(720, "s")}""".stripMargin
+
+    case "household_demographics" =>
+      s"""SELECT CAST(s.n AS BIGINT) AS hd_demo_sk,
+         |  CAST(s.n % 20 + 1 AS INT) AS hd_income_band_sk,
+         |  CASE CAST(s.n % 6 AS INT) WHEN 0 THEN '>10000' WHEN 1 THEN 'Unknown'
+         |       WHEN 2 THEN '1001-5000' WHEN 3 THEN '0-500'
+         |       WHEN 4 THEN '501-1000' ELSE '5001-10000' END AS hd_buy_potential,
+         |  CAST(s.n % 10 AS INT) AS hd_dep_count,
+         |  CAST(s.n % 5 AS INT) AS hd_vehicle_count
+         |FROM ${series(720, "s")}""".stripMargin
+
+    case "item" =>
+      s"""SELECT p_partkey AS i_item_sk,
+         |  'ITEM' || lpad(CAST(p_partkey AS VARCHAR(10)), 10, '0') AS i_item_id,
+         |  p_name AS i_product_name,
+         |  p_brand AS i_brand,
+         |  CAST(substr(p_brand, 7, 2) AS INT) AS i_brand_id,
+         |  CASE CAST(p_partkey % 8 AS INT) WHEN 0 THEN 'personal'
+         |       WHEN 1 THEN 'portable' WHEN 2 THEN 'reference'
+         |       WHEN 3 THEN 'self-help' WHEN 4 THEN 'accessories'
+         |       WHEN 5 THEN 'classical' WHEN 6 THEN 'fragrances'
+         |       ELSE 'pants' END AS i_class,
+         |  CAST(p_partkey % 8 + 1 AS INT) AS i_class_id,
+         |  CASE CAST(p_partkey % 6 AS INT) WHEN 0 THEN 'Books'
+         |       WHEN 1 THEN 'Children' WHEN 2 THEN 'Electronics'
+         |       WHEN 3 THEN 'Women' WHEN 4 THEN 'Music'
+         |       ELSE 'Men' END AS i_category,
+         |  CAST(p_partkey % 6 + 1 AS INT) AS i_category_id,
+         |  CAST(p_partkey % 50 AS INT) AS i_manufact_id,
+         |  CAST(p_partkey % 8 AS INT) AS i_manager_id,
+         |  p_retailprice AS i_current_price
+         |FROM ${ref("part")}""".stripMargin
+
+    case "customer" =>
+      s"""SELECT c_custkey AS c_customer_sk,
+         |  'AAAAAAAA' || CAST(c_custkey AS VARCHAR(12)) AS c_customer_id,
+         |  'First' || CAST(c_custkey % 19 AS VARCHAR(2)) AS c_first_name,
+         |  'Last' || CAST(c_custkey % 23 AS VARCHAR(2)) AS c_last_name,
+         |  CASE CAST(c_custkey % 6 AS INT) WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
+         |       WHEN 2 THEN 'Ms.' WHEN 3 THEN 'Dr.' WHEN 4 THEN 'Sir'
+         |       ELSE 'Miss' END AS c_salutation,
+         |  CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
+         |  CAST(1924 + c_custkey % 69 AS INT) AS c_birth_year,
+         |  CAST(c_custkey % 12 + 1 AS INT) AS c_birth_month,
+         |  CAST(c_custkey % 28 + 1 AS INT) AS c_birth_day,
+         |  CAST((c_custkey * 7 + 3) % 720 AS BIGINT) AS c_current_cdemo_sk,
+         |  CAST((c_custkey * 11 + 5) % 720 AS BIGINT) AS c_current_hdemo_sk,
+         |  c_custkey AS c_current_addr_sk
+         |FROM ${ref("customer")}""".stripMargin
+
+    case "customer_address" =>
+      s"""SELECT c_custkey AS ca_address_sk,
+         |  lpad(CAST((c_custkey * 17 + 7) % 100000 AS VARCHAR(5)), 5, '0') AS ca_zip,
+         |  CASE CAST(c_custkey % 8 AS INT) WHEN 0 THEN 'Williamson County'
+         |       WHEN 1 THEN 'Rush County' WHEN 2 THEN 'Toole County'
+         |       WHEN 3 THEN 'Jefferson County' WHEN 4 THEN 'Dona Ana County'
+         |       WHEN 5 THEN 'La Porte County' WHEN 6 THEN 'Franklin Parish'
+         |       ELSE 'Orange County' END AS ca_county,
+         |  CASE CAST(c_custkey % 10 AS INT) WHEN 0 THEN 'MS' WHEN 1 THEN 'IN'
+         |       WHEN 2 THEN 'ND' WHEN 3 THEN 'OK' WHEN 4 THEN 'NM'
+         |       WHEN 5 THEN 'VA' WHEN 6 THEN 'TN' WHEN 7 THEN 'TX'
+         |       WHEN 8 THEN 'CA' ELSE 'NY' END AS ca_state,
+         |  'United States' AS ca_country,
+         |  'City' || CAST(c_custkey % 37 AS VARCHAR(2)) AS ca_city,
+         |  CAST(-5 - c_custkey % 3 AS INT) AS ca_gmt_offset
+         |FROM ${ref("customer")}""".stripMargin
+
+    case "store" =>
+      s"""SELECT s_suppkey AS s_store_sk,
+         |  'S' || lpad(CAST(s_suppkey AS VARCHAR(10)), 9, '0') AS s_store_id,
+         |  'Store' || CAST(s_suppkey % 10 AS VARCHAR(2)) AS s_store_name,
+         |  CASE CAST(s_suppkey % 8 AS INT) WHEN 0 THEN 'Williamson County'
+         |       WHEN 1 THEN 'Rush County' WHEN 2 THEN 'Toole County'
+         |       WHEN 3 THEN 'Jefferson County' WHEN 4 THEN 'Dona Ana County'
+         |       WHEN 5 THEN 'La Porte County' WHEN 6 THEN 'Franklin Parish'
+         |       ELSE 'Orange County' END AS s_county,
+         |  CASE CAST(s_suppkey % 10 AS INT) WHEN 0 THEN 'MS' WHEN 1 THEN 'IN'
+         |       WHEN 2 THEN 'ND' WHEN 3 THEN 'OK' WHEN 4 THEN 'NM'
+         |       WHEN 5 THEN 'VA' WHEN 6 THEN 'TN' WHEN 7 THEN 'TX'
+         |       WHEN 8 THEN 'CA' ELSE 'NY' END AS s_state,
+         |  CAST(s_suppkey % 300 + 50 AS INT) AS s_number_employees,
+         |  lpad(CAST((s_suppkey * 17 + 7) % 100000 AS VARCHAR(5)), 5, '0') AS s_zip
+         |FROM ${ref("supplier")}""".stripMargin
+
+    case "store_sales" =>
+      s"""SELECT l_orderkey AS ss_ticket_number,
+         |  l_suppkey AS ss_store_sk,
+         |  ${saleCols("ss", "", s"(SELECT count(*) FROM ${ref("customer")})")}
+         |FROM ${ref("lineitem")}
+         |WHERE (l_orderkey + l_linenumber) % 3 = 0""".stripMargin
+
+    case "web_sales" =>
+      s"""SELECT l_orderkey AS ws_order_number,
+         |  CAST((l_orderkey * 19 + 7) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS ws_ship_customer_sk,
+         |  ${saleCols("ws", "bill_", s"(SELECT count(*) FROM ${ref("customer")})")}
+         |FROM ${ref("lineitem")}
+         |WHERE (l_orderkey + l_linenumber) % 3 = 1""".stripMargin
+
+    case "catalog_sales" =>
+      s"""SELECT l_orderkey AS cs_order_number,
+         |  CAST((l_orderkey * 19 + 7) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS cs_ship_customer_sk,
+         |  ${saleCols("cs", "bill_", s"(SELECT count(*) FROM ${ref("customer")})")}
+         |FROM ${ref("lineitem")}
+         |WHERE (l_orderkey + l_linenumber) % 3 = 2""".stripMargin
+
+    case "inventory" =>
+      // weekly snapshots over the fixture's first two years — |part|×104
+      // rows, a flatMap over part, never materialized
+      s"""SELECT CAST($epoch + (w.n * 7) * INTERVAL '1' DAY AS DATE) AS inv_date_sk,
+         |  p_partkey AS inv_item_sk,
+         |  CAST(p_partkey % 5 AS INT) AS inv_warehouse_sk,
+         |  CAST((p_partkey * 13 + w.n * 7) % 1000 AS INT) AS inv_quantity_on_hand
+         |FROM ${ref("part")} CROSS JOIN ${series(104, "w")}""".stripMargin
+  }
+
+  /** DuckDB CTE preamble: `tpcds_date_dim AS (…), …` over the driver's
+    * registered fixture tables (identity refs).
+    */
+  def duckCtePreamble: String =
+    tables.map(t => s"tpcds_$t AS (\n${tableSql(t, identity)}\n)")
+      .mkString("WITH ", ",\n", "\n")
+}

@@ -119,6 +119,50 @@ object WriteOps extends QueryGroup {
               |JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1""".stripMargin)
     },
 
+    // PREPARE / EXECUTE … USING / DEALLOCATE (grammar SqlBase.g4:96-104)
+    // — the CLI session workflow: parameters bind positionally into `?`
+    // placeholders; the oracle runs the bound statement directly
+    q("meta_prepare_execute",
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_discount > 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, _) =>
+      s.sql("""PREPARE graft_stmt FROM
+              |SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+              |FROM lineitem
+              |WHERE l_shipdate >= ? AND l_discount > ?
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      val out = s.sql("EXECUTE graft_stmt USING DATE '1996-01-01', 0.05")
+      out.collect() // bind + run before deallocating
+      s.sql("DEALLOCATE PREPARE graft_stmt")
+      out
+    },
+
+    // SET SESSION k = v (SystemSessionProperties.java) → the mapped Spark
+    // conf; unknown properties error by name (ParserSpec). Engine-side
+    // SET output has no DuckDB twin → rows-only gate + spec.
+    qNoOracle("meta_set_session") { (s, _) =>
+      val out = s.sql("SET SESSION hash_partition_count = 32")
+      s.sql("RESET SESSION hash_partition_count").collect()
+      out
+    },
+
+    // CREATE FUNCTION (SqlBase.g4:62-66, SqlInvokedFunction.java): the
+    // reference's SQL-bodied UDFs ≙ Spark's native SQL scalar functions —
+    // declared once, then used like a builtin; oracle inlines the body
+    q("meta_create_function",
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charged
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, _) =>
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_charge(
+              |  price DOUBLE, disc DOUBLE, tax DOUBLE)
+              |RETURNS DOUBLE LANGUAGE SQL DETERMINISTIC
+              |RETURN price * (1 - disc) * (1 + tax)""".stripMargin)
+      s.sql("""SELECT l_returnflag,
+              |  round(sum(graft_charge(l_extendedprice, l_discount, l_tax)), 2) AS charged
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // ANALYZE TABLE + catalog statistics read-back (the reference's
     // StatisticsWriterOperator.java:35 / ANALYZE surface). The stats this
     // writes are what CBO join-reordering consumes on real catalog tables

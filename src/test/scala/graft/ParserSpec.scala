@@ -87,8 +87,10 @@ class ParserSpec extends AnyFunSuite {
   test("Presto DECIMAL literals carry their textual precision/scale") {
     assert(rewrite("SELECT DECIMAL '12.34'") ==
       "SELECT CAST('12.34' AS DECIMAL(4, 2))")
+    // reference Decimals.java:115 — leading integral zeros don't count:
+    // precision = integralPart(0) + scale(3)
     assert(rewrite("SELECT DECIMAL '-0.001'") ==
-      "SELECT CAST('-0.001' AS DECIMAL(4, 3))")
+      "SELECT CAST('-0.001' AS DECIMAL(3, 3))")
     assert(rewrite("SELECT decimal '7'") == "SELECT CAST('7' AS DECIMAL(1, 0))")
     // a DECIMAL(p,s) TYPE spelling is not a literal and stays put
     assert(rewrite("SELECT CAST(x AS DECIMAL(10,2))") ==
@@ -105,5 +107,51 @@ class ParserSpec extends AnyFunSuite {
     // documented textual hazard and stays out of the fixture corpus
     assert(rewrite("SELECT c1 AS x FROM t") == "SELECT c1 AS x FROM t")
     assert(rewrite(q).contains("'a cast as json string'"))
+  }
+
+  test("PREPARE/EXECUTE/DEALLOCATE: session-scoped statements with ? binding") {
+    val s = TestSession.spark
+    assert(s.sql("PREPARE p_spec FROM SELECT ? + ? AS v, 'a?b' AS lit")
+      .collect()(0).getString(0) == "p_spec")
+    val r = s.sql("EXECUTE p_spec USING 2, 40").collect()(0)
+    // ? inside the string literal must NOT bind
+    assert(r.getInt(0) == 42 && r.getString(1) == "a?b")
+    // re-execution with different parameters, same statement
+    assert(s.sql("EXECUTE p_spec USING 1, 1").collect()(0).getInt(0) == 2)
+    // wrong arity errors loudly
+    intercept[Exception](s.sql("EXECUTE p_spec USING 1"))
+    s.sql("DEALLOCATE PREPARE p_spec").collect()
+    intercept[Exception](s.sql("EXECUTE p_spec USING 1, 2"))
+    // Spark's own EXECUTE IMMEDIATE still works through the veneer
+    assert(s.sql("EXECUTE IMMEDIATE 'SELECT 7'").collect()(0).getInt(0) == 7)
+  }
+
+  test("SET SESSION maps known reference properties, errors on unknown ones") {
+    import graft.functions.GraftSqlParser.translateSessionProperty
+    assert(translateSessionProperty("hash_partition_count", "48") ==
+      "SET spark.sql.shuffle.partitions=48")
+    assert(translateSessionProperty("join_distribution_type", "'PARTITIONED'") ==
+      "SET spark.sql.autoBroadcastJoinThreshold=-1")
+    assert(translateSessionProperty("join_reordering_strategy", "'AUTOMATIC'") ==
+      "SET spark.sql.cbo.joinReorder.enabled=true")
+    val e = intercept[IllegalArgumentException](
+      translateSessionProperty("query_max_memory", "'1GB'"))
+    assert(e.getMessage.contains("query_max_memory"))
+    // end-to-end: the statement round-trips through spark.sql and RESET
+    val s = TestSession.spark
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    assert(s.sql("SET SESSION hash_partition_count = 48").collect()(0)
+      .getString(1) == "48")
+    assert(s.conf.get("spark.sql.shuffle.partitions") == "48")
+    s.sql("RESET SESSION hash_partition_count").collect()
+    s.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("CREATE FUNCTION: Presto CALLED ON NULL INPUT clause is absorbed") {
+    val s = TestSession.spark
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION p_double(x INT)
+            |RETURNS INT LANGUAGE SQL DETERMINISTIC CALLED ON NULL INPUT
+            |RETURN x * 2""".stripMargin)
+    assert(s.sql("SELECT p_double(21)").collect()(0).getInt(0) == 42)
   }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TpcdsSynth
+
+/** Scale + semantics pins for the adapted TPC-DS corpus (TpcdsQueries /
+  * TpcdsSynth). Correctness is oracle-gated; these tests pin what the
+  * oracle can't see: that the synthesized views stay free at 100 TB
+  * (pruning through the fact projection, generated dims broadcast, no
+  * cartesian products) and that rollup levels aggregate consistently.
+  */
+class TpcdsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+
+  test("q03: fact-view projection prunes to needed base columns, dims broadcast") {
+    val p = plan("tpcds_q03")
+    // store_sales is a per-row projection over lineitem: a query not
+    // touching returnflag/linestatus/tax must not read them at the scan
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty, s"no parquet scans found:\n$p")
+    val fact = readSchemas.filter(_.contains("l_extendedprice"))
+    assert(fact.nonEmpty, s"no lineitem-backed fact scan:\n$p")
+    fact.foreach { rs =>
+      assert(!rs.contains("l_returnflag") && !rs.contains("l_linestatus")
+        && !rs.contains("l_tax"),
+        s"fact scan reads columns the query never touches: $rs")
+    }
+    // date_dim (2 557 generated rows) and the filtered item slice are
+    // broadcast-sized at ANY data scale — the join must not shuffle the fact
+    assert(p.contains("BroadcastHashJoin"), s"generated dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian in q03")
+  }
+
+  test("q67: 8-level rollup plans without cartesian; rank limits rows") {
+    val p = plan("tpcds_q67")
+    assert(p.contains("Expand"), "rollup should plan via Expand")
+    assert(!p.contains("CartesianProduct"), "no cartesian in q67")
+  }
+
+  test("q10: EXISTS-chain decorrelates to semi joins, no cartesian") {
+    val p = plan("tpcds_q10")
+    assert(!p.contains("CartesianProduct"), s"OR-of-EXISTS must not go cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "existence checks must plan as joins")
+  }
+
+  test("q22: rollup grand-total row equals the ungrouped average") {
+    SparkEntry.queries("tpcds_q22")(spark, TestSession.sf) // registers views
+    // the query itself LIMITs to the 100 lowest qoh rows; check the rollup
+    // machinery directly: its all-NULL grand-total row must equal an
+    // independently computed ungrouped average
+    val base =
+      """FROM tpcds.inventory, tpcds.date_dim, tpcds.item
+        |WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+        |  AND d_month_seq BETWEEN 1200 AND 1211""".stripMargin
+    val expect = spark.sql(s"SELECT avg(inv_quantity_on_hand) $base")
+      .collect().head.getDouble(0)
+    val total = spark.sql(
+      s"""SELECT i_product_name, avg(inv_quantity_on_hand) AS qoh $base
+         |GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+         |""".stripMargin)
+      .where("i_product_name IS NULL").collect()
+    assert(total.length == 1, "rollup must emit exactly one grand-total row")
+    assert(math.abs(total.head.getDouble(1) - expect) < 1e-9,
+      s"grand total ${total.head.getDouble(1)} != independent avg $expect")
+  }
+
+  test("synthesized channels partition lineitem without loss or overlap") {
+    graft.Tables.register(spark, TestSession.sf)
+    graft.operators.TpcdsQueries // ensure object init
+    SparkEntry.queries("tpcds_q38")(spark, TestSession.sf) // registers views
+    val counts = spark.sql(
+      """SELECT (SELECT count(*) FROM tpcds.store_sales)
+        |     + (SELECT count(*) FROM tpcds.web_sales)
+        |     + (SELECT count(*) FROM tpcds.catalog_sales) AS split,
+        |       (SELECT count(*) FROM lineitem) AS total""".stripMargin).collect().head
+    assert(counts.getLong(0) == counts.getLong(1),
+      s"channel slices must partition lineitem: ${counts.getLong(0)} vs ${counts.getLong(1)}")
+  }
+
+  test("date_dim covers the fixture epoch exactly once per day") {
+    SparkEntry.queries("tpcds_q03")(spark, TestSession.sf)
+    val r = spark.sql(
+      """SELECT count(*) AS n, count(DISTINCT d_date_sk) AS d,
+        |       min(d_month_seq) AS lo, max(d_month_seq) AS hi
+        |FROM tpcds.date_dim""".stripMargin).collect().head
+    assert(r.getLong(0) == 2557 && r.getLong(1) == 2557)
+    assert(r.getInt(2) == 1200 && r.getInt(3) == 1283)
+  }
+
+  test("every tpcds query returns rows at the gate scale factors") {
+    // sf0.001 smoke handled by SmokeSpec; here pin that none of the
+    // fixture-tuned predicates silently selects an empty set (q38's
+    // count-only row is asserted non-zero at sf0.01+ via its value in
+    // the oracle gate; at sf0.001 the 3-channel intersect is legitimately 0)
+    val nonEmptyHere = Seq("tpcds_q03", "tpcds_q18", "tpcds_q22",
+      "tpcds_q34", "tpcds_q35", "tpcds_q36", "tpcds_q51", "tpcds_q53",
+      "tpcds_q55", "tpcds_q67", "tpcds_q73")
+    nonEmptyHere.foreach { q =>
+      assert(SparkEntry.queries(q)(spark, TestSession.sf).count() > 0,
+        s"$q returned an empty result at sf0.001 — predicate starved")
+    }
+  }
+
+  test("derivation text is shared verbatim between engine views and oracle CTEs") {
+    // one source, zero drift: the oracle preamble must embed the exact
+    // tableSql text the Spark views are built from
+    TpcdsSynth.tables.foreach { t =>
+      assert(TpcdsSynth.duckCtePreamble.contains(TpcdsSynth.tableSql(t, identity)),
+        s"oracle CTE for $t drifted from the view derivation")
+    }
+  }
+}
