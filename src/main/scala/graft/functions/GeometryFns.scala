@@ -3,12 +3,14 @@ package graft.functions
 /** Pure-Scala geometry subset (reference: presto-geospatial
   * GeoFunctions.java + BingTileFunctions.java). The container has no
   * geometry library, so the engine carries the parts that are pure
-  * arithmetic — WKT POINT/POLYGON (with holes), even-odd containment,
-  * shoelace area/centroid, envelopes, and the complete Bing tile family
-  * (the public Bing Maps tile-system math) — and documents the rest
-  * (linestrings, polygon-polygon set ops, KdbTree partitioning) as out
-  * of scope. Geometries are canonical WKT strings; points interoperate
-  * with SpatialOps' struct points via st_as_text.
+  * arithmetic — WKT POINT/LINESTRING/POLYGON (with holes), even-odd
+  * containment, boundary-inclusive ST_Intersects across the whole
+  * subset, shoelace area/centroid, envelopes, linestring length, and
+  * the complete Bing tile family (the public Bing Maps tile-system
+  * math) — and documents the rest (polygon-polygon set ops like
+  * ST_Union/ST_Intersection, KdbTree partitioning) as out of scope.
+  * Geometries are canonical WKT strings; points interoperate with
+  * SpatialOps' struct points via st_as_text.
   *
   * Scale: every function is a per-row scalar (no driver state, no
   * shuffle); containment joins compose with SpatialOps.distanceJoin-style
@@ -80,12 +82,44 @@ object GeometryFns {
       "(" + r.map(pt => s"${fmt(pt.x)} ${fmt(pt.y)}").mkString(", ") + ")")
       .mkString(", ") + ")"
 
+  /** LINESTRING (x y, x y, …) — an open path, ≥ 2 points. */
+  def parseLineString(wkt: String): Array[GPoint] = {
+    val t = wkt.trim
+    if (!t.toUpperCase.startsWith("LINESTRING")) fail(s"Expected LINESTRING WKT, got: $wkt")
+    val body = t.substring("LINESTRING".length).trim
+    if (!body.startsWith("(") || !body.endsWith(")")) fail(s"Invalid WKT: $wkt")
+    val pts = body.substring(1, body.length - 1).split(",").map(_.trim).map { pair =>
+      val nums = pair.split("\\s+")
+      if (nums.length != 2) fail(s"Invalid WKT coordinate: '$pair'")
+      try GPoint(nums(0).toDouble, nums(1).toDouble)
+      catch { case _: NumberFormatException => fail(s"Invalid WKT coordinate: '$pair'") }
+    }
+    if (pts.length < 2) fail("LineString must have at least 2 points")
+    pts
+  }
+
+  def lineStringWkt(pts: Array[GPoint]): String =
+    "LINESTRING (" + pts.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ") + ")"
+
+  /** Euclidean path length (reference ST_Length for linestrings). */
+  def lineLength(wkt: String): Double = {
+    val pts = parseLineString(wkt)
+    var s = 0.0
+    var i = 0
+    while (i < pts.length - 1) {
+      s += math.hypot(pts(i + 1).x - pts(i).x, pts(i + 1).y - pts(i).y)
+      i += 1
+    }
+    s
+  }
+
   /** Validate + canonicalize any supported WKT. */
   def geometryFromText(wkt: String): String = {
     val up = wkt.trim.toUpperCase
     if (up.startsWith("POLYGON")) polygonWkt(parsePolygon(wkt))
     else if (up.startsWith("POINT")) { val p = parsePoint(wkt); pointWkt(p.x, p.y) }
-    else fail(s"Unsupported WKT geometry (POINT/POLYGON subset): $wkt")
+    else if (up.startsWith("LINESTRING")) lineStringWkt(parseLineString(wkt))
+    else fail(s"Unsupported WKT geometry (POINT/LINESTRING/POLYGON subset): $wkt")
   }
 
   // ── predicates / measures ────────────────────────────────────────────
@@ -115,6 +149,79 @@ object GeometryFns {
   def stContains(polyWkt: String, pointWkt: String): Boolean = {
     val p = parsePoint(pointWkt)
     containsPoint(parsePolygon(polyWkt), p.x, p.y)
+  }
+
+  // ── intersection predicate (reference ST_Intersects,
+  //    GeoFunctions.java:118) ─────────────────────────────────────────────
+
+  private def orient(a: GPoint, b: GPoint, c: GPoint): Double =
+    (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)
+
+  private def onSegment(a: GPoint, b: GPoint, p: GPoint): Boolean =
+    orient(a, b, p) == 0.0 &&
+      p.x >= math.min(a.x, b.x) && p.x <= math.max(a.x, b.x) &&
+      p.y >= math.min(a.y, b.y) && p.y <= math.max(a.y, b.y)
+
+  /** Segment-segment intersection, boundary-inclusive (touching counts —
+    * matching the reference, where ST_Intersects is true for geometries
+    * sharing only boundary points).
+    */
+  private[functions] def segIntersects(a: GPoint, b: GPoint, c: GPoint, d: GPoint): Boolean = {
+    val o1 = orient(a, b, c); val o2 = orient(a, b, d)
+    val o3 = orient(c, d, a); val o4 = orient(c, d, b)
+    if (((o1 > 0) != (o2 > 0)) && ((o3 > 0) != (o4 > 0)) &&
+        o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0) true
+    else onSegment(a, b, c) || onSegment(a, b, d) ||
+      onSegment(c, d, a) || onSegment(c, d, b)
+  }
+
+  /** Parsed geometry as segment paths + an optional polygon for interior
+    * tests: points are 1-point paths, linestrings open paths, polygons
+    * their rings.
+    */
+  private final case class Geom(paths: Seq[Array[GPoint]], poly: Option[Polygon])
+
+  private def parseGeom(wkt: String): Geom = {
+    val up = wkt.trim.toUpperCase
+    if (up.startsWith("POLYGON")) {
+      val p = parsePolygon(wkt); Geom(p.rings, Some(p))
+    } else if (up.startsWith("LINESTRING")) Geom(Seq(parseLineString(wkt)), None)
+    else if (up.startsWith("POINT")) { val p = parsePoint(wkt); Geom(Seq(Array(p)), None) }
+    else fail(s"Unsupported WKT geometry (POINT/LINESTRING/POLYGON subset): $wkt")
+  }
+
+  private def onAnyBoundary(g: Geom, p: GPoint): Boolean =
+    g.paths.exists { path =>
+      if (path.length == 1) path(0) == p
+      else (0 until path.length - 1).exists(i => onSegment(path(i), path(i + 1), p))
+    }
+
+  private def interiorContains(g: Geom, p: GPoint): Boolean =
+    g.poly.exists(containsPoint(_, p.x, p.y))
+
+  /** Boundary-inclusive intersection across the POINT/LINESTRING/POLYGON
+    * subset: any edge pair crossing or touching, or either geometry lying
+    * entirely inside the other. A polygon fully inside another's HOLE
+    * correctly does not intersect (even-odd containment returns false
+    * and no edges cross).
+    */
+  def stIntersects(wktA: String, wktB: String): Boolean = {
+    val ga = parseGeom(wktA); val gb = parseGeom(wktB)
+    // edge/vertex-vs-edge tests
+    val edgeHit = ga.paths.exists { pa =>
+      gb.paths.exists { pb =>
+        if (pa.length == 1 && pb.length == 1) pa(0) == pb(0)
+        else if (pa.length == 1) onAnyBoundary(gb, pa(0))
+        else if (pb.length == 1) onAnyBoundary(ga, pb(0))
+        else (0 until pa.length - 1).exists(i =>
+          (0 until pb.length - 1).exists(j =>
+            segIntersects(pa(i), pa(i + 1), pb(j), pb(j + 1))))
+      }
+    }
+    // containment without edge contact (one inside the other's interior)
+    edgeHit ||
+      gb.paths.headOption.map(_.head).exists(interiorContains(ga, _)) ||
+      ga.paths.headOption.map(_.head).exists(interiorContains(gb, _))
   }
 
   private def ringSignedArea(r: Array[GPoint]): Double = {
@@ -164,6 +271,7 @@ object GeometryFns {
     val up = wkt.trim.toUpperCase
     val pts: Iterator[GPoint] =
       if (up.startsWith("POINT")) Iterator(parsePoint(wkt))
+      else if (up.startsWith("LINESTRING")) parseLineString(wkt).iterator
       else parsePolygon(wkt).rings.iterator.flatten
     var xmin = Double.MaxValue; var xmax = Double.MinValue
     var ymin = Double.MaxValue; var ymax = Double.MinValue
@@ -189,6 +297,7 @@ object GeometryFns {
   def numPoints(wkt: String): Long = {
     val up = wkt.trim.toUpperCase
     if (up.startsWith("POINT")) 1L
+    else if (up.startsWith("LINESTRING")) parseLineString(wkt).length.toLong
     else parsePolygon(wkt).rings.map(_.length - 1).sum.toLong
   }
 

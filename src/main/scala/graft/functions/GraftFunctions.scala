@@ -930,6 +930,11 @@ object GraftFunctions {
     spark.udf.register("st_xmax", (w: String) => GeometryFns.xMax(w))
     spark.udf.register("st_ymax", (w: String) => GeometryFns.yMax(w))
     spark.udf.register("st_num_points", (w: String) => GeometryFns.numPoints(w))
+    spark.udf.register("st_line_from_text",
+      (w: String) => { GeometryFns.parseLineString(w); GeometryFns.geometryFromText(w) })
+    spark.udf.register("st_length", (w: String) => GeometryFns.lineLength(w))
+    spark.udf.register("st_intersects",
+      (a: String, b: String) => GeometryFns.stIntersects(a, b))
     spark.udf.register("bing_tile_at",
       (lat: Double, lon: Double, zoom: Int) => GeometryFns.bingTileAt(lat, lon, zoom))
     spark.udf.register("bing_tile_coordinates",

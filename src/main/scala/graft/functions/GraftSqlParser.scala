@@ -52,7 +52,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     sessionStatement(sqlText, prepared) match {
       case Some(replacement) => delegate.parsePlan(replacement)
-      case None => delegate.parsePlan(rewrite(sqlText))
+      case None =>
+        // EXPLAIN ANALYZE executes the statement and reports per-operator
+        // runtime stats (ExplainAnalyzeOperator.java:34) — a command, not
+        // a textual rewrite, because metrics only exist after execution
+        ExplainAnalyze.findFirstMatchIn(sqlText) match {
+          case Some(m) =>
+            graft.plans.ExplainAnalyzeCommand(rewrite(sqlText.substring(m.end)))
+          case None => delegate.parsePlan(rewrite(sqlText))
+        }
     }
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(rewrite(sqlText))
@@ -214,9 +222,10 @@ object GraftSqlParser {
     * options TYPE LOGICAL/DISTRIBUTED/IO/VALIDATE + FORMAT TEXT/JSON):
     * map TYPE LOGICAL to Spark's EXTENDED (logical plans shown) and every
     * other option set to FORMATTED (the physical/distributed plan).
-    * EXPLAIN ANALYZE renders the plan WITHOUT executing — a documented
-    * approximation (Spark's runtime metrics live in the UI/listener, not
-    * in an EXPLAIN result set).
+    * EXPLAIN ANALYZE is normally intercepted in parsePlan (it executes
+    * and reports runtime metrics — ExplainAnalyzeCommand); the textual
+    * mapping to FORMATTED below remains only as the render-only fallback
+    * for the parseQuery/parseExpression paths.
     */
   private def rewriteExplain(sql: String): String =
     ExplainOpts.findFirstMatchIn(sql) match {

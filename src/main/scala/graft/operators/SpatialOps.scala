@@ -49,11 +49,54 @@ object SpatialOps extends QueryGroup {
       .select(col(leftId), col(rightId), round(col("dist"), 4).as("dist"))
   }
 
+  /** Polygon-polygon intersection join, grid-bucketed — the polygon
+    * analog of [[distanceJoin]] (reference SpatialJoinOperator.java:40
+    * with KdbTree partitioning; grid cells are the planar stand-in).
+    * Each geometry emits every grid cell its ENVELOPE overlaps; two
+    * intersecting geometries always share a bbox point, hence a cell, so
+    * the cell equi-join is a complete candidate generator. Exact
+    * boundary-inclusive ST_Intersects then filters, and duplicate pairs
+    * (one per shared cell) collapse. Cost is Σ|cell|² over occupied
+    * cells — linear for bounded geometry density, never all-pairs.
+    *
+    * Inputs need (id, wkt) columns; `cellSize` should be ≥ the typical
+    * geometry extent so each emits O(1) cells.
+    */
+  def polygonIntersectionJoin(left: DataFrame, right: DataFrame,
+      cellSize: Double, leftId: String, rightId: String): DataFrame = {
+    def cells(df: DataFrame, id: String, wkt: Column): DataFrame = df
+      .withColumn("cx", explode(sequence(
+        floor(callUDF("st_xmin", wkt) / cellSize).cast("long"),
+        floor(callUDF("st_xmax", wkt) / cellSize).cast("long"))))
+      .withColumn("cy", explode(sequence(
+        floor(callUDF("st_ymin", wkt) / cellSize).cast("long"),
+        floor(callUDF("st_ymax", wkt) / cellSize).cast("long"))))
+      .select(col(id), wkt.as(s"${id}_wkt"), col("cx"), col("cy"))
+    cells(left, leftId, col("wkt")).alias("l")
+      .join(cells(right, rightId, col("wkt")).alias("r"), Seq("cx", "cy"))
+      .filter(callUDF("st_intersects",
+        col(s"${leftId}_wkt"), col(s"${rightId}_wkt")))
+      .select(col(leftId), col(rightId))
+      .distinct()
+  }
+
   // deterministic synthetic planar coordinates (the fixture has no geo
   // columns); same arithmetic on both engines so the oracle reproduces it
   private def pts(table: String, id: String, a: Int, b: Int): String =
     s"""SELECT $id, CAST($id * $a % 997 AS DOUBLE) / 10.0 AS x,
        |  CAST($id * $b % 983 AS DOUBLE) / 10.0 AS y FROM $table""".stripMargin
+
+  /** Key-derived axis-aligned rectangles as WKT (engine) — the oracle
+    * reproduces the same rectangles as plain interval arithmetic.
+    */
+  private def rects(src: String, id: String, a: Int, b: Int,
+      wmod: Int, hmod: Int, wbase: Int, hbase: Int, limit: Int): String =
+    s"""SELECT $id, concat('POLYGON ((', x, ' ', y, ', ', x + w, ' ', y, ', ',
+       |    x + w, ' ', y + h, ', ', x, ' ', y + h, ', ', x, ' ', y, '))') AS wkt
+       |FROM (SELECT $id, x, y,
+       |        CAST($wbase + $id % $wmod AS DOUBLE) AS w,
+       |        CAST($hbase + $id % $hmod AS DOUBLE) AS h
+       |      FROM (${pts(src, id, a, b)}) p WHERE $id < $limit) r""".stripMargin
 
   def defs = Seq(
     // grid-bucketed distance join vs the oracle's brute-force cross join
@@ -131,6 +174,31 @@ object SpatialOps extends QueryGroup {
            |  st_envelope(poly) = poly AS env_roundtrip,
            |  CAST(st_num_points(poly) AS INT) AS np
            |FROM w ORDER BY c_custkey""".stripMargin)
+    },
+
+    // polygon ⨝ polygon intersection join (reference
+    // SpatialJoinOperator.java:40 + ST_Intersects GeoFunctions.java:118):
+    // grid-bucketed candidates + exact boundary-inclusive predicate on
+    // the engine; the oracle reproduces rectangle intersection as pure
+    // interval arithmetic (closed intervals ≡ boundary-inclusive
+    // ST_Intersects, so shared edges and touching corners agree)
+    q("spatial_polygon_join",
+      s"""WITH a AS (SELECT c_custkey, x AS ax, y AS ay,
+         |  CAST(3 + c_custkey % 5 AS DOUBLE) AS aw,
+         |  CAST(2 + c_custkey % 7 AS DOUBLE) AS ah
+         |  FROM (${pts("customer", "c_custkey", 37, 91)}) p WHERE c_custkey < 2000),
+         |b AS (SELECT s_suppkey, x AS bx, y AS b_y,
+         |  CAST(4 + s_suppkey % 6 AS DOUBLE) AS bw,
+         |  CAST(3 + s_suppkey % 4 AS DOUBLE) AS bh
+         |  FROM (${pts("supplier", "s_suppkey", 53, 67)}) p WHERE s_suppkey < 2000)
+         |SELECT c_custkey, s_suppkey FROM a, b
+         |WHERE ax <= bx + bw AND bx <= ax + aw
+         |  AND ay <= b_y + bh AND b_y <= ay + ah
+         |ORDER BY c_custkey, s_suppkey""".stripMargin) { (sp, _) =>
+      val a = sp.sql(rects("customer", "c_custkey", 37, 91, 5, 7, 3, 2, 2000))
+      val b = sp.sql(rects("supplier", "s_suppkey", 53, 67, 6, 4, 4, 3, 2000))
+      polygonIntersectionJoin(a, b, 16.0, "c_custkey", "s_suppkey")
+        .orderBy("c_custkey", "s_suppkey")
     },
 
     // Bing tile family (GeometryFns; reference BingTileFunctions.java):

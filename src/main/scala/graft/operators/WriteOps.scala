@@ -119,6 +119,15 @@ object WriteOps extends QueryGroup {
               |JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1""".stripMargin)
     },
 
+    // EXPLAIN ANALYZE (ExplainAnalyzeOperator.java:34): executes, then
+    // reports per-operator runtime row counts — content pinned in
+    // ParserSpec; engine-specific text → rows-only gate
+    qNoOracle("meta_explain_analyze") { (s, _) =>
+      s.sql("""EXPLAIN ANALYZE
+              |SELECT o_orderpriority, count(*) FROM orders
+              |JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1""".stripMargin)
+    },
+
     // PREPARE / EXECUTE … USING / DEALLOCATE (grammar SqlBase.g4:96-104)
     // — the CLI session workflow: parameters bind positionally into `?`
     // placeholders; the oracle runs the bound statement directly

@@ -529,6 +529,45 @@ class FnSpec extends AnyFunSuite {
     }
   }
 
+  test("ST_Intersects: polygon/polygon edges, holes, linestrings") {
+    ready()
+    import graft.functions.GeometryFns.stIntersects
+    val sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    // overlapping / disjoint / contained
+    assert(stIntersects(sq, "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"))
+    assert(!stIntersects(sq, "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))"))
+    assert(stIntersects(sq, "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"), "containment, no edge contact")
+    // shared edge only (boundary-inclusive → true)
+    assert(stIntersects(sq, "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"), "shared edge")
+    // touching corner only → true
+    assert(stIntersects(sq, "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))"), "touching corner")
+    // polygon fully inside the other's HOLE → false
+    val donut = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    assert(!stIntersects(donut, "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"), "inside hole")
+    assert(stIntersects(donut, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"), "crosses hole boundary")
+    // linestrings: crossing, inside, touching endpoint, disjoint
+    assert(stIntersects(sq, "LINESTRING (-5 5, 15 5)"), "line crosses polygon")
+    assert(stIntersects(sq, "LINESTRING (2 2, 8 8)"), "line inside polygon")
+    assert(stIntersects("LINESTRING (0 0, 10 10)", "LINESTRING (0 10, 10 0)"), "lines cross")
+    assert(stIntersects("LINESTRING (0 0, 5 5)", "LINESTRING (5 5, 9 0)"), "lines touch at endpoint")
+    assert(!stIntersects("LINESTRING (0 0, 1 1)", "LINESTRING (2 2, 3 3)"), "collinear disjoint")
+    assert(stIntersects("LINESTRING (0 0, 4 4)", "LINESTRING (2 2, 8 8)"), "collinear overlap")
+    // points
+    assert(stIntersects("POINT (5 5)", sq) && stIntersects(sq, "POINT (10 5)"))
+    assert(!stIntersects("POINT (5 5)", donut), "point in hole")
+    // SQL surface: st_intersects, st_length, st_line_from_text
+    val r = spark.sql(
+      """SELECT st_intersects('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))',
+        |                     'POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))'),
+        |  round(st_length('LINESTRING (0 0, 3 4, 3 10)'), 4),
+        |  st_line_from_text('LINESTRING(0.0 0.0, 1.5 2.0)'),
+        |  st_num_points('LINESTRING (0 0, 1 1, 2 2)')""".stripMargin).collect()(0)
+    assert(r.getBoolean(0), "corner touch via SQL")
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getString(2) == "LINESTRING (0 0, 1.5 2)")
+    assert(r.getLong(3) == 3L)
+  }
+
   test("Bing tiles: known landmark, quadkey roundtrip, polygon inverse") {
     ready()
     import graft.functions.GeometryFns

@@ -71,6 +71,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "signature min-agg must be hash aggregation")
   }
 
+  test("spatial polygon join is a grid equi-join, not a cartesian product") {
+    val p = plan("spatial_polygon_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"polygon join must go through grid cells, not all-pairs:\n$p")
+  }
+
   test("q18: IN-subquery becomes a semi join, not a full join") {
     val p = plan("q18_large_orders")
     assert(p.contains("LeftSemi"), s"IN subquery should plan as semi join:\n$p")
