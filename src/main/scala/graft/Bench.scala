@@ -33,7 +33,11 @@ object Bench {
     // and incremental LSH ingestion against the persisted band index
     // (its first execution builds the index; the measured warm runs are
     // the recurring day-N cost)
-    "q02_min_cost_supplier", "q11_important_stock", "dd_incremental_minhash")
+    "q02_min_cost_supplier", "q11_important_stock", "dd_incremental_minhash",
+    // round-5 ops: the heaviest TPC-DS shapes (8-level rollup + ranked
+    // window; full-join cumulative windows; OR-of-EXISTS chain) and the
+    // grid-bucketed polygon-polygon join
+    "tpcds_q67", "tpcds_q51", "tpcds_q10", "spatial_polygon_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -176,6 +176,14 @@ object GraftSqlParser {
 
   private val CalledOnNull = raw"(?i)\bCALLED\s+ON\s+NULL\s+INPUT\b".r
 
+  // `"col" "alias"` — Presto's no-AS alias where BOTH sides are
+  // double-quoted identifiers. Spark's grammar accepts `"col" AS "alias"`
+  // but not the juxtaposed form even with doubleQuotedIdentifiers on
+  // (the alias-without-AS rule doesn't admit a double-quoted token), so
+  // insert the AS. Same-line adjacency only; identifier contexts are the
+  // only legal reading once double quotes lex as identifiers.
+  private val QuotedAlias = ("\"([^\"\n]+)\"[ \t]+\"([^\"\n]+)\"").r
+
   def rewrite(sql: String): String = {
     // Presto CREATE FUNCTION's CALLED ON NULL INPUT (SqlBase.g4
     // routineCharacteristic) is Spark's (and Presto's) default null
@@ -183,6 +191,8 @@ object GraftSqlParser {
     // NULL INPUT is left to error loudly: silently dropping it would
     // change null propagation.
     var out = CalledOnNull.replaceAllIn(sql, "")
+    out = QuotedAlias.replaceAllIn(out, m =>
+      "\"" + m.group(1) + "\" AS \"" + m.group(2) + "\"")
     out = DateAddDiff.replaceAllIn(out, m =>
       s"timestamp${m.group(1).toLowerCase}(${m.group(2)},")
     // innermost-first so ARRAY[ARRAY[1], ARRAY[2]] converges

@@ -65,15 +65,29 @@ object SpatialOps extends QueryGroup {
   def polygonIntersectionJoin(left: DataFrame, right: DataFrame,
       cellSize: Double, leftId: String, rightId: String): DataFrame = {
     def cells(df: DataFrame, id: String, wkt: Column): DataFrame = df
+      .withColumn("x0", callUDF("st_xmin", wkt))
+      .withColumn("x1", callUDF("st_xmax", wkt))
+      .withColumn("y0", callUDF("st_ymin", wkt))
+      .withColumn("y1", callUDF("st_ymax", wkt))
       .withColumn("cx", explode(sequence(
-        floor(callUDF("st_xmin", wkt) / cellSize).cast("long"),
-        floor(callUDF("st_xmax", wkt) / cellSize).cast("long"))))
+        floor(col("x0") / cellSize).cast("long"),
+        floor(col("x1") / cellSize).cast("long"))))
       .withColumn("cy", explode(sequence(
-        floor(callUDF("st_ymin", wkt) / cellSize).cast("long"),
-        floor(callUDF("st_ymax", wkt) / cellSize).cast("long"))))
-      .select(col(id), wkt.as(s"${id}_wkt"), col("cx"), col("cy"))
+        floor(col("y0") / cellSize).cast("long"),
+        floor(col("y1") / cellSize).cast("long"))))
+      .select(col(id), wkt.as(s"${id}_wkt"), col("cx"), col("cy"),
+        col("x0").as(s"${id}_x0"), col("x1").as(s"${id}_x1"),
+        col("y0").as(s"${id}_y0"), col("y1").as(s"${id}_y1"))
+    // cheap numeric bbox overlap first — candidate cells overgenerate
+    // ~30× for dense data, and every survivor of this filter skips two
+    // WKT parses unless its ENVELOPES truly overlap; only then the exact
+    // boundary-inclusive predicate runs
     cells(left, leftId, col("wkt")).alias("l")
       .join(cells(right, rightId, col("wkt")).alias("r"), Seq("cx", "cy"))
+      .filter(col(s"${leftId}_x0") <= col(s"${rightId}_x1") &&
+        col(s"${rightId}_x0") <= col(s"${leftId}_x1") &&
+        col(s"${leftId}_y0") <= col(s"${rightId}_y1") &&
+        col(s"${rightId}_y0") <= col(s"${leftId}_y1"))
       .filter(callUDF("st_intersects",
         col(s"${leftId}_wkt"), col(s"${rightId}_wkt")))
       .select(col(leftId), col(rightId))

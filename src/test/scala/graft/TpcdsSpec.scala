@@ -108,6 +108,20 @@ class TpcdsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedded benchto TPC-DS texts are byte-identical to the reference") {
+    import graft.operators.BenchtoTpcdsTexts
+    val refDir = new java.io.File(
+      "/root/reference/presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds")
+    assume(refDir.isDirectory, "reference corpus not present in this environment")
+    Seq("q03" -> BenchtoTpcdsTexts.q03, "q38" -> BenchtoTpcdsTexts.q38,
+      "q42" -> BenchtoTpcdsTexts.q42, "q55" -> BenchtoTpcdsTexts.q55,
+      "q87" -> BenchtoTpcdsTexts.q87).foreach { case (name, embedded) =>
+      val ref = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(refDir, s"$name.sql").toPath))
+      assert(embedded == ref, s"$name drifted from the reference text")
+    }
+  }
+
   test("derivation text is shared verbatim between engine views and oracle CTEs") {
     // one source, zero drift: the oracle preamble must embed the exact
     // tableSql text the Spark views are built from
