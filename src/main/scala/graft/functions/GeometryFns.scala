@@ -116,7 +116,8 @@ object GeometryFns {
   /** Validate + canonicalize any supported WKT. */
   def geometryFromText(wkt: String): String = {
     val up = wkt.trim.toUpperCase
-    if (up.startsWith("POLYGON")) polygonWkt(parsePolygon(wkt))
+    if (up == "POLYGON EMPTY") "POLYGON EMPTY"
+    else if (up.startsWith("POLYGON")) polygonWkt(parsePolygon(wkt))
     else if (up.startsWith("POINT")) { val p = parsePoint(wkt); pointWkt(p.x, p.y) }
     else if (up.startsWith("LINESTRING")) lineStringWkt(parseLineString(wkt))
     else fail(s"Unsupported WKT geometry (POINT/LINESTRING/POLYGON subset): $wkt")
@@ -224,6 +225,69 @@ object GeometryFns {
       ga.paths.headOption.map(_.head).exists(interiorContains(gb, _))
   }
 
+  // ── intersection construction (reference ST_Intersection,
+  //    GeoFunctions.java — declared convex-clip subset) ─────────────────
+
+  /** Sutherland–Hodgman clipping (Sutherland & Hodgman, CACM 1974):
+    * clips an arbitrary simple subject polygon against a CONVEX clip
+    * polygon. The convex-clip restriction is declared — it covers the
+    * dominant uses (envelopes, tiles, convex cells); general
+    * concave-vs-concave set ops stay out of scope.
+    */
+  def stIntersection(wktA: String, wktB: String): String = {
+    val pa = parsePolygon(wktA); val pb = parsePolygon(wktB)
+    if (pa.rings.length > 1 || pb.rings.length > 1)
+      fail("st_intersection supports polygons without holes")
+    // pick the convex ring as the clip window; subject may be concave
+    val (subject, clip) =
+      if (isConvex(pb.rings.head)) (pa.rings.head, pb.rings.head)
+      else if (isConvex(pa.rings.head)) (pb.rings.head, pa.rings.head)
+      else fail("st_intersection requires at least one CONVEX polygon (declared subset)")
+    var out = subject.dropRight(1).toIndexedSeq // open vertex list
+    val ccwClip = if (ringSignedArea(clip) < 0) clip.reverse else clip
+    var e = 0
+    while (e < ccwClip.length - 1 && out.nonEmpty) {
+      val a = ccwClip(e); val b = ccwClip(e + 1)
+      def inside(p: GPoint): Boolean = orient(a, b, p) >= 0
+      def cross(p: GPoint, q: GPoint): GPoint = {
+        // intersection of segment p-q with the infinite edge line a-b
+        val t = ((a.x - p.x) * (b.y - a.y) - (a.y - p.y) * (b.x - a.x)) /
+          ((q.x - p.x) * (b.y - a.y) - (q.y - p.y) * (b.x - a.x))
+        GPoint(p.x + t * (q.x - p.x), p.y + t * (q.y - p.y))
+      }
+      val in = out
+      val next = scala.collection.mutable.ArrayBuffer.empty[GPoint]
+      var i = 0
+      while (i < in.length) {
+        val cur = in(i); val prev = in((i + in.length - 1) % in.length)
+        if (inside(cur)) {
+          if (!inside(prev)) next += cross(prev, cur)
+          next += cur
+        } else if (inside(prev)) next += cross(prev, cur)
+        i += 1
+      }
+      out = next.distinct.toIndexedSeq
+      e += 1
+    }
+    if (out.length < 3) "POLYGON EMPTY"
+    else polygonWkt(Polygon(Seq((out :+ out.head).toArray)))
+  }
+
+  private[functions] def isConvex(ring: Array[GPoint]): Boolean = {
+    val n = ring.length - 1 // closed ring: last == first
+    var sign = 0
+    var i = 0
+    while (i < n) {
+      val o = orient(ring(i), ring((i + 1) % n), ring((i + 2) % n))
+      if (o != 0) {
+        val s = if (o > 0) 1 else -1
+        if (sign == 0) sign = s else if (sign != s) return false
+      }
+      i += 1
+    }
+    true
+  }
+
   private def ringSignedArea(r: Array[GPoint]): Double = {
     var s = 0.0
     var i = 0
@@ -236,6 +300,7 @@ object GeometryFns {
 
   /** Shell area minus hole areas (orientation-insensitive). */
   def area(wkt: String): Double = {
+    if (wkt.trim.equalsIgnoreCase("POLYGON EMPTY")) return 0.0
     val p = parsePolygon(wkt)
     val shell = math.abs(ringSignedArea(p.rings.head))
     shell - p.rings.tail.map(r => math.abs(ringSignedArea(r))).sum

@@ -935,6 +935,8 @@ object GraftFunctions {
     spark.udf.register("st_length", (w: String) => GeometryFns.lineLength(w))
     spark.udf.register("st_intersects",
       (a: String, b: String) => GeometryFns.stIntersects(a, b))
+    spark.udf.register("st_intersection",
+      (a: String, b: String) => GeometryFns.stIntersection(a, b))
     spark.udf.register("bing_tile_at",
       (lat: Double, lon: Double, zoom: Int) => GeometryFns.bingTileAt(lat, lon, zoom))
     spark.udf.register("bing_tile_coordinates",

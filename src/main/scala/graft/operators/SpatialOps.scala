@@ -215,6 +215,39 @@ object SpatialOps extends QueryGroup {
         .orderBy("c_custkey", "s_suppkey")
     },
 
+    // ST_Intersection (convex-clip subset, Sutherland–Hodgman): the
+    // engine CONSTRUCTS each overlap polygon and measures it; the
+    // oracle reproduces the area as closed-form interval arithmetic.
+    // Widths/heights are exact 1-decimal values so the 4dp rounding has
+    // no tie exposure.
+    q("spatial_intersection",
+      s"""WITH a AS (SELECT c_custkey, x AS ax, y AS ay,
+         |  CAST(3 + c_custkey % 5 AS DOUBLE) AS aw,
+         |  CAST(2 + c_custkey % 7 AS DOUBLE) AS ah
+         |  FROM (${pts("customer", "c_custkey", 37, 91)}) p WHERE c_custkey < 300),
+         |b AS (SELECT s_suppkey, x AS bx, y AS b_y,
+         |  CAST(4 + s_suppkey % 6 AS DOUBLE) AS bw,
+         |  CAST(3 + s_suppkey % 4 AS DOUBLE) AS bh
+         |  FROM (${pts("supplier", "s_suppkey", 53, 67)}) p WHERE s_suppkey < 300)
+         |SELECT c_custkey, s_suppkey,
+         |  round((least(ax + aw, bx + bw) - greatest(ax, bx))
+         |      * (least(ay + ah, b_y + bh) - greatest(ay, b_y)), 4) AS overlap
+         |FROM a, b
+         |WHERE least(ax + aw, bx + bw) > greatest(ax, bx)
+         |  AND least(ay + ah, b_y + bh) > greatest(ay, b_y)
+         |ORDER BY c_custkey, s_suppkey""".stripMargin) { (sp, _) =>
+      sp.sql(
+        s"""WITH a AS (SELECT c_custkey, wkt AS wa
+           |  FROM (${rects("customer", "c_custkey", 37, 91, 5, 7, 3, 2, 300)})),
+           |b AS (SELECT s_suppkey, wkt AS wb
+           |  FROM (${rects("supplier", "s_suppkey", 53, 67, 6, 4, 4, 3, 300)}))
+           |SELECT c_custkey, s_suppkey,
+           |  round(st_area(st_intersection(wa, wb)), 4) AS overlap
+           |FROM a, b
+           |WHERE st_area(st_intersection(wa, wb)) > 1e-9
+           |ORDER BY c_custkey, s_suppkey""".stripMargin)
+    },
+
     // Bing tile family (GeometryFns; reference BingTileFunctions.java):
     // tile x/y from the public tile-system arithmetic, reproduced by the
     // oracle in plain SQL; quadkey roundtrip + neighborhood as booleans

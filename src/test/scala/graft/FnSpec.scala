@@ -555,6 +555,22 @@ class FnSpec extends AnyFunSuite {
     // points
     assert(stIntersects("POINT (5 5)", sq) && stIntersects(sq, "POINT (10 5)"))
     assert(!stIntersects("POINT (5 5)", donut), "point in hole")
+    // ST_Intersection (Sutherland–Hodgman, convex clip)
+    import graft.functions.GeometryFns.{area, stIntersection}
+    assert(area(stIntersection(sq, "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")) == 25.0)
+    assert(stIntersection(sq, "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))") == "POLYGON EMPTY")
+    // contained polygon comes back whole
+    assert(area(stIntersection(sq, "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")) == 4.0)
+    // concave SUBJECT against convex clip: the notch must stay out
+    val ell2 = "POLYGON ((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0))"
+    assert(area(stIntersection(ell2, "POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))")) ==
+      (6.0 * 2 + 2.0 * 4), "L-shape clipped by square keeps only the L area")
+    // triangle clip (non-rectangular convex window): x+y <= 12 shaves the
+    // square's far corner (legs 8) -> 100 - 8*8/2
+    assert(area(stIntersection(sq, "POLYGON ((0 0, 12 0, 0 12, 0 0))")) == 68.0)
+    // two concave inputs are a declared error, as are holes
+    intercept[Exception](stIntersection(ell2, ell2))
+    intercept[Exception](stIntersection(donut, sq))
     // SQL surface: st_intersects, st_length, st_line_from_text
     val r = spark.sql(
       """SELECT st_intersects('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))',
