@@ -149,4 +149,441 @@ FROM
    ) )  cool_cust
 """
 
+
+  val q01: String = """WITH
+  customer_total_return AS (
+   SELECT
+     "sr_customer_sk" "ctr_customer_sk"
+   , "sr_store_sk" "ctr_store_sk"
+   , "sum"("sr_return_amt") "ctr_total_return"
+   FROM
+     ${database}.${schema}.store_returns
+   , ${database}.${schema}.date_dim
+   WHERE ("sr_returned_date_sk" = "d_date_sk")
+      AND ("d_year" = 2000)
+   GROUP BY "sr_customer_sk", "sr_store_sk"
+) 
+SELECT "c_customer_id"
+FROM
+  customer_total_return ctr1
+, ${database}.${schema}.store
+, ${database}.${schema}.customer
+WHERE ("ctr1"."ctr_total_return" > (
+      SELECT ("avg"("ctr_total_return") * DECIMAL '1.2')
+      FROM
+        customer_total_return ctr2
+      WHERE ("ctr1"."ctr_store_sk" = "ctr2"."ctr_store_sk")
+   ))
+   AND ("s_store_sk" = "ctr1"."ctr_store_sk")
+   AND ("s_state" = 'TN')
+   AND ("ctr1"."ctr_customer_sk" = "c_customer_sk")
+ORDER BY "c_customer_id" ASC
+LIMIT 100
+"""
+
+  val q07: String = """SELECT
+  "i_item_id"
+, "avg"("ss_quantity") "agg1"
+, "avg"("ss_list_price") "agg2"
+, "avg"("ss_coupon_amt") "agg3"
+, "avg"("ss_sales_price") "agg4"
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.customer_demographics
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.item
+, ${database}.${schema}.promotion
+WHERE ("ss_sold_date_sk" = "d_date_sk")
+   AND ("ss_item_sk" = "i_item_sk")
+   AND ("ss_cdemo_sk" = "cd_demo_sk")
+   AND ("ss_promo_sk" = "p_promo_sk")
+   AND ("cd_gender" = 'M')
+   AND ("cd_marital_status" = 'S')
+   AND ("cd_education_status" = 'College')
+   AND (("p_channel_email" = 'N')
+      OR ("p_channel_event" = 'N'))
+   AND ("d_year" = 2000)
+GROUP BY "i_item_id"
+ORDER BY "i_item_id" ASC
+LIMIT 100
+"""
+
+  val q28: String = """SELECT *
+FROM
+  (
+   SELECT
+     "avg"("ss_list_price") "b1_lp"
+   , "count"("ss_list_price") "b1_cnt"
+   , "count"(DISTINCT "ss_list_price") "b1_cntd"
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 0 AND 5)
+      AND (("ss_list_price" BETWEEN 8 AND (8 + 10))
+         OR ("ss_coupon_amt" BETWEEN 459 AND (459 + 1000))
+         OR ("ss_wholesale_cost" BETWEEN 57 AND (57 + 20)))
+)  b1
+, (
+   SELECT
+     "avg"("ss_list_price") "b2_lp"
+   , "count"("ss_list_price") "b2_cnt"
+   , "count"(DISTINCT "ss_list_price") "b2_cntd"
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 6 AND 10)
+      AND (("ss_list_price" BETWEEN 90 AND (90 + 10))
+         OR ("ss_coupon_amt" BETWEEN 2323 AND (2323 + 1000))
+         OR ("ss_wholesale_cost" BETWEEN 31 AND (31 + 20)))
+)  b2
+, (
+   SELECT
+     "avg"("ss_list_price") "b3_lp"
+   , "count"("ss_list_price") "b3_cnt"
+   , "count"(DISTINCT "ss_list_price") "b3_cntd"
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 11 AND 15)
+      AND (("ss_list_price" BETWEEN 142 AND (142 + 10))
+         OR ("ss_coupon_amt" BETWEEN 12214 AND (12214 + 1000))
+         OR ("ss_wholesale_cost" BETWEEN 79 AND (79 + 20)))
+)  b3
+, (
+   SELECT
+     "avg"("ss_list_price") "b4_lp"
+   , "count"("ss_list_price") "b4_cnt"
+   , "count"(DISTINCT "ss_list_price") "b4_cntd"
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 16 AND 20)
+      AND (("ss_list_price" BETWEEN 135 AND (135 + 10))
+         OR ("ss_coupon_amt" BETWEEN 6071 AND (6071 + 1000))
+         OR ("ss_wholesale_cost" BETWEEN 38 AND (38 + 20)))
+)  b4
+, (
+   SELECT
+     "avg"("ss_list_price") "b5_lp"
+   , "count"("ss_list_price") "b5_cnt"
+   , "count"(DISTINCT "ss_list_price") "b5_cntd"
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 21 AND 25)
+      AND (("ss_list_price" BETWEEN 122 AND (122 + 10))
+         OR ("ss_coupon_amt" BETWEEN 836 AND (836 + 1000))
+         OR ("ss_wholesale_cost" BETWEEN 17 AND (17 + 20)))
+)  b5
+, (
+   SELECT
+     "avg"("ss_list_price") "b6_lp"
+   , "count"("ss_list_price") "b6_cnt"
+   , "count"(DISTINCT "ss_list_price") "b6_cntd"
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 26 AND 30)
+      AND (("ss_list_price" BETWEEN 154 AND (154 + 10))
+         OR ("ss_coupon_amt" BETWEEN 7326 AND (7326 + 1000))
+         OR ("ss_wholesale_cost" BETWEEN 7 AND (7 + 20)))
+)  b6
+LIMIT 100
+"""
+
+  val q43: String = """SELECT
+  "s_store_name"
+, "s_store_id"
+, "sum"((CASE WHEN ("d_day_name" = 'Sunday') THEN "ss_sales_price" ELSE null END)) "sun_sales"
+, "sum"((CASE WHEN ("d_day_name" = 'Monday') THEN "ss_sales_price" ELSE null END)) "mon_sales"
+, "sum"((CASE WHEN ("d_day_name" = 'Tuesday') THEN "ss_sales_price" ELSE null END)) "tue_sales"
+, "sum"((CASE WHEN ("d_day_name" = 'Wednesday') THEN "ss_sales_price" ELSE null END)) "wed_sales"
+, "sum"((CASE WHEN ("d_day_name" = 'Thursday') THEN "ss_sales_price" ELSE null END)) "thu_sales"
+, "sum"((CASE WHEN ("d_day_name" = 'Friday') THEN "ss_sales_price" ELSE null END)) "fri_sales"
+, "sum"((CASE WHEN ("d_day_name" = 'Saturday') THEN "ss_sales_price" ELSE null END)) "sat_sales"
+FROM
+  ${database}.${schema}.date_dim
+, ${database}.${schema}.store_sales
+, ${database}.${schema}.store
+WHERE ("d_date_sk" = "ss_sold_date_sk")
+   AND ("s_store_sk" = "ss_store_sk")
+   AND ("s_gmt_offset" = -5)
+   AND ("d_year" = 2000)
+GROUP BY "s_store_name", "s_store_id"
+ORDER BY "s_store_name" ASC, "s_store_id" ASC, "sun_sales" ASC, "mon_sales" ASC, "tue_sales" ASC, "wed_sales" ASC, "thu_sales" ASC, "fri_sales" ASC, "sat_sales" ASC
+LIMIT 100
+"""
+
+  val q52: String = """SELECT
+  "dt"."d_year"
+, "item"."i_brand_id" "brand_id"
+, "item"."i_brand" "brand"
+, "sum"("ss_ext_sales_price") "ext_price"
+FROM
+  ${database}.${schema}.date_dim dt
+, ${database}.${schema}.store_sales
+, ${database}.${schema}.item
+WHERE ("dt"."d_date_sk" = "store_sales"."ss_sold_date_sk")
+   AND ("store_sales"."ss_item_sk" = "item"."i_item_sk")
+   AND ("item"."i_manager_id" = 1)
+   AND ("dt"."d_moy" = 11)
+   AND ("dt"."d_year" = 2000)
+GROUP BY "dt"."d_year", "item"."i_brand", "item"."i_brand_id"
+ORDER BY "dt"."d_year" ASC, "ext_price" DESC, "brand_id" ASC
+LIMIT 100
+"""
+
+  val q79: String = """SELECT
+  "c_last_name"
+, "c_first_name"
+, "substr"("s_city", 1, 30)
+, "ss_ticket_number"
+, "amt"
+, "profit"
+FROM
+  (
+   SELECT
+     "ss_ticket_number"
+   , "ss_customer_sk"
+   , "store"."s_city"
+   , "sum"("ss_coupon_amt") "amt"
+   , "sum"("ss_net_profit") "profit"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   , ${database}.${schema}.household_demographics
+   WHERE ("store_sales"."ss_sold_date_sk" = "date_dim"."d_date_sk")
+      AND ("store_sales"."ss_store_sk" = "store"."s_store_sk")
+      AND ("store_sales"."ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND (("household_demographics"."hd_dep_count" = 6)
+         OR ("household_demographics"."hd_vehicle_count" > 2))
+      AND ("date_dim"."d_dow" = 1)
+      AND ("date_dim"."d_year" IN (1999   , (1999 + 1)   , (1999 + 2)))
+      AND ("store"."s_number_employees" BETWEEN 200 AND 295)
+   GROUP BY "ss_ticket_number", "ss_customer_sk", "ss_addr_sk", "store"."s_city"
+)  ms
+, ${database}.${schema}.customer
+WHERE ("ss_customer_sk" = "c_customer_sk")
+ORDER BY "c_last_name" ASC, "c_first_name" ASC, "substr"("s_city", 1, 30) ASC, "profit" ASC
+LIMIT 100
+"""
+
+  val q88: String = """SELECT *
+FROM
+  (
+   SELECT "count"(*) "h8_30_to_9"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.household_demographics
+   , ${database}.${schema}.time_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 8)
+      AND ("time_dim"."t_minute" >= 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s1
+, (
+   SELECT "count"(*) "h9_to_9_30"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.household_demographics
+   , ${database}.${schema}.time_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 9)
+      AND ("time_dim"."t_minute" < 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s2
+, (
+   SELECT "count"(*) "h9_30_to_10"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.household_demographics
+   , ${database}.${schema}.time_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 9)
+      AND ("time_dim"."t_minute" >= 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s3
+, (
+   SELECT "count"(*) "h10_to_10_30"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.household_demographics
+   , ${database}.${schema}.time_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 10)
+      AND ("time_dim"."t_minute" < 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s4
+, (
+   SELECT "count"(*) "h10_30_to_11"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.household_demographics
+   , ${database}.${schema}.time_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 10)
+      AND ("time_dim"."t_minute" >= 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s5
+, (
+   SELECT "count"(*) "h11_to_11_30"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.household_demographics
+   , ${database}.${schema}.time_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 11)
+      AND ("time_dim"."t_minute" < 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s6
+, (
+   SELECT "count"(*) "h11_30_to_12"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.household_demographics
+   , ${database}.${schema}.time_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 11)
+      AND ("time_dim"."t_minute" >= 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s7
+, (
+   SELECT "count"(*) "h12_to_12_30"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.household_demographics
+   , ${database}.${schema}.time_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 12)
+      AND ("time_dim"."t_minute" < 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s8
+"""
+
+  val q93: String = """SELECT
+  "ss_customer_sk"
+, "sum"("act_sales") "sumsales"
+FROM
+  (
+   SELECT
+     "ss_item_sk"
+   , "ss_ticket_number"
+   , "ss_customer_sk"
+   , (CASE WHEN ("sr_return_quantity" IS NOT NULL) THEN (("ss_quantity" - "sr_return_quantity") * "ss_sales_price") ELSE ("ss_quantity" * "ss_sales_price") END) "act_sales"
+   FROM
+     (${database}.${schema}.store_sales
+   LEFT JOIN ${database}.${schema}.store_returns ON ("sr_item_sk" = "ss_item_sk")
+      AND ("sr_ticket_number" = "ss_ticket_number"))
+   , ${database}.${schema}.reason
+   WHERE ("sr_reason_sk" = "r_reason_sk")
+      AND ("r_reason_desc" = 'reason 28')
+)  t
+GROUP BY "ss_customer_sk"
+ORDER BY "sumsales" ASC, "ss_customer_sk" ASC
+LIMIT 100
+"""
+
+  val q96: String = """SELECT "count"(*)
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.household_demographics
+, ${database}.${schema}.time_dim
+, ${database}.${schema}.store
+WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+   AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+   AND ("ss_store_sk" = "s_store_sk")
+   AND ("time_dim"."t_hour" = 20)
+   AND ("time_dim"."t_minute" >= 30)
+   AND ("household_demographics"."hd_dep_count" = 7)
+   AND ("store"."s_store_name" = 'ese')
+ORDER BY "count"(*) ASC
+LIMIT 100
+"""
+
+  val q98: String = """SELECT
+  "i_item_id"
+, "i_item_desc"
+, "i_category"
+, "i_class"
+, "i_current_price"
+, "sum"("ss_ext_sales_price") "${database}.${schema}.itemrevenue"
+, (("sum"("ss_ext_sales_price") * 100) / "sum"("sum"("ss_ext_sales_price")) OVER (PARTITION BY "i_class")) "revenueratio"
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.item
+, ${database}.${schema}.date_dim
+WHERE ("ss_item_sk" = "i_item_sk")
+   AND ("i_category" IN ('Sports', 'Books', 'Home'))
+   AND ("ss_sold_date_sk" = "d_date_sk")
+   AND (CAST("d_date" AS DATE) BETWEEN CAST('1999-02-22' AS DATE) AND (CAST('1999-02-22' AS DATE) + INTERVAL  '30' DAY))
+GROUP BY "i_item_id", "i_item_desc", "i_category", "i_class", "i_current_price"
+ORDER BY "i_category" ASC, "i_class" ASC, "i_item_id" ASC, "i_item_desc" ASC, "revenueratio" ASC
+"""
 }

@@ -21,9 +21,12 @@ package graft.operators
   *    shopper).
   *  - part → item, customer → customer (+ a 1:1 customer_address),
   *    supplier → store.
-  *  - date_dim / customer_demographics / household_demographics /
-  *    inventory are generated from inline digit-table series (no fixture
-  *    input; identical row sets on both engines).
+  *  - the l_returnflag = 'R' sub-slice of the store channel becomes
+  *    store_returns (same key derivations, so returns join their sales);
+  *  - date_dim / time_dim / customer_demographics /
+  *    household_demographics / promotion / reason / inventory are
+  *    generated from inline digit-table series (no fixture input;
+  *    identical row sets on both engines).
   *
   * Surrogate-key note: `d_date_sk` (and the fact tables' `*_sold_date_sk`
   * / `inv_date_sk`) are DATE-typed rather than the spec's julian INT —
@@ -33,16 +36,17 @@ package graft.operators
   *
   * Scale note: every derivation is a stateless projection (codegen'd, no
   * shuffle); the generated dimensions are tiny (date_dim 2 557 rows,
-  * demographics 720, inventory |part|×104) and broadcast at any SF, so
-  * the views add nothing to the 100 TB scan cost.
+  * time_dim 86 400, demographics 720, promotion 300, reason 35,
+  * inventory |part|×104) and broadcast at any SF, so the views add
+  * nothing to the 100 TB scan cost.
   */
 object TpcdsSynth {
 
   /** Tables the adapted corpus references (generated dims first). */
   val tables: Seq[String] = Seq(
-    "date_dim", "customer_demographics", "household_demographics",
-    "item", "customer", "customer_address", "store",
-    "store_sales", "web_sales", "catalog_sales", "inventory")
+    "date_dim", "time_dim", "customer_demographics", "household_demographics",
+    "item", "customer", "customer_address", "store", "promotion", "reason",
+    "store_sales", "web_sales", "catalog_sales", "store_returns", "inventory")
 
   private def digits(alias: String): String =
     "(SELECT 0 AS n UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL " +
@@ -84,11 +88,15 @@ object TpcdsSynth {
     * (= l_extendedprice in cents) is exact: the parquet double is a
     * 2-decimal value, so round(x*100) snaps to the true integer.
     */
+  private val cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+  private val qty = "CAST(l_quantity AS BIGINT)"
+  private def money(cexpr: String) =
+    s"CAST(CAST($cexpr AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2))"
+
   private def saleCols(p: String, buyer: String, custCount: String): String = {
-    val cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
-    val qty = "CAST(l_quantity AS BIGINT)"
-    def money(cexpr: String) = s"CAST(CAST($cexpr AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2))"
     s"""CAST(l_shipdate AS DATE) AS ${p}_sold_date_sk,
+       |  CAST((l_orderkey * 7919 + l_linenumber * 10007) % 86400 AS BIGINT) AS ${p}_sold_time_sk,
+       |  CAST((l_orderkey * 13 + l_linenumber * 3) % 300 AS BIGINT) AS ${p}_promo_sk,
        |  l_partkey AS ${p}_item_sk,
        |  CAST((l_orderkey * 7 + 3) % $custCount AS BIGINT) AS ${p}_${buyer}customer_sk,
        |  CAST((l_orderkey * 13 + l_linenumber * 7) % 720 AS BIGINT) AS ${p}_${buyer}cdemo_sk,
@@ -117,9 +125,27 @@ object TpcdsSynth {
          |  CAST(EXTRACT(DAY FROM d_date) AS INT) AS d_dom,
          |  CAST(EXTRACT(QUARTER FROM d_date) AS INT) AS d_qoy,
          |  1200 + (CAST(EXTRACT(YEAR FROM d_date) AS INT) - 1995) * 12
-         |       + CAST(EXTRACT(MONTH FROM d_date) AS INT) - 1 AS d_month_seq
-         |FROM (SELECT CAST($epoch + s.n * INTERVAL '1' DAY AS DATE) AS d_date
+         |       + CAST(EXTRACT(MONTH FROM d_date) AS INT) - 1 AS d_month_seq,
+         |  CAST(n % 7 AS INT) AS d_dow,
+         |  CASE CAST(n % 7 AS INT) WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
+         |       WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday'
+         |       WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
+         |       ELSE 'Saturday' END AS d_day_name,
+         |  CAST(FLOOR(n / 7.0) AS INT) + 5270 AS d_week_seq
+         |FROM (SELECT s.n AS n, CAST($epoch + s.n * INTERVAL '1' DAY AS DATE) AS d_date
          |      FROM ${series(days, "s")}) dd""".stripMargin
+
+    // the epoch 1995-01-01 is a Sunday, so d_dow = n % 7 with the TPC-DS
+    // convention (0 = Sunday) needs no engine day-of-week function — the
+    // portable spelling both engines evaluate identically
+    case "time_dim" =>
+      s"""SELECT CAST(s.n AS BIGINT) AS t_time_sk,
+         |  CAST(s.n AS INT) AS t_time,
+         |  CAST(FLOOR(s.n / 3600.0) AS INT) AS t_hour,
+         |  CAST(FLOOR((s.n % 3600) / 60.0) AS INT) AS t_minute,
+         |  CAST(s.n % 60 AS INT) AS t_second,
+         |  CASE WHEN s.n < 43200 THEN 'AM' ELSE 'PM' END AS t_am_pm
+         |FROM ${series(86400, "s")}""".stripMargin
 
     case "customer_demographics" =>
       s"""SELECT CAST(s.n AS BIGINT) AS cd_demo_sk,
@@ -166,8 +192,11 @@ object TpcdsSynth {
          |       ELSE 'Men' END AS i_category,
          |  CAST(p_partkey % 6 + 1 AS INT) AS i_category_id,
          |  CAST(p_partkey % 50 AS INT) AS i_manufact_id,
+         |  'Manufact#' || CAST(p_partkey % 50 AS VARCHAR(2)) AS i_manufact,
          |  CAST(p_partkey % 8 AS INT) AS i_manager_id,
-         |  p_retailprice AS i_current_price
+         |  p_retailprice AS i_current_price,
+         |  CAST(CAST((CAST(round(p_retailprice * 100) AS BIGINT) * 13 + 17) % 60000 + 50 AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS i_wholesale_cost,
+         |  p_name || ' #' || CAST(p_partkey AS VARCHAR(10)) AS i_item_desc
          |FROM ${ref("part")}""".stripMargin
 
     case "customer" =>
@@ -204,10 +233,16 @@ object TpcdsSynth {
          |  CAST(-5 - c_custkey % 3 AS INT) AS ca_gmt_offset
          |FROM ${ref("customer")}""".stripMargin
 
+    // store names use the TPC-DS digit-word domain ('ese' = 3) so the
+    // reference's verbatim s_store_name = 'ese' predicates (q88/q96)
+    // select a real 10% slice instead of an empty set
     case "store" =>
       s"""SELECT s_suppkey AS s_store_sk,
          |  'S' || lpad(CAST(s_suppkey AS VARCHAR(10)), 9, '0') AS s_store_id,
-         |  'Store' || CAST(s_suppkey % 10 AS VARCHAR(2)) AS s_store_name,
+         |  CASE CAST(s_suppkey % 10 AS INT) WHEN 0 THEN 'ought'
+         |       WHEN 1 THEN 'able' WHEN 2 THEN 'pri' WHEN 3 THEN 'ese'
+         |       WHEN 4 THEN 'anti' WHEN 5 THEN 'cally' WHEN 6 THEN 'ation'
+         |       WHEN 7 THEN 'eing' WHEN 8 THEN 'bar' ELSE 'n st' END AS s_store_name,
          |  CASE CAST(s_suppkey % 8 AS INT) WHEN 0 THEN 'Williamson County'
          |       WHEN 1 THEN 'Rush County' WHEN 2 THEN 'Toole County'
          |       WHEN 3 THEN 'Jefferson County' WHEN 4 THEN 'Dona Ana County'
@@ -217,9 +252,28 @@ object TpcdsSynth {
          |       WHEN 2 THEN 'ND' WHEN 3 THEN 'OK' WHEN 4 THEN 'NM'
          |       WHEN 5 THEN 'VA' WHEN 6 THEN 'TN' WHEN 7 THEN 'TX'
          |       WHEN 8 THEN 'CA' ELSE 'NY' END AS s_state,
-         |  CAST(s_suppkey % 300 + 50 AS INT) AS s_number_employees,
-         |  lpad(CAST((s_suppkey * 17 + 7) % 100000 AS VARCHAR(5)), 5, '0') AS s_zip
+         |  CAST((s_suppkey * 7) % 300 + 50 AS INT) AS s_number_employees,
+         |  lpad(CAST((s_suppkey * 17 + 7) % 100000 AS VARCHAR(5)), 5, '0') AS s_zip,
+         |  'City' || CAST(s_suppkey % 15 AS VARCHAR(2)) AS s_city,
+         |  CAST(-5 - s_suppkey % 3 AS INT) AS s_gmt_offset
          |FROM ${ref("supplier")}""".stripMargin
+
+    case "promotion" =>
+      s"""SELECT CAST(s.n AS BIGINT) AS p_promo_sk,
+         |  'PROMO' || lpad(CAST(s.n AS VARCHAR(4)), 4, '0') AS p_promo_id,
+         |  'promo' || CAST(s.n % 10 AS VARCHAR(2)) AS p_promo_name,
+         |  CASE WHEN s.n % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+         |  CASE WHEN s.n % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
+         |  CASE WHEN s.n % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv,
+         |  CASE WHEN s.n % 7 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event
+         |FROM ${series(300, "s")}""".stripMargin
+
+    // 'reason ' || n puts the reference's verbatim r_reason_desc =
+    // 'reason 28' (q93) inside the synthesized domain (n < 35)
+    case "reason" =>
+      s"""SELECT CAST(s.n AS BIGINT) AS r_reason_sk,
+         |  'reason ' || CAST(s.n AS VARCHAR(2)) AS r_reason_desc
+         |FROM ${series(35, "s")}""".stripMargin
 
     case "store_sales" =>
       s"""SELECT l_orderkey AS ss_ticket_number,
@@ -241,6 +295,27 @@ object TpcdsSynth {
          |  ${saleCols("cs", "bill_", s"(SELECT count(*) FROM ${ref("customer")})")}
          |FROM ${ref("lineitem")}
          |WHERE (l_orderkey + l_linenumber) % 3 = 2""".stripMargin
+
+    // returns are the l_returnflag = 'R' slice of the store_sales channel
+    // — same key derivations as saleCols("ss", …) so (item_sk,
+    // ticket_number) joins line up with the sale, the returned quantity is
+    // a 1..qty portion, and the return date trails the sale by < 60 days
+    // (still a stateless per-row projection of lineitem, no shuffle)
+    case "store_returns" =>
+      val retQty = "(1 + (l_orderkey + l_linenumber) % CAST(l_quantity AS BIGINT))"
+      s"""SELECT CAST(CAST(l_shipdate AS DATE) + (l_orderkey % 60) * INTERVAL '1' DAY AS DATE) AS sr_returned_date_sk,
+         |  l_partkey AS sr_item_sk,
+         |  l_orderkey AS sr_ticket_number,
+         |  l_suppkey AS sr_store_sk,
+         |  CAST((l_orderkey * 7 + 3) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS sr_customer_sk,
+         |  CAST((l_orderkey * 13 + l_linenumber * 7) % 720 AS BIGINT) AS sr_cdemo_sk,
+         |  CAST((l_orderkey * 3 + l_linenumber) % 35 AS BIGINT) AS sr_reason_sk,
+         |  CAST($retQty AS INT) AS sr_return_quantity,
+         |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $retQty")} AS sr_return_amt,
+         |  ${money(s"($cents * 23 + 11) % 3000")} AS sr_fee,
+         |  ${money(s"(($cents * 13 + 17) % 60000 + 50) * $retQty")} AS sr_net_loss
+         |FROM ${ref("lineitem")}
+         |WHERE (l_orderkey + l_linenumber) % 3 = 0 AND l_returnflag = 'R'""".stripMargin
 
     case "inventory" =>
       // weekly snapshots over the fixture's first two years — |part|×104

@@ -115,7 +115,12 @@ class TpcdsSpec extends AnyFunSuite {
     assume(refDir.isDirectory, "reference corpus not present in this environment")
     Seq("q03" -> BenchtoTpcdsTexts.q03, "q38" -> BenchtoTpcdsTexts.q38,
       "q42" -> BenchtoTpcdsTexts.q42, "q55" -> BenchtoTpcdsTexts.q55,
-      "q87" -> BenchtoTpcdsTexts.q87).foreach { case (name, embedded) =>
+      "q87" -> BenchtoTpcdsTexts.q87, "q01" -> BenchtoTpcdsTexts.q01,
+      "q07" -> BenchtoTpcdsTexts.q07, "q28" -> BenchtoTpcdsTexts.q28,
+      "q43" -> BenchtoTpcdsTexts.q43, "q52" -> BenchtoTpcdsTexts.q52,
+      "q79" -> BenchtoTpcdsTexts.q79, "q88" -> BenchtoTpcdsTexts.q88,
+      "q93" -> BenchtoTpcdsTexts.q93, "q96" -> BenchtoTpcdsTexts.q96,
+      "q98" -> BenchtoTpcdsTexts.q98).foreach { case (name, embedded) =>
       val ref = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(refDir, s"$name.sql").toPath))
       assert(embedded == ref, s"$name drifted from the reference text")
