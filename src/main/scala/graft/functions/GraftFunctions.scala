@@ -951,6 +951,8 @@ object GraftFunctions {
       (t: Long) => GeometryFns.tilePolygon(t))
     // FNV hashes, IEEE-754 codecs, CDFs, IP/CIDR, data-size parsing
     // (ExtraFns; long-tail, never scan-hot)
+    spark.udf.register("spooky_hash_v2_32", (b: Array[Byte]) => SpookyHashV2.bytes32(b))
+    spark.udf.register("spooky_hash_v2_64", (b: Array[Byte]) => SpookyHashV2.bytes64(b))
     spark.udf.register("fnv1_32", (b: Array[Byte]) => ExtraFns.fnv1_32(b))
     spark.udf.register("fnv1_64", (b: Array[Byte]) => ExtraFns.fnv1_64(b))
     spark.udf.register("fnv1a_32", (b: Array[Byte]) => ExtraFns.fnv1a_32(b))

@@ -191,7 +191,9 @@ object PrestoFnOps extends QueryGroup {
         |  CAST(0 AS BIGINT) AS tzh,
         |  CAST(3500 AS BIGINT) AS dur_ms,
         |  CAST(2560 AS BIGINT) AS dsize,
-        |  'a|b||c' AS rs
+        |  'a|b||c' AS rs,
+        |  'D382E6CA' AS spooky32,
+        |  '3768826AD382E6CA' AS spooky64
         |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, _) =>
       s.sql("""SELECT n_nationkey,
               |  bitwise_and(n_nationkey, 12) AS band,
@@ -210,7 +212,9 @@ object PrestoFnOps extends QueryGroup {
               |  timezone_hour(TIMESTAMP '2026-01-01 10:30:45') AS tzh,
               |  to_milliseconds(parse_duration('3.5s')) AS dur_ms,
               |  CAST(parse_presto_data_size('2.5kB') AS BIGINT) AS dsize,
-              |  array_join(regexp_split('a,b,,c', ','), '|') AS rs
+              |  array_join(regexp_split('a,b,,c', ','), '|') AS rs,
+              |  to_hex(spooky_hash_v2_32(to_utf8('hello'))) AS spooky32,
+              |  to_hex(spooky_hash_v2_64(to_utf8('hello'))) AS spooky64
               |FROM nation ORDER BY n_nationkey""".stripMargin)
     },
 

@@ -657,6 +657,29 @@ class FnSpec extends AnyFunSuite {
     assert(v6.getString(3) == "::1/128")
     assert(v6.getString(4) == "1::2:0:0:3:4/128", "leftmost run wins the tie")
     assert(v6.getString(5) == "1:0:0:2::3/128", "longest run is compressed")
+  }
+
+  test("spooky_hash_v2: reference test vectors and path coverage") {
+    ready()
+    // the reference's own pins (TestVarbinaryFunctions.java:338-341)
+    val r = spark.sql(
+      """SELECT to_hex(spooky_hash_v2_32(to_utf8(''))),
+        |  to_hex(spooky_hash_v2_64(to_utf8(''))),
+        |  to_hex(spooky_hash_v2_32(to_utf8('hello'))),
+        |  to_hex(spooky_hash_v2_64(to_utf8('hello')))""".stripMargin).collect()(0)
+    assert(r.getString(0) == "6BF50919")
+    assert(r.getString(1) == "232706FC6BF50919")
+    assert(r.getString(2) == "D382E6CA")
+    assert(r.getString(3) == "3768826AD382E6CA")
+    // the 32-bit hash is the truncated 64-bit hash (holds for every input
+    // length band: remainder-only, 16..31, whole 32-byte blocks, and the
+    // >= 192-byte long-hash path)
+    import graft.functions.SpookyHashV2
+    Seq(0, 3, 12, 15, 16, 20, 31, 32, 33, 95, 96, 191, 192, 300).foreach { n =>
+      val in = Array.tabulate[Byte](n)(i => (i * 37 + 11).toByte)
+      assert(SpookyHashV2.hash32(in) == SpookyHashV2.hash64(in).toInt, s"len $n")
+      assert(SpookyHashV2.hash64(in) != 0L, s"len $n degenerate")
+    }
     // lambda predicates + fail + plural inverse-quantile
     val r2 = spark.sql(
       """SELECT all_match(ARRAY[2, 4, 6], x -> x % 2 = 0),
