@@ -34,6 +34,13 @@ object GraftSession {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+      // Presto has a first-class TIME type (presto-spi/.../type/
+      // TimeType.java); Spark 4.1 ships one (time(6), parquet TIME
+      // logical type) behind this flag — on, the TIME literal, casts,
+      // EXTRACT and make_time all work natively (exercised by fn_time).
+      // Precision note: Presto 0.235 TIME is millis, Spark's is micros —
+      // a superset, so every reference value round-trips.
+      .config("spark.sql.timeType.enabled", "true")
       // InferFiltersFromGenerate adds `size(arr) > 0` before every explode;
       // predicate pushdown then substitutes the full generator-input
       // expression into that filter. For computed arrays built with

@@ -111,6 +111,39 @@ object ScalarFuncOps extends QueryGroup {
               |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // TIME type (reference presto-spi/.../type/TimeType.java; Spark 4.1's
+    // native time(6) behind spark.sql.timeType.enabled — see GraftSession).
+    // Literal, make_time, casts both ways, EXTRACT, ordering all run
+    // natively and round-trip through parquet's TIME logical type.
+    q("fn_time",
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    make_time(CAST(o_orderkey % 24 AS INT), CAST(o_orderkey % 60 AS INT),
+        |              CAST(o_orderkey % 60 AS INT)) AS tod
+        |  FROM orders WHERE o_orderkey < 2000)
+        |SELECT o_orderkey, tod,
+        |  CAST(EXTRACT(HOUR FROM tod) AS BIGINT) AS h,
+        |  CAST(EXTRACT(MINUTE FROM tod) AS BIGINT) AS mi,
+        |  CAST(EXTRACT(SECOND FROM tod) AS BIGINT) AS sec,
+        |  tod < TIME '12:00:00' AS is_am,
+        |  CAST(tod AS VARCHAR) AS s,
+        |  CAST(CAST('07:08:09' AS TIME) AS VARCHAR) AS parsed
+        |FROM t ORDER BY o_orderkey""".stripMargin) { (s, _) =>
+      s.sql("""WITH t AS (
+              |  SELECT o_orderkey,
+              |    make_time(CAST(o_orderkey % 24 AS INT), CAST(o_orderkey % 60 AS INT),
+              |              CAST(o_orderkey % 60 AS INT)) AS tod
+              |  FROM orders WHERE o_orderkey < 2000)
+              |SELECT o_orderkey, tod,
+              |  CAST(EXTRACT(HOUR FROM tod) AS BIGINT) AS h,
+              |  CAST(EXTRACT(MINUTE FROM tod) AS BIGINT) AS mi,
+              |  CAST(EXTRACT(SECOND FROM tod) AS BIGINT) AS sec,
+              |  tod < TIME '12:00:00' AS is_am,
+              |  CAST(tod AS STRING) AS s,
+              |  CAST(CAST('07:08:09' AS TIME) AS STRING) AS parsed
+              |FROM t ORDER BY o_orderkey""".stripMargin)
+    },
+
     // math family (reference operator/scalar/MathFunctions.java:65)
     q("fn_math",
       """SELECT l_orderkey, l_linenumber,
