@@ -117,6 +117,8 @@ object GeometryFns {
   def geometryFromText(wkt: String): String = {
     val up = wkt.trim.toUpperCase
     if (up == "POLYGON EMPTY") "POLYGON EMPTY"
+    else if (up.startsWith("MULTIPOLYGON"))
+      multiPolygonWkt(multiPolygonParts(wkt).map(parsePolygon))
     else if (up.startsWith("POLYGON")) polygonWkt(parsePolygon(wkt))
     else if (up.startsWith("POINT")) { val p = parsePoint(wkt); pointWkt(p.x, p.y) }
     else if (up.startsWith("LINESTRING")) lineStringWkt(parseLineString(wkt))
@@ -273,6 +275,168 @@ object GeometryFns {
     else polygonWkt(Polygon(Seq((out :+ out.head).toArray)))
   }
 
+  /** ST_Union for the simple-polygon subset (reference GeoFunctions.java
+    * ST_Union over the Esri engine). Declared subset: two hole-free simple
+    * polygons whose boundaries either don't touch or cross TRANSVERSALLY
+    * (no shared vertices, no vertex-on-edge, no collinear edge overlap —
+    * those fail loudly). Disjoint inputs yield a MULTIPOLYGON, containment
+    * yields the outer polygon, overlapping inputs walk the outside
+    * boundary fragments (the union traversal of Weiler–Atherton /
+    * Greiner–Hormann restricted to proper crossings): at each crossing the
+    * boundary of one polygon passes inside the other, so the outside walk
+    * alternates polygons; extra closed loops become holes (a concave arm
+    * can enclose a pocket).
+    */
+  def stUnion(wktA: String, wktB: String): String = {
+    val ea = wktA.trim.equalsIgnoreCase("POLYGON EMPTY")
+    val eb = wktB.trim.equalsIgnoreCase("POLYGON EMPTY")
+    if (ea && eb) return "POLYGON EMPTY"
+    if (ea) return polygonWkt(parsePolygon(wktB))
+    if (eb) return polygonWkt(parsePolygon(wktA))
+    val pa = parsePolygon(wktA); val pb = parsePolygon(wktB)
+    if (pa.rings.length > 1 || pb.rings.length > 1)
+      fail("st_union supports polygons without holes (declared subset)")
+    def openCcw(r: Array[GPoint]): Array[GPoint] = {
+      val rr = if (ringSignedArea(r) < 0) r.reverse else r
+      rr.dropRight(1)
+    }
+    val A = openCcw(pa.rings.head); val B = openCcw(pb.rings.head)
+
+    // guard the declared subset: no vertex of one polygon on the other's
+    // boundary (covers shared vertices and vertex-on-edge)
+    def onBoundary(ring: Array[GPoint], p: GPoint): Boolean = {
+      var i = 0
+      while (i < ring.length) {
+        if (onSegment(ring(i), ring((i + 1) % ring.length), p)) return true
+        i += 1
+      }
+      false
+    }
+    if (A.exists(onBoundary(B, _)) || B.exists(onBoundary(A, _)))
+      fail("st_union requires boundaries that cross transversally (declared subset)")
+
+    // collect proper crossings; any collinear-overlap contact fails
+    final case class Cross(pt: GPoint, edgeA: Int, tA: Double, edgeB: Int, tB: Double)
+    val crosses = scala.collection.mutable.ArrayBuffer.empty[Cross]
+    var i = 0
+    while (i < A.length) {
+      val p1 = A(i); val p2 = A((i + 1) % A.length)
+      var j = 0
+      while (j < B.length) {
+        val q1 = B(j); val q2 = B((j + 1) % B.length)
+        val d1 = orient(q1, q2, p1); val d2 = orient(q1, q2, p2)
+        val d3 = orient(p1, p2, q1); val d4 = orient(p1, p2, q2)
+        if (d1 == 0 && d2 == 0 && (onSegment(q1, q2, p1) || onSegment(q1, q2, p2) ||
+            onSegment(p1, p2, q1) || onSegment(p1, p2, q2)))
+          fail("st_union requires boundaries that cross transversally (declared subset)")
+        if ((d1 > 0) != (d2 > 0) && (d3 > 0) != (d4 > 0) &&
+            d1 != 0 && d2 != 0 && d3 != 0 && d4 != 0) {
+          val den = (p2.x - p1.x) * (q2.y - q1.y) - (p2.y - p1.y) * (q2.x - q1.x)
+          val t = ((q1.x - p1.x) * (q2.y - q1.y) - (q1.y - p1.y) * (q2.x - q1.x)) / den
+          val u = ((q1.x - p1.x) * (p2.y - p1.y) - (q1.y - p1.y) * (p2.x - p1.x)) / den
+          crosses += Cross(GPoint(p1.x + t * (p2.x - p1.x), p1.y + t * (p2.y - p1.y)),
+            i, t, j, u)
+        }
+        j += 1
+      }
+      i += 1
+    }
+
+    if (crosses.isEmpty) {
+      // no boundary contact: containment or disjoint
+      if (containsPoint(pb, A(0).x, A(0).y)) return polygonWkt(pb)
+      if (containsPoint(pa, B(0).x, B(0).y)) return polygonWkt(pa)
+      return multiPolygonWkt(Seq(pa, pb))
+    }
+
+    // augmented cyclic node lists: original vertices + crossing nodes in
+    // boundary order; crossing ids are shared between the two lists
+    final case class Node(pt: GPoint, cross: Int) // -1 = original vertex
+    def augmented(verts: Array[GPoint], byEdge: Int => Seq[(Double, Int)]): Vector[Node] = {
+      val out = Vector.newBuilder[Node]
+      var k = 0
+      while (k < verts.length) {
+        out += Node(verts(k), -1)
+        byEdge(k).sortBy(_._1).foreach { case (_, id) => out += Node(crosses(id).pt, id) }
+        k += 1
+      }
+      out.result()
+    }
+    val ids = crosses.indices
+    val listA = augmented(A, e => ids.collect { case id if crosses(id).edgeA == e => (crosses(id).tA, id) })
+    val listB = augmented(B, e => ids.collect { case id if crosses(id).edgeB == e => (crosses(id).tB, id) })
+    val posA = listA.zipWithIndex.collect { case (n, p) if n.cross >= 0 => n.cross -> p }.toMap
+    val posB = listB.zipWithIndex.collect { case (n, p) if n.cross >= 0 => n.cross -> p }.toMap
+
+    // fragment = path from a crossing to the next crossing along one list
+    def fragment(list: Vector[Node], start: Int): (Int, Vector[Node]) = {
+      val n = list.length
+      val acc = Vector.newBuilder[Node]
+      var k = (start + 1) % n
+      while (list(k).cross < 0) { acc += list(k); k = (k + 1) % n }
+      (list(k).cross, acc.result() :+ list(k))
+    }
+    def outside(other: Polygon, from: GPoint, frag: Vector[Node]): Boolean = {
+      val sample = frag.dropRight(1).headOption.map(_.pt).getOrElse {
+        val to = frag.last.pt; GPoint((from.x + to.x) / 2, (from.y + to.y) / 2)
+      }
+      !containsPoint(other, sample.x, sample.y)
+    }
+
+    val usedA = Array.fill(crosses.length)(false)
+    val usedB = Array.fill(crosses.length)(false)
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Array[GPoint]]
+    for (c0 <- crosses.indices; onA0 <- Seq(true, false)) {
+      val used0 = if (onA0) usedA else usedB
+      val frag0 = fragment(if (onA0) listA else listB, if (onA0) posA(c0) else posB(c0))
+      if (!used0(c0) && outside(if (onA0) pb else pa, crosses(c0).pt, frag0._2)) {
+        val ring = scala.collection.mutable.ArrayBuffer[GPoint](crosses(c0).pt)
+        var c = c0; var onA = onA0
+        var done = false
+        while (!done) {
+          val (end, frag) = fragment(if (onA) listA else listB, if (onA) posA(c) else posB(c))
+          (if (onA) usedA else usedB)(c) = true
+          ring ++= frag.map(_.pt)
+          c = end; onA = !onA // proper crossing: the outside walk switches polygons
+          if (c == c0 && onA == onA0) done = true
+        }
+        rings += ring.toArray // last point == first crossing point (closed)
+      }
+    }
+    if (rings.isEmpty) fail("st_union traversal found no outside boundary (degenerate input)")
+    val shellIdx = rings.indices.maxBy(k => math.abs(ringSignedArea(rings(k))))
+    polygonWkt(Polygon(rings(shellIdx) +: rings.toSeq.zipWithIndex
+      .collect { case (r, k) if k != shellIdx => r }))
+  }
+
+  def multiPolygonWkt(ps: Seq[Polygon]): String =
+    "MULTIPOLYGON (" + ps.map { p =>
+      "(" + p.rings.map(r =>
+        "(" + r.map(pt => s"${fmt(pt.x)} ${fmt(pt.y)}").mkString(", ") + ")")
+        .mkString(", ") + ")"
+    }.mkString(", ") + ")"
+
+  /** Split a MULTIPOLYGON body into its component polygon WKTs. */
+  private def multiPolygonParts(wkt: String): Seq[String] = {
+    val body = wkt.trim.drop("MULTIPOLYGON".length).trim
+    if (!body.startsWith("(") || !body.endsWith(")")) fail(s"Invalid MULTIPOLYGON: $wkt")
+    val inner = body.drop(1).dropRight(1)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = -1
+    var k = 0
+    while (k < inner.length) {
+      inner(k) match {
+        case '(' => if (depth == 0) start = k; depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) { parts += "POLYGON " + inner.substring(start, k + 1); start = -1 }
+        case _ =>
+      }
+      k += 1
+    }
+    parts.toSeq
+  }
+
   private[functions] def isConvex(ring: Array[GPoint]): Boolean = {
     val n = ring.length - 1 // closed ring: last == first
     var sign = 0
@@ -298,9 +462,13 @@ object GeometryFns {
     s / 2.0
   }
 
-  /** Shell area minus hole areas (orientation-insensitive). */
+  /** Shell area minus hole areas (orientation-insensitive); MULTIPOLYGON
+    * sums its disjoint components (st_union's disjoint-input result).
+    */
   def area(wkt: String): Double = {
     if (wkt.trim.equalsIgnoreCase("POLYGON EMPTY")) return 0.0
+    if (wkt.trim.toUpperCase.startsWith("MULTIPOLYGON"))
+      return multiPolygonParts(wkt).map(area).sum
     val p = parsePolygon(wkt)
     val shell = math.abs(ringSignedArea(p.rings.head))
     shell - p.rings.tail.map(r => math.abs(ringSignedArea(r))).sum

@@ -937,6 +937,8 @@ object GraftFunctions {
       (a: String, b: String) => GeometryFns.stIntersects(a, b))
     spark.udf.register("st_intersection",
       (a: String, b: String) => GeometryFns.stIntersection(a, b))
+    spark.udf.register("st_union",
+      (a: String, b: String) => GeometryFns.stUnion(a, b))
     spark.udf.register("bing_tile_at",
       (lat: Double, lon: Double, zoom: Int) => GeometryFns.bingTileAt(lat, lon, zoom))
     spark.udf.register("bing_tile_coordinates",

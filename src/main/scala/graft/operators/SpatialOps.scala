@@ -248,6 +248,59 @@ object SpatialOps extends QueryGroup {
            |ORDER BY c_custkey, s_suppkey""".stripMargin)
     },
 
+    // ST_Union (GeometryFns.stUnion; reference GeoFunctions.java ST_Union):
+    // the b-rectangles sit on a +0.25 offset grid while a-rectangles sit
+    // on the 1-decimal grid, so boundaries can only cross transversally
+    // (the declared subset) — no shared edges or vertex-on-edge contacts
+    // exist by construction. The oracle reproduces the union area in
+    // closed form (inclusion–exclusion over axis-aligned rectangles),
+    // which checks all three engine paths: overlap (boundary walk),
+    // containment, and disjoint (MULTIPOLYGON + component-summing
+    // st_area). Areas are exact multiples of 0.0025, so 4dp rounding has
+    // no tie exposure.
+    q("spatial_union",
+      s"""WITH a AS (SELECT c_custkey, x AS ax, y AS ay,
+         |  CAST(3 + c_custkey % 5 AS DOUBLE) AS aw,
+         |  CAST(2 + c_custkey % 7 AS DOUBLE) AS ah
+         |  FROM (${pts("customer", "c_custkey", 37, 91)}) p WHERE c_custkey < 200),
+         |b AS (SELECT s_suppkey, x + 0.25 AS bx, y + 0.25 AS b_y,
+         |  CAST(4 + s_suppkey % 6 AS DOUBLE) AS bw,
+         |  CAST(3 + s_suppkey % 4 AS DOUBLE) AS bh
+         |  FROM (${pts("supplier", "s_suppkey", 53, 67)}) p WHERE s_suppkey < 200)
+         |SELECT c_custkey, s_suppkey,
+         |  round(aw * ah + bw * bh - CASE
+         |    WHEN least(ax + aw, bx + bw) > greatest(ax, bx)
+         |     AND least(ay + ah, b_y + bh) > greatest(ay, b_y)
+         |    THEN (least(ax + aw, bx + bw) - greatest(ax, bx))
+         |       * (least(ay + ah, b_y + bh) - greatest(ay, b_y))
+         |    ELSE 0 END, 4) AS uarea
+         |FROM a, b
+         |WHERE c_custkey % 29 = s_suppkey % 29
+         |ORDER BY c_custkey, s_suppkey""".stripMargin) { (sp, _) =>
+      sp.sql(
+        s"""WITH a AS (SELECT c_custkey,
+           |  concat('POLYGON ((', x, ' ', y, ', ', x + w, ' ', y, ', ',
+           |    x + w, ' ', y + h, ', ', x, ' ', y + h, ', ', x, ' ', y, '))') AS wa
+           |  FROM (SELECT c_custkey, x, y,
+           |          CAST(3 + c_custkey % 5 AS DOUBLE) AS w,
+           |          CAST(2 + c_custkey % 7 AS DOUBLE) AS h
+           |        FROM (${pts("customer", "c_custkey", 37, 91)}) p
+           |        WHERE c_custkey < 200) r),
+           |b AS (SELECT s_suppkey,
+           |  concat('POLYGON ((', x, ' ', y, ', ', x + w, ' ', y, ', ',
+           |    x + w, ' ', y + h, ', ', x, ' ', y + h, ', ', x, ' ', y, '))') AS wb
+           |  FROM (SELECT s_suppkey, x + 0.25 AS x, y + 0.25 AS y,
+           |          CAST(4 + s_suppkey % 6 AS DOUBLE) AS w,
+           |          CAST(3 + s_suppkey % 4 AS DOUBLE) AS h
+           |        FROM (${pts("supplier", "s_suppkey", 53, 67)}) p
+           |        WHERE s_suppkey < 200) r)
+           |SELECT c_custkey, s_suppkey,
+           |  round(st_area(st_union(wa, wb)), 4) AS uarea
+           |FROM a, b
+           |WHERE c_custkey % 29 = s_suppkey % 29
+           |ORDER BY c_custkey, s_suppkey""".stripMargin)
+    },
+
     // Bing tile family (GeometryFns; reference BingTileFunctions.java):
     // tile x/y from the public tile-system arithmetic, reproduced by the
     // oracle in plain SQL; quadkey roundtrip + neighborhood as booleans

@@ -571,6 +571,32 @@ class FnSpec extends AnyFunSuite {
     // two concave inputs are a declared error, as are holes
     intercept[Exception](stIntersection(ell2, ell2))
     intercept[Exception](stIntersection(donut, sq))
+    // ST_Union (outside boundary walk; declared transversal subset)
+    import graft.functions.GeometryFns.stUnion
+    // partial overlap: inclusion–exclusion area
+    assert(area(stUnion("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "POLYGON ((1.25 1.25, 3.25 1.25, 3.25 3.25, 1.25 3.25, 1.25 1.25))")) == 7.4375)
+    // disjoint → MULTIPOLYGON whose area sums the components
+    val mp = stUnion("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))")
+    assert(mp.startsWith("MULTIPOLYGON") && area(mp) == 5.0)
+    // containment (either order) → the outer polygon
+    assert(area(stUnion(sq, "POLYGON ((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))")) == 100.0)
+    assert(area(stUnion("POLYGON ((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))", sq)) == 100.0)
+    // concave input: crossing a plus-sign keeps both bars
+    assert(area(stUnion("POLYGON ((1 0, 2 0, 2 3, 1 3, 1 0))",
+      "POLYGON ((0 1.25, 3 1.25, 3 2.25, 0 2.25, 0 1.25))")) == 5.0)
+    // a bar across both arms of a U encloses a pocket → union with a HOLE
+    val uShape = "POLYGON ((0 0, 9 0, 9 6, 6 6, 6 2, 3 2, 3 6, 0 6, 0 0))"
+    val bar = "POLYGON ((-0.75 3.25, 9.75 3.25, 9.75 4.25, -0.75 4.25, -0.75 3.25))"
+    val withHole = stUnion(uShape, bar)
+    assert(area(withHole) == 46.5, "shell minus enclosed hole")
+    assert(withHole.count(_ == '(') == 3, "one shell ring + one hole ring")
+    // POLYGON EMPTY passes the other input through
+    assert(area(stUnion("POLYGON EMPTY", sq)) == 100.0)
+    // shared-edge contact is outside the declared transversal subset
+    intercept[Exception](stUnion("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))"))
     // SQL surface: st_intersects, st_length, st_line_from_text
     val r = spark.sql(
       """SELECT st_intersects('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))',
