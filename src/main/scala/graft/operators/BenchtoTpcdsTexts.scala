@@ -586,4 +586,161 @@ WHERE ("ss_item_sk" = "i_item_sk")
 GROUP BY "i_item_id", "i_item_desc", "i_category", "i_class", "i_current_price"
 ORDER BY "i_category" ASC, "i_class" ASC, "i_item_id" ASC, "i_item_desc" ASC, "revenueratio" ASC
 """
+
+  val q26: String = """SELECT
+  "i_item_id"
+, "avg"("cs_quantity") "agg1"
+, "avg"("cs_list_price") "agg2"
+, "avg"("cs_coupon_amt") "agg3"
+, "avg"("cs_sales_price") "agg4"
+FROM
+  ${database}.${schema}.catalog_sales
+, ${database}.${schema}.customer_demographics
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.item
+, ${database}.${schema}.promotion
+WHERE ("cs_sold_date_sk" = "d_date_sk")
+   AND ("cs_item_sk" = "i_item_sk")
+   AND ("cs_bill_cdemo_sk" = "cd_demo_sk")
+   AND ("cs_promo_sk" = "p_promo_sk")
+   AND ("cd_gender" = 'M')
+   AND ("cd_marital_status" = 'S')
+   AND ("cd_education_status" = 'College')
+   AND (("p_channel_email" = 'N')
+      OR ("p_channel_event" = 'N'))
+   AND ("d_year" = 2000)
+GROUP BY "i_item_id"
+ORDER BY "i_item_id" ASC
+LIMIT 100
+"""
+
+  val q59: String = """WITH
+  wss AS (
+   SELECT
+     "d_week_seq"
+   , "ss_store_sk"
+   , "sum"((CASE WHEN ("d_day_name" = 'Sunday') THEN "ss_sales_price" ELSE null END)) "sun_sales"
+   , "sum"((CASE WHEN ("d_day_name" = 'Monday') THEN "ss_sales_price" ELSE null END)) "mon_sales"
+   , "sum"((CASE WHEN ("d_day_name" = 'Tuesday') THEN "ss_sales_price" ELSE null END)) "tue_sales"
+   , "sum"((CASE WHEN ("d_day_name" = 'Wednesday') THEN "ss_sales_price" ELSE null END)) "wed_sales"
+   , "sum"((CASE WHEN ("d_day_name" = 'Thursday') THEN "ss_sales_price" ELSE null END)) "thu_sales"
+   , "sum"((CASE WHEN ("d_day_name" = 'Friday') THEN "ss_sales_price" ELSE null END)) "fri_sales"
+   , "sum"((CASE WHEN ("d_day_name" = 'Saturday') THEN "ss_sales_price" ELSE null END)) "sat_sales"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("d_date_sk" = "ss_sold_date_sk")
+   GROUP BY "d_week_seq", "ss_store_sk"
+) 
+SELECT
+  "s_store_name1"
+, "s_store_id1"
+, "d_week_seq1"
+, ("sun_sales1" / "sun_sales2")
+, ("mon_sales1" / "mon_sales2")
+, ("tue_sales1" / "tue_sales2")
+, ("wed_sales1" / "wed_sales2")
+, ("thu_sales1" / "thu_sales2")
+, ("fri_sales1" / "fri_sales2")
+, ("sat_sales1" / "sat_sales2")
+FROM
+  (
+   SELECT
+     "s_store_name" "s_store_name1"
+   , "wss"."d_week_seq" "d_week_seq1"
+   , "s_store_id" "s_store_id1"
+   , "sun_sales" "sun_sales1"
+   , "mon_sales" "mon_sales1"
+   , "tue_sales" "tue_sales1"
+   , "wed_sales" "wed_sales1"
+   , "thu_sales" "thu_sales1"
+   , "fri_sales" "fri_sales1"
+   , "sat_sales" "sat_sales1"
+   FROM
+     wss
+   , ${database}.${schema}.store
+   , ${database}.${schema}.date_dim d
+   WHERE ("d"."d_week_seq" = "wss"."d_week_seq")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("d_month_seq" BETWEEN 1212 AND (1212 + 11))
+)  y
+, (
+   SELECT
+     "s_store_name" "s_store_name2"
+   , "wss"."d_week_seq" "d_week_seq2"
+   , "s_store_id" "s_store_id2"
+   , "sun_sales" "sun_sales2"
+   , "mon_sales" "mon_sales2"
+   , "tue_sales" "tue_sales2"
+   , "wed_sales" "wed_sales2"
+   , "thu_sales" "thu_sales2"
+   , "fri_sales" "fri_sales2"
+   , "sat_sales" "sat_sales2"
+   FROM
+     wss
+   , ${database}.${schema}.store
+   , ${database}.${schema}.date_dim d
+   WHERE ("d"."d_week_seq" = "wss"."d_week_seq")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("d_month_seq" BETWEEN (1212 + 12) AND (1212 + 23))
+)  x
+WHERE ("s_store_id1" = "s_store_id2")
+   AND ("d_week_seq1" = ("d_week_seq2" - 52))
+ORDER BY "s_store_name1" ASC, "s_store_id1" ASC, "d_week_seq1" ASC
+LIMIT 100
+"""
+
+  val q61: String = """SELECT
+  "promotions"
+, "total"
+, ((CAST("promotions" AS DECIMAL(15,4)) / CAST("total" AS DECIMAL(15,4))) * 100)
+FROM
+  (
+   SELECT "sum"("ss_ext_sales_price") "promotions"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.store
+   , ${database}.${schema}.promotion
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.customer
+   , ${database}.${schema}.customer_address
+   , ${database}.${schema}.item
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("ss_promo_sk" = "p_promo_sk")
+      AND ("ss_customer_sk" = "c_customer_sk")
+      AND ("ca_address_sk" = "c_current_addr_sk")
+      AND ("ss_item_sk" = "i_item_sk")
+      AND ("ca_gmt_offset" = -5)
+      AND ("i_category" = 'Jewelry')
+      AND (("p_channel_dmail" = 'Y')
+         OR ("p_channel_email" = 'Y')
+         OR ("p_channel_tv" = 'Y'))
+      AND ("s_gmt_offset" = -5)
+      AND ("d_year" = 1998)
+      AND ("d_moy" = 11)
+)  promotional_sales
+, (
+   SELECT "sum"("ss_ext_sales_price") "total"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.store
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.customer
+   , ${database}.${schema}.customer_address
+   , ${database}.${schema}.item
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("ss_customer_sk" = "c_customer_sk")
+      AND ("ca_address_sk" = "c_current_addr_sk")
+      AND ("ss_item_sk" = "i_item_sk")
+      AND ("ca_gmt_offset" = -5)
+      AND ("i_category" = 'Jewelry')
+      AND ("s_gmt_offset" = -5)
+      AND ("d_year" = 1998)
+      AND ("d_moy" = 11)
+)  all_sales
+ORDER BY "promotions" ASC, "total" ASC
+LIMIT 100
+"""
 }

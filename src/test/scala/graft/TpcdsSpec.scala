@@ -108,6 +108,20 @@ class TpcdsSpec extends AnyFunSuite {
     }
   }
 
+  test("KNOWN DIVERGENCE: ROLLUP over empty input emits no grand-total row") {
+    // The SQL standard (and the reference, and DuckDB) treat the empty
+    // grouping set like a global aggregate: one row even over empty
+    // input. Spark emits zero rows. Surfaced by tpcds_q27 when its
+    // predicate starved at sf0.001 (now de-starved); pinned here so the
+    // divergence is tracked — if Spark ever aligns, this fails and the
+    // documentation must flip.
+    val n = spark.sql(
+      "SELECT x, count(*) AS c FROM (SELECT 1 AS x WHERE 1 = 0) GROUP BY ROLLUP(x)").count()
+    assert(n == 0, "Spark now emits the standard's grand-total row over empty input")
+    val g = spark.sql("SELECT count(*) AS c FROM (SELECT 1 AS x WHERE 1 = 0)").count()
+    assert(g == 1, "plain global aggregate keeps its one-row-over-empty semantics")
+  }
+
   test("embedded benchto TPC-DS texts are byte-identical to the reference") {
     import graft.operators.BenchtoTpcdsTexts
     val refDir = new java.io.File(
@@ -120,7 +134,9 @@ class TpcdsSpec extends AnyFunSuite {
       "q43" -> BenchtoTpcdsTexts.q43, "q52" -> BenchtoTpcdsTexts.q52,
       "q79" -> BenchtoTpcdsTexts.q79, "q88" -> BenchtoTpcdsTexts.q88,
       "q93" -> BenchtoTpcdsTexts.q93, "q96" -> BenchtoTpcdsTexts.q96,
-      "q98" -> BenchtoTpcdsTexts.q98).foreach { case (name, embedded) =>
+      "q98" -> BenchtoTpcdsTexts.q98, "q26" -> BenchtoTpcdsTexts.q26,
+      "q59" -> BenchtoTpcdsTexts.q59,
+      "q61" -> BenchtoTpcdsTexts.q61).foreach { case (name, embedded) =>
       val ref = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(refDir, s"$name.sql").toPath))
       assert(embedded == ref, s"$name drifted from the reference text")
