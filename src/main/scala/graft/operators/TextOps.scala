@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryGroup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text pipeline: deduplication + text analysis over the
@@ -265,6 +266,64 @@ object TextOps extends QueryGroup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected pair graph (doc_a, doc_b) by
+    * alternating min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; convergence in
+    * O(component diameter) rounds. Returns (id, label) with label = the
+    * smallest doc_id in the component. Near-dup components are small and
+    * shallow (mutual similarity groups), so the diameter bound is the
+    * right production shape; a corpus with adversarially long chains
+    * would want the O(log n)-round large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce"), which swaps
+    * in behind the same (pairs → labels) contract. Each round is one
+    * shuffle (groupBy on dst); `localCheckpoint` truncates the growing
+    * lineage (on a real cluster: `checkpoint` to reliable storage).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_min"))
+      val updated = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("next") < col("label")).isEmpty
+      labels = updated.select(col("id"), col("next").as("label"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** Exact token-Jaccard ≥ 0.8 pairs within a source bucket (the
+    * quadratic-within-group oracle twin of the LSH candidate path).
+    */
+  private def exactJaccardPairs(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"), array_distinct(tokensCol).as("tokens"))
+    val a = toks.select(col("doc_id").as("doc_a"), col("source").as("src_a"), col("tokens").as("tok_a"))
+    val b = toks.select(col("doc_id").as("doc_b"), col("source").as("src_b"), col("tokens").as("tok_b"))
+    a.join(b, col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
+          size(array_union(col("tok_a"), col("tok_b"))))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** (doc_id, cluster, cluster_size) for every doc in the pair graph. */
+  private def clustersOf(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .orderBy("doc_id")
+
   def defs = Seq(
     // ── exact dedup: hash-groupBy on content digest (one shuffle) ──
     q("dd_exact",
@@ -324,17 +383,47 @@ object TextOps extends QueryGroup {
         |WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, _) =>
-      val toks = s.table("documents")
-        .select(col("doc_id"), col("source"), array_distinct(tokensCol).as("tokens"))
-      val a = toks.select(col("doc_id").as("doc_a"), col("source").as("src_a"), col("tokens").as("tok_a"))
-      val b = toks.select(col("doc_id").as("doc_b"), col("source").as("src_b"), col("tokens").as("tok_b"))
-      a.join(b, col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
-            size(array_union(col("tok_a"), col("tok_b"))))
-        .filter(col("jaccard") >= 0.8)
+      exactJaccardPairs(s.table("documents"))
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ── duplicate clusters: pairs → connected components → survivors ──
+    // The step after pair generation in a production dedup run: the pair
+    // graph collapses into components (cluster = min doc_id), and a
+    // consumer keeps one survivor per cluster. Oracle: DuckDB computes
+    // the same components as a recursive transitive closure over the
+    // exact-Jaccard edges. The minhash variant of the same operator is
+    // spec-verified (TextOpsSpec: synthetic-chain transitivity + planted
+    // copies collapse onto their source through the real LSH pipeline).
+    q("dd_jaccard_clusters",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')) AS tokens
+        |  FROM documents
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM toks a JOIN toks b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.8
+        |),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+        |),
+        |labels AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+        |  FROM reach GROUP BY src
+        |)
+        |SELECT doc_id, cluster,
+        |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+        |FROM labels ORDER BY doc_id""".stripMargin) { (s, _) =>
+      clustersOf(exactJaccardPairs(s.table("documents"))
+        .select(col("doc_a"), col("doc_b")))
     },
 
     // ── token counting + quality scoring ──

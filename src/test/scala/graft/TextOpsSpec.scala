@@ -36,6 +36,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 100001L)), "copy of doc 0 not recalled")
   }
 
+  test("connected components: transitive chains collapse, planted dups cluster") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.operators.TextOps
+    // transitivity on a synthetic graph: a~b, b~c (no a~c edge) is ONE
+    // component; disconnected pairs stay apart
+    val schema = StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 2L), Row(2L, 3L), Row(10L, 11L))), schema)
+    val cc = TextOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // planted near-dup triple through the REAL minhash pipeline: doc 0,
+    // a copy, and a copy-of-the-copy all land in one min-labeled cluster
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val t0 = docs.filter(col("doc_id") === 0).select(col("text")).collect()(0).getString(0)
+    val planted = spark.createDataFrame(Seq(
+      (100001L, t0), (100002L, t0 + " extra"),
+    )).toDF("doc_id", "text")
+    val lsh = TextOps.connectedComponents(
+      TextOps.minhashPairs(docs.union(planted)).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh(100001L) == 0L && lsh(100002L) == 0L && lsh(0L) == 0L,
+      s"planted copies must collapse onto doc 0: ${lsh.view.filterKeys(_ >= 100000L).toMap}")
+    // the oracle-checked exact clusters keep the structural invariants:
+    // label is the component minimum and every member has a partner
+    run("dd_jaccard_clusters").collect().foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0), "label must be the min doc_id")
+      assert(r.getLong(2) >= 2, "every clustered doc has at least one partner")
+    }
+  }
+
   test("incremental minhash equals the batch pairs that touch a new doc; reuse skips the index build") {
     import graft.operators.TextOps
     val docs = Tables.load(spark, TestSession.sf, "documents")
