@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SpatialOps
+
+/** KD-B tree spatial partitioning (SpatialOps.kdbLeaves /
+  * kdbDistanceJoin): the properties the oracle can't see — that the
+  * adaptive splits stay BALANCED under heavy skew (the whole point of a
+  * KdbTree over a uniform grid, reference presto-geospatial KdbTree.java)
+  * and that the partitioned join plans as an equi-join.
+  */
+class SpatialSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("kdb leaves partition the plane and balance a 90%-skewed sample") {
+    // 90% of points inside a 1×1 city block, 10% across a 1000×1000 map —
+    // a uniform radius-sized grid puts ~90% of points in one cell
+    val rnd = new scala.util.Random(7)
+    val dense = Array.fill(900)((rnd.nextDouble(), rnd.nextDouble()))
+    val sparse = Array.fill(100)((rnd.nextDouble() * 1000, rnd.nextDouble() * 1000))
+    val sample = dense ++ sparse
+    val leaves = SpatialOps.kdbLeaves(sample, leafCap = 64)
+    // every point falls in exactly one half-open leaf
+    sample.foreach { case (x, y) =>
+      val hits = leaves.count(l =>
+        x >= l.xmin && x < l.xmax && y >= l.ymin && y < l.ymax)
+      assert(hits == 1, s"point ($x, $y) hit $hits leaves")
+    }
+    // no leaf holds more than the cap — the dense block was subdivided
+    val populations = leaves.map { l =>
+      sample.count { case (x, y) =>
+        x >= l.xmin && x < l.xmax && y >= l.ymin && y < l.ymax }
+    }
+    assert(populations.max <= 64,
+      s"max leaf population ${populations.max} exceeds the cap: skew not split")
+    assert(leaves.length >= sample.length / 64,
+      "median splits must produce enough leaves to respect the cap")
+  }
+
+  test("kdb distance join equals brute force on a skewed corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 300).map(i =>
+      (i.toLong, if (i < 270) rnd.nextDouble() * 3 else rnd.nextDouble() * 300,
+        if (i < 270) rnd.nextDouble() * 3 else rnd.nextDouble() * 300))
+      .toDF("lid", "x", "y")
+    val right = (0 until 300).map(i =>
+      (i.toLong, if (i < 270) rnd.nextDouble() * 3 else rnd.nextDouble() * 300,
+        if (i < 270) rnd.nextDouble() * 3 else rnd.nextDouble() * 300))
+      .toDF("rid", "x", "y")
+    val sample = left.select("x", "y").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val kdb = SpatialOps.kdbDistanceJoin(left, right, 1.5, "lid", "rid", sample, leafCap = 32)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = left.as("l").crossJoin(right.as("r"))
+      .filter(sqrt(pow($"l.x" - $"r.x", 2) + pow($"l.y" - $"r.y", 2)) < 1.5)
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kdb == brute,
+      s"kdb missed ${(brute -- kdb).take(5)} / extra ${(kdb -- brute).take(5)}")
+    assert(brute.nonEmpty, "skewed corpus must produce pairs")
+  }
+
+  test("spatial_kdb_join plans as an equi-join, never a cartesian product") {
+    val plan = SparkEntry.queries("spatial_kdb_join")(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"kdb join went cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"kdb join must be an equi hash join:\n$plan")
+  }
+}
