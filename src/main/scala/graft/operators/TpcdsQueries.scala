@@ -749,6 +749,129 @@ object TpcdsQueries extends QueryGroup {
       Seq("promotions", "total", "ratio"),
       Seq(r2("promotions"), r2("total"), r6("ratio")), ""),
 
+    // q74: year-over-year customer growth, store vs web — the 4-way
+    // CTE self-join family (q4/q11/q74). Years tuned 2001/2002 →
+    // 1999/2000 (the fixture epoch ends 2001; the spec's second year is
+    // empty). One row per qualifying customer, so customer_id totally
+    // orders the LIMIT cut.
+    adapted("tpcds_q74",
+      """WITH year_total AS (
+        |  SELECT c_customer_id AS customer_id,
+        |    c_first_name AS customer_first_name,
+        |    c_last_name AS customer_last_name,
+        |    d_year AS year_, sum(ss_net_paid) AS year_total, 's' AS sale_type
+        |  FROM tpcds.customer customer, tpcds.store_sales store_sales, tpcds.date_dim date_dim
+        |  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+        |    AND d_year IN (1999, 2000)
+        |  GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+        |  UNION ALL
+        |  SELECT c_customer_id AS customer_id,
+        |    c_first_name AS customer_first_name,
+        |    c_last_name AS customer_last_name,
+        |    d_year AS year_, sum(ws_net_paid) AS year_total, 'w' AS sale_type
+        |  FROM tpcds.customer customer, tpcds.web_sales web_sales, tpcds.date_dim date_dim
+        |  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+        |    AND d_year IN (1999, 2000)
+        |  GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+        |SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+        |  t_s_secyear.customer_last_name
+        |FROM year_total t_s_firstyear, year_total t_s_secyear,
+        |  year_total t_w_firstyear, year_total t_w_secyear
+        |WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+        |  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+        |  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+        |  AND t_s_firstyear.sale_type = 's'
+        |  AND t_w_firstyear.sale_type = 'w'
+        |  AND t_s_secyear.sale_type = 's'
+        |  AND t_w_secyear.sale_type = 'w'
+        |  AND t_s_firstyear.year_ = 1999
+        |  AND t_s_secyear.year_ = 2000
+        |  AND t_w_firstyear.year_ = 1999
+        |  AND t_w_secyear.year_ = 2000
+        |  AND t_s_firstyear.year_total > 0
+        |  AND t_w_firstyear.year_total > 0
+        |  AND (CASE WHEN t_w_firstyear.year_total > 0
+        |        THEN t_w_secyear.year_total / t_w_firstyear.year_total
+        |        ELSE null END)
+        |    > (CASE WHEN t_s_firstyear.year_total > 0
+        |        THEN t_s_secyear.year_total / t_s_firstyear.year_total
+        |        ELSE null END)
+        |ORDER BY 1, 1, 1
+        |LIMIT 100""".stripMargin,
+      Seq("customer_id", "customer_first_name", "customer_last_name"),
+      Seq("customer_id", "customer_first_name", "customer_last_name"),
+      "customer_id"),
+
+    // q11: same 4-way self-join over (ext_list_price - ext_discount_amt)
+    // revenue with the customer-profile columns carried through the CTE
+    adapted("tpcds_q11",
+      """WITH year_total AS (
+        |  SELECT c_customer_id AS customer_id,
+        |    c_first_name AS customer_first_name,
+        |    c_last_name AS customer_last_name,
+        |    c_preferred_cust_flag AS customer_preferred_cust_flag,
+        |    c_birth_country AS customer_birth_country,
+        |    c_login AS customer_login,
+        |    c_email_address AS customer_email_address,
+        |    d_year AS dyear,
+        |    sum(ss_ext_list_price - ss_ext_discount_amt) AS year_total,
+        |    's' AS sale_type
+        |  FROM tpcds.customer customer, tpcds.store_sales store_sales, tpcds.date_dim date_dim
+        |  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+        |  GROUP BY c_customer_id, c_first_name, c_last_name,
+        |    c_preferred_cust_flag, c_birth_country, c_login,
+        |    c_email_address, d_year
+        |  UNION ALL
+        |  SELECT c_customer_id AS customer_id,
+        |    c_first_name AS customer_first_name,
+        |    c_last_name AS customer_last_name,
+        |    c_preferred_cust_flag AS customer_preferred_cust_flag,
+        |    c_birth_country AS customer_birth_country,
+        |    c_login AS customer_login,
+        |    c_email_address AS customer_email_address,
+        |    d_year AS dyear,
+        |    sum(ws_ext_list_price - ws_ext_discount_amt) AS year_total,
+        |    'w' AS sale_type
+        |  FROM tpcds.customer customer, tpcds.web_sales web_sales, tpcds.date_dim date_dim
+        |  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+        |  GROUP BY c_customer_id, c_first_name, c_last_name,
+        |    c_preferred_cust_flag, c_birth_country, c_login,
+        |    c_email_address, d_year)
+        |SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+        |  t_s_secyear.customer_last_name,
+        |  t_s_secyear.customer_preferred_cust_flag,
+        |  t_s_secyear.customer_birth_country, t_s_secyear.customer_login
+        |FROM year_total t_s_firstyear, year_total t_s_secyear,
+        |  year_total t_w_firstyear, year_total t_w_secyear
+        |WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+        |  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+        |  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+        |  AND t_s_firstyear.sale_type = 's'
+        |  AND t_w_firstyear.sale_type = 'w'
+        |  AND t_s_secyear.sale_type = 's'
+        |  AND t_w_secyear.sale_type = 'w'
+        |  AND t_s_firstyear.dyear = 1999
+        |  AND t_s_secyear.dyear = 2000
+        |  AND t_w_firstyear.dyear = 1999
+        |  AND t_w_secyear.dyear = 2000
+        |  AND t_s_firstyear.year_total > 0
+        |  AND t_w_firstyear.year_total > 0
+        |  AND (CASE WHEN t_w_firstyear.year_total > 0
+        |        THEN t_w_secyear.year_total / t_w_firstyear.year_total
+        |        ELSE null END)
+        |    > (CASE WHEN t_s_firstyear.year_total > 0
+        |        THEN t_s_secyear.year_total / t_s_firstyear.year_total
+        |        ELSE null END)
+        |ORDER BY t_s_secyear.customer_id
+        |LIMIT 100""".stripMargin,
+      Seq("customer_id", "customer_first_name", "customer_last_name",
+        "customer_preferred_cust_flag", "customer_birth_country",
+        "customer_login"),
+      Seq("customer_id", "customer_first_name", "customer_last_name",
+        "customer_preferred_cust_flag", "customer_birth_country",
+        "customer_login"),
+      "customer_id"),
+
     // Round-5 widening: with store_returns / promotion / reason /
     // time_dim and the d_dow/d_day_name/store-name domains synthesized,
     // these ten reference texts run VERBATIM with non-empty results —

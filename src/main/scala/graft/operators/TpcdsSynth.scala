@@ -104,6 +104,7 @@ object TpcdsSynth {
        |  CAST((l_orderkey * 17 + l_linenumber * 11) % $custCount AS BIGINT) AS ${p}_${buyer}addr_sk,
        |  CAST(l_quantity AS INT) AS ${p}_quantity,
        |  ${money(s"$cents % 90000 + 100")} AS ${p}_list_price,
+       |  ${money(s"($cents % 90000 + 100) * $qty")} AS ${p}_ext_list_price,
        |  ${money(s"($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50")} AS ${p}_sales_price,
        |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $qty")} AS ${p}_ext_sales_price,
        |  ${money(s"($cents * 11 + 7) % 10000")} AS ${p}_ext_discount_amt,
@@ -211,6 +212,11 @@ object TpcdsSynth {
          |  CAST(1924 + c_custkey % 69 AS INT) AS c_birth_year,
          |  CAST(c_custkey % 12 + 1 AS INT) AS c_birth_month,
          |  CAST(c_custkey % 28 + 1 AS INT) AS c_birth_day,
+         |  CASE CAST(c_custkey % 5 AS INT) WHEN 0 THEN 'UNITED STATES'
+         |       WHEN 1 THEN 'CANADA' WHEN 2 THEN 'GERMANY'
+         |       WHEN 3 THEN 'JAPAN' ELSE 'BRAZIL' END AS c_birth_country,
+         |  'login' || CAST(c_custkey % 50 AS VARCHAR(2)) AS c_login,
+         |  'c' || CAST(c_custkey AS VARCHAR(12)) || '@example.com' AS c_email_address,
          |  CAST((c_custkey * 7 + 3) % 720 AS BIGINT) AS c_current_cdemo_sk,
          |  CAST((c_custkey * 11 + 5) % 720 AS BIGINT) AS c_current_hdemo_sk,
          |  c_custkey AS c_current_addr_sk
