@@ -108,6 +108,19 @@ class TpcdsSpec extends AnyFunSuite {
     }
   }
 
+  test("q74: the 4-way CTE self-join reuses the year_total exchanges") {
+    // year_total is referenced four times; at 100 TB recomputing the
+    // grouped aggregation per reference would quadruple the heaviest
+    // stage. Spark's exchange reuse collapses the identical aggregate
+    // subplans — pin that it actually fires here.
+    val df = SparkEntry.queries("tpcds_q74")(spark, TestSession.sf)
+    df.collect() // AQE: reuse is visible in the final executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p).length >= 2,
+      s"CTE self-join must reuse the aggregation exchanges:\n${p.take(4000)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian in q74")
+  }
+
   test("KNOWN DIVERGENCE: ROLLUP over empty input emits no grand-total row") {
     // The SQL standard (and the reference, and DuckDB) treat the empty
     // grouping set like a global aggregate: one row even over empty
