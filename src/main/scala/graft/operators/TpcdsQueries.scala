@@ -872,6 +872,30 @@ object TpcdsQueries extends QueryGroup {
         "customer_login"),
       "customer_id"),
 
+    // q14: cross-channel item INTERSECT + avg-sales scalar CTE + 4-level
+    // ROLLUP — the heaviest TPC-DS composite shape. Derived MECHANICALLY
+    // from the embedded verbatim text (md5-guarded upstream) with
+    // exactly three adaptations: (a) the '${database}.${schema}.store'
+    // channel-literal template artifact becomes plain 'store' (the
+    // benchto templating leaks into a string literal the two engines
+    // would render differently), (b) table refs resolve through the
+    // tpcds views, (c) the final ORDER BY gains NULLS FIRST so both
+    // engines cut the same top-100 across rollup subtotal rows. The
+    // spec constants (years 1999-2001, November of 2001) all sit inside
+    // the fixture epoch — no retuning needed.
+    adapted("tpcds_q14",
+      BenchtoTpcdsTexts.q14_1
+        .replace("'${database}.${schema}.store'", "'store'")
+        .replace("${database}.${schema}.", "tpcds.")
+        .replace(
+          """ORDER BY "channel" ASC, "i_brand_id" ASC, "i_class_id" ASC, "i_category_id" ASC""",
+          """ORDER BY "channel" ASC NULLS FIRST, "i_brand_id" ASC NULLS FIRST, "i_class_id" ASC NULLS FIRST, "i_category_id" ASC NULLS FIRST"""),
+      Seq("channel", "i_brand_id", "i_class_id", "i_category_id",
+        "sales", "number_sales"),
+      Seq("channel", "i_brand_id", "i_class_id", "i_category_id",
+        r2("sales"), big("number_sales")),
+      "channel, i_brand_id, i_class_id, i_category_id"),
+
     // Round-5 widening: with store_returns / promotion / reason /
     // time_dim and the d_dow/d_day_name/store-name domains synthesized,
     // these ten reference texts run VERBATIM with non-empty results —
