@@ -968,6 +968,22 @@ object TpcdsQueries extends QueryGroup {
     verbatim("tpcds_q61_verbatim", BenchtoTpcdsTexts.q61,
       Seq("promotions", "total", "ratio"),
       Seq(r2("promotions"), r2("total"), r6("ratio")), ""),
+    // q23: best-customer cross-channel CTE chain (frequent items,
+    // max-store-sales scalar, 50%-of-max best customers, then February
+    // catalog+web revenue from those customers on those items). The
+    // year list 2000..2003 overlaps the epoch's 2000-2001, so the CTEs
+    // select real rows; single-row output, no LIMIT-cut exposure. The
+    // verbatim text's count(*) > 4 frequency bar exceeds the fixture's
+    // max same-item-same-day repeat (2), so its answer is an honest
+    // NULL — the adapted twin lowers the bar to > 1 and returns real
+    // revenue through the whole chain.
+    verbatim("tpcds_q23_verbatim", BenchtoTpcdsTexts.q23_1,
+      Seq("total_sales"), Seq(r2("total_sales")), ""),
+    adapted("tpcds_q23",
+      BenchtoTpcdsTexts.q23_1
+        .replace("\"count\"(*) > 4", "\"count\"(*) > 1")
+        .replace("${database}.${schema}.", "tpcds."),
+      Seq("total_sales"), Seq(r2("total_sales")), ""),
     verbatim("tpcds_q98_verbatim", BenchtoTpcdsTexts.q98,
       Seq("i_item_id", "i_item_desc", "i_category", "i_class",
         "i_current_price", "itemrevenue", "revenueratio"),
