@@ -37,7 +37,13 @@ object Bench {
     // round-5 ops: the heaviest TPC-DS shapes (8-level rollup + ranked
     // window; full-join cumulative windows; OR-of-EXISTS chain) and the
     // grid-bucketed polygon-polygon join
-    "tpcds_q67", "tpcds_q51", "tpcds_q10", "spatial_polygon_join")
+    "tpcds_q67", "tpcds_q51", "tpcds_q10", "spatial_polygon_join",
+    // round-5 additions: the cross-channel INTERSECT composite, the
+    // 4-way CTE self-join (exchange reuse), duplicate clustering over
+    // the LSH candidate pairs (the linear production path — the exact
+    // quadratic twin dd_jaccard_clusters lives in the correctness gate,
+    // not here), and the KD-B-partitioned distance join
+    "tpcds_q14", "tpcds_q74", "dd_minhash_clusters", "spatial_kdb_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
