@@ -896,6 +896,22 @@ object TpcdsQueries extends QueryGroup {
         r2("sales"), big("number_sales")),
       "channel, i_brand_id, i_class_id, i_category_id"),
 
+    // q04: the FULL three-channel year-over-year 6-way CTE self-join —
+    // derived mechanically from the embedded md5-guarded verbatim text
+    // with only view refs and the year pair retuned (2001/2002 →
+    // 1999/2000; the spec's second year is outside the fixture epoch).
+    // Completes the q4/q11/q74 growth-ratio trio.
+    adapted("tpcds_q04",
+      BenchtoTpcdsTexts.q04
+        .replace("${database}.${schema}.", "tpcds.")
+        .replace("\"dyear\" = 2001", "\"dyear\" = 1999")
+        .replace("\"dyear\" = (2001 + 1)", "\"dyear\" = (1999 + 1)"),
+      Seq("customer_id", "customer_first_name", "customer_last_name",
+        "customer_preferred_cust_flag"),
+      Seq("customer_id", "customer_first_name", "customer_last_name",
+        "customer_preferred_cust_flag"),
+      "customer_id"),
+
     // Round-5 widening: with store_returns / promotion / reason /
     // time_dim and the d_dow/d_day_name/store-name domains synthesized,
     // these ten reference texts run VERBATIM with non-empty results —

@@ -110,6 +110,7 @@ object TpcdsSynth {
        |  ${money(s"($cents * 11 + 7) % 10000")} AS ${p}_ext_discount_amt,
        |  ${money(s"($cents * 3 + 1) % 5000")} AS ${p}_coupon_amt,
        |  ${money(s"($cents * 13 + 17) % 60000 + 50")} AS ${p}_wholesale_cost,
+       |  ${money(s"(($cents * 13 + 17) % 60000 + 50) * $qty")} AS ${p}_ext_wholesale_cost,
        |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $qty - (($cents * 13 + 17) % 60000 + 50) * $qty")} AS ${p}_net_profit,
        |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $qty + CAST(round(l_tax * 100) AS BIGINT) * $qty")} AS ${p}_net_paid""".stripMargin
   }

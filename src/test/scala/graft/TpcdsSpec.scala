@@ -149,8 +149,8 @@ class TpcdsSpec extends AnyFunSuite {
       "q93" -> BenchtoTpcdsTexts.q93, "q96" -> BenchtoTpcdsTexts.q96,
       "q98" -> BenchtoTpcdsTexts.q98, "q26" -> BenchtoTpcdsTexts.q26,
       "q59" -> BenchtoTpcdsTexts.q59, "q61" -> BenchtoTpcdsTexts.q61,
-      "q14_1" -> BenchtoTpcdsTexts.q14_1,
-      "q23_1" -> BenchtoTpcdsTexts.q23_1).foreach { case (name, embedded) =>
+      "q14_1" -> BenchtoTpcdsTexts.q14_1, "q23_1" -> BenchtoTpcdsTexts.q23_1,
+      "q04" -> BenchtoTpcdsTexts.q04).foreach { case (name, embedded) =>
       val ref = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(refDir, s"$name.sql").toPath))
       assert(embedded == ref, s"$name drifted from the reference text")
