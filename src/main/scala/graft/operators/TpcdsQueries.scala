@@ -873,7 +873,16 @@ object TpcdsQueries extends QueryGroup {
       "customer_id"),
 
     // q14: cross-channel item INTERSECT + avg-sales scalar CTE + 4-level
-    // ROLLUP — the heaviest TPC-DS composite shape. Derived MECHANICALLY
+    // ROLLUP — the heaviest TPC-DS composite shape. Known engine
+    // trade-off, measured: with AQE ON Spark re-plans each inlined CTE
+    // instance as its own stage and exchange/subquery reuse never fires
+    // (57 parquet scans, 8.2 s at sf0.1); with AQE OFF the identical
+    // instances collapse (13 scans, 18 ReusedExchange). AQE stays on —
+    // its skew-join splitting and partition coalescing are worth more
+    // across the whole workload at 100 TB than this query's reuse, a
+    // production user would materialize cross_items anyway, and
+    // ConfigMatrixSpec pins that the RESULT is identical either way.
+    // Derived MECHANICALLY
     // from the embedded verbatim text (md5-guarded upstream) with
     // exactly three adaptations: (a) the '${database}.${schema}.store'
     // channel-literal template artifact becomes plain 'store' (the
