@@ -1009,6 +1009,18 @@ object TpcdsQueries extends QueryGroup {
         .replace("\"count\"(*) > 4", "\"count\"(*) > 1")
         .replace("${database}.${schema}.", "tpcds."),
       Seq("total_sales"), Seq(r2("total_sales")), ""),
+    // q33/q60: three-channel UNION-by-category family — every constant
+    // (Electronics/Music, 1998, ca_gmt_offset -5) sits inside the
+    // synthesized domains. q33 groups by manufact_id (≤ 50 rows, under
+    // the LIMIT — no cut exposure); q60 orders by its unique group key.
+    verbatim("tpcds_q33_verbatim", BenchtoTpcdsTexts.q33,
+      Seq("i_manufact_id", "total_sales"),
+      Seq("i_manufact_id", r2("total_sales")),
+      "i_manufact_id"),
+    verbatim("tpcds_q60_verbatim", BenchtoTpcdsTexts.q60,
+      Seq("i_item_id", "total_sales"),
+      Seq("i_item_id", r2("total_sales")),
+      "i_item_id"),
     verbatim("tpcds_q98_verbatim", BenchtoTpcdsTexts.q98,
       Seq("i_item_id", "i_item_desc", "i_category", "i_class",
         "i_current_price", "itemrevenue", "revenueratio"),
