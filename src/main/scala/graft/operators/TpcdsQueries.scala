@@ -1021,6 +1021,18 @@ object TpcdsQueries extends QueryGroup {
       Seq("i_item_id", "total_sales"),
       Seq("i_item_id", r2("total_sales")),
       "i_item_id"),
+    // q69: EXISTS + double-NOT-EXISTS demographics (the anti-join twin
+    // of q10) — 'NM' lands in the synthesized state domain and the
+    // April-June 2001 window is inside the epoch; ORDER covers all five
+    // group keys, so the LIMIT cut is total.
+    verbatim("tpcds_q69_verbatim", BenchtoTpcdsTexts.q69,
+      Seq("cd_gender", "cd_marital_status", "cd_education_status", "cnt1",
+        "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3"),
+      Seq("cd_gender", "cd_marital_status", "cd_education_status",
+        big("cnt1"), "cd_purchase_estimate", big("cnt2"),
+        "cd_credit_rating", big("cnt3")),
+      "cd_gender, cd_marital_status, cd_education_status, " +
+        "cd_purchase_estimate, cd_credit_rating"),
     verbatim("tpcds_q98_verbatim", BenchtoTpcdsTexts.q98,
       Seq("i_item_id", "i_item_desc", "i_category", "i_class",
         "i_current_price", "itemrevenue", "revenueratio"),

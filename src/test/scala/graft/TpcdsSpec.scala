@@ -151,7 +151,8 @@ class TpcdsSpec extends AnyFunSuite {
       "q59" -> BenchtoTpcdsTexts.q59, "q61" -> BenchtoTpcdsTexts.q61,
       "q14_1" -> BenchtoTpcdsTexts.q14_1, "q23_1" -> BenchtoTpcdsTexts.q23_1,
       "q04" -> BenchtoTpcdsTexts.q04, "q33" -> BenchtoTpcdsTexts.q33,
-      "q60" -> BenchtoTpcdsTexts.q60).foreach { case (name, embedded) =>
+      "q60" -> BenchtoTpcdsTexts.q60,
+      "q69" -> BenchtoTpcdsTexts.q69).foreach { case (name, embedded) =>
       val ref = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(refDir, s"$name.sql").toPath))
       assert(embedded == ref, s"$name drifted from the reference text")
