@@ -302,12 +302,28 @@ object GeometryFns {
     }
     val A = openCcw(pa.rings.head); val B = openCcw(pb.rings.head)
 
-    // guard the declared subset: no vertex of one polygon on the other's
-    // boundary (covers shared vertices and vertex-on-edge)
+    // degeneracy tolerances, RELATIVE to the inputs' coordinate scale:
+    // crossing points are computed in floating point, so a contact that
+    // is degenerate by construction can come out a few ulps off exact
+    // zero — an exact `orient == 0.0` guard would let it slip into the
+    // traversal and produce a plausible-but-wrong ring walk. Anything
+    // within ~1e-9 of the scale counts as degenerate and fails loudly.
+    val span = math.max(1.0,
+      (A ++ B).iterator.map(p => math.max(math.abs(p.x), math.abs(p.y))).max)
+    val distTol = 1e-9 * span          // point-to-line distances
+    val orientTol = distTol * span     // orient() is distance × length
+
+    // guard the declared subset: no vertex of one polygon on (or within
+    // tolerance of) the other's boundary — covers shared vertices,
+    // vertex-on-edge, and their 1-ulp-off floating-point neighbors
+    def nearSegment(a: GPoint, b: GPoint, p: GPoint): Boolean =
+      math.abs(orient(a, b, p)) <= orientTol &&
+        p.x >= math.min(a.x, b.x) - distTol && p.x <= math.max(a.x, b.x) + distTol &&
+        p.y >= math.min(a.y, b.y) - distTol && p.y <= math.max(a.y, b.y) + distTol
     def onBoundary(ring: Array[GPoint], p: GPoint): Boolean = {
       var i = 0
       while (i < ring.length) {
-        if (onSegment(ring(i), ring((i + 1) % ring.length), p)) return true
+        if (nearSegment(ring(i), ring((i + 1) % ring.length), p)) return true
         i += 1
       }
       false
@@ -315,7 +331,9 @@ object GeometryFns {
     if (A.exists(onBoundary(B, _)) || B.exists(onBoundary(A, _)))
       fail("st_union requires boundaries that cross transversally (declared subset)")
 
-    // collect proper crossings; any collinear-overlap contact fails
+    // collect proper crossings; any collinear-overlap or near-tangential
+    // contact fails. A proper crossing needs all four orientations
+    // CLEARLY nonzero (beyond tolerance) with alternating signs.
     final case class Cross(pt: GPoint, edgeA: Int, tA: Double, edgeB: Int, tB: Double)
     val crosses = scala.collection.mutable.ArrayBuffer.empty[Cross]
     var i = 0
@@ -326,11 +344,20 @@ object GeometryFns {
         val q1 = B(j); val q2 = B((j + 1) % B.length)
         val d1 = orient(q1, q2, p1); val d2 = orient(q1, q2, p2)
         val d3 = orient(p1, p2, q1); val d4 = orient(p1, p2, q2)
-        if (d1 == 0 && d2 == 0 && (onSegment(q1, q2, p1) || onSegment(q1, q2, p2) ||
-            onSegment(p1, p2, q1) || onSegment(p1, p2, q2)))
+        if (math.abs(d1) <= orientTol && math.abs(d2) <= orientTol &&
+            (nearSegment(q1, q2, p1) || nearSegment(q1, q2, p2) ||
+              nearSegment(p1, p2, q1) || nearSegment(p1, p2, q2)))
           fail("st_union requires boundaries that cross transversally (declared subset)")
         if ((d1 > 0) != (d2 > 0) && (d3 > 0) != (d4 > 0) &&
-            d1 != 0 && d2 != 0 && d3 != 0 && d4 != 0) {
+            (math.abs(d1) <= orientTol || math.abs(d2) <= orientTol ||
+              math.abs(d3) <= orientTol || math.abs(d4) <= orientTol) &&
+            (nearSegment(q1, q2, p1) || nearSegment(q1, q2, p2) ||
+              nearSegment(p1, p2, q1) || nearSegment(p1, p2, q2)))
+          fail("st_union requires boundaries that cross transversally " +
+            "(near-tangential contact, declared subset)")
+        if ((d1 > 0) != (d2 > 0) && (d3 > 0) != (d4 > 0) &&
+            math.abs(d1) > orientTol && math.abs(d2) > orientTol &&
+            math.abs(d3) > orientTol && math.abs(d4) > orientTol) {
           val den = (p2.x - p1.x) * (q2.y - q1.y) - (p2.y - p1.y) * (q2.x - q1.x)
           val t = ((q1.x - p1.x) * (q2.y - q1.y) - (q1.y - p1.y) * (q2.x - q1.x)) / den
           val u = ((q1.x - p1.x) * (p2.y - p1.y) - (q1.y - p1.y) * (p2.x - p1.x)) / den
@@ -405,8 +432,22 @@ object GeometryFns {
     }
     if (rings.isEmpty) fail("st_union traversal found no outside boundary (degenerate input)")
     val shellIdx = rings.indices.maxBy(k => math.abs(ringSignedArea(rings(k))))
-    polygonWkt(Polygon(rings(shellIdx) +: rings.toSeq.zipWithIndex
+    val result = polygonWkt(Polygon(rings(shellIdx) +: rings.toSeq.zipWithIndex
       .collect { case (r, k) if k != shellIdx => r }))
+    // validate the walk: a union's area is bounded by max(|A|,|B|) from
+    // below and |A|+|B| from above. A near-degenerate contact that slips
+    // past the tolerance guards produces a wrong ring walk whose area
+    // violates these bounds — fail loudly instead of returning a
+    // plausible wrong polygon.
+    val aA = math.abs(ringSignedArea(pa.rings.head))
+    val aB = math.abs(ringSignedArea(pb.rings.head))
+    val aU = area(result)
+    val areaTol = 1e-9 * (aA + aB) + orientTol
+    if (aU < math.max(aA, aB) - areaTol || aU > aA + aB + areaTol)
+      fail(f"st_union result area $aU%.6g outside [max(|A|,|B|), |A|+|B|] = " +
+        f"[${math.max(aA, aB)}%.6g, ${aA + aB}%.6g] — near-degenerate input " +
+        "slipped past the transversality guards (declared subset)")
+    result
   }
 
   def multiPolygonWkt(ps: Seq[Polygon]): String =

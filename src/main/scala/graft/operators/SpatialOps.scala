@@ -71,25 +71,31 @@ object SpatialOps extends QueryGroup {
     val out = scala.collection.mutable.ArrayBuffer.empty[KdbLeaf]
     val inf = Double.PositiveInfinity
     def split(pts: Array[(Double, Double)], xmin: Double, ymin: Double,
-        xmax: Double, ymax: Double, onX: Boolean): Unit = {
+        xmax: Double, ymax: Double, onX: Boolean, triedOther: Boolean): Unit = {
       val axis = (p: (Double, Double)) => if (onX) p._1 else p._2
       lazy val sorted = pts.sortBy(axis)
       lazy val m = axis(sorted(pts.length / 2))
-      if (pts.length <= leafCap || axis(sorted.head) == m) {
-        // small enough, or the median equals the minimum (can't split)
+      if (pts.length <= leafCap) {
         out += KdbLeaf(out.length, xmin, ymin, xmax, ymax)
+      } else if (axis(sorted.head) == m) {
+        // degenerate axis (median == minimum, e.g. all x equal): retry
+        // the OTHER axis before giving up — a sample collinear on x but
+        // spread on y still splits on y. Only when both axes are
+        // degenerate (all points identical) emit the oversized leaf.
+        if (triedOther) out += KdbLeaf(out.length, xmin, ymin, xmax, ymax)
+        else split(pts, xmin, ymin, xmax, ymax, !onX, triedOther = true)
       } else {
         val (lo, hi) = pts.partition(p => axis(p) < m)
         if (onX) {
-          split(lo, xmin, ymin, m, ymax, onX = false)
-          split(hi, m, ymin, xmax, ymax, onX = false)
+          split(lo, xmin, ymin, m, ymax, onX = false, triedOther = false)
+          split(hi, m, ymin, xmax, ymax, onX = false, triedOther = false)
         } else {
-          split(lo, xmin, ymin, xmax, m, onX = true)
-          split(hi, xmin, m, xmax, ymax, onX = true)
+          split(lo, xmin, ymin, xmax, m, onX = true, triedOther = false)
+          split(hi, xmin, m, xmax, ymax, onX = true, triedOther = false)
         }
       }
     }
-    split(sample, -inf, -inf, inf, inf, onX = true)
+    split(sample, -inf, -inf, inf, inf, onX = true, triedOther = false)
     out.toArray
   }
 

@@ -302,6 +302,14 @@ object TextOps extends QueryGroup {
       labels = updated.select(col("id"), col("next").as("label"))
       iter += 1
     }
+    // fail LOUDLY on non-convergence: exiting here with partial labels
+    // would flow silently-wrong clusters into dd_*_clusters results. A
+    // component with diameter > maxIters needs the O(log n)-round
+    // contraction noted above, not a higher cap.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds — a " +
+        "component's diameter exceeds the cap; partial labels would be " +
+        "incorrect, refusing to return them")
     labels
   }
 

@@ -597,6 +597,14 @@ class FnSpec extends AnyFunSuite {
     // shared-edge contact is outside the declared transversal subset
     intercept[Exception](stUnion("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
       "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))"))
+    // NEAR-degenerate contact (a vertex 1e-13 off the other's edge —
+    // degenerate by construction, nonzero in floating point) must hit
+    // the tolerance guard and fail loudly, not slip into the traversal
+    intercept[Exception](stUnion("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "POLYGON ((1 2.0000000000001, 3 2.5, 1 4, 1 2.0000000000001))"))
+    // …while a clearly-transversal crossing just 0.01 away still works
+    assert(area(stUnion("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "POLYGON ((0.5 1.99, 1.5 1.99, 1.5 3, 0.5 3, 0.5 1.99))")) > 4.0)
     // SQL surface: st_intersects, st_length, st_line_from_text
     val r = spark.sql(
       """SELECT st_intersects('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))',

@@ -39,6 +39,27 @@ class SpatialSpec extends AnyFunSuite {
       "median splits must produce enough leaves to respect the cap")
   }
 
+  test("kdb leaves split a degenerate axis by retrying the other axis") {
+    // all points share x (collinear on the first split axis) but spread
+    // on y: the splitter must fall through to the y axis instead of
+    // emitting one unbounded leaf
+    val sample = Array.tabulate(1000)(i => (5.0, i.toDouble))
+    val leaves = SpatialOps.kdbLeaves(sample, leafCap = 64)
+    val populations = leaves.map { l =>
+      sample.count { case (x, y) =>
+        x >= l.xmin && x < l.xmax && y >= l.ymin && y < l.ymax }
+    }
+    assert(populations.max <= 64,
+      s"max leaf population ${populations.max}: degenerate x axis was not retried on y")
+    sample.foreach { case (x, y) =>
+      assert(leaves.count(l =>
+        x >= l.xmin && x < l.xmax && y >= l.ymin && y < l.ymax) == 1)
+    }
+    // fully identical points CAN'T split: one leaf, no infinite recursion
+    val same = Array.fill(200)((1.0, 1.0))
+    assert(SpatialOps.kdbLeaves(same, leafCap = 64).length == 1)
+  }
+
   test("kdb distance join equals brute force on a skewed corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -67,6 +67,14 @@ class TextOpsSpec extends AnyFunSuite {
       assert(r.getLong(1) <= r.getLong(0), "label must be the min doc_id")
       assert(r.getLong(2) >= 2, "every clustered doc has at least one partner")
     }
+    // a component whose diameter exceeds the iteration cap fails LOUDLY
+    // instead of returning partial (wrong) labels: a 10-node chain needs
+    // 9 propagation rounds, so maxIters = 3 cannot converge
+    val chain = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L until 10L).map(i => Row(i, i + 1))), schema)
+    val e = intercept[IllegalStateException](
+      TextOps.connectedComponents(chain, maxIters = 3))
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("incremental minhash equals the batch pairs that touch a new doc; reuse skips the index build") {
