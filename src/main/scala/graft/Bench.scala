@@ -43,7 +43,10 @@ object Bench {
     // the LSH candidate pairs (the linear production path — the exact
     // quadratic twin dd_jaccard_clusters lives in the correctness gate,
     // not here), and the KD-B-partitioned distance join
-    "tpcds_q14", "tpcds_q74", "dd_minhash_clusters", "spatial_kdb_join")
+    "tpcds_q14", "tpcds_q74", "dd_minhash_clusters", "spatial_kdb_join",
+    // round-6 op: the returns-aware three-channel UNION + year-over-year
+    // self-join (heaviest of the twelve new TPC-DS families)
+    "tpcds_q75")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,6 +38,20 @@ object TpcdsQueries extends QueryGroup {
   private val viewsFor =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
+  /** Dimensions generated from inline digit series (no fixture input):
+    * constant-size regardless of SF — date_dim 2 557 rows, time_dim
+    * 86 400, demographics 720, promotion 300, reason 35. Left as plain
+    * views, Spark re-executes the digit-table cross product and
+    * re-broadcasts the result for EVERY reference in every query (q14's
+    * plan showed four separate regenerations of date_dim); caching them
+    * pins one InMemoryRelation per session that all queries share. The
+    * fixture-DERIVED views (item, fact tables, …) stay uncached so scan
+    * pushdown/pruning keep working — at 100 TB those are real tables,
+    * while these generated dims are tiny at any scale.
+    */
+  private val generatedDims = Set("date_dim", "time_dim",
+    "customer_demographics", "household_demographics", "promotion", "reason")
+
   private def ensureTpcdsViews(spark: SparkSession, dir: String): Unit =
     viewsFor.compute(spark, (_, prev) => {
       if (prev != dir) {
@@ -45,6 +59,8 @@ object TpcdsQueries extends QueryGroup {
         TpcdsSynth.tables.foreach { t =>
           val body = TpcdsSynth.tableSql(t, b => s"parquet.`$dir/$b.parquet`")
           spark.sql(s"CREATE OR REPLACE VIEW tpcds.$t AS $body")
+          if (generatedDims(t) && sys.props.get("graft.tpcds.cacheDims").forall(_ == "true"))
+            spark.catalog.cacheTable(s"tpcds.$t")
         }
       }
       dir
@@ -873,37 +889,65 @@ object TpcdsQueries extends QueryGroup {
       "customer_id"),
 
     // q14: cross-channel item INTERSECT + avg-sales scalar CTE + 4-level
-    // ROLLUP — the heaviest TPC-DS composite shape. Known engine
-    // trade-off, measured: with AQE ON Spark re-plans each inlined CTE
-    // instance as its own stage and exchange/subquery reuse never fires
-    // (57 parquet scans, 8.2 s at sf0.1); with AQE OFF the identical
-    // instances collapse (13 scans, 18 ReusedExchange). AQE stays on —
-    // its skew-join splitting and partition coalescing are worth more
-    // across the whole workload at 100 TB than this query's reuse, a
-    // production user would materialize cross_items anyway, and
-    // ConfigMatrixSpec pins that the RESULT is identical either way.
-    // Derived MECHANICALLY
+    // ROLLUP — the heaviest TPC-DS composite shape. Derived MECHANICALLY
     // from the embedded verbatim text (md5-guarded upstream) with
-    // exactly three adaptations: (a) the '${database}.${schema}.store'
+    // exactly four adaptations: (a) the '${database}.${schema}.store'
     // channel-literal template artifact becomes plain 'store' (the
     // benchto templating leaks into a string literal the two engines
     // would render differently), (b) table refs resolve through the
     // tpcds views, (c) the final ORDER BY gains NULLS FIRST so both
-    // engines cut the same top-100 across rollup subtotal rows. The
-    // spec constants (years 1999-2001, November of 2001) all sit inside
-    // the fixture epoch — no retuning needed.
-    adapted("tpcds_q14",
-      BenchtoTpcdsTexts.q14_1
+    // engines cut the same top-100 across rollup subtotal rows, and
+    // (d) — engine side only — the two CTEs every channel branch shares
+    // (cross_items, avg_sales) are MATERIALIZED once (localCheckpoint +
+    // temp view) instead of re-planned per reference. Measured round 5:
+    // with AQE ON Spark re-plans each inlined CTE instance as its own
+    // adaptive stage and exchange reuse never fires — 57 parquet scans,
+    // 8.2 s at sf0.1; AQE OFF collapses them (13 scans) but loses skew
+    // splitting workload-wide. Materialization keeps AQE on AND scans
+    // each fact table once per role (round-6 measurement in the commit):
+    // this is exactly what the reference's own protocol expects a
+    // production user to do with a 3×-referenced CTE at 100 TB, and on a
+    // cluster `localCheckpoint` becomes `checkpoint`/CTAS. The spec
+    // constants (years 1999-2001, November of 2001) all sit inside the
+    // fixture epoch — no retuning needed. The oracle runs the UNCHANGED
+    // WITH-text (DuckDB evaluates each CTE once natively), so the
+    // materialization is correctness-checked against the textual shape.
+    {
+      val text = BenchtoTpcdsTexts.q14_1
         .replace("'${database}.${schema}.store'", "'store'")
         .replace("${database}.${schema}.", "tpcds.")
         .replace(
           """ORDER BY "channel" ASC, "i_brand_id" ASC, "i_class_id" ASC, "i_category_id" ASC""",
-          """ORDER BY "channel" ASC NULLS FIRST, "i_brand_id" ASC NULLS FIRST, "i_class_id" ASC NULLS FIRST, "i_category_id" ASC NULLS FIRST"""),
-      Seq("channel", "i_brand_id", "i_class_id", "i_category_id",
-        "sales", "number_sales"),
-      Seq("channel", "i_brand_id", "i_class_id", "i_category_id",
-        r2("sales"), big("number_sales")),
-      "channel, i_brand_id, i_class_id, i_category_id"),
+          """ORDER BY "channel" ASC NULLS FIRST, "i_brand_id" ASC NULLS FIRST, "i_class_id" ASC NULLS FIRST, "i_category_id" ASC NULLS FIRST""")
+      val aliases = Seq("channel", "i_brand_id", "i_class_id", "i_category_id",
+        "sales", "number_sales")
+      val norm = Seq("channel", "i_brand_id", "i_class_id", "i_category_id",
+        r2("sales"), big("number_sales"))
+      val order = "channel, i_brand_id, i_class_id, i_category_id"
+      val oracle = TpcdsSynth.duckCtePreamble +
+        wrapNorm(text.replace("tpcds.", "tpcds_"), aliases, norm, order)
+      // split the verbatim WITH-clause at its two (md5-guarded, stable)
+      // CTE delimiters; each body is the text between "<name> AS (" and
+      // the matching close just before the next clause
+      val iCross = text.indexOf("cross_items AS (") + "cross_items AS (".length
+      val iAvgClause = text.indexOf(", avg_sales AS (")
+      val iAvg = iAvgClause + ", avg_sales AS (".length
+      val iMain = text.indexOf("SELECT\n  \"channel\"", iAvg)
+      require(iCross > 16 && iAvgClause > iCross && iMain > iAvg,
+        "q14 CTE delimiters not found — verbatim text changed upstream")
+      val crossBody = text.substring(iCross, iAvgClause).trim.dropRight(1)
+      val avgBody = text.substring(iAvg, iMain).trim.dropRight(1)
+      val mainBody = text.substring(iMain)
+      QueryDef("tpcds_q14", Some(oracle), (s, dir) => {
+        Tables.register(s, dir)
+        ensureTpcdsViews(s, dir)
+        s.sql(crossBody).localCheckpoint()
+          .createOrReplaceTempView("cross_items")
+        s.sql(avgBody).localCheckpoint()
+          .createOrReplaceTempView("avg_sales")
+        s.sql(wrapNorm(mainBody, aliases, norm, order))
+      })
+    },
 
     // q04: the FULL three-channel year-over-year 6-way CTE self-join —
     // derived mechanically from the embedded md5-guarded verbatim text
@@ -1043,5 +1087,507 @@ object TpcdsQueries extends QueryGroup {
       Seq("i_item_id", "i_item_desc", "i_category", "i_class",
         "i_current_price", r2("itemrevenue"), r6("revenueratio")),
       "i_category, i_class, i_item_id, i_item_desc"),
+
+    // ── round-6 widening: twelve more reference families ─────────────
+    // (reference texts presto-benchto-benchmarks/.../tpcds/qNN.sql; same
+    // adaptation discipline as above — structure kept, constants tuned
+    // into the synthesized domains, total ORDER under LIMIT, NULLS FIRST
+    // where rollup/outer-join nulls can reach an ordering key.)
+
+    // q47: rank-indexed lag/lead self-join around the monthly category
+    // average — the richest window family (rank + windowed avg + a
+    // 3-way self-join on rank±1). s_company_name (constant in the spec
+    // data) is dropped from the synthesized store; d_year 2000 with the
+    // flanking months of 1999/2001 per the reference.
+    adapted("tpcds_q47",
+      """WITH v1 AS (
+        |  SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+        |    sum(ss_sales_price) sum_sales,
+        |    avg(sum(ss_sales_price)) OVER
+        |      (PARTITION BY i_category, i_brand, s_store_name, d_year) avg_monthly_sales,
+        |    rank() OVER
+        |      (PARTITION BY i_category, i_brand, s_store_name
+        |       ORDER BY d_year, d_moy) rn
+        |  FROM tpcds.item, tpcds.store_sales, tpcds.date_dim, tpcds.store
+        |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        |    AND ss_store_sk = s_store_sk
+        |    AND (d_year = 2000 OR (d_year = 1999 AND d_moy = 12)
+        |         OR (d_year = 2001 AND d_moy = 1))
+        |  GROUP BY i_category, i_brand, s_store_name, d_year, d_moy
+        |),
+        |v2 AS (
+        |  SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.d_year,
+        |    v1.d_moy, v1.avg_monthly_sales, v1.sum_sales,
+        |    v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+        |  FROM v1, v1 v1_lag, v1 v1_lead
+        |  WHERE v1.i_category = v1_lag.i_category
+        |    AND v1.i_category = v1_lead.i_category
+        |    AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+        |    AND v1.s_store_name = v1_lag.s_store_name
+        |    AND v1.s_store_name = v1_lead.s_store_name
+        |    AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
+        |)
+        |SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+        |  avg_monthly_sales, sum_sales, psum, nsum
+        |FROM v2
+        |WHERE d_year = 2000 AND avg_monthly_sales > 0
+        |  AND CASE WHEN avg_monthly_sales > 0
+        |      THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+        |      ELSE NULL END > 0.1
+        |ORDER BY sum_sales - avg_monthly_sales, i_category, i_brand,
+        |  s_store_name, d_moy
+        |LIMIT 100""".stripMargin,
+      Seq("i_category", "i_brand", "s_store_name", "d_year", "d_moy",
+        "avg_monthly_sales", "sum_sales", "psum", "nsum"),
+      Seq("i_category", "i_brand", "s_store_name", "d_year", "d_moy",
+        r2("avg_monthly_sales"), r2("sum_sales"), r2("psum"), r2("nsum")),
+      "i_category, i_brand, s_store_name, d_year, d_moy"),
+
+    // q44: best/worst item net-profit ranks at one store, joined on the
+    // rank. Adaptations beyond the usual: the spec's baseline filter
+    // `ss_addr_sk IS NULL` (a null-skew artifact of the official
+    // generator) has no synthesized twin — a deterministic hdemo slice
+    // stands in; and the rank input is rounded with item_sk as a
+    // tiebreak so an LSB-level average can't flip ranks between engines.
+    adapted("tpcds_q44",
+      """SELECT asceding.rnk, i1.i_product_name best_performing,
+        |  i2.i_product_name worst_performing
+        |FROM
+        |  (SELECT item_sk, rnk FROM
+        |    (SELECT item_sk, rank() OVER (ORDER BY rank_col, item_sk) rnk
+        |     FROM (SELECT ss_item_sk item_sk,
+        |             round(avg(ss_net_profit), 4) rank_col
+        |           FROM tpcds.store_sales
+        |           WHERE ss_store_sk = 4
+        |           GROUP BY ss_item_sk
+        |           HAVING avg(ss_net_profit) > 0.9 * (
+        |             SELECT avg(ss_net_profit) rank_col
+        |             FROM tpcds.store_sales
+        |             WHERE ss_store_sk = 4 AND ss_hdemo_sk % 11 = 7
+        |             GROUP BY ss_store_sk)) v1) v11
+        |   WHERE rnk < 11) asceding,
+        |  (SELECT item_sk, rnk FROM
+        |    (SELECT item_sk, rank() OVER (ORDER BY rank_col DESC, item_sk) rnk
+        |     FROM (SELECT ss_item_sk item_sk,
+        |             round(avg(ss_net_profit), 4) rank_col
+        |           FROM tpcds.store_sales
+        |           WHERE ss_store_sk = 4
+        |           GROUP BY ss_item_sk
+        |           HAVING avg(ss_net_profit) > 0.9 * (
+        |             SELECT avg(ss_net_profit) rank_col
+        |             FROM tpcds.store_sales
+        |             WHERE ss_store_sk = 4 AND ss_hdemo_sk % 11 = 7
+        |             GROUP BY ss_store_sk)) v2) v21
+        |   WHERE rnk < 11) descending,
+        |  tpcds.item i1, tpcds.item i2
+        |WHERE asceding.rnk = descending.rnk
+        |  AND i1.i_item_sk = asceding.item_sk
+        |  AND i2.i_item_sk = descending.item_sk
+        |ORDER BY asceding.rnk
+        |LIMIT 100""".stripMargin,
+      Seq("rnk", "best_performing", "worst_performing"),
+      Seq(big("rnk"), "best_performing", "worst_performing"),
+      "rnk"),
+
+    // q31: county-level quarter-over-quarter share growth — six CTE
+    // instances (store q1-q3, web q1-q3) joined on county, web growth
+    // required to outpace store growth in both steps.
+    adapted("tpcds_q31",
+      """WITH ss AS (
+        |  SELECT ca_county, d_qoy, d_year,
+        |    sum(ss_ext_sales_price) store_sales
+        |  FROM tpcds.store_sales, tpcds.date_dim, tpcds.customer_address
+        |  WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+        |  GROUP BY ca_county, d_qoy, d_year
+        |),
+        |ws AS (
+        |  SELECT ca_county, d_qoy, d_year,
+        |    sum(ws_ext_sales_price) web_sales
+        |  FROM tpcds.web_sales, tpcds.date_dim, tpcds.customer_address
+        |  WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+        |  GROUP BY ca_county, d_qoy, d_year
+        |)
+        |SELECT ss1.ca_county, ss1.d_year,
+        |  CAST(ws2.web_sales AS DOUBLE) / ws1.web_sales web_q1_q2_increase,
+        |  CAST(ss2.store_sales AS DOUBLE) / ss1.store_sales store_q1_q2_increase,
+        |  CAST(ws3.web_sales AS DOUBLE) / ws2.web_sales web_q2_q3_increase,
+        |  CAST(ss3.store_sales AS DOUBLE) / ss2.store_sales store_q2_q3_increase
+        |FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+        |WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000
+        |  AND ss1.ca_county = ss2.ca_county AND ss2.d_qoy = 2 AND ss2.d_year = 2000
+        |  AND ss2.ca_county = ss3.ca_county AND ss3.d_qoy = 3 AND ss3.d_year = 2000
+        |  AND ss1.ca_county = ws1.ca_county AND ws1.d_qoy = 1 AND ws1.d_year = 2000
+        |  AND ws1.ca_county = ws2.ca_county AND ws2.d_qoy = 2 AND ws2.d_year = 2000
+        |  AND ws1.ca_county = ws3.ca_county AND ws3.d_qoy = 3 AND ws3.d_year = 2000
+        |  AND CASE WHEN ws1.web_sales > 0
+        |      THEN CAST(ws2.web_sales AS DOUBLE) / ws1.web_sales ELSE NULL END
+        |    > CASE WHEN ss1.store_sales > 0
+        |      THEN CAST(ss2.store_sales AS DOUBLE) / ss1.store_sales ELSE NULL END
+        |  AND CASE WHEN ws2.web_sales > 0
+        |      THEN CAST(ws3.web_sales AS DOUBLE) / ws2.web_sales ELSE NULL END
+        |    > CASE WHEN ss2.store_sales > 0
+        |      THEN CAST(ss3.store_sales AS DOUBLE) / ss2.store_sales ELSE NULL END
+        |ORDER BY ss1.ca_county""".stripMargin,
+      Seq("ca_county", "d_year", "web_q1_q2_increase", "store_q1_q2_increase",
+        "web_q2_q3_increase", "store_q2_q3_increase"),
+      Seq("ca_county", "d_year", r6("web_q1_q2_increase"),
+        r6("store_q1_q2_increase"), r6("web_q2_q3_increase"),
+        r6("store_q2_q3_increase")),
+      "ca_county"),
+
+    // q32: catalog discounts more than 1.3× the same item's 90-day
+    // average — the correlated-scalar-threshold family. i_manufact_id
+    // retuned into the synthesized 0..49 domain; the 90-day window is
+    // spelled as closed date literals (the one INTERVAL spelling both
+    // dialects share).
+    adapted("tpcds_q32",
+      """SELECT sum(cs_ext_discount_amt) excess_discount_amount
+        |FROM tpcds.catalog_sales, tpcds.item, tpcds.date_dim
+        |WHERE i_manufact_id = 28 AND i_item_sk = cs_item_sk
+        |  AND d_date BETWEEN DATE '1999-01-07' AND DATE '1999-04-07'
+        |  AND d_date_sk = cs_sold_date_sk
+        |  AND cs_ext_discount_amt > (
+        |    SELECT 1.3 * avg(cs_ext_discount_amt)
+        |    FROM tpcds.catalog_sales, tpcds.date_dim
+        |    WHERE cs_item_sk = i_item_sk
+        |      AND d_date BETWEEN DATE '1999-01-07' AND DATE '1999-04-07'
+        |      AND d_date_sk = cs_sold_date_sk)
+        |LIMIT 100""".stripMargin,
+      Seq("excess_discount_amount"), Seq(r2("excess_discount_amount")), ""),
+
+    // q37: item price-band × inventory-level × catalog-demand — the
+    // inventory-gated item report. i_current_price band retuned to the
+    // fixture's retail-price range (spec's 20..50 selects nothing).
+    adapted("tpcds_q37",
+      """SELECT i_item_id, i_item_desc, i_current_price
+        |FROM tpcds.item, tpcds.inventory, tpcds.date_dim, tpcds.catalog_sales
+        |WHERE i_current_price BETWEEN 950 AND 1100
+        |  AND inv_item_sk = i_item_sk AND d_date_sk = inv_date_sk
+        |  AND d_date BETWEEN DATE '1996-02-01' AND DATE '1996-04-01'
+        |  AND i_manufact_id IN (10, 20, 30, 40)
+        |  AND inv_quantity_on_hand BETWEEN 100 AND 500
+        |  AND cs_item_sk = i_item_sk
+        |GROUP BY i_item_id, i_item_desc, i_current_price
+        |ORDER BY i_item_id
+        |LIMIT 100""".stripMargin,
+      Seq("i_item_id", "i_item_desc", "i_current_price"),
+      Seq("i_item_id", "i_item_desc", r2("i_current_price")),
+      "i_item_id"),
+
+    // q39: inventory coefficient-of-variation month-over-month self-join
+    // (stddev_samp / mean per item × warehouse × month, high-cov in both
+    // January and February) — the statistical-aggregate family over the
+    // synthesized weekly inventory snapshots. The spec's cov > 1 bar
+    // assumes the official generator's i.i.d.-uniform quantities, whose
+    // small-mean groups our modular derivation can't produce (4-5 evenly
+    // spread samples keep mean ≳ stdev); 0.7 is the same tail selection
+    // (48 of ~24k groups at sf0.01) inside the synthesized dispersion.
+    adapted("tpcds_q39",
+      """WITH inv AS (
+        |  SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+        |    stdev, mean,
+        |    CASE mean WHEN 0 THEN NULL ELSE stdev / mean END cov
+        |  FROM (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+        |          stddev_samp(inv_quantity_on_hand) stdev,
+        |          avg(inv_quantity_on_hand) mean
+        |        FROM tpcds.inventory, tpcds.item, tpcds.warehouse,
+        |          tpcds.date_dim
+        |        WHERE inv_item_sk = i_item_sk
+        |          AND inv_warehouse_sk = w_warehouse_sk
+        |          AND inv_date_sk = d_date_sk AND d_year = 1995
+        |        GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk,
+        |          d_moy) foo
+        |  WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 0.7
+        |)
+        |SELECT inv1.w_warehouse_sk wsk1, inv1.i_item_sk isk1,
+        |  inv1.d_moy moy1, inv1.cov cov1,
+        |  inv2.w_warehouse_sk wsk2, inv2.i_item_sk isk2,
+        |  inv2.d_moy moy2, inv2.cov cov2
+        |FROM inv inv1, inv inv2
+        |WHERE inv1.i_item_sk = inv2.i_item_sk
+        |  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+        |  AND inv1.d_moy = 1 AND inv2.d_moy = 2
+        |ORDER BY inv1.w_warehouse_sk, inv1.i_item_sk""".stripMargin,
+      Seq("wsk1", "isk1", "moy1", "cov1", "wsk2", "isk2", "moy2", "cov2"),
+      Seq("wsk1", "isk1", "moy1", r6("cov1"), "wsk2", "isk2", "moy2",
+        r6("cov2")),
+      "wsk1, isk1"),
+
+    // q58: items whose revenue is within ±10% of each other across ALL
+    // THREE channels — the nested-scalar date anchor plus six BETWEEN
+    // share bounds. The spec anchors on one d_week_seq; at the fixture's
+    // density a single week holds ~1 line per item per channel and the
+    // three-way ±10% match is empty, so the anchor widens to the
+    // anchor date's d_year (same nested-scalar shape, reference bounds
+    // kept intact — 3 real rows at sf0.01).
+    adapted("tpcds_q58",
+      """WITH ss_items AS (
+        |  SELECT i_item_id item_id, sum(ss_ext_sales_price) ss_item_rev
+        |  FROM tpcds.store_sales, tpcds.item, tpcds.date_dim
+        |  WHERE ss_item_sk = i_item_sk
+        |    AND d_date IN (SELECT d_date FROM tpcds.date_dim
+        |                   WHERE d_year = (SELECT d_year
+        |                     FROM tpcds.date_dim
+        |                     WHERE d_date = DATE '2000-01-03'))
+        |    AND ss_sold_date_sk = d_date_sk
+        |  GROUP BY i_item_id
+        |),
+        |cs_items AS (
+        |  SELECT i_item_id item_id, sum(cs_ext_sales_price) cs_item_rev
+        |  FROM tpcds.catalog_sales, tpcds.item, tpcds.date_dim
+        |  WHERE cs_item_sk = i_item_sk
+        |    AND d_date IN (SELECT d_date FROM tpcds.date_dim
+        |                   WHERE d_year = (SELECT d_year
+        |                     FROM tpcds.date_dim
+        |                     WHERE d_date = DATE '2000-01-03'))
+        |    AND cs_sold_date_sk = d_date_sk
+        |  GROUP BY i_item_id
+        |),
+        |ws_items AS (
+        |  SELECT i_item_id item_id, sum(ws_ext_sales_price) ws_item_rev
+        |  FROM tpcds.web_sales, tpcds.item, tpcds.date_dim
+        |  WHERE ws_item_sk = i_item_sk
+        |    AND d_date IN (SELECT d_date FROM tpcds.date_dim
+        |                   WHERE d_year = (SELECT d_year
+        |                     FROM tpcds.date_dim
+        |                     WHERE d_date = DATE '2000-01-03'))
+        |    AND ws_sold_date_sk = d_date_sk
+        |  GROUP BY i_item_id
+        |)
+        |SELECT ss_items.item_id, ss_item_rev,
+        |  CAST(ss_item_rev AS DOUBLE)
+        |    / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 ss_dev,
+        |  cs_item_rev,
+        |  CAST(cs_item_rev AS DOUBLE)
+        |    / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 cs_dev,
+        |  ws_item_rev,
+        |  CAST(ws_item_rev AS DOUBLE)
+        |    / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 ws_dev,
+        |  (ss_item_rev + cs_item_rev + ws_item_rev) / 3 average
+        |FROM ss_items, cs_items, ws_items
+        |WHERE ss_items.item_id = cs_items.item_id
+        |  AND ss_items.item_id = ws_items.item_id
+        |  AND ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+        |  AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+        |  AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+        |  AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+        |  AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+        |  AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+        |ORDER BY ss_items.item_id, ss_item_rev
+        |LIMIT 100""".stripMargin,
+      Seq("item_id", "ss_item_rev", "ss_dev", "cs_item_rev", "cs_dev",
+        "ws_item_rev", "ws_dev", "average"),
+      Seq("item_id", r2("ss_item_rev"), r4("ss_dev"), r2("cs_item_rev"),
+        r4("cs_dev"), r2("ws_item_rev"), r4("ws_dev"), r2("average")),
+      "item_id"),
+
+    // q70: state/county profit ROLLUP whose state list is itself a
+    // rank-window subquery, ranked within each rollup level via
+    // GROUPING() in a window PARTITION BY — the
+    // window-over-grouping-sets family.
+    adapted("tpcds_q70",
+      """SELECT sum(ss_net_profit) total_sum, s_state, s_county,
+        |  grouping(s_state) + grouping(s_county) lochierarchy,
+        |  rank() OVER (
+        |    PARTITION BY grouping(s_state) + grouping(s_county),
+        |      CASE WHEN grouping(s_county) = 0 THEN s_state END
+        |    ORDER BY sum(ss_net_profit) DESC, s_state, s_county) rank_within_parent
+        |FROM tpcds.store_sales, tpcds.date_dim d1, tpcds.store
+        |WHERE d1.d_month_seq BETWEEN 1260 AND 1271
+        |  AND d1.d_date_sk = ss_sold_date_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND s_state IN (
+        |    SELECT s_state FROM (
+        |      SELECT s_state s_state, rank() OVER
+        |        (PARTITION BY s_state
+        |         ORDER BY sum(ss_net_profit) DESC) ranking
+        |      FROM tpcds.store_sales, tpcds.store, tpcds.date_dim
+        |      WHERE d_month_seq BETWEEN 1260 AND 1271
+        |        AND d_date_sk = ss_sold_date_sk
+        |        AND s_store_sk = ss_store_sk
+        |      GROUP BY s_state) tmp1
+        |    WHERE ranking <= 5)
+        |GROUP BY ROLLUP (s_state, s_county)
+        |ORDER BY lochierarchy DESC,
+        |  CASE WHEN grouping(s_state) + grouping(s_county) = 0
+        |    THEN s_state END NULLS FIRST,
+        |  rank_within_parent, s_state NULLS FIRST, s_county NULLS FIRST
+        |LIMIT 100""".stripMargin,
+      Seq("total_sum", "s_state", "s_county", "lochierarchy",
+        "rank_within_parent"),
+      Seq(r2("total_sum"), "s_state", "s_county", big("lochierarchy"),
+        big("rank_within_parent")),
+      "lochierarchy DESC, s_state NULLS FIRST, s_county NULLS FIRST"),
+
+    // q75: year-over-year unit-count decline by brand/class/category/
+    // manufacturer across ALL THREE channels, each net of its returns
+    // (sales LEFT JOIN returns on order+item) — the returns-aware
+    // UNION + self-join family, over the round-6 synthesized
+    // catalog_returns / web_returns. `prev.sales_cnt <> 0` guards the
+    // ANSI-mode ratio (a fully-returned group would divide by zero on
+    // both engines).
+    adapted("tpcds_q75",
+      """WITH all_sales AS (
+        |  SELECT d_year, i_brand_id, i_class_id, i_category_id,
+        |    i_manufact_id, sum(sales_cnt) sales_cnt, sum(sales_amt) sales_amt
+        |  FROM (
+        |    SELECT d_year, i_brand_id, i_class_id, i_category_id,
+        |      i_manufact_id,
+        |      cs_quantity - COALESCE(cr_return_quantity, 0) sales_cnt,
+        |      cs_ext_sales_price - COALESCE(cr_return_amount, 0.0) sales_amt
+        |    FROM tpcds.catalog_sales
+        |    JOIN tpcds.item ON i_item_sk = cs_item_sk
+        |    JOIN tpcds.date_dim ON d_date_sk = cs_sold_date_sk
+        |    LEFT JOIN tpcds.catalog_returns
+        |      ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
+        |    WHERE i_category = 'Books'
+        |    UNION
+        |    SELECT d_year, i_brand_id, i_class_id, i_category_id,
+        |      i_manufact_id,
+        |      ss_quantity - COALESCE(sr_return_quantity, 0) sales_cnt,
+        |      ss_ext_sales_price - COALESCE(sr_return_amt, 0.0) sales_amt
+        |    FROM tpcds.store_sales
+        |    JOIN tpcds.item ON i_item_sk = ss_item_sk
+        |    JOIN tpcds.date_dim ON d_date_sk = ss_sold_date_sk
+        |    LEFT JOIN tpcds.store_returns
+        |      ON ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+        |    WHERE i_category = 'Books'
+        |    UNION
+        |    SELECT d_year, i_brand_id, i_class_id, i_category_id,
+        |      i_manufact_id,
+        |      ws_quantity - COALESCE(wr_return_quantity, 0) sales_cnt,
+        |      ws_ext_sales_price - COALESCE(wr_return_amt, 0.0) sales_amt
+        |    FROM tpcds.web_sales
+        |    JOIN tpcds.item ON i_item_sk = ws_item_sk
+        |    JOIN tpcds.date_dim ON d_date_sk = ws_sold_date_sk
+        |    LEFT JOIN tpcds.web_returns
+        |      ON ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk
+        |    WHERE i_category = 'Books') sales_detail
+        |  GROUP BY d_year, i_brand_id, i_class_id, i_category_id,
+        |    i_manufact_id
+        |)
+        |SELECT prev_yr.d_year prev_year, curr_yr.d_year curr_year,
+        |  curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+        |  curr_yr.i_manufact_id,
+        |  prev_yr.sales_cnt prev_yr_cnt, curr_yr.sales_cnt curr_yr_cnt,
+        |  curr_yr.sales_cnt - prev_yr.sales_cnt sales_cnt_diff,
+        |  curr_yr.sales_amt - prev_yr.sales_amt sales_amt_diff
+        |FROM all_sales curr_yr, all_sales prev_yr
+        |WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+        |  AND curr_yr.i_class_id = prev_yr.i_class_id
+        |  AND curr_yr.i_category_id = prev_yr.i_category_id
+        |  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+        |  AND curr_yr.d_year = 2000 AND prev_yr.d_year = 1999
+        |  AND prev_yr.sales_cnt <> 0
+        |  AND CAST(curr_yr.sales_cnt AS DOUBLE)
+        |    / CAST(prev_yr.sales_cnt AS DOUBLE) < 0.9
+        |ORDER BY sales_cnt_diff, curr_yr.i_brand_id, curr_yr.i_class_id,
+        |  curr_yr.i_category_id, curr_yr.i_manufact_id
+        |LIMIT 100""".stripMargin,
+      Seq("prev_year", "curr_year", "i_brand_id", "i_class_id",
+        "i_category_id", "i_manufact_id", "prev_yr_cnt", "curr_yr_cnt",
+        "sales_cnt_diff", "sales_amt_diff"),
+      Seq("prev_year", "curr_year", "i_brand_id", "i_class_id",
+        "i_category_id", "i_manufact_id", big("prev_yr_cnt"),
+        big("curr_yr_cnt"), big("sales_cnt_diff"), r2("sales_amt_diff")),
+      "i_brand_id, i_class_id, i_category_id, i_manufact_id"),
+
+    // q30: customers whose web-return total beats 1.2× their state's
+    // average — the correlated state-average family over the round-6
+    // web_returns (the spec's c_last_review_date column has no
+    // synthesized twin and is dropped from the output).
+    adapted("tpcds_q30",
+      """WITH customer_total_return AS (
+        |  SELECT wr_returning_customer_sk ctr_customer_sk,
+        |    ca_state ctr_state, sum(wr_return_amt) ctr_total_return
+        |  FROM tpcds.web_returns, tpcds.date_dim, tpcds.customer_address
+        |  WHERE wr_returned_date_sk = d_date_sk AND d_year = 2000
+        |    AND wr_returning_addr_sk = ca_address_sk
+        |  GROUP BY wr_returning_customer_sk, ca_state
+        |)
+        |SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+        |  c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
+        |  c_birth_country, c_login, c_email_address, ctr_total_return
+        |FROM customer_total_return ctr1, tpcds.customer_address,
+        |  tpcds.customer
+        |WHERE ctr1.ctr_total_return > (
+        |    SELECT avg(ctr_total_return) * 1.2
+        |    FROM customer_total_return ctr2
+        |    WHERE ctr1.ctr_state = ctr2.ctr_state)
+        |  AND ca_address_sk = c_current_addr_sk AND ca_state = 'CA'
+        |  AND ctr1.ctr_customer_sk = c_customer_sk
+        |ORDER BY c_customer_id, ctr_total_return
+        |LIMIT 100""".stripMargin,
+      Seq("c_customer_id", "c_salutation", "c_first_name", "c_last_name",
+        "c_preferred_cust_flag", "c_birth_day", "c_birth_month",
+        "c_birth_year", "c_birth_country", "c_login", "c_email_address",
+        "ctr_total_return"),
+      Seq("c_customer_id", "c_salutation", "c_first_name", "c_last_name",
+        "c_preferred_cust_flag", "c_birth_day", "c_birth_month",
+        "c_birth_year", "c_birth_country", "c_login", "c_email_address",
+        r2("ctr_total_return")),
+      "c_customer_id, ctr_total_return"),
+
+    // q89: monthly sales deviation from the class's yearly average per
+    // store — the windowed-deviation report (avg over a coarser
+    // partition than the GROUP BY, then a ±10% filter).
+    adapted("tpcds_q89",
+      """SELECT i_category, i_class, i_brand, s_store_name, d_moy,
+        |  sum_sales, avg_monthly_sales
+        |FROM (
+        |  SELECT i_category, i_class, i_brand, s_store_name, d_moy,
+        |    sum(ss_sales_price) sum_sales,
+        |    avg(sum(ss_sales_price)) OVER
+        |      (PARTITION BY i_category, i_brand, s_store_name) avg_monthly_sales
+        |  FROM tpcds.item, tpcds.store_sales, tpcds.date_dim, tpcds.store
+        |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        |    AND ss_store_sk = s_store_sk AND d_year = 2000
+        |    AND ((i_category IN ('Books', 'Electronics', 'Music')
+        |          AND i_class IN ('personal', 'portable', 'reference'))
+        |      OR (i_category IN ('Men', 'Women', 'Children')
+        |          AND i_class IN ('accessories', 'classical', 'fragrances')))
+        |  GROUP BY i_category, i_class, i_brand, s_store_name, d_moy) tmp1
+        |WHERE CASE WHEN avg_monthly_sales <> 0
+        |    THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+        |    ELSE NULL END > 0.1
+        |ORDER BY sum_sales - avg_monthly_sales, i_category, i_class,
+        |  i_brand, s_store_name, d_moy
+        |LIMIT 100""".stripMargin,
+      Seq("i_category", "i_class", "i_brand", "s_store_name", "d_moy",
+        "sum_sales", "avg_monthly_sales"),
+      Seq("i_category", "i_class", "i_brand", "s_store_name", "d_moy",
+        r2("sum_sales"), r2("avg_monthly_sales")),
+      "i_category, i_class, i_brand, s_store_name, d_moy"),
+
+    // q97: store/catalog customer-item overlap via FULL OUTER JOIN over
+    // per-channel DISTINCT baskets — the channel-overlap census.
+    adapted("tpcds_q97",
+      """WITH ssci AS (
+        |  SELECT ss_customer_sk customer_sk, ss_item_sk item_sk
+        |  FROM tpcds.store_sales, tpcds.date_dim
+        |  WHERE ss_sold_date_sk = d_date_sk
+        |    AND d_month_seq BETWEEN 1260 AND 1271
+        |  GROUP BY ss_customer_sk, ss_item_sk
+        |),
+        |csci AS (
+        |  SELECT cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+        |  FROM tpcds.catalog_sales, tpcds.date_dim
+        |  WHERE cs_sold_date_sk = d_date_sk
+        |    AND d_month_seq BETWEEN 1260 AND 1271
+        |  GROUP BY cs_bill_customer_sk, cs_item_sk
+        |)
+        |SELECT sum(CASE WHEN ssci.customer_sk IS NOT NULL
+        |    AND csci.customer_sk IS NULL THEN 1 ELSE 0 END) store_only,
+        |  sum(CASE WHEN ssci.customer_sk IS NULL
+        |    AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) catalog_only,
+        |  sum(CASE WHEN ssci.customer_sk IS NOT NULL
+        |    AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) store_and_catalog
+        |FROM ssci FULL OUTER JOIN csci
+        |  ON (ssci.customer_sk = csci.customer_sk
+        |      AND ssci.item_sk = csci.item_sk)
+        |LIMIT 100""".stripMargin,
+      Seq("store_only", "catalog_only", "store_and_catalog"),
+      Seq(big("store_only"), big("catalog_only"), big("store_and_catalog")),
+      ""),
   )
 }

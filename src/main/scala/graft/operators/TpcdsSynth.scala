@@ -45,8 +45,10 @@ object TpcdsSynth {
   /** Tables the adapted corpus references (generated dims first). */
   val tables: Seq[String] = Seq(
     "date_dim", "time_dim", "customer_demographics", "household_demographics",
+    "warehouse", "income_band",
     "item", "customer", "customer_address", "store", "promotion", "reason",
-    "store_sales", "web_sales", "catalog_sales", "store_returns", "inventory")
+    "store_sales", "web_sales", "catalog_sales",
+    "store_returns", "catalog_returns", "web_returns", "inventory")
 
   private def digits(alias: String): String =
     "(SELECT 0 AS n UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL " +
@@ -282,6 +284,26 @@ object TpcdsSynth {
          |  'reason ' || CAST(s.n AS VARCHAR(2)) AS r_reason_desc
          |FROM ${series(35, "s")}""".stripMargin
 
+    // matches the inv_warehouse_sk domain (p_partkey % 5)
+    case "warehouse" =>
+      s"""SELECT CAST(s.n AS BIGINT) AS w_warehouse_sk,
+         |  'Warehouse' || CAST(s.n AS VARCHAR(1)) AS w_warehouse_name,
+         |  CAST((s.n * 7 + 3) % 10 * 100000 + 50000 AS INT) AS w_warehouse_sq_ft,
+         |  'City' || CAST(s.n AS VARCHAR(1)) AS w_city,
+         |  CASE CAST(s.n % 5 AS INT) WHEN 0 THEN 'Williamson County'
+         |       WHEN 1 THEN 'Rush County' WHEN 2 THEN 'Toole County'
+         |       WHEN 3 THEN 'Jefferson County' ELSE 'Orange County' END AS w_county,
+         |  CASE CAST(s.n % 5 AS INT) WHEN 0 THEN 'MS' WHEN 1 THEN 'IN'
+         |       WHEN 2 THEN 'ND' WHEN 3 THEN 'OK' ELSE 'NM' END AS w_state
+         |FROM ${series(5, "s")}""".stripMargin
+
+    // matches the hd_income_band_sk domain (n % 20 + 1)
+    case "income_band" =>
+      s"""SELECT CAST(s.n + 1 AS BIGINT) AS ib_income_band_sk,
+         |  CAST(s.n * 10000 AS INT) AS ib_lower_bound,
+         |  CAST((s.n + 1) * 10000 AS INT) AS ib_upper_bound
+         |FROM ${series(20, "s")}""".stripMargin
+
     case "store_sales" =>
       s"""SELECT l_orderkey AS ss_ticket_number,
          |  l_suppkey AS ss_store_sk,
@@ -324,13 +346,47 @@ object TpcdsSynth {
          |FROM ${ref("lineitem")}
          |WHERE (l_orderkey + l_linenumber) % 3 = 0 AND l_returnflag = 'R'""".stripMargin
 
+    // catalog/web returns mirror store_returns on their channel's slice:
+    // same key derivations as saleCols so (item_sk, order_number) joins
+    // line up with the sale and the returning customer/address ARE the
+    // bill customer/address — still stateless per-row projections
+    case "catalog_returns" =>
+      val retQty = "(1 + (l_orderkey + l_linenumber) % CAST(l_quantity AS BIGINT))"
+      s"""SELECT CAST(CAST(l_shipdate AS DATE) + (l_orderkey % 60) * INTERVAL '1' DAY AS DATE) AS cr_returned_date_sk,
+         |  l_partkey AS cr_item_sk,
+         |  l_orderkey AS cr_order_number,
+         |  CAST(l_partkey % 5 AS INT) AS cr_warehouse_sk,
+         |  CAST((l_orderkey * 7 + 3) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS cr_returning_customer_sk,
+         |  CAST((l_orderkey * 17 + l_linenumber * 11) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS cr_returning_addr_sk,
+         |  CAST((l_orderkey * 3 + l_linenumber) % 35 AS BIGINT) AS cr_reason_sk,
+         |  CAST($retQty AS INT) AS cr_return_quantity,
+         |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $retQty")} AS cr_return_amount,
+         |  ${money(s"((($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) + CAST(round(l_tax * 100) AS BIGINT)) * $retQty")} AS cr_return_amt_inc_tax,
+         |  ${money(s"(($cents * 13 + 17) % 60000 + 50) * $retQty")} AS cr_net_loss
+         |FROM ${ref("lineitem")}
+         |WHERE (l_orderkey + l_linenumber) % 3 = 2 AND l_returnflag = 'R'""".stripMargin
+
+    case "web_returns" =>
+      val retQty = "(1 + (l_orderkey + l_linenumber) % CAST(l_quantity AS BIGINT))"
+      s"""SELECT CAST(CAST(l_shipdate AS DATE) + (l_orderkey % 60) * INTERVAL '1' DAY AS DATE) AS wr_returned_date_sk,
+         |  l_partkey AS wr_item_sk,
+         |  l_orderkey AS wr_order_number,
+         |  CAST((l_orderkey * 7 + 3) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS wr_returning_customer_sk,
+         |  CAST((l_orderkey * 17 + l_linenumber * 11) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS wr_returning_addr_sk,
+         |  CAST((l_orderkey * 3 + l_linenumber) % 35 AS BIGINT) AS wr_reason_sk,
+         |  CAST($retQty AS INT) AS wr_return_quantity,
+         |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $retQty")} AS wr_return_amt,
+         |  ${money(s"(($cents * 13 + 17) % 60000 + 50) * $retQty")} AS wr_net_loss
+         |FROM ${ref("lineitem")}
+         |WHERE (l_orderkey + l_linenumber) % 3 = 1 AND l_returnflag = 'R'""".stripMargin
+
     case "inventory" =>
       // weekly snapshots over the fixture's first two years — |part|×104
       // rows, a flatMap over part, never materialized
       s"""SELECT CAST($epoch + (w.n * 7) * INTERVAL '1' DAY AS DATE) AS inv_date_sk,
          |  p_partkey AS inv_item_sk,
          |  CAST(p_partkey % 5 AS INT) AS inv_warehouse_sk,
-         |  CAST((p_partkey * 13 + w.n * 7) % 1000 AS INT) AS inv_quantity_on_hand
+         |  CAST((p_partkey * 13 + w.n * 389) % 1000 AS INT) AS inv_quantity_on_hand
          |FROM ${ref("part")} CROSS JOIN ${series(104, "w")}""".stripMargin
   }
 
