@@ -1326,4 +1326,289 @@ GROUP BY "cd_gender", "cd_marital_status", "cd_education_status", "cd_purchase_e
 ORDER BY "cd_gender" ASC, "cd_marital_status" ASC, "cd_education_status" ASC, "cd_purchase_estimate" ASC, "cd_credit_rating" ASC
 LIMIT 100
 """
+
+  // round-6 verbatim batch (real-row: q47/q70/q97 over the widened
+  // synth schema; honest-empty with adapted twins: q32/q37/q44/q89)
+
+  val q32: String = """SELECT "sum"("cs_ext_discount_amt") "excess discount amount"
+FROM
+  ${database}.${schema}.catalog_sales
+, ${database}.${schema}.item
+, ${database}.${schema}.date_dim
+WHERE ("i_manufact_id" = 977)
+   AND ("i_item_sk" = "cs_item_sk")
+   AND ("d_date" BETWEEN CAST('2000-01-27' AS DATE) AND (CAST('2000-01-27' AS DATE) + INTERVAL  '90' DAY))
+   AND ("d_date_sk" = "cs_sold_date_sk")
+   AND ("cs_ext_discount_amt" > (
+      SELECT (DECIMAL '1.3' * "avg"("cs_ext_discount_amt"))
+      FROM
+        ${database}.${schema}.catalog_sales
+      , ${database}.${schema}.date_dim
+      WHERE ("cs_item_sk" = "i_item_sk")
+         AND ("d_date" BETWEEN CAST('2000-01-27' AS DATE) AND (CAST('2000-01-27' AS DATE) + INTERVAL  '90' DAY))
+         AND ("d_date_sk" = "cs_sold_date_sk")
+   ))
+LIMIT 100
+"""
+
+  val q37: String = """SELECT
+  "i_item_id"
+, "i_item_desc"
+, "i_current_price"
+FROM
+  ${database}.${schema}.item
+, ${database}.${schema}.inventory
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.catalog_sales
+WHERE ("i_current_price" BETWEEN 68 AND (68 + 30))
+   AND ("inv_item_sk" = "i_item_sk")
+   AND ("d_date_sk" = "inv_date_sk")
+   AND (CAST("d_date" AS DATE) BETWEEN CAST('2000-02-01' AS DATE) AND (CAST('2000-02-01' AS DATE) + INTERVAL  '60' DAY))
+   AND ("i_manufact_id" IN (677, 940, 694, 808))
+   AND ("inv_quantity_on_hand" BETWEEN 100 AND 500)
+   AND ("cs_item_sk" = "i_item_sk")
+GROUP BY "i_item_id", "i_item_desc", "i_current_price"
+ORDER BY "i_item_id" ASC
+LIMIT 100
+"""
+
+  val q44: String = """SELECT
+  "asceding"."rnk"
+, "i1"."i_product_name" "best_performing"
+, "i2"."i_product_name" "worst_performing"
+FROM
+  (
+   SELECT *
+   FROM
+     (
+      SELECT
+        "item_sk"
+      , "rank"() OVER (ORDER BY "rank_col" ASC) "rnk"
+      FROM
+        (
+         SELECT
+           "ss_item_sk" "item_sk"
+         , "avg"("ss_net_profit") "rank_col"
+         FROM
+           ${database}.${schema}.store_sales ss1
+         WHERE ("ss_store_sk" = 4)
+         GROUP BY "ss_item_sk"
+         HAVING ("avg"("ss_net_profit") > (DECIMAL '0.9' * (
+                  SELECT "avg"("ss_net_profit") "rank_col"
+                  FROM
+                    ${database}.${schema}.store_sales
+                  WHERE ("ss_store_sk" = 4)
+                     AND ("ss_addr_sk" IS NULL)
+                  GROUP BY "ss_store_sk"
+               )))
+      )  v1
+   )  v11
+   WHERE ("rnk" < 11)
+)  asceding
+, (
+   SELECT *
+   FROM
+     (
+      SELECT
+        "item_sk"
+      , "rank"() OVER (ORDER BY "rank_col" DESC) "rnk"
+      FROM
+        (
+         SELECT
+           "ss_item_sk" "item_sk"
+         , "avg"("ss_net_profit") "rank_col"
+         FROM
+           ${database}.${schema}.store_sales ss1
+         WHERE ("ss_store_sk" = 4)
+         GROUP BY "ss_item_sk"
+         HAVING ("avg"("ss_net_profit") > (DECIMAL '0.9' * (
+                  SELECT "avg"("ss_net_profit") "rank_col"
+                  FROM
+                    ${database}.${schema}.store_sales
+                  WHERE ("ss_store_sk" = 4)
+                     AND ("ss_addr_sk" IS NULL)
+                  GROUP BY "ss_store_sk"
+               )))
+      )  v2
+   )  v21
+   WHERE ("rnk" < 11)
+)  descending
+, ${database}.${schema}.item i1
+, ${database}.${schema}.item i2
+WHERE ("asceding"."rnk" = "descending"."rnk")
+   AND ("i1"."i_item_sk" = "asceding"."item_sk")
+   AND ("i2"."i_item_sk" = "descending"."item_sk")
+ORDER BY "asceding"."rnk" ASC
+LIMIT 100
+"""
+
+  val q47: String = """WITH
+  v1 AS (
+   SELECT
+     "i_category"
+   , "i_brand"
+   , "s_store_name"
+   , "s_company_name"
+   , "d_year"
+   , "d_moy"
+   , "sum"("ss_sales_price") "sum_sales"
+   , "avg"("sum"("ss_sales_price")) OVER (PARTITION BY "i_category", "i_brand", "s_store_name", "s_company_name", "d_year") "avg_monthly_sales"
+   , "rank"() OVER (PARTITION BY "i_category", "i_brand", "s_store_name", "s_company_name" ORDER BY "d_year" ASC, "d_moy" ASC) "rn"
+   FROM
+     ${database}.${schema}.item
+   , ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_item_sk" = "i_item_sk")
+      AND ("ss_sold_date_sk" = "d_date_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND (("d_year" = 1999)
+         OR (("d_year" = (1999 - 1))
+            AND ("d_moy" = 12))
+         OR (("d_year" = (1999 + 1))
+            AND ("d_moy" = 1)))
+   GROUP BY "i_category", "i_brand", "s_store_name", "s_company_name", "d_year", "d_moy"
+) 
+, v2 AS (
+   SELECT
+     "v1"."i_category"
+   , "v1"."i_brand"
+   , "v1"."s_store_name"
+   , "v1"."s_company_name"
+   , "v1"."d_year"
+   , "v1"."d_moy"
+   , "v1"."avg_monthly_sales"
+   , "v1"."sum_sales"
+   , "v1_lag"."sum_sales" "psum"
+   , "v1_lead"."sum_sales" "nsum"
+   FROM
+     v1
+   , v1 v1_lag
+   , v1 v1_lead
+   WHERE ("v1"."i_category" = "v1_lag"."i_category")
+      AND ("v1"."i_category" = "v1_lead"."i_category")
+      AND ("v1"."i_brand" = "v1_lag"."i_brand")
+      AND ("v1"."i_brand" = "v1_lead"."i_brand")
+      AND ("v1"."s_store_name" = "v1_lag"."s_store_name")
+      AND ("v1"."s_store_name" = "v1_lead"."s_store_name")
+      AND ("v1"."s_company_name" = "v1_lag"."s_company_name")
+      AND ("v1"."s_company_name" = "v1_lead"."s_company_name")
+      AND ("v1"."rn" = ("v1_lag"."rn" + 1))
+      AND ("v1"."rn" = ("v1_lead"."rn" - 1))
+) 
+SELECT *
+FROM
+  v2
+WHERE ("d_year" = 1999)
+   AND ("avg_monthly_sales" > 0)
+   AND ((CASE WHEN ("avg_monthly_sales" > 0) THEN ("abs"(("sum_sales" - "avg_monthly_sales")) / "avg_monthly_sales") ELSE null END) > DECIMAL '0.1')
+ORDER BY ("sum_sales" - "avg_monthly_sales") ASC, 3 ASC
+LIMIT 100
+"""
+
+  val q70: String = """SELECT
+  "sum"("ss_net_profit") "total_sum"
+, "s_state"
+, "s_county"
+, (GROUPING ("s_state") + GROUPING ("s_county")) "lochierarchy"
+, "rank"() OVER (PARTITION BY (GROUPING ("s_state") + GROUPING ("s_county")), (CASE WHEN (GROUPING ("s_county") = 0) THEN "s_state" END) ORDER BY "sum"("ss_net_profit") DESC) "rank_within_parent"
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.date_dim d1
+, ${database}.${schema}.store
+WHERE ("d1"."d_month_seq" BETWEEN 1200 AND (1200 + 11))
+   AND ("d1"."d_date_sk" = "ss_sold_date_sk")
+   AND ("s_store_sk" = "ss_store_sk")
+   AND ("s_state" IN (
+   SELECT "s_state"
+   FROM
+     (
+      SELECT
+        "s_state" "s_state"
+      , "rank"() OVER (PARTITION BY "s_state" ORDER BY "sum"("ss_net_profit") DESC) "ranking"
+      FROM
+        ${database}.${schema}.store_sales
+      , ${database}.${schema}.store
+      , ${database}.${schema}.date_dim
+      WHERE ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+         AND ("d_date_sk" = "ss_sold_date_sk")
+         AND ("s_store_sk" = "ss_store_sk")
+      GROUP BY "s_state"
+   )  tmp1
+   WHERE ("ranking" <= 5)
+))
+GROUP BY ROLLUP (s_state, s_county)
+ORDER BY "lochierarchy" DESC, (CASE WHEN ("lochierarchy" = 0) THEN "s_state" END) ASC, "rank_within_parent" ASC
+LIMIT 100
+"""
+
+  val q89: String = """SELECT *
+FROM
+  (
+   SELECT
+     "i_category"
+   , "i_class"
+   , "i_brand"
+   , "s_store_name"
+   , "s_company_name"
+   , "d_moy"
+   , "sum"("ss_sales_price") "sum_sales"
+   , "avg"("sum"("ss_sales_price")) OVER (PARTITION BY "i_category", "i_brand", "s_store_name", "s_company_name") "avg_monthly_sales"
+   FROM
+     ${database}.${schema}.item
+   , ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_item_sk" = "i_item_sk")
+      AND ("ss_sold_date_sk" = "d_date_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("d_year" IN (1999))
+      AND ((("i_category" IN ('Books'         , 'Electronics'         , 'Sports'))
+            AND ("i_class" IN ('computers'         , 'stereo'         , 'football')))
+         OR (("i_category" IN ('Men'         , 'Jewelry'         , 'Women'))
+            AND ("i_class" IN ('shirts'         , 'birdal'         , 'dresses'))))
+   GROUP BY "i_category", "i_class", "i_brand", "s_store_name", "s_company_name", "d_moy"
+)  tmp1
+WHERE ((CASE WHEN ("avg_monthly_sales" <> 0) THEN ("abs"(("sum_sales" - "avg_monthly_sales")) / "avg_monthly_sales") ELSE null END) > DECIMAL '0.1')
+ORDER BY ("sum_sales" - "avg_monthly_sales") ASC, "s_store_name" ASC
+LIMIT 100
+"""
+
+  val q97: String = """WITH
+  ssci AS (
+   SELECT
+     "ss_customer_sk" "customer_sk"
+   , "ss_item_sk" "item_sk"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+   GROUP BY "ss_customer_sk", "ss_item_sk"
+) 
+, csci AS (
+   SELECT
+     "cs_bill_customer_sk" "customer_sk"
+   , "cs_item_sk" "item_sk"
+   FROM
+     ${database}.${schema}.catalog_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("cs_sold_date_sk" = "d_date_sk")
+      AND ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+   GROUP BY "cs_bill_customer_sk", "cs_item_sk"
+) 
+SELECT
+  "sum"((CASE WHEN ("ssci"."customer_sk" IS NOT NULL)
+   AND ("csci"."customer_sk" IS NULL) THEN 1 ELSE 0 END)) "store_only"
+, "sum"((CASE WHEN ("ssci"."customer_sk" IS NULL)
+   AND ("csci"."customer_sk" IS NOT NULL) THEN 1 ELSE 0 END)) "catalog_only"
+, "sum"((CASE WHEN ("ssci"."customer_sk" IS NOT NULL)
+   AND ("csci"."customer_sk" IS NOT NULL) THEN 1 ELSE 0 END)) "store_and_catalog"
+FROM
+  (ssci
+FULL JOIN csci ON ("ssci"."customer_sk" = "csci"."customer_sk")
+   AND ("ssci"."item_sk" = "csci"."item_sk"))
+LIMIT 100
+"""
+
 }

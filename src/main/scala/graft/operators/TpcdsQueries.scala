@@ -1088,6 +1088,50 @@ object TpcdsQueries extends QueryGroup {
         "i_current_price", r2("itemrevenue"), r6("revenueratio")),
       "i_category, i_class, i_item_id, i_item_desc"),
 
+    // ── round-6 verbatim batch ────────────────────────────────────────
+    // Real rows under the spec's own constants: q47 (the rank-lag/lead
+    // window family — s_company_name now synthesized), q70 (rank-in-
+    // subquery rollup; month_seq 1200-1211 is the fixture's first year),
+    // q97 (basket overlap census, same window). Honest empties with
+    // fixture-tuned adapted twins below: q32/q37 (manufact 977 / price
+    // band 68-98 sit outside the synthesized domains), q44 (the spec's
+    // ss_addr_sk IS NULL baseline has no synthesized nulls → NULL
+    // threshold), q89 (spec class lists don't intersect the synthesized
+    // class domain).
+    verbatim("tpcds_q32_verbatim", BenchtoTpcdsTexts.q32,
+      Seq("excess_discount_amount"), Seq(r2("excess_discount_amount")), ""),
+    verbatim("tpcds_q37_verbatim", BenchtoTpcdsTexts.q37,
+      Seq("i_item_id", "i_item_desc", "i_current_price"),
+      Seq("i_item_id", "i_item_desc", r2("i_current_price")),
+      "i_item_id"),
+    verbatim("tpcds_q44_verbatim", BenchtoTpcdsTexts.q44,
+      Seq("rnk", "best_performing", "worst_performing"),
+      Seq(big("rnk"), "best_performing", "worst_performing"),
+      "rnk"),
+    verbatim("tpcds_q47_verbatim", BenchtoTpcdsTexts.q47,
+      Seq("i_category", "i_brand", "s_store_name", "s_company_name",
+        "d_year", "d_moy", "avg_monthly_sales", "sum_sales", "psum", "nsum"),
+      Seq("i_category", "i_brand", "s_store_name", "s_company_name",
+        "d_year", "d_moy", r2("avg_monthly_sales"), r2("sum_sales"),
+        r2("psum"), r2("nsum")),
+      "i_category, i_brand, s_store_name, d_year, d_moy"),
+    verbatim("tpcds_q70_verbatim", BenchtoTpcdsTexts.q70,
+      Seq("total_sum", "s_state", "s_county", "lochierarchy",
+        "rank_within_parent"),
+      Seq(r2("total_sum"), "s_state", "s_county", big("lochierarchy"),
+        big("rank_within_parent")),
+      "lochierarchy DESC, s_state NULLS FIRST, s_county NULLS FIRST"),
+    verbatim("tpcds_q89_verbatim", BenchtoTpcdsTexts.q89,
+      Seq("i_category", "i_class", "i_brand", "s_store_name",
+        "s_company_name", "d_moy", "sum_sales", "avg_monthly_sales"),
+      Seq("i_category", "i_class", "i_brand", "s_store_name",
+        "s_company_name", "d_moy", r2("sum_sales"), r2("avg_monthly_sales")),
+      "i_category, i_class, i_brand, s_store_name, d_moy"),
+    verbatim("tpcds_q97_verbatim", BenchtoTpcdsTexts.q97,
+      Seq("store_only", "catalog_only", "store_and_catalog"),
+      Seq(big("store_only"), big("catalog_only"), big("store_and_catalog")),
+      ""),
+
     // ── round-6 widening: twelve more reference families ─────────────
     // (reference texts presto-benchto-benchmarks/.../tpcds/qNN.sql; same
     // adaptation discipline as above — structure kept, constants tuned

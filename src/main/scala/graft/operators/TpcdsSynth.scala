@@ -252,6 +252,7 @@ object TpcdsSynth {
          |       WHEN 1 THEN 'able' WHEN 2 THEN 'pri' WHEN 3 THEN 'ese'
          |       WHEN 4 THEN 'anti' WHEN 5 THEN 'cally' WHEN 6 THEN 'ation'
          |       WHEN 7 THEN 'eing' WHEN 8 THEN 'bar' ELSE 'n st' END AS s_store_name,
+         |  'Unknown' AS s_company_name,
          |  CASE CAST(s_suppkey % 8 AS INT) WHEN 0 THEN 'Williamson County'
          |       WHEN 1 THEN 'Rush County' WHEN 2 THEN 'Toole County'
          |       WHEN 3 THEN 'Jefferson County' WHEN 4 THEN 'Dona Ana County'

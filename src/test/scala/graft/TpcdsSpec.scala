@@ -152,7 +152,11 @@ class TpcdsSpec extends AnyFunSuite {
       "q14_1" -> BenchtoTpcdsTexts.q14_1, "q23_1" -> BenchtoTpcdsTexts.q23_1,
       "q04" -> BenchtoTpcdsTexts.q04, "q33" -> BenchtoTpcdsTexts.q33,
       "q60" -> BenchtoTpcdsTexts.q60,
-      "q69" -> BenchtoTpcdsTexts.q69).foreach { case (name, embedded) =>
+      "q69" -> BenchtoTpcdsTexts.q69,
+      "q32" -> BenchtoTpcdsTexts.q32, "q37" -> BenchtoTpcdsTexts.q37,
+      "q44" -> BenchtoTpcdsTexts.q44, "q47" -> BenchtoTpcdsTexts.q47,
+      "q70" -> BenchtoTpcdsTexts.q70, "q89" -> BenchtoTpcdsTexts.q89,
+      "q97" -> BenchtoTpcdsTexts.q97).foreach { case (name, embedded) =>
       val ref = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(refDir, s"$name.sql").toPath))
       assert(embedded == ref, s"$name drifted from the reference text")
