@@ -312,9 +312,12 @@ object TpcdsSynth {
          |FROM ${ref("lineitem")}
          |WHERE (l_orderkey + l_linenumber) % 3 = 0""".stripMargin
 
+    // ws/cs carry the spec's warehouse key (store_sales has none),
+    // aligned with the inventory/catalog_returns derivation (item % 5)
     case "web_sales" =>
       s"""SELECT l_orderkey AS ws_order_number,
          |  CAST((l_orderkey * 19 + 7) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS ws_ship_customer_sk,
+         |  CAST(l_partkey % 5 AS INT) AS ws_warehouse_sk,
          |  ${saleCols("ws", "bill_", s"(SELECT count(*) FROM ${ref("customer")})")}
          |FROM ${ref("lineitem")}
          |WHERE (l_orderkey + l_linenumber) % 3 = 1""".stripMargin
@@ -322,6 +325,7 @@ object TpcdsSynth {
     case "catalog_sales" =>
       s"""SELECT l_orderkey AS cs_order_number,
          |  CAST((l_orderkey * 19 + 7) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS cs_ship_customer_sk,
+         |  CAST(l_partkey % 5 AS INT) AS cs_warehouse_sk,
          |  ${saleCols("cs", "bill_", s"(SELECT count(*) FROM ${ref("customer")})")}
          |FROM ${ref("lineitem")}
          |WHERE (l_orderkey + l_linenumber) % 3 = 2""".stripMargin
