@@ -2023,6 +2023,530 @@ object TpcdsQueries extends QueryGroup {
         big("d_over_120")),
       "s_store_name, s_store_id, s_county, s_state"),
 
+    // q06: states whose customers buy items priced above their
+    // category's average in one month — two independent scalar
+    // subqueries (a DISTINCT month anchor and a correlated category
+    // average). The spec's 1.2× bar assumes the generator's wide price
+    // spread; the fixture's retail prices span 900-1000 (avg 950), so
+    // 1.02× selects the same above-average tail (~30%).
+    adapted("tpcds_q06",
+      """SELECT a.ca_state state, count(*) cnt
+        |FROM tpcds.customer_address a, tpcds.customer c,
+        |  tpcds.store_sales s, tpcds.date_dim d, tpcds.item i
+        |WHERE a.ca_address_sk = c.c_current_addr_sk
+        |  AND c.c_customer_sk = s.ss_customer_sk
+        |  AND s.ss_sold_date_sk = d.d_date_sk
+        |  AND s.ss_item_sk = i.i_item_sk
+        |  AND d.d_month_seq = (SELECT DISTINCT d_month_seq
+        |    FROM tpcds.date_dim WHERE d_year = 2000 AND d_moy = 1)
+        |  AND i.i_current_price > 1.02 * (SELECT avg(j.i_current_price)
+        |    FROM tpcds.item j WHERE j.i_category = i.i_category)
+        |GROUP BY a.ca_state
+        |HAVING count(*) >= 10
+        |ORDER BY cnt, a.ca_state
+        |LIMIT 100""".stripMargin,
+      Seq("state", "cnt"), Seq("state", big("cnt")), "state"),
+
+    // q09: five quantity-band CASE branches, each choosing between two
+    // scalar-subquery aggregates on a count threshold, anchored on a
+    // one-row reason scan — the scalar-subquery-in-CASE family.
+    // Thresholds sit at the synthesized band populations (~4k per
+    // 10-quantity band at sf0.01 scales linearly with SF, so the
+    // comparison stays meaningful at every SF the gate runs).
+    adapted("tpcds_q09",
+      """SELECT
+        |  CASE WHEN (SELECT count(*) FROM tpcds.store_sales
+        |      WHERE ss_quantity BETWEEN 1 AND 20) > 5
+        |    THEN (SELECT avg(ss_ext_discount_amt) FROM tpcds.store_sales
+        |      WHERE ss_quantity BETWEEN 1 AND 20)
+        |    ELSE (SELECT avg(ss_net_paid) FROM tpcds.store_sales
+        |      WHERE ss_quantity BETWEEN 1 AND 20) END bucket1,
+        |  CASE WHEN (SELECT count(*) FROM tpcds.store_sales
+        |      WHERE ss_quantity BETWEEN 21 AND 40) > 500000000
+        |    THEN (SELECT avg(ss_ext_discount_amt) FROM tpcds.store_sales
+        |      WHERE ss_quantity BETWEEN 21 AND 40)
+        |    ELSE (SELECT avg(ss_net_paid) FROM tpcds.store_sales
+        |      WHERE ss_quantity BETWEEN 21 AND 40) END bucket2,
+        |  CASE WHEN (SELECT count(*) FROM tpcds.store_sales
+        |      WHERE ss_quantity BETWEEN 41 AND 60) > 5
+        |    THEN (SELECT avg(ss_ext_discount_amt) FROM tpcds.store_sales
+        |      WHERE ss_quantity BETWEEN 41 AND 60)
+        |    ELSE (SELECT avg(ss_net_paid) FROM tpcds.store_sales
+        |      WHERE ss_quantity BETWEEN 41 AND 60) END bucket3
+        |FROM tpcds.reason
+        |WHERE r_reason_sk = 1""".stripMargin,
+      Seq("bucket1", "bucket2", "bucket3"),
+      Seq(r4("bucket1"), r4("bucket2"), r4("bucket3")), ""),
+
+    // q13: three OR'd demographic bands crossed with three OR'd
+    // geographic/profit bands — the multi-OR selectivity family.
+    adapted("tpcds_q13",
+      """SELECT avg(ss_quantity) avg_qty, avg(ss_ext_sales_price) avg_esp,
+        |  avg(ss_ext_wholesale_cost) avg_ewc,
+        |  sum(ss_ext_wholesale_cost) sum_ewc
+        |FROM tpcds.store_sales, tpcds.store,
+        |  tpcds.customer_demographics, tpcds.household_demographics,
+        |  tpcds.customer_address, tpcds.date_dim
+        |WHERE s_store_sk = ss_store_sk AND ss_sold_date_sk = d_date_sk
+        |  AND d_year = 2001
+        |  AND ((ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        |        AND cd_marital_status = 'M'
+        |        AND cd_education_status = '4 yr Degree'
+        |        AND ss_sales_price BETWEEN 100.00 AND 150.00
+        |        AND hd_dep_count = 3)
+        |    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        |        AND cd_marital_status = 'S'
+        |        AND cd_education_status = 'College'
+        |        AND ss_sales_price BETWEEN 50.00 AND 100.00
+        |        AND hd_dep_count = 1)
+        |    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        |        AND cd_marital_status = 'W'
+        |        AND cd_education_status = '2 yr Degree'
+        |        AND ss_sales_price BETWEEN 150.00 AND 200.00
+        |        AND hd_dep_count = 1))
+        |  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        |        AND ca_state IN ('TX', 'OK', 'NM')
+        |        AND ss_net_profit BETWEEN 100 AND 200)
+        |    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        |        AND ca_state IN ('VA', 'TN', 'CA')
+        |        AND ss_net_profit BETWEEN 150 AND 300)
+        |    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        |        AND ca_state IN ('IN', 'ND', 'NY')
+        |        AND ss_net_profit BETWEEN 50 AND 250))""".stripMargin,
+      Seq("avg_qty", "avg_esp", "avg_ewc", "sum_ewc"),
+      Seq(r4("avg_qty"), r4("avg_esp"), r4("avg_ewc"), r2("sum_ewc")), ""),
+
+    // q15: catalog sales by zip where the zip, the state, OR the sale
+    // price qualifies — the OR-of-heterogeneous-gates family.
+    adapted("tpcds_q15",
+      """SELECT ca_zip, sum(cs_sales_price) total_sales
+        |FROM tpcds.catalog_sales, tpcds.customer, tpcds.customer_address,
+        |  tpcds.date_dim
+        |WHERE cs_bill_customer_sk = c_customer_sk
+        |  AND c_current_addr_sk = ca_address_sk
+        |  AND (substr(ca_zip, 1, 5) IN ('00177', '00347', '00517',
+        |      '00687', '00857', '01707', '03407', '05107', '06807', '08507')
+        |    OR ca_state IN ('CA', 'WA', 'GA')
+        |    OR cs_sales_price > 500)
+        |  AND cs_sold_date_sk = d_date_sk
+        |  AND d_qoy = 2 AND d_year = 2000
+        |GROUP BY ca_zip
+        |ORDER BY ca_zip
+        |LIMIT 100""".stripMargin,
+      Seq("ca_zip", "total_sales"),
+      Seq("ca_zip", r2("total_sales")),
+      "ca_zip"),
+
+    // q20: catalog share-of-class over a 30-day window (q12/q98's
+    // catalog twin; same 6dp ratio normalization rationale).
+    adapted("tpcds_q20",
+      """SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+        |  sum(cs_ext_sales_price) itemrevenue,
+        |  CAST(sum(cs_ext_sales_price) * 100 AS DOUBLE)
+        |    / sum(sum(cs_ext_sales_price)) OVER (PARTITION BY i_class) revenueratio
+        |FROM tpcds.catalog_sales, tpcds.item, tpcds.date_dim
+        |WHERE cs_item_sk = i_item_sk
+        |  AND i_category IN ('Books', 'Men', 'Music')
+        |  AND cs_sold_date_sk = d_date_sk
+        |  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+        |GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+        |ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+        |LIMIT 100""".stripMargin,
+      Seq("i_item_id", "i_item_desc", "i_category", "i_class",
+        "i_current_price", "itemrevenue", "revenueratio"),
+      Seq("i_item_id", "i_item_desc", "i_category", "i_class",
+        r2("i_current_price"), r2("itemrevenue"), r6("revenueratio")),
+      "i_category, i_class, i_item_id, i_item_desc"),
+
+    // q25: the store→return→catalog rebuy flow summing net profit /
+    // net loss per leg (q17's profit twin; same epoch-wide windows —
+    // the rebuy match is the selective predicate).
+    adapted("tpcds_q25",
+      """SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+        |  sum(ss_net_profit) store_sales_profit,
+        |  sum(sr_net_loss) store_returns_loss,
+        |  sum(cs_net_profit) catalog_sales_profit
+        |FROM tpcds.store_sales, tpcds.store_returns, tpcds.catalog_sales,
+        |  tpcds.date_dim d1, tpcds.date_dim d2, tpcds.date_dim d3,
+        |  tpcds.store, tpcds.item
+        |WHERE d1.d_year BETWEEN 1995 AND 2001
+        |  AND d1.d_date_sk = ss_sold_date_sk
+        |  AND i_item_sk = ss_item_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND ss_customer_sk = sr_customer_sk
+        |  AND ss_item_sk = sr_item_sk
+        |  AND ss_ticket_number = sr_ticket_number
+        |  AND sr_returned_date_sk = d2.d_date_sk
+        |  AND d2.d_year BETWEEN 1995 AND 2001
+        |  AND sr_customer_sk = cs_bill_customer_sk
+        |  AND sr_item_sk = cs_item_sk
+        |  AND cs_sold_date_sk = d3.d_date_sk
+        |  AND d3.d_year BETWEEN 1995 AND 2001
+        |GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+        |ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+        |LIMIT 100""".stripMargin,
+      Seq("i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+        "store_sales_profit", "store_returns_loss",
+        "catalog_sales_profit"),
+      Seq("i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+        r2("store_sales_profit"), r2("store_returns_loss"),
+        r2("catalog_sales_profit")),
+      "i_item_id, i_item_desc, s_store_id, s_store_name"),
+
+    // q29: the same flow summing quantities (q17/q25's quantity twin).
+    adapted("tpcds_q29",
+      """SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+        |  sum(ss_quantity) store_sales_quantity,
+        |  sum(sr_return_quantity) store_returns_quantity,
+        |  sum(cs_quantity) catalog_sales_quantity
+        |FROM tpcds.store_sales, tpcds.store_returns, tpcds.catalog_sales,
+        |  tpcds.date_dim d1, tpcds.date_dim d2, tpcds.date_dim d3,
+        |  tpcds.store, tpcds.item
+        |WHERE d1.d_year BETWEEN 1995 AND 2001
+        |  AND d1.d_date_sk = ss_sold_date_sk
+        |  AND i_item_sk = ss_item_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND ss_customer_sk = sr_customer_sk
+        |  AND ss_item_sk = sr_item_sk
+        |  AND ss_ticket_number = sr_ticket_number
+        |  AND sr_returned_date_sk = d2.d_date_sk
+        |  AND d2.d_year BETWEEN 1995 AND 2001
+        |  AND sr_customer_sk = cs_bill_customer_sk
+        |  AND sr_item_sk = cs_item_sk
+        |  AND cs_sold_date_sk = d3.d_date_sk
+        |  AND d3.d_year BETWEEN 1995 AND 2001
+        |GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+        |ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+        |LIMIT 100""".stripMargin,
+      Seq("i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+        "store_sales_quantity", "store_returns_quantity",
+        "catalog_sales_quantity"),
+      Seq("i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+        big("store_sales_quantity"), big("store_returns_quantity"),
+        big("catalog_sales_quantity")),
+      "i_item_id, i_item_desc, s_store_id, s_store_name"),
+
+    // q41: manufacturers carrying an item matching deep OR'd
+    // attribute predicates — a pure-dimension correlated-count query
+    // (no fact table at all). Attribute lists retuned into the
+    // synthesized class/category/price domains.
+    adapted("tpcds_q41",
+      """SELECT DISTINCT i_product_name
+        |FROM tpcds.item i1
+        |WHERE i_manufact_id BETWEEN 10 AND 40
+        |  AND (SELECT count(*) cnt FROM tpcds.item
+        |    WHERE i_manufact = i1.i_manufact
+        |      AND ((i_category = 'Women'
+        |            AND i_class IN ('personal', 'portable')
+        |            AND i_current_price BETWEEN 950 AND 1200)
+        |        OR (i_category = 'Men'
+        |            AND i_class IN ('classical', 'fragrances')
+        |            AND i_current_price BETWEEN 1200 AND 1500)
+        |        OR (i_category = 'Books'
+        |            AND i_class IN ('self-help', 'reference')
+        |            AND i_current_price BETWEEN 1000 AND 1400))) > 0
+        |ORDER BY i_product_name
+        |LIMIT 100""".stripMargin,
+      Seq("i_product_name"), Seq("i_product_name"), "i_product_name"),
+
+    // q48: total quantity under OR'd demographic × geographic bands
+    // (q13's quantity-only sibling).
+    adapted("tpcds_q48",
+      """SELECT sum(ss_quantity) total_qty
+        |FROM tpcds.store_sales, tpcds.store,
+        |  tpcds.customer_demographics, tpcds.customer_address,
+        |  tpcds.date_dim
+        |WHERE s_store_sk = ss_store_sk AND ss_sold_date_sk = d_date_sk
+        |  AND d_year = 2000
+        |  AND ((cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'M'
+        |        AND cd_education_status = '4 yr Degree'
+        |        AND ss_sales_price BETWEEN 100.00 AND 150.00)
+        |    OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'D'
+        |        AND cd_education_status = '2 yr Degree'
+        |        AND ss_sales_price BETWEEN 50.00 AND 100.00)
+        |    OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'S'
+        |        AND cd_education_status = 'College'
+        |        AND ss_sales_price BETWEEN 150.00 AND 200.00))
+        |  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        |        AND ca_state IN ('TX', 'OK', 'NM')
+        |        AND ss_net_profit BETWEEN 0 AND 2000)
+        |    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        |        AND ca_state IN ('VA', 'TN', 'CA')
+        |        AND ss_net_profit BETWEEN 150 AND 3000)
+        |    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        |        AND ca_state IN ('IN', 'ND', 'NY')
+        |        AND ss_net_profit BETWEEN 50 AND 25000))""".stripMargin,
+      Seq("total_qty"), Seq(big("total_qty")), ""),
+
+    // q54: revenue segments of customers acquired through one
+    // category-month across web+catalog, measured on their store
+    // spending in the following quarter, bucketed in 50-dollar
+    // segments. floor() spells the segment explicitly — the spec's
+    // CAST(x AS INT) truncates on Presto but ROUNDS on DuckDB, so the
+    // portable floor keeps both engines identical. The county/state
+    // store-vicinity join hits the synthesized shared domains; the
+    // category/class pair is one the synthesized (p%6, p%8) derivation
+    // can actually co-produce (Women needs an odd key, 'personal' an
+    // 8-divisible one — 'portable' is the odd-compatible class).
+    adapted("tpcds_q54",
+      """WITH my_customers AS (
+        |  SELECT DISTINCT c_customer_sk, c_current_addr_sk
+        |  FROM (
+        |    SELECT cs_sold_date_sk sold_date_sk,
+        |      cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+        |    FROM tpcds.catalog_sales
+        |    UNION ALL
+        |    SELECT ws_sold_date_sk sold_date_sk,
+        |      ws_bill_customer_sk customer_sk, ws_item_sk item_sk
+        |    FROM tpcds.web_sales) cs_or_ws_sales,
+        |    tpcds.item, tpcds.date_dim, tpcds.customer
+        |  WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
+        |    AND i_category = 'Women' AND i_class = 'portable'
+        |    AND c_customer_sk = cs_or_ws_sales.customer_sk
+        |    AND d_moy = 12 AND d_year = 1999
+        |),
+        |my_revenue AS (
+        |  SELECT c_customer_sk, sum(ss_ext_sales_price) revenue
+        |  FROM my_customers, tpcds.store_sales, tpcds.customer_address,
+        |    tpcds.store, tpcds.date_dim
+        |  WHERE c_current_addr_sk = ca_address_sk
+        |    AND ca_county = s_county AND ca_state = s_state
+        |    AND ss_customer_sk = c_customer_sk
+        |    AND ss_sold_date_sk = d_date_sk
+        |    AND d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1
+        |        FROM tpcds.date_dim WHERE d_year = 1999 AND d_moy = 12)
+        |      AND (SELECT DISTINCT d_month_seq + 3
+        |        FROM tpcds.date_dim WHERE d_year = 1999 AND d_moy = 12)
+        |  GROUP BY c_customer_sk
+        |),
+        |segments AS (
+        |  SELECT CAST(floor(CAST(revenue AS DOUBLE) / 50) AS INT) segment
+        |  FROM my_revenue
+        |)
+        |SELECT segment, count(*) num_customers, segment * 50 segment_base
+        |FROM segments
+        |GROUP BY segment
+        |ORDER BY segment, num_customers
+        |LIMIT 100""".stripMargin,
+      Seq("segment", "num_customers", "segment_base"),
+      Seq("segment", big("num_customers"), big("segment_base")),
+      "segment"),
+
+    // q63: manager-month deviation from the manager's yearly average
+    // (q53's manager twin).
+    adapted("tpcds_q63",
+      """SELECT * FROM (
+        |  SELECT i_manager_id, sum(ss_sales_price) sum_sales,
+        |    avg(CAST(sum(ss_sales_price) AS DOUBLE))
+        |      OVER (PARTITION BY i_manager_id) avg_monthly_sales
+        |  FROM tpcds.item, tpcds.store_sales, tpcds.date_dim, tpcds.store
+        |  WHERE ss_item_sk = i_item_sk
+        |    AND ss_sold_date_sk = d_date_sk
+        |    AND ss_store_sk = s_store_sk
+        |    AND d_month_seq IN (1200, 1200 + 1, 1200 + 2, 1200 + 3,
+        |      1200 + 4, 1200 + 5, 1200 + 6, 1200 + 7, 1200 + 8, 1200 + 9,
+        |      1200 + 10, 1200 + 11)
+        |    AND ((i_category IN ('Books', 'Children', 'Electronics')
+        |          AND i_class IN ('personal', 'portable', 'reference', 'self-help'))
+        |      OR (i_category IN ('Women', 'Music', 'Men')
+        |          AND i_class IN ('accessories', 'classical', 'fragrances', 'pants')))
+        |  GROUP BY i_manager_id, d_moy
+        |) tmp1
+        |WHERE CASE WHEN avg_monthly_sales > 0
+        |    THEN abs(CAST(sum_sales AS DECIMAL(38,4)) - avg_monthly_sales)
+        |         / avg_monthly_sales
+        |    ELSE NULL END > 0.1
+        |ORDER BY i_manager_id, avg_monthly_sales, sum_sales
+        |LIMIT 100""".stripMargin,
+      Seq("i_manager_id", "sum_sales", "avg_monthly_sales"),
+      Seq("i_manager_id", r2("sum_sales"), r4("avg_monthly_sales")),
+      "i_manager_id, avg_monthly_sales, sum_sales"),
+
+    // q68: bought-city vs home-city ticket report with extended-price /
+    // list-price / tax sums (q46's sibling with different measures).
+    adapted("tpcds_q68",
+      """SELECT c_last_name, c_first_name, ca_city, bought_city,
+        |  ss_ticket_number, extended_price, extended_tax, list_price
+        |FROM
+        |  (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+        |     sum(ss_ext_sales_price) AS extended_price,
+        |     sum(ss_ext_list_price) AS list_price,
+        |     sum(ss_ext_discount_amt) AS extended_tax
+        |   FROM tpcds.store_sales, tpcds.date_dim,
+        |     tpcds.store, tpcds.household_demographics,
+        |     tpcds.customer_address
+        |   WHERE ss_sold_date_sk = d_date_sk
+        |     AND ss_store_sk = s_store_sk
+        |     AND ss_hdemo_sk = hd_demo_sk
+        |     AND ss_addr_sk = ca_address_sk
+        |     AND d_dom BETWEEN 1 AND 2
+        |     AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+        |     AND d_year IN (1999, 2000, 2001)
+        |     AND s_city IN ('City1', 'City2')
+        |   GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+        |  tpcds.customer, tpcds.customer_address current_addr
+        |WHERE ss_customer_sk = c_customer_sk
+        |  AND c_current_addr_sk = current_addr.ca_address_sk
+        |  AND current_addr.ca_city <> bought_city
+        |ORDER BY c_last_name, ss_ticket_number
+        |LIMIT 100""".stripMargin,
+      Seq("c_last_name", "c_first_name", "ca_city", "bought_city",
+        "ss_ticket_number", "extended_price", "extended_tax", "list_price"),
+      Seq("c_last_name", "c_first_name", "ca_city", "bought_city",
+        "ss_ticket_number", r2("extended_price"), r2("extended_tax"),
+        r2("list_price")),
+      "c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number"),
+
+    // q71: brand revenue by hour-of-day across all three channels for
+    // one manager-month — the time_dim family. The spec gates on
+    // t_meal_time ('breakfast'/'dinner'), which has no synthesized
+    // twin; the equivalent hour bands spell the same selection.
+    adapted("tpcds_q71",
+      """SELECT i_brand_id brand_id, i_brand brand, t_hour, t_minute,
+        |  sum(ext_price) ext_price
+        |FROM tpcds.item,
+        |  (SELECT ws_ext_sales_price ext_price,
+        |     ws_sold_date_sk sold_date_sk, ws_item_sk sold_item_sk,
+        |     ws_sold_time_sk time_sk
+        |   FROM tpcds.web_sales, tpcds.date_dim
+        |   WHERE d_date_sk = ws_sold_date_sk AND d_moy = 11 AND d_year = 2000
+        |   UNION ALL
+        |   SELECT cs_ext_sales_price ext_price,
+        |     cs_sold_date_sk sold_date_sk, cs_item_sk sold_item_sk,
+        |     cs_sold_time_sk time_sk
+        |   FROM tpcds.catalog_sales, tpcds.date_dim
+        |   WHERE d_date_sk = cs_sold_date_sk AND d_moy = 11 AND d_year = 2000
+        |   UNION ALL
+        |   SELECT ss_ext_sales_price ext_price,
+        |     ss_sold_date_sk sold_date_sk, ss_item_sk sold_item_sk,
+        |     ss_sold_time_sk time_sk
+        |   FROM tpcds.store_sales, tpcds.date_dim
+        |   WHERE d_date_sk = ss_sold_date_sk AND d_moy = 11 AND d_year = 2000
+        |  ) tmp, tpcds.time_dim
+        |WHERE sold_item_sk = i_item_sk
+        |  AND i_manager_id = 1
+        |  AND time_sk = t_time_sk
+        |  AND (t_hour IN (7, 8) OR t_hour IN (18, 19))
+        |GROUP BY i_brand, i_brand_id, t_hour, t_minute
+        |ORDER BY ext_price DESC, i_brand_id, t_hour, t_minute
+        |LIMIT 100""".stripMargin,
+      Seq("brand_id", "brand", "t_hour", "t_minute", "ext_price"),
+      Seq("brand_id", "brand", "t_hour", "t_minute", r2("ext_price")),
+      "ext_price DESC, brand_id, t_hour, t_minute"),
+
+    // q78: store-loyalty ratio per (year, item, customer): store
+    // quantities of never-returned sales against the other channels'
+    // (the anti-returns LEFT-JOIN-IS-NULL family over all three
+    // returns tables).
+    adapted("tpcds_q78",
+      """WITH ws AS (
+        |  SELECT d_year ws_sold_year, ws_item_sk,
+        |    ws_bill_customer_sk ws_customer_sk,
+        |    sum(ws_quantity) ws_qty, sum(ws_wholesale_cost) ws_wc,
+        |    sum(ws_sales_price) ws_sp
+        |  FROM tpcds.web_sales
+        |  LEFT JOIN tpcds.web_returns
+        |    ON wr_order_number = ws_order_number AND ws_item_sk = wr_item_sk
+        |  JOIN tpcds.date_dim ON ws_sold_date_sk = d_date_sk
+        |  WHERE wr_order_number IS NULL
+        |  GROUP BY d_year, ws_item_sk, ws_bill_customer_sk
+        |),
+        |cs AS (
+        |  SELECT d_year cs_sold_year, cs_item_sk,
+        |    cs_bill_customer_sk cs_customer_sk,
+        |    sum(cs_quantity) cs_qty, sum(cs_wholesale_cost) cs_wc,
+        |    sum(cs_sales_price) cs_sp
+        |  FROM tpcds.catalog_sales
+        |  LEFT JOIN tpcds.catalog_returns
+        |    ON cr_order_number = cs_order_number AND cs_item_sk = cr_item_sk
+        |  JOIN tpcds.date_dim ON cs_sold_date_sk = d_date_sk
+        |  WHERE cr_order_number IS NULL
+        |  GROUP BY d_year, cs_item_sk, cs_bill_customer_sk
+        |),
+        |ss AS (
+        |  SELECT d_year ss_sold_year, ss_item_sk,
+        |    ss_customer_sk,
+        |    sum(ss_quantity) ss_qty, sum(ss_wholesale_cost) ss_wc,
+        |    sum(ss_sales_price) ss_sp
+        |  FROM tpcds.store_sales
+        |  LEFT JOIN tpcds.store_returns
+        |    ON sr_ticket_number = ss_ticket_number AND ss_item_sk = sr_item_sk
+        |  JOIN tpcds.date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE sr_ticket_number IS NULL
+        |  GROUP BY d_year, ss_item_sk, ss_customer_sk
+        |)
+        |SELECT ss_customer_sk,
+        |  round(CAST(ss_qty AS DOUBLE)
+        |    / (coalesce(ws_qty, 0) + coalesce(cs_qty, 0)), 2) ratio,
+        |  ss_qty store_qty, ss_wc store_wholesale_cost,
+        |  ss_sp store_sales_price,
+        |  coalesce(ws_qty, 0) + coalesce(cs_qty, 0) other_chan_qty,
+        |  coalesce(ws_wc, 0) + coalesce(cs_wc, 0) other_chan_wholesale_cost,
+        |  coalesce(ws_sp, 0) + coalesce(cs_sp, 0) other_chan_sales_price
+        |FROM ss
+        |LEFT JOIN ws ON ws_sold_year = ss_sold_year
+        |  AND ws_item_sk = ss_item_sk AND ws_customer_sk = ss_customer_sk
+        |LEFT JOIN cs ON cs_sold_year = ss_sold_year
+        |  AND cs_item_sk = ss_item_sk AND cs_customer_sk = ss_customer_sk
+        |WHERE (coalesce(ws_qty, 0) > 0 OR coalesce(cs_qty, 0) > 0)
+        |  AND ss_sold_year = 2000
+        |ORDER BY ss_customer_sk, ss_qty DESC, ss_wc DESC, ss_sp DESC,
+        |  other_chan_qty, other_chan_wholesale_cost, other_chan_sales_price,
+        |  ratio
+        |LIMIT 100""".stripMargin,
+      Seq("ss_customer_sk", "ratio", "store_qty", "store_wholesale_cost",
+        "store_sales_price", "other_chan_qty", "other_chan_wholesale_cost",
+        "other_chan_sales_price"),
+      Seq("ss_customer_sk", "ratio", big("store_qty"),
+        r2("store_wholesale_cost"), r2("store_sales_price"),
+        big("other_chan_qty"), r2("other_chan_wholesale_cost"),
+        r2("other_chan_sales_price")),
+      "ss_customer_sk, store_qty DESC, store_wholesale_cost DESC, " +
+        "store_sales_price DESC"),
+
+    // q82: q37's store twin — price-band × inventory-level items with
+    // store demand.
+    adapted("tpcds_q82",
+      """SELECT i_item_id, i_item_desc, i_current_price
+        |FROM tpcds.item, tpcds.inventory, tpcds.date_dim, tpcds.store_sales
+        |WHERE i_current_price BETWEEN 950 AND 1100
+        |  AND inv_item_sk = i_item_sk AND d_date_sk = inv_date_sk
+        |  AND d_date BETWEEN DATE '1996-02-01' AND DATE '1996-04-01'
+        |  AND i_manufact_id IN (15, 25, 35, 45)
+        |  AND inv_quantity_on_hand BETWEEN 100 AND 500
+        |  AND ss_item_sk = i_item_sk
+        |GROUP BY i_item_id, i_item_desc, i_current_price
+        |ORDER BY i_item_id
+        |LIMIT 100""".stripMargin,
+      Seq("i_item_id", "i_item_desc", "i_current_price"),
+      Seq("i_item_id", "i_item_desc", r2("i_current_price")),
+      "i_item_id"),
+
+    // q86: web net-paid ROLLUP with GROUPING()-partitioned rank
+    // (q36's web twin).
+    adapted("tpcds_q86",
+      """SELECT sum(ws_net_paid) total_sum, i_category, i_class,
+        |  grouping(i_category) + grouping(i_class) lochierarchy,
+        |  rank() OVER (
+        |    PARTITION BY grouping(i_category) + grouping(i_class),
+        |      CASE WHEN grouping(i_class) = 0 THEN i_category END
+        |    ORDER BY sum(ws_net_paid) DESC, i_category, i_class) rank_within_parent
+        |FROM tpcds.web_sales, tpcds.date_dim d1, tpcds.item
+        |WHERE d1.d_month_seq BETWEEN 1200 AND 1211
+        |  AND d1.d_date_sk = ws_sold_date_sk
+        |  AND i_item_sk = ws_item_sk
+        |GROUP BY ROLLUP (i_category, i_class)
+        |ORDER BY lochierarchy DESC,
+        |  CASE WHEN grouping(i_category) + grouping(i_class) = 0
+        |    THEN i_category END NULLS FIRST,
+        |  rank_within_parent, i_category NULLS FIRST, i_class NULLS FIRST
+        |LIMIT 100""".stripMargin,
+      Seq("total_sum", "i_category", "i_class", "lochierarchy",
+        "rank_within_parent"),
+      Seq(r2("total_sum"), "i_category", "i_class", big("lochierarchy"),
+        big("rank_within_parent")),
+      "lochierarchy DESC, i_category NULLS FIRST, i_class NULLS FIRST"),
+
     // q97: store/catalog customer-item overlap via FULL OUTER JOIN over
     // per-channel DISTINCT baskets — the channel-overlap census.
     adapted("tpcds_q97",
