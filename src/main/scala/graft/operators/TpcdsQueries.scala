@@ -50,7 +50,9 @@ object TpcdsQueries extends QueryGroup {
     * while these generated dims are tiny at any scale.
     */
   private val generatedDims = Set("date_dim", "time_dim",
-    "customer_demographics", "household_demographics", "promotion", "reason")
+    "customer_demographics", "household_demographics", "promotion", "reason",
+    "warehouse", "income_band", "ship_mode", "call_center", "web_site",
+    "web_page", "catalog_page")
 
   private def ensureTpcdsViews(spark: SparkSession, dir: String): Unit =
     viewsFor.compute(spark, (_, prev) => {
@@ -2546,6 +2548,417 @@ object TpcdsQueries extends QueryGroup {
       Seq(r2("total_sum"), "i_category", "i_class", big("lochierarchy"),
         big("rank_within_parent")),
       "lochierarchy DESC, i_category NULLS FIRST, i_class NULLS FIRST"),
+
+    // q16: catalog orders shipped in a 60-day window from one county,
+    // split across warehouses (EXISTS a second line from a DIFFERENT
+    // warehouse) and never returned (NOT EXISTS) — with count(DISTINCT
+    // order) over the round-6 ship-date/addr/ship-cost columns.
+    adapted("tpcds_q16",
+      """SELECT count(DISTINCT cs_order_number) order_count,
+        |  sum(cs_ext_ship_cost) total_shipping_cost,
+        |  sum(cs_net_profit) total_net_profit
+        |FROM tpcds.catalog_sales cs1, tpcds.date_dim,
+        |  tpcds.customer_address, tpcds.call_center
+        |WHERE d_date BETWEEN DATE '1999-02-01' AND DATE '1999-04-02'
+        |  AND cs1.cs_ship_date_sk = d_date_sk
+        |  AND cs1.cs_ship_addr_sk = ca_address_sk
+        |  AND ca_state = 'OK'
+        |  AND cs1.cs_call_center_sk = cc_call_center_sk
+        |  AND cc_county = 'Williamson County'
+        |  AND EXISTS (SELECT * FROM tpcds.catalog_sales cs2
+        |    WHERE cs1.cs_order_number = cs2.cs_order_number
+        |      AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+        |  AND NOT EXISTS (SELECT * FROM tpcds.catalog_returns cr1
+        |    WHERE cs1.cs_order_number = cr1.cr_order_number)
+        |LIMIT 100""".stripMargin,
+      Seq("order_count", "total_shipping_cost", "total_net_profit"),
+      Seq(big("order_count"), r2("total_shipping_cost"),
+        r2("total_net_profit")), ""),
+
+    // q62: web shipping-latency histogram by warehouse × ship mode ×
+    // site (q50's web twin over the new ship_mode / web_site dims; the
+    // fixture's receipt lag is ≤ 30 days, so the >30 buckets are
+    // honestly zero while the column structure is exercised).
+    adapted("tpcds_q62",
+      """SELECT substr(w_warehouse_name, 1, 20) wname, sm_type, web_name,
+        |  sum(CASE WHEN ws_ship_date_sk <=
+        |      CAST(ws_sold_date_sk + INTERVAL '30' DAY AS DATE)
+        |      THEN 1 ELSE 0 END) d30,
+        |  sum(CASE WHEN ws_ship_date_sk >
+        |      CAST(ws_sold_date_sk + INTERVAL '30' DAY AS DATE)
+        |      AND ws_ship_date_sk <=
+        |      CAST(ws_sold_date_sk + INTERVAL '60' DAY AS DATE)
+        |      THEN 1 ELSE 0 END) d31_60,
+        |  sum(CASE WHEN ws_ship_date_sk >
+        |      CAST(ws_sold_date_sk + INTERVAL '60' DAY AS DATE)
+        |      AND ws_ship_date_sk <=
+        |      CAST(ws_sold_date_sk + INTERVAL '90' DAY AS DATE)
+        |      THEN 1 ELSE 0 END) d61_90,
+        |  sum(CASE WHEN ws_ship_date_sk >
+        |      CAST(ws_sold_date_sk + INTERVAL '90' DAY AS DATE)
+        |      AND ws_ship_date_sk <=
+        |      CAST(ws_sold_date_sk + INTERVAL '120' DAY AS DATE)
+        |      THEN 1 ELSE 0 END) d91_120,
+        |  sum(CASE WHEN ws_ship_date_sk >
+        |      CAST(ws_sold_date_sk + INTERVAL '120' DAY AS DATE)
+        |      THEN 1 ELSE 0 END) d_over_120
+        |FROM tpcds.web_sales, tpcds.warehouse, tpcds.ship_mode,
+        |  tpcds.web_site, tpcds.date_dim
+        |WHERE d_month_seq BETWEEN 1260 AND 1271
+        |  AND ws_ship_date_sk = d_date_sk
+        |  AND ws_warehouse_sk = w_warehouse_sk
+        |  AND ws_ship_mode_sk = sm_ship_mode_sk
+        |  AND ws_web_site_sk = web_site_sk
+        |GROUP BY substr(w_warehouse_name, 1, 20), sm_type, web_name
+        |ORDER BY wname, sm_type, web_name
+        |LIMIT 100""".stripMargin,
+      Seq("wname", "sm_type", "web_name", "d30", "d31_60", "d61_90",
+        "d91_120", "d_over_120"),
+      Seq("wname", "sm_type", "web_name", big("d30"), big("d31_60"),
+        big("d61_90"), big("d91_120"), big("d_over_120")),
+      "wname, sm_type, web_name"),
+
+    // q94: web orders shipped in a 60-day window from one state via one
+    // site company, split across warehouses and never returned — q16's
+    // web twin.
+    adapted("tpcds_q94",
+      """SELECT count(DISTINCT ws_order_number) order_count,
+        |  sum(ws_ext_ship_cost) total_shipping_cost,
+        |  sum(ws_net_profit) total_net_profit
+        |FROM tpcds.web_sales ws1, tpcds.date_dim,
+        |  tpcds.customer_address, tpcds.web_site
+        |WHERE d_date BETWEEN DATE '1999-02-01' AND DATE '1999-04-02'
+        |  AND ws1.ws_ship_date_sk = d_date_sk
+        |  AND ws1.ws_ship_addr_sk = ca_address_sk
+        |  AND ca_state = 'OK'
+        |  AND ws1.ws_web_site_sk = web_site_sk
+        |  AND web_company_name = 'pri'
+        |  AND EXISTS (SELECT * FROM tpcds.web_sales ws2
+        |    WHERE ws1.ws_order_number = ws2.ws_order_number
+        |      AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+        |  AND NOT EXISTS (SELECT * FROM tpcds.web_returns wr1
+        |    WHERE ws1.ws_order_number = wr1.wr_order_number)
+        |LIMIT 100""".stripMargin,
+      Seq("order_count", "total_shipping_cost", "total_net_profit"),
+      Seq(big("order_count"), r2("total_shipping_cost"),
+        r2("total_net_profit")), ""),
+
+    // q95: q94's both-sides-IN variant — the split-warehouse order set
+    // is a CTE self-join, and RETURNED orders are required (IN instead
+    // of NOT EXISTS), exercising the semi-join-on-CTE shape.
+    adapted("tpcds_q95",
+      """WITH ws_wh AS (
+        |  SELECT ws1.ws_order_number
+        |  FROM tpcds.web_sales ws1, tpcds.web_sales ws2
+        |  WHERE ws1.ws_order_number = ws2.ws_order_number
+        |    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk
+        |)
+        |SELECT count(DISTINCT ws1.ws_order_number) order_count,
+        |  sum(ws_ext_ship_cost) total_shipping_cost,
+        |  sum(ws_net_profit) total_net_profit
+        |FROM tpcds.web_sales ws1, tpcds.date_dim,
+        |  tpcds.customer_address, tpcds.web_site
+        |WHERE d_date BETWEEN DATE '1999-02-01' AND DATE '1999-04-02'
+        |  AND ws1.ws_ship_date_sk = d_date_sk
+        |  AND ws1.ws_ship_addr_sk = ca_address_sk
+        |  AND ca_state = 'OK'
+        |  AND ws1.ws_web_site_sk = web_site_sk
+        |  AND web_company_name = 'pri'
+        |  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+        |  AND ws1.ws_order_number IN (SELECT wr_order_number
+        |    FROM tpcds.web_returns, ws_wh
+        |    WHERE wr_order_number = ws_wh.ws_order_number)
+        |LIMIT 100""".stripMargin,
+      Seq("order_count", "total_shipping_cost", "total_net_profit"),
+      Seq(big("order_count"), r2("total_shipping_cost"),
+        r2("total_net_profit")), ""),
+
+    // q99: catalog shipping-latency histogram by warehouse × ship mode
+    // × call center (q62's catalog twin).
+    adapted("tpcds_q99",
+      """SELECT substr(w_warehouse_name, 1, 20) wname, sm_type, cc_name,
+        |  sum(CASE WHEN cs_ship_date_sk <=
+        |      CAST(cs_sold_date_sk + INTERVAL '30' DAY AS DATE)
+        |      THEN 1 ELSE 0 END) d30,
+        |  sum(CASE WHEN cs_ship_date_sk >
+        |      CAST(cs_sold_date_sk + INTERVAL '30' DAY AS DATE)
+        |      AND cs_ship_date_sk <=
+        |      CAST(cs_sold_date_sk + INTERVAL '60' DAY AS DATE)
+        |      THEN 1 ELSE 0 END) d31_60,
+        |  sum(CASE WHEN cs_ship_date_sk >
+        |      CAST(cs_sold_date_sk + INTERVAL '60' DAY AS DATE)
+        |      AND cs_ship_date_sk <=
+        |      CAST(cs_sold_date_sk + INTERVAL '90' DAY AS DATE)
+        |      THEN 1 ELSE 0 END) d61_90,
+        |  sum(CASE WHEN cs_ship_date_sk >
+        |      CAST(cs_sold_date_sk + INTERVAL '90' DAY AS DATE)
+        |      AND cs_ship_date_sk <=
+        |      CAST(cs_sold_date_sk + INTERVAL '120' DAY AS DATE)
+        |      THEN 1 ELSE 0 END) d91_120,
+        |  sum(CASE WHEN cs_ship_date_sk >
+        |      CAST(cs_sold_date_sk + INTERVAL '120' DAY AS DATE)
+        |      THEN 1 ELSE 0 END) d_over_120
+        |FROM tpcds.catalog_sales, tpcds.warehouse, tpcds.ship_mode,
+        |  tpcds.call_center, tpcds.date_dim
+        |WHERE d_month_seq BETWEEN 1260 AND 1271
+        |  AND cs_ship_date_sk = d_date_sk
+        |  AND cs_warehouse_sk = w_warehouse_sk
+        |  AND cs_ship_mode_sk = sm_ship_mode_sk
+        |  AND cs_call_center_sk = cc_call_center_sk
+        |GROUP BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
+        |ORDER BY wname, sm_type, cc_name
+        |LIMIT 100""".stripMargin,
+      Seq("wname", "sm_type", "cc_name", "d30", "d31_60", "d61_90",
+        "d91_120", "d_over_120"),
+      Seq("wname", "sm_type", "cc_name", big("d30"), big("d31_60"),
+        big("d61_90"), big("d91_120"), big("d_over_120")),
+      "wname, sm_type, cc_name"),
+
+    // q66: the 24-column warehouse monthly pivot — web + catalog legs
+    // UNION ALLed, each pivoting sales and net by month under a carrier
+    // + time-band gate, re-aggregated per warehouse. The month columns
+    // are generated (12 × sales/net × 2 legs); the one text feeds both
+    // engines as everywhere else. (The spec's w_country column has no
+    // synthesized twin and is dropped.)
+    {
+      val mon = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul",
+        "aug", "sep", "oct", "nov", "dec")
+      def pivot(p: String, price: String, net: String): String =
+        (mon.zipWithIndex.map { case (m, i) =>
+          s"    sum(CASE WHEN d_moy = ${i + 1} THEN $price * ${p}_quantity ELSE 0 END) ${m}_sales"
+        } ++ mon.zipWithIndex.map { case (m, i) =>
+          s"    sum(CASE WHEN d_moy = ${i + 1} THEN $net * ${p}_quantity ELSE 0 END) ${m}_net"
+        }).mkString(",\n")
+      def leg(table: String, p: String): String =
+        s"""  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+           |    w_state, 'UPS,FEDEX' ship_carriers, d_year year_,
+           |${pivot(p, s"${p}_ext_sales_price", s"${p}_net_paid")}
+           |  FROM tpcds.$table, tpcds.warehouse, tpcds.date_dim,
+           |    tpcds.time_dim, tpcds.ship_mode
+           |  WHERE ${p}_warehouse_sk = w_warehouse_sk
+           |    AND ${p}_sold_date_sk = d_date_sk
+           |    AND ${p}_sold_time_sk = t_time_sk
+           |    AND ${p}_ship_mode_sk = sm_ship_mode_sk
+           |    AND d_year = 2000
+           |    AND t_time BETWEEN 30838 AND 30838 + 28800
+           |    AND sm_carrier IN ('UPS', 'FEDEX')
+           |  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city,
+           |    w_county, w_state, d_year""".stripMargin
+      val outCols = mon.map(m => s"${m}_sales") ++ mon.map(m => s"${m}_net")
+      val text =
+        s"""SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+           |  w_state, ship_carriers, year_,
+           |${outCols.map(c => s"  sum($c) $c").mkString(",\n")}
+           |FROM (
+           |${leg("web_sales", "ws")}
+           |  UNION ALL
+           |${leg("catalog_sales", "cs")}
+           |) x
+           |GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+           |  w_state, ship_carriers, year_
+           |ORDER BY w_warehouse_name
+           |LIMIT 100""".stripMargin
+      val aliases = Seq("w_warehouse_name", "w_warehouse_sq_ft", "w_city",
+        "w_county", "w_state", "ship_carriers", "year_") ++ outCols
+      val norm = Seq("w_warehouse_name", "w_warehouse_sq_ft", "w_city",
+        "w_county", "w_state", "ship_carriers", "year_") ++
+        outCols.map(r2)
+      adapted("tpcds_q66", text, aliases, norm, "w_warehouse_name")
+    },
+
+    // q72: the 9-way catalog/inventory promo join — inventory short of
+    // the ordered quantity in the sale's own week, shipped > 5 days
+    // later, per demographic slice, promo LEFT JOINed (the synthesized
+    // promo key always resolves, so no_promo is honestly zero).
+    adapted("tpcds_q72",
+      """SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
+        |  sum(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) no_promo,
+        |  sum(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) promo,
+        |  count(*) total_cnt
+        |FROM tpcds.catalog_sales
+        |JOIN tpcds.inventory ON cs_item_sk = inv_item_sk
+        |JOIN tpcds.warehouse ON w_warehouse_sk = inv_warehouse_sk
+        |JOIN tpcds.item ON i_item_sk = cs_item_sk
+        |JOIN tpcds.customer_demographics ON cs_bill_cdemo_sk = cd_demo_sk
+        |JOIN tpcds.household_demographics ON cs_bill_hdemo_sk = hd_demo_sk
+        |JOIN tpcds.date_dim d1 ON cs_sold_date_sk = d1.d_date_sk
+        |JOIN tpcds.date_dim d2 ON inv_date_sk = d2.d_date_sk
+        |JOIN tpcds.date_dim d3 ON cs_ship_date_sk = d3.d_date_sk
+        |LEFT JOIN tpcds.promotion ON cs_promo_sk = p_promo_sk
+        |LEFT JOIN tpcds.catalog_returns
+        |  ON cr_item_sk = cs_item_sk AND cr_order_number = cs_order_number
+        |WHERE d1.d_week_seq = d2.d_week_seq
+        |  AND inv_quantity_on_hand < cs_quantity
+        |  AND d3.d_date > CAST(d1.d_date + INTERVAL '5' DAY AS DATE)
+        |  AND hd_buy_potential = '>10000'
+        |  AND d1.d_year BETWEEN 1995 AND 1996
+        |  AND cd_marital_status = 'D'
+        |GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+        |ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name,
+        |  d1.d_week_seq
+        |LIMIT 100""".stripMargin,
+      Seq("i_item_desc", "w_warehouse_name", "d_week_seq", "no_promo",
+        "promo", "total_cnt"),
+      Seq("i_item_desc", "w_warehouse_name", "d_week_seq", big("no_promo"),
+        big("promo"), big("total_cnt")),
+      "total_cnt DESC, i_item_desc, w_warehouse_name, d_week_seq"),
+
+    // q90: AM/PM order-count ratio for one dependent-count slice on
+    // pages in one char-count band (the spec's ws_ship_hdemo_sk maps to
+    // the synthesized bill hdemo).
+    adapted("tpcds_q90",
+      """SELECT CAST(amc AS DECIMAL(15,4)) / CAST(pmc AS DECIMAL(15,4))
+        |  am_pm_ratio
+        |FROM
+        |  (SELECT count(*) amc
+        |   FROM tpcds.web_sales, tpcds.household_demographics,
+        |     tpcds.time_dim, tpcds.web_page
+        |   WHERE ws_sold_time_sk = t_time_sk
+        |     AND ws_bill_hdemo_sk = hd_demo_sk
+        |     AND ws_web_page_sk = wp_web_page_sk
+        |     AND t_hour BETWEEN 8 AND 9
+        |     AND hd_dep_count = 6
+        |     AND wp_char_count BETWEEN 5000 AND 5200) at_,
+        |  (SELECT count(*) pmc
+        |   FROM tpcds.web_sales, tpcds.household_demographics,
+        |     tpcds.time_dim, tpcds.web_page
+        |   WHERE ws_sold_time_sk = t_time_sk
+        |     AND ws_bill_hdemo_sk = hd_demo_sk
+        |     AND ws_web_page_sk = wp_web_page_sk
+        |     AND t_hour BETWEEN 19 AND 20
+        |     AND hd_dep_count = 6
+        |     AND wp_char_count BETWEEN 5000 AND 5200) pt
+        |LIMIT 100""".stripMargin,
+      Seq("am_pm_ratio"), Seq(r6("am_pm_ratio")), ""),
+
+    // q91: call-center catalog-return losses for one demographic ×
+    // buy-potential × gmt slice. The slice is a 0.3%-selective
+    // conjunction; one month of the synthesized returns leaves it
+    // empty, so the window widens to the year (same shape, real rows).
+    adapted("tpcds_q91",
+      """SELECT cc_call_center_id call_center, cc_name, cc_manager manager,
+        |  sum(cr_net_loss) returns_loss
+        |FROM tpcds.call_center, tpcds.catalog_returns, tpcds.date_dim,
+        |  tpcds.customer, tpcds.customer_address,
+        |  tpcds.customer_demographics, tpcds.household_demographics
+        |WHERE cr_call_center_sk = cc_call_center_sk
+        |  AND cr_returned_date_sk = d_date_sk
+        |  AND cr_returning_customer_sk = c_customer_sk
+        |  AND cd_demo_sk = c_current_cdemo_sk
+        |  AND hd_demo_sk = c_current_hdemo_sk
+        |  AND ca_address_sk = c_current_addr_sk
+        |  AND d_year = 2000
+        |  AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+        |    OR (cd_marital_status = 'W' AND cd_education_status = 'Advanced Degree'))
+        |  AND hd_buy_potential LIKE 'Unknown%'
+        |  AND ca_gmt_offset = -6
+        |GROUP BY cc_call_center_id, cc_name, cc_manager
+        |ORDER BY returns_loss DESC, cc_call_center_id, cc_name
+        |LIMIT 100""".stripMargin,
+      Seq("call_center", "cc_name", "manager", "returns_loss"),
+      Seq("call_center", "cc_name", "manager", r2("returns_loss")),
+      "call_center, cc_name, manager"),
+
+    // q05: the channel profit-and-loss ROLLUP — per channel, sales rows
+    // and return rows UNION ALLed with zero-filled opposite measures,
+    // aggregated per store / catalog page / web site, then rolled up
+    // across channels (returns reach the web site through the
+    // wr→ws LEFT JOIN exactly as in the spec).
+    adapted("tpcds_q05",
+      """WITH ssr AS (
+        |  SELECT s_store_id,
+        |    sum(sales_price) sales, sum(profit) profit,
+        |    sum(return_amt) returns_, sum(net_loss) profit_loss
+        |  FROM (
+        |    SELECT ss_store_sk store_sk, ss_ext_sales_price sales_price,
+        |      ss_net_profit profit, CAST(0 AS DECIMAL(18,2)) return_amt,
+        |      CAST(0 AS DECIMAL(18,2)) net_loss
+        |    FROM tpcds.store_sales, tpcds.date_dim
+        |    WHERE ss_sold_date_sk = d_date_sk
+        |      AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+        |    UNION ALL
+        |    SELECT sr_store_sk store_sk, CAST(0 AS DECIMAL(18,2)) sales_price,
+        |      CAST(0 AS DECIMAL(18,2)) profit, sr_return_amt return_amt,
+        |      sr_net_loss net_loss
+        |    FROM tpcds.store_returns, tpcds.date_dim
+        |    WHERE sr_returned_date_sk = d_date_sk
+        |      AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+        |  ) salesreturns, tpcds.store
+        |  WHERE store_sk = s_store_sk
+        |  GROUP BY s_store_id
+        |),
+        |csr AS (
+        |  SELECT cp_catalog_page_id,
+        |    sum(sales_price) sales, sum(profit) profit,
+        |    sum(return_amt) returns_, sum(net_loss) profit_loss
+        |  FROM (
+        |    SELECT cs_catalog_page_sk page_sk,
+        |      cs_ext_sales_price sales_price, cs_net_profit profit,
+        |      CAST(0 AS DECIMAL(18,2)) return_amt,
+        |      CAST(0 AS DECIMAL(18,2)) net_loss
+        |    FROM tpcds.catalog_sales, tpcds.date_dim
+        |    WHERE cs_sold_date_sk = d_date_sk
+        |      AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+        |    UNION ALL
+        |    SELECT cr_catalog_page_sk page_sk,
+        |      CAST(0 AS DECIMAL(18,2)) sales_price,
+        |      CAST(0 AS DECIMAL(18,2)) profit, cr_return_amount return_amt,
+        |      cr_net_loss net_loss
+        |    FROM tpcds.catalog_returns, tpcds.date_dim
+        |    WHERE cr_returned_date_sk = d_date_sk
+        |      AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+        |  ) salesreturns, tpcds.catalog_page
+        |  WHERE page_sk = cp_catalog_page_sk
+        |  GROUP BY cp_catalog_page_id
+        |),
+        |wsr AS (
+        |  SELECT web_site_id,
+        |    sum(sales_price) sales, sum(profit) profit,
+        |    sum(return_amt) returns_, sum(net_loss) profit_loss
+        |  FROM (
+        |    SELECT ws_web_site_sk site_sk, ws_ext_sales_price sales_price,
+        |      ws_net_profit profit, CAST(0 AS DECIMAL(18,2)) return_amt,
+        |      CAST(0 AS DECIMAL(18,2)) net_loss
+        |    FROM tpcds.web_sales, tpcds.date_dim
+        |    WHERE ws_sold_date_sk = d_date_sk
+        |      AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+        |    UNION ALL
+        |    SELECT ws_web_site_sk site_sk,
+        |      CAST(0 AS DECIMAL(18,2)) sales_price,
+        |      CAST(0 AS DECIMAL(18,2)) profit, wr_return_amt return_amt,
+        |      wr_net_loss net_loss
+        |    FROM tpcds.web_returns
+        |    LEFT JOIN tpcds.web_sales
+        |      ON wr_item_sk = ws_item_sk AND wr_order_number = ws_order_number,
+        |      tpcds.date_dim
+        |    WHERE wr_returned_date_sk = d_date_sk
+        |      AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+        |  ) salesreturns, tpcds.web_site
+        |  WHERE site_sk = web_site_sk
+        |  GROUP BY web_site_id
+        |)
+        |SELECT channel, id, sum(sales) sales, sum(returns_) returns_,
+        |  sum(profit) profit
+        |FROM (
+        |  SELECT 'store channel' channel, concat('store', s_store_id) id,
+        |    sales, returns_, profit - profit_loss profit
+        |  FROM ssr
+        |  UNION ALL
+        |  SELECT 'catalog channel' channel,
+        |    concat('catalog_page', cp_catalog_page_id) id,
+        |    sales, returns_, profit - profit_loss profit
+        |  FROM csr
+        |  UNION ALL
+        |  SELECT 'web channel' channel, concat('web_site', web_site_id) id,
+        |    sales, returns_, profit - profit_loss profit
+        |  FROM wsr
+        |) x
+        |GROUP BY ROLLUP (channel, id)
+        |ORDER BY channel NULLS FIRST, id NULLS FIRST
+        |LIMIT 100""".stripMargin,
+      Seq("channel", "id", "sales", "returns_", "profit"),
+      Seq("channel", "id", r2("sales"), r2("returns_"), r2("profit")),
+      "channel NULLS FIRST, id NULLS FIRST"),
 
     // q97: store/catalog customer-item overlap via FULL OUTER JOIN over
     // per-channel DISTINCT baskets — the channel-overlap census.

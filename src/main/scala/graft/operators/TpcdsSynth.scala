@@ -45,7 +45,8 @@ object TpcdsSynth {
   /** Tables the adapted corpus references (generated dims first). */
   val tables: Seq[String] = Seq(
     "date_dim", "time_dim", "customer_demographics", "household_demographics",
-    "warehouse", "income_band",
+    "warehouse", "income_band", "ship_mode", "call_center", "web_site",
+    "web_page", "catalog_page",
     "item", "customer", "customer_address", "store", "promotion", "reason",
     "store_sales", "web_sales", "catalog_sales",
     "store_returns", "catalog_returns", "web_returns", "inventory")
@@ -298,6 +299,51 @@ object TpcdsSynth {
          |       WHEN 2 THEN 'ND' WHEN 3 THEN 'OK' ELSE 'NM' END AS w_state
          |FROM ${series(5, "s")}""".stripMargin
 
+    // the spec's 20 ship modes: 5 types × 4 carrier groups
+    case "ship_mode" =>
+      s"""SELECT CAST(s.n AS BIGINT) AS sm_ship_mode_sk,
+         |  'SM' || lpad(CAST(s.n AS VARCHAR(2)), 2, '0') AS sm_ship_mode_id,
+         |  CASE CAST(s.n % 5 AS INT) WHEN 0 THEN 'EXPRESS'
+         |       WHEN 1 THEN 'NEXT DAY' WHEN 2 THEN 'OVERNIGHT'
+         |       WHEN 3 THEN 'REGULAR' ELSE 'TWO DAY' END AS sm_type,
+         |  CASE CAST(s.n % 4 AS INT) WHEN 0 THEN 'UPS' WHEN 1 THEN 'FEDEX'
+         |       WHEN 2 THEN 'AIRBORNE' ELSE 'USPS' END AS sm_carrier,
+         |  'CODE' || CAST(s.n AS VARCHAR(2)) AS sm_code
+         |FROM ${series(20, "s")}""".stripMargin
+
+    case "call_center" =>
+      s"""SELECT CAST(s.n AS BIGINT) AS cc_call_center_sk,
+         |  'CC' || lpad(CAST(s.n AS VARCHAR(1)), 1, '0') AS cc_call_center_id,
+         |  'Call Center ' || CAST(s.n AS VARCHAR(1)) AS cc_name,
+         |  'Manager' || CAST(s.n AS VARCHAR(1)) AS cc_manager,
+         |  CASE CAST(s.n % 3 AS INT) WHEN 0 THEN 'Williamson County'
+         |       WHEN 1 THEN 'Rush County' ELSE 'Orange County' END AS cc_county
+         |FROM ${series(6, "s")}""".stripMargin
+
+    case "web_site" =>
+      s"""SELECT CAST(s.n AS BIGINT) AS web_site_sk,
+         |  'WEB' || lpad(CAST(s.n AS VARCHAR(2)), 2, '0') AS web_site_id,
+         |  'site_' || CAST(s.n AS VARCHAR(2)) AS web_name,
+         |  CASE CAST(s.n % 10 AS INT) WHEN 0 THEN 'ought'
+         |       WHEN 1 THEN 'able' WHEN 2 THEN 'pri' WHEN 3 THEN 'ese'
+         |       WHEN 4 THEN 'anti' WHEN 5 THEN 'cally' WHEN 6 THEN 'ation'
+         |       WHEN 7 THEN 'eing' WHEN 8 THEN 'bar' ELSE 'n st' END AS web_company_name
+         |FROM ${series(24, "s")}""".stripMargin
+
+    // char counts span 100..6000 so the corpus' 5000-5200 band selects
+    // a real slice
+    case "web_page" =>
+      s"""SELECT CAST(s.n AS BIGINT) AS wp_web_page_sk,
+         |  'WP' || lpad(CAST(s.n AS VARCHAR(2)), 2, '0') AS wp_web_page_id,
+         |  CAST(100 + (s.n * 100) % 5901 AS INT) AS wp_char_count
+         |FROM ${series(60, "s")}""".stripMargin
+
+    case "catalog_page" =>
+      s"""SELECT CAST(s.n AS BIGINT) AS cp_catalog_page_sk,
+         |  'CP' || lpad(CAST(s.n AS VARCHAR(3)), 3, '0') AS cp_catalog_page_id,
+         |  'page_desc_' || CAST(s.n AS VARCHAR(3)) AS cp_description
+         |FROM ${series(200, "s")}""".stripMargin
+
     // matches the hd_income_band_sk domain (n % 20 + 1)
     case "income_band" =>
       s"""SELECT CAST(s.n + 1 AS BIGINT) AS ib_income_band_sk,
@@ -313,11 +359,19 @@ object TpcdsSynth {
          |WHERE (l_orderkey + l_linenumber) % 3 = 0""".stripMargin
 
     // ws/cs carry the spec's warehouse key (store_sales has none),
-    // aligned with the inventory/catalog_returns derivation (item % 5)
+    // aligned with the inventory/catalog_returns derivation (item % 5);
+    // the ship date trails the sold date by a deterministic 1-30 days
+    // (the slim fixture carries no l_receiptdate)
     case "web_sales" =>
       s"""SELECT l_orderkey AS ws_order_number,
          |  CAST((l_orderkey * 19 + 7) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS ws_ship_customer_sk,
          |  CAST(l_partkey % 5 AS INT) AS ws_warehouse_sk,
+         |  CAST(CAST(l_shipdate AS DATE) + (1 + (l_orderkey * 3 + l_linenumber) % 30) * INTERVAL '1' DAY AS DATE) AS ws_ship_date_sk,
+         |  CAST(l_orderkey % 24 AS BIGINT) AS ws_web_site_sk,
+         |  CAST((l_orderkey * 5 + l_linenumber) % 60 AS BIGINT) AS ws_web_page_sk,
+         |  CAST((l_orderkey * 3 + l_linenumber) % 20 AS BIGINT) AS ws_ship_mode_sk,
+         |  CAST((l_orderkey * 23 + l_linenumber * 13) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS ws_ship_addr_sk,
+         |  ${money(s"(($cents * 19 + 29) % 8000 + 20) * $qty")} AS ws_ext_ship_cost,
          |  ${saleCols("ws", "bill_", s"(SELECT count(*) FROM ${ref("customer")})")}
          |FROM ${ref("lineitem")}
          |WHERE (l_orderkey + l_linenumber) % 3 = 1""".stripMargin
@@ -326,6 +380,12 @@ object TpcdsSynth {
       s"""SELECT l_orderkey AS cs_order_number,
          |  CAST((l_orderkey * 19 + 7) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS cs_ship_customer_sk,
          |  CAST(l_partkey % 5 AS INT) AS cs_warehouse_sk,
+         |  CAST(CAST(l_shipdate AS DATE) + (1 + (l_orderkey * 3 + l_linenumber) % 30) * INTERVAL '1' DAY AS DATE) AS cs_ship_date_sk,
+         |  CAST(l_orderkey % 6 AS BIGINT) AS cs_call_center_sk,
+         |  CAST((l_orderkey * 3 + l_linenumber) % 20 AS BIGINT) AS cs_ship_mode_sk,
+         |  CAST((l_orderkey * 7 + l_linenumber * 3) % 200 AS BIGINT) AS cs_catalog_page_sk,
+         |  CAST((l_orderkey * 23 + l_linenumber * 13) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS cs_ship_addr_sk,
+         |  ${money(s"(($cents * 19 + 29) % 8000 + 20) * $qty")} AS cs_ext_ship_cost,
          |  ${saleCols("cs", "bill_", s"(SELECT count(*) FROM ${ref("customer")})")}
          |FROM ${ref("lineitem")}
          |WHERE (l_orderkey + l_linenumber) % 3 = 2""".stripMargin
@@ -361,6 +421,8 @@ object TpcdsSynth {
          |  l_partkey AS cr_item_sk,
          |  l_orderkey AS cr_order_number,
          |  CAST(l_partkey % 5 AS INT) AS cr_warehouse_sk,
+         |  CAST(l_orderkey % 6 AS BIGINT) AS cr_call_center_sk,
+         |  CAST((l_orderkey * 7 + l_linenumber * 3) % 200 AS BIGINT) AS cr_catalog_page_sk,
          |  CAST((l_orderkey * 7 + 3) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS cr_returning_customer_sk,
          |  CAST((l_orderkey * 17 + l_linenumber * 11) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS cr_returning_addr_sk,
          |  CAST((l_orderkey * 3 + l_linenumber) % 35 AS BIGINT) AS cr_reason_sk,
@@ -376,6 +438,7 @@ object TpcdsSynth {
       s"""SELECT CAST(CAST(l_shipdate AS DATE) + (l_orderkey % 60) * INTERVAL '1' DAY AS DATE) AS wr_returned_date_sk,
          |  l_partkey AS wr_item_sk,
          |  l_orderkey AS wr_order_number,
+         |  CAST((l_orderkey * 5 + l_linenumber) % 60 AS BIGINT) AS wr_web_page_sk,
          |  CAST((l_orderkey * 7 + 3) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS wr_returning_customer_sk,
          |  CAST((l_orderkey * 17 + l_linenumber * 11) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS wr_returning_addr_sk,
          |  CAST((l_orderkey * 3 + l_linenumber) % 35 AS BIGINT) AS wr_reason_sk,
