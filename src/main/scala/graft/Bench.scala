@@ -52,6 +52,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val prewarm = sys.env.getOrElse("SPARK_GRAFT_PREWARM", "1").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    // dev-only: comma-separated subset of headline queries to measure
+    // (the driver never sets it — full run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val spark = GraftSession("graft-bench")
 
     def execute(name: String): Double = {
@@ -68,7 +72,8 @@ object Bench {
     // cleanest observation, immune to transient machine-wide load — and
     // the JSON also carries the raw per-run times plus the median so a
     // reader can see the spread without a re-run.
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val results = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val times =
         try {
           (1 to prewarm).foreach(_ => execute(name))
