@@ -2990,5 +2990,574 @@ object TpcdsQueries extends QueryGroup {
       Seq("store_only", "catalog_only", "store_and_catalog"),
       Seq(big("store_only"), big("catalog_only"), big("store_and_catalog")),
       ""),
+
+    // ── round-6 completion: the last ten reference families ──────────
+
+    // q56: three-channel totals for items in a color set, one gmt band —
+    // the color-driven sibling of q33 (manufact) / q60 (category).
+    adapted("tpcds_q56",
+      """WITH ss AS (
+        |  SELECT i_item_id, sum(ss_ext_sales_price) total_sales
+        |  FROM tpcds.store_sales, tpcds.date_dim, tpcds.customer_address,
+        |    tpcds.item
+        |  WHERE i_item_id IN (SELECT i_item_id FROM tpcds.item
+        |                      WHERE i_color IN ('slate', 'blanched', 'burnished'))
+        |    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        |    AND d_year = 2001 AND d_moy = 2
+        |    AND ss_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+        |  GROUP BY i_item_id
+        |),
+        |cs AS (
+        |  SELECT i_item_id, sum(cs_ext_sales_price) total_sales
+        |  FROM tpcds.catalog_sales, tpcds.date_dim, tpcds.customer_address,
+        |    tpcds.item
+        |  WHERE i_item_id IN (SELECT i_item_id FROM tpcds.item
+        |                      WHERE i_color IN ('slate', 'blanched', 'burnished'))
+        |    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+        |    AND d_year = 2001 AND d_moy = 2
+        |    AND cs_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+        |  GROUP BY i_item_id
+        |),
+        |ws AS (
+        |  SELECT i_item_id, sum(ws_ext_sales_price) total_sales
+        |  FROM tpcds.web_sales, tpcds.date_dim, tpcds.customer_address,
+        |    tpcds.item
+        |  WHERE i_item_id IN (SELECT i_item_id FROM tpcds.item
+        |                      WHERE i_color IN ('slate', 'blanched', 'burnished'))
+        |    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+        |    AND d_year = 2001 AND d_moy = 2
+        |    AND ws_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+        |  GROUP BY i_item_id
+        |)
+        |SELECT i_item_id, sum(total_sales) total_sales
+        |FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+        |      UNION ALL SELECT * FROM ws) tmp1
+        |GROUP BY i_item_id
+        |ORDER BY total_sales, i_item_id
+        |LIMIT 100""".stripMargin,
+      Seq("i_item_id", "total_sales"),
+      Seq("i_item_id", r2("total_sales")),
+      "i_item_id"),
+
+    // q57: q47's call-center twin — rank-indexed lag/lead self-join
+    // around the catalog monthly average, per item × call center.
+    adapted("tpcds_q57",
+      """WITH v1 AS (
+        |  SELECT i_category, i_brand, cc_name, d_year, d_moy,
+        |    sum(cs_sales_price) sum_sales,
+        |    avg(sum(cs_sales_price)) OVER
+        |      (PARTITION BY i_category, i_brand, cc_name, d_year) avg_monthly_sales,
+        |    rank() OVER
+        |      (PARTITION BY i_category, i_brand, cc_name
+        |       ORDER BY d_year, d_moy) rn
+        |  FROM tpcds.item, tpcds.catalog_sales, tpcds.date_dim,
+        |    tpcds.call_center
+        |  WHERE cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+        |    AND cc_call_center_sk = cs_call_center_sk
+        |    AND (d_year = 2000 OR (d_year = 1999 AND d_moy = 12)
+        |         OR (d_year = 2001 AND d_moy = 1))
+        |  GROUP BY i_category, i_brand, cc_name, d_year, d_moy
+        |),
+        |v2 AS (
+        |  SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
+        |    v1.avg_monthly_sales, v1.sum_sales,
+        |    v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+        |  FROM v1, v1 v1_lag, v1 v1_lead
+        |  WHERE v1.i_category = v1_lag.i_category
+        |    AND v1.i_category = v1_lead.i_category
+        |    AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+        |    AND v1.cc_name = v1_lag.cc_name AND v1.cc_name = v1_lead.cc_name
+        |    AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
+        |)
+        |SELECT i_category, i_brand, cc_name, d_year, d_moy,
+        |  avg_monthly_sales, sum_sales, psum, nsum
+        |FROM v2
+        |WHERE d_year = 2000 AND avg_monthly_sales > 0
+        |  AND CASE WHEN avg_monthly_sales > 0
+        |      THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+        |      ELSE NULL END > 0.1
+        |ORDER BY sum_sales - avg_monthly_sales, i_category, i_brand,
+        |  cc_name, d_moy
+        |LIMIT 100""".stripMargin,
+      Seq("i_category", "i_brand", "cc_name", "d_year", "d_moy",
+        "avg_monthly_sales", "sum_sales", "psum", "nsum"),
+      Seq("i_category", "i_brand", "cc_name", "d_year", "d_moy",
+        r2("avg_monthly_sales"), r2("sum_sales"), r2("psum"), r2("nsum")),
+      "i_category, i_brand, cc_name, d_year, d_moy"),
+
+    // q76: the NULL-key channel census — counts sales rows whose channel
+    // key is unknown (the ~2% synthesized null-skew slice) per channel ×
+    // year × quarter × category.
+    adapted("tpcds_q76",
+      """SELECT channel, col_name, d_year, d_qoy, i_category,
+        |  count(*) sales_cnt, sum(ext_sales_price) sales_amt
+        |FROM (
+        |  SELECT 'store' channel, 'ss_store_sk' col_name, d_year, d_qoy,
+        |    i_category, ss_ext_sales_price ext_sales_price
+        |  FROM tpcds.store_sales, tpcds.item, tpcds.date_dim
+        |  WHERE ss_store_sk IS NULL
+        |    AND ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+        |  UNION ALL
+        |  SELECT 'web' channel, 'ws_ship_customer_sk' col_name, d_year,
+        |    d_qoy, i_category, ws_ext_sales_price ext_sales_price
+        |  FROM tpcds.web_sales, tpcds.item, tpcds.date_dim
+        |  WHERE ws_ship_customer_sk IS NULL
+        |    AND ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+        |  UNION ALL
+        |  SELECT 'catalog' channel, 'cs_ship_addr_sk' col_name, d_year,
+        |    d_qoy, i_category, cs_ext_sales_price ext_sales_price
+        |  FROM tpcds.catalog_sales, tpcds.item, tpcds.date_dim
+        |  WHERE cs_ship_addr_sk IS NULL
+        |    AND cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+        |) foo
+        |GROUP BY channel, col_name, d_year, d_qoy, i_category
+        |ORDER BY channel, col_name, d_year, d_qoy, i_category
+        |LIMIT 100""".stripMargin,
+      Seq("channel", "col_name", "d_year", "d_qoy", "i_category",
+        "sales_cnt", "sales_amt"),
+      Seq("channel", "col_name", "d_year", "d_qoy", "i_category",
+        big("sales_cnt"), r2("sales_amt")),
+      "channel, col_name, d_year, d_qoy, i_category"),
+
+    // q81: customers whose catalog-return total beats 1.2× their state's
+    // average — q30's web twin over the full address projection
+    // (street/suite/location columns land this round). ca_state 'CA'
+    // from the synthesized state domain.
+    adapted("tpcds_q81",
+      """WITH customer_total_return AS (
+        |  SELECT cr_returning_customer_sk ctr_customer_sk,
+        |    ca_state ctr_state,
+        |    sum(cr_return_amt_inc_tax) ctr_total_return
+        |  FROM tpcds.catalog_returns, tpcds.date_dim, tpcds.customer_address
+        |  WHERE cr_returned_date_sk = d_date_sk AND d_year = 2000
+        |    AND cr_returning_addr_sk = ca_address_sk
+        |  GROUP BY cr_returning_customer_sk, ca_state
+        |)
+        |SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+        |  ca_street_number, ca_street_name, ca_street_type, ca_suite_number,
+        |  ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,
+        |  ca_location_type, ctr_total_return
+        |FROM customer_total_return ctr1, tpcds.customer_address,
+        |  tpcds.customer
+        |WHERE ctr1.ctr_total_return > (
+        |    SELECT avg(ctr_total_return) * 1.2
+        |    FROM customer_total_return ctr2
+        |    WHERE ctr1.ctr_state = ctr2.ctr_state)
+        |  AND ca_address_sk = c_current_addr_sk AND ca_state = 'CA'
+        |  AND ctr1.ctr_customer_sk = c_customer_sk
+        |ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+        |  ca_street_number, ca_street_name, ca_street_type, ca_suite_number,
+        |  ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,
+        |  ca_location_type, ctr_total_return
+        |LIMIT 100""".stripMargin,
+      Seq("c_customer_id", "c_salutation", "c_first_name", "c_last_name",
+        "ca_street_number", "ca_street_name", "ca_street_type",
+        "ca_suite_number", "ca_city", "ca_county", "ca_state", "ca_zip",
+        "ca_country", "ca_gmt_offset", "ca_location_type",
+        "ctr_total_return"),
+      Seq("c_customer_id", "c_salutation", "c_first_name", "c_last_name",
+        "ca_street_number", "ca_street_name", "ca_street_type",
+        "ca_suite_number", "ca_city", "ca_county", "ca_state", "ca_zip",
+        "ca_country", "ca_gmt_offset", "ca_location_type",
+        r2("ctr_total_return")),
+      "c_customer_id, ctr_total_return"),
+
+    // q83: item return quantities across all three channels with the
+    // nested date-IN-subquery gate. Adapted at quarter granularity
+    // (d_year, d_qoy of the three anchor dates) instead of the spec's
+    // three single weeks: the synthesized returns spread uniformly, so
+    // week-sized slices make the 3-channel item intersection empty at
+    // the gate SFs — quarters keep the IN-of-IN shape with real rows.
+    adapted("tpcds_q83",
+      """WITH sr_items AS (
+        |  SELECT i_item_id item_id, sum(sr_return_quantity) sr_item_qty
+        |  FROM tpcds.store_returns, tpcds.item, tpcds.date_dim
+        |  WHERE sr_item_sk = i_item_sk
+        |    AND d_date IN (SELECT dq.d_date
+        |      FROM tpcds.date_dim dq, tpcds.date_dim anchor
+        |      WHERE anchor.d_date IN (DATE '2000-06-30', DATE '2000-09-27',
+        |                              DATE '2000-11-17')
+        |        AND dq.d_year = anchor.d_year AND dq.d_qoy = anchor.d_qoy)
+        |    AND sr_returned_date_sk = d_date_sk
+        |  GROUP BY i_item_id
+        |),
+        |cr_items AS (
+        |  SELECT i_item_id item_id, sum(cr_return_quantity) cr_item_qty
+        |  FROM tpcds.catalog_returns, tpcds.item, tpcds.date_dim
+        |  WHERE cr_item_sk = i_item_sk
+        |    AND d_date IN (SELECT dq.d_date
+        |      FROM tpcds.date_dim dq, tpcds.date_dim anchor
+        |      WHERE anchor.d_date IN (DATE '2000-06-30', DATE '2000-09-27',
+        |                              DATE '2000-11-17')
+        |        AND dq.d_year = anchor.d_year AND dq.d_qoy = anchor.d_qoy)
+        |    AND cr_returned_date_sk = d_date_sk
+        |  GROUP BY i_item_id
+        |),
+        |wr_items AS (
+        |  SELECT i_item_id item_id, sum(wr_return_quantity) wr_item_qty
+        |  FROM tpcds.web_returns, tpcds.item, tpcds.date_dim
+        |  WHERE wr_item_sk = i_item_sk
+        |    AND d_date IN (SELECT dq.d_date
+        |      FROM tpcds.date_dim dq, tpcds.date_dim anchor
+        |      WHERE anchor.d_date IN (DATE '2000-06-30', DATE '2000-09-27',
+        |                              DATE '2000-11-17')
+        |        AND dq.d_year = anchor.d_year AND dq.d_qoy = anchor.d_qoy)
+        |    AND wr_returned_date_sk = d_date_sk
+        |  GROUP BY i_item_id
+        |)
+        |SELECT sr_items.item_id, sr_item_qty,
+        |  CAST(sr_item_qty AS DOUBLE)
+        |    / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 sr_dev,
+        |  cr_item_qty,
+        |  CAST(cr_item_qty AS DOUBLE)
+        |    / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 cr_dev,
+        |  wr_item_qty,
+        |  CAST(wr_item_qty AS DOUBLE)
+        |    / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 wr_dev,
+        |  (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 average
+        |FROM sr_items, cr_items, wr_items
+        |WHERE sr_items.item_id = cr_items.item_id
+        |  AND sr_items.item_id = wr_items.item_id
+        |ORDER BY sr_items.item_id, sr_item_qty
+        |LIMIT 100""".stripMargin,
+      Seq("item_id", "sr_item_qty", "sr_dev", "cr_item_qty", "cr_dev",
+        "wr_item_qty", "wr_dev", "average"),
+      Seq("item_id", big("sr_item_qty"), r4("sr_dev"), big("cr_item_qty"),
+        r4("cr_dev"), big("wr_item_qty"), r4("wr_dev"), r4("average")),
+      "item_id"),
+
+    // q24: net paid for returned pale items at one market segment's
+    // stores, where the buyer's birth country matches the address found
+    // at the store's own zip (the spec's zip/country cross-match joins:
+    // the address table enters ONLY through s_zip = ca_zip and
+    // c_birth_country = upper(ca_country), no customer-address key).
+    adapted("tpcds_q24",
+      """WITH ssales AS (
+        |  SELECT c_last_name, c_first_name, s_store_name, ca_state,
+        |    s_state, i_color, i_current_price, i_manager_id, i_units,
+        |    i_size, sum(ss_net_paid) netpaid
+        |  FROM tpcds.store_sales, tpcds.store_returns, tpcds.store,
+        |    tpcds.item, tpcds.customer, tpcds.customer_address
+        |  WHERE ss_ticket_number = sr_ticket_number
+        |    AND ss_item_sk = sr_item_sk
+        |    AND ss_customer_sk = c_customer_sk AND ss_item_sk = i_item_sk
+        |    AND ss_store_sk = s_store_sk
+        |    AND c_birth_country = upper(ca_country) AND s_zip = ca_zip
+        |    AND s_market_id = 8
+        |  GROUP BY c_last_name, c_first_name, s_store_name, ca_state,
+        |    s_state, i_color, i_current_price, i_manager_id, i_units,
+        |    i_size
+        |)
+        |SELECT c_last_name, c_first_name, s_store_name,
+        |  sum(netpaid) paid
+        |FROM ssales
+        |WHERE i_color = 'pale'
+        |GROUP BY c_last_name, c_first_name, s_store_name
+        |HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)""".stripMargin,
+      Seq("c_last_name", "c_first_name", "s_store_name", "paid"),
+      Seq("c_last_name", "c_first_name", "s_store_name", r2("paid")),
+      "c_last_name, c_first_name, s_store_name"),
+
+    // q77: per-channel 30-day P&L rollup keyed on the operational dims
+    // (store / call center / web page) — q05's sibling with LEFT-JOINed
+    // return legs and the spec's deliberate cs × cr cross join.
+    adapted("tpcds_q77",
+      """WITH ss AS (
+        |  SELECT s_store_sk, sum(ss_ext_sales_price) sales,
+        |    sum(ss_net_profit) profit
+        |  FROM tpcds.store_sales, tpcds.date_dim, tpcds.store
+        |  WHERE ss_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '2000-08-23'
+        |      AND CAST(DATE '2000-08-23' + INTERVAL '30' DAY AS DATE)
+        |    AND ss_store_sk = s_store_sk
+        |  GROUP BY s_store_sk
+        |),
+        |sr AS (
+        |  SELECT s_store_sk, sum(sr_return_amt) returns_,
+        |    sum(sr_net_loss) profit_loss
+        |  FROM tpcds.store_returns, tpcds.date_dim, tpcds.store
+        |  WHERE sr_returned_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '2000-08-23'
+        |      AND CAST(DATE '2000-08-23' + INTERVAL '30' DAY AS DATE)
+        |    AND sr_store_sk = s_store_sk
+        |  GROUP BY s_store_sk
+        |),
+        |cs AS (
+        |  SELECT cs_call_center_sk, sum(cs_ext_sales_price) sales,
+        |    sum(cs_net_profit) profit
+        |  FROM tpcds.catalog_sales, tpcds.date_dim
+        |  WHERE cs_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '2000-08-23'
+        |      AND CAST(DATE '2000-08-23' + INTERVAL '30' DAY AS DATE)
+        |  GROUP BY cs_call_center_sk
+        |),
+        |cr AS (
+        |  SELECT cr_call_center_sk, sum(cr_return_amount) returns_,
+        |    sum(cr_net_loss) profit_loss
+        |  FROM tpcds.catalog_returns, tpcds.date_dim
+        |  WHERE cr_returned_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '2000-08-23'
+        |      AND CAST(DATE '2000-08-23' + INTERVAL '30' DAY AS DATE)
+        |  GROUP BY cr_call_center_sk
+        |),
+        |ws AS (
+        |  SELECT wp_web_page_sk, sum(ws_ext_sales_price) sales,
+        |    sum(ws_net_profit) profit
+        |  FROM tpcds.web_sales, tpcds.date_dim, tpcds.web_page
+        |  WHERE ws_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '2000-08-23'
+        |      AND CAST(DATE '2000-08-23' + INTERVAL '30' DAY AS DATE)
+        |    AND ws_web_page_sk = wp_web_page_sk
+        |  GROUP BY wp_web_page_sk
+        |),
+        |wr AS (
+        |  SELECT wp_web_page_sk, sum(wr_return_amt) returns_,
+        |    sum(wr_net_loss) profit_loss
+        |  FROM tpcds.web_returns, tpcds.date_dim, tpcds.web_page
+        |  WHERE wr_returned_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '2000-08-23'
+        |      AND CAST(DATE '2000-08-23' + INTERVAL '30' DAY AS DATE)
+        |    AND wr_web_page_sk = wp_web_page_sk
+        |  GROUP BY wp_web_page_sk
+        |)
+        |SELECT channel, id, sum(sales) sales, sum(returns_) returns_,
+        |  sum(profit) profit
+        |FROM (
+        |  SELECT 'store channel' channel, ss.s_store_sk id, sales,
+        |    COALESCE(returns_, 0) returns_,
+        |    profit - COALESCE(profit_loss, 0) profit
+        |  FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+        |  UNION ALL
+        |  SELECT 'catalog channel' channel, cs_call_center_sk id, sales,
+        |    returns_, profit - profit_loss profit
+        |  FROM cs, cr
+        |  UNION ALL
+        |  SELECT 'web channel' channel, ws.wp_web_page_sk id, sales,
+        |    COALESCE(returns_, 0) returns_,
+        |    profit - COALESCE(profit_loss, 0) profit
+        |  FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk
+        |) x
+        |GROUP BY ROLLUP (channel, id)
+        |ORDER BY channel NULLS FIRST, id NULLS FIRST, sales
+        |LIMIT 100""".stripMargin,
+      Seq("channel", "id", "sales", "returns_", "profit"),
+      Seq("channel", big("id"), r2("sales"), r2("returns_"), r2("profit")),
+      "channel NULLS FIRST, id NULLS FIRST, sales"),
+
+    // q80: three-channel 30-day sales-and-returns rollup over promoted
+    // expensive items (i_current_price > 950 selects the fixture's upper
+    // half; p_channel_tv = 'N' is the spec's own promo gate).
+    adapted("tpcds_q80",
+      """WITH ssr AS (
+        |  SELECT s_store_id store_id, sum(ss_ext_sales_price) sales,
+        |    sum(COALESCE(sr_return_amt, 0)) returns_,
+        |    sum(ss_net_profit - COALESCE(sr_net_loss, 0)) profit
+        |  FROM tpcds.store_sales
+        |  LEFT JOIN tpcds.store_returns ON ss_item_sk = sr_item_sk
+        |    AND ss_ticket_number = sr_ticket_number,
+        |    tpcds.date_dim, tpcds.store, tpcds.item, tpcds.promotion
+        |  WHERE ss_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '2000-08-23'
+        |      AND CAST(DATE '2000-08-23' + INTERVAL '30' DAY AS DATE)
+        |    AND ss_store_sk = s_store_sk AND ss_item_sk = i_item_sk
+        |    AND i_current_price > 950
+        |    AND ss_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+        |  GROUP BY s_store_id
+        |),
+        |csr AS (
+        |  SELECT cp_catalog_page_id catalog_page_id,
+        |    sum(cs_ext_sales_price) sales,
+        |    sum(COALESCE(cr_return_amount, 0)) returns_,
+        |    sum(cs_net_profit - COALESCE(cr_net_loss, 0)) profit
+        |  FROM tpcds.catalog_sales
+        |  LEFT JOIN tpcds.catalog_returns ON cs_item_sk = cr_item_sk
+        |    AND cs_order_number = cr_order_number,
+        |    tpcds.date_dim, tpcds.catalog_page, tpcds.item, tpcds.promotion
+        |  WHERE cs_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '2000-08-23'
+        |      AND CAST(DATE '2000-08-23' + INTERVAL '30' DAY AS DATE)
+        |    AND cs_catalog_page_sk = cp_catalog_page_sk
+        |    AND cs_item_sk = i_item_sk AND i_current_price > 950
+        |    AND cs_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+        |  GROUP BY cp_catalog_page_id
+        |),
+        |wsr AS (
+        |  SELECT web_site_id, sum(ws_ext_sales_price) sales,
+        |    sum(COALESCE(wr_return_amt, 0)) returns_,
+        |    sum(ws_net_profit - COALESCE(wr_net_loss, 0)) profit
+        |  FROM tpcds.web_sales
+        |  LEFT JOIN tpcds.web_returns ON ws_item_sk = wr_item_sk
+        |    AND ws_order_number = wr_order_number,
+        |    tpcds.date_dim, tpcds.web_site, tpcds.item, tpcds.promotion
+        |  WHERE ws_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '2000-08-23'
+        |      AND CAST(DATE '2000-08-23' + INTERVAL '30' DAY AS DATE)
+        |    AND ws_web_site_sk = web_site_sk AND ws_item_sk = i_item_sk
+        |    AND i_current_price > 950
+        |    AND ws_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+        |  GROUP BY web_site_id
+        |)
+        |SELECT channel, id, sum(sales) sales, sum(returns_) returns_,
+        |  sum(profit) profit
+        |FROM (
+        |  SELECT 'store channel' channel, concat('store', store_id) id,
+        |    sales, returns_, profit
+        |  FROM ssr
+        |  UNION ALL
+        |  SELECT 'catalog channel' channel,
+        |    concat('catalog_page', catalog_page_id) id,
+        |    sales, returns_, profit
+        |  FROM csr
+        |  UNION ALL
+        |  SELECT 'web channel' channel, concat('web_site', web_site_id) id,
+        |    sales, returns_, profit
+        |  FROM wsr
+        |) x
+        |GROUP BY ROLLUP (channel, id)
+        |ORDER BY channel NULLS FIRST, id NULLS FIRST
+        |LIMIT 100""".stripMargin,
+      Seq("channel", "id", "sales", "returns_", "profit"),
+      Seq("channel", "id", r2("sales"), r2("returns_"), r2("profit")),
+      "channel NULLS FIRST, id NULLS FIRST"),
+
+    // q85: web-return reasons for matched refund/return demographic
+    // pairs in price/profit/state bands. The spec's OR-of-triples keeps
+    // its shape; bands and states are tuned to the synthesized domains
+    // (sales price thirds of the 0.50-900.50 spread, profit bands inside
+    // the derived net-profit range, states from the 10-state domain).
+    adapted("tpcds_q85",
+      """SELECT substr(r_reason_desc, 1, 20) r_reason, avg(ws_quantity) avg_qty,
+        |  avg(wr_refunded_cash) avg_refunded, avg(wr_fee) avg_fee
+        |FROM tpcds.web_sales, tpcds.web_returns, tpcds.web_page,
+        |  tpcds.customer_demographics cd1, tpcds.customer_demographics cd2,
+        |  tpcds.customer_address, tpcds.date_dim, tpcds.reason
+        |WHERE ws_web_page_sk = wp_web_page_sk AND ws_item_sk = wr_item_sk
+        |  AND ws_order_number = wr_order_number
+        |  AND ws_sold_date_sk = d_date_sk AND d_year = 2000
+        |  AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+        |  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+        |  AND ca_address_sk = wr_refunded_addr_sk
+        |  AND r_reason_sk = wr_reason_sk
+        |  AND ((cd1.cd_marital_status = 'M'
+        |        AND cd1.cd_marital_status = cd2.cd_marital_status
+        |        AND cd1.cd_education_status = 'Advanced Degree'
+        |        AND cd1.cd_education_status = cd2.cd_education_status
+        |        AND ws_sales_price BETWEEN 0.50 AND 300.00)
+        |    OR (cd1.cd_marital_status = 'S'
+        |        AND cd1.cd_marital_status = cd2.cd_marital_status
+        |        AND cd1.cd_education_status = 'College'
+        |        AND cd1.cd_education_status = cd2.cd_education_status
+        |        AND ws_sales_price BETWEEN 300.00 AND 600.00)
+        |    OR (cd1.cd_marital_status = 'W'
+        |        AND cd1.cd_marital_status = cd2.cd_marital_status
+        |        AND cd1.cd_education_status = '2 yr Degree'
+        |        AND cd1.cd_education_status = cd2.cd_education_status
+        |        AND ws_sales_price BETWEEN 600.00 AND 901.00))
+        |  AND ((ca_country = 'United States'
+        |        AND ca_state IN ('IN', 'OK', 'ND')
+        |        AND ws_net_profit BETWEEN -25000 AND 0)
+        |    OR (ca_country = 'United States'
+        |        AND ca_state IN ('VA', 'TN', 'TX')
+        |        AND ws_net_profit BETWEEN 0 AND 25000)
+        |    OR (ca_country = 'United States'
+        |        AND ca_state IN ('CA', 'NY', 'MS')
+        |        AND ws_net_profit BETWEEN -25000 AND 25000))
+        |GROUP BY r_reason_desc
+        |ORDER BY substr(r_reason_desc, 1, 20), avg(ws_quantity),
+        |  avg(wr_refunded_cash), avg(wr_fee)
+        |LIMIT 100""".stripMargin,
+      Seq("r_reason", "avg_qty", "avg_refunded", "avg_fee"),
+      Seq("r_reason", r4("avg_qty"), r4("avg_refunded"), r4("avg_fee")),
+      "r_reason"),
+
+    // q64: the 17-table year-over-year repeat-purchase monster — returned
+    // store sales of catalog items whose list revenue beats twice their
+    // refund, joined through buyer + current demographics, both income
+    // bands, both addresses, promotion and three date_dim roles, then
+    // self-joined on (item, store, zip) across consecutive years. The
+    // spec's i_current_price band is re-centered in the fixture's
+    // 900-2100 retail-price spread (the spec's 64-74 selects nothing
+    // here); duplicate output names (syear, cnt) get 1/2 suffixes so the
+    // positional alias wrapper stays total.
+    adapted("tpcds_q64",
+      """WITH cs_ui AS (
+        |  SELECT cs_item_sk,
+        |    sum(cs_ext_list_price) sale,
+        |    sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit) refund
+        |  FROM tpcds.catalog_sales, tpcds.catalog_returns
+        |  WHERE cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+        |  GROUP BY cs_item_sk
+        |  HAVING sum(cs_ext_list_price) >
+        |    2 * sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit)
+        |),
+        |cross_sales AS (
+        |  SELECT i_product_name product_name, i_item_sk item_sk,
+        |    s_store_name store_name, s_zip store_zip,
+        |    ad1.ca_street_number b_street_number,
+        |    ad1.ca_street_name b_street_name, ad1.ca_city b_city,
+        |    ad1.ca_zip b_zip,
+        |    ad2.ca_street_number c_street_number,
+        |    ad2.ca_street_name c_street_name, ad2.ca_city c_city,
+        |    ad2.ca_zip c_zip,
+        |    d1.d_year syear, d2.d_year fsyear, d3.d_year s2year,
+        |    count(*) cnt, sum(ss_wholesale_cost) s1,
+        |    sum(ss_list_price) s2, sum(ss_coupon_amt) s3
+        |  FROM tpcds.store_sales, tpcds.store_returns, cs_ui,
+        |    tpcds.date_dim d1, tpcds.date_dim d2, tpcds.date_dim d3,
+        |    tpcds.store, tpcds.customer,
+        |    tpcds.customer_demographics cd1, tpcds.customer_demographics cd2,
+        |    tpcds.promotion,
+        |    tpcds.household_demographics hd1,
+        |    tpcds.household_demographics hd2,
+        |    tpcds.customer_address ad1, tpcds.customer_address ad2,
+        |    tpcds.income_band ib1, tpcds.income_band ib2, tpcds.item
+        |  WHERE ss_store_sk = s_store_sk AND ss_sold_date_sk = d1.d_date_sk
+        |    AND ss_customer_sk = c_customer_sk
+        |    AND ss_cdemo_sk = cd1.cd_demo_sk AND ss_hdemo_sk = hd1.hd_demo_sk
+        |    AND ss_addr_sk = ad1.ca_address_sk AND ss_item_sk = i_item_sk
+        |    AND ss_item_sk = sr_item_sk AND ss_ticket_number = sr_ticket_number
+        |    AND ss_item_sk = cs_ui.cs_item_sk
+        |    AND c_current_cdemo_sk = cd2.cd_demo_sk
+        |    AND c_current_hdemo_sk = hd2.hd_demo_sk
+        |    AND c_current_addr_sk = ad2.ca_address_sk
+        |    AND c_first_sales_date_sk = d2.d_date_sk
+        |    AND c_first_shipto_date_sk = d3.d_date_sk
+        |    AND ss_promo_sk = p_promo_sk
+        |    AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+        |    AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+        |    AND cd1.cd_marital_status <> cd2.cd_marital_status
+        |    AND i_color IN ('purple', 'burlywood', 'indian', 'spring',
+        |                    'floral', 'medium')
+        |    AND i_current_price BETWEEN 900 AND (900 + 600)
+        |    AND i_current_price BETWEEN (900 + 1) AND (900 + 900)
+        |  GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
+        |    ad1.ca_street_number, ad1.ca_street_name, ad1.ca_city,
+        |    ad1.ca_zip, ad2.ca_street_number, ad2.ca_street_name,
+        |    ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year, d3.d_year
+        |)
+        |SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
+        |  cs1.b_street_number, cs1.b_street_name, cs1.b_city, cs1.b_zip,
+        |  cs1.c_street_number, cs1.c_street_name, cs1.c_city, cs1.c_zip,
+        |  cs1.syear syear1, cs1.cnt cnt1,
+        |  cs1.s1 s11, cs1.s2 s21, cs1.s3 s31,
+        |  cs2.s1 s12, cs2.s2 s22, cs2.s3 s32,
+        |  cs2.syear syear2, cs2.cnt cnt2
+        |FROM cross_sales cs1, cross_sales cs2
+        |WHERE cs1.item_sk = cs2.item_sk AND cs1.syear = 1999
+        |  AND cs2.syear = 1999 + 1 AND cs2.cnt <= cs1.cnt
+        |  AND cs1.store_name = cs2.store_name
+        |  AND cs1.store_zip = cs2.store_zip
+        |ORDER BY cs1.product_name, cs1.store_name, cs2.cnt""".stripMargin,
+      Seq("product_name", "store_name", "store_zip", "b_street_number",
+        "b_street_name", "b_city", "b_zip", "c_street_number",
+        "c_street_name", "c_city", "c_zip", "syear1", "cnt1",
+        "s11", "s21", "s31", "s12", "s22", "s32", "syear2", "cnt2"),
+      Seq("product_name", "store_name", "store_zip", "b_street_number",
+        "b_street_name", "b_city", "b_zip", "c_street_number",
+        "c_street_name", "c_city", "c_zip", "syear1", big("cnt1"),
+        r2("s11"), r2("s21"), r2("s31"), r2("s12"), r2("s22"), r2("s32"),
+        "syear2", big("cnt2")),
+      "product_name, store_name, b_street_number, c_street_number, " +
+        "cnt1, cnt2, s11, s12"),
   )
 }

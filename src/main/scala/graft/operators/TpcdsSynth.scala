@@ -199,6 +199,21 @@ object TpcdsSynth {
          |  CAST(p_partkey % 50 AS INT) AS i_manufact_id,
          |  'Manufact#' || CAST(p_partkey % 50 AS VARCHAR(2)) AS i_manufact,
          |  CAST(p_partkey % 8 AS INT) AS i_manager_id,
+         |  CASE CAST(p_partkey % 12 AS INT) WHEN 0 THEN 'pale'
+         |       WHEN 1 THEN 'slate' WHEN 2 THEN 'blanched'
+         |       WHEN 3 THEN 'burnished' WHEN 4 THEN 'purple'
+         |       WHEN 5 THEN 'burlywood' WHEN 6 THEN 'indian'
+         |       WHEN 7 THEN 'spring' WHEN 8 THEN 'floral'
+         |       WHEN 9 THEN 'medium' WHEN 10 THEN 'salmon'
+         |       ELSE 'peach' END AS i_color,
+         |  CASE CAST(p_partkey % 7 AS INT) WHEN 0 THEN 'Unknown'
+         |       WHEN 1 THEN 'Each' WHEN 2 THEN 'Dozen' WHEN 3 THEN 'Case'
+         |       WHEN 4 THEN 'Pallet' WHEN 5 THEN 'Gross'
+         |       ELSE 'Box' END AS i_units,
+         |  CASE CAST((p_partkey * 3 + 1) % 7 AS INT) WHEN 0 THEN 'small'
+         |       WHEN 1 THEN 'medium' WHEN 2 THEN 'large'
+         |       WHEN 3 THEN 'extra large' WHEN 4 THEN 'economy'
+         |       WHEN 5 THEN 'N/A' ELSE 'petite' END AS i_size,
          |  p_retailprice AS i_current_price,
          |  CAST(CAST((CAST(round(p_retailprice * 100) AS BIGINT) * 13 + 17) % 60000 + 50 AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS i_wholesale_cost,
          |  p_name || ' #' || CAST(p_partkey AS VARCHAR(10)) AS i_item_desc
@@ -223,7 +238,9 @@ object TpcdsSynth {
          |  'c' || CAST(c_custkey AS VARCHAR(12)) || '@example.com' AS c_email_address,
          |  CAST((c_custkey * 7 + 3) % 720 AS BIGINT) AS c_current_cdemo_sk,
          |  CAST((c_custkey * 11 + 5) % 720 AS BIGINT) AS c_current_hdemo_sk,
-         |  c_custkey AS c_current_addr_sk
+         |  c_custkey AS c_current_addr_sk,
+         |  CAST($epoch + ((c_custkey * 73 + 11) % $days) * INTERVAL '1' DAY AS DATE) AS c_first_sales_date_sk,
+         |  CAST($epoch + ((c_custkey * 73 + 41) % $days) * INTERVAL '1' DAY AS DATE) AS c_first_shipto_date_sk
          |FROM ${ref("customer")}""".stripMargin
 
     case "customer_address" =>
@@ -240,7 +257,14 @@ object TpcdsSynth {
          |       WHEN 8 THEN 'CA' ELSE 'NY' END AS ca_state,
          |  'United States' AS ca_country,
          |  'City' || CAST(c_custkey % 37 AS VARCHAR(2)) AS ca_city,
-         |  CAST(-5 - c_custkey % 3 AS INT) AS ca_gmt_offset
+         |  CAST(-5 - c_custkey % 3 AS INT) AS ca_gmt_offset,
+         |  CAST((c_custkey * 7) % 1000 + 1 AS VARCHAR(4)) AS ca_street_number,
+         |  'Street' || CAST(c_custkey % 30 AS VARCHAR(2)) AS ca_street_name,
+         |  CASE CAST(c_custkey % 5 AS INT) WHEN 0 THEN 'Ave' WHEN 1 THEN 'Blvd'
+         |       WHEN 2 THEN 'Ct' WHEN 3 THEN 'Dr' ELSE 'Ln' END AS ca_street_type,
+         |  'Suite ' || CAST(c_custkey % 100 AS VARCHAR(2)) AS ca_suite_number,
+         |  CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'apartment'
+         |       WHEN 1 THEN 'condo' ELSE 'single family' END AS ca_location_type
          |FROM ${ref("customer")}""".stripMargin
 
     // store names use the TPC-DS digit-word domain ('ese' = 3) so the
@@ -263,6 +287,7 @@ object TpcdsSynth {
          |       WHEN 2 THEN 'ND' WHEN 3 THEN 'OK' WHEN 4 THEN 'NM'
          |       WHEN 5 THEN 'VA' WHEN 6 THEN 'TN' WHEN 7 THEN 'TX'
          |       WHEN 8 THEN 'CA' ELSE 'NY' END AS s_state,
+         |  CAST(s_suppkey % 10 + 1 AS INT) AS s_market_id,
          |  CAST((s_suppkey * 7) % 300 + 50 AS INT) AS s_number_employees,
          |  lpad(CAST((s_suppkey * 17 + 7) % 100000 AS VARCHAR(5)), 5, '0') AS s_zip,
          |  'City' || CAST(s_suppkey % 15 AS VARCHAR(2)) AS s_city,
@@ -351,9 +376,14 @@ object TpcdsSynth {
          |  CAST((s.n + 1) * 10000 AS INT) AS ib_upper_bound
          |FROM ${series(20, "s")}""".stripMargin
 
+    // ~2% of each channel's "q76 key" is NULL (the spec generator's
+    // null-skew: unknown store / walk-in web buyer / missing catalog
+    // ship address) so the corpus' IS NULL census queries select a real
+    // slice; inner joins on these keys drop the same rows on both engines
     case "store_sales" =>
       s"""SELECT l_orderkey AS ss_ticket_number,
-         |  l_suppkey AS ss_store_sk,
+         |  CASE WHEN (l_orderkey * 31 + l_linenumber * 7) % 50 = 13
+         |       THEN NULL ELSE l_suppkey END AS ss_store_sk,
          |  ${saleCols("ss", "", s"(SELECT count(*) FROM ${ref("customer")})")}
          |FROM ${ref("lineitem")}
          |WHERE (l_orderkey + l_linenumber) % 3 = 0""".stripMargin
@@ -364,7 +394,8 @@ object TpcdsSynth {
     // (the slim fixture carries no l_receiptdate)
     case "web_sales" =>
       s"""SELECT l_orderkey AS ws_order_number,
-         |  CAST((l_orderkey * 19 + 7) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS ws_ship_customer_sk,
+         |  CASE WHEN (l_orderkey * 31 + l_linenumber * 7) % 50 = 13 THEN NULL
+         |       ELSE CAST((l_orderkey * 19 + 7) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) END AS ws_ship_customer_sk,
          |  CAST(l_partkey % 5 AS INT) AS ws_warehouse_sk,
          |  CAST(CAST(l_shipdate AS DATE) + (1 + (l_orderkey * 3 + l_linenumber) % 30) * INTERVAL '1' DAY AS DATE) AS ws_ship_date_sk,
          |  CAST(l_orderkey % 24 AS BIGINT) AS ws_web_site_sk,
@@ -384,7 +415,8 @@ object TpcdsSynth {
          |  CAST(l_orderkey % 6 AS BIGINT) AS cs_call_center_sk,
          |  CAST((l_orderkey * 3 + l_linenumber) % 20 AS BIGINT) AS cs_ship_mode_sk,
          |  CAST((l_orderkey * 7 + l_linenumber * 3) % 200 AS BIGINT) AS cs_catalog_page_sk,
-         |  CAST((l_orderkey * 23 + l_linenumber * 13) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS cs_ship_addr_sk,
+         |  CASE WHEN (l_orderkey * 31 + l_linenumber * 7) % 50 = 13 THEN NULL
+         |       ELSE CAST((l_orderkey * 23 + l_linenumber * 13) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) END AS cs_ship_addr_sk,
          |  ${money(s"(($cents * 19 + 29) % 8000 + 20) * $qty")} AS cs_ext_ship_cost,
          |  ${saleCols("cs", "bill_", s"(SELECT count(*) FROM ${ref("customer")})")}
          |FROM ${ref("lineitem")}
@@ -429,6 +461,9 @@ object TpcdsSynth {
          |  CAST($retQty AS INT) AS cr_return_quantity,
          |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $retQty")} AS cr_return_amount,
          |  ${money(s"((($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) + CAST(round(l_tax * 100) AS BIGINT)) * $retQty")} AS cr_return_amt_inc_tax,
+         |  ${money(s"($cents * 29 + 31) % 40000")} AS cr_refunded_cash,
+         |  ${money(s"($cents * 37 + 41) % 20000")} AS cr_reversed_charge,
+         |  ${money(s"($cents * 43 + 47) % 10000")} AS cr_store_credit,
          |  ${money(s"(($cents * 13 + 17) % 60000 + 50) * $retQty")} AS cr_net_loss
          |FROM ${ref("lineitem")}
          |WHERE (l_orderkey + l_linenumber) % 3 = 2 AND l_returnflag = 'R'""".stripMargin
@@ -441,6 +476,14 @@ object TpcdsSynth {
          |  CAST((l_orderkey * 5 + l_linenumber) % 60 AS BIGINT) AS wr_web_page_sk,
          |  CAST((l_orderkey * 7 + 3) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS wr_returning_customer_sk,
          |  CAST((l_orderkey * 17 + l_linenumber * 11) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS wr_returning_addr_sk,
+         |  CAST((l_orderkey * 13 + l_linenumber * 7) % 720 AS BIGINT) AS wr_refunded_cdemo_sk,
+         |  CASE WHEN (l_orderkey + 2 * l_linenumber) % 3 = 0
+         |       THEN CAST((l_orderkey * 11 + l_linenumber * 17) % 720 AS BIGINT)
+         |       ELSE CAST((l_orderkey * 13 + l_linenumber * 7) % 720 AS BIGINT)
+         |       END AS wr_returning_cdemo_sk,
+         |  CAST((l_orderkey * 19 + l_linenumber * 7) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS wr_refunded_addr_sk,
+         |  ${money(s"($cents * 23 + 11) % 3000")} AS wr_fee,
+         |  ${money(s"($cents * 29 + 31) % 40000")} AS wr_refunded_cash,
          |  CAST((l_orderkey * 3 + l_linenumber) % 35 AS BIGINT) AS wr_reason_sk,
          |  CAST($retQty AS INT) AS wr_return_quantity,
          |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $retQty")} AS wr_return_amt,
