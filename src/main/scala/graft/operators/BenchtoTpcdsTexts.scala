@@ -1611,4 +1611,235 @@ FULL JOIN csci ON ("ssci"."customer_sk" = "csci"."customer_sk")
 LIMIT 100
 """
 
+  val q24_1: String = """WITH
+  ssales AS (
+   SELECT
+     "c_last_name"
+   , "c_first_name"
+   , "s_store_name"
+   , "ca_state"
+   , "s_state"
+   , "i_color"
+   , "i_current_price"
+   , "i_manager_id"
+   , "i_units"
+   , "i_size"
+   , "sum"("ss_net_paid") "netpaid"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.store_returns
+   , ${database}.${schema}.store
+   , ${database}.${schema}.item
+   , ${database}.${schema}.customer
+   , ${database}.${schema}.customer_address
+   WHERE ("ss_ticket_number" = "sr_ticket_number")
+      AND ("ss_item_sk" = "sr_item_sk")
+      AND ("ss_customer_sk" = "c_customer_sk")
+      AND ("ss_item_sk" = "i_item_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("c_birth_country" = "upper"("ca_country"))
+      AND ("s_zip" = "ca_zip")
+      AND ("s_market_id" = 8)
+   GROUP BY "c_last_name", "c_first_name", "s_store_name", "ca_state", "s_state", "i_color", "i_current_price", "i_manager_id", "i_units", "i_size"
+) 
+SELECT
+  "c_last_name"
+, "c_first_name"
+, "s_store_name"
+, "sum"("netpaid") "paid"
+FROM
+  ssales
+WHERE ("i_color" = 'pale')
+GROUP BY "c_last_name", "c_first_name", "s_store_name"
+HAVING ("sum"("netpaid") > (
+      SELECT (DECIMAL '0.05' * "avg"("netpaid"))
+      FROM
+        ssales
+   ))
+"""
+
+  val q56: String = """WITH
+  ss AS (
+   SELECT
+     "i_item_id"
+   , "sum"("ss_ext_sales_price") "total_sales"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.customer_address
+   , ${database}.${schema}.item
+   WHERE ("i_item_id" IN (
+      SELECT "i_item_id"
+      FROM
+        ${database}.${schema}.item
+      WHERE ("i_color" IN ('slate'      , 'blanched'      , 'burnished'))
+   ))
+      AND ("ss_item_sk" = "i_item_sk")
+      AND ("ss_sold_date_sk" = "d_date_sk")
+      AND ("d_year" = 2001)
+      AND ("d_moy" = 2)
+      AND ("ss_addr_sk" = "ca_address_sk")
+      AND ("ca_gmt_offset" = -5)
+   GROUP BY "i_item_id"
+) 
+, cs AS (
+   SELECT
+     "i_item_id"
+   , "sum"("cs_ext_sales_price") "total_sales"
+   FROM
+     ${database}.${schema}.catalog_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.customer_address
+   , ${database}.${schema}.item
+   WHERE ("i_item_id" IN (
+      SELECT "i_item_id"
+      FROM
+        ${database}.${schema}.item
+      WHERE ("i_color" IN ('slate'      , 'blanched'      , 'burnished'))
+   ))
+      AND ("cs_item_sk" = "i_item_sk")
+      AND ("cs_sold_date_sk" = "d_date_sk")
+      AND ("d_year" = 2001)
+      AND ("d_moy" = 2)
+      AND ("cs_bill_addr_sk" = "ca_address_sk")
+      AND ("ca_gmt_offset" = -5)
+   GROUP BY "i_item_id"
+) 
+, ws AS (
+   SELECT
+     "i_item_id"
+   , "sum"("ws_ext_sales_price") "total_sales"
+   FROM
+     ${database}.${schema}.web_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.customer_address
+   , ${database}.${schema}.item
+   WHERE ("i_item_id" IN (
+      SELECT "i_item_id"
+      FROM
+        ${database}.${schema}.item
+      WHERE ("i_color" IN ('slate'      , 'blanched'      , 'burnished'))
+   ))
+      AND ("ws_item_sk" = "i_item_sk")
+      AND ("ws_sold_date_sk" = "d_date_sk")
+      AND ("d_year" = 2001)
+      AND ("d_moy" = 2)
+      AND ("ws_bill_addr_sk" = "ca_address_sk")
+      AND ("ca_gmt_offset" = -5)
+   GROUP BY "i_item_id"
+) 
+SELECT
+  "i_item_id"
+, "sum"("total_sales") "total_sales"
+FROM
+  (
+   SELECT *
+   FROM
+     ss
+UNION ALL    SELECT *
+   FROM
+     cs
+UNION ALL    SELECT *
+   FROM
+     ws
+)  tmp1
+GROUP BY "i_item_id"
+ORDER BY "total_sales" ASC, "i_item_id" ASC
+LIMIT 100
+"""
+
+  val q57: String = """WITH
+  v1 AS (
+   SELECT
+     "i_category"
+   , "i_brand"
+   , "cc_name"
+   , "d_year"
+   , "d_moy"
+   , "sum"("cs_sales_price") "sum_sales"
+   , "avg"("sum"("cs_sales_price")) OVER (PARTITION BY "i_category", "i_brand", "cc_name", "d_year") "avg_monthly_sales"
+   , "rank"() OVER (PARTITION BY "i_category", "i_brand", "cc_name" ORDER BY "d_year" ASC, "d_moy" ASC) "rn"
+   FROM
+     ${database}.${schema}.item
+   , ${database}.${schema}.catalog_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.call_center
+   WHERE ("cs_item_sk" = "i_item_sk")
+      AND ("cs_sold_date_sk" = "d_date_sk")
+      AND ("cc_call_center_sk" = "cs_call_center_sk")
+      AND (("d_year" = 1999)
+         OR (("d_year" = (1999 - 1))
+            AND ("d_moy" = 12))
+         OR (("d_year" = (1999 + 1))
+            AND ("d_moy" = 1)))
+   GROUP BY "i_category", "i_brand", "cc_name", "d_year", "d_moy"
+) 
+, v2 AS (
+   SELECT
+     "v1"."i_category"
+   , "v1"."i_brand"
+   , "v1"."cc_name"
+   , "v1"."d_year"
+   , "v1"."d_moy"
+   , "v1"."avg_monthly_sales"
+   , "v1"."sum_sales"
+   , "v1_lag"."sum_sales" "psum"
+   , "v1_lead"."sum_sales" "nsum"
+   FROM
+     v1
+   , v1 v1_lag
+   , v1 v1_lead
+   WHERE ("v1"."i_category" = "v1_lag"."i_category")
+      AND ("v1"."i_category" = "v1_lead"."i_category")
+      AND ("v1"."i_brand" = "v1_lag"."i_brand")
+      AND ("v1"."i_brand" = "v1_lead"."i_brand")
+      AND ("v1"."cc_name" = "v1_lag"."cc_name")
+      AND ("v1"."cc_name" = "v1_lead"."cc_name")
+      AND ("v1"."rn" = ("v1_lag"."rn" + 1))
+      AND ("v1"."rn" = ("v1_lead"."rn" - 1))
+) 
+SELECT *
+FROM
+  v2
+WHERE ("d_year" = 1999)
+   AND ("avg_monthly_sales" > 0)
+   AND ((CASE WHEN ("avg_monthly_sales" > 0) THEN ("abs"(("sum_sales" - "avg_monthly_sales")) / "avg_monthly_sales") ELSE null END) > DECIMAL '0.1')
+ORDER BY ("sum_sales" - "avg_monthly_sales") ASC, 3 ASC
+LIMIT 100
+"""
+
+  val q90: String = """SELECT (CAST("amc" AS DECIMAL(15,4)) / CAST("pmc" AS DECIMAL(15,4))) "am_pm_ratio"
+FROM
+  (
+   SELECT "count"(*) "amc"
+   FROM
+     ${database}.${schema}.web_sales
+   , ${database}.${schema}.household_demographics
+   , ${database}.${schema}.time_dim
+   , ${database}.${schema}.web_page
+   WHERE ("ws_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ws_ship_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ws_web_page_sk" = "web_page"."wp_web_page_sk")
+      AND ("time_dim"."t_hour" BETWEEN 8 AND (8 + 1))
+      AND ("household_demographics"."hd_dep_count" = 6)
+      AND ("web_page"."wp_char_count" BETWEEN 5000 AND 5200)
+)  "at"
+, (
+   SELECT "count"(*) "pmc"
+   FROM
+     ${database}.${schema}.web_sales
+   , ${database}.${schema}.household_demographics
+   , ${database}.${schema}.time_dim
+   , ${database}.${schema}.web_page
+   WHERE ("ws_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ws_ship_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ws_web_page_sk" = "web_page"."wp_web_page_sk")
+      AND ("time_dim"."t_hour" BETWEEN 19 AND (19 + 1))
+      AND ("household_demographics"."hd_dep_count" = 6)
+      AND ("web_page"."wp_char_count" BETWEEN 5000 AND 5200)
+)  pt
+ORDER BY "am_pm_ratio" ASC
+LIMIT 100
+"""
+
 }

@@ -51,8 +51,14 @@ object SimilarityOps extends QueryGroup {
     * (cos ≥ 0.8, p ≥ 0.8) fewer, longer tables (e.g. T=8, B=16) keep the
     * candidate set sparse at billions of vectors.
     */
-  def lshAnnTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
-                 tables: Int = 16, bits: Int = 4): DataFrame = {
+  /** Random-hyperplane bucket keys: one (vec_id, bucket) row per table,
+    * where bucket packs the B sign bits plus the table id in the high
+    * bits into a single scalar LONG — shared by the ANN probe and the
+    * near-dup pair generator. One explode + one grouped agg; hyperplane
+    * components are deterministic Rademacher signs from xxhash64, so any
+    * executor reproduces them with no driver state.
+    */
+  private[graft] def bucketKeys(emb: DataFrame, tables: Int, bits: Int): DataFrame = {
     val dims = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
     val contribCols = for (t <- 0 until tables; j <- 0 until bits) yield
@@ -68,7 +74,12 @@ object SimilarityOps extends QueryGroup {
         .reduce((a, b) => a.bitwiseOR(b))
         .bitwiseOR(lit(t.toLong << 32))
     }
-    val sig = proj.select(col("vec_id"), explode(array(bucketCols: _*)).as("bucket"))
+    proj.select(col("vec_id"), explode(array(bucketCols: _*)).as("bucket"))
+  }
+
+  def lshAnnTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
+                 tables: Int = 16, bits: Int = 4): DataFrame = {
+    val sig = bucketKeys(emb, tables, bits)
     val qs = sig.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("bucket"))
     val cand = qs.join(sig, "bucket")
@@ -84,6 +95,52 @@ object SimilarityOps extends QueryGroup {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("n_id"), round(col("sim"), 4).as("sim"))
       .orderBy("q_id", "rk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact: every (a, b) pair with
+    * cosine ≥ tau. Quadratic by design — the oracle twin that pins the
+    * LSH path's recall, same role as TextOps' dd_jaccard_clusters.
+    */
+  def cosinePairsExact(emb: DataFrame, tau: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("sim"))
+      .filter(col("sim") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup detection, the scale path: candidate pairs
+    * come from a bucket self-join over the random-hyperplane keys (only
+    * vectors sharing a bucket in SOME table ever meet), then the exact
+    * cosine re-score keeps pairs ≥ tau — precision is exact, recall is
+    * the banding probability 1-(1-p^B)^T with p = 1-θ/π.
+    *
+    * Tuning: the fixture's near-dups are weak (cos ≈ 0.45-0.51 → p ≈
+    * 0.65), so the default T=16×B=4 trades pruning for recall ≈ 0.95.
+    * For dup-grade corpora (cos ≥ 0.9, p ≥ 0.9) use longer keys —
+    * T=8×B=8 keeps recall ≥ 0.99 while a random pair collides with
+    * probability ~8·0.5^8 ≈ 3%, which is what makes the bucket join
+    * linear-ish at N = billions; SimilaritySpec pins both regimes.
+    */
+  def lshCosinePairs(emb: DataFrame, tau: Double,
+                     tables: Int = 16, bits: Int = 4): DataFrame = {
+    val sig = bucketKeys(emb, tables, bits)
+    val cand = sig.select(col("vec_id").as("id_a"), col("bucket"))
+      .join(sig.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("sim"))
+      .filter(col("sim") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer (Spark MLlib
@@ -257,6 +314,25 @@ object SimilarityOps extends QueryGroup {
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("n_id"), round(col("sim"), 4).as("sim"))
         .orderBy("q_id", "rk")
+    },
+
+    // ── embedding-cosine near-dup pairs, exact (the dedup-family entry
+    // over embeddings: full pairwise at gate SF, oracle-checked; the
+    // linear-at-scale twin is dd_embedding_lsh below) ──
+    q("dd_embedding_pairs",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin) { (s, _) =>
+      cosinePairsExact(s.table("embeddings"), 0.45)
+    },
+
+    // ── embedding-cosine near-dup, LSH-bucketed (engine-specific
+    // hashing → no SQL oracle; SimilaritySpec pins recall vs the exact
+    // twin and the dup-grade planted regime) ──
+    qNoOracle("dd_embedding_lsh") { (s, _) =>
+      lshCosinePairs(s.table("embeddings"), 0.45)
     },
 
     // ── pairwise cosine over a restricted id band (exact, oracle-able) ──

@@ -3559,5 +3559,28 @@ object TpcdsQueries extends QueryGroup {
         "syear2", big("cnt2")),
       "product_name, store_name, b_street_number, c_street_number, " +
         "cnt1, cnt2, s11, s12"),
+
+    // round-6 verbatim texts: the shipping-dim/color/market surface added
+    // this round puts these four reference constants inside the
+    // synthesized domains, so the byte-identical texts select real rows.
+    // (q62/q99 stay adapted-only: their `ship_date_sk - sold_date_sk`
+    // integer arithmetic assumes the spec's julian INT keys — ours are
+    // DATE-typed, the documented TpcdsSynth deviation.)
+    verbatim("tpcds_q24_verbatim", BenchtoTpcdsTexts.q24_1,
+      Seq("c_last_name", "c_first_name", "s_store_name", "paid"),
+      Seq("c_last_name", "c_first_name", "s_store_name", r2("paid")),
+      "c_last_name, c_first_name, s_store_name"),
+    verbatim("tpcds_q56_verbatim", BenchtoTpcdsTexts.q56,
+      Seq("i_item_id", "total_sales"),
+      Seq("i_item_id", r2("total_sales")),
+      "i_item_id"),
+    verbatim("tpcds_q57_verbatim", BenchtoTpcdsTexts.q57,
+      Seq("i_category", "i_brand", "cc_name", "d_year", "d_moy",
+        "avg_monthly_sales", "sum_sales", "psum", "nsum"),
+      Seq("i_category", "i_brand", "cc_name", "d_year", "d_moy",
+        r2("avg_monthly_sales"), r2("sum_sales"), r2("psum"), r2("nsum")),
+      "i_category, i_brand, cc_name, d_year, d_moy"),
+    verbatim("tpcds_q90_verbatim", BenchtoTpcdsTexts.q90,
+      Seq("am_pm_ratio"), Seq(r6("am_pm_ratio")), ""),
   )
 }

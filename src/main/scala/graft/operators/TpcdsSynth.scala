@@ -400,6 +400,11 @@ object TpcdsSynth {
          |  CAST(CAST(l_shipdate AS DATE) + (1 + (l_orderkey * 3 + l_linenumber) % 30) * INTERVAL '1' DAY AS DATE) AS ws_ship_date_sk,
          |  CAST(l_orderkey % 24 AS BIGINT) AS ws_web_site_sk,
          |  CAST((l_orderkey * 5 + l_linenumber) % 60 AS BIGINT) AS ws_web_page_sk,
+         |  CAST((l_orderkey * 2 + l_linenumber) % 720 AS BIGINT) AS ws_ship_hdemo_sk,
+         |  -- ^ even orderkey coefficient on purpose: rows surviving q90's
+         |  --   hour+page gates sit on k≡9 (mod 12), l=4, where an odd
+         |  --   coefficient pins dep-count parity odd and the spec's
+         |  --   hd_dep_count = 6 slice would be structurally empty
          |  CAST((l_orderkey * 3 + l_linenumber) % 20 AS BIGINT) AS ws_ship_mode_sk,
          |  CAST((l_orderkey * 23 + l_linenumber * 13) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS ws_ship_addr_sk,
          |  ${money(s"(($cents * 19 + 29) % 8000 + 20) * $qty")} AS ws_ext_ship_cost,

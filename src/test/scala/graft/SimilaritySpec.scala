@@ -86,4 +86,57 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall@5 = $recall (found ${(exact & ann).size} of ${exact.size})")
   }
+
+  test("embedding near-dup LSH: exact-precision subset of the exact pairs, recall >= 0.7") {
+    val sf = "/root/testdata/sf0.01"
+    Tables.register(spark, sf)
+    val exact = SparkEntry.queries("dd_embedding_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dd_embedding_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Tables.register(spark, TestSession.sf)
+    assert(exact.nonEmpty, "threshold selects no exact pairs — test is vacuous")
+    // re-scoring makes precision exact: every LSH pair must be a true pair
+    assert((lsh -- exact).isEmpty, s"false positives: ${lsh -- exact}")
+    // fixture pairs are weak (cos ~0.45-0.51, p ~0.65): T=16 x B=4 banding
+    // predicts recall ~0.95; assert with slack for hash luck
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.7, s"near-dup recall = $recall (${(exact & lsh).size} of ${exact.size})")
+  }
+
+  test("dup-grade planted pairs: long-key LSH finds them all and prunes candidates") {
+    // the production dedup regime: plant a perturbed copy of every vector
+    // (cos ~0.97) and run the T=8 x B=8 long-key configuration — banding
+    // predicts pair recall ~0.998 while a RANDOM pair shares a bucket
+    // with probability ~8 * 0.5^8 ~ 3%, which is the pruning that keeps
+    // the bucket join linear-ish at billions of vectors
+    val emb = Tables.load(spark, TestSession.sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      expr("CAST(transform(embedding, (x, i) -> CAST(x + CASE WHEN i % 2 = 0 " +
+        "THEN 0.03 ELSE -0.03 END AS FLOAT)) AS ARRAY<FLOAT>)").as("embedding"))
+    val corpus = emb.union(planted)
+    val n = corpus.count()
+    val pairs = graft.operators.SimilarityOps
+      .lshCosinePairs(corpus, 0.9, tables = 8, bits = 8).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    // only planted pairs can clear tau: original-original cosines top out
+    // ~0.51 in the fixture, and perturbed copies inherit that spread
+    assert(found.subsetOf(expected), s"unexpected pairs: ${found -- expected}")
+    val recall = (found & expected).size.toDouble / expected.size
+    assert(recall >= 0.95, s"planted recall = $recall")
+    // pruning pin: the candidate bucket join must touch a small fraction
+    // of the n*(n-1)/2 pair space
+    val sig = graft.operators.SimilarityOps.bucketKeys(corpus, 8, 8)
+    val candCount = sig.select(col("vec_id").as("id_a"), col("bucket"))
+      .join(sig.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().count()
+    val pairSpace = n * (n - 1) / 2
+    assert(candCount < pairSpace / 10,
+      s"bucket join degenerated: $candCount candidates of $pairSpace pairs")
+  }
 }

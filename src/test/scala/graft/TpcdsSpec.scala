@@ -156,7 +156,10 @@ class TpcdsSpec extends AnyFunSuite {
       "q32" -> BenchtoTpcdsTexts.q32, "q37" -> BenchtoTpcdsTexts.q37,
       "q44" -> BenchtoTpcdsTexts.q44, "q47" -> BenchtoTpcdsTexts.q47,
       "q70" -> BenchtoTpcdsTexts.q70, "q89" -> BenchtoTpcdsTexts.q89,
-      "q97" -> BenchtoTpcdsTexts.q97).foreach { case (name, embedded) =>
+      "q97" -> BenchtoTpcdsTexts.q97,
+      "q24_1" -> BenchtoTpcdsTexts.q24_1, "q56" -> BenchtoTpcdsTexts.q56,
+      "q57" -> BenchtoTpcdsTexts.q57,
+      "q90" -> BenchtoTpcdsTexts.q90).foreach { case (name, embedded) =>
       val ref = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(refDir, s"$name.sql").toPath))
       assert(embedded == ref, s"$name drifted from the reference text")
