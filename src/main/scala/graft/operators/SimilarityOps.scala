@@ -13,18 +13,23 @@ import org.apache.spark.sql.functions._
   *    are map-side, candidate generation shuffles only bucket keys, so it
   *    survives N = billions where brute force can't.
   *
-  * All vector math is codegen'd builtin lambdas (zip_with/aggregate) in
-  * double precision — no UDFs.
+  * All vector math runs through the codegen'd ArrayDot kernel
+  * (functions.VectorExprs) in double precision — no UDFs, no interpreted
+  * per-element lambdas in any pair-scoring hot path.
   */
 object SimilarityOps extends QueryGroup {
 
-  /** dot(a, b) in double precision. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) in double precision — the codegen'd ArrayDot kernel (the
+    * HOF aggregate/zip_with spelling interprets a lambda per element;
+    * see functions.ArrayDot for the measured difference).
+    */
+  private def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.ArrayDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

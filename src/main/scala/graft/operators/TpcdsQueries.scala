@@ -58,8 +58,25 @@ object TpcdsQueries extends QueryGroup {
     viewsFor.compute(spark, (_, prev) => {
       if (prev != dir) {
         spark.sql("CREATE DATABASE IF NOT EXISTS tpcds")
+        // |customer| inlined as a literal: a catalog view's text is
+        // re-analyzed per reference, and the corpus references the fact
+        // views heavily — keeping it a scalar subquery cost tpcds_q14
+        // ~3 of its 4.9 planning seconds (see TpcdsSynth.tableSql)
+        val custCount = spark.read
+          .parquet(s"$dir/customer.parquet").count().toString
+        // base fixture tables as CATALOG tables, not parquet.`path` refs:
+        // a path reference builds a fresh file relation (listing + schema
+        // inference) on every analysis, while catalog tables resolve
+        // through the session's relation cache — with the corpus' heavy
+        // view fan-out this was ~1 s/reference-set of q14's plan time
+        Seq("lineitem", "customer", "part", "supplier").foreach { b =>
+          spark.sql(s"DROP TABLE IF EXISTS tpcds.base_$b")
+          spark.sql(s"CREATE TABLE tpcds.base_$b USING parquet " +
+            s"LOCATION '$dir/$b.parquet'")
+        }
         TpcdsSynth.tables.foreach { t =>
-          val body = TpcdsSynth.tableSql(t, b => s"parquet.`$dir/$b.parquet`")
+          val body = TpcdsSynth.tableSql(t,
+            b => s"tpcds.base_$b", custCount)
           spark.sql(s"CREATE OR REPLACE VIEW tpcds.$t AS $body")
           if (generatedDims(t) && sys.props.get("graft.tpcds.cacheDims").forall(_ == "true"))
             spark.catalog.cacheTable(s"tpcds.$t")

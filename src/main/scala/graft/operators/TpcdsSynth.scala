@@ -121,8 +121,28 @@ object TpcdsSynth {
   /** Connector-style SELECT producing the TPC-DS column subset the corpus
     * touches; `ref(table)` supplies the FROM-clause reference for a base
     * fixture table.
+    *
+    * `custCount` is the SQL snippet standing for |customer| in the key
+    * derivations. The default — a scalar subquery over the referenced
+    * table — is what the DuckDB oracle runs (the preamble is built
+    * statically, before any data is readable). The Spark views inline
+    * the actual count as a literal instead (ensureTpcdsViews): the value
+    * is identical, but a catalog view's text is re-analyzed on EVERY
+    * reference, and the subquery's nested parquet relation made each of
+    * the corpus' many fact-view references pay subquery + file-relation
+    * resolution — measured as 3.1 s ResolveRelations + 2.5 s
+    * ResolveSQLOnFile + 1.8 s ResolveSubquery of tpcds_q14's 4.9 s
+    * planning time at sf0.1.
     */
-  def tableSql(table: String, ref: String => String): String = table match {
+  def tableSql(table: String, ref: String => String,
+               custCount: String = null): String = {
+    val cnt = Option(custCount)
+      .getOrElse("(SELECT count(*) FROM " + ref("customer") + ")")
+    tableSqlImpl(table, ref, cnt)
+  }
+
+  private def tableSqlImpl(table: String, ref: String => String,
+                           cnt: String): String = table match {
     case "date_dim" =>
       s"""SELECT d_date AS d_date_sk, d_date,
          |  CAST(EXTRACT(YEAR FROM d_date) AS INT) AS d_year,
@@ -384,7 +404,7 @@ object TpcdsSynth {
       s"""SELECT l_orderkey AS ss_ticket_number,
          |  CASE WHEN (l_orderkey * 31 + l_linenumber * 7) % 50 = 13
          |       THEN NULL ELSE l_suppkey END AS ss_store_sk,
-         |  ${saleCols("ss", "", s"(SELECT count(*) FROM ${ref("customer")})")}
+         |  ${saleCols("ss", "", s"$cnt")}
          |FROM ${ref("lineitem")}
          |WHERE (l_orderkey + l_linenumber) % 3 = 0""".stripMargin
 
@@ -395,7 +415,7 @@ object TpcdsSynth {
     case "web_sales" =>
       s"""SELECT l_orderkey AS ws_order_number,
          |  CASE WHEN (l_orderkey * 31 + l_linenumber * 7) % 50 = 13 THEN NULL
-         |       ELSE CAST((l_orderkey * 19 + 7) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) END AS ws_ship_customer_sk,
+         |       ELSE CAST((l_orderkey * 19 + 7) % $cnt AS BIGINT) END AS ws_ship_customer_sk,
          |  CAST(l_partkey % 5 AS INT) AS ws_warehouse_sk,
          |  CAST(CAST(l_shipdate AS DATE) + (1 + (l_orderkey * 3 + l_linenumber) % 30) * INTERVAL '1' DAY AS DATE) AS ws_ship_date_sk,
          |  CAST(l_orderkey % 24 AS BIGINT) AS ws_web_site_sk,
@@ -406,24 +426,24 @@ object TpcdsSynth {
          |  --   coefficient pins dep-count parity odd and the spec's
          |  --   hd_dep_count = 6 slice would be structurally empty
          |  CAST((l_orderkey * 3 + l_linenumber) % 20 AS BIGINT) AS ws_ship_mode_sk,
-         |  CAST((l_orderkey * 23 + l_linenumber * 13) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS ws_ship_addr_sk,
+         |  CAST((l_orderkey * 23 + l_linenumber * 13) % $cnt AS BIGINT) AS ws_ship_addr_sk,
          |  ${money(s"(($cents * 19 + 29) % 8000 + 20) * $qty")} AS ws_ext_ship_cost,
-         |  ${saleCols("ws", "bill_", s"(SELECT count(*) FROM ${ref("customer")})")}
+         |  ${saleCols("ws", "bill_", s"$cnt")}
          |FROM ${ref("lineitem")}
          |WHERE (l_orderkey + l_linenumber) % 3 = 1""".stripMargin
 
     case "catalog_sales" =>
       s"""SELECT l_orderkey AS cs_order_number,
-         |  CAST((l_orderkey * 19 + 7) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS cs_ship_customer_sk,
+         |  CAST((l_orderkey * 19 + 7) % $cnt AS BIGINT) AS cs_ship_customer_sk,
          |  CAST(l_partkey % 5 AS INT) AS cs_warehouse_sk,
          |  CAST(CAST(l_shipdate AS DATE) + (1 + (l_orderkey * 3 + l_linenumber) % 30) * INTERVAL '1' DAY AS DATE) AS cs_ship_date_sk,
          |  CAST(l_orderkey % 6 AS BIGINT) AS cs_call_center_sk,
          |  CAST((l_orderkey * 3 + l_linenumber) % 20 AS BIGINT) AS cs_ship_mode_sk,
          |  CAST((l_orderkey * 7 + l_linenumber * 3) % 200 AS BIGINT) AS cs_catalog_page_sk,
          |  CASE WHEN (l_orderkey * 31 + l_linenumber * 7) % 50 = 13 THEN NULL
-         |       ELSE CAST((l_orderkey * 23 + l_linenumber * 13) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) END AS cs_ship_addr_sk,
+         |       ELSE CAST((l_orderkey * 23 + l_linenumber * 13) % $cnt AS BIGINT) END AS cs_ship_addr_sk,
          |  ${money(s"(($cents * 19 + 29) % 8000 + 20) * $qty")} AS cs_ext_ship_cost,
-         |  ${saleCols("cs", "bill_", s"(SELECT count(*) FROM ${ref("customer")})")}
+         |  ${saleCols("cs", "bill_", s"$cnt")}
          |FROM ${ref("lineitem")}
          |WHERE (l_orderkey + l_linenumber) % 3 = 2""".stripMargin
 
@@ -438,7 +458,7 @@ object TpcdsSynth {
          |  l_partkey AS sr_item_sk,
          |  l_orderkey AS sr_ticket_number,
          |  l_suppkey AS sr_store_sk,
-         |  CAST((l_orderkey * 7 + 3) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS sr_customer_sk,
+         |  CAST((l_orderkey * 7 + 3) % $cnt AS BIGINT) AS sr_customer_sk,
          |  CAST((l_orderkey * 13 + l_linenumber * 7) % 720 AS BIGINT) AS sr_cdemo_sk,
          |  CAST((l_orderkey * 3 + l_linenumber) % 35 AS BIGINT) AS sr_reason_sk,
          |  CAST($retQty AS INT) AS sr_return_quantity,
@@ -460,8 +480,8 @@ object TpcdsSynth {
          |  CAST(l_partkey % 5 AS INT) AS cr_warehouse_sk,
          |  CAST(l_orderkey % 6 AS BIGINT) AS cr_call_center_sk,
          |  CAST((l_orderkey * 7 + l_linenumber * 3) % 200 AS BIGINT) AS cr_catalog_page_sk,
-         |  CAST((l_orderkey * 7 + 3) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS cr_returning_customer_sk,
-         |  CAST((l_orderkey * 17 + l_linenumber * 11) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS cr_returning_addr_sk,
+         |  CAST((l_orderkey * 7 + 3) % $cnt AS BIGINT) AS cr_returning_customer_sk,
+         |  CAST((l_orderkey * 17 + l_linenumber * 11) % $cnt AS BIGINT) AS cr_returning_addr_sk,
          |  CAST((l_orderkey * 3 + l_linenumber) % 35 AS BIGINT) AS cr_reason_sk,
          |  CAST($retQty AS INT) AS cr_return_quantity,
          |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $retQty")} AS cr_return_amount,
@@ -479,14 +499,14 @@ object TpcdsSynth {
          |  l_partkey AS wr_item_sk,
          |  l_orderkey AS wr_order_number,
          |  CAST((l_orderkey * 5 + l_linenumber) % 60 AS BIGINT) AS wr_web_page_sk,
-         |  CAST((l_orderkey * 7 + 3) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS wr_returning_customer_sk,
-         |  CAST((l_orderkey * 17 + l_linenumber * 11) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS wr_returning_addr_sk,
+         |  CAST((l_orderkey * 7 + 3) % $cnt AS BIGINT) AS wr_returning_customer_sk,
+         |  CAST((l_orderkey * 17 + l_linenumber * 11) % $cnt AS BIGINT) AS wr_returning_addr_sk,
          |  CAST((l_orderkey * 13 + l_linenumber * 7) % 720 AS BIGINT) AS wr_refunded_cdemo_sk,
          |  CASE WHEN (l_orderkey + 2 * l_linenumber) % 3 = 0
          |       THEN CAST((l_orderkey * 11 + l_linenumber * 17) % 720 AS BIGINT)
          |       ELSE CAST((l_orderkey * 13 + l_linenumber * 7) % 720 AS BIGINT)
          |       END AS wr_returning_cdemo_sk,
-         |  CAST((l_orderkey * 19 + l_linenumber * 7) % (SELECT count(*) FROM ${ref("customer")}) AS BIGINT) AS wr_refunded_addr_sk,
+         |  CAST((l_orderkey * 19 + l_linenumber * 7) % $cnt AS BIGINT) AS wr_refunded_addr_sk,
          |  ${money(s"($cents * 23 + 11) % 3000")} AS wr_fee,
          |  ${money(s"($cents * 29 + 31) % 40000")} AS wr_refunded_cash,
          |  CAST((l_orderkey * 3 + l_linenumber) % 35 AS BIGINT) AS wr_reason_sk,
