@@ -44,9 +44,10 @@ object Bench {
     // quadratic twin dd_jaccard_clusters lives in the correctness gate,
     // not here), and the KD-B-partitioned distance join
     "tpcds_q14", "tpcds_q74", "dd_minhash_clusters", "spatial_kdb_join",
-    // round-6 op: the returns-aware three-channel UNION + year-over-year
-    // self-join (heaviest of the twelve new TPC-DS families)
-    "tpcds_q75")
+    // round-6 ops: the returns-aware three-channel UNION + year-over-year
+    // self-join; the 17-table q64 monster (optimizer + planning stress);
+    // embedding-cosine near-dup via the codegen'd ArrayDot re-score
+    "tpcds_q75", "tpcds_q64", "dd_embedding_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
