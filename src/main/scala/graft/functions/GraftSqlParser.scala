@@ -88,6 +88,37 @@ object GraftSqlParser {
   private val DeallocStmt = raw"(?is)^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*;?\s*$$".r
   private val SetSession = raw"(?is)^\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*;?\s*$$".r
   private val ResetSession = raw"(?is)^\s*RESET\s+SESSION\s+([\w.]+)\s*;?\s*$$".r
+  private val ShowStats = raw"(?is)^\s*SHOW\s+STATS\s+FOR\s+([\w.]+)\s*;?\s*$$".r
+
+  /** `SHOW STATS FOR t` (reference ShowStatsRewrite.java /
+    * MetadataManager.getTableStatistics): rewritten to ONE single-pass
+    * aggregate over the table, unpivoted to the reference's row shape —
+    * a row per column carrying distinct count / nulls fraction / numeric
+    * low-high, plus the summary row carrying row_count. Stats are
+    * computed live and exactly (count DISTINCT, not a sketch): the
+    * statement stays one scan regardless of column count, which is the
+    * property that matters at scale; swapping approx_count_distinct in
+    * is a one-line change traded against oracle exactness.
+    */
+  private[graft] def showStatsSelect(cols: Seq[(String, Boolean)],
+      from: String): String = {
+    val aggs = cols.flatMap { case (c, num) =>
+      Seq(s"count($c) AS nn_$c", s"count(DISTINCT $c) AS d_$c") ++
+        (if (num) Seq(s"CAST(min($c) AS DOUBLE) AS lo_$c",
+          s"CAST(max($c) AS DOUBLE) AS hi_$c")
+        else Nil)
+    }
+    val rows = cols.map { case (c, num) =>
+      val lo = if (num) s"lo_$c" else "CAST(NULL AS DOUBLE)"
+      val hi = if (num) s"hi_$c" else "CAST(NULL AS DOUBLE)"
+      s"SELECT CAST('$c' AS VARCHAR(64)) AS column_name, d_$c AS distinct_count, " +
+        s"round((rc - nn_$c) / CAST(rc AS DOUBLE), 4) AS nulls_fraction, " +
+        s"CAST(NULL AS BIGINT) AS row_count, $lo AS low_value, $hi AS high_value FROM s"
+    } :+ ("SELECT CAST(NULL AS VARCHAR(64)), CAST(NULL AS BIGINT), " +
+      "CAST(NULL AS DOUBLE), rc, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s")
+    s"WITH s AS (SELECT count(*) AS rc, ${aggs.mkString(", ")} FROM $from)\n" +
+      rows.mkString("\nUNION ALL ")
+  }
 
   /** Reference session properties (SystemSessionProperties.java) with a
     * faithful Spark SQL-conf equivalent. Properties without one fail by
@@ -157,6 +188,12 @@ object GraftSqlParser {
     case DeallocStmt(name) =>
       prepared.remove(name.toLowerCase)
       Some(s"SELECT '${name.toLowerCase}' AS deallocated")
+    case ShowStats(tbl) =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cols = spark.table(tbl).schema.fields.toSeq.map { f =>
+        f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      }
+      Some(showStatsSelect(cols, tbl))
     case SetSession(key, value) =>
       Some(translateSessionProperty(key, value))
     case ResetSession(key) =>

@@ -147,6 +147,22 @@ object WriteOps extends QueryGroup {
       out
     },
 
+    // SHOW STATS FOR t (ShowStatsRewrite.java): one single-pass aggregate
+    // unpivoted to the reference's row shape. The oracle runs the SAME
+    // generated text (shared showStatsSelect, lineitem's fixed fixture
+    // schema) — one source, zero drift; the Spark side goes through the
+    // dialect parser's schema-driven rewrite.
+    q("meta_show_stats",
+      graft.functions.GraftSqlParser.showStatsSelect(
+        Seq("l_orderkey" -> true, "l_partkey" -> true, "l_suppkey" -> true,
+          "l_linenumber" -> true, "l_quantity" -> true,
+          "l_extendedprice" -> true, "l_discount" -> true, "l_tax" -> true,
+          "l_returnflag" -> false, "l_linestatus" -> false,
+          "l_shipdate" -> false),
+        "lineitem")) { (s, _) =>
+      s.sql("SHOW STATS FOR lineitem")
+    },
+
     // SET SESSION k = v (SystemSessionProperties.java) → the mapped Spark
     // conf; unknown properties error by name (ParserSpec). Engine-side
     // SET output has no DuckDB twin → rows-only gate + spec.

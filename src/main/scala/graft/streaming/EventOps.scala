@@ -166,6 +166,35 @@ object EventOps extends QueryGroup {
         .orderBy("user_id", "session_start")
     },
 
+    // ── streaming exact dedup, batch twin: an at-least-once feed
+    // (every 7th event redelivered as an identical copy) collapses back
+    // to exactly-once via dropDuplicates on the event id — the batch
+    // face of readStream.withWatermark(...).dropDuplicates("event_id"),
+    // which StreamingSpec drives through a real stream and pins equal.
+    // At scale this is one hash-shuffle on event_id with watermark-
+    // bounded state; the copies are byte-identical, so DISTINCT * and
+    // id-keyed dedup agree and the DuckDB oracle is exact. ──
+    q("ev_stream_dedup",
+      """WITH feed AS (
+        |  SELECT * FROM events
+        |  UNION ALL
+        |  SELECT * FROM events WHERE event_id % 7 = 0
+        |),
+        |deduped AS (SELECT DISTINCT * FROM feed)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM deduped
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, _) =>
+      val events = s.table("events")
+      val feed = events.unionAll(events.filter(col("event_id") % 7 === 0))
+      feed.dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("event_type")
+    },
+
     // JSON props extraction + grouped agg (events carry a JSON payload)
     q("ev_props_agg",
       """SELECT event_type,

@@ -172,4 +172,30 @@ class ParserSpec extends AnyFunSuite {
             |RETURN x * 2""".stripMargin)
     assert(s.sql("SELECT p_double(21)").collect()(0).getInt(0) == 42)
   }
+
+  test("SHOW STATS FOR t: per-column live stats plus the summary row") {
+    val s = TestSession.spark
+    Tables.register(s, TestSession.sf)
+    val rows = s.sql("SHOW STATS FOR lineitem").collect()
+    val cols = s.table("lineitem").schema.fieldNames
+    // one row per column + one summary row, reference column shape
+    assert(rows.length == cols.length + 1)
+    val byName = rows.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r).toMap
+    assert(byName.keySet == cols.toSet)
+    // the summary row alone carries row_count, and it is the real count
+    val summary = rows.filter(_.isNullAt(0))
+    assert(summary.length == 1)
+    assert(summary.head.getAs[Long]("row_count") ==
+      s.table("lineitem").count())
+    assert(rows.filter(!_.isNullAt(0)).forall(_.isNullAt(3)))
+    // a numeric column exposes exact low/high; a varchar column does not
+    val ok = byName("l_orderkey")
+    assert(!ok.isNullAt(4) && !ok.isNullAt(5), "numeric low/high must be real")
+    assert(ok.getAs[Double]("high_value") >= ok.getAs[Double]("low_value"))
+    assert(ok.getAs[Long]("distinct_count") > 0)
+    assert(byName("l_returnflag").isNullAt(4) &&
+      byName("l_returnflag").getAs[Long]("distinct_count") == 3)
+    // no-null fixture columns report a 0.0 nulls fraction
+    assert(byName.values.forall(_.getAs[Double]("nulls_fraction") == 0.0))
+  }
 }

@@ -128,4 +128,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("2026-01-01 10:00:00.0") == 3L,
       s"late 10:30 row must NOT be counted into the closed window: $out")
   }
+
+  test("streaming dropDuplicates collapses an at-least-once feed to exactly-once") {
+    // the streaming face of ev_stream_dedup: stage the events file plus a
+    // "redelivered" copy of every 7th event (two files in one source dir —
+    // the duplicates arrive like a real at-least-once replay), then
+    // withWatermark + dropDuplicates(event_id) must reproduce the
+    // original exactly-once id set
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSession.sf}/events.parquet"),
+      dir.resolve("events.parquet"))
+    // duplicate from the RAW file (ts stays the nanos-long physical type)
+    // so both staged files share one parquet schema
+    val rawBase = spark.read.parquet(s"${TestSession.sf}/events.parquet")
+    rawBase.filter(col("event_id") % 7 === 0)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val base = Tables.load(spark, TestSession.sf, "events")
+
+    val raw = spark.read.parquet(dir.toString)
+    val feedCount = raw.count()
+    val baseCount = base.count()
+    assert(feedCount > baseCount, "staged feed must actually contain duplicates")
+
+    def normTs(df: org.apache.spark.sql.DataFrame) =
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    val deduped = normTs(
+      spark.readStream.schema(raw.schema).parquet(dir.toString))
+      .withWatermark("ts", "24 hours")
+      .dropDuplicates("event_id")
+      .select("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "stream emitted a duplicate id")
+    val expected = base.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids.toSet == expected,
+      s"deduped stream ids (${ids.length}) != original exactly-once set (${expected.size})")
+  }
 }
