@@ -492,6 +492,32 @@ object TextOps extends QueryGroup {
     },
 
     // ── heuristic language ID by stopword-list voting ──
+    // ── token counting: whitespace words vs a BPE-style pre-tokenizer
+    // (the GPT-2 pattern family: contraction suffixes, space-prefixed
+    // letter runs, digit runs, symbol runs) — the training-pipeline
+    // token-budget estimate, computed scan-side with no UDF. The regex
+    // subset used is valid in both Java regex (Spark) and RE2 (DuckDB);
+    // chars_per_token is the usual compression diagnostic. ──
+    q("tx_token_count", {
+      val pat = raw"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+"
+      s"""SELECT doc_id, n_chars,
+         |  len(list_filter(string_split_regex(text, '[ \\t\\n]+'), x -> x <> '')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '${pat.replace("'", "''")}')) AS n_bpe_tokens,
+         |  round(CAST(n_chars AS DOUBLE)
+         |    / len(regexp_extract_all(text, '${pat.replace("'", "''")}')), 4) AS chars_per_token
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, _) =>
+      val pat = raw"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+"
+      val bpe = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      s.table("documents").select(
+        col("doc_id"), col("n_chars"),
+        size(filter(split(col("text"), "[ \t\n]+"), x => x =!= "")).as("n_ws_tokens"),
+        bpe.as("n_bpe_tokens"),
+        round(col("n_chars").cast("double") / bpe, 4).as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+
     q("tx_langid",
       """WITH sc AS (
         |  SELECT doc_id, lang,

@@ -50,6 +50,15 @@ class TpcdsSpec extends AnyFunSuite {
       "existence checks must plan as joins")
   }
 
+  test("q64: the 17-table join plans without cartesian, dims broadcast") {
+    // the corpus' widest join graph: every dim join must stay keyed
+    // (broadcast or shuffle), never degrade to a cross product — at
+    // 100 TB a single accidental cartesian in this graph is fatal
+    val p = plan("tpcds_q64")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q64:\n${p.take(4000)}")
+    assert(p.contains("BroadcastHashJoin"), "q64's generated dims must broadcast")
+  }
+
   test("q22: rollup grand-total row equals the ungrouped average") {
     SparkEntry.queries("tpcds_q22")(spark, TestSession.sf) // registers views
     // the query itself LIMITs to the 100 lowest qoh rows; check the rollup
