@@ -518,6 +518,47 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // ── quality filter: Gopher-style keep/drop heuristics as one scan
+    // (too-short, stopword-starved, implausible mean word length) with
+    // per-rule flags so the drop REASON survives into the output — the
+    // shape a pretraining filter pipeline audits. Thresholds sit inside
+    // the fixture's distributions so both classes are non-empty. ──
+    q("tx_quality_filter",
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tokens,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in)\b')) AS n_stop
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(tokens) AS n_tokens,
+        |    CAST(n_stop AS DOUBLE) / len(tokens) AS stop_ratio,
+        |    CAST(n_chars AS DOUBLE) / len(tokens) AS mean_word_len
+        |  FROM t)
+        |SELECT doc_id, n_tokens, round(stop_ratio, 4) AS stop_ratio,
+        |  n_tokens < 20 AS too_short,
+        |  stop_ratio < 0.02 AS stopword_starved,
+        |  mean_word_len < 3 OR mean_word_len > 10 AS bad_word_length,
+        |  NOT (n_tokens < 20 OR stop_ratio < 0.02
+        |       OR mean_word_len < 3 OR mean_word_len > 10) AS keep
+        |FROM m
+        |ORDER BY doc_id""".stripMargin) { (s, _) =>
+      val t = s.table("documents").select(
+        col("doc_id"), col("n_chars"), tokensCol.as("tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|and|of|to|in)\\b"), lit(0))).as("n_stop"))
+      val m = t.select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+        (col("n_stop").cast("double") / size(col("tokens"))).as("stop_ratio"),
+        (col("n_chars").cast("double") / size(col("tokens"))).as("mean_word_len"))
+      m.select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        (col("n_tokens") < 20).as("too_short"),
+        (col("stop_ratio") < 0.02).as("stopword_starved"),
+        (col("mean_word_len") < 3 || col("mean_word_len") > 10).as("bad_word_length"),
+        (!(col("n_tokens") < 20 || col("stop_ratio") < 0.02 ||
+          col("mean_word_len") < 3 || col("mean_word_len") > 10)).as("keep"))
+        .orderBy("doc_id")
+    },
+
     q("tx_langid",
       """WITH sc AS (
         |  SELECT doc_id, lang,

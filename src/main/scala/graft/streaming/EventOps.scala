@@ -195,6 +195,34 @@ object EventOps extends QueryGroup {
         .orderBy("event_type")
     },
 
+    // ── stream-stream interval join, batch twin: every view joined to
+    // the same user's clicks within the next 30 minutes — the
+    // attribution shape. In streaming this is the watermarked
+    // stream-stream inner join (state bounded by the interval + both
+    // watermarks); StreamingSpec drives it through two readStreams and
+    // pins the pair set equal. At scale: one shuffle per side on
+    // user_id, state size O(events inside the watermark horizon). ──
+    q("ev_interval_join",
+      """SELECT a.user_id, a.event_id AS view_id, b.event_id AS click_id,
+        |  date_diff('second', a.ts, b.ts) AS gap_s
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'click'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY a.user_id, view_id, click_id""".stripMargin) { (s, _) =>
+      val ev = s.table("events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("ts_a"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("ts_b"))
+      views.join(clicks, Seq("user_id"))
+        .filter(col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 30 MINUTE"))
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          (unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a"))).as("gap_s"))
+        .orderBy("user_id", "view_id", "click_id")
+    },
+
     // JSON props extraction + grouped agg (events carry a JSON payload)
     q("ev_props_agg",
       """SELECT event_type,

@@ -129,6 +129,47 @@ class StreamingSpec extends AnyFunSuite {
       s"late 10:30 row must NOT be counted into the closed window: $out")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    // two watermarked readStreams over the same staged events dir,
+    // views inner-joined to same-user clicks in the next 30 minutes —
+    // the state-bounded stream-stream join surface; pair set must equal
+    // the batch twin ev_interval_join's
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ssjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSession.sf}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.read.parquet(dir.toString)
+    def normTs(df: org.apache.spark.sql.DataFrame) =
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    def stream() = normTs(
+      spark.readStream.schema(raw.schema).parquet(dir.toString))
+    val views = stream().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = views.join(clicks,
+      expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 30 minutes"))
+      .select(col("view_id"), col("click_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streaming = spark.table("ssjoin_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Tables.register(spark, TestSession.sf)
+    val batch = SparkEntry.queries("ev_interval_join")(spark, TestSession.sf)
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streaming == batch, s"stream pairs ${streaming.size} != batch ${batch.size}")
+    assert(streaming.nonEmpty)
+  }
+
   test("streaming dropDuplicates collapses an at-least-once feed to exactly-once") {
     // the streaming face of ev_stream_dedup: stage the events file plus a
     // "redelivered" copy of every 7th event (two files in one source dir —
