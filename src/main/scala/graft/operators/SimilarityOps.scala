@@ -148,6 +148,76 @@ object SimilarityOps extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Bucket-formula version for the persisted embedding index — folded
+    * into the index path with the tables/bits actually used, so a formula
+    * or parameter change can never silently reuse an index built under
+    * the old scheme (same discipline as TextOps.LshFormulaVersion).
+    * tau is probe-time only and deliberately NOT in the fingerprint.
+    */
+  private val EmbLshFormulaVersion = 1
+
+  /** Build counter — lets SimilaritySpec assert that index REUSE never
+    * re-signatures the historical corpus.
+    */
+  private[graft] val embIndexBuilds = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Cap on bucket membership for the incremental path: a degenerate
+    * bucket (hash collapse, adversarial vectors) would otherwise turn the
+    * candidate join quadratic; capped buckets drop loudly out of pair
+    * generation, and a capped vector still pairs through its other
+    * tables (same argument as the minhash bucket cap).
+    */
+  private val EmbMaxBucket = 1024
+
+  /** Incremental embedding near-dup ingestion — the day-N production
+    * shape: the historical corpus' (bucket, vec_id) rows persist ONCE as
+    * parquet; each new batch computes bucket keys only for ITSELF, joins
+    * index ∪ batch, and the exact ArrayDot re-score keeps pairs ≥ tau
+    * that involve at least one new vector. Recurring cost is O(batch):
+    * the corpus is never re-signatured, and its embeddings are touched
+    * only through the keyed candidate join. "Historical" vs "new batch"
+    * is vec_id parity here (deterministic at every SF); production would
+    * key on ingestion date.
+    */
+  def incrementalLshCosinePairs(spark: SparkSession, emb: DataFrame,
+      indexKey: String, tau: Double,
+      tables: Int = 16, bits: Int = 4): DataFrame = {
+    val indexDir = sys.props.getOrElse("graft.index.root",
+      sys.props("java.io.tmpdir")) + "/graft-emb-lsh-index-" +
+      s"v$EmbLshFormulaVersion-t$tables-b$bits-" +
+      indexKey.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$indexDir/_SUCCESS").exists) {
+      embIndexBuilds.incrementAndGet()
+      bucketKeys(emb.filter(col("vec_id") % 2 === 0), tables, bits)
+        .write.mode("overwrite").parquet(indexDir)
+    }
+    val index = spark.read.parquet(indexDir)
+    val fresh = bucketKeys(emb.filter(col("vec_id") % 2 === 1), tables, bits)
+    val all = index.unionByName(fresh)
+    val okKeys = all.groupBy("bucket").agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1 && col("m") <= EmbMaxBucket)
+      .select("bucket")
+    val n = fresh.join(okKeys, "bucket")
+      .select(col("bucket"), col("vec_id").as("id_new"))
+    val o = all.join(okKeys, "bucket")
+      .select(col("bucket"), col("vec_id").as("id_other"))
+    // every new↔old pair once (the old side never initiates); new↔new
+    // deduped by id order; canonical (id_a < id_b) orientation
+    val cands = n.join(o, "bucket")
+      .filter(col("id_other") % 2 === 0 || col("id_other") < col("id_new"))
+      .select(least(col("id_new"), col("id_other")).as("id_a"),
+        greatest(col("id_new"), col("id_other")).as("id_b"))
+      .distinct()
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("sim"))
+      .filter(col("sim") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer (Spark MLlib
     * k-means‖) partitions the corpus into `nlist` cells; a query probes
     * its `nprobe` nearest centroids and exact-scores only those cells.
@@ -338,6 +408,13 @@ object SimilarityOps extends QueryGroup {
     // twin and the dup-grade planted regime) ──
     qNoOracle("dd_embedding_lsh") { (s, _) =>
       lshCosinePairs(s.table("embeddings"), 0.45)
+    },
+
+    // ── incremental embedding ingestion against the persisted bucket
+    // index (parity with the batch pairs + no-rebuild pinned in
+    // SimilaritySpec) ──
+    qNoOracle("dd_embedding_incremental") { (s, dir) =>
+      incrementalLshCosinePairs(s, s.table("embeddings"), dir, 0.45)
     },
 
     // ── pairwise cosine over a restricted id band (exact, oracle-able) ──

@@ -104,6 +104,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, s"near-dup recall = $recall (${(exact & lsh).size} of ${exact.size})")
   }
 
+  test("incremental embedding index: batch parity for new-vector pairs, no rebuild on reuse") {
+    val sf = "/root/testdata/sf0.01"
+    Tables.register(spark, sf)
+    import graft.operators.SimilarityOps
+    val emb = spark.table("embeddings")
+    val inc1 = SimilarityOps
+      .incrementalLshCosinePairs(spark, emb, sf + "-spec", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val builds = SimilarityOps.embIndexBuilds.get()
+    // reuse: the second day-N run must NOT re-signature the corpus
+    val inc2 = SimilarityOps
+      .incrementalLshCosinePairs(spark, emb, sf + "-spec", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(SimilarityOps.embIndexBuilds.get() == builds,
+      "index reuse re-built the historical signatures")
+    assert(inc1 == inc2)
+    // parity: identical bucket formula on both paths → the incremental
+    // result IS the full-batch pair set restricted to pairs touching a
+    // new (odd-id) vector
+    val full = SimilarityOps.lshCosinePairs(emb, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    Tables.register(spark, TestSession.sf)
+    assert(inc1 == full, s"incremental ${inc1.size} != batch-restricted ${full.size}")
+  }
+
   test("dup-grade planted pairs: long-key LSH finds them all and prunes candidates") {
     // the production dedup regime: plant a perturbed copy of every vector
     // (cos ~0.97) and run the T=8 x B=8 long-key configuration — banding
