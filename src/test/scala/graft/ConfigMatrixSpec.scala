@@ -27,7 +27,12 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // only with AQE OFF: 13 vs 57 scans, measured), so pin that the
     // RESULT is identical either way; and the clustering iteration,
     // whose convergence must not depend on partition count
-    "tpcds_q14", "dd_jaccard_clusters")
+    "tpcds_q14", "dd_jaccard_clusters",
+    // round 6: the 17-table join (join order/strategy must not change
+    // rows), the stream-stream join's batch twin, the embedding
+    // bucket-join dedup path, and the SHOW STATS one-pass multi-distinct
+    // aggregate (partial/final split sensitivity)
+    "tpcds_q64", "ev_interval_join", "dd_embedding_lsh", "meta_show_stats")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)
