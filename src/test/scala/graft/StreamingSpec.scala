@@ -170,6 +170,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming.nonEmpty)
   }
 
+  test("left-outer stream-stream join emits unmatched views after the watermark passes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-lojoin")
+    def writeBatch(rows: Seq[(Long, Long, String, String)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    // batch 1: user 1's view gets a click inside the 30-minute window;
+    // user 2's view never does
+    writeBatch(Seq(
+      (100L, 1L, "view", "2026-01-01 10:00:00"),
+      (200L, 2L, "view", "2026-01-01 10:05:00"),
+      (101L, 1L, "click", "2026-01-01 10:10:00")))
+    val schema = spark.read.parquet(dir.toString).schema
+    // watermark BEFORE the type filter: the join's eviction watermark is
+    // the MIN across both inputs, and a post-filter watermark on the
+    // click branch would freeze at the last click ever seen — any event
+    // must advance both sides
+    def stream() = spark.readStream.schema(schema).parquet(dir.toString)
+      .withWatermark("ts", "10 minutes")
+    val views = stream().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val joined = views.join(clicks,
+      expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 30 minutes"),
+      "left_outer")
+      .select(col("view_id"), col("click_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("lojoin_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: far-future events on BOTH streams advance the join
+      // watermark (it is the MIN across the two sides — a side that goes
+      // quiet pins it, so real pipelines keep heartbeats flowing) well
+      // past user 2's join window; batch 3 triggers the eviction pass
+      // that emits the null-extended row (state cleanup runs a batch
+      // behind the watermark advance)
+      writeBatch(Seq((900L, 9L, "view", "2026-01-01 20:00:00"),
+        (902L, 8L, "click", "2026-01-01 20:00:00")))
+      q.processAllAvailable()
+      writeBatch(Seq((901L, 9L, "view", "2026-01-01 23:00:00"),
+        (903L, 8L, "click", "2026-01-01 23:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("lojoin_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(out.contains((100L, 101L)), s"matched pair missing: $out")
+    assert(out.contains((200L, -1L)),
+      s"unmatched view must emit null-extended after watermark passage: $out")
+    assert(!out.exists(_._1 == 901L),
+      s"the last view's window is still open — it must not emit yet: $out")
+  }
+
   test("streaming dropDuplicates collapses an at-least-once feed to exactly-once") {
     // the streaming face of ev_stream_dedup: stage the events file plus a
     // "redelivered" copy of every 7th event (two files in one source dir —
