@@ -89,6 +89,8 @@ object GraftSqlParser {
   private val SetSession = raw"(?is)^\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*;?\s*$$".r
   private val ResetSession = raw"(?is)^\s*RESET\s+SESSION\s+([\w.]+)\s*;?\s*$$".r
   private val ShowStats = raw"(?is)^\s*SHOW\s+STATS\s+FOR\s+([\w.]+)\s*;?\s*$$".r
+  private val ShowStatsQuery =
+    raw"(?is)^\s*SHOW\s+STATS\s+FOR\s*\((.+)\)\s*;?\s*$$".r
 
   /** `SHOW STATS FOR t` (reference ShowStatsRewrite.java /
     * MetadataManager.getTableStatistics): rewritten to ONE single-pass
@@ -194,6 +196,16 @@ object GraftSqlParser {
         f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
       }
       Some(showStatsSelect(cols, tbl))
+    case ShowStatsQuery(inner) =>
+      // the query form (`SHOW STATS FOR (SELECT …)`, ShowStatsRewrite's
+      // other arm): derive the schema from the inner query's analyzed
+      // plan, then aggregate over it as an inline subquery
+      val spark = org.apache.spark.sql.SparkSession.active
+      val body = rewrite(inner.trim)
+      val cols = spark.sql(body).schema.fields.toSeq.map { f =>
+        f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      }
+      Some(showStatsSelect(cols, s"($body) graft_show_stats_q"))
     case SetSession(key, value) =>
       Some(translateSessionProperty(key, value))
     case ResetSession(key) =>

@@ -198,4 +198,18 @@ class ParserSpec extends AnyFunSuite {
     // no-null fixture columns report a 0.0 nulls fraction
     assert(byName.values.forall(_.getAs[Double]("nulls_fraction") == 0.0))
   }
+
+  test("SHOW STATS FOR (SELECT ...): the query form aggregates the subquery") {
+    val s = TestSession.spark
+    Tables.register(s, TestSession.sf)
+    val rows = s.sql(
+      """SHOW STATS FOR (SELECT l_orderkey, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity > 25)""".stripMargin).collect()
+    assert(rows.length == 4) // 3 columns + summary
+    val summary = rows.filter(_.isNullAt(0))
+    val expect = s.table("lineitem").filter("l_quantity > 25").count()
+    assert(summary.head.getAs[Long]("row_count") == expect)
+    val qty = rows.filter(r => !r.isNullAt(0) && r.getString(0) == "l_quantity").head
+    assert(qty.getAs[Double]("low_value") > 25.0 - 1e-9)
+  }
 }
