@@ -91,6 +91,29 @@ object GraftSqlParser {
   private val ShowStats = raw"(?is)^\s*SHOW\s+STATS\s+FOR\s+([\w.]+)\s*;?\s*$$".r
   private val ShowStatsQuery =
     raw"(?is)^\s*SHOW\s+STATS\s+FOR\s*\((.+)\)\s*;?\s*$$".r
+  private val ShowSession = raw"(?is)^\s*SHOW\s+SESSION\s*;?\s*$$".r
+
+  /** The reference session properties this dialect maps (the
+    * translateSessionProperty table); SHOW SESSION renders them with
+    * their CURRENT Spark-side values, mirroring ShowSessionTask.java's
+    * (name, value, default, type, description) shape minus the
+    * description catalog.
+    */
+  private def showSessionSql(spark: org.apache.spark.sql.SparkSession): String = {
+    def conf(k: String, d: String) = spark.conf.getOption(k).getOrElse(d)
+    val rows = Seq(
+      ("hash_partition_count",
+        conf("spark.sql.shuffle.partitions", "200"), "integer"),
+      ("join_distribution_type",
+        if (conf("spark.sql.autoBroadcastJoinThreshold", "10485760") == "-1")
+          "PARTITIONED" else "AUTOMATIC", "varchar"),
+      ("join_reordering_strategy",
+        if (conf("spark.sql.cbo.joinReorder.enabled", "false") == "true")
+          "AUTOMATIC" else "ELIMINATE_CROSS_JOINS", "varchar"))
+    rows.map { case (n, v, t) =>
+      s"SELECT '$n' AS name, '$v' AS value, '$t' AS type"
+    }.mkString("\nUNION ALL ")
+  }
 
   /** `SHOW STATS FOR t` (reference ShowStatsRewrite.java /
     * MetadataManager.getTableStatistics): rewritten to ONE single-pass
@@ -206,6 +229,8 @@ object GraftSqlParser {
         f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
       }
       Some(showStatsSelect(cols, s"($body) graft_show_stats_q"))
+    case ShowSession() =>
+      Some(showSessionSql(org.apache.spark.sql.SparkSession.active))
     case SetSession(key, value) =>
       Some(translateSessionProperty(key, value))
     case ResetSession(key) =>

@@ -559,6 +559,59 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // ── the curation composite: quality filter → exact dedup → corpus
+    // accounting, the whole linear pretraining pass as ONE declarative
+    // query (near-dup runs separately via the dd_ LSH family — it is the
+    // only non-oracle-able stage). Per source: surviving docs, total BPE
+    // tokens (the training budget), mean chars/token. Every stage is a
+    // projection or one hash-shuffle — the 100 TB shape. ──
+    q("pipe_corpus_curation", {
+      val pat = raw"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+"
+        .replace("'", "''")
+      s"""WITH m AS (
+         |  SELECT doc_id, source, text, n_chars,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '')) AS n_tokens,
+         |    len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b')) AS n_stop,
+         |    len(regexp_extract_all(text, '$pat')) AS n_bpe
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM m
+         |  WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.02
+         |    AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 10),
+         |deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM kept) x
+         |  WHERE rn = 1)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+         |  round(avg(CAST(n_chars AS DOUBLE) / n_bpe), 4) AS chars_per_token
+         |FROM deduped
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
+    }) { (s, _) =>
+      val pat = raw"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+"
+      val m = s.table("documents").select(
+        col("doc_id"), col("source"), col("text"), col("n_chars"),
+        size(tokensCol).as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|and|of|to|in)\\b"), lit(0))).as("n_stop"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe"))
+      val kept = m.filter(col("n_tokens") >= 20 &&
+        col("n_stop").cast("double") / col("n_tokens") >= 0.02 &&
+        (col("n_chars").cast("double") / col("n_tokens")).between(3, 10))
+      val deduped = kept
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      deduped.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bpe").cast("bigint").as("total_bpe_tokens"),
+          round(avg(col("n_chars").cast("double") / col("n_bpe")), 4)
+            .as("chars_per_token"))
+        .orderBy("source")
+    },
+
     q("tx_langid",
       """WITH sc AS (
         |  SELECT doc_id, lang,

@@ -199,6 +199,23 @@ class ParserSpec extends AnyFunSuite {
     assert(byName.values.forall(_.getAs[Double]("nulls_fraction") == 0.0))
   }
 
+  test("SHOW SESSION lists the mapped properties with live values") {
+    val s = TestSession.spark
+    val rows = s.sql("SHOW SESSION").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set("hash_partition_count",
+      "join_distribution_type", "join_reordering_strategy"))
+    assert(rows("hash_partition_count") ==
+      s.conf.get("spark.sql.shuffle.partitions"))
+    // SET SESSION must be visible in the next SHOW SESSION
+    s.sql("SET SESSION hash_partition_count = 7")
+    try {
+      val after = s.sql("SHOW SESSION").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(after("hash_partition_count") == "7")
+    } finally s.sql("RESET SESSION hash_partition_count").collect()
+  }
+
   test("SHOW STATS FOR (SELECT ...): the query form aggregates the subquery") {
     val s = TestSession.spark
     Tables.register(s, TestSession.sf)
