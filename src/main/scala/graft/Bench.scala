@@ -46,8 +46,9 @@ object Bench {
     "tpcds_q14", "tpcds_q74", "dd_minhash_clusters", "spatial_kdb_join",
     // round-6 ops: the returns-aware three-channel UNION + year-over-year
     // self-join; the 17-table q64 monster (optimizer + planning stress);
-    // embedding-cosine near-dup via the codegen'd ArrayDot re-score
-    "tpcds_q75", "tpcds_q64", "dd_embedding_lsh")
+    // embedding-cosine near-dup via the codegen'd ArrayDot re-score; the
+    // one-query curation pipeline (quality → dedup → token accounting)
+    "tpcds_q75", "tpcds_q64", "dd_embedding_lsh", "pipe_corpus_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
