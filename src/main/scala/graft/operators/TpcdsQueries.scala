@@ -80,6 +80,14 @@ object TpcdsQueries extends QueryGroup {
           spark.sql(s"CREATE OR REPLACE VIEW tpcds.$t AS $body")
           if (generatedDims(t) && sys.props.get("graft.tpcds.cacheDims").forall(_ == "true"))
             spark.catalog.cacheTable(s"tpcds.$t")
+          // adapted-corpus fast path: a TEMP view registered from the
+          // DataFrame stores the ANALYZED plan, where a catalog view
+          // stores TEXT that is re-parsed and re-analyzed on every
+          // reference — with q14-class fan-out that re-analysis was most
+          // of the planning time. The catalog views stay for the
+          // verbatim texts' spark_catalog.tpcds.* 3-part names (and the
+          // dim cache wraps beneath both).
+          spark.table(s"tpcds.$t").createOrReplaceTempView(s"graft_tpcds_$t")
         }
       }
       dir
@@ -116,7 +124,10 @@ object TpcdsQueries extends QueryGroup {
     QueryDef(name, Some(oracle), (s, dir) => {
       Tables.register(s, dir)
       ensureTpcdsViews(s, dir)
-      s.sql(wrapNorm(text, aliases, norm, order))
+      // resolve through the analyzed-plan temp views (planning cost),
+      // not the text-stored catalog views — same relations either way
+      s.sql(wrapNorm(text.replace("tpcds.", "graft_tpcds_"),
+        aliases, norm, order))
     })
   }
 
