@@ -275,8 +275,89 @@ object GraftSqlParser {
       prev = out
       out = ArrayLiteral.replaceAllIn(out, m => s"array(${m.group(1)})")
     }
-    rewriteCasts(rewriteMapCtor(rewriteUnnest(rewriteExplain(
-      rewriteDecimalLiterals(out)))))
+    rewriteSortNulls(rewriteCasts(rewriteMapCtor(rewriteUnnest(rewriteExplain(
+      rewriteDecimalLiterals(out))))))
+  }
+
+  private val OrderByKw = raw"(?i)\bORDER\s+BY\b".r
+  private val SortTerminator =
+    raw"(?i)^(LIMIT|OFFSET|FETCH|ROWS|RANGE|GROUPS|WINDOW)\b".r
+  private val HasNullsMarker = raw"(?is).*\bNULLS\s+(FIRST|LAST)\s*$$".r
+  private val EndsDesc = raw"(?is).*\bDESC\s*$$".r
+
+  /** Presto's default null ordering is NULLS LAST for BOTH directions
+    * (reference PlannerUtils.java:39-51: UNDEFINED → ASC_NULLS_LAST /
+    * DESC_NULLS_LAST), where Spark defaults unmarked ASC to NULLS FIRST.
+    * The divergence is visible whenever an ORDER BY ... LIMIT cuts a
+    * result whose sort keys carry NULLs (ROLLUP grouping rows are the
+    * common case: TPC-DS q05/q18/q67/q77/q80 order rollup keys ASC under
+    * LIMIT 100, and the two defaults select different top-100 sets) —
+    * so unmarked non-DESC sort items get the dialect's explicit
+    * NULLS LAST. Unmarked DESC already defaults to NULLS LAST in Spark.
+    */
+  private def rewriteSortNulls(sql: String): String = {
+    // quote/comment state per position, so ORDER BY inside a string
+    // literal (or a -- comment) is never rewritten
+    val starts = OrderByKw.findAllMatchIn(sql).toList
+      .filter(m => !insideQuoteOrComment(sql, m.start))
+    starts.reverse.foldLeft(sql)((cur, m) => rewriteSortItems(cur, m.end))
+  }
+
+  private def insideQuoteOrComment(s: String, pos: Int): Boolean = {
+    var i = 0
+    var q: Char = 0
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (q != 0) { if (c == q) q = 0 }
+      else if (c == '\'' || c == '"') q = c
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        val nl = s.indexOf('\n', i)
+        i = if (nl < 0) s.length else nl
+        if (i >= pos) return true
+      }
+      i += 1
+    }
+    q != 0
+  }
+
+  /** Append NULLS LAST to each unmarked non-DESC sort item of the ORDER
+    * BY whose keyword ends at `from`; the item list ends at a top-level
+    * `)`, a frame/limit keyword, or end of text.
+    */
+  private def rewriteSortItems(sql: String, from: Int): String = {
+    val items = scala.collection.mutable.ListBuffer.empty[String]
+    var itemStart = from
+    var i = from
+    var depth = 0
+    var q: Char = 0
+    var end = sql.length
+    var done = false
+    while (i < sql.length && !done) {
+      val c = sql.charAt(i)
+      if (q != 0) { if (c == q) q = 0; i += 1 }
+      else c match {
+        case '\'' | '"' => q = c; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' if depth == 0 => end = i; done = true
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 0 =>
+          items += sql.substring(itemStart, i); itemStart = i + 1; i += 1
+        case _ =>
+          if (depth == 0 && (c.isLetter && (i == 0 || !sql.charAt(i - 1).isLetterOrDigit && sql.charAt(i - 1) != '_')) &&
+              SortTerminator.findFirstIn(sql.substring(i, math.min(sql.length, i + 8))).isDefined) {
+            end = i; done = true
+          } else i += 1
+      }
+    }
+    items += sql.substring(itemStart, if (done) end else sql.length)
+    val rewritten = items.map { item =>
+      if (item.trim.isEmpty || HasNullsMarker.matches(item) || EndsDesc.matches(item)) item
+      else {
+        val cut = item.lastIndexWhere(!_.isWhitespace) + 1
+        item.substring(0, cut) + " NULLS LAST" + item.substring(cut)
+      }
+    }
+    sql.substring(0, from) + rewritten.mkString(",") + sql.substring(end)
   }
 
   private val DecimalLiteral = raw"(?i)\bDECIMAL\s*'\s*(-?)(\d*)(?:\.(\d*))?\s*'".r

@@ -1842,4 +1842,4170 @@ ORDER BY "am_pm_ratio" ASC
 LIMIT 100
 """
 
+  val q02: String = """WITH
+  wscs AS (
+   SELECT
+     "sold_date_sk"
+   , "sales_price"
+   FROM
+     (
+      SELECT
+        "ws_sold_date_sk" "sold_date_sk"
+      , "ws_ext_sales_price" "sales_price"
+      FROM
+        ${database}.${schema}.web_sales
+   )  
+UNION ALL (
+      SELECT
+        "cs_sold_date_sk" "sold_date_sk"
+      , "cs_ext_sales_price" "sales_price"
+      FROM
+        ${database}.${schema}.catalog_sales
+   ) ) 
+, wswscs AS (
+   SELECT
+     "d_week_seq"
+   , "sum"((CASE WHEN ("d_day_name" = 'Sunday') THEN "sales_price" ELSE null END)) "sun_sales"
+   , "sum"((CASE WHEN ("d_day_name" = 'Monday') THEN "sales_price" ELSE null END)) "mon_sales"
+   , "sum"((CASE WHEN ("d_day_name" = 'Tuesday') THEN "sales_price" ELSE null END)) "tue_sales"
+   , "sum"((CASE WHEN ("d_day_name" = 'Wednesday') THEN "sales_price" ELSE null END)) "wed_sales"
+   , "sum"((CASE WHEN ("d_day_name" = 'Thursday') THEN "sales_price" ELSE null END)) "thu_sales"
+   , "sum"((CASE WHEN ("d_day_name" = 'Friday') THEN "sales_price" ELSE null END)) "fri_sales"
+   , "sum"((CASE WHEN ("d_day_name" = 'Saturday') THEN "sales_price" ELSE null END)) "sat_sales"
+   FROM
+     wscs
+   , ${database}.${schema}.date_dim
+   WHERE ("d_date_sk" = "sold_date_sk")
+   GROUP BY "d_week_seq"
+) 
+SELECT
+  "d_week_seq1"
+, "round"(("sun_sales1" / "sun_sales2"), 2)
+, "round"(("mon_sales1" / "mon_sales2"), 2)
+, "round"(("tue_sales1" / "tue_sales2"), 2)
+, "round"(("wed_sales1" / "wed_sales2"), 2)
+, "round"(("thu_sales1" / "thu_sales2"), 2)
+, "round"(("fri_sales1" / "fri_sales2"), 2)
+, "round"(("sat_sales1" / "sat_sales2"), 2)
+FROM
+  (
+   SELECT
+     "wswscs"."d_week_seq" "d_week_seq1"
+   , "sun_sales" "sun_sales1"
+   , "mon_sales" "mon_sales1"
+   , "tue_sales" "tue_sales1"
+   , "wed_sales" "wed_sales1"
+   , "thu_sales" "thu_sales1"
+   , "fri_sales" "fri_sales1"
+   , "sat_sales" "sat_sales1"
+   FROM
+     wswscs
+   , ${database}.${schema}.date_dim
+   WHERE ("date_dim"."d_week_seq" = "wswscs"."d_week_seq")
+      AND ("d_year" = 2001)
+)  y
+, (
+   SELECT
+     "wswscs"."d_week_seq" "d_week_seq2"
+   , "sun_sales" "sun_sales2"
+   , "mon_sales" "mon_sales2"
+   , "tue_sales" "tue_sales2"
+   , "wed_sales" "wed_sales2"
+   , "thu_sales" "thu_sales2"
+   , "fri_sales" "fri_sales2"
+   , "sat_sales" "sat_sales2"
+   FROM
+     wswscs
+   , ${database}.${schema}.date_dim
+   WHERE ("date_dim"."d_week_seq" = "wswscs"."d_week_seq")
+      AND ("d_year" = (2001 + 1))
+)  z
+WHERE ("d_week_seq1" = ("d_week_seq2" - 53))
+ORDER BY "d_week_seq1" ASC
+"""
+
+  val q05: String = """WITH
+  ssr AS (
+   SELECT
+     "s_store_id"
+   , "sum"("sales_price") "sales"
+   , "sum"("profit") "profit"
+   , "sum"("return_amt") "returns"
+   , "sum"("net_loss") "profit_loss"
+   FROM
+     (
+      SELECT
+        "ss_store_sk" "store_sk"
+      , "ss_sold_date_sk" "date_sk"
+      , "ss_ext_sales_price" "sales_price"
+      , "ss_net_profit" "profit"
+      , CAST(0 AS DECIMAL(7,2)) "return_amt"
+      , CAST(0 AS DECIMAL(7,2)) "net_loss"
+      FROM
+        ${database}.${schema}.store_sales
+UNION ALL       SELECT
+        "sr_store_sk" "store_sk"
+      , "sr_returned_date_sk" "date_sk"
+      , CAST(0 AS DECIMAL(7,2)) "sales_price"
+      , CAST(0 AS DECIMAL(7,2)) "profit"
+      , "sr_return_amt" "return_amt"
+      , "sr_net_loss" "net_loss"
+      FROM
+        ${database}.${schema}.store_returns
+   )  salesreturns
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   WHERE ("date_sk" = "d_date_sk")
+      AND ("d_date" BETWEEN CAST('2000-08-23' AS DATE) AND (CAST('2000-08-23' AS DATE) + INTERVAL  '14' DAY))
+      AND ("store_sk" = "s_store_sk")
+   GROUP BY "s_store_id"
+) 
+, csr AS (
+   SELECT
+     "cp_catalog_page_id"
+   , "sum"("sales_price") "sales"
+   , "sum"("profit") "profit"
+   , "sum"("return_amt") "returns"
+   , "sum"("net_loss") "profit_loss"
+   FROM
+     (
+      SELECT
+        "cs_catalog_page_sk" "page_sk"
+      , "cs_sold_date_sk" "date_sk"
+      , "cs_ext_sales_price" "sales_price"
+      , "cs_net_profit" "profit"
+      , CAST(0 AS DECIMAL(7,2)) "return_amt"
+      , CAST(0 AS DECIMAL(7,2)) "net_loss"
+      FROM
+        ${database}.${schema}.catalog_sales
+UNION ALL       SELECT
+        "cr_catalog_page_sk" "page_sk"
+      , "cr_returned_date_sk" "date_sk"
+      , CAST(0 AS DECIMAL(7,2)) "sales_price"
+      , CAST(0 AS DECIMAL(7,2)) "profit"
+      , "cr_return_amount" "return_amt"
+      , "cr_net_loss" "net_loss"
+      FROM
+        ${database}.${schema}.catalog_returns
+   )  salesreturns
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.catalog_page
+   WHERE ("date_sk" = "d_date_sk")
+      AND ("d_date" BETWEEN CAST('2000-08-23' AS DATE) AND (CAST('2000-08-23' AS DATE) + INTERVAL  '14' DAY))
+      AND ("page_sk" = "cp_catalog_page_sk")
+   GROUP BY "cp_catalog_page_id"
+) 
+, wsr AS (
+   SELECT
+     "web_site_id"
+   , "sum"("sales_price") "sales"
+   , "sum"("profit") "profit"
+   , "sum"("return_amt") "returns"
+   , "sum"("net_loss") "profit_loss"
+   FROM
+     (
+      SELECT
+        "ws_web_site_sk" "wsr_web_site_sk"
+      , "ws_sold_date_sk" "date_sk"
+      , "ws_ext_sales_price" "sales_price"
+      , "ws_net_profit" "profit"
+      , CAST(0 AS DECIMAL(7,2)) "return_amt"
+      , CAST(0 AS DECIMAL(7,2)) "net_loss"
+      FROM
+        ${database}.${schema}.web_sales
+UNION ALL       SELECT
+        "ws_web_site_sk" "wsr_web_site_sk"
+      , "wr_returned_date_sk" "date_sk"
+      , CAST(0 AS DECIMAL(7,2)) "sales_price"
+      , CAST(0 AS DECIMAL(7,2)) "profit"
+      , "wr_return_amt" "return_amt"
+      , "wr_net_loss" "net_loss"
+      FROM
+        (${database}.${schema}.web_returns
+      LEFT JOIN ${database}.${schema}.web_sales ON ("wr_item_sk" = "ws_item_sk")
+         AND ("wr_order_number" = "ws_order_number"))
+   )  salesreturns
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.web_site
+   WHERE ("date_sk" = "d_date_sk")
+      AND ("d_date" BETWEEN CAST('2000-08-23' AS DATE) AND (CAST('2000-08-23' AS DATE) + INTERVAL  '14' DAY))
+      AND ("wsr_web_site_sk" = "web_site_sk")
+   GROUP BY "web_site_id"
+) 
+SELECT
+  "channel"
+, "id"
+, "sum"("sales") "sales"
+, "sum"("returns") "returns"
+, "sum"("profit") "profit"
+FROM
+  (
+   SELECT
+     '${database}.${schema}.store channel' "channel"
+   , "concat"('store', "s_store_id") "id"
+   , "sales"
+   , "returns"
+   , ("profit" - "profit_loss") "profit"
+   FROM
+     ssr
+UNION ALL    SELECT
+     'catalog channel' "channel"
+   , "concat"('catalog_page', "cp_catalog_page_id") "id"
+   , "sales"
+   , "returns"
+   , ("profit" - "profit_loss") "profit"
+   FROM
+     csr
+UNION ALL    SELECT
+     'web channel' "channel"
+   , "concat"('web_site', "web_site_id") "id"
+   , "sales"
+   , "returns"
+   , ("profit" - "profit_loss") "profit"
+   FROM
+     wsr
+)  x
+GROUP BY ROLLUP (channel, id)
+ORDER BY "channel" ASC, "id" ASC
+LIMIT 100
+"""
+
+  val q06: String = """SELECT
+  "a"."ca_state" "STATE"
+, "count"(*) "cnt"
+FROM
+  ${database}.${schema}.customer_address a
+, ${database}.${schema}.customer c
+, ${database}.${schema}.store_sales s
+, ${database}.${schema}.date_dim d
+, ${database}.${schema}.item i
+WHERE ("a"."ca_address_sk" = "c"."c_current_addr_sk")
+   AND ("c"."c_customer_sk" = "s"."ss_customer_sk")
+   AND ("s"."ss_sold_date_sk" = "d"."d_date_sk")
+   AND ("s"."ss_item_sk" = "i"."i_item_sk")
+   AND ("d"."d_month_seq" = (
+      SELECT DISTINCT "d_month_seq"
+      FROM
+        ${database}.${schema}.date_dim
+      WHERE ("d_year" = 2001)
+         AND ("d_moy" = 1)
+   ))
+   AND ("i"."i_current_price" > (DECIMAL '1.2' * (
+         SELECT "avg"("j"."i_current_price")
+         FROM
+           ${database}.${schema}.item j
+         WHERE ("j"."i_category" = "i"."i_category")
+      )))
+GROUP BY "a"."ca_state"
+HAVING ("count"(*) >= 10)
+ORDER BY "cnt" ASC, "a"."ca_state" ASC
+LIMIT 100
+"""
+
+  val q08: String = """SELECT
+  "s_store_name"
+, "sum"("ss_net_profit")
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.store
+, (
+   SELECT "ca_zip"
+   FROM
+     (
+(
+         SELECT "substr"("ca_zip", 1, 5) "ca_zip"
+         FROM
+           ${database}.${schema}.customer_address
+         WHERE ("substr"("ca_zip", 1, 5) IN (
+                '24128'
+              , '57834'
+              , '13354'
+              , '15734'
+              , '78668'
+              , '76232'
+              , '62878'
+              , '45375'
+              , '63435'
+              , '22245'
+              , '65084'
+              , '49130'
+              , '40558'
+              , '25733'
+              , '15798'
+              , '87816'
+              , '81096'
+              , '56458'
+              , '35474'
+              , '27156'
+              , '83926'
+              , '18840'
+              , '28286'
+              , '24676'
+              , '37930'
+              , '77556'
+              , '27700'
+              , '45266'
+              , '94627'
+              , '62971'
+              , '20548'
+              , '23470'
+              , '47305'
+              , '53535'
+              , '21337'
+              , '26231'
+              , '50412'
+              , '69399'
+              , '17879'
+              , '51622'
+              , '43848'
+              , '21195'
+              , '83921'
+              , '15559'
+              , '67853'
+              , '15126'
+              , '16021'
+              , '26233'
+              , '53268'
+              , '10567'
+              , '91137'
+              , '76107'
+              , '11101'
+              , '59166'
+              , '38415'
+              , '61265'
+              , '71954'
+              , '15371'
+              , '11928'
+              , '15455'
+              , '98294'
+              , '68309'
+              , '69913'
+              , '59402'
+              , '58263'
+              , '25782'
+              , '18119'
+              , '35942'
+              , '33282'
+              , '42029'
+              , '17920'
+              , '98359'
+              , '15882'
+              , '45721'
+              , '60279'
+              , '18426'
+              , '64544'
+              , '25631'
+              , '43933'
+              , '37125'
+              , '98235'
+              , '10336'
+              , '24610'
+              , '68101'
+              , '56240'
+              , '40081'
+              , '86379'
+              , '44165'
+              , '33515'
+              , '88190'
+              , '84093'
+              , '27068'
+              , '99076'
+              , '36634'
+              , '50308'
+              , '28577'
+              , '39736'
+              , '33786'
+              , '71286'
+              , '26859'
+              , '55565'
+              , '98569'
+              , '70738'
+              , '19736'
+              , '64457'
+              , '17183'
+              , '28915'
+              , '26653'
+              , '58058'
+              , '89091'
+              , '54601'
+              , '24206'
+              , '14328'
+              , '55253'
+              , '82136'
+              , '67897'
+              , '56529'
+              , '72305'
+              , '67473'
+              , '62377'
+              , '22752'
+              , '57647'
+              , '62496'
+              , '41918'
+              , '36233'
+              , '86284'
+              , '54917'
+              , '22152'
+              , '19515'
+              , '63837'
+              , '18376'
+              , '42961'
+              , '10144'
+              , '36495'
+              , '58078'
+              , '38607'
+              , '91110'
+              , '64147'
+              , '19430'
+              , '17043'
+              , '45200'
+              , '63981'
+              , '48425'
+              , '22351'
+              , '30010'
+              , '21756'
+              , '14922'
+              , '14663'
+              , '77191'
+              , '60099'
+              , '29741'
+              , '36420'
+              , '21076'
+              , '91393'
+              , '28810'
+              , '96765'
+              , '23006'
+              , '18799'
+              , '49156'
+              , '98025'
+              , '23932'
+              , '67467'
+              , '30450'
+              , '50298'
+              , '29178'
+              , '89360'
+              , '32754'
+              , '63089'
+              , '87501'
+              , '87343'
+              , '29839'
+              , '30903'
+              , '81019'
+              , '18652'
+              , '73273'
+              , '25989'
+              , '20260'
+              , '68893'
+              , '53179'
+              , '30469'
+              , '28898'
+              , '31671'
+              , '24996'
+              , '18767'
+              , '64034'
+              , '91068'
+              , '51798'
+              , '51200'
+              , '63193'
+              , '39516'
+              , '72550'
+              , '72325'
+              , '51211'
+              , '23968'
+              , '86057'
+              , '10390'
+              , '85816'
+              , '45692'
+              , '65164'
+              , '21309'
+              , '18845'
+              , '68621'
+              , '92712'
+              , '68880'
+              , '90257'
+              , '47770'
+              , '13955'
+              , '70466'
+              , '21286'
+              , '67875'
+              , '82636'
+              , '36446'
+              , '79994'
+              , '72823'
+              , '40162'
+              , '41367'
+              , '41766'
+              , '22437'
+              , '58470'
+              , '11356'
+              , '76638'
+              , '68806'
+              , '25280'
+              , '67301'
+              , '73650'
+              , '86198'
+              , '16725'
+              , '38935'
+              , '13394'
+              , '61810'
+              , '81312'
+              , '15146'
+              , '71791'
+              , '31016'
+              , '72013'
+              , '37126'
+              , '22744'
+              , '73134'
+              , '70372'
+              , '30431'
+              , '39192'
+              , '35850'
+              , '56571'
+              , '67030'
+              , '22461'
+              , '88424'
+              , '88086'
+              , '14060'
+              , '40604'
+              , '19512'
+              , '72175'
+              , '51649'
+              , '19505'
+              , '24317'
+              , '13375'
+              , '81426'
+              , '18270'
+              , '72425'
+              , '45748'
+              , '55307'
+              , '53672'
+              , '52867'
+              , '56575'
+              , '39127'
+              , '30625'
+              , '10445'
+              , '39972'
+              , '74351'
+              , '26065'
+              , '83849'
+              , '42666'
+              , '96976'
+              , '68786'
+              , '77721'
+              , '68908'
+              , '66864'
+              , '63792'
+              , '51650'
+              , '31029'
+              , '26689'
+              , '66708'
+              , '11376'
+              , '20004'
+              , '31880'
+              , '96451'
+              , '41248'
+              , '94898'
+              , '18383'
+              , '60576'
+              , '38193'
+              , '48583'
+              , '13595'
+              , '76614'
+              , '24671'
+              , '46820'
+              , '82276'
+              , '10516'
+              , '11634'
+              , '45549'
+              , '88885'
+              , '18842'
+              , '90225'
+              , '18906'
+              , '13376'
+              , '84935'
+              , '78890'
+              , '58943'
+              , '15765'
+              , '50016'
+              , '69035'
+              , '49448'
+              , '39371'
+              , '41368'
+              , '33123'
+              , '83144'
+              , '14089'
+              , '94945'
+              , '73241'
+              , '19769'
+              , '47537'
+              , '38122'
+              , '28587'
+              , '76698'
+              , '22927'
+              , '56616'
+              , '34425'
+              , '96576'
+              , '78567'
+              , '97789'
+              , '94983'
+              , '79077'
+              , '57855'
+              , '97189'
+              , '46081'
+              , '48033'
+              , '19849'
+              , '28488'
+              , '28545'
+              , '72151'
+              , '69952'
+              , '43285'
+              , '26105'
+              , '76231'
+              , '15723'
+              , '25486'
+              , '39861'
+              , '83933'
+              , '75691'
+              , '46136'
+              , '61547'
+              , '66162'
+              , '25858'
+              , '22246'
+              , '51949'
+              , '27385'
+              , '77610'
+              , '34322'
+              , '51061'
+              , '68100'
+              , '61860'
+              , '13695'
+              , '44438'
+              , '90578'
+              , '96888'
+              , '58048'
+              , '99543'
+              , '73171'
+              , '56691'
+              , '64528'
+              , '56910'
+              , '83444'
+              , '30122'
+              , '68014'
+              , '14171'
+              , '16807'
+              , '83041'
+              , '34102'
+              , '51103'
+              , '79777'
+              , '17871'
+              , '12305'
+              , '22685'
+              , '94167'
+              , '28709'
+              , '35258'
+              , '57665'
+              , '71256'
+              , '57047'
+              , '11489'
+              , '31387'
+              , '68341'
+              , '78451'
+              , '14867'
+              , '25103'
+              , '35458'
+              , '25003'
+              , '54364'
+              , '73520'
+              , '32213'
+              , '35576'))
+      )       INTERSECT (
+         SELECT "ca_zip"
+         FROM
+           (
+            SELECT
+              "substr"("ca_zip", 1, 5) "ca_zip"
+            , "count"(*) "cnt"
+            FROM
+              ${database}.${schema}.customer_address
+            , ${database}.${schema}.customer
+            WHERE ("ca_address_sk" = "c_current_addr_sk")
+               AND ("c_preferred_cust_flag" = 'Y')
+            GROUP BY "ca_zip"
+            HAVING ("count"(*) > 10)
+         )  a1
+      )    )  a2
+)  v1
+WHERE ("ss_store_sk" = "s_store_sk")
+   AND ("ss_sold_date_sk" = "d_date_sk")
+   AND ("d_qoy" = 2)
+   AND ("d_year" = 1998)
+   AND ("substr"("s_zip", 1, 2) = "substr"("v1"."ca_zip", 1, 2))
+GROUP BY "s_store_name"
+ORDER BY "s_store_name" ASC
+LIMIT 100
+"""
+
+  val q09: String = """SELECT
+  (CASE WHEN ((
+      SELECT "count"(*)
+      FROM
+        ${database}.${schema}.store_sales
+      WHERE ("ss_quantity" BETWEEN 1 AND 20)
+   ) > 74129) THEN (
+   SELECT "avg"("ss_ext_discount_amt")
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 1 AND 20)
+) ELSE (
+   SELECT "avg"("ss_net_paid")
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 1 AND 20)
+) END) "bucket1"
+, (CASE WHEN ((
+      SELECT "count"(*)
+      FROM
+        ${database}.${schema}.store_sales
+      WHERE ("ss_quantity" BETWEEN 21 AND 40)
+   ) > 122840) THEN (
+   SELECT "avg"("ss_ext_discount_amt")
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 21 AND 40)
+) ELSE (
+   SELECT "avg"("ss_net_paid")
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 21 AND 40)
+) END) "bucket2"
+, (CASE WHEN ((
+      SELECT "count"(*)
+      FROM
+        ${database}.${schema}.store_sales
+      WHERE ("ss_quantity" BETWEEN 41 AND 60)
+   ) > 56580) THEN (
+   SELECT "avg"("ss_ext_discount_amt")
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 41 AND 60)
+) ELSE (
+   SELECT "avg"("ss_net_paid")
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 41 AND 60)
+) END) "bucket3"
+, (CASE WHEN ((
+      SELECT "count"(*)
+      FROM
+        ${database}.${schema}.store_sales
+      WHERE ("ss_quantity" BETWEEN 61 AND 80)
+   ) > 10097) THEN (
+   SELECT "avg"("ss_ext_discount_amt")
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 61 AND 80)
+) ELSE (
+   SELECT "avg"("ss_net_paid")
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 61 AND 80)
+) END) "bucket4"
+, (CASE WHEN ((
+      SELECT "count"(*)
+      FROM
+        ${database}.${schema}.store_sales
+      WHERE ("ss_quantity" BETWEEN 81 AND 100)
+   ) > 165306) THEN (
+   SELECT "avg"("ss_ext_discount_amt")
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 81 AND 100)
+) ELSE (
+   SELECT "avg"("ss_net_paid")
+   FROM
+     ${database}.${schema}.store_sales
+   WHERE ("ss_quantity" BETWEEN 81 AND 100)
+) END) "bucket5"
+FROM
+  ${database}.${schema}.reason
+WHERE ("r_reason_sk" = 1)
+"""
+
+  val q10: String = """SELECT
+  "cd_gender"
+, "cd_marital_status"
+, "cd_education_status"
+, "count"(*) "cnt1"
+, "cd_purchase_estimate"
+, "count"(*) "cnt2"
+, "cd_credit_rating"
+, "count"(*) "cnt3"
+, "cd_dep_count"
+, "count"(*) "cnt4"
+, "cd_dep_employed_count"
+, "count"(*) "cnt5"
+, "cd_dep_college_count"
+, "count"(*) "cnt6"
+FROM
+  ${database}.${schema}.customer c
+, ${database}.${schema}.customer_address ca
+, ${database}.${schema}.customer_demographics
+WHERE ("c"."c_current_addr_sk" = "ca"."ca_address_sk")
+   AND ("ca_county" IN ('Rush County', 'Toole County', 'Jefferson County', 'Dona Ana County', 'La Porte County'))
+   AND ("cd_demo_sk" = "c"."c_current_cdemo_sk")
+   AND (EXISTS (
+   SELECT *
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("c"."c_customer_sk" = "ss_customer_sk")
+      AND ("ss_sold_date_sk" = "d_date_sk")
+      AND ("d_year" = 2002)
+      AND ("d_moy" BETWEEN 1 AND (1 + 3))
+))
+   AND ((EXISTS (
+      SELECT *
+      FROM
+        ${database}.${schema}.web_sales
+      , ${database}.${schema}.date_dim
+      WHERE ("c"."c_customer_sk" = "ws_bill_customer_sk")
+         AND ("ws_sold_date_sk" = "d_date_sk")
+         AND ("d_year" = 2002)
+         AND ("d_moy" BETWEEN 1 AND (1 + 3))
+   ))
+      OR (EXISTS (
+      SELECT *
+      FROM
+        ${database}.${schema}.catalog_sales
+      , ${database}.${schema}.date_dim
+      WHERE ("c"."c_customer_sk" = "cs_ship_customer_sk")
+         AND ("cs_sold_date_sk" = "d_date_sk")
+         AND ("d_year" = 2002)
+         AND ("d_moy" BETWEEN 1 AND (1 + 3))
+   )))
+GROUP BY "cd_gender", "cd_marital_status", "cd_education_status", "cd_purchase_estimate", "cd_credit_rating", "cd_dep_count", "cd_dep_employed_count", "cd_dep_college_count"
+ORDER BY "cd_gender" ASC, "cd_marital_status" ASC, "cd_education_status" ASC, "cd_purchase_estimate" ASC, "cd_credit_rating" ASC, "cd_dep_count" ASC, "cd_dep_employed_count" ASC, "cd_dep_college_count" ASC
+LIMIT 100
+"""
+
+  val q11: String = """WITH
+  year_total AS (
+   SELECT
+     "c_customer_id" "customer_id"
+   , "c_first_name" "customer_first_name"
+   , "c_last_name" "customer_last_name"
+   , "c_preferred_cust_flag" "customer_preferred_cust_flag"
+   , "c_birth_country" "customer_birth_country"
+   , "c_login" "customer_login"
+   , "c_email_address" "customer_email_address"
+   , "d_year" "dyear"
+   , "sum"(("ss_ext_list_price" - "ss_ext_discount_amt")) "year_total"
+   , 's' "sale_type"
+   FROM
+     ${database}.${schema}.customer
+   , ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("c_customer_sk" = "ss_customer_sk")
+      AND ("ss_sold_date_sk" = "d_date_sk")
+   GROUP BY "c_customer_id", "c_first_name", "c_last_name", "c_preferred_cust_flag", "c_birth_country", "c_login", "c_email_address", "d_year"
+UNION ALL    SELECT
+     "c_customer_id" "customer_id"
+   , "c_first_name" "customer_first_name"
+   , "c_last_name" "customer_last_name"
+   , "c_preferred_cust_flag" "customer_preferred_cust_flag"
+   , "c_birth_country" "customer_birth_country"
+   , "c_login" "customer_login"
+   , "c_email_address" "customer_email_address"
+   , "d_year" "dyear"
+   , "sum"(("ws_ext_list_price" - "ws_ext_discount_amt")) "year_total"
+   , 'w' "sale_type"
+   FROM
+     ${database}.${schema}.customer
+   , ${database}.${schema}.web_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("c_customer_sk" = "ws_bill_customer_sk")
+      AND ("ws_sold_date_sk" = "d_date_sk")
+   GROUP BY "c_customer_id", "c_first_name", "c_last_name", "c_preferred_cust_flag", "c_birth_country", "c_login", "c_email_address", "d_year"
+) 
+SELECT
+  "t_s_secyear"."customer_id"
+, "t_s_secyear"."customer_first_name"
+, "t_s_secyear"."customer_last_name"
+, "t_s_secyear"."customer_preferred_cust_flag"
+, "t_s_secyear"."customer_birth_country"
+, "t_s_secyear"."customer_login"
+FROM
+  year_total t_s_firstyear
+, year_total t_s_secyear
+, year_total t_w_firstyear
+, year_total t_w_secyear
+WHERE ("t_s_secyear"."customer_id" = "t_s_firstyear"."customer_id")
+   AND ("t_s_firstyear"."customer_id" = "t_w_secyear"."customer_id")
+   AND ("t_s_firstyear"."customer_id" = "t_w_firstyear"."customer_id")
+   AND ("t_s_firstyear"."sale_type" = 's')
+   AND ("t_w_firstyear"."sale_type" = 'w')
+   AND ("t_s_secyear"."sale_type" = 's')
+   AND ("t_w_secyear"."sale_type" = 'w')
+   AND ("t_s_firstyear"."dyear" = 2001)
+   AND ("t_s_secyear"."dyear" = (2001 + 1))
+   AND ("t_w_firstyear"."dyear" = 2001)
+   AND ("t_w_secyear"."dyear" = (2001 + 1))
+   AND ("t_s_firstyear"."year_total" > 0)
+   AND ("t_w_firstyear"."year_total" > 0)
+   AND ((CASE WHEN ("t_w_firstyear"."year_total" > 0) THEN ("t_w_secyear"."year_total" / "t_w_firstyear"."year_total") ELSE DECIMAL '0.0' END) > (CASE WHEN ("t_s_firstyear"."year_total" > 0) THEN ("t_s_secyear"."year_total" / "t_s_firstyear"."year_total") ELSE DECIMAL '0.0' END))
+ORDER BY "t_s_secyear"."customer_id" ASC, "t_s_secyear"."customer_first_name" ASC, "t_s_secyear"."customer_last_name" ASC, "t_s_secyear"."customer_preferred_cust_flag" ASC
+LIMIT 100
+"""
+
+  val q12: String = """SELECT
+  "i_item_id"
+, "i_item_desc"
+, "i_category"
+, "i_class"
+, "i_current_price"
+, "sum"("ws_ext_sales_price") "${database}.${schema}.itemrevenue"
+, (("sum"("ws_ext_sales_price") * 100) / "sum"("sum"("ws_ext_sales_price")) OVER (PARTITION BY "i_class")) "revenueratio"
+FROM
+  ${database}.${schema}.web_sales
+, ${database}.${schema}.item
+, ${database}.${schema}.date_dim
+WHERE ("ws_item_sk" = "i_item_sk")
+   AND ("i_category" IN ('Sports', 'Books', 'Home'))
+   AND ("ws_sold_date_sk" = "d_date_sk")
+   AND (CAST("d_date" AS DATE) BETWEEN CAST('1999-02-22' AS DATE) AND (CAST('1999-02-22' AS DATE) + INTERVAL  '30' DAY))
+GROUP BY "i_item_id", "i_item_desc", "i_category", "i_class", "i_current_price"
+ORDER BY "i_category" ASC, "i_class" ASC, "i_item_id" ASC, "i_item_desc" ASC, "revenueratio" ASC
+LIMIT 100
+"""
+
+  val q13: String = """SELECT
+  "avg"("ss_quantity")
+, "avg"("ss_ext_sales_price")
+, "avg"("ss_ext_wholesale_cost")
+, "sum"("ss_ext_wholesale_cost")
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.store
+, ${database}.${schema}.customer_demographics
+, ${database}.${schema}.household_demographics
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.date_dim
+WHERE ("s_store_sk" = "ss_store_sk")
+   AND ("ss_sold_date_sk" = "d_date_sk")
+   AND ("d_year" = 2001)
+   AND ((("ss_hdemo_sk" = "hd_demo_sk")
+         AND ("cd_demo_sk" = "ss_cdemo_sk")
+         AND ("cd_marital_status" = 'M')
+         AND ("cd_education_status" = 'Advanced Degree')
+         AND ("ss_sales_price" BETWEEN DECIMAL '100.00' AND DECIMAL '150.00')
+         AND ("hd_dep_count" = 3))
+      OR (("ss_hdemo_sk" = "hd_demo_sk")
+         AND ("cd_demo_sk" = "ss_cdemo_sk")
+         AND ("cd_marital_status" = 'S')
+         AND ("cd_education_status" = 'College')
+         AND ("ss_sales_price" BETWEEN DECIMAL '50.00' AND DECIMAL '100.00')
+         AND ("hd_dep_count" = 1))
+      OR (("ss_hdemo_sk" = "hd_demo_sk")
+         AND ("cd_demo_sk" = "ss_cdemo_sk")
+         AND ("cd_marital_status" = 'W')
+         AND ("cd_education_status" = '2 yr Degree')
+         AND ("ss_sales_price" BETWEEN DECIMAL '150.00' AND DECIMAL '200.00')
+         AND ("hd_dep_count" = 1)))
+   AND ((("ss_addr_sk" = "ca_address_sk")
+         AND ("ca_country" = 'United States')
+         AND ("ca_state" IN ('TX'      , 'OH'      , 'TX'))
+         AND ("ss_net_profit" BETWEEN 100 AND 200))
+      OR (("ss_addr_sk" = "ca_address_sk")
+         AND ("ca_country" = 'United States')
+         AND ("ca_state" IN ('OR'      , 'NM'      , 'KY'))
+         AND ("ss_net_profit" BETWEEN 150 AND 300))
+      OR (("ss_addr_sk" = "ca_address_sk")
+         AND ("ca_country" = 'United States')
+         AND ("ca_state" IN ('VA'      , 'TX'      , 'MS'))
+         AND ("ss_net_profit" BETWEEN 50 AND 250)))
+"""
+
+  val q14_2: String = """WITH
+  cross_items AS (
+   SELECT "i_item_sk" "ss_item_sk"
+   FROM
+     ${database}.${schema}.item
+   , (
+      SELECT
+        "iss"."i_brand_id" "brand_id"
+      , "iss"."i_class_id" "class_id"
+      , "iss"."i_category_id" "category_id"
+      FROM
+        ${database}.${schema}.store_sales
+      , ${database}.${schema}.item iss
+      , ${database}.${schema}.date_dim d1
+      WHERE ("ss_item_sk" = "iss"."i_item_sk")
+         AND ("ss_sold_date_sk" = "d1"."d_date_sk")
+         AND ("d1"."d_year" BETWEEN 1999 AND (1999 + 2))
+INTERSECT       SELECT
+        "ics"."i_brand_id"
+      , "ics"."i_class_id"
+      , "ics"."i_category_id"
+      FROM
+        ${database}.${schema}.catalog_sales
+      , ${database}.${schema}.item ics
+      , ${database}.${schema}.date_dim d2
+      WHERE ("cs_item_sk" = "ics"."i_item_sk")
+         AND ("cs_sold_date_sk" = "d2"."d_date_sk")
+         AND ("d2"."d_year" BETWEEN 1999 AND (1999 + 2))
+INTERSECT       SELECT
+        "iws"."i_brand_id"
+      , "iws"."i_class_id"
+      , "iws"."i_category_id"
+      FROM
+        ${database}.${schema}.web_sales
+      , ${database}.${schema}.item iws
+      , ${database}.${schema}.date_dim d3
+      WHERE ("ws_item_sk" = "iws"."i_item_sk")
+         AND ("ws_sold_date_sk" = "d3"."d_date_sk")
+         AND ("d3"."d_year" BETWEEN 1999 AND (1999 + 2))
+   )  x
+   WHERE ("i_brand_id" = "brand_id")
+      AND ("i_class_id" = "class_id")
+      AND ("i_category_id" = "category_id")
+) 
+, avg_sales AS (
+   SELECT "avg"(("quantity" * "list_price")) "average_sales"
+   FROM
+     (
+      SELECT
+        "ss_quantity" "quantity"
+      , "ss_list_price" "list_price"
+      FROM
+        ${database}.${schema}.store_sales
+      , ${database}.${schema}.date_dim
+      WHERE ("ss_sold_date_sk" = "d_date_sk")
+         AND ("d_year" BETWEEN 1999 AND (1999 + 2))
+UNION ALL       SELECT
+        "cs_quantity" "quantity"
+      , "cs_list_price" "list_price"
+      FROM
+        ${database}.${schema}.catalog_sales
+      , ${database}.${schema}.date_dim
+      WHERE ("cs_sold_date_sk" = "d_date_sk")
+         AND ("d_year" BETWEEN 1999 AND (1999 + 2))
+UNION ALL       SELECT
+        "ws_quantity" "quantity"
+      , "ws_list_price" "list_price"
+      FROM
+        ${database}.${schema}.web_sales
+      , ${database}.${schema}.date_dim
+      WHERE ("ws_sold_date_sk" = "d_date_sk")
+         AND ("d_year" BETWEEN 1999 AND (1999 + 2))
+   ) 
+) 
+SELECT *
+FROM
+  (
+   SELECT
+     '${database}.${schema}.store' "channel"
+   , "i_brand_id"
+   , "i_class_id"
+   , "i_category_id"
+   , "sum"(("ss_quantity" * "ss_list_price")) "sales"
+   , "count"(*) "number_sales"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   WHERE ("ss_item_sk" IN (
+      SELECT "ss_item_sk"
+      FROM
+        cross_items
+   ))
+      AND ("ss_item_sk" = "i_item_sk")
+      AND ("ss_sold_date_sk" = "d_date_sk")
+      AND ("d_week_seq" = (
+         SELECT "d_week_seq"
+         FROM
+           ${database}.${schema}.date_dim
+         WHERE ("d_year" = (1999 + 1))
+            AND ("d_moy" = 12)
+            AND ("d_dom" = 11)
+      ))
+   GROUP BY "i_brand_id", "i_class_id", "i_category_id"
+   HAVING ("sum"(("ss_quantity" * "ss_list_price")) > (
+         SELECT "average_sales"
+         FROM
+           avg_sales
+      ))
+)  this_year
+, (
+   SELECT
+     '${database}.${schema}.store' "channel"
+   , "i_brand_id"
+   , "i_class_id"
+   , "i_category_id"
+   , "sum"(("ss_quantity" * "ss_list_price")) "sales"
+   , "count"(*) "number_sales"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   WHERE ("ss_item_sk" IN (
+      SELECT "ss_item_sk"
+      FROM
+        cross_items
+   ))
+      AND ("ss_item_sk" = "i_item_sk")
+      AND ("ss_sold_date_sk" = "d_date_sk")
+      AND ("d_week_seq" = (
+         SELECT "d_week_seq"
+         FROM
+           ${database}.${schema}.date_dim
+         WHERE ("d_year" = 1999)
+            AND ("d_moy" = 12)
+            AND ("d_dom" = 11)
+      ))
+   GROUP BY "i_brand_id", "i_class_id", "i_category_id"
+   HAVING ("sum"(("ss_quantity" * "ss_list_price")) > (
+         SELECT "average_sales"
+         FROM
+           avg_sales
+      ))
+)  last_year
+WHERE ("this_year"."i_brand_id" = "last_year"."i_brand_id")
+   AND ("this_year"."i_class_id" = "last_year"."i_class_id")
+   AND ("this_year"."i_category_id" = "last_year"."i_category_id")
+ORDER BY "this_year"."channel" ASC, "this_year"."i_brand_id" ASC, "this_year"."i_class_id" ASC, "this_year"."i_category_id" ASC
+LIMIT 100
+"""
+
+  val q15: String = """SELECT
+  "ca_zip"
+, "sum"("cs_sales_price")
+FROM
+  ${database}.${schema}.catalog_sales
+, ${database}.${schema}.customer
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.date_dim
+WHERE ("cs_bill_customer_sk" = "c_customer_sk")
+   AND ("c_current_addr_sk" = "ca_address_sk")
+   AND (("substr"("ca_zip", 1, 5) IN ('85669'   , '86197'   , '88274'   , '83405'   , '86475'   , '85392'   , '85460'   , '80348'   , '81792'))
+      OR ("ca_state" IN ('CA'   , 'WA'   , 'GA'))
+      OR ("cs_sales_price" > 500))
+   AND ("cs_sold_date_sk" = "d_date_sk")
+   AND ("d_qoy" = 2)
+   AND ("d_year" = 2001)
+GROUP BY "ca_zip"
+ORDER BY "ca_zip" ASC
+LIMIT 100
+"""
+
+  val q16: String = """SELECT
+  "count"(DISTINCT "cs_order_number") "order count"
+, "sum"("cs_ext_ship_cost") "total shipping cost"
+, "sum"("cs_net_profit") "total net profit"
+FROM
+  ${database}.${schema}.catalog_sales cs1
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.call_center
+WHERE ("d_date" BETWEEN CAST('2002-2-01' AS DATE) AND (CAST('2002-2-01' AS DATE) + INTERVAL  '60' DAY))
+   AND ("cs1"."cs_ship_date_sk" = "d_date_sk")
+   AND ("cs1"."cs_ship_addr_sk" = "ca_address_sk")
+   AND ("ca_state" = 'GA')
+   AND ("cs1"."cs_call_center_sk" = "cc_call_center_sk")
+   AND ("cc_county" IN ('Williamson County', 'Williamson County', 'Williamson County', 'Williamson County', 'Williamson County'))
+   AND (EXISTS (
+   SELECT *
+   FROM
+     ${database}.${schema}.catalog_sales cs2
+   WHERE ("cs1"."cs_order_number" = "cs2"."cs_order_number")
+      AND ("cs1"."cs_warehouse_sk" <> "cs2"."cs_warehouse_sk")
+))
+   AND (NOT (EXISTS (
+   SELECT *
+   FROM
+     ${database}.${schema}.catalog_returns cr1
+   WHERE ("cs1"."cs_order_number" = "cr1"."cr_order_number")
+)))
+ORDER BY "count"(DISTINCT "cs_order_number") ASC
+LIMIT 100
+"""
+
+  val q17: String = """SELECT
+  "i_item_id"
+, "i_item_desc"
+, "s_state"
+, "count"("ss_quantity") "store_sales_quantitycount"
+, "avg"("ss_quantity") "store_sales_quantityave"
+, "stddev_samp"("ss_quantity") "store_sales_quantitystdev"
+, ("stddev_samp"("ss_quantity") / "avg"("ss_quantity")) "store_sales_quantitycov"
+, "count"("sr_return_quantity") "store_returns_quantitycount"
+, "avg"("sr_return_quantity") "store_returns_quantityave"
+, "stddev_samp"("sr_return_quantity") "store_returns_quantitystdev"
+, ("stddev_samp"("sr_return_quantity") / "avg"("sr_return_quantity")) "store_returns_quantitycov"
+, "count"("cs_quantity") "catalog_sales_quantitycount"
+, "avg"("cs_quantity") "catalog_sales_quantityave"
+, "stddev_samp"("cs_quantity") "catalog_sales_quantitystdev"
+, ("stddev_samp"("cs_quantity") / "avg"("cs_quantity")) "catalog_sales_quantitycov"
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.store_returns
+, ${database}.${schema}.catalog_sales
+, ${database}.${schema}.date_dim d1
+, ${database}.${schema}.date_dim d2
+, ${database}.${schema}.date_dim d3
+, ${database}.${schema}.store
+, ${database}.${schema}.item
+WHERE ("d1"."d_quarter_name" = '2001Q1')
+   AND ("d1"."d_date_sk" = "ss_sold_date_sk")
+   AND ("i_item_sk" = "ss_item_sk")
+   AND ("s_store_sk" = "ss_store_sk")
+   AND ("ss_customer_sk" = "sr_customer_sk")
+   AND ("ss_item_sk" = "sr_item_sk")
+   AND ("ss_ticket_number" = "sr_ticket_number")
+   AND ("sr_returned_date_sk" = "d2"."d_date_sk")
+   AND ("d2"."d_quarter_name" IN ('2001Q1', '2001Q2', '2001Q3'))
+   AND ("sr_customer_sk" = "cs_bill_customer_sk")
+   AND ("sr_item_sk" = "cs_item_sk")
+   AND ("cs_sold_date_sk" = "d3"."d_date_sk")
+   AND ("d3"."d_quarter_name" IN ('2001Q1', '2001Q2', '2001Q3'))
+GROUP BY "i_item_id", "i_item_desc", "s_state"
+ORDER BY "i_item_id" ASC, "i_item_desc" ASC, "s_state" ASC
+LIMIT 100
+"""
+
+  val q18: String = """SELECT
+  "i_item_id"
+, "ca_country"
+, "ca_state"
+, "ca_county"
+, "avg"(CAST("cs_quantity" AS DECIMAL(12,2))) "agg1"
+, "avg"(CAST("cs_list_price" AS DECIMAL(12,2))) "agg2"
+, "avg"(CAST("cs_coupon_amt" AS DECIMAL(12,2))) "agg3"
+, "avg"(CAST("cs_sales_price" AS DECIMAL(12,2))) "agg4"
+, "avg"(CAST("cs_net_profit" AS DECIMAL(12,2))) "agg5"
+, "avg"(CAST("c_birth_year" AS DECIMAL(12,2))) "agg6"
+, "avg"(CAST("cd1"."cd_dep_count" AS DECIMAL(12,2))) "agg7"
+FROM
+  ${database}.${schema}.catalog_sales
+, ${database}.${schema}.customer_demographics cd1
+, ${database}.${schema}.customer_demographics cd2
+, ${database}.${schema}.customer
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.item
+WHERE ("cs_sold_date_sk" = "d_date_sk")
+   AND ("cs_item_sk" = "i_item_sk")
+   AND ("cs_bill_cdemo_sk" = "cd1"."cd_demo_sk")
+   AND ("cs_bill_customer_sk" = "c_customer_sk")
+   AND ("cd1"."cd_gender" = 'F')
+   AND ("cd1"."cd_education_status" = 'Unknown')
+   AND ("c_current_cdemo_sk" = "cd2"."cd_demo_sk")
+   AND ("c_current_addr_sk" = "ca_address_sk")
+   AND ("c_birth_month" IN (1, 6, 8, 9, 12, 2))
+   AND ("d_year" = 1998)
+   AND ("ca_state" IN ('MS', 'IN', 'ND', 'OK', 'NM', 'VA', 'MS'))
+GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+ORDER BY "ca_country" ASC, "ca_state" ASC, "ca_county" ASC, "i_item_id" ASC
+LIMIT 100
+"""
+
+  val q19: String = """SELECT
+  "i_brand_id" "brand_id"
+, "i_brand" "brand"
+, "i_manufact_id"
+, "i_manufact"
+, "sum"("ss_ext_sales_price") "ext_price"
+FROM
+  ${database}.${schema}.date_dim
+, ${database}.${schema}.store_sales
+, ${database}.${schema}.item
+, ${database}.${schema}.customer
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.store
+WHERE ("d_date_sk" = "ss_sold_date_sk")
+   AND ("ss_item_sk" = "i_item_sk")
+   AND ("i_manager_id" = 8)
+   AND ("d_moy" = 11)
+   AND ("d_year" = 1998)
+   AND ("ss_customer_sk" = "c_customer_sk")
+   AND ("c_current_addr_sk" = "ca_address_sk")
+   AND ("substr"("ca_zip", 1, 5) <> "substr"("s_zip", 1, 5))
+   AND ("ss_store_sk" = "s_store_sk")
+GROUP BY "i_brand", "i_brand_id", "i_manufact_id", "i_manufact"
+ORDER BY "ext_price" DESC, "i_brand" ASC, "i_brand_id" ASC, "i_manufact_id" ASC, "i_manufact" ASC
+LIMIT 100
+"""
+
+  val q20: String = """SELECT
+  "i_item_id"
+, "i_item_desc"
+, "i_category"
+, "i_class"
+, "i_current_price"
+, "sum"("cs_ext_sales_price") "${database}.${schema}.itemrevenue"
+, (("sum"("cs_ext_sales_price") * 100) / "sum"("sum"("cs_ext_sales_price")) OVER (PARTITION BY "i_class")) "revenueratio"
+FROM
+  ${database}.${schema}.catalog_sales
+, ${database}.${schema}.item
+, ${database}.${schema}.date_dim
+WHERE ("cs_item_sk" = "i_item_sk")
+   AND ("i_category" IN ('Sports', 'Books', 'Home'))
+   AND ("cs_sold_date_sk" = "d_date_sk")
+   AND (CAST("d_date" AS DATE) BETWEEN CAST('1999-02-22' AS DATE) AND (CAST('1999-02-22' AS DATE) + INTERVAL  '30' DAY))
+GROUP BY "i_item_id", "i_item_desc", "i_category", "i_class", "i_current_price"
+ORDER BY "i_category" ASC, "i_class" ASC, "i_item_id" ASC, "i_item_desc" ASC, "revenueratio" ASC
+LIMIT 100
+"""
+
+  val q21: String = """SELECT *
+FROM
+  (
+   SELECT
+     "w_warehouse_name"
+   , "i_item_id"
+   , "sum"((CASE WHEN (CAST("d_date" AS DATE) < CAST('2000-03-11' AS DATE)) THEN "inv_quantity_on_hand" ELSE 0 END)) "inv_before"
+   , "sum"((CASE WHEN (CAST("d_date" AS DATE) >= CAST('2000-03-11' AS DATE)) THEN "inv_quantity_on_hand" ELSE 0 END)) "inv_after"
+   FROM
+     ${database}.${schema}.inventory
+   , ${database}.${schema}.warehouse
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   WHERE ("i_current_price" BETWEEN DECIMAL '0.99' AND DECIMAL '1.49')
+      AND ("i_item_sk" = "inv_item_sk")
+      AND ("inv_warehouse_sk" = "w_warehouse_sk")
+      AND ("inv_date_sk" = "d_date_sk")
+      AND ("d_date" BETWEEN (CAST('2000-03-11' AS DATE) - INTERVAL  '30' DAY) AND (CAST('2000-03-11' AS DATE) + INTERVAL  '30' DAY))
+   GROUP BY "w_warehouse_name", "i_item_id"
+)  x
+WHERE ((CASE WHEN ("inv_before" > 0) THEN (CAST("inv_after" AS DECIMAL(7,2)) / "inv_before") ELSE null END) BETWEEN (DECIMAL '2.00' / DECIMAL '3.00') AND (DECIMAL '3.00' / DECIMAL '2.00'))
+ORDER BY "w_warehouse_name" ASC, "i_item_id" ASC
+LIMIT 100
+"""
+
+  val q22: String = """SELECT
+  "i_product_name"
+, "i_brand"
+, "i_class"
+, "i_category"
+, "avg"("inv_quantity_on_hand") "qoh"
+FROM
+  ${database}.${schema}.inventory
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.item
+WHERE ("inv_date_sk" = "d_date_sk")
+   AND ("inv_item_sk" = "i_item_sk")
+   AND ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+ORDER BY "qoh" ASC, "i_product_name" ASC, "i_brand" ASC, "i_class" ASC, "i_category" ASC
+LIMIT 100
+"""
+
+  val q23_2: String = """WITH
+  frequent_ss_items AS (
+   SELECT
+     "substr"("i_item_desc", 1, 30) "itemdesc"
+   , "i_item_sk" "item_sk"
+   , "d_date" "solddate"
+   , "count"(*) "cnt"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.item
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND ("ss_item_sk" = "i_item_sk")
+      AND ("d_year" IN (2000   , (2000 + 1)   , (2000 + 2)   , (2000 + 3)))
+   GROUP BY "substr"("i_item_desc", 1, 30), "i_item_sk", "d_date"
+   HAVING ("count"(*) > 4)
+) 
+, max_store_sales AS (
+   SELECT "max"("csales") "tpcds_cmax"
+   FROM
+     (
+      SELECT
+        "c_customer_sk"
+      , "sum"(("ss_quantity" * "ss_sales_price")) "csales"
+      FROM
+        ${database}.${schema}.store_sales
+      , ${database}.${schema}.customer
+      , ${database}.${schema}.date_dim
+      WHERE ("ss_customer_sk" = "c_customer_sk")
+         AND ("ss_sold_date_sk" = "d_date_sk")
+         AND ("d_year" IN (2000      , (2000 + 1)      , (2000 + 2)      , (2000 + 3)))
+      GROUP BY "c_customer_sk"
+   ) 
+) 
+, best_ss_customer AS (
+   SELECT
+     "c_customer_sk"
+   , "sum"(("ss_quantity" * "ss_sales_price")) "ssales"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.customer
+   WHERE ("ss_customer_sk" = "c_customer_sk")
+   GROUP BY "c_customer_sk"
+   HAVING ("sum"(("ss_quantity" * "ss_sales_price")) > ((50 / DECIMAL '100.0') * (
+            SELECT *
+            FROM
+              max_store_sales
+         )))
+) 
+SELECT
+  "c_last_name"
+, "c_first_name"
+, "sales"
+FROM
+  (
+   SELECT
+     "c_last_name"
+   , "c_first_name"
+   , "sum"(("cs_quantity" * "cs_list_price")) "sales"
+   FROM
+     ${database}.${schema}.catalog_sales
+   , ${database}.${schema}.customer
+   , ${database}.${schema}.date_dim
+   WHERE ("d_year" = 2000)
+      AND ("d_moy" = 2)
+      AND ("cs_sold_date_sk" = "d_date_sk")
+      AND ("cs_item_sk" IN (
+      SELECT "item_sk"
+      FROM
+        frequent_ss_items
+   ))
+      AND ("cs_bill_customer_sk" IN (
+      SELECT "c_customer_sk"
+      FROM
+        best_ss_customer
+   ))
+      AND ("cs_bill_customer_sk" = "c_customer_sk")
+   GROUP BY "c_last_name", "c_first_name"
+UNION ALL    SELECT
+     "c_last_name"
+   , "c_first_name"
+   , "sum"(("ws_quantity" * "ws_list_price")) "sales"
+   FROM
+     ${database}.${schema}.web_sales
+   , ${database}.${schema}.customer
+   , ${database}.${schema}.date_dim
+   WHERE ("d_year" = 2000)
+      AND ("d_moy" = 2)
+      AND ("ws_sold_date_sk" = "d_date_sk")
+      AND ("ws_item_sk" IN (
+      SELECT "item_sk"
+      FROM
+        frequent_ss_items
+   ))
+      AND ("ws_bill_customer_sk" IN (
+      SELECT "c_customer_sk"
+      FROM
+        best_ss_customer
+   ))
+      AND ("ws_bill_customer_sk" = "c_customer_sk")
+   GROUP BY "c_last_name", "c_first_name"
+) 
+ORDER BY "c_last_name" ASC, "c_first_name" ASC, "sales" ASC
+LIMIT 100
+"""
+
+  val q24_2: String = """WITH
+  ssales AS (
+   SELECT
+     "c_last_name"
+   , "c_first_name"
+   , "s_store_name"
+   , "ca_state"
+   , "s_state"
+   , "i_color"
+   , "i_current_price"
+   , "i_manager_id"
+   , "i_units"
+   , "i_size"
+   , "sum"("ss_net_paid") "netpaid"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.store_returns
+   , ${database}.${schema}.store
+   , ${database}.${schema}.item
+   , ${database}.${schema}.customer
+   , ${database}.${schema}.customer_address
+   WHERE ("ss_ticket_number" = "sr_ticket_number")
+      AND ("ss_item_sk" = "sr_item_sk")
+      AND ("ss_customer_sk" = "c_customer_sk")
+      AND ("ss_item_sk" = "i_item_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("c_birth_country" = "upper"("ca_country"))
+      AND ("s_zip" = "ca_zip")
+      AND ("s_market_id" = 8)
+   GROUP BY "c_last_name", "c_first_name", "s_store_name", "ca_state", "s_state", "i_color", "i_current_price", "i_manager_id", "i_units", "i_size"
+) 
+SELECT
+  "c_last_name"
+, "c_first_name"
+, "s_store_name"
+, "sum"("netpaid") "paid"
+FROM
+  ssales
+WHERE ("i_color" = 'chiffon')
+GROUP BY "c_last_name", "c_first_name", "s_store_name"
+HAVING ("sum"("netpaid") > (
+      SELECT (DECIMAL '0.05' * "avg"("netpaid"))
+      FROM
+        ssales
+   ))
+"""
+
+  val q25: String = """SELECT
+  "i_item_id"
+, "i_item_desc"
+, "s_store_id"
+, "s_store_name"
+, "sum"("ss_net_profit") "store_sales_profit"
+, "sum"("sr_net_loss") "store_returns_loss"
+, "sum"("cs_net_profit") "catalog_sales_profit"
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.store_returns
+, ${database}.${schema}.catalog_sales
+, ${database}.${schema}.date_dim d1
+, ${database}.${schema}.date_dim d2
+, ${database}.${schema}.date_dim d3
+, ${database}.${schema}.store
+, ${database}.${schema}.item
+WHERE ("d1"."d_moy" = 4)
+   AND ("d1"."d_year" = 2001)
+   AND ("d1"."d_date_sk" = "ss_sold_date_sk")
+   AND ("i_item_sk" = "ss_item_sk")
+   AND ("s_store_sk" = "ss_store_sk")
+   AND ("ss_customer_sk" = "sr_customer_sk")
+   AND ("ss_item_sk" = "sr_item_sk")
+   AND ("ss_ticket_number" = "sr_ticket_number")
+   AND ("sr_returned_date_sk" = "d2"."d_date_sk")
+   AND ("d2"."d_moy" BETWEEN 4 AND 10)
+   AND ("d2"."d_year" = 2001)
+   AND ("sr_customer_sk" = "cs_bill_customer_sk")
+   AND ("sr_item_sk" = "cs_item_sk")
+   AND ("cs_sold_date_sk" = "d3"."d_date_sk")
+   AND ("d3"."d_moy" BETWEEN 4 AND 10)
+   AND ("d3"."d_year" = 2001)
+GROUP BY "i_item_id", "i_item_desc", "s_store_id", "s_store_name"
+ORDER BY "i_item_id" ASC, "i_item_desc" ASC, "s_store_id" ASC, "s_store_name" ASC
+LIMIT 100
+"""
+
+  val q27: String = """SELECT
+  "i_item_id"
+, "s_state"
+, GROUPING ("s_state") "g_state"
+, "avg"("ss_quantity") "agg1"
+, "avg"("ss_list_price") "agg2"
+, "avg"("ss_coupon_amt") "agg3"
+, "avg"("ss_sales_price") "agg4"
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.customer_demographics
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.store
+, ${database}.${schema}.item
+WHERE ("ss_sold_date_sk" = "d_date_sk")
+   AND ("ss_item_sk" = "i_item_sk")
+   AND ("ss_store_sk" = "s_store_sk")
+   AND ("ss_cdemo_sk" = "cd_demo_sk")
+   AND ("cd_gender" = 'M')
+   AND ("cd_marital_status" = 'S')
+   AND ("cd_education_status" = 'College')
+   AND ("d_year" = 2002)
+   AND ("s_state" IN (
+     'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'))
+GROUP BY ROLLUP (i_item_id, s_state)
+ORDER BY "i_item_id" ASC, "s_state" ASC
+LIMIT 100
+"""
+
+  val q29: String = """SELECT
+  "i_item_id"
+, "i_item_desc"
+, "s_store_id"
+, "s_store_name"
+, "sum"("ss_quantity") "store_sales_quantity"
+, "sum"("sr_return_quantity") "store_returns_quantity"
+, "sum"("cs_quantity") "catalog_sales_quantity"
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.store_returns
+, ${database}.${schema}.catalog_sales
+, ${database}.${schema}.date_dim d1
+, ${database}.${schema}.date_dim d2
+, ${database}.${schema}.date_dim d3
+, ${database}.${schema}.store
+, ${database}.${schema}.item
+WHERE ("d1"."d_moy" = 9)
+   AND ("d1"."d_year" = 1999)
+   AND ("d1"."d_date_sk" = "ss_sold_date_sk")
+   AND ("i_item_sk" = "ss_item_sk")
+   AND ("s_store_sk" = "ss_store_sk")
+   AND ("ss_customer_sk" = "sr_customer_sk")
+   AND ("ss_item_sk" = "sr_item_sk")
+   AND ("ss_ticket_number" = "sr_ticket_number")
+   AND ("sr_returned_date_sk" = "d2"."d_date_sk")
+   AND ("d2"."d_moy" BETWEEN 9 AND (9 + 3))
+   AND ("d2"."d_year" = 1999)
+   AND ("sr_customer_sk" = "cs_bill_customer_sk")
+   AND ("sr_item_sk" = "cs_item_sk")
+   AND ("cs_sold_date_sk" = "d3"."d_date_sk")
+   AND ("d3"."d_year" IN (1999, (1999 + 1), (1999 + 2)))
+GROUP BY "i_item_id", "i_item_desc", "s_store_id", "s_store_name"
+ORDER BY "i_item_id" ASC, "i_item_desc" ASC, "s_store_id" ASC, "s_store_name" ASC
+LIMIT 100
+"""
+
+  val q30: String = """WITH
+  customer_total_return AS (
+   SELECT
+     "wr_returning_customer_sk" "ctr_customer_sk"
+   , "ca_state" "ctr_state"
+   , "sum"("wr_return_amt") "ctr_total_return"
+   FROM
+     ${database}.${schema}.web_returns
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.customer_address
+   WHERE ("wr_returned_date_sk" = "d_date_sk")
+      AND ("d_year" = 2002)
+      AND ("wr_returning_addr_sk" = "ca_address_sk")
+   GROUP BY "wr_returning_customer_sk", "ca_state"
+) 
+SELECT
+  "c_customer_id"
+, "c_salutation"
+, "c_first_name"
+, "c_last_name"
+, "c_preferred_cust_flag"
+, "c_birth_day"
+, "c_birth_month"
+, "c_birth_year"
+, "c_birth_country"
+, "c_login"
+, "c_email_address"
+, "c_last_review_date_sk"
+, "ctr_total_return"
+FROM
+  customer_total_return ctr1
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.customer
+WHERE ("ctr1"."ctr_total_return" > (
+      SELECT ("avg"("ctr_total_return") * DECIMAL '1.2')
+      FROM
+        customer_total_return ctr2
+      WHERE ("ctr1"."ctr_state" = "ctr2"."ctr_state")
+   ))
+   AND ("ca_address_sk" = "c_current_addr_sk")
+   AND ("ca_state" = 'GA')
+   AND ("ctr1"."ctr_customer_sk" = "c_customer_sk")
+ORDER BY "c_customer_id" ASC, "c_salutation" ASC, "c_first_name" ASC, "c_last_name" ASC, "c_preferred_cust_flag" ASC, "c_birth_day" ASC, "c_birth_month" ASC, "c_birth_year" ASC, "c_birth_country" ASC, "c_login" ASC, "c_email_address" ASC, "c_last_review_date_sk" ASC, "ctr_total_return" ASC
+LIMIT 100
+"""
+
+  val q31: String = """WITH
+  ss AS (
+   SELECT
+     "ca_county"
+   , "d_qoy"
+   , "d_year"
+   , "sum"("ss_ext_sales_price") "store_sales"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.customer_address
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND ("ss_addr_sk" = "ca_address_sk")
+   GROUP BY "ca_county", "d_qoy", "d_year"
+) 
+, ws AS (
+   SELECT
+     "ca_county"
+   , "d_qoy"
+   , "d_year"
+   , "sum"("ws_ext_sales_price") "web_sales"
+   FROM
+     ${database}.${schema}.web_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.customer_address
+   WHERE ("ws_sold_date_sk" = "d_date_sk")
+      AND ("ws_bill_addr_sk" = "ca_address_sk")
+   GROUP BY "ca_county", "d_qoy", "d_year"
+) 
+SELECT
+  "ss1"."ca_county"
+, "ss1"."d_year"
+, ("ws2"."web_sales" / "ws1"."web_sales") "web_q1_q2_increase"
+, ("ss2"."store_sales" / "ss1"."store_sales") "store_q1_q2_increase"
+, ("ws3"."web_sales" / "ws2"."web_sales") "web_q2_q3_increase"
+, ("ss3"."store_sales" / "ss2"."store_sales") "store_q2_q3_increase"
+FROM
+  ss ss1
+, ss ss2
+, ss ss3
+, ws ws1
+, ws ws2
+, ws ws3
+WHERE ("ss1"."d_qoy" = 1)
+   AND ("ss1"."d_year" = 2000)
+   AND ("ss1"."ca_county" = "ss2"."ca_county")
+   AND ("ss2"."d_qoy" = 2)
+   AND ("ss2"."d_year" = 2000)
+   AND ("ss2"."ca_county" = "ss3"."ca_county")
+   AND ("ss3"."d_qoy" = 3)
+   AND ("ss3"."d_year" = 2000)
+   AND ("ss1"."ca_county" = "ws1"."ca_county")
+   AND ("ws1"."d_qoy" = 1)
+   AND ("ws1"."d_year" = 2000)
+   AND ("ws1"."ca_county" = "ws2"."ca_county")
+   AND ("ws2"."d_qoy" = 2)
+   AND ("ws2"."d_year" = 2000)
+   AND ("ws1"."ca_county" = "ws3"."ca_county")
+   AND ("ws3"."d_qoy" = 3)
+   AND ("ws3"."d_year" = 2000)
+   AND ((CASE WHEN ("ws1"."web_sales" > 0) THEN (CAST("ws2"."web_sales" AS DECIMAL(38,3)) / "ws1"."web_sales") ELSE null END) > (CASE WHEN ("ss1"."store_sales" > 0) THEN (CAST("ss2"."store_sales" AS DECIMAL(38,3)) / "ss1"."store_sales") ELSE null END))
+   AND ((CASE WHEN ("ws2"."web_sales" > 0) THEN (CAST("ws3"."web_sales" AS DECIMAL(38,3)) / "ws2"."web_sales") ELSE null END) > (CASE WHEN ("ss2"."store_sales" > 0) THEN (CAST("ss3"."store_sales" AS DECIMAL(38,3)) / "ss2"."store_sales") ELSE null END))
+ORDER BY "ss1"."ca_county" ASC
+"""
+
+  val q34: String = """SELECT
+  "c_last_name"
+, "c_first_name"
+, "c_salutation"
+, "c_preferred_cust_flag"
+, "ss_ticket_number"
+, "cnt"
+FROM
+  (
+   SELECT
+     "ss_ticket_number"
+   , "ss_customer_sk"
+   , "count"(*) "cnt"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   , ${database}.${schema}.household_demographics
+   WHERE ("store_sales"."ss_sold_date_sk" = "date_dim"."d_date_sk")
+      AND ("store_sales"."ss_store_sk" = "store"."s_store_sk")
+      AND ("store_sales"."ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND (("date_dim"."d_dom" BETWEEN 1 AND 3)
+         OR ("date_dim"."d_dom" BETWEEN 25 AND 28))
+      AND (("household_demographics"."hd_buy_potential" = '>10000')
+         OR ("household_demographics"."hd_buy_potential" = 'Unknown'))
+      AND ("household_demographics"."hd_vehicle_count" > 0)
+      AND ((CASE WHEN ("household_demographics"."hd_vehicle_count" > 0) THEN (CAST("household_demographics"."hd_dep_count" AS DECIMAL(7,2)) / "household_demographics"."hd_vehicle_count") ELSE null END) > DECIMAL '1.2')
+      AND ("date_dim"."d_year" IN (1999   , (1999 + 1)   , (1999 + 2)))
+      AND ("store"."s_county" IN ('Williamson County'   , 'Williamson County'   , 'Williamson County'   , 'Williamson County'   , 'Williamson County'   , 'Williamson County'   , 'Williamson County'   , 'Williamson County'))
+   GROUP BY "ss_ticket_number", "ss_customer_sk"
+)  dn
+, ${database}.${schema}.customer
+WHERE ("ss_customer_sk" = "c_customer_sk")
+   AND ("cnt" BETWEEN 15 AND 20)
+ORDER BY "c_last_name" ASC, "c_first_name" ASC, "c_salutation" ASC, "c_preferred_cust_flag" DESC, "ss_ticket_number" ASC
+"""
+
+  val q35: String = """SELECT
+  "ca_state"
+, "cd_gender"
+, "cd_marital_status"
+, "cd_dep_count"
+, "count"(*) "cnt1"
+, "min"("cd_dep_count")
+, "max"("cd_dep_count")
+, "avg"("cd_dep_count")
+, "cd_dep_employed_count"
+, "count"(*) "cnt2"
+, "min"("cd_dep_employed_count")
+, "max"("cd_dep_employed_count")
+, "avg"("cd_dep_employed_count")
+, "cd_dep_college_count"
+, "count"(*) "cnt3"
+, "min"("cd_dep_college_count")
+, "max"("cd_dep_college_count")
+, "avg"("cd_dep_college_count")
+FROM
+  ${database}.${schema}.customer c
+, ${database}.${schema}.customer_address ca
+, ${database}.${schema}.customer_demographics
+WHERE ("c"."c_current_addr_sk" = "ca"."ca_address_sk")
+   AND ("cd_demo_sk" = "c"."c_current_cdemo_sk")
+   AND (EXISTS (
+   SELECT *
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("c"."c_customer_sk" = "ss_customer_sk")
+      AND ("ss_sold_date_sk" = "d_date_sk")
+      AND ("d_year" = 2002)
+      AND ("d_qoy" < 4)
+))
+   AND ((EXISTS (
+      SELECT *
+      FROM
+        ${database}.${schema}.web_sales
+      , ${database}.${schema}.date_dim
+      WHERE ("c"."c_customer_sk" = "ws_bill_customer_sk")
+         AND ("ws_sold_date_sk" = "d_date_sk")
+         AND ("d_year" = 2002)
+         AND ("d_qoy" < 4)
+   ))
+      OR (EXISTS (
+      SELECT *
+      FROM
+        ${database}.${schema}.catalog_sales
+      , ${database}.${schema}.date_dim
+      WHERE ("c"."c_customer_sk" = "cs_ship_customer_sk")
+         AND ("cs_sold_date_sk" = "d_date_sk")
+         AND ("d_year" = 2002)
+         AND ("d_qoy" < 4)
+   )))
+GROUP BY "ca_state", "cd_gender", "cd_marital_status", "cd_dep_count", "cd_dep_employed_count", "cd_dep_college_count"
+ORDER BY "ca_state" ASC, "cd_gender" ASC, "cd_marital_status" ASC, "cd_dep_count" ASC, "cd_dep_employed_count" ASC, "cd_dep_college_count" ASC
+LIMIT 100
+"""
+
+  val q36: String = """SELECT
+  ("sum"("ss_net_profit") / "sum"("ss_ext_sales_price")) "gross_margin"
+, "i_category"
+, "i_class"
+, (GROUPING ("i_category") + GROUPING ("i_class")) "lochierarchy"
+, "rank"() OVER (PARTITION BY (GROUPING ("i_category") + GROUPING ("i_class")), (CASE WHEN (GROUPING ("i_class") = 0) THEN "i_category" END) ORDER BY ("sum"("ss_net_profit") / "sum"("ss_ext_sales_price")) ASC) "rank_within_parent"
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.date_dim d1
+, ${database}.${schema}.item
+, ${database}.${schema}.store
+WHERE ("d1"."d_year" = 2001)
+   AND ("d1"."d_date_sk" = "ss_sold_date_sk")
+   AND ("i_item_sk" = "ss_item_sk")
+   AND ("s_store_sk" = "ss_store_sk")
+   AND ("s_state" IN (
+     'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'))
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY "lochierarchy" DESC, (CASE WHEN ("lochierarchy" = 0) THEN "i_category" END) ASC, "rank_within_parent" ASC, "i_category", "i_class"
+LIMIT 100
+"""
+
+  val q39_1: String = """WITH
+  inv AS (
+   SELECT
+     "w_warehouse_name"
+   , "w_warehouse_sk"
+   , "i_item_sk"
+   , "d_moy"
+   , "stdev"
+   , "mean"
+   , (CASE "mean" WHEN 0 THEN null ELSE ("stdev" / "mean") END) "cov"
+   FROM
+     (
+      SELECT
+        "w_warehouse_name"
+      , "w_warehouse_sk"
+      , "i_item_sk"
+      , "d_moy"
+      , "stddev_samp"("inv_quantity_on_hand") "stdev"
+      , "avg"("inv_quantity_on_hand") "mean"
+      FROM
+        ${database}.${schema}.inventory
+      , ${database}.${schema}.item
+      , ${database}.${schema}.warehouse
+      , ${database}.${schema}.date_dim
+      WHERE ("inv_item_sk" = "i_item_sk")
+         AND ("inv_warehouse_sk" = "w_warehouse_sk")
+         AND ("inv_date_sk" = "d_date_sk")
+         AND ("d_year" = 2001)
+      GROUP BY "w_warehouse_name", "w_warehouse_sk", "i_item_sk", "d_moy"
+   )  foo
+   WHERE ((CASE "mean" WHEN 0 THEN 0 ELSE ("stdev" / "mean") END) > 1)
+) 
+SELECT
+  "inv1"."w_warehouse_sk"
+, "inv1"."i_item_sk"
+, "inv1"."d_moy"
+, "inv1"."mean"
+, "inv1"."cov"
+, "inv2"."w_warehouse_sk"
+, "inv2"."i_item_sk"
+, "inv2"."d_moy"
+, "inv2"."mean"
+, "inv2"."cov"
+FROM
+  inv inv1
+, inv inv2
+WHERE ("inv1"."i_item_sk" = "inv2"."i_item_sk")
+   AND ("inv1"."w_warehouse_sk" = "inv2"."w_warehouse_sk")
+   AND ("inv1"."d_moy" = 1)
+   AND ("inv2"."d_moy" = (1 + 1))
+ORDER BY "inv1"."w_warehouse_sk" ASC, "inv1"."i_item_sk" ASC, "inv1"."d_moy" ASC, "inv1"."mean" ASC, "inv1"."cov" ASC, "inv2"."d_moy" ASC, "inv2"."mean" ASC, "inv2"."cov" ASC
+"""
+
+  val q39_2: String = """WITH
+  inv AS (
+   SELECT
+     "w_warehouse_name"
+   , "w_warehouse_sk"
+   , "i_item_sk"
+   , "d_moy"
+   , "stdev"
+   , "mean"
+   , (CASE "mean" WHEN 0 THEN null ELSE ("stdev" / "mean") END) "cov"
+   FROM
+     (
+      SELECT
+        "w_warehouse_name"
+      , "w_warehouse_sk"
+      , "i_item_sk"
+      , "d_moy"
+      , "stddev_samp"("inv_quantity_on_hand") "stdev"
+      , "avg"("inv_quantity_on_hand") "mean"
+      FROM
+        ${database}.${schema}.inventory
+      , ${database}.${schema}.item
+      , ${database}.${schema}.warehouse
+      , ${database}.${schema}.date_dim
+      WHERE ("inv_item_sk" = "i_item_sk")
+         AND ("inv_warehouse_sk" = "w_warehouse_sk")
+         AND ("inv_date_sk" = "d_date_sk")
+         AND ("d_year" = 2001)
+      GROUP BY "w_warehouse_name", "w_warehouse_sk", "i_item_sk", "d_moy"
+   )  foo
+   WHERE ((CASE "mean" WHEN 0 THEN 0 ELSE ("stdev" / "mean") END) > 1)
+) 
+SELECT
+  "inv1"."w_warehouse_sk"
+, "inv1"."i_item_sk"
+, "inv1"."d_moy"
+, "inv1"."mean"
+, "inv1"."cov"
+, "inv2"."w_warehouse_sk"
+, "inv2"."i_item_sk"
+, "inv2"."d_moy"
+, "inv2"."mean"
+, "inv2"."cov"
+FROM
+  inv inv1
+, inv inv2
+WHERE ("inv1"."i_item_sk" = "inv2"."i_item_sk")
+   AND ("inv1"."w_warehouse_sk" = "inv2"."w_warehouse_sk")
+   AND ("inv1"."d_moy" = 1)
+   AND ("inv2"."d_moy" = (1 + 1))
+   AND ("inv1"."cov" > DECIMAL '1.5')
+ORDER BY "inv1"."w_warehouse_sk" ASC, "inv1"."i_item_sk" ASC, "inv1"."d_moy" ASC, "inv1"."mean" ASC, "inv1"."cov" ASC, "inv2"."d_moy" ASC, "inv2"."mean" ASC, "inv2"."cov" ASC
+"""
+
+  val q40: String = """SELECT
+  "w_state"
+, "i_item_id"
+, "sum"((CASE WHEN (CAST("d_date" AS DATE) < CAST('2000-03-11' AS DATE)) THEN ("cs_sales_price" - COALESCE("cr_refunded_cash", 0)) ELSE 0 END)) "sales_before"
+, "sum"((CASE WHEN (CAST("d_date" AS DATE) >= CAST('2000-03-11' AS DATE)) THEN ("cs_sales_price" - COALESCE("cr_refunded_cash", 0)) ELSE 0 END)) "sales_after"
+FROM
+  (${database}.${schema}.catalog_sales
+LEFT JOIN ${database}.${schema}.catalog_returns ON ("cs_order_number" = "cr_order_number")
+   AND ("cs_item_sk" = "cr_item_sk"))
+, ${database}.${schema}.warehouse
+, ${database}.${schema}.item
+, ${database}.${schema}.date_dim
+WHERE ("i_current_price" BETWEEN DECIMAL '0.99' AND DECIMAL '1.49')
+   AND ("i_item_sk" = "cs_item_sk")
+   AND ("cs_warehouse_sk" = "w_warehouse_sk")
+   AND ("cs_sold_date_sk" = "d_date_sk")
+   AND (CAST("d_date" AS DATE) BETWEEN (CAST('2000-03-11' AS DATE) - INTERVAL  '30' DAY) AND (CAST('2000-03-11' AS DATE) + INTERVAL  '30' DAY))
+GROUP BY "w_state", "i_item_id"
+ORDER BY "w_state" ASC, "i_item_id" ASC
+LIMIT 100
+"""
+
+  val q41: String = """SELECT DISTINCT "i_product_name"
+FROM
+  ${database}.${schema}.item i1
+WHERE ("i_manufact_id" BETWEEN 738 AND (738 + 40))
+   AND ((
+      SELECT "count"(*) "item_cnt"
+      FROM
+        ${database}.${schema}.item
+      WHERE (("i_manufact" = "i1"."i_manufact")
+            AND ((("i_category" = 'Women')
+                  AND (("i_color" = 'powder')
+                     OR ("i_color" = 'khaki'))
+                  AND (("i_units" = 'Ounce')
+                     OR ("i_units" = 'Oz'))
+                  AND (("i_size" = 'medium')
+                     OR ("i_size" = 'extra large')))
+               OR (("i_category" = 'Women')
+                  AND (("i_color" = 'brown')
+                     OR ("i_color" = 'honeydew'))
+                  AND (("i_units" = 'Bunch')
+                     OR ("i_units" = 'Ton'))
+                  AND (("i_size" = 'N/A')
+                     OR ("i_size" = 'small')))
+               OR (("i_category" = 'Men')
+                  AND (("i_color" = 'floral')
+                     OR ("i_color" = 'deep'))
+                  AND (("i_units" = 'N/A')
+                     OR ("i_units" = 'Dozen'))
+                  AND (("i_size" = 'petite')
+                     OR ("i_size" = 'large')))
+               OR (("i_category" = 'Men')
+                  AND (("i_color" = 'light')
+                     OR ("i_color" = 'cornflower'))
+                  AND (("i_units" = 'Box')
+                     OR ("i_units" = 'Pound'))
+                  AND (("i_size" = 'medium')
+                     OR ("i_size" = 'extra large')))))
+         OR (("i_manufact" = "i1"."i_manufact")
+            AND ((("i_category" = 'Women')
+                  AND (("i_color" = 'midnight')
+                     OR ("i_color" = 'snow'))
+                  AND (("i_units" = 'Pallet')
+                     OR ("i_units" = 'Gross'))
+                  AND (("i_size" = 'medium')
+                     OR ("i_size" = 'extra large')))
+               OR (("i_category" = 'Women')
+                  AND (("i_color" = 'cyan')
+                     OR ("i_color" = 'papaya'))
+                  AND (("i_units" = 'Cup')
+                     OR ("i_units" = 'Dram'))
+                  AND (("i_size" = 'N/A')
+                     OR ("i_size" = 'small')))
+               OR (("i_category" = 'Men')
+                  AND (("i_color" = 'orange')
+                     OR ("i_color" = 'frosted'))
+                  AND (("i_units" = 'Each')
+                     OR ("i_units" = 'Tbl'))
+                  AND (("i_size" = 'petite')
+                     OR ("i_size" = 'large')))
+               OR (("i_category" = 'Men')
+                  AND (("i_color" = 'forest')
+                     OR ("i_color" = 'ghost'))
+                  AND (("i_units" = 'Lb')
+                     OR ("i_units" = 'Bundle'))
+                  AND (("i_size" = 'medium')
+                     OR ("i_size" = 'extra large')))))
+   ) > 0)
+ORDER BY "i_product_name" ASC
+LIMIT 100
+"""
+
+  val q45: String = """SELECT
+  "ca_zip"
+, "ca_city"
+, "sum"("ws_sales_price")
+FROM
+  ${database}.${schema}.web_sales
+, ${database}.${schema}.customer
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.item
+WHERE ("ws_bill_customer_sk" = "c_customer_sk")
+   AND ("c_current_addr_sk" = "ca_address_sk")
+   AND ("ws_item_sk" = "i_item_sk")
+   AND (("substr"("ca_zip", 1, 5) IN ('85669'   , '86197'   , '88274'   , '83405'   , '86475'   , '85392'   , '85460'   , '80348'   , '81792'))
+      OR ("i_item_id" IN (
+      SELECT "i_item_id"
+      FROM
+        ${database}.${schema}.item
+      WHERE ("i_item_sk" IN (2      , 3      , 5      , 7      , 11      , 13      , 17      , 19      , 23      , 29))
+   )))
+   AND ("ws_sold_date_sk" = "d_date_sk")
+   AND ("d_qoy" = 2)
+   AND ("d_year" = 2001)
+GROUP BY "ca_zip", "ca_city"
+ORDER BY "ca_zip" ASC, "ca_city" ASC
+LIMIT 100
+"""
+
+  val q46: String = """SELECT
+  "c_last_name"
+, "c_first_name"
+, "ca_city"
+, "bought_city"
+, "ss_ticket_number"
+, "amt"
+, "profit"
+FROM
+  (
+   SELECT
+     "ss_ticket_number"
+   , "ss_customer_sk"
+   , "ca_city" "bought_city"
+   , "sum"("ss_coupon_amt") "amt"
+   , "sum"("ss_net_profit") "profit"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   , ${database}.${schema}.household_demographics
+   , ${database}.${schema}.customer_address
+   WHERE ("store_sales"."ss_sold_date_sk" = "date_dim"."d_date_sk")
+      AND ("store_sales"."ss_store_sk" = "store"."s_store_sk")
+      AND ("store_sales"."ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("store_sales"."ss_addr_sk" = "customer_address"."ca_address_sk")
+      AND (("household_demographics"."hd_dep_count" = 4)
+         OR ("household_demographics"."hd_vehicle_count" = 3))
+      AND ("date_dim"."d_dow" IN (6   , 0))
+      AND ("date_dim"."d_year" IN (1999   , (1999 + 1)   , (1999 + 2)))
+      AND ("store"."s_city" IN ('Fairview'   , 'Midway'   , 'Fairview'   , 'Fairview'   , 'Fairview'))
+   GROUP BY "ss_ticket_number", "ss_customer_sk", "ss_addr_sk", "ca_city"
+)  dn
+, ${database}.${schema}.customer
+, ${database}.${schema}.customer_address current_addr
+WHERE ("ss_customer_sk" = "c_customer_sk")
+   AND ("customer"."c_current_addr_sk" = "current_addr"."ca_address_sk")
+   AND ("current_addr"."ca_city" <> "bought_city")
+ORDER BY "c_last_name" ASC, "c_first_name" ASC, "ca_city" ASC, "bought_city" ASC, "ss_ticket_number" ASC
+LIMIT 100
+"""
+
+  val q48: String = """SELECT "sum"("ss_quantity")
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.store
+, ${database}.${schema}.customer_demographics
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.date_dim
+WHERE ("s_store_sk" = "ss_store_sk")
+   AND ("ss_sold_date_sk" = "d_date_sk")
+   AND ("d_year" = 2000)
+   AND ((("cd_demo_sk" = "ss_cdemo_sk")
+         AND ("cd_marital_status" = 'M')
+         AND ("cd_education_status" = '4 yr Degree')
+         AND ("ss_sales_price" BETWEEN DECIMAL '100.00' AND DECIMAL '150.00'))
+      OR (("cd_demo_sk" = "ss_cdemo_sk")
+         AND ("cd_marital_status" = 'D')
+         AND ("cd_education_status" = '2 yr Degree')
+         AND ("ss_sales_price" BETWEEN DECIMAL '50.00' AND DECIMAL '100.00'))
+      OR (("cd_demo_sk" = "ss_cdemo_sk")
+         AND ("cd_marital_status" = 'S')
+         AND ("cd_education_status" = 'College')
+         AND ("ss_sales_price" BETWEEN DECIMAL '150.00' AND DECIMAL '200.00')))
+   AND ((("ss_addr_sk" = "ca_address_sk")
+         AND ("ca_country" = 'United States')
+         AND ("ca_state" IN ('CO'      , 'OH'      , 'TX'))
+         AND ("ss_net_profit" BETWEEN 0 AND 2000))
+      OR (("ss_addr_sk" = "ca_address_sk")
+         AND ("ca_country" = 'United States')
+         AND ("ca_state" IN ('OR'      , 'MN'      , 'KY'))
+         AND ("ss_net_profit" BETWEEN 150 AND 3000))
+      OR (("ss_addr_sk" = "ca_address_sk")
+         AND ("ca_country" = 'United States')
+         AND ("ca_state" IN ('VA'      , 'CA'      , 'MS'))
+         AND ("ss_net_profit" BETWEEN 50 AND 25000)))
+"""
+
+  val q49: String = """SELECT
+  'web' "channel"
+, "web"."item"
+, "web"."return_ratio"
+, "web"."return_rank"
+, "web"."currency_rank"
+FROM
+  (
+   SELECT
+     "item"
+   , "return_ratio"
+   , "currency_ratio"
+   , "rank"() OVER (ORDER BY "return_ratio" ASC) "return_rank"
+   , "rank"() OVER (ORDER BY "currency_ratio" ASC) "currency_rank"
+   FROM
+     (
+      SELECT
+        "ws"."ws_item_sk" "item"
+      , (CAST("sum"(COALESCE("wr"."wr_return_quantity", 0)) AS DECIMAL(15,4)) / CAST("sum"(COALESCE("ws"."ws_quantity", 0)) AS DECIMAL(15,4))) "return_ratio"
+      , (CAST("sum"(COALESCE("wr"."wr_return_amt", 0)) AS DECIMAL(15,4)) / CAST("sum"(COALESCE("ws"."ws_net_paid", 0)) AS DECIMAL(15,4))) "currency_ratio"
+      FROM
+        (${database}.${schema}.web_sales ws
+      LEFT JOIN ${database}.${schema}.web_returns wr ON ("ws"."ws_order_number" = "wr"."wr_order_number")
+         AND ("ws"."ws_item_sk" = "wr"."wr_item_sk"))
+      , ${database}.${schema}.date_dim
+      WHERE ("wr"."wr_return_amt" > 10000)
+         AND ("ws"."ws_net_profit" > 1)
+         AND ("ws"."ws_net_paid" > 0)
+         AND ("ws"."ws_quantity" > 0)
+         AND ("ws_sold_date_sk" = "d_date_sk")
+         AND ("d_year" = 2001)
+         AND ("d_moy" = 12)
+      GROUP BY "ws"."ws_item_sk"
+   )  in_web
+)  web
+WHERE ("web"."return_rank" <= 10)
+   OR ("web"."currency_rank" <= 10)
+UNION SELECT
+  'catalog' "channel"
+, "catalog"."item"
+, "catalog"."return_ratio"
+, "catalog"."return_rank"
+, "catalog"."currency_rank"
+FROM
+  (
+   SELECT
+     "item"
+   , "return_ratio"
+   , "currency_ratio"
+   , "rank"() OVER (ORDER BY "return_ratio" ASC) "return_rank"
+   , "rank"() OVER (ORDER BY "currency_ratio" ASC) "currency_rank"
+   FROM
+     (
+      SELECT
+        "cs"."cs_item_sk" "item"
+      , (CAST("sum"(COALESCE("cr"."cr_return_quantity", 0)) AS DECIMAL(15,4)) / CAST("sum"(COALESCE("cs"."cs_quantity", 0)) AS DECIMAL(15,4))) "return_ratio"
+      , (CAST("sum"(COALESCE("cr"."cr_return_amount", 0)) AS DECIMAL(15,4)) / CAST("sum"(COALESCE("cs"."cs_net_paid", 0)) AS DECIMAL(15,4))) "currency_ratio"
+      FROM
+        (${database}.${schema}.catalog_sales cs
+      LEFT JOIN ${database}.${schema}.catalog_returns cr ON ("cs"."cs_order_number" = "cr"."cr_order_number")
+         AND ("cs"."cs_item_sk" = "cr"."cr_item_sk"))
+      , ${database}.${schema}.date_dim
+      WHERE ("cr"."cr_return_amount" > 10000)
+         AND ("cs"."cs_net_profit" > 1)
+         AND ("cs"."cs_net_paid" > 0)
+         AND ("cs"."cs_quantity" > 0)
+         AND ("cs_sold_date_sk" = "d_date_sk")
+         AND ("d_year" = 2001)
+         AND ("d_moy" = 12)
+      GROUP BY "cs"."cs_item_sk"
+   )  in_cat
+)  "CATALOG"
+WHERE ("catalog"."return_rank" <= 10)
+   OR ("catalog"."currency_rank" <= 10)
+UNION SELECT
+  '${database}.${schema}.store' "channel"
+, "store"."item"
+, "store"."return_ratio"
+, "store"."return_rank"
+, "store"."currency_rank"
+FROM
+  (
+   SELECT
+     "item"
+   , "return_ratio"
+   , "currency_ratio"
+   , "rank"() OVER (ORDER BY "return_ratio" ASC) "return_rank"
+   , "rank"() OVER (ORDER BY "currency_ratio" ASC) "currency_rank"
+   FROM
+     (
+      SELECT
+        "sts"."ss_item_sk" "item"
+      , (CAST("sum"(COALESCE("sr"."sr_return_quantity", 0)) AS DECIMAL(15,4)) / CAST("sum"(COALESCE("sts"."ss_quantity", 0)) AS DECIMAL(15,4))) "return_ratio"
+      , (CAST("sum"(COALESCE("sr"."sr_return_amt", 0)) AS DECIMAL(15,4)) / CAST("sum"(COALESCE("sts"."ss_net_paid", 0)) AS DECIMAL(15,4))) "currency_ratio"
+      FROM
+        (${database}.${schema}.store_sales sts
+      LEFT JOIN ${database}.${schema}.store_returns sr ON ("sts"."ss_ticket_number" = "sr"."sr_ticket_number")
+         AND ("sts"."ss_item_sk" = "sr"."sr_item_sk"))
+      , ${database}.${schema}.date_dim
+      WHERE ("sr"."sr_return_amt" > 10000)
+         AND ("sts"."ss_net_profit" > 1)
+         AND ("sts"."ss_net_paid" > 0)
+         AND ("sts"."ss_quantity" > 0)
+         AND ("ss_sold_date_sk" = "d_date_sk")
+         AND ("d_year" = 2001)
+         AND ("d_moy" = 12)
+      GROUP BY "sts"."ss_item_sk"
+   )  in_store
+)  store
+WHERE ("store"."return_rank" <= 10)
+   OR ("store"."currency_rank" <= 10)
+ORDER BY 1 ASC, 4 ASC, 5 ASC, 2 ASC
+LIMIT 100
+"""
+
+  val q51: String = """WITH
+  web_v1 AS (
+   SELECT
+     "ws_item_sk" "item_sk"
+   , "d_date"
+   , "sum"("sum"("ws_sales_price")) OVER (PARTITION BY "ws_item_sk" ORDER BY "d_date" ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "cume_sales"
+   FROM
+     ${database}.${schema}.web_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("ws_sold_date_sk" = "d_date_sk")
+      AND ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+      AND ("ws_item_sk" IS NOT NULL)
+   GROUP BY "ws_item_sk", "d_date"
+) 
+, store_v1 AS (
+   SELECT
+     "ss_item_sk" "item_sk"
+   , "d_date"
+   , "sum"("sum"("ss_sales_price")) OVER (PARTITION BY "ss_item_sk" ORDER BY "d_date" ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "cume_sales"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+      AND ("ss_item_sk" IS NOT NULL)
+   GROUP BY "ss_item_sk", "d_date"
+) 
+SELECT *
+FROM
+  (
+   SELECT
+     "item_sk"
+   , "d_date"
+   , "web_sales"
+   , "store_sales"
+   , "max"("web_sales") OVER (PARTITION BY "item_sk" ORDER BY "d_date" ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "web_cumulative"
+   , "max"("store_sales") OVER (PARTITION BY "item_sk" ORDER BY "d_date" ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "store_cumulative"
+   FROM
+     (
+      SELECT
+        (CASE WHEN ("web"."item_sk" IS NOT NULL) THEN "web"."item_sk" ELSE "store"."item_sk" END) "item_sk"
+      , (CASE WHEN ("web"."d_date" IS NOT NULL) THEN "web"."d_date" ELSE "store"."d_date" END) "d_date"
+      , "web"."cume_sales" "web_sales"
+      , "store"."cume_sales" "store_sales"
+      FROM
+        (web_v1 web
+      FULL JOIN store_v1 store ON ("web"."item_sk" = "store"."item_sk")
+         AND ("web"."d_date" = "store"."d_date"))
+   )  x
+)  y
+WHERE ("web_cumulative" > "store_cumulative")
+ORDER BY "item_sk" ASC, "d_date" ASC
+LIMIT 100
+"""
+
+  val q53: String = """SELECT *
+FROM
+  (
+   SELECT
+     "i_manufact_id"
+   , "sum"("ss_sales_price") "sum_sales"
+   , "avg"("sum"("ss_sales_price")) OVER (PARTITION BY "i_manufact_id") "avg_quarterly_sales"
+   FROM
+     ${database}.${schema}.item
+   , ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_item_sk" = "i_item_sk")
+      AND ("ss_sold_date_sk" = "d_date_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("d_month_seq" IN (1200   , (1200 + 1)   , (1200 + 2)   , (1200 + 3)   , (1200 + 4)   , (1200 + 5)   , (1200 + 6)   , (1200 + 7)   , (1200 + 8)   , (1200 + 9)   , (1200 + 10)   , (1200 + 11)))
+      AND ((("i_category" IN ('Books'         , 'Children'         , 'Electronics'))
+            AND ("i_class" IN ('personal'         , 'portable'         , 'reference'         , 'self-help'))
+            AND ("i_brand" IN ('scholaramalgamalg #14'         , 'scholaramalgamalg #7'         , 'exportiunivamalg #9'         , 'scholaramalgamalg #9')))
+         OR (("i_category" IN ('Women'         , 'Music'         , 'Men'))
+            AND ("i_class" IN ('accessories'         , 'classical'         , 'fragrances'         , 'pants'))
+            AND ("i_brand" IN ('amalgimporto #1'         , 'edu packscholar #1'         , 'exportiimporto #1'         , 'importoamalg #1'))))
+   GROUP BY "i_manufact_id", "d_qoy"
+)  tmp1
+WHERE ((CASE WHEN ("avg_quarterly_sales" > 0) THEN ("abs"((CAST("sum_sales" AS DECIMAL(38,4)) - "avg_quarterly_sales")) / "avg_quarterly_sales") ELSE null END) > DECIMAL '0.1')
+ORDER BY "avg_quarterly_sales" ASC, "sum_sales" ASC, "i_manufact_id" ASC
+LIMIT 100
+"""
+
+  val q54: String = """WITH
+  my_customers AS (
+   SELECT DISTINCT
+     "c_customer_sk"
+   , "c_current_addr_sk"
+   FROM
+     (
+      SELECT
+        "cs_sold_date_sk" "sold_date_sk"
+      , "cs_bill_customer_sk" "customer_sk"
+      , "cs_item_sk" "item_sk"
+      FROM
+        ${database}.${schema}.catalog_sales
+UNION ALL       SELECT
+        "ws_sold_date_sk" "sold_date_sk"
+      , "ws_bill_customer_sk" "customer_sk"
+      , "ws_item_sk" "item_sk"
+      FROM
+        ${database}.${schema}.web_sales
+   )  cs_or_ws_sales
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.customer
+   WHERE ("sold_date_sk" = "d_date_sk")
+      AND ("item_sk" = "i_item_sk")
+      AND ("i_category" = 'Women')
+      AND ("i_class" = 'maternity')
+      AND ("c_customer_sk" = "cs_or_ws_sales"."customer_sk")
+      AND ("d_moy" = 12)
+      AND ("d_year" = 1998)
+) 
+, my_revenue AS (
+   SELECT
+     "c_customer_sk"
+   , "sum"("ss_ext_sales_price") "revenue"
+   FROM
+     my_customers
+   , ${database}.${schema}.store_sales
+   , ${database}.${schema}.customer_address
+   , ${database}.${schema}.store
+   , ${database}.${schema}.date_dim
+   WHERE ("c_current_addr_sk" = "ca_address_sk")
+      AND ("ca_county" = "s_county")
+      AND ("ca_state" = "s_state")
+      AND ("ss_sold_date_sk" = "d_date_sk")
+      AND ("c_customer_sk" = "ss_customer_sk")
+      AND ("d_month_seq" BETWEEN (
+      SELECT DISTINCT ("d_month_seq" + 1)
+      FROM
+        ${database}.${schema}.date_dim
+      WHERE ("d_year" = 1998)
+         AND ("d_moy" = 12)
+   ) AND (
+      SELECT DISTINCT ("d_month_seq" + 3)
+      FROM
+        ${database}.${schema}.date_dim
+      WHERE ("d_year" = 1998)
+         AND ("d_moy" = 12)
+   ))
+   GROUP BY "c_customer_sk"
+) 
+, segments AS (
+   SELECT CAST(("revenue" / 50) AS INTEGER) "segment"
+   FROM
+     my_revenue
+) 
+SELECT
+  "segment"
+, "count"(*) "num_customers"
+, ("segment" * 50) "segment_base"
+FROM
+  segments
+GROUP BY "segment"
+ORDER BY "segment" ASC, "num_customers" ASC
+LIMIT 100
+"""
+
+  val q58: String = """WITH
+  ss_items AS (
+   SELECT
+     "i_item_id" "item_id"
+   , "sum"("ss_ext_sales_price") "ss_item_rev"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   WHERE ("ss_item_sk" = "i_item_sk")
+      AND ("d_date" IN (
+      SELECT "d_date"
+      FROM
+        ${database}.${schema}.date_dim
+      WHERE ("d_week_seq" = (
+            SELECT "d_week_seq"
+            FROM
+              ${database}.${schema}.date_dim
+            WHERE ("d_date" = CAST('2000-01-03' AS DATE))
+         ))
+   ))
+      AND ("ss_sold_date_sk" = "d_date_sk")
+   GROUP BY "i_item_id"
+) 
+, cs_items AS (
+   SELECT
+     "i_item_id" "item_id"
+   , "sum"("cs_ext_sales_price") "cs_item_rev"
+   FROM
+     ${database}.${schema}.catalog_sales
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   WHERE ("cs_item_sk" = "i_item_sk")
+      AND ("d_date" IN (
+      SELECT "d_date"
+      FROM
+        ${database}.${schema}.date_dim
+      WHERE ("d_week_seq" = (
+            SELECT "d_week_seq"
+            FROM
+              ${database}.${schema}.date_dim
+            WHERE ("d_date" = CAST('2000-01-03' AS DATE))
+         ))
+   ))
+      AND ("cs_sold_date_sk" = "d_date_sk")
+   GROUP BY "i_item_id"
+) 
+, ws_items AS (
+   SELECT
+     "i_item_id" "item_id"
+   , "sum"("ws_ext_sales_price") "ws_item_rev"
+   FROM
+     ${database}.${schema}.web_sales
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   WHERE ("ws_item_sk" = "i_item_sk")
+      AND ("d_date" IN (
+      SELECT "d_date"
+      FROM
+        ${database}.${schema}.date_dim
+      WHERE ("d_week_seq" = (
+            SELECT "d_week_seq"
+            FROM
+              ${database}.${schema}.date_dim
+            WHERE ("d_date" = CAST('2000-01-03' AS DATE))
+         ))
+   ))
+      AND ("ws_sold_date_sk" = "d_date_sk")
+   GROUP BY "i_item_id"
+) 
+SELECT
+  "ss_items"."item_id"
+, "ss_item_rev"
+, CAST(((("ss_item_rev" / ((CAST("ss_item_rev" AS DECIMAL(16,7)) + "cs_item_rev") + "ws_item_rev")) / 3) * 100) AS DECIMAL(7,2)) "ss_dev"
+, "cs_item_rev"
+, CAST(((("cs_item_rev" / ((CAST("ss_item_rev" AS DECIMAL(16,7)) + "cs_item_rev") + "ws_item_rev")) / 3) * 100) AS DECIMAL(7,2)) "cs_dev"
+, "ws_item_rev"
+, CAST(((("ws_item_rev" / ((CAST("ss_item_rev" AS DECIMAL(16,7)) + "cs_item_rev") + "ws_item_rev")) / 3) * 100) AS DECIMAL(7,2)) "ws_dev"
+, ((("ss_item_rev" + "cs_item_rev") + "ws_item_rev") / 3) "average"
+FROM
+  ss_items
+, cs_items
+, ws_items
+WHERE ("ss_items"."item_id" = "cs_items"."item_id")
+   AND ("ss_items"."item_id" = "ws_items"."item_id")
+   AND ("ss_item_rev" BETWEEN (DECIMAL '0.9' * "cs_item_rev") AND (DECIMAL '1.1' * "cs_item_rev"))
+   AND ("ss_item_rev" BETWEEN (DECIMAL '0.9' * "ws_item_rev") AND (DECIMAL '1.1' * "ws_item_rev"))
+   AND ("cs_item_rev" BETWEEN (DECIMAL '0.9' * "ss_item_rev") AND (DECIMAL '1.1' * "ss_item_rev"))
+   AND ("cs_item_rev" BETWEEN (DECIMAL '0.9' * "ws_item_rev") AND (DECIMAL '1.1' * "ws_item_rev"))
+   AND ("ws_item_rev" BETWEEN (DECIMAL '0.9' * "ss_item_rev") AND (DECIMAL '1.1' * "ss_item_rev"))
+   AND ("ws_item_rev" BETWEEN (DECIMAL '0.9' * "cs_item_rev") AND (DECIMAL '1.1' * "cs_item_rev"))
+ORDER BY "ss_items"."item_id" ASC, "ss_item_rev" ASC
+LIMIT 100
+"""
+
+  val q63: String = """SELECT *
+FROM
+  (
+   SELECT
+     "i_manager_id"
+   , "sum"("ss_sales_price") "sum_sales"
+   , "avg"("sum"("ss_sales_price")) OVER (PARTITION BY "i_manager_id") "avg_monthly_sales"
+   FROM
+     ${database}.${schema}.item
+   , ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_item_sk" = "i_item_sk")
+      AND ("ss_sold_date_sk" = "d_date_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("d_month_seq" IN (1200   , (1200 + 1)   , (1200 + 2)   , (1200 + 3)   , (1200 + 4)   , (1200 + 5)   , (1200 + 6)   , (1200 + 7)   , (1200 + 8)   , (1200 + 9)   , (1200 + 10)   , (1200 + 11)))
+      AND ((("i_category" IN ('Books'         , 'Children'         , 'Electronics'))
+            AND ("i_class" IN ('personal'         , 'portable'         , 'refernece'         , 'self-help'))
+            AND ("i_brand" IN ('scholaramalgamalg #14'         , 'scholaramalgamalg #7'         , 'exportiunivamalg #9'         , 'scholaramalgamalg #9')))
+         OR (("i_category" IN ('Women'         , 'Music'         , 'Men'))
+            AND ("i_class" IN ('accessories'         , 'classical'         , 'fragrances'         , 'pants'))
+            AND ("i_brand" IN ('amalgimporto #1'         , 'edu packscholar #1'         , 'exportiimporto #1'         , 'importoamalg #1'))))
+   GROUP BY "i_manager_id", "d_moy"
+)  tmp1
+WHERE ((CASE WHEN ("avg_monthly_sales" > 0) THEN ("abs"(("sum_sales" - "avg_monthly_sales")) / "avg_monthly_sales") ELSE null END) > DECIMAL '0.1')
+ORDER BY "i_manager_id" ASC, "avg_monthly_sales" ASC, "sum_sales" ASC
+LIMIT 100
+"""
+
+  val q64: String = """WITH
+  cs_ui AS (
+   SELECT
+     "cs_item_sk"
+   , "sum"("cs_ext_list_price") "sale"
+   , "sum"((("cr_refunded_cash" + "cr_reversed_charge") + "cr_store_credit")) "refund"
+   FROM
+     ${database}.${schema}.catalog_sales
+   , ${database}.${schema}.catalog_returns
+   WHERE ("cs_item_sk" = "cr_item_sk")
+      AND ("cs_order_number" = "cr_order_number")
+   GROUP BY "cs_item_sk"
+   HAVING ("sum"("cs_ext_list_price") > (2 * "sum"((("cr_refunded_cash" + "cr_reversed_charge") + "cr_store_credit"))))
+) 
+, cross_sales AS (
+   SELECT
+     "i_product_name" "product_name"
+   , "i_item_sk" "item_sk"
+   , "s_store_name" "store_name"
+   , "s_zip" "store_zip"
+   , "ad1"."ca_street_number" "b_street_number"
+   , "ad1"."ca_street_name" "b_street_name"
+   , "ad1"."ca_city" "b_city"
+   , "ad1"."ca_zip" "b_zip"
+   , "ad2"."ca_street_number" "c_street_number"
+   , "ad2"."ca_street_name" "c_street_name"
+   , "ad2"."ca_city" "c_city"
+   , "ad2"."ca_zip" "c_zip"
+   , "d1"."d_year" "syear"
+   , "d2"."d_year" "fsyear"
+   , "d3"."d_year" "s2year"
+   , "count"(*) "cnt"
+   , "sum"("ss_wholesale_cost") "s1"
+   , "sum"("ss_list_price") "s2"
+   , "sum"("ss_coupon_amt") "s3"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.store_returns
+   , cs_ui
+   , ${database}.${schema}.date_dim d1
+   , ${database}.${schema}.date_dim d2
+   , ${database}.${schema}.date_dim d3
+   , ${database}.${schema}.store
+   , ${database}.${schema}.customer
+   , ${database}.${schema}.customer_demographics cd1
+   , ${database}.${schema}.customer_demographics cd2
+   , ${database}.${schema}.promotion
+   , ${database}.${schema}.household_demographics hd1
+   , ${database}.${schema}.household_demographics hd2
+   , ${database}.${schema}.customer_address ad1
+   , ${database}.${schema}.customer_address ad2
+   , ${database}.${schema}.income_band ib1
+   , ${database}.${schema}.income_band ib2
+   , ${database}.${schema}.item
+   WHERE ("ss_store_sk" = "s_store_sk")
+      AND ("ss_sold_date_sk" = "d1"."d_date_sk")
+      AND ("ss_customer_sk" = "c_customer_sk")
+      AND ("ss_cdemo_sk" = "cd1"."cd_demo_sk")
+      AND ("ss_hdemo_sk" = "hd1"."hd_demo_sk")
+      AND ("ss_addr_sk" = "ad1"."ca_address_sk")
+      AND ("ss_item_sk" = "i_item_sk")
+      AND ("ss_item_sk" = "sr_item_sk")
+      AND ("ss_ticket_number" = "sr_ticket_number")
+      AND ("ss_item_sk" = "cs_ui"."cs_item_sk")
+      AND ("c_current_cdemo_sk" = "cd2"."cd_demo_sk")
+      AND ("c_current_hdemo_sk" = "hd2"."hd_demo_sk")
+      AND ("c_current_addr_sk" = "ad2"."ca_address_sk")
+      AND ("c_first_sales_date_sk" = "d2"."d_date_sk")
+      AND ("c_first_shipto_date_sk" = "d3"."d_date_sk")
+      AND ("ss_promo_sk" = "p_promo_sk")
+      AND ("hd1"."hd_income_band_sk" = "ib1"."ib_income_band_sk")
+      AND ("hd2"."hd_income_band_sk" = "ib2"."ib_income_band_sk")
+      AND ("cd1"."cd_marital_status" <> "cd2"."cd_marital_status")
+      AND ("i_color" IN ('purple'   , 'burlywood'   , 'indian'   , 'spring'   , 'floral'   , 'medium'))
+      AND ("i_current_price" BETWEEN 64 AND (64 + 10))
+      AND ("i_current_price" BETWEEN (64 + 1) AND (64 + 15))
+   GROUP BY "i_product_name", "i_item_sk", "s_store_name", "s_zip", "ad1"."ca_street_number", "ad1"."ca_street_name", "ad1"."ca_city", "ad1"."ca_zip", "ad2"."ca_street_number", "ad2"."ca_street_name", "ad2"."ca_city", "ad2"."ca_zip", "d1"."d_year", "d2"."d_year", "d3"."d_year"
+) 
+SELECT
+  "cs1"."product_name"
+, "cs1"."store_name"
+, "cs1"."store_zip"
+, "cs1"."b_street_number"
+, "cs1"."b_street_name"
+, "cs1"."b_city"
+, "cs1"."b_zip"
+, "cs1"."c_street_number"
+, "cs1"."c_street_name"
+, "cs1"."c_city"
+, "cs1"."c_zip"
+, "cs1"."syear"
+, "cs1"."cnt"
+, "cs1"."s1" "s11"
+, "cs1"."s2" "s21"
+, "cs1"."s3" "s31"
+, "cs2"."s1" "s12"
+, "cs2"."s2" "s22"
+, "cs2"."s3" "s32"
+, "cs2"."syear"
+, "cs2"."cnt"
+FROM
+  cross_sales cs1
+, cross_sales cs2
+WHERE ("cs1"."item_sk" = "cs2"."item_sk")
+   AND ("cs1"."syear" = 1999)
+   AND ("cs2"."syear" = (1999 + 1))
+   AND ("cs2"."cnt" <= "cs1"."cnt")
+   AND ("cs1"."store_name" = "cs2"."store_name")
+   AND ("cs1"."store_zip" = "cs2"."store_zip")
+ORDER BY "cs1"."product_name" ASC, "cs1"."store_name" ASC, "cs2"."cnt" ASC, 14, 15, 16, 17, 18
+"""
+
+  val q65: String = """SELECT
+  "s_store_name"
+, "i_item_desc"
+, "sc"."revenue"
+, "i_current_price"
+, "i_wholesale_cost"
+, "i_brand"
+FROM
+  ${database}.${schema}.store
+, ${database}.${schema}.item
+, (
+   SELECT
+     "ss_store_sk"
+   , "avg"("revenue") "ave"
+   FROM
+     (
+      SELECT
+        "ss_store_sk"
+      , "ss_item_sk"
+      , "sum"("ss_sales_price") "revenue"
+      FROM
+        ${database}.${schema}.store_sales
+      , ${database}.${schema}.date_dim
+      WHERE ("ss_sold_date_sk" = "d_date_sk")
+         AND ("d_month_seq" BETWEEN 1176 AND (1176 + 11))
+      GROUP BY "ss_store_sk", "ss_item_sk"
+   )  sa
+   GROUP BY "ss_store_sk"
+)  sb
+, (
+   SELECT
+     "ss_store_sk"
+   , "ss_item_sk"
+   , "sum"("ss_sales_price") "revenue"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND ("d_month_seq" BETWEEN 1176 AND (1176 + 11))
+   GROUP BY "ss_store_sk", "ss_item_sk"
+)  sc
+WHERE ("sb"."ss_store_sk" = "sc"."ss_store_sk")
+   AND ("sc"."revenue" <= (DECIMAL '0.1' * "sb"."ave"))
+   AND ("s_store_sk" = "sc"."ss_store_sk")
+   AND ("i_item_sk" = "sc"."ss_item_sk")
+ORDER BY "s_store_name" ASC, "i_item_desc" ASC
+LIMIT 100
+"""
+
+  val q66: String = """SELECT
+  "w_warehouse_name"
+, "w_warehouse_sq_ft"
+, "w_city"
+, "w_county"
+, "w_state"
+, "w_country"
+, "ship_carriers"
+, "year"
+, "sum"("jan_sales") "jan_sales"
+, "sum"("feb_sales") "feb_sales"
+, "sum"("mar_sales") "mar_sales"
+, "sum"("apr_sales") "apr_sales"
+, "sum"("may_sales") "may_sales"
+, "sum"("jun_sales") "jun_sales"
+, "sum"("jul_sales") "jul_sales"
+, "sum"("aug_sales") "aug_sales"
+, "sum"("sep_sales") "sep_sales"
+, "sum"("oct_sales") "oct_sales"
+, "sum"("nov_sales") "nov_sales"
+, "sum"("dec_sales") "dec_sales"
+, "sum"(("jan_sales" / "w_warehouse_sq_ft")) "jan_sales_per_sq_foot"
+, "sum"(("feb_sales" / "w_warehouse_sq_ft")) "feb_sales_per_sq_foot"
+, "sum"(("mar_sales" / "w_warehouse_sq_ft")) "mar_sales_per_sq_foot"
+, "sum"(("apr_sales" / "w_warehouse_sq_ft")) "apr_sales_per_sq_foot"
+, "sum"(("may_sales" / "w_warehouse_sq_ft")) "may_sales_per_sq_foot"
+, "sum"(("jun_sales" / "w_warehouse_sq_ft")) "jun_sales_per_sq_foot"
+, "sum"(("jul_sales" / "w_warehouse_sq_ft")) "jul_sales_per_sq_foot"
+, "sum"(("aug_sales" / "w_warehouse_sq_ft")) "aug_sales_per_sq_foot"
+, "sum"(("sep_sales" / "w_warehouse_sq_ft")) "sep_sales_per_sq_foot"
+, "sum"(("oct_sales" / "w_warehouse_sq_ft")) "oct_sales_per_sq_foot"
+, "sum"(("nov_sales" / "w_warehouse_sq_ft")) "nov_sales_per_sq_foot"
+, "sum"(("dec_sales" / "w_warehouse_sq_ft")) "dec_sales_per_sq_foot"
+, "sum"("jan_net") "jan_net"
+, "sum"("feb_net") "feb_net"
+, "sum"("mar_net") "mar_net"
+, "sum"("apr_net") "apr_net"
+, "sum"("may_net") "may_net"
+, "sum"("jun_net") "jun_net"
+, "sum"("jul_net") "jul_net"
+, "sum"("aug_net") "aug_net"
+, "sum"("sep_net") "sep_net"
+, "sum"("oct_net") "oct_net"
+, "sum"("nov_net") "nov_net"
+, "sum"("dec_net") "dec_net"
+FROM
+(
+      SELECT
+        "w_warehouse_name"
+      , "w_warehouse_sq_ft"
+      , "w_city"
+      , "w_county"
+      , "w_state"
+      , "w_country"
+      , "concat"("concat"('DHL', ','), 'BARIAN') "ship_carriers"
+      , "d_year" "YEAR"
+      , "sum"((CASE WHEN ("d_moy" = 1) THEN ("ws_ext_sales_price" * "ws_quantity") ELSE 0 END)) "jan_sales"
+      , "sum"((CASE WHEN ("d_moy" = 2) THEN ("ws_ext_sales_price" * "ws_quantity") ELSE 0 END)) "feb_sales"
+      , "sum"((CASE WHEN ("d_moy" = 3) THEN ("ws_ext_sales_price" * "ws_quantity") ELSE 0 END)) "mar_sales"
+      , "sum"((CASE WHEN ("d_moy" = 4) THEN ("ws_ext_sales_price" * "ws_quantity") ELSE 0 END)) "apr_sales"
+      , "sum"((CASE WHEN ("d_moy" = 5) THEN ("ws_ext_sales_price" * "ws_quantity") ELSE 0 END)) "may_sales"
+      , "sum"((CASE WHEN ("d_moy" = 6) THEN ("ws_ext_sales_price" * "ws_quantity") ELSE 0 END)) "jun_sales"
+      , "sum"((CASE WHEN ("d_moy" = 7) THEN ("ws_ext_sales_price" * "ws_quantity") ELSE 0 END)) "jul_sales"
+      , "sum"((CASE WHEN ("d_moy" = 8) THEN ("ws_ext_sales_price" * "ws_quantity") ELSE 0 END)) "aug_sales"
+      , "sum"((CASE WHEN ("d_moy" = 9) THEN ("ws_ext_sales_price" * "ws_quantity") ELSE 0 END)) "sep_sales"
+      , "sum"((CASE WHEN ("d_moy" = 10) THEN ("ws_ext_sales_price" * "ws_quantity") ELSE 0 END)) "oct_sales"
+      , "sum"((CASE WHEN ("d_moy" = 11) THEN ("ws_ext_sales_price" * "ws_quantity") ELSE 0 END)) "nov_sales"
+      , "sum"((CASE WHEN ("d_moy" = 12) THEN ("ws_ext_sales_price" * "ws_quantity") ELSE 0 END)) "dec_sales"
+      , "sum"((CASE WHEN ("d_moy" = 1) THEN ("ws_net_paid" * "ws_quantity") ELSE 0 END)) "jan_net"
+      , "sum"((CASE WHEN ("d_moy" = 2) THEN ("ws_net_paid" * "ws_quantity") ELSE 0 END)) "feb_net"
+      , "sum"((CASE WHEN ("d_moy" = 3) THEN ("ws_net_paid" * "ws_quantity") ELSE 0 END)) "mar_net"
+      , "sum"((CASE WHEN ("d_moy" = 4) THEN ("ws_net_paid" * "ws_quantity") ELSE 0 END)) "apr_net"
+      , "sum"((CASE WHEN ("d_moy" = 5) THEN ("ws_net_paid" * "ws_quantity") ELSE 0 END)) "may_net"
+      , "sum"((CASE WHEN ("d_moy" = 6) THEN ("ws_net_paid" * "ws_quantity") ELSE 0 END)) "jun_net"
+      , "sum"((CASE WHEN ("d_moy" = 7) THEN ("ws_net_paid" * "ws_quantity") ELSE 0 END)) "jul_net"
+      , "sum"((CASE WHEN ("d_moy" = 8) THEN ("ws_net_paid" * "ws_quantity") ELSE 0 END)) "aug_net"
+      , "sum"((CASE WHEN ("d_moy" = 9) THEN ("ws_net_paid" * "ws_quantity") ELSE 0 END)) "sep_net"
+      , "sum"((CASE WHEN ("d_moy" = 10) THEN ("ws_net_paid" * "ws_quantity") ELSE 0 END)) "oct_net"
+      , "sum"((CASE WHEN ("d_moy" = 11) THEN ("ws_net_paid" * "ws_quantity") ELSE 0 END)) "nov_net"
+      , "sum"((CASE WHEN ("d_moy" = 12) THEN ("ws_net_paid" * "ws_quantity") ELSE 0 END)) "dec_net"
+      FROM
+        ${database}.${schema}.web_sales
+      , ${database}.${schema}.warehouse
+      , ${database}.${schema}.date_dim
+      , ${database}.${schema}.time_dim
+      , ${database}.${schema}.ship_mode
+      WHERE ("ws_warehouse_sk" = "w_warehouse_sk")
+         AND ("ws_sold_date_sk" = "d_date_sk")
+         AND ("ws_sold_time_sk" = "t_time_sk")
+         AND ("ws_ship_mode_sk" = "sm_ship_mode_sk")
+         AND ("d_year" = 2001)
+         AND ("t_time" BETWEEN 30838 AND (30838 + 28800))
+         AND ("sm_carrier" IN ('DHL'      , 'BARIAN'))
+      GROUP BY "w_warehouse_name", "w_warehouse_sq_ft", "w_city", "w_county", "w_state", "w_country", "d_year"
+   UNION ALL
+      SELECT
+        "w_warehouse_name"
+      , "w_warehouse_sq_ft"
+      , "w_city"
+      , "w_county"
+      , "w_state"
+      , "w_country"
+      , "concat"("concat"('DHL', ','), 'BARIAN') "ship_carriers"
+      , "d_year" "YEAR"
+      , "sum"((CASE WHEN ("d_moy" = 1) THEN ("cs_sales_price" * "cs_quantity") ELSE 0 END)) "jan_sales"
+      , "sum"((CASE WHEN ("d_moy" = 2) THEN ("cs_sales_price" * "cs_quantity") ELSE 0 END)) "feb_sales"
+      , "sum"((CASE WHEN ("d_moy" = 3) THEN ("cs_sales_price" * "cs_quantity") ELSE 0 END)) "mar_sales"
+      , "sum"((CASE WHEN ("d_moy" = 4) THEN ("cs_sales_price" * "cs_quantity") ELSE 0 END)) "apr_sales"
+      , "sum"((CASE WHEN ("d_moy" = 5) THEN ("cs_sales_price" * "cs_quantity") ELSE 0 END)) "may_sales"
+      , "sum"((CASE WHEN ("d_moy" = 6) THEN ("cs_sales_price" * "cs_quantity") ELSE 0 END)) "jun_sales"
+      , "sum"((CASE WHEN ("d_moy" = 7) THEN ("cs_sales_price" * "cs_quantity") ELSE 0 END)) "jul_sales"
+      , "sum"((CASE WHEN ("d_moy" = 8) THEN ("cs_sales_price" * "cs_quantity") ELSE 0 END)) "aug_sales"
+      , "sum"((CASE WHEN ("d_moy" = 9) THEN ("cs_sales_price" * "cs_quantity") ELSE 0 END)) "sep_sales"
+      , "sum"((CASE WHEN ("d_moy" = 10) THEN ("cs_sales_price" * "cs_quantity") ELSE 0 END)) "oct_sales"
+      , "sum"((CASE WHEN ("d_moy" = 11) THEN ("cs_sales_price" * "cs_quantity") ELSE 0 END)) "nov_sales"
+      , "sum"((CASE WHEN ("d_moy" = 12) THEN ("cs_sales_price" * "cs_quantity") ELSE 0 END)) "dec_sales"
+      , "sum"((CASE WHEN ("d_moy" = 1) THEN ("cs_net_paid_inc_tax" * "cs_quantity") ELSE 0 END)) "jan_net"
+      , "sum"((CASE WHEN ("d_moy" = 2) THEN ("cs_net_paid_inc_tax" * "cs_quantity") ELSE 0 END)) "feb_net"
+      , "sum"((CASE WHEN ("d_moy" = 3) THEN ("cs_net_paid_inc_tax" * "cs_quantity") ELSE 0 END)) "mar_net"
+      , "sum"((CASE WHEN ("d_moy" = 4) THEN ("cs_net_paid_inc_tax" * "cs_quantity") ELSE 0 END)) "apr_net"
+      , "sum"((CASE WHEN ("d_moy" = 5) THEN ("cs_net_paid_inc_tax" * "cs_quantity") ELSE 0 END)) "may_net"
+      , "sum"((CASE WHEN ("d_moy" = 6) THEN ("cs_net_paid_inc_tax" * "cs_quantity") ELSE 0 END)) "jun_net"
+      , "sum"((CASE WHEN ("d_moy" = 7) THEN ("cs_net_paid_inc_tax" * "cs_quantity") ELSE 0 END)) "jul_net"
+      , "sum"((CASE WHEN ("d_moy" = 8) THEN ("cs_net_paid_inc_tax" * "cs_quantity") ELSE 0 END)) "aug_net"
+      , "sum"((CASE WHEN ("d_moy" = 9) THEN ("cs_net_paid_inc_tax" * "cs_quantity") ELSE 0 END)) "sep_net"
+      , "sum"((CASE WHEN ("d_moy" = 10) THEN ("cs_net_paid_inc_tax" * "cs_quantity") ELSE 0 END)) "oct_net"
+      , "sum"((CASE WHEN ("d_moy" = 11) THEN ("cs_net_paid_inc_tax" * "cs_quantity") ELSE 0 END)) "nov_net"
+      , "sum"((CASE WHEN ("d_moy" = 12) THEN ("cs_net_paid_inc_tax" * "cs_quantity") ELSE 0 END)) "dec_net"
+      FROM
+        ${database}.${schema}.catalog_sales
+      , ${database}.${schema}.warehouse
+      , ${database}.${schema}.date_dim
+      , ${database}.${schema}.time_dim
+      , ${database}.${schema}.ship_mode
+      WHERE ("cs_warehouse_sk" = "w_warehouse_sk")
+         AND ("cs_sold_date_sk" = "d_date_sk")
+         AND ("cs_sold_time_sk" = "t_time_sk")
+         AND ("cs_ship_mode_sk" = "sm_ship_mode_sk")
+         AND ("d_year" = 2001)
+         AND ("t_time" BETWEEN 30838 AND (30838 + 28800))
+         AND ("sm_carrier" IN ('DHL'      , 'BARIAN'))
+      GROUP BY "w_warehouse_name", "w_warehouse_sq_ft", "w_city", "w_county", "w_state", "w_country", "d_year"
+   )  x
+GROUP BY "w_warehouse_name", "w_warehouse_sq_ft", "w_city", "w_county", "w_state", "w_country", "ship_carriers", "year"
+ORDER BY "w_warehouse_name" ASC
+LIMIT 100
+"""
+
+  val q67: String = """SELECT *
+FROM
+  (
+   SELECT
+     "i_category"
+   , "i_class"
+   , "i_brand"
+   , "i_product_name"
+   , "d_year"
+   , "d_qoy"
+   , "d_moy"
+   , "s_store_id"
+   , "sumsales"
+   , "rank"() OVER (PARTITION BY "i_category" ORDER BY "sumsales" DESC) "rk"
+   FROM
+     (
+      SELECT
+        "i_category"
+      , "i_class"
+      , "i_brand"
+      , "i_product_name"
+      , "d_year"
+      , "d_qoy"
+      , "d_moy"
+      , "s_store_id"
+      , "sum"(COALESCE(("ss_sales_price" * "ss_quantity"), 0)) "sumsales"
+      FROM
+        ${database}.${schema}.store_sales
+      , ${database}.${schema}.date_dim
+      , ${database}.${schema}.store
+      , ${database}.${schema}.item
+      WHERE ("ss_sold_date_sk" = "d_date_sk")
+         AND ("ss_item_sk" = "i_item_sk")
+         AND ("ss_store_sk" = "s_store_sk")
+         AND ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+      GROUP BY ROLLUP (i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy, s_store_id)
+   )  dw1
+)  dw2
+WHERE ("rk" <= 100)
+ORDER BY "i_category" ASC, "i_class" ASC, "i_brand" ASC, "i_product_name" ASC, "d_year" ASC, "d_qoy" ASC, "d_moy" ASC, "s_store_id" ASC, "sumsales" ASC, "rk" ASC
+LIMIT 100
+"""
+
+  val q68: String = """SELECT
+  "c_last_name"
+, "c_first_name"
+, "ca_city"
+, "bought_city"
+, "ss_ticket_number"
+, "extended_price"
+, "extended_tax"
+, "list_price"
+FROM
+  (
+   SELECT
+     "ss_ticket_number"
+   , "ss_customer_sk"
+   , "ca_city" "bought_city"
+   , "sum"("ss_ext_sales_price") "extended_price"
+   , "sum"("ss_ext_list_price") "list_price"
+   , "sum"("ss_ext_tax") "extended_tax"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   , ${database}.${schema}.household_demographics
+   , ${database}.${schema}.customer_address
+   WHERE ("store_sales"."ss_sold_date_sk" = "date_dim"."d_date_sk")
+      AND ("store_sales"."ss_store_sk" = "store"."s_store_sk")
+      AND ("store_sales"."ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("store_sales"."ss_addr_sk" = "customer_address"."ca_address_sk")
+      AND ("date_dim"."d_dom" BETWEEN 1 AND 2)
+      AND (("household_demographics"."hd_dep_count" = 4)
+         OR ("household_demographics"."hd_vehicle_count" = 3))
+      AND ("date_dim"."d_year" IN (1999   , (1999 + 1)   , (1999 + 2)))
+      AND ("store"."s_city" IN ('Midway'   , 'Fairview'))
+   GROUP BY "ss_ticket_number", "ss_customer_sk", "ss_addr_sk", "ca_city"
+)  dn
+, ${database}.${schema}.customer
+, ${database}.${schema}.customer_address current_addr
+WHERE ("ss_customer_sk" = "c_customer_sk")
+   AND ("customer"."c_current_addr_sk" = "current_addr"."ca_address_sk")
+   AND ("current_addr"."ca_city" <> "bought_city")
+ORDER BY "c_last_name" ASC, "ss_ticket_number" ASC
+LIMIT 100
+"""
+
+  val q71: String = """SELECT
+  "i_brand_id" "brand_id"
+, "i_brand" "brand"
+, "t_hour"
+, "t_minute"
+, "sum"("ext_price") "ext_price"
+FROM
+  ${database}.${schema}.item
+, (
+   SELECT
+     "ws_ext_sales_price" "ext_price"
+   , "ws_sold_date_sk" "sold_date_sk"
+   , "ws_item_sk" "sold_item_sk"
+   , "ws_sold_time_sk" "time_sk"
+   FROM
+     ${database}.${schema}.web_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("d_date_sk" = "ws_sold_date_sk")
+      AND ("d_moy" = 11)
+      AND ("d_year" = 1999)
+UNION ALL    SELECT
+     "cs_ext_sales_price" "ext_price"
+   , "cs_sold_date_sk" "sold_date_sk"
+   , "cs_item_sk" "sold_item_sk"
+   , "cs_sold_time_sk" "time_sk"
+   FROM
+     ${database}.${schema}.catalog_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("d_date_sk" = "cs_sold_date_sk")
+      AND ("d_moy" = 11)
+      AND ("d_year" = 1999)
+UNION ALL    SELECT
+     "ss_ext_sales_price" "ext_price"
+   , "ss_sold_date_sk" "sold_date_sk"
+   , "ss_item_sk" "sold_item_sk"
+   , "ss_sold_time_sk" "time_sk"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("d_date_sk" = "ss_sold_date_sk")
+      AND ("d_moy" = 11)
+      AND ("d_year" = 1999)
+)  tmp
+, ${database}.${schema}.time_dim
+WHERE ("sold_item_sk" = "i_item_sk")
+   AND ("i_manager_id" = 1)
+   AND ("time_sk" = "t_time_sk")
+   AND (("t_meal_time" = 'breakfast')
+      OR ("t_meal_time" = 'dinner'))
+GROUP BY "i_brand", "i_brand_id", "t_hour", "t_minute"
+ORDER BY "ext_price" DESC, "i_brand_id" ASC
+"""
+
+  val q72: String = """SELECT
+  "i_item_desc"
+, "w_warehouse_name"
+, "d1"."d_week_seq"
+, "sum"((CASE WHEN ("p_promo_sk" IS NULL) THEN 1 ELSE 0 END)) "no_promo"
+, "sum"((CASE WHEN ("p_promo_sk" IS NOT NULL) THEN 1 ELSE 0 END)) "promo"
+, "count"(*) "total_cnt"
+FROM
+  ((((((((((${database}.${schema}.catalog_sales
+INNER JOIN ${database}.${schema}.inventory ON ("cs_item_sk" = "inv_item_sk"))
+INNER JOIN ${database}.${schema}.warehouse ON ("w_warehouse_sk" = "inv_warehouse_sk"))
+INNER JOIN ${database}.${schema}.item ON ("i_item_sk" = "cs_item_sk"))
+INNER JOIN ${database}.${schema}.customer_demographics ON ("cs_bill_cdemo_sk" = "cd_demo_sk"))
+INNER JOIN ${database}.${schema}.household_demographics ON ("cs_bill_hdemo_sk" = "hd_demo_sk"))
+INNER JOIN ${database}.${schema}.date_dim d1 ON ("cs_sold_date_sk" = "d1"."d_date_sk"))
+INNER JOIN ${database}.${schema}.date_dim d2 ON ("inv_date_sk" = "d2"."d_date_sk"))
+INNER JOIN ${database}.${schema}.date_dim d3 ON ("cs_ship_date_sk" = "d3"."d_date_sk"))
+LEFT JOIN ${database}.${schema}.promotion ON ("cs_promo_sk" = "p_promo_sk"))
+LEFT JOIN ${database}.${schema}.catalog_returns ON ("cr_item_sk" = "cs_item_sk")
+   AND ("cr_order_number" = "cs_order_number"))
+WHERE ("d1"."d_week_seq" = "d2"."d_week_seq")
+   AND ("inv_quantity_on_hand" < "cs_quantity")
+   AND ("d3"."d_date" > ("d1"."d_date" + INTERVAL  '5' DAY))
+   AND ("hd_buy_potential" = '>10000')
+   AND ("d1"."d_year" = 1999)
+   AND ("cd_marital_status" = 'D')
+GROUP BY "i_item_desc", "w_warehouse_name", "d1"."d_week_seq"
+ORDER BY "total_cnt" DESC, "i_item_desc" ASC, "w_warehouse_name" ASC, "d1"."d_week_seq" ASC
+LIMIT 100
+"""
+
+  val q73: String = """SELECT
+  "c_last_name"
+, "c_first_name"
+, "c_salutation"
+, "c_preferred_cust_flag"
+, "ss_ticket_number"
+, "cnt"
+FROM
+  (
+   SELECT
+     "ss_ticket_number"
+   , "ss_customer_sk"
+   , "count"(*) "cnt"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   , ${database}.${schema}.household_demographics
+   WHERE ("store_sales"."ss_sold_date_sk" = "date_dim"."d_date_sk")
+      AND ("store_sales"."ss_store_sk" = "store"."s_store_sk")
+      AND ("store_sales"."ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("date_dim"."d_dom" BETWEEN 1 AND 2)
+      AND (("household_demographics"."hd_buy_potential" = '>10000')
+         OR ("household_demographics"."hd_buy_potential" = 'Unknown'))
+      AND ("household_demographics"."hd_vehicle_count" > 0)
+      AND ((CASE WHEN ("household_demographics"."hd_vehicle_count" > 0) THEN (CAST("household_demographics"."hd_dep_count" AS DECIMAL(7,2)) / "household_demographics"."hd_vehicle_count") ELSE null END) > 1)
+      AND ("date_dim"."d_year" IN (1999   , (1999 + 1)   , (1999 + 2)))
+      AND ("store"."s_county" IN ('Williamson County'   , 'Franklin Parish'   , 'Bronx County'   , 'Orange County'))
+   GROUP BY "ss_ticket_number", "ss_customer_sk"
+)  dj
+, ${database}.${schema}.customer
+WHERE ("ss_customer_sk" = "c_customer_sk")
+   AND ("cnt" BETWEEN 1 AND 5)
+ORDER BY "cnt" DESC, "c_last_name" ASC
+"""
+
+  val q74: String = """WITH
+  year_total AS (
+   SELECT
+     "c_customer_id" "customer_id"
+   , "c_first_name" "customer_first_name"
+   , "c_last_name" "customer_last_name"
+   , "d_year" "YEAR"
+   , "sum"("ss_net_paid") "year_total"
+   , 's' "sale_type"
+   FROM
+     ${database}.${schema}.customer
+   , ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("c_customer_sk" = "ss_customer_sk")
+      AND ("ss_sold_date_sk" = "d_date_sk")
+      AND ("d_year" IN (2001   , (2001 + 1)))
+   GROUP BY "c_customer_id", "c_first_name", "c_last_name", "d_year"
+UNION ALL    SELECT
+     "c_customer_id" "customer_id"
+   , "c_first_name" "customer_first_name"
+   , "c_last_name" "customer_last_name"
+   , "d_year" "YEAR"
+   , "sum"("ws_net_paid") "year_total"
+   , 'w' "sale_type"
+   FROM
+     ${database}.${schema}.customer
+   , ${database}.${schema}.web_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("c_customer_sk" = "ws_bill_customer_sk")
+      AND ("ws_sold_date_sk" = "d_date_sk")
+      AND ("d_year" IN (2001   , (2001 + 1)))
+   GROUP BY "c_customer_id", "c_first_name", "c_last_name", "d_year"
+) 
+SELECT
+  "t_s_secyear"."customer_id"
+, "t_s_secyear"."customer_first_name"
+, "t_s_secyear"."customer_last_name"
+FROM
+  year_total t_s_firstyear
+, year_total t_s_secyear
+, year_total t_w_firstyear
+, year_total t_w_secyear
+WHERE ("t_s_secyear"."customer_id" = "t_s_firstyear"."customer_id")
+   AND ("t_s_firstyear"."customer_id" = "t_w_secyear"."customer_id")
+   AND ("t_s_firstyear"."customer_id" = "t_w_firstyear"."customer_id")
+   AND ("t_s_firstyear"."sale_type" = 's')
+   AND ("t_w_firstyear"."sale_type" = 'w')
+   AND ("t_s_secyear"."sale_type" = 's')
+   AND ("t_w_secyear"."sale_type" = 'w')
+   AND ("t_s_firstyear"."year" = 2001)
+   AND ("t_s_secyear"."year" = (2001 + 1))
+   AND ("t_w_firstyear"."year" = 2001)
+   AND ("t_w_secyear"."year" = (2001 + 1))
+   AND ("t_s_firstyear"."year_total" > 0)
+   AND ("t_w_firstyear"."year_total" > 0)
+   AND ((CASE WHEN ("t_w_firstyear"."year_total" > 0) THEN ("t_w_secyear"."year_total" / "t_w_firstyear"."year_total") ELSE null END) > (CASE WHEN ("t_s_firstyear"."year_total" > 0) THEN ("t_s_secyear"."year_total" / "t_s_firstyear"."year_total") ELSE null END))
+ORDER BY 1 ASC, 1 ASC, 1 ASC
+LIMIT 100
+"""
+
+  val q75: String = """WITH
+  all_sales AS (
+   SELECT
+     "d_year"
+   , "i_brand_id"
+   , "i_class_id"
+   , "i_category_id"
+   , "i_manufact_id"
+   , "sum"("sales_cnt") "sales_cnt"
+   , "sum"("sales_amt") "sales_amt"
+   FROM
+     (
+      SELECT
+        "d_year"
+      , "i_brand_id"
+      , "i_class_id"
+      , "i_category_id"
+      , "i_manufact_id"
+      , ("cs_quantity" - COALESCE("cr_return_quantity", 0)) "sales_cnt"
+      , ("cs_ext_sales_price" - COALESCE("cr_return_amount", DECIMAL '0.0')) "sales_amt"
+      FROM
+        (((${database}.${schema}.catalog_sales
+      INNER JOIN ${database}.${schema}.item ON ("i_item_sk" = "cs_item_sk"))
+      INNER JOIN ${database}.${schema}.date_dim ON ("d_date_sk" = "cs_sold_date_sk"))
+      LEFT JOIN ${database}.${schema}.catalog_returns ON ("cs_order_number" = "cr_order_number")
+         AND ("cs_item_sk" = "cr_item_sk"))
+      WHERE ("i_category" = 'Books')
+UNION       SELECT
+        "d_year"
+      , "i_brand_id"
+      , "i_class_id"
+      , "i_category_id"
+      , "i_manufact_id"
+      , ("ss_quantity" - COALESCE("sr_return_quantity", 0)) "sales_cnt"
+      , ("ss_ext_sales_price" - COALESCE("sr_return_amt", DECIMAL '0.0')) "sales_amt"
+      FROM
+        (((${database}.${schema}.store_sales
+      INNER JOIN ${database}.${schema}.item ON ("i_item_sk" = "ss_item_sk"))
+      INNER JOIN ${database}.${schema}.date_dim ON ("d_date_sk" = "ss_sold_date_sk"))
+      LEFT JOIN ${database}.${schema}.store_returns ON ("ss_ticket_number" = "sr_ticket_number")
+         AND ("ss_item_sk" = "sr_item_sk"))
+      WHERE ("i_category" = 'Books')
+UNION       SELECT
+        "d_year"
+      , "i_brand_id"
+      , "i_class_id"
+      , "i_category_id"
+      , "i_manufact_id"
+      , ("ws_quantity" - COALESCE("wr_return_quantity", 0)) "sales_cnt"
+      , ("ws_ext_sales_price" - COALESCE("wr_return_amt", DECIMAL '0.0')) "sales_amt"
+      FROM
+        (((${database}.${schema}.web_sales
+      INNER JOIN ${database}.${schema}.item ON ("i_item_sk" = "ws_item_sk"))
+      INNER JOIN ${database}.${schema}.date_dim ON ("d_date_sk" = "ws_sold_date_sk"))
+      LEFT JOIN ${database}.${schema}.web_returns ON ("ws_order_number" = "wr_order_number")
+         AND ("ws_item_sk" = "wr_item_sk"))
+      WHERE ("i_category" = 'Books')
+   )  sales_detail
+   GROUP BY "d_year", "i_brand_id", "i_class_id", "i_category_id", "i_manufact_id"
+) 
+SELECT
+  "prev_yr"."d_year" "prev_year"
+, "curr_yr"."d_year" "year"
+, "curr_yr"."i_brand_id"
+, "curr_yr"."i_class_id"
+, "curr_yr"."i_category_id"
+, "curr_yr"."i_manufact_id"
+, "prev_yr"."sales_cnt" "prev_yr_cnt"
+, "curr_yr"."sales_cnt" "curr_yr_cnt"
+, ("curr_yr"."sales_cnt" - "prev_yr"."sales_cnt") "sales_cnt_diff"
+, ("curr_yr"."sales_amt" - "prev_yr"."sales_amt") "sales_amt_diff"
+FROM
+  all_sales curr_yr
+, all_sales prev_yr
+WHERE ("curr_yr"."i_brand_id" = "prev_yr"."i_brand_id")
+   AND ("curr_yr"."i_class_id" = "prev_yr"."i_class_id")
+   AND ("curr_yr"."i_category_id" = "prev_yr"."i_category_id")
+   AND ("curr_yr"."i_manufact_id" = "prev_yr"."i_manufact_id")
+   AND ("curr_yr"."d_year" = 2002)
+   AND ("prev_yr"."d_year" = (2002 - 1))
+   AND ((CAST("curr_yr"."sales_cnt" AS DECIMAL(17,2)) / CAST("prev_yr"."sales_cnt" AS DECIMAL(17,2))) < DECIMAL '0.9')
+ORDER BY "sales_cnt_diff" ASC, "sales_amt_diff" ASC
+LIMIT 100
+"""
+
+  val q76: String = """SELECT
+  "channel"
+, "col_name"
+, "d_year"
+, "d_qoy"
+, "i_category"
+, "count"(*) "sales_cnt"
+, "sum"("ext_sales_price") "sales_amt"
+FROM
+  (
+   SELECT
+     '${database}.${schema}.store' "channel"
+   , 'ss_store_sk' "col_name"
+   , "d_year"
+   , "d_qoy"
+   , "i_category"
+   , "ss_ext_sales_price" "ext_sales_price"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   WHERE ("ss_store_sk" IS NULL)
+      AND ("ss_sold_date_sk" = "d_date_sk")
+      AND ("ss_item_sk" = "i_item_sk")
+UNION ALL    SELECT
+     'web' "channel"
+   , 'ws_ship_customer_sk' "col_name"
+   , "d_year"
+   , "d_qoy"
+   , "i_category"
+   , "ws_ext_sales_price" "ext_sales_price"
+   FROM
+     ${database}.${schema}.web_sales
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   WHERE ("ws_ship_customer_sk" IS NULL)
+      AND ("ws_sold_date_sk" = "d_date_sk")
+      AND ("ws_item_sk" = "i_item_sk")
+UNION ALL    SELECT
+     'catalog' "channel"
+   , 'cs_ship_addr_sk' "col_name"
+   , "d_year"
+   , "d_qoy"
+   , "i_category"
+   , "cs_ext_sales_price" "ext_sales_price"
+   FROM
+     ${database}.${schema}.catalog_sales
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   WHERE ("cs_ship_addr_sk" IS NULL)
+      AND ("cs_sold_date_sk" = "d_date_sk")
+      AND ("cs_item_sk" = "i_item_sk")
+)  foo
+GROUP BY "channel", "col_name", "d_year", "d_qoy", "i_category"
+ORDER BY "channel" ASC, "col_name" ASC, "d_year" ASC, "d_qoy" ASC, "i_category" ASC
+LIMIT 100
+"""
+
+  val q77: String = """WITH
+  ss AS (
+   SELECT
+     "s_store_sk"
+   , "sum"("ss_ext_sales_price") "sales"
+   , "sum"("ss_net_profit") "profit"
+   FROM
+     ${database}.${schema}.store_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND ("d_date" BETWEEN CAST('2000-08-23' AS DATE) AND (CAST('2000-08-23' AS DATE) + INTERVAL  '30' DAY))
+      AND ("ss_store_sk" = "s_store_sk")
+   GROUP BY "s_store_sk"
+) 
+, sr AS (
+   SELECT
+     "s_store_sk"
+   , "sum"("sr_return_amt") "returns"
+   , "sum"("sr_net_loss") "profit_loss"
+   FROM
+     ${database}.${schema}.store_returns
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   WHERE ("sr_returned_date_sk" = "d_date_sk")
+      AND ("d_date" BETWEEN CAST('2000-08-23' AS DATE) AND (CAST('2000-08-23' AS DATE) + INTERVAL  '30' DAY))
+      AND ("sr_store_sk" = "s_store_sk")
+   GROUP BY "s_store_sk"
+) 
+, cs AS (
+   SELECT
+     "cs_call_center_sk"
+   , "sum"("cs_ext_sales_price") "sales"
+   , "sum"("cs_net_profit") "profit"
+   FROM
+     ${database}.${schema}.catalog_sales
+   , ${database}.${schema}.date_dim
+   WHERE ("cs_sold_date_sk" = "d_date_sk")
+      AND ("d_date" BETWEEN CAST('2000-08-23' AS DATE) AND (CAST('2000-08-23' AS DATE) + INTERVAL  '30' DAY))
+   GROUP BY "cs_call_center_sk"
+) 
+, cr AS (
+   SELECT
+     "cr_call_center_sk"
+   , "sum"("cr_return_amount") "returns"
+   , "sum"("cr_net_loss") "profit_loss"
+   FROM
+     ${database}.${schema}.catalog_returns
+   , ${database}.${schema}.date_dim
+   WHERE ("cr_returned_date_sk" = "d_date_sk")
+      AND ("d_date" BETWEEN CAST('2000-08-23' AS DATE) AND (CAST('2000-08-23' AS DATE) + INTERVAL  '30' DAY))
+   GROUP BY "cr_call_center_sk"
+) 
+, ws AS (
+   SELECT
+     "wp_web_page_sk"
+   , "sum"("ws_ext_sales_price") "sales"
+   , "sum"("ws_net_profit") "profit"
+   FROM
+     ${database}.${schema}.web_sales
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.web_page
+   WHERE ("ws_sold_date_sk" = "d_date_sk")
+      AND ("d_date" BETWEEN CAST('2000-08-23' AS DATE) AND (CAST('2000-08-23' AS DATE) + INTERVAL  '30' DAY))
+      AND ("ws_web_page_sk" = "wp_web_page_sk")
+   GROUP BY "wp_web_page_sk"
+) 
+, wr AS (
+   SELECT
+     "wp_web_page_sk"
+   , "sum"("wr_return_amt") "returns"
+   , "sum"("wr_net_loss") "profit_loss"
+   FROM
+     ${database}.${schema}.web_returns
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.web_page
+   WHERE ("wr_returned_date_sk" = "d_date_sk")
+      AND ("d_date" BETWEEN CAST('2000-08-23' AS DATE) AND (CAST('2000-08-23' AS DATE) + INTERVAL  '30' DAY))
+      AND ("wr_web_page_sk" = "wp_web_page_sk")
+   GROUP BY "wp_web_page_sk"
+) 
+SELECT
+  "channel"
+, "id"
+, "sum"("sales") "sales"
+, "sum"("returns") "returns"
+, "sum"("profit") "profit"
+FROM
+  (
+   SELECT
+     '${database}.${schema}.store channel' "channel"
+   , "ss"."s_store_sk" "id"
+   , "sales"
+   , COALESCE("returns", 0) "returns"
+   , ("profit" - COALESCE("profit_loss", 0)) "profit"
+   FROM
+     (ss
+   LEFT JOIN sr ON ("ss"."s_store_sk" = "sr"."s_store_sk"))
+UNION ALL    SELECT
+     'catalog channel' "channel"
+   , "cs_call_center_sk" "id"
+   , "sales"
+   , "returns"
+   , ("profit" - "profit_loss") "profit"
+   FROM
+     cs
+   , cr
+UNION ALL    SELECT
+     'web channel' "channel"
+   , "ws"."wp_web_page_sk" "id"
+   , "sales"
+   , COALESCE("returns", 0) "returns"
+   , ("profit" - COALESCE("profit_loss", 0)) "profit"
+   FROM
+     (ws
+   LEFT JOIN wr ON ("ws"."wp_web_page_sk" = "wr"."wp_web_page_sk"))
+)  x
+GROUP BY ROLLUP (channel, id)
+ORDER BY "channel" ASC, "id" ASC, "sales" ASC
+LIMIT 100
+"""
+
+  val q78: String = """WITH
+  ws AS (
+   SELECT
+     "d_year" "ws_sold_year"
+   , "ws_item_sk"
+   , "ws_bill_customer_sk" "ws_customer_sk"
+   , "sum"("ws_quantity") "ws_qty"
+   , "sum"("ws_wholesale_cost") "ws_wc"
+   , "sum"("ws_sales_price") "ws_sp"
+   FROM
+     ((${database}.${schema}.web_sales
+   LEFT JOIN ${database}.${schema}.web_returns ON ("wr_order_number" = "ws_order_number")
+      AND ("ws_item_sk" = "wr_item_sk"))
+   INNER JOIN ${database}.${schema}.date_dim ON ("ws_sold_date_sk" = "d_date_sk"))
+   WHERE ("wr_order_number" IS NULL)
+   GROUP BY "d_year", "ws_item_sk", "ws_bill_customer_sk"
+) 
+, cs AS (
+   SELECT
+     "d_year" "cs_sold_year"
+   , "cs_item_sk"
+   , "cs_bill_customer_sk" "cs_customer_sk"
+   , "sum"("cs_quantity") "cs_qty"
+   , "sum"("cs_wholesale_cost") "cs_wc"
+   , "sum"("cs_sales_price") "cs_sp"
+   FROM
+     ((${database}.${schema}.catalog_sales
+   LEFT JOIN ${database}.${schema}.catalog_returns ON ("cr_order_number" = "cs_order_number")
+      AND ("cs_item_sk" = "cr_item_sk"))
+   INNER JOIN ${database}.${schema}.date_dim ON ("cs_sold_date_sk" = "d_date_sk"))
+   WHERE ("cr_order_number" IS NULL)
+   GROUP BY "d_year", "cs_item_sk", "cs_bill_customer_sk"
+) 
+, ss AS (
+   SELECT
+     "d_year" "ss_sold_year"
+   , "ss_item_sk"
+   , "ss_customer_sk"
+   , "sum"("ss_quantity") "ss_qty"
+   , "sum"("ss_wholesale_cost") "ss_wc"
+   , "sum"("ss_sales_price") "ss_sp"
+   FROM
+     ((${database}.${schema}.store_sales
+   LEFT JOIN ${database}.${schema}.store_returns ON ("sr_ticket_number" = "ss_ticket_number")
+      AND ("ss_item_sk" = "sr_item_sk"))
+   INNER JOIN ${database}.${schema}.date_dim ON ("ss_sold_date_sk" = "d_date_sk"))
+   WHERE ("sr_ticket_number" IS NULL)
+   GROUP BY "d_year", "ss_item_sk", "ss_customer_sk"
+) 
+SELECT
+  "ss_sold_year"
+, "ss_item_sk"
+, "ss_customer_sk"
+, "round"((CAST("ss_qty" AS DECIMAL(10,2)) / COALESCE(("ws_qty" + "cs_qty"), 1)), 2) "ratio"
+, "ss_qty" "store_qty"
+, "ss_wc" "store_wholesale_cost"
+, "ss_sp" "store_sales_price"
+, (COALESCE("ws_qty", 0) + COALESCE("cs_qty", 0)) "other_chan_qty"
+, (COALESCE("ws_wc", 0) + COALESCE("cs_wc", 0)) "other_chan_wholesale_cost"
+, (COALESCE("ws_sp", 0) + COALESCE("cs_sp", 0)) "other_chan_sales_price"
+FROM
+  ((ss
+LEFT JOIN ws ON ("ws_sold_year" = "ss_sold_year")
+   AND ("ws_item_sk" = "ss_item_sk")
+   AND ("ws_customer_sk" = "ss_customer_sk"))
+LEFT JOIN cs ON ("cs_sold_year" = "ss_sold_year")
+   AND ("cs_item_sk" = "cs_item_sk")
+   AND ("cs_customer_sk" = "ss_customer_sk"))
+WHERE (COALESCE("ws_qty", 0) > 0)
+   AND (COALESCE("cs_qty", 0) > 0)
+   AND ("ss_sold_year" = 2000)
+ORDER BY "ss_sold_year" ASC, "ss_item_sk" ASC, "ss_customer_sk" ASC, "ss_qty" DESC, "ss_wc" DESC, "ss_sp" DESC, "other_chan_qty" ASC, "other_chan_wholesale_cost" ASC, "other_chan_sales_price" ASC, "round"((CAST("ss_qty" AS DECIMAL(10,2)) / COALESCE(("ws_qty" + "cs_qty"), 1)), 2) ASC
+LIMIT 100
+"""
+
+  val q80: String = """WITH
+  ssr AS (
+   SELECT
+     "s_store_id" "store_id"
+   , "sum"("ss_ext_sales_price") "sales"
+   , "sum"(COALESCE("sr_return_amt", 0)) "returns"
+   , "sum"(("ss_net_profit" - COALESCE("sr_net_loss", 0))) "profit"
+   FROM
+     (${database}.${schema}.store_sales
+   LEFT JOIN ${database}.${schema}.store_returns ON ("ss_item_sk" = "sr_item_sk")
+      AND ("ss_ticket_number" = "sr_ticket_number"))
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.store
+   , ${database}.${schema}.item
+   , ${database}.${schema}.promotion
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND (CAST("d_date" AS DATE) BETWEEN CAST('2000-08-23' AS DATE) AND (CAST('2000-08-23' AS DATE) + INTERVAL  '30' DAY))
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("ss_item_sk" = "i_item_sk")
+      AND ("i_current_price" > 50)
+      AND ("ss_promo_sk" = "p_promo_sk")
+      AND ("p_channel_tv" = 'N')
+   GROUP BY "s_store_id"
+) 
+, csr AS (
+   SELECT
+     "cp_catalog_page_id" "catalog_page_id"
+   , "sum"("cs_ext_sales_price") "sales"
+   , "sum"(COALESCE("cr_return_amount", 0)) "returns"
+   , "sum"(("cs_net_profit" - COALESCE("cr_net_loss", 0))) "profit"
+   FROM
+     (${database}.${schema}.catalog_sales
+   LEFT JOIN ${database}.${schema}.catalog_returns ON ("cs_item_sk" = "cr_item_sk")
+      AND ("cs_order_number" = "cr_order_number"))
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.catalog_page
+   , ${database}.${schema}.item
+   , ${database}.${schema}.promotion
+   WHERE ("cs_sold_date_sk" = "d_date_sk")
+      AND (CAST("d_date" AS DATE) BETWEEN CAST('2000-08-23' AS DATE) AND (CAST('2000-08-23' AS DATE) + INTERVAL  '30' DAY))
+      AND ("cs_catalog_page_sk" = "cp_catalog_page_sk")
+      AND ("cs_item_sk" = "i_item_sk")
+      AND ("i_current_price" > 50)
+      AND ("cs_promo_sk" = "p_promo_sk")
+      AND ("p_channel_tv" = 'N')
+   GROUP BY "cp_catalog_page_id"
+) 
+, wsr AS (
+   SELECT
+     "web_site_id"
+   , "sum"("ws_ext_sales_price") "sales"
+   , "sum"(COALESCE("wr_return_amt", 0)) "returns"
+   , "sum"(("ws_net_profit" - COALESCE("wr_net_loss", 0))) "profit"
+   FROM
+     (${database}.${schema}.web_sales
+   LEFT JOIN ${database}.${schema}.web_returns ON ("ws_item_sk" = "wr_item_sk")
+      AND ("ws_order_number" = "wr_order_number"))
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.web_site
+   , ${database}.${schema}.item
+   , ${database}.${schema}.promotion
+   WHERE ("ws_sold_date_sk" = "d_date_sk")
+      AND (CAST("d_date" AS DATE) BETWEEN CAST('2000-08-23' AS DATE) AND (CAST('2000-08-23' AS DATE) + INTERVAL  '30' DAY))
+      AND ("ws_web_site_sk" = "web_site_sk")
+      AND ("ws_item_sk" = "i_item_sk")
+      AND ("i_current_price" > 50)
+      AND ("ws_promo_sk" = "p_promo_sk")
+      AND ("p_channel_tv" = 'N')
+   GROUP BY "web_site_id"
+) 
+SELECT
+  "channel"
+, "id"
+, "sum"("sales") "sales"
+, "sum"("returns") "returns"
+, "sum"("profit") "profit"
+FROM
+  (
+   SELECT
+     '${database}.${schema}.store channel' "channel"
+   , "concat"('store', "store_id") "id"
+   , "sales"
+   , "returns"
+   , "profit"
+   FROM
+     ssr
+UNION ALL    SELECT
+     'catalog channel' "channel"
+   , "concat"('catalog_page', "catalog_page_id") "id"
+   , "sales"
+   , "returns"
+   , "profit"
+   FROM
+     csr
+UNION ALL    SELECT
+     'web channel' "channel"
+   , "concat"('web_site', "web_site_id") "id"
+   , "sales"
+   , "returns"
+   , "profit"
+   FROM
+     wsr
+)  x
+GROUP BY ROLLUP (channel, id)
+ORDER BY "channel" ASC, "id" ASC
+LIMIT 100
+"""
+
+  val q81: String = """WITH
+  customer_total_return AS (
+   SELECT
+     "cr_returning_customer_sk" "ctr_customer_sk"
+   , "ca_state" "ctr_state"
+   , "sum"("cr_return_amt_inc_tax") "ctr_total_return"
+   FROM
+     ${database}.${schema}.catalog_returns
+   , ${database}.${schema}.date_dim
+   , ${database}.${schema}.customer_address
+   WHERE ("cr_returned_date_sk" = "d_date_sk")
+      AND ("d_year" = 2000)
+      AND ("cr_returning_addr_sk" = "ca_address_sk")
+   GROUP BY "cr_returning_customer_sk", "ca_state"
+) 
+SELECT
+  "c_customer_id"
+, "c_salutation"
+, "c_first_name"
+, "c_last_name"
+, "ca_street_number"
+, "ca_street_name"
+, "ca_street_type"
+, "ca_suite_number"
+, "ca_city"
+, "ca_county"
+, "ca_state"
+, "ca_zip"
+, "ca_country"
+, "ca_gmt_offset"
+, "ca_location_type"
+, "ctr_total_return"
+FROM
+  customer_total_return ctr1
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.customer
+WHERE ("ctr1"."ctr_total_return" > (
+      SELECT ("avg"("ctr_total_return") * DECIMAL '1.2')
+      FROM
+        customer_total_return ctr2
+      WHERE ("ctr1"."ctr_state" = "ctr2"."ctr_state")
+   ))
+   AND ("ca_address_sk" = "c_current_addr_sk")
+   AND ("ca_state" = 'GA')
+   AND ("ctr1"."ctr_customer_sk" = "c_customer_sk")
+ORDER BY "c_customer_id" ASC, "c_salutation" ASC, "c_first_name" ASC, "c_last_name" ASC, "ca_street_number" ASC, "ca_street_name" ASC, "ca_street_type" ASC, "ca_suite_number" ASC, "ca_city" ASC, "ca_county" ASC, "ca_state" ASC, "ca_zip" ASC, "ca_country" ASC, "ca_gmt_offset" ASC, "ca_location_type" ASC, "ctr_total_return" ASC
+LIMIT 100
+"""
+
+  val q82: String = """SELECT
+  "i_item_id"
+, "i_item_desc"
+, "i_current_price"
+FROM
+  ${database}.${schema}.item
+, ${database}.${schema}.inventory
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.store_sales
+WHERE ("i_current_price" BETWEEN 62 AND (62 + 30))
+   AND ("inv_item_sk" = "i_item_sk")
+   AND ("d_date_sk" = "inv_date_sk")
+   AND (CAST("d_date" AS DATE) BETWEEN CAST('2000-05-25' AS DATE) AND (CAST('2000-05-25' AS DATE) + INTERVAL  '60' DAY))
+   AND ("i_manufact_id" IN (129, 270, 821, 423))
+   AND ("inv_quantity_on_hand" BETWEEN 100 AND 500)
+   AND ("ss_item_sk" = "i_item_sk")
+GROUP BY "i_item_id", "i_item_desc", "i_current_price"
+ORDER BY "i_item_id" ASC
+LIMIT 100
+"""
+
+  val q83: String = """WITH
+  sr_items AS (
+   SELECT
+     "i_item_id" "item_id"
+   , "sum"("sr_return_quantity") "sr_item_qty"
+   FROM
+     ${database}.${schema}.store_returns
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   WHERE ("sr_item_sk" = "i_item_sk")
+      AND ("d_date" IN (
+      SELECT "d_date"
+      FROM
+        ${database}.${schema}.date_dim
+      WHERE ("d_week_seq" IN (
+         SELECT "d_week_seq"
+         FROM
+           ${database}.${schema}.date_dim
+         WHERE ("d_date" IN (CAST('2000-06-30' AS DATE)         , CAST('2000-09-27' AS DATE)         , CAST('2000-11-17' AS DATE)))
+      ))
+   ))
+      AND ("sr_returned_date_sk" = "d_date_sk")
+   GROUP BY "i_item_id"
+) 
+, cr_items AS (
+   SELECT
+     "i_item_id" "item_id"
+   , "sum"("cr_return_quantity") "cr_item_qty"
+   FROM
+     ${database}.${schema}.catalog_returns
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   WHERE ("cr_item_sk" = "i_item_sk")
+      AND ("d_date" IN (
+      SELECT "d_date"
+      FROM
+        ${database}.${schema}.date_dim
+      WHERE ("d_week_seq" IN (
+         SELECT "d_week_seq"
+         FROM
+           ${database}.${schema}.date_dim
+         WHERE ("d_date" IN (CAST('2000-06-30' AS DATE)         , CAST('2000-09-27' AS DATE)         , CAST('2000-11-17' AS DATE)))
+      ))
+   ))
+      AND ("cr_returned_date_sk" = "d_date_sk")
+   GROUP BY "i_item_id"
+) 
+, wr_items AS (
+   SELECT
+     "i_item_id" "item_id"
+   , "sum"("wr_return_quantity") "wr_item_qty"
+   FROM
+     ${database}.${schema}.web_returns
+   , ${database}.${schema}.item
+   , ${database}.${schema}.date_dim
+   WHERE ("wr_item_sk" = "i_item_sk")
+      AND ("d_date" IN (
+      SELECT "d_date"
+      FROM
+        ${database}.${schema}.date_dim
+      WHERE ("d_week_seq" IN (
+         SELECT "d_week_seq"
+         FROM
+           ${database}.${schema}.date_dim
+         WHERE ("d_date" IN (CAST('2000-06-30' AS DATE)         , CAST('2000-09-27' AS DATE)         , CAST('2000-11-17' AS DATE)))
+      ))
+   ))
+      AND ("wr_returned_date_sk" = "d_date_sk")
+   GROUP BY "i_item_id"
+) 
+SELECT
+  "sr_items"."item_id"
+, "sr_item_qty"
+, CAST(((("sr_item_qty" / ((CAST("sr_item_qty" AS DECIMAL(9,4)) + "cr_item_qty") + "wr_item_qty")) / DECIMAL '3.0') * 100) AS DECIMAL(7,2)) "sr_dev"
+, "cr_item_qty"
+, CAST(((("cr_item_qty" / ((CAST("sr_item_qty" AS DECIMAL(9,4)) + "cr_item_qty") + "wr_item_qty")) / DECIMAL '3.0') * 100) AS DECIMAL(7,2)) "cr_dev"
+, "wr_item_qty"
+, CAST(((("wr_item_qty" / ((CAST("sr_item_qty" AS DECIMAL(9,4)) + "cr_item_qty") + "wr_item_qty")) / DECIMAL '3.0') * 100) AS DECIMAL(7,2)) "wr_dev"
+, ((("sr_item_qty" + "cr_item_qty") + "wr_item_qty") / DECIMAL '3.00') "average"
+FROM
+  sr_items
+, cr_items
+, wr_items
+WHERE ("sr_items"."item_id" = "cr_items"."item_id")
+   AND ("sr_items"."item_id" = "wr_items"."item_id")
+ORDER BY "sr_items"."item_id" ASC, "sr_item_qty" ASC
+LIMIT 100
+"""
+
+  val q84: String = """SELECT
+  "c_customer_id" "customer_id"
+, "concat"("concat"("c_last_name", ', '), "c_first_name") "${database}.${schema}.customername"
+FROM
+  ${database}.${schema}.customer
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.customer_demographics
+, ${database}.${schema}.household_demographics
+, ${database}.${schema}.income_band
+, ${database}.${schema}.store_returns
+WHERE ("ca_city" = 'Edgewood')
+   AND ("c_current_addr_sk" = "ca_address_sk")
+   AND ("ib_lower_bound" >= 38128)
+   AND ("ib_upper_bound" <= (38128 + 50000))
+   AND ("ib_income_band_sk" = "hd_income_band_sk")
+   AND ("cd_demo_sk" = "c_current_cdemo_sk")
+   AND ("hd_demo_sk" = "c_current_hdemo_sk")
+   AND ("sr_cdemo_sk" = "cd_demo_sk")
+ORDER BY "c_customer_id" ASC
+LIMIT 100
+"""
+
+  val q85: String = """SELECT
+  "substr"("r_reason_desc", 1, 20)
+, "avg"("ws_quantity")
+, "avg"("wr_refunded_cash")
+, "avg"("wr_fee")
+FROM
+  ${database}.${schema}.web_sales
+, ${database}.${schema}.web_returns
+, ${database}.${schema}.web_page
+, ${database}.${schema}.customer_demographics cd1
+, ${database}.${schema}.customer_demographics cd2
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.reason
+WHERE ("ws_web_page_sk" = "wp_web_page_sk")
+   AND ("ws_item_sk" = "wr_item_sk")
+   AND ("ws_order_number" = "wr_order_number")
+   AND ("ws_sold_date_sk" = "d_date_sk")
+   AND ("d_year" = 2000)
+   AND ("cd1"."cd_demo_sk" = "wr_refunded_cdemo_sk")
+   AND ("cd2"."cd_demo_sk" = "wr_returning_cdemo_sk")
+   AND ("ca_address_sk" = "wr_refunded_addr_sk")
+   AND ("r_reason_sk" = "wr_reason_sk")
+   AND ((("cd1"."cd_marital_status" = 'M')
+         AND ("cd1"."cd_marital_status" = "cd2"."cd_marital_status")
+         AND ("cd1"."cd_education_status" = 'Advanced Degree')
+         AND ("cd1"."cd_education_status" = "cd2"."cd_education_status")
+         AND ("ws_sales_price" BETWEEN DECIMAL '100.00' AND DECIMAL '150.00'))
+      OR (("cd1"."cd_marital_status" = 'S')
+         AND ("cd1"."cd_marital_status" = "cd2"."cd_marital_status")
+         AND ("cd1"."cd_education_status" = 'College')
+         AND ("cd1"."cd_education_status" = "cd2"."cd_education_status")
+         AND ("ws_sales_price" BETWEEN DECIMAL '50.00' AND DECIMAL '100.00'))
+      OR (("cd1"."cd_marital_status" = 'W')
+         AND ("cd1"."cd_marital_status" = "cd2"."cd_marital_status")
+         AND ("cd1"."cd_education_status" = '2 yr Degree')
+         AND ("cd1"."cd_education_status" = "cd2"."cd_education_status")
+         AND ("ws_sales_price" BETWEEN DECIMAL '150.00' AND DECIMAL '200.00')))
+   AND ((("ca_country" = 'United States')
+         AND ("ca_state" IN ('IN'      , 'OH'      , 'NJ'))
+         AND ("ws_net_profit" BETWEEN 100 AND 200))
+      OR (("ca_country" = 'United States')
+         AND ("ca_state" IN ('WI'      , 'CT'      , 'KY'))
+         AND ("ws_net_profit" BETWEEN 150 AND 300))
+      OR (("ca_country" = 'United States')
+         AND ("ca_state" IN ('LA'      , 'IA'      , 'AR'))
+         AND ("ws_net_profit" BETWEEN 50 AND 250)))
+GROUP BY "r_reason_desc"
+ORDER BY "substr"("r_reason_desc", 1, 20) ASC, "avg"("ws_quantity") ASC, "avg"("wr_refunded_cash") ASC, "avg"("wr_fee") ASC
+LIMIT 100
+"""
+
+  val q86: String = """SELECT
+  "sum"("ws_net_paid") "total_sum"
+, "i_category"
+, "i_class"
+, (GROUPING ("i_category") + GROUPING ("i_class")) "lochierarchy"
+, "rank"() OVER (PARTITION BY (GROUPING ("i_category") + GROUPING ("i_class")), (CASE WHEN (GROUPING ("i_class") = 0) THEN "i_category" END) ORDER BY "sum"("ws_net_paid") DESC) "rank_within_parent"
+FROM
+  ${database}.${schema}.web_sales
+, ${database}.${schema}.date_dim d1
+, ${database}.${schema}.item
+WHERE ("d1"."d_month_seq" BETWEEN 1200 AND (1200 + 11))
+   AND ("d1"."d_date_sk" = "ws_sold_date_sk")
+   AND ("i_item_sk" = "ws_item_sk")
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY "lochierarchy" DESC, (CASE WHEN ("lochierarchy" = 0) THEN "i_category" END) ASC, "rank_within_parent" ASC
+LIMIT 100
+"""
+
+  val q91: String = """SELECT
+  "cc_call_center_id" "Call_Center"
+, "cc_name" "Call_Center_Name"
+, "cc_manager" "Manager"
+, "sum"("cr_net_loss") "Returns_Loss"
+FROM
+  ${database}.${schema}.call_center
+, ${database}.${schema}.catalog_returns
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.customer
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.customer_demographics
+, ${database}.${schema}.household_demographics
+WHERE ("cr_call_center_sk" = "cc_call_center_sk")
+   AND ("cr_returned_date_sk" = "d_date_sk")
+   AND ("cr_returning_customer_sk" = "c_customer_sk")
+   AND ("cd_demo_sk" = "c_current_cdemo_sk")
+   AND ("hd_demo_sk" = "c_current_hdemo_sk")
+   AND ("ca_address_sk" = "c_current_addr_sk")
+   AND ("d_year" = 1998)
+   AND ("d_moy" = 11)
+   AND ((("cd_marital_status" = 'M')
+         AND ("cd_education_status" = 'Unknown'))
+      OR (("cd_marital_status" = 'W')
+         AND ("cd_education_status" = 'Advanced Degree')))
+   AND ("hd_buy_potential" LIKE 'Unknown')
+   AND ("ca_gmt_offset" = -7)
+GROUP BY "cc_call_center_id", "cc_name", "cc_manager", "cd_marital_status", "cd_education_status"
+ORDER BY "sum"("cr_net_loss") DESC
+"""
+
+  val q92: String = """SELECT "sum"("ws_ext_discount_amt") "Excess Discount Amount"
+FROM
+  ${database}.${schema}.web_sales
+, ${database}.${schema}.item
+, ${database}.${schema}.date_dim
+WHERE ("i_manufact_id" = 350)
+   AND ("i_item_sk" = "ws_item_sk")
+   AND ("d_date" BETWEEN CAST('2000-01-27' AS DATE) AND (CAST('2000-01-27' AS DATE) + INTERVAL  '90' DAY))
+   AND ("d_date_sk" = "ws_sold_date_sk")
+   AND ("ws_ext_discount_amt" > (
+      SELECT (DECIMAL '1.3' * "avg"("ws_ext_discount_amt"))
+      FROM
+        ${database}.${schema}.web_sales
+      , ${database}.${schema}.date_dim
+      WHERE ("ws_item_sk" = "i_item_sk")
+         AND ("d_date" BETWEEN CAST('2000-01-27' AS DATE) AND (CAST('2000-01-27' AS DATE) + INTERVAL  '90' DAY))
+         AND ("d_date_sk" = "ws_sold_date_sk")
+   ))
+ORDER BY "sum"("ws_ext_discount_amt") ASC
+LIMIT 100
+"""
+
+  val q94: String = """SELECT
+  "count"(DISTINCT "ws_order_number") "order count"
+, "sum"("ws_ext_ship_cost") "total shipping cost"
+, "sum"("ws_net_profit") "total net profit"
+FROM
+  ${database}.${schema}.web_sales ws1
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.web_site
+WHERE ("d_date" BETWEEN CAST('1999-2-01' AS DATE) AND (CAST('1999-2-01' AS DATE) + INTERVAL  '60' DAY))
+   AND ("ws1"."ws_ship_date_sk" = "d_date_sk")
+   AND ("ws1"."ws_ship_addr_sk" = "ca_address_sk")
+   AND ("ca_state" = 'IL')
+   AND ("ws1"."ws_web_site_sk" = "web_site_sk")
+   AND ("web_company_name" = 'pri')
+   AND (EXISTS (
+   SELECT *
+   FROM
+     ${database}.${schema}.web_sales ws2
+   WHERE ("ws1"."ws_order_number" = "ws2"."ws_order_number")
+      AND ("ws1"."ws_warehouse_sk" <> "ws2"."ws_warehouse_sk")
+))
+   AND (NOT (EXISTS (
+   SELECT *
+   FROM
+     ${database}.${schema}.web_returns wr1
+   WHERE ("ws1"."ws_order_number" = "wr1"."wr_order_number")
+)))
+ORDER BY "count"(DISTINCT "ws_order_number") ASC
+LIMIT 100
+"""
+
+  val q95: String = """WITH
+  ws_wh AS (
+   SELECT
+     "ws1"."ws_order_number"
+   , "ws1"."ws_warehouse_sk" "wh1"
+   , "ws2"."ws_warehouse_sk" "wh2"
+   FROM
+     ${database}.${schema}.web_sales ws1
+   , ${database}.${schema}.web_sales ws2
+   WHERE ("ws1"."ws_order_number" = "ws2"."ws_order_number")
+      AND ("ws1"."ws_warehouse_sk" <> "ws2"."ws_warehouse_sk")
+) 
+SELECT
+  "count"(DISTINCT "ws_order_number") "order count"
+, "sum"("ws_ext_ship_cost") "total shipping cost"
+, "sum"("ws_net_profit") "total net profit"
+FROM
+  ${database}.${schema}.web_sales ws1
+, ${database}.${schema}.date_dim
+, ${database}.${schema}.customer_address
+, ${database}.${schema}.web_site
+WHERE (CAST("d_date" AS DATE) BETWEEN CAST('1999-2-01' AS DATE) AND (CAST('1999-2-01' AS DATE) + INTERVAL  '60' DAY))
+   AND ("ws1"."ws_ship_date_sk" = "d_date_sk")
+   AND ("ws1"."ws_ship_addr_sk" = "ca_address_sk")
+   AND ("ca_state" = 'IL')
+   AND ("ws1"."ws_web_site_sk" = "web_site_sk")
+   AND ("web_company_name" = 'pri')
+   AND ("ws1"."ws_order_number" IN (
+   SELECT "ws_order_number"
+   FROM
+     ws_wh
+))
+   AND ("ws1"."ws_order_number" IN (
+   SELECT "wr_order_number"
+   FROM
+     ${database}.${schema}.web_returns
+   , ws_wh
+   WHERE ("wr_order_number" = "ws_wh"."ws_order_number")
+))
+ORDER BY "count"(DISTINCT "ws_order_number") ASC
+LIMIT 100
+"""
+
+  val q50: String = """SELECT
+  "s_store_name"
+, "s_company_id"
+, "s_street_number"
+, "s_street_name"
+, "s_street_type"
+, "s_suite_number"
+, "s_city"
+, "s_county"
+, "s_state"
+, "s_zip"
+, "sum"((CASE WHEN (("sr_returned_date_sk" - "ss_sold_date_sk") <= 30) THEN 1 ELSE 0 END)) "30 days"
+, "sum"((CASE WHEN (("sr_returned_date_sk" - "ss_sold_date_sk") > 30)
+   AND (("sr_returned_date_sk" - "ss_sold_date_sk") <= 60) THEN 1 ELSE 0 END)) "31-60 days"
+, "sum"((CASE WHEN (("sr_returned_date_sk" - "ss_sold_date_sk") > 60)
+   AND (("sr_returned_date_sk" - "ss_sold_date_sk") <= 90) THEN 1 ELSE 0 END)) "61-90 days"
+, "sum"((CASE WHEN (("sr_returned_date_sk" - "ss_sold_date_sk") > 90)
+   AND (("sr_returned_date_sk" - "ss_sold_date_sk") <= 120) THEN 1 ELSE 0 END)) "91-120 days"
+, "sum"((CASE WHEN (("sr_returned_date_sk" - "ss_sold_date_sk") > 120) THEN 1 ELSE 0 END)) ">120 days"
+FROM
+  ${database}.${schema}.store_sales
+, ${database}.${schema}.store_returns
+, ${database}.${schema}.store
+, ${database}.${schema}.date_dim d1
+, ${database}.${schema}.date_dim d2
+WHERE ("d2"."d_year" = 2001)
+   AND ("d2"."d_moy" = 8)
+   AND ("ss_ticket_number" = "sr_ticket_number")
+   AND ("ss_item_sk" = "sr_item_sk")
+   AND ("ss_sold_date_sk" = "d1"."d_date_sk")
+   AND ("sr_returned_date_sk" = "d2"."d_date_sk")
+   AND ("ss_customer_sk" = "sr_customer_sk")
+   AND ("ss_store_sk" = "s_store_sk")
+GROUP BY "s_store_name", "s_company_id", "s_street_number", "s_street_name", "s_street_type", "s_suite_number", "s_city", "s_county", "s_state", "s_zip"
+ORDER BY "s_store_name" ASC, "s_company_id" ASC, "s_street_number" ASC, "s_street_name" ASC, "s_street_type" ASC, "s_suite_number" ASC, "s_city" ASC, "s_county" ASC, "s_state" ASC, "s_zip" ASC
+LIMIT 100
+"""
+
+  val q62: String = """SELECT
+  "substr"("w_warehouse_name", 1, 20)
+, "sm_type"
+, "web_name"
+, "sum"((CASE WHEN (("ws_ship_date_sk" - "ws_sold_date_sk") <= 30) THEN 1 ELSE 0 END)) "30 days"
+, "sum"((CASE WHEN (("ws_ship_date_sk" - "ws_sold_date_sk") > 30)
+   AND (("ws_ship_date_sk" - "ws_sold_date_sk") <= 60) THEN 1 ELSE 0 END)) "31-60 days"
+, "sum"((CASE WHEN (("ws_ship_date_sk" - "ws_sold_date_sk") > 60)
+   AND (("ws_ship_date_sk" - "ws_sold_date_sk") <= 90) THEN 1 ELSE 0 END)) "61-90 days"
+, "sum"((CASE WHEN (("ws_ship_date_sk" - "ws_sold_date_sk") > 90)
+   AND (("ws_ship_date_sk" - "ws_sold_date_sk") <= 120) THEN 1 ELSE 0 END)) "91-120 days"
+, "sum"((CASE WHEN (("ws_ship_date_sk" - "ws_sold_date_sk") > 120) THEN 1 ELSE 0 END)) ">120 days"
+FROM
+  ${database}.${schema}.web_sales
+, ${database}.${schema}.warehouse
+, ${database}.${schema}.ship_mode
+, ${database}.${schema}.web_site
+, ${database}.${schema}.date_dim
+WHERE ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+   AND ("ws_ship_date_sk" = "d_date_sk")
+   AND ("ws_warehouse_sk" = "w_warehouse_sk")
+   AND ("ws_ship_mode_sk" = "sm_ship_mode_sk")
+   AND ("ws_web_site_sk" = "web_site_sk")
+GROUP BY "substr"("w_warehouse_name", 1, 20), "sm_type", "web_name"
+ORDER BY "substr"("w_warehouse_name", 1, 20) ASC, "sm_type" ASC, "web_name" ASC
+LIMIT 100
+"""
+
+  val q99: String = """SELECT
+  "substr"("w_warehouse_name", 1, 20)
+, "sm_type"
+, "cc_name"
+, "sum"((CASE WHEN (("cs_ship_date_sk" - "cs_sold_date_sk") <= 30) THEN 1 ELSE 0 END)) "30 days"
+, "sum"((CASE WHEN (("cs_ship_date_sk" - "cs_sold_date_sk") > 30)
+   AND (("cs_ship_date_sk" - "cs_sold_date_sk") <= 60) THEN 1 ELSE 0 END)) "31-60 days"
+, "sum"((CASE WHEN (("cs_ship_date_sk" - "cs_sold_date_sk") > 60)
+   AND (("cs_ship_date_sk" - "cs_sold_date_sk") <= 90) THEN 1 ELSE 0 END)) "61-90 days"
+, "sum"((CASE WHEN (("cs_ship_date_sk" - "cs_sold_date_sk") > 90)
+   AND (("cs_ship_date_sk" - "cs_sold_date_sk") <= 120) THEN 1 ELSE 0 END)) "91-120 days"
+, "sum"((CASE WHEN (("cs_ship_date_sk" - "cs_sold_date_sk") > 120) THEN 1 ELSE 0 END)) ">120 days"
+FROM
+  ${database}.${schema}.catalog_sales
+, ${database}.${schema}.warehouse
+, ${database}.${schema}.ship_mode
+, ${database}.${schema}.call_center
+, ${database}.${schema}.date_dim
+WHERE ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+   AND ("cs_ship_date_sk" = "d_date_sk")
+   AND ("cs_warehouse_sk" = "w_warehouse_sk")
+   AND ("cs_ship_mode_sk" = "sm_ship_mode_sk")
+   AND ("cs_call_center_sk" = "cc_call_center_sk")
+GROUP BY "substr"("w_warehouse_name", 1, 20), "sm_type", "cc_name"
+ORDER BY "substr"("w_warehouse_name", 1, 20) ASC, "sm_type" ASC, "cc_name" ASC
+LIMIT 100
+"""
+
+  /** Every embedded text, keyed by reference file stem — the drift
+    * guard in TpcdsSpec iterates this map so no text can be added
+    * without its byte-identity check. */
+  val all: Map[String, String] = Map(
+    "q01" -> q01,
+    "q03" -> q03,
+    "q04" -> q04,
+    "q07" -> q07,
+    "q14_1" -> q14_1,
+    "q23_1" -> q23_1,
+    "q24_1" -> q24_1,
+    "q26" -> q26,
+    "q28" -> q28,
+    "q32" -> q32,
+    "q33" -> q33,
+    "q37" -> q37,
+    "q38" -> q38,
+    "q42" -> q42,
+    "q43" -> q43,
+    "q44" -> q44,
+    "q47" -> q47,
+    "q52" -> q52,
+    "q55" -> q55,
+    "q56" -> q56,
+    "q57" -> q57,
+    "q59" -> q59,
+    "q60" -> q60,
+    "q61" -> q61,
+    "q69" -> q69,
+    "q70" -> q70,
+    "q79" -> q79,
+    "q87" -> q87,
+    "q88" -> q88,
+    "q89" -> q89,
+    "q90" -> q90,
+    "q93" -> q93,
+    "q96" -> q96,
+    "q97" -> q97,
+    "q98" -> q98,
+    "q02" -> q02,
+    "q05" -> q05,
+    "q06" -> q06,
+    "q08" -> q08,
+    "q09" -> q09,
+    "q10" -> q10,
+    "q11" -> q11,
+    "q12" -> q12,
+    "q13" -> q13,
+    "q14_2" -> q14_2,
+    "q15" -> q15,
+    "q16" -> q16,
+    "q17" -> q17,
+    "q18" -> q18,
+    "q19" -> q19,
+    "q20" -> q20,
+    "q21" -> q21,
+    "q22" -> q22,
+    "q23_2" -> q23_2,
+    "q24_2" -> q24_2,
+    "q25" -> q25,
+    "q27" -> q27,
+    "q29" -> q29,
+    "q30" -> q30,
+    "q31" -> q31,
+    "q34" -> q34,
+    "q35" -> q35,
+    "q36" -> q36,
+    "q39_1" -> q39_1,
+    "q39_2" -> q39_2,
+    "q40" -> q40,
+    "q41" -> q41,
+    "q45" -> q45,
+    "q46" -> q46,
+    "q48" -> q48,
+    "q49" -> q49,
+    "q51" -> q51,
+    "q53" -> q53,
+    "q54" -> q54,
+    "q58" -> q58,
+    "q63" -> q63,
+    "q64" -> q64,
+    "q65" -> q65,
+    "q66" -> q66,
+    "q67" -> q67,
+    "q68" -> q68,
+    "q71" -> q71,
+    "q72" -> q72,
+    "q73" -> q73,
+    "q74" -> q74,
+    "q75" -> q75,
+    "q76" -> q76,
+    "q77" -> q77,
+    "q78" -> q78,
+    "q80" -> q80,
+    "q81" -> q81,
+    "q82" -> q82,
+    "q83" -> q83,
+    "q84" -> q84,
+    "q85" -> q85,
+    "q86" -> q86,
+    "q91" -> q91,
+    "q92" -> q92,
+    "q94" -> q94,
+    "q95" -> q95,
+    "q50" -> q50,
+    "q62" -> q62,
+    "q99" -> q99)
 }

@@ -54,7 +54,7 @@ object TpcdsQueries extends QueryGroup {
     "warehouse", "income_band", "ship_mode", "call_center", "web_site",
     "web_page", "catalog_page")
 
-  private def ensureTpcdsViews(spark: SparkSession, dir: String): Unit =
+  private[graft] def ensureTpcdsViews(spark: SparkSession, dir: String): Unit =
     viewsFor.compute(spark, (_, prev) => {
       if (prev != dir) {
         spark.sql("CREATE DATABASE IF NOT EXISTS tpcds")
@@ -144,8 +144,15 @@ object TpcdsQueries extends QueryGroup {
     */
   private def verbatim(name: String, text: String, aliases: Seq[String],
       norm: Seq[String], order: String): QueryDef = {
-    val engineText = text.replace("${database}.${schema}.", "spark_catalog.tpcds.")
-    val oracleText = VerbatimRef.replaceAllIn(text, m =>
+    // a template ref inside a STRING LITERAL (q14_2's channel label
+    // '${database}.${schema}.store') is data, not a table ref — pin it to
+    // the engine's spelling on BOTH sides before the table-ref rewrites
+    val pinned = text.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg.replace("${database}.${schema}.", "spark_catalog.tpcds.")
+      else seg
+    }.mkString("'")
+    val engineText = pinned.replace("${database}.${schema}.", "spark_catalog.tpcds.")
+    val oracleText = VerbatimRef.replaceAllIn(pinned, m =>
       if (m.group(2) != null) s"tpcds_${m.group(1)}${m.group(2)}"
       else s"tpcds_${m.group(1)} ${m.group(1)}")
     val oracle = TpcdsSynth.duckCtePreamble +
@@ -3614,5 +3621,437 @@ object TpcdsQueries extends QueryGroup {
       "i_category, i_brand, cc_name, d_year, d_moy"),
     verbatim("tpcds_q90_verbatim", BenchtoTpcdsTexts.q90,
       Seq("am_pm_ratio"), Seq(r6("am_pm_ratio")), ""),
+    verbatim("tpcds_q02_verbatim", BenchtoTpcdsTexts.q02,
+      Seq("d_week_seq1", "c2", "c3", "c4", "c5", "c6", "c7", "c8"),
+      Seq(big("d_week_seq1"), r2("c2"), r2("c3"), r2("c4"), r2("c5"),
+        r2("c6"), r2("c7"), r2("c8")),
+      "d_week_seq1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST, c4 NULLS FIRST, c5 NULLS FIRST, c6 NULLS FIRST, c7 NULLS FIRST, c8 NULLS FIRST"),
+    verbatim("tpcds_q05_verbatim", BenchtoTpcdsTexts.q05,
+      Seq("channel", "id", "sales", "c4", "profit"),
+      Seq("channel", "id", r2("sales"), r2("c4"), r2("profit")),
+      "channel NULLS FIRST, id NULLS FIRST, sales NULLS FIRST, c4 NULLS FIRST, profit NULLS FIRST"),
+    verbatim("tpcds_q06_verbatim", BenchtoTpcdsTexts.q06,
+      Seq("state", "cnt"),
+      Seq("state", big("cnt")),
+      "state NULLS FIRST, cnt NULLS FIRST"),
+    verbatim("tpcds_q08_verbatim", BenchtoTpcdsTexts.q08,
+      Seq("s_store_name", "c2"),
+      Seq("s_store_name", r2("c2")),
+      "s_store_name NULLS FIRST, c2 NULLS FIRST"),
+    verbatim("tpcds_q09_verbatim", BenchtoTpcdsTexts.q09,
+      Seq("bucket1", "bucket2", "bucket3", "bucket4", "bucket5"),
+      Seq(r4("bucket1"), r4("bucket2"), r4("bucket3"), r4("bucket4"),
+        r4("bucket5")),
+      "bucket1 NULLS FIRST, bucket2 NULLS FIRST, bucket3 NULLS FIRST, bucket4 NULLS FIRST, bucket5 NULLS FIRST"),
+    verbatim("tpcds_q10_verbatim", BenchtoTpcdsTexts.q10,
+      Seq("cd_gender", "cd_marital_status", "cd_education_status", "cnt1",
+        "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3",
+        "cd_dep_count", "cnt4", "cd_dep_employed_count", "cnt5",
+        "cd_dep_college_count", "cnt6"),
+      Seq("cd_gender", "cd_marital_status", "cd_education_status",
+        big("cnt1"), big("cd_purchase_estimate"), big("cnt2"),
+        "cd_credit_rating", big("cnt3"), big("cd_dep_count"), big("cnt4"),
+        big("cd_dep_employed_count"), big("cnt5"),
+        big("cd_dep_college_count"), big("cnt6")),
+      "cd_gender NULLS FIRST, cd_marital_status NULLS FIRST, cd_education_status NULLS FIRST, cnt1 NULLS FIRST, cd_purchase_estimate NULLS FIRST, cnt2 NULLS FIRST, cd_credit_rating NULLS FIRST, cnt3 NULLS FIRST, cd_dep_count NULLS FIRST, cnt4 NULLS FIRST, cd_dep_employed_count NULLS FIRST, cnt5 NULLS FIRST, cd_dep_college_count NULLS FIRST, cnt6 NULLS FIRST"),
+    verbatim("tpcds_q11_verbatim", BenchtoTpcdsTexts.q11,
+      Seq("customer_id", "customer_first_name", "customer_last_name",
+        "customer_preferred_cust_flag", "customer_birth_country",
+        "customer_login"),
+      Seq("customer_id", "customer_first_name", "customer_last_name",
+        "customer_preferred_cust_flag", "customer_birth_country",
+        "customer_login"),
+      "customer_id NULLS FIRST, customer_first_name NULLS FIRST, customer_last_name NULLS FIRST, customer_preferred_cust_flag NULLS FIRST, customer_birth_country NULLS FIRST, customer_login NULLS FIRST"),
+    verbatim("tpcds_q12_verbatim", BenchtoTpcdsTexts.q12,
+      Seq("i_item_id", "i_item_desc", "i_category", "i_class",
+        "i_current_price", "c6", "revenueratio"),
+      Seq("i_item_id", "i_item_desc", "i_category", "i_class",
+        r4("i_current_price"), r2("c6"), r4("revenueratio")),
+      "i_item_id NULLS FIRST, i_item_desc NULLS FIRST, i_category NULLS FIRST, i_class NULLS FIRST, i_current_price NULLS FIRST, c6 NULLS FIRST, revenueratio NULLS FIRST"),
+    verbatim("tpcds_q13_verbatim", BenchtoTpcdsTexts.q13,
+      Seq("c1", "c2", "c3", "c4"),
+      Seq(r4("c1"), r4("c2"), r4("c3"), r2("c4")),
+      "c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST, c4 NULLS FIRST"),
+    verbatim("tpcds_q14_2_verbatim", BenchtoTpcdsTexts.q14_2,
+      Seq("channel", "i_brand_id", "i_class_id", "i_category_id", "sales",
+        "number_sales", "c7", "c8", "c9", "c10", "c11", "c12"),
+      Seq("channel", big("i_brand_id"), big("i_class_id"),
+        big("i_category_id"), r2("sales"), big("number_sales"), "c7",
+        big("c8"), big("c9"), big("c10"), r2("c11"), big("c12")),
+      "channel NULLS FIRST, i_brand_id NULLS FIRST, i_class_id NULLS FIRST, i_category_id NULLS FIRST, sales NULLS FIRST, number_sales NULLS FIRST, c7 NULLS FIRST, c8 NULLS FIRST, c9 NULLS FIRST, c10 NULLS FIRST, c11 NULLS FIRST, c12 NULLS FIRST"),
+    verbatim("tpcds_q15_verbatim", BenchtoTpcdsTexts.q15,
+      Seq("ca_zip", "c2"),
+      Seq("ca_zip", r2("c2")),
+      "ca_zip NULLS FIRST, c2 NULLS FIRST"),
+    verbatim("tpcds_q16_verbatim", BenchtoTpcdsTexts.q16,
+      Seq("c1", "c2", "c3"),
+      Seq(big("c1"), r2("c2"), r2("c3")),
+      "c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST"),
+    verbatim("tpcds_q17_verbatim", BenchtoTpcdsTexts.q17,
+      Seq("i_item_id", "i_item_desc", "s_state", "store_sales_quantitycount",
+        "store_sales_quantityave", "store_sales_quantitystdev",
+        "store_sales_quantitycov", "store_returns_quantitycount",
+        "store_returns_quantityave", "store_returns_quantitystdev",
+        "store_returns_quantitycov", "catalog_sales_quantitycount",
+        "catalog_sales_quantityave", "catalog_sales_quantitystdev",
+        "catalog_sales_quantitycov"),
+      Seq("i_item_id", "i_item_desc", "s_state",
+        big("store_sales_quantitycount"), r4("store_sales_quantityave"),
+        r4("store_sales_quantitystdev"), r4("store_sales_quantitycov"),
+        big("store_returns_quantitycount"),
+        r4("store_returns_quantityave"), r4("store_returns_quantitystdev"),
+        r4("store_returns_quantitycov"),
+        big("catalog_sales_quantitycount"),
+        r4("catalog_sales_quantityave"), r4("catalog_sales_quantitystdev"),
+        r4("catalog_sales_quantitycov")),
+      "i_item_id NULLS FIRST, i_item_desc NULLS FIRST, s_state NULLS FIRST, store_sales_quantitycount NULLS FIRST, store_sales_quantityave NULLS FIRST, store_sales_quantitystdev NULLS FIRST, store_sales_quantitycov NULLS FIRST, store_returns_quantitycount NULLS FIRST, store_returns_quantityave NULLS FIRST, store_returns_quantitystdev NULLS FIRST, store_returns_quantitycov NULLS FIRST, catalog_sales_quantitycount NULLS FIRST, catalog_sales_quantityave NULLS FIRST, catalog_sales_quantitystdev NULLS FIRST, catalog_sales_quantitycov NULLS FIRST"),
+    verbatim("tpcds_q18_verbatim", BenchtoTpcdsTexts.q18,
+      Seq("i_item_id", "ca_country", "ca_state", "ca_county", "agg1", "agg2",
+        "agg3", "agg4", "agg5", "agg6", "agg7"),
+      Seq("i_item_id", "ca_country", "ca_state", "ca_county", r4("agg1"),
+        r4("agg2"), r4("agg3"), r4("agg4"), r4("agg5"), r4("agg6"),
+        r4("agg7")),
+      "i_item_id NULLS FIRST, ca_country NULLS FIRST, ca_state NULLS FIRST, ca_county NULLS FIRST, agg1 NULLS FIRST, agg2 NULLS FIRST, agg3 NULLS FIRST, agg4 NULLS FIRST, agg5 NULLS FIRST, agg6 NULLS FIRST, agg7 NULLS FIRST"),
+    verbatim("tpcds_q19_verbatim", BenchtoTpcdsTexts.q19,
+      Seq("brand_id", "brand", "i_manufact_id", "i_manufact", "ext_price"),
+      Seq(big("brand_id"), "brand", big("i_manufact_id"), "i_manufact",
+        r2("ext_price")),
+      "brand_id NULLS FIRST, brand NULLS FIRST, i_manufact_id NULLS FIRST, i_manufact NULLS FIRST, ext_price NULLS FIRST"),
+    verbatim("tpcds_q20_verbatim", BenchtoTpcdsTexts.q20,
+      Seq("i_item_id", "i_item_desc", "i_category", "i_class",
+        "i_current_price", "c6", "revenueratio"),
+      Seq("i_item_id", "i_item_desc", "i_category", "i_class",
+        r4("i_current_price"), r2("c6"), r4("revenueratio")),
+      "i_item_id NULLS FIRST, i_item_desc NULLS FIRST, i_category NULLS FIRST, i_class NULLS FIRST, i_current_price NULLS FIRST, c6 NULLS FIRST, revenueratio NULLS FIRST"),
+    verbatim("tpcds_q21_verbatim", BenchtoTpcdsTexts.q21,
+      Seq("w_warehouse_name", "i_item_id", "inv_before", "inv_after"),
+      Seq("w_warehouse_name", "i_item_id", big("inv_before"),
+        big("inv_after")),
+      "w_warehouse_name NULLS FIRST, i_item_id NULLS FIRST, inv_before NULLS FIRST, inv_after NULLS FIRST"),
+    verbatim("tpcds_q22_verbatim", BenchtoTpcdsTexts.q22,
+      Seq("i_product_name", "i_brand", "i_class", "i_category", "qoh"),
+      Seq("i_product_name", "i_brand", "i_class", "i_category", r4("qoh")),
+      "i_product_name NULLS FIRST, i_brand NULLS FIRST, i_class NULLS FIRST, i_category NULLS FIRST, qoh NULLS FIRST"),
+    verbatim("tpcds_q23_2_verbatim", BenchtoTpcdsTexts.q23_2,
+      Seq("c_last_name", "c_first_name", "sales"),
+      Seq("c_last_name", "c_first_name", r2("sales")),
+      "c_last_name NULLS FIRST, c_first_name NULLS FIRST, sales NULLS FIRST"),
+    verbatim("tpcds_q24_2_verbatim", BenchtoTpcdsTexts.q24_2,
+      Seq("c_last_name", "c_first_name", "s_store_name", "paid"),
+      Seq("c_last_name", "c_first_name", "s_store_name", r2("paid")),
+      "c_last_name NULLS FIRST, c_first_name NULLS FIRST, s_store_name NULLS FIRST, paid NULLS FIRST"),
+    verbatim("tpcds_q25_verbatim", BenchtoTpcdsTexts.q25,
+      Seq("i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+        "store_sales_profit", "store_returns_loss", "catalog_sales_profit"),
+      Seq("i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+        r2("store_sales_profit"), r2("store_returns_loss"),
+        r2("catalog_sales_profit")),
+      "i_item_id NULLS FIRST, i_item_desc NULLS FIRST, s_store_id NULLS FIRST, s_store_name NULLS FIRST, store_sales_profit NULLS FIRST, store_returns_loss NULLS FIRST, catalog_sales_profit NULLS FIRST"),
+    // q27 verbatim is EXCLUDED from the gate: its d_year = 2002 sits
+    // outside the fixture epoch (1995-2001), so the ROLLUP aggregates an
+    // EMPTY input — the one pinned engine divergence (Spark emits zero
+    // rows, the standard/DuckDB emit the empty-grouping-set row; see
+    // TpcdsSpec "rollup over empty input"). The text still drift-guards
+    // via BenchtoTpcdsTexts.all and the fixture-tuned adapted twin
+    // (tpcds_q27) runs the same shape green with real rows.
+    verbatim("tpcds_q29_verbatim", BenchtoTpcdsTexts.q29,
+      Seq("i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+        "store_sales_quantity", "store_returns_quantity",
+        "catalog_sales_quantity"),
+      Seq("i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+        big("store_sales_quantity"), big("store_returns_quantity"),
+        big("catalog_sales_quantity")),
+      "i_item_id NULLS FIRST, i_item_desc NULLS FIRST, s_store_id NULLS FIRST, s_store_name NULLS FIRST, store_sales_quantity NULLS FIRST, store_returns_quantity NULLS FIRST, catalog_sales_quantity NULLS FIRST"),
+    verbatim("tpcds_q30_verbatim", BenchtoTpcdsTexts.q30,
+      Seq("c_customer_id", "c_salutation", "c_first_name", "c_last_name",
+        "c_preferred_cust_flag", "c_birth_day", "c_birth_month",
+        "c_birth_year", "c_birth_country", "c_login", "c_email_address",
+        "c_last_review_date_sk", "ctr_total_return"),
+      Seq("c_customer_id", "c_salutation", "c_first_name", "c_last_name",
+        "c_preferred_cust_flag", big("c_birth_day"), big("c_birth_month"),
+        big("c_birth_year"), "c_birth_country", "c_login",
+        "c_email_address", "c_last_review_date_sk", r2("ctr_total_return")),
+      "c_customer_id NULLS FIRST, c_salutation NULLS FIRST, c_first_name NULLS FIRST, c_last_name NULLS FIRST, c_preferred_cust_flag NULLS FIRST, c_birth_day NULLS FIRST, c_birth_month NULLS FIRST, c_birth_year NULLS FIRST, c_birth_country NULLS FIRST, c_login NULLS FIRST, c_email_address NULLS FIRST, c_last_review_date_sk NULLS FIRST, ctr_total_return NULLS FIRST"),
+    verbatim("tpcds_q31_verbatim", BenchtoTpcdsTexts.q31,
+      Seq("ca_county", "d_year", "web_q1_q2_increase",
+        "store_q1_q2_increase", "web_q2_q3_increase",
+        "store_q2_q3_increase"),
+      Seq("ca_county", big("d_year"), r4("web_q1_q2_increase"),
+        r4("store_q1_q2_increase"), r4("web_q2_q3_increase"),
+        r4("store_q2_q3_increase")),
+      "ca_county NULLS FIRST, d_year NULLS FIRST, web_q1_q2_increase NULLS FIRST, store_q1_q2_increase NULLS FIRST, web_q2_q3_increase NULLS FIRST, store_q2_q3_increase NULLS FIRST"),
+    verbatim("tpcds_q34_verbatim", BenchtoTpcdsTexts.q34,
+      Seq("c_last_name", "c_first_name", "c_salutation",
+        "c_preferred_cust_flag", "ss_ticket_number", "cnt"),
+      Seq("c_last_name", "c_first_name", "c_salutation",
+        "c_preferred_cust_flag", big("ss_ticket_number"), big("cnt")),
+      "c_last_name NULLS FIRST, c_first_name NULLS FIRST, c_salutation NULLS FIRST, c_preferred_cust_flag NULLS FIRST, ss_ticket_number NULLS FIRST, cnt NULLS FIRST"),
+    verbatim("tpcds_q35_verbatim", BenchtoTpcdsTexts.q35,
+      Seq("ca_state", "cd_gender", "cd_marital_status", "cd_dep_count",
+        "cnt1", "c6", "c7", "c8", "cd_dep_employed_count", "cnt2", "c11",
+        "c12", "c13", "cd_dep_college_count", "cnt3", "c16", "c17", "c18"),
+      Seq("ca_state", "cd_gender", "cd_marital_status", big("cd_dep_count"),
+        big("cnt1"), big("c6"), big("c7"), r4("c8"),
+        big("cd_dep_employed_count"), big("cnt2"), big("c11"), big("c12"),
+        r4("c13"), big("cd_dep_college_count"), big("cnt3"), big("c16"),
+        big("c17"), r4("c18")),
+      "ca_state NULLS FIRST, cd_gender NULLS FIRST, cd_marital_status NULLS FIRST, cd_dep_count NULLS FIRST, cnt1 NULLS FIRST, c6 NULLS FIRST, c7 NULLS FIRST, c8 NULLS FIRST, cd_dep_employed_count NULLS FIRST, cnt2 NULLS FIRST, c11 NULLS FIRST, c12 NULLS FIRST, c13 NULLS FIRST, cd_dep_college_count NULLS FIRST, cnt3 NULLS FIRST, c16 NULLS FIRST, c17 NULLS FIRST, c18 NULLS FIRST"),
+    verbatim("tpcds_q36_verbatim", BenchtoTpcdsTexts.q36,
+      Seq("gross_margin", "i_category", "i_class", "lochierarchy",
+        "rank_within_parent"),
+      Seq(r4("gross_margin"), "i_category", "i_class", big("lochierarchy"),
+        big("rank_within_parent")),
+      "gross_margin NULLS FIRST, i_category NULLS FIRST, i_class NULLS FIRST, lochierarchy NULLS FIRST, rank_within_parent NULLS FIRST"),
+    verbatim("tpcds_q39_1_verbatim", BenchtoTpcdsTexts.q39_1,
+      Seq("w_warehouse_sk", "i_item_sk", "d_moy", "mean", "cov", "c6", "c7",
+        "c8", "c9", "c10"),
+      Seq(big("w_warehouse_sk"), big("i_item_sk"), big("d_moy"), r4("mean"),
+        r4("cov"), big("c6"), big("c7"), big("c8"), r4("c9"), r4("c10")),
+      "w_warehouse_sk NULLS FIRST, i_item_sk NULLS FIRST, d_moy NULLS FIRST, mean NULLS FIRST, cov NULLS FIRST, c6 NULLS FIRST, c7 NULLS FIRST, c8 NULLS FIRST, c9 NULLS FIRST, c10 NULLS FIRST"),
+    verbatim("tpcds_q39_2_verbatim", BenchtoTpcdsTexts.q39_2,
+      Seq("w_warehouse_sk", "i_item_sk", "d_moy", "mean", "cov", "c6", "c7",
+        "c8", "c9", "c10"),
+      Seq(big("w_warehouse_sk"), big("i_item_sk"), big("d_moy"), r4("mean"),
+        r4("cov"), big("c6"), big("c7"), big("c8"), r4("c9"), r4("c10")),
+      "w_warehouse_sk NULLS FIRST, i_item_sk NULLS FIRST, d_moy NULLS FIRST, mean NULLS FIRST, cov NULLS FIRST, c6 NULLS FIRST, c7 NULLS FIRST, c8 NULLS FIRST, c9 NULLS FIRST, c10 NULLS FIRST"),
+    verbatim("tpcds_q40_verbatim", BenchtoTpcdsTexts.q40,
+      Seq("w_state", "i_item_id", "sales_before", "sales_after"),
+      Seq("w_state", "i_item_id", r2("sales_before"), r2("sales_after")),
+      "w_state NULLS FIRST, i_item_id NULLS FIRST, sales_before NULLS FIRST, sales_after NULLS FIRST"),
+    verbatim("tpcds_q41_verbatim", BenchtoTpcdsTexts.q41,
+      Seq("i_product_name"),
+      Seq("i_product_name"),
+      "i_product_name NULLS FIRST"),
+    verbatim("tpcds_q45_verbatim", BenchtoTpcdsTexts.q45,
+      Seq("ca_zip", "ca_city", "c3"),
+      Seq("ca_zip", "ca_city", r2("c3")),
+      "ca_zip NULLS FIRST, ca_city NULLS FIRST, c3 NULLS FIRST"),
+    verbatim("tpcds_q46_verbatim", BenchtoTpcdsTexts.q46,
+      Seq("c_last_name", "c_first_name", "ca_city", "bought_city",
+        "ss_ticket_number", "amt", "profit"),
+      Seq("c_last_name", "c_first_name", "ca_city", "bought_city",
+        big("ss_ticket_number"), r2("amt"), r2("profit")),
+      "c_last_name NULLS FIRST, c_first_name NULLS FIRST, ca_city NULLS FIRST, bought_city NULLS FIRST, ss_ticket_number NULLS FIRST, amt NULLS FIRST, profit NULLS FIRST"),
+    verbatim("tpcds_q48_verbatim", BenchtoTpcdsTexts.q48,
+      Seq("c1"),
+      Seq(big("c1")),
+      "c1 NULLS FIRST"),
+    verbatim("tpcds_q49_verbatim", BenchtoTpcdsTexts.q49,
+      Seq("channel", "item", "return_ratio", "return_rank", "currency_rank"),
+      Seq("channel", big("item"), r4("return_ratio"), big("return_rank"),
+        big("currency_rank")),
+      "channel NULLS FIRST, item NULLS FIRST, return_ratio NULLS FIRST, return_rank NULLS FIRST, currency_rank NULLS FIRST"),
+    verbatim("tpcds_q51_verbatim", BenchtoTpcdsTexts.q51,
+      Seq("item_sk", "d_date", "web_sales", "store_sales", "web_cumulative",
+        "store_cumulative"),
+      Seq(big("item_sk"), "d_date", r2("web_sales"), r2("store_sales"),
+        r2("web_cumulative"), r2("store_cumulative")),
+      "item_sk NULLS FIRST, d_date NULLS FIRST, web_sales NULLS FIRST, store_sales NULLS FIRST, web_cumulative NULLS FIRST, store_cumulative NULLS FIRST"),
+    verbatim("tpcds_q53_verbatim", BenchtoTpcdsTexts.q53,
+      Seq("i_manufact_id", "sum_sales", "avg_quarterly_sales"),
+      Seq(big("i_manufact_id"), r2("sum_sales"), r4("avg_quarterly_sales")),
+      "i_manufact_id NULLS FIRST, sum_sales NULLS FIRST, avg_quarterly_sales NULLS FIRST"),
+    verbatim("tpcds_q54_verbatim", BenchtoTpcdsTexts.q54,
+      Seq("segment", "num_customers", "segment_base"),
+      Seq(big("segment"), big("num_customers"), big("segment_base")),
+      "segment NULLS FIRST, num_customers NULLS FIRST, segment_base NULLS FIRST"),
+    verbatim("tpcds_q58_verbatim", BenchtoTpcdsTexts.q58,
+      Seq("item_id", "ss_item_rev", "ss_dev", "cs_item_rev", "cs_dev",
+        "ws_item_rev", "ws_dev", "average"),
+      Seq("item_id", r2("ss_item_rev"), r2("ss_dev"), r2("cs_item_rev"),
+        r2("cs_dev"), r2("ws_item_rev"), r2("ws_dev"), r4("average")),
+      "item_id NULLS FIRST, ss_item_rev NULLS FIRST, ss_dev NULLS FIRST, cs_item_rev NULLS FIRST, cs_dev NULLS FIRST, ws_item_rev NULLS FIRST, ws_dev NULLS FIRST, average NULLS FIRST"),
+    verbatim("tpcds_q63_verbatim", BenchtoTpcdsTexts.q63,
+      Seq("i_manager_id", "sum_sales", "avg_monthly_sales"),
+      Seq(big("i_manager_id"), r2("sum_sales"), r4("avg_monthly_sales")),
+      "i_manager_id NULLS FIRST, sum_sales NULLS FIRST, avg_monthly_sales NULLS FIRST"),
+    verbatim("tpcds_q64_verbatim", BenchtoTpcdsTexts.q64,
+      Seq("product_name", "store_name", "store_zip", "b_street_number",
+        "b_street_name", "b_city", "b_zip", "c_street_number",
+        "c_street_name", "c_city", "c_zip", "syear", "cnt", "s11", "s21",
+        "s31", "s12", "s22", "s32", "c20", "c21"),
+      Seq("product_name", "store_name", "store_zip", "b_street_number",
+        "b_street_name", "b_city", "b_zip", "c_street_number",
+        "c_street_name", "c_city", "c_zip", big("syear"), big("cnt"),
+        r2("s11"), r2("s21"), r2("s31"), r2("s12"), r2("s22"), r2("s32"),
+        big("c20"), big("c21")),
+      "product_name NULLS FIRST, store_name NULLS FIRST, store_zip NULLS FIRST, b_street_number NULLS FIRST, b_street_name NULLS FIRST, b_city NULLS FIRST, b_zip NULLS FIRST, c_street_number NULLS FIRST, c_street_name NULLS FIRST, c_city NULLS FIRST, c_zip NULLS FIRST, syear NULLS FIRST, cnt NULLS FIRST, s11 NULLS FIRST, s21 NULLS FIRST, s31 NULLS FIRST, s12 NULLS FIRST, s22 NULLS FIRST, s32 NULLS FIRST, c20 NULLS FIRST, c21 NULLS FIRST"),
+    verbatim("tpcds_q65_verbatim", BenchtoTpcdsTexts.q65,
+      Seq("s_store_name", "i_item_desc", "revenue", "i_current_price",
+        "i_wholesale_cost", "i_brand"),
+      Seq("s_store_name", "i_item_desc", r2("revenue"),
+        r4("i_current_price"), r2("i_wholesale_cost"), "i_brand"),
+      "s_store_name NULLS FIRST, i_item_desc NULLS FIRST, revenue NULLS FIRST, i_current_price NULLS FIRST, i_wholesale_cost NULLS FIRST, i_brand NULLS FIRST"),
+    verbatim("tpcds_q66_verbatim", BenchtoTpcdsTexts.q66,
+      Seq("w_warehouse_name", "w_warehouse_sq_ft", "w_city", "w_county",
+        "w_state", "w_country", "ship_carriers", "c8", "jan_sales",
+        "feb_sales", "mar_sales", "apr_sales", "may_sales", "jun_sales",
+        "jul_sales", "aug_sales", "sep_sales", "oct_sales", "nov_sales",
+        "dec_sales", "jan_sales_per_sq_foot", "feb_sales_per_sq_foot",
+        "mar_sales_per_sq_foot", "apr_sales_per_sq_foot",
+        "may_sales_per_sq_foot", "jun_sales_per_sq_foot",
+        "jul_sales_per_sq_foot", "aug_sales_per_sq_foot",
+        "sep_sales_per_sq_foot", "oct_sales_per_sq_foot",
+        "nov_sales_per_sq_foot", "dec_sales_per_sq_foot", "jan_net",
+        "feb_net", "mar_net", "apr_net", "may_net", "jun_net", "jul_net",
+        "aug_net", "sep_net", "oct_net", "nov_net", "dec_net"),
+      Seq("w_warehouse_name", big("w_warehouse_sq_ft"), "w_city", "w_county",
+        "w_state", "w_country", "ship_carriers", big("c8"),
+        r2("jan_sales"), r2("feb_sales"), r2("mar_sales"), r2("apr_sales"),
+        r2("may_sales"), r2("jun_sales"), r2("jul_sales"), r2("aug_sales"),
+        r2("sep_sales"), r2("oct_sales"), r2("nov_sales"), r2("dec_sales"),
+        r4("jan_sales_per_sq_foot"), r4("feb_sales_per_sq_foot"),
+        r4("mar_sales_per_sq_foot"), r4("apr_sales_per_sq_foot"),
+        r4("may_sales_per_sq_foot"), r4("jun_sales_per_sq_foot"),
+        r4("jul_sales_per_sq_foot"), r4("aug_sales_per_sq_foot"),
+        r4("sep_sales_per_sq_foot"), r4("oct_sales_per_sq_foot"),
+        r4("nov_sales_per_sq_foot"), r4("dec_sales_per_sq_foot"),
+        r2("jan_net"), r2("feb_net"), r2("mar_net"), r2("apr_net"),
+        r2("may_net"), r2("jun_net"), r2("jul_net"), r2("aug_net"),
+        r2("sep_net"), r2("oct_net"), r2("nov_net"), r2("dec_net")),
+      "w_warehouse_name NULLS FIRST, w_warehouse_sq_ft NULLS FIRST, w_city NULLS FIRST, w_county NULLS FIRST, w_state NULLS FIRST, w_country NULLS FIRST, ship_carriers NULLS FIRST, c8 NULLS FIRST, jan_sales NULLS FIRST, feb_sales NULLS FIRST, mar_sales NULLS FIRST, apr_sales NULLS FIRST, may_sales NULLS FIRST, jun_sales NULLS FIRST, jul_sales NULLS FIRST, aug_sales NULLS FIRST, sep_sales NULLS FIRST, oct_sales NULLS FIRST, nov_sales NULLS FIRST, dec_sales NULLS FIRST, jan_sales_per_sq_foot NULLS FIRST, feb_sales_per_sq_foot NULLS FIRST, mar_sales_per_sq_foot NULLS FIRST, apr_sales_per_sq_foot NULLS FIRST, may_sales_per_sq_foot NULLS FIRST, jun_sales_per_sq_foot NULLS FIRST, jul_sales_per_sq_foot NULLS FIRST, aug_sales_per_sq_foot NULLS FIRST, sep_sales_per_sq_foot NULLS FIRST, oct_sales_per_sq_foot NULLS FIRST, nov_sales_per_sq_foot NULLS FIRST, dec_sales_per_sq_foot NULLS FIRST, jan_net NULLS FIRST, feb_net NULLS FIRST, mar_net NULLS FIRST, apr_net NULLS FIRST, may_net NULLS FIRST, jun_net NULLS FIRST, jul_net NULLS FIRST, aug_net NULLS FIRST, sep_net NULLS FIRST, oct_net NULLS FIRST, nov_net NULLS FIRST, dec_net NULLS FIRST"),
+    verbatim("tpcds_q67_verbatim", BenchtoTpcdsTexts.q67,
+      Seq("i_category", "i_class", "i_brand", "i_product_name", "d_year",
+        "d_qoy", "d_moy", "s_store_id", "sumsales", "rk"),
+      Seq("i_category", "i_class", "i_brand", "i_product_name",
+        big("d_year"), big("d_qoy"), big("d_moy"), "s_store_id",
+        r2("sumsales"), big("rk")),
+      "i_category NULLS FIRST, i_class NULLS FIRST, i_brand NULLS FIRST, i_product_name NULLS FIRST, d_year NULLS FIRST, d_qoy NULLS FIRST, d_moy NULLS FIRST, s_store_id NULLS FIRST, sumsales NULLS FIRST, rk NULLS FIRST"),
+    verbatim("tpcds_q68_verbatim", BenchtoTpcdsTexts.q68,
+      Seq("c_last_name", "c_first_name", "ca_city", "bought_city",
+        "ss_ticket_number", "extended_price", "extended_tax", "list_price"),
+      Seq("c_last_name", "c_first_name", "ca_city", "bought_city",
+        big("ss_ticket_number"), r2("extended_price"), r2("extended_tax"),
+        r2("list_price")),
+      "c_last_name NULLS FIRST, c_first_name NULLS FIRST, ca_city NULLS FIRST, bought_city NULLS FIRST, ss_ticket_number NULLS FIRST, extended_price NULLS FIRST, extended_tax NULLS FIRST, list_price NULLS FIRST"),
+    verbatim("tpcds_q71_verbatim", BenchtoTpcdsTexts.q71,
+      Seq("brand_id", "brand", "t_hour", "t_minute", "ext_price"),
+      Seq(big("brand_id"), "brand", big("t_hour"), big("t_minute"),
+        r2("ext_price")),
+      "brand_id NULLS FIRST, brand NULLS FIRST, t_hour NULLS FIRST, t_minute NULLS FIRST, ext_price NULLS FIRST"),
+    verbatim("tpcds_q72_verbatim", BenchtoTpcdsTexts.q72,
+      Seq("i_item_desc", "w_warehouse_name", "d_week_seq", "no_promo",
+        "promo", "total_cnt"),
+      Seq("i_item_desc", "w_warehouse_name", big("d_week_seq"),
+        big("no_promo"), big("promo"), big("total_cnt")),
+      "i_item_desc NULLS FIRST, w_warehouse_name NULLS FIRST, d_week_seq NULLS FIRST, no_promo NULLS FIRST, promo NULLS FIRST, total_cnt NULLS FIRST"),
+    verbatim("tpcds_q73_verbatim", BenchtoTpcdsTexts.q73,
+      Seq("c_last_name", "c_first_name", "c_salutation",
+        "c_preferred_cust_flag", "ss_ticket_number", "cnt"),
+      Seq("c_last_name", "c_first_name", "c_salutation",
+        "c_preferred_cust_flag", big("ss_ticket_number"), big("cnt")),
+      "c_last_name NULLS FIRST, c_first_name NULLS FIRST, c_salutation NULLS FIRST, c_preferred_cust_flag NULLS FIRST, ss_ticket_number NULLS FIRST, cnt NULLS FIRST"),
+    verbatim("tpcds_q74_verbatim", BenchtoTpcdsTexts.q74,
+      Seq("customer_id", "customer_first_name", "customer_last_name"),
+      Seq("customer_id", "customer_first_name", "customer_last_name"),
+      "customer_id NULLS FIRST, customer_first_name NULLS FIRST, customer_last_name NULLS FIRST"),
+    verbatim("tpcds_q75_verbatim", BenchtoTpcdsTexts.q75,
+      Seq("prev_year", "c2", "i_brand_id", "i_class_id", "i_category_id",
+        "i_manufact_id", "prev_yr_cnt", "curr_yr_cnt", "sales_cnt_diff",
+        "sales_amt_diff"),
+      Seq(big("prev_year"), big("c2"), big("i_brand_id"), big("i_class_id"),
+        big("i_category_id"), big("i_manufact_id"), big("prev_yr_cnt"),
+        big("curr_yr_cnt"), big("sales_cnt_diff"), r2("sales_amt_diff")),
+      "prev_year NULLS FIRST, c2 NULLS FIRST, i_brand_id NULLS FIRST, i_class_id NULLS FIRST, i_category_id NULLS FIRST, i_manufact_id NULLS FIRST, prev_yr_cnt NULLS FIRST, curr_yr_cnt NULLS FIRST, sales_cnt_diff NULLS FIRST, sales_amt_diff NULLS FIRST"),
+    verbatim("tpcds_q76_verbatim", BenchtoTpcdsTexts.q76,
+      Seq("channel", "col_name", "d_year", "d_qoy", "i_category",
+        "sales_cnt", "sales_amt"),
+      Seq("channel", "col_name", big("d_year"), big("d_qoy"), "i_category",
+        big("sales_cnt"), r2("sales_amt")),
+      "channel NULLS FIRST, col_name NULLS FIRST, d_year NULLS FIRST, d_qoy NULLS FIRST, i_category NULLS FIRST, sales_cnt NULLS FIRST, sales_amt NULLS FIRST"),
+    verbatim("tpcds_q77_verbatim", BenchtoTpcdsTexts.q77,
+      Seq("channel", "id", "sales", "c4", "profit"),
+      Seq("channel", big("id"), r2("sales"), r2("c4"), r2("profit")),
+      "channel NULLS FIRST, id NULLS FIRST, sales NULLS FIRST, c4 NULLS FIRST, profit NULLS FIRST"),
+    verbatim("tpcds_q78_verbatim", BenchtoTpcdsTexts.q78,
+      Seq("ss_sold_year", "ss_item_sk", "ss_customer_sk", "ratio",
+        "store_qty", "store_wholesale_cost", "store_sales_price",
+        "other_chan_qty", "other_chan_wholesale_cost",
+        "other_chan_sales_price"),
+      Seq(big("ss_sold_year"), big("ss_item_sk"), big("ss_customer_sk"),
+        r2("ratio"), big("store_qty"), r2("store_wholesale_cost"),
+        r2("store_sales_price"), big("other_chan_qty"),
+        r2("other_chan_wholesale_cost"), r2("other_chan_sales_price")),
+      "ss_sold_year NULLS FIRST, ss_item_sk NULLS FIRST, ss_customer_sk NULLS FIRST, ratio NULLS FIRST, store_qty NULLS FIRST, store_wholesale_cost NULLS FIRST, store_sales_price NULLS FIRST, other_chan_qty NULLS FIRST, other_chan_wholesale_cost NULLS FIRST, other_chan_sales_price NULLS FIRST"),
+    verbatim("tpcds_q80_verbatim", BenchtoTpcdsTexts.q80,
+      Seq("channel", "id", "sales", "c4", "profit"),
+      Seq("channel", "id", r2("sales"), r2("c4"), r2("profit")),
+      "channel NULLS FIRST, id NULLS FIRST, sales NULLS FIRST, c4 NULLS FIRST, profit NULLS FIRST"),
+    verbatim("tpcds_q81_verbatim", BenchtoTpcdsTexts.q81,
+      Seq("c_customer_id", "c_salutation", "c_first_name", "c_last_name",
+        "ca_street_number", "ca_street_name", "ca_street_type",
+        "ca_suite_number", "ca_city", "ca_county", "ca_state", "ca_zip",
+        "ca_country", "ca_gmt_offset", "ca_location_type",
+        "ctr_total_return"),
+      Seq("c_customer_id", "c_salutation", "c_first_name", "c_last_name",
+        "ca_street_number", "ca_street_name", "ca_street_type",
+        "ca_suite_number", "ca_city", "ca_county", "ca_state", "ca_zip",
+        "ca_country", big("ca_gmt_offset"), "ca_location_type",
+        r2("ctr_total_return")),
+      "c_customer_id NULLS FIRST, c_salutation NULLS FIRST, c_first_name NULLS FIRST, c_last_name NULLS FIRST, ca_street_number NULLS FIRST, ca_street_name NULLS FIRST, ca_street_type NULLS FIRST, ca_suite_number NULLS FIRST, ca_city NULLS FIRST, ca_county NULLS FIRST, ca_state NULLS FIRST, ca_zip NULLS FIRST, ca_country NULLS FIRST, ca_gmt_offset NULLS FIRST, ca_location_type NULLS FIRST, ctr_total_return NULLS FIRST"),
+    verbatim("tpcds_q82_verbatim", BenchtoTpcdsTexts.q82,
+      Seq("i_item_id", "i_item_desc", "i_current_price"),
+      Seq("i_item_id", "i_item_desc", r4("i_current_price")),
+      "i_item_id NULLS FIRST, i_item_desc NULLS FIRST, i_current_price NULLS FIRST"),
+    verbatim("tpcds_q83_verbatim", BenchtoTpcdsTexts.q83,
+      Seq("item_id", "sr_item_qty", "sr_dev", "cr_item_qty", "cr_dev",
+        "wr_item_qty", "wr_dev", "average"),
+      Seq("item_id", big("sr_item_qty"), r2("sr_dev"), big("cr_item_qty"),
+        r2("cr_dev"), big("wr_item_qty"), r2("wr_dev"), r4("average")),
+      "item_id NULLS FIRST, sr_item_qty NULLS FIRST, sr_dev NULLS FIRST, cr_item_qty NULLS FIRST, cr_dev NULLS FIRST, wr_item_qty NULLS FIRST, wr_dev NULLS FIRST, average NULLS FIRST"),
+    verbatim("tpcds_q84_verbatim", BenchtoTpcdsTexts.q84,
+      Seq("customer_id", "c2"),
+      Seq("customer_id", "c2"),
+      "customer_id NULLS FIRST, c2 NULLS FIRST"),
+    verbatim("tpcds_q85_verbatim", BenchtoTpcdsTexts.q85,
+      Seq("c1", "c2", "c3", "c4"),
+      Seq("c1", r4("c2"), r4("c3"), r4("c4")),
+      "c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST, c4 NULLS FIRST"),
+    verbatim("tpcds_q86_verbatim", BenchtoTpcdsTexts.q86,
+      Seq("total_sum", "i_category", "i_class", "lochierarchy",
+        "rank_within_parent"),
+      Seq(r2("total_sum"), "i_category", "i_class", big("lochierarchy"),
+        big("rank_within_parent")),
+      "total_sum NULLS FIRST, i_category NULLS FIRST, i_class NULLS FIRST, lochierarchy NULLS FIRST, rank_within_parent NULLS FIRST"),
+    verbatim("tpcds_q91_verbatim", BenchtoTpcdsTexts.q91,
+      Seq("call_center", "call_center_name", "manager", "returns_loss"),
+      Seq("call_center", "call_center_name", "manager", r2("returns_loss")),
+      "call_center NULLS FIRST, call_center_name NULLS FIRST, manager NULLS FIRST, returns_loss NULLS FIRST"),
+    verbatim("tpcds_q92_verbatim", BenchtoTpcdsTexts.q92,
+      Seq("c1"),
+      Seq(r2("c1")),
+      "c1 NULLS FIRST"),
+    verbatim("tpcds_q94_verbatim", BenchtoTpcdsTexts.q94,
+      Seq("c1", "c2", "c3"),
+      Seq(big("c1"), r2("c2"), r2("c3")),
+      "c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST"),
+    verbatim("tpcds_q95_verbatim", BenchtoTpcdsTexts.q95,
+      Seq("c1", "c2", "c3"),
+      Seq(big("c1"), r2("c2"), r2("c3")),
+      "c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST"),
+    // q50/q62/q99 bucket shipping/return lag as `date_sk - date_sk <= N`:
+    // against the synthesized DATE-typed *_date_sk views that subtraction
+    // is integer days via ResolveDateSubToDays (plans/DateDayArithmetic),
+    // matching both the BIGINT surrogate-key schema and DuckDB's
+    // DATE - DATE = INTEGER — the texts run unmodified on both engines
+    verbatim("tpcds_q50_verbatim", BenchtoTpcdsTexts.q50,
+      Seq("s_store_name", "s_company_id", "s_street_number", "s_street_name",
+        "s_street_type", "s_suite_number", "s_city", "s_county", "s_state",
+        "s_zip", "c11", "c12", "c13", "c14", "c15"),
+      Seq("s_store_name", big("s_company_id"), "s_street_number",
+        "s_street_name", "s_street_type", "s_suite_number", "s_city",
+        "s_county", "s_state", "s_zip", big("c11"), big("c12"), big("c13"),
+        big("c14"), big("c15")),
+      "s_store_name NULLS FIRST, s_company_id NULLS FIRST, s_street_number NULLS FIRST, s_street_name NULLS FIRST, s_street_type NULLS FIRST, s_suite_number NULLS FIRST, s_city NULLS FIRST, s_county NULLS FIRST, s_state NULLS FIRST, s_zip NULLS FIRST, c11 NULLS FIRST, c12 NULLS FIRST, c13 NULLS FIRST, c14 NULLS FIRST, c15 NULLS FIRST"),
+    verbatim("tpcds_q62_verbatim", BenchtoTpcdsTexts.q62,
+      Seq("c1", "sm_type", "web_name", "c4", "c5", "c6", "c7", "c8"),
+      Seq("c1", "sm_type", "web_name", big("c4"), big("c5"), big("c6"),
+        big("c7"), big("c8")),
+      "c1 NULLS FIRST, sm_type NULLS FIRST, web_name NULLS FIRST, c4 NULLS FIRST, c5 NULLS FIRST, c6 NULLS FIRST, c7 NULLS FIRST, c8 NULLS FIRST"),
+    verbatim("tpcds_q99_verbatim", BenchtoTpcdsTexts.q99,
+      Seq("c1", "sm_type", "cc_name", "c4", "c5", "c6", "c7", "c8"),
+      Seq("c1", "sm_type", "cc_name", big("c4"), big("c5"), big("c6"),
+        big("c7"), big("c8")),
+      "c1 NULLS FIRST, sm_type NULLS FIRST, cc_name NULLS FIRST, c4 NULLS FIRST, c5 NULLS FIRST, c6 NULLS FIRST, c7 NULLS FIRST, c8 NULLS FIRST"),
   )
 }

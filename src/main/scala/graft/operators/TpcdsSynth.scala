@@ -115,7 +115,9 @@ object TpcdsSynth {
        |  ${money(s"($cents * 13 + 17) % 60000 + 50")} AS ${p}_wholesale_cost,
        |  ${money(s"(($cents * 13 + 17) % 60000 + 50) * $qty")} AS ${p}_ext_wholesale_cost,
        |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $qty - (($cents * 13 + 17) % 60000 + 50) * $qty")} AS ${p}_net_profit,
-       |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $qty + CAST(round(l_tax * 100) AS BIGINT) * $qty")} AS ${p}_net_paid""".stripMargin
+       |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $qty + CAST(round(l_tax * 100) AS BIGINT) * $qty")} AS ${p}_net_paid,
+       |  ${money(s"CAST(round(l_tax * 100) AS BIGINT) * $qty")} AS ${p}_ext_tax,
+       |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $qty + 2 * CAST(round(l_tax * 100) AS BIGINT) * $qty")} AS ${p}_net_paid_inc_tax""".stripMargin
   }
 
   /** Connector-style SELECT producing the TPC-DS column subset the corpus
@@ -156,7 +158,9 @@ object TpcdsSynth {
          |       WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday'
          |       WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
          |       ELSE 'Saturday' END AS d_day_name,
-         |  CAST(FLOOR(n / 7.0) AS INT) + 5270 AS d_week_seq
+         |  CAST(FLOOR(n / 7.0) AS INT) + 5270 AS d_week_seq,
+         |  CAST(EXTRACT(YEAR FROM d_date) AS VARCHAR(4)) || 'Q' ||
+         |    CAST(EXTRACT(QUARTER FROM d_date) AS VARCHAR(1)) AS d_quarter_name
          |FROM (SELECT s.n AS n, CAST($epoch + s.n * INTERVAL '1' DAY AS DATE) AS d_date
          |      FROM ${series(days, "s")}) dd""".stripMargin
 
@@ -169,7 +173,11 @@ object TpcdsSynth {
          |  CAST(FLOOR(s.n / 3600.0) AS INT) AS t_hour,
          |  CAST(FLOOR((s.n % 3600) / 60.0) AS INT) AS t_minute,
          |  CAST(s.n % 60 AS INT) AS t_second,
-         |  CASE WHEN s.n < 43200 THEN 'AM' ELSE 'PM' END AS t_am_pm
+         |  CASE WHEN s.n < 43200 THEN 'AM' ELSE 'PM' END AS t_am_pm,
+         |  CASE WHEN s.n >= 21600 AND s.n < 32400 THEN 'breakfast'
+         |       WHEN s.n >= 39600 AND s.n < 50400 THEN 'lunch'
+         |       WHEN s.n >= 61200 AND s.n < 72000 THEN 'dinner'
+         |       ELSE NULL END AS t_meal_time
          |FROM ${series(86400, "s")}""".stripMargin
 
     case "customer_demographics" =>
@@ -260,7 +268,8 @@ object TpcdsSynth {
          |  CAST((c_custkey * 11 + 5) % 720 AS BIGINT) AS c_current_hdemo_sk,
          |  c_custkey AS c_current_addr_sk,
          |  CAST($epoch + ((c_custkey * 73 + 11) % $days) * INTERVAL '1' DAY AS DATE) AS c_first_sales_date_sk,
-         |  CAST($epoch + ((c_custkey * 73 + 41) % $days) * INTERVAL '1' DAY AS DATE) AS c_first_shipto_date_sk
+         |  CAST($epoch + ((c_custkey * 73 + 41) % $days) * INTERVAL '1' DAY AS DATE) AS c_first_shipto_date_sk,
+         |  CAST($epoch + ((c_custkey * 73 + 97) % $days) * INTERVAL '1' DAY AS DATE) AS c_last_review_date_sk
          |FROM ${ref("customer")}""".stripMargin
 
     case "customer_address" =>
@@ -311,7 +320,13 @@ object TpcdsSynth {
          |  CAST((s_suppkey * 7) % 300 + 50 AS INT) AS s_number_employees,
          |  lpad(CAST((s_suppkey * 17 + 7) % 100000 AS VARCHAR(5)), 5, '0') AS s_zip,
          |  'City' || CAST(s_suppkey % 15 AS VARCHAR(2)) AS s_city,
-         |  CAST(-5 - s_suppkey % 3 AS INT) AS s_gmt_offset
+         |  CAST(-5 - s_suppkey % 3 AS INT) AS s_gmt_offset,
+         |  CAST(s_suppkey % 6 + 1 AS INT) AS s_company_id,
+         |  CAST((s_suppkey * 7) % 1000 + 1 AS VARCHAR(4)) AS s_street_number,
+         |  'Street' || CAST(s_suppkey % 30 AS VARCHAR(2)) AS s_street_name,
+         |  CASE CAST(s_suppkey % 5 AS INT) WHEN 0 THEN 'Ave' WHEN 1 THEN 'Blvd'
+         |       WHEN 2 THEN 'Ct' WHEN 3 THEN 'Dr' ELSE 'Ln' END AS s_street_type,
+         |  'Suite ' || CAST(s_suppkey % 100 AS VARCHAR(2)) AS s_suite_number
          |FROM ${ref("supplier")}""".stripMargin
 
     case "promotion" =>
@@ -341,7 +356,8 @@ object TpcdsSynth {
          |       WHEN 1 THEN 'Rush County' WHEN 2 THEN 'Toole County'
          |       WHEN 3 THEN 'Jefferson County' ELSE 'Orange County' END AS w_county,
          |  CASE CAST(s.n % 5 AS INT) WHEN 0 THEN 'MS' WHEN 1 THEN 'IN'
-         |       WHEN 2 THEN 'ND' WHEN 3 THEN 'OK' ELSE 'NM' END AS w_state
+         |       WHEN 2 THEN 'ND' WHEN 3 THEN 'OK' ELSE 'NM' END AS w_state,
+         |  'United States' AS w_country
          |FROM ${series(5, "s")}""".stripMargin
 
     // the spec's 20 ship modes: 5 types × 4 carrier groups

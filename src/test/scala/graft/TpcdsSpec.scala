@@ -149,26 +149,7 @@ class TpcdsSpec extends AnyFunSuite {
     val refDir = new java.io.File(
       "/root/reference/presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds")
     assume(refDir.isDirectory, "reference corpus not present in this environment")
-    Seq("q03" -> BenchtoTpcdsTexts.q03, "q38" -> BenchtoTpcdsTexts.q38,
-      "q42" -> BenchtoTpcdsTexts.q42, "q55" -> BenchtoTpcdsTexts.q55,
-      "q87" -> BenchtoTpcdsTexts.q87, "q01" -> BenchtoTpcdsTexts.q01,
-      "q07" -> BenchtoTpcdsTexts.q07, "q28" -> BenchtoTpcdsTexts.q28,
-      "q43" -> BenchtoTpcdsTexts.q43, "q52" -> BenchtoTpcdsTexts.q52,
-      "q79" -> BenchtoTpcdsTexts.q79, "q88" -> BenchtoTpcdsTexts.q88,
-      "q93" -> BenchtoTpcdsTexts.q93, "q96" -> BenchtoTpcdsTexts.q96,
-      "q98" -> BenchtoTpcdsTexts.q98, "q26" -> BenchtoTpcdsTexts.q26,
-      "q59" -> BenchtoTpcdsTexts.q59, "q61" -> BenchtoTpcdsTexts.q61,
-      "q14_1" -> BenchtoTpcdsTexts.q14_1, "q23_1" -> BenchtoTpcdsTexts.q23_1,
-      "q04" -> BenchtoTpcdsTexts.q04, "q33" -> BenchtoTpcdsTexts.q33,
-      "q60" -> BenchtoTpcdsTexts.q60,
-      "q69" -> BenchtoTpcdsTexts.q69,
-      "q32" -> BenchtoTpcdsTexts.q32, "q37" -> BenchtoTpcdsTexts.q37,
-      "q44" -> BenchtoTpcdsTexts.q44, "q47" -> BenchtoTpcdsTexts.q47,
-      "q70" -> BenchtoTpcdsTexts.q70, "q89" -> BenchtoTpcdsTexts.q89,
-      "q97" -> BenchtoTpcdsTexts.q97,
-      "q24_1" -> BenchtoTpcdsTexts.q24_1, "q56" -> BenchtoTpcdsTexts.q56,
-      "q57" -> BenchtoTpcdsTexts.q57,
-      "q90" -> BenchtoTpcdsTexts.q90).foreach { case (name, embedded) =>
+    BenchtoTpcdsTexts.all.foreach { case (name, embedded) =>
       val ref = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(refDir, s"$name.sql").toPath))
       assert(embedded == ref, s"$name drifted from the reference text")
