@@ -4053,5 +4053,15 @@ object TpcdsQueries extends QueryGroup {
       Seq("c1", "sm_type", "cc_name", big("c4"), big("c5"), big("c6"),
         big("c7"), big("c8")),
       "c1 NULLS FIRST, sm_type NULLS FIRST, cc_name NULLS FIRST, c4 NULLS FIRST, c5 NULLS FIRST, c6 NULLS FIRST, c7 NULLS FIRST, c8 NULLS FIRST"),
+    // q04 verbatim: the spec's 2001/2002 year pair has its second year
+    // outside the fixture epoch (1995-2001), so the growth-ratio joins
+    // are honest-empty on both engines; tpcds_q04 is the real-rows twin
+    // with the pair retuned to 1999/2000
+    verbatim("tpcds_q04_verbatim", BenchtoTpcdsTexts.q04,
+      Seq("customer_id", "customer_first_name", "customer_last_name",
+        "customer_preferred_cust_flag"),
+      Seq("customer_id", "customer_first_name", "customer_last_name",
+        "customer_preferred_cust_flag"),
+      "customer_id NULLS FIRST, customer_first_name NULLS FIRST, customer_last_name NULLS FIRST, customer_preferred_cust_flag NULLS FIRST"),
   )
 }
