@@ -229,4 +229,22 @@ class ParserSpec extends AnyFunSuite {
     val qty = rows.filter(r => !r.isNullAt(0) && r.getString(0) == "l_quantity").head
     assert(qty.getAs[Double]("low_value") > 25.0 - 1e-9)
   }
+
+  test("DATE - DATE is integer days; interval arithmetic is untouched") {
+    val s = TestSession.spark
+    // ResolveDateSubToDays: the q50/q62/q99 day_sk-lag buckets compare
+    // the difference against integers, and DuckDB agrees natively
+    val d = s.sql(
+      "SELECT DATE '2020-03-01' - DATE '2020-02-01' AS days").collect().head
+    assert(d.getAs[Int]("days") == 29)
+    assert(s.sql("SELECT CASE WHEN (DATE '2020-01-31' - DATE '2020-01-01') <= 30 " +
+      "THEN 1 ELSE 0 END AS b").collect().head.getAs[Int]("b") == 1)
+    // date ± interval and timestamp subtraction keep Spark semantics
+    val plus = s.sql("SELECT DATE '2020-01-01' + INTERVAL '1' DAY AS dd")
+      .collect().head.getAs[java.sql.Date]("dd")
+    assert(plus.toString == "2020-01-02")
+    val ts = s.sql("SELECT TIMESTAMP '2020-01-02 00:00:00' - " +
+      "TIMESTAMP '2020-01-01 12:00:00' AS iv").collect().head.get(0)
+    assert(ts.toString.contains("12"), s"timestamp diff stays an interval: $ts")
+  }
 }
