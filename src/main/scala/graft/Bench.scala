@@ -48,7 +48,10 @@ object Bench {
     // self-join; the 17-table q64 monster (optimizer + planning stress);
     // embedding-cosine near-dup via the codegen'd ArrayDot re-score; the
     // one-query curation pipeline (quality → dedup → token accounting)
-    "tpcds_q75", "tpcds_q64", "dd_embedding_lsh", "pipe_corpus_curation")
+    "tpcds_q75", "tpcds_q64", "dd_embedding_lsh", "pipe_corpus_curation",
+    // round-6 curation ops: decontamination (map-side 5-gram probe vs a
+    // broadcast eval set) and sequence packing (per-source running sum)
+    "dd_decontaminate", "pipe_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -17,6 +17,7 @@ object SparkEntry {
     functions.ScalarFuncOps,
     functions.PrestoFnOps,
     operators.TextOps,
+    operators.CurationOps,
     operators.SimilarityOps,
     operators.WriteOps,
     operators.MultimodalOps,

@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.QueryGroup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond dedup/quality (TextOps): benchmark
+  * decontamination, deterministic stratified sampling, sequence packing,
+  * and repetition-based quality signals — the remaining ops a pretraining
+  * data pipeline runs between "raw crawl" and "token stream". The
+  * reference has no text-pipeline surface; these extend it the same way
+  * TextOps does, each with a DuckDB oracle twin.
+  *
+  * Scale design:
+  *  - decontamination joins the corpus n-grams against the EVAL set's
+  *    n-grams — the eval side is tiny by construction (benchmarks are
+  *    MBs, the corpus is 100 TB), so it broadcasts and the corpus is
+  *    touched in a single map-side pass (tokenize → shingle → probe);
+  *  - stratified sampling is a rank-limit window: Spark rewrites it to
+  *    WindowGroupLimit, so each stratum keeps only k rows per partial
+  *    before the shuffle — no full sort of 100 TB;
+  *  - sequence packing is a per-source running sum (one shuffle on the
+  *    stream key, then a linear window walk) + one grouped agg;
+  *  - repetition signals are explode + two-level hash agg with map-side
+  *    partials; nothing is quadratic in document count.
+  */
+object CurationOps extends QueryGroup {
+
+  /** Normalized token array (same normalization as TextOps). */
+  private def tokensCol: Column =
+    filter(
+      split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +"),
+      t => t =!= "")
+
+  /** Word n-grams of a *bound* token attribute. Callers must keep a
+    * projection barrier (filter on size) between tokenization and this
+    * lambda — see TextOps.withShingles for the measured collapse pitfall.
+    */
+  private def ngramsCol(tokens: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), size(tokens) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(tokens, i + o)): _*))
+
+  /** DuckDB spelling of the same normalization + n-grams. */
+  private def duckTokens: String =
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')"
+  private def duckNgrams(n: Int): String =
+    s"list_transform(range(1, len(tokens)-${n - 2}), i -> array_to_string(list_slice(tokens, i, i+${n - 1}), ' '))"
+
+  // BPE-style pre-tokenizer (same pattern family as tx_token_count);
+  // valid in both Java regex (Spark) and RE2 (DuckDB).
+  private val BpePat = raw"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+"
+
+  /** Context-window length for sequence packing. Production packing uses
+    * the model context (2048–8192); 512 keeps multiple bins per source
+    * alive at the sf0.01 gate so the boundary arithmetic is exercised.
+    */
+  val PackLen = 512
+
+  /** Decontamination core over any (doc_id, text) frame: per non-eval
+    * doc, the number of its distinct word 5-grams that appear anywhere
+    * in the eval slice (doc_id % 20 = 0). Factored out so the spec can
+    * run planted-contamination corpora through the real pipeline.
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .withColumn("tokens", tokensCol)
+      .filter(size(col("tokens")) >= 5)
+    val grams = toks.select(
+      col("doc_id"),
+      explode(array_distinct(ngramsCol(col("tokens"), 5))).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % 20 === 0).select("gram").distinct()
+    grams.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_ngrams"))
+      .orderBy("doc_id")
+  }
+
+  def defs = Seq(
+    // ── benchmark decontamination: drop training docs that share a word
+    // 5-gram with the held-out eval set (the GPT-3/Llama n-gram-overlap
+    // rule; real pipelines use 8–13-grams — 5 keeps the fixture's
+    // planted near-duplicates detectable). Eval set ≙ doc_id % 20 = 0;
+    // in production it is a separate small table, which is exactly why
+    // the eval n-gram set broadcasts: the 100 TB side streams through a
+    // map-side probe, never shuffling on the gram key. ──
+    q("dd_decontaminate",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckTokens AS tokens FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_distinct(${duckNgrams(5)})) AS gram
+         |  FROM toks WHERE len(tokens) >= 5),
+         |eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0)
+         |SELECT g.doc_id, count(*) AS n_hit_ngrams
+         |FROM grams g JOIN eval_grams e ON g.gram = e.gram
+         |WHERE g.doc_id % 20 <> 0
+         |GROUP BY g.doc_id
+         |ORDER BY g.doc_id""".stripMargin) { (s, _) =>
+      decontaminate(s.table("documents"))
+    },
+
+    // ── deterministic stratified sample: k docs per (lang, source)
+    // stratum, ordered by a content-free hash of the key — the
+    // reproducible "random" sample a data audit re-runs byte-identically
+    // on any engine. The rank-limit shape becomes WindowGroupLimit
+    // (pinned in CurationOpsSpec): each map task keeps ≤ k rows per
+    // stratum before the shuffle, so sampling 100 TB moves k·|strata|
+    // rows, not the corpus. ──
+    q("sample_stratified",
+      """SELECT lang, source, doc_id, rk FROM (
+        |  SELECT lang, source, doc_id,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 3
+        |ORDER BY lang, source, rk""".stripMargin) { (s, _) =>
+      s.table("documents")
+        .select(col("lang"), col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang", "source")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("bigint"))
+        .filter(col("rk") <= 3)
+        .orderBy("lang", "source", "rk")
+    },
+
+    // ── sequence packing: concatenate each source's docs in doc_id
+    // order and cut the token stream into PackLen-token context windows;
+    // a doc lands in the bin where it STARTS (greedy contiguous packing,
+    // the pretraining "pack then chunk" shape). One running sum per
+    // source partition, then one grouped agg — linear, partition-
+    // parallel across sources. ──
+    q("pipe_pack_sequences", {
+      val pat = BpePat.replace("'", "''")
+      s"""WITH m AS (
+         |  SELECT doc_id, source,
+         |    len(regexp_extract_all(text, '$pat')) AS n_bpe
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_bpe,
+         |    sum(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM m)
+         |SELECT source, CAST((cum - n_bpe) // $PackLen AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+         |FROM c
+         |GROUP BY source, (cum - n_bpe) // $PackLen
+         |ORDER BY source, seq_id""".stripMargin
+    }) { (s, _) =>
+      val m = s.table("documents").select(
+        col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit(BpePat), lit(0))).as("n_bpe"))
+      val c = m.withColumn("cum",
+        sum("n_bpe").over(Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      c.groupBy(col("source"),
+          floor((col("cum") - col("n_bpe")) / PackLen).as("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bpe").cast("bigint").as("n_tokens"))
+        .orderBy("source", "seq_id")
+    },
+
+    // ── PII redaction: scrub phone numbers and emails from free text
+    // before it enters a training corpus, keeping per-rule counts for
+    // the audit trail. Pure map-side regexp (codegen'd, no UDF); the
+    // customer table's c_phone gives every row a real redaction. Email
+    // hits are structurally possible but zero in this fixture —
+    // CurationOpsSpec pins the email rule on planted text. ──
+    q("tx_redact_pii", {
+      val phone = raw"[0-9]{2}-[0-9]{3}-[0-9]{4}"
+      val email = raw"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+      s"""WITH t AS (
+         |  SELECT c_custkey, c_name || ' (' || c_mktsegment || ') contact '
+         |    || CAST(c_nationkey + 10 AS VARCHAR) || '-555-'
+         |    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  len(regexp_extract_all(text, '$phone')) AS n_phones,
+         |  len(regexp_extract_all(text, '$email')) AS n_emails,
+         |  regexp_replace(regexp_replace(text, '$phone', '[PHONE]', 'g'),
+         |    '$email', '[EMAIL]', 'g') AS redacted
+         |FROM t
+         |ORDER BY c_custkey""".stripMargin
+    }) { (s, _) =>
+      val phone = raw"[0-9]{2}-[0-9]{3}-[0-9]{4}"
+      val email = raw"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+      // same key-derived phone as TpchSynth.phone — the fixture customer
+      // has no free-text columns, so the blob is built in-query
+      val t = s.table("customer").select(col("c_custkey"),
+        concat(col("c_name"), lit(" ("), col("c_mktsegment"), lit(") contact "),
+          (col("c_nationkey") + 10).cast("string"), lit("-555-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0")).as("text"))
+      t.select(col("c_custkey"),
+          size(regexp_extract_all(col("text"), lit(phone), lit(0))).cast("bigint").as("n_phones"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("bigint").as("n_emails"),
+          regexp_replace(regexp_replace(col("text"), lit(phone), lit("[PHONE]")),
+            lit(email), lit("[EMAIL]")).as("redacted"))
+        .orderBy("c_custkey")
+    },
+
+    // ── repetition signals (the Gopher rep_* family): fraction of the
+    // doc covered by its most frequent word 2-gram, plus the duplicate-
+    // token fraction. Explode + hash agg with map-side partials; the
+    // token-level stats stay map-side and join back on doc_id. ──
+    q("tx_repetition",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckTokens AS tokens FROM documents),
+         |g2 AS (
+         |  SELECT doc_id, len(tokens) AS n_tokens,
+         |    len(list_distinct(tokens)) AS n_unique,
+         |    unnest(${duckNgrams(2)}) AS gram
+         |  FROM toks WHERE len(tokens) >= 2),
+         |cnt AS (
+         |  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         |    any_value(n_unique) AS n_unique, gram, count(*) AS c
+         |  FROM g2 GROUP BY doc_id, gram)
+         |SELECT doc_id,
+         |  CAST(sum(c) AS BIGINT) AS n_2grams,
+         |  CAST(max(c) AS BIGINT) AS max_2gram_count,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_2gram_frac,
+         |  round(1.0 - CAST(any_value(n_unique) AS DOUBLE)
+         |        / any_value(n_tokens), 4) AS dup_token_frac
+         |FROM cnt
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, _) =>
+      val toks = s.table("documents")
+        .withColumn("tokens", tokensCol)
+        .filter(size(col("tokens")) >= 2)
+      val tokStats = toks.select(col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        size(array_distinct(col("tokens"))).as("n_unique"))
+      val gramCnt = toks
+        .select(col("doc_id"), explode(ngramsCol(col("tokens"), 2)).as("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(count(lit(1)).as("c"))
+      val rep = gramCnt.groupBy("doc_id").agg(
+        sum("c").cast("bigint").as("n_2grams"),
+        max("c").cast("bigint").as("max_2gram_count"),
+        round(max("c").cast("double") / sum("c"), 4).as("top_2gram_frac"))
+      tokStats.join(rep, Seq("doc_id"))
+        .select(col("doc_id"), col("n_2grams"), col("max_2gram_count"),
+          col("top_2gram_frac"),
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_tokens"), 4)
+            .as("dup_token_frac"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior + plan-shape pins for the corpus-curation operators. The
+  * value correctness of each query is oracle-checked by the driver gate;
+  * these tests pin what the oracle can't see — planted-contamination
+  * recall through the real pipeline and the physical-plan properties the
+  * 100 TB design depends on (broadcast eval side, rank-limit pushdown).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSession.sf)
+
+  test("dd_decontaminate: planted copy of an eval doc is flagged, clean doc is not") {
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // doc_id 20 is in the eval slice (20 % 20 = 0); plant a training doc
+    // (id % 20 != 0) with the same text, and a clean doc whose 5-grams
+    // exist nowhere (fresh vocabulary)
+    val evalText = docs.filter(col("doc_id") === 20)
+      .select("text").collect()(0).getString(0)
+    val planted = spark.createDataFrame(Seq(
+      (900001L, evalText),
+      (900002L, "zq qx jv vw wk kp pz zb bq qd"),
+    )).toDF("doc_id", "text")
+    val hits = operators.CurationOps.decontaminate(docs.union(planted))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(900001L), "exact copy of an eval doc must be flagged")
+    // every distinct 5-gram of the copy is (at least) in eval doc 20
+    assert(hits(900001L) >= 1)
+    assert(!hits.contains(900002L), "doc with fresh vocabulary must not be flagged")
+  }
+
+  test("dd_decontaminate: eval n-gram side broadcasts (100 TB corpus never shuffles on gram)") {
+    val p = run("dd_decontaminate").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-gram probe must be a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join on the gram key would shuffle the full corpus")
+  }
+
+  test("sample_stratified: rank filter pushes into WindowGroupLimit") {
+    val p = run("sample_stratified").queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"per-stratum top-k must keep <=k rows per map task before the shuffle:\n$p")
+  }
+
+  test("sample_stratified: exactly k rows per non-small stratum, deterministic") {
+    val rows = run("sample_stratified").collect()
+    val perStratum = rows.groupBy(r => (r.getString(0), r.getString(1)))
+    val strata = Tables.load(spark, TestSession.sf, "documents")
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    perStratum.foreach { case (k, rs) =>
+      assert(rs.length == math.min(3L, strata(k)),
+        s"stratum $k: got ${rs.length} rows for population ${strata(k)}")
+    }
+    // repeat run picks byte-identical doc_ids (hash order is content-free)
+    val again = run("sample_stratified").collect().map(_.getLong(2)).toSeq
+    assert(again == rows.map(_.getLong(2)).toSeq)
+  }
+
+  test("pipe_pack_sequences: bins are contiguous per source and conserve tokens") {
+    val bins = run("pipe_pack_sequences").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pat = raw"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+"
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe"))
+    val totals = docs.groupBy("source").agg(sum("n_bpe").as("t"), max("n_bpe").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    bins.groupBy(_._1).foreach { case (src, bs) =>
+      val (total, maxDoc) = totals(src)
+      assert(bs.map(_._4).sum == total, s"$src: packed tokens != corpus tokens")
+      // no doc exceeds the window, so start offsets are dense and the
+      // bin ids must be 0..max without gaps
+      if (maxDoc <= operators.CurationOps.PackLen) {
+        val ids = bs.map(_._2).sorted.toList
+        assert(ids.headOption.contains(0L) && ids == (0L until ids.length).toList,
+          s"$src: bin ids not contiguous: ${ids.mkString(",")}")
+      }
+    }
+  }
+
+  test("tx_redact_pii: planted email and phone both scrubbed, counts per rule") {
+    // name carries a planted email; the phone is key-derived by the op
+    val docs = spark.createDataFrame(Seq(
+      (9012L, "jane.doe+spam@example.co.uk", 2, "BUILDING"),
+    )).toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    docs.createOrReplaceTempView("customer")
+    try {
+      val r = SparkEntry.queries("tx_redact_pii")(spark, TestSession.sf).collect()(0)
+      assert(r.getAs[Long]("n_phones") == 1L && r.getAs[Long]("n_emails") == 1L)
+      val red = r.getAs[String]("redacted")
+      assert(red.contains("[PHONE]") && red.contains("[EMAIL]"))
+      assert(!red.contains("@") && !red.contains("-555-"), s"PII leaked: $red")
+    } finally {
+      Tables.load(spark, TestSession.sf, "customer")
+        .createOrReplaceTempView("customer")
+    }
+  }
+
+  test("tx_repetition: a pathologically repetitive doc scores ~1, a diverse doc scores low") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "spam ham " * 50),                       // one 2-gram dominates
+      (2L, (1 to 100).map(i => s"w$i").mkString(" ")),  // all distinct
+    )).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents")
+    try {
+      val r = SparkEntry.queries("tx_repetition")(spark, TestSession.sf)
+        .collect().map(r => r.getLong(0) ->
+          (r.getDouble(3), r.getDouble(4))).toMap
+      val (top1, dup1) = r(1L)
+      assert(top1 > 0.45 && dup1 > 0.97, s"repetitive doc under-scored: $top1, $dup1")
+      val (top2, dup2) = r(2L)
+      assert(top2 < 0.02 && dup2 == 0.0, s"diverse doc over-scored: $top2, $dup2")
+    } finally {
+      // restore the real table for subsequent suites sharing the session
+      Tables.load(spark, TestSession.sf, "documents")
+        .createOrReplaceTempView("documents")
+    }
+  }
+}
