@@ -220,6 +220,74 @@ object TextOps extends QueryGroup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Map-side minhash band keys: the same signature values as
+    * bandedDocKeys (per shingle h = xxhash64(s); per permutation
+    * p_i = xxhash64(i, h); sig_i = min over shingles; band key =
+    * xxhash64(b, sig[4b..4b+3])) computed WITHOUT the explode+groupBy
+    * shuffle — the min folds over the shingle array per row with array
+    * HOFs. Stateless per row, which is what makes the STREAMING ingest
+    * path possible (a streaming groupBy would need watermarked state);
+    * the batch path keeps the explode shape because codegen'd partial
+    * aggregation beats interpreted lambdas on a 100 TB scan, while a
+    * per-batch stream is small by construction. Returns
+    * (doc_id, shingles, band_key); shingles ride along for the exact
+    * verification join downstream.
+    */
+  def mapSideBandKeys(docs: DataFrame, perms: Int = MinhashPerms,
+      bands: Int = MinhashBands): DataFrame = {
+    val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
+    // projection barrier (filter) keeps `hs` a bound attribute — same
+    // collapse pitfall as withShingles, same fix
+    val hashed = sh.withColumn("hs", transform(col("shingles"), s => xxhash64(s)))
+      .filter(size(col("hs")) >= 1)
+    val sigCols = (0 until perms).map(i =>
+      array_min(transform(col("hs"), h => xxhash64(lit(i), h))).as(s"s$i"))
+    val sig = hashed.select(col("doc_id") +: col("shingles") +: sigCols: _*)
+    val rowsPerBand = perms / bands
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)
+    }
+    sig.select(col("doc_id"), col("shingles"),
+      explode(array(bandKeys: _*)).as("band_key"))
+  }
+
+  /** Streaming near-dup ingestion — the continuous form of
+    * incrementalMinhashPairs: a stream of new documents is signatured
+    * map-side (no stateful aggregation), stream-static-joined against
+    * the persisted (band_key, doc_id) index, and exact-verified against
+    * the historical shingles, all inside one Structured Streaming query.
+    * Every stage is stateless except the final dropDuplicates (pair
+    * emission is at-least-once across bands; production would bound that
+    * state with a watermark on ingestion time).
+    *
+    * Skew guard: band keys already saturated IN THE INDEX (membership >
+    * MinhashMaxBucket) are dropped before the join — computed on the
+    * static side, so it stays a plain batch aggregation. StreamingSpec
+    * pins parity with the batch incremental pipeline's new↔old pairs.
+    */
+  def streamingMinhashPairs(streamDocs: DataFrame, staticDocs: DataFrame,
+      indexDf: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val okIndex = {
+      val counts = indexDf.groupBy("band_key").agg(count(lit(1)).as("m"))
+        .filter(col("m") <= MinhashMaxBucket).select("band_key")
+      indexDf.join(counts, "band_key")
+        .select(col("band_key"), col("doc_id").as("doc_old"))
+    }
+    val oldSh = withShingles(staticDocs)
+      .select(col("doc_id").as("doc_old"), col("shingles").as("sh_old"))
+    mapSideBandKeys(streamDocs)
+      .join(okIndex, "band_key")                     // stream-static, stateless
+      .join(oldSh, "doc_old")                        // stream-static, stateless
+      .withColumn("jaccard",
+        size(array_intersect(col("shingles"), col("sh_old"))).cast("double") /
+          size(array_union(col("shingles"), col("sh_old"))))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("doc_id"), col("doc_old")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_old")).as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** 64-bit SimHash near-dup pairs, same codegen-first shape: explode
     * tokens → one hash per token → 64 per-bit ±1 contributions summed in a
     * single grouped aggregation → simhash assembled with bitwise OR →
@@ -274,8 +342,9 @@ object TextOps extends QueryGroup {
     * shallow (mutual similarity groups), so the diameter bound is the
     * right production shape; a corpus with adversarially long chains
     * would want the O(log n)-round large-star/small-star contraction
-    * (Kiveris et al., "Connected Components in MapReduce"), which swaps
-    * in behind the same (pairs → labels) contract. Each round is one
+    * (Kiveris et al., "Connected Components in MapReduce") — implemented
+    * below as connectedComponentsLogN, swapping in behind the same
+    * (pairs → labels) contract. Each round is one
     * shuffle (groupBy on dst); `localCheckpoint` truncates the growing
     * lineage (on a real cluster: `checkpoint` to reliable storage).
     */
@@ -311,6 +380,70 @@ object TextOps extends QueryGroup {
         "component's diameter exceeds the cap; partial labels would be " +
         "incorrect, refusing to return them")
     labels
+  }
+
+  /** O(log n)-round connected components by alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the adversarial-chain fallback the
+    * min-label propagation above points at: a path graph of diameter d
+    * needs d label rounds but only O(log d) star rounds. Same contract
+    * ((doc_a, doc_b) pairs → (id, label = component minimum)), so it
+    * swaps in behind clustersOf unchanged if a corpus ever produces deep
+    * chains. Each round is two grouped aggregations + joins; edges are
+    * kept canonical (lo < hi) and deduped, so the edge set shrinks
+    * toward the star forest and convergence is edge-set stability
+    * (checked via count + order-independent hash fingerprint).
+    */
+  def connectedComponentsLogN(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+
+    // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val m = nbrs.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      canon(nbrs.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+    }
+
+    // small-star: every neighbor v < u (and u itself) links to the
+    // minimum of u's smaller neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v")) // v < u
+      val m = nbrs.groupBy("u").agg(min("v").as("m"))
+      canon(nbrs.join(m, "u").select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b"))))
+    }
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free under ANSI mode
+      // (sum would throw ARITHMETIC_OVERFLOW on long hash values)
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .localCheckpoint(true)
+    var fp = fingerprint(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next
+      fp = nfp
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsLogN did not stabilize in $maxIters rounds")
+    // stable state is a star forest rooted at each component minimum
+    edges.select(col("hi").as("id"), col("lo").as("label"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
   }
 
   /** Exact token-Jaccard ≥ 0.8 pairs within a source bucket (the

@@ -267,4 +267,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSet == expected,
       s"deduped stream ids (${ids.length}) != original exactly-once set (${expected.size})")
   }
+
+  test("streaming near-dup ingestion equals the batch incremental new-old pairs") {
+    import graft.operators.TextOps
+    // historical corpus = even doc_ids (same split as the batch
+    // incremental pipeline); the odd half arrives as a stream
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val evenDocs = docs.filter(col("doc_id") % 2 === 0)
+    val oddDir = java.nio.file.Files.createTempDirectory("graft-stream-neardup")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(2)
+      .write.mode("overwrite").parquet(oddDir.toString)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-stream-lshidx")
+    TextOps.bandedDocKeys(evenDocs).write.mode("overwrite").parquet(indexDir.toString)
+    val raw = spark.read.parquet(oddDir.toString)
+    val stream = spark.readStream.schema(raw.schema).parquet(oddDir.toString)
+    val out = TextOps.streamingMinhashPairs(
+      stream, evenDocs, spark.read.parquet(indexDir.toString))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streaming = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch twin restricted to new(odd) ↔ old(even) pairs — the stream
+    // only probes the historical index, never itself
+    Tables.register(spark, TestSession.sf)
+    val batch = SparkEntry.queries("dd_incremental_minhash")(spark, TestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => (p._1 % 2 == 0) != (p._2 % 2 == 0)).toSet
+    assert(streaming == batch,
+      s"streaming pairs (${streaming.size}) != batch new-old pairs (${batch.size})")
+    assert(streaming.nonEmpty)
+  }
 }

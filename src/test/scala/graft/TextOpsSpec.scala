@@ -77,6 +77,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("large-star/small-star components: deep chains converge in O(log n) rounds") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.operators.TextOps
+    val schema = StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    // a 60-node path has diameter 59: the O(diameter) propagation cannot
+    // converge inside its default 20-round cap (throws), while the star
+    // contraction collapses it — the exact adversarial case the fallback
+    // exists for
+    val chain = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L until 60L).map(i => Row(i, i + 1))), schema)
+    assertThrows[IllegalStateException](TextOps.connectedComponents(chain))
+    val cc = TextOps.connectedComponentsLogN(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 60 && cc.values.forall(_ == 1L),
+      s"chain must collapse to one component rooted at 1: ${cc.values.toSet}")
+    // parity with the O(diameter) algorithm on the real LSH pair graph
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val pairs = TextOps.minhashPairs(docs).select("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val a = TextOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = TextOps.connectedComponentsLogN(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"label maps diverge: ${a.size} vs ${b.size}")
+    assert(a.nonEmpty)
+  }
+
   test("incremental minhash equals the batch pairs that touch a new doc; reuse skips the index build") {
     import graft.operators.TextOps
     val docs = Tables.load(spark, TestSession.sf, "documents")
