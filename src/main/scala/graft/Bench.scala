@@ -113,7 +113,11 @@ object Bench {
       detail.getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"min-of-$runs%d","queries":$qs,"sf":"$sfDir"}""")
+    // Print the result line LAST (after spark.stop()): the driver keeps
+    // only the final 2000 chars of merged output, and any shutdown log
+    // noise emitted after an earlier println could push the JSON line out
+    // of that window. Only sbt's short "[success]" trailer follows this.
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"min-of-$runs%d","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -14,15 +14,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table. `events.ts` is parquet TIMESTAMP(NANOS), which Spark
-    * reads as a long (see GraftSession nanosAsLong); normalize it to a
-    * microsecond timestamp here so every consumer sees a proper column.
+  /** Normalize an events-shaped `ts` column to session-time TIMESTAMP
+    * (LTZ). The fixture's parquet has shipped as TIMESTAMP(NANOS) (read as
+    * a long under GraftSession nanosAsLong) and as timestamp[us] with no
+    * UTC-adjustment flag (read as TIMESTAMP_NTZ under Spark 4's
+    * parquet.inferTimestampNTZ) — and watermarks refuse NTZ event time
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session is pinned to UTC
+    * (GraftSession), so NTZ→LTZ cast is value-preserving. Every consumer —
+    * batch table registration AND readStream callers — must go through
+    * this one guard so the watermark surface never sees an NTZ column.
     */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** Read one table, normalizing `events.ts` (see [[normalizeEventTs]]). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
 
   /** Last directory registered per session. Every QueryDef calls

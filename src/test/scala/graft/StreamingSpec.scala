@@ -23,11 +23,7 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(batchRaw.schema).parquet(stageDir.toString)
 
     def normalize(df: org.apache.spark.sql.DataFrame) = {
-      val withTs =
-        if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else df
-      withTs
+      Tables.normalizeEventTs(df)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
@@ -59,11 +55,8 @@ class StreamingSpec extends AnyFunSuite {
       stageDir.resolve("events.parquet"))
     val batchRaw = spark.read.parquet(stageDir.toString)
     val toTyped = (df: org.apache.spark.sql.DataFrame) => {
-      val withTs =
-        if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else df
-      withTs.select(col("user_id"), col("ts"), col("value"))
+      Tables.normalizeEventTs(df)
+        .select(col("user_id"), col("ts"), col("value"))
         .as[graft.streaming.Ev]
     }
     // custom per-key state: running event count via mapGroupsWithState —
@@ -139,11 +132,7 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"${TestSession.sf}/events.parquet"),
       dir.resolve("events.parquet"))
     val raw = spark.read.parquet(dir.toString)
-    def normTs(df: org.apache.spark.sql.DataFrame) =
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
-    def stream() = normTs(
+    def stream() = Tables.normalizeEventTs(
       spark.readStream.schema(raw.schema).parquet(dir.toString))
     val views = stream().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -248,11 +237,7 @@ class StreamingSpec extends AnyFunSuite {
     val baseCount = base.count()
     assert(feedCount > baseCount, "staged feed must actually contain duplicates")
 
-    def normTs(df: org.apache.spark.sql.DataFrame) =
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
-    val deduped = normTs(
+    val deduped = Tables.normalizeEventTs(
       spark.readStream.schema(raw.schema).parquet(dir.toString))
       .withWatermark("ts", "24 hours")
       .dropDuplicates("event_id")
