@@ -1007,5 +1007,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectResolutionRule(_ => org.apache.spark.sql.graft.ResolveReduceAgg)
     ext.injectResolutionRule(_ => graft.plans.ResolveDateSubToDays)
+    ext.injectResolutionRule(_ => graft.plans.EmptyGroupingSetsRule)
   }
 }

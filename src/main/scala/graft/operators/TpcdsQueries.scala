@@ -3747,13 +3747,20 @@ object TpcdsQueries extends QueryGroup {
         r2("store_sales_profit"), r2("store_returns_loss"),
         r2("catalog_sales_profit")),
       "i_item_id NULLS FIRST, i_item_desc NULLS FIRST, s_store_id NULLS FIRST, s_store_name NULLS FIRST, store_sales_profit NULLS FIRST, store_returns_loss NULLS FIRST, catalog_sales_profit NULLS FIRST"),
-    // q27 verbatim is EXCLUDED from the gate: its d_year = 2002 sits
-    // outside the fixture epoch (1995-2001), so the ROLLUP aggregates an
-    // EMPTY input — the one pinned engine divergence (Spark emits zero
-    // rows, the standard/DuckDB emit the empty-grouping-set row; see
-    // TpcdsSpec "rollup over empty input"). The text still drift-guards
-    // via BenchtoTpcdsTexts.all and the fixture-tuned adapted twin
-    // (tpcds_q27) runs the same shape green with real rows.
+    // q27 verbatim: its d_year = 2002 sits outside the fixture epoch
+    // (1995-2001), so the ROLLUP aggregates an EMPTY input. Through
+    // round 7 this was the one pinned engine divergence (Spark emits
+    // zero rows where the standard/reference/DuckDB emit the
+    // empty-grouping-set row); EmptyGroupingSetsRule now restores the
+    // standard grand-total row, so the verbatim text re-enters the gate —
+    // its expected result IS that one row (NULL groups, g_state=1, NULL
+    // averages). The fixture-tuned adapted twin (tpcds_q27) covers the
+    // same shape with real rows.
+    verbatim("tpcds_q27_verbatim", BenchtoTpcdsTexts.q27,
+      Seq("i_item_id", "s_state", "g_state", "agg1", "agg2", "agg3", "agg4"),
+      Seq("i_item_id", "s_state", big("g_state"), r4("agg1"), r4("agg2"),
+        r4("agg3"), r4("agg4")),
+      "i_item_id NULLS FIRST, s_state NULLS FIRST, g_state"),
     verbatim("tpcds_q29_verbatim", BenchtoTpcdsTexts.q29,
       Seq("i_item_id", "i_item_desc", "s_store_id", "s_store_name",
         "store_sales_quantity", "store_returns_quantity",

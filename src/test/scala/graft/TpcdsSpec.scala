@@ -130,16 +130,34 @@ class TpcdsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no cartesian in q74")
   }
 
-  test("KNOWN DIVERGENCE: ROLLUP over empty input emits no grand-total row") {
+  test("ROLLUP/CUBE/GROUPING SETS over empty input emit the grand-total row") {
     // The SQL standard (and the reference, and DuckDB) treat the empty
     // grouping set like a global aggregate: one row even over empty
-    // input. Spark emits zero rows. Surfaced by tpcds_q27 when its
-    // predicate starved at sf0.001 (now de-starved); pinned here so the
-    // divergence is tracked — if Spark ever aligns, this fails and the
-    // documentation must flip.
-    val n = spark.sql(
-      "SELECT x, count(*) AS c FROM (SELECT 1 AS x WHERE 1 = 0) GROUP BY ROLLUP(x)").count()
-    assert(n == 0, "Spark now emits the standard's grand-total row over empty input")
+    // input (reference GroupIdOperator.java:32 + single-group
+    // HashAggregationOperator.java:47). Stock Spark emits zero rows;
+    // EmptyGroupingSetsRule restores the standard row. Surfaced by
+    // tpcds_q27 whose d_year=2002 predicate selects nothing at fixture
+    // scale — now back in the verbatim gate.
+    val r = spark.sql(
+      "SELECT x, count(*) AS c, sum(x) AS s FROM (SELECT 1 AS x WHERE 1 = 0) GROUP BY ROLLUP(x)")
+      .collect()
+    assert(r.length == 1, s"ROLLUP over empty input must emit one row, got ${r.length}")
+    assert(r(0).isNullAt(0) && r(0).getLong(1) == 0L && r(0).isNullAt(2),
+      s"grand-total row must be (NULL, 0, NULL): ${r(0)}")
+    val cube = spark.sql(
+      "SELECT x, y, grouping(x) AS gx, count(*) AS c FROM (SELECT 1 AS x, 2 AS y WHERE 1 = 0) GROUP BY CUBE(x, y)")
+      .collect()
+    assert(cube.length == 1 && cube(0).getByte(2) == 1 && cube(0).getLong(3) == 0L,
+      s"CUBE over empty input must emit one all-grouped row: ${cube.mkString}")
+    // a grouping-set list WITHOUT the empty set stays empty — no row
+    val noEmpty = spark.sql(
+      "SELECT x, y, count(*) AS c FROM (SELECT 1 AS x, 2 AS y WHERE 1 = 0) GROUP BY GROUPING SETS ((x), (y))")
+      .count()
+    assert(noEmpty == 0, "GROUPING SETS without () must not gain a row")
+    // non-empty input: unchanged (no spurious extra row)
+    val nonEmpty = spark.sql(
+      "SELECT x, count(*) AS c FROM (SELECT 1 AS x) GROUP BY ROLLUP(x)").count()
+    assert(nonEmpty == 2, "non-empty ROLLUP keeps exactly its standard rows")
     val g = spark.sql("SELECT count(*) AS c FROM (SELECT 1 AS x WHERE 1 = 0)").count()
     assert(g == 1, "plain global aggregate keeps its one-row-over-empty semantics")
   }
