@@ -63,6 +63,16 @@ object SimilarityOps extends QueryGroup {
     * components are deterministic Rademacher signs from xxhash64, so any
     * executor reproduces them with no driver state.
     */
+  /** Auto-sized key length: 2^B buckets per table must grow with the
+    * corpus or bucket membership (and so the candidate join) grows
+    * linearly (quadratically) with N. Targets ~64 vectors per bucket;
+    * clamped to [4, 24] (24 bits ≈ 16M buckets — past that, tables
+    * dominate recall anyway).
+    */
+  private[graft] def autoBits(n: Long): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(2.0)).toInt))
+
   private[graft] def bucketKeys(emb: DataFrame, tables: Int, bits: Int): DataFrame = {
     val dims = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
@@ -124,17 +134,33 @@ object SimilarityOps extends QueryGroup {
     * the banding probability 1-(1-p^B)^T with p = 1-θ/π.
     *
     * Tuning: the fixture's near-dups are weak (cos ≈ 0.45-0.51 → p ≈
-    * 0.65), so the default T=16×B=4 trades pruning for recall ≈ 0.95.
-    * For dup-grade corpora (cos ≥ 0.9, p ≥ 0.9) use longer keys —
-    * T=8×B=8 keeps recall ≥ 0.99 while a random pair collides with
-    * probability ~8·0.5^8 ≈ 3%, which is what makes the bucket join
-    * linear-ish at N = billions; SimilaritySpec pins both regimes.
+    * 0.65), so short keys trade pruning for recall. For dup-grade
+    * corpora (cos ≥ 0.9, p ≥ 0.9) use longer keys — T=8×B=8 keeps
+    * recall ≥ 0.99 while a random pair collides with probability
+    * ~8·0.5^8 ≈ 3%; SimilaritySpec pins both regimes.
+    *
+    * Key-length scaling (round-8 stress finding): with FIXED bits the
+    * per-table bucket count is constant, so bucket membership grows as
+    * N/2^B and the within-bucket candidate join goes QUADRATIC — the
+    * 10× stress corpus measured 21× wall-clock at B=4. `bits < 0`
+    * (the default) auto-sizes B = log2(N/64) clamped to [4, 24]: bucket
+    * membership stays ~64 regardless of corpus size, which keeps the
+    * candidate join linear in N (measured ~5× at 10×). Pass bits
+    * explicitly to pin a reproducible key length across corpora.
     */
   def lshCosinePairs(emb: DataFrame, tau: Double,
-                     tables: Int = 16, bits: Int = 4): DataFrame = {
-    val sig = bucketKeys(emb, tables, bits)
-    val cand = sig.select(col("vec_id").as("id_a"), col("bucket"))
-      .join(sig.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
+                     tables: Int = 16, bits: Int = -1): DataFrame = {
+    val rbits = if (bits > 0) bits else autoBits(emb.count())
+    val sig = bucketKeys(emb, tables, rbits)
+    // same hot-bucket cap as the incremental path: a degenerate bucket
+    // (hash collapse, adversarial vectors) drops loudly out of pair
+    // generation instead of turning the join quadratic
+    val okKeys = sig.groupBy("bucket").agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1 && col("m") <= EmbMaxBucket)
+      .select("bucket")
+    val capped = sig.join(okKeys, "bucket")
+    val cand = capped.select(col("vec_id").as("id_a"), col("bucket"))
+      .join(capped.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -181,18 +207,24 @@ object SimilarityOps extends QueryGroup {
     */
   def incrementalLshCosinePairs(spark: SparkSession, emb: DataFrame,
       indexKey: String, tau: Double,
-      tables: Int = 16, bits: Int = 4): DataFrame = {
+      tables: Int = 16, bits: Int = -1): DataFrame = {
+    // bits < 0 auto-sizes like lshCosinePairs (the parity contract: both
+    // paths must use the same formula on the same corpus). The resolved
+    // value lands in the index fingerprint, so a corpus grown past the
+    // next power-of-two boundary rebuilds rather than probing a
+    // stale-keyed index.
+    val rbits = if (bits > 0) bits else autoBits(emb.count())
     val indexDir = sys.props.getOrElse("graft.index.root",
       sys.props("java.io.tmpdir")) + "/graft-emb-lsh-index-" +
-      s"v$EmbLshFormulaVersion-t$tables-b$bits-" +
+      s"v$EmbLshFormulaVersion-t$tables-b$rbits-" +
       indexKey.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(s"$indexDir/_SUCCESS").exists) {
       embIndexBuilds.incrementAndGet()
-      bucketKeys(emb.filter(col("vec_id") % 2 === 0), tables, bits)
+      bucketKeys(emb.filter(col("vec_id") % 2 === 0), tables, rbits)
         .write.mode("overwrite").parquet(indexDir)
     }
     val index = spark.read.parquet(indexDir)
-    val fresh = bucketKeys(emb.filter(col("vec_id") % 2 === 1), tables, bits)
+    val fresh = bucketKeys(emb.filter(col("vec_id") % 2 === 1), tables, rbits)
     val all = index.unionByName(fresh)
     val okKeys = all.groupBy("bucket").agg(count(lit(1)).as("m"))
       .filter(col("m") > 1 && col("m") <= EmbMaxBucket)
