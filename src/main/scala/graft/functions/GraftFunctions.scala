@@ -695,8 +695,25 @@ object GraftFunctions {
     "with_timezone" -> { case Seq(t, z) => ToUTCTimestamp(Cast(t, TimestampType), z) },
 
     // ── math family (MathFunctions.java:65) ──
-    "from_base" -> { case Seq(s, r) => Cast(Conv(s, r, Literal(10)), LongType) },
-    "to_base" -> { case Seq(n, r) => Lower(Conv(Cast(n, StringType), Literal(10), r)) },
+    // Presto to_base/from_base are SIGNED (MathFunctions.java to_base
+    // emits '-<digits>' for negatives); Spark's Conv is MySQL-style
+    // UNSIGNED 64-bit, so the sign is split off explicitly. Magnitudes
+    // route through DECIMAL(20,0) so abs(Long.MinValue) and the
+    // '-9223372036854775808' parse both round-trip (found by
+    // PropertyFnSpec's radix round-trip property).
+    "from_base" -> { case Seq(s, r) =>
+      If(StartsWith(s, Literal("-")),
+        Cast(UnaryMinus(Cast(
+          Conv(Substring(s, Literal(2), Literal(Int.MaxValue)), r, Literal(10)),
+          DecimalType(20, 0))), LongType),
+        Cast(Conv(s, r, Literal(10)), LongType))
+    },
+    "to_base" -> { case Seq(n, r) =>
+      val nl = Cast(n, LongType)
+      val digits = Lower(Conv(
+        Cast(Abs(Cast(nl, DecimalType(20, 0))), StringType), Literal(10), r))
+      If(LessThan(nl, Literal(0L)), Concat(Seq(Literal("-"), digits)), digits)
+    },
     // binary codecs (VarbinaryFunctions.java): Presto names over Spark
     // natives; sha256/sha512 return VARBINARY (Spark's sha2 emits hex)
     "to_base64" -> { case Seq(b) => Base64(b) },

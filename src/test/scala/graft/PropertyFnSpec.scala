@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based function round-trips (SURVEY §5): ScalaCheck generates
+  * random inputs and each family is checked against an independent JVM
+  * reference (java.time, BigDecimal, BigInt radix, direct JSON
+  * bookkeeping) — coverage beyond the hand-picked vectors of FnSpec.
+  * One DataFrame per family (not one job per sample): Spark evaluates
+  * the whole sample batch in a single collect.
+  *
+  * Generators run on a FIXED seed so a failure reproduces exactly.
+  */
+class PropertyFnSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): List[A] =
+    Gen.listOfN(n, g)(Gen.Parameters.default, rng.Seed(seed))
+      .getOrElse(fail("generator exhausted"))
+
+  test("property: Joda format_datetime/parse_datetime round-trip") {
+    Tables.register(spark, TestSession.sf)
+    import spark.implicits._
+    // 1900..2100, microsecond values; the pattern keeps millis, so the
+    // reference is the input truncated to milliseconds
+    val gen = Gen.choose(-2208988800000000L, 4102444800000000L)
+    val df = samples(gen, 300, 42L).toDF("us")
+      .selectExpr("us",
+        "unix_micros(parse_datetime(" +
+          "format_datetime(timestamp_micros(us), 'yyyy-MM-dd HH:mm:ss.SSS')," +
+          " 'yyyy-MM-dd HH:mm:ss.SSS')) AS back")
+    df.collect().foreach { r =>
+      val us = r.getLong(0)
+      val expected = Math.floorDiv(us, 1000L) * 1000L
+      assert(r.getLong(1) == expected, s"us=$us")
+    }
+  }
+
+  test("property: Presto %-format date_format/date_parse round-trip") {
+    Tables.register(spark, TestSession.sf)
+    import spark.implicits._
+    val gen = Gen.choose(-2208988800L, 4102444800L) // seconds range
+    val df = samples(gen, 300, 43L).toDF("s")
+      .selectExpr("s",
+        "unix_micros(date_parse(" +
+          "date_format(timestamp_seconds(s), '%Y-%m-%d %H:%i:%s')," +
+          " '%Y-%m-%d %H:%i:%s')) AS back")
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) * 1000000L, s"s=${r.getLong(0)}")
+    }
+  }
+
+  test("property: decimal add/multiply agree with BigDecimal") {
+    import spark.implicits._
+    // DECIMAL(18,6) operands; magnitudes bounded so DECIMAL(38,12)
+    // products can't overflow under ANSI
+    val dec = Gen.choose(-999999999999L, 999999999999L)
+      .map(v => new java.math.BigDecimal(java.math.BigInteger.valueOf(v), 6))
+    val pairs = samples(Gen.zip(dec, dec), 300, 44L)
+    val df = pairs.toDF("a", "b").selectExpr(
+      "CAST(a AS DECIMAL(18,6)) AS a", "CAST(b AS DECIMAL(18,6)) AS b")
+      .selectExpr("a", "b", "a + b AS s", "a * b AS p")
+    df.collect().foreach { case Row(a: java.math.BigDecimal,
+        b: java.math.BigDecimal, s: java.math.BigDecimal, p: java.math.BigDecimal) =>
+      assert(s.compareTo(a.add(b)) == 0, s"sum $a + $b")
+      assert(p.compareTo(a.multiply(b)) == 0, s"product $a * $b")
+    }
+  }
+
+  test("property: to_base/from_base round-trip across radixes 2..36") {
+    Tables.register(spark, TestSession.sf)
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.choose(Long.MinValue / 2 + 1, Long.MaxValue / 2), Gen.choose(2, 36))
+    val df = samples(gen, 400, 45L).toDF("x", "b")
+      .selectExpr("x", "b", "from_base(to_base(x, b), b) AS back",
+        "to_base(x, b) AS repr")
+    df.collect().foreach { r =>
+      val (x, b) = (r.getLong(0), r.getInt(1))
+      assert(r.getLong(2) == x, s"x=$x base=$b repr=${r.getString(3)}")
+      // independent radix reference: BigInt agrees with the string form
+      assert(BigInt(r.getString(3), b).longValue == x,
+        s"repr ${r.getString(3)} base $b is not $x")
+    }
+  }
+
+  test("property: json_extract_scalar and array length agree with generation") {
+    Tables.register(spark, TestSession.sf)
+    import spark.implicits._
+    val gen = for {
+      a <- Gen.choose(-1000000, 1000000)
+      c <- Gen.alphaNumStr.map(_.take(12))
+      d <- Gen.listOf(Gen.choose(-99, 99)).map(_.take(8))
+    } yield (a, c, d)
+    val rows = samples(gen, 300, 46L).map { case (a, c, d) =>
+      val json =
+        s"""{"a": $a, "b": {"c": "$c"}, "d": [${d.mkString(",")}]}"""
+      (json, a.toString, c, d.length.toLong,
+        d.headOption.map(_.toString).orNull)
+    }
+    val df = rows.toDF("j", "ea", "ec", "elen", "ed0").selectExpr(
+      "ea", "ec", "elen", "ed0",
+      "json_extract_scalar(j, '$.a') AS a",
+      "json_extract_scalar(j, '$.b.c') AS c",
+      "CAST(json_array_length(json_extract(j, '$.d')) AS BIGINT) AS len",
+      "json_extract_scalar(j, '$.d[0]') AS d0")
+    df.collect().foreach { r =>
+      assert(r.getString(4) == r.getString(0), "path $.a")
+      assert(r.getString(5) == r.getString(1), "path $.b.c")
+      assert(r.getLong(6) == r.getLong(2), "array length $.d")
+      assert(r.getString(7) == r.getString(3), "path $.d[0]")
+    }
+  }
+
+  test("property: url_encode/url_decode round-trip on printable strings") {
+    Tables.register(spark, TestSession.sf)
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '&', '=', '?', '/', '+', '%', '#', 'ü', 'é', '中'),
+    )).map(_.mkString.take(40))
+    val df = samples(gen, 300, 47L).toDF("s")
+      .selectExpr("s", "url_decode(url_encode(s)) AS back")
+    df.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(0), s"s=${r.getString(0)}")
+    }
+  }
+}
