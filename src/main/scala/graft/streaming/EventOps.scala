@@ -238,5 +238,57 @@ object EventOps extends QueryGroup {
         .agg(round(avg("k"), 4).as("avg_k"), max("k").as("max_k"), count(lit(1)).as("n"))
         .orderBy("event_type")
     },
+
+    // ── Kafka topic-as-table contract, bounded (no broker in env) ──
+    // The reference scans a topic as a table whose rows carry the
+    // consumer-visible metadata columns — _partition_id,
+    // _partition_offset, _message, _key, _timestamp (reference:
+    // presto-kafka/.../KafkaRecordSet.java:52, column set in
+    // KafkaInternalFieldDescription.java) — and parallelizes scans by
+    // OFFSET RANGE per partition (KafkaSplitManager.java). This query
+    // reproduces that contract over the events fixture: the keyed
+    // producer partitioner is pmod(key, 4), per-partition offsets are a
+    // dense monotone sequence in arrival (event-time, id-tiebroken)
+    // order, the payload is the JSON message, and the consumer reads one
+    // bounded offset split per partition — exactly the split-by-offset
+    // shape — validating offset bookkeeping and payload decode against
+    // the DuckDB twin. On a real deployment the same query text runs on
+    // Spark's Kafka source (readStream.format("kafka") exposes the
+    // identical partition/offset/key/value/timestamp columns).
+    q("ev_topic_table",
+      """WITH topic AS (
+        |  SELECT user_id % 4 AS _partition_id,
+        |    row_number() OVER (PARTITION BY user_id % 4
+        |                       ORDER BY ts, event_id) - 1 AS _partition_offset,
+        |    CAST(user_id AS VARCHAR) AS _key, props AS _message, ts AS _timestamp
+        |  FROM events)
+        |SELECT _partition_id, count(*) AS n,
+        |  min(_partition_offset) AS first_offset,
+        |  max(_partition_offset) AS last_offset,
+        |  round(avg(CAST(json_extract_string(_message, '$.k') AS INTEGER)), 4) AS avg_k,
+        |  min(CAST(_timestamp AS TIMESTAMP)) AS first_ts
+        |FROM topic
+        |WHERE _partition_offset BETWEEN 100 AND 349
+        |GROUP BY _partition_id
+        |ORDER BY _partition_id""".stripMargin) { (s, _) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_partition_id")).orderBy(col("_timestamp"), col("event_id"))
+      val topic = s.table("events").select(
+        pmod(col("user_id"), lit(4)).as("_partition_id"),
+        col("event_id"),
+        col("user_id").cast("string").as("_key"),
+        col("props").as("_message"),
+        col("ts").as("_timestamp"))
+        .withColumn("_partition_offset", row_number().over(w) - 1)
+      topic
+        .filter(col("_partition_offset").between(100, 349))
+        .groupBy("_partition_id")
+        .agg(count(lit(1)).as("n"),
+          min("_partition_offset").as("first_offset"),
+          max("_partition_offset").as("last_offset"),
+          round(avg(get_json_object(col("_message"), "$.k").cast("int")), 4).as("avg_k"),
+          min("_timestamp").as("first_ts"))
+        .orderBy("_partition_id")
+    },
   )
 }
