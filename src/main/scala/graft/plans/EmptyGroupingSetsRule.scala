@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.Count
-import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, OneRowRelation, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
 /** SQL-standard semantics for ROLLUP / CUBE / GROUPING SETS over EMPTY
   * input: when the grouping-set list contains the empty set `()`, the
@@ -18,33 +18,45 @@ import org.apache.spark.sql.types.IntegerType
   * Expand-based rewrite emits zero rows instead (surfaced by TPC-DS q27
   * whose 'd_year = 2002' predicate selects nothing at fixture scale).
   *
-  * Rewrite (resolution rule, fires only on the grouping-sets shape whose
-  * Expand projections include the empty grouping set):
+  * Sentinel-row rewrite — strictly single-pass:
   *
   * {{{
-  *   Aggregate(groupByAttrs :+ gid, aggs, Expand(...))          -- main
+  *   Aggregate(keys :+ gid, aggs, Expand(projs, out, child))
   * ==>
-  *   Union(
-  *     main,
-  *     Filter(ScalarSubquery(Aggregate(count(1), main)) = 0,    -- probe
-  *       Aggregate(Nil, defaults, LocalRelation(empty))))       -- defaults
+  *   Project(original output,
+  *     Filter(__real > 0 OR __gid = emptyMask,
+  *       Aggregate(keys :+ gid,
+  *                 aggs[FILTER (WHERE NOT __sentinel)]
+  *                   :+ count(1) FILTER (NOT __sentinel) AS __real
+  *                   :+ gid AS __gid,
+  *         Expand(projs ++ [__sentinel], out :+ __sentinel,
+  *           Union(child + __sentinel=false,
+  *                 one all-NULL row + __sentinel=true)))))
   * }}}
   *
-  * - `defaults` is the SAME result expressions with grouping-attribute
-  *   references replaced by typed NULLs and the grouping-id reference by
-  *   the empty-set mask, evaluated as a REAL global aggregate over a
-  *   guaranteed-empty LocalRelation — so every aggregate function
-  *   (count→0, sum→NULL, collect_list→[], custom sketches→their own
-  *   empty-input value) gets its genuine empty-input semantics with no
-  *   per-function default table.
-  * - The probe is an uncorrelated scalar subquery counting the main
-  *   aggregate's rows; at execution its inner aggregate canonicalizes
-  *   identically to `main`, so the shuffle exchange is reused — the
-  *   100 TB input is NOT rescanned; the marginal cost is one re-reduce
-  *   of the grouped partials feeding a 1-row count.
-  * - Over non-empty input the filter removes the defaults row, so every
-  *   existing grouping-sets query is unchanged; grouping-set lists
-  *   WITHOUT the empty set (plain GROUPING SETS ((a),(b))) never match.
+  * Why it is correct:
+  * - The sentinel row flows through Expand like any input row, so the
+  *   EMPTY grouping set's projection (all key columns NULLed, gid =
+  *   mask) manufactures the global group even over empty input. Every
+  *   aggregate function carries FILTER (WHERE NOT __sentinel), so the
+  *   sentinel contributes to NO aggregate value — over empty input the
+  *   global group aggregates zero qualifying rows, which is exactly the
+  *   standard's empty-input semantics (count→0, sum→NULL,
+  *   collect_list→[], custom sketches correct by construction).
+  * - For every NON-empty grouping set the sentinel lands in the
+  *   phantom group keyed by all-NULLs; `__real = count(1) FILTER (NOT
+  *   __sentinel)` is 0 only there (a genuine all-NULL-key group has
+  *   real rows), and the post-filter keeps a row iff __real > 0 OR its
+  *   gid is the empty-set mask. Over non-empty input the mask group
+  *   contains real rows too, so output is unchanged row-for-row.
+  *
+  * Why this shape and not a gated union: a first-cut scalar-subquery
+  * probe re-planned and re-executed the whole aggregate (+62% on
+  * TPC-DS q14, +58% on q67 at sf0.1); a second cut deduped via a
+  * window over the group keys, which forced a full sort of the grouped
+  * output (+40% on q67). The sentinel row costs ONE extra input row,
+  * one codegen'd boolean per aggregate update, and a post-filter — no
+  * extra shuffle, no sort, no re-execution, at any scale.
   */
 object EmptyGroupingSetsRule extends Rule[LogicalPlan] {
   private val Done = TreeNodeTag[Boolean]("graft.emptyGroupingSetsDone")
@@ -54,10 +66,10 @@ object EmptyGroupingSetsRule extends Rule[LogicalPlan] {
     // references in ORDER BY / HAVING / window specs above the aggregate
     // are resolved by analyzer rules that pattern-match the
     // Aggregate-over-Expand child (ResolveGroupingAnalytics); rewriting
-    // the aggregate into a Union before those fire leaves them
-    // unresolvable (seen on TPC-DS q70's GROUPING()-partitioned rank).
-    // The Union keeps the aggregate's output attribute ids, so firing
-    // after full resolution is always safe.
+    // the aggregate before those fire leaves them unresolvable (seen on
+    // TPC-DS q70's GROUPING()-partitioned rank). The rewrite keeps the
+    // aggregate's original output attribute ids, so firing after full
+    // resolution is always safe.
     if (!plan.resolved) return plan
     plan.transformUp {
       case agg @ Aggregate(gexprs, _, expand: Expand, _)
@@ -98,32 +110,54 @@ object EmptyGroupingSetsRule extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate, expand: Expand): LogicalPlan = {
     val gid = agg.groupingExpressions.last.asInstanceOf[Attribute]
     val maskLit = emptyMask(agg)
-    val groupIds = agg.groupingExpressions.dropRight(1)
-      .collect { case a: Attribute => a.exprId }.toSet
-    // the result expressions with grouping refs → NULL and gid → mask;
-    // aggregate functions are kept intact (they reference the pre-Expand
-    // child attributes, re-bound below to an empty LocalRelation twin).
-    // Fresh output exprIds: the Union match is positional, and fresh ids
-    // keep the two branches' outputs disjoint.
-    val defaults: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
-      val swapped = ne.transform {
-        case a: AttributeReference if a.exprId == gid.exprId => maskLit
-        case a: AttributeReference if groupIds.contains(a.exprId) =>
-          Literal(null, a.dataType)
-      }
-      swapped match {
-        case Alias(c, name) => Alias(c, name)()
-        case a: Attribute => Alias(a, a.name)()
-        case other => Alias(other, ne.name)()
-      }
+    val nOut = agg.aggregateExpressions.length
+
+    // child ∪ sentinel: real rows flagged false, one all-NULL row
+    // flagged true. The union's first branch keeps the child's attribute
+    // ids, so the Expand projections resolve unchanged.
+    val realRows = Project(
+      expand.child.output :+ Alias(Literal(false), "__graft_sentinel")(),
+      expand.child)
+    val sentinelRow = Project(
+      expand.child.output.map(a =>
+        Alias(Literal(null, a.dataType), a.name)()) :+
+        Alias(Literal(true), "__graft_sentinel")(),
+      OneRowRelation())
+    val newChild = Union(Seq(realRows, sentinelRow))
+    val flagIn = newChild.output.last
+
+    // thread the flag through Expand
+    val flagOut = AttributeReference("__graft_sentinel", BooleanType, nullable = false)()
+    val newExpand = Expand(
+      expand.projections.map(_ :+ flagIn),
+      expand.output :+ flagOut,
+      newChild)
+
+    // every aggregate function ignores the sentinel row
+    val notSentinel: Expression = Not(flagOut)
+    val filteredAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      ne =>
+        ne.transform {
+          case ae: AggregateExpression =>
+            ae.copy(filter =
+              Some(ae.filter.map(And(_, notSentinel)).getOrElse(notSentinel)))
+        }.asInstanceOf[NamedExpression]
     }
-    val defaultsAgg =
-      Aggregate(Nil, defaults, LocalRelation(expand.child.output), None)
-    val probe = ScalarSubquery(Aggregate(
-      Nil,
-      Seq(Alias(Count(Literal(1)).toAggregateExpression(), "__graft_group_count")()),
-      agg,
-      None))
-    Union(Seq(agg, Filter(EqualTo(probe, Literal(0L)), defaultsAgg)))
+    val realCount = Alias(
+      Count(Literal(1)).toAggregateExpression().copy(filter = Some(notSentinel)),
+      "__graft_real")()
+    val gidOut = Alias(gid, "__graft_gid")()
+    val mainPlus = agg.copy(
+      aggregateExpressions = filteredAggs :+ realCount :+ gidOut,
+      child = newExpand)
+    // case-class copy does NOT carry TreeNode tags — without this the
+    // widened aggregate re-matches on the next fixpoint iteration
+    mainPlus.setTagValue(Done, true)
+
+    val outs = mainPlus.output
+    val keep = Or(
+      GreaterThan(outs(nOut), Literal(0L)),
+      EqualTo(outs(nOut + 1), maskLit))
+    Project(outs.take(nOut), Filter(keep, mainPlus))
   }
 }
