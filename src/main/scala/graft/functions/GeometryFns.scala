@@ -667,6 +667,117 @@ object GeometryFns {
   def fromQuadKeyU(qk: org.apache.spark.unsafe.types.UTF8String): Long =
     fromQuadKey(qk.toString)
 
+  // ── simplify_geometry (reference GeoFunctions.java:758): the published
+  // Ramer–Douglas–Peucker algorithm over linestrings and polygon rings ──
+
+  /** Perpendicular distance from p to SEGMENT a-b (not the infinite
+    * line — the published DP uses segment distance).
+    */
+  private def segDist(p: GPoint, a: GPoint, b: GPoint): Double = {
+    val dx = b.x - a.x; val dy = b.y - a.y
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0) math.hypot(p.x - a.x, p.y - a.y)
+    else {
+      val t = math.max(0.0, math.min(1.0,
+        ((p.x - a.x) * dx + (p.y - a.y) * dy) / len2))
+      math.hypot(p.x - (a.x + t * dx), p.y - (a.y + t * dy))
+    }
+  }
+
+  private def dpKeep(pts: Array[GPoint], lo: Int, hi: Int, tol: Double,
+      keep: Array[Boolean]): Unit = {
+    if (hi <= lo + 1) return
+    var best = -1; var bestD = tol
+    var i = lo + 1
+    while (i < hi) {
+      val d = segDist(pts(i), pts(lo), pts(hi))
+      if (d > bestD) { bestD = d; best = i }
+      i += 1
+    }
+    if (best >= 0) {
+      keep(best) = true
+      dpKeep(pts, lo, best, tol, keep)
+      dpKeep(pts, best, hi, tol, keep)
+    }
+  }
+
+  private[functions] def simplifyLine(pts: Array[GPoint], tol: Double): Array[GPoint] = {
+    val keep = Array.fill(pts.length)(false)
+    keep(0) = true; keep(pts.length - 1) = true
+    dpKeep(pts, 0, pts.length - 1, tol, keep)
+    pts.indices.filter(keep).map(pts).toArray
+  }
+
+  /** DP over a CLOSED ring (first == last): anchor at v0 and the vertex
+    * farthest from it, run DP on both halves. A ring that would collapse
+    * below 3 distinct vertices is left unsimplified (the reference keeps
+    * geometries valid the same way).
+    */
+  private def simplifyRing(ring: Array[GPoint], tol: Double): Array[GPoint] = {
+    val n = ring.length
+    var m = 1; var dm = -1.0
+    var i = 1
+    while (i < n - 1) {
+      val d = math.hypot(ring(i).x - ring(0).x, ring(i).y - ring(0).y)
+      if (d > dm) { dm = d; m = i }
+      i += 1
+    }
+    val keep = Array.fill(n)(false)
+    keep(0) = true; keep(m) = true; keep(n - 1) = true
+    dpKeep(ring, 0, m, tol, keep)
+    dpKeep(ring, m, n - 1, tol, keep)
+    val out = ring.indices.filter(keep).map(ring).toArray
+    if (out.distinct.length < 3) ring else out
+  }
+
+  /** simplify_geometry(geom, tolerance) — Douglas–Peucker. Points are
+    * identity; linestrings and polygon/multipolygon rings simplify
+    * per-path.
+    */
+  def simplifyGeometry(wkt: String, tol: Double): String = {
+    if (tol.isNaN || tol < 0) fail("simplification tolerance must be >= 0")
+    val up = wkt.trim.toUpperCase
+    if (tol == 0 || up.startsWith("POINT")) wkt.trim
+    else if (up.startsWith("LINESTRING"))
+      lineStringWkt(simplifyLine(parseLineString(wkt), tol))
+    else if (up.startsWith("MULTIPOLYGON"))
+      multiPolygonWkt(multiPolygonParts(wkt).map(parsePolygon)
+        .map(p => Polygon(p.rings.map(simplifyRing(_, tol)))))
+    else if (up.startsWith("POLYGON"))
+      polygonWkt(Polygon(parsePolygon(wkt).rings.map(simplifyRing(_, tol))))
+    else fail(s"simplify_geometry: unsupported WKT: $wkt")
+  }
+
+  // ── ST_Buffer (reference GeoFunctions.java:275) — POINT subset ──
+
+  /** Segments in a point-buffer ring. The polygon is inscribed (its
+    * vertices lie ON the radius-r circle), so its area has the closed
+    * form n/2 · r² · sin(2π/n) — which is what lets the DuckDB oracle
+    * check st_area(ST_Buffer(…)) without a spatial extension.
+    */
+  val BufferSegments = 32
+
+  /** ST_Buffer over the declared POINT subset: a regular CCW
+    * [[BufferSegments]]-gon on the radius-`dist` circle. Line/polygon
+    * buffering (Minkowski sums, cap/join styles) stays descoped with the
+    * concave-intersection remainder — the reference delegates those to
+    * the Esri engine wholesale.
+    */
+  def stBuffer(wkt: String, dist: Double): String = {
+    if (dist.isNaN || dist < 0) fail("buffer distance must be >= 0")
+    if (dist == 0) return wkt.trim
+    val up = wkt.trim.toUpperCase
+    if (!up.startsWith("POINT"))
+      fail("ST_Buffer: this engine buffers POINT geometries (declared subset)")
+    val c = parsePoint(wkt)
+    val n = BufferSegments
+    val ring = (0 to n).map { i =>
+      val th = 2 * math.Pi * (i % n) / n
+      GPoint(c.x + dist * math.cos(th), c.y + dist * math.sin(th))
+    }.toArray
+    polygonWkt(Polygon(Seq(ring)))
+  }
+
   /** Tile footprint as a WKT polygon (inverse Mercator corners). */
   def tilePolygon(t: Long): String = {
     val z = tileZoom(t)

@@ -35,14 +35,17 @@ object GraftFnUtils {
   def normalizeStr(s: String, form: String): String =
     Normalizer.normalize(s, Normalizer.Form.valueOf(form.toUpperCase))
 
-  /** word_stem (reference WordStemFunction.java): the full published
-    * Porter algorithm (PorterStemmer.scala), replacing the earlier
-    * suffix-rule approximation. UTF8String signatures so the StaticInvoke
-    * builder stays converter-free inside codegen.
+  /** word_stem (reference WordStemFunction.java): the reference wraps
+    * Snowball's EnglishStemmer — i.e. Porter2 — so this dispatches to
+    * the published Porter2 algorithm (Porter2Stemmer.scala). Rounds 4–7
+    * shipped 1980 Porter as a documented approximation; round 8 closes
+    * the divergence ('ties' → 'tie', 'dying' → 'die', …). UTF8String
+    * signatures so the StaticInvoke builder stays converter-free inside
+    * codegen.
     */
   def wordStem(w: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(
-      PorterStemmer.stem(w.toString.toLowerCase))
+      Porter2Stemmer.stem(w.toString.toLowerCase))
 
   /** word_stem(word, lang) — the reference dispatches to per-language
     * Snowball stemmers (WordStemFunction.java STEMMERS map); this engine
@@ -950,6 +953,10 @@ object GraftFunctions {
     spark.udf.register("st_line_from_text",
       (w: String) => { GeometryFns.parseLineString(w); GeometryFns.geometryFromText(w) })
     spark.udf.register("st_length", (w: String) => GeometryFns.lineLength(w))
+    spark.udf.register("st_buffer",
+      (w: String, d: Double) => GeometryFns.stBuffer(w, d))
+    spark.udf.register("simplify_geometry",
+      (w: String, t: Double) => GeometryFns.simplifyGeometry(w, t))
     spark.udf.register("st_intersects",
       (a: String, b: String) => GeometryFns.stIntersects(a, b))
     spark.udf.register("st_intersection",

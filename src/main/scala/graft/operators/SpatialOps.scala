@@ -436,5 +436,45 @@ object SpatialOps extends QueryGroup {
            |  size(bing_tiles_around(lat, lon, 10)) AS n_around
            |FROM t ORDER BY c_custkey""".stripMargin)
     },
+
+    // ST_Buffer (POINT subset) + simplify_geometry (Douglas–Peucker).
+    // The buffer ring is an INSCRIBED regular 32-gon, so its area has
+    // the closed form n/2·r²·sin(2π/n) — which the DuckDB oracle checks
+    // without any spatial extension; containment probes sit safely
+    // inside the in-radius (0.9r < r·cos(π/32)) and outside the
+    // circum-radius. The simplify outputs are exact: DP on the fixture
+    // shapes provably keeps only the square corners / the endpoints.
+    q("spatial_buffer_simplify",
+      s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+         |r AS (SELECT c_custkey, 1.0 + CAST(c_custkey % 5 AS DOUBLE) AS rad
+         |  FROM c WHERE c_custkey < 200)
+         |SELECT c_custkey,
+         |  round(0.5 * 32 * rad * rad * sin(2 * pi() / 32), 4) AS ar,
+         |  true AS inside, false AS outside,
+         |  CAST(2 AS BIGINT) AS np,
+         |  'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))' AS sw,
+         |  'LINESTRING (0 0, 6 0)' AS sl
+         |FROM r ORDER BY c_custkey""".stripMargin) { (sp, _) =>
+      sp.sql(
+        s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+           |r AS (SELECT c_custkey, x, y,
+           |  1.0 + CAST(c_custkey % 5 AS DOUBLE) AS rad
+           |  FROM c WHERE c_custkey < 200),
+           |b AS (SELECT c_custkey, x, y, rad,
+           |  st_buffer(st_as_text(st_point(x, y)), rad) AS buf FROM r)
+           |SELECT c_custkey,
+           |  round(st_area(buf), 4) AS ar,
+           |  st_contains(buf, st_as_text(st_point(x + 0.9 * rad, y))) AS inside,
+           |  st_contains(buf, st_as_text(st_point(x + 1.05 * rad, y))) AS outside,
+           |  CAST(st_num_points(simplify_geometry(
+           |    concat('LINESTRING (', x, ' ', y,
+           |           ', ', x + 1, ' ', y + 0.001 * CAST(c_custkey % 3 AS DOUBLE),
+           |           ', ', x + 2, ' ', y, ')'), 0.5)) AS BIGINT) AS np,
+           |  simplify_geometry(
+           |    'POLYGON ((0 0, 5 0.01, 10 0, 10 10, 0 10, 0 0))', 0.1) AS sw,
+           |  simplify_geometry(
+           |    'LINESTRING (0 0, 1 0.05, 2 0, 4 0.05, 6 0)', 0.1) AS sl
+           |FROM b ORDER BY c_custkey""".stripMargin)
+    },
   )
 }

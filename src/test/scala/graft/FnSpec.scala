@@ -451,13 +451,28 @@ class FnSpec extends AnyFunSuite {
     assert(r.getString(0) == "2026-11-01 05:30")
   }
 
-  test("word_stem is the full Porter algorithm (paper example table)") {
+  test("word_stem is Porter2 (Snowball english) — reference vectors + divergence classes") {
     ready()
-    // FINAL stems. First block: the published demo sample (tartarus.org
-    // Porter page, voc→output); second block: paper-derived pairs traced
-    // through all steps (the paper's own per-step examples are
-    // intermediates — e.g. 1b's "agreed→agree" then loses the e in 5a).
-    val expected = Seq(
+    import graft.functions.Porter2Stemmer.stem
+    // the reference's own test vectors (TestWordStemFunction.java) —
+    // it wraps Snowball's EnglishStemmer, i.e. Porter2
+    val referenceVectors = Seq(
+      "" -> "", "x" -> "x", "abc" -> "abc",
+      "generally" -> "general", "useful" -> "use", "runs" -> "run",
+      "run" -> "run", "authorized" -> "author",
+      "accessories" -> "accessori", "intensifying" -> "intensifi",
+      "resentment" -> "resent", "faithfulness" -> "faith")
+    // the classes where 1980 Porter (shipped rounds 4-7) diverged, plus
+    // Porter2's exceptional forms and invariants
+    val porter2Only = Seq(
+      "ties" -> "tie", "dying" -> "die", "lying" -> "lie", "tying" -> "tie",
+      "skis" -> "ski", "skies" -> "sky", "ugly" -> "ugli", "early" -> "earli",
+      "only" -> "onli", "singly" -> "singl", "sky" -> "sky", "news" -> "news",
+      "bias" -> "bias", "proceed" -> "proceed", "exceed" -> "exceed",
+      "succeed" -> "succeed", "inning" -> "inning", "outing" -> "outing")
+    // demo-vocabulary block (identical stems under Porter1 and Porter2 —
+    // regression guard that the rewrite didn't disturb the common cases)
+    val shared = Seq(
       "consign" -> "consign", "consigned" -> "consign",
       "consigning" -> "consign", "consignment" -> "consign",
       "consist" -> "consist", "consisted" -> "consist",
@@ -472,21 +487,19 @@ class FnSpec extends AnyFunSuite {
       "conspiracy" -> "conspiraci", "conspirator" -> "conspir",
       "conspire" -> "conspir", "constable" -> "constabl",
       "constancy" -> "constanc", "constant" -> "constant",
-      // paper-derived:
-      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caresses" -> "caress", "ponies" -> "poni",
       "caress" -> "caress", "cats" -> "cat",
       "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
       "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
       "sized" -> "size", "hopping" -> "hop", "tanned" -> "tan",
       "falling" -> "fall", "hissing" -> "hiss", "fizzed" -> "fizz",
       "failing" -> "fail", "filing" -> "file",
-      "happy" -> "happi", "sky" -> "sky",
+      "happy" -> "happi",
       "electriciti" -> "electr", "electrical" -> "electr",
       "hopeful" -> "hope", "goodness" -> "good",
       "controll" -> "control", "roll" -> "roll")
-    expected.foreach { case (in, want) =>
-      assert(graft.functions.PorterStemmer.stem(in) == want,
-        s"stem($in) = ${graft.functions.PorterStemmer.stem(in)}, want $want")
+    (referenceVectors ++ porter2Only ++ shared).foreach { case (in, want) =>
+      assert(stem(in) == want, s"stem($in) = ${stem(in)}, want $want")
     }
     val r = spark.sql(
       "SELECT word_stem('Running'), word_stem('presumably', 'en')").collect()(0)

@@ -89,4 +89,42 @@ class SpatialSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"kdb join must be an equi hash join:\n$plan")
   }
+
+  test("simplify_geometry is Douglas-Peucker; ST_Buffer is the point n-gon") {
+    import graft.functions.GeometryFns
+    // sub-tolerance zigzag collapses to the square corners
+    assert(GeometryFns.simplifyGeometry(
+      "POLYGON ((0 0, 5 0.01, 10 0, 10 10, 0 10, 0 0))", 0.1) ==
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    // above-tolerance detail survives
+    assert(GeometryFns.simplifyGeometry(
+      "POLYGON ((0 0, 5 2, 10 0, 10 10, 0 10, 0 0))", 0.1) ==
+      "POLYGON ((0 0, 5 2, 10 0, 10 10, 0 10, 0 0))")
+    // tolerance 0 is identity; holes simplify per-ring
+    val holed = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2.001, 4 2, 4 4, 2 4, 2 2))"
+    assert(GeometryFns.simplifyGeometry(holed, 0.0) == holed)
+    assert(GeometryFns.simplifyGeometry(holed, 0.1) ==
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    // a ring that would collapse below 3 distinct points stays as-is
+    assert(GeometryFns.simplifyGeometry(
+      "POLYGON ((0 0, 1 0.2, 2 0, 0 0))", 50.0) ==
+      "POLYGON ((0 0, 1 0.2, 2 0, 0 0))")
+    // linestring: endpoints always survive
+    assert(GeometryFns.simplifyGeometry(
+      "LINESTRING (0 0, 1 0.05, 2 0, 4 0.05, 6 0)", 0.1) == "LINESTRING (0 0, 6 0)")
+
+    val buf = GeometryFns.stBuffer("POINT (3 4)", 2.0)
+    // inscribed 32-gon: area n/2 r^2 sin(2pi/n), 33 points incl closure
+    val area = GeometryFns.area(buf)
+    assert(math.abs(area - 0.5 * 32 * 4 * math.sin(2 * math.Pi / 32)) < 1e-9,
+      s"buffer area $area")
+    assert(area < math.Pi * 4 && area > math.Pi * 4 * 0.98, "n-gon under-approximates the disc")
+    assert(GeometryFns.numPoints(buf) == 32) // closing vertex not re-counted
+    assert(GeometryFns.stContains(buf, "POINT (3 4)"))
+    assert(GeometryFns.stContains(buf, "POINT (4.5 4)"))
+    assert(!GeometryFns.stContains(buf, "POINT (5.2 4)"))
+    intercept[IllegalArgumentException] {
+      GeometryFns.stBuffer("LINESTRING (0 0, 1 1)", 1.0)
+    }
+  }
 }
