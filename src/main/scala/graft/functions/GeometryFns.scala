@@ -240,11 +240,17 @@ object GeometryFns {
     val pa = parsePolygon(wktA); val pb = parsePolygon(wktB)
     if (pa.rings.length > 1 || pb.rings.length > 1)
       fail("st_intersection supports polygons without holes")
+    // neither ring convex: Sutherland–Hodgman needs a convex clip
+    // window, so route through the shared transversal boundary walk
+    // (round 8 — closes the concave-vs-concave remainder for
+    // transversally-crossing boundaries; tangential contact still fails
+    // loudly as a declared exclusion)
+    if (!isConvex(pa.rings.head) && !isConvex(pb.rings.head))
+      return concaveIntersection(pa, pb)
     // pick the convex ring as the clip window; subject may be concave
     val (subject, clip) =
       if (isConvex(pb.rings.head)) (pa.rings.head, pb.rings.head)
-      else if (isConvex(pa.rings.head)) (pb.rings.head, pa.rings.head)
-      else fail("st_intersection requires at least one CONVEX polygon (declared subset)")
+      else (pb.rings.head, pa.rings.head)
     var out = subject.dropRight(1).toIndexedSeq // open vertex list
     val ccwClip = if (ringSignedArea(clip) < 0) clip.reverse else clip
     var e = 0
@@ -275,6 +281,51 @@ object GeometryFns {
     else polygonWkt(Polygon(Seq((out :+ out.head).toArray)))
   }
 
+  /** Concave ∩ concave via the shared transversal walk: keep the
+    * boundary fragments lying INSIDE the other polygon; each closed walk
+    * is one component of the intersection (a concave overlap can
+    * produce several disjoint pieces → MULTIPOLYGON). Nested walks are
+    * holes of the component that encloses them.
+    */
+  private def concaveIntersection(pa: Polygon, pb: Polygon): String = {
+    transversalWalk(pa, pb, wantInside = true, "st_intersection") match {
+      case None =>
+        // no boundary contact: containment or disjoint
+        val a0 = pa.rings.head(0); val b0 = pb.rings.head(0)
+        if (containsPoint(pb, a0.x, a0.y)) polygonWkt(pa)
+        else if (containsPoint(pa, b0.x, b0.y)) polygonWkt(pb)
+        else "POLYGON EMPTY"
+      case Some(rings) =>
+        // nest rings: a walk contained in another is that component's hole
+        def ringPoly(r: Array[GPoint]) = Polygon(Seq(r))
+        def containedIn(r: Array[GPoint], s: Array[GPoint]): Boolean = {
+          val probe = r(0)
+          containsPoint(ringPoly(s), probe.x, probe.y)
+        }
+        val shells = rings.indices.filter(k =>
+          !rings.indices.exists(j => j != k && containedIn(rings(k), rings(j))))
+        val result =
+          if (shells.length == 1)
+            polygonWkt(Polygon(rings(shells.head) +: rings.indices
+              .collect { case k if k != shells.head => rings(k) }.toSeq))
+          else if (shells.length == rings.length)
+            multiPolygonWkt(shells.map(k => Polygon(Seq(rings(k)))))
+          else
+            fail("st_intersection walk produced nested components under " +
+              "multiple shells (degenerate input, declared subset)")
+        // validate: 0 <= |A∩B| <= min(|A|,|B|); a wrong walk violates it
+        val aA = math.abs(ringSignedArea(pa.rings.head))
+        val aB = math.abs(ringSignedArea(pb.rings.head))
+        val aI = area(result)
+        val tol = 1e-9 * (aA + aB) + 1e-6
+        if (aI < -tol || aI > math.min(aA, aB) + tol)
+          fail(f"st_intersection result area $aI%.6g outside [0, min(|A|,|B|)] " +
+            f"= [0, ${math.min(aA, aB)}%.6g] — near-degenerate input slipped " +
+            "past the transversality guards (declared subset)")
+        result
+    }
+  }
+
   /** ST_Union for the simple-polygon subset (reference GeoFunctions.java
     * ST_Union over the Esri engine). Declared subset: two hole-free simple
     * polygons whose boundaries either don't touch or cross TRANSVERSALLY
@@ -296,6 +347,45 @@ object GeometryFns {
     val pa = parsePolygon(wktA); val pb = parsePolygon(wktB)
     if (pa.rings.length > 1 || pb.rings.length > 1)
       fail("st_union supports polygons without holes (declared subset)")
+    transversalWalk(pa, pb, wantInside = false, "st_union") match {
+      case None =>
+        // no boundary contact: containment or disjoint
+        val A0 = pa.rings.head(0); val B0 = pb.rings.head(0)
+        if (containsPoint(pb, A0.x, A0.y)) polygonWkt(pb)
+        else if (containsPoint(pa, B0.x, B0.y)) polygonWkt(pa)
+        else multiPolygonWkt(Seq(pa, pb))
+      case Some(rings) =>
+        val shellIdx = rings.indices.maxBy(k => math.abs(ringSignedArea(rings(k))))
+        val result = polygonWkt(Polygon(rings(shellIdx) +: rings.zipWithIndex
+          .collect { case (r, k) if k != shellIdx => r }))
+        // validate the walk: a union's area is bounded by max(|A|,|B|)
+        // from below and |A|+|B| from above. A near-degenerate contact
+        // that slips past the tolerance guards produces a wrong ring
+        // walk whose area violates these bounds — fail loudly instead
+        // of returning a plausible wrong polygon.
+        val aA = math.abs(ringSignedArea(pa.rings.head))
+        val aB = math.abs(ringSignedArea(pb.rings.head))
+        val aU = area(result)
+        val areaTol = 1e-9 * (aA + aB) + 1e-6
+        if (aU < math.max(aA, aB) - areaTol || aU > aA + aB + areaTol)
+          fail(f"st_union result area $aU%.6g outside [max(|A|,|B|), |A|+|B|] = " +
+            f"[${math.max(aA, aB)}%.6g, ${aA + aB}%.6g] — near-degenerate input " +
+            "slipped past the transversality guards (declared subset)")
+        result
+    }
+  }
+
+  /** The shared Weiler–Atherton / Greiner–Hormann traversal over two
+    * hole-free simple polygons with TRANSVERSAL boundary crossings.
+    * `wantInside = false` keeps boundary fragments OUTSIDE the other
+    * polygon (union); `wantInside = true` keeps fragments INSIDE the
+    * other polygon (intersection). Returns None when the boundaries
+    * never cross (containment / disjoint — caller decides); fails
+    * loudly on any non-transversal contact (shared vertices,
+    * vertex-on-edge, collinear overlap, near-tangential crossings).
+    */
+  private def transversalWalk(pa: Polygon, pb: Polygon, wantInside: Boolean,
+      op: String): Option[Seq[Array[GPoint]]] = {
     def openCcw(r: Array[GPoint]): Array[GPoint] = {
       val rr = if (ringSignedArea(r) < 0) r.reverse else r
       rr.dropRight(1)
@@ -329,7 +419,7 @@ object GeometryFns {
       false
     }
     if (A.exists(onBoundary(B, _)) || B.exists(onBoundary(A, _)))
-      fail("st_union requires boundaries that cross transversally (declared subset)")
+      fail(s"$op requires boundaries that cross transversally (declared subset)")
 
     // collect proper crossings; any collinear-overlap or near-tangential
     // contact fails. A proper crossing needs all four orientations
@@ -347,13 +437,13 @@ object GeometryFns {
         if (math.abs(d1) <= orientTol && math.abs(d2) <= orientTol &&
             (nearSegment(q1, q2, p1) || nearSegment(q1, q2, p2) ||
               nearSegment(p1, p2, q1) || nearSegment(p1, p2, q2)))
-          fail("st_union requires boundaries that cross transversally (declared subset)")
+          fail(s"$op requires boundaries that cross transversally (declared subset)")
         if ((d1 > 0) != (d2 > 0) && (d3 > 0) != (d4 > 0) &&
             (math.abs(d1) <= orientTol || math.abs(d2) <= orientTol ||
               math.abs(d3) <= orientTol || math.abs(d4) <= orientTol) &&
             (nearSegment(q1, q2, p1) || nearSegment(q1, q2, p2) ||
               nearSegment(p1, p2, q1) || nearSegment(p1, p2, q2)))
-          fail("st_union requires boundaries that cross transversally " +
+          fail(s"$op requires boundaries that cross transversally " +
             "(near-tangential contact, declared subset)")
         if ((d1 > 0) != (d2 > 0) && (d3 > 0) != (d4 > 0) &&
             math.abs(d1) > orientTol && math.abs(d2) > orientTol &&
@@ -369,12 +459,7 @@ object GeometryFns {
       i += 1
     }
 
-    if (crosses.isEmpty) {
-      // no boundary contact: containment or disjoint
-      if (containsPoint(pb, A(0).x, A(0).y)) return polygonWkt(pb)
-      if (containsPoint(pa, B(0).x, B(0).y)) return polygonWkt(pa)
-      return multiPolygonWkt(Seq(pa, pb))
-    }
+    if (crosses.isEmpty) return None
 
     // augmented cyclic node lists: original vertices + crossing nodes in
     // boundary order; crossing ids are shared between the two lists
@@ -403,11 +488,14 @@ object GeometryFns {
       while (list(k).cross < 0) { acc += list(k); k = (k + 1) % n }
       (list(k).cross, acc.result() :+ list(k))
     }
-    def outside(other: Polygon, from: GPoint, frag: Vector[Node]): Boolean = {
+    // union walks fragments OUTSIDE the other polygon, intersection
+    // walks fragments INSIDE it; both alternate polygons at each proper
+    // crossing
+    def keepFrag(other: Polygon, from: GPoint, frag: Vector[Node]): Boolean = {
       val sample = frag.dropRight(1).headOption.map(_.pt).getOrElse {
         val to = frag.last.pt; GPoint((from.x + to.x) / 2, (from.y + to.y) / 2)
       }
-      !containsPoint(other, sample.x, sample.y)
+      containsPoint(other, sample.x, sample.y) == wantInside
     }
 
     val usedA = Array.fill(crosses.length)(false)
@@ -416,7 +504,7 @@ object GeometryFns {
     for (c0 <- crosses.indices; onA0 <- Seq(true, false)) {
       val used0 = if (onA0) usedA else usedB
       val frag0 = fragment(if (onA0) listA else listB, if (onA0) posA(c0) else posB(c0))
-      if (!used0(c0) && outside(if (onA0) pb else pa, crosses(c0).pt, frag0._2)) {
+      if (!used0(c0) && keepFrag(if (onA0) pb else pa, crosses(c0).pt, frag0._2)) {
         val ring = scala.collection.mutable.ArrayBuffer[GPoint](crosses(c0).pt)
         var c = c0; var onA = onA0
         var done = false
@@ -430,24 +518,9 @@ object GeometryFns {
         rings += ring.toArray // last point == first crossing point (closed)
       }
     }
-    if (rings.isEmpty) fail("st_union traversal found no outside boundary (degenerate input)")
-    val shellIdx = rings.indices.maxBy(k => math.abs(ringSignedArea(rings(k))))
-    val result = polygonWkt(Polygon(rings(shellIdx) +: rings.toSeq.zipWithIndex
-      .collect { case (r, k) if k != shellIdx => r }))
-    // validate the walk: a union's area is bounded by max(|A|,|B|) from
-    // below and |A|+|B| from above. A near-degenerate contact that slips
-    // past the tolerance guards produces a wrong ring walk whose area
-    // violates these bounds — fail loudly instead of returning a
-    // plausible wrong polygon.
-    val aA = math.abs(ringSignedArea(pa.rings.head))
-    val aB = math.abs(ringSignedArea(pb.rings.head))
-    val aU = area(result)
-    val areaTol = 1e-9 * (aA + aB) + orientTol
-    if (aU < math.max(aA, aB) - areaTol || aU > aA + aB + areaTol)
-      fail(f"st_union result area $aU%.6g outside [max(|A|,|B|), |A|+|B|] = " +
-        f"[${math.max(aA, aB)}%.6g, ${aA + aB}%.6g] — near-degenerate input " +
-        "slipped past the transversality guards (declared subset)")
-    result
+    if (rings.isEmpty)
+      fail(s"$op traversal found no boundary fragments (degenerate input)")
+    Some(rings.toSeq)
   }
 
   def multiPolygonWkt(ps: Seq[Polygon]): String =

@@ -581,7 +581,10 @@ class FnSpec extends AnyFunSuite {
     // triangle clip (non-rectangular convex window): x+y <= 12 shaves the
     // square's far corner (legs 8) -> 100 - 8*8/2
     assert(area(stIntersection(sq, "POLYGON ((0 0, 12 0, 0 12, 0 0))")) == 68.0)
-    // two concave inputs are a declared error, as are holes
+    // concave-vs-concave routes through the transversal walk (round 8;
+    // SpatialSpec pins it) — but a SELF-intersection's boundaries
+    // coincide everywhere (tangential, not transversal), so it still
+    // fails loudly, as do holes
     intercept[Exception](stIntersection(ell2, ell2))
     intercept[Exception](stIntersection(donut, sq))
     // ST_Union (outside boundary walk; declared transversal subset)

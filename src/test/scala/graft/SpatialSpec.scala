@@ -127,4 +127,41 @@ class SpatialSpec extends AnyFunSuite {
       GeometryFns.stBuffer("LINESTRING (0 0, 1 1)", 1.0)
     }
   }
+
+  test("st_intersection concave-vs-concave via the transversal walk") {
+    import graft.functions.GeometryFns
+    // two interlocking L-shapes, single connected intersection piece:
+    // [1,6]x[1,2] ∪ [1,2]x[1,3] — area 5 + 3 − 1 = 6 exactly
+    val lA = "POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))"
+    val lB = "POLYGON ((1 1, 7 1, 7 5, 5 5, 5 3, 1 3, 1 1))"
+    val li = GeometryFns.stIntersection(lA, lB)
+    assert(math.abs(GeometryFns.area(li) - 6.0) < 1e-9, s"area of $li")
+    assert(li.startsWith("POLYGON"), li)
+    val piece = GeometryFns.parsePolygon(li)
+    assert(GeometryFns.containsPoint(piece, 4.0, 1.5))  // bar interior
+    assert(GeometryFns.containsPoint(piece, 1.5, 2.5))  // arm interior
+    assert(!GeometryFns.containsPoint(piece, 4.0, 2.5)) // outside the L
+
+    // two opposing U-shapes whose arms interlock: TWO disjoint pieces
+    // [0.5,3]x[3,6] and [6,8.5]x[3,6] — MULTIPOLYGON, area 15 exactly
+    val uA = "POLYGON ((0 0, 9 0, 9 6, 6 6, 6 2, 3 2, 3 6, 0 6, 0 0))"
+    val uB = "POLYGON ((0.5 3, 8.5 3, 8.5 9, 5.5 9, 5.5 5, 3.5 5, 3.5 9, 0.5 9, 0.5 3))"
+    val ui = GeometryFns.stIntersection(uA, uB)
+    assert(ui.startsWith("MULTIPOLYGON"), ui)
+    assert(math.abs(GeometryFns.area(ui) - 15.0) < 1e-9, s"area of $ui")
+
+    // containment without boundary contact: the inner concave polygon
+    val inner = "POLYGON ((2 2, 5 2, 5 3, 3 3, 3 4, 2 4, 2 2))"
+    val outer = "POLYGON ((0 0, 9 0, 9 9, 1 9, 1 8, 0 8, 0 0))"
+    assert(GeometryFns.stIntersection(inner, outer) ==
+      GeometryFns.geometryFromText(inner))
+    // disjoint concave polygons → empty
+    val far = "POLYGON ((20 20, 23 20, 23 21, 21 21, 21 23, 20 23, 20 20))"
+    assert(GeometryFns.stIntersection(inner, far) == "POLYGON EMPTY")
+    // tangential contact stays a loud declared exclusion
+    val touching = "POLYGON ((6 0, 9 0, 9 2, 8 2, 8 1, 6 1, 6 0))"
+    intercept[IllegalArgumentException] {
+      GeometryFns.stIntersection(lA, touching)
+    }
+  }
 }
