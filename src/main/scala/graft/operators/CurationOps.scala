@@ -162,6 +162,87 @@ object CurationOps extends QueryGroup {
         .orderBy("source", "seq_id")
     },
 
+    // ── seeded global shuffle: the deterministic training-order
+    // permutation every corpus build ends with. The sort key is a
+    // portable multiplicative hash (Knuth 2654435761 mod 2^32) so the
+    // DuckDB twin reproduces the exact permutation; doc_id tiebreak
+    // makes it total. At 100 TB this is ONE total-order shuffle —
+    // Spark's range partitioner samples the key space, so the sort
+    // scales out; shard assignment (round-robin on position) is what a
+    // sharded-writer would consume downstream. ──
+    q("pipe_seeded_shuffle",
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    (doc_id * 2654435761 + 12345) % 4294967296 AS skey
+        |  FROM documents)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY skey, doc_id) AS pos,
+        |  CAST((row_number() OVER (ORDER BY skey, doc_id) - 1) % 8 AS BIGINT) AS shard
+        |FROM k
+        |ORDER BY pos""".stripMargin) { (s, _) =>
+      import s.implicits._
+      // position stamping in the scalable two-pass form: a
+      // range-partitioned sort then zipWithIndex (per-partition counts
+      // + offsets, two tiny jobs) — NOT a global row_number() window,
+      // which would funnel the whole corpus through one partition
+      val sorted = s.table("documents").select(
+        col("doc_id"),
+        pmod(col("doc_id") * lit(2654435761L) + lit(12345L),
+          lit(4294967296L)).as("skey"))
+        .orderBy("skey", "doc_id")
+      sorted.rdd.zipWithIndex
+        .map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("doc_id", "pos")
+        .withColumn("shard", pmod(col("pos") - 1, lit(8L)))
+        .orderBy("pos")
+    },
+
+    // ── domain mixture resampling: reweight sources to target epoch
+    // counts (the data-recipe step in GPT-3/LLaMA-style corpus builds:
+    // high-quality domains are repeated, the remainder fractionally
+    // sampled). Weights derive deterministically from the source id
+    // (integer epochs 1 + n%3, fractional part (n%10)/10), and the
+    // fractional epoch picks documents by a portable hash threshold —
+    // so the DuckDB twin reproduces the exact output counts. The Spark
+    // side MATERIALIZES the replication (explode over sequence — at
+    // scale a map-side operation with no shuffle until the next stage)
+    // and re-aggregates; the oracle sums the arithmetic directly. ──
+    q("pipe_domain_mixture",
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(substring(source, 4) AS INT) AS sn
+        |  FROM documents),
+        |e AS (
+        |  SELECT source, doc_id,
+        |    (1 + sn % 3) + CASE WHEN (doc_id * 40503 + 7) % 1000 / 1000.0
+        |                             < (sn % 10) / 10.0
+        |                   THEN 1 ELSE 0 END AS copies
+        |  FROM d)
+        |SELECT source, count(*) AS n_in, CAST(sum(copies) AS BIGINT) AS n_out,
+        |  round(CAST(sum(copies) AS DOUBLE) / count(*), 4) AS eff_epochs
+        |FROM e
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, _) =>
+      val d = s.table("documents").select(
+        col("doc_id"), col("source"),
+        expr("CAST(substring(source, 4) AS INT)").as("sn"))
+      val e = d
+        .withColumn("epochs", lit(1) + pmod(col("sn"), lit(3)))
+        .withColumn("frac", pmod(col("sn"), lit(10)) / lit(10.0))
+        .withColumn("extra",
+          when(pmod(col("doc_id") * 40503 + 7, lit(1000)) / lit(1000.0)
+            < col("frac"), 1).otherwise(0))
+        .withColumn("copies", col("epochs") + col("extra"))
+      // materialize the replicated corpus, then account for it
+      e.select(col("source"), col("doc_id"),
+          explode(expr("sequence(1, copies)")).as("k"))
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_in"), count(lit(1)).as("n_out"))
+        .withColumn("eff_epochs",
+          round(col("n_out").cast("double") / col("n_in"), 4))
+        .select("source", "n_in", "n_out", "eff_epochs")
+        .orderBy("source")
+    },
+
     // ── PII redaction: scrub phone numbers and emails from free text
     // before it enters a training corpus, keeping per-rule counts for
     // the audit trail. Pure map-side regexp (codegen'd, no UDF); the
