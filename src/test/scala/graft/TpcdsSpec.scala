@@ -160,6 +160,43 @@ class TpcdsSpec extends AnyFunSuite {
     assert(nonEmpty == 2, "non-empty ROLLUP keeps exactly its standard rows")
     val g = spark.sql("SELECT count(*) AS c FROM (SELECT 1 AS x WHERE 1 = 0)").count()
     assert(g == 1, "plain global aggregate keeps its one-row-over-empty semantics")
+    // exotic aggregate shapes through the sentinel rewrite: DISTINCT,
+    // an existing FILTER clause (must compose with the sentinel
+    // filter), collect_list (empty ARRAY, not NULL), avg, and a custom
+    // TypedImperativeAggregate (checksum) — all with true empty-input
+    // semantics because the rule evaluates the real functions
+    val ex = spark.sql(
+      """SELECT x, count(DISTINCT y) AS cd, collect_list(y) AS cl,
+        |  sum(y) FILTER (WHERE y > 0) AS sf, avg(y) AS av,
+        |  checksum(y) AS ck, grouping(x) AS gx
+        |FROM (SELECT 1 AS x, 2 AS y WHERE 1 = 0)
+        |GROUP BY ROLLUP(x)""".stripMargin).collect()
+    assert(ex.length == 1, s"exotic rollup row count: ${ex.length}")
+    val r0 = ex(0)
+    assert(r0.isNullAt(0) && r0.getLong(1) == 0L, s"count(DISTINCT): $r0")
+    assert(r0.getSeq[Any](2).isEmpty, s"collect_list over empty must be []: $r0")
+    assert(r0.isNullAt(3) && r0.isNullAt(4), s"filtered sum/avg must be NULL: $r0")
+    assert(r0.isNullAt(5), s"checksum over empty must be NULL: $r0")
+    assert(r0.getByte(6) == 1, s"grouping(x) must flag the empty set: $r0")
+    // HAVING composes: a predicate satisfied by the grand-total row
+    // keeps it; one it fails drops it
+    assert(spark.sql(
+      "SELECT x, count(*) AS c FROM (SELECT 1 AS x WHERE 1 = 0) " +
+      "GROUP BY ROLLUP(x) HAVING count(*) = 0").count() == 1)
+    assert(spark.sql(
+      "SELECT x, count(*) AS c FROM (SELECT 1 AS x WHERE 1 = 0) " +
+      "GROUP BY ROLLUP(x) HAVING count(*) > 0").count() == 0)
+    // DISTINCT aggregates over NON-empty rollup input stay correct
+    // through the sentinel + RewriteDistinctAggregates interaction
+    val dn = spark.sql(
+      """SELECT x, count(DISTINCT y) AS cd, count(*) AS c
+        |FROM VALUES (1, 10), (1, 10), (1, 20), (2, 30) AS t(x, y)
+        |GROUP BY ROLLUP(x) ORDER BY x NULLS FIRST""".stripMargin).collect()
+    assert(dn.length == 3, s"rollup rows: ${dn.mkString}")
+    assert(dn(0).isNullAt(0) && dn(0).getLong(1) == 3L && dn(0).getLong(2) == 4L,
+      s"grand total: ${dn(0)}")
+    assert(dn(1).getInt(0) == 1 && dn(1).getLong(1) == 2L && dn(1).getLong(2) == 3L)
+    assert(dn(2).getInt(0) == 2 && dn(2).getLong(1) == 1L && dn(2).getLong(2) == 1L)
   }
 
   test("embedded benchto TPC-DS texts are byte-identical to the reference") {
