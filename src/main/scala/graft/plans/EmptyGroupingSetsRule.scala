@@ -61,7 +61,14 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType}
 object EmptyGroupingSetsRule extends Rule[LogicalPlan] {
   private val Done = TreeNodeTag[Boolean]("graft.emptyGroupingSetsDone")
 
+  /** Escape hatch: `SET spark.graft.emptyGroupingSets.enabled = false`
+    * restores stock Spark's zero-rows-over-empty behavior (the standard
+    * operational practice for a semantics-changing rule).
+    */
+  val EnabledKey = "spark.graft.emptyGroupingSets.enabled"
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(EnabledKey, "true") != "true") return plan
     // Fire only once the WHOLE plan is resolved: GROUPING()/grouping_id
     // references in ORDER BY / HAVING / window specs above the aggregate
     // are resolved by analyzer rules that pattern-match the

@@ -197,6 +197,15 @@ class TpcdsSpec extends AnyFunSuite {
       s"grand total: ${dn(0)}")
     assert(dn(1).getInt(0) == 1 && dn(1).getLong(1) == 2L && dn(1).getLong(2) == 3L)
     assert(dn(2).getInt(0) == 2 && dn(2).getLong(1) == 1L && dn(2).getLong(2) == 1L)
+    // the escape hatch restores stock Spark's zero-rows behavior
+    val key = graft.plans.EmptyGroupingSetsRule.EnabledKey
+    spark.conf.set(key, "false")
+    try {
+      val off = spark.sql(
+        "SELECT x, count(*) AS c FROM (SELECT 1 AS x WHERE 1 = 0) GROUP BY ROLLUP(x)")
+        .count()
+      assert(off == 0, "disabled rule must restore stock zero-rows behavior")
+    } finally spark.conf.unset(key)
   }
 
   test("embedded benchto TPC-DS texts are byte-identical to the reference") {
