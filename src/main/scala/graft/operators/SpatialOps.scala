@@ -437,6 +437,52 @@ object SpatialOps extends QueryGroup {
            |FROM t ORDER BY c_custkey""".stripMargin)
     },
 
+    // Concave ∩ concave through the shared transversal walk, oracle-
+    // checked: the L-shape pair intersects in one piece of area 6 and
+    // the interlocked U-shape pair in a 2-piece MULTIPOLYGON of area
+    // 15 — both areas scale as s² and are translation-invariant, so a
+    // per-row (dx, dy, s) family gives the DuckDB twin a closed form
+    // while the engine walks real crossings at many sizes/positions.
+    q("spatial_concave_intersection",
+      s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+         |t AS (SELECT c_custkey,
+         |  1.0 + CAST(c_custkey % 3 AS DOUBLE) AS s
+         |  FROM c WHERE c_custkey < 200)
+         |SELECT c_custkey,
+         |  round(6.0 * s * s, 4) AS l_area,
+         |  round(15.0 * s * s, 4) AS u_area
+         |FROM t ORDER BY c_custkey""".stripMargin) { (sp, _) =>
+      sp.sql(
+        s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+           |t AS (SELECT c_custkey, x AS dx, y AS dy,
+           |  1.0 + CAST(c_custkey % 3 AS DOUBLE) AS s
+           |  FROM c WHERE c_custkey < 200),
+           |w AS (SELECT c_custkey, s,
+           |  concat('POLYGON ((', dx, ' ', dy, ', ', dx + 6*s, ' ', dy,
+           |    ', ', dx + 6*s, ' ', dy + 2*s, ', ', dx + 2*s, ' ', dy + 2*s,
+           |    ', ', dx + 2*s, ' ', dy + 6*s, ', ', dx, ' ', dy + 6*s,
+           |    ', ', dx, ' ', dy, '))') AS la,
+           |  concat('POLYGON ((', dx + s, ' ', dy + s, ', ', dx + 7*s, ' ', dy + s,
+           |    ', ', dx + 7*s, ' ', dy + 5*s, ', ', dx + 5*s, ' ', dy + 5*s,
+           |    ', ', dx + 5*s, ' ', dy + 3*s, ', ', dx + s, ' ', dy + 3*s,
+           |    ', ', dx + s, ' ', dy + s, '))') AS lb,
+           |  concat('POLYGON ((', dx, ' ', dy, ', ', dx + 9*s, ' ', dy,
+           |    ', ', dx + 9*s, ' ', dy + 6*s, ', ', dx + 6*s, ' ', dy + 6*s,
+           |    ', ', dx + 6*s, ' ', dy + 2*s, ', ', dx + 3*s, ' ', dy + 2*s,
+           |    ', ', dx + 3*s, ' ', dy + 6*s, ', ', dx, ' ', dy + 6*s,
+           |    ', ', dx, ' ', dy, '))') AS ua,
+           |  concat('POLYGON ((', dx + 0.5*s, ' ', dy + 3*s, ', ', dx + 8.5*s, ' ', dy + 3*s,
+           |    ', ', dx + 8.5*s, ' ', dy + 9*s, ', ', dx + 5.5*s, ' ', dy + 9*s,
+           |    ', ', dx + 5.5*s, ' ', dy + 5*s, ', ', dx + 3.5*s, ' ', dy + 5*s,
+           |    ', ', dx + 3.5*s, ' ', dy + 9*s, ', ', dx + 0.5*s, ' ', dy + 9*s,
+           |    ', ', dx + 0.5*s, ' ', dy + 3*s, '))') AS ub
+           |  FROM t)
+           |SELECT c_custkey,
+           |  round(st_area(st_intersection(la, lb)), 4) AS l_area,
+           |  round(st_area(st_intersection(ua, ub)), 4) AS u_area
+           |FROM w ORDER BY c_custkey""".stripMargin)
+    },
+
     // ST_Buffer (POINT subset) + simplify_geometry (Douglas–Peucker).
     // The buffer ring is an INSCRIBED regular 32-gon, so its area has
     // the closed form n/2·r²·sin(2π/n) — which the DuckDB oracle checks
