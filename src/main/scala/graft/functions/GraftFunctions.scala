@@ -214,6 +214,21 @@ object GraftFnUtils {
     str.codePointAt(0)
   }
 
+  /** chr (StringFunctions.java:69): the UNICODE code point as a one-
+    * code-point string — Spark's builtin chr is ASCII-mod-256
+    * (chr(50447) silently yields chr(15)), a divergence caught by
+    * PropertyFnSpec's chr/codepoint inverse property. Invalid code
+    * points error like the reference's INVALID_FUNCTION_ARGUMENT.
+    */
+  def chrOf(cp: Long): org.apache.spark.unsafe.types.UTF8String = {
+    val surrogate = cp >= Character.MIN_SURROGATE.toLong &&
+      cp <= Character.MAX_SURROGATE.toLong
+    require(cp >= 0 && cp <= Character.MAX_CODE_POINT && !surrogate,
+      s"Not a valid Unicode code point: $cp")
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      new String(Character.toChars(cp.toInt)))
+  }
+
   /** json_size: members of an object / elements of an array at path;
     * 0 for scalars; null for missing/bad json (JsonFunctions.java).
     */
@@ -576,6 +591,14 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
         GraftFnUtils.getClass, IntegerType, "codepointOf",
         Seq(s), inputTypes = Seq(StringType), propagateNull = true)
+    },
+    // Presto chr is the UNICODE code point (StringFunctions.java:69);
+    // Spark's builtin is ASCII-mod-256 — must shadow it
+    "chr" -> { case Seq(n) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, StringType, "chrOf",
+        Seq(Cast(n, LongType)), inputTypes = Seq(LongType),
+        propagateNull = true)
     },
     "from_utf8" -> { case Seq(b) => StringDecode(b, Literal("UTF-8")) },
     "to_utf8" -> { case Seq(s) => Encode(s, Literal("UTF-8")) },

@@ -115,6 +115,52 @@ class PropertyFnSpec extends AnyFunSuite {
     }
   }
 
+  test("property: string and binary codec round-trips") {
+    Tables.register(spark, TestSession.sf)
+    import spark.implicits._
+    // chr/codepoint are inverses over BMP + astral codepoints
+    // (excluding surrogates)
+    val cpGen = Gen.frequency(
+      8 -> Gen.choose(0x20, 0xD7FF),
+      2 -> Gen.choose(0x10000, 0x2FFFF))
+    val cps = samples(cpGen, 200, 48L)
+    spark.createDataset(cps).toDF("cp")
+      .selectExpr("cp", "codepoint(chr(cp)) AS back")
+      .collect().foreach(r =>
+        assert(r.getAs[Number](1).longValue == r.getInt(0).toLong,
+          s"cp=${r.getInt(0)}"))
+    // hex and base64 round-trips over random binary; levenshtein/
+    // hamming identities over the same strings
+    val strGen = Gen.listOf(Gen.choose(0, 255)).map(_.take(30))
+    val rows = samples(strGen, 200, 49L).map(bs => Tuple1(bs.map(_.toByte).toArray))
+    rows.toDF("b").selectExpr(
+      "b",
+      "from_hex(to_hex(b)) AS hx",
+      "from_base64(to_base64(b)) AS b64",
+      "length(b) AS n")
+      .collect().foreach { r =>
+        val b = r.getAs[Array[Byte]](0)
+        assert(java.util.Arrays.equals(b, r.getAs[Array[Byte]](1)), "hex")
+        assert(java.util.Arrays.equals(b, r.getAs[Array[Byte]](2)), "base64")
+      }
+    val sGen = Gen.listOf(Gen.alphaNumChar).map(_.mkString.take(25))
+    val pairs = samples(Gen.zip(sGen, sGen), 200, 50L)
+    pairs.toDF("a", "b").selectExpr(
+      "levenshtein_distance(a, a) AS laa",
+      "levenshtein_distance(a, b) AS lab",
+      "levenshtein_distance(b, a) AS lba",
+      "reverse(reverse(a)) = a AS rev2",
+      "length(a) AS la", "length(b) AS lb")
+      .collect().foreach { r =>
+        def n(i: Int) = r.getAs[Number](i).longValue
+        assert(n(0) == 0L, "levenshtein(a,a) must be 0")
+        assert(n(1) == n(2), "levenshtein must be symmetric")
+        assert(n(1) >= math.abs(n(4) - n(5)),
+          "levenshtein lower bound |len diff|")
+        assert(r.getBoolean(3), "reverse is an involution")
+      }
+  }
+
   test("property: url_encode/url_decode round-trip on printable strings") {
     Tables.register(spark, TestSession.sf)
     import spark.implicits._
