@@ -100,7 +100,13 @@ object ScaleStress {
 
     val queries = Seq("dd_exact", "dd_minhash_lsh", "dd_minhash_clusters",
       "dd_simhash", "dd_incremental_minhash", "dd_embedding_lsh",
-      "sim_lsh_ann", "sim_ivf_ann", "sim_cosine_topk")
+      "sim_lsh_ann", "sim_ivf_ann", "sim_cosine_topk",
+      // text / pipeline family (map-side ops + one-shuffle composites —
+      // expect ~linear scaling)
+      "tx_stats", "tx_quality_filter", "tx_langid", "tx_fingerprint",
+      "tx_redact_pii", "tx_repetition", "dd_decontaminate",
+      "pipe_corpus_curation", "pipe_pack_sequences", "pipe_seeded_shuffle",
+      "pipe_domain_mixture")
     def once(q: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
