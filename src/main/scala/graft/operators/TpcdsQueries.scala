@@ -3679,6 +3679,18 @@ object TpcdsQueries extends QueryGroup {
         big("i_category_id"), r2("sales"), big("number_sales"), "c7",
         big("c8"), big("c9"), big("c10"), r2("c11"), big("c12")),
       "channel NULLS FIRST, i_brand_id NULLS FIRST, i_class_id NULLS FIRST, i_category_id NULLS FIRST, sales NULLS FIRST, number_sales NULLS FIRST, c7 NULLS FIRST, c8 NULLS FIRST, c9 NULLS FIRST, c10 NULLS FIRST, c11 NULLS FIRST, c12 NULLS FIRST"),
+    // q14_1 verbatim (round 8): long excluded for PLANNING cost — its
+    // shared CTEs re-analyze per reference in the raw text — but the
+    // gate runs each query once, and the measured end-to-end time at
+    // sf0.01 is ~8 s. Registering it completes 103/103 reference texts
+    // verbatim; the CTE-materialized derived twin (tpcds_q14) remains
+    // the BENCH representative of this shape.
+    verbatim("tpcds_q14_1_verbatim", BenchtoTpcdsTexts.q14_1,
+      Seq("channel", "i_brand_id", "i_class_id", "i_category_id", "sales",
+        "number_sales"),
+      Seq("channel", big("i_brand_id"), big("i_class_id"),
+        big("i_category_id"), r2("sales"), big("number_sales")),
+      "channel NULLS FIRST, i_brand_id NULLS FIRST, i_class_id NULLS FIRST, i_category_id NULLS FIRST, sales NULLS FIRST, number_sales NULLS FIRST"),
     verbatim("tpcds_q15_verbatim", BenchtoTpcdsTexts.q15,
       Seq("ca_zip", "c2"),
       Seq("ca_zip", r2("c2")),
