@@ -236,7 +236,17 @@ object GeometryFns {
     * dominant uses (envelopes, tiles, convex cells); general
     * concave-vs-concave set ops stay out of scope.
     */
-  def stIntersection(wktA: String, wktB: String): String = {
+  def stIntersection(wktA: String, wktB: String): String =
+    try intersectionFastPath(wktA, wktB)
+    catch {
+      // the fast paths decline holes, MULTIPOLYGON operands, and every
+      // non-transversal boundary contact — the robust overlay (round 8,
+      // PolygonOverlay.scala) carries all of them
+      case _: IllegalArgumentException =>
+        overlayWkt(wktA, wktB, PolygonOverlay.OpIntersection, "st_intersection")
+    }
+
+  private def intersectionFastPath(wktA: String, wktB: String): String = {
     val pa = parsePolygon(wktA); val pb = parsePolygon(wktB)
     if (pa.rings.length > 1 || pb.rings.length > 1)
       fail("st_intersection supports polygons without holes")
@@ -338,7 +348,14 @@ object GeometryFns {
     * alternates polygons; extra closed loops become holes (a concave arm
     * can enclose a pocket).
     */
-  def stUnion(wktA: String, wktB: String): String = {
+  def stUnion(wktA: String, wktB: String): String =
+    try unionFastPath(wktA, wktB)
+    catch {
+      case _: IllegalArgumentException =>
+        overlayWkt(wktA, wktB, PolygonOverlay.OpUnion, "st_union")
+    }
+
+  private def unionFastPath(wktA: String, wktB: String): String = {
     val ea = wktA.trim.equalsIgnoreCase("POLYGON EMPTY")
     val eb = wktB.trim.equalsIgnoreCase("POLYGON EMPTY")
     if (ea && eb) return "POLYGON EMPTY"
@@ -373,6 +390,82 @@ object GeometryFns {
             "slipped past the transversality guards (declared subset)")
         result
     }
+  }
+
+  // ── robust overlay entry points (round 8, PolygonOverlay.scala):
+  //    ST_Difference / ST_SymDifference (reference GeoFunctions.java
+  //    ST_Difference / ST_SymDifference over the Esri engine) and the
+  //    degenerate-contact fallback behind st_intersection/st_union ────
+
+  private def parseMultiOrPolygon(wkt: String): Seq[Polygon] = {
+    val up = wkt.trim.toUpperCase
+    if (up == "POLYGON EMPTY" || up == "MULTIPOLYGON EMPTY") Seq.empty
+    else if (up.startsWith("MULTIPOLYGON")) multiPolygonParts(wkt).map(parsePolygon)
+    else Seq(parsePolygon(wkt))
+  }
+
+  private def formatOverlay(comps: Seq[Polygon]): String =
+    if (comps.isEmpty) "POLYGON EMPTY"
+    else if (comps.length == 1) polygonWkt(comps.head)
+    else multiPolygonWkt(comps)
+
+  /** Areal overlay with per-operation area validation: a wrong ring walk
+    * cannot return a plausible polygon, it fails loudly instead.
+    */
+  private def overlayWkt(wktA: String, wktB: String, op: PolygonOverlay.Op,
+      name: String): String = {
+    val a = parseMultiOrPolygon(wktA); val b = parseMultiOrPolygon(wktB)
+    if (a.isEmpty && b.isEmpty) return "POLYGON EMPTY"
+    if (a.isEmpty)
+      return if (op == PolygonOverlay.OpUnion) formatOverlay(b) else "POLYGON EMPTY"
+    if (b.isEmpty)
+      return if (op == PolygonOverlay.OpIntersection) "POLYGON EMPTY"
+        else formatOverlay(a)
+    val res = PolygonOverlay.overlay(a, b, op)
+    val out = formatOverlay(res)
+    val aA = area(formatOverlay(a)); val aB = area(formatOverlay(b))
+    val aR = area(out)
+    val tol = 1e-9 * (aA + aB) + 1e-6
+    val (lo, hi) = op match {
+      case PolygonOverlay.OpUnion        => (math.max(aA, aB), aA + aB)
+      case PolygonOverlay.OpIntersection => (0.0, math.min(aA, aB))
+      case PolygonOverlay.OpDifference   => (math.max(0.0, aA - aB), aA)
+    }
+    if (aR < lo - tol || aR > hi + tol)
+      fail(f"$name result area $aR%.6g outside [$lo%.6g, $hi%.6g] — input " +
+        "degenerate beyond coordinate tolerance")
+    out
+  }
+
+  /** ST_Difference: the areal part of A not in B (reference
+    * GeoFunctions.java ST_Difference). Full degenerate-contact support.
+    */
+  def stDifference(wktA: String, wktB: String): String =
+    overlayWkt(wktA, wktB, PolygonOverlay.OpDifference, "st_difference")
+
+  /** ST_SymDifference as (A − B) ∪ (B − A); validated against the
+    * inclusion–exclusion identity |AΔB| = |A| + |B| − 2|A∩B|.
+    */
+  def stSymDifference(wktA: String, wktB: String): String = {
+    val a = parseMultiOrPolygon(wktA); val b = parseMultiOrPolygon(wktB)
+    if (a.isEmpty) return formatOverlay(b)
+    if (b.isEmpty) return formatOverlay(a)
+    val d1 = PolygonOverlay.overlay(a, b, PolygonOverlay.OpDifference)
+    val d2 = PolygonOverlay.overlay(b, a, PolygonOverlay.OpDifference)
+    val res =
+      if (d1.isEmpty) d2
+      else if (d2.isEmpty) d1
+      else PolygonOverlay.overlay(d1, d2, PolygonOverlay.OpUnion)
+    val out = formatOverlay(res)
+    val aA = area(formatOverlay(a)); val aB = area(formatOverlay(b))
+    val aI = area(overlayWkt(wktA, wktB, PolygonOverlay.OpIntersection,
+      "st_symdifference"))
+    val expect = aA + aB - 2 * aI
+    val tol = 1e-9 * (aA + aB) + 1e-6
+    if (math.abs(area(out) - expect) > tol)
+      fail(f"st_symdifference area ${area(out)}%.6g violates |A|+|B|-2|A∩B| " +
+        f"= $expect%.6g — input degenerate beyond coordinate tolerance")
+    out
   }
 
   /** The shared Weiler–Atherton / Greiner–Hormann traversal over two
@@ -830,26 +923,67 @@ object GeometryFns {
     */
   val BufferSegments = 32
 
-  /** ST_Buffer over the declared POINT subset: a regular CCW
-    * [[BufferSegments]]-gon on the radius-`dist` circle. Line/polygon
-    * buffering (Minkowski sums, cap/join styles) stays descoped with the
-    * concave-intersection remainder — the reference delegates those to
-    * the Esri engine wholesale.
+  /** ST_Buffer (positive distances). POINT: a regular CCW
+    * [[BufferSegments]]-gon inscribed in the radius-`dist` circle.
+    * LINESTRING / POLYGON / MULTIPOLYGON (round 8): the Minkowski sum
+    * with that inscribed disc polygon, assembled as the robust-overlay
+    * union of the region itself, a width-2·dist rectangle swept over
+    * every edge, and a disc at every vertex — the piece boundaries meet
+    * in exactly the shared-vertex / collinear-contact configurations
+    * PolygonOverlay handles. Areas stay closed-form for the oracle:
+    * a straight segment buffers to 2·r·L + gonArea(r), an axis-aligned
+    * square to s² + 4·s·r + gonArea(r). Negative (eroding) buffers stay
+    * descoped; the reference delegates all buffering to the Esri engine
+    * (GeoFunctions.java:275).
     */
   def stBuffer(wkt: String, dist: Double): String = {
     if (dist.isNaN || dist < 0) fail("buffer distance must be >= 0")
     if (dist == 0) return wkt.trim
     val up = wkt.trim.toUpperCase
-    if (!up.startsWith("POINT"))
-      fail("ST_Buffer: this engine buffers POINT geometries (declared subset)")
-    val c = parsePoint(wkt)
-    val n = BufferSegments
-    val ring = (0 to n).map { i =>
-      val th = 2 * math.Pi * (i % n) / n
-      GPoint(c.x + dist * math.cos(th), c.y + dist * math.sin(th))
-    }.toArray
-    polygonWkt(Polygon(Seq(ring)))
+    if (up.startsWith("POINT")) {
+      val c = parsePoint(wkt)
+      polygonWkt(Polygon(Seq(gonRing(c, dist))))
+    } else if (up.startsWith("LINESTRING")) {
+      val pts = parseLineString(wkt)
+      formatOverlay(foldUnion(pathPieces(pts, dist)))
+    } else if (up == "POLYGON EMPTY") "POLYGON EMPTY"
+    else if (up.startsWith("POLYGON") || up.startsWith("MULTIPOLYGON")) {
+      val comps = parseMultiOrPolygon(wkt)
+      val rims = comps.flatMap(_.rings.flatMap(r => pathPieces(r, dist)))
+      formatOverlay(foldUnion(comps ++ rims))
+    } else fail("ST_Buffer: POINT/LINESTRING/POLYGON/MULTIPOLYGON subset")
   }
+
+  private def gonRing(c: GPoint, r: Double): Array[GPoint] = {
+    val n = BufferSegments
+    (0 to n).map { i =>
+      val th = 2 * math.Pi * (i % n) / n
+      GPoint(c.x + r * math.cos(th), c.y + r * math.sin(th))
+    }.toArray
+  }
+
+  /** Disc at every path vertex + swept rectangle over every segment. */
+  private def pathPieces(pts: Array[GPoint], r: Double): Seq[Polygon] = {
+    val discs = pts.toSeq.distinct.map(p => Polygon(Seq(gonRing(p, r))))
+    val rects = pts.toSeq.zip(pts.tail).flatMap { case (a, b) =>
+      val len = math.hypot(b.x - a.x, b.y - a.y)
+      if (len < 1e-12) None
+      else {
+        val nx = -(b.y - a.y) / len * r; val ny = (b.x - a.x) / len * r
+        Some(Polygon(Seq(Array(
+          GPoint(a.x - nx, a.y - ny), GPoint(b.x - nx, b.y - ny),
+          GPoint(b.x + nx, b.y + ny), GPoint(a.x + nx, a.y + ny),
+          GPoint(a.x - nx, a.y - ny)))))
+      }
+    }
+    discs ++ rects
+  }
+
+  private def foldUnion(ps: Seq[Polygon]): Seq[Polygon] =
+    ps.foldLeft(Seq.empty[Polygon]) { (acc, p) =>
+      if (acc.isEmpty) Seq(p)
+      else PolygonOverlay.overlay(acc, Seq(p), PolygonOverlay.OpUnion)
+    }
 
   /** Tile footprint as a WKT polygon (inverse Mercator corners). */
   def tilePolygon(t: Long): String = {

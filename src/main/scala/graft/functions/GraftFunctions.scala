@@ -986,6 +986,10 @@ object GraftFunctions {
       (a: String, b: String) => GeometryFns.stIntersection(a, b))
     spark.udf.register("st_union",
       (a: String, b: String) => GeometryFns.stUnion(a, b))
+    spark.udf.register("st_difference",
+      (a: String, b: String) => GeometryFns.stDifference(a, b))
+    spark.udf.register("st_symdifference",
+      (a: String, b: String) => GeometryFns.stSymDifference(a, b))
     spark.udf.register("bing_tile_at",
       (lat: Double, lon: Double, zoom: Int) => GeometryFns.bingTileAt(lat, lon, zoom))
     spark.udf.register("bing_tile_coordinates",

@@ -1,0 +1,282 @@
+package graft.functions
+
+import graft.functions.GeometryFns.{GPoint, Polygon}
+
+/** Robust areal Boolean operations — union / intersection / difference —
+  * over simple polygons with holes and multipolygons, INCLUDING every
+  * non-transversal boundary contact the fast paths decline: shared
+  * vertices, vertex-on-edge touches, partial and full collinear edge
+  * overlap, tangential contacts, and identical inputs.
+  *
+  * Algorithm: the classic split–classify–connect overlay of Margalit &
+  * Knott, "An algorithm for computing the union, intersection or
+  * difference of two polygons" (Computers & Graphics 13(2), 1989) — the
+  * boundary-fragment formulation that Weiler–Atherton and
+  * Greiner–Hormann specialize to the transversal case:
+  *
+  *   1. SPLIT every directed edge of A at its contacts with B's
+  *      boundary (proper crossings, B-vertices lying on the edge,
+  *      collinear-overlap endpoints) and vice versa — afterwards each
+  *      fragment is entirely inside, entirely outside, or entirely on
+  *      the other operand's boundary;
+  *   2. CLASSIFY each fragment by its midpoint (on-boundary first, with
+  *      direction agreement for coincident fragments; even-odd
+  *      containment otherwise);
+  *   3. SELECT fragments per operation (see `select`) oriented so the
+  *      result interior is always on the LEFT;
+  *   4. CONNECT fragments into minimal rings — at a node with several
+  *      continuations take the smallest counter-clockwise turn from the
+  *      incoming direction (straight-through counts as zero turn), which
+  *      resolves pinch nodes into separate simple rings (corner-touching
+  *      unions come out as MULTIPOLYGON, matching canonical overlay
+  *      engines) — then nest clockwise rings as holes of the smallest
+  *      counter-clockwise shell containing them.
+  *
+  * Everything is O(n²) in the edge count. These are per-row scalar
+  * functions over WKT-sized geometries (tens of vertices), where
+  * quadratic pairwise splitting beats a sweep line in both constant
+  * factor and robustness surface; the engine-level scale story is the
+  * grid/KD-B bucketed joins that keep pair volume bounded, not the
+  * per-pair kernel.
+  *
+  * Reference surface: ST_Union / ST_Intersection / ST_Difference /
+  * ST_SymDifference in presto-geospatial GeoFunctions.java, which
+  * delegate to the Esri geometry engine. This is an AREAL overlay: a
+  * lower-dimensional intersection (contact along an edge or at a point
+  * only) yields POLYGON EMPTY where the reference returns the
+  * LINESTRING/POINT of contact — a documented divergence.
+  */
+object PolygonOverlay {
+
+  sealed trait Op
+  case object OpUnion extends Op
+  case object OpIntersection extends Op
+  /** A minus B. */
+  case object OpDifference extends Op
+
+  // fragment classification against the OTHER operand
+  private sealed trait Cls
+  private case object Inside extends Cls
+  private case object Outside extends Cls
+  private case object SharedSame extends Cls     // coincident, same direction
+  private case object SharedOpposite extends Cls // coincident, opposite direction
+
+  private final case class Frag(a: GPoint, b: GPoint)
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  private def orient(a: GPoint, b: GPoint, c: GPoint): Double =
+    (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)
+
+  private def ringSignedArea(r: Array[GPoint]): Double = {
+    var s = 0.0; var i = 0
+    while (i < r.length - 1) {
+      s += r(i).x * r(i + 1).y - r(i + 1).x * r(i).y
+      i += 1
+    }
+    s / 2
+  }
+
+  /** Shell CCW, holes CW — interior of the polygon on the LEFT of every
+    * directed ring edge.
+    */
+  private def normalize(p: Polygon): Polygon = {
+    val shell = if (ringSignedArea(p.rings.head) < 0) p.rings.head.reverse else p.rings.head
+    val holes = p.rings.tail.map(r => if (ringSignedArea(r) > 0) r.reverse else r)
+    Polygon(shell +: holes)
+  }
+
+  /** Even-odd containment across every ring of every component. */
+  private def containsMulti(comps: Seq[Polygon], px: Double, py: Double): Boolean =
+    comps.count(c => GeometryFns.containsPoint(c, px, py)) % 2 == 1
+
+  def overlay(aIn: Seq[Polygon], bIn: Seq[Polygon], op: Op): Seq[Polygon] = {
+    val a = aIn.map(normalize); val b = bIn.map(normalize)
+
+    // tolerances relative to the coordinate scale (same discipline as the
+    // transversal walk): a contact that is degenerate by construction can
+    // land a few ulps off exact zero in floating point
+    val span = math.max(1.0,
+      (a ++ b).iterator.flatMap(_.rings.iterator).flatMap(_.iterator)
+        .map(p => math.max(math.abs(p.x), math.abs(p.y))).max)
+    val distTol = 1e-9 * span
+    val orientTol = distTol * span
+
+    def edgesOf(comps: Seq[Polygon]): IndexedSeq[(GPoint, GPoint)] =
+      comps.flatMap(_.rings.flatMap { r =>
+        (0 until r.length - 1).map(i => (r(i), r(i + 1)))
+      }).toIndexedSeq
+    val edgesA = edgesOf(a); val edgesB = edgesOf(b)
+
+    def nearSegment(s: GPoint, e: GPoint, p: GPoint): Boolean =
+      math.abs(orient(s, e, p)) <= orientTol &&
+        p.x >= math.min(s.x, e.x) - distTol && p.x <= math.max(s.x, e.x) + distTol &&
+        p.y >= math.min(s.y, e.y) - distTol && p.y <= math.max(s.y, e.y) + distTol
+
+    // ── 1. split ─────────────────────────────────────────────────────
+    def split(subject: IndexedSeq[(GPoint, GPoint)],
+        clip: IndexedSeq[(GPoint, GPoint)]): Seq[Frag] =
+      subject.flatMap { case (p1, p2) =>
+        val dx = p2.x - p1.x; val dy = p2.y - p1.y
+        val len2 = dx * dx + dy * dy
+        val len = math.sqrt(len2)
+        if (len <= distTol) Seq.empty // degenerate input edge: drop
+        else {
+          val tEps = distTol / len
+          val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+          clip.foreach { case (q1, q2) =>
+            // clip-edge endpoints lying on the subject edge (covers
+            // vertex-on-edge and both collinear-overlap endpoints)
+            if (nearSegment(p1, p2, q1))
+              ts += ((q1.x - p1.x) * dx + (q1.y - p1.y) * dy) / len2
+            if (nearSegment(p1, p2, q2))
+              ts += ((q2.x - p1.x) * dx + (q2.y - p1.y) * dy) / len2
+            // proper transversal crossing in the open interior
+            val d1 = orient(q1, q2, p1); val d2 = orient(q1, q2, p2)
+            val d3 = orient(p1, p2, q1); val d4 = orient(p1, p2, q2)
+            if ((d1 > 0) != (d2 > 0) && (d3 > 0) != (d4 > 0) &&
+                math.abs(d1) > orientTol && math.abs(d2) > orientTol &&
+                math.abs(d3) > orientTol && math.abs(d4) > orientTol) {
+              val den = dx * (q2.y - q1.y) - dy * (q2.x - q1.x)
+              if (den != 0)
+                ts += ((q1.x - p1.x) * (q2.y - q1.y) - (q1.y - p1.y) * (q2.x - q1.x)) / den
+            }
+          }
+          val cuts = ts.filter(t => t > tEps && t < 1 - tEps).sorted
+            .foldLeft(List.empty[Double]) { (acc, t) =>
+              if (acc.nonEmpty && t - acc.head <= tEps) acc else t :: acc
+            }.reverse
+          val pts = (p1 +: cuts.map(t => GPoint(p1.x + t * dx, p1.y + t * dy))) :+ p2
+          pts.zip(pts.tail).map { case (u, v) => Frag(u, v) }
+        }
+      }
+
+    // ── 2. classify ──────────────────────────────────────────────────
+    def classify(f: Frag, otherEdges: IndexedSeq[(GPoint, GPoint)],
+        other: Seq[Polygon]): Cls = {
+      val mx = (f.a.x + f.b.x) / 2; val my = (f.a.y + f.b.y) / 2
+      val mid = GPoint(mx, my)
+      otherEdges.find { case (q1, q2) => nearSegment(q1, q2, mid) } match {
+        case Some((q1, q2)) =>
+          val dot = (f.b.x - f.a.x) * (q2.x - q1.x) + (f.b.y - f.a.y) * (q2.y - q1.y)
+          if (dot > 0) SharedSame else SharedOpposite
+        case None =>
+          if (containsMulti(other, mx, my)) Inside else Outside
+      }
+    }
+
+    val fragsA = split(edgesA, edgesB).map(f => (f, classify(f, edgesB, b)))
+    val fragsB = split(edgesB, edgesA).map(f => (f, classify(f, edgesA, a)))
+
+    // ── 3. select (result interior stays on the LEFT) ────────────────
+    // Coincident fragments are kept exactly once, always from A's copy:
+    //   same-direction coincidence (interiors on the same side) bounds
+    //   union and intersection; opposite-direction coincidence (interiors
+    //   on opposite sides) bounds A − B.
+    val selected: Seq[Frag] = op match {
+      case OpUnion =>
+        fragsA.collect { case (f, Outside) => f; case (f, SharedSame) => f } ++
+          fragsB.collect { case (f, Outside) => f }
+      case OpIntersection =>
+        fragsA.collect { case (f, Inside) => f; case (f, SharedSame) => f } ++
+          fragsB.collect { case (f, Inside) => f }
+      case OpDifference =>
+        fragsA.collect { case (f, Outside) => f; case (f, SharedOpposite) => f } ++
+          fragsB.collect { case (f, Inside) => Frag(f.b, f.a) }
+    }
+    if (selected.isEmpty) return Seq.empty // a genuinely empty result
+
+    // ── 4. connect: snap endpoints, walk minimal interior-left rings ─
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[GPoint]
+    def nodeId(p: GPoint): Int = {
+      var i = 0
+      while (i < nodes.length) {
+        if (math.abs(nodes(i).x - p.x) <= distTol &&
+            math.abs(nodes(i).y - p.y) <= distTol &&
+            math.hypot(nodes(i).x - p.x, nodes(i).y - p.y) <= distTol) return i
+        i += 1
+      }
+      nodes += p
+      nodes.length - 1
+    }
+    val rawEdges = selected.map(f => (nodeId(f.a), nodeId(f.b)))
+      .filter { case (u, v) => u != v }
+    val edges = rawEdges.distinct.toIndexedSeq // defensive: drop exact dup edges
+    val outgoing = edges.indices.groupBy(k => edges(k)._1)
+    val used = Array.fill(edges.length)(false)
+
+    def dirOf(k: Int): (Double, Double) = {
+      val (u, v) = edges(k)
+      (nodes(v).x - nodes(u).x, nodes(v).y - nodes(u).y)
+    }
+    // CCW turn from incoming direction d to candidate direction e,
+    // normalized to [0, 2π) with straight-through = 0: the smallest turn
+    // bounds the interior sector adjacent to the left of the incoming
+    // edge, yielding minimal (simple) rings
+    def turn(d: (Double, Double), e: (Double, Double)): Double = {
+      val t = math.atan2(e._2, e._1) - math.atan2(d._2, d._1)
+      val twoPi = 2 * math.Pi
+      val n = ((t % twoPi) + twoPi) % twoPi
+      if (twoPi - n < 1e-12) 0.0 else n
+    }
+
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Array[GPoint]]
+    edges.indices.foreach { start =>
+      if (!used(start)) {
+        val startNode = edges(start)._1
+        val ring = scala.collection.mutable.ArrayBuffer[GPoint](nodes(startNode))
+        var cur = start
+        var guard = 0
+        var open = true
+        while (open) {
+          used(cur) = true
+          val end = edges(cur)._2
+          ring += nodes(end)
+          if (end == startNode) open = false
+          else {
+            val cands = outgoing.getOrElse(end, Seq.empty).filter(!used(_))
+            if (cands.isEmpty)
+              fail("polygon overlay traversal hit a dead end (input degenerate " +
+                "beyond coordinate tolerance)")
+            val d = dirOf(cur)
+            cur = cands.minBy(k => (turn(d, dirOf(k)), k))
+          }
+          guard += 1
+          if (guard > edges.length + 1)
+            fail("polygon overlay traversal failed to close a ring (input " +
+              "degenerate beyond coordinate tolerance)")
+        }
+        rings += ring.toArray
+      }
+    }
+
+    // drop numerical sliver rings, nest holes under their smallest shell
+    val areaTol = 2 * orientTol
+    val kept = rings.filter(r => math.abs(ringSignedArea(r)) > areaTol)
+    val shells = kept.filter(ringSignedArea(_) > 0)
+    val holes = kept.filter(ringSignedArea(_) < 0)
+    if (shells.isEmpty) {
+      if (holes.isEmpty) return Seq.empty
+      fail("polygon overlay produced holes without a shell (input degenerate " +
+        "beyond coordinate tolerance)")
+    }
+    val withHoles = shells.map(s => (s, scala.collection.mutable.ArrayBuffer.empty[Array[GPoint]]))
+    holes.foreach { h =>
+      val probe = h.find(p => !withHoles.exists { case (s, _) =>
+        (0 until s.length - 1).exists(i => nearSegment(s(i), s(i + 1), p))
+      }).getOrElse(h.head)
+      val owners = withHoles.filter { case (s, _) =>
+        GeometryFns.containsPoint(Polygon(Seq(s)), probe.x, probe.y)
+      }
+      if (owners.isEmpty)
+        fail("polygon overlay produced a hole outside every shell (input " +
+          "degenerate beyond coordinate tolerance)")
+      owners.minBy { case (s, _) => ringSignedArea(s) }._2 += h
+    }
+    withHoles.map { case (s, hs) => Polygon(s +: hs.toSeq) }.toSeq
+  }
+
+  /** Total area of a component list (holes subtract). */
+  def totalArea(comps: Seq[Polygon]): Double =
+    comps.map(_.rings.map(ringSignedArea).sum).sum
+}

@@ -522,5 +522,111 @@ object SpatialOps extends QueryGroup {
            |    'LINESTRING (0 0, 1 0.05, 2 0, 4 0.05, 6 0)', 0.1) AS sl
            |FROM b ORDER BY c_custkey""".stripMargin)
     },
+
+    // Degenerate-contact overlay (round 8, PolygonOverlay): shared full
+    // edges, corner touches, edge-glued notches, hole fillers, interior
+    // cuts — every contact the transversal walk declines — across a
+    // translated + scaled family. All closed-form: areas scale as s² and
+    // are translation-invariant, a corner touch yields MULTIPOLYGON, an
+    // interior cut yields exactly one hole ring (3 '(' in the WKT).
+    q("spatial_overlay_degenerate",
+      s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+         |t AS (SELECT c_custkey, 1.0 + CAST(c_custkey % 3 AS DOUBLE) AS s
+         |  FROM c WHERE c_custkey < 150)
+         |SELECT c_custkey,
+         |  round(2 * s * s, 4) AS se_union, round(0.0, 4) AS se_inter,
+         |  round(s * s, 4) AS se_diff, false AS se_multi,
+         |  true AS ct_multi, round(2 * s * s, 4) AS ct_area,
+         |  round(16 * s * s, 4) AS notch_union, round(2 * s * s, 4) AS notch_inter,
+         |  round(14 * s * s, 4) AS notch_diff, round(14 * s * s, 4) AS notch_sym,
+         |  round(16 * s * s, 4) AS hole_union, round(12 * s * s, 4) AS hole_diff,
+         |  round(12 * s * s, 4) AS cut_area, CAST(3 AS BIGINT) AS cut_parens
+         |FROM t ORDER BY c_custkey""".stripMargin) { (sp, _) =>
+      sp.sql(
+        s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+           |t AS (SELECT c_custkey, x AS dx, y AS dy,
+           |  1.0 + CAST(c_custkey % 3 AS DOUBLE) AS s
+           |  FROM c WHERE c_custkey < 150),
+           |w AS (SELECT c_custkey, s,
+           |  concat('POLYGON ((', dx, ' ', dy, ', ', dx + s, ' ', dy, ', ',
+           |    dx + s, ' ', dy + s, ', ', dx, ' ', dy + s, ', ', dx, ' ', dy, '))') AS a1,
+           |  concat('POLYGON ((', dx + s, ' ', dy, ', ', dx + 2*s, ' ', dy, ', ',
+           |    dx + 2*s, ' ', dy + s, ', ', dx + s, ' ', dy + s, ', ', dx + s, ' ', dy, '))') AS b1,
+           |  concat('POLYGON ((', dx + s, ' ', dy + s, ', ', dx + 2*s, ' ', dy + s, ', ',
+           |    dx + 2*s, ' ', dy + 2*s, ', ', dx + s, ' ', dy + 2*s, ', ', dx + s, ' ', dy + s, '))') AS b2,
+           |  concat('POLYGON ((', dx, ' ', dy, ', ', dx + 4*s, ' ', dy, ', ',
+           |    dx + 4*s, ' ', dy + 4*s, ', ', dx, ' ', dy + 4*s, ', ', dx, ' ', dy, '))') AS a3,
+           |  concat('POLYGON ((', dx, ' ', dy + s, ', ', dx + s, ' ', dy + s, ', ',
+           |    dx + s, ' ', dy + 3*s, ', ', dx, ' ', dy + 3*s, ', ', dx, ' ', dy + s, '))') AS b3,
+           |  concat('POLYGON ((', dx, ' ', dy, ', ', dx + 4*s, ' ', dy, ', ',
+           |    dx + 4*s, ' ', dy + 4*s, ', ', dx, ' ', dy + 4*s, ', ', dx, ' ', dy, '), (',
+           |    dx + s, ' ', dy + s, ', ', dx + 3*s, ' ', dy + s, ', ',
+           |    dx + 3*s, ' ', dy + 3*s, ', ', dx + s, ' ', dy + 3*s, ', ', dx + s, ' ', dy + s, '))') AS ah,
+           |  concat('POLYGON ((', dx + s, ' ', dy + s, ', ', dx + 3*s, ' ', dy + s, ', ',
+           |    dx + 3*s, ' ', dy + 3*s, ', ', dx + s, ' ', dy + 3*s, ', ', dx + s, ' ', dy + s, '))') AS bh
+           |  FROM t),
+           |r AS (SELECT c_custkey, s,
+           |  st_union(a1, b1) AS se_u, st_intersection(a1, b1) AS se_i,
+           |  st_difference(a1, b1) AS se_d, st_union(a1, b2) AS ct_u,
+           |  st_union(a3, b3) AS n_u, st_intersection(a3, b3) AS n_i,
+           |  st_difference(a3, b3) AS n_d, st_symdifference(a3, b3) AS n_s,
+           |  st_union(ah, bh) AS h_u, st_difference(ah, bh) AS h_d,
+           |  st_difference(a3, bh) AS cut
+           |  FROM w)
+           |SELECT c_custkey,
+           |  round(st_area(se_u), 4) AS se_union, round(st_area(se_i), 4) AS se_inter,
+           |  round(st_area(se_d), 4) AS se_diff, startswith(se_u, 'MULTI') AS se_multi,
+           |  startswith(ct_u, 'MULTI') AS ct_multi, round(st_area(ct_u), 4) AS ct_area,
+           |  round(st_area(n_u), 4) AS notch_union, round(st_area(n_i), 4) AS notch_inter,
+           |  round(st_area(n_d), 4) AS notch_diff, round(st_area(n_s), 4) AS notch_sym,
+           |  round(st_area(h_u), 4) AS hole_union, round(st_area(h_d), 4) AS hole_diff,
+           |  round(st_area(cut), 4) AS cut_area,
+           |  CAST(length(cut) - length(replace(cut, '(', '')) AS BIGINT) AS cut_parens
+           |FROM r ORDER BY c_custkey""".stripMargin)
+    },
+
+    // ST_Buffer beyond points (round 8): linestrings and polygons via the
+    // Minkowski-sum union of swept rectangles + vertex discs over the
+    // robust overlay. All areas stay closed-form because the disc is the
+    // inscribed 32-gon with axis-aligned vertices: a straight segment
+    // gives 2rL + gon(r), a right-angle elbow 2r(L1+L2) − r² + 1.25·gon(r),
+    // a square s² + 4sr + gon(r), and a holed square erodes its hole to
+    // the sharp-cornered (h−2r)².
+    q("spatial_buffer_extended",
+      s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+         |t AS (SELECT c_custkey,
+         |  0.5 + CAST(c_custkey % 2 AS DOUBLE) * 0.5 AS r,
+         |  4.0 + CAST(c_custkey % 5 AS DOUBLE) AS l
+         |  FROM c WHERE c_custkey < 120),
+         |g AS (SELECT c_custkey, r, l,
+         |  16 * r * r * sin(pi() / 16) AS gon FROM t)
+         |SELECT c_custkey,
+         |  round(2 * r * l + gon, 4) AS line_area,
+         |  round(2 * r * (l + 3) - r * r + 1.25 * gon, 4) AS elbow_area,
+         |  round(l * l + 4 * l * r + gon, 4) AS square_area,
+         |  round(100 + 40 * r + gon - (4 - 2 * r) * (4 - 2 * r), 4) AS holed_area
+         |FROM g ORDER BY c_custkey""".stripMargin) { (sp, _) =>
+      sp.sql(
+        s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
+           |t AS (SELECT c_custkey, x AS dx, y AS dy,
+           |  0.5 + CAST(c_custkey % 2 AS DOUBLE) * 0.5 AS r,
+           |  4.0 + CAST(c_custkey % 5 AS DOUBLE) AS l
+           |  FROM c WHERE c_custkey < 120)
+           |SELECT c_custkey,
+           |  round(st_area(st_buffer(
+           |    concat('LINESTRING (', dx, ' ', dy, ', ', dx + l, ' ', dy, ')'), r)), 4) AS line_area,
+           |  round(st_area(st_buffer(
+           |    concat('LINESTRING (', dx, ' ', dy, ', ', dx + l, ' ', dy,
+           |      ', ', dx + l, ' ', dy + 3, ')'), r)), 4) AS elbow_area,
+           |  round(st_area(st_buffer(
+           |    concat('POLYGON ((', dx, ' ', dy, ', ', dx + l, ' ', dy, ', ',
+           |      dx + l, ' ', dy + l, ', ', dx, ' ', dy + l, ', ', dx, ' ', dy, '))'), r)), 4) AS square_area,
+           |  round(st_area(st_buffer(
+           |    concat('POLYGON ((', dx, ' ', dy, ', ', dx + 10, ' ', dy, ', ',
+           |      dx + 10, ' ', dy + 10, ', ', dx, ' ', dy + 10, ', ', dx, ' ', dy, '), (',
+           |      dx + 3, ' ', dy + 3, ', ', dx + 7, ' ', dy + 3, ', ',
+           |      dx + 7, ' ', dy + 7, ', ', dx + 3, ' ', dy + 7, ', ', dx + 3, ' ', dy + 3, '))'), r)), 4) AS holed_area
+           |FROM t ORDER BY c_custkey""".stripMargin)
+    },
   )
 }

@@ -581,12 +581,11 @@ class FnSpec extends AnyFunSuite {
     // triangle clip (non-rectangular convex window): x+y <= 12 shaves the
     // square's far corner (legs 8) -> 100 - 8*8/2
     assert(area(stIntersection(sq, "POLYGON ((0 0, 12 0, 0 12, 0 0))")) == 68.0)
-    // concave-vs-concave routes through the transversal walk (round 8;
-    // SpatialSpec pins it) — but a SELF-intersection's boundaries
-    // coincide everywhere (tangential, not transversal), so it still
-    // fails loudly, as do holes
-    intercept[Exception](stIntersection(ell2, ell2))
-    intercept[Exception](stIntersection(donut, sq))
+    // coincident boundaries and holes route through the robust overlay
+    // (round 8, PolygonOverlay): X∩X = X, and a donut whose shell IS the
+    // square intersects to the donut itself (100 − 16)
+    assert(math.abs(area(stIntersection(ell2, ell2)) - 64.0) < 1e-9)
+    assert(math.abs(area(stIntersection(donut, sq)) - 84.0) < 1e-9)
     // ST_Union (outside boundary walk; declared transversal subset)
     import graft.functions.GeometryFns.stUnion
     // partial overlap: inclusion–exclusion area
@@ -610,14 +609,19 @@ class FnSpec extends AnyFunSuite {
     assert(withHole.count(_ == '(') == 3, "one shell ring + one hole ring")
     // POLYGON EMPTY passes the other input through
     assert(area(stUnion("POLYGON EMPTY", sq)) == 100.0)
-    // shared-edge contact is outside the declared transversal subset
-    intercept[Exception](stUnion("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
-      "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))"))
+    // shared-edge contact routes through the robust overlay (round 8,
+    // PolygonOverlay): the two squares merge into one 4×2 polygon
+    val sharedEdge = stUnion("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")
+    assert(area(sharedEdge) == 8.0 && !sharedEdge.startsWith("MULTI"), sharedEdge)
     // NEAR-degenerate contact (a vertex 1e-13 off the other's edge —
-    // degenerate by construction, nonzero in floating point) must hit
-    // the tolerance guard and fail loudly, not slip into the traversal
-    intercept[Exception](stUnion("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
-      "POLYGON ((1 2.0000000000001, 3 2.5, 1 4, 1 2.0000000000001))"))
+    // degenerate by construction, nonzero in floating point) snaps to
+    // the touch inside the overlay's coordinate tolerance: a clean
+    // point-contact MULTIPOLYGON, never a plausible-but-wrong ring walk
+    val nearTouch = stUnion("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "POLYGON ((1 2.0000000000001, 3 2.5, 1 4, 1 2.0000000000001))")
+    assert(nearTouch.startsWith("MULTIPOLYGON") &&
+      math.abs(area(nearTouch) - 6.0) < 1e-6, nearTouch)
     // …while a clearly-transversal crossing just 0.01 away still works
     assert(area(stUnion("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
       "POLYGON ((0.5 1.99, 1.5 1.99, 1.5 3, 0.5 3, 0.5 1.99))")) > 4.0)

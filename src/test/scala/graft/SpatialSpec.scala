@@ -123,9 +123,12 @@ class SpatialSpec extends AnyFunSuite {
     assert(GeometryFns.stContains(buf, "POINT (3 4)"))
     assert(GeometryFns.stContains(buf, "POINT (4.5 4)"))
     assert(!GeometryFns.stContains(buf, "POINT (5.2 4)"))
-    intercept[IllegalArgumentException] {
-      GeometryFns.stBuffer("LINESTRING (0 0, 1 1)", 1.0)
-    }
+    // linestring buffering (round 8, Minkowski union over PolygonOverlay):
+    // a single diagonal segment has the closed form 2·r·L + gonArea
+    val lineBuf = GeometryFns.stBuffer("LINESTRING (0 0, 1 1)", 1.0)
+    val expect = 2 * math.sqrt(2) + 0.5 * 32 * math.sin(2 * math.Pi / 32)
+    assert(math.abs(GeometryFns.area(lineBuf) - expect) < 1e-9,
+      s"diagonal line buffer area ${GeometryFns.area(lineBuf)} vs $expect")
   }
 
   test("st_intersection concave-vs-concave via the transversal walk") {
@@ -158,10 +161,10 @@ class SpatialSpec extends AnyFunSuite {
     // disjoint concave polygons → empty
     val far = "POLYGON ((20 20, 23 20, 23 21, 21 21, 21 23, 20 23, 20 20))"
     assert(GeometryFns.stIntersection(inner, far) == "POLYGON EMPTY")
-    // tangential contact stays a loud declared exclusion
+    // tangential contact (shared vertex + collinear edge overlap, no
+    // interior overlap) now routes through the robust overlay: the areal
+    // intersection is empty (round 8, PolygonOverlay)
     val touching = "POLYGON ((6 0, 9 0, 9 2, 8 2, 8 1, 6 1, 6 0))"
-    intercept[IllegalArgumentException] {
-      GeometryFns.stIntersection(lA, touching)
-    }
+    assert(GeometryFns.stIntersection(lA, touching) == "POLYGON EMPTY")
   }
 }
