@@ -932,13 +932,14 @@ object GeometryFns {
     * in exactly the shared-vertex / collinear-contact configurations
     * PolygonOverlay handles. Areas stay closed-form for the oracle:
     * a straight segment buffers to 2·r·L + gonArea(r), an axis-aligned
-    * square to s² + 4·s·r + gonArea(r). Negative (eroding) buffers stay
-    * descoped; the reference delegates all buffering to the Esri engine
-    * (GeoFunctions.java:275).
+    * square to s² + 4·s·r + gonArea(r). Negative distances erode (see
+    * [[erodeBuffer]]). The reference delegates all buffering to the Esri
+    * engine (GeoFunctions.java:275).
     */
   def stBuffer(wkt: String, dist: Double): String = {
-    if (dist.isNaN || dist < 0) fail("buffer distance must be >= 0")
+    if (dist.isNaN) fail("buffer distance must be a number")
     if (dist == 0) return wkt.trim
+    if (dist < 0) return erodeBuffer(wkt, -dist)
     val up = wkt.trim.toUpperCase
     if (up.startsWith("POINT")) {
       val c = parsePoint(wkt)
@@ -984,6 +985,29 @@ object GeometryFns {
       if (acc.isEmpty) Seq(p)
       else PolygonOverlay.overlay(acc, Seq(p), PolygonOverlay.OpUnion)
     }
+
+  /** Negative buffer = erosion by r: the points of the region at least r
+    * from its boundary — exactly the region minus the rim pieces the
+    * positive buffer adds (swept rectangles + vertex discs over every
+    * ring), so it reuses the overlay difference. Convex region corners
+    * stay sharp (a square erodes to the exact (s−2r)²); hole corners
+    * round outward by the inscribed gon. Zero-area geometries (points,
+    * lines) erode to empty.
+    */
+  private def erodeBuffer(wkt: String, r: Double): String = {
+    val up = wkt.trim.toUpperCase
+    if (up.startsWith("POINT") || up.startsWith("LINESTRING")) {
+      geometryFromText(wkt) // validate, then erode to nothing
+      return "POLYGON EMPTY"
+    }
+    if (up == "POLYGON EMPTY") return "POLYGON EMPTY"
+    if (!up.startsWith("POLYGON") && !up.startsWith("MULTIPOLYGON"))
+      fail("ST_Buffer: POINT/LINESTRING/POLYGON/MULTIPOLYGON subset")
+    val comps = parseMultiOrPolygon(wkt)
+    val rims = foldUnion(comps.flatMap(_.rings.flatMap(pathPieces(_, r))))
+    val res = PolygonOverlay.overlay(comps, rims, PolygonOverlay.OpDifference)
+    formatOverlay(res)
+  }
 
   /** Tile footprint as a WKT polygon (inverse Mercator corners). */
   def tilePolygon(t: Long): String = {

@@ -604,7 +604,9 @@ object SpatialOps extends QueryGroup {
          |  round(2 * r * l + gon, 4) AS line_area,
          |  round(2 * r * (l + 3) - r * r + 1.25 * gon, 4) AS elbow_area,
          |  round(l * l + 4 * l * r + gon, 4) AS square_area,
-         |  round(100 + 40 * r + gon - (4 - 2 * r) * (4 - 2 * r), 4) AS holed_area
+         |  round(100 + 40 * r + gon - (4 - 2 * r) * (4 - 2 * r), 4) AS holed_area,
+         |  round((l - 2 * r) * (l - 2 * r), 4) AS erode_square,
+         |  round((10 - 2 * r) * (10 - 2 * r) - 16 - 16 * r - gon, 4) AS erode_holed
          |FROM g ORDER BY c_custkey""".stripMargin) { (sp, _) =>
       sp.sql(
         s"""WITH c AS (${pts("customer", "c_custkey", 37, 91)}),
@@ -625,7 +627,15 @@ object SpatialOps extends QueryGroup {
            |    concat('POLYGON ((', dx, ' ', dy, ', ', dx + 10, ' ', dy, ', ',
            |      dx + 10, ' ', dy + 10, ', ', dx, ' ', dy + 10, ', ', dx, ' ', dy, '), (',
            |      dx + 3, ' ', dy + 3, ', ', dx + 7, ' ', dy + 3, ', ',
-           |      dx + 7, ' ', dy + 7, ', ', dx + 3, ' ', dy + 7, ', ', dx + 3, ' ', dy + 3, '))'), r)), 4) AS holed_area
+           |      dx + 7, ' ', dy + 7, ', ', dx + 3, ' ', dy + 7, ', ', dx + 3, ' ', dy + 3, '))'), r)), 4) AS holed_area,
+           |  round(st_area(st_buffer(
+           |    concat('POLYGON ((', dx, ' ', dy, ', ', dx + l, ' ', dy, ', ',
+           |      dx + l, ' ', dy + l, ', ', dx, ' ', dy + l, ', ', dx, ' ', dy, '))'), -r)), 4) AS erode_square,
+           |  round(st_area(st_buffer(
+           |    concat('POLYGON ((', dx, ' ', dy, ', ', dx + 10, ' ', dy, ', ',
+           |      dx + 10, ' ', dy + 10, ', ', dx, ' ', dy + 10, ', ', dx, ' ', dy, '), (',
+           |      dx + 3, ' ', dy + 3, ', ', dx + 7, ' ', dy + 3, ', ',
+           |      dx + 7, ' ', dy + 7, ', ', dx + 3, ' ', dy + 7, ', ', dx + 3, ' ', dy + 3, '))'), -r)), 4) AS erode_holed
            |FROM t ORDER BY c_custkey""".stripMargin)
     },
   )

@@ -230,6 +230,29 @@ class OverlaySpec extends AnyFunSuite {
     assert(GeometryFns.stContains(b, "POINT (3.5 3.5)")) // rim coverage
   }
 
+  test("negative buffer erodes: square corners stay sharp, holes grow rounded") {
+    val (s, r) = (10.0, 1.5)
+    val e = GeometryFns.stBuffer(sq(0, 0, s, s), -r)
+    assert(math.abs(a(e) - (s - 2 * r) * (s - 2 * r)) < eps,
+      s"square erosion is the exact inner square: ${a(e)}")
+    // holed polygon: outer shrinks sharp, hole grows by r with gon-rounded
+    // corners => (s-2r)^2 - h^2 - 4hr - gonArea(r)
+    val A = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    val eh = GeometryFns.stBuffer(A, -1.0)
+    val expect = 8.0 * 8.0 - 16.0 - 16.0 - gonArea(1.0)
+    assert(math.abs(a(eh) - expect) < eps, s"holed erosion: ${a(eh)} vs $expect")
+    assert(eh.count(_ == '(') == 3, "the hole survives erosion")
+    // erosion past the in-radius vanishes
+    assert(GeometryFns.stBuffer(sq(0, 0, 2, 2), -1.0) == "POLYGON EMPTY")
+    // zero-area geometries erode to empty
+    assert(GeometryFns.stBuffer("LINESTRING (0 0, 5 0)", -0.5) == "POLYGON EMPTY")
+    assert(GeometryFns.stBuffer("POINT (1 1)", -0.5) == "POLYGON EMPTY")
+    // round trip: dilate then erode a convex polygon returns ~the original
+    val rt = GeometryFns.stBuffer(GeometryFns.stBuffer(sq(0, 0, 8, 8), 2.0), -2.0)
+    assert(math.abs(a(rt) - 64.0) < 0.7,
+      s"open-then-close round trip stays near the original: ${a(rt)}")
+  }
+
   test("buffer swallows a hole smaller than the distance") {
     val A = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
     val b = GeometryFns.stBuffer(A, 1.5)
