@@ -446,6 +446,44 @@ object TextOps extends QueryGroup {
       .groupBy("id").agg(min("label").as("label"))
   }
 
+  /** Exact substring duplication signals — the span-level primitive of
+    * ExactSubstr deduplication (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499): a character
+    * k-gram occurring more than once in the corpus marks its start
+    * position as duplicated, and runs of consecutive duplicated starts
+    * merge into maximal duplicated spans (a gaps-and-islands rewrite of
+    * the paper's suffix-array scan). Returns per-document span counts,
+    * duplicated character totals, and the duplicated fraction.
+    *
+    * Scale: gram generation is a map-side explode (L rows per L-char
+    * document — at real corpus scale use a stride > 1 and token-level
+    * grams, both parameter changes, not plan changes); the duplicate-gram
+    * census is one partially-aggregated hash shuffle on the gram; the
+    * position join shuffles on the same key; the island merge is one
+    * per-document window bounded by document length. A boilerplate gram
+    * shared by millions of documents stays one aggregation row — the
+    * count census never materializes pairs.
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = 20): DataFrame = {
+    val grams = docs.where(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
+      .select(col("doc_id"), col("p"), col("text").substr(col("p"), lit(k)).as("gram"))
+    val dupGrams = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select("gram")
+    val dpos = grams.join(dupGrams, "gram").select("doc_id", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val spans = dpos.withColumn("grp", col("p") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("p")).as("s"), (max(col("p")) + (k - 1)).as("e"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_chars"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("dup_chars"),
+        round(col("dup_chars").cast("double") / col("len"), 4).as("dup_frac"))
+  }
+
   /** Exact token-Jaccard ≥ 0.8 pairs within a source bucket (the
     * quadratic-within-group oracle twin of the LSH candidate path).
     */
@@ -525,6 +563,38 @@ object TextOps extends QueryGroup {
 
     // ── exact n-gram Jaccard, all pairs within a source bucket ──
     // (quadratic-within-group: the oracle twin of dd_minhash_lsh)
+    // Exact-substring duplication (Lee et al. 2021 ExactSubstr): maximal
+    // duplicated character-20-gram spans per document. The DuckDB twin
+    // replays the identical gram census + gaps-and-islands merge.
+    q("dd_exact_substring",
+      """WITH pos0 AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) - 18)) AS p
+        |  FROM documents WHERE length(text) >= 20
+        |),
+        |pos AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p,
+        |    substr(text, CAST(p AS INT), 20) AS gram
+        |  FROM pos0
+        |),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1),
+        |dpos AS (SELECT doc_id, p FROM pos WHERE gram IN (SELECT gram FROM dup)),
+        |isl AS (SELECT doc_id, p,
+        |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM dpos),
+        |spans AS (SELECT doc_id, grp, min(p) AS s, max(p) + 19 AS e
+        |  FROM isl GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT a.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+        |  CAST(dup_chars AS BIGINT) AS dup_chars,
+        |  round(CAST(dup_chars AS DOUBLE) / length(d.text), 4) AS dup_frac
+        |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+        |ORDER BY a.doc_id""".stripMargin) { (s, _) =>
+      duplicatedSpans(s.table("documents"), k = 20)
+        .select(col("doc_id"), col("n_spans"),
+          col("dup_chars").cast("long").as("dup_chars"), col("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     q("dd_ngram_jaccard",
       """WITH toks AS (
         |  SELECT doc_id, source,

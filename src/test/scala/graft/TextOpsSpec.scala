@@ -12,6 +12,36 @@ class TextOpsSpec extends AnyFunSuite {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, TestSession.sf)
 
+  test("exact-substring spans: planted passages merge to maximal spans") {
+    import spark.implicits._
+    // a 40-char passage shared by docs 1 and 2, plus unique filler; with
+    // k=10 the 31 duplicated gram starts must merge into ONE span of 40
+    val passage = "the quick brown fox jumps over a lazy dog" // 41 chars
+    // prefixes/suffixes share NO 10-char substring with each other
+    val docs = Seq(
+      (1L, s"abcdefghij klmnop $passage qrstu vwxyz"),
+      (2L, s"zyxwvutsrq ponmlk $passage 01234 56789"),
+      (3L, "no repeats here at all 99999")
+    ).toDF("doc_id", "text")
+    val out = operators.TextOps.duplicatedSpans(docs, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_chars"))).toMap
+    assert(!out.contains(3L), "doc without duplicated grams is absent")
+    for (id <- Seq(1L, 2L)) {
+      val (n, chars) = out(id)
+      assert(n == 1L, s"doc $id: adjacent duplicated grams merge into one span, got $n")
+      // the maximal duplicated region is the passage plus the shared
+      // single spaces around it captured by straddling grams
+      assert(chars >= passage.length && chars <= passage.length + 2 * 10,
+        s"doc $id span chars $chars vs passage ${passage.length}")
+    }
+    // a repeat INSIDE one document also counts: one doc, passage twice
+    val self = Seq((7L, s"$passage filler filler $passage")).toDF("doc_id", "text")
+    val selfOut = operators.TextOps.duplicatedSpans(self, k = 10).collect()
+    assert(selfOut.length == 1 && selfOut.head.getAs[Long]("n_spans") == 2L,
+      "within-document repetition yields two spans")
+  }
+
   test("minhash LSH pairs are genuinely similar (precision)") {
     val pairs = run("dd_minhash_lsh").collect()
     // every emitted pair passed the exact-jaccard >= 0.5 verification
