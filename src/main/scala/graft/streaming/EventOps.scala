@@ -11,6 +11,12 @@ case class SessionOut(
     user_id: Long, session_start: java.sql.Timestamp,
     n_events: Long, total_value: Double)
 
+/** One open session per user — the O(1) state of the streaming
+  * sessionizer (same bound as the batch walk's accumulator).
+  */
+case class OpenSession(
+    start: java.sql.Timestamp, lastMs: Long, n: Long, total: Double)
+
 /** Event-time windowing over the `events` table. The reference engine has
   * no streaming semantics at all (SURVEY.md §2.11 — Kafka topics are just
   * scanned as tables), so this surface is pure Spark Structured-Streaming
@@ -20,6 +26,52 @@ case class SessionOut(
   * readStream→writeStream and asserts batch ≡ streaming results.
   */
 object EventOps extends QueryGroup {
+
+  /** Streaming twin of the custom batch sessionizer
+    * (`ev_custom_sessionize`): flatMapGroupsWithState with an EVENT-TIME
+    * timeout — the KeyValueGroupedDataset surface for session semantics
+    * `session_window()` can't express (per-event accumulation, custom
+    * close conditions). Per-user state is ONE [[OpenSession]] accumulator;
+    * a session emits when a batch shows a > gap jump, or when the
+    * watermark passes lastTs + gap with no successor (timeout). Events
+    * within a micro-batch are sorted (bounded by batch size, not by user
+    * history); late events beyond the watermark are dropped by the
+    * runtime before reaching state — the standard event-time contract.
+    */
+  def streamingSessionize(events: org.apache.spark.sql.Dataset[Ev],
+      gapMinutes: Int, lateness: String): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes.toLong * 60000
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start, s.n, s.total))
+          } else {
+            val sorted = evs.toArray.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              if (cur != null && e.ts.getTime - cur.lastMs > gapMs) {
+                out += SessionOut(uid, cur.start, cur.n, cur.total)
+                cur = null
+              }
+              if (cur == null) cur = OpenSession(e.ts, e.ts.getTime, 0L, 0.0)
+              cur = cur.copy(lastMs = e.ts.getTime, n = cur.n + 1,
+                total = cur.total + e.value)
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.lastMs + gapMs + 1)
+            }
+            out.iterator
+          }
+      }
+  }
 
   def defs = Seq(
     // tumbling 1-hour windows (≙ readStream + withWatermark + window())

@@ -84,6 +84,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming.nonEmpty)
   }
 
+  test("streaming session_window equals the batch session window") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-session")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSession.sf}/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val batchRaw = spark.read.parquet(stageDir.toString)
+    val stream = spark.readStream.schema(batchRaw.schema).parquet(stageDir.toString)
+
+    def sessions(df: org.apache.spark.sql.DataFrame) =
+      Tables.normalizeEventTs(df)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(col("session_window.start").as("ss"), col("user_id"),
+          col("n"), col("total_value"))
+
+    val q = sessions(stream).writeStream
+      .outputMode("complete").format("memory").queryName("session_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streaming = spark.table("session_out").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = sessions(batchRaw).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streaming == batch)
+    assert(streaming.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState sessionizer equals the batch secondary-sort walk") {
+    import spark.implicits._
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-fmgws")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSession.sf}/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val batchRaw = spark.read.parquet(stageDir.toString)
+    val typedEvents = (df: org.apache.spark.sql.DataFrame) =>
+      Tables.normalizeEventTs(df)
+        .select(col("user_id"), col("ts"), col("value")).as[graft.streaming.Ev]
+
+    val sessions = graft.streaming.EventOps.streamingSessionize(
+      typedEvents(spark.readStream.schema(batchRaw.schema).parquet(stageDir.toString)),
+      gapMinutes = 20, lateness = "0 seconds")
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("fmgws_out").start()
+    try {
+      q.processAllAvailable()
+      // flush: every real session must CLOSE, which needs the watermark to
+      // pass lastTs + gap. Two sentinel batches per the watermark contract
+      // (batch N runs with the watermark computed from batches < N): +10d
+      // events advance it past every real timeout, +20d makes them fire.
+      // Sentinels reuse fixture rows (one per user) so the appended files
+      // keep the staged schema byte-compatible.
+      val maxTs = maxRealStart(batchRaw)
+      val tsType = batchRaw.schema(batchRaw.schema.fieldIndex("ts")).dataType
+      def sentinel(offsetDays: Int): Unit = {
+        batchRaw.dropDuplicates("user_id")
+          .withColumn("ts",
+            lit(new java.sql.Timestamp(maxTs + offsetDays * 86400000L)).cast(tsType))
+          .coalesce(1).write.mode("append").parquet(stageDir.toString)
+        q.processAllAvailable()
+      }
+      sentinel(10); sentinel(20)
+    } finally q.stop()
+
+    val cutoff = maxRealStart(batchRaw) // any real session starts at/before the fixture max
+    val streaming = spark.table("fmgws_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 100) / 100))
+      .filter(_._2.getTime <= cutoff).toSet
+    val batch = SparkEntry.queries("ev_custom_sessionize")(spark, TestSession.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(streaming == batch)
+    assert(streaming.size > 10)
+  }
+
+  private def maxRealStart(batchRaw: org.apache.spark.sql.DataFrame): Long =
+    Tables.normalizeEventTs(batchRaw)
+      .agg(max(col("ts"))).collect().head.getTimestamp(0).getTime
+
   test("watermark drops events later than the allowed lateness (append mode)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-late")
