@@ -624,7 +624,7 @@ object GeometryFns {
     }.mkString(", ") + ")"
 
   /** Split a MULTIPOLYGON body into its component polygon WKTs. */
-  private def multiPolygonParts(wkt: String): Seq[String] = {
+  private[functions] def multiPolygonParts(wkt: String): Seq[String] = {
     val body = wkt.trim.drop("MULTIPOLYGON".length).trim
     if (!body.startsWith("(") || !body.endsWith(")")) fail(s"Invalid MULTIPOLYGON: $wkt")
     val inner = body.drop(1).dropRight(1)

@@ -13,6 +13,35 @@ import org.apache.spark.sql.types._
   * SURVEY.md §7.0 layer 2: `udf()` for the long tail; hot-path functions
   * are Catalyst expressions in GraftFunctions.builders instead).
   */
+/** ST_Distance dispatch: struct points (the original points subset) keep
+  * a pure-arithmetic codegen'd form; WKT strings route to the general
+  * geometry distance. The choice happens once the children resolve —
+  * RuntimeReplaceable computes the replacement from the children's
+  * dataType, so both call shapes share one registered name.
+  */
+case class GeoDistanceExpr(left: Expression, right: Expression)
+    extends BinaryExpression with RuntimeReplaceable {
+  override lazy val replacement: Expression =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GeometryExtras.getClass, DoubleType, "distanceWktU",
+        Seq(left, right), inputTypes = Seq(StringType, StringType),
+        propagateNull = true)
+    else {
+      def f(p: Expression, n: String) = p.dataType match {
+        case st: StructType => GetStructField(p, st.fieldIndex(n), Some(n))
+        case other => throw new IllegalArgumentException(
+          s"st_distance expects two points or two WKT strings, got $other")
+      }
+      val dx = Subtract(f(left, "x"), f(right, "x"))
+      val dy = Subtract(f(left, "y"), f(right, "y"))
+      Sqrt(Add(Multiply(dx, dx), Multiply(dy, dy)))
+    }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GeoDistanceExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFnUtils {
   /** reference operator/scalar/StringFunctions.java (hamming_distance). */
   def hammingDistance(a: String, b: String): Long = {
@@ -842,14 +871,11 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(p, Literal("x")) },
     "st_y" -> { case Seq(p) =>
       org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(p, Literal("y")) },
-    // planar euclidean distance between two points (GeoFunctions ST_Distance)
-    "st_distance" -> { case Seq(a, b) =>
-      def f(p: Expression, n: String) =
-        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(p, Literal(n))
-      val dx = Subtract(f(a, "x"), f(b, "x"))
-      val dy = Subtract(f(a, "y"), f(b, "y"))
-      Sqrt(Add(Multiply(dx, dx), Multiply(dy, dy)))
-    },
+    // planar distance (GeoFunctions ST_Distance). Struct points keep the
+    // fully codegen'd arithmetic fast path (the distance-join hot path);
+    // WKT string geometries dispatch to the general geometry kernel —
+    // resolved per input type via RuntimeReplaceable (GeoDistanceExpr).
+    "st_distance" -> { case Seq(a, b) => GeoDistanceExpr(a, b) },
     // width_bucket (MathFunctions.java:65): 4-arg equi-width form maps to
     // Spark's native WidthBucket; the bins-array form is the count of
     // (sorted ascending) bin bounds ≤ x, composed from codegen'd HOFs
@@ -990,6 +1016,88 @@ object GraftFunctions {
       (a: String, b: String) => GeometryFns.stDifference(a, b))
     spark.udf.register("st_symdifference",
       (a: String, b: String) => GeometryFns.stSymDifference(a, b))
+    // geospatial registry remainder (GeometryExtras): each function is
+    // registered under the engine's snake_case dialect spelling AND the
+    // reference's lowercased spelling where they differ, so verbatim
+    // Presto texts resolve too
+    def reg2[A](names: Seq[String])(register: String => Unit): Unit =
+      names.distinct.foreach(register)
+    reg2(Seq("st_geometry_type", "st_geometrytype"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stGeometryType(w)))
+    reg2(Seq("st_dimension"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stDimension(w)))
+    reg2(Seq("st_coord_dim", "st_coorddim"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stCoordDim(w)))
+    reg2(Seq("st_is_closed", "st_isclosed"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stIsClosed(w)))
+    reg2(Seq("st_is_empty", "st_isempty"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stIsEmpty(w)))
+    reg2(Seq("st_is_ring", "st_isring"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stIsRing(w)))
+    reg2(Seq("st_is_simple", "st_issimple"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stIsSimple(w)))
+    reg2(Seq("st_is_valid", "st_isvalid"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stIsValid(w)))
+    spark.udf.register("geometry_invalid_reason",
+      (w: String) => GeometryExtras.geometryInvalidReason(w))
+    reg2(Seq("st_start_point", "st_startpoint"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stStartPoint(w)))
+    reg2(Seq("st_end_point", "st_endpoint"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stEndPoint(w)))
+    reg2(Seq("st_point_n", "st_pointn"))(n =>
+      spark.udf.register(n, (w: String, i: Int) => GeometryExtras.stPointN(w, i)))
+    spark.udf.register("st_points", (w: String) => GeometryExtras.stPoints(w))
+    reg2(Seq("st_exterior_ring", "st_exteriorring"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stExteriorRing(w)))
+    reg2(Seq("st_num_interior_ring", "st_numinteriorring"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stNumInteriorRing(w)))
+    reg2(Seq("st_interior_ring_n", "st_interiorringn"))(n =>
+      spark.udf.register(n, (w: String, i: Int) => GeometryExtras.stInteriorRingN(w, i)))
+    reg2(Seq("st_interior_rings", "st_interiorrings"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stInteriorRings(w)))
+    reg2(Seq("st_num_geometries", "st_numgeometries"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stNumGeometries(w)))
+    reg2(Seq("st_geometry_n", "st_geometryn"))(n =>
+      spark.udf.register(n, (w: String, i: Int) => GeometryExtras.stGeometryN(w, i)))
+    spark.udf.register("st_geometries",
+      (w: String) => GeometryExtras.stGeometries(w))
+    reg2(Seq("st_multi_point", "st_multipoint"))(n =>
+      spark.udf.register(n, (ps: Array[String]) => GeometryExtras.stMultiPoint(ps)))
+    reg2(Seq("st_line_string", "st_linestring"))(n =>
+      spark.udf.register(n,
+        (ps: Array[String]) => GeometryExtras.stLineStringFromPoints(ps)))
+    reg2(Seq("st_convex_hull", "st_convexhull"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stConvexHull(w)))
+    reg2(Seq("st_boundary"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stBoundary(w)))
+    spark.udf.register("st_equals",
+      (a: String, b: String) => GeometryExtras.stEquals(a, b))
+    spark.udf.register("st_disjoint",
+      (a: String, b: String) => GeometryExtras.stDisjoint(a, b))
+    spark.udf.register("st_touches",
+      (a: String, b: String) => GeometryExtras.stTouches(a, b))
+    spark.udf.register("st_crosses",
+      (a: String, b: String) => GeometryExtras.stCrosses(a, b))
+    spark.udf.register("st_overlaps",
+      (a: String, b: String) => GeometryExtras.stOverlaps(a, b))
+    spark.udf.register("expand_envelope",
+      (w: String, d: Double) => GeometryExtras.expandEnvelope(w, d))
+    reg2(Seq("st_envelope_as_pts", "st_envelopeaspts"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stEnvelopeAsPts(w)))
+    spark.udf.register("line_interpolate_point",
+      (w: String, f: Double) => GeometryExtras.lineInterpolatePoint(w, f))
+    spark.udf.register("line_locate_point",
+      (w: String, p: String) => GeometryExtras.lineLocatePoint(w, p))
+    spark.udf.register("geometry_union",
+      (ws: Array[String]) => GeometryExtras.geometryUnion(ws))
+    reg2(Seq("st_as_binary", "st_asbinary"))(n =>
+      spark.udf.register(n, (w: String) => GeometryExtras.stAsBinary(w)))
+    reg2(Seq("st_geom_from_binary", "st_geomfrombinary"))(n =>
+      spark.udf.register(n, (b: Array[Byte]) => GeometryExtras.stGeomFromBinary(b)))
+    spark.udf.register("geometry_union_agg",
+      org.apache.spark.sql.functions.udaf(GeometryExtras.GeometryUnionAggregator))
+    spark.udf.register("convex_hull_agg",
+      org.apache.spark.sql.functions.udaf(GeometryExtras.ConvexHullAggregator))
     spark.udf.register("bing_tile_at",
       (lat: Double, lon: Double, zoom: Int) => GeometryFns.bingTileAt(lat, lon, zoom))
     spark.udf.register("bing_tile_coordinates",

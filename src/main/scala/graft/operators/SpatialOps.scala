@@ -638,5 +638,101 @@ object SpatialOps extends QueryGroup {
            |      dx + 7, ' ', dy + 7, ', ', dx + 3, ' ', dy + 7, ', ', dx + 3, ' ', dy + 3, '))'), -r)), 4) AS erode_holed
            |FROM t ORDER BY c_custkey""".stripMargin)
     },
+
+    // Geospatial registry remainder (round 8, GeometryExtras): type
+    // metadata, convex hull, general geometry distance, DE-9IM
+    // predicates, linear referencing, accessors, WKB round-trip,
+    // boundary, validity — a translated integer-coordinate family whose
+    // oracle values are all closed-form constants or arithmetic.
+    q("spatial_registry_sweep",
+      s"""WITH c AS (SELECT c_custkey, CAST(c_custkey % 50 AS INT) AS dx,
+         |  CAST(c_custkey % 30 AS INT) AS dy FROM customer WHERE c_custkey < 150)
+         |SELECT c_custkey, 'ST_Polygon' AS gt, 'ST_MultiLineString' AS gt2,
+         |  2 AS dim, round(8.0, 4) AS hull_area, round(11.5, 4) AS l_hull_area,
+         |  round(3.0, 4) AS dist_sq, round(3 * sqrt(2), 4) AS dist_diag,
+         |  true AS touches, true AS overlaps, true AS crosses, true AS eq_redecomposed,
+         |  round(0.37, 4) AS frac,
+         |  concat('POINT (', dx, ' ', dy, ')') AS start_pt,
+         |  CAST(3 AS INT) AS npts, CAST(1 AS INT) AS nrings, CAST(2 AS INT) AS ngeoms,
+         |  true AS wkb_ok, true AS boundary_mp, true AS invalid_reason_ok
+         |FROM c ORDER BY c_custkey""".stripMargin) { (sp, _) =>
+      sp.sql(
+        s"""WITH c AS (SELECT c_custkey, CAST(c_custkey % 50 AS INT) AS dx,
+           |  CAST(c_custkey % 30 AS INT) AS dy FROM customer WHERE c_custkey < 150),
+           |w AS (SELECT c_custkey, dx, dy,
+           |  concat('POLYGON ((', dx, ' ', dy, ', ', dx + 4, ' ', dy, ', ',
+           |    dx + 4, ' ', dy + 4, ', ', dx, ' ', dy + 4, ', ', dx, ' ', dy, '))') AS sq,
+           |  concat('POLYGON ((', dx + 7, ' ', dy, ', ', dx + 9, ' ', dy, ', ',
+           |    dx + 9, ' ', dy + 2, ', ', dx + 7, ' ', dy + 2, ', ', dx + 7, ' ', dy, '))') AS far,
+           |  concat('POLYGON ((', dx + 7, ' ', dy + 7, ', ', dx + 9, ' ', dy + 7, ', ',
+           |    dx + 9, ' ', dy + 9, ', ', dx + 7, ' ', dy + 9, ', ', dx + 7, ' ', dy + 7, '))') AS diag,
+           |  concat('POLYGON ((', dx + 4, ' ', dy, ', ', dx + 8, ' ', dy, ', ',
+           |    dx + 8, ' ', dy + 4, ', ', dx + 4, ' ', dy + 4, ', ', dx + 4, ' ', dy, '))') AS shifted,
+           |  concat('POLYGON ((', dx + 2, ' ', dy + 2, ', ', dx + 6, ' ', dy + 2, ', ',
+           |    dx + 6, ' ', dy + 6, ', ', dx + 2, ' ', dy + 6, ', ', dx + 2, ' ', dy + 2, '))') AS ovl,
+           |  concat('POLYGON ((', dx, ' ', dy, ', ', dx + 2, ' ', dy, ', ', dx + 4, ' ', dy, ', ',
+           |    dx + 4, ' ', dy + 4, ', ', dx, ' ', dy + 4, ', ', dx, ' ', dy, '))') AS redecomp,
+           |  concat('MULTIPOINT (', dx, ' ', dy + 2, ', ', dx + 2, ' ', dy, ', ',
+           |    dx + 4, ' ', dy + 2, ', ', dx + 2, ' ', dy + 4, ', ', dx + 2, ' ', dy + 2, ')') AS diamond,
+           |  concat('POLYGON ((', dx, ' ', dy, ', ', dx + 4, ' ', dy, ', ', dx + 4, ' ', dy + 1,
+           |    ', ', dx + 1, ' ', dy + 1, ', ', dx + 1, ' ', dy + 4, ', ', dx, ' ', dy + 4,
+           |    ', ', dx, ' ', dy, '))') AS ell,
+           |  concat('LINESTRING (', dx, ' ', dy, ', ', dx + 3, ' ', dy, ', ',
+           |    dx + 3, ' ', dy + 4, ')') AS lin
+           |  FROM c)
+           |SELECT c_custkey,
+           |  st_geometry_type(sq) AS gt,
+           |  st_geometry_type(st_boundary(concat('POLYGON ((', dx, ' ', dy, ', ', dx + 8, ' ', dy,
+           |    ', ', dx + 8, ' ', dy + 8, ', ', dx, ' ', dy + 8, ', ', dx, ' ', dy, '), (',
+           |    dx + 3, ' ', dy + 3, ', ', dx + 5, ' ', dy + 3, ', ', dx + 5, ' ', dy + 5,
+           |    ', ', dx + 3, ' ', dy + 5, ', ', dx + 3, ' ', dy + 3, '))'))) AS gt2,
+           |  st_dimension(sq) AS dim,
+           |  round(st_area(st_convex_hull(diamond)), 4) AS hull_area,
+           |  round(st_area(st_convex_hull(ell)), 4) AS l_hull_area,
+           |  round(st_distance(sq, far), 4) AS dist_sq,
+           |  round(st_distance(sq, diag), 4) AS dist_diag,
+           |  st_touches(sq, shifted) AS touches,
+           |  st_overlaps(sq, ovl) AS overlaps,
+           |  st_crosses(concat('LINESTRING (', dx - 1, ' ', dy + 2, ', ', dx + 9, ' ', dy + 2, ')'), sq) AS crosses,
+           |  st_equals(sq, redecomp) AS eq_redecomposed,
+           |  round(line_locate_point(lin, line_interpolate_point(lin, 0.37)), 4) AS frac,
+           |  st_start_point(lin) AS start_pt,
+           |  CAST(st_num_points(lin) AS INT) AS npts,
+           |  CAST(st_num_interior_ring(concat('POLYGON ((', dx, ' ', dy, ', ', dx + 8, ' ', dy,
+           |    ', ', dx + 8, ' ', dy + 8, ', ', dx, ' ', dy + 8, ', ', dx, ' ', dy, '), (',
+           |    dx + 3, ' ', dy + 3, ', ', dx + 5, ' ', dy + 3, ', ', dx + 5, ' ', dy + 5,
+           |    ', ', dx + 3, ' ', dy + 5, ', ', dx + 3, ' ', dy + 3, '))')) AS INT) AS nrings,
+           |  CAST(st_num_geometries(st_union(sq, diag)) AS INT) AS ngeoms,
+           |  st_geom_from_binary(st_as_binary(sq)) = sq AS wkb_ok,
+           |  startswith(st_boundary(lin), 'MULTIPOINT') AS boundary_mp,
+           |  geometry_invalid_reason(concat('POLYGON ((', dx, ' ', dy, ', ', dx + 2, ' ', dy + 2,
+           |    ', ', dx + 2, ' ', dy, ', ', dx, ' ', dy + 2, ', ', dx, ' ', dy, '))'))
+           |    LIKE '%self-intersecting%' AS invalid_reason_ok
+           |FROM w ORDER BY c_custkey""".stripMargin)
+    },
+
+    // convex_hull_agg + geometry_union_agg (reference
+    // ConvexHullAggregation.java / GeometryUnionAgg.java): per-group unit
+    // squares at deterministic integer offsets — the union area is the
+    // number of DISTINCT positions (duplicates merge, adjacency merges
+    // area-neutrally) and the hull area is the bounding span, both
+    // closed-form for the oracle.
+    q("spatial_geometry_aggs",
+      s"""WITH c AS (SELECT c_custkey, CAST(c_custkey % 4 AS INT) AS g,
+         |  CAST((c_custkey * 7) % 40 AS INT) AS x
+         |  FROM customer WHERE c_custkey < 400)
+         |SELECT g, round(CAST(count(DISTINCT x) AS DOUBLE), 4) AS union_area,
+         |  round(CAST(max(x) + 1 - min(x) AS DOUBLE), 4) AS hull_area
+         |FROM c GROUP BY g ORDER BY g""".stripMargin) { (sp, _) =>
+      sp.sql(
+        s"""WITH c AS (SELECT c_custkey, CAST(c_custkey % 4 AS INT) AS g,
+           |  CAST((c_custkey * 7) % 40 AS INT) AS x
+           |  FROM customer WHERE c_custkey < 400),
+           |w AS (SELECT g, concat('POLYGON ((', x, ' 0, ', x + 1, ' 0, ',
+           |  x + 1, ' 1, ', x, ' 1, ', x, ' 0))') AS sq FROM c)
+           |SELECT g, round(st_area(geometry_union_agg(sq)), 4) AS union_area,
+           |  round(st_area(convex_hull_agg(sq)), 4) AS hull_area
+           |FROM w GROUP BY g ORDER BY g""".stripMargin)
+    },
   )
 }

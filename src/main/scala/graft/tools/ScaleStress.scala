@@ -105,6 +105,10 @@ object ScaleStress {
       // expect ~linear scaling)
       "tx_stats", "tx_quality_filter", "tx_langid", "tx_fingerprint",
       "tx_redact_pii", "tx_repetition", "dd_decontaminate",
+      // gram census + islands merge: linear in total characters (the
+      // low-entropy/exact-dup slices make nearly every gram duplicated —
+      // worst case for the join-back volume)
+      "dd_exact_substring",
       "pipe_corpus_curation", "pipe_pack_sequences", "pipe_seeded_shuffle",
       "pipe_domain_mixture")
     def once(q: String): Double = {

@@ -1,0 +1,204 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GeometryExtras._
+import graft.functions.GeometryFns
+
+/** The geospatial registry remainder (GeometryExtras): accessors, type
+  * metadata, validity, constructors, predicates, general distance,
+  * linear referencing, n-ary union, WKB, boundary, and the two
+  * aggregates — pinned against hand-computable fixtures.
+  */
+class GeometryExtrasSpec extends AnyFunSuite {
+
+  private val sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+  private val donut =
+    "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (3 3, 5 3, 5 5, 3 5, 3 3))"
+  private val mp = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))"
+  private val line = "LINESTRING (0 0, 3 0, 3 4)"
+  private val eps = 1e-9
+
+  test("type metadata: geometry type, dimension, coord dim, emptiness") {
+    assert(stGeometryType("POINT (1 2)") == "ST_Point")
+    assert(stGeometryType("MULTIPOINT (1 2, 3 4)") == "ST_MultiPoint")
+    assert(stGeometryType(line) == "ST_LineString")
+    assert(stGeometryType("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))") == "ST_MultiLineString")
+    assert(stGeometryType(sq) == "ST_Polygon")
+    assert(stGeometryType(mp) == "ST_MultiPolygon")
+    assert(stDimension("POINT (1 2)") == 0 && stDimension(line) == 1 &&
+      stDimension(sq) == 2)
+    assert(stCoordDim(sq) == 2)
+    assert(stIsEmpty("POLYGON EMPTY") && !stIsEmpty(sq))
+  }
+
+  test("closed / ring / simple / valid with reasons") {
+    assert(!stIsClosed(line))
+    assert(stIsClosed("LINESTRING (0 0, 1 0, 1 1, 0 0)"))
+    assert(stIsRing("LINESTRING (0 0, 1 0, 1 1, 0 0)"))
+    assert(!stIsRing("LINESTRING (0 0, 2 2, 2 0, 0 2, 0 0)")) // bowtie closes but crosses
+    assert(stIsSimple(line))
+    assert(!stIsSimple("LINESTRING (0 0, 2 2, 2 0, 0 2)")) // X crossing
+    assert(stIsValid(donut) && geometryInvalidReason(donut) == null)
+    val bowtie = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"
+    assert(!stIsValid(bowtie))
+    assert(geometryInvalidReason(bowtie).contains("self-intersecting"))
+    val strayHole = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0), (5 5, 6 5, 6 6, 5 6, 5 5))"
+    assert(geometryInvalidReason(strayHole).contains("outside the shell"))
+  }
+
+  test("linestring and ring accessors") {
+    assert(stStartPoint(line) == "POINT (0 0)")
+    assert(stEndPoint(line) == "POINT (3 4)")
+    assert(stPointN(line, 2) == "POINT (3 0)")
+    assert(stPointN(line, 9) == null && stPointN(line, 0) == null)
+    assert(stPoints(line).toSeq == Seq("POINT (0 0)", "POINT (3 0)", "POINT (3 4)"))
+    assert(stExteriorRing(sq) == "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)")
+    assert(stNumInteriorRing(donut) == 1 && stNumInteriorRing(sq) == 0)
+    assert(stInteriorRingN(donut, 1) == "LINESTRING (3 3, 5 3, 5 5, 3 5, 3 3)")
+    assert(stInteriorRingN(donut, 2) == null)
+    assert(stInteriorRings(donut).length == 1 && stInteriorRings(sq).isEmpty)
+  }
+
+  test("sub-geometry accessors across single and multi inputs") {
+    assert(stNumGeometries(mp) == 2 && stNumGeometries(sq) == 1 &&
+      stNumGeometries("MULTIPOINT (1 2, 3 4, 5 6)") == 3 &&
+      stNumGeometries("POLYGON EMPTY") == 0)
+    assert(GeometryFns.area(stGeometryN(mp, 2)) == 4.0)
+    assert(stGeometryN(mp, 3) == null)
+    assert(stGeometryN(sq, 1) == GeometryFns.polygonWkt(GeometryFns.parsePolygon(sq)))
+    assert(stGeometries(mp).length == 2)
+    assert(stGeometries("POLYGON EMPTY") == null)
+  }
+
+  test("constructors: multipoint, linestring-from-points, convex hull") {
+    assert(stMultiPoint(Array("POINT (1 2)", "POINT (3 4)")) == "MULTIPOINT (1 2, 3 4)")
+    assert(stLineStringFromPoints(Array("POINT (0 0)", "POINT (1 1)")) ==
+      "LINESTRING (0 0, 1 1)")
+    // hull of a plus-sign point cloud is the bounding diamond corners
+    val hull = stConvexHull("MULTIPOINT (0 2, 2 0, 4 2, 2 4, 2 2, 1 2, 2 3)")
+    assert(math.abs(GeometryFns.area(hull) - 8.0) < eps, hull)
+    // hull of a concave L equals the hull of its vertices
+    val lHull = stConvexHull("POLYGON ((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))")
+    assert(math.abs(GeometryFns.area(lHull) - (16.0 - 4.5)) < eps, lHull)
+    assert(stConvexHull("MULTIPOINT (0 0, 1 1, 2 2)") == "LINESTRING (0 0, 2 2)")
+    assert(stConvexHull("POINT (5 5)") == "POINT (5 5)")
+  }
+
+  test("predicates: equals, disjoint, touches, crosses, overlaps") {
+    val shifted = "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))" // shares edge x=4 with sq
+    val overlap = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"
+    assert(stEquals(sq, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    // same region, different vertex decomposition: still equal (areal)
+    assert(stEquals(sq, "POLYGON ((0 0, 2 0, 4 0, 4 4, 0 4, 0 0))"))
+    assert(!stEquals(sq, shifted))
+    assert(stDisjoint(sq, "POLYGON ((9 9, 10 9, 10 10, 9 10, 9 9))"))
+    assert(!stDisjoint(sq, shifted)) // boundary contact intersects
+    assert(stTouches(sq, shifted))
+    assert(!stTouches(sq, overlap))
+    assert(stTouches("POINT (4 2)", sq) && !stTouches("POINT (2 2)", sq))
+    assert(stOverlaps(sq, overlap))
+    assert(!stOverlaps(sq, shifted))
+    assert(!stOverlaps(sq, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")) // contained
+    assert(stCrosses("LINESTRING (0 0, 4 4)", "LINESTRING (0 4, 4 0)"))
+    assert(!stCrosses("LINESTRING (0 0, 1 1)", "LINESTRING (5 5, 6 6)"))
+    assert(stCrosses("LINESTRING (-2 2, 9 2)", sq)) // enters and exits
+    assert(!stCrosses("LINESTRING (1 1, 2 2)", sq)) // fully inside
+  }
+
+  test("general geometry distance: exact for disjoint shapes, 0 on contact") {
+    assert(GeometryExtrasTestAccess.dist(sq, "POLYGON ((7 0, 9 0, 9 2, 7 2, 7 0))") == 3.0)
+    assert(GeometryExtrasTestAccess.dist(sq, "POINT (4 7)") == 3.0)
+    assert(GeometryExtrasTestAccess.dist("POINT (0 3)", "LINESTRING (3 0, 3 10)") == 3.0)
+    assert(GeometryExtrasTestAccess.dist(sq, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))") == 0.0)
+    // diagonal offset: corner-to-corner
+    assert(math.abs(GeometryExtrasTestAccess.dist(sq,
+      "POLYGON ((7 7, 9 7, 9 9, 7 9, 7 7))") - 3 * math.sqrt(2)) < eps)
+  }
+
+  test("envelope utilities and linear referencing") {
+    assert(expandEnvelope(line, 1.0) == "POLYGON ((-1 -1, 4 -1, 4 5, -1 5, -1 -1))")
+    assert(stEnvelopeAsPts(donut).toSeq == Seq("POINT (0 0)", "POINT (8 8)"))
+    // line has length 7: fraction 3/7 is the corner
+    assert(lineInterpolatePoint(line, 3.0 / 7) == "POINT (3 0)")
+    assert(lineInterpolatePoint(line, 0.0) == "POINT (0 0)")
+    assert(lineInterpolatePoint(line, 1.0) == "POINT (3 4)")
+    assert(math.abs(lineLocatePoint(line, "POINT (3 0)") - 3.0 / 7) < eps)
+    assert(math.abs(lineLocatePoint(line, "POINT (4 2)") - 5.0 / 7) < eps)
+    val fr = 0.37
+    assert(math.abs(lineLocatePoint(line, lineInterpolatePoint(line, fr)) - fr) < eps)
+  }
+
+  test("n-ary geometry_union and the union/hull aggregates") {
+    val row = (0 until 3).map(i =>
+      s"POLYGON (($i 0, ${i + 1} 0, ${i + 1} 1, $i 1, $i 0))")
+    val u = geometryUnion(row.toArray)
+    assert(math.abs(GeometryFns.area(u) - 3.0) < eps && !u.startsWith("MULTI"), u)
+    assert(geometryUnion(Array()) == "POLYGON EMPTY")
+    assert(GeometryFns.area(geometryUnion(Array(null, sq, null))) == 16.0)
+    // aggregator laws: reduce/merge associativity over a disjoint set
+    val agg = GeometryUnionAggregator
+    val left = agg.merge(agg.reduce(agg.reduce(agg.zero, row(0)), row(1)),
+      agg.reduce(agg.zero, row(2)))
+    val right = agg.reduce(agg.reduce(agg.reduce(agg.zero, row(2)), row(1)), row(0))
+    assert(math.abs(GeometryFns.area(agg.finish(left)) - 3.0) < eps)
+    assert(math.abs(GeometryFns.area(agg.finish(right)) - 3.0) < eps)
+    val h = ConvexHullAggregator
+    val hull = h.finish(h.merge(
+      h.reduce(h.zero, "POINT (0 0)"),
+      h.reduce(h.reduce(h.zero, "POINT (4 0)"), "MULTIPOINT (0 4, 4 4, 2 2)")))
+    assert(math.abs(GeometryFns.area(hull) - 16.0) < eps, hull)
+  }
+
+  test("WKB round-trips every supported geometry type") {
+    val inputs = Seq(
+      "POINT (1.5 -2.25)", "MULTIPOINT (1 2, 3 4)", line,
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 2))", sq, donut, mp)
+    inputs.foreach { w =>
+      val canonical = formatGeo(parseGeo(w))
+      assert(stGeomFromBinary(stAsBinary(w)) == canonical, s"WKB roundtrip of $w")
+    }
+    // WKB bytes are the standard encoding: a point is 21 bytes LE
+    val b = stAsBinary("POINT (1 2)")
+    assert(b.length == 21 && b(0) == 1 && b(1) == 1)
+  }
+
+  test("boundary: rings, endpoints, mod-2 rule, empties") {
+    assert(stBoundary(sq) == "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)")
+    assert(stBoundary(donut).startsWith("MULTILINESTRING"))
+    assert(stBoundary(line) == "MULTIPOINT (0 0, 3 4)")
+    assert(stBoundary("LINESTRING (0 0, 1 0, 1 1, 0 0)") == "POLYGON EMPTY")
+    assert(stBoundary("POINT (1 1)") == "POLYGON EMPTY")
+    // two open lines sharing one endpoint: the shared point cancels (mod 2)
+    val shared = stBoundary("MULTILINESTRING ((0 0, 1 1), (1 1, 2 0))")
+    assert(shared == "MULTIPOINT (0 0, 2 0)" || shared == "MULTIPOINT (2 0, 0 0)", shared)
+  }
+
+  test("SQL surface: registration incl. reference spellings and st_distance dispatch") {
+    val spark = TestSession.spark
+    Tables.register(spark, TestSession.sf)
+    val r = spark.sql(
+      """SELECT
+        |  st_geometry_type('POINT (1 2)') AS t,
+        |  ST_GeometryType('LINESTRING (0 0, 1 1)') AS t2,
+        |  st_distance(st_point(0, 0), st_point(3, 4)) AS d_struct,
+        |  st_distance('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
+        |              'POLYGON ((7 0, 9 0, 9 2, 7 2, 7 0))') AS d_wkt,
+        |  ST_ConvexHull('MULTIPOINT (0 0, 4 0, 0 4, 4 4, 2 2)') AS hull,
+        |  st_is_valid('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))') AS v,
+        |  ST_Touches('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))',
+        |             'POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))') AS touches
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "ST_Point" && r.getString(1) == "ST_LineString")
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getDouble(3) == 3.0)
+    assert(GeometryFns.area(r.getString(4)) == 16.0)
+    assert(!r.getBoolean(5) && r.getBoolean(6))
+  }
+}
+
+/** Exposes the package-private general distance for the spec. */
+object GeometryExtrasTestAccess {
+  def dist(a: String, b: String): Double =
+    graft.functions.GeometryExtras.distanceWkt(a, b)
+}
