@@ -499,6 +499,88 @@ object GeometryExtras {
     case _: PolyGeo         => 2
   }
 
+  /** DE-9IM intersection matrix (reference ST_Relate over the Esri
+    * engine) for the declared subset: areal↔areal and point↔areal.
+    * Row-major [II, IB, IE, BI, BB, BE, EI, EB, EE] with values
+    * F/0/1/2. Areal entries derive exactly from the overlay: interiors
+    * intersect iff |A∩B| > 0; a boundary meets the other's interior iff
+    * its inside-classified fragment length is positive; boundaries meet
+    * in dimension 1 iff they share collinear length, else in dimension 0
+    * iff they intersect at all.
+    */
+  def de9im(wktA: String, wktB: String): String =
+    (parseGeo(wktA), parseGeo(wktB)) match {
+      case (PGeo(p), _: PolyGeo) =>
+        val cs = arealPair(wktB).get
+        val onB = cs.exists(_.rings.exists(onRing(_, p)))
+        val inB = !onB && containsAny(cs, p)
+        val ii = if (inB) "0" else "F"
+        val ib = if (onB) "0" else "F"
+        val ie = if (!inB && !onB) "0" else "F"
+        s"$ii$ib${ie}FFF212"
+      case (_: PolyGeo, PGeo(_)) => transposeDe9im(de9im(wktB, wktA))
+      case (PolyGeo(a), PolyGeo(b)) =>
+        if (a.isEmpty || b.isEmpty)
+          fail("ST_Relate requires non-empty geometries")
+        val inter = PolygonOverlay.totalArea(
+          PolygonOverlay.overlay(a, b, PolygonOverlay.OpIntersection))
+        val dAB = PolygonOverlay.totalArea(
+          PolygonOverlay.overlay(a, b, PolygonOverlay.OpDifference))
+        val dBA = PolygonOverlay.totalArea(
+          PolygonOverlay.overlay(b, a, PolygonOverlay.OpDifference))
+        val ((aIn, aOn, aOut), (bIn, bOn, bOut)) =
+          PolygonOverlay.boundaryClassification(a, b)
+        val lenTol = ArealTol
+        val bb =
+          if (aOn > lenTol || bOn > lenTol) "1"
+          else if (boundaryPointContact(a, b)) "0"
+          else "F"
+        Seq(
+          if (inter > ArealTol) "2" else "F",
+          if (bIn > lenTol) "1" else "F", // A-interior ∩ B-boundary (B's boundary inside A)
+          if (dAB > ArealTol) "2" else "F",
+          if (aIn > lenTol) "1" else "F",
+          bb,
+          if (aOut > lenTol) "1" else "F",
+          if (dBA > ArealTol) "2" else "F",
+          if (bOut > lenTol) "1" else "F",
+          "2").mkString
+      case _ => fail("ST_Relate supports point↔polygon and polygon↔polygon " +
+        "(declared subset)")
+    }
+
+  private def containsAny(cs: Seq[Polygon], p: GPoint): Boolean =
+    cs.count(c => GeometryFns.containsPoint(c, p.x, p.y)) % 2 == 1
+
+  private def transposeDe9im(m: String): String =
+    Seq(0, 3, 6, 1, 4, 7, 2, 5, 8).map(m.charAt).mkString
+
+  /** Do the two boundaries intersect at all (point contact included)? */
+  private def boundaryPointContact(a: Seq[Polygon], b: Seq[Polygon]): Boolean = {
+    val segsA = a.flatMap(_.rings.flatMap(r =>
+      (0 until r.length - 1).map(i => (r(i), r(i + 1)))))
+    val segsB = b.flatMap(_.rings.flatMap(r =>
+      (0 until r.length - 1).map(i => (r(i), r(i + 1)))))
+    segsA.exists { case (p1, p2) =>
+      segsB.exists { case (q1, q2) => GeometryFns.segIntersects(p1, p2, q1, q2) }
+    }
+  }
+
+  /** Reference ST_Relate(geomA, geomB, pattern): does the DE-9IM matrix
+    * match the 9-char pattern (T = any non-F, * = anything, F/0/1/2
+    * exact)?
+    */
+  def stRelate(wktA: String, wktB: String, pattern: String): Boolean = {
+    if (pattern == null || pattern.length != 9)
+      fail("ST_Relate pattern must be 9 characters of T, F, 0, 1, 2, *")
+    val m = de9im(wktA, wktB)
+    m.zip(pattern.toUpperCase).forall {
+      case (_, '*') => true
+      case (c, 'T') => c != 'F'
+      case (c, p)   => c == p
+    }
+  }
+
   // ── general geometry distance ───────────────────────────────────────
 
   private def segPointDist(a: GPoint, b: GPoint, p: GPoint): Double = {

@@ -1094,6 +1094,8 @@ object GraftFunctions {
       spark.udf.register(n, (w: String) => GeometryExtras.stAsBinary(w)))
     reg2(Seq("st_geom_from_binary", "st_geomfrombinary"))(n =>
       spark.udf.register(n, (b: Array[Byte]) => GeometryExtras.stGeomFromBinary(b)))
+    spark.udf.register("st_relate",
+      (a: String, b: String, p: String) => GeometryExtras.stRelate(a, b, p))
     spark.udf.register("geometry_union_agg",
       org.apache.spark.sql.functions.udaf(GeometryExtras.GeometryUnionAggregator))
     spark.udf.register("convex_hull_agg",

@@ -90,7 +90,32 @@ object PolygonOverlay {
   private def containsMulti(comps: Seq[Polygon], px: Double, py: Double): Boolean =
     comps.count(c => GeometryFns.containsPoint(c, px, py)) % 2 == 1
 
-  def overlay(aIn: Seq[Polygon], bIn: Seq[Polygon], op: Op): Seq[Polygon] = {
+  /** Normalized operands + classified boundary fragments + tolerances —
+    * the shared prep of the Boolean ops and the DE-9IM classification.
+    */
+  private final case class Prep(a: Seq[Polygon], b: Seq[Polygon],
+      fragsA: Seq[(Frag, Cls)], fragsB: Seq[(Frag, Cls)],
+      distTol: Double, orientTol: Double)
+
+  /** Total length of each operand's boundary classified against the
+    * other: (strictly inside, coincident, strictly outside) — the
+    * boundary rows of the DE-9IM matrix. First triple is A's boundary
+    * vs B, second is B's vs A.
+    */
+  def boundaryClassification(aIn: Seq[Polygon], bIn: Seq[Polygon])
+      : ((Double, Double, Double), (Double, Double, Double)) = {
+    val p = prepare(aIn, bIn)
+    def sums(frags: Seq[(Frag, Cls)]): (Double, Double, Double) = {
+      def len(f: Frag) = math.hypot(f.b.x - f.a.x, f.b.y - f.a.y)
+      (frags.collect { case (f, Inside) => len(f) }.sum,
+        frags.collect { case (f, SharedSame) => len(f)
+                        case (f, SharedOpposite) => len(f) }.sum,
+        frags.collect { case (f, Outside) => len(f) }.sum)
+    }
+    (sums(p.fragsA), sums(p.fragsB))
+  }
+
+  private def prepare(aIn: Seq[Polygon], bIn: Seq[Polygon]): Prep = {
     val a = aIn.map(normalize); val b = bIn.map(normalize)
 
     // tolerances relative to the coordinate scale (same discipline as the
@@ -165,8 +190,20 @@ object PolygonOverlay {
       }
     }
 
-    val fragsA = split(edgesA, edgesB).map(f => (f, classify(f, edgesB, b)))
-    val fragsB = split(edgesB, edgesA).map(f => (f, classify(f, edgesA, a)))
+    Prep(a, b,
+      split(edgesA, edgesB).map(f => (f, classify(f, edgesB, b))),
+      split(edgesB, edgesA).map(f => (f, classify(f, edgesA, a))),
+      distTol, orientTol)
+  }
+
+  def overlay(aIn: Seq[Polygon], bIn: Seq[Polygon], op: Op): Seq[Polygon] = {
+    val prep = prepare(aIn, bIn)
+    val Prep(_, _, fragsA, fragsB, distTol, orientTol) = prep
+
+    def nearSegment(s: GPoint, e: GPoint, p: GPoint): Boolean =
+      math.abs(orient(s, e, p)) <= orientTol &&
+        p.x >= math.min(s.x, e.x) - distTol && p.x <= math.max(s.x, e.x) + distTol &&
+        p.y >= math.min(s.y, e.y) - distTol && p.y <= math.max(s.y, e.y) + distTol
 
     // ── 3. select (result interior stays on the LEFT) ────────────────
     // Coincident fragments are kept exactly once, always from A's copy:

@@ -654,7 +654,8 @@ object SpatialOps extends QueryGroup {
          |  round(0.37, 4) AS frac,
          |  concat('POINT (', dx, ' ', dy, ')') AS start_pt,
          |  CAST(3 AS INT) AS npts, CAST(1 AS INT) AS nrings, CAST(2 AS INT) AS ngeoms,
-         |  true AS wkb_ok, true AS boundary_mp, true AS invalid_reason_ok
+         |  true AS wkb_ok, true AS boundary_mp, true AS invalid_reason_ok,
+         |  true AS rel_touches, true AS rel_overlaps, false AS rel_disjoint
          |FROM c ORDER BY c_custkey""".stripMargin) { (sp, _) =>
       sp.sql(
         s"""WITH c AS (SELECT c_custkey, CAST(c_custkey % 50 AS INT) AS dx,
@@ -707,7 +708,10 @@ object SpatialOps extends QueryGroup {
            |  startswith(st_boundary(lin), 'MULTIPOINT') AS boundary_mp,
            |  geometry_invalid_reason(concat('POLYGON ((', dx, ' ', dy, ', ', dx + 2, ' ', dy + 2,
            |    ', ', dx + 2, ' ', dy, ', ', dx, ' ', dy + 2, ', ', dx, ' ', dy, '))'))
-           |    LIKE '%self-intersecting%' AS invalid_reason_ok
+           |    LIKE '%self-intersecting%' AS invalid_reason_ok,
+           |  st_relate(sq, shifted, 'F***T****') AS rel_touches,
+           |  st_relate(sq, ovl, 'T*T***T**') AS rel_overlaps,
+           |  st_relate(sq, ovl, 'FF*FF****') AS rel_disjoint
            |FROM w ORDER BY c_custkey""".stripMargin)
     },
 

@@ -106,6 +106,34 @@ class GeometryExtrasSpec extends AnyFunSuite {
     assert(!stCrosses("LINESTRING (1 1, 2 2)", sq)) // fully inside
   }
 
+  test("ST_Relate: DE-9IM matrices match the canonical relation patterns") {
+    val shifted = "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))"
+    val overlap = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"
+    val inside = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+    val far = "POLYGON ((9 9, 11 9, 11 11, 9 11, 9 9))"
+    val corner = "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"
+    assert(de9im(sq, sq) == "2FFF1FFF2") // equals
+    assert(de9im(sq, far) == "FF2FF1212") // disjoint
+    assert(de9im(sq, shifted) == "FF2F11212") // touches along an edge
+    assert(de9im(sq, corner) == "FF2F01212") // touches at a corner point
+    assert(de9im(sq, overlap) == "212101212") // overlaps
+    assert(de9im(sq, inside) == "212FF1FF2") // contains (proper)
+    assert(de9im("POINT (2 2)", sq) == "0FFFFF212") // point in interior
+    assert(de9im("POINT (4 2)", sq) == "F0FFFF212") // point on boundary
+    assert(de9im("POINT (9 9)", sq) == "FF0FFF212") // point outside
+    assert(de9im(sq, "POINT (2 2)") == "0F2FF1FF2") // transpose
+    // the 3-arg reference surface: named relations as patterns
+    assert(stRelate(sq, sq, "T*F**FFF*"))          // equals
+    assert(stRelate(sq, far, "FF*FF****"))          // disjoint
+    // touches is the disjunction of three patterns; edge contact hits BB
+    assert(stRelate(sq, shifted, "F***T****") ||
+      stRelate(sq, shifted, "FT*******") || stRelate(sq, shifted, "F**T*****"))
+    assert(stRelate(sq, corner, "F***T****")) // point contact also via BB
+    assert(stRelate(sq, overlap, "T*T***T**"))      // overlaps (areal)
+    assert(stRelate(sq, inside, "T*****FF*"))       // contains
+    assert(!stRelate(sq, overlap, "FF*FF****"))
+  }
+
   test("general geometry distance: exact for disjoint shapes, 0 on contact") {
     assert(GeometryExtrasTestAccess.dist(sq, "POLYGON ((7 0, 9 0, 9 2, 7 2, 7 0))") == 3.0)
     assert(GeometryExtrasTestAccess.dist(sq, "POINT (4 7)") == 3.0)
