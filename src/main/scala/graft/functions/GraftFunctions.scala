@@ -476,6 +476,31 @@ object GraftFunctions {
     "map_union" -> { case Seq(m) => MapUnionAgg(m).toAggregateExpression() },
     // ArbitraryAggregationFunction.java — any non-null value
     "arbitrary" -> { args => First(args.head, ignoreNulls = true).toAggregateExpression() },
+    // ── Bloom membership sketch (pipeline extension; the reference has no
+    // bloom surface — its closest is SetDigest's exact-short-circuit,
+    // presto-main/.../type/setdigest/SetDigest.java). Wraps Spark's own
+    // TypedImperativeAggregate (partial blooms built map-side per
+    // partition, OR-merged) so the sketch stays codegen-adjacent and
+    // spill-safe. The value is hashed with XxHash64 on BOTH the build and
+    // probe sides, so any input type works and the two sides always
+    // agree. bloom_filter_agg(v[, items[, bits]]) → varbinary;
+    // bloom_might_contain(bf, v) → boolean, NO false negatives (what
+    // makes a prefilter-then-exact-verify pipeline return exact results).
+    "bloom_filter_agg" -> {
+      case Seq(v) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new XxHash64(Seq(v))).toAggregateExpression()
+      case Seq(v, items) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new XxHash64(Seq(v)), items).toAggregateExpression()
+      case Seq(v, items, bits) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new XxHash64(Seq(v)), items, bits).toAggregateExpression()
+    },
+    "bloom_might_contain" -> { case Seq(bf, v) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        bf, new XxHash64(Seq(v)))
+    },
     // arrayagg/ArrayAggregationFunction.java:50 — Presto's array_agg KEEPS
     // nulls; Spark's collect_list drops them. Wrap each value in a struct
     // (struct fields preserve null), collect, then unwrap with an

@@ -281,6 +281,117 @@ object CurationOps extends QueryGroup {
         .orderBy("c_custkey")
     },
 
+    // ── URL-canonicalization dedup: the crawl-side dedup that runs
+    // BEFORE content dedup (a page re-crawled under utm-tagged, mixed-
+    // case, default-port, trailing-slash URL variants is one document).
+    // The fixture has no URL column, so a deterministic per-doc URL is
+    // synthesized in-query with all four variance classes; the engine
+    // side canonicalizes with the Presto URL family (url_extract_host/
+    // path/query — reference: presto-main/.../scalar/UrlFunctions.java)
+    // plus array lambdas for param filtering; the DuckDB twin re-derives
+    // the same canonical form with regexes. Canonical rules: lowercase
+    // scheme+host, strip leading www., drop default port, strip trailing
+    // slash, drop utm_*/fbclid/gclid params, sort surviving params, drop
+    // the fragment. Map-side expression work + one hash agg — the same
+    // one-shuffle shape as dd_exact at any scale. ──
+    q("dd_url_canonical",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+        |      || source || '.Example.COM'
+        |      || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+        |      || '/Articles/P' || (doc_id % 13)
+        |      || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN '?utm_source=feed&id=' || (doc_id % 13)
+        |           ELSE '?id=' || (doc_id % 13) END
+        |      || CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    'https://'
+        |      || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)), '^www\.', '')
+        |      || rtrim(lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)), '/')
+        |      || CASE WHEN array_to_string(list_sort(list_filter(
+        |               string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |               p -> NOT (p LIKE 'utm_%' OR p LIKE 'fbclid=%' OR p LIKE 'gclid=%'))), '&') <> ''
+        |           THEN '?' || array_to_string(list_sort(list_filter(
+        |               string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |               p -> NOT (p LIKE 'utm_%' OR p LIKE 'fbclid=%' OR p LIKE 'gclid=%'))), '&')
+        |           ELSE '' END AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM c GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin) { (s, _) =>
+      val u = s.table("documents").select(col("doc_id"),
+        concat(lit("HTTPS://"),
+          when(col("doc_id") % 2 === 0, "WWW.").otherwise(""),
+          col("source"), lit(".Example.COM"),
+          when(col("doc_id") % 3 === 0, ":443").otherwise(""),
+          lit("/Articles/P"), (col("doc_id") % 13).cast("string"),
+          when(col("doc_id") % 4 === 0, "/").otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("?utm_source=feed&id="), (col("doc_id") % 13).cast("string")))
+            .otherwise(concat(lit("?id="), (col("doc_id") % 13).cast("string"))),
+          when(col("doc_id") % 7 === 0, "#top").otherwise("")).as("url"))
+      val canonParams = array_join(array_sort(filter(
+        split(coalesce(expr("url_extract_query(url)"), lit("")), "&"),
+        p => !(p.startsWith("utm_") || p.startsWith("fbclid=") || p.startsWith("gclid=")))), "&")
+      val c = u.select(col("doc_id"),
+        concat(lit("https://"),
+          regexp_replace(lower(expr("url_extract_host(url)")), "^www\\.", ""),
+          regexp_replace(lower(expr("url_extract_path(url)")), "/$", ""),
+          when(canonParams =!= "", concat(lit("?"), canonParams)).otherwise(""))
+          .as("canonical_url"))
+      c.groupBy("canonical_url")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("canonical_url")
+    },
+
+    // ── character-trigram LM perplexity (the CCNet-style quality
+    // signal): score each document under a trigram language model
+    // trained on the corpus itself. The model side is INTRINSICALLY
+    // BOUNDED — the normalized alphabet is [a-z0-9 ], so the gram table
+    // can never exceed 37³ ≈ 50k rows no matter how large the corpus —
+    // which is what makes the scoring join a broadcast at 100 TB: one
+    // map-side explode + bounded-table probe + per-doc agg, the corpus
+    // is never shuffled on the gram key. Production trains the model on
+    // a clean reference corpus (KenLM in CCNet); self-scoring keeps the
+    // demo closed over the fixture while exercising the identical plan
+    // shape. ──
+    q("tx_perplexity",
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
+        |    i -> substr(t, CAST(i AS INT), 3))) AS g
+        |  FROM norm WHERE length(t) >= 3),
+        |model AS (
+        |  SELECT g, ln(CAST(count(*) AS DOUBLE)
+        |    / (SELECT count(*) FROM grams)) AS logp
+        |  FROM grams GROUP BY g)
+        |SELECT d.doc_id, count(*) AS n_trigrams,
+        |  round(exp(-sum(m.logp) / count(*)), 4) AS perplexity
+        |FROM grams d JOIN model m ON d.g = m.g
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, _) =>
+      val norm = s.table("documents").select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
+        .filter(length(col("t")) >= 3)
+      val grams = norm.select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("g"))
+      val total = grams.agg(count(lit(1))).scalar()
+      val model = grams.groupBy("g").agg(
+        log(count(lit(1)).cast("double") / total).as("logp"))
+      grams.join(broadcast(model), "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(exp(-sum("logp") / count(lit(1))), 4).as("perplexity"))
+        .orderBy("doc_id")
+    },
+
     // ── repetition signals (the Gopher rep_* family): fraction of the
     // doc covered by its most frequent word 2-gram, plus the duplicate-
     // token fraction. Explode + hash agg with map-side partials; the

@@ -220,6 +220,69 @@ object TextOps extends QueryGroup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Bloom-prefiltered exact dedup against a historical corpus — the
+    * day-N EXACT-dedup analog of [[incrementalMinhashPairs]]. The corpus
+    * is summarized ONCE into a Bloom filter over
+    * xxhash64(text) — a distributed build (partial blooms per partition,
+    * OR-merged by Spark's TypedImperativeAggregate) whose result is a
+    * single small binary, attached to the probe as a scalar subquery.
+    * Each new batch probes the bloom
+    * MAP-SIDE: rows the bloom rejects are definitively not duplicates
+    * (no false negatives) and never reach a shuffle; only the suspected
+    * fraction (true dups + fpp of the rest) pays the exact-verify join.
+    *
+    * Exactness: bloom false POSITIVES are eliminated by the verify
+    * join's text-equality condition, and false negatives don't exist, so
+    * the output is bit-identical to the plain corpus⋈batch exact join —
+    * which is exactly what the DuckDB oracle runs.
+    *
+    * 100 TB sizing: bits = −n·ln(p)/ln²2 ≈ 10 bits/item at p=1%. A 1e9-doc
+    * corpus is ~1.2 GB of bloom — broadcastable; at 1e10+ items,
+    * partition the sketch (bucket = digest mod B, one bloom per bucket,
+    * probe joins on the bucket id) so each executor holds only the
+    * buckets it probes. The fixture-scale demo keeps the single
+    * broadcast sketch (1M items / 8M bits ≈ 1 MB).
+    */
+  /** The day-N ingest batch the demo dedups: a 10% re-crawl of the corpus
+    * (guaranteed exact duplicates — offset ids model the crawler
+    * re-fetching the same page) plus a disjoint 10% of synthesized fresh
+    * documents (guaranteed non-duplicates the bloom must prune). Both
+    * halves are deterministic functions of the fixture, so the DuckDB
+    * oracle derives the identical batch.
+    */
+  def dayNBatch(docs: DataFrame): DataFrame = {
+    val recrawl = docs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("fresh crawl "), col("doc_id").cast("string"), lit(" "),
+          substring(col("text"), 1, 40)).as("text"))
+    recrawl.unionByName(fresh)
+  }
+
+  def bloomPrefilterDedup(docs: DataFrame): DataFrame = {
+    val corpus = docs.select(col("doc_id").as("corpus_id"), col("text"))
+    val batch = dayNBatch(docs)
+    // scalar subquery: might_contain requires its bloom input be a
+    // constant or scalar subquery (the same shape Spark's own runtime
+    // shuffle-join filters inject) — the subquery runs once and its 1 MB
+    // result ships with the filter, never a per-row join
+    val bloom = corpus.agg(expr("bloom_filter_agg(text, 1000000L)")).scalar()
+    val suspects = batch
+      .filter(call_function("bloom_might_contain", bloom, col("text")))
+      .select(col("doc_id"), col("text"), xxhash64(col("text")).as("digest"))
+    // equi-join on the LONG digest (cheap shuffle key); text equality in
+    // the same condition removes both hash collisions and bloom false
+    // positives, so the result is the exact join's.
+    val corpusKeyed = corpus.withColumn("digest", xxhash64(col("text")))
+    suspects.join(corpusKeyed,
+        suspects("digest") === corpusKeyed("digest") &&
+          suspects("text") === corpusKeyed("text"))
+      .groupBy(suspects("doc_id"))
+      .agg(min(col("corpus_id")).as("dup_of"), count(lit(1)).as("n_copies"))
+      .orderBy("doc_id")
+  }
+
   /** Map-side minhash band keys: the same signature values as
     * bandedDocKeys (per shingle h = xxhash64(s); per permutation
     * p_i = xxhash64(i, h); sig_i = min over shingles; band key =
@@ -554,6 +617,24 @@ object TextOps extends QueryGroup {
     // with the batch pairs pinned in TextOpsSpec)
     qNoOracle("dd_incremental_minhash") { (s, dir) =>
       incrementalMinhashPairs(s, s.table("documents"), dir)
+    },
+
+    // ── Bloom-prefiltered exact dedup vs a historical corpus ──
+    // The bloom is an internal prefilter with no false negatives, so the
+    // result equals the plain exact join — which IS the oracle.
+    q("dd_bloom_prefilter",
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    'fresh crawl ' || doc_id || ' ' || substr(text, 1, 40) AS text
+        |  FROM documents WHERE doc_id % 10 = 7
+        |)
+        |SELECT b.doc_id, min(o.doc_id) AS dup_of, count(*) AS n_copies
+        |FROM batch b JOIN documents o ON b.text = o.text
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, _) =>
+      bloomPrefilterDedup(s.table("documents"))
     },
 
     // ── SimHash (64-bit) + banded hamming-distance candidate pairs ──

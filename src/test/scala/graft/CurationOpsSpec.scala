@@ -124,4 +124,53 @@ class CurationOpsSpec extends AnyFunSuite {
         .createOrReplaceTempView("documents")
     }
   }
+
+  test("dd_url_canonical: every variance class collapses onto one canonical URL") {
+    val out = SparkEntry.queries("dd_url_canonical")(spark, TestSession.sf).collect()
+    // canonical form: no scheme/host uppercase, no www., no default port,
+    // no trailing slash before ?, no utm_ params, no fragment
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val u = r.getString(0)
+      assert(u.startsWith("https://") && !u.contains("WWW.") && !u.contains("www."),
+        s"host not canonical: $u")
+      assert(!u.contains(":443") && !u.contains("#") && !u.contains("utm_"),
+        s"port/fragment/tracking survived: $u")
+      assert(u == u.toLowerCase, s"case survived: $u")
+      assert(!u.contains("/?") && !u.matches(".*/$"), s"trailing slash survived: $u")
+    }
+    // the synthesis maps every doc to (source, doc_id % 13): with
+    // 20 sources × 13 pages the fixture's docs MUST collapse — total
+    // canonicals is bounded and copies exceed 1 somewhere
+    assert(out.length <= 20 * 13, s"${out.length} canonicals — variants did not collapse")
+    assert(out.map(_.getLong(2)).max > 1, "no URL variant group collapsed")
+    // conservation: group sizes sum to the corpus size
+    val n = Tables.load(spark, TestSession.sf, "documents").count()
+    assert(out.map(_.getLong(2)).sum == n)
+  }
+
+  test("tx_perplexity: repetitive text scores lower perplexity than diverse text") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "abc " * 200),                                // one trigram pattern
+      (2L, (1 to 200).map(i => s"z${i}q${i * 7}").mkString(" ")),  // high entropy
+    )).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents")
+    try {
+      val r = SparkEntry.queries("tx_perplexity")(spark, TestSession.sf)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(r(1L) < r(2L),
+        s"repetitive doc ppl ${r(1L)} should be below diverse doc ppl ${r(2L)}")
+      assert(r(1L) >= 1.0, "perplexity is bounded below by 1")
+    } finally {
+      Tables.load(spark, TestSession.sf, "documents")
+        .createOrReplaceTempView("documents")
+    }
+  }
+
+  test("tx_perplexity: the model side is bounded and broadcast (100 TB scale shape)") {
+    val plan = SparkEntry.queries("tx_perplexity")(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"gram-model join must broadcast the bounded (≤37³ rows) model side:\n$plan")
+  }
 }

@@ -238,4 +238,38 @@ class TextOpsSpec extends AnyFunSuite {
     val langs = Set("en", "es", "de", "fr")
     assert(out.forall(r => langs.contains(r.getAs[String]("predicted"))))
   }
+
+  test("bloom prefilter dedup equals the plain exact join (no false negatives)") {
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+    val got = operators.TextOps.bloomPrefilterDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = operators.TextOps.dayNBatch(docs)
+      .join(docs.select(col("doc_id").as("corpus_id"), col("text")), "text")
+      .groupBy("doc_id")
+      .agg(min("corpus_id").as("dup_of"), count(lit(1)).as("n_copies"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "the re-crawl half of the batch is all duplicates")
+    assert(got.sameElements(expect),
+      "bloom has no false negatives and verify removes false positives, " +
+        "so the prefiltered result must be bit-identical to the exact join")
+  }
+
+  test("bloom prefilter actually prunes: fresh docs never reach the verify join") {
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+    val corpus = docs.select("text")
+    val batch = operators.TextOps.dayNBatch(docs)
+    val bloom = corpus.agg(expr("bloom_filter_agg(text, 1000000L)")).scalar()
+    val nRecrawl = batch.filter(col("doc_id") < 2000000L).count()
+    val nFresh = batch.filter(col("doc_id") >= 2000000L).count()
+    val nSuspect = batch
+      .filter(call_function("bloom_might_contain", bloom, col("text"))).count()
+    // every re-crawled duplicate must pass the bloom (no false negatives)…
+    assert(nSuspect >= nRecrawl)
+    // …and the fresh docs are pruned up to the configured fpp (1M items
+    // on default bits ≈ 2–3%; generous slack for tiny fixtures)
+    assert(nSuspect <= nRecrawl + math.max(5L, (nFresh * 0.1).toLong),
+      s"suspects $nSuspect vs $nRecrawl re-crawled of ${nRecrawl + nFresh} " +
+        "batch rows — the prefilter is not pruning")
+  }
 }
