@@ -51,7 +51,12 @@ object Bench {
     "tpcds_q75", "tpcds_q64", "dd_embedding_lsh", "pipe_corpus_curation",
     // round-6 curation ops: decontamination (map-side 5-gram probe vs a
     // broadcast eval set) and sequence packing (per-source running sum)
-    "dd_decontaminate", "pipe_pack_sequences")
+    "dd_decontaminate", "pipe_pack_sequences",
+    // round-8 ops: bloom-prefiltered day-N exact dedup (scalar-subquery
+    // bloom + exact verify), URL-canonicalization dedup (Presto URL
+    // family map-side), trigram-LM perplexity scoring (bounded model
+    // broadcast join)
+    "dd_bloom_prefilter", "dd_url_canonical", "tx_perplexity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
