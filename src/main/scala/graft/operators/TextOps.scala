@@ -741,6 +741,59 @@ object TextOps extends QueryGroup {
       clustersOf(minhashPairs(s.table("documents")).select("doc_a", "doc_b"))
     },
 
+    // ── quality-aware survivor selection: per duplicate cluster keep
+    // the BEST document (longest, tiebreak lowest id), not an arbitrary
+    // one — what a curation run actually passes downstream (near-dup
+    // groups keep the most complete crawl). rank-1-per-cluster is the
+    // WindowGroupLimit shape: each partial keeps one row per cluster
+    // before the shuffle, so survivor selection moves |clusters| rows
+    // at 100 TB, not the corpus. ──
+    q("dd_survivors_quality",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')) AS tokens
+        |  FROM documents
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM toks a JOIN toks b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.8
+        |),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+        |),
+        |labels AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+        |  FROM reach GROUP BY src
+        |),
+        |sel AS (
+        |  SELECT l.cluster, l.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY l.cluster
+        |      ORDER BY d.n_chars DESC, l.doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY l.cluster) AS cluster_size
+        |  FROM labels l JOIN documents d USING (doc_id))
+        |SELECT cluster, doc_id AS survivor,
+        |  CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(n_chars AS BIGINT) AS kept_chars
+        |FROM sel WHERE rk = 1 ORDER BY cluster""".stripMargin) { (s, _) =>
+      val cl = clustersOf(exactJaccardPairs(s.table("documents"))
+        .select("doc_a", "doc_b"))
+      val d = s.table("documents").select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      cl.join(d, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cluster"), col("doc_id").as("survivor"),
+          col("cluster_size"), col("n_chars").as("kept_chars"))
+        .orderBy("cluster")
+    },
+
     // ── token counting + quality scoring ──
     q("tx_stats",
       """WITH t AS (

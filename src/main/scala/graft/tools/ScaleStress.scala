@@ -110,7 +110,12 @@ object ScaleStress {
       // worst case for the join-back volume)
       "dd_exact_substring",
       "pipe_corpus_curation", "pipe_pack_sequences", "pipe_seeded_shuffle",
-      "pipe_domain_mixture")
+      "pipe_domain_mixture",
+      // round-8 late additions: bloom prefilter (duplicate-saturated
+      // corpus = worst case for suspect volume), URL canonicalization
+      // (pure map-side + one shuffle), trigram LM (bounded model — the
+      // broadcast side must NOT grow with the corpus)
+      "dd_bloom_prefilter", "dd_url_canonical", "tx_perplexity")
     def once(q: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()

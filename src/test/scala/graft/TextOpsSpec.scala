@@ -239,6 +239,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.forall(r => langs.contains(r.getAs[String]("predicted"))))
   }
 
+  test("dd_survivors_quality: longest doc (tiebreak min id) survives each cluster") {
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val membership = run("dd_jaccard_clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster")))
+    val expected = membership.groupBy(_._2).map { case (c, ms) =>
+      c -> ms.map(_._1).minBy(id => (-chars(id), id))
+    }
+    val got = run("dd_survivors_quality").collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("survivor")).toMap
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("dd_survivors_quality: rank-1 filter pushes into WindowGroupLimit") {
+    val plan = run("dd_survivors_quality").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"survivor selection must keep one row per cluster pre-shuffle:\n$plan")
+  }
+
   test("bloom prefilter dedup equals the plain exact join (no false negatives)") {
     val docs = Tables.load(spark, TestSession.sf, "documents")
     val got = operators.TextOps.bloomPrefilterDedup(docs).collect()
