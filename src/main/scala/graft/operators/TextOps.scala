@@ -283,6 +283,83 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Number of bloom-index builds this JVM (spec observability — the
+    * reuse path must NOT rebuild).
+    */
+  private[graft] val bloomIndexBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fingerprint version for the persisted bloom index — bump when the
+    * probe-hash or digest derivation changes shape (same discipline as
+    * [[LshFormulaVersion]]: a formula change can never silently reuse an
+    * index built under the old scheme).
+    */
+  private val BloomFormulaVersion = 1
+
+  /** Day-N exact dedup against a PERSISTED corpus index — the
+    * incremental form of [[bloomPrefilterDedup]]. One corpus pass
+    * persists (md5 digest, corpus_id) plus the bloom bytes; every
+    * subsequent batch probes the bloom map-side and joins survivors
+    * against the digest index on the 128-bit digest — the corpus text
+    * is NEVER re-read. md5 stands in for the text-equality verify (a
+    * 128-bit collision is ~2^-64 at any feasible corpus size, the same
+    * contract content-addressed stores run on), which is what keeps the
+    * index at ~48 bytes/doc instead of a corpus copy. Recurring cost:
+    * O(batch) signatures + one equi-join against the index.
+    */
+  def incrementalBloomDedup(spark: SparkSession, docs: DataFrame,
+      indexKey: String): DataFrame = {
+    val root = sys.props.getOrElse("graft.index.root",
+      sys.props("java.io.tmpdir"))
+    val dir = s"$root/graft-bloom-index-v$BloomFormulaVersion-" +
+      indexKey.replaceAll("[^A-Za-z0-9.]", "_")
+    val digestsDir = s"$dir/digests"
+    val bloomFile = java.nio.file.Paths.get(s"$dir/bloom.bin")
+    if (!new java.io.File(s"$digestsDir/_SUCCESS").exists ||
+        !java.nio.file.Files.exists(bloomFile)) {
+      bloomIndexBuilds.incrementAndGet()
+      docs.select(md5(col("text")).as("digest"), col("doc_id").as("corpus_id"))
+        .write.mode("overwrite").parquet(digestsDir)
+      val bytes = docs.agg(expr("bloom_filter_agg(text, 1000000L)"))
+        .head.getAs[Array[Byte]](0)
+      java.nio.file.Files.write(bloomFile, bytes)
+    }
+    val bloomBytes = java.nio.file.Files.readAllBytes(bloomFile)
+    val index = spark.read.parquet(digestsDir)
+    val suspects = dayNBatch(docs)
+      .filter(call_function("bloom_might_contain", lit(bloomBytes), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+    suspects.join(index, "digest")
+      .groupBy("doc_id")
+      .agg(min("corpus_id").as("dup_of"), count(lit(1)).as("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** Streaming bloom-prefiltered exact dedup — the continuous form of
+    * [[bloomPrefilterDedup]]: the historical corpus's bloom is built
+    * ONCE batch-side and embedded as a binary literal in the streaming
+    * filter (the sketch is a broadcast-sized artifact by design — the
+    * one driver-side collect here is the sketch itself, never data), so
+    * the stream is prefiltered MAP-SIDE with zero streaming state;
+    * survivors exact-verify through a stream-static equi-join on the
+    * LONG digest with text equality in the same condition. Emits one
+    * (doc_id, corpus_id) row per exact duplicate — append-mode safe;
+    * StreamingSpec pins parity with the batch pipeline's aggregates.
+    */
+  def streamingBloomDedup(streamDocs: DataFrame, staticDocs: DataFrame): DataFrame = {
+    val corpus = staticDocs.select(col("doc_id").as("corpus_id"), col("text"))
+    val bloomBytes = corpus.agg(expr("bloom_filter_agg(text, 1000000L)"))
+      .head.getAs[Array[Byte]](0)
+    val suspects = streamDocs
+      .filter(call_function("bloom_might_contain", lit(bloomBytes), col("text")))
+      .select(col("doc_id"), col("text"), xxhash64(col("text")).as("digest"))
+    val corpusKeyed = corpus.withColumn("digest", xxhash64(col("text")))
+    suspects.join(corpusKeyed,
+        suspects("digest") === corpusKeyed("digest") &&
+          suspects("text") === corpusKeyed("text"))
+      .select(suspects("doc_id"), col("corpus_id"))
+  }
+
   /** Map-side minhash band keys: the same signature values as
     * bandedDocKeys (per shingle h = xxhash64(s); per permutation
     * p_i = xxhash64(i, h); sig_i = min over shingles; band key =
@@ -635,6 +712,25 @@ object TextOps extends QueryGroup {
         |FROM batch b JOIN documents o ON b.text = o.text
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, _) =>
       bloomPrefilterDedup(s.table("documents"))
+    },
+
+    // the persisted-index form: same result (md5 digest join ≡ text
+    // equality at any feasible corpus size), but the recurring day-N
+    // cost never re-reads the corpus — oracle identical to
+    // dd_bloom_prefilter by construction
+    q("dd_bloom_incremental",
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    'fresh crawl ' || doc_id || ' ' || substr(text, 1, 40) AS text
+        |  FROM documents WHERE doc_id % 10 = 7
+        |)
+        |SELECT b.doc_id, min(o.doc_id) AS dup_of, count(*) AS n_copies
+        |FROM batch b JOIN documents o ON md5(b.text) = md5(o.text)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      incrementalBloomDedup(s, s.table("documents"), dir)
     },
 
     // ── SimHash (64-bit) + banded hamming-distance candidate pairs ──

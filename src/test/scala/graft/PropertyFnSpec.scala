@@ -174,4 +174,39 @@ class PropertyFnSpec extends AnyFunSuite {
       assert(r.getString(1) == r.getString(0), s"s=${r.getString(0)}")
     }
   }
+
+  test("property: url_extract_* recover the components a URL was built from") {
+    Tables.register(spark, TestSession.sf)
+    import spark.implicits._
+    val host = for {
+      a <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(10))
+      b <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(10))
+    } yield s"$a.$b.com"
+    val seg = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(8))
+    val gen = for {
+      proto <- Gen.oneOf("http", "https")
+      h <- host
+      port <- Gen.option(Gen.choose(1, 65535))
+      p1 <- seg; p2 <- seg
+      k <- seg; v <- seg
+      frag <- Gen.option(seg)
+    } yield (proto, h, port, s"/$p1/$p2", s"$k=$v", k, v, frag)
+    val rows = samples(gen, 300, 48L)
+    val df = rows.map { case (proto, h, port, path, qs, k, _, frag) =>
+      val url = proto + "://" + h + port.map(":" + _).getOrElse("") +
+        path + "?" + qs + frag.map("#" + _).getOrElse("")
+      (url, k)
+    }.toDF("url", "k").selectExpr(
+      "url_extract_protocol(url)", "url_extract_host(url)",
+      "url_extract_port(url)", "url_extract_path(url)",
+      "url_extract_query(url)", "url_extract_parameter(url, k)",
+      "url_extract_fragment(url)")
+    df.collect().zip(rows).foreach { case (r, (proto, h, port, path, qs, _, v, frag)) =>
+      assert(r.getString(0) == proto && r.getString(1) == h, s"proto/host: $r")
+      assert(Option(r.get(2)).map(_.toString.toInt) == port, s"port: $r vs $port")
+      assert(r.getString(3) == path && r.getString(4) == qs, s"path/query: $r")
+      assert(r.getString(5) == v, s"parameter: $r vs $v")
+      assert(Option(r.getString(6)) == frag, s"fragment: $r vs $frag")
+    }
+  }
 }

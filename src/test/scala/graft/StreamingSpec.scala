@@ -367,4 +367,30 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming pairs (${streaming.size}) != batch new-old pairs (${batch.size})")
     assert(streaming.nonEmpty)
   }
+
+  test("streaming bloom-prefilter dedup equals the batch day-N result") {
+    import graft.operators.TextOps
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+    val batchDf = TextOps.dayNBatch(docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-bloom")
+    batchDf.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val out = TextOps.streamingBloomDedup(
+      spark.readStream.schema(schema).parquet(dir.toString), docs)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("bloom_stream_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // the stream emits one row per (new doc, corpus match); aggregate
+    // driver-side to the batch pipeline's (doc, dup_of, n_copies) shape
+    val streaming = spark.table("bloom_stream_out").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => (id, rs.map(_.getLong(1)).min, rs.length.toLong) }
+      .toSet
+    val batch = TextOps.bloomPrefilterDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streaming == batch,
+      s"streaming dedup (${streaming.size}) != batch (${batch.size})")
+    assert(streaming.nonEmpty)
+  }
 }

@@ -275,6 +275,23 @@ class TextOpsSpec extends AnyFunSuite {
         "so the prefiltered result must be bit-identical to the exact join")
   }
 
+  test("incremental bloom dedup equals the one-shot pipeline; reuse skips the rebuild") {
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+    val key = s"${TestSession.sf}-bloomspec"
+    val oneShot = operators.TextOps.bloomPrefilterDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc1 = operators.TextOps.incrementalBloomDedup(spark, docs, key).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc1 == oneShot,
+      "the md5-digest index join must reproduce the text-equality result")
+    val builds = operators.TextOps.bloomIndexBuilds.get
+    val inc2 = operators.TextOps.incrementalBloomDedup(spark, docs, key).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc2 == inc1)
+    assert(operators.TextOps.bloomIndexBuilds.get == builds,
+      "second ingestion must reuse the persisted bloom+digest index")
+  }
+
   test("bloom prefilter actually prunes: fresh docs never reach the verify join") {
     val docs = Tables.load(spark, TestSession.sf, "documents")
     val corpus = docs.select("text")
