@@ -476,6 +476,39 @@ object GraftFunctions {
     "map_union" -> { case Seq(m) => MapUnionAgg(m).toAggregateExpression() },
     // ArbitraryAggregationFunction.java — any non-null value
     "arbitrary" -> { args => First(args.head, ignoreNulls = true).toAggregateExpression() },
+    // ── classification-metric curve family
+    // (PrecisionRecallAggregation.java + the five Classification*
+    // subclasses): fixed two-histogram state, array-of-metric output at
+    // thresholds i/buckets; 0.235's miss_rate/fall_out quirks matched to
+    // its own tests — see ClassificationMetricAgg's scaladoc. ──
+    "classification_thresholds" -> classificationBuilder("thresholds"),
+    "classification_precision" -> classificationBuilder("precision"),
+    "classification_recall" -> classificationBuilder("recall"),
+    "classification_miss_rate" -> classificationBuilder("miss_rate"),
+    "classification_fall_out" -> classificationBuilder("fall_out"),
+    // ── bounded top-n family (MaxNAggregationFunction.java,
+    // minmaxby/AbstractMinMaxByNAggregationFunction.java). The 1-/2-arg
+    // spellings delegate to Spark's native aggregates UNWRAPPED — the
+    // analyzer wraps and applies DISTINCT/FILTER exactly as it does for
+    // the built-in registrations, so shadowing "max"/"min" is
+    // semantics-preserving; the n-arg spellings build the bounded-heap
+    // aggregate (buffer can never exceed n entries, any group size). ──
+    "max" -> {
+      case Seq(c) => Max(c)
+      case Seq(c, nLit) => MinMaxByNAgg(c, c, nLit, isMax = true)
+    },
+    "min" -> {
+      case Seq(c) => Min(c)
+      case Seq(c, nLit) => MinMaxByNAgg(c, c, nLit, isMax = false)
+    },
+    "max_by" -> {
+      case Seq(v, k) => MaxBy(v, k)
+      case Seq(v, k, nLit) => MinMaxByNAgg(v, k, nLit, isMax = true)
+    },
+    "min_by" -> {
+      case Seq(v, k) => MinBy(v, k)
+      case Seq(v, k, nLit) => MinMaxByNAgg(v, k, nLit, isMax = false)
+    },
     // ── Bloom membership sketch (pipeline extension; the reference has no
     // bloom surface — its closest is SetDigest's exact-short-circuit,
     // presto-main/.../type/setdigest/SetDigest.java). Wraps Spark's own
@@ -922,6 +955,18 @@ object GraftFunctions {
     new ParseUrl(Seq(u, Literal(part)))
 
   /** Per-row Joda→java pattern translation for column-valued patterns. */
+  /** classification_*(buckets, outcome, pred[, weight]) — pred/weight
+    * coerced to double as the reference's DOUBLE signature does.
+    */
+  private def classificationBuilder(metric: String): Seq[Expression] => Expression = {
+    case Seq(b, o, p) =>
+      ClassificationMetricAgg(b, o, Cast(p, DoubleType), Literal(1.0), metric)
+        .toAggregateExpression()
+    case Seq(b, o, p, w) =>
+      ClassificationMetricAgg(b, o, Cast(p, DoubleType), Cast(w, DoubleType), metric)
+        .toAggregateExpression()
+  }
+
   private def jodaPatternAt(f: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
       GraftFnUtils.getClass, StringType, "jodaToJavaPatternU",

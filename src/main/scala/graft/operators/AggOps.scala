@@ -140,6 +140,82 @@ object AggOps extends QueryGroup {
         .orderBy("c_nationkey")
     },
 
+    // bounded top-n family: max(x,n)/min(x,n)/max_by(x,y,n)/min_by(x,y,n)
+    // (reference MaxNAggregationFunction.java + minmaxby/
+    // AbstractMinMaxByNAggregationFunction.java, heap-bounded buffers).
+    // The ordering key is the UNIQUE o_orderkey so the emitted arrays
+    // are deterministic; DuckDB (no 3-arg max_by in this build) spells
+    // the same thing as an ordered list slice.
+    q("agg_minmax_n",
+      """SELECT o_orderpriority,
+        |  (list(o_totalprice ORDER BY o_orderkey DESC))[:3] AS last3_prices,
+        |  (list(o_totalprice ORDER BY o_orderkey ASC))[:3] AS first3_prices,
+        |  (list(o_orderkey ORDER BY o_orderkey DESC))[:3] AS top3_keys,
+        |  (list(o_orderkey ORDER BY o_orderkey ASC))[:3] AS bottom3_keys
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, _) =>
+      s.table("orders").groupBy("o_orderpriority")
+        .agg(
+          expr("max_by(o_totalprice, o_orderkey, 3)").as("last3_prices"),
+          expr("min_by(o_totalprice, o_orderkey, 3)").as("first3_prices"),
+          expr("max(o_orderkey, 3)").as("top3_keys"),
+          expr("min(o_orderkey, 3)").as("bottom3_keys"))
+        .orderBy("o_orderpriority")
+    },
+
+    // classification-metric curves (PrecisionRecallAggregation.java +
+    // the five Classification* outputs): fixed two-histogram state over
+    // pred ∈ [0,1), array of the metric per threshold i/B, early-stopped
+    // after the bucket exhausting the true-outcome weight. The DuckDB
+    // twin replays the identical histogram + running sums; 0.235's
+    // miss_rate/fall_out numerator quirks (pinned by the reference's own
+    // tests) are reproduced in both. Weighted 4-arg and unweighted 3-arg
+    // arities both exercised.
+    q("agg_classification_curves",
+      """WITH inp AS (
+        |  SELECT (o_orderkey % 1000) / 1000.0 AS pred,
+        |    o_totalprice > 150000 AS outcome,
+        |    CAST(o_orderkey % 3 + 1 AS DOUBLE) AS w
+        |  FROM orders),
+        |tot AS (
+        |  SELECT sum(CASE WHEN outcome THEN w ELSE 0 END) AS tt,
+        |         sum(CASE WHEN outcome THEN 0 ELSE w END) AS tf,
+        |         CAST(sum(CASE WHEN outcome THEN 1 ELSE 0 END) AS DOUBLE) AS tt_u
+        |  FROM inp),
+        |b AS (
+        |  SELECT i,
+        |    coalesce((SELECT sum(w) FROM inp WHERE outcome AND floor(pred * 10) < i), 0) AS running_true,
+        |    coalesce((SELECT sum(w) FROM inp WHERE NOT outcome AND floor(pred * 10) < i), 0) AS running_false,
+        |    coalesce((SELECT CAST(count(*) AS DOUBLE) FROM inp WHERE outcome AND floor(pred * 10) < i), 0) AS running_true_u
+        |  FROM generate_series(0, 9) AS t(i)),
+        |m AS (
+        |  SELECT i, tt, tf, tt_u,
+        |    tt - running_true AS tp, running_true AS fn,
+        |    tf - running_false AS fp, tt_u - running_true_u AS tp_u
+        |  FROM b, tot
+        |  WHERE running_true < tt)
+        |SELECT
+        |  list(round(i / 10.0, 6) ORDER BY i) AS thresholds,
+        |  list(round(tp / (tp + fp), 6) ORDER BY i) AS prec,
+        |  list(round(tp / tt, 6) ORDER BY i) AS recall,
+        |  list(round(fp / tt, 6) ORDER BY i) AS miss_rate,
+        |  list(round(fn / tf, 6) ORDER BY i) AS fall_out,
+        |  list(round(tp_u / tt_u, 6) ORDER BY i) AS recall_uw
+        |FROM m""".stripMargin) { (s, _) =>
+      val inp = s.table("orders").select(
+        ((col("o_orderkey") % 1000) / 1000.0).as("pred"),
+        (col("o_totalprice") > 150000).as("outcome"),
+        ((col("o_orderkey") % 3) + 1).cast("double").as("w"))
+      inp.agg(
+        expr("transform(classification_thresholds(10, outcome, pred, w), x -> round(x, 6))").as("thresholds"),
+        expr("transform(classification_precision(10, outcome, pred, w), x -> round(x, 6))").as("prec"),
+        expr("transform(classification_recall(10, outcome, pred, w), x -> round(x, 6))").as("recall"),
+        expr("transform(classification_miss_rate(10, outcome, pred, w), x -> round(x, 6))").as("miss_rate"),
+        expr("transform(classification_fall_out(10, outcome, pred, w), x -> round(x, 6))").as("fall_out"),
+        expr("transform(classification_recall(10, outcome, pred), x -> round(x, 6))").as("recall_uw"))
+    },
+
     // array_agg with deterministic order (reference
     // arrayagg/ArrayAggregationFunction.java:50); emitted as a joined
     // string so the hash compare sees a scalar

@@ -41,4 +41,71 @@ class AggSpec extends AnyFunSuite {
     assert(sampled > total * 0.05 && sampled < total * 0.15,
       s"sampled=$sampled of $total")
   }
+
+  test("classification curves: hand-computed 4-row example, forced partials, early stop") {
+    Tables.register(spark, TestSession.sf)
+    import spark.implicits._
+    // trueW=[1,0,1,0], falseW=[0,1,1,0] at B=4; iterator stops at i=3
+    // (runningTrue reaches totalTrue) → arrays of length 3
+    val df = Seq((true, 0.1), (true, 0.6), (false, 0.3), (false, 0.7))
+      .toDF("outcome", "pred").repartition(3)
+    val r = df.agg(
+      expr("classification_thresholds(4, outcome, pred)"),
+      expr("classification_precision(4, outcome, pred)"),
+      expr("classification_recall(4, outcome, pred)"),
+      expr("classification_miss_rate(4, outcome, pred)"),
+      expr("classification_fall_out(4, outcome, pred)")).collect()(0)
+    def arr(i: Int) = r.getSeq[Double](i)
+    assert(arr(0) == Seq(0.0, 0.25, 0.5), s"thresholds ${arr(0)}")
+    assert(arr(1) == Seq(0.5, 1.0 / 3, 0.5), s"precision ${arr(1)}")
+    assert(arr(2) == Seq(1.0, 0.5, 0.5), s"recall ${arr(2)}")
+    // the 0.235 quirks, matched to the reference's own tests:
+    // miss_rate = FP/totalTrue, fall_out = FN/totalFalse
+    assert(arr(3) == Seq(1.0, 1.0, 0.5), s"miss_rate ${arr(3)}")
+    assert(arr(4) == Seq(0.0, 0.5, 0.5), s"fall_out ${arr(4)}")
+    // weights scale the curves: doubling every weight changes nothing
+    val w2 = df.withColumn("w", lit(2.0)).agg(
+      expr("classification_precision(4, outcome, pred, w)")).collect()(0).getSeq[Double](0)
+    assert(w2 == arr(1), s"uniform weights must not move the curve: $w2")
+  }
+
+  test("top-n aggregates: heap merge under forced partials; null keys skipped; native arities intact") {
+    Tables.register(spark, TestSession.sf)
+    import spark.implicits._
+    // ground truth via window rank over a forced-3-partition input: the
+    // heap's partial/merge path must agree with the global sort
+    val df = spark.table("orders").repartition(3)
+    df.createOrReplaceTempView("orders_p3")
+    val got = spark.sql(
+      """SELECT o_orderpriority, max_by(o_totalprice, o_orderkey, 5) AS top5
+        |FROM orders_p3 GROUP BY o_orderpriority""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val expect = spark.table("orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority").orderBy(col("o_orderkey").desc)))
+      .filter(col("rk") <= 5)
+      .collect().groupBy(_.getString(0))
+      .map { case (p, rs) => p -> rs.sortBy(_.getAs[Int]("rk")).map(_.getDouble(1)).toSeq }
+    assert(got == expect, "heap-merged top-5 must equal the window-rank ground truth")
+    // null ordering keys are skipped (Presto min/max semantics)
+    val withNulls = Seq((1L, Some(10.0)), (2L, None), (3L, Some(5.0)), (4L, None))
+      .toDF("id", "k")
+    val arr = withNulls.agg(expr("max_by(id, k, 3)")).collect()(0).getSeq[Long](0)
+    assert(arr == Seq(1L, 3L), s"null keys must be skipped, got $arr")
+    // delegated arities stay native-exact (max/min/max_by/min_by shadow)
+    val nat = spark.sql(
+      """SELECT max(o_totalprice), min(o_totalprice),
+        |  max_by(o_orderkey, o_totalprice), min_by(o_orderkey, o_totalprice),
+        |  max(DISTINCT o_orderpriority)
+        |FROM orders""".stripMargin).collect()(0)
+    val chk = spark.table("orders").agg(
+      max("o_totalprice"), min("o_totalprice"),
+      max_by(col("o_orderkey"), col("o_totalprice")),
+      min_by(col("o_orderkey"), col("o_totalprice")),
+      max(col("o_orderpriority"))).collect()(0)
+    assert((0 until 5).forall(i => nat.get(i) == chk.get(i)),
+      s"delegated arities diverge from native: $nat vs $chk")
+  }
 }
