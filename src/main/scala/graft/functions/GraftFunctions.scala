@@ -481,6 +481,21 @@ object GraftFunctions {
     // subclasses): fixed two-histogram state, array-of-metric output at
     // thresholds i/buckets; 0.235's miss_rate/fall_out quirks matched to
     // its own tests — see ClassificationMetricAgg's scaladoc. ──
+    // DifferentialEntropyAggregation.java — reservoir+Vasicek (2/3-arg)
+    // or fixed-histogram MLE/jackknife (6-arg); see the agg's scaladoc
+    "differential_entropy" -> {
+      case Seq(n, x) =>
+        DifferentialEntropyAgg(n, Cast(x, DoubleType), Literal(1.0), None,
+          Literal(0.0), Literal(1.0), weightedArity = false).toAggregateExpression()
+      case Seq(n, x, w) =>
+        DifferentialEntropyAgg(n, Cast(x, DoubleType), Cast(w, DoubleType), None,
+          Literal(0.0), Literal(1.0), weightedArity = true).toAggregateExpression()
+      case Seq(n, x, w, StringLiteral(m), mn, mx) =>
+        DifferentialEntropyAgg(n, Cast(x, DoubleType), Cast(w, DoubleType),
+          Some(m.toLowerCase(java.util.Locale.ENGLISH)),
+          Cast(mn, DoubleType), Cast(mx, DoubleType),
+          weightedArity = true).toAggregateExpression()
+    },
     "classification_thresholds" -> classificationBuilder("thresholds"),
     "classification_precision" -> classificationBuilder("precision"),
     "classification_recall" -> classificationBuilder("recall"),

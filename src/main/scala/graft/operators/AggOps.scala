@@ -216,6 +216,50 @@ object AggOps extends QueryGroup {
         expr("transform(classification_recall(10, outcome, pred), x -> round(x, 6))").as("recall_uw"))
     },
 
+    // differential_entropy (DifferentialEntropyAggregation.java): the
+    // fixed-histogram MLE estimator (weighted 6-arg arity) and the
+    // reservoir+Vasicek estimator (2-arg; size ≥ group cardinality here,
+    // so the reservoir keeps everything and the result is deterministic —
+    // the overflowing regime is random by design in the reference too).
+    // The DuckDB twin replays the histogram formula and the Vasicek
+    // spacing sum via an index self-join over the sorted sample.
+    q("agg_differential_entropy",
+      """WITH inp AS (
+        |  SELECT ((o_orderkey % 1000) / 1000.0) * 4 AS x,
+        |    CAST(o_orderkey % 3 + 1 AS DOUBLE) AS w
+        |  FROM orders),
+        |mle AS (
+        |  SELECT greatest((ln(0.25 * sum(bw))
+        |      - sum(CASE WHEN bw = 0 THEN 0 ELSE bw * ln(bw) END) / sum(bw))
+        |      / ln(2), 0) AS h
+        |  FROM (SELECT least(CAST(floor(x * 4) AS INT), 15) AS b, sum(w) AS bw
+        |        FROM inp GROUP BY 1)),
+        |sorted AS (
+        |  SELECT x, row_number() OVER (ORDER BY x) - 1 AS i,
+        |    count(*) OVER () AS n
+        |  FROM inp),
+        |mm AS (SELECT CAST(greatest(round(sqrt(count(*))), 2) AS BIGINT) AS m FROM inp),
+        |terms AS (
+        |  SELECT a.n,
+        |    ln(a.n / (CASE WHEN a.i + mm.m < a.n AND a.i - mm.m > 0
+        |              THEN 2.0 ELSE 1.0 END * mm.m) * (up.x - dn.x)) AS t
+        |  FROM sorted a, mm
+        |  JOIN sorted up
+        |    ON up.i = CASE WHEN a.i + mm.m < a.n THEN a.i + mm.m ELSE a.n - 1 END
+        |  JOIN sorted dn
+        |    ON dn.i = CASE WHEN a.i - mm.m > 0 THEN a.i - mm.m ELSE 0 END)
+        |SELECT round((SELECT h FROM mle), 6) AS mle_entropy,
+        |  round(sum(t) / any_value(n) / ln(2), 6) AS vasicek_entropy
+        |FROM terms""".stripMargin) { (s, _) =>
+      val inp = s.table("orders").select(
+        (((col("o_orderkey") % 1000) / 1000.0) * 4).as("x"),
+        ((col("o_orderkey") % 3) + 1).cast("double").as("w"))
+      inp.agg(
+        round(expr("differential_entropy(16, x, w, 'fixed_histogram_mle', 0.0D, 4.0D)"), 6)
+          .as("mle_entropy"),
+        round(expr("differential_entropy(999999, x)"), 6).as("vasicek_entropy"))
+    },
+
     // array_agg with deterministic order (reference
     // arrayagg/ArrayAggregationFunction.java:50); emitted as a joined
     // string so the hash compare sees a scalar

@@ -42,6 +42,31 @@ class AggSpec extends AnyFunSuite {
       s"sampled=$sampled of $total")
   }
 
+  test("differential_entropy: hand-computed jackknife/MLE/Vasicek under forced partials") {
+    Tables.register(spark, TestSession.sf)
+    import spark.implicits._
+    // B=4 over [0,4): bucket0 holds {0.5, 0.7} (one entry w=1.0 mult 2),
+    // buckets 1,2 hold one sample each. Worked by hand from the
+    // reference formulas (see DifferentialEntropyAgg scaladoc):
+    //   H_mle = (ln(1*4) - 2ln2/4)/ln2 = 1.5
+    //   H_jack = 4*1.5 - 2*3*ln3/ln2/4 - 2*(1*3*((ln3 - 2ln2/3)/ln2)/4)
+    //          = 2.245112
+    //   Vasicek(n=4, m=2) = (ln2 + ln4 + ln4 + ln3.6)/4/ln2 = 1.7119992
+    val df = Seq(0.5, 0.7, 1.5, 2.5).toDF("x").repartition(3)
+    val r = df.agg(
+      expr("differential_entropy(4, x, 1.0D, 'fixed_histogram_mle', 0.0D, 4.0D)"),
+      expr("differential_entropy(4, x, 1.0D, 'fixed_histogram_jacknife', 0.0D, 4.0D)"),
+      expr("differential_entropy(100, x)")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.5) < 1e-9, s"mle ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 2.2451124) < 1e-6, s"jackknife ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 1.7119992) < 1e-6, s"vasicek ${r.getDouble(2)}")
+    // weighted reservoir arity: deterministic under capacity, weights
+    // only gate selection, so the Vasicek value matches the unweighted
+    val w = df.withColumn("w", lit(3.0))
+      .agg(expr("differential_entropy(100, x, w)")).collect()(0).getDouble(0)
+    assert(math.abs(w - 1.7119992) < 1e-6, s"weighted vasicek $w")
+  }
+
   test("classification curves: hand-computed 4-row example, forced partials, early stop") {
     Tables.register(spark, TestSession.sf)
     import spark.implicits._
