@@ -481,6 +481,10 @@ object GraftFunctions {
     // subclasses): fixed two-histogram state, array-of-metric output at
     // thresholds i/buckets; 0.235's miss_rate/fall_out quirks matched to
     // its own tests — see ClassificationMetricAgg's scaladoc. ──
+    // DateTimeFunctions.java "localtime" — time-of-day in the session
+    // zone (Spark 4.1 native TIME(6)); Presto spells it niladic, the
+    // dialect also accepts the empty-parens call form
+    "localtime" -> { case Seq() => CurrentTime() },
     // DifferentialEntropyAggregation.java — reservoir+Vasicek (2/3-arg)
     // or fixed-histogram MLE/jackknife (6-arg); see the agg's scaladoc
     "differential_entropy" -> {

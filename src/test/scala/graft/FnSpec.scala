@@ -782,4 +782,20 @@ class FnSpec extends AnyFunSuite {
     assert(translateType("ROW(a VARCHAR, b ARRAY(DOUBLE))") == "STRUCT<a: STRING, b: ARRAY<DOUBLE>>")
     assert(translateType("DECIMAL(10,2)") == "DECIMAL(10,2)")
   }
+
+  test("localtime returns the session-zone time-of-day as TIME") {
+    Tables.register(spark, TestSession.sf)
+    val r = spark.sql(
+      """SELECT localtime() AS lt,
+        |  CAST(EXTRACT(HOUR FROM localtimestamp()) * 3600
+        |       + EXTRACT(MINUTE FROM localtimestamp()) * 60 AS BIGINT) AS ts_sec
+        |""".stripMargin).collect()(0)
+    assert(r.get(0) != null)
+    // both are evaluated at query start in the pinned-UTC session; allow
+    // a small skew window (they are separate expressions)
+    val lt = r.getAs[java.time.LocalTime](0).toSecondOfDay
+    val tod = r.getLong(1)
+    val diff = math.abs(lt - tod)
+    assert(diff < 120 || diff > 86280, s"localtime $lt s vs localtimestamp $tod s")
+  }
 }
