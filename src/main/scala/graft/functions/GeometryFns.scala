@@ -1010,6 +1010,50 @@ object GeometryFns {
   }
 
   /** Tile footprint as a WKT polygon (inverse Mercator corners). */
+  /** geometry_to_bing_tiles(geom, zoom) (reference
+    * BingTileFunctions.java geometryToBingTiles): all tiles of `zoom`
+    * whose tile polygon intersects the geometry — candidates come from
+    * the geometry's envelope clipped to the tile system's lat bounds,
+    * each verified with the real intersection test (so concave shapes
+    * don't over-cover beyond the envelope tiles they actually touch).
+    * The candidate count is capped like the reference's 1M-tile guard.
+    */
+  def geometryToBingTiles(w: String, zoom: Int): Array[Long] = {
+    if (zoom < 0 || zoom > MaxZoom) fail(s"Zoom level must be <= $MaxZoom: $zoom")
+    val latLo = math.max(yMin(w), MinLat); val latHi = math.min(yMax(w), MaxLat)
+    val lonLo = math.max(xMin(w), -180.0); val lonHi = math.min(xMax(w), 180.0)
+    if (latLo > latHi || lonLo > lonHi) return Array.empty
+    val tl = bingTileAt(latHi, lonLo, zoom)
+    val br = bingTileAt(latLo, lonHi, zoom)
+    val nCand = (tileX(br) - tileX(tl) + 1).toLong * (tileY(br) - tileY(tl) + 1).toLong
+    if (nCand > 1000000L)
+      fail(s"geometry_to_bing_tiles: too many tiles at zoom $zoom: $nCand")
+    (for {
+      x <- tileX(tl) to tileX(br)
+      y <- tileY(tl) to tileY(br)
+      t = encode(x, y, zoom)
+      if stIntersects(tilePolygon(t), w)
+    } yield t).toArray
+  }
+
+  /** to_spherical_geography (reference GeoFunctions.java
+    * toSphericalGeography): validates every coordinate is a lon/lat pair
+    * (|x| ≤ 180, |y| ≤ 90). GEOMETRY and SPHERICAL_GEOGRAPHY are both
+    * WKT strings in this engine, so the conversion is a checked identity
+    * — the distance semantics difference lives in great_circle_distance
+    * vs st_distance, as in the reference.
+    */
+  def toSphericalGeography(w: String): String = {
+    val g = parseGeom(w)
+    g.paths.foreach(_.foreach { p =>
+      if (p.x < -180.0 || p.x > 180.0)
+        fail(s"Longitude must be between -180 and 180: ${p.x}")
+      if (p.y < -90.0 || p.y > 90.0)
+        fail(s"Latitude must be between -90 and 90: ${p.y}")
+    })
+    geometryFromText(w)
+  }
+
   def tilePolygon(t: Long): String = {
     val z = tileZoom(t)
     val mapSize = (256L << z).toDouble

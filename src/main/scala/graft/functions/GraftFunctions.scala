@@ -1074,6 +1074,23 @@ object GraftFunctions {
     // presto-geospatial GeoFunctions.java / BingTileFunctions.java)
     spark.udf.register("st_geometry_from_text",
       (w: String) => GeometryFns.geometryFromText(w))
+    // reference spellings (GeoFunctions.java annotations) of the parse /
+    // accessor trio registered above under dialect snake_case
+    spark.udf.register("st_geometryfromtext",
+      (w: String) => GeometryFns.geometryFromText(w))
+    spark.udf.register("st_linefromtext",
+      (w: String) => { GeometryFns.parseLineString(w); GeometryFns.geometryFromText(w) })
+    spark.udf.register("st_numpoints", (w: String) => GeometryFns.numPoints(w))
+    // ST_AsText: GEOMETRY already carries WKT here, so this is the
+    // canonicalizing parse-and-print (same normalization as the parser)
+    spark.udf.register("st_astext", (w: String) => GeometryFns.geometryFromText(w))
+    // GEOMETRY ↔ SPHERICAL_GEOGRAPHY: checked identities over the WKT
+    // representation; to_spherical_geography validates lon/lat ranges
+    spark.udf.register("to_spherical_geography",
+      (w: String) => GeometryFns.toSphericalGeography(w))
+    spark.udf.register("to_geometry", (w: String) => GeometryFns.geometryFromText(w))
+    spark.udf.register("geometry_to_bing_tiles",
+      (w: String, zoom: Int) => GeometryFns.geometryToBingTiles(w, zoom))
     spark.udf.register("st_polygon",
       (w: String) => { GeometryFns.parsePolygon(w); GeometryFns.geometryFromText(w) })
     spark.udf.register("st_contains",

@@ -223,6 +223,38 @@ class GeometryExtrasSpec extends AnyFunSuite {
     assert(GeometryFns.area(r.getString(4)) == 16.0)
     assert(!r.getBoolean(5) && r.getBoolean(6))
   }
+
+  test("geometry_to_bing_tiles: every returned tile intersects; centroid tile included") {
+    import graft.functions.GeometryFns
+    val poly = "POLYGON ((-0.5 -0.5, 0.5 -0.5, 0.5 0.5, -0.5 0.5, -0.5 -0.5))"
+    val zoom = 10
+    val tiles = GeometryFns.geometryToBingTiles(poly, zoom)
+    // (0,0) sits on a 4-tile corner: the cover must span multiple tiles
+    assert(tiles.length >= 4, s"expected a multi-tile cover, got ${tiles.length}")
+    assert(tiles.distinct.length == tiles.length)
+    for (t <- tiles) {
+      assert(GeometryFns.tileZoom(t) == zoom)
+      assert(GeometryFns.stIntersects(GeometryFns.tilePolygon(t), poly),
+        s"tile ${GeometryFns.quadKey(t)} does not intersect")
+    }
+    assert(tiles.contains(GeometryFns.bingTileAt(0.01, 0.01, zoom)),
+      "tile containing an interior point must be in the cover")
+    // a point maps to exactly its own tile
+    val pt = GeometryFns.geometryToBingTiles("POINT (10 20)", 12)
+    assert(pt.length == 1 && pt.head == GeometryFns.bingTileAt(20, 10, 12))
+  }
+
+  test("to_spherical_geography validates lon/lat; to_geometry round-trips") {
+    import graft.functions.GeometryFns
+    val w = "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))"
+    assert(GeometryFns.toSphericalGeography(w) == GeometryFns.geometryFromText(w))
+    intercept[IllegalArgumentException] {
+      GeometryFns.toSphericalGeography("POINT (200 0)")
+    }
+    intercept[IllegalArgumentException] {
+      GeometryFns.toSphericalGeography("POINT (0 91)")
+    }
+  }
 }
 
 /** Exposes the package-private general distance for the spec. */
