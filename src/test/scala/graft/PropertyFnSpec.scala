@@ -175,6 +175,43 @@ class PropertyFnSpec extends AnyFunSuite {
     }
   }
 
+  test("property: top-n aggregates equal sort-and-slice on random data") {
+    Tables.register(spark, TestSession.sf)
+    import spark.implicits._
+    // random (value, key) pairs with unique keys (ties are arbitrary by
+    // contract, so the generator avoids them to keep the test exact)
+    val gen = Gen.listOfN(400, Gen.zip(Gen.choose(-1000L, 1000L), Gen.choose(0, 9)))
+      .map(_.zipWithIndex.map { case ((v, g), i) => (v, i.toLong * 7 + g, g) })
+    for ((rows, seed) <- Seq(49L, 50L).map(s => (samples(gen, 1, s).head, s))) {
+      val df = rows.toDF("v", "k", "g").repartition(5)
+      val got = df.groupBy("g").agg(expr("max_by(v, k, 7)").as("top"),
+          expr("min_by(v, k, 7)").as("bottom"))
+        .collect().map(r => r.getInt(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+      val expect = rows.groupBy(_._3).map { case (g, rs) =>
+        val sorted = rs.sortBy(-_._2)
+        g -> (sorted.take(7).map(_._1).toSeq, sorted.reverse.take(7).map(_._1).toSeq)
+      }
+      assert(got == expect, s"seed=$seed: top-n diverged from sort-and-slice")
+    }
+  }
+
+  test("property: bloom filter has no false negatives on random strings") {
+    Tables.register(spark, TestSession.sf)
+    import spark.implicits._
+    val gen = Gen.listOfN(500, Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(24)))
+    val inSet = samples(gen, 1, 51L).head.distinct
+    val outSet = samples(gen, 1, 52L).head.distinct.filterNot(inSet.toSet).map("out-" + _)
+    val bloom = inSet.toDF("s").agg(expr("bloom_filter_agg(s, 10000L)")).scalar()
+    val probed = (inSet.map((_, true)) ++ outSet.map((_, false))).toDF("s", "member")
+      .withColumn("hit", call_function("bloom_might_contain", bloom, col("s")))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    // every member MUST hit (the property the dedup pipelines rely on)
+    assert(probed.filter(_._2).forall(_._3), "bloom false negative!")
+    // and the fpp stays plausible at this sizing (10k items default bits)
+    val fp = probed.filterNot(_._2).count(_._3)
+    assert(fp <= math.max(5, outSet.size / 10), s"$fp false positives of ${outSet.size}")
+  }
+
   test("property: url_extract_* recover the components a URL was built from") {
     Tables.register(spark, TestSession.sf)
     import spark.implicits._
