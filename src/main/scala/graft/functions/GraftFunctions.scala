@@ -1067,6 +1067,23 @@ object GraftFunctions {
     spark.udf.register("cosine_similarity",
       (a: Map[String, Double], b: Map[String, Double]) =>
         GraftFnUtils.cosineSimilarityMaps(a, b))
+    // Teradata compatibility family (presto-teradata-functions —
+    // TeradataFns scaladoc has the token contract). `index` is strpos's
+    // Teradata spelling; to_char/to_date/to_timestamp use the Teradata
+    // format-token language (NOT Spark's pattern language — the
+    // reference's semantics win, documented in README divergences).
+    spark.udf.register("index", (s: String, sub: String) => {
+      // strpos contract: 1-based CODE-POINT position, 0 when absent
+      val i = s.indexOf(sub)
+      if (i < 0) 0L else s.codePointCount(0, i) + 1L
+    })
+    spark.udf.register("char2hexint", (s: String) => TeradataFns.char2HexInt(s))
+    spark.udf.register("to_char",
+      (ts: java.sql.Timestamp, fmt: String) => TeradataFns.toChar(ts, fmt))
+    spark.udf.register("to_date",
+      (s: String, fmt: String) => TeradataFns.toDate(s, fmt))
+    spark.udf.register("to_timestamp",
+      (s: String, fmt: String) => TeradataFns.toTimestamp(s, fmt))
     spark.udf.register("great_circle_distance",
       (lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
         GraftFnUtils.greatCircleDistance(lat1, lon1, lat2, lon2))

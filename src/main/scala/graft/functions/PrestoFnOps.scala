@@ -12,6 +12,46 @@ import graft.QueryGroup
 object PrestoFnOps extends QueryGroup {
 
   def defs = Seq(
+    // ── Teradata compatibility family (presto-teradata-functions):
+    // index/char2hexint + TO_CHAR/TO_DATE/TO_TIMESTAMP over the
+    // Teradata token language. The oracle reproduces the formats with
+    // strftime tokens and the hex with a per-codepoint walk; HH
+    // (halfday-hour, renders midnight as "00" where strftime's %I says
+    // "12") is pinned in FnSpec instead. ──
+    q("fn_teradata",
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_orderdate AS TIMESTAMP)
+        |      + (o_orderkey % 86399) * INTERVAL 1 SECOND AS ts
+        |  FROM orders WHERE o_orderkey < 2000)
+        |SELECT o_orderkey,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS c24,
+        |  strftime(ts, '%d/%m/%y') AS c2,
+        |  CAST(ts AS DATE) AS d,
+        |  ts AS tt,
+        |  DATE '2051-07-19' AS pivot_hi,
+        |  DATE '2049-07-19' AS pivot_lo,
+        |  CAST(strpos(o_orderpriority, 'URGENT') AS BIGINT) AS idx,
+        |  array_to_string(list_transform(range(1, length(o_orderpriority) + 1),
+        |    i -> lpad(upper(to_hex(unicode(substr(o_orderpriority, CAST(i AS INT), 1)))), 4, '0')), '') AS hx
+        |FROM t ORDER BY o_orderkey""".stripMargin) { (s, _) =>
+      s.sql("""WITH t AS (
+              |  SELECT o_orderkey, o_orderpriority,
+              |    CAST(o_orderdate AS TIMESTAMP)
+              |      + make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 86399) AS ts
+              |  FROM orders WHERE o_orderkey < 2000)
+              |SELECT o_orderkey,
+              |  to_char(ts, 'YYYY-MM-DD HH24:MI:SS') AS c24,
+              |  to_char(ts, 'DD/MM/YY') AS c2,
+              |  to_date(to_char(ts, 'YYYY-MM-DD'), 'YYYY-MM-DD') AS d,
+              |  to_timestamp(to_char(ts, 'YYYY-MM-DD HH24:MI:SS'), 'YYYY-MM-DD HH24:MI:SS') AS tt,
+              |  to_date('07-19-51', 'MM-DD-YY') AS pivot_hi,
+              |  to_date('07-19-49', 'MM-DD-YY') AS pivot_lo,
+              |  index(o_orderpriority, 'URGENT') AS idx,
+              |  char2hexint(o_orderpriority) AS hx
+              |FROM t ORDER BY o_orderkey""".stripMargin)
+    },
+
     // checksum (ChecksumAggregationFunction.java:47): same rows in any
     // order / partitioning → same checksum; different rows → different
     q("fn_checksum",

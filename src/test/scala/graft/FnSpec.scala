@@ -783,6 +783,29 @@ class FnSpec extends AnyFunSuite {
     assert(translateType("DECIMAL(10,2)") == "DECIMAL(10,2)")
   }
 
+  test("teradata family: HH halfday render, char2hexint UTF-16BE, YY pivot, index") {
+    Tables.register(spark, TestSession.sf)
+    val r = spark.sql(
+      """SELECT
+        |  to_char(TIMESTAMP '2024-01-01 00:30:00', 'HH:MI') AS midnight,
+        |  to_char(TIMESTAMP '2024-01-01 13:05:00', 'HH:MI') AS afternoon,
+        |  char2hexint('Ab 中') AS hx,
+        |  index('abcabc', 'ca') AS hit,
+        |  index('abc', 'zz') AS miss,
+        |  CAST(to_timestamp('2024-02-29 23:59:58', 'YYYY-MM-DD HH24:MI:SS') AS STRING) AS leap,
+        |  CAST(to_date('99-12-31', 'YY-MM-DD') AS STRING) AS y99,
+        |  CAST(to_date('00-01-01', 'YY-MM-DD') AS STRING) AS y00
+        |""".stripMargin).collect()(0)
+    // Joda hourOfHalfday renders midnight as 00 (strftime %I would say 12)
+    assert(r.getString(0) == "00:30", s"midnight ${r.getString(0)}")
+    assert(r.getString(1) == "01:05")
+    assert(r.getString(2) == "0041006200204E2D", s"hex ${r.getString(2)}")
+    assert(r.getLong(3) == 3L && r.getLong(4) == 0L)
+    assert(r.getString(5) == "2024-02-29 23:59:58")
+    // two-digit years land in 2000-2099 (reference pivot 2050)
+    assert(r.getString(6) == "2099-12-31" && r.getString(7) == "2000-01-01")
+  }
+
   test("localtime returns the session-zone time-of-day as TIME") {
     Tables.register(spark, TestSession.sf)
     val r = spark.sql(
