@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.types._
 
 /** Plain-Scala helpers behind the long-tail registered UDFs (tier (c) of
@@ -481,6 +482,41 @@ object GraftFunctions {
     // subclasses): fixed two-histogram state, array-of-metric output at
     // thresholds i/buckets; 0.235's miss_rate/fall_out quirks matched to
     // its own tests — see ClassificationMetricAgg's scaladoc. ──
+    // ── COLOR family (ColorFunctions.java): COLOR ≙ BIGINT with the
+    // reference's encoding (rgb ≥ 0, system colors −(index+1));
+    // render/bar emit the identical ANSI sequences — ColorFns scaladoc ──
+    "color" -> {
+      case Seq(c) => StaticInvoke(ColorFns.getClass, LongType, "colorFromName",
+        Seq(Cast(c, StringType)), inputTypes = Seq(StringType), propagateNull = true)
+      case Seq(f, lo, hi) => StaticInvoke(ColorFns.getClass, LongType, "colorInterpolate",
+        Seq(Cast(f, DoubleType), Cast(lo, LongType), Cast(hi, LongType)),
+        inputTypes = Seq(DoubleType, LongType, LongType), propagateNull = true)
+      case Seq(v, l, h, lc, hc) => StaticInvoke(ColorFns.getClass, LongType, "colorInterpolate5",
+        Seq(Cast(v, DoubleType), Cast(l, DoubleType), Cast(h, DoubleType),
+          Cast(lc, LongType), Cast(hc, LongType)),
+        inputTypes = Seq(DoubleType, DoubleType, DoubleType, LongType, LongType),
+        propagateNull = true)
+    },
+    "rgb" -> { case Seq(r, g, b) =>
+      StaticInvoke(ColorFns.getClass, LongType, "rgb",
+        Seq(Cast(r, LongType), Cast(g, LongType), Cast(b, LongType)),
+        inputTypes = Seq(LongType, LongType, LongType), propagateNull = true)
+    },
+    "render" -> {
+      case Seq(v) => StaticInvoke(ColorFns.getClass, StringType, "renderBool",
+        Seq(Cast(v, BooleanType)), inputTypes = Seq(BooleanType), propagateNull = true)
+      case Seq(v, c) => StaticInvoke(ColorFns.getClass, StringType, "render",
+        Seq(Cast(v, StringType), Cast(c, LongType)),
+        inputTypes = Seq(StringType, LongType), propagateNull = true)
+    },
+    "bar" -> {
+      case Seq(p, w) => StaticInvoke(ColorFns.getClass, StringType, "bar2",
+        Seq(Cast(p, DoubleType), Cast(w, LongType)),
+        inputTypes = Seq(DoubleType, LongType), propagateNull = true)
+      case Seq(p, w, lc, hc) => StaticInvoke(ColorFns.getClass, StringType, "bar",
+        Seq(Cast(p, DoubleType), Cast(w, LongType), Cast(lc, LongType), Cast(hc, LongType)),
+        inputTypes = Seq(DoubleType, LongType, LongType, LongType), propagateNull = true)
+    },
     // DateTimeFunctions.java "localtime" — time-of-day in the session
     // zone (Spark 4.1 native TIME(6)); Presto spells it niladic, the
     // dialect also accepts the empty-parens call form

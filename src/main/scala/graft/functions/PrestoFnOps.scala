@@ -12,6 +12,36 @@ import graft.QueryGroup
 object PrestoFnOps extends QueryGroup {
 
   def defs = Seq(
+    // ── COLOR family (ColorFunctions.java): the CLI-visualization
+    // scalars. COLOR ≙ BIGINT with the reference's encoding, so the
+    // oracle reproduces the codes arithmetically and the ANSI strings
+    // with chr() concatenation (system colors + the 6×6×6-cube constant
+    // 196 for pure red); HSB interpolation between DIFFERENT endpoints
+    // is pinned in FnSpec instead (java.awt HSB in SQL isn't worth it).──
+    q("fn_color",
+      """SELECT o_orderkey,
+        |  65280 AS c_hex,
+        |  -2 AS c_red,
+        |  (o_orderkey % 256) * 65536 + (255 - o_orderkey % 256) AS c_rgb,
+        |  chr(27) || '[38;5;4m' || o_orderpriority || chr(27) || '[0m' AS rendered,
+        |  chr(27) || '[38;5;2m' || chr(10003) || chr(27) || '[0m' AS ok_mark,
+        |  repeat(chr(27) || '[38;5;196m' || chr(9608),
+        |      CAST(floor((o_orderkey % 11) / 10.0 * 5) AS INT))
+        |    || chr(27) || '[0m'
+        |    || repeat(' ', 5 - CAST(floor((o_orderkey % 11) / 10.0 * 5) AS INT)) AS meter
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin) { (s, _) =>
+      s.sql("""SELECT o_orderkey,
+              |  color('#0f0') AS c_hex,
+              |  color('red') AS c_red,
+              |  rgb(o_orderkey % 256, 0, 255 - o_orderkey % 256) AS c_rgb,
+              |  render(o_orderpriority, color('blue')) AS rendered,
+              |  render(true) AS ok_mark,
+              |  bar((o_orderkey % 11) / 10.0, 5, rgb(255, 0, 0), rgb(255, 0, 0)) AS meter
+              |FROM orders WHERE o_orderkey < 1000
+              |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // ── Teradata compatibility family (presto-teradata-functions):
     // index/char2hexint + TO_CHAR/TO_DATE/TO_TIMESTAMP over the
     // Teradata token language. The oracle reproduces the formats with

@@ -806,6 +806,30 @@ class FnSpec extends AnyFunSuite {
     assert(r.getString(6) == "2099-12-31" && r.getString(7) == "2000-01-01")
   }
 
+  test("color family: codes, HSB interpolation endpoints, render/bar sequences") {
+    Tables.register(spark, TestSession.sf)
+    val r = spark.sql(
+      """SELECT color('#f00'), color('magenta'), rgb(255, 0, 0),
+        |  color(0.0D, rgb(255, 0, 0), rgb(0, 255, 0)),
+        |  color(1.0D, rgb(255, 0, 0), rgb(0, 255, 0)),
+        |  color(5.0D, 0.0D, 10.0D, rgb(10, 20, 30), rgb(10, 20, 30)),
+        |  render('x', rgb(255, 0, 0)),
+        |  bar(0.5D, 4, rgb(255, 0, 0), rgb(255, 0, 0)),
+        |  color(7.0D, rgb(1, 2, 3), rgb(4, 5, 6))
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 0xFF0000L && r.getLong(1) == -6L && r.getLong(2) == 0xFF0000L)
+    // interpolation endpoints round-trip through HSB exactly
+    assert(r.getLong(3) == 0xFF0000L && r.getLong(4) == 0x00FF00L)
+    // equal endpoints are a fixed point at any value; fraction clamps to [0,1]
+    assert(r.getLong(5) == ((10L << 16) | (20L << 8) | 30L))
+    assert(r.getLong(8) == ((4L << 16) | (5L << 8) | 6L))
+    // pure red quantizes to ANSI cube index 196
+    assert(r.getString(6) == "\u001b[38;5;196mx\u001b[0m")
+    assert(r.getString(7) == "\u001b[38;5;196m█\u001b[38;5;196m█\u001b[0m  ")
+    intercept[Exception] { spark.sql("SELECT color('nope')").collect() }
+    intercept[Exception] { spark.sql("SELECT rgb(256, 0, 0)").collect() }
+  }
+
   test("localtime returns the session-zone time-of-day as TIME") {
     Tables.register(spark, TestSession.sf)
     val r = spark.sql(
