@@ -49,7 +49,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     */
   private val prepared = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  override def parsePlan(sqlText: String): LogicalPlan =
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    // prepared-statement metadata (DescribeOutputRewrite.java /
+    // DescribeInputRewrite.java) — commands, because OUTPUT needs the
+    // ANALYZED schema of the stored body, which only exists at run time
+    case DescribeOutputStmt(name) =>
+      val body = prepared.get(name.toLowerCase)
+      require(body != null, s"DESCRIBE OUTPUT: prepared statement '$name' not found")
+      graft.plans.DescribeOutputCommand(rewrite(bindAllNull(body)))
+    case DescribeInputStmt(name) =>
+      val body = prepared.get(name.toLowerCase)
+      require(body != null, s"DESCRIBE INPUT: prepared statement '$name' not found")
+      graft.plans.DescribeInputCommand(parameterCount(body))
+    case _ => parsePlanRest(sqlText)
+  }
+
+  private def parsePlanRest(sqlText: String): LogicalPlan =
     sessionStatement(sqlText, prepared) match {
       case Some(replacement) => delegate.parsePlan(replacement)
       case None =>
@@ -86,6 +101,8 @@ object GraftSqlParser {
   private val PrepareStmt = raw"(?is)^\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$$".r
   private val ExecuteStmt = raw"(?is)^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+?))?\s*;?\s*$$".r
   private val DeallocStmt = raw"(?is)^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*;?\s*$$".r
+  private val DescribeOutputStmt = raw"(?is)^\s*DESCRIBE\s+OUTPUT\s+(\w+)\s*;?\s*$$".r
+  private val DescribeInputStmt = raw"(?is)^\s*DESCRIBE\s+INPUT\s+(\w+)\s*;?\s*$$".r
   private val SetSession = raw"(?is)^\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*;?\s*$$".r
   private val ResetSession = raw"(?is)^\s*RESET\s+SESSION\s+([\w.]+)\s*;?\s*$$".r
   private val ShowStats = raw"(?is)^\s*SHOW\s+STATS\s+FOR\s+([\w.]+)\s*;?\s*$$".r
@@ -173,6 +190,26 @@ object GraftSqlParser {
           "(reference SystemSessionProperties.java)")
     }
   }
+
+  /** Count `?` parameters outside string literals (the positions
+    * DESCRIBE INPUT reports).
+    */
+  private[graft] def parameterCount(body: String): Int = {
+    var inQuote = false
+    var n = 0
+    body.foreach {
+      case '\'' => inQuote = !inQuote
+      case '?' if !inQuote => n += 1
+      case _ => ()
+    }
+    n
+  }
+
+  /** Bind every `?` to NULL — DESCRIBE OUTPUT analyzes the body without
+    * argument values, exactly the reference's unknown-parameter typing.
+    */
+  private[graft] def bindAllNull(body: String): String =
+    bindParameters(body, Seq.fill(parameterCount(body))("NULL"))
 
   /** Substitute `?` parameters (top-level, outside string literals) with
     * the EXECUTE … USING expressions, positionally (SqlBase.g4 `EXECUTE

@@ -147,6 +147,31 @@ object WriteOps extends QueryGroup {
       out
     },
 
+    // DESCRIBE OUTPUT / DESCRIBE INPUT (DescribeOutputRewrite.java,
+    // DescribeInputRewrite.java) — the JDBC prepared-statement metadata
+    // surface. Output is fully deterministic for a fixed statement, so
+    // the oracle is the literal reference shape.
+    q("meta_describe_io",
+      """SELECT * FROM (VALUES
+        |  ('output', 'o_orderkey', 'bigint', CAST(8 AS BIGINT), false),
+        |  ('output', 'price', 'double', CAST(8 AS BIGINT), true),
+        |  ('output', 'p', 'unknown', CAST(0 AS BIGINT), true),
+        |  ('input', '0', 'unknown', CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN))
+        |) AS t(surface, name, type, size, aliased)
+        |ORDER BY surface, name""".stripMargin) { (s, _) =>
+      s.sql("PREPARE graft_desc FROM SELECT o_orderkey, o_totalprice AS price, ? AS p FROM orders")
+      val out = s.sql("DESCRIBE OUTPUT graft_desc").selectExpr(
+        "'output' AS surface", "`Column Name` AS name", "Type AS type",
+        "`Type Size` AS size", "Aliased AS aliased")
+      val in = s.sql("DESCRIBE INPUT graft_desc").selectExpr(
+        "'input' AS surface", "CAST(Position AS STRING) AS name", "Type AS type",
+        "CAST(NULL AS BIGINT) AS size", "CAST(NULL AS BOOLEAN) AS aliased")
+      val res = out.unionByName(in).orderBy("surface", "name")
+      res.collect() // materialize before deallocating
+      s.sql("DEALLOCATE PREPARE graft_desc")
+      res
+    },
+
     // SHOW STATS FOR t (ShowStatsRewrite.java): one single-pass aggregate
     // unpivoted to the reference's row shape. The oracle runs the SAME
     // generated text (shared showStatsSelect, lineitem's fixed fixture

@@ -126,6 +126,36 @@ class ParserSpec extends AnyFunSuite {
     assert(s.sql("EXECUTE IMMEDIATE 'SELECT 7'").collect()(0).getInt(0) == 7)
   }
 
+  test("DESCRIBE OUTPUT/INPUT: prepared-statement metadata, reference shapes") {
+    val s = TestSession.spark
+    Tables.register(s, TestSession.sf)
+    s.sql("PREPARE d_spec FROM SELECT o_orderkey, o_totalprice AS price, ? AS p " +
+      "FROM orders ORDER BY o_orderkey")
+    val out = s.sql("DESCRIBE OUTPUT d_spec").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("o_orderkey", "price", "p"))
+    // direct column: unaliased, origin table in the qualifier, fixed size
+    val key = out(0)
+    assert(key.getString(4) == "bigint" && key.getLong(5) == 8L && !key.getBoolean(6))
+    assert(key.getString(3) == "orders", s"origin table: $key")
+    // aliased expression: marked aliased, no origin
+    val price = out(1)
+    assert(price.getString(4) == "double" && price.getBoolean(6))
+    // ? parameter types as unknown (bound to NULL for analysis)
+    assert(out(2).getString(4) == "unknown" && out(2).getBoolean(6))
+    // DESCRIBE INPUT: 0-based positions, unknown types; no params → NULL row
+    val in = s.sql("DESCRIBE INPUT d_spec").collect()
+    assert(in.length == 1 && in(0).getLong(0) == 0L && in(0).getString(1) == "unknown")
+    assert(s.sql("DESCRIBE INPUT d_spec").columns.toSeq == Seq("Position", "Type"))
+    s.sql("PREPARE d_spec0 FROM SELECT 1")
+    val in0 = s.sql("DESCRIBE INPUT d_spec0").collect()
+    assert(in0.length == 1 && in0(0).isNullAt(0) && in0(0).isNullAt(1))
+    // unknown statement errors loudly; plain DESCRIBE TABLE still works
+    intercept[Exception](s.sql("DESCRIBE OUTPUT nope_zzz"))
+    assert(s.sql("DESCRIBE orders").collect().nonEmpty)
+    s.sql("DEALLOCATE PREPARE d_spec")
+    s.sql("DEALLOCATE PREPARE d_spec0")
+  }
+
   test("SET SESSION maps known reference properties, errors on unknown ones") {
     import graft.functions.GraftSqlParser.translateSessionProperty
     assert(translateSessionProperty("hash_partition_count", "48") ==
