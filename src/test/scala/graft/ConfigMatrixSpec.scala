@@ -32,7 +32,12 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // rows), the stream-stream join's batch twin, the embedding
     // bucket-join dedup path, and the SHOW STATS one-pass multi-distinct
     // aggregate (partial/final split sensitivity)
-    "tpcds_q64", "ev_interval_join", "dd_embedding_lsh", "meta_show_stats")
+    "tpcds_q64", "ev_interval_join", "dd_embedding_lsh", "meta_show_stats",
+    // round 8: scalar-subquery bloom + exact verify (partial bloom
+    // OR-merge across partials), heap-bounded top-n (partial/merge
+    // split), curve-histogram merge, the bounded-model broadcast join
+    "dd_bloom_prefilter", "agg_minmax_n", "agg_classification_curves",
+    "tx_perplexity")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)
