@@ -145,23 +145,41 @@ object AggOps extends QueryGroup {
     // AbstractMinMaxByNAggregationFunction.java, heap-bounded buffers).
     // The ordering key is the UNIQUE o_orderkey so the emitted arrays
     // are deterministic; DuckDB (no 3-arg max_by in this build) spells
-    // the same thing as an ordered list slice.
+    // the same thing as an ordered list slice. The aggregates still
+    // return ARRAYs (the component under test); the query posexplodes
+    // them into (group, idx, value) rows because the driver's oracle
+    // comparator cannot canonical-sort array-typed result columns
+    // (round-8 postmortem) — DuckDB unnests its lists the same way.
     q("agg_minmax_n",
-      """SELECT o_orderpriority,
-        |  (list(o_totalprice ORDER BY o_orderkey DESC))[:3] AS last3_prices,
-        |  (list(o_totalprice ORDER BY o_orderkey ASC))[:3] AS first3_prices,
-        |  (list(o_orderkey ORDER BY o_orderkey DESC))[:3] AS top3_keys,
-        |  (list(o_orderkey ORDER BY o_orderkey ASC))[:3] AS bottom3_keys
-        |FROM orders
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin) { (s, _) =>
+      """WITH lists AS (
+        |  SELECT o_orderpriority,
+        |    (list(o_totalprice ORDER BY o_orderkey DESC))[:3] AS lp,
+        |    (list(o_totalprice ORDER BY o_orderkey ASC))[:3] AS fp,
+        |    (list(o_orderkey ORDER BY o_orderkey DESC))[:3] AS tk,
+        |    (list(o_orderkey ORDER BY o_orderkey ASC))[:3] AS bk
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT * FROM (
+        |  SELECT o_orderpriority,
+        |    CAST(unnest(range(len(lp))) AS INT) AS idx,
+        |    unnest(lp) AS last3_price,
+        |    unnest(fp) AS first3_price,
+        |    unnest(tk) AS top3_key,
+        |    unnest(bk) AS bottom3_key
+        |  FROM lists)
+        |ORDER BY o_orderpriority, idx""".stripMargin) { (s, _) =>
       s.table("orders").groupBy("o_orderpriority")
         .agg(
-          expr("max_by(o_totalprice, o_orderkey, 3)").as("last3_prices"),
-          expr("min_by(o_totalprice, o_orderkey, 3)").as("first3_prices"),
-          expr("max(o_orderkey, 3)").as("top3_keys"),
-          expr("min(o_orderkey, 3)").as("bottom3_keys"))
-        .orderBy("o_orderpriority")
+          expr("max_by(o_totalprice, o_orderkey, 3)").as("lp"),
+          expr("min_by(o_totalprice, o_orderkey, 3)").as("fp"),
+          expr("max(o_orderkey, 3)").as("tk"),
+          expr("min(o_orderkey, 3)").as("bk"))
+        .select(col("o_orderpriority"),
+          posexplode(arrays_zip(col("lp"), col("fp"), col("tk"), col("bk")))
+            .as(Seq("idx", "z")))
+        .select(col("o_orderpriority"), col("idx"),
+          col("z.lp").as("last3_price"), col("z.fp").as("first3_price"),
+          col("z.tk").as("top3_key"), col("z.bk").as("bottom3_key"))
+        .orderBy("o_orderpriority", "idx")
     },
 
     // classification-metric curves (PrecisionRecallAggregation.java +
@@ -196,24 +214,38 @@ object AggOps extends QueryGroup {
         |  FROM b, tot
         |  WHERE running_true < tt)
         |SELECT
-        |  list(round(i / 10.0, 6) ORDER BY i) AS thresholds,
-        |  list(round(tp / (tp + fp), 6) ORDER BY i) AS prec,
-        |  list(round(tp / tt, 6) ORDER BY i) AS recall,
-        |  list(round(fp / tt, 6) ORDER BY i) AS miss_rate,
-        |  list(round(fn / tf, 6) ORDER BY i) AS fall_out,
-        |  list(round(tp_u / tt_u, 6) ORDER BY i) AS recall_uw
-        |FROM m""".stripMargin) { (s, _) =>
+        |  CAST(i AS INT) AS idx,
+        |  round(i / 10.0, 6) AS threshold,
+        |  round(tp / (tp + fp), 6) AS prec,
+        |  round(tp / tt, 6) AS recall,
+        |  round(fp / tt, 6) AS miss_rate,
+        |  round(fn / tf, 6) AS fall_out,
+        |  round(tp_u / tt_u, 6) AS recall_uw
+        |FROM m ORDER BY idx""".stripMargin) { (s, _) =>
+      // The aggregates still return the reference's ARRAY-per-metric shape
+      // (the component under test); the query posexplodes them into
+      // per-threshold rows because the driver's oracle comparator cannot
+      // canonical-sort array-typed columns (round-8 postmortem). The kept
+      // bucket set is a prefix of 0..B-1 (running_true is monotone), so
+      // posexplode's pos == the oracle's bucket index i.
       val inp = s.table("orders").select(
         ((col("o_orderkey") % 1000) / 1000.0).as("pred"),
         (col("o_totalprice") > 150000).as("outcome"),
         ((col("o_orderkey") % 3) + 1).cast("double").as("w"))
       inp.agg(
-        expr("transform(classification_thresholds(10, outcome, pred, w), x -> round(x, 6))").as("thresholds"),
-        expr("transform(classification_precision(10, outcome, pred, w), x -> round(x, 6))").as("prec"),
-        expr("transform(classification_recall(10, outcome, pred, w), x -> round(x, 6))").as("recall"),
-        expr("transform(classification_miss_rate(10, outcome, pred, w), x -> round(x, 6))").as("miss_rate"),
-        expr("transform(classification_fall_out(10, outcome, pred, w), x -> round(x, 6))").as("fall_out"),
-        expr("transform(classification_recall(10, outcome, pred), x -> round(x, 6))").as("recall_uw"))
+          expr("transform(classification_thresholds(10, outcome, pred, w), x -> round(x, 6))").as("th"),
+          expr("transform(classification_precision(10, outcome, pred, w), x -> round(x, 6))").as("pr"),
+          expr("transform(classification_recall(10, outcome, pred, w), x -> round(x, 6))").as("re"),
+          expr("transform(classification_miss_rate(10, outcome, pred, w), x -> round(x, 6))").as("mr"),
+          expr("transform(classification_fall_out(10, outcome, pred, w), x -> round(x, 6))").as("fo"),
+          expr("transform(classification_recall(10, outcome, pred), x -> round(x, 6))").as("ru"))
+        .select(posexplode(arrays_zip(
+          col("th"), col("pr"), col("re"), col("mr"), col("fo"), col("ru")))
+          .as(Seq("idx", "z")))
+        .select(col("idx"), col("z.th").as("threshold"), col("z.pr").as("prec"),
+          col("z.re").as("recall"), col("z.mr").as("miss_rate"),
+          col("z.fo").as("fall_out"), col("z.ru").as("recall_uw"))
+        .orderBy("idx")
     },
 
     // differential_entropy (DifferentialEntropyAggregation.java): the
