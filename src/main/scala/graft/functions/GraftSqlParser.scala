@@ -64,9 +64,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case _ => parsePlanRest(sqlText)
   }
 
+  /** Opt-in Presto operator semantics (integer `/` truncation, 1-based
+    * subscripts — PrestoOperators) applied on the PARSED plan, so the
+    * rewrite sees structure (not text) and never touches DataFrame-API
+    * plans.
+    */
+  private def dialectPlan(plan: LogicalPlan): LogicalPlan =
+    if (PrestoOperators.enabled) PrestoOperators(plan) else plan
+
   private def parsePlanRest(sqlText: String): LogicalPlan =
     sessionStatement(sqlText, prepared) match {
-      case Some(replacement) => delegate.parsePlan(replacement)
+      case Some(replacement) => dialectPlan(delegate.parsePlan(replacement))
       case None =>
         // EXPLAIN ANALYZE executes the statement and reports per-operator
         // runtime stats (ExplainAnalyzeOperator.java:34) — a command, not
@@ -74,13 +82,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         ExplainAnalyze.findFirstMatchIn(sqlText) match {
           case Some(m) =>
             graft.plans.ExplainAnalyzeCommand(rewrite(sqlText.substring(m.end)))
-          case None => delegate.parsePlan(rewrite(sqlText))
+          case None => dialectPlan(delegate.parsePlan(rewrite(sqlText)))
         }
     }
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(rewrite(sqlText))
-  override def parseExpression(sqlText: String): Expression =
-    delegate.parseExpression(rewrite(sqlText))
+    dialectPlan(delegate.parseQuery(rewrite(sqlText)))
+  override def parseExpression(sqlText: String): Expression = {
+    val e = delegate.parseExpression(rewrite(sqlText))
+    if (PrestoOperators.enabled) e.transformDown(PrestoOperators.exprRewrite)
+    else e
+  }
 
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
     delegate.parseTableIdentifier(sqlText)
@@ -185,6 +196,10 @@ object GraftSqlParser {
       // the CBO join-reorder switch
       case "join_reordering_strategy" =>
         s"SET spark.sql.cbo.joinReorder.enabled=${value.toUpperCase == "AUTOMATIC"}"
+      // engine-specific: opt-in Presto operator semantics (integer `/`
+      // truncation + 1-based subscripts — PrestoOperators)
+      case "graft.presto_operators" =>
+        s"SET ${PrestoOperators.ConfKey}=${value.toLowerCase == "true"}"
       case other => throw new IllegalArgumentException(
         s"SET SESSION $other: no Spark mapping for this session property " +
           "(reference SystemSessionProperties.java)")

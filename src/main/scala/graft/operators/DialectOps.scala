@@ -231,5 +231,57 @@ object DialectOps extends QueryGroup {
       Seq("n1", "n2", "n3", "n4", "n5", "n6"),
       Seq(big("n1"), big("n2"), big("n3"), big("n4"), big("n5"), big("n6")),
       ""),
+
+    // ── Presto operator semantics (opt-in conf; PrestoOperators) ──
+    // The two constructs both dialects parse but compute differently —
+    // round-8's "silent divergence" list. Under the conf, integer `/`
+    // truncates toward zero (reference BigintOperators.java divide) and
+    // subscripts are 1-based erroring on out-of-bounds
+    // (ArraySubscriptOperator.java:68). DuckDB's `//` and 1-based list
+    // subscripts natively share Presto's semantics, so the oracles pin
+    // values, including negative-operand truncation direction.
+    q("dialect_int_division",
+      """SELECT o_orderkey,
+        |  o_orderkey // 7 AS div7,
+        |  (0 - o_orderkey) // 7 AS negdiv7,
+        |  o_orderkey // CAST(3 AS BIGINT) AS div3,
+        |  o_totalprice / 2 AS half_price,
+        |  round(o_orderkey / CAST(400 AS DOUBLE), 6) AS ratio
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, _) =>
+      s.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+      try s.sql(
+        """SELECT o_orderkey,
+          |  o_orderkey / 7 AS div7,
+          |  (0 - o_orderkey) / 7 AS negdiv7,
+          |  o_orderkey / CAST(3 AS BIGINT) AS div3,
+          |  o_totalprice / 2 AS half_price,
+          |  round(o_orderkey / CAST(400 AS DOUBLE), 6) AS ratio
+          |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin)
+      finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
+    },
+
+    // exercised through the reference's own session surface: SET SESSION
+    // graft.presto_operators (translateSessionProperty) — integer-keyed
+    // map subscript goes through the same element_at rewrite as arrays;
+    // string-literal keys keep the stock path (identical semantics).
+    q("dialect_subscript",
+      """SELECT c_custkey,
+        |  [c_custkey, c_nationkey + 0, 42][1] AS first_elem,
+        |  [c_custkey, c_nationkey + 0, 42][3] AS third_elem,
+        |  string_split(c_mktsegment, 'U')[1] AS seg_head,
+        |  map([1, 2], ['lo', 'hi'])[2][1] AS map_int_key,
+        |  map(['k1', 'k2'], [c_custkey, c_nationkey + 0])['k2'][1] AS map_str_key
+        |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin) { (s, _) =>
+      s.sql("SET SESSION graft.presto_operators=true")
+      try s.sql(
+        """SELECT c_custkey,
+          |  ARRAY[c_custkey, c_nationkey, 42][1] AS first_elem,
+          |  ARRAY[c_custkey, c_nationkey, 42][3] AS third_elem,
+          |  split(c_mktsegment, 'U')[1] AS seg_head,
+          |  MAP(ARRAY[1, 2], ARRAY['lo', 'hi'])[2] AS map_int_key,
+          |  MAP(ARRAY['k1', 'k2'], ARRAY[c_custkey, c_nationkey])['k2'] AS map_str_key
+          |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin)
+      finally s.sql("SET SESSION graft.presto_operators=false")
+    },
   )
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PrestoOperators
+
+/** Pins the opt-in Presto operator semantics (PrestoOperators): integer
+  * `/` truncation and 1-based subscripts — round-8's two silent dialect
+  * divergences. Every test asserts BOTH states: the conf off (stock Spark
+  * semantics, so the verbatim TPC corpora are provably untouched) and on
+  * (reference semantics, BigintOperators.java divide /
+  * ArraySubscriptOperator.java).
+  */
+class PrestoOperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def withDialect[T](f: => T): T = {
+    spark.conf.set(PrestoOperators.ConfKey, "true")
+    try f finally spark.conf.unset(PrestoOperators.ConfKey)
+  }
+
+  private def one(sql: String): Any =
+    spark.sql(sql).collect()(0).get(0)
+
+  test("integer division truncates toward zero under the dialect, stays double off") {
+    assert(one("SELECT 5 / 2") == 2.5)                        // conf off
+    withDialect {
+      assert(one("SELECT 5 / 2") == 2)
+      assert(one("SELECT -7 / 2") == -3, "Java/Presto truncation, not floor")
+      assert(one("SELECT 7 / -2") == -3)
+      assert(one("SELECT CAST(10 AS BIGINT) / 3") == 3L, "wider integral type wins")
+      assert(one("SELECT 10 / CAST(3 AS TINYINT)") == 3)
+    }
+    assert(one("SELECT 5 / 2") == 2.5, "conf resets cleanly")
+  }
+
+  test("non-integral division keeps fractional semantics under the dialect") {
+    withDialect {
+      assert(one("SELECT 5.0E0 / 2") == 2.5)                  // double / int
+      assert(one("SELECT 5 / 2.0E0") == 2.5)                  // int / double
+      val dec = one("SELECT CAST(5 AS DECIMAL(10,2)) / 2")
+      assert(BigDecimal(dec.toString) == BigDecimal("2.5"))   // decimal / int
+      // division by zero still errors (reference DIVISION_BY_ZERO)
+      intercept[Exception](one("SELECT 5 / 0"))
+    }
+  }
+
+  test("subscripts are 1-based under the dialect, 0-based off") {
+    assert(one("SELECT array(10, 20, 30)[1]") == 20)          // conf off: 0-based
+    withDialect {
+      assert(one("SELECT array(10, 20, 30)[1]") == 10)
+      assert(one("SELECT array(10, 20, 30)[3]") == 30)
+      // out-of-bounds and index 0 throw, like the reference under ANSI
+      intercept[Exception](one("SELECT array(10, 20, 30)[4]"))
+      intercept[Exception](one("SELECT array(10, 20, 30)[0]"))
+      // map subscripts: integer and string-literal keys both do key lookup
+      assert(one("SELECT map(1, 'a', 2, 'b')[2]") == "b")
+      assert(one("SELECT map('x', 7)['x']") == 7)
+      // non-literal subscript expression is still 1-based
+      assert(one("SELECT array(10, 20, 30)[1 + 1]") == 20)
+    }
+    assert(one("SELECT array(10, 20, 30)[1]") == 20)
+  }
+
+  test("dialect reaches inside subqueries and CTEs") {
+    withDialect {
+      assert(one("WITH t AS (SELECT 7 / 2 AS v) SELECT v FROM t") == 3)
+      assert(one("SELECT (SELECT 9 / 4)") == 2)
+      assert(one("SELECT x FROM VALUES (1) AS s(x) WHERE (SELECT 5 / 2) = 2") == 1)
+    }
+  }
+
+  test("SET SESSION graft.presto_operators drives the conf") {
+    spark.sql("SET SESSION graft.presto_operators=true")
+    try assert(one("SELECT 5 / 2") == 2)
+    finally spark.sql("SET SESSION graft.presto_operators=false")
+    assert(one("SELECT 5 / 2") == 2.5)
+  }
+
+  test("DataFrame API is never rewritten") {
+    import org.apache.spark.sql.functions._
+    withDialect {
+      val df = spark.range(1).select(
+        (lit(5) / lit(2)).as("d"),
+        array(lit(10), lit(20))(1).as("s"))
+      val row = df.collect()(0)
+      assert(row.get(0) == 2.5, "Column / stays Spark semantics")
+      assert(row.get(1) == 20, "Column apply stays 0-based")
+    }
+  }
+}
