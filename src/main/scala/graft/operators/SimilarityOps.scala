@@ -73,6 +73,71 @@ object SimilarityOps extends QueryGroup {
     math.min(24, math.max(4,
       math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(2.0)).toInt))
 
+  /** Corpus-size estimate for autoBits WITHOUT a full pass (round-8
+    * verdict: the sizing `count()` was a full corpus job + scheduling
+    * barrier before any real work started). Sources, in order:
+    *
+    *  1. catalog/CBO row count (ANALYZE TABLE, or propagated estimates);
+    *  2. parquet footer metadata when the plan bottoms out in a bare
+    *     (unfiltered) file scan — exact, driver-side, bounded: at most
+    *     [[FooterSampleMax]] footers are opened and the sampled rows/byte
+    *     is extrapolated over the remaining file bytes;
+    *  3. only then a count() job.
+    *
+    * The estimate only feeds autoBits' log2, so even a 2× error moves B
+    * by one bit (bucket target 64 → 32/128, both far under EmbMaxBucket);
+    * a FILTERED scan falls through to count() because footer totals would
+    * overestimate N and oversized keys cost recall.
+    */
+  private val FooterSampleMax = 64
+
+  private[graft] def estimatedRows(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.rowCount.map(_.toLong).getOrElse {
+      @annotation.tailrec
+      def strip(p: LogicalPlan): LogicalPlan = p match {
+        case Project(_, c) => strip(c)
+        case SubqueryAlias(_, c) => strip(c)
+        case other => other
+      }
+      strip(plan) match {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+            if fs.fileFormat.toString.toLowerCase.contains("parquet") =>
+          footerRows(df.sparkSession, fs).getOrElse(df.count())
+        case _ => df.count()
+      }
+    }
+  }
+
+  private def footerRows(spark: SparkSession,
+      fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Option[Long] =
+    try {
+      val files = fs.location.inputFiles
+      if (files.isEmpty) Some(0L)
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        def rowsOf(path: String): (Long, Long) = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try (reader.getRecordCount, in.getLength) finally reader.close()
+        }
+        val sample = files.take(FooterSampleMax).map(rowsOf)
+        val (rows, bytes) = (sample.map(_._1).sum, sample.map(_._2).sum)
+        if (files.length <= FooterSampleMax) Some(rows)
+        else {
+          // extrapolate the sampled rows/byte over the unsampled files
+          val restBytes = files.drop(FooterSampleMax).map { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(conf).getFileStatus(p).getLen
+          }.sum
+          Some(rows + (if (bytes > 0) restBytes * rows / bytes else 0L))
+        }
+      }
+    } catch { case _: Throwable => None }
+
   private[graft] def bucketKeys(emb: DataFrame, tables: Int, bits: Int): DataFrame = {
     val dims = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
@@ -150,7 +215,7 @@ object SimilarityOps extends QueryGroup {
     */
   def lshCosinePairs(emb: DataFrame, tau: Double,
                      tables: Int = 16, bits: Int = -1): DataFrame = {
-    val rbits = if (bits > 0) bits else autoBits(emb.count())
+    val rbits = if (bits > 0) bits else autoBits(estimatedRows(emb))
     val sig = bucketKeys(emb, tables, rbits)
     // same hot-bucket cap as the incremental path: a degenerate bucket
     // (hash collapse, adversarial vectors) drops loudly out of pair
@@ -213,7 +278,7 @@ object SimilarityOps extends QueryGroup {
     // value lands in the index fingerprint, so a corpus grown past the
     // next power-of-two boundary rebuilds rather than probing a
     // stale-keyed index.
-    val rbits = if (bits > 0) bits else autoBits(emb.count())
+    val rbits = if (bits > 0) bits else autoBits(estimatedRows(emb))
     val indexDir = sys.props.getOrElse("graft.index.root",
       sys.props("java.io.tmpdir")) + "/graft-emb-lsh-index-" +
       s"v$EmbLshFormulaVersion-t$tables-b$rbits-" +

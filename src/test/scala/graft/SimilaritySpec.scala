@@ -166,4 +166,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(candCount < pairSpace / 10,
       s"bucket join degenerated: $candCount candidates of $pairSpace pairs")
   }
+
+  test("estimatedRows: footer metadata for bare scans, count() fallback for filters") {
+    import graft.operators.SimilarityOps
+    val emb = spark.read.parquet(s"${TestSession.sf}/embeddings.parquet")
+    // bare scan → parquet footer row count, exact (sf0.001 = 50 vectors)
+    val bare = SimilarityOps.estimatedRows(emb)
+    assert(bare == emb.count(), s"footer estimate $bare must be exact on a bare scan")
+    // projection wrappers stripped, still footer-exact
+    assert(SimilarityOps.estimatedRows(emb.select("vec_id", "embedding")) == bare)
+    // a filtered scan must NOT use footer totals (they'd overestimate)
+    val filtered = emb.filter(col("vec_id") % 2 === 0)
+    assert(SimilarityOps.estimatedRows(filtered) == filtered.count())
+    // registered view path (what dd_embedding_lsh actually passes)
+    Tables.register(spark, TestSession.sf)
+    assert(SimilarityOps.estimatedRows(spark.table("embeddings")) == bare)
+  }
 }
