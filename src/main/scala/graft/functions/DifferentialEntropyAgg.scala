@@ -116,12 +116,25 @@ case class DifferentialEntropyAgg(
             new DeReservoir(n.toInt, weighted = weightedArity)
           case Some("fixed_histogram_mle") =>
             val (mn, mx) = evalRange(input)
+            // FixedHistogramStateStrategyUtils.validateParameters: a
+            // non-positive bucket count must be a clean dialect error, not
+            // a NegativeArraySizeException / useless 0-bucket state
+            if (n <= 0) err(s"bucket count must be non-negative: $n")
             new DeHist(n.toInt, mn, mx)
           case Some(_) =>
             val (mn, mx) = evalRange(input)
+            if (n <= 0) err(s"bucket count must be non-negative: $n")
             new DeBreakdown(n.toInt, mn, mx)
         }
       case other => other
+    }
+    // the fixed-histogram arities carry min/max on EVERY row — re-evaluate
+    // and reject drift like the reference ("inconsistent min/max"), rather
+    // than silently bucketing against the first row's range
+    def checkRange(mn0: Double, mx0: Double): Unit = {
+      val (mn, mx) = evalRange(input)
+      if (mn != mn0) err(s"inconsistent min: prev=$mn0, current=$mn")
+      if (mx != mx0) err(s"inconsistent max: prev=$mx0, current=$mx")
     }
     st match {
       case r: DeReservoir =>
@@ -130,9 +143,11 @@ case class DifferentialEntropyAgg(
         if (r.weighted) addWeighted(r, v, w) else addUnweighted(r, v)
       case h: DeHist =>
         if (n.toInt != h.buckets) err(s"inconsistent bucket count: $n, ${h.buckets}")
+        checkRange(h.min, h.max)
         h.weights(histIndex(h.buckets, h.min, h.max, v)) += w
       case b: DeBreakdown =>
         if (n.toInt != b.buckets) err(s"inconsistent bucket count: $n, ${b.buckets}")
+        checkRange(b.min, b.max)
         val m = b.perBucket(histIndex(b.buckets, b.min, b.max, v))
         m.update(w, m.getOrElse(w, 0L) + 1L)
       case _: DeEmpty => // unreachable

@@ -1104,15 +1104,15 @@ object GraftFunctions {
       (a: Map[String, Double], b: Map[String, Double]) =>
         GraftFnUtils.cosineSimilarityMaps(a, b))
     // Teradata compatibility family (presto-teradata-functions —
-    // TeradataFns scaladoc has the token contract). `index` is strpos's
-    // Teradata spelling; to_char/to_date/to_timestamp use the Teradata
+    // TeradataFns scaladoc has the token contract). `index` (strpos's
+    // Teradata spelling) is a BUILDER, not a UDF: StringLocate is
+    // code-point-based on UTF8String (probe-verified on astral-plane
+    // strings), so the codegen'd builder serves both registration paths
+    // with identical semantics — a UDF here would shadow it in the
+    // registerAll path only, forking the two entry paths (round-8
+    // advice). to_char/to_date/to_timestamp use the Teradata
     // format-token language (NOT Spark's pattern language — the
     // reference's semantics win, documented in README divergences).
-    spark.udf.register("index", (s: String, sub: String) => {
-      // strpos contract: 1-based CODE-POINT position, 0 when absent
-      val i = s.indexOf(sub)
-      if (i < 0) 0L else s.codePointCount(0, i) + 1L
-    })
     spark.udf.register("char2hexint", (s: String) => TeradataFns.char2HexInt(s))
     spark.udf.register("to_char",
       (ts: java.sql.Timestamp, fmt: String) => TeradataFns.toChar(ts, fmt))

@@ -66,12 +66,16 @@ case class DescribeOutputCommand(sqlText: String) extends LeafRunnableCommand {
     AttributeReference("Type Size", LongType, nullable = true)(),
     AttributeReference("Aliased", BooleanType, nullable = true)())
 
-  /** The first Project under purely-unary wrappers (Sort/Limit/...)
-    * carries the user's select list — its Alias-ness is the reference's
-    * Field.isAliased.
+  /** The first node carrying the user's select list under purely-unary
+    * wrappers (Sort/Limit/Distinct/...) — its Alias-ness is the
+    * reference's Field.isAliased. Aggregate statements keep their select
+    * list in aggregateExpressions, not a Project (round-8 advice:
+    * `SELECT count(*) AS n FROM t` must report n as aliased).
     */
   private def projectOf(p: LogicalPlan): Option[Seq[NamedExpression]] = p match {
     case Project(l, _) => Some(l)
+    case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+      Some(a.aggregateExpressions)
     case u: UnaryNode => projectOf(u.child)
     case _ => None
   }

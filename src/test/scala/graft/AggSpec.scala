@@ -67,6 +67,28 @@ class AggSpec extends AnyFunSuite {
     assert(math.abs(w - 1.7119992) < 1e-6, s"weighted vasicek $w")
   }
 
+  test("differential_entropy: fixed-histogram parameter validation (reference errors)") {
+    import spark.implicits._
+    val df = Seq(0.5, 1.5).toDF("x")
+    // non-positive bucket count: a clean dialect error, never a
+    // NegativeArraySizeException (FixedHistogramStateStrategyUtils)
+    val e1 = intercept[Exception] {
+      df.agg(expr("differential_entropy(-4, x, 1.0D, 'fixed_histogram_mle', 0.0D, 4.0D)")).collect()
+    }
+    assert(e1.getMessage.contains("bucket count must be non-negative"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      df.agg(expr("differential_entropy(0, x, 1.0D, 'fixed_histogram_jacknife', 0.0D, 4.0D)")).collect()
+    }
+    assert(e2.getMessage.contains("bucket count must be non-negative"), e2.getMessage)
+    // min/max must be consistent across rows, not first-row-wins
+    val drift = Seq((0.5, 0.0), (1.5, 1.0)).toDF("x", "mn")
+    val e3 = intercept[Exception] {
+      drift.coalesce(1).agg(
+        expr("differential_entropy(4, x, 1.0D, 'fixed_histogram_mle', mn, 4.0D)")).collect()
+    }
+    assert(e3.getMessage.contains("inconsistent min"), e3.getMessage)
+  }
+
   test("classification curves: hand-computed 4-row example, forced partials, early stop") {
     Tables.register(spark, TestSession.sf)
     import spark.implicits._

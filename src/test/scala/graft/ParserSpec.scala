@@ -149,6 +149,15 @@ class ParserSpec extends AnyFunSuite {
     s.sql("PREPARE d_spec0 FROM SELECT 1")
     val in0 = s.sql("DESCRIBE INPUT d_spec0").collect()
     assert(in0.length == 1 && in0(0).isNullAt(0) && in0(0).isNullAt(1))
+    // aggregate statements keep their select list in Aggregate, not a
+    // Project — derived/aliased columns must still report Aliased
+    // (round-8 advice; reference Field.isAliased)
+    s.sql("PREPARE d_agg FROM SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1")
+    val agg = s.sql("DESCRIBE OUTPUT d_agg").collect()
+    assert(agg.map(_.getString(0)).toSeq == Seq("o_orderpriority", "n"))
+    assert(!agg(0).getBoolean(6), "grouping column is a direct reference")
+    assert(agg(1).getBoolean(6), "count(*) AS n must be aliased")
+    s.sql("DEALLOCATE PREPARE d_agg")
     // unknown statement errors loudly; plain DESCRIBE TABLE still works
     intercept[Exception](s.sql("DESCRIBE OUTPUT nope_zzz"))
     assert(s.sql("DESCRIBE orders").collect().nonEmpty)
