@@ -92,6 +92,22 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    // Fail fast on the documented mult>=30 heap requirement (round-8
+    // BENCHLOG: the default 8g driver OOMs mid-suite at mult=30 — not
+    // data blowup but 32 concurrent task slots × per-task working set;
+    // 48g — the margin a real per-executor layout provides — runs
+    // clean). Refusing up front with the remediation beats an OOM
+    // twenty minutes into the suite.
+    if (mult >= 30) {
+      val slots = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+      val needGiB = math.max(1.25 * slots, 40.0) // measured margin at m30
+      val haveGiB = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+      require(haveGiB >= needGiB,
+        f"ScaleStress mult=$mult needs ≥ $needGiB%.0f GiB driver heap for " +
+          f"$slots task slots (have $haveGiB%.1f GiB). Re-run with " +
+          "SPARK_DRIVER_MEM=48g (see BENCHLOG.md, round-8 scale stress) " +
+          "or lower SPARK_GRAFT_CPUS.")
+    }
     val dir = s"/tmp/graft-stress-m$mult"
     new java.io.File(dir).mkdirs()
     val spark = GraftSession("scale-stress")
