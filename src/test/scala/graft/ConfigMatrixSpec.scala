@@ -37,11 +37,66 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // OR-merge across partials), heap-bounded top-n (partial/merge
     // split), curve-histogram merge, the bounded-model broadcast join
     "dd_bloom_prefilter", "agg_minmax_n", "agg_classification_curves",
-    "tx_perplexity")
+    "tx_perplexity",
+    // round 9: the full grouping-sets family — EmptyGroupingSetsRule
+    // rewrites every one of these plans (sentinel-row pass), so pin that
+    // the rewrite is partition-/AQE-invariant on each shape, plus the
+    // verbatim q27 whose empty grouping set re-admitted the rule
+    "agg_rollup", "agg_cube", "tpcds_q27_verbatim")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)
       .collect().map(_.toString).sorted.toSeq
+
+  // The EmptyGroupingSetsRule escape hatch only changes behavior on EMPTY
+  // grouped input — on the (non-empty) fixture shapes, turning the rule
+  // OFF must be a no-op, under the default AND the constrained config.
+  // Divergence here would mean the sentinel-row rewrite leaks into
+  // non-empty results.
+  for (name <- Seq("agg_grouping_sets", "agg_rollup", "agg_cube")) {
+    test(s"config matrix: $name invariant to the empty-grouping-sets escape hatch") {
+      val key = graft.plans.EmptyGroupingSetsRule.EnabledKey
+      val defaults = snapshot(name)
+      try {
+        spark.conf.set(key, "false")
+        assert(snapshot(name) == defaults,
+          s"$name diverges with $key=false on non-empty input")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        assert(snapshot(name) == defaults,
+          s"$name diverges with $key=false under constrained config")
+      } finally {
+        spark.conf.unset(key)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+      }
+    }
+  }
+
+  // q27's grouped input IS empty in this fixture (the reason the rule
+  // re-admitted the text) — the escape hatch must change its answer in
+  // exactly one way: the standard grand-total row disappears. Pin the
+  // direction and magnitude, and that the off-state is itself
+  // config-invariant.
+  test("config matrix: tpcds_q27_verbatim escape hatch drops only the grand-total row") {
+    val key = graft.plans.EmptyGroupingSetsRule.EnabledKey
+    val defaults = snapshot("tpcds_q27_verbatim")
+    try {
+      spark.conf.set(key, "false")
+      val off = snapshot("tpcds_q27_verbatim")
+      assert(off.size == defaults.size - 1,
+        s"rule-off must drop exactly the sentinel grand-total row (${defaults.size} -> ${off.size})")
+      assert(off.toSet.subsetOf(defaults.toSet), "rule-off rows must be a subset")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      assert(snapshot("tpcds_q27_verbatim") == off,
+        "rule-off state diverges under constrained config")
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
+  }
 
   for (name <- queries) {
     test(s"config matrix: $name identical under AQE-off + 2 shuffle partitions") {
