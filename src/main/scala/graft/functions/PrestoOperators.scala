@@ -113,19 +113,30 @@ case class PrestoDivide(left: Expression, right: Expression)
     DecimalType(math.min(range + scale, DecimalType.MAX_PRECISION), scale)
   }
 
+  /** The reference's decimal-divide result type (DecimalOperators.java
+    * decimalDivideOperator): r_precision = min(38, p1 + s2 + max(s2-s1,0)),
+    * r_scale = max(s1, s2). Spark's Divide computes at its own (usually
+    * larger) scale; casting the quotient to this type rounds HALF_UP like
+    * the reference's divideRoundUp.
+    */
+  private def prestoDivType(a: DecimalType, b: DecimalType): DecimalType =
+    DecimalType(
+      math.min(a.precision + b.scale + math.max(b.scale - a.scale, 0),
+        DecimalType.MAX_PRECISION),
+      math.max(a.scale, b.scale))
+
+  private def decimalDivide(l: DecimalType, r: DecimalType): Expression = {
+    val w = widerDecimal(l, r)
+    Cast(Divide(Cast(left, w), Cast(right, w)), prestoDivType(l, r))
+  }
+
   override lazy val replacement: Expression = (left.dataType, right.dataType) match {
     case (l, r) if isIntegral(l) && isIntegral(r) =>
       Cast(IntegralDivide(Cast(left, LongType), Cast(right, LongType)),
         widerIntegral(l, r))
-    case (l: DecimalType, r: DecimalType) =>
-      val w = widerDecimal(l, r)
-      Divide(Cast(left, w), Cast(right, w))
-    case (l: DecimalType, r) if isIntegral(r) =>
-      val w = widerDecimal(l, decimalFor(r))
-      Divide(Cast(left, w), Cast(right, w))
-    case (l, r: DecimalType) if isIntegral(l) =>
-      val w = widerDecimal(decimalFor(l), r)
-      Divide(Cast(left, w), Cast(right, w))
+    case (l: DecimalType, r: DecimalType) => decimalDivide(l, r)
+    case (l: DecimalType, r) if isIntegral(r) => decimalDivide(l, decimalFor(r))
+    case (l, r: DecimalType) if isIntegral(l) => decimalDivide(decimalFor(l), r)
     case (FloatType, FloatType) =>
       Cast(Divide(Cast(left, DoubleType), Cast(right, DoubleType)), FloatType)
     case (_: DayTimeIntervalType, _) => DivideDTInterval(left, right)

@@ -38,8 +38,14 @@ class PrestoOperatorsSpec extends AnyFunSuite {
     withDialect {
       assert(one("SELECT 5.0E0 / 2") == 2.5)                  // double / int
       assert(one("SELECT 5 / 2.0E0") == 2.5)                  // int / double
+      // decimal / int carries the REFERENCE's result type
+      // (DecimalOperators.java: scale max(s1,s2), so 2 here — "2.50")
       val dec = one("SELECT CAST(5 AS DECIMAL(10,2)) / 2")
-      assert(BigDecimal(dec.toString) == BigDecimal("2.5"))   // decimal / int
+      assert(dec.toString == "2.50", s"presto scale: $dec")
+      // decimal / decimal, reference scale + HALF_UP rounding:
+      // 1.00 / 3.000 → scale 3 → 0.333
+      assert(one("SELECT CAST(1 AS DECIMAL(5,2)) / CAST(3 AS DECIMAL(6,3))").toString == "0.333")
+      assert(one("SELECT CAST(2 AS DECIMAL(5,2)) / CAST(3 AS DECIMAL(6,3))").toString == "0.667")
       // division by zero still errors (reference DIVISION_BY_ZERO)
       intercept[Exception](one("SELECT 5 / 0"))
     }
