@@ -44,6 +44,11 @@ case class GeoDistanceExpr(left: Expression, right: Expression)
 }
 
 object GraftFnUtils {
+  /** Regex-quote for PrestoOperators' literal-delimiter split. */
+  def quoteRegex(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.util.regex.Pattern.quote(s.toString))
+
   /** reference operator/scalar/StringFunctions.java (hamming_distance). */
   def hammingDistance(a: String, b: String): Long = {
     require(a.codePointCount(0, a.length) == b.codePointCount(0, b.length),

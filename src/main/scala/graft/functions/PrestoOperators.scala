@@ -50,6 +50,31 @@ object PrestoOperators {
     case d: Divide => PrestoDivide(d.left, d.right)
     case UnresolvedExtractValue(child, key) if !isStringLiteral(key) =>
       UnresolvedFunction("element_at", Seq(child, key), isDistinct = false)
+    // split(s, delim[, limit]): the delimiter is a LITERAL string in
+    // Presto (StringFunctions.java split — Slice indexOf) but a REGEX in
+    // Spark, so `split(s, '.')` silently explodes per character. Quote
+    // the delimiter (transformDown does not revisit the rewritten node
+    // itself, so this cannot loop); the 3-arg limit contract (at most
+    // `limit` parts, last part carries the rest unsplit) is identical in
+    // both engines.
+    case u: UnresolvedFunction
+        if u.nameParts.map(_.toLowerCase) == Seq("split") &&
+          (u.arguments.size == 2 || u.arguments.size == 3) =>
+      u.copy(arguments = u.arguments.head +:
+        QuotedDelimiter(u.arguments(1)) +: u.arguments.drop(2))
+  }
+
+  /** Regex-quote the split delimiter: literal delimiters fold at plan
+    * time; non-literal ones quote per row via Pattern.quote.
+    */
+  private def QuotedDelimiter(d: Expression): Expression = d match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _: StringType) =>
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.util.regex.Pattern.quote(s.toString)), d.dataType)
+    case _ =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, StringType, "quoteRegex", Seq(d),
+        inputTypes = Seq(StringType), propagateNull = true)
   }
 
   /** Rewrite every expression, including inside subquery plans and CTE

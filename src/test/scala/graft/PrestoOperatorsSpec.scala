@@ -68,6 +68,21 @@ class PrestoOperatorsSpec extends AnyFunSuite {
     assert(one("SELECT array(10, 20, 30)[1]") == 20)
   }
 
+  test("split delimiter is literal under the dialect, regex off") {
+    // conf off: Spark regex semantics — '.' matches everything
+    assert(one("SELECT size(split('a.b.c', '.'))") == 6)
+    withDialect {
+      assert(one("SELECT split('a.b.c', '.')[1]") == "a")   // literal dot, 1-based
+      assert(one("SELECT size(split('a.b.c', '.'))") == 3)
+      assert(one("SELECT split('a|b|c', '|')[2]") == "b")
+      // 3-arg limit: last part carries the rest unsplit (both engines)
+      assert(one("SELECT split('a.b.c', '.', 2)[2]") == "b.c")
+      // non-literal delimiter quotes per row
+      assert(one("SELECT size(split('a.b.c', substr('.x', 1, 1)))") == 3)
+    }
+    assert(one("SELECT size(split('a.b.c', '.'))") == 6)
+  }
+
   test("dialect reaches inside subqueries and CTEs") {
     withDialect {
       assert(one("WITH t AS (SELECT 7 / 2 AS v) SELECT v FROM t") == 3)
