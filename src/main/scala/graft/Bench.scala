@@ -56,7 +56,10 @@ object Bench {
     // bloom + exact verify), URL-canonicalization dedup (Presto URL
     // family map-side), trigram-LM perplexity scoring (bounded model
     // broadcast join)
-    "dd_bloom_prefilter", "dd_url_canonical", "tx_perplexity")
+    "dd_bloom_prefilter", "dd_url_canonical", "tx_perplexity",
+    // round-9 op: SemDeDup — k-means cells bound the pairwise pass,
+    // components + edge-exemplar survivor per duplicate group
+    "dd_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -449,6 +449,77 @@ object SimilarityOps extends QueryGroup {
       .orderBy("q_id", "rk")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", public method): k-means the embedding space, then
+    * WITHIN each cluster connect members whose cosine exceeds tau and
+    * keep ONE representative per duplicate group — per the paper, the
+    * member with the LOWEST cosine to its cluster centroid (the "edge"
+    * exemplar, preserving diversity); ties break on vec_id.
+    *
+    * Scale shape: the clusterer bounds the pairwise pass — candidate
+    * pairs are generated per CELL (|cell| ≈ N/k, hard-capped at
+    * [[EmbMaxBucket]] like every other bucketed path: a degenerate cell
+    * drops loudly out of pair generation instead of going quadratic), so
+    * the join volume is Σ|cell|² ≈ N·(N/k), tunable via nlist, never N².
+    * Components reuse TextOps.connectedComponents (cluster-local edges ⇒
+    * tiny diameters). Returns one row per vector:
+    * (vec_id, cell, centroid_sim, group, keep).
+    */
+  def semDedup(emb: DataFrame, tau: Double, nlist: Int = -1): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    // nlist < 0 auto-sizes to ~512 vectors/cell (same scaling law as
+    // autoBits: fixed cell count ⇒ membership grows with N ⇒ the capped
+    // within-cell join starts DROPPING cells instead of deduping them);
+    // clamped so tiny fixtures keep enough cells to be meaningful and
+    // the centroid array stays driver/broadcast-tiny (4096×dim doubles)
+    val k = if (nlist > 0) nlist
+      else math.min(4096L, math.max(16L, estimatedRows(emb) / 512L)).toInt
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val df = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("features", toVec(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(df)
+    val centroids = model.clusterCenters.map(_.toArray) // k × dim, driver-side
+    val centroidSim = udf((a: Seq[Float], cell: Int) => {
+      val c = centroids(cell)
+      var dot = 0.0; var na = 0.0; var nc = 0.0; var j = 0
+      while (j < c.length) {
+        val x = a(j).toDouble
+        dot += x * c(j); na += x * x; nc += c(j) * c(j); j += 1
+      }
+      if (na == 0 || nc == 0) 0.0 else dot / math.sqrt(na * nc)
+    })
+    val assigned = model.transform(df)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      // rounded at birth: the survivor window orders on this value, and
+      // ordering on more precision than the emitted column would make
+      // float-noise ties (e.g. a scaled copy of the same direction)
+      // pick survivors a reader can't reproduce from the output
+      .withColumn("centroid_sim",
+        round(centroidSim(col("embedding"), col("cell")), 4))
+      .localCheckpoint(true) // the fit/assignment runs once, not per branch
+    val okCells = assigned.groupBy("cell").agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1 && col("m") <= EmbMaxBucket).select("cell")
+    val members = assigned.join(okCells, "cell")
+    val pairs = members.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .join(members.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b")), "cell")
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= tau)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val groups = TextOps.connectedComponents(pairs)
+      .select(col("id").as("vec_id"), col("label").as("group"))
+    val labeled = assigned.join(groups, Seq("vec_id"), "left")
+      .withColumn("group", coalesce(col("group"), col("vec_id")))
+    // representative per group: lowest centroid-cosine, then lowest id
+    val w = Window.partitionBy("group")
+      .orderBy(col("centroid_sim"), col("vec_id"))
+    labeled.withColumn("keep", row_number().over(w) === 1)
+      .select(col("vec_id"), col("cell"), col("centroid_sim"),
+        col("group"), col("keep"))
+      .orderBy("vec_id")
+  }
+
   def defs = Seq(
     // ── IVF-bucketed ANN (k-means coarse quantizer; engine-specific
     // clustering → no SQL oracle; SimilaritySpec measures recall@5) ──
@@ -458,6 +529,13 @@ object SimilarityOps extends QueryGroup {
     // persisted-index variant: cell-partitioned parquet + pruned probe
     qNoOracle("sim_ivf_persisted") { (s, dir) =>
       ivfPersistedAnnTopK(s, s.table("embeddings"), dir)
+    },
+    // ── SemDeDup: cluster-then-prune semantic dedup (k-means cells →
+    // capped within-cell pairs → components → edge-exemplar survivor;
+    // engine-specific clustering → no SQL oracle; SimilaritySpec pins
+    // the planted twins, the survivor policy, and cluster-locality) ──
+    qNoOracle("dd_semdedup") { (s, _) =>
+      semDedup(s.table("embeddings"), tau = 0.95)
     },
     // ── brute-force cosine top-k (k=5) for a 10-vector query set ──
     q("sim_cosine_topk",

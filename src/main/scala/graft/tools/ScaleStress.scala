@@ -131,7 +131,11 @@ object ScaleStress {
       // corpus = worst case for suspect volume), URL canonicalization
       // (pure map-side + one shuffle), trigram LM (bounded model — the
       // broadcast side must NOT grow with the corpus)
-      "dd_bloom_prefilter", "dd_url_canonical", "tx_perplexity")
+      "dd_bloom_prefilter", "dd_url_canonical", "tx_perplexity",
+      // round-9: SemDeDup — the k-means fit is the full-corpus pass;
+      // cells bound the pairwise join (duplicate-saturated corpus =
+      // worst case for within-cell pair volume)
+      "dd_semdedup")
     def once(q: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -182,4 +182,45 @@ class SimilaritySpec extends AnyFunSuite {
     Tables.register(spark, TestSession.sf)
     assert(SimilarityOps.estimatedRows(spark.table("embeddings")) == bare)
   }
+
+  test("semDedup: planted twins collapse, edge exemplar survives, distinct vectors kept") {
+    import graft.operators.SimilarityOps
+    Tables.register(spark, "/root/testdata/sf0.01")
+    val emb = spark.table("embeddings")
+    // plant exact-direction twins (scaled copies => cosine 1.0) of 20
+    // vectors under fresh ids; everything else in the fixture is far
+    // from tau=0.95
+    val twins = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))").as("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(twins)
+    val out = SimilarityOps.semDedup(corpus, tau = 0.95).collect()
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // every planted twin shares its original's group
+    for (i <- 0L until 20L) {
+      assert(byId(i).getAs[Long]("group") == byId(i + 100000).getAs[Long]("group"),
+        s"twin $i not grouped with its original")
+    }
+    // exactly one keep per group, and it is the lowest-centroid-sim member
+    val groups = out.groupBy(_.getAs[Long]("group"))
+    groups.foreach { case (g, rows) =>
+      val kept = rows.filter(_.getAs[Boolean]("keep"))
+      assert(kept.length == 1, s"group $g kept ${kept.length}")
+      val best = rows.minBy(r => (r.getAs[Double]("centroid_sim"), r.getAs[Long]("vec_id")))
+      assert(kept.head.getAs[Long]("vec_id") == best.getAs[Long]("vec_id"),
+        s"group $g survivor is not the edge exemplar")
+    }
+    // singletons (no duplicate) are all kept
+    val singles = groups.filter(_._2.length == 1).values.flatten
+    assert(singles.forall(_.getAs[Boolean]("keep")))
+    // dedup actually removed >= 20 vectors (the planted twins' groups)
+    val dropped = out.count(!_.getAs[Boolean]("keep"))
+    assert(dropped >= 20, s"dropped=$dropped")
+    // cluster-locality: members of a multi-member group share a cell
+    groups.filter(_._2.length > 1).foreach { case (g, rows) =>
+      assert(rows.map(_.getAs[Int]("cell")).distinct.length == 1,
+        s"group $g spans cells — pairs must be cluster-local")
+    }
+  }
 }
