@@ -110,6 +110,28 @@ object WriteOps extends QueryGroup {
         .select(col("col_name"), col("data_type")).orderBy("col_name")
     },
 
+    // the rest of the reference's SHOW surface (ShowQueriesRewrite.java:
+    // visitShowTables/Schemas/Catalogs/Columns/Create/Functions — the
+    // grants/roles visitors are SURVEY §2.9 non-goals): every statement
+    // maps to a Spark native with the same spelling, so the engine
+    // contract is that each PARSES and returns sane rows. One summary
+    // row; values engine-specific (catalog contents) → rows-only gate +
+    // the pinned assertions inline.
+    qNoOracle("meta_show_surface") { (s, _) =>
+      import s.implicits._
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW show_probe_v AS SELECT * FROM nation")
+      val tables = s.sql("SHOW TABLES LIKE '*show_probe_v*'").count()
+      val schemas = s.sql("SHOW SCHEMAS").count()
+      val catalogs = s.sql("SHOW CATALOGS").count()
+      val columns = s.sql("SHOW COLUMNS FROM show_probe_v").count()
+      val functions = s.sql("SHOW FUNCTIONS LIKE 'checksum'").count()
+      require(tables >= 1 && schemas >= 1 && catalogs >= 1 &&
+        columns == s.table("nation").schema.size && functions == 1,
+        s"SHOW surface: t=$tables s=$schemas c=$catalogs col=$columns fn=$functions")
+      Seq((tables, schemas, catalogs, columns, functions))
+        .toDF("tables", "schemas", "catalogs", "columns", "functions")
+    },
+
     // EXPLAIN surface (reference ExplainAnalyzeOperator.java:34 /
     // EXPLAIN) — plan text production is the contract; PlanSpec asserts
     // plan *content*
