@@ -42,7 +42,10 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // rewrites every one of these plans (sentinel-row pass), so pin that
     // the rewrite is partition-/AQE-invariant on each shape, plus the
     // verbatim q27 whose empty grouping set re-admitted the rule
-    "agg_rollup", "agg_cube", "tpcds_q27_verbatim")
+    "agg_rollup", "agg_cube", "tpcds_q27_verbatim",
+    // round 9: the Presto operator dialect rows (rewrite happens at
+    // parse time — results must not depend on partitions/AQE either)
+    "dialect_int_division", "dialect_subscript")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)
