@@ -98,6 +98,26 @@ class PrestoOperatorsSpec extends AnyFunSuite {
     assert(one("SELECT 5 / 2") == 2.5)
   }
 
+  test("the verbatim TPC-H corpus is invariant to the dialect conf") {
+    // A user migrating Presto SQL would leave the conf ON for
+    // everything — the corpus texts (written FOR Presto) must then
+    // return byte-identical results, or the rewrite corrupts standard
+    // queries. Representative arithmetic-heavy texts: q01 (sums/avgs),
+    // q06 (decimal literals), q08 (share division), q12 (CASE counts),
+    // q14 (100.00 * x / y), q19 (quantity ranges).
+    for (q <- Seq("dialect_q01_verbatim", "dialect_q06_verbatim",
+        "dialect_q08_verbatim", "dialect_q12_verbatim",
+        "dialect_q14_verbatim", "dialect_q19_verbatim")) {
+      val off = SparkEntry.queries(q)(spark, TestSession.sf)
+        .collect().map(_.toString).sorted.toSeq
+      val on = withDialect {
+        SparkEntry.queries(q)(spark, TestSession.sf)
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(on == off, s"$q diverges under the Presto operator dialect")
+    }
+  }
+
   test("DataFrame API is never rewritten") {
     import org.apache.spark.sql.functions._
     withDialect {
