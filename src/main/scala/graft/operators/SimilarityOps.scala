@@ -216,7 +216,14 @@ object SimilarityOps extends QueryGroup {
   def lshCosinePairs(emb: DataFrame, tau: Double,
                      tables: Int = 16, bits: Int = -1): DataFrame = {
     val rbits = if (bits > 0) bits else autoBits(estimatedRows(emb))
-    val sig = bucketKeys(emb, tables, rbits)
+    // materialize the signatures ONCE: the plan references `sig` twice
+    // (bucket-size census + the capped join) and without this the whole
+    // T×B signature aggregation runs twice — SpikeHunt showed two
+    // identical 2.1 s stages at sf0.1. The checkpoint is N×T (vec_id,
+    // bucket) longs — far cheaper than recomputing the contribution
+    // pipeline at any scale (cluster analog: checkpoint/CTAS, same
+    // pattern as TextOps.connectedComponents)
+    val sig = bucketKeys(emb, tables, rbits).localCheckpoint(true)
     // same hot-bucket cap as the incremental path: a degenerate bucket
     // (hash collapse, adversarial vectors) drops loudly out of pair
     // generation instead of turning the join quadratic
@@ -289,7 +296,11 @@ object SimilarityOps extends QueryGroup {
         .write.mode("overwrite").parquet(indexDir)
     }
     val index = spark.read.parquet(indexDir)
+    // materialized once: `fresh` is referenced three times below (the
+    // union census, the new side, and through `all` the other side) —
+    // without this the batch's signature aggregation runs three times
     val fresh = bucketKeys(emb.filter(col("vec_id") % 2 === 1), tables, rbits)
+      .localCheckpoint(true)
     val all = index.unionByName(fresh)
     val okKeys = all.groupBy("bucket").agg(count(lit(1)).as("m"))
       .filter(col("m") > 1 && col("m") <= EmbMaxBucket)
