@@ -98,6 +98,23 @@ class PrestoOperatorsSpec extends AnyFunSuite {
     assert(one("SELECT 5 / 2") == 2.5)
   }
 
+  test("integer division matches Java/Presto semantics over 200 random operand pairs") {
+    // BigintOperators.java divide IS Java's long division — compare the
+    // dialect's answers against it en masse (deterministic seed)
+    val rnd = new scala.util.Random(9L)
+    val cases = Seq.fill(200)((rnd.nextInt(2000001) - 1000000,
+      { val d = rnd.nextInt(999) + 1; if (rnd.nextBoolean()) d else -d }))
+    val values = cases.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    withDialect {
+      val rows = spark.sql(
+        s"SELECT a, b, a / b AS d FROM VALUES $values AS t(a, b)").collect()
+      rows.foreach { r =>
+        val (a, b, d) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        assert(d == a / b, s"$a / $b: got $d, Java/Presto says ${a / b}")
+      }
+    }
+  }
+
   test("the verbatim TPC-H corpus is invariant to the dialect conf") {
     // A user migrating Presto SQL would leave the conf ON for
     // everything — the corpus texts (written FOR Presto) must then
