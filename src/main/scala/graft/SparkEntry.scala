@@ -22,6 +22,7 @@ object SparkEntry {
     operators.WriteOps,
     operators.MultimodalOps,
     operators.DialectOps,
+    operators.FuzzParityOps,
     operators.TpcdsQueries,
     operators.SpatialOps,
     streaming.EventOps,

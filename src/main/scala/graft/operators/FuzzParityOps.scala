@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.QueryGroup
+
+/** Randomized-but-deterministic expression-parity sweeps: generate a few
+  * hundred pseudo-random operand rows with an LCG written in portable SQL
+  * (identical arithmetic on the engine and the DuckDB oracle), then apply
+  * a wide slab of the scalar-function surface row-by-row. Unlike the
+  * curated `fn_*` queries (a handful of hand-picked literals each), every
+  * function here is exercised across hundreds of operand values — sign
+  * changes, magnitude sweeps, string-shape variation — and any mismatch
+  * localizes to a (row, column) cell in the driver's compare.
+  *
+  * This is the same engine-vs-independent-implementation discipline the
+  * reference applies via H2 (presto-tests/.../QueryAssertions.java:51) and
+  * its operator fuzz tests (presto-main/src/test/.../TestExpressionCompiler
+  * .java — thousands of generated operand combinations per operator);
+  * DuckDB plays the role of the independent second implementation.
+  *
+  * Determinism notes:
+  *  - operands derive from `range(0, N)` through integer LCG steps — both
+  *    engines compute them in BIGINT with identical wraparound-free values
+  *    (all intermediates < 2^41);
+  *  - every float output is rounded (3-4 decimals) to absorb last-ulp
+  *    libm differences; operand granularity (k/2^21) makes a decimal
+  *    rounding-boundary collision a measure-zero 1/2^18 event per row;
+  *  - integer-ish outputs are CAST to BIGINT on both sides so dtype
+  *    comparison is exact, not int-width-drift-dependent.
+  */
+object FuzzParityOps extends QueryGroup {
+
+  private val N = 400
+
+  /** Engine-side operand CTE (Spark SQL + graft registrations). */
+  private val sparkOperands =
+    s"""WITH g AS (
+       |  SELECT id AS i,
+       |    (id * 1103515245 + 12345) % 2147483648 AS h1,
+       |    (id * 69069 + 99991) % 2147483648 AS h2
+       |  FROM range(0, $N)
+       |), o AS (
+       |  SELECT i, h1, h2,
+       |    CAST(h1 AS DOUBLE) / 2097152.0 - 511.0 AS x,
+       |    CAST(h2 % 1000 AS DOUBLE) / 10.0 + 0.1 AS y,
+       |    CAST(h1 % 97 - 48 AS INT) AS n,
+       |    CAST(h2 % 23 + 1 AS INT) AS m
+       |  FROM g)
+       |""".stripMargin
+
+  /** DuckDB-side operand CTE — same arithmetic, range() column aliased. */
+  private val duckOperands =
+    s"""WITH g AS (
+       |  SELECT i,
+       |    (i * 1103515245 + 12345) % 2147483648 AS h1,
+       |    (i * 69069 + 99991) % 2147483648 AS h2
+       |  FROM range(0, $N) t(i)
+       |), o AS (
+       |  SELECT i, h1, h2,
+       |    CAST(h1 AS DOUBLE) / 2097152.0 - 511.0 AS x,
+       |    CAST(h2 % 1000 AS DOUBLE) / 10.0 + 0.1 AS y,
+       |    CAST(h1 % 97 - 48 AS INT) AS n,
+       |    CAST(h2 % 23 + 1 AS INT) AS m
+       |  FROM g)
+       |""".stripMargin
+
+  def defs = Seq(
+
+    // ── math: 20 functions × 400 operand rows ──
+    // x ∈ [-511, 512] (sign sweeps), y ∈ (0.1, 100.1] (positive domain),
+    // n ∈ [-48, 48], m ∈ [1, 23]. width_bucket has no DuckDB twin — the
+    // oracle computes the bucket arithmetic longhand (y is strictly
+    // inside the bounds, so no under/overflow bucket cases arise).
+    q("fuzz_math_parity",
+      duckOperands +
+      """SELECT i,
+        |  CAST(abs(n) AS BIGINT) AS abs_n,
+        |  CAST(sign(n) AS BIGINT) AS sign_n,
+        |  CAST(greatest(n, m) AS BIGINT) AS gst,
+        |  CAST(least(n, m) AS BIGINT) AS lst,
+        |  CAST(h1 % 7919 AS BIGINT) AS mod_h1,
+        |  CAST(floor(x) AS BIGINT) AS flr,
+        |  CAST(ceiling(x) AS BIGINT) AS cl,
+        |  round(x, 3) AS rnd3,
+        |  CAST(trunc(x) AS DOUBLE) AS trunc_x,
+        |  round(sqrt(y), 4) AS sq,
+        |  round(cbrt(y), 4) AS cb,
+        |  round(exp(x / 200.0), 4) AS ex,
+        |  round(ln(y), 4) AS lny,
+        |  round(log10(y), 4) AS l10,
+        |  round(log2(y), 4) AS l2,
+        |  round(power(y, 1.5), 3) AS pw,
+        |  round(sin(x / 100.0), 4) AS sn,
+        |  round(cos(x / 100.0), 4) AS cs,
+        |  round(atan(x / 100.0), 4) AS at,
+        |  round(atan2(x / 100.0, y), 4) AS at2,
+        |  round(degrees(x / 100.0), 3) AS dg,
+        |  round(radians(n), 4) AS rd,
+        |  CAST(floor(y * 10.0 / 101.0) + 1 AS BIGINT) AS wb
+        |FROM o ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands +
+        """SELECT i,
+          |  CAST(abs(n) AS BIGINT) AS abs_n,
+          |  CAST(sign(n) AS BIGINT) AS sign_n,
+          |  CAST(greatest(n, m) AS BIGINT) AS gst,
+          |  CAST(least(n, m) AS BIGINT) AS lst,
+          |  CAST(mod(h1, 7919) AS BIGINT) AS mod_h1,
+          |  CAST(floor(x) AS BIGINT) AS flr,
+          |  CAST(ceiling(x) AS BIGINT) AS cl,
+          |  round(x, 3) AS rnd3,
+          |  CAST(truncate(x) AS DOUBLE) AS trunc_x,
+          |  round(sqrt(y), 4) AS sq,
+          |  round(cbrt(y), 4) AS cb,
+          |  round(exp(x / 200.0), 4) AS ex,
+          |  round(ln(y), 4) AS lny,
+          |  round(log10(y), 4) AS l10,
+          |  round(log2(y), 4) AS l2,
+          |  round(power(y, 1.5), 3) AS pw,
+          |  round(sin(x / 100.0), 4) AS sn,
+          |  round(cos(x / 100.0), 4) AS cs,
+          |  round(atan(x / 100.0), 4) AS at,
+          |  round(atan2(x / 100.0, y), 4) AS at2,
+          |  round(degrees(x / 100.0), 3) AS dg,
+          |  round(radians(n), 4) AS rd,
+          |  CAST(width_bucket(y, 0.0, 101.0, 10) AS BIGINT) AS wb
+          |FROM o ORDER BY i""".stripMargin)
+    },
+
+    // ── strings: 16 functions over generated string shapes ──
+    // s = 'W<0-999>_<a-z><A-Z>' varies length (5-8), case, and split
+    // position per row; Presto spellings (strpos, split_part,
+    // levenshtein_distance, hamming_distance, codepoint) against DuckDB's
+    // independently-named twins.
+    q("fuzz_string_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, m,
+        |    concat('W', CAST(h1 % 1000 AS VARCHAR), '_',
+        |           chr(CAST(97 + i % 26 AS INTEGER)),
+        |           chr(CAST(65 + h2 % 26 AS INTEGER))) AS s
+        |  FROM o)
+        |SELECT i, s,
+        |  CAST(length(s) AS BIGINT) AS len,
+        |  upper(s) AS up, lower(s) AS lo, reverse(s) AS rev,
+        |  substr(s, 2) AS sub2, substr(s, 3, 4) AS sub34,
+        |  CAST(strpos(s, '_') AS BIGINT) AS pos,
+        |  replace(s, '_', '--') AS repl,
+        |  lpad(s, 12, '*') AS lp, rpad(s, 12, '#') AS rp,
+        |  trim(concat('  ', s, ' ')) AS trm,
+        |  split_part(s, '_', 2) AS sp2,
+        |  starts_with(s, 'W1') AS sw,
+        |  CAST(levenshtein(s, reverse(s)) AS BIGINT) AS lev,
+        |  CAST(hamming(substr(s, 1, 3), reverse(substr(s, 1, 3))) AS BIGINT) AS ham,
+        |  CAST(ascii(chr(CAST(97 + i % 26 AS INTEGER))) AS BIGINT) AS cp,
+        |  translate(s, '_W', '-V') AS tr
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i, m,
+        |    concat('W', CAST(h1 % 1000 AS VARCHAR), '_',
+        |           chr(97 + i % 26), chr(65 + h2 % 26)) AS s
+        |  FROM o)
+        |SELECT i, s,
+        |  CAST(length(s) AS BIGINT) AS len,
+        |  upper(s) AS up, lower(s) AS lo, reverse(s) AS rev,
+        |  substr(s, 2) AS sub2, substr(s, 3, 4) AS sub34,
+        |  CAST(strpos(s, '_') AS BIGINT) AS pos,
+        |  replace(s, '_', '--') AS repl,
+        |  lpad(s, 12, '*') AS lp, rpad(s, 12, '#') AS rp,
+        |  trim(concat('  ', s, ' ')) AS trm,
+        |  split_part(s, '_', 2) AS sp2,
+        |  startswith(s, 'W1') AS sw,
+        |  CAST(levenshtein_distance(s, reverse(s)) AS BIGINT) AS lev,
+        |  CAST(hamming_distance(substr(s, 1, 3), reverse(substr(s, 1, 3))) AS BIGINT) AS ham,
+        |  CAST(codepoint(chr(97 + i % 26)) AS BIGINT) AS cp,
+        |  translate(s, '_W', '-V') AS tr
+        |FROM t ORDER BY i""".stripMargin)
+    },
+
+    // ── datetime: 15 functions over a ±48-week date sweep and a
+    // 69-day minute-resolution timestamp sweep ──
+    // Presto unit-string date_add/date_diff, ISO day_of_week/week,
+    // last_day_of_month, MySQL-style date_format, to_unixtime — against
+    // DuckDB's native arithmetic (+ n days, isodow, strftime, epoch).
+    // DuckDB DATE + INTERVAL yields TIMESTAMP, hence the CASTs back.
+    q("fuzz_datetime_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, m, n,
+        |    DATE '1995-06-15' + CAST(n * 7 + i % 11 AS INTEGER) AS d,
+        |    TIMESTAMP '1995-01-01 00:00:00' + (h1 % 100000) * INTERVAL 1 MINUTE AS ts
+        |  FROM o)
+        |SELECT i, d,
+        |  CAST(year(d) AS BIGINT) AS yr,
+        |  CAST(month(d) AS BIGINT) AS mo,
+        |  CAST(day(d) AS BIGINT) AS dom,
+        |  CAST(quarter(d) AS BIGINT) AS qtr,
+        |  CAST(isodow(d) AS BIGINT) AS dow,
+        |  CAST(dayofyear(d) AS BIGINT) AS doy,
+        |  CAST(weekofyear(d) AS BIGINT) AS wk,
+        |  last_day(d) AS eom,
+        |  CAST(date_trunc('month', d) AS DATE) AS mstart,
+        |  CAST(date_trunc('week', d) AS DATE) AS wstart,
+        |  CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) AS dd,
+        |  CAST(d + INTERVAL 1 MONTH * m AS DATE) AS plus_m,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS fmt,
+        |  CAST(epoch(ts) AS BIGINT) AS unix_s,
+        |  CAST(hour(ts) AS BIGINT) AS hh,
+        |  CAST(minute(ts) AS BIGINT) AS mi
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i, m, n,
+        |    CAST(date_add('day', n * 7 + i % 11, DATE '1995-06-15') AS DATE) AS d,
+        |    date_add('minute', h1 % 100000, TIMESTAMP '1995-01-01 00:00:00') AS ts
+        |  FROM o)
+        |SELECT i, d,
+        |  CAST(year(d) AS BIGINT) AS yr,
+        |  CAST(month(d) AS BIGINT) AS mo,
+        |  CAST(day(d) AS BIGINT) AS dom,
+        |  CAST(quarter(d) AS BIGINT) AS qtr,
+        |  CAST(day_of_week(d) AS BIGINT) AS dow,
+        |  CAST(day_of_year(d) AS BIGINT) AS doy,
+        |  CAST(week(d) AS BIGINT) AS wk,
+        |  CAST(last_day_of_month(d) AS DATE) AS eom,
+        |  CAST(date_trunc('month', d) AS DATE) AS mstart,
+        |  CAST(date_trunc('week', d) AS DATE) AS wstart,
+        |  CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) AS dd,
+        |  CAST(date_add('month', m, d) AS DATE) AS plus_m,
+        |  date_format(ts, '%Y-%m-%d %H:%i:%s') AS fmt,
+        |  CAST(to_unixtime(ts) AS BIGINT) AS unix_s,
+        |  CAST(hour(ts) AS BIGINT) AS hh,
+        |  CAST(minute(ts) AS BIGINT) AS mi
+        |FROM t ORDER BY i""".stripMargin)
+    },
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runs the fuzz-parity sweeps (FuzzParityOps) in-suite and pins a few
+  * independently-computed spot cells. The real verdict is the driver's
+  * DuckDB compare — 400 operand rows per sweep, every cell value-checked
+  * against the second implementation; this spec guards that the sweeps
+  * stay runnable and that the LCG operand derivation never drifts (a
+  * drift would silently shrink the swept domain even if the oracle still
+  * passed on the new operands).
+  */
+class FuzzParitySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSession.sf).collect()
+
+  test("math sweep: 400 rows, LCG operands pinned, spot values") {
+    val rows = run("fuzz_math_parity")
+    assert(rows.length == 400)
+    val byI = rows.map(r => r.getLong(r.fieldIndex("i")) -> r).toMap
+    // i=0: h1 = 12345 → x = 12345/2097152 - 511; n = 12345%97-48 = -22
+    val r0 = byI(0L)
+    assert(r0.getLong(r0.fieldIndex("abs_n")) == 22L)
+    assert(r0.getLong(r0.fieldIndex("sign_n")) == -1L)
+    assert(r0.getLong(r0.fieldIndex("flr")) == -511L)
+    // i=1: h1 = 1103527590 → h1 % 7919 = 1103527590 - 139352*7919
+    val r1 = byI(1L)
+    assert(r1.getLong(r1.fieldIndex("mod_h1")) == 1103527590L % 7919L)
+    // width_bucket arithmetic: y strictly inside (0, 101) → bucket 1..10
+    rows.foreach { r =>
+      val wb = r.getLong(r.fieldIndex("wb"))
+      assert(wb >= 1L && wb <= 10L)
+    }
+  }
+
+  test("string sweep: 400 rows, shape and slicing pinned") {
+    val rows = run("fuzz_string_parity")
+    assert(rows.length == 400)
+    rows.foreach { r =>
+      val s = r.getString(r.fieldIndex("s"))
+      assert(s.matches("W\\d{1,3}_[a-z][A-Z]"), s"unexpected shape: $s")
+      assert(r.getLong(r.fieldIndex("len")) == s.length.toLong)
+      assert(r.getLong(r.fieldIndex("pos")) == (s.indexOf('_') + 1).toLong)
+      assert(r.getString(r.fieldIndex("sp2")) == s.split('_')(1))
+    }
+  }
+
+  test("datetime sweep: 400 rows, ISO dow and unix seconds pinned") {
+    val rows = run("fuzz_datetime_parity")
+    assert(rows.length == 400)
+    rows.foreach { r =>
+      val d = r.getDate(r.fieldIndex("d")).toLocalDate
+      assert(r.getLong(r.fieldIndex("dow")) == d.getDayOfWeek.getValue.toLong)
+      assert(r.getLong(r.fieldIndex("doy")) == d.getDayOfYear.toLong)
+      val eom = r.getDate(r.fieldIndex("eom")).toLocalDate
+      assert(eom == d.withDayOfMonth(d.lengthOfMonth))
+      // ts = 1995-01-01 UTC + (h1 % 100000) minutes; session is UTC
+      val mins = r.getLong(r.fieldIndex("unix_s")) - 788918400L
+      assert(mins % 60 == 0 && mins >= 0 && mins / 60 < 100000)
+    }
+  }
+}
