@@ -23,6 +23,7 @@ object SparkEntry {
     operators.MultimodalOps,
     operators.DialectOps,
     operators.FuzzParityOps,
+    operators.BpeOps,
     operators.TpcdsQueries,
     operators.SpatialOps,
     streaming.EventOps,
