@@ -59,7 +59,12 @@ object Bench {
     "dd_bloom_prefilter", "dd_url_canonical", "tx_perplexity",
     // round-9 op: SemDeDup — k-means cells bound the pairwise pass,
     // components + edge-exemplar survivor per duplicate group
-    "dd_semdedup")
+    "dd_semdedup",
+    // round-9 op: BPE tokenization — one vocabulary-bounded word-count
+    // shuffle (training, amortized by the per-(session,dir) cache into
+    // the prewarm run) + map-side encode with the broadcast rank table;
+    // the measured warm runs are the recurring tokenize-the-corpus cost
+    "pipe_bpe_tokenize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -114,6 +114,21 @@ object BpeOps extends QueryGroup {
   def decode(tokens: Seq[String]): String =
     tokens.mkString("").replace(EndMark, " ").trim
 
+  /** Per-thread word→tokens memo, keyed by the rank table's broadcast
+    * identity. Word frequency is Zipf-distributed, so almost every encode
+    * is a repeat — the standard tokenizer fast path (HF tokenizers keep
+    * the same cache). Per-thread means no locks on the 32-task hot path;
+    * the size cap bounds executor memory on adversarial vocabularies. */
+  private val encodeCacheMax = 65536
+  private val encodeCache: ThreadLocal[mutable.HashMap[(Int, String), Vector[String]]] =
+    ThreadLocal.withInitial(() => mutable.HashMap.empty)
+
+  def encodeCached(word: String, ranksId: Int, ranks: Map[(String, String), Int]): Vector[String] = {
+    val cache = encodeCache.get()
+    if (cache.size > encodeCacheMax) cache.clear()
+    cache.getOrElseUpdate((ranksId, word), encode(word, ranks))
+  }
+
   /** Merge count for the gate corpus. Production vocabularies use
     * 30k-100k; 200 keeps the sf0.01 Verify run fast while exercising
     * multi-level merges (merged symbols re-merging). */
@@ -175,10 +190,12 @@ object BpeOps extends QueryGroup {
       val bc = s.sparkContext.broadcast(ranks)
       val tokenizeUdf = udf((t: String) => {
         val ws = words(if (t == null) "" else t)
-        val toks = ws.flatMap(w => encode(w, bc.value))
-        val bounded = ws.forall { w =>
-          val n = encode(w, bc.value).length
-          n >= 1 && n <= w.length + 1
+        var bounded = true
+        val ranksId = System.identityHashCode(bc.value)
+        val toks = ws.flatMap { w =>
+          val e = encodeCached(w, ranksId, bc.value)
+          if (e.isEmpty || e.length > w.length + 1) bounded = false
+          e
         }
         (ws.length.toLong, decode(toks.toIndexedSeq), bounded)
       })

@@ -191,7 +191,15 @@ object TextOps extends QueryGroup {
         .write.mode("overwrite").parquet(indexDir)
     }
     val index = spark.read.parquet(indexDir)
+    // the fresh batch's banded keys feed three consumers (the bucket
+    // census, the new side, and the ∪-side of the other-join) — without
+    // materialization the whole signature pipeline (shingle explode + 64
+    // hashes + min-agg) runs three times. The rows are narrow (two
+    // LONGs), the measured-cheap side of the BENCHLOG materialization
+    // rule (checkpoint narrow keyed tables referenced >1×; never wide
+    // array payloads — the shingle-table twin of this change regressed).
     val fresh = bandedDocKeys(docs.filter(col("doc_id") % 2 === 1), perms, bands)
+      .localCheckpoint()
     val all = index.unionByName(fresh)
     val okKeys = all.groupBy("band_key").agg(count(lit(1)).as("m"))
       .filter(col("m") > 1 && col("m") <= MinhashMaxBucket)
