@@ -228,5 +228,94 @@ object FuzzParityOps extends QueryGroup {
         |  CAST(minute(ts) AS BIGINT) AS mi
         |FROM t ORDER BY i""".stripMargin)
     },
+
+    // ── arrays + lambdas + conditionals: 14 functions, every output
+    // projected to a scalar (join/size/position) because array-typed
+    // result columns crash the driver's comparator ──
+    // Spark element_at/array_position are 1-based like DuckDB list
+    // subscripts (and the engine's Presto dialect); absent → 0 on both.
+    q("fuzz_array_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, n, m,
+        |    [h1 % 100, h2 % 97, CAST(n AS BIGINT), CAST(m AS BIGINT), i % 7] AS arr
+        |  FROM o)
+        |SELECT i,
+        |  CAST(len(arr) AS BIGINT) AS sz,
+        |  arr[CAST(i % 5 + 1 AS INTEGER)] AS elem,
+        |  CAST(list_min(arr) AS BIGINT) AS mn,
+        |  CAST(list_max(arr) AS BIGINT) AS mx,
+        |  list_contains(arr, CAST(n AS BIGINT)) AS has_n,
+        |  CAST(list_position(arr, CAST(m AS BIGINT)) AS BIGINT) AS pos_m,
+        |  array_to_string(list_sort(arr), ',') AS sorted_join,
+        |  CAST(len(list_distinct(arr)) AS BIGINT) AS n_dist,
+        |  CAST(list_sum(list_transform(arr, x -> x * 2 + 1)) AS BIGINT) AS xform_sum,
+        |  array_to_string(list_slice(arr, 2, 3), '|') AS mid2,
+        |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+        |  CAST(coalesce(nullif(CAST(n % 5 AS BIGINT), 0), -1) AS BIGINT) AS nz5,
+        |  CASE WHEN n > 0 THEN 'pos' WHEN n < 0 THEN 'neg' ELSE 'zero' END AS sgn,
+        |  if(m > 11, m, -m) AS half_flip
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i, n, m,
+        |    array(h1 % 100, h2 % 97, CAST(n AS BIGINT), CAST(m AS BIGINT), i % 7) AS arr
+        |  FROM o)
+        |SELECT i,
+        |  CAST(size(arr) AS BIGINT) AS sz,
+        |  element_at(arr, CAST(i % 5 + 1 AS INT)) AS elem,
+        |  CAST(array_min(arr) AS BIGINT) AS mn,
+        |  CAST(array_max(arr) AS BIGINT) AS mx,
+        |  array_contains(arr, CAST(n AS BIGINT)) AS has_n,
+        |  CAST(array_position(arr, CAST(m AS BIGINT)) AS BIGINT) AS pos_m,
+        |  array_join(sort_array(arr), ',') AS sorted_join,
+        |  CAST(size(array_distinct(arr)) AS BIGINT) AS n_dist,
+        |  CAST(aggregate(transform(arr, x -> x * 2 + 1), 0L, (a, x) -> a + x) AS BIGINT) AS xform_sum,
+        |  array_join(slice(arr, 2, 2), '|') AS mid2,
+        |  CAST(size(filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+        |  CAST(coalesce(nullif(CAST(n % 5 AS BIGINT), 0), -1) AS BIGINT) AS nz5,
+        |  CASE WHEN n > 0 THEN 'pos' WHEN n < 0 THEN 'neg' ELSE 'zero' END AS sgn,
+        |  if(m > 11, m, -m) AS half_flip
+        |FROM t ORDER BY i""".stripMargin)
+    },
+
+    // ── regex + LIKE over generated subjects ──
+    // Patterns stay in the Java-regex ∩ RE2 common subset (classes,
+    // anchors, groups, +) so the comparison tests the FUNCTION surface
+    // (group extraction, replace-all, match, extract-all, split), not
+    // engine-specific regex dialect corners. DuckDB regexp_replace
+    // needs the explicit 'g' flag to match Spark's replace-all.
+    q("fuzz_regex_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, concat('W', CAST(h1 % 1000 AS VARCHAR), '_',
+        |                   chr(CAST(97 + i % 26 AS INTEGER)),
+        |                   CAST(h2 % 100 AS VARCHAR)) AS s
+        |  FROM o)
+        |SELECT i, s,
+        |  regexp_extract(s, 'W([0-9]+)', 1) AS grp1,
+        |  regexp_extract(s, '_([a-z])([0-9]+)', 2) AS grp2,
+        |  regexp_replace(s, '[0-9]+', '#', 'g') AS repl_all,
+        |  regexp_matches(s, '^W[0-9]+_[a-z]') AS is_match,
+        |  regexp_matches(s, '[13579]$') AS odd_tail,
+        |  array_to_string(regexp_extract_all(s, '[0-9]+'), '|') AS all_nums,
+        |  CAST(len(string_split_regex(s, '[0-9]+')) AS BIGINT) AS n_splits,
+        |  s LIKE 'W%' AS like_pfx,
+        |  s LIKE '%a_%' AS like_one_after_a
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i, concat('W', CAST(h1 % 1000 AS VARCHAR), '_',
+        |                   chr(97 + i % 26),
+        |                   CAST(h2 % 100 AS VARCHAR)) AS s
+        |  FROM o)
+        |SELECT i, s,
+        |  regexp_extract(s, 'W([0-9]+)', 1) AS grp1,
+        |  regexp_extract(s, '_([a-z])([0-9]+)', 2) AS grp2,
+        |  regexp_replace(s, '[0-9]+', '#') AS repl_all,
+        |  s RLIKE '^W[0-9]+_[a-z]' AS is_match,
+        |  s RLIKE '[13579]$' AS odd_tail,
+        |  array_join(regexp_extract_all(s, '[0-9]+', 0), '|') AS all_nums,
+        |  CAST(size(split(s, '[0-9]+')) AS BIGINT) AS n_splits,
+        |  s LIKE 'W%' AS like_pfx,
+        |  s LIKE '%a_%' AS like_one_after_a
+        |FROM t ORDER BY i""".stripMargin)
+    },
   )
 }

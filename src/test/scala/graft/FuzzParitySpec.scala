@@ -47,6 +47,34 @@ class FuzzParitySpec extends AnyFunSuite {
     }
   }
 
+  test("array sweep: 400 rows, subscript base and position semantics pinned") {
+    val rows = run("fuzz_array_parity")
+    assert(rows.length == 400)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("sz")) == 5L)
+      // 1-based element_at and array_position (0 when absent) — the
+      // same convention DuckDB lists use, which is what makes the
+      // oracle comparison meaningful
+      val pos = r.getLong(r.fieldIndex("pos_m"))
+      assert(pos >= 0L && pos <= 5L)
+      val sorted = r.getString(r.fieldIndex("sorted_join")).split(',').map(_.toLong)
+      assert(sorted.sameElements(sorted.sorted))
+      assert(r.getLong(r.fieldIndex("mn")) == sorted.head)
+      assert(r.getLong(r.fieldIndex("mx")) == sorted.last)
+    }
+  }
+
+  test("regex sweep: 400 rows, group extraction consistent with subject shape") {
+    val rows = run("fuzz_regex_parity")
+    assert(rows.length == 400)
+    rows.foreach { r =>
+      val s = r.getString(r.fieldIndex("s"))
+      assert(r.getBoolean(r.fieldIndex("is_match")))
+      assert(r.getString(r.fieldIndex("grp1")) == s.drop(1).takeWhile(_.isDigit))
+      assert(r.getBoolean(r.fieldIndex("like_pfx")))
+    }
+  }
+
   test("datetime sweep: 400 rows, ISO dow and unix seconds pinned") {
     val rows = run("fuzz_datetime_parity")
     assert(rows.length == 400)
