@@ -317,5 +317,72 @@ object FuzzParityOps extends QueryGroup {
         |  s LIKE '%a_%' AS like_one_after_a
         |FROM t ORDER BY i""".stripMargin)
     },
+
+    // ── window functions: 13 over 7 partitions × ~57 rows each ──
+    // The order key h1 % 50 is deliberately tie-PRONE so rank vs
+    // dense_rank vs row_number diverge and peer-group semantics
+    // (cume_dist, RANGE frames, rank gaps) are actually exercised;
+    // functions whose output depends on intra-peer order get the
+    // deterministic i tiebreak. Identical ANSI text on both engines.
+    {
+      val winBody =
+        """SELECT i, p,
+          |  CAST(row_number() OVER (PARTITION BY p ORDER BY k, i) AS BIGINT) AS rn,
+          |  CAST(rank() OVER (PARTITION BY p ORDER BY k) AS BIGINT) AS rk,
+          |  CAST(dense_rank() OVER (PARTITION BY p ORDER BY k) AS BIGINT) AS drk,
+          |  CAST(ntile(4) OVER (PARTITION BY p ORDER BY k, i) AS BIGINT) AS nt,
+          |  round(percent_rank() OVER (PARTITION BY p ORDER BY k), 4) AS pr,
+          |  round(cume_dist() OVER (PARTITION BY p ORDER BY k), 4) AS cd,
+          |  lag(h1, 1, -1) OVER (PARTITION BY p ORDER BY k, i) AS lg,
+          |  lead(h1, 2, -1) OVER (PARTITION BY p ORDER BY k, i) AS ld,
+          |  CAST(sum(h1 % 100) OVER (PARTITION BY p ORDER BY k, i
+          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s3,
+          |  first_value(h1) OVER (PARTITION BY p ORDER BY k, i) AS fv,
+          |  last_value(h1) OVER (PARTITION BY p ORDER BY k, i
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+          |  nth_value(h1, 2) OVER (PARTITION BY p ORDER BY k, i
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv,
+          |  CAST(min(h1 % 100) OVER (PARTITION BY p ORDER BY k
+          |    RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS rmin
+          |FROM t ORDER BY i""".stripMargin
+      val derive = """, t AS (SELECT i, h1, i % 7 AS p, h1 % 50 AS k FROM o)
+        |""".stripMargin
+      q("fuzz_window_parity", duckOperands + derive + winBody) { (s, _) =>
+        s.sql(sparkOperands + derive + winBody)
+      }
+    },
+
+    // ── grouped aggregates: 17 over the same 7 partitions ──
+    // Moment-based aggregates (stddev/var/corr/covar/regr) compare the
+    // two engines' streaming-moment implementations across dispersed
+    // operand mixes; DISTINCT variants pin distinct-under-group paths.
+    {
+      val aggBody =
+        """SELECT p,
+          |  count(*) AS cnt,
+          |  CAST(count(DISTINCT h1 % 10) AS BIGINT) AS cntd,
+          |  CAST(sum(h1 % 1000) AS BIGINT) AS s,
+          |  CAST(sum(DISTINCT m) AS BIGINT) AS sd,
+          |  round(avg(x), 4) AS mean_x,
+          |  CAST(min(n) AS BIGINT) AS mn,
+          |  CAST(max(n) AS BIGINT) AS mx,
+          |  round(stddev_samp(x), 4) AS sds,
+          |  round(stddev_pop(x), 4) AS sdp,
+          |  round(var_samp(y), 4) AS vs,
+          |  round(var_pop(y), 4) AS vp,
+          |  round(corr(x, y), 4) AS cxy,
+          |  round(covar_samp(x, y), 4) AS cvs,
+          |  round(covar_pop(x, y), 4) AS cvp,
+          |  round(regr_slope(y, x), 6) AS slope,
+          |  round(regr_intercept(y, x), 4) AS icept,
+          |  bool_and(m > 0) AS all_pos,
+          |  bool_or(n > 40) AS any_big
+          |FROM t GROUP BY p ORDER BY p""".stripMargin
+      val derive = """, t AS (SELECT i % 7 AS p, h1, m, n, x, y FROM o)
+        |""".stripMargin
+      q("fuzz_agg_parity", duckOperands + derive + aggBody) { (s, _) =>
+        s.sql(sparkOperands + derive + aggBody)
+      }
+    },
   )
 }

@@ -75,6 +75,32 @@ class FuzzParitySpec extends AnyFunSuite {
     }
   }
 
+  test("window sweep: tie-prone order key actually produces rank gaps") {
+    val rows = run("fuzz_window_parity")
+    assert(rows.length == 400)
+    var sawGap = false
+    rows.foreach { r =>
+      val rn = r.getLong(r.fieldIndex("rn"))
+      val rk = r.getLong(r.fieldIndex("rk"))
+      val drk = r.getLong(r.fieldIndex("drk"))
+      assert(drk <= rk && rk <= rn + 399) // rank never exceeds partition size
+      if (rk != drk) sawGap = true
+      val nt = r.getLong(r.fieldIndex("nt"))
+      assert(nt >= 1 && nt <= 4)
+    }
+    assert(sawGap, "order key produced no ties — peer-group semantics unexercised")
+  }
+
+  test("agg sweep: 7 groups, moments finite and counts partition the rows") {
+    val rows = run("fuzz_agg_parity")
+    assert(rows.length == 7)
+    assert(rows.map(r => r.getLong(r.fieldIndex("cnt"))).sum == 400L)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("cxy")))
+      assert(r.getBoolean(r.fieldIndex("all_pos")))
+    }
+  }
+
   test("datetime sweep: 400 rows, ISO dow and unix seconds pinned") {
     val rows = run("fuzz_datetime_parity")
     assert(rows.length == 400)
