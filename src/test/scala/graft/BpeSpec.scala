@@ -78,6 +78,20 @@ class BpeSpec extends AnyFunSuite {
     assert(BpeOps.decode(BpeOps.encode("zq9", ranks)) == "zq9")
   }
 
+  test("encode/decode round-trips 500 seeded-random words, incl. unseen chars") {
+    val merges = BpeOps.train(corpus, 40)
+    val ranks = merges.map { case (rank, l, r, _) => (l, r) -> rank }.toMap
+    val rng = new scala.util.Random(0xb9e)
+    (1 to 500).foreach { _ =>
+      val len = 1 + rng.nextInt(12)
+      val w = Seq.fill(len)("abcdefglownest0123456789".charAt(
+        rng.nextInt(24))).mkString
+      val toks = BpeOps.encode(w, ranks)
+      assert(BpeOps.decode(toks) == w, s"round-trip failed for $w")
+      assert(toks.length <= w.length + 1)
+    }
+  }
+
   test("queries run on the fixture: train rows and tokenize lossless") {
     val train = SparkEntry.queries("pipe_bpe_train")(spark, TestSession.sf).collect()
     assert(train.length > 50)
