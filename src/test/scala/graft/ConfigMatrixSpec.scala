@@ -45,7 +45,14 @@ class ConfigMatrixSpec extends AnyFunSuite {
     "agg_rollup", "agg_cube", "tpcds_q27_verbatim",
     // round 9: the Presto operator dialect rows (rewrite happens at
     // parse time — results must not depend on partitions/AQE either)
-    "dialect_int_division", "dialect_subscript")
+    "dialect_int_division", "dialect_subscript",
+    // round 9: the fuzz sweeps with real distribution sensitivity —
+    // 17 grouped aggregates (streaming-moment partial/final merge under
+    // forced 2-partition shuffles) and 13 window functions (partition
+    // placement + frame evaluation must not depend on physical
+    // parallelism); plus the BPE tokenize path (broadcast rank table +
+    // UDF encode must be partition-invariant)
+    "fuzz_agg_parity", "fuzz_window_parity", "pipe_bpe_tokenize")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)
