@@ -318,6 +318,50 @@ object FuzzParityOps extends QueryGroup {
         |FROM t ORDER BY i""".stripMargin)
     },
 
+    // ── JSON: Presto spellings vs DuckDB's json extension over
+    // generated documents (nested object + array + per-row-varying
+    // values and subscripts; missing-key → NULL on both) ──
+    // Subscripts inside JSONPath are 0-based in BOTH dialects — unlike
+    // SQL arrays — so the computed '$.tags[i%3]' path is shared text.
+    q("fuzz_json_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, n, m, h2,
+        |    concat('{"id": ', CAST(h1 % 1000 AS VARCHAR),
+        |           ', "tags": [', CAST(n AS VARCHAR), ', ', CAST(m AS VARCHAR),
+        |           ', ', CAST(i % 7 AS VARCHAR),
+        |           '], "meta": {"lang": "', chr(CAST(97 + i % 26 AS INTEGER)),
+        |           '", "score": ', CAST(h2 % 100 AS VARCHAR), '}}') AS j
+        |  FROM o)
+        |SELECT i, j,
+        |  json_extract_string(j, '$.id') AS id_s,
+        |  json_extract_string(j, '$.tags[0]') AS tag0,
+        |  json_extract_string(j, concat('$.tags[', CAST(i % 3 AS VARCHAR), ']')) AS tag_i,
+        |  CAST(json_array_length(j, '$.tags') AS BIGINT) AS n_tags,
+        |  json_extract_string(j, '$.meta.lang') AS lang,
+        |  CAST(json_extract_string(j, '$.meta.score') AS BIGINT) AS score,
+        |  json_extract_string(j, '$.missing') AS absent,
+        |  (h2 % 50 = n OR h2 % 50 = m OR h2 % 50 = i % 7) AS has_v
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i, n, m, h2,
+        |    concat('{"id": ', CAST(h1 % 1000 AS STRING),
+        |           ', "tags": [', CAST(n AS STRING), ', ', CAST(m AS STRING),
+        |           ', ', CAST(i % 7 AS STRING),
+        |           '], "meta": {"lang": "', chr(97 + i % 26),
+        |           '", "score": ', CAST(h2 % 100 AS STRING), '}}') AS j
+        |  FROM o)
+        |SELECT i, j,
+        |  json_extract_scalar(j, '$.id') AS id_s,
+        |  json_extract_scalar(j, '$.tags[0]') AS tag0,
+        |  json_extract_scalar(j, concat('$.tags[', CAST(i % 3 AS STRING), ']')) AS tag_i,
+        |  CAST(json_size(j, '$.tags') AS BIGINT) AS n_tags,
+        |  json_extract_scalar(j, '$.meta.lang') AS lang,
+        |  CAST(json_extract_scalar(j, '$.meta.score') AS BIGINT) AS score,
+        |  json_extract_scalar(j, '$.missing') AS absent,
+        |  json_array_contains(get_json_object(j, '$.tags'), CAST(h2 % 50 AS BIGINT)) AS has_v
+        |FROM t ORDER BY i""".stripMargin)
+    },
+
     // ── window functions: 13 over 7 partitions × ~57 rows each ──
     // The order key h1 % 50 is deliberately tie-PRONE so rank vs
     // dense_rank vs row_number diverge and peer-group semantics
