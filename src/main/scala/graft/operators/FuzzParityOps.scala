@@ -318,6 +318,46 @@ object FuzzParityOps extends QueryGroup {
         |FROM t ORDER BY i""".stripMargin)
     },
 
+    // ── Unicode: codepoint-indexed string semantics beyond ASCII ──
+    // Subjects mix accented Latin-1 (case-mapped), Greek (case-mapped),
+    // CJK, and an ASTRAL-plane emoji (U+1F600.. — 2 UTF-16 units, so any
+    // code-unit-based length/substr/reverse implementation diverges
+    // immediately; this pins the round-8 chr/codepoint astral fixes
+    // under operand sweep). Both engines must be codepoint-based
+    // throughout: length, substr, reverse, strpos, case mapping.
+    q("fuzz_unicode_parity",
+      duckOperands + """, t AS (
+        |  SELECT i,
+        |    chr(CAST(192 + h1 % 24 AS INTEGER)) ||
+        |    chr(CAST(945 + i % 17 AS INTEGER)) ||
+        |    chr(CAST(19968 + h2 % 100 AS INTEGER)) ||
+        |    chr(CAST(128512 + i % 32 AS INTEGER)) AS s
+        |  FROM o)
+        |SELECT i, s,
+        |  CAST(length(s) AS BIGINT) AS len,
+        |  upper(s) AS up, lower(s) AS lo, reverse(s) AS rev,
+        |  substr(s, 2, 2) AS mid,
+        |  CAST(ascii(substr(s, 1, 1)) AS BIGINT) AS cp1,
+        |  CAST(ascii(substr(s, 4, 1)) AS BIGINT) AS cp4,
+        |  CAST(strpos(s, substr(s, 3, 1)) AS BIGINT) AS cjk_at,
+        |  CAST(length(concat(s, 'x')) AS BIGINT) AS len5
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i,
+        |    concat(chr(192 + h1 % 24), chr(945 + i % 17),
+        |           chr(19968 + h2 % 100), chr(128512 + i % 32)) AS s
+        |  FROM o)
+        |SELECT i, s,
+        |  CAST(length(s) AS BIGINT) AS len,
+        |  upper(s) AS up, lower(s) AS lo, reverse(s) AS rev,
+        |  substr(s, 2, 2) AS mid,
+        |  CAST(codepoint(substr(s, 1, 1)) AS BIGINT) AS cp1,
+        |  CAST(codepoint(substr(s, 4, 1)) AS BIGINT) AS cp4,
+        |  CAST(strpos(s, substr(s, 3, 1)) AS BIGINT) AS cjk_at,
+        |  CAST(length(concat(s, 'x')) AS BIGINT) AS len5
+        |FROM t ORDER BY i""".stripMargin)
+    },
+
     // ── JSON: Presto spellings vs DuckDB's json extension over
     // generated documents (nested object + array + per-row-varying
     // values and subscripts; missing-key → NULL on both) ──
