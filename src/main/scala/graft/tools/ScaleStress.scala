@@ -135,8 +135,17 @@ object ScaleStress {
       // round-9: SemDeDup — the k-means fit is the full-corpus pass;
       // cells bound the pairwise join (duplicate-saturated corpus =
       // worst case for within-cell pair volume)
-      "dd_semdedup")
+      "dd_semdedup",
+      // round-9: BPE — training is ONE word-count shuffle whose output
+      // is vocabulary-bounded (the duplicate-saturated corpus grows the
+      // corpus 10×/30× while the vocabulary barely moves — training
+      // cost should be ~flat past the count pass); tokenize is map-side
+      // encode with the Zipf memo (expect ~linear)
+      "pipe_bpe_train", "pipe_bpe_tokenize")
     def once(q: String): Double = {
+      // time the real training pass, not a cache read: every bpe_train
+      // measurement drops the per-(session, dir) merge cache first
+      if (q == "pipe_bpe_train") graft.operators.BpeOps.invalidateTrained(spark, dir)
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
