@@ -318,6 +318,56 @@ object FuzzParityOps extends QueryGroup {
         |FROM t ORDER BY i""".stripMargin)
     },
 
+    // ── DECIMAL arithmetic: exact fixed-point add/sub/mul across
+    // operand sweeps, half-up rounding at forced .XX50 boundaries ──
+    // Operands derive EXACTLY (integer × 0.0001 — a widening multiply,
+    // no rounding anywhere); outputs cast only UPWARD to DECIMAL(38,8).
+    // Rescaling goes through round() exclusively: both engines round
+    // decimals half-up/away-from-zero, whereas a narrowing CAST rounds
+    // half-EVEN in DuckDB vs HALF_UP in the engine (probed: CAST(1.005
+    // AS DECIMAL(10,2)) → 1.00 vs 1.01) — a real dialect divergence this
+    // sweep deliberately routes around and documents here. ~1% of rows
+    // land on exact .XX50 boundaries, so round()'s away-from-zero tie
+    // rule is genuinely exercised, negatives included.
+    q("fuzz_decimal_parity",
+      duckOperands + """, t AS (
+        |  SELECT i,
+        |    CAST(CAST(h1 % 1000000 AS DECIMAL(24,4)) * CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(18,8)) AS a,
+        |    CAST((CAST(h2 % 200000 AS DECIMAL(24,4)) - 100000) * CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(18,8)) AS b
+        |  FROM o)
+        |SELECT i,
+        |  CAST(a AS DECIMAL(38,8)) AS a,
+        |  CAST(b AS DECIMAL(38,8)) AS b,
+        |  CAST(a + b AS DECIMAL(38,8)) AS add_ab,
+        |  CAST(a - b AS DECIMAL(38,8)) AS sub_ab,
+        |  CAST(CAST(a AS DECIMAL(28,8)) * b AS DECIMAL(38,16)) AS mul_ab,
+        |  CAST(round(a, 2) AS DECIMAL(38,2)) AS rnd_a,
+        |  CAST(round(b, 2) AS DECIMAL(38,2)) AS rnd_b,
+        |  CAST(abs(b) AS DECIMAL(38,8)) AS abs_b,
+        |  CAST(greatest(a, b) AS DECIMAL(38,8)) AS gst,
+        |  a > b AS a_gt_b,
+        |  b < 0 AS b_neg
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i,
+        |    CAST(CAST(h1 % 1000000 AS DECIMAL(24,4)) * CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(18,8)) AS a,
+        |    CAST((CAST(h2 % 200000 AS DECIMAL(24,4)) - 100000) * CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(18,8)) AS b
+        |  FROM o)
+        |SELECT i,
+        |  CAST(a AS DECIMAL(38,8)) AS a,
+        |  CAST(b AS DECIMAL(38,8)) AS b,
+        |  CAST(a + b AS DECIMAL(38,8)) AS add_ab,
+        |  CAST(a - b AS DECIMAL(38,8)) AS sub_ab,
+        |  CAST(a * b AS DECIMAL(38,16)) AS mul_ab,
+        |  CAST(round(a, 2) AS DECIMAL(38,2)) AS rnd_a,
+        |  CAST(round(b, 2) AS DECIMAL(38,2)) AS rnd_b,
+        |  CAST(abs(b) AS DECIMAL(38,8)) AS abs_b,
+        |  CAST(greatest(a, b) AS DECIMAL(38,8)) AS gst,
+        |  a > b AS a_gt_b,
+        |  b < 0 AS b_neg
+        |FROM t ORDER BY i""".stripMargin)
+    },
+
     // ── Unicode: codepoint-indexed string semantics beyond ASCII ──
     // Subjects mix accented Latin-1 (case-mapped), Greek (case-mapped),
     // CJK, and an ASTRAL-plane emoji (U+1F600.. — 2 UTF-16 units, so any

@@ -101,6 +101,23 @@ class FuzzParitySpec extends AnyFunSuite {
     }
   }
 
+  test("decimal sweep: tie boundaries and negative operands actually occur") {
+    val rows = run("fuzz_decimal_parity")
+    assert(rows.length == 400)
+    var ties = 0; var negs = 0
+    rows.foreach { r =>
+      val a = r.getDecimal(r.fieldIndex("a"))
+      val b = r.getDecimal(r.fieldIndex("b"))
+      // round(x, 2) tie: the digits dropped are exactly "50" (scale 4)
+      if (a.unscaledValue.mod(java.math.BigInteger.valueOf(1000000)).longValue % 1000000 / 10000 % 100 == 50) ties += 1
+      if (b.signum < 0) negs += 1
+      val rnd = r.getDecimal(r.fieldIndex("rnd_a"))
+      assert(rnd.subtract(a).abs.doubleValue <= 0.005 + 1e-12)
+    }
+    assert(ties > 0, "no .XX50 rounding ties in the operand sweep")
+    assert(negs > 100, s"negative-operand coverage too thin: $negs")
+  }
+
   test("datetime sweep: 400 rows, ISO dow and unix seconds pinned") {
     val rows = run("fuzz_datetime_parity")
     assert(rows.length == 400)
