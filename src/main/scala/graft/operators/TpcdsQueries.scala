@@ -982,10 +982,17 @@ object TpcdsQueries extends QueryGroup {
         // channel facts more than any other query, so the per-reference
         // catalog-view re-analysis cost was largest here
         def fast(sql: String) = sql.replace("tpcds.", "graft_tpcds_")
-        s.sql(fast(crossBody)).localCheckpoint()
-          .createOrReplaceTempView("cross_items")
-        s.sql(fast(avgBody)).localCheckpoint()
-          .createOrReplaceTempView("avg_sales")
+        // the two shared-CTE materializations are independent Spark
+        // jobs — run them concurrently so the wall cost is max(), not
+        // sum() (the 32-slot scheduler interleaves their stages; on a
+        // cluster the same holds across executors)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.DurationInt
+        val fCross = Future(s.sql(fast(crossBody)).localCheckpoint())
+        val fAvg = Future(s.sql(fast(avgBody)).localCheckpoint())
+        Await.result(fCross, 10.minutes).createOrReplaceTempView("cross_items")
+        Await.result(fAvg, 10.minutes).createOrReplaceTempView("avg_sales")
         s.sql(wrapNorm(fast(mainBody), aliases, norm, order))
       })
     },
