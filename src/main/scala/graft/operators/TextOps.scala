@@ -746,6 +746,61 @@ object TextOps extends QueryGroup {
       simhashPairs(s.table("documents"))
     },
 
+    // ── SimHash algorithm-parity twin: the production path above uses
+    // xxhash64 (engine-specific → no SQL oracle), so this twin replays
+    // the ENTIRE simhash derivation — token hash, per-bit weight vote,
+    // signature assembly, popcount — with a PORTABLE char-fold hash
+    // (h = (h*31 + codepoint) mod 2^31) both engines compute from the
+    // same arithmetic. The oracle is a bit-for-bit independent
+    // reimplementation in DuckDB SQL (list_reduce vs aggregate()), the
+    // same role dd_ngram_jaccard plays for the minhash family. 24-bit
+    // signature keeps the weight votes small; w == 0 votes resolve to
+    // bit 0 on both sides by the shared `w > 0` rule. ──
+    q("dd_simhash_portable",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')) AS tokens
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 2147483648) AS h
+        |  FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks WHERE len(tokens) > 0)),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS w
+        |  FROM th CROSS JOIN range(0, 24) bt(b)
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN w > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, sig, CAST(bit_count(sig) AS BIGINT) AS popcnt
+        |FROM sig ORDER BY doc_id""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    array_distinct(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +'), t -> t != '')) AS tokens
+          |  FROM documents),
+          |th AS (
+          |  SELECT doc_id,
+          |    aggregate(transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT)),
+          |      CAST(7 AS BIGINT), (a, c) -> (a * 31 + c) % 2147483648) AS h
+          |  FROM (SELECT doc_id, explode(tokens) AS tok FROM toks WHERE size(tokens) > 0)),
+          |bits AS (
+          |  SELECT doc_id, b,
+          |    sum(CASE WHEN (h div CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS w
+          |  FROM th CROSS JOIN (SELECT id AS b FROM range(0, 24))
+          |  GROUP BY doc_id, b),
+          |sig AS (
+          |  SELECT doc_id,
+          |    CAST(sum(CASE WHEN w > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+          |  FROM bits GROUP BY doc_id)
+          |SELECT doc_id, sig, CAST(bit_count(sig) AS BIGINT) AS popcnt
+          |FROM sig ORDER BY doc_id""".stripMargin)
+    },
+
     // ── exact n-gram Jaccard, all pairs within a source bucket ──
     // (quadratic-within-group: the oracle twin of dd_minhash_lsh)
     // Exact-substring duplication (Lee et al. 2021 ExactSubstr): maximal
