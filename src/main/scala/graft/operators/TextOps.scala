@@ -801,6 +801,76 @@ object TextOps extends QueryGroup {
           |FROM sig ORDER BY doc_id""".stripMargin)
     },
 
+    // ── MinHash algorithm-parity twin: like dd_simhash_portable, but
+    // for the minhash signature path — shingle hash (portable
+    // char-fold), 8 affine permutations, per-permutation minimum, and a
+    // folded band key, all replayed bit-for-bit by an independent
+    // DuckDB implementation (list_min/list_transform vs
+    // array_min/transform — no explode: the permutation minima fold
+    // over the shingle-hash array directly). The production path's
+    // xxhash64 signatures stay spec-verified for recall; THIS pins the
+    // signature/banding algebra itself. ──
+    q("dd_minhash_portable",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '') AS tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tokens) - 1),
+        |      i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS shingles
+        |  FROM toks WHERE len(tokens) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles, g ->
+        |      list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |        (a, c) -> (a * 31 + c) % 2147483648)) AS harr
+        |  FROM sh)
+        |SELECT doc_id,
+        |  list_min(list_transform(harr, h -> (h * 12347 + 7) % 2147483647)) AS s0,
+        |  list_min(list_transform(harr, h -> (h * 24691 + 69076) % 2147483647)) AS s1,
+        |  list_min(list_transform(harr, h -> (h * 37035 + 138145) % 2147483647)) AS s2,
+        |  list_min(list_transform(harr, h -> (h * 49379 + 207214) % 2147483647)) AS s3,
+        |  list_min(list_transform(harr, h -> (h * 61723 + 276283) % 2147483647)) AS s4,
+        |  list_min(list_transform(harr, h -> (h * 74067 + 345352) % 2147483647)) AS s5,
+        |  list_min(list_transform(harr, h -> (h * 86411 + 414421) % 2147483647)) AS s6,
+        |  list_min(list_transform(harr, h -> (h * 98755 + 483490) % 2147483647)) AS s7,
+        |  ((list_min(list_transform(harr, h -> (h * 12347 + 7) % 2147483647)) * 31
+        |    + list_min(list_transform(harr, h -> (h * 24691 + 69076) % 2147483647))) * 31
+        |    + list_min(list_transform(harr, h -> (h * 37035 + 138145) % 2147483647))) % 2147483648 AS band0
+        |FROM hs ORDER BY doc_id""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +'), t -> t != '') AS tokens
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id,
+          |    array_distinct(transform(sequence(1, size(tokens) - 2),
+          |      i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))) AS shingles
+          |  FROM toks WHERE size(tokens) >= 3),
+          |hs AS (
+          |  SELECT doc_id,
+          |    transform(shingles, g ->
+          |      aggregate(transform(split(g, ''), c -> CAST(ascii(c) AS BIGINT)),
+          |        CAST(7 AS BIGINT), (a, c) -> (a * 31 + c) % 2147483648)) AS harr
+          |  FROM sh)
+          |SELECT doc_id,
+          |  array_min(transform(harr, h -> (h * 12347 + 7) % 2147483647)) AS s0,
+          |  array_min(transform(harr, h -> (h * 24691 + 69076) % 2147483647)) AS s1,
+          |  array_min(transform(harr, h -> (h * 37035 + 138145) % 2147483647)) AS s2,
+          |  array_min(transform(harr, h -> (h * 49379 + 207214) % 2147483647)) AS s3,
+          |  array_min(transform(harr, h -> (h * 61723 + 276283) % 2147483647)) AS s4,
+          |  array_min(transform(harr, h -> (h * 74067 + 345352) % 2147483647)) AS s5,
+          |  array_min(transform(harr, h -> (h * 86411 + 414421) % 2147483647)) AS s6,
+          |  array_min(transform(harr, h -> (h * 98755 + 483490) % 2147483647)) AS s7,
+          |  ((array_min(transform(harr, h -> (h * 12347 + 7) % 2147483647)) * 31
+          |    + array_min(transform(harr, h -> (h * 24691 + 69076) % 2147483647))) * 31
+          |    + array_min(transform(harr, h -> (h * 37035 + 138145) % 2147483647))) % 2147483648 AS band0
+          |FROM hs ORDER BY doc_id""".stripMargin)
+    },
+
     // ── exact n-gram Jaccard, all pairs within a source bucket ──
     // (quadratic-within-group: the oracle twin of dd_minhash_lsh)
     // Exact-substring duplication (Lee et al. 2021 ExactSubstr): maximal
