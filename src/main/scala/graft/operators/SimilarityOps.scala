@@ -596,6 +596,43 @@ object SimilarityOps extends QueryGroup {
       lshCosinePairs(s.table("embeddings"), 0.45)
     },
 
+    // ── embedding-LSH algorithm-parity twin: sign-random-projection
+    // bucket algebra replayed bit-for-bit by DuckDB. Hyperplane
+    // components are ±1 from a portable LCG on (projection, dim), and
+    // the dot products run over INTEGER-quantized components
+    // (round(x*1000) — float sums would diverge in the last ulp and
+    // flip near-zero signs), so both engines compute identical 8-bit
+    // bucket ids for every vector. Completes the trilogy: the
+    // signature algebra of all three near-dup families (minhash,
+    // simhash, embedding-LSH) is oracle-verified, with the production
+    // xxhash/auto-sized paths spec-verified for recall on top. ──
+    q("dd_embedding_lsh_portable",
+      """SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 8), p ->
+        |    CASE WHEN list_sum(list_transform(range(1, 65), i ->
+        |        CAST(round(embedding[CAST(i AS INTEGER)] * 1000) AS BIGINT) *
+        |        (((p * 64 + i) * 1103515245 + 12345) % 2 * 2 - 1))) > 0
+        |      THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket,
+        |  CAST(list_sum(list_transform(range(1, 65), i ->
+        |    CAST(round(embedding[CAST(i AS INTEGER)] * 1000) AS BIGINT) *
+        |    ((i * 1103515245 + 12345) % 2 * 2 - 1))) AS BIGINT) AS proj0
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT vec_id,
+          |  CAST(aggregate(transform(sequence(0, 7), p ->
+          |    CASE WHEN aggregate(transform(sequence(1, 64), i ->
+          |        CAST(round(element_at(embedding, i) * 1000) AS BIGINT) *
+          |        (((CAST(p AS BIGINT) * 64 + i) * 1103515245 + 12345) % 2 * 2 - 1)),
+          |        CAST(0 AS BIGINT), (a, x) -> a + x) > 0
+          |      THEN CAST(power(2, p) AS BIGINT) ELSE 0 END),
+          |    CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS bucket,
+          |  CAST(aggregate(transform(sequence(1, 64), i ->
+          |    CAST(round(element_at(embedding, i) * 1000) AS BIGINT) *
+          |    ((CAST(i AS BIGINT) * 1103515245 + 12345) % 2 * 2 - 1)),
+          |    CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS proj0
+          |FROM embeddings ORDER BY vec_id""".stripMargin)
+    },
+
     // ── incremental embedding ingestion against the persisted bucket
     // index (parity with the batch pairs + no-rebuild pinned in
     // SimilaritySpec) ──
