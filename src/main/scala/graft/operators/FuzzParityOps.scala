@@ -318,6 +318,40 @@ object FuzzParityOps extends QueryGroup {
         |FROM t ORDER BY i""".stripMargin)
     },
 
+    // ── Crypto/binary: digest and codec wiring over generated subjects
+    // (incl. a CJK char — digests run over UTF-8 bytes on both engines,
+    // so multi-byte encoding is part of what's compared; hex case is
+    // neutralized via lower() since Spark upper-cases hex digits) ──
+    q("fuzz_hash_parity",
+      duckOperands + """, t AS (
+        |  SELECT i,
+        |    concat('doc-', CAST(h1 % 100000 AS VARCHAR), '-',
+        |           chr(CAST(97 + i % 26 AS INTEGER)),
+        |           chr(CAST(19968 + h2 % 50 AS INTEGER))) AS s
+        |  FROM o)
+        |SELECT i, s,
+        |  md5(s) AS d_md5,
+        |  sha256(s) AS d_sha256,
+        |  to_base64(encode(s)) AS b64,
+        |  decode(from_base64(to_base64(encode(s)))) = s AS b64_roundtrip,
+        |  lower(hex(s)) AS hx,
+        |  md5(concat(s, s)) AS d_md5_double
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i,
+        |    concat('doc-', CAST(h1 % 100000 AS STRING), '-',
+        |           chr(97 + i % 26), chr(19968 + h2 % 50)) AS s
+        |  FROM o)
+        |SELECT i, s,
+        |  md5(s) AS d_md5,
+        |  sha2(s, 256) AS d_sha256,
+        |  base64(CAST(s AS BINARY)) AS b64,
+        |  CAST(unbase64(base64(CAST(s AS BINARY))) AS STRING) = s AS b64_roundtrip,
+        |  lower(hex(s)) AS hx,
+        |  md5(concat(s, s)) AS d_md5_double
+        |FROM t ORDER BY i""".stripMargin)
+    },
+
     // ── DECIMAL arithmetic: exact fixed-point add/sub/mul across
     // operand sweeps, half-up rounding at forced .XX50 boundaries ──
     // Operands derive EXACTLY (integer × 0.0001 — a widening multiply,
