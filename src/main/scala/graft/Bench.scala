@@ -64,7 +64,10 @@ object Bench {
     // shuffle (training, amortized by the per-(session,dir) cache into
     // the prewarm run) + map-side encode with the broadcast rank table;
     // the measured warm runs are the recurring tokenize-the-corpus cost
-    "pipe_bpe_tokenize")
+    "pipe_bpe_tokenize",
+    // round-9 op: as-of join — union + ordered window (one key shuffle,
+    // no pairwise expansion; the scale-safe point-in-time lookup)
+    "join_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

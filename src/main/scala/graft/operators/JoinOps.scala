@@ -154,6 +154,50 @@ object JoinOps extends QueryGroup {
         .select("n1", "n2").orderBy("n1", "n2")
     },
 
+    // As-of join (point-in-time lookup): for each left event, the most
+    // recent right event at-or-before its timestamp, per key. Spark has
+    // no ASOF operator and the naive range-join spelling
+    // (b.ts <= a.ts → max) expands pairwise in hot keys — quadratic
+    // under skew. The scale-safe plan is union + ordered window: tag
+    // both sides, merge each key's timeline with ONE shuffle on the
+    // key, and carry the latest right payload forward with
+    // last(ignore nulls) over rows UNBOUNDED PRECEDING..CURRENT. Cost
+    // is O(n log n) sort within partitions, zero pairwise expansion at
+    // any skew. Right rows sort before left rows at equal ts, so an
+    // exactly-simultaneous right row matches (ASOF `>=` semantics);
+    // the fixture has no (user_id, ts) duplicates, so the match is
+    // deterministic. Oracle: DuckDB's native ASOF LEFT JOIN.
+    q("join_asof",
+      """SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
+        |  CAST(date_diff('second', e.ts, c.ts) AS BIGINT) AS err_gap_s,
+        |  round(e.value, 2) AS err_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.user_id, click_id""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = s.table("events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          lit(null).cast("bigint").as("click_id"),
+          struct(col("event_id").as("id"), col("ts").as("ts"),
+            col("value").as("v")).as("err"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("event_id").as("click_id"),
+          lit(null).cast(errs.schema("err").dataType).as("err"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      errs.unionByName(clicks)
+        .withColumn("e", last(col("err"), ignoreNulls = true).over(w))
+        .filter(col("click_id").isNotNull)
+        .select(col("user_id"), col("click_id"), col("e.id").as("err_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("e.ts"))).as("err_gap_s"),
+          round(col("e.v"), 2).as("err_value"))
+        .orderBy("user_id", "click_id")
+    },
+
     // IN-subquery in a disjunction → ExistenceJoin (can't be planned as
     // a plain semi join)
     q("join_existence",

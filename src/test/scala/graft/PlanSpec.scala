@@ -59,6 +59,38 @@ class PlanSpec extends AnyFunSuite {
       s"rank<=k should use WindowGroupLimit (TopNRowNumber analog):\n$p")
   }
 
+  test("join_asof: union+window plan — one key shuffle, no pairwise join") {
+    val p = plan("join_asof")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not expand pairwise:\n$p")
+    assert(p.contains("Window"), "as-of carries state via an ordered window")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"exactly one shuffle, on the join key:\n$p")
+  }
+
+  test("join_asof matches the brute-force range-join spelling") {
+    // the quadratic spelling Spark CAN express: range join then keep the
+    // greatest right ts per left row — same semantics, unusable at
+    // scale; sf0.001 referee for the union+window plan
+    val asof = SparkEntry.queries("join_asof")(spark, TestSession.sf) // registers tables
+    val ev = spark.table("events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("event_id").as("err_id"),
+        col("ts").as("ets"), col("value").as("ev"))
+    val brute = c.join(e, col("user_id") === col("eu") && col("ets") <= col("ts"), "left")
+      .groupBy("user_id", "click_id", "ts")
+      .agg(max_by(struct(col("err_id"), col("ets"), col("ev")), col("ets")).as("m"))
+      .select(col("user_id"), col("click_id"), col("m.err_id").as("err_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("m.ets"))).as("err_gap_s"),
+        round(col("m.ev"), 2).as("err_value"))
+    assert(asof.count() === c.count(), "left rows all preserved")
+    assert(asof.exceptAll(brute).isEmpty && brute.exceptAll(asof).isEmpty,
+      "union+window as-of must equal the brute-force range join")
+  }
+
   test("sort_topn: orderBy+limit becomes TakeOrderedAndProject") {
     val p = plan("sort_topn")
     assert(p.contains("TakeOrderedAndProject"),
