@@ -817,6 +817,8 @@ object GraftFunctions {
     "dow" -> { case Seq(t) => Cast(Add(WeekDay(t), Literal(1)), LongType) },
     "day_of_year" -> { case Seq(t) => Cast(DayOfYear(t), LongType) },
     "doy" -> { case Seq(t) => Cast(DayOfYear(t), LongType) },
+    // day(x) itself is Spark-native; 0.235 aliases it (DateTimeFunctions.java)
+    "day_of_month" -> { case Seq(t) => Cast(DayOfMonth(t), LongType) },
     "week" -> { case Seq(t) => Cast(WeekOfYear(t), LongType) },
     "week_of_year" -> { case Seq(t) => Cast(WeekOfYear(t), LongType) },
     "last_day_of_month" -> { case Seq(t) => LastDay(t) },
@@ -1093,6 +1095,9 @@ object GraftFunctions {
     spark.udf.register("json_format", (j: String) => GraftFnUtils.jsonFormat(j))
     spark.udf.register("url_encode", (s: String) => GraftFnUtils.urlEncode(s))
     spark.udf.register("url_decode", (s: String) => GraftFnUtils.urlDecode(s))
+    // 0.235 registers legacy aliases for the pair (UrlFunctions.java:151,162)
+    spark.udf.register("urlencoder", (s: String) => GraftFnUtils.urlEncode(s))
+    spark.udf.register("urldecoder", (s: String) => GraftFnUtils.urlDecode(s))
     spark.udf.register("hmac_md5",
       (d: Array[Byte], k: Array[Byte]) => GraftFnUtils.hmac("HmacMD5", d, k))
     spark.udf.register("hmac_sha1",

@@ -96,6 +96,23 @@ class FnSpec extends AnyFunSuite {
     assert(r.getLong(6) == 1L)
   }
 
+  test("0.235 legacy aliases: urlencoder/urldecoder, day_of_month") {
+    // UrlFunctions.java:151,162 alias the url_encode/url_decode pair;
+    // DateTimeFunctions aliases day as day_of_month. The full 274-name
+    // annotation surface (tools/extract_ref_names.py) resolves via
+    // CheckNames; this pins the alias SEMANTICS equal to the primaries.
+    ready()
+    val r = spark.sql(
+      """SELECT urlencoder('a b&c=d'), url_encode('a b&c=d'),
+        |  urldecoder('a+b%26c%3Dd'),
+        |  day_of_month(DATE '2026-02-10'), day(DATE '2026-02-10')""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == r.getString(1))
+    assert(r.getString(0) == "a+b%26c%3Dd")
+    assert(r.getString(2) == "a b&c=d")
+    assert(r.getLong(3) == 10L && r.getInt(4) == 10)
+  }
+
   test("qdigest sketch: quantiles within rank error, partials merge") {
     ready()
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
