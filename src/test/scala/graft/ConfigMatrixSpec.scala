@@ -52,7 +52,11 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // placement + frame evaluation must not depend on physical
     // parallelism); plus the BPE tokenize path (broadcast rank table +
     // UDF encode must be partition-invariant)
-    "fuzz_agg_parity", "fuzz_window_parity", "pipe_bpe_tokenize")
+    "fuzz_agg_parity", "fuzz_window_parity", "pipe_bpe_tokenize",
+    // round 9: as-of join — the union+window plan's running
+    // last(ignore nulls) must see each key's full ordered timeline in
+    // one window partition regardless of shuffle parallelism/AQE
+    "join_asof")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)
