@@ -548,6 +548,58 @@ object SimilarityOps extends QueryGroup {
     qNoOracle("dd_semdedup") { (s, _) =>
       semDedup(s.table("embeddings"), tau = 0.95)
     },
+    // ── BM25 keyword retrieval (Robertson/Spärck Jones; the lexical
+    // twin of the embedding ANN paths — a training-data pipeline needs
+    // both for retrieval/decontamination). Plan shape at 100 TB: the
+    // tokenize + filter-to-query-terms runs MAP-SIDE (the HOF filter
+    // drops every non-query token before the explode, so the only
+    // shuffle moves ≤ |terms| rows per matching doc); document
+    // frequencies and corpus stats are single-row/3-row aggregates
+    // joined back by BROADCAST; final top-k is orderBy+limit →
+    // TakeOrderedAndProject (no global sort). Ranking uses the ROUNDED
+    // score with doc_id tie-break so the cutoff is engine-stable. ──
+    q("sim_bm25_topk",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '') AS tokens
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM toks),
+        |tf AS (
+        |  SELECT doc_id, len(tokens) AS dl, term, count(*) AS tf
+        |  FROM toks, unnest(list_filter(tokens, t -> t IN ('spark', 'join', 'window'))) AS u(term)
+        |  GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score,
+        |    count(*) AS n_terms
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY doc_id)
+        |SELECT doc_id, score, n_terms FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin) { (s, _) =>
+      val k1 = 1.2
+      val b = 0.75
+      val toks = s.table("documents").select(col("doc_id"),
+        expr("filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +'), t -> t != '')")
+          .as("tokens"))
+      val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("tokens"))).as("avgdl"))
+      val tf = toks
+        .select(col("doc_id"), size(col("tokens")).as("dl"),
+          explode(expr("filter(tokens, t -> t IN ('spark', 'join', 'window'))")).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            col("tf") * (k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(round(sum("contrib"), 4).as("score"), count(lit(1)).as("n_terms"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(15)
+    },
+
     // ── brute-force cosine top-k (k=5) for a 10-vector query set ──
     q("sim_cosine_topk",
       """WITH qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

@@ -91,6 +91,15 @@ class PlanSpec extends AnyFunSuite {
       "union+window as-of must equal the brute-force range join")
   }
 
+  test("sim_bm25_topk: broadcast stats, top-k without global sort") {
+    val p = plan("sim_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"BM25 top-k must not globally sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df/stats sides must broadcast — never shuffle the tf table against 3 rows")
+    assert(!p.contains("CartesianProduct"), "stats join must broadcast, not cartesian")
+  }
+
   test("sort_topn: orderBy+limit becomes TakeOrderedAndProject") {
     val p = plan("sort_topn")
     assert(p.contains("TakeOrderedAndProject"),
