@@ -66,6 +66,53 @@ object GraftFnUtils {
     d
   }
 
+  /** bit_count(num, bits) (BitwiseFunctions.java:33) — reference-exact
+    * range + representability errors; bits=64 is plain popcount.
+    */
+  def bitCount2(num: Long, bits: Long): Long =
+    if (bits == 64) java.lang.Long.bitCount(num).toLong
+    else {
+      if (bits <= 1 || bits > 64) throw new IllegalArgumentException(
+        s"Bits specified in bit_count must be between 2 and 64, got $bits")
+      val lowBitsMask = (1L << (bits - 1)) - 1
+      if (num > lowBitsMask || num < ~lowBitsMask) throw new IllegalArgumentException(
+        s"Number must be representable with the bits specified. " +
+          s"$num can not be represented with $bits bits")
+      java.lang.Long.bitCount(num & ((1L << bits) - 1)).toLong
+    }
+
+  /** 3-arg bitwise_shift_left (BitwiseFunctions.java:84). The sub-64
+    * mask is computed through double pow exactly as the reference's
+    * `(long) (Math.pow(2, bits) - 1)` — at bits=63 that saturates to
+    * Long.MaxValue, which happens to equal the exact mask.
+    */
+  def shiftLeft3(num: Long, shift: Long, bits: Long): Long =
+    if (bits == 64) num << shift // Long << masks shift&63, as in Java
+    else {
+      if (bits <= 1 || bits > 64) throw new IllegalArgumentException(
+        s"Bits specified must be between 2 and 64, got $bits")
+      if (shift < 0) throw new IllegalArgumentException("Specified shift must be positive")
+      num << shift & (math.pow(2, bits) - 1).toLong
+    }
+
+  /** 3-arg bitwise_logical_shift_right (BitwiseFunctions.java:106). */
+  def logicalShiftRight3(num: Long, shift: Long, bits: Long): Long =
+    if (bits == 64) num >>> shift
+    else {
+      if (bits <= 1 || bits > 64) throw new IllegalArgumentException(
+        s"Bits specified in must be between 2 and 64, got $bits")
+      if (shift < 0) throw new IllegalArgumentException("Specified shift must be positive")
+      (num & (math.pow(2, bits) - 1).toLong) >>> shift
+    }
+
+  /** bitwise_arithmetic_shift_right (BitwiseFunctions.java:128) — the
+    * reference rejects negative shifts where plain `>>` would mask.
+    */
+  def arithShiftRight(num: Long, shift: Long): Long = {
+    if (shift < 0) throw new IllegalArgumentException("Specified shift must be positive")
+    num >> shift
+  }
+
   /** reference operator/scalar/StringFunctions.java `normalize` (NFC etc.). */
   def normalizeStr(s: String, form: String): String =
     Normalizer.normalize(s, Normalizer.Form.valueOf(form.toUpperCase))
@@ -625,12 +672,34 @@ object GraftFunctions {
     "bitwise_or" -> { case Seq(a, b) => BitwiseOr(Cast(a, LongType), Cast(b, LongType)) },
     "bitwise_xor" -> { case Seq(a, b) => BitwiseXor(Cast(a, LongType), Cast(b, LongType)) },
     "bitwise_not" -> { case Seq(a) => BitwiseNot(Cast(a, LongType)) },
-    "bitwise_shift_left" -> { case Seq(a, n) =>
-      ShiftLeft(Cast(a, LongType), Cast(n, IntegerType)) },
-    "bitwise_logical_shift_right" -> { case Seq(a, n) =>
-      ShiftRightUnsigned(Cast(a, LongType), Cast(n, IntegerType)) },
+    // reference shifts are 3-arg (value, shift, bits) with range errors
+    // (BitwiseFunctions.java:84,106); the 2-arg spellings are kept as the
+    // bits=64 case for engine-internal callers
+    "bitwise_shift_left" -> {
+      case Seq(a, n) => ShiftLeft(Cast(a, LongType), Cast(n, IntegerType))
+      case Seq(a, n, b) => StaticInvoke(GraftFnUtils.getClass, LongType,
+        "shiftLeft3", Seq(Cast(a, LongType), Cast(n, LongType), Cast(b, LongType)),
+        inputTypes = Seq(LongType, LongType, LongType), propagateNull = true)
+    },
+    "bitwise_logical_shift_right" -> {
+      case Seq(a, n) => ShiftRightUnsigned(Cast(a, LongType), Cast(n, IntegerType))
+      case Seq(a, n, b) => StaticInvoke(GraftFnUtils.getClass, LongType,
+        "logicalShiftRight3", Seq(Cast(a, LongType), Cast(n, LongType), Cast(b, LongType)),
+        inputTypes = Seq(LongType, LongType, LongType), propagateNull = true)
+    },
     "bitwise_arithmetic_shift_right" -> { case Seq(a, n) =>
-      ShiftRight(Cast(a, LongType), Cast(n, IntegerType)) },
+      StaticInvoke(GraftFnUtils.getClass, LongType, "arithShiftRight",
+        Seq(Cast(a, LongType), Cast(n, LongType)),
+        inputTypes = Seq(LongType, LongType), propagateNull = true) },
+    // Presto's bit_count is strictly 2-arg (num, bits); the 1-arg form
+    // stays Spark-native popcount (widened to BIGINT like every Presto
+    // integer function)
+    "bit_count" -> {
+      case Seq(a) => Cast(BitwiseCount(Cast(a, LongType)), LongType)
+      case Seq(a, b) => StaticInvoke(GraftFnUtils.getClass, LongType,
+        "bitCount2", Seq(Cast(a, LongType), Cast(b, LongType)),
+        inputTypes = Seq(LongType, LongType), propagateNull = true)
+    },
     // QuantileDigestAggregationFunction.java:32 — re-aggregatable
     // quantile sketch (Presto's merge(qdigest) is merge_qdigest here: the
     // sketch types share BinaryType, so name-level dispatch can't tell

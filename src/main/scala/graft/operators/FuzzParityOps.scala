@@ -352,6 +352,90 @@ object FuzzParityOps extends QueryGroup {
         |FROM t ORDER BY i""".stripMargin)
     },
 
+    // ── bitwise family: full-width 64-bit operands (negatives included)
+    // across and/or/xor/not, the three reference shifts (3-arg forms with
+    // random bits ∈ 2..64) and both bit_count arities ──
+    // The reference computes the sub-64 shift mask through double pow
+    // (`(long) (Math.pow(2, bits) - 1)`, BitwiseFunctions.java:101,123):
+    // for bits ∈ 54..62 that rounds UP to 2^bits — a single high bit, not
+    // bits ones — and at 63 saturates to Long.MaxValue. The engine
+    // reproduces the quirk bug-for-bug (GraftFnUtils.shiftLeft3) and the
+    // oracle replays the identical double arithmetic (`qmask`), while
+    // bit_count's mask is exact (`(1L << bits) - 1` in the reference, so
+    // `emask` here); bit_count operands are pre-reduced mod 2^(bits-1) so
+    // every row stays inside the reference's representability check
+    // (error paths are pinned in FnSpec, not fuzzed). DuckDB has no
+    // wraparound `<<` (it range-errors), so the oracle shifts through
+    // unsigned HUGEINT arithmetic: u64(num) * 2^s mod 2^64, mapped back
+    // to two's-complement BIGINT.
+    q("fuzz_bitwise_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, h1, h2,
+        |    h1 * 4294967296 + h2 - 4611686018427387904 AS num,
+        |    h2 % 64 AS s,
+        |    CASE WHEN i % 3 = 0 THEN 64 ELSE 2 + h1 % 63 END AS b
+        |  FROM o),
+        |t2 AS (
+        |  SELECT *,
+        |    CASE WHEN b = 64 THEN num
+        |         ELSE num % CAST(power(2, b - 1) AS BIGINT) END AS num2,
+        |    CASE WHEN b = 63 THEN 9223372036854775807
+        |         WHEN b = 64 THEN -1
+        |         ELSE CAST(power(2, b) - 1 AS BIGINT) END AS qmask,
+        |    CASE WHEN b = 63 THEN 9223372036854775807
+        |         WHEN b = 64 THEN -1
+        |         ELSE CAST(power(2, b) AS BIGINT) - 1 END AS emask,
+        |    CAST(power(2, s) AS HUGEINT) AS p2s,
+        |    CAST(num AS HUGEINT) + CASE WHEN num < 0
+        |      THEN CAST(18446744073709551616 AS HUGEINT)
+        |      ELSE CAST(0 AS HUGEINT) END AS unum
+        |  FROM t),
+        |r AS (
+        |  SELECT *,
+        |    (unum * p2s) % CAST(18446744073709551616 AS HUGEINT) AS shlraw,
+        |    (CASE WHEN b = 64 THEN unum
+        |          ELSE CAST(num & qmask AS HUGEINT) END) // p2s AS lshrraw
+        |  FROM t2)
+        |SELECT i,
+        |  CAST(num & h2 AS BIGINT) AS band,
+        |  CAST(num | h2 AS BIGINT) AS bor,
+        |  CAST(xor(num, h2) AS BIGINT) AS bxor,
+        |  CAST(~num AS BIGINT) AS bnot,
+        |  CAST(num >> s AS BIGINT) AS ashr,
+        |  CAST(CASE WHEN shlraw >= CAST(9223372036854775808 AS HUGEINT)
+        |            THEN shlraw - CAST(18446744073709551616 AS HUGEINT)
+        |            ELSE shlraw END AS BIGINT) & qmask AS shl,
+        |  CAST(CASE WHEN lshrraw >= CAST(9223372036854775808 AS HUGEINT)
+        |            THEN lshrraw - CAST(18446744073709551616 AS HUGEINT)
+        |            ELSE lshrraw END AS BIGINT) AS lshr,
+        |  CAST(bit_count(num2 & emask) AS BIGINT) AS bc,
+        |  CAST(bit_count(num) AS BIGINT) AS bc64,
+        |  CAST(bit_count(num) AS BIGINT) AS pc1
+        |FROM r ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i, h1, h2,
+        |    h1 * 4294967296 + h2 - 4611686018427387904 AS num,
+        |    h2 % 64 AS s,
+        |    CASE WHEN i % 3 = 0 THEN 64 ELSE 2 + h1 % 63 END AS b
+        |  FROM o),
+        |t2 AS (
+        |  SELECT *, CASE WHEN b = 64 THEN num
+        |                 ELSE num % CAST(power(2, b - 1) AS BIGINT) END AS num2
+        |  FROM t)
+        |SELECT i,
+        |  bitwise_and(num, h2) AS band,
+        |  bitwise_or(num, h2) AS bor,
+        |  bitwise_xor(num, h2) AS bxor,
+        |  bitwise_not(num) AS bnot,
+        |  bitwise_arithmetic_shift_right(num, s) AS ashr,
+        |  bitwise_shift_left(num, s, b) AS shl,
+        |  bitwise_logical_shift_right(num, s, b) AS lshr,
+        |  bit_count(num2, b) AS bc,
+        |  bit_count(num, 64) AS bc64,
+        |  bit_count(num) AS pc1
+        |FROM t2 ORDER BY i""".stripMargin)
+    },
+
     // ── DECIMAL arithmetic: exact fixed-point add/sub/mul across
     // operand sweeps, half-up rounding at forced .XX50 boundaries ──
     // Operands derive EXACTLY (integer × 0.0001 — a widening multiply,

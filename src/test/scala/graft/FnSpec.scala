@@ -113,6 +113,36 @@ class FnSpec extends AnyFunSuite {
     assert(r.getLong(3) == 10L && r.getInt(4) == 10)
   }
 
+  test("bitwise 3-arg forms: reference semantics, errors, double-pow mask quirk") {
+    ready()
+    val r = spark.sql(
+      """SELECT bitwise_shift_left(7, 2, 4),
+        |  bitwise_logical_shift_right(-1, 62, 64),
+        |  bitwise_arithmetic_shift_right(-16, 2),
+        |  bit_count(9, 64), bit_count(-7, 64), bit_count(9, 8),
+        |  bitwise_shift_left(1, 58, 58)""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 12L)    // 28 & 0b1111
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == -4L)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 62L && r.getLong(5) == 2L)
+    // the reference's sub-64 mask goes through double pow
+    // (BitwiseFunctions.java:101): at bits=58 `(long)(pow(2,58)-1)` rounds
+    // UP to 2^58 — so 1<<58 & mask keeps the bit the exact mask would
+    // clear. Reproduced bug-for-bug.
+    assert(r.getLong(6) == (1L << 58))
+    def fails(sql: String, msg: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def all(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: all(t.getCause)
+      assert(all(e).exists(m => m != null && m.contains(msg)),
+        s"expected '$msg' in ${all(e)}")
+    }
+    fails("SELECT bit_count(0, 1)", "between 2 and 64")
+    fails("SELECT bit_count(256, 8)", "can not be represented with 8 bits")
+    fails("SELECT bitwise_shift_left(1, -1, 8)", "Specified shift must be positive")
+    fails("SELECT bitwise_arithmetic_shift_right(1, -2)", "Specified shift must be positive")
+  }
+
   test("qdigest sketch: quantiles within rank error, partials merge") {
     ready()
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
