@@ -352,6 +352,86 @@ object FuzzParityOps extends QueryGroup {
         |FROM t ORDER BY i""".stripMargin)
     },
 
+    // ── URL family: construct-then-extract ground truth ──
+    // URLs are ASSEMBLED from LCG components (scheme/host/port/path/
+    // query/fragment, each optionally absent on a deterministic cycle),
+    // identically on both sides; the engine then parses them back with
+    // url_extract_* while the oracle never parses — it projects the
+    // expected part straight from the components. That makes the oracle
+    // exact by construction for precisely the semantics the reference
+    // defines through java.net.URI (UrlFunctions.java:43): absent port/
+    // query/fragment → NULL, path of a bare authority → '', missing
+    // parameter → NULL. url_encode's form-encoding is checked the same
+    // way (expected text assembled from pre-encoded pieces) plus a
+    // decode(encode(s)) = s roundtrip.
+    q("fuzz_url_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, h1, h2,
+        |    CASE i % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'https' ELSE 'ftp' END AS scheme,
+        |    'host' || CAST(h1 % 100 AS VARCHAR) || '.example.com' AS host,
+        |    80 + h2 % 1000 AS port,
+        |    i % 2 = 0 AS has_port,
+        |    '/p' || CAST(i AS VARCHAR) || '/x' AS pth,
+        |    i % 3 <> 1 AS has_q,
+        |    'k1=v' || CAST(h1 % 50 AS VARCHAR) || '&k2=w' || CAST(h2 % 50 AS VARCHAR) AS qry,
+        |    i % 5 <> 2 AS has_f,
+        |    'frag' || CAST(h2 % 10 AS VARCHAR) AS frag
+        |  FROM o),
+        |u AS (
+        |  SELECT *,
+        |    scheme || '://' || host ||
+        |    CASE WHEN has_port THEN ':' || CAST(port AS VARCHAR) ELSE '' END ||
+        |    pth ||
+        |    CASE WHEN has_q THEN '?' || qry ELSE '' END ||
+        |    CASE WHEN has_f THEN '#' || frag ELSE '' END AS url
+        |  FROM t)
+        |SELECT i, url,
+        |  scheme AS proto,
+        |  host AS hst,
+        |  CASE WHEN has_port THEN CAST(port AS BIGINT) ELSE CAST(NULL AS BIGINT) END AS prt,
+        |  pth AS path,
+        |  CASE WHEN has_q THEN qry ELSE CAST(NULL AS VARCHAR) END AS query,
+        |  CASE WHEN has_f THEN frag ELSE CAST(NULL AS VARCHAR) END AS fragment,
+        |  CASE WHEN has_q THEN 'v' || CAST(h1 % 50 AS VARCHAR) ELSE CAST(NULL AS VARCHAR) END AS p_k1,
+        |  CAST(NULL AS VARCHAR) AS p_missing,
+        |  'v+' || CAST(h1 % 100 AS VARCHAR) || '%26x%3D' || CAST(h2 % 10 AS VARCHAR) AS enc,
+        |  TRUE AS dec_rt
+        |FROM u ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i, h1, h2,
+        |    CASE CAST(i % 3 AS INT) WHEN 0 THEN 'http' WHEN 1 THEN 'https' ELSE 'ftp' END AS scheme,
+        |    'host' || CAST(h1 % 100 AS STRING) || '.example.com' AS host,
+        |    80 + h2 % 1000 AS port,
+        |    i % 2 = 0 AS has_port,
+        |    '/p' || CAST(i AS STRING) || '/x' AS pth,
+        |    i % 3 <> 1 AS has_q,
+        |    'k1=v' || CAST(h1 % 50 AS STRING) || '&k2=w' || CAST(h2 % 50 AS STRING) AS qry,
+        |    i % 5 <> 2 AS has_f,
+        |    'frag' || CAST(h2 % 10 AS STRING) AS frag
+        |  FROM o),
+        |u AS (
+        |  SELECT *,
+        |    scheme || '://' || host ||
+        |    CASE WHEN has_port THEN ':' || CAST(port AS STRING) ELSE '' END ||
+        |    pth ||
+        |    CASE WHEN has_q THEN '?' || qry ELSE '' END ||
+        |    CASE WHEN has_f THEN '#' || frag ELSE '' END AS url
+        |  FROM t)
+        |SELECT i, url,
+        |  url_extract_protocol(url) AS proto,
+        |  url_extract_host(url) AS hst,
+        |  url_extract_port(url) AS prt,
+        |  url_extract_path(url) AS path,
+        |  url_extract_query(url) AS query,
+        |  url_extract_fragment(url) AS fragment,
+        |  url_extract_parameter(url, 'k1') AS p_k1,
+        |  url_extract_parameter(url, 'nokey') AS p_missing,
+        |  url_encode('v ' || CAST(h1 % 100 AS STRING) || '&x=' || CAST(h2 % 10 AS STRING)) AS enc,
+        |  url_decode(url_encode('v ' || CAST(h1 % 100 AS STRING) || '&x=' || CAST(h2 % 10 AS STRING)))
+        |    = 'v ' || CAST(h1 % 100 AS STRING) || '&x=' || CAST(h2 % 10 AS STRING) AS dec_rt
+        |FROM u ORDER BY i""".stripMargin)
+    },
+
     // ── bitwise family: full-width 64-bit operands (negatives included)
     // across and/or/xor/not, the three reference shifts (3-arg forms with
     // random bits ∈ 2..64) and both bit_count arities ──
