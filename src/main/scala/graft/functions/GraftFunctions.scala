@@ -691,11 +691,13 @@ object GraftFunctions {
       StaticInvoke(GraftFnUtils.getClass, LongType, "arithShiftRight",
         Seq(Cast(a, LongType), Cast(n, LongType)),
         inputTypes = Seq(LongType, LongType), propagateNull = true) },
-    // Presto's bit_count is strictly 2-arg (num, bits); the 1-arg form
-    // stays Spark-native popcount (widened to BIGINT like every Presto
-    // integer function)
+    // Presto's bit_count is strictly 2-arg (num, bits). The 1-arg form
+    // is Spark's own and must keep Spark-native semantics (INT result) —
+    // functions.bit_count resolves by NAME through this registry in
+    // Spark 4, so widening it here would silently retype every native
+    // caller (caught by TextOpsSpec's hamming getInt).
     "bit_count" -> {
-      case Seq(a) => Cast(BitwiseCount(Cast(a, LongType)), LongType)
+      case Seq(a) => BitwiseCount(Cast(a, LongType))
       case Seq(a, b) => StaticInvoke(GraftFnUtils.getClass, LongType,
         "bitCount2", Seq(Cast(a, LongType), Cast(b, LongType)),
         inputTypes = Seq(LongType, LongType), propagateNull = true)

@@ -512,7 +512,7 @@ object FuzzParityOps extends QueryGroup {
         |  bitwise_logical_shift_right(num, s, b) AS lshr,
         |  bit_count(num2, b) AS bc,
         |  bit_count(num, 64) AS bc64,
-        |  bit_count(num) AS pc1
+        |  CAST(bit_count(num) AS BIGINT) AS pc1
         |FROM t2 ORDER BY i""".stripMargin)
     },
 
