@@ -67,7 +67,11 @@ object Bench {
     "pipe_bpe_tokenize",
     // round-9 op: as-of join — union + ordered window (one key shuffle,
     // no pairwise expansion; the scale-safe point-in-time lookup)
-    "join_asof")
+    "join_asof",
+    // round-9 op: BM25 keyword retrieval — map-side term filter vs the
+    // broadcast query terms, document-frequency broadcast, per-query
+    // top-k via WindowGroupLimit (no global sort)
+    "ret_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1409,5 +1409,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => org.apache.spark.sql.graft.ResolveReduceAgg)
     ext.injectResolutionRule(_ => graft.plans.ResolveDateSubToDays)
     ext.injectResolutionRule(_ => graft.plans.EmptyGroupingSetsRule)
+    ext.injectOptimizerRule(_ => graft.plans.SimplifyElementAt)
   }
 }

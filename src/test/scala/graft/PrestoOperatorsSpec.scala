@@ -135,6 +135,52 @@ class PrestoOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  // ── SimplifyElementAt (plans/SimplifyElementAt.scala) ──
+  // element_at(array(...), <in-bounds literal>) must simplify to the
+  // selected child: upstream Spark 4.1.2 has no SimplifyExtractValueOps
+  // case for ElementAt, and the un-simplified shape breaks whole-stage
+  // codegen (nullable=false via the non-null child, yet doGenCode still
+  // assigns the never-declared ev.isNull — janino "is not an rvalue",
+  // whole stage falls back to interpreted).
+
+  test("in-bounds literal element_at over an inline array simplifies away") {
+    val df = spark.sql(
+      """SELECT element_at(array(c_custkey, c_nationkey, 42), 1) AS a,
+        |       element_at(array(c_custkey, c_nationkey, 42), 3) AS b,
+        |       element_at(array(c_custkey, c_nationkey, 42), -3) AS c
+        |FROM parquet.`/root/testdata/sf0.001/customer.parquet`""".stripMargin)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("element_at") && !opt.contains("array("),
+      s"array build should be simplified out:\n$opt")
+    val r = df.limit(5).collect()
+    assert(r.forall(row => row.getLong(1) == 42L))
+    assert(r.forall(row => row.getLong(0) == row.getLong(2)),
+      "negative index counts from the back")
+  }
+
+  test("the dialect_subscript shape survives codegen.fallback=false") {
+    // Before the rule this exact projection pair killed codegen for the
+    // whole scan+project stage (observed in the round-9 verify sweep).
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try withDialect {
+      val rows = spark.sql(
+        """SELECT ARRAY[c_custkey, c_nationkey, 42][1] AS first_elem,
+          |       ARRAY[c_custkey, c_nationkey, 42][3] AS third_elem
+          |FROM parquet.`/root/testdata/sf0.001/customer.parquet`
+          |ORDER BY first_elem LIMIT 5""".stripMargin).collect()
+      assert(rows.nonEmpty && rows.forall(_.getLong(1) == 42L))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("out-of-bounds and zero literal subscripts keep the erroring path") {
+    withDialect {
+      intercept[Exception](one("SELECT array(10, 20, 30)[5]"))
+      intercept[Exception](one("SELECT array(10, 20, 30)[0]"))
+    }
+    // stock element_at, statically out of bounds: still the runtime error
+    intercept[Exception](one("SELECT element_at(array(10, 20, 30), 9)"))
+  }
+
   test("DataFrame API is never rewritten") {
     import org.apache.spark.sql.functions._
     withDialect {
