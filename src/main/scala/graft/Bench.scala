@@ -71,7 +71,7 @@ object Bench {
     // round-9 op: BM25 keyword retrieval — map-side term filter vs the
     // broadcast query terms, document-frequency broadcast, per-query
     // top-k via WindowGroupLimit (no global sort)
-    "ret_bm25")
+    "sim_bm25_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,7 +97,13 @@ object Bench {
     // cleanest observation, immune to transient machine-wide load — and
     // the JSON also carries the raw per-run times plus the median so a
     // reader can see the spread without a re-run.
-    val results = headline.filter(SparkEntry.queries.contains)
+    // A typo'd headline name must fail the run, not silently shrink the
+    // measured set (caught live in round 9: "ret_bm25" vs the registered
+    // "sim_bm25_topk" benched 44 queries while the docs claimed 45).
+    val unknown = headline.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"headline names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    val results = headline
       .filter(n => only.forall(_.contains(n))).map { name =>
       val times =
         try {
