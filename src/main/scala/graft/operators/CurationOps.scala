@@ -243,6 +243,93 @@ object CurationOps extends QueryGroup {
         .orderBy("source")
     },
 
+    // ── fixed-window chunking with overlap: cut each document into
+    // C-char windows advancing by stride S = C − overlap, keeping full
+    // provenance (doc_id, chunk_idx, start offset) — the
+    // context-window/RAG chunking step between curation and
+    // tokenization (pack_sequences cuts the CONCATENATED stream; this
+    // keeps per-document windows with overlap). Entirely map-side:
+    // explode(sequence) + substring, NO shuffle at any corpus size —
+    // chunking 100 TB is one pass. Chunk content is pinned by an
+    // 8-hex md5 prefix so the oracle compares bytes without shipping
+    // them. C=120/S=90 keeps several windows per fixture doc so the
+    // boundary arithmetic (last partial window, single-window docs) is
+    // exercised. ──
+    q("pipe_chunk_overlap",
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |  WHERE length(text) >= 1),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, (len - 1) // 90)) AS chunk_idx
+        |  FROM d)
+        |SELECT doc_id, chunk_idx, 1 + chunk_idx * 90 AS start,
+        |  CAST(length(substring(text, CAST(1 + chunk_idx * 90 AS INT), 120)) AS BIGINT) AS chunk_chars,
+        |  substring(md5(substring(text, CAST(1 + chunk_idx * 90 AS INT), 120)), 1, 8) AS chunk_md5
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, _) =>
+      val d = s.table("documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("bigint").as("len"))
+      val chunk = substring(col("text"),
+        (lit(1) + col("chunk_idx") * 90).cast("int"), lit(120))
+      d.select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), floor((col("len") - 1) / 90))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (lit(1) + col("chunk_idx") * 90).as("start"),
+          length(chunk).cast("bigint").as("chunk_chars"),
+          substring(md5(chunk), 1, 8).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ── leakage-safe train/test split: route every document of a
+    // duplicate cluster to the SAME side by hashing the CLUSTER key,
+    // not the document id — the split a pretraining pipeline must use
+    // or near-identical docs straddle train and eval and inflate
+    // benchmark scores. The demo cluster key is a 64-char head
+    // fingerprint (oracle-able; 23 of the fixture's 500 docs share
+    // one); in production the same shape composes with
+    // dd_minhash_clusters / dd_semdedup cluster ids. The output pins
+    // BOTH properties: leak_clusters (clusters spanning sides under
+    // the cluster-keyed split) is 0 by construction, and
+    // naive_leak_clusters measures the doc_id-hash split leaking — 4
+    // clusters on this fixture. One hash agg over the corpus + two
+    // tiny scalar subqueries; the side column is a pure map-side
+    // function of the cluster key. ──
+    q("pipe_leakage_safe_split",
+      """WITH b AS (
+        |  SELECT doc_id, md5(substring(text, 1, 64)) AS ch FROM documents),
+        |s AS (
+        |  SELECT doc_id, ch,
+        |    CASE WHEN substring(ch, 1, 1) IN ('0', '1')
+        |         THEN 'test' ELSE 'train' END AS side,
+        |    CASE WHEN doc_id % 8 = 0 THEN 'test' ELSE 'train' END AS naive
+        |  FROM b)
+        |SELECT side, count(*) AS n_docs, count(DISTINCT ch) AS n_clusters,
+        |  (SELECT count(*) FROM (SELECT ch FROM s GROUP BY ch
+        |     HAVING count(DISTINCT side) > 1) t) AS leak_clusters,
+        |  (SELECT count(*) FROM (SELECT ch FROM s GROUP BY ch
+        |     HAVING count(DISTINCT naive) > 1) t) AS naive_leak_clusters
+        |FROM s GROUP BY side ORDER BY side""".stripMargin) { (s, _) =>
+      val base = s.table("documents").select(
+        col("doc_id"), md5(substring(col("text"), 1, 64)).as("ch"))
+        .withColumn("side",
+          when(substring(col("ch"), 1, 1).isin("0", "1"), "test")
+            .otherwise("train"))
+        .withColumn("naive",
+          when(pmod(col("doc_id"), lit(8)) === 0, "test").otherwise("train"))
+      def spanning(c: String) = base.groupBy("ch")
+        .agg(countDistinct(col(c)).as("n"))
+        .filter(col("n") > 1).agg(count(lit(1)).as(s"leak_$c"))
+      base.groupBy("side")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("ch")).as("n_clusters"))
+        .crossJoin(broadcast(spanning("side").withColumnRenamed("leak_side", "leak_clusters")))
+        .crossJoin(broadcast(spanning("naive").withColumnRenamed("leak_naive", "naive_leak_clusters")))
+        .select("side", "n_docs", "n_clusters", "leak_clusters", "naive_leak_clusters")
+        .orderBy("side")
+    },
+
     // ── PII redaction: scrub phone numbers and emails from free text
     // before it enters a training corpus, keeping per-rule counts for
     // the audit trail. Pure map-side regexp (codegen'd, no UDF); the

@@ -173,4 +173,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"gram-model join must broadcast the bounded (≤37³ rows) model side:\n$plan")
   }
+
+  test("pipe_chunk_overlap: windows tile every document with stride 90") {
+    import org.apache.spark.sql.functions._
+    val chunks = SparkEntry.queries("pipe_chunk_overlap")(spark, TestSession.sf)
+    val lens = Tables.load(spark, TestSession.sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("len"))
+    val agg = chunks.groupBy("doc_id").agg(
+      min("start").as("first_start"),
+      max(col("start") + col("chunk_chars") - 1).as("last_end"),
+      count(lit(1)).as("n"),
+      max("start").as("max_start"))
+      .join(lens, "doc_id")
+      .collect()
+    assert(agg.nonEmpty)
+    agg.foreach { r =>
+      assert(r.getAs[Long]("first_start") == 1L, "first window starts at char 1")
+      assert(r.getAs[Long]("last_end") == r.getAs[Long]("len"),
+        s"doc ${r.get(0)}: windows must reach the last char")
+      // start of window i is 1 + 90*i, so n windows ⇔ max_start = 1+90(n−1)
+      assert(r.getAs[Long]("max_start") == 1L + 90L * (r.getAs[Long]("n") - 1),
+        "starts advance by exactly the stride")
+    }
+    // map-side shape: no exchange before the final presentation sort
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"chunking itself must be shuffle-free (one presentation sort allowed):\n$plan")
+  }
+
+  test("pipe_leakage_safe_split: cluster-keyed split never leaks, naive split does") {
+    val rows = SparkEntry.queries("pipe_leakage_safe_split")(spark, TestSession.sf)
+      .collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("leak_clusters") == 0L,
+        "a cluster-keyed split cannot place one cluster on both sides")
+      assert(r.getAs[Long]("naive_leak_clusters") > 0L,
+        "the doc_id-hash strawman must demonstrably leak on this fixture")
+    }
+  }
 }
