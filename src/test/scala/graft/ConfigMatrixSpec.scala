@@ -56,7 +56,11 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // round 9: as-of join — the union+window plan's running
     // last(ignore nulls) must see each key's full ordered timeline in
     // one window partition regardless of shuffle parallelism/AQE
-    "join_asof")
+    "join_asof",
+    // round 9: overlap chunking (map-side explode — rows must not
+    // depend on input split boundaries) and the cluster-keyed split
+    // (scalar-subquery leak counters under partial/final agg splits)
+    "pipe_chunk_overlap", "pipe_leakage_safe_split")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)
