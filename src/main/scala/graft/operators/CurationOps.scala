@@ -283,6 +283,47 @@ object CurationOps extends QueryGroup {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // ── token-budget chunking: the pretraining twin of
+    // pipe_chunk_overlap — windows of C=64 BPE-style pre-tokens
+    // advancing by stride S=48 (16-token overlap), cut at TOKEN
+    // boundaries so no window ever splits a token (char windows do).
+    // Same scale shape: tokenize + explode + slice are all map-side,
+    // no shuffle at any corpus size. Both engines slice the identical
+    // regexp_extract_all token list; the chunk content pin is the md5
+    // of the joined slice. ──
+    q("pipe_chunk_tokens", {
+      val pat = BpePat.replace("'", "''")
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$pat') AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    unnest(generate_series(0, greatest(len(toks) - 1, 0) // 48)) AS chunk_idx
+         |  FROM d WHERE len(toks) >= 1)
+         |SELECT doc_id, chunk_idx, 1 + chunk_idx * 48 AS tok_start,
+         |  CAST(len(list_slice(toks, 1 + chunk_idx * 48,
+         |    least(chunk_idx * 48 + 64, n))) AS BIGINT) AS n_tokens,
+         |  substring(md5(array_to_string(list_slice(toks, 1 + chunk_idx * 48,
+         |    least(chunk_idx * 48 + 64, n)), '')), 1, 8) AS chunk_md5
+         |FROM c
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, _) =>
+      val d = s.table("documents").select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(BpePat), lit(0)).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .withColumn("n", size(col("toks")).cast("bigint"))
+      val sliced = slice(col("toks"), (lit(1) + col("chunk_idx") * 48).cast("int"),
+        least(lit(64), (col("n") - col("chunk_idx") * 48).cast("int")))
+      d.select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L),
+            floor((col("n") - 1) / 48))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (lit(1) + col("chunk_idx") * 48).as("tok_start"),
+          size(sliced).cast("bigint").as("n_tokens"),
+          substring(md5(concat_ws("", sliced)), 1, 8).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // ── leakage-safe train/test split: route every document of a
     // duplicate cluster to the SAME side by hashing the CLUSTER key,
     // not the document id — the split a pretraining pipeline must use

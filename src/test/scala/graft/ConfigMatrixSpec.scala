@@ -60,7 +60,7 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // round 9: overlap chunking (map-side explode — rows must not
     // depend on input split boundaries) and the cluster-keyed split
     // (scalar-subquery leak counters under partial/final agg splits)
-    "pipe_chunk_overlap", "pipe_leakage_safe_split")
+    "pipe_chunk_overlap", "pipe_chunk_tokens", "pipe_leakage_safe_split")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)

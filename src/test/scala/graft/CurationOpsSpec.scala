@@ -201,6 +201,37 @@ class CurationOpsSpec extends AnyFunSuite {
       s"chunking itself must be shuffle-free (one presentation sort allowed):\n$plan")
   }
 
+  test("pipe_chunk_tokens: windows tile the token stream, never splitting a token") {
+    import org.apache.spark.sql.functions._
+    val chunks = SparkEntry.queries("pipe_chunk_tokens")(spark, TestSession.sf)
+    val agg = chunks.groupBy("doc_id").agg(
+      min("tok_start").as("first_start"),
+      max(col("tok_start") + col("n_tokens") - 1).as("last_tok"),
+      count(lit(1)).as("n_chunks"),
+      max("tok_start").as("max_start"))
+      .collect()
+    assert(agg.nonEmpty)
+    agg.foreach { r =>
+      assert(r.getAs[Long]("first_start") == 1L)
+      assert(r.getAs[Long]("max_start") ==
+        1L + 48L * (r.getAs[Long]("n_chunks") - 1),
+        "token starts advance by exactly the 48-token stride")
+    }
+    // last window ends at the document's token count: re-derive n from
+    // the same tokenizer and compare per doc
+    val n = Tables.load(spark, TestSession.sf, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit(raw"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+"),
+        lit(0))).cast("bigint").as("n_toks"))
+    val bad = chunks.groupBy("doc_id")
+      .agg(max(col("tok_start") + col("n_tokens") - 1).as("last_tok"))
+      .join(n, "doc_id")
+      .filter(col("last_tok") =!= col("n_toks"))
+      .count()
+    assert(bad == 0L, "every document's final window must reach its last token")
+  }
+
   test("pipe_leakage_safe_split: cluster-keyed split never leaks, naive split does") {
     val rows = SparkEntry.queries("pipe_leakage_safe_split")(spark, TestSession.sf)
       .collect()
