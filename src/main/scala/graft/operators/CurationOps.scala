@@ -52,6 +52,46 @@ object CurationOps extends QueryGroup {
   // valid in both Java regex (Spark) and RE2 (DuckDB).
   private val BpePat = raw"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+"
 
+  /** Char-window chunking (C=120, stride 90): provenance-carrying
+    * per-document windows, entirely stateless map-side expressions —
+    * works identically over a batch table or a readStream source
+    * (StreamingSpec pins the parity). No orderBy here: streaming append
+    * mode forbids sorts; the query face adds the presentation order.
+    */
+  def chunkOverlap(docs: DataFrame): DataFrame = {
+    val d = docs
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("bigint").as("len"))
+    val chunk = substring(col("text"),
+      (lit(1) + col("chunk_idx") * 90).cast("int"), lit(120))
+    d.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), floor((col("len") - 1) / 90))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (lit(1) + col("chunk_idx") * 90).as("start"),
+        length(chunk).cast("bigint").as("chunk_chars"),
+        substring(md5(chunk), 1, 8).as("chunk_md5"))
+  }
+
+  /** Token-budget chunking (64 BPE-pre-tokens, stride 48): the
+    * pretraining twin of [[chunkOverlap]], cut at token boundaries.
+    * Stateless map-side; streaming-safe for the same reason.
+    */
+  def chunkTokens(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      regexp_extract_all(col("text"), lit(BpePat), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("n", size(col("toks")).cast("bigint"))
+    val sliced = slice(col("toks"), (lit(1) + col("chunk_idx") * 48).cast("int"),
+      least(lit(64), (col("n") - col("chunk_idx") * 48).cast("int")))
+    d.select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), floor((col("n") - 1) / 48))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (lit(1) + col("chunk_idx") * 48).as("tok_start"),
+        size(sliced).cast("bigint").as("n_tokens"),
+        substring(md5(concat_ws("", sliced)), 1, 8).as("chunk_md5"))
+  }
+
   /** Context-window length for sequence packing. Production packing uses
     * the model context (2048–8192); 512 keeps multiple bins per source
     * alive at the sf0.01 gate so the boundary arithmetic is exercised.
@@ -268,19 +308,7 @@ object CurationOps extends QueryGroup {
         |  substring(md5(substring(text, CAST(1 + chunk_idx * 90 AS INT), 120)), 1, 8) AS chunk_md5
         |FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, _) =>
-      val d = s.table("documents")
-        .filter(length(col("text")) >= 1)
-        .select(col("doc_id"), col("text"),
-          length(col("text")).cast("bigint").as("len"))
-      val chunk = substring(col("text"),
-        (lit(1) + col("chunk_idx") * 90).cast("int"), lit(120))
-      d.select(col("doc_id"), col("text"),
-          explode(sequence(lit(0L), floor((col("len") - 1) / 90))).as("chunk_idx"))
-        .select(col("doc_id"), col("chunk_idx"),
-          (lit(1) + col("chunk_idx") * 90).as("start"),
-          length(chunk).cast("bigint").as("chunk_chars"),
-          substring(md5(chunk), 1, 8).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")
+      chunkOverlap(s.table("documents")).orderBy("doc_id", "chunk_idx")
     },
 
     // ── token-budget chunking: the pretraining twin of
@@ -308,20 +336,7 @@ object CurationOps extends QueryGroup {
          |FROM c
          |ORDER BY doc_id, chunk_idx""".stripMargin
     }) { (s, _) =>
-      val d = s.table("documents").select(col("doc_id"),
-        regexp_extract_all(col("text"), lit(BpePat), lit(0)).as("toks"))
-        .filter(size(col("toks")) >= 1)
-        .withColumn("n", size(col("toks")).cast("bigint"))
-      val sliced = slice(col("toks"), (lit(1) + col("chunk_idx") * 48).cast("int"),
-        least(lit(64), (col("n") - col("chunk_idx") * 48).cast("int")))
-      d.select(col("doc_id"), col("toks"), col("n"),
-          explode(sequence(lit(0L),
-            floor((col("n") - 1) / 48))).as("chunk_idx"))
-        .select(col("doc_id"), col("chunk_idx"),
-          (lit(1) + col("chunk_idx") * 48).as("tok_start"),
-          size(sliced).cast("bigint").as("n_tokens"),
-          substring(md5(concat_ws("", sliced)), 1, 8).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")
+      chunkTokens(s.table("documents")).orderBy("doc_id", "chunk_idx")
     },
 
     // ── leakage-safe train/test split: route every document of a

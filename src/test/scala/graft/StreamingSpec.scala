@@ -393,4 +393,32 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming dedup (${streaming.size}) != batch (${batch.size})")
     assert(streaming.nonEmpty)
   }
+
+  test("streaming chunking equals batch chunking (both variants)") {
+    // chunking is stateless map-side, so the SAME CurationOps methods
+    // run unchanged over a readStream source in append mode with no
+    // watermark — pin that documents arriving as a stream produce the
+    // identical (doc, chunk, md5) set as the batch table
+    import graft.operators.CurationOps
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-chunk")
+    docs.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    for ((label, f) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        "chars" -> CurationOps.chunkOverlap, "tokens" -> CurationOps.chunkTokens)) {
+      val out = f(spark.readStream.schema(schema).parquet(dir.toString))
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(s"chunk_stream_$label").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val streaming = spark.table(s"chunk_stream_$label").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+      val batch = f(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+      assert(streaming == batch,
+        s"$label: streaming chunks (${streaming.size}) != batch (${batch.size})")
+      assert(streaming.nonEmpty)
+    }
+  }
 }
