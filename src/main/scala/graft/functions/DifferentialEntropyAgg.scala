@@ -119,11 +119,11 @@ case class DifferentialEntropyAgg(
             // FixedHistogramStateStrategyUtils.validateParameters: a
             // non-positive bucket count must be a clean dialect error, not
             // a NegativeArraySizeException / useless 0-bucket state
-            if (n <= 0) err(s"bucket count must be non-negative: $n")
+            if (n <= 0) err(s"bucket count must be positive: $n")
             new DeHist(n.toInt, mn, mx)
           case Some(_) =>
             val (mn, mx) = evalRange(input)
-            if (n <= 0) err(s"bucket count must be non-negative: $n")
+            if (n <= 0) err(s"bucket count must be positive: $n")
             new DeBreakdown(n.toInt, mn, mx)
         }
       case other => other

@@ -697,7 +697,7 @@ object GraftFunctions {
     // Spark 4, so widening it here would silently retype every native
     // caller (caught by TextOpsSpec's hamming getInt).
     "bit_count" -> {
-      case Seq(a) => BitwiseCount(Cast(a, LongType))
+      case Seq(a) => BitwiseCount(a)
       case Seq(a, b) => StaticInvoke(GraftFnUtils.getClass, LongType,
         "bitCount2", Seq(Cast(a, LongType), Cast(b, LongType)),
         inputTypes = Seq(LongType, LongType), propagateNull = true)

@@ -164,6 +164,13 @@ case class PrestoDivide(left: Expression, right: Expression)
     case (l, r: DecimalType) if isIntegral(l) => decimalDivide(decimalFor(l), r)
     case (FloatType, FloatType) =>
       Cast(Divide(Cast(left, DoubleType), Cast(right, DoubleType)), FloatType)
+    // REAL ÷ integral (either side): the reference coerces the integral
+    // operand to REAL and returns REAL (TypeCoercion + RealOperators) —
+    // not the generic double promotion below
+    case (FloatType, r) if isIntegral(r) =>
+      Cast(Divide(Cast(left, DoubleType), Cast(right, DoubleType)), FloatType)
+    case (l, FloatType) if isIntegral(l) =>
+      Cast(Divide(Cast(left, DoubleType), Cast(right, DoubleType)), FloatType)
     case (_: DayTimeIntervalType, _) => DivideDTInterval(left, right)
     case (_: YearMonthIntervalType, _) => DivideYMInterval(left, right)
     case (lt, rt) if (lt.isInstanceOf[NumericType] || lt == NullType) &&

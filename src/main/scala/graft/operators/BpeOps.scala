@@ -45,7 +45,7 @@ object BpeOps extends QueryGroup {
   /** Normalization shared by trainer, encoder, and the DuckDB oracle:
     * lowercase, non-alphanumerics to spaces, whitespace-split. */
   def words(text: String): Array[String] =
-    text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split(" +").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9 ]", " ").split(" +").filter(_.nonEmpty)
 
   /** One BPE merge step applied to a symbol sequence (all non-overlapping
     * occurrences, left to right — the canonical rule). */
@@ -115,15 +115,17 @@ object BpeOps extends QueryGroup {
     tokens.mkString("").replace(EndMark, " ").trim
 
   /** Per-thread word→tokens memo, keyed by the rank table's broadcast
-    * identity. Word frequency is Zipf-distributed, so almost every encode
+    * id (unique per broadcast for a SparkContext's lifetime — an
+    * identity hashCode is NOT: two rank tables can collide in a
+    * long-lived executor and serve tokens from the wrong vocabulary). Word frequency is Zipf-distributed, so almost every encode
     * is a repeat — the standard tokenizer fast path (HF tokenizers keep
     * the same cache). Per-thread means no locks on the 32-task hot path;
     * the size cap bounds executor memory on adversarial vocabularies. */
   private val encodeCacheMax = 65536
-  private val encodeCache: ThreadLocal[mutable.HashMap[(Int, String), Vector[String]]] =
+  private val encodeCache: ThreadLocal[mutable.HashMap[(Long, String), Vector[String]]] =
     ThreadLocal.withInitial(() => mutable.HashMap.empty)
 
-  def encodeCached(word: String, ranksId: Int, ranks: Map[(String, String), Int]): Vector[String] = {
+  def encodeCached(word: String, ranksId: Long, ranks: Map[(String, String), Int]): Vector[String] = {
     val cache = encodeCache.get()
     if (cache.size > encodeCacheMax) cache.clear()
     cache.getOrElseUpdate((ranksId, word), encode(word, ranks))
@@ -197,7 +199,7 @@ object BpeOps extends QueryGroup {
       val tokenizeUdf = udf((t: String) => {
         val ws = words(if (t == null) "" else t)
         var bounded = true
-        val ranksId = System.identityHashCode(bc.value)
+        val ranksId = bc.id
         val toks = ws.flatMap { w =>
           val e = encodeCached(w, ranksId, bc.value)
           if (e.isEmpty || e.length > w.length + 1) bounded = false

@@ -75,11 +75,11 @@ class AggSpec extends AnyFunSuite {
     val e1 = intercept[Exception] {
       df.agg(expr("differential_entropy(-4, x, 1.0D, 'fixed_histogram_mle', 0.0D, 4.0D)")).collect()
     }
-    assert(e1.getMessage.contains("bucket count must be non-negative"), e1.getMessage)
+    assert(e1.getMessage.contains("bucket count must be positive"), e1.getMessage)
     val e2 = intercept[Exception] {
       df.agg(expr("differential_entropy(0, x, 1.0D, 'fixed_histogram_jacknife', 0.0D, 4.0D)")).collect()
     }
-    assert(e2.getMessage.contains("bucket count must be non-negative"), e2.getMessage)
+    assert(e2.getMessage.contains("bucket count must be positive"), e2.getMessage)
     // min/max must be consistent across rows, not first-row-wins
     val drift = Seq((0.5, 0.0), (1.5, 1.0)).toDF("x", "mn")
     val e3 = intercept[Exception] {

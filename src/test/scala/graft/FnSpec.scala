@@ -13,6 +13,33 @@ class FnSpec extends AnyFunSuite {
 
   private def ready(): Unit = Tables.register(spark, TestSession.sf)
 
+  test("narrowing decimal CAST rounds HALF_UP (reference DecimalCasts semantics; DuckDB truncates)") {
+    // The one pinned engine-vs-oracle dialect divergence of the decimal
+    // family: the reference narrows decimal scale with HALF_UP
+    // (presto-main/src/main/java/com/facebook/presto/type/DecimalCasts.java,
+    // UnscaledDecimal128Arithmetic.rescale), and Spark's Cast does the
+    // same — while DuckDB's narrowing decimal CAST TRUNCATES toward zero
+    // (probed 2026-08: CAST(1.005 AS DECIMAL(10,2)) → 1.00,
+    // CAST(1.016 …) → 1.01, CAST(2.5 AS DECIMAL(10,0)) → 2). The
+    // fuzz_decimal_parity sweep therefore compares only exact,
+    // never-narrowed projections; THIS pin is where the divergent
+    // behavior itself is asserted, as engine-side HALF_UP literals.
+    val r = spark.sql(
+      """SELECT CAST(CAST(1.005 AS DECIMAL(6,3)) AS DECIMAL(10,2)) c1,
+        |  CAST(CAST(1.015 AS DECIMAL(6,3)) AS DECIMAL(10,2)) c2,
+        |  CAST(CAST(-1.005 AS DECIMAL(6,3)) AS DECIMAL(10,2)) c3,
+        |  CAST(CAST(1.016 AS DECIMAL(6,3)) AS DECIMAL(10,2)) c4,
+        |  CAST(CAST(2.5 AS DECIMAL(6,1)) AS DECIMAL(10,0)) c5,
+        |  CAST(CAST(3.5 AS DECIMAL(6,1)) AS DECIMAL(10,0)) c6""".stripMargin)
+      .collect()(0)
+    assert(r.getDecimal(0).toPlainString == "1.01")   // DuckDB: 1.00
+    assert(r.getDecimal(1).toPlainString == "1.02")   // DuckDB: 1.01
+    assert(r.getDecimal(2).toPlainString == "-1.01")  // DuckDB: -1.00 (HALF_UP = away from zero)
+    assert(r.getDecimal(3).toPlainString == "1.02")   // DuckDB: 1.01 (truncation, not any rounding)
+    assert(r.getDecimal(4).toPlainString == "3")      // DuckDB: 2
+    assert(r.getDecimal(5).toPlainString == "4")      // DuckDB: 3 (so not half-even either)
+  }
+
   test("checksum is order-independent and value-sensitive") {
     ready()
     val a = spark.sql("SELECT checksum(l_partkey) FROM lineitem").collect()(0).getLong(0)
