@@ -81,6 +81,7 @@ object Bench {
     // (the driver never sets it — full run)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).toSet)
+    CodegenFallbackGate.install()
     val spark = GraftSession("graft-bench")
 
     def execute(name: String): Double = {
@@ -144,7 +145,16 @@ object Bench {
     // file in the repo, and stdout gets ONE compact line (min-of-N per
     // query) that fits the window with room for sbt's trailing
     // "[success]" line.
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"min-of-$runs%d","queries":$qs,"queries_median":$medians,"total_median":$totalMedian%.3f,"raw_runs":$raw,"tail_flags":$tailFlags,"sf":"$sfDir"}"""
+    // codegen-fallback standing gate (see CodegenFallbackGate): any
+    // janino compile failure during the measured runs means a stage
+    // silently executed interpreted — a benchmark number from the wrong
+    // engine path. Carried in both the detail file and the stdout line.
+    val fallbacks = CodegenFallbackGate.fallbacks
+    if (fallbacks > 0) {
+      System.err.println(s"[bench] CODEGEN FALLBACK GATE: $fallbacks ERROR " +
+        "CodeGenerator events during the measured runs")
+    }
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"min-of-$runs%d","queries":$qs,"queries_median":$medians,"total_median":$totalMedian%.3f,"raw_runs":$raw,"tail_flags":$tailFlags,"codegen_fallbacks":$fallbacks,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
@@ -155,6 +165,6 @@ object Bench {
     // noise emitted after an earlier println could push the JSON line out
     // of that window. Only sbt's short "[success]" trailer follows this.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"min-of-$runs%d","queries":$qs,"tail_flags":$tailFlags,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"min-of-$runs%d","queries":$qs,"tail_flags":$tailFlags,"codegen_fallbacks":$fallbacks,"sf":"$sfDir"}""")
   }
 }

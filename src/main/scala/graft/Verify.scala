@@ -10,6 +10,7 @@ object Verify {
     // optional dev-only 3rd arg: only run queries with this name prefix
     // (the driver always passes exactly 2 args — full run)
     val only = args.drop(2).headOption
+    CodegenFallbackGate.install()
     val spark = GraftSession("graft-verify")
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -45,6 +46,38 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
     if (errors.nonEmpty) {
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    }
+    // Machine-emitted gate counts (round-9 lesson: hand-maintained
+    // README/BENCHLOG counts kept lagging the machine truth) plus the
+    // codegen-fallback standing gate. Full runs (no prefix filter) also
+    // refresh GATE_COUNTS.md at the repo root — the file README cites
+    // instead of inline numbers.
+    val fallbacks = CodegenFallbackGate.fallbacks
+    val oracle = SparkEntry.oracleSql.size
+    val summary =
+      s"""{"queries": ${SparkEntry.queries.size}, "oracle_compared": $oracle, """ +
+      s""""rows_only": ${SparkEntry.queries.size - oracle}, """ +
+      s""""verify_errors": ${errors.size}, "codegen_fallbacks": $fallbacks}"""
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
+    println(s"[verify] summary: $summary")
+    if (fallbacks > 0) {
+      System.err.println(s"[verify] CODEGEN FALLBACK GATE: $fallbacks ERROR " +
+        "CodeGenerator events — a stage silently lost codegen; bisect the " +
+        "expression change (see plans/SimplifyElementAt.scala for the recipe)")
+    }
+    if (only.isEmpty) {
+      Files.writeString(Paths.get("GATE_COUNTS.md"),
+        s"""# Gate counts (machine-emitted — do not hand-edit)
+           |
+           |Written by `graft.Verify` on each full run; README cites this
+           |file so prose counts can never drift from the gate.
+           |
+           |- declared queries: **${SparkEntry.queries.size}**
+           |- oracle-compared (DuckDB): **$oracle**
+           |- rows-only (no SQL oracle; ScalaTest-spec-verified): **${SparkEntry.queries.size - oracle}**
+           |- verify errors this run: **${errors.size}**
+           |- codegen fallbacks this run: **$fallbacks**
+           |""".stripMargin)
     }
     spark.stop()
   }

@@ -17,6 +17,23 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, TestSession.sf)
       .queryExecution.executedPlan.toString
 
+  test("codegen-fallback gate counts CodeGenerator ERROR events") {
+    // plumbing proof for the standing gate: an ERROR logged under the
+    // codegen logger name must increment the counter (a real janino
+    // failure logs exactly this way); INFO/WARN and other loggers must
+    // not. Without this, a log4j config change could silently disconnect
+    // the appender and the gate would report 0 forever.
+    CodegenFallbackGate.install()
+    val before = CodegenFallbackGate.fallbacks
+    val lg = org.apache.logging.log4j.LogManager.getLogger(
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+    lg.error("synthetic compile-failure event (gate plumbing test)")
+    lg.warn("warn must not count")
+    org.apache.logging.log4j.LogManager.getLogger("graft.SomethingElse")
+      .error("other logger must not count")
+    assert(CodegenFallbackGate.fallbacks == before + 1)
+  }
+
   test("q06: predicates pushed to the parquet scan, columns pruned") {
     val p = plan("q06_revenue_forecast")
     assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
