@@ -114,13 +114,47 @@ object TextOps extends QueryGroup {
     sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
   }
 
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** Portable LSH membership twin of [[bandedDocKeys]]: identical
+    * pipeline shape (shingles → per-shingle hash → permutation minima →
+    * folded scalar band keys → explode), but every hash is portable
+    * integer arithmetic — the char-fold h = (h·31 + codepoint) mod 2³¹
+    * and affine permutations mod 2³¹−1 of `dd_minhash_portable` — that
+    * DuckDB replays bit-for-bit. Plugged into [[minhashPairs]] /
+    * [[incrementalMinhashPairs]] via their `keyFn`, it lets the REAL
+    * engine machinery (bucket census + cap, candidate join, incremental
+    * index persistence, jaccard verify, components) run under a full SQL
+    * oracle (`dd_incremental_minhash_portable`,
+    * `dd_minhash_clusters_portable`). 8 permutations in 2 bands of 4
+    * (vs production's 64×16) keep the oracle's per-row recompute cheap;
+    * the banding algebra is the same.
+    */
+  def portableBandedDocKeys(docs: DataFrame): DataFrame = {
+    val hs = withShingles(docs).select(col("doc_id"), expr(
+      """transform(shingles, g ->
+        |  aggregate(transform(split(g, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    CAST(7 AS BIGINT), (a, c) -> (a * 31 + c) % 2147483648))""".stripMargin)
+      .as("harr"))
+    val sig = hs.select(col("doc_id") +: (0 until 8).map { j =>
+      val mul = 12347 + j * 12344
+      val off = 7L + j * 69069L
+      expr(s"array_min(transform(harr, h -> (h * $mul + $off) % 2147483647))").as(s"s$j")
+    }: _*)
+    // seeded 4-minima fold per band; intermediate magnitude ≤ ~2^46, so
+    // a single trailing mod is exact in BIGINT on both engines
+    def band(b: Int): Column =
+      ((((lit(b.toLong) * 31 + col(s"s${4 * b}")) * 31 + col(s"s${4 * b + 1}")) * 31 +
+        col(s"s${4 * b + 2}")) * 31 + col(s"s${4 * b + 3}")) % 2147483648L
+    sig.select(col("doc_id"), explode(array(band(0), band(1))).as("band_key"))
+  }
+
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
+      keyFn: DataFrame => DataFrame = bandedDocKeys(_)): DataFrame = {
     // no size(shingles) filter here: withShingles already guarantees ≥1
     // shingle (≥3 tokens), and a filter on `shingles` would be pushed
     // below its projection with the full expression substituted in —
     // re-introducing the quadratic tokenize-per-shingle evaluation
     val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
-    val banded = bandedDocKeys(docs)
+    val banded = keyFn(docs)
     // within-bucket pair expansion — signatures evaluated once, no
     // self-join; bucket membership hard-capped at MinhashMaxBucket
     val buckets = banded.groupBy("band_key")
@@ -177,17 +211,25 @@ object TextOps extends QueryGroup {
 
   def incrementalMinhashPairs(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, indexKey: String, threshold: Double = 0.5,
-      perms: Int = MinhashPerms, bands: Int = MinhashBands): DataFrame = {
+      perms: Int = MinhashPerms, bands: Int = MinhashBands,
+      keyFn: Option[DataFrame => DataFrame] = None,
+      variant: String = "xx"): DataFrame = {
+    // keyFn swaps the signature/banding derivation (the portable-oracle
+    // twin) while everything downstream — index persistence + reuse,
+    // census cap, candidate join, jaccard verify — is the SAME code;
+    // `variant` lands in the index fingerprint so the two schemes can
+    // never share a persisted index
+    val kf = keyFn.getOrElse(bandedDocKeys(_: DataFrame, perms, bands))
     // root overridable (graft.index.root) so test JVMs get a fresh dir —
     // the reuse-if-exists semantics otherwise make rebuild specs
     // non-idempotent across runs; production leaves it at tmpdir
     val indexDir = sys.props.getOrElse("graft.index.root",
       sys.props("java.io.tmpdir")) + "/graft-lsh-index-" +
-      s"v$LshFormulaVersion-p$perms-b$bands-" +
+      s"v$LshFormulaVersion-$variant-p$perms-b$bands-" +
       indexKey.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(s"$indexDir/_SUCCESS").exists) {
       lshIndexBuilds.incrementAndGet()
-      bandedDocKeys(docs.filter(col("doc_id") % 2 === 0), perms, bands)
+      kf(docs.filter(col("doc_id") % 2 === 0))
         .write.mode("overwrite").parquet(indexDir)
     }
     val index = spark.read.parquet(indexDir)
@@ -198,7 +240,7 @@ object TextOps extends QueryGroup {
     // LONGs), the measured-cheap side of the BENCHLOG materialization
     // rule (checkpoint narrow keyed tables referenced >1×; never wide
     // array payloads — the shingle-table twin of this change regressed).
-    val fresh = bandedDocKeys(docs.filter(col("doc_id") % 2 === 1), perms, bands)
+    val fresh = kf(docs.filter(col("doc_id") % 2 === 1))
       .localCheckpoint()
     val all = index.unionByName(fresh)
     val okKeys = all.groupBy("band_key").agg(count(lit(1)).as("m"))
@@ -666,6 +708,48 @@ object TextOps extends QueryGroup {
         count(lit(1)).over(Window.partitionBy("cluster")))
       .orderBy("doc_id")
 
+  /** Shared DuckDB derivation for the portable-banding oracles: the
+    * bit-for-bit replay of [[portableBandedDocKeys]] — tokens, distinct
+    * word-3-gram shingles, char-fold shingle hashes, 8 affine
+    * permutation minima, and the two seeded 4-minima band folds. Ends
+    * with CTEs `sig(doc_id, shingles, s0..s7)` and
+    * `banded(doc_id, band_key)` for the per-query tail to consume.
+    */
+  private val PortableMinhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '') AS tokens
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(tokens) - 1),
+      |      i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS shingles
+      |  FROM toks WHERE len(tokens) >= 3),
+      |hs AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(shingles, g ->
+      |      list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |        (a, c) -> (a * 31 + c) % 2147483648)) AS harr
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_min(list_transform(harr, h -> (h * 12347 + 7) % 2147483647)) AS s0,
+      |    list_min(list_transform(harr, h -> (h * 24691 + 69076) % 2147483647)) AS s1,
+      |    list_min(list_transform(harr, h -> (h * 37035 + 138145) % 2147483647)) AS s2,
+      |    list_min(list_transform(harr, h -> (h * 49379 + 207214) % 2147483647)) AS s3,
+      |    list_min(list_transform(harr, h -> (h * 61723 + 276283) % 2147483647)) AS s4,
+      |    list_min(list_transform(harr, h -> (h * 74067 + 345352) % 2147483647)) AS s5,
+      |    list_min(list_transform(harr, h -> (h * 86411 + 414421) % 2147483647)) AS s6,
+      |    list_min(list_transform(harr, h -> (h * 98755 + 483490) % 2147483647)) AS s7
+      |  FROM hs),
+      |banded AS (
+      |  SELECT doc_id, unnest([
+      |    ((((CAST(0 AS BIGINT) * 31 + s0) * 31 + s1) * 31 + s2) * 31 + s3) % 2147483648,
+      |    ((((CAST(1 AS BIGINT) * 31 + s4) * 31 + s5) * 31 + s6) * 31 + s7) % 2147483648
+      |  ]) AS band_key
+      |  FROM sig)""".stripMargin
+
   def defs = Seq(
     // ── exact dedup: hash-groupBy on content digest (one shuffle) ──
     q("dd_exact",
@@ -702,6 +786,39 @@ object TextOps extends QueryGroup {
     // with the batch pairs pinned in TextOpsSpec)
     qNoOracle("dd_incremental_minhash") { (s, dir) =>
       incrementalMinhashPairs(s, s.table("documents"), dir)
+    },
+
+    // ── incremental-ingestion ORACLE twin: the row above is no_oracle
+    // only because of xxhash64; this runs the SAME incremental machinery
+    // (index persisted once for the even-doc_id "corpus", batch = odd
+    // doc_ids signatured alone, band census + 256 cap, the
+    // new-initiates candidate rule, exact-jaccard verify) with
+    // [[portableBandedDocKeys]] plugged in, and DuckDB replays the
+    // entire day-N semantics — census, candidate rule and all — from
+    // the same arithmetic. ──
+    q("dd_incremental_minhash_portable",
+      PortableMinhashSql + """,
+        |ok AS (SELECT band_key FROM banded GROUP BY band_key
+        |       HAVING count(*) > 1 AND count(*) <= 256),
+        |n AS (SELECT b.band_key, b.doc_id AS id_new
+        |      FROM banded b JOIN ok USING (band_key) WHERE b.doc_id % 2 = 1),
+        |o AS (SELECT b.band_key, b.doc_id AS id_other
+        |      FROM banded b JOIN ok USING (band_key)),
+        |cands AS (
+        |  SELECT DISTINCT least(id_new, id_other) AS doc_a,
+        |    greatest(id_new, id_other) AS doc_b
+        |  FROM n JOIN o USING (band_key)
+        |  WHERE id_other % 2 = 0 OR id_other < id_new),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        |  FROM cands JOIN sig sa ON sa.doc_id = doc_a
+        |             JOIN sig sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+        |FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      incrementalMinhashPairs(s, s.table("documents"), dir,
+        keyFn = Some(portableBandedDocKeys), variant = "portable8x2")
     },
 
     // ── Bloom-prefiltered exact dedup vs a historical corpus ──
@@ -968,6 +1085,42 @@ object TextOps extends QueryGroup {
     // planted-copy collapse through this exact pipeline.
     qNoOracle("dd_minhash_clusters") { (s, _) =>
       clustersOf(minhashPairs(s.table("documents")).select("doc_a", "doc_b"))
+    },
+
+    // ── LSH-clusters ORACLE twin: the SAME production pipeline as the
+    // row above — minhashPairs' capped band buckets → candidate pairs →
+    // jaccard verify → connectedComponents label propagation — with the
+    // portable banding plugged in, so DuckDB can derive the identical
+    // candidate graph and close the components with a recursive CTE.
+    // This oracles the batch bucket/pair/cluster algebra end-to-end;
+    // dd_jaccard_clusters keeps covering the exact-pair graph. ──
+    q("dd_minhash_clusters_portable",
+      PortableMinhashSql.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |ok AS (SELECT band_key FROM banded GROUP BY band_key
+        |       HAVING count(*) > 1 AND count(*) <= 256),
+        |bk AS (SELECT b.band_key, b.doc_id FROM banded b JOIN ok USING (band_key)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bk x JOIN bk y ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT doc_a AS a, doc_b AS b
+        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
+        |            JOIN sig sb ON sb.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id, cluster,
+        |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+        |FROM labels ORDER BY doc_id""".stripMargin) { (s, _) =>
+      clustersOf(minhashPairs(s.table("documents"), keyFn = portableBandedDocKeys)
+        .select("doc_a", "doc_b"))
     },
 
     // ── quality-aware survivor selection: per duplicate cluster keep

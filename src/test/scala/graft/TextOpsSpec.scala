@@ -12,6 +12,21 @@ class TextOpsSpec extends AnyFunSuite {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, TestSession.sf)
 
+  test("portable banding: gate-scale buckets stay under the 256 cap (determinism contract)") {
+    // The portable-oracle twins (dd_incremental_minhash_portable,
+    // dd_minhash_clusters_portable) are deterministic only while no
+    // band bucket exceeds MinhashMaxBucket: past the cap the batch
+    // path's bounded_collect_list keeps an ARBITRARY 256-subset while
+    // the DuckDB replay (and the incremental census) drops the bucket
+    // whole. This pins the contract at test SF; the sf0.01 gate run is
+    // the empirical check at gate scale.
+    Tables.register(spark, TestSession.sf)
+    val m = graft.operators.TextOps.portableBandedDocKeys(spark.table("documents"))
+      .groupBy("band_key").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(m <= 256, s"portable band bucket of $m members breaks the twin determinism contract")
+  }
+
   test("exact-substring spans: planted passages merge to maximal spans") {
     import spark.implicits._
     // a 40-char passage shared by docs 1 and 2, plus unique filler; with
