@@ -279,27 +279,36 @@ object SimilarityOps extends QueryGroup {
     */
   def incrementalLshCosinePairs(spark: SparkSession, emb: DataFrame,
       indexKey: String, tau: Double,
-      tables: Int = 16, bits: Int = -1): DataFrame = {
+      tables: Int = 16, bits: Int = -1,
+      bucketFn: Option[DataFrame => DataFrame] = None,
+      variant: String = "xx"): DataFrame = {
+    // bucketFn swaps the signature derivation (the portable-oracle twin)
+    // while the persistence/census/candidate/verify machinery below is
+    // the SAME code; `variant` lands in the index fingerprint so the two
+    // schemes can never share a persisted index.
     // bits < 0 auto-sizes like lshCosinePairs (the parity contract: both
     // paths must use the same formula on the same corpus). The resolved
     // value lands in the index fingerprint, so a corpus grown past the
     // next power-of-two boundary rebuilds rather than probing a
     // stale-keyed index.
-    val rbits = if (bits > 0) bits else autoBits(estimatedRows(emb))
+    val rbits =
+      if (bucketFn.isDefined) 8 // fixed by the portable formula
+      else if (bits > 0) bits else autoBits(estimatedRows(emb))
+    val bf = bucketFn.getOrElse(bucketKeys(_: DataFrame, tables, rbits))
     val indexDir = sys.props.getOrElse("graft.index.root",
       sys.props("java.io.tmpdir")) + "/graft-emb-lsh-index-" +
-      s"v$EmbLshFormulaVersion-t$tables-b$rbits-" +
+      s"v$EmbLshFormulaVersion-$variant-t$tables-b$rbits-" +
       indexKey.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(s"$indexDir/_SUCCESS").exists) {
       embIndexBuilds.incrementAndGet()
-      bucketKeys(emb.filter(col("vec_id") % 2 === 0), tables, rbits)
+      bf(emb.filter(col("vec_id") % 2 === 0))
         .write.mode("overwrite").parquet(indexDir)
     }
     val index = spark.read.parquet(indexDir)
     // materialized once: `fresh` is referenced three times below (the
     // union census, the new side, and through `all` the other side) —
     // without this the batch's signature aggregation runs three times
-    val fresh = bucketKeys(emb.filter(col("vec_id") % 2 === 1), tables, rbits)
+    val fresh = bf(emb.filter(col("vec_id") % 2 === 1))
       .localCheckpoint(true)
     val all = index.unionByName(fresh)
     val okKeys = all.groupBy("bucket").agg(count(lit(1)).as("m"))
@@ -510,6 +519,20 @@ object SimilarityOps extends QueryGroup {
       .withColumn("centroid_sim",
         round(centroidSim(col("embedding"), col("cell")), 4))
       .localCheckpoint(true) // the fit/assignment runs once, not per branch
+    semDedupFrom(assigned, tau)
+  }
+
+  /** The cluster-then-prune machinery of [[semDedup]] downstream of cell
+    * assignment: cell census + [[EmbMaxBucket]] cap, within-cell pair
+    * generation at `tau`, connected components, and the edge-exemplar
+    * survivor window. Split out so the portable-oracle twin
+    * ([[semDedupPortableAssigned]]) runs the IDENTICAL code with only
+    * the (engine-specific k-means) assignment swapped for arithmetic
+    * DuckDB replays. `assigned` must carry
+    * (vec_id, embedding, cell, centroid_sim) with centroid_sim already
+    * rounded — the survivor window orders on the emitted value.
+    */
+  private[graft] def semDedupFrom(assigned: DataFrame, tau: Double): DataFrame = {
     val okCells = assigned.groupBy("cell").agg(count(lit(1)).as("m"))
       .filter(col("m") > 1 && col("m") <= EmbMaxBucket).select("cell")
     val members = assigned.join(okCells, "cell")
@@ -531,6 +554,73 @@ object SimilarityOps extends QueryGroup {
       .orderBy("vec_id")
   }
 
+  /** Portable 8-bit sign-random-projection cell id over an
+    * integer-quantized embedding column `q` (BIGINT array): hyperplane
+    * components are ±1 from the same (projection, dim) LCG as
+    * `dd_embedding_lsh_portable`, dot products run in exact BIGINT — so
+    * any engine recomputes the identical cell for every vector. Shared
+    * by the portable SemDeDup assignment and the portable incremental
+    * bucket index.
+    */
+  private def portableCellExpr: Column = expr(
+    """CAST(aggregate(transform(sequence(0, 7), p ->
+      |  CASE WHEN aggregate(transform(sequence(1, 64), i ->
+      |      element_at(q, i) *
+      |      (((CAST(p AS BIGINT) * 64 + i) * 1103515245 + 12345) % 2 * 2 - 1)),
+      |      CAST(0 AS BIGINT), (a, x) -> a + x) > 0
+      |    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END),
+      |  CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)""".stripMargin)
+
+  /** Portable SemDeDup assignment — the oracle twin of the k-means step:
+    * cells from [[portableCellExpr]] over round(x·1000) quantized
+    * components, centroid = per-cell per-dimension exact BIGINT sums,
+    * centroid_sim = quantized-vs-sum cosine in double (exact-integer
+    * inputs ⇒ bit-identical across engines), rounded at birth like the
+    * production path. The returned `embedding` column carries the
+    * QUANTIZED components (as float — integers ≤ ~2000, exactly
+    * representable), so [[semDedupFrom]]'s pair cosine is also
+    * engine-stable. Feeding this through semDedupFrom runs the REAL
+    * census/cap/pairs/components/survivor machinery under a full SQL
+    * oracle (`dd_semdedup_portable`).
+    *
+    * Exactness bound: cell sums stay exact in double while
+    * Σ_cell |q_i| ≤ 2^26 per dimension (|q_i| ≤ ~2000 ⇒ cells of ~30k
+    * members) — far past gate scale; the production k-means path is the
+    * one that runs at corpus scale.
+    */
+  def semDedupPortableAssigned(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").as("q"))
+    val withCell = q.withColumn("cell", portableCellExpr)
+      .localCheckpoint(true) // cells feed the centroid agg AND the join back
+    val cent = withCell
+      .select(col("cell"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy("cell", "d").agg(sum("x").as("s"))
+      .groupBy("cell")
+      .agg(expr("transform(sort_array(collect_list(struct(d, s))), t -> t.s)").as("c"))
+    withCell.join(cent, "cell")
+      .withColumn("dotqc", expr(
+        "aggregate(zip_with(q, c, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)"))
+      .withColumn("nq", expr(
+        "aggregate(q, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("nc", expr(
+        "aggregate(c, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("centroid_sim", round(
+        when(col("nq") === 0.0 || col("nc") === 0.0, 0.0)
+          .otherwise(col("dotqc") / (sqrt(col("nq")) * sqrt(col("nc")))), 4))
+      .select(col("vec_id"),
+        expr("transform(q, x -> CAST(x AS FLOAT))").as("embedding"),
+        col("cell"), col("centroid_sim"))
+  }
+
+  /** Portable (vec_id, bucket) index rows for the incremental twin: one
+    * table of [[portableCellExpr]] cells over quantized components.
+    */
+  def portableBucketKeys(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").as("q"))
+      .select(col("vec_id"), portableCellExpr.as("bucket"))
+
   def defs = Seq(
     // ── IVF-bucketed ANN (k-means coarse quantizer; engine-specific
     // clustering → no SQL oracle; SimilaritySpec measures recall@5) ──
@@ -547,6 +637,71 @@ object SimilarityOps extends QueryGroup {
     // the planted twins, the survivor policy, and cluster-locality) ──
     qNoOracle("dd_semdedup") { (s, _) =>
       semDedup(s.table("embeddings"), tau = 0.95)
+    },
+    // ── SemDeDup ORACLE twin: same cluster-then-prune machinery
+    // (semDedupFrom — census + cap, within-cell pairs at tau,
+    // components, edge-exemplar survivor), with the k-means assignment
+    // swapped for the portable-arithmetic assignment DuckDB replays
+    // bit-for-bit (quantized SRP cells, exact integer centroid sums). ──
+    q("dd_semdedup_portable",
+      """WITH RECURSIVE qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id, q,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65), i ->
+        |          q[CAST(i AS INTEGER)] *
+        |          (((p * 64 + i) * 1103515245 + 12345) % 2 * 2 - 1))) > 0
+        |        THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS cell
+        |  FROM qv),
+        |dims AS (
+        |  SELECT cell, i AS d, sum(q[CAST(i AS INTEGER)]) AS s
+        |  FROM cells CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY cell, i),
+        |cent AS (SELECT cell, list(s ORDER BY d) AS c FROM dims GROUP BY cell),
+        |asg AS (
+        |  SELECT vec_id, q, cell,
+        |    round(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+        |               ELSE dotqc / (sqrt(nq) * sqrt(nc)) END, 4) AS centroid_sim
+        |  FROM (
+        |    SELECT vec_id, q, cells.cell,
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        CAST(q[CAST(i AS INTEGER)] AS DOUBLE) * c[CAST(i AS INTEGER)])) AS dotqc,
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        CAST(q[CAST(i AS INTEGER)] AS DOUBLE) * q[CAST(i AS INTEGER)])) AS nq,
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        CAST(c[CAST(i AS INTEGER)] AS DOUBLE) * c[CAST(i AS INTEGER)])) AS nc
+        |    FROM cells JOIN cent USING (cell))),
+        |okc AS (SELECT cell FROM asg GROUP BY cell
+        |        HAVING count(*) > 1 AND count(*) <= 1024),
+        |mem AS (SELECT a.vec_id, a.q, a.cell FROM asg a JOIN okc USING (cell)),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM mem x JOIN mem y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65), i ->
+        |          CAST(x.q[CAST(i AS INTEGER)] AS DOUBLE) * y.q[CAST(i AS INTEGER)]))
+        |        / (sqrt(list_sum(list_transform(range(1, 65), i ->
+        |             CAST(x.q[CAST(i AS INTEGER)] AS DOUBLE) * x.q[CAST(i AS INTEGER)])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i ->
+        |             CAST(y.q[CAST(i AS INTEGER)] AS DOUBLE) * y.q[CAST(i AS INTEGER)]))))
+        |        >= 0.95),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS vid, LEAST(src, MIN(dst)) AS grp
+        |  FROM reach GROUP BY src)
+        |SELECT a.vec_id, a.cell, a.centroid_sim,
+        |  COALESCE(l.grp, a.vec_id) AS "group",
+        |  (row_number() OVER (PARTITION BY COALESCE(l.grp, a.vec_id)
+        |     ORDER BY a.centroid_sim, a.vec_id) = 1) AS keep
+        |FROM asg a LEFT JOIN labels l ON l.vid = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin) { (s, _) =>
+      semDedupFrom(semDedupPortableAssigned(s.table("embeddings")), tau = 0.95)
     },
     // ── BM25 keyword retrieval (Robertson/Spärck Jones; the lexical
     // twin of the embedding ANN paths — a training-data pipeline needs
@@ -690,6 +845,48 @@ object SimilarityOps extends QueryGroup {
     // SimilaritySpec) ──
     qNoOracle("dd_embedding_incremental") { (s, dir) =>
       incrementalLshCosinePairs(s, s.table("embeddings"), dir, 0.45)
+    },
+
+    // ── incremental-embedding ORACLE twin: the SAME day-N machinery
+    // (index persisted once for even vec_ids, fresh batch bucketed
+    // alone, census + 1024 cap, new-initiates candidate rule, exact
+    // cosine re-score on the ORIGINAL embeddings) with the portable
+    // quantized-SRP bucket plugged in, so DuckDB replays the entire
+    // ingestion semantics. The verify cosine stays float like
+    // production — the 0.45/round-4 boundary is already proven
+    // engine-stable by dd_embedding_pairs. ──
+    q("dd_embedding_incremental_portable",
+      """WITH qv AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65), i ->
+        |          q[CAST(i AS INTEGER)] *
+        |          (((p * 64 + i) * 1103515245 + 12345) % 2 * 2 - 1))) > 0
+        |        THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM qv),
+        |ok AS (SELECT bucket FROM b GROUP BY bucket
+        |       HAVING count(*) > 1 AND count(*) <= 1024),
+        |n AS (SELECT b.bucket, b.vec_id AS id_new
+        |      FROM b JOIN ok USING (bucket) WHERE b.vec_id % 2 = 1),
+        |o AS (SELECT b.bucket, b.vec_id AS id_other
+        |      FROM b JOIN ok USING (bucket)),
+        |cands AS (
+        |  SELECT DISTINCT least(id_new, id_other) AS id_a,
+        |    greatest(id_new, id_other) AS id_b
+        |  FROM n JOIN o USING (bucket)
+        |  WHERE id_other % 2 = 0 OR id_other < id_new)
+        |SELECT id_a, id_b,
+        |  round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) AS sim
+        |FROM cands JOIN embeddings ea ON ea.vec_id = id_a
+        |           JOIN embeddings eb ON eb.vec_id = id_b
+        |WHERE CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      incrementalLshCosinePairs(s, s.table("embeddings"), dir, 0.45,
+        bucketFn = Some(portableBucketKeys), variant = "portable8b")
     },
 
     // ── pairwise cosine over a restricted id band (exact, oracle-able) ──
