@@ -631,6 +631,53 @@ object SimilarityOps extends QueryGroup {
     qNoOracle("sim_ivf_persisted") { (s, dir) =>
       ivfPersistedAnnTopK(s, s.table("embeddings"), dir)
     },
+    // ── IVF exhaustive-probe ORACLE row: with nprobe = nlist every cell
+    // is probed, so the IVF machinery (quantizer fit, cell routing,
+    // probe explode, per-cell scoring, global top-k merge) must return
+    // EXACTLY the brute-force top-k — which DuckDB computes — for any
+    // clustering whatsoever. This oracles the plumbing end-to-end; the
+    // pruned-probe recall lives in sim_ivf_recall and SimilaritySpec. ──
+    q("sim_ivf_exhaustive",
+      """WITH qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, vec_id AS n_id,
+        |    CAST(list_cosine_similarity(q_emb, embedding) AS DOUBLE) AS sim
+        |  FROM qs CROSS JOIN embeddings
+        |  WHERE vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, rk, n_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin) { (s, _) =>
+      ivfAnnTopK(s.table("embeddings"), nlist = 16, nprobe = 16)
+    },
+    // ── IVF pruned-probe recall gate row: recall@5 of the production
+    // nprobe=6/nlist=16 probe against the engine's own brute-force
+    // top-5, compared as a fixed-floor boolean (the hit set itself is
+    // k-means-dependent and can't be oracled; the floor matches
+    // SimilaritySpec's 0.5 contract for this weak-neighbor fixture). ──
+    q("sim_ivf_recall",
+      """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |  0.5 AS floor, TRUE AS floor_met""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val emb = s.table("embeddings")
+      val ann = ivfAnnTopK(emb).select(col("q_id"), col("n_id"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = broadcast(qs).crossJoin(emb)
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosine(col("q_emb"), col("embedding")).as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
+      val exact = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).select(col("q_id"), col("n_id"))
+      val hits = exact.join(ann, Seq("q_id", "n_id")).count()
+      val recall = hits / 50.0
+      Seq((10L, 5L, 0.5, recall >= 0.5))
+        .toDF("n_queries", "k", "floor", "floor_met")
+    },
     // ── SemDeDup: cluster-then-prune semantic dedup (k-means cells →
     // capped within-cell pairs → components → edge-exemplar survivor;
     // engine-specific clustering → no SQL oracle; SimilaritySpec pins
