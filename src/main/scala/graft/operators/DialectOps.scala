@@ -283,5 +283,68 @@ object DialectOps extends QueryGroup {
           |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin)
       finally s.sql("SET SESSION graft.presto_operators=false")
     },
+
+    // ── dialect tranche 2 (round-9 verdict ask #8): the next text-level
+    // constructs a porting user hits. ARRAY[…] literals (SqlBase.g4
+    // arrayConstructor) — the always-on rewrite, pinned here under the
+    // conf composed with 1-based subscripts and nesting; DuckDB's list
+    // literals are natively 1-based so the oracle pins values. ──
+    q("dialect_array_literal",
+      """SELECT o_orderkey,
+        |  [1, 2, o_orderkey][3] AS a3,
+        |  [[o_orderkey], [o_orderkey + 1]][2][1] AS nested,
+        |  len([o_orderkey, 7]) AS alen
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, _) =>
+      s.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+      try s.sql(
+        """SELECT o_orderkey,
+          |  ARRAY[1, 2, o_orderkey][3] AS a3,
+          |  ARRAY[ARRAY[o_orderkey], ARRAY[o_orderkey + 1]][2][1] AS nested,
+          |  cardinality(ARRAY[o_orderkey, 7]) AS alen
+          |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin)
+      finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
+    },
+
+    // double-quoted identifiers: Presto lexes "…" as an identifier in
+    // every position (quotedIdentifier; strings are single-quoted only),
+    // Spark as a string literal. This engine makes the Presto semantics
+    // STANDING — GraftSession sets spark.sql.ansi.doubleQuotedIdentifiers
+    // (the verbatim benchto corpus requires it) — so the oracle row runs
+    // the Presto spellings (table names, aliased columns, the "" escape
+    // path pinned in PrestoOperatorsSpec) under the conf, and DuckDB,
+    // which natively lexes "…" as identifiers, replays them verbatim.
+    q("dialect_quoted_ident",
+      """SELECT "n_name" AS "nm", "n_regionkey" AS "rk",
+        |  'lit "kept"' AS "a b"
+        |FROM "nation" WHERE "n_nationkey" < 10 ORDER BY "nm"""".stripMargin) { (s, _) =>
+      s.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+      try s.sql(
+        """SELECT "n_name" AS "nm", "n_regionkey" AS "rk",
+          |  'lit "kept"' AS "a b"
+          |FROM "nation" WHERE "n_nationkey" < 10 ORDER BY "nm"""".stripMargin)
+      finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
+    },
+
+    // reduce() 4-arg lambda spelling (ArrayReduceFunction.java — state
+    // fold + output lambda): Spark 4's `reduce` IS the same surface, so
+    // the pin proves the verbatim Presto text runs; the oracle computes
+    // the fold arithmetically (DuckDB's list_reduce has no init/output
+    // lambda form).
+    q("dialect_reduce",
+      """SELECT o_orderkey,
+        |  (o_orderkey + 5) * 10 AS folded,
+        |  CAST(round((o_orderkey + 5) / 2.0, 2) AS DOUBLE) AS avg2
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, _) =>
+      s.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+      try s.sql(
+        """SELECT o_orderkey,
+          |  reduce(ARRAY[o_orderkey, 2, 3], CAST(0 AS BIGINT), (s, x) -> s + x, s -> s * 10) AS folded,
+          |  CAST(reduce(ARRAY[o_orderkey, 5],
+          |    CAST(ROW(0.0, 0) AS STRUCT<sum: DOUBLE, count: INT>),
+          |    (s, x) -> CAST(ROW(s.sum + x, s.count + 1) AS STRUCT<sum: DOUBLE, count: INT>),
+          |    s -> round(s.sum / s.count, 2)) AS DOUBLE) AS avg2
+          |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin)
+      finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
+    },
   )
 }

@@ -83,6 +83,32 @@ class PrestoOperatorsSpec extends AnyFunSuite {
     assert(one("SELECT size(split('a.b.c', '.'))") == 6)
   }
 
+  test("double-quoted identifiers are Presto-lexed in BOTH conf states (standing session semantics)") {
+    // Presto lexes "…" as an identifier in every position
+    // (SqlBase.g4 quotedIdentifier; strings are single-quoted only).
+    // This engine makes that semantics STANDING — GraftSession sets
+    // spark.sql.ansi.doubleQuotedIdentifiers (the verbatim benchto
+    // corpus requires it) — so the dialect conf must neither enable nor
+    // disable it: identifier lexing, alias positions, table names, and
+    // the "" escape all hold with the conf off AND on
+    // (dialect_quoted_ident is the oracle row for the on-state).
+    Tables.register(spark, TestSession.sf)
+    def probe(): Unit = {
+      val r = spark.sql(
+        """SELECT "n_name" AS "the name", 'keep "this"' AS s
+          |FROM "nation" WHERE "n_nationkey" = 0""".stripMargin)
+      assert(r.schema.map(_.name) == Seq("the name", "s"))
+      val row = r.collect()(0)
+      assert(row.getString(0) == spark.sql(
+        "SELECT n_name FROM nation WHERE n_nationkey = 0").collect()(0).getString(0))
+      assert(row.getString(1) == "keep \"this\"", "single-quoted strings untouched")
+      val esc = spark.sql("""SELECT n_name AS "odd""name" FROM nation LIMIT 1""")
+      assert(esc.schema.head.name == "odd\"name", esc.schema.head.name)
+    }
+    probe()           // conf off
+    withDialect(probe()) // conf on
+  }
+
   test("dialect reaches inside subqueries and CTEs") {
     withDialect {
       assert(one("WITH t AS (SELECT 7 / 2 AS v) SELECT v FROM t") == 3)
