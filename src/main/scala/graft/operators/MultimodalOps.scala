@@ -125,5 +125,34 @@ object MultimodalOps extends QueryGroup {
           round(aggregate(col("features"), lit(0.0), (a, x) => a + x * x), 6).as("sq_norm"))
         .orderBy("media_id")
     },
+
+    // ── feature-extraction ORACLE twin: the row above is no_oracle only
+    // because of xxhash64 — this runs the SAME pipeline shape (binary
+    // payload → 8 fixed-dim features → squared norm) with the portable
+    // char-fold hash over the DECODED payload, seeded per feature index,
+    // so DuckDB recomputes every feature bit-for-bit from documents.text
+    // (UTF-8 encode/decode is an identity on it). Feature values are
+    // integers < 2^31 normalized by 2^31 — exactly representable, so
+    // the double square-sum is engine-stable. ──
+    q("mm_features_portable",
+      """SELECT doc_id AS media_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+        |  CAST(8 AS BIGINT) AS dim,
+        |  round(list_sum(list_transform(range(0, 8), i ->
+        |    pow(list_reduce(list_prepend(CAST(7 + i AS BIGINT),
+        |          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |        (a, c) -> (a * 31 + c) % 2147483648) / 2147483648.0, 2))), 6) AS sq_norm
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, _) =>
+      val m = mediaTable(s)
+      m.select(col("media_id"), col("modality"),
+          expr("""transform(sequence(0, 7), i ->
+                 |  aggregate(transform(split(decode(payload, 'UTF-8'), ''), c -> CAST(ascii(c) AS BIGINT)),
+                 |    CAST(7 + i AS BIGINT), (a, c) -> (a * 31 + c) % 2147483648)
+                 |  / 2147483648.0D)""".stripMargin).as("features"))
+        .select(col("media_id"), col("modality"),
+          size(col("features")).cast("long").as("dim"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x * x), 6).as("sq_norm"))
+        .orderBy("media_id")
+    },
   )
 }

@@ -158,8 +158,11 @@ object SimilarityOps extends QueryGroup {
   }
 
   def lshAnnTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
-                 tables: Int = 16, bits: Int = 4): DataFrame = {
-    val sig = bucketKeys(emb, tables, bits)
+                 tables: Int = 16, bits: Int = 4,
+                 bucketFn: Option[DataFrame => DataFrame] = None): DataFrame = {
+    // bucketFn swaps the signature derivation (portable-oracle twin);
+    // candidate join, re-score, and top-k below are the SAME code
+    val sig = bucketFn.getOrElse(bucketKeys(_: DataFrame, tables, bits))(emb)
     val qs = sig.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("bucket"))
     val cand = qs.join(sig, "bucket")
@@ -956,6 +959,43 @@ object SimilarityOps extends QueryGroup {
     // SimilaritySpec measures recall@5 against sim_cosine_topk) ──
     qNoOracle("sim_lsh_ann") { (s, _) =>
       lshAnnTopK(s.table("embeddings"))
+    },
+
+    // ── LSH-ANN ORACLE twin: the SAME probe pipeline (bucket equi-join
+    // candidates, exact cosine re-score, ranked top-k cutoff) with the
+    // portable quantized-SRP bucket plugged in, so DuckDB derives the
+    // identical candidate set; the ranking runs on the original float
+    // embeddings like production (rank-order parity at round-4 output
+    // is proven by the green sim_cosine_topk). ──
+    q("sim_lsh_ann_portable",
+      """WITH qv AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65), i ->
+        |          q[CAST(i AS INTEGER)] *
+        |          (((p * 64 + i) * 1103515245 + 12345) % 2 * 2 - 1))) > 0
+        |        THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM qv),
+        |qs AS (SELECT vec_id AS q_id, bucket FROM b WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT q_id, b2.vec_id AS n_id
+        |  FROM qs JOIN b b2 USING (bucket) WHERE b2.vec_id <> q_id),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE) AS sim
+        |  FROM cand JOIN embeddings ea ON ea.vec_id = q_id
+        |            JOIN embeddings eb ON eb.vec_id = n_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, rk, n_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin) { (s, _) =>
+      lshAnnTopK(s.table("embeddings"), bucketFn = Some(portableBucketKeys))
     },
 
     // ── vector stats: norms and centroid distance per label ──
