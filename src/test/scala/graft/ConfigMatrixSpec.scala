@@ -60,7 +60,17 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // round 9: overlap chunking (map-side explode — rows must not
     // depend on input split boundaries) and the cluster-keyed split
     // (scalar-subquery leak counters under partial/final agg splits)
-    "pipe_chunk_overlap", "pipe_chunk_tokens", "pipe_leakage_safe_split")
+    "pipe_chunk_overlap", "pipe_chunk_tokens", "pipe_leakage_safe_split",
+    // round 10: the portable-oracle twins exercise census caps,
+    // candidate joins, components, and survivor windows end-to-end —
+    // their results must not depend on partition count or AQE replans
+    // (the incremental twin additionally spans a persisted-index write
+    // + read; the semdedup twin a per-cell centroid agg + rejoin)
+    "dd_minhash_clusters_portable", "dd_semdedup_portable",
+    // round 10: exhaustive IVF probe must equal brute-force under every
+    // config (the k-means fit itself runs driver-coordinated; the probe
+    // join + ranked cutoff are the partition-sensitive parts)
+    "sim_ivf_exhaustive")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)
