@@ -44,6 +44,14 @@ case class GeoDistanceExpr(left: Expression, right: Expression)
 }
 
 object GraftFnUtils {
+  /** Reference DoubleOperators.castToLong/castToInteger rounding:
+    * DoubleMath.roundToLong(value, HALF_UP) — half away from zero.
+    * NaN/overflow are handled by the OUTER ANSI cast on the rounded
+    * value (the reference throws there too).
+    */
+  def roundHalfUp(d: Double): Double =
+    if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)
+
   /** Regex-quote for PrestoOperators' literal-delimiter split. */
   def quoteRegex(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(

@@ -48,6 +48,15 @@ object PrestoOperators {
 
   val exprRewrite: PartialFunction[Expression, Expression] = {
     case d: Divide => PrestoDivide(d.left, d.right)
+    // CAST(x AS <integral>): the reference rounds floating/decimal
+    // sources HALF_UP (DoubleOperators.castToLong), Spark truncates —
+    // late-binding dispatch on the resolved source type
+    // (PrestoCastToIntegral). TRY_CAST keeps Spark's node: wrapping
+    // would turn its null-on-error contract into ANSI throws.
+    case c: Cast
+        if Seq(ByteType, ShortType, IntegerType, LongType).contains(c.dataType) &&
+          c.evalMode != EvalMode.TRY =>
+      PrestoCastToIntegral(c.child, c.dataType)
     case UnresolvedExtractValue(child, key) if !isStringLiteral(key) =>
       UnresolvedFunction("element_at", Seq(child, key), isDistinct = false)
     // split(s, delim[, limit]): the delimiter is a LITERAL string in
@@ -183,4 +192,39 @@ case class PrestoDivide(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): PrestoDivide = copy(left = l, right = r)
+}
+
+/** Floating/decimal → integral CAST with Presto's rounding (dialect
+  * tranche 3): the reference rounds HALF_UP — half away from zero —
+  * (`DoubleOperators.castToLong`: DoubleMath.roundToLong(HALF_UP);
+  * `DecimalCasts` to integral likewise), Spark's Cast TRUNCATES toward
+  * zero, and DuckDB rounds HALF_EVEN — a three-way divergence (probed:
+  * 2.5 → 3 / 2 / 2 respectively; pinned in FnSpec). Late-binding like
+  * [[PrestoDivide]]: the parser can't see the source type, so the
+  * rewrite wraps every integral-target CAST and the replacement
+  * dispatches once the child resolves — floating sources round through
+  * `GraftFnUtils.roundHalfUp` (then the ANSI cast truncates the
+  * already-integral value and still throws on NaN/overflow like the
+  * reference), decimal sources round through Spark's HALF_UP `round(x,
+  * 0)`, and every other source keeps Spark's own Cast untouched.
+  */
+case class PrestoCastToIntegral(child: Expression, target: DataType)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def prettyName: String = "presto_cast_integral"
+
+  override lazy val replacement: Expression = child.dataType match {
+    case FloatType | DoubleType =>
+      Cast(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, DoubleType, "roundHalfUp",
+        Seq(Cast(child, DoubleType)), inputTypes = Seq(DoubleType),
+        propagateNull = true), target)
+    case _: DecimalType =>
+      Cast(Round(child, Literal(0)), target)
+    case _ => Cast(child, target)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PrestoCastToIntegral =
+    copy(child = c)
 }

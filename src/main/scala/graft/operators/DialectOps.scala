@@ -325,6 +325,35 @@ object DialectOps extends QueryGroup {
       finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
     },
 
+    // floating/decimal → integral CAST rounding (dialect tranche 3):
+    // the reference rounds HALF_UP — half away from zero
+    // (DoubleOperators.castToLong: DoubleMath.roundToLong(HALF_UP)),
+    // Spark truncates, DuckDB rounds half-even — a THREE-way divergence
+    // (FnSpec pins all three characterizations). Under the conf the
+    // late-binding PrestoCastToIntegral restores reference semantics;
+    // the oracle computes the expected values arithmetically since
+    // DuckDB's own cast disagrees with both. String→integral stays the
+    // shared ANSI parse (the passthrough column).
+    q("dialect_cast_rounding",
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey + 1 AS BIGINT) AS hu_pos,
+        |  CAST(-(o_orderkey + 1) AS BIGINT) AS hu_neg,
+        |  CAST(o_orderkey AS BIGINT) AS hu_frac,
+        |  CAST(o_orderkey + 1 AS BIGINT) AS hu_dec,
+        |  CAST(o_orderkey AS BIGINT) AS str_passthrough
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, _) =>
+      s.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+      try s.sql(
+        """SELECT o_orderkey,
+          |  CAST(o_orderkey + 0.5D AS BIGINT) AS hu_pos,
+          |  CAST(-(o_orderkey + 0.5D) AS BIGINT) AS hu_neg,
+          |  CAST(o_orderkey + 0.3D AS BIGINT) AS hu_frac,
+          |  CAST(CAST(o_orderkey AS DECIMAL(18,1)) + CAST(0.5 AS DECIMAL(2,1)) AS BIGINT) AS hu_dec,
+          |  CAST(CAST(o_orderkey AS STRING) AS BIGINT) AS str_passthrough
+          |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin)
+      finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
+    },
+
     // reduce() 4-arg lambda spelling (ArrayReduceFunction.java — state
     // fold + output lambda): Spark 4's `reduce` IS the same surface, so
     // the pin proves the verbatim Presto text runs; the oracle computes

@@ -574,6 +574,69 @@ object FuzzParityOps extends QueryGroup {
         |FROM t ORDER BY i""".stripMargin)
     },
 
+    // ── CAST surface: string↔number/date/timestamp/bool conversions
+    // across operand sweeps — the dialect family this round's decimal
+    // find proved divergence-prone. Compared columns restrict to the
+    // behaviors all engines define identically: ANSI string→integral
+    // with whitespace trim, exact decimal/exponent string→double
+    // (correctly-rounded strtod on both), ISO date/timestamp parse +
+    // round-trip, int→bool (nonzero = true) and 'true'/'false'/'1'/'0'
+    // string→bool, bool→string, and round-then-cast for doubles.
+    // DELIBERATELY EXCLUDED (probed, three-way divergent — pinned in
+    // FnSpec instead): raw double→BIGINT cast rounds HALF_EVEN in
+    // DuckDB (2.5→2, 3.5→4), TRUNCATES in Spark (2.5→2, 2.6→2), and
+    // rounds HALF_UP in the reference (DoubleOperators.castToLong,
+    // DoubleMath.roundToLong HALF_UP); double→string formatting
+    // (e-notation thresholds differ). ──
+    q("fuzz_cast_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, h1, h2, x, n, m,
+        |    CAST(h1 % 100000 - 50000 AS VARCHAR) AS s_int,
+        |    concat(CAST(h1 % 1000 AS VARCHAR), '.', CAST(h2 % 10000 AS VARCHAR)) AS s_dec,
+        |    concat(CAST(n AS VARCHAR), 'e', CAST(m % 5 AS VARCHAR)) AS s_exp,
+        |    concat(CAST(1990 + h1 % 60 AS VARCHAR), '-',
+        |           lpad(CAST(1 + h2 % 12 AS VARCHAR), 2, '0'), '-',
+        |           lpad(CAST(1 + h1 % 28 AS VARCHAR), 2, '0')) AS s_date,
+        |    CASE WHEN h1 % 4 = 0 THEN 'true' WHEN h1 % 4 = 1 THEN 'false'
+        |         WHEN h1 % 4 = 2 THEN '1' ELSE '0' END AS s_bool
+        |  FROM o)
+        |SELECT i, s_int,
+        |  CAST(s_int AS BIGINT) AS si,
+        |  CAST(concat(' ', s_int, '  ') AS BIGINT) AS si_pad,
+        |  CAST(s_dec AS DOUBLE) AS sd,
+        |  CAST(s_exp AS DOUBLE) AS se,
+        |  CAST(CAST(s_date AS DATE) AS VARCHAR) AS d_rt,
+        |  CAST(epoch(CAST(concat(s_date, ' 12:34:56') AS TIMESTAMP)) AS BIGINT) AS ts_epoch,
+        |  CAST(s_bool AS BOOLEAN) AS b_str,
+        |  CAST(CAST(h2 % 3 AS INTEGER) AS BOOLEAN) AS b_int,
+        |  CAST(CAST(s_bool AS BOOLEAN) AS VARCHAR) AS b_rt,
+        |  CAST(round(x) AS BIGINT) AS ri
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i, h1, h2, x, n, m,
+        |    CAST(h1 % 100000 - 50000 AS STRING) AS s_int,
+        |    concat(CAST(h1 % 1000 AS STRING), '.', CAST(h2 % 10000 AS STRING)) AS s_dec,
+        |    concat(CAST(n AS STRING), 'e', CAST(m % 5 AS STRING)) AS s_exp,
+        |    concat(CAST(1990 + h1 % 60 AS STRING), '-',
+        |           lpad(CAST(1 + h2 % 12 AS STRING), 2, '0'), '-',
+        |           lpad(CAST(1 + h1 % 28 AS STRING), 2, '0')) AS s_date,
+        |    CASE WHEN h1 % 4 = 0 THEN 'true' WHEN h1 % 4 = 1 THEN 'false'
+        |         WHEN h1 % 4 = 2 THEN '1' ELSE '0' END AS s_bool
+        |  FROM o)
+        |SELECT i, s_int,
+        |  CAST(s_int AS BIGINT) AS si,
+        |  CAST(concat(' ', s_int, '  ') AS BIGINT) AS si_pad,
+        |  CAST(s_dec AS DOUBLE) AS sd,
+        |  CAST(s_exp AS DOUBLE) AS se,
+        |  CAST(CAST(s_date AS DATE) AS STRING) AS d_rt,
+        |  CAST(unix_timestamp(CAST(concat(s_date, ' 12:34:56') AS TIMESTAMP)) AS BIGINT) AS ts_epoch,
+        |  CAST(s_bool AS BOOLEAN) AS b_str,
+        |  CAST(CAST(h2 % 3 AS INT) AS BOOLEAN) AS b_int,
+        |  CAST(CAST(s_bool AS BOOLEAN) AS STRING) AS b_rt,
+        |  CAST(round(x) AS BIGINT) AS ri
+        |FROM t ORDER BY i""".stripMargin)
+    },
+
     // ── Unicode: codepoint-indexed string semantics beyond ASCII ──
     // Subjects mix accented Latin-1 (case-mapped), Greek (case-mapped),
     // CJK, and an ASTRAL-plane emoji (U+1F600.. — 2 UTF-16 units, so any

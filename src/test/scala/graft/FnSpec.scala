@@ -40,6 +40,26 @@ class FnSpec extends AnyFunSuite {
     assert(r.getDecimal(5).toPlainString == "4")      // DuckDB: 3 (so not half-even either)
   }
 
+  test("floating->integral CAST truncates by default (three-way dialect divergence pinned)") {
+    // CAST(2.5 AS BIGINT) is THREE different numbers across the engines
+    // in play: the reference rounds HALF_UP to 3 (DoubleOperators
+    // .castToLong — DoubleMath.roundToLong HALF_UP), stock Spark
+    // truncates to 2 (this engine's default, asserted here), and DuckDB
+    // rounds half-even to 2 (probed: 2.5→2, 3.5→4, -2.5→-2) — which is
+    // why fuzz_cast_parity excludes the raw cast and routes through
+    // round(). The reference behavior is available under the dialect
+    // conf via PrestoCastToIntegral (oracle row dialect_cast_rounding;
+    // both-state pins in PrestoOperatorsSpec).
+    val r = spark.sql(
+      """SELECT CAST(2.5D AS BIGINT) c1, CAST(3.5D AS BIGINT) c2,
+        |  CAST(-2.5D AS BIGINT) c3, CAST(2.999D AS BIGINT) c4""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 2L)   // reference: 3, DuckDB: 2
+    assert(r.getLong(1) == 3L)   // reference: 4, DuckDB: 4
+    assert(r.getLong(2) == -2L)  // reference: -3, DuckDB: -2
+    assert(r.getLong(3) == 2L)   // all three agree off the tie
+  }
+
   test("checksum is order-independent and value-sensitive") {
     ready()
     val a = spark.sql("SELECT checksum(l_partkey) FROM lineitem").collect()(0).getLong(0)

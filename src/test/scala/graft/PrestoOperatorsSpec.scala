@@ -109,6 +109,24 @@ class PrestoOperatorsSpec extends AnyFunSuite {
     withDialect(probe()) // conf on
   }
 
+  test("floating->integral CAST rounds HALF_UP under the dialect, truncates off") {
+    def casts() = {
+      val r = spark.sql(
+        """SELECT CAST(2.5D AS BIGINT) a, CAST(-2.5D AS BIGINT) b,
+          |  CAST(2.4D AS BIGINT) c, CAST(CAST(2.5 AS DECIMAL(3,1)) AS BIGINT) d,
+          |  CAST(CAST(2.5 AS FLOAT) AS INT) e, CAST('7' AS BIGINT) f,
+          |  TRY_CAST('nope' AS BIGINT) g""".stripMargin).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5), r.isNullAt(6))
+    }
+    assert(casts() == ((2L, -2L, 2L, 2L, 2, 7L, true)), "off: Spark truncation")
+    // on: DoubleOperators.castToLong HALF_UP — away from zero on ties;
+    // decimal sources likewise; string parse unchanged; TRY_CAST keeps
+    // its null-on-error contract (not wrapped)
+    assert(withDialect(casts()) == ((3L, -3L, 2L, 3L, 3, 7L, true)),
+      "on: reference HALF_UP rounding")
+  }
+
   test("dialect reaches inside subqueries and CTEs") {
     withDialect {
       assert(one("WITH t AS (SELECT 7 / 2 AS v) SELECT v FROM t") == 3)
