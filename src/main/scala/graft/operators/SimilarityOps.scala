@@ -139,12 +139,26 @@ object SimilarityOps extends QueryGroup {
     } catch { case _: Throwable => None }
 
   private[graft] def bucketKeys(emb: DataFrame, tables: Int, bits: Int): DataFrame = {
+    // Rademacher signs: one xxhash64 per row gave one SIGN BIT in the
+    // round-6 version — T×B hashes per (vec, dim) row made the hash the
+    // dominant signature cost (144 hashes/row at T=16, B=9 ≈ 184M calls
+    // at sf0.1; SpikeHunt round 10). Each hash has 64 iid-quality bits,
+    // so derive T×B signs from ⌈T·B/64⌉ hashes per row by bit-slicing:
+    // sign(t,j) = bit (t·bits+j) mod 64 of xxhash64((t·bits+j) div 64, d).
+    // Statistically identical hyperplanes (independent fair sign flips),
+    // ~48× less hashing; A/B in BENCHLOG round 10. Formula change ⇒
+    // EmbLshFormulaVersion bumped so persisted indexes rebuild.
     val dims = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
-    val contribCols = for (t <- 0 until tables; j <- 0 until bits) yield
-      (col("x") * when(xxhash64(lit(t), lit(j), col("d")).bitwiseAND(lit(1L)) === 0L, 1.0)
-        .otherwise(-1.0)).as(s"c_${t}_$j")
-    val proj = dims.select(col("vec_id") +: contribCols: _*)
+    val nHashes = (tables * bits + 63) / 64
+    val hashed = dims.select(col("vec_id") +: col("x") +:
+      (0 until nHashes).map(k => xxhash64(lit(k), col("d")).as(s"h$k")): _*)
+    val contribCols = for (t <- 0 until tables; j <- 0 until bits) yield {
+      val idx = t * bits + j
+      (col("x") * when(shiftright(col(s"h${idx / 64}"), idx % 64)
+        .bitwiseAND(lit(1L)) === 0L, 1.0).otherwise(-1.0)).as(s"c_${t}_$j")
+    }
+    val proj = hashed.select(col("vec_id") +: contribCols: _*)
       .groupBy("vec_id")
       .agg(sum("c_0_0").as("p_0_0"),
         (for (t <- 0 until tables; j <- 0 until bits if (t, j) != (0, 0))
@@ -255,7 +269,7 @@ object SimilarityOps extends QueryGroup {
     * the old scheme (same discipline as TextOps.LshFormulaVersion).
     * tau is probe-time only and deliberately NOT in the fingerprint.
     */
-  private val EmbLshFormulaVersion = 1
+  private val EmbLshFormulaVersion = 2 // v2: bit-sliced Rademacher signs
 
   /** Build counter — lets SimilaritySpec assert that index REUSE never
     * re-signatures the historical corpus.
