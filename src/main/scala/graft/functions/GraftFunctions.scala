@@ -870,6 +870,10 @@ object GraftFunctions {
     // lowering target for Presto's `CAST(x AS JSON)` (GraftSqlParser
     // rewrites the cast; JsonOperators.java semantics in CastToJson)
     "cast_to_json" -> { case Seq(e) => CastToJson(e) },
+    // CAST(x AS ROW/ARRAY/MAP(...)) — source-type dispatch (string ⇒
+    // JSON-to-complex, complex ⇒ structural Cast); the parser emits this
+    "complex_cast" -> { case Seq(e, Literal(ddl: org.apache.spark.unsafe.types.UTF8String, _: StringType)) =>
+      ComplexCastDispatch(e, ddl.toString) },
 
     // ── URL family (UrlFunctions.java:43) ──
     "url_extract_protocol" -> { case Seq(u) => parseUrl(u, "PROTOCOL") },

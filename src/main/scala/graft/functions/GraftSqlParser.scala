@@ -328,8 +328,135 @@ object GraftSqlParser {
       out = ArrayLiteral.replaceAllIn(out, m => s"array(${m.group(1)})")
     }
     rewriteSortNulls(rewriteCasts(rewriteMapCtor(rewriteUnnest(rewriteExplain(
-      rewriteDecimalLiterals(out))))))
+      rewriteDecimalLiterals(rewriteExtract(rewriteAtTimeZone(
+        rewriteBareTemporals(rewriteCharLiterals(out))))))))))
   }
+
+  /** Presto's EXTRACT delegates every field to the matching scalar
+    * function (AstBuilder.visitExtract — DOW → day_of_week, YOW →
+    * year_of_week, …). Spark's EXTRACT disagrees on several fields
+    * (DOW is 0-based Sunday-start vs Presto's ISO day_of_week; YOW /
+    * TIMEZONE_HOUR / TIMEZONE_MINUTE don't exist), so replay the same
+    * field→function mapping textually. Unknown fields pass through to
+    * Spark's own EXTRACT.
+    */
+  private val ExtractFieldFn: Map[String, String] = Map(
+    "YEAR" -> "year", "QUARTER" -> "quarter", "MONTH" -> "month",
+    "WEEK" -> "week", "DAY" -> "day", "DAY_OF_MONTH" -> "day",
+    "DAY_OF_WEEK" -> "day_of_week", "DOW" -> "day_of_week",
+    "DAY_OF_YEAR" -> "day_of_year", "DOY" -> "day_of_year",
+    "YEAR_OF_WEEK" -> "year_of_week", "YOW" -> "year_of_week",
+    "HOUR" -> "hour", "MINUTE" -> "minute", "SECOND" -> "second",
+    "TIMEZONE_HOUR" -> "timezone_hour", "TIMEZONE_MINUTE" -> "timezone_minute")
+
+  private val ExtractStart = raw"(?is)\bEXTRACT\s*\(\s*(\w+)\s+FROM\b".r
+
+  private def rewriteExtract(sql: String): String =
+    ExtractStart.findFirstMatchIn(sql) match {
+      case Some(m) if !insideQuoteOrComment(sql, m.start) &&
+          ExtractFieldFn.contains(m.group(1).toUpperCase) =>
+        val open = sql.indexOf('(', m.start)
+        val close = matchingParen(sql, open)
+        if (close < 0) sql
+        else {
+          val argEnd = m.end // position right after FROM
+          val arg = rewriteExtract(sql.substring(argEnd, close))
+          val fn = ExtractFieldFn(m.group(1).toUpperCase)
+          sql.substring(0, m.start) + s"$fn($arg)" + rewriteExtract(sql.substring(close + 1))
+        }
+      case Some(m) =>
+        // unknown field or quoted: skip this occurrence, continue after
+        sql.substring(0, m.end) + rewriteExtract(sql.substring(m.end))
+      case None => sql
+    }
+
+  /** `<primary> AT TIME ZONE '<zone>'` (Presto grammar
+    * valueExpression AT timeZoneSpecifier) → `at_timezone(primary,
+    * zone)` under the engine's documented UTC-instant contract. The
+    * operand is grabbed by a bounded backward scan: a close-paren
+    * (balanced, plus a preceding identifier chain — function call or
+    * parenthesized expression), a string literal (plus an optional
+    * preceding TIMESTAMP/TIME type keyword), or an identifier/number
+    * chain. INTERVAL zone offsets are out of textual scope (use
+    * at_timezone directly).
+    */
+  private val AtTimeZone = raw"(?is)\bAT\s+TIME\s+ZONE\s+('(?:[^']|'')*')".r
+
+  private def rewriteAtTimeZone(sql: String): String = {
+    val m = AtTimeZone.findFirstMatchIn(sql).orNull
+    if (m == null || insideQuoteOrComment(sql, m.start)) return sql
+    val zone = m.group(1)
+    var end = m.start
+    while (end > 0 && sql.charAt(end - 1).isWhitespace) end -= 1
+    var start = end
+    if (start > 0 && sql.charAt(start - 1) == ')') {
+      // balanced back to the matching open paren
+      var depth = 0
+      var i = start - 1
+      var done = false
+      while (i >= 0 && !done) {
+        val c = sql.charAt(i)
+        if (c == ')') depth += 1
+        else if (c == '(') { depth -= 1; if (depth == 0) done = true }
+        i -= 1
+      }
+      start = i + 1
+      // preceding identifier chain (function name, incl. dotted)
+      while (start > 0 && (sql.charAt(start - 1).isLetterOrDigit ||
+        sql.charAt(start - 1) == '_' || sql.charAt(start - 1) == '.')) start -= 1
+    } else if (start > 0 && sql.charAt(start - 1) == '\'') {
+      var i = start - 2
+      while (i >= 0 && !(sql.charAt(i) == '\'' &&
+        (i == 0 || sql.charAt(i - 1) != '\''))) i -= 1
+      start = i
+      // optional type keyword before the literal (TIMESTAMP '…')
+      var j = start
+      while (j > 0 && sql.charAt(j - 1).isWhitespace) j -= 1
+      var k = j
+      while (k > 0 && sql.charAt(k - 1).isLetter) k -= 1
+      val kw = sql.substring(k, j).toUpperCase
+      if (kw == "TIMESTAMP" || kw == "TIME" || kw == "DATE") start = k
+    } else {
+      while (start > 0 && (sql.charAt(start - 1).isLetterOrDigit ||
+        sql.charAt(start - 1) == '_' || sql.charAt(start - 1) == '.')) start -= 1
+    }
+    if (start >= end) return sql // nothing grabbable — leave for the parser
+    val operand = sql.substring(start, end)
+    sql.substring(0, start) + s"at_timezone($operand, $zone)" +
+      rewriteAtTimeZone(sql.substring(m.end))
+  }
+
+  /** Presto's bare temporal keywords (grammar specialExpression):
+    * LOCALTIMESTAMP / LOCALTIME / CURRENT_TIME have no parenthesized
+    * form in Spark's grammar — map to the registered functions (under
+    * the zoned-type contract CURRENT_TIME's zone-carrying result is
+    * descoped to the session-zone TIME, i.e. localtime).
+    */
+  private val BareTemporal = raw"(?i)\b(LOCALTIMESTAMP|LOCALTIME|CURRENT_TIME)\b(?!\s*\(|_)".r
+
+  private def rewriteBareTemporals(sql: String): String =
+    BareTemporal.replaceAllIn(sql, m =>
+      if (insideQuoteOrComment(sql, m.start)) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else m.group(1).toUpperCase match {
+        case "LOCALTIMESTAMP" => "localtimestamp()"
+        case _ => "localtime()"
+      })
+
+  /** Presto's typed CHAR literal `CHAR 'ab'` → CAST with the literal's
+    * codepoint length (CharType(n), SqlBase.g4 typeConstructor), which
+    * the session's preserved-CHAR semantics then blank-pads like the
+    * reference.
+    */
+  private val CharLiteral = raw"(?s)\bCHAR\s*'((?:[^']|'')*)'".r
+
+  private def rewriteCharLiterals(sql: String): String =
+    CharLiteral.replaceAllIn(sql, m =>
+      if (insideQuoteOrComment(sql, m.start)) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else {
+        val content = m.group(1)
+        val n = math.max(1, content.replace("''", "'").codePointCount(0, content.replace("''", "'").length))
+        java.util.regex.Matcher.quoteReplacement(s"CAST('$content' AS CHAR($n))")
+      })
 
   private val OrderByKw = raw"(?i)\bORDER\s+BY\b".r
   private val SortTerminator =
@@ -632,7 +759,10 @@ object GraftSqlParser {
           val up = tpe.toUpperCase
           if (up == "JSON") s"cast_to_json($expr)"
           else if (up.startsWith("ARRAY(") || up.startsWith("MAP(") || up.startsWith("ROW("))
-            s"from_json($expr, '${translateType(tpe)}')"
+            // source type decides JSON-parse vs structural cast — the
+            // late-binding ComplexCastDispatch picks after resolution
+            // (a ROW(...) source must structurally cast, not from_json)
+            s"complex_cast($expr, '${translateType(tpe)}')"
           else if (up == "VARCHAR") s"CAST($expr AS STRING)"
           else s"CAST($expr AS $tpe)"
         }

@@ -164,3 +164,29 @@ case class MultimapFromEntries(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): MultimapFromEntries =
     copy(child = newChild)
 }
+
+/** `CAST(x AS ROW(...)/ARRAY(...)/MAP(...))` — Presto's complex-target
+  * casts. The parser rewrite can't see the SOURCE type, which decides
+  * the semantics: a VARCHAR source is the JSON-to-complex cast family
+  * (JsonToArrayCast.java et al. → from_json), while a complex source is
+  * a structural cast (RowToRowCast.java — field-positional coercion +
+  * rename, which Spark's own Cast performs). Late-binding dispatch like
+  * [[ContainsDispatch]]: resolve the child, then pick.
+  */
+case class ComplexCastDispatch(child: Expression, ddl: String)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression] {
+
+  override def prettyName: String = "complex_cast"
+
+  private lazy val targetType: DataType = DataType.fromDDL(ddl)
+
+  override lazy val replacement: Expression = child.dataType match {
+    case _: StringType =>
+      JsonToStructs(targetType, Map.empty[String, String], child,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    case _ => Cast(child, targetType)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ComplexCastDispatch =
+    copy(child = newChild)
+}

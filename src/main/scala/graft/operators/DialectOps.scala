@@ -325,6 +325,32 @@ object DialectOps extends QueryGroup {
       finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
     },
 
+    // EXTRACT field semantics (always-on dialect veneer, like the
+    // date_add rewrite): Presto's AstBuilder delegates every field to
+    // the matching scalar function, so DOW is ISO day_of_week (Mon=1 …
+    // Sun=7) where Spark's own EXTRACT(DOW) is 0-based Sunday-start —
+    // a silent off-by-one-and-wrap a porting user would hit on every
+    // weekday filter. DuckDB's isodow/isoyear natively share Presto's
+    // definitions, so the oracle pins values across the whole date
+    // column. ──
+    q("dialect_extract",
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(isodow FROM o_orderdate) AS BIGINT) AS dow,
+        |  CAST(EXTRACT(doy FROM o_orderdate) AS BIGINT) AS doy,
+        |  CAST(EXTRACT(isoyear FROM o_orderdate) AS BIGINT) AS yow,
+        |  CAST(EXTRACT(week FROM o_orderdate) AS BIGINT) AS wk,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(EXTRACT(DOW FROM o_orderdate) AS BIGINT) AS dow,
+          |  CAST(EXTRACT(DOY FROM o_orderdate) AS BIGINT) AS doy,
+          |  CAST(EXTRACT(YOW FROM o_orderdate) AS BIGINT) AS yow,
+          |  CAST(EXTRACT(WEEK FROM o_orderdate) AS BIGINT) AS wk,
+          |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr
+          |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin)
+    },
+
     // floating/decimal → integral CAST rounding (dialect tranche 3):
     // the reference rounds HALF_UP — half away from zero
     // (DoubleOperators.castToLong: DoubleMath.roundToLong(HALF_UP)),

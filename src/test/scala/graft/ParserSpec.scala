@@ -23,15 +23,15 @@ class ParserSpec extends AnyFunSuite {
 
   test("CAST rewrites: JSON, Presto complex types, bare VARCHAR") {
     assert(rewrite("SELECT CAST(x AS JSON)") == "SELECT cast_to_json(x)")
-    assert(rewrite("SELECT CAST(j AS ARRAY(VARCHAR))") == "SELECT from_json(j, 'ARRAY<STRING>')")
+    assert(rewrite("SELECT CAST(j AS ARRAY(VARCHAR))") == "SELECT complex_cast(j, 'ARRAY<STRING>')")
     assert(rewrite("SELECT CAST(j AS MAP(VARCHAR, BIGINT))") ==
-      "SELECT from_json(j, 'MAP<STRING, BIGINT>')")
+      "SELECT complex_cast(j, 'MAP<STRING, BIGINT>')")
     assert(rewrite("SELECT CAST(j AS ROW(a VARCHAR, b DOUBLE))") ==
-      "SELECT from_json(j, 'STRUCT<a: STRING, b: DOUBLE>')")
+      "SELECT complex_cast(j, 'STRUCT<a: STRING, b: DOUBLE>')")
     assert(rewrite("SELECT CAST(x AS VARCHAR)") == "SELECT CAST(x AS STRING)")
     // nested: inner cast rewritten inside the outer's expression side
     assert(rewrite("SELECT CAST(CAST(x AS JSON) AS ARRAY(BIGINT))") ==
-      "SELECT from_json(cast_to_json(x), 'ARRAY<BIGINT>')")
+      "SELECT complex_cast(cast_to_json(x), 'ARRAY<BIGINT>')")
   }
 
   test("CAST non-rewrites: Spark types and spellings pass through") {
@@ -62,7 +62,7 @@ class ParserSpec extends AnyFunSuite {
     assert(rewrite("SELECT map('k', 1, 'j', 2)") == "SELECT map('k', 1, 'j', 2)")
     // CAST type text MAP(...) is handled by the cast rewrite, not this one
     assert(rewrite("SELECT CAST(j AS MAP(VARCHAR, VARCHAR))") ==
-      "SELECT from_json(j, 'MAP<STRING, STRING>')")
+      "SELECT complex_cast(j, 'MAP<STRING, STRING>')")
   }
 
   test("Presto EXPLAIN dialect: option list and ANALYZE map to Spark modes") {

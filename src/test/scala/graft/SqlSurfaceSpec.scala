@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end probe of the Presto SQL construct surface through the
+  * dialect parser — every spelling a porting user writes must parse AND
+  * run (round-10 sweep found six gaps: ROW-to-ROW casts routed through
+  * from_json, AT TIME ZONE, EXTRACT's YOW/TIMEZONE_* fields and
+  * Presto-vs-Spark DOW semantics, bare LOCALTIME(STAMP)/CURRENT_TIME,
+  * and typed CHAR literals). Value pins follow the parse sweep.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("presto construct sweep: every spelling parses and executes") {
+    Tables.register(spark, TestSession.sf)
+    val probes = Seq(
+      "SELECT ROW(1, 'a')",
+      "SELECT CAST(ROW(1, 'a') AS ROW(x INTEGER, y VARCHAR))",
+      "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'America/New_York'",
+      "SELECT o_orderdate AT TIME ZONE 'Asia/Tokyo' FROM orders LIMIT 1",
+      "SELECT TRY(1/0)",
+      "SELECT 'a' || 'b' || CAST(3 AS VARCHAR)",
+      "SELECT POSITION('b' IN 'abc')",
+      "SELECT SUBSTRING('abc' FROM 2 FOR 1)",
+      "SELECT EXTRACT(DOW FROM DATE '2020-01-05')",
+      "SELECT EXTRACT(YOW FROM DATE '2020-01-01')",
+      "SELECT EXTRACT(TIMEZONE_HOUR FROM CAST('2020-01-01' AS TIMESTAMP))",
+      "SELECT INTERVAL '3' MONTH + DATE '2020-01-01'",
+      "SELECT IF(true, 1, 2)",
+      "SELECT TRY_CAST('x' AS BIGINT)",
+      "SELECT NULLIF(1, 1), COALESCE(NULL, 2)",
+      "SELECT transform(ARRAY[1,2], x -> x + 1)",
+      "SELECT DECIMAL '1.5' + 1",
+      "SELECT CHAR 'ab'",
+      "SELECT X'4142'",
+      "SELECT LOCALTIME", "SELECT LOCALTIMESTAMP", "SELECT CURRENT_TIME",
+      "SELECT 1 BETWEEN 0 AND 2, 2 IS DISTINCT FROM NULL",
+      "SELECT n_name LIKE 'A%' ESCAPE '#' FROM nation LIMIT 1",
+      "SELECT GROUPING(n_regionkey) FROM nation GROUP BY GROUPING SETS ((n_regionkey),())",
+      "SELECT count(*) FILTER (WHERE n_regionkey > 1) FROM nation",
+      "SELECT ARRAY[1,2,3][2]",
+      "SELECT zip(ARRAY[1,2], ARRAY['a','b'])",
+      "SELECT TYPEOF(1)")
+    val fails = probes.flatMap { p =>
+      try { spark.sql(p).collect(); None }
+      catch { case e: Throwable => Some(s"$p -- ${e.getMessage.take(100)}") }
+    }
+    assert(fails.isEmpty, fails.mkString("\n"))
+  }
+
+  test("ROW-to-ROW cast is structural; VARCHAR-to-complex stays JSON parse") {
+    val r = spark.sql(
+      "SELECT CAST(ROW(1, 'a') AS ROW(x INTEGER, y VARCHAR)) r").collect()(0).getStruct(0)
+    assert(r.getInt(0) == 1 && r.getString(1) == "a")
+    assert(spark.sql("SELECT CAST(ROW(1, 'a') AS ROW(x INTEGER, y VARCHAR)) r")
+      .schema.head.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("x", "y"), "field names renamed like RowToRowCast")
+    val j = spark.sql(
+      """SELECT CAST('[1, 2]' AS ARRAY(INTEGER)) a""").collect()(0).getSeq[Int](0)
+    assert(j == Seq(1, 2), "string source keeps the JSON-to-complex family")
+  }
+
+  test("EXTRACT delegates to Presto field functions (DOW is ISO, not Spark's 0-based)") {
+    // 2020-01-05 is a SUNDAY: Presto day_of_week = 7 (ISO); Spark's own
+    // EXTRACT(DOW ...) would give 0 — the exact silent divergence the
+    // AstBuilder-style field→function mapping removes.
+    val r = spark.sql(
+      """SELECT EXTRACT(DOW FROM DATE '2020-01-05') dow,
+        |  EXTRACT(DAY_OF_WEEK FROM DATE '2020-01-06') mon,
+        |  EXTRACT(YOW FROM DATE '2021-01-01') yow,
+        |  EXTRACT(DOY FROM DATE '2020-02-01') doy,
+        |  EXTRACT(TIMEZONE_HOUR FROM CAST('2020-06-01' AS TIMESTAMP)) tzh""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 7L)   // Sunday, ISO
+    assert(r.getLong(1) == 1L)   // Monday
+    assert(r.getLong(2) == 2020L) // 2021-01-01 is ISO week 53 of 2020
+    assert(r.getLong(3) == 32L)
+    assert(r.getLong(4) == 0L)   // UTC-instant contract
+  }
+
+  test("AT TIME ZONE is at_timezone; bare temporal keywords resolve") {
+    val r = spark.sql(
+      """SELECT date_format(TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'America/New_York',
+        |  'yyyy-MM-dd HH:mm') a,
+        |  date_format(at_timezone(TIMESTAMP '2020-01-01 00:00:00', 'America/New_York'),
+        |  'yyyy-MM-dd HH:mm') b""".stripMargin).collect()(0)
+    assert(r.getString(0) == "2019-12-31 19:00" && r.getString(0) == r.getString(1))
+    assert(!spark.sql("SELECT LOCALTIMESTAMP, LOCALTIME, CURRENT_TIME").collect()(0).anyNull)
+  }
+
+  test("CHAR literal carries its codepoint length and blank-pads") {
+    val df = spark.sql("SELECT CHAR 'ab' c, length(CHAR 'ab') n")
+    assert(df.schema.head.dataType.sql.toUpperCase.startsWith("CHAR(2)"),
+      df.schema.head.dataType.sql)
+    // concat with a wider CHAR pads per the preserved-CHAR semantics
+    val padded = spark.sql("SELECT CAST(CHAR 'ab' AS CHAR(4)) p").collect()(0).getString(0)
+    assert(padded == "ab  ", s"[$padded]")
+  }
+}
