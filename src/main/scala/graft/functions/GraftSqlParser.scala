@@ -329,8 +329,158 @@ object GraftSqlParser {
     }
     rewriteSortNulls(rewriteCasts(rewriteMapCtor(rewriteUnnest(rewriteExplain(
       rewriteDecimalLiterals(rewriteExtract(rewriteAtTimeZone(
-        rewriteBareTemporals(rewriteCharLiterals(out))))))))))
+        rewriteBareTemporals(rewriteCharLiterals(rewriteFromUnnest(
+          rewriteTablesample(rewriteQuantified(rewriteArrayAggOrderBy(
+            rewriteArrayAggDistinct(out)))))))))))))))
   }
+
+  /** Presto allows UNNEST as a STANDALONE relation (`SELECT * FROM
+    * UNNEST(a) [WITH ORDINALITY] [AS t(cols)]` — grammar relationPrimary),
+    * where Spark's UNNEST only exists through our CROSS JOIN rewrite.
+    * Rewritten to a subquery over a one-row dummy + LATERAL VIEW that
+    * projects ONLY the generated columns (so `SELECT *` matches Presto).
+    */
+  private val FromUnnestStart = raw"(?is)\bFROM\s+UNNEST\s*\(".r
+  private val FromUnnestTail =
+    raw"(?is)^\s*(WITH\s+ORDINALITY\s*)?(?:AS\s+)?(\w+)?\s*(?:\(([^()]*)\))?".r
+
+  private def rewriteFromUnnest(sql: String): String =
+    FromUnnestStart.findFirstMatchIn(sql) match {
+      case Some(m) if !insideQuoteOrComment(sql, m.start) =>
+        val open = m.end - 1
+        val close = matchingParen(sql, open)
+        if (close < 0) return sql
+        val args = splitTopLevel(sql.substring(open + 1, close))
+        val t = FromUnnestTail.findFirstMatchIn(sql.substring(close + 1)).get
+        // the optional alias token must not swallow a following keyword
+        val aliasTok = Option(t.group(2)).filterNot(a => Seq("WHERE", "GROUP",
+          "ORDER", "LIMIT", "HAVING", "JOIN", "CROSS", "LEFT", "RIGHT",
+          "FULL", "INNER", "UNION", "INTERSECT", "EXCEPT", "ON", "WITH",
+          "SELECT").contains(a.toUpperCase))
+        val cols = Option(t.group(3)).filter(_ => aliasTok.isDefined)
+          .map(splitTopLevel(_).map(_.trim))
+        val ordinality = t.group(1) != null
+        val gen =
+          if (ordinality) {
+            require(args.length == 1,
+              "FROM UNNEST WITH ORDINALITY rewrite supports a single array argument")
+            s"inline(transform(${args.head}, (e, i) -> struct(e AS _c1, CAST(i + 1 AS BIGINT) AS _c2)))"
+          } else if (args.length == 1) s"explode(${args.head})"
+          else s"inline(arrays_zip(${args.mkString(", ")}))"
+        val alias = aliasTok.getOrElse("__unnest")
+        val proj = cols.map(_.mkString(", ")).getOrElse(s"$alias.*")
+        val lateral = cols match {
+          case Some(cs) => s"LATERAL VIEW $gen $alias AS ${cs.mkString(", ")}"
+          case None => s"LATERAL VIEW $gen $alias"
+        }
+        val consumed = close + 1 + (if (aliasTok.isDefined) t.end
+          else t.group(1) match { case null => 0; case g => sql.substring(close + 1).indexOf(g) + g.length })
+        sql.substring(0, m.start) +
+          s"FROM (SELECT $proj FROM (SELECT 1) AS __unnest_dummy $lateral) AS $alias" +
+          rewriteFromUnnest(sql.substring(consumed))
+      case _ => sql
+    }
+
+  /** `TABLESAMPLE BERNOULLI(p)` / `TABLESAMPLE SYSTEM(p)` (Presto
+    * sampleType) → Spark's `TABLESAMPLE (p PERCENT)`. Spark's sampling
+    * is per-row Bernoulli; the reference's SYSTEM is block sampling —
+    * both are "approximately p% of rows with no exact-count guarantee",
+    * the contract sample_bernoulli's spec pins.
+    */
+  private val Tablesample =
+    raw"(?is)\bTABLESAMPLE\s+(BERNOULLI|SYSTEM)\s*\(([^()]*)\)".r
+
+  private def rewriteTablesample(sql: String): String =
+    Tablesample.replaceAllIn(sql, m =>
+      if (insideQuoteOrComment(sql, m.start)) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else java.util.regex.Matcher.quoteReplacement(s"TABLESAMPLE (${m.group(2).trim} PERCENT)"))
+
+  /** Quantified subquery comparisons (Presto quantifiedComparison):
+    * the two forms congruent with IN rewrite textually — `= ANY/SOME
+    * (SELECT …)` → `IN (SELECT …)`, `<> ALL (SELECT …)` → `NOT IN
+    * (SELECT …)`. Ordering quantifiers (`> ALL` …) stay unsupported and
+    * error loudly at parse. The `(SELECT` anchor keeps Spark's any()/
+    * some() BOOLEAN AGGREGATES (same spellings!) untouched.
+    */
+  private val AnyQuant = raw"(?is)=\s*(?:ANY|SOME)\s*\(\s*(SELECT\b)".r
+  private val AllQuant = raw"(?is)(?:<>|!=)\s*ALL\s*\(\s*(SELECT\b)".r
+
+  private def rewriteQuantified(sql: String): String = {
+    val a = AnyQuant.replaceAllIn(sql, m =>
+      if (insideQuoteOrComment(sql, m.start)) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else java.util.regex.Matcher.quoteReplacement(s" IN (${m.group(1)}"))
+    AllQuant.replaceAllIn(a, m =>
+      if (insideQuoteOrComment(a, m.start)) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else java.util.regex.Matcher.quoteReplacement(s" NOT IN (${m.group(1)}"))
+  }
+
+  /** `array_agg(e ORDER BY k1 [ASC|DESC], …)` — Presto allows ORDER BY
+    * inside any aggregate call (grammar aggregate sortItem); Spark does
+    * not. The array_agg form (by far the common one) rewrites to a
+    * comparator sort over (value, keys) structs:
+    * transform(array_sort(array_agg(struct(e AS _v, k AS _k1, …)),
+    * (l, r) -> cmp), s -> s._v). Null sort keys compare as EQUAL here
+    * (Presto's aggregate ORDER BY puts them last) — the one contract
+    * corner, documented; other aggregates with ORDER BY error loudly.
+    */
+  private val ArrayAggStart = raw"(?is)\barray_agg\s*\(".r
+  private val OrderByInAgg = raw"(?is)\sORDER\s+BY\s".r
+
+  private def rewriteArrayAggOrderBy(sql: String): String = {
+    val m = ArrayAggStart.findFirstMatchIn(sql).orNull
+    if (m == null) return sql
+    if (insideQuoteOrComment(sql, m.start))
+      return sql.substring(0, m.end) + rewriteArrayAggOrderBy(sql.substring(m.end))
+    val open = m.end - 1
+    val close = matchingParen(sql, open)
+    if (close < 0) return sql
+    val body = sql.substring(open + 1, close)
+    // top-level ORDER BY only (depth 0, not inside a nested call)
+    val ob = OrderByInAgg.findAllMatchIn(body).find { om =>
+      val prefix = body.substring(0, om.start)
+      prefix.count(_ == '(') == prefix.count(_ == ')') &&
+        prefix.count(_ == '\'') % 2 == 0
+    }.orNull
+    val tail = rewriteArrayAggOrderBy(sql.substring(close + 1))
+    if (ob == null) return sql.substring(0, close + 1) + tail
+    val value = body.substring(0, ob.start).trim
+    val keys = splitTopLevel(body.substring(ob.end)).map(_.trim).map { k =>
+      val up = k.toUpperCase
+      if (up.endsWith(" DESC")) (k.substring(0, k.length - 5).trim, true)
+      else if (up.endsWith(" ASC")) (k.substring(0, k.length - 4).trim, false)
+      else (k, false)
+    }
+    val fields = keys.zipWithIndex.map { case ((k, _), i) => s"$k AS _k${i + 1}" }
+    val cmp = keys.zipWithIndex.foldRight("0") { case (((_, desc), i), rest) =>
+      val (lo, hi) = if (desc) ("1", "-1") else ("-1", "1")
+      val f = s"_k${i + 1}"
+      s"CASE WHEN l.$f < r.$f THEN $lo WHEN l.$f > r.$f THEN $hi ELSE $rest END"
+    }
+    sql.substring(0, m.start) +
+      s"transform(array_sort(array_agg(struct($value AS _v, ${fields.mkString(", ")})), " +
+      s"(l, r) -> $cmp), s -> s._v)" + tail
+  }
+
+  /** `array_agg(DISTINCT e)` — the custom null-keeping array_agg builder
+    * resolves to a transform() wrapper, which Spark's DISTINCT handling
+    * rejects. Presto's semantics (distinct multiset, first-occurrence
+    * order) are exactly array_distinct over the plain aggregate.
+    */
+  private val ArrayAggDistinct = raw"(?is)\barray_agg\s*\(\s*DISTINCT\b".r
+
+  private def rewriteArrayAggDistinct(sql: String): String =
+    ArrayAggDistinct.findFirstMatchIn(sql) match {
+      case Some(m) if !insideQuoteOrComment(sql, m.start) =>
+        val open = sql.indexOf('(', m.start)
+        val close = matchingParen(sql, open)
+        if (close < 0) return sql
+        val inner = sql.substring(m.end, close).trim
+        sql.substring(0, m.start) + s"array_distinct(array_agg($inner))" +
+          rewriteArrayAggDistinct(sql.substring(close + 1))
+      case Some(m) =>
+        sql.substring(0, m.end) + rewriteArrayAggDistinct(sql.substring(m.end))
+      case None => sql
+    }
 
   /** Presto's EXTRACT delegates every field to the matching scalar
     * function (AstBuilder.visitExtract — DOW → day_of_week, YOW →

@@ -325,6 +325,39 @@ object DialectOps extends QueryGroup {
       finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
     },
 
+    // standalone FROM UNNEST (Presto relationPrimary — no CROSS JOIN):
+    // rewritten to a one-row-dummy LATERAL VIEW subquery that projects
+    // only the generated columns, so SELECT * matches Presto. Multi-arg
+    // zip + explicit column alias exercised; DuckDB's unnest-in-SELECT
+    // zips the same way. ──
+    q("dialect_from_unnest",
+      """SELECT x, y FROM (SELECT unnest(['a','b','c']) AS x,
+        |  unnest([10, 20, 30]) AS y) ORDER BY y""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT x, y FROM UNNEST(ARRAY['a','b','c'], ARRAY[10, 20, 30]) AS t(x, y)
+          |ORDER BY y""".stripMargin)
+    },
+
+    // ORDER BY inside array_agg (Presto grammar aggregate sortItem;
+    // Spark has no in-aggregate sort): rewritten to a comparator
+    // array_sort over (value, keys) structs. Single-key DESC, multi-key
+    // with ties, and DISTINCT (→ array_distinct, first-occurrence
+    // multiset) all pinned; arrays emit as joined strings because the
+    // driver's comparator cannot sort array cells. ──
+    q("dialect_array_agg_order",
+      """SELECT n_regionkey,
+        |  array_to_string(array_agg(n_name ORDER BY n_nationkey DESC), '|') AS names_desc,
+        |  array_to_string(array_agg(n_name ORDER BY n_nationkey % 3, n_name DESC), '|') AS names_multi,
+        |  array_to_string(list_sort(list_distinct(array_agg(CAST(n_nationkey % 4 AS VARCHAR)))), '|') AS dk
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT n_regionkey,
+          |  concat_ws('|', array_agg(n_name ORDER BY n_nationkey DESC)) AS names_desc,
+          |  concat_ws('|', array_agg(n_name ORDER BY n_nationkey % 3, n_name DESC)) AS names_multi,
+          |  concat_ws('|', array_sort(array_agg(DISTINCT CAST(n_nationkey % 4 AS STRING)))) AS dk
+          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    },
+
     // EXTRACT field semantics (always-on dialect veneer, like the
     // date_add rewrite): Presto's AstBuilder delegates every field to
     // the matching scalar function, so DOW is ISO day_of_week (Mon=1 …

@@ -49,6 +49,65 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fails.isEmpty, fails.mkString("\n"))
   }
 
+  test("presto construct sweep round 2: relations, samples, quantifiers, agg modifiers") {
+    Tables.register(spark, TestSession.sf)
+    val probes = Seq(
+      "SELECT * FROM UNNEST(ARRAY[1,2,3])",
+      "SELECT * FROM UNNEST(ARRAY[1,2], ARRAY['a','b'])",
+      "SELECT * FROM UNNEST(ARRAY[1,2]) WITH ORDINALITY AS t(v, o)",
+      "SELECT count(*) FROM nation TABLESAMPLE BERNOULLI (50)",
+      "SELECT count(*) FROM nation TABLESAMPLE SYSTEM (50)",
+      "SELECT array_agg(n_name ORDER BY n_nationkey DESC) FROM nation",
+      "SELECT array_agg(DISTINCT n_regionkey) FROM nation",
+      "SELECT n_name FROM nation WHERE n_nationkey = ANY (SELECT r_regionkey FROM region)",
+      "SELECT n_name FROM nation WHERE n_nationkey <> ALL (SELECT r_regionkey FROM region)",
+      "SELECT ARRAY[1,2] || ARRAY[3]", "SELECT ARRAY[]", "SELECT MAP()",
+      "VALUES 1, 2, 3", "VALUES (1, 'a'), (2, 'b')",
+      "SELECT n_name FROM nation ORDER BY 1 LIMIT ALL",
+      "SELECT INTERVAL '1 02:03' DAY TO MINUTE",
+      "SELECT DATE '2020-01-02' - DATE '2020-01-01'",
+      "SELECT ROW(1, 'a') = ROW(1, 'a')",
+      "SELECT NULL IS NOT DISTINCT FROM NULL")
+    val fails = probes.flatMap { pr =>
+      try { spark.sql(pr).collect(); None }
+      catch { case e: Throwable => Some(s"$pr -- ${Option(e.getMessage).getOrElse("").take(100)}") }
+    }
+    assert(fails.isEmpty, fails.mkString("\n"))
+  }
+
+  test("standalone FROM UNNEST: zip values, SELECT * width, ordinality order") {
+    val zip = spark.sql(
+      "SELECT * FROM UNNEST(ARRAY['a','b'], ARRAY[10, 20]) AS t(x, y) ORDER BY y")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(zip == Seq(("a", 10), ("b", 20)))
+    assert(spark.sql("SELECT * FROM UNNEST(ARRAY[7, 8])").columns.length == 1,
+      "SELECT * must see only the generated column, never the dummy")
+    val ord = spark.sql(
+      "SELECT * FROM UNNEST(ARRAY['p','q']) WITH ORDINALITY AS t(v, o) ORDER BY o")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ord == Seq(("p", 1L), ("q", 2L)), "ordinality is 1-based and LAST")
+  }
+
+  test("array_agg ORDER BY / DISTINCT semantics") {
+    val r = spark.sql(
+      """SELECT array_agg(v ORDER BY k DESC) d,
+        |  array_agg(v ORDER BY k % 2, v DESC) m,
+        |  array_sort(array_agg(DISTINCT v)) u
+        |FROM VALUES ('a', 1), ('b', 2), ('c', 3), ('a', 4) AS t(v, k)""".stripMargin)
+      .collect()(0)
+    assert(r.getSeq[String](0) == Seq("a", "c", "b", "a"), r.getSeq[String](0))
+    // k % 2 groups {2,4}=0 before {1,3}=1; within groups v DESC
+    assert(r.getSeq[String](1) == Seq("b", "a", "c", "a"), r.getSeq[String](1))
+    assert(r.getSeq[String](2) == Seq("a", "b", "c"))
+    val any = spark.sql(
+      "SELECT n_nationkey FROM nation WHERE n_nationkey = ANY (SELECT r_regionkey FROM region) ORDER BY 1")
+      .collect().map(_.getInt(0)).toSeq
+    val in = spark.sql(
+      "SELECT n_nationkey FROM nation WHERE n_nationkey IN (SELECT r_regionkey FROM region) ORDER BY 1")
+      .collect().map(_.getInt(0)).toSeq
+    assert(any == in && any.nonEmpty, "= ANY must be IN")
+  }
+
   test("ROW-to-ROW cast is structural; VARCHAR-to-complex stays JSON parse") {
     val r = spark.sql(
       "SELECT CAST(ROW(1, 'a') AS ROW(x INTEGER, y VARCHAR)) r").collect()(0).getStruct(0)
