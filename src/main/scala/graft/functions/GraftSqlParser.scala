@@ -56,7 +56,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DescribeOutputStmt(name) =>
       val body = prepared.get(name.toLowerCase)
       require(body != null, s"DESCRIBE OUTPUT: prepared statement '$name' not found")
-      graft.plans.DescribeOutputCommand(rewrite(bindAllNull(body)))
+      // RAW body: the command re-parses through spark.sql → this parser,
+      // so the rewrite applies there exactly once (backslash doubling is
+      // not idempotent)
+      graft.plans.DescribeOutputCommand(bindAllNull(body))
     case DescribeInputStmt(name) =>
       val body = prepared.get(name.toLowerCase)
       require(body != null, s"DESCRIBE INPUT: prepared statement '$name' not found")
@@ -81,7 +84,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         // a textual rewrite, because metrics only exist after execution
         ExplainAnalyze.findFirstMatchIn(sqlText) match {
           case Some(m) =>
-            graft.plans.ExplainAnalyzeCommand(rewrite(sqlText.substring(m.end)))
+            // RAW text: executes via spark.sql → this parser → one rewrite
+            graft.plans.ExplainAnalyzeCommand(sqlText.substring(m.end))
           case None => dialectPlan(delegate.parsePlan(rewrite(sqlText)))
         }
     }
@@ -329,9 +333,9 @@ object GraftSqlParser {
     }
     rewriteSortNulls(rewriteCasts(rewriteMapCtor(rewriteUnnest(rewriteExplain(
       rewriteDecimalLiterals(rewriteExtract(rewriteAtTimeZone(
-        rewriteBareTemporals(rewriteCharLiterals(rewriteFromUnnest(
+        rewriteBareTemporals(rewriteCharLiterals(rewriteRawBackslashes(rewriteUnicodeLiterals(rewriteFromUnnest(
           rewriteTablesample(rewriteQuantified(rewriteArrayAggOrderBy(
-            rewriteArrayAggDistinct(out)))))))))))))))
+            rewriteArrayAggDistinct(out)))))))))))))))))
   }
 
   /** Presto allows UNNEST as a STANDALONE relation (`SELECT * FROM
@@ -590,6 +594,73 @@ object GraftSqlParser {
       else m.group(1).toUpperCase match {
         case "LOCALTIMESTAMP" => "localtimestamp()"
         case _ => "localtime()"
+      })
+
+  /** Presto string literals are STANDARD SQL: `''` is the only escape
+    * and a backslash is a literal character (`'\d'` = backslash-d),
+    * while Spark's default lexer unescapes backslash sequences — so a
+    * ported `regexp_like(x, '\d+')` would silently match the letter d.
+    * Double every backslash inside single-quoted literals so Spark's
+    * unescape restores the raw text. Runs once per statement (the
+    * re-parsing commands store raw text for exactly this reason); the
+    * U&'…' decode runs first so its emitted backslashes are protected
+    * too. Scala-side lit()/Column strings never pass through here.
+    */
+  private def rewriteRawBackslashes(sql: String): String = {
+    if (sql.indexOf('\\') < 0) return sql
+    val b = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr && c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val nl = sql.indexOf('\n', i)
+        val end = if (nl < 0) sql.length else nl + 1
+        b.append(sql.substring(i, end)); i = end
+      } else {
+        if (c == '\'') inStr = !inStr
+        if (c == '\\' && inStr) b.append("\\\\") else b.append(c)
+        i += 1
+      }
+    }
+    b.toString
+  }
+
+  /** Presto's Unicode string literal `U&'d\0061ta'` with optional
+    * `UESCAPE '#'` (grammar UNICODE_STRING / SqlParser unicode decode:
+    * `\XXXX` 4-hex, `\+XXXXXX` 6-hex, doubled escape char = itself).
+    * Decoded at rewrite time into a plain SQL literal (quotes
+    * re-escaped), so the engine's parser/codegen never sees the form.
+    */
+  private val UnicodeLiteral =
+    raw"(?is)\bU&'((?:[^']|'')*)'(?:\s+UESCAPE\s+'(.)')?".r
+
+  private def rewriteUnicodeLiterals(sql: String): String =
+    UnicodeLiteral.replaceAllIn(sql, m =>
+      if (insideQuoteOrComment(sql, m.start)) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else try {
+        val esc = Option(m.group(2)).map(_.charAt(0)).getOrElse('\\')
+        val body = m.group(1).replace("''", "'")
+        val out = new StringBuilder
+        var i = 0
+        while (i < body.length) {
+          val c = body.charAt(i)
+          if (c == esc && i + 1 < body.length && body.charAt(i + 1) == esc) {
+            out.append(esc); i += 2
+          } else if (c == esc && i + 1 < body.length && body.charAt(i + 1) == '+' &&
+              i + 8 <= body.length) {
+            out.appendAll(Character.toChars(
+              Integer.parseInt(body.substring(i + 2, i + 8), 16))); i += 8
+          } else if (c == esc && i + 5 <= body.length) {
+            out.appendAll(Character.toChars(
+              Integer.parseInt(body.substring(i + 1, i + 5), 16))); i += 5
+          } else { out.append(c); i += 1 }
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          "'" + out.toString.replace("'", "''") + "'")
+      } catch { case _: IllegalArgumentException =>
+        // malformed escape — keep the original text; the parser errors
+        java.util.regex.Matcher.quoteReplacement(m.group(0))
       })
 
   /** Presto's typed CHAR literal `CHAR 'ab'` → CAST with the literal's

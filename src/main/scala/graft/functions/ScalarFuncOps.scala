@@ -250,7 +250,7 @@ object ScalarFuncOps extends QueryGroup {
               |  regexp_replace(text, '[aeiou]', '*') AS devoweled_prefix,
               |  text RLIKE 'table' AS mentions_table,
               |  size(regexp_extract_all(text, '[a-z]+', 0)) AS n_words,
-              |  size(split(text, '\\s+')) AS n_tokens
+              |  size(split(text, '\s+')) AS n_tokens  -- raw Presto literal: the parser doubles the backslash for Spark's lexer
               |FROM documents
               |WHERE doc_id < 100
               |ORDER BY doc_id""".stripMargin)

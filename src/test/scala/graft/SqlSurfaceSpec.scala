@@ -108,6 +108,39 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(any == in && any.nonEmpty, "= ANY must be IN")
   }
 
+  test("presto construct sweep round 3: row access, IGNORE NULLS, unicode literals") {
+    Tables.register(spark, TestSession.sf)
+    val probes = Seq(
+      "SELECT CAST(ROW(1, 'a') AS ROW(x INTEGER, y VARCHAR)).x",
+      "SELECT lag(n_name) IGNORE NULLS OVER (ORDER BY n_nationkey) FROM nation LIMIT 2",
+      "SELECT first_value(n_name) IGNORE NULLS OVER (ORDER BY n_nationkey) FROM nation LIMIT 2",
+      "SELECT nth_value(n_name, 2) OVER (ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM nation LIMIT 2",
+      "SELECT sum(n_nationkey) OVER (ORDER BY n_nationkey RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) FROM nation LIMIT 2",
+      "SELECT ARRAY[ROW(1,'a'), ROW(2,'b')]",
+      "SELECT sequence(DATE '2020-01-01', DATE '2020-01-03', INTERVAL '1' DAY)",
+      "SELECT repeat('ab', 3), repeat(ARRAY[1], 2)")
+    val fails = probes.flatMap { pr =>
+      try { spark.sql(pr).collect(); None }
+      catch { case e: Throwable => Some(s"$pr -- ${Option(e.getMessage).getOrElse("").take(100)}") }
+    }
+    assert(fails.isEmpty, fails.mkString("\n"))
+  }
+
+  test("U& unicode literals decode: 4-hex, 6-hex astral, UESCAPE, doubled escape, quotes") {
+    val r = spark.sql(
+      """SELECT U&'d\0061ta' a, U&'#0041#+01F600x' UESCAPE '#' b,
+        |  U&'back\\slash' c, U&'it''s \0041' d""".stripMargin).collect()(0)
+    assert(r.getString(0) == "data")
+    assert(r.getString(1) == "A\ud83d\ude00x") // U+1F600 as a surrogate pair, then x
+    assert(r.getString(2) == "back\\slash")
+    // standard-SQL literal semantics (escapedStringLiterals): '\d' is
+    // backslash-d like Presto, not Spark's default unescape-to-d
+    val raw = spark.sql("""SELECT '\d' a, length('\d') n, regexp_extract('x7', '\d+', 0) m""")
+      .collect()(0)
+    assert(raw.getString(0) == "\\d" && raw.getInt(1) == 2 && raw.getString(2) == "7")
+    assert(r.getString(3) == "it's A")
+  }
+
   test("ROW-to-ROW cast is structural; VARCHAR-to-complex stays JSON parse") {
     val r = spark.sql(
       "SELECT CAST(ROW(1, 'a') AS ROW(x INTEGER, y VARCHAR)) r").collect()(0).getStruct(0)
