@@ -57,6 +57,94 @@ object GraftFnUtils {
     org.apache.spark.unsafe.types.UTF8String.fromString(
       java.util.regex.Pattern.quote(s.toString))
 
+  // ── zone-carrying TIMESTAMP WITH TIME ZONE helpers (ZonedTimestamps;
+  // reference presto-spi DateTimeEncoding.java packs millis+zoneKey into
+  // one long — here the zone rides as the struct's second field and these
+  // helpers are the unpack-and-observe operations) ──
+  private def ztzZone(zone: org.apache.spark.unsafe.types.UTF8String): java.time.ZoneId =
+    java.time.ZoneId.of(zone.toString, java.time.ZoneId.SHORT_IDS)
+  private def ztzInstant(micros: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+      Math.floorMod(micros, 1000000L) * 1000L)
+  private def ztzOffsetSeconds(micros: Long, zone: org.apache.spark.unsafe.types.UTF8String): Int =
+    ztzZone(zone).getRules.getOffset(ztzInstant(micros)).getTotalSeconds
+
+  /** timezone_hour of a zone-carrying value (DateTimeFunctions.java
+    * timeZoneHourFromTimestampWithTimeZone) — hours of the zone's offset
+    * at that instant, truncated toward zero so -05:30 yields -5/-30.
+    */
+  def tzOffsetHour(micros: Long, zone: org.apache.spark.unsafe.types.UTF8String): Long =
+    (ztzOffsetSeconds(micros, zone) / 3600).toLong
+
+  def tzOffsetMinute(micros: Long, zone: org.apache.spark.unsafe.types.UTF8String): Long =
+    ((ztzOffsetSeconds(micros, zone) % 3600) / 60).toLong
+
+  private val ztzRenderFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+
+  /** CAST(TIMESTAMP WITH TIME ZONE AS VARCHAR) rendering (reference
+    * DateTimeUtils.printTimestampWithTimeZone: Joda pattern
+    * "yyyy-MM-dd HH:mm:ss.SSS ZZZ" — wall clock in the value's own zone,
+    * then the zone id as the user attached it).
+    */
+  def renderZoned(micros: Long, zone: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val ldt = java.time.LocalDateTime.ofInstant(ztzInstant(micros), ztzZone(zone))
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      ztzRenderFmt.format(ldt) + " " + zone.toString)
+  }
+
+  private val ztzIsoFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+
+  /** to_iso8601 of a zone-carrying value: wall clock plus the zone's
+    * numeric offset at that instant, 'Z' at offset zero (the reference's
+    * Joda ISODateTimeFormat zero-offset text).
+    */
+  def isoZoned(micros: Long, zone: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val zid = ztzZone(zone)
+    val inst = ztzInstant(micros)
+    val off = zid.getRules.getOffset(inst)
+    val txt = if (off.getTotalSeconds == 0) "Z" else off.getId
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      ztzIsoFmt.format(java.time.LocalDateTime.ofInstant(inst, zid)) + txt)
+  }
+
+  private val ztzIsoOffset = raw"(Z|[+-]\d{2}:\d{2})\s*$$".r
+  private val ztzTrailingZone =
+    raw"(?:\s([A-Za-z][A-Za-z0-9_\-]*/[A-Za-z][A-Za-z0-9_\-+/]*|UTC|GMT|UT)|\s?(Z|[+-]\d{1,2}:\d{2}))\s*$$".r
+
+  /** The zone from_iso8601_timestamp carries: the string's explicit
+    * offset ('Z' normalizes to UTC), or the pinned session zone (UTC)
+    * when absent (reference DateTimeFunctions.fromISO8601Timestamp packs
+    * the parsed chronology's zone, session zone as the default).
+    */
+  def isoZoneOf(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    // require a time part so a date's "-01" tail never reads as an offset
+    val m = if (str.contains("T") || str.contains(":")) ztzIsoOffset.findFirstMatchIn(str) else None
+    org.apache.spark.unsafe.types.UTF8String.fromString(m match {
+      case Some(g) if g.group(1) != "Z" => g.group(1)
+      case _ => "UTC"
+    })
+  }
+
+  /** The zone token a CAST(varchar AS TIMESTAMP WITH TIME ZONE) carries:
+    * a trailing region id / fixed offset / UTC spelling, else the pinned
+    * session zone (the reference parses the zone out of the literal text,
+    * DateTimeUtils.parseTimestampWithTimeZone).
+    */
+  def zoneTokenOf(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    val m = if (str.contains(":") || str.contains("T") || str.contains(" "))
+      ztzTrailingZone.findFirstMatchIn(str) else None
+    org.apache.spark.unsafe.types.UTF8String.fromString(m match {
+      case Some(g) if g.group(1) != null => g.group(1)
+      case Some(g) if g.group(2) != null && g.group(2) != "Z" => g.group(2)
+      case Some(_) => "UTC"
+      case None => "UTC"
+    })
+  }
+
   /** reference operator/scalar/StringFunctions.java (hamming_distance). */
   def hammingDistance(a: String, b: String): Long = {
     require(a.codePointCount(0, a.length) == b.codePointCount(0, b.length),
@@ -938,10 +1026,12 @@ object GraftFunctions {
         GetTimestamp(s, Literal(GraftFnUtils.jodaToJavaPattern(fmt)), TimestampType)
       case Seq(s, f) => GetTimestamp(s, jodaPatternAt(f), TimestampType)
     },
-    "from_iso8601_timestamp" -> { case Seq(s) => Cast(s, TimestampType) },
+    "from_iso8601_timestamp" -> { case Seq(s) =>
+      if (ZonedTimestamps.enabled) ZonedFromIso(s) else Cast(s, TimestampType) },
     "from_iso8601_date" -> { case Seq(s) => Cast(s, DateType) },
     "to_iso8601" -> { case Seq(t) =>
-      DateFormatClass(Cast(t, TimestampType), Literal("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")) },
+      if (ZonedTimestamps.enabled) ZonedIso(t)
+      else DateFormatClass(Cast(t, TimestampType), Literal("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")) },
     // at_timezone / with_timezone (DateTimeFunctions.java). The engine's
     // documented TIMESTAMP WITH TIME ZONE approximation (SURVEY.md §1.2):
     // instants are UTC timestamps (session TZ pinned to UTC), the zone
@@ -949,8 +1039,19 @@ object GraftFunctions {
     // wall-clock of this instant in `zone`" = from_utc_timestamp;
     // with_timezone(ts, zone) means "the instant whose wall-clock in
     // `zone` is ts" = to_utc_timestamp.
-    "at_timezone" -> { case Seq(t, z) => FromUTCTimestamp(Cast(t, TimestampType), z) },
-    "with_timezone" -> { case Seq(t, z) => ToUTCTimestamp(Cast(t, TimestampType), z) },
+    // Under the opt-in zone-carrying mode (ZonedTimestamps) both return
+    // a zoned struct: at_timezone keeps the instant and sets the zone,
+    // with_timezone interprets the wall clock in the zone — the
+    // reference's actual TIMESTAMP WITH TIME ZONE results.
+    "at_timezone" -> { case Seq(t, z) =>
+      if (ZonedTimestamps.enabled) ZonedAtTimezone(t, z)
+      else FromUTCTimestamp(Cast(t, TimestampType), z) },
+    "with_timezone" -> { case Seq(t, z) =>
+      if (ZonedTimestamps.enabled) ZonedWithTimezone(t, z)
+      else ToUTCTimestamp(Cast(t, TimestampType), z) },
+    // CAST(x AS TIMESTAMP WITH TIME ZONE) spelled by the parser's cast
+    // rewrite when the zoned mode is on
+    "zoned_tstz" -> { case Seq(t) => ZonedCastToZoned(t) },
 
     // ── math family (MathFunctions.java:65) ──
     // Presto to_base/from_base are SIGNED (MathFunctions.java to_base
@@ -1010,11 +1111,15 @@ object GraftFunctions {
       Cast(org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
         "date_part", Seq(Literal("YEAROFWEEK"), t), isDistinct = false), LongType) },
     // timezone_hour/minute: under the engine's documented UTC-instant
-    // approximation every timestamp's zone is UTC → offset 0 (SURVEY §1.2)
+    // approximation every timestamp's zone is UTC → offset 0 (SURVEY
+    // §1.2); under the opt-in zoned mode a carried zone reports its
+    // offset at the value's instant (ZonedTzOffset)
     "timezone_hour" -> { case Seq(t) =>
-      If(IsNull(t), Literal(null, LongType), Literal(0L)) },
+      if (ZonedTimestamps.enabled) ZonedTzOffset(t, minuteUnit = false)
+      else If(IsNull(t), Literal(null, LongType), Literal(0L)) },
     "timezone_minute" -> { case Seq(t) =>
-      If(IsNull(t), Literal(null, LongType), Literal(0L)) },
+      if (ZonedTimestamps.enabled) ZonedTzOffset(t, minuteUnit = true)
+      else If(IsNull(t), Literal(null, LongType), Literal(0L)) },
     // parse_duration → DAY-TO-SECOND interval (physical micros);
     // to_milliseconds is its bigint projection (DateTimeFunctions.java)
     "parse_duration" -> { case Seq(s) =>

@@ -72,8 +72,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * rewrite sees structure (not text) and never touches DataFrame-API
     * plans.
     */
-  private def dialectPlan(plan: LogicalPlan): LogicalPlan =
-    if (PrestoOperators.enabled) PrestoOperators(plan) else plan
+  private def dialectPlan(plan: LogicalPlan): LogicalPlan = {
+    val p1 = if (PrestoOperators.enabled) PrestoOperators(plan) else plan
+    if (ZonedTimestamps.enabled) ZonedTimestamps(p1) else p1
+  }
 
   private def parsePlanRest(sqlText: String): LogicalPlan =
     sessionStatement(sqlText, prepared) match {
@@ -92,9 +94,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseQuery(sqlText: String): LogicalPlan =
     dialectPlan(delegate.parseQuery(rewrite(sqlText)))
   override def parseExpression(sqlText: String): Expression = {
-    val e = delegate.parseExpression(rewrite(sqlText))
-    if (PrestoOperators.enabled) e.transformDown(PrestoOperators.exprRewrite)
-    else e
+    val e0 = delegate.parseExpression(rewrite(sqlText))
+    val e1 = if (PrestoOperators.enabled) e0.transformDown(PrestoOperators.exprRewrite) else e0
+    if (ZonedTimestamps.enabled) e1.transformDown(ZonedTimestamps.exprRewrite) else e1
   }
 
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -204,6 +206,10 @@ object GraftSqlParser {
       // truncation + 1-based subscripts — PrestoOperators)
       case "graft.presto_operators" =>
         s"SET ${PrestoOperators.ConfKey}=${value.toLowerCase == "true"}"
+      // engine-specific: opt-in zone-carrying TIMESTAMP WITH TIME ZONE
+      // (ZonedTimestamps)
+      case "graft.zoned_timestamps" =>
+        s"SET ${ZonedTimestamps.ConfKey}=${value.toLowerCase == "true"}"
       case other => throw new IllegalArgumentException(
         s"SET SESSION $other: no Spark mapping for this session property " +
           "(reference SystemSessionProperties.java)")
@@ -321,6 +327,12 @@ object GraftSqlParser {
     // NULL INPUT is left to error loudly: silently dropping it would
     // change null propagation.
     var out = CalledOnNull.replaceAllIn(sql, "")
+    // zone-carrying TIMESTAMP WITH TIME ZONE literals (opt-in conf;
+    // ZonedTimestamps): `TIMESTAMP '<wall> <zone>'` constructs a zoned
+    // value by interpreting the wall clock in the zone — exactly
+    // with_timezone. Default-off path keeps Spark's own literal parse
+    // (zone consumed, instant kept — the documented approximation).
+    if (ZonedTimestamps.enabled) out = rewriteZonedTsLiterals(out)
     out = QuotedAlias.replaceAllIn(out, m =>
       "\"" + m.group(1) + "\" AS \"" + m.group(2) + "\"")
     out = DateAddDiff.replaceAllIn(out, m =>
@@ -579,6 +591,22 @@ object GraftSqlParser {
     sql.substring(0, start) + s"at_timezone($operand, $zone)" +
       rewriteAtTimeZone(sql.substring(m.end))
   }
+
+  /** Zoned TIMESTAMP literal: `TIMESTAMP '<wall> <zone>'` where the zone
+    * is a region id (at least one '/'), a UTC spelling, or a numeric
+    * offset (SqlBase.g4 TIMESTAMP literal → TimestampWithTimeZoneType
+    * when the text carries a zone, TestDateTimeFunctionsBase literals).
+    * Applied only when ZonedTimestamps is enabled.
+    */
+  private val ZonedTsLit =
+    raw"(?is)\bTIMESTAMP\s*'([^']+?)\s+((?:[A-Za-z][A-Za-z0-9_\-]*/[A-Za-z][A-Za-z0-9_\-+/]*)|UTC|GMT|UT|[+-]\d{1,2}:\d{2})'".r
+
+  private def rewriteZonedTsLiterals(sql: String): String =
+    ZonedTsLit.replaceAllIn(sql, m =>
+      if (insideQuoteOrComment(sql, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else java.util.regex.Matcher.quoteReplacement(
+        s"with_timezone(TIMESTAMP '${m.group(1)}', '${m.group(2)}')"))
 
   /** Presto's bare temporal keywords (grammar specialExpression):
     * LOCALTIMESTAMP / LOCALTIME / CURRENT_TIME have no parenthesized
@@ -979,6 +1007,12 @@ object GraftSqlParser {
           val tpe = body.substring(asIdx + 3).trim
           val up = tpe.toUpperCase
           if (up == "JSON") s"cast_to_json($expr)"
+          // TIMESTAMP WITH TIME ZONE: zone-carrying under the opt-in conf
+          // (string sources keep their own trailing zone token); the
+          // documented UTC-instant approximation otherwise
+          else if (up.replaceAll("\\s+", " ") == "TIMESTAMP WITH TIME ZONE")
+            if (ZonedTimestamps.enabled) s"zoned_tstz($expr)"
+            else s"CAST($expr AS TIMESTAMP)"
           else if (up.startsWith("ARRAY(") || up.startsWith("MAP(") || up.startsWith("ROW("))
             // source type decides JSON-parse vs structural cast — the
             // late-binding ComplexCastDispatch picks after resolution

@@ -1,0 +1,539 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.trees.TreePattern
+import org.apache.spark.sql.catalyst.trees.TreePattern.TreePattern
+import org.apache.spark.sql.types._
+
+/** Opt-in zone-carrying TIMESTAMP WITH TIME ZONE
+  * (`SET spark.graft.zonedTimestamps=true` /
+  * `SET SESSION graft.zoned_timestamps=true`).
+  *
+  * The reference packs a zone id INTO every TIMESTAMP WITH TIME ZONE
+  * value (presto-spi `TimestampWithTimeZoneType.java`,
+  * `DateTimeEncoding.java`: millisUtc << 12 | zoneKey); Spark has no
+  * zone-carrying type, and the engine's default contract (COVERAGE.md
+  * "Zoned temporal types") deliberately approximates with the UTC
+  * instant. Under this conf the zone is CARRIED, Spark-first: a zoned
+  * value is a plain `struct<ztz_utc: timestamp, ztz_tz: string>` —
+  * transparent to codegen, parquet, and shuffle (the reference's packed
+  * long, re-expressed as two columns) — and every zone-observing surface
+  * is rewritten at parse time into late-binding dispatch expressions
+  * (the [[PrestoOperators]] trick: types are unknown at parse, so the
+  * node picks its replacement once children resolve; non-zoned operands
+  * keep stock behavior EXACTLY, so the rewrite is a no-op for every
+  * query that never constructs a zoned value).
+  *
+  * Carried-zone surfaces (reference semantics, DateTimeFunctions.java /
+  * DateTimeOperators.java / the $operator registry on
+  * TIMESTAMP_WITH_TIME_ZONE):
+  *  - literals `TIMESTAMP '2001-08-22 03:04:05.321 Asia/Tokyo'` and
+  *    `CAST(x AS TIMESTAMP WITH TIME ZONE)` (zone parsed from string
+  *    text; session zone UTC otherwise) construct zoned values;
+  *  - `at_timezone` keeps the instant and sets the zone;
+  *    `with_timezone` interprets a naive wall clock in the zone;
+  *  - rendering (`CAST(z AS VARCHAR)`) prints the wall clock in the
+  *    value's own zone plus the zone id; `to_iso8601` prints the
+  *    numeric offset; `CAST(z AS TIMESTAMP)` yields the wall clock,
+  *    `CAST(z AS DATE)` its date (TimestampWithTimeZoneOperators casts);
+  *  - field extraction (hour … year_of_week, EXTRACT) reads the wall
+  *    clock in the value's zone; `timezone_hour`/`timezone_minute` read
+  *    the zone's offset at that instant;
+  *  - `date_trunc` truncates the wall clock in the zone and KEEPS the
+  *    zone; `+/- INTERVAL DAY TO SECOND` is an exact duration on the
+  *    instant while `INTERVAL YEAR TO MONTH` adds on the wall clock in
+  *    the zone (DateTimeOperators.java: raw-millis add vs chronology
+  *    monthOfYear().add); the date_add/date_diff FIELD functions follow
+  *    Joda field precision — hour-and-below on the instant,
+  *    day-and-above on the wall clock (DST-aware);
+  *  - comparisons (`< = >` …, BETWEEN, IN-lists) compare INSTANTS, the
+  *    reference's millisUtc ordering — two values of the same instant in
+  *    different zones are equal.
+  *
+  * Documented residuals (pinned in ZonedTimestampsSpec): GROUP BY /
+  * DISTINCT on a raw zoned value hashes (instant, zone) pairs where the
+  * reference hashes the instant alone — group on `at_timezone(z, 'UTC')`
+  * for instant grouping; ORDER BY sorts instant-first with the zone
+  * string as a deterministic tie-break (any reference-valid order);
+  * `now()` stays the naive session-zone (UTC) timestamp.
+  */
+object ZonedTimestamps {
+
+  val ConfKey = "spark.graft.zonedTimestamps"
+
+  def enabled: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(ConfKey, "false").toBoolean
+    catch { case _: Throwable => false }
+
+  val UtcField = "ztz_utc"
+  val TzField = "ztz_tz"
+
+  val zonedType: StructType = StructType(Seq(
+    StructField(UtcField, TimestampType), StructField(TzField, StringType)))
+
+  def isZoned(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.length == 2 &&
+      s.fields(0).name == UtcField && s.fields(0).dataType == TimestampType &&
+      s.fields(1).name == TzField && s.fields(1).dataType == StringType
+    case _ => false
+  }
+
+  private[functions] def mk(utc: Expression, tz: Expression): Expression =
+    CreateNamedStruct(Seq(Literal(UtcField), utc, Literal(TzField), tz))
+  private[functions] def utcOf(z: Expression): Expression =
+    GetStructField(z, 0, Some(UtcField))
+  private[functions] def tzOf(z: Expression): Expression =
+    GetStructField(z, 1, Some(TzField))
+  private[functions] def wallOf(z: Expression): Expression =
+    FromUTCTimestamp(utcOf(z), tzOf(z))
+  private[functions] def nullZ: Expression = Literal(null, zonedType)
+
+  /** Joda field precision (reference getTimestampField / chronology
+    * duration fields): hour and below are precise (instant arithmetic);
+    * day and above are imprecise (wall-clock arithmetic in the zone).
+    */
+  private[functions] val PreciseUnits =
+    Set("HOUR", "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND")
+
+  /** Functions whose first argument observes the WALL CLOCK of a zoned
+    * value (DateTimeFunctions field extraction + formatting all unpack
+    * with unpackChronology(zone) — i.e. read wall time in the zone).
+    */
+  private val WallArgFns: Set[String] = Set(
+    "hour", "minute", "second", "millisecond", "day", "day_of_month",
+    "month", "year", "quarter", "day_of_week", "dow", "day_of_year", "doy",
+    "week", "week_of_year", "year_of_week", "yow", "last_day_of_month",
+    "date_format", "format_datetime")
+
+  /** Functions whose first argument observes the INSTANT. */
+  private val InstantArgFns: Set[String] = Set("to_unixtime")
+
+  private def fnName(u: UnresolvedFunction): String =
+    if (u.nameParts.length == 1) u.nameParts.head.toLowerCase else ""
+
+  private def intervalish(e: Expression): Boolean = e match {
+    case Literal(_, _: DayTimeIntervalType) => true
+    case Literal(_, _: YearMonthIntervalType) => true
+    case UnaryMinus(Literal(_, _: DayTimeIntervalType), _) => true
+    case UnaryMinus(Literal(_, _: YearMonthIntervalType), _) => true
+    case _ => false
+  }
+
+  val exprRewrite: PartialFunction[Expression, Expression] = {
+    // instant-based comparison (TimestampWithTimeZoneOperators: every
+    // comparison unpacks millisUtc) — operands wrap transparently, so
+    // coercion still sees the real operand types when nothing is zoned
+    case bc: BinaryComparison if !bc.left.isInstanceOf[ZonedInstant] =>
+      bc.withNewChildren(Seq(ZonedInstant(bc.left), ZonedInstant(bc.right)))
+    case In(v, list) if !v.isInstanceOf[ZonedInstant] =>
+      In(ZonedInstant(v), list.map(ZonedInstant(_)))
+    case c: Cast
+        if c.dataType == StringType || c.dataType == TimestampType ||
+          c.dataType == DateType =>
+      ZonedRenderCast(c.child, c.dataType, c.evalMode)
+    case u: UnresolvedFunction
+        if WallArgFns.contains(fnName(u)) && u.arguments.nonEmpty &&
+          !u.arguments.head.isInstanceOf[ZonedWall] =>
+      u.copy(arguments = ZonedWall(u.arguments.head) +: u.arguments.tail)
+    case u: UnresolvedFunction
+        if InstantArgFns.contains(fnName(u)) && u.arguments.nonEmpty &&
+          !u.arguments.head.isInstanceOf[ZonedInstant] =>
+      u.copy(arguments = ZonedInstant(u.arguments.head) +: u.arguments.tail)
+    case u: UnresolvedFunction
+        if fnName(u) == "date_trunc" && u.arguments.size == 2 =>
+      ZonedTrunc(u.arguments.head, u.arguments(1))
+    case ta: TimestampAdd =>
+      ZonedTimestampAddX(ta.unit, ta.quantity, ta.timestamp)
+    case td: TimestampDiff =>
+      ZonedTimestampDiffX(td.unit, td.startTimestamp, td.endTimestamp)
+    case Add(l, r, _) if intervalish(r) => ZonedIntervalAdd(l, r, negate = false)
+    case Add(l, r, _) if intervalish(l) => ZonedIntervalAdd(r, l, negate = false)
+    case Subtract(l, r, _) if intervalish(r) => ZonedIntervalAdd(l, r, negate = true)
+  }
+
+  /** Rewrite every expression, including subquery plans and CTE bodies
+    * (UnresolvedWith keeps cteRelations outside `children` — same
+    * traversal as [[PrestoOperators.apply]]).
+    */
+  def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDownWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, r, m) =>
+          (n, apply(r).asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias], m)
+        })
+      case p => p.transformExpressionsDown(exprRewrite)
+    }
+}
+
+/** The instant (UTC timestamp) of a maybe-zoned operand; transparent —
+  * identical type and value — on anything that is not zoned.
+  */
+case class ZonedInstant(child: Expression) extends Expression
+    with RuntimeReplaceable with UnaryLike[Expression] {
+  override def prettyName: String = "zoned_instant"
+  override lazy val replacement: Expression =
+    if (ZonedTimestamps.isZoned(child.dataType)) ZonedTimestamps.utcOf(child)
+    else child
+  override protected def withNewChildInternal(c: Expression): ZonedInstant =
+    copy(child = c)
+}
+
+/** The wall clock of a maybe-zoned operand in its own zone; transparent
+  * on anything that is not zoned.
+  */
+case class ZonedWall(child: Expression) extends Expression
+    with RuntimeReplaceable with UnaryLike[Expression] {
+  override def prettyName: String = "zoned_wall"
+  override lazy val replacement: Expression =
+    if (ZonedTimestamps.isZoned(child.dataType)) ZonedTimestamps.wallOf(child)
+    else child
+  override protected def withNewChildInternal(c: Expression): ZonedWall =
+    copy(child = c)
+}
+
+/** CAST of a maybe-zoned value to VARCHAR (render in the value's zone),
+  * TIMESTAMP (wall clock), or DATE (wall-clock date) — reference
+  * TimestampWithTimeZoneOperators cast family; a plain Cast otherwise.
+  */
+case class ZonedRenderCast(child: Expression, target: DataType,
+    evalMode: EvalMode.Value, timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression]
+    with TimeZoneAwareExpression {
+  import ZonedTimestamps._
+  override def prettyName: String = "zoned_cast"
+  override def withTimeZone(tz: String): ZonedRenderCast = copy(timeZoneId = Some(tz))
+  // TimeZoneAwareExpression's final nodePatterns overwrites the
+  // RUNTIME_REPLACEABLE bit RuntimeReplaceable's init set, which hides
+  // the node from ReplaceExpressions' pruned traversal — re-declare it
+  // through the trait's extension point so the optimizer swaps the node
+  // AND ResolveTimeZone still assigns the session zone.
+  override def nodePatternsInternal(): Seq[TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+  override lazy val replacement: Expression =
+    if (isZoned(child.dataType)) target match {
+      case StringType => StaticInvoke(
+        GraftFnUtils.getClass, StringType, "renderZoned",
+        Seq(utcOf(child), tzOf(child)),
+        inputTypes = Seq(TimestampType, StringType), propagateNull = true)
+      case TimestampType => wallOf(child)
+      case _ => Cast(wallOf(child), DateType, timeZoneId, evalMode)
+    } else Cast(child, target, timeZoneId, evalMode)
+  override protected def withNewChildInternal(c: Expression): ZonedRenderCast =
+    copy(child = c)
+}
+
+/** at_timezone under zone-carrying semantics: same instant, zone set to
+  * z (DateTimeFunctions.java atTimeZone). A naive operand is the
+  * documented UTC instant.
+  */
+case class ZonedAtTimezone(t: Expression, z: Expression,
+    timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable with BinaryLike[Expression]
+    with TimeZoneAwareExpression {
+  import ZonedTimestamps._
+  override def prettyName: String = "at_timezone"
+  override def left: Expression = t
+  override def right: Expression = z
+  override def withTimeZone(tz: String): ZonedAtTimezone = copy(timeZoneId = Some(tz))
+  // TimeZoneAwareExpression's final nodePatterns overwrites the
+  // RUNTIME_REPLACEABLE bit RuntimeReplaceable's init set, which hides
+  // the node from ReplaceExpressions' pruned traversal — re-declare it
+  // through the trait's extension point so the optimizer swaps the node
+  // AND ResolveTimeZone still assigns the session zone.
+  override def nodePatternsInternal(): Seq[TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+  override lazy val replacement: Expression = {
+    val inner =
+      if (isZoned(t.dataType)) mk(utcOf(t), z)
+      else mk(Cast(t, TimestampType, timeZoneId), z)
+    If(Or(IsNull(t), IsNull(z)), nullZ, inner)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ZonedAtTimezone = copy(t = l, z = r)
+}
+
+/** with_timezone under zone-carrying semantics: interpret the operand's
+  * wall clock in z (DateTimeFunctions.java withTimezone).
+  */
+case class ZonedWithTimezone(t: Expression, z: Expression,
+    timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable with BinaryLike[Expression]
+    with TimeZoneAwareExpression {
+  import ZonedTimestamps._
+  override def prettyName: String = "with_timezone"
+  override def left: Expression = t
+  override def right: Expression = z
+  override def withTimeZone(tz: String): ZonedWithTimezone = copy(timeZoneId = Some(tz))
+  // TimeZoneAwareExpression's final nodePatterns overwrites the
+  // RUNTIME_REPLACEABLE bit RuntimeReplaceable's init set, which hides
+  // the node from ReplaceExpressions' pruned traversal — re-declare it
+  // through the trait's extension point so the optimizer swaps the node
+  // AND ResolveTimeZone still assigns the session zone.
+  override def nodePatternsInternal(): Seq[TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+  override lazy val replacement: Expression = {
+    val wall = if (isZoned(t.dataType)) wallOf(t) else Cast(t, TimestampType, timeZoneId)
+    If(Or(IsNull(t), IsNull(z)), nullZ, mk(ToUTCTimestamp(wall, z), z))
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ZonedWithTimezone = copy(t = l, z = r)
+}
+
+/** timezone_hour / timezone_minute: the carried zone's offset at the
+  * value's instant; the documented constant-0 UTC approximation on
+  * naive operands.
+  */
+case class ZonedTzOffset(child: Expression, minuteUnit: Boolean)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression] {
+  import ZonedTimestamps._
+  override def prettyName: String =
+    if (minuteUnit) "timezone_minute" else "timezone_hour"
+  override lazy val replacement: Expression =
+    if (isZoned(child.dataType)) StaticInvoke(
+      GraftFnUtils.getClass, LongType,
+      if (minuteUnit) "tzOffsetMinute" else "tzOffsetHour",
+      Seq(utcOf(child), tzOf(child)),
+      inputTypes = Seq(TimestampType, StringType), propagateNull = true)
+    else If(IsNull(child), Literal(null, LongType), Literal(0L))
+  override protected def withNewChildInternal(c: Expression): ZonedTzOffset =
+    copy(child = c)
+}
+
+/** date_trunc: truncate the wall clock in the value's zone and KEEP the
+  * zone (DateTimeFunctions truncate on unpackChronology); stock
+  * TruncTimestamp on naive operands.
+  */
+case class ZonedTrunc(fmt: Expression, t: Expression,
+    timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable with BinaryLike[Expression]
+    with TimeZoneAwareExpression {
+  import ZonedTimestamps._
+  override def prettyName: String = "date_trunc"
+  override def left: Expression = fmt
+  override def right: Expression = t
+  override def withTimeZone(tz: String): ZonedTrunc = copy(timeZoneId = Some(tz))
+  // TimeZoneAwareExpression's final nodePatterns overwrites the
+  // RUNTIME_REPLACEABLE bit RuntimeReplaceable's init set, which hides
+  // the node from ReplaceExpressions' pruned traversal — re-declare it
+  // through the trait's extension point so the optimizer swaps the node
+  // AND ResolveTimeZone still assigns the session zone.
+  override def nodePatternsInternal(): Seq[TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+  override lazy val replacement: Expression =
+    if (isZoned(t.dataType))
+      If(IsNull(t), nullZ,
+        mk(ToUTCTimestamp(TruncTimestamp(fmt, wallOf(t), timeZoneId), tzOf(t)), tzOf(t)))
+    else TruncTimestamp(fmt, Cast(t, TimestampType, timeZoneId), timeZoneId)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ZonedTrunc = copy(fmt = l, t = r)
+}
+
+/** to_iso8601: wall clock plus numeric offset for zoned values; the
+  * existing UTC 'Z' rendering otherwise.
+  */
+case class ZonedIso(child: Expression, timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression]
+    with TimeZoneAwareExpression {
+  import ZonedTimestamps._
+  override def prettyName: String = "to_iso8601"
+  override def withTimeZone(tz: String): ZonedIso = copy(timeZoneId = Some(tz))
+  // TimeZoneAwareExpression's final nodePatterns overwrites the
+  // RUNTIME_REPLACEABLE bit RuntimeReplaceable's init set, which hides
+  // the node from ReplaceExpressions' pruned traversal — re-declare it
+  // through the trait's extension point so the optimizer swaps the node
+  // AND ResolveTimeZone still assigns the session zone.
+  override def nodePatternsInternal(): Seq[TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+  override lazy val replacement: Expression =
+    if (isZoned(child.dataType)) StaticInvoke(
+      GraftFnUtils.getClass, StringType, "isoZoned",
+      Seq(utcOf(child), tzOf(child)),
+      inputTypes = Seq(TimestampType, StringType), propagateNull = true)
+    else DateFormatClass(Cast(child, TimestampType, timeZoneId),
+      Literal("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"), timeZoneId)
+  override protected def withNewChildInternal(c: Expression): ZonedIso =
+    copy(child = c)
+}
+
+/** from_iso8601_timestamp: carries the string's explicit offset (session
+  * zone UTC when absent) — reference fromISO8601Timestamp packs the
+  * parsed chronology's zone.
+  */
+case class ZonedFromIso(child: Expression, timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression]
+    with TimeZoneAwareExpression {
+  import ZonedTimestamps._
+  override def prettyName: String = "from_iso8601_timestamp"
+  override def withTimeZone(tz: String): ZonedFromIso = copy(timeZoneId = Some(tz))
+  // TimeZoneAwareExpression's final nodePatterns overwrites the
+  // RUNTIME_REPLACEABLE bit RuntimeReplaceable's init set, which hides
+  // the node from ReplaceExpressions' pruned traversal — re-declare it
+  // through the trait's extension point so the optimizer swaps the node
+  // AND ResolveTimeZone still assigns the session zone.
+  override def nodePatternsInternal(): Seq[TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+  override lazy val replacement: Expression =
+    If(IsNull(child), nullZ,
+      mk(Cast(child, TimestampType, timeZoneId),
+        StaticInvoke(GraftFnUtils.getClass, StringType, "isoZoneOf",
+          Seq(child), inputTypes = Seq(StringType), propagateNull = true)))
+  override protected def withNewChildInternal(c: Expression): ZonedFromIso =
+    copy(child = c)
+}
+
+/** CAST(x AS TIMESTAMP WITH TIME ZONE): a zoned value passes through; a
+  * string carries its own trailing zone token (session zone UTC when
+  * absent); timestamps/dates attach the session zone.
+  */
+case class ZonedCastToZoned(child: Expression, timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression]
+    with TimeZoneAwareExpression {
+  import ZonedTimestamps._
+  override def prettyName: String = "zoned_tstz"
+  override def withTimeZone(tz: String): ZonedCastToZoned = copy(timeZoneId = Some(tz))
+  // TimeZoneAwareExpression's final nodePatterns overwrites the
+  // RUNTIME_REPLACEABLE bit RuntimeReplaceable's init set, which hides
+  // the node from ReplaceExpressions' pruned traversal — re-declare it
+  // through the trait's extension point so the optimizer swaps the node
+  // AND ResolveTimeZone still assigns the session zone.
+  override def nodePatternsInternal(): Seq[TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+  override lazy val replacement: Expression =
+    if (isZoned(child.dataType)) child
+    else child.dataType match {
+      case _: StringType =>
+        If(IsNull(child), nullZ,
+          mk(Cast(child, TimestampType, timeZoneId),
+            StaticInvoke(GraftFnUtils.getClass, StringType, "zoneTokenOf",
+              Seq(child), inputTypes = Seq(StringType), propagateNull = true)))
+      case _ =>
+        If(IsNull(child), nullZ,
+          mk(Cast(child, TimestampType, timeZoneId), Literal("UTC")))
+    }
+  override protected def withNewChildInternal(c: Expression): ZonedCastToZoned =
+    copy(child = c)
+}
+
+/** `ts +/- INTERVAL` with zone-carrying semantics (DateTimeOperators):
+  * day-time intervals add to the INSTANT; year-month intervals add on
+  * the wall clock in the value's zone; non-zoned operands replay the
+  * stock analyzer arithmetic exactly.
+  */
+case class ZonedIntervalAdd(ts: Expression, iv: Expression, negate: Boolean,
+    timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable with BinaryLike[Expression]
+    with TimeZoneAwareExpression {
+  import ZonedTimestamps._
+  override def prettyName: String = if (negate) "zoned_minus" else "zoned_plus"
+  override def left: Expression = ts
+  override def right: Expression = iv
+  override def withTimeZone(tz: String): ZonedIntervalAdd = copy(timeZoneId = Some(tz))
+  // TimeZoneAwareExpression's final nodePatterns overwrites the
+  // RUNTIME_REPLACEABLE bit RuntimeReplaceable's init set, which hides
+  // the node from ReplaceExpressions' pruned traversal — re-declare it
+  // through the trait's extension point so the optimizer swaps the node
+  // AND ResolveTimeZone still assigns the session zone.
+  override def nodePatternsInternal(): Seq[TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+  private def ivx: Expression = if (negate) UnaryMinus(iv) else iv
+  override lazy val replacement: Expression = (ts.dataType, iv.dataType) match {
+    case (z, _: DayTimeIntervalType) if isZoned(z) =>
+      If(IsNull(ts), nullZ,
+        mk(TimestampAddInterval(utcOf(ts), ivx, timeZoneId), tzOf(ts)))
+    case (z, _: YearMonthIntervalType) if isZoned(z) =>
+      If(IsNull(ts), nullZ,
+        mk(ToUTCTimestamp(TimestampAddYMInterval(wallOf(ts), ivx, timeZoneId), tzOf(ts)),
+          tzOf(ts)))
+    case (TimestampType, _: DayTimeIntervalType) =>
+      TimestampAddInterval(ts, ivx, timeZoneId)
+    case (TimestampType, _: YearMonthIntervalType) =>
+      TimestampAddYMInterval(ts, ivx, timeZoneId)
+    case (DateType, _: DayTimeIntervalType) =>
+      TimestampAddInterval(Cast(ts, TimestampType, timeZoneId), ivx, timeZoneId)
+    case (DateType, _: YearMonthIntervalType) => DateAddYMInterval(ts, ivx)
+    case (_: StringType, _: DayTimeIntervalType) =>
+      TimestampAddInterval(Cast(ts, TimestampType, timeZoneId), ivx, timeZoneId)
+    case (_: StringType, _: YearMonthIntervalType) =>
+      TimestampAddYMInterval(Cast(ts, TimestampType, timeZoneId), ivx, timeZoneId)
+    case _ => if (negate) Subtract(ts, iv) else Add(ts, iv)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ZonedIntervalAdd = copy(ts = l, iv = r)
+}
+
+/** date_add / timestampadd with zone-carrying semantics: precise units
+  * (hour and below) add to the instant, imprecise units on the wall
+  * clock in the zone — Joda field precision, reference
+  * DateTimeFunctions.addFieldValueTimestampWithTimeZone.
+  */
+case class ZonedTimestampAddX(unit: String, quantity: Expression, ts: Expression,
+    timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable with BinaryLike[Expression]
+    with TimeZoneAwareExpression {
+  import ZonedTimestamps._
+  override def prettyName: String = "date_add"
+  override def left: Expression = quantity
+  override def right: Expression = ts
+  override def withTimeZone(tz: String): ZonedTimestampAddX = copy(timeZoneId = Some(tz))
+  // TimeZoneAwareExpression's final nodePatterns overwrites the
+  // RUNTIME_REPLACEABLE bit RuntimeReplaceable's init set, which hides
+  // the node from ReplaceExpressions' pruned traversal — re-declare it
+  // through the trait's extension point so the optimizer swaps the node
+  // AND ResolveTimeZone still assigns the session zone.
+  override def nodePatternsInternal(): Seq[TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+  override lazy val replacement: Expression = {
+    val q = Cast(quantity, LongType)
+    if (isZoned(ts.dataType)) {
+      if (PreciseUnits.contains(unit.toUpperCase))
+        If(IsNull(ts), nullZ,
+          mk(TimestampAdd(unit, q, utcOf(ts), timeZoneId), tzOf(ts)))
+      else
+        If(IsNull(ts), nullZ,
+          mk(ToUTCTimestamp(TimestampAdd(unit, q, wallOf(ts), timeZoneId), tzOf(ts)),
+            tzOf(ts)))
+    } else TimestampAdd(unit, q, Cast(ts, TimestampType, timeZoneId), timeZoneId)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ZonedTimestampAddX = copy(quantity = l, ts = r)
+}
+
+/** date_diff / timestampdiff with zone-carrying semantics: precise units
+  * diff instants; imprecise units diff wall clocks in each value's zone
+  * (Joda field getDifference on the packed chronology).
+  */
+case class ZonedTimestampDiffX(unit: String, startTs: Expression, endTs: Expression,
+    timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable with BinaryLike[Expression]
+    with TimeZoneAwareExpression {
+  import ZonedTimestamps._
+  override def prettyName: String = "date_diff"
+  override def left: Expression = startTs
+  override def right: Expression = endTs
+  override def withTimeZone(tz: String): ZonedTimestampDiffX = copy(timeZoneId = Some(tz))
+  // TimeZoneAwareExpression's final nodePatterns overwrites the
+  // RUNTIME_REPLACEABLE bit RuntimeReplaceable's init set, which hides
+  // the node from ReplaceExpressions' pruned traversal — re-declare it
+  // through the trait's extension point so the optimizer swaps the node
+  // AND ResolveTimeZone still assigns the session zone.
+  override def nodePatternsInternal(): Seq[TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+  override lazy val replacement: Expression = {
+    def inst(e: Expression) =
+      if (isZoned(e.dataType)) utcOf(e) else Cast(e, TimestampType, timeZoneId)
+    def wall(e: Expression) =
+      if (isZoned(e.dataType)) wallOf(e) else Cast(e, TimestampType, timeZoneId)
+    if (isZoned(startTs.dataType) || isZoned(endTs.dataType)) {
+      if (PreciseUnits.contains(unit.toUpperCase))
+        TimestampDiff(unit, inst(startTs), inst(endTs), timeZoneId)
+      else TimestampDiff(unit, wall(startTs), wall(endTs), timeZoneId)
+    } else TimestampDiff(unit, inst(startTs), inst(endTs), timeZoneId)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ZonedTimestampDiffX = copy(startTs = l, endTs = r)
+}

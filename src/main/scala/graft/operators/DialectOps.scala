@@ -338,6 +338,141 @@ object DialectOps extends QueryGroup {
           |ORDER BY y""".stripMargin)
     },
 
+    // ── zone-carrying TIMESTAMP WITH TIME ZONE (opt-in conf;
+    // ZonedTimestamps — reference presto-spi TimestampWithTimeZoneType /
+    // DateTimeEncoding, presto-main DateTimeFunctions). Operands are
+    // construct-then-observe: a wall-clock string built from order keys
+    // (always 10:00–13:59 local, away from every DST transition hour so
+    // gap/overlap resolution differences can't leak in) interpreted in a
+    // per-row REGION zone (DuckDB's ICU silently maps unknown/offset
+    // zone spellings to UTC — probed — so fixed offsets are pinned in
+    // ZonedTimestampsSpec instead). The DuckDB twin computes every
+    // observation from its native TIMESTAMPTZ + `timezone()` with the
+    // offset derived as epoch(wall)-epoch(instant). ──
+    q("dialect_ztz_observe",
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    (['Asia/Tokyo', 'America/New_York', 'Australia/Lord_Howe',
+        |      'Asia/Kolkata', 'UTC'])[CAST(o_orderkey % 5 AS INTEGER) + 1] AS zone,
+        |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || ' ' ||
+        |      lpad(CAST(10 + o_custkey % 4 AS VARCHAR), 2, '0') || ':' ||
+        |      lpad(CAST(o_custkey % 60 AS VARCHAR), 2, '0') || ':' ||
+        |      lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') AS ws
+        |  FROM orders),
+        |z AS (
+        |  SELECT k, zone, CAST(ws AS TIMESTAMP) AS wall,
+        |    timezone(zone, CAST(ws AS TIMESTAMP)) AS tstz
+        |  FROM t),
+        |o AS (
+        |  SELECT *, CAST(epoch(wall) - epoch(tstz) AS BIGINT) AS off
+        |  FROM z)
+        |SELECT k,
+        |  strftime(wall, '%Y-%m-%d %H:%M:%S.%g') || ' ' || zone AS render,
+        |  strftime(wall, '%Y-%m-%dT%H:%M:%S.%g') ||
+        |    CASE WHEN off = 0 THEN 'Z' ELSE
+        |      (CASE WHEN off < 0 THEN '-' ELSE '+' END ||
+        |       lpad(CAST(CAST((abs(off) - (abs(off) % 3600)) / 3600 AS BIGINT) AS VARCHAR), 2, '0') || ':' ||
+        |       lpad(CAST(CAST((abs(off) % 3600) / 60 AS BIGINT) AS VARCHAR), 2, '0')) END AS iso,
+        |  CAST(hour(wall) AS BIGINT) AS hr,
+        |  CAST(minute(wall) AS BIGINT) AS mi,
+        |  CAST(day(wall) AS BIGINT) AS dy,
+        |  CAST(month(wall) AS BIGINT) AS mo,
+        |  CAST(isodow(wall) AS BIGINT) AS dow,
+        |  CAST(CAST((off - (off % 3600)) / 3600 AS BIGINT) AS BIGINT) AS tzh,
+        |  CAST(CAST((off % 3600) / 60 AS BIGINT) AS BIGINT) AS tzm,
+        |  CAST(wall AS VARCHAR) AS wall_str,
+        |  CAST(CAST(wall AS DATE) AS VARCHAR) AS d_str,
+        |  CAST(epoch(tstz) AS BIGINT) AS unix
+        |FROM o ORDER BY k LIMIT 500""".stripMargin) { (s, _) =>
+      s.conf.set(graft.functions.ZonedTimestamps.ConfKey, "true")
+      try s.sql(
+        """WITH t AS (
+          |  SELECT o_orderkey AS k,
+          |    element_at(array('Asia/Tokyo', 'America/New_York', 'Australia/Lord_Howe',
+          |      'Asia/Kolkata', 'UTC'), CAST(o_orderkey % 5 AS INT) + 1) AS zone,
+          |    concat(CAST(CAST(o_orderdate AS DATE) AS STRING), ' ',
+          |      lpad(CAST(10 + o_custkey % 4 AS STRING), 2, '0'), ':',
+          |      lpad(CAST(o_custkey % 60 AS STRING), 2, '0'), ':',
+          |      lpad(CAST(o_orderkey % 60 AS STRING), 2, '0')) AS ws
+          |  FROM orders),
+          |z AS (
+          |  SELECT k, with_timezone(CAST(ws AS TIMESTAMP), zone) AS zt
+          |  FROM t)
+          |SELECT k,
+          |  CAST(zt AS VARCHAR) AS render,
+          |  to_iso8601(zt) AS iso,
+          |  CAST(hour(zt) AS BIGINT) AS hr,
+          |  CAST(minute(zt) AS BIGINT) AS mi,
+          |  CAST(day(zt) AS BIGINT) AS dy,
+          |  CAST(month(zt) AS BIGINT) AS mo,
+          |  CAST(day_of_week(zt) AS BIGINT) AS dow,
+          |  timezone_hour(zt) AS tzh,
+          |  timezone_minute(zt) AS tzm,
+          |  CAST(CAST(zt AS TIMESTAMP) AS VARCHAR) AS wall_str,
+          |  CAST(CAST(zt AS DATE) AS VARCHAR) AS d_str,
+          |  CAST(to_unixtime(zt) AS BIGINT) AS unix
+          |FROM z ORDER BY k LIMIT 500""".stripMargin)
+      finally s.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
+    },
+
+    // zone-carrying arithmetic: date_trunc keeps the zone; day-time
+    // intervals are exact durations on the instant, year-month intervals
+    // and the date_add/date_diff field functions are wall-aware
+    // (DateTimeOperators.java raw-millis add vs chronology add);
+    // comparisons stay instant-based across zones. The +26h column
+    // CROSSES New-York's 2026-03-08 spring-forward for k≡1 (mod 5) rows
+    // in the shifted-window variant below, exercised deterministically in
+    // ZonedTimestampsSpec; here every row's window is DST-quiet so the
+    // two engines' gap handling cannot diverge.
+    q("dialect_ztz_arith",
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    (['Asia/Tokyo', 'America/New_York', 'Australia/Lord_Howe',
+        |      'Asia/Kolkata', 'UTC'])[CAST(o_orderkey % 5 AS INTEGER) + 1] AS zone,
+        |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || ' ' ||
+        |      lpad(CAST(10 + o_custkey % 4 AS VARCHAR), 2, '0') || ':30:00' AS ws
+        |  FROM orders),
+        |z AS (
+        |  SELECT k, zone, CAST(ws AS TIMESTAMP) AS wall,
+        |    timezone(zone, CAST(ws AS TIMESTAMP)) AS tstz
+        |  FROM t)
+        |SELECT k,
+        |  strftime(CAST(date_trunc('day', wall) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%g') || ' ' || zone AS trunc_day,
+        |  strftime(date_trunc('hour', wall), '%Y-%m-%d %H:%M:%S.%g') || ' ' || zone AS trunc_hour,
+        |  strftime(timezone(zone, tstz + INTERVAL 26 HOUR), '%Y-%m-%d %H:%M:%S.%g') || ' ' || zone AS plus_dt,
+        |  strftime(wall + INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S.%g') || ' ' || zone AS plus_ym,
+        |  strftime(wall + INTERVAL 3 DAY, '%Y-%m-%d %H:%M:%S.%g') || ' ' || zone AS dadd,
+        |  CAST(3 AS BIGINT) AS dd_day,
+        |  CAST(26 AS BIGINT) AS dd_hour,
+        |  tstz > TIMESTAMPTZ '1995-06-15 00:00:00+00' AS cmp_lit,
+        |  TRUE AS eq_cross
+        |FROM z ORDER BY k LIMIT 500""".stripMargin) { (s, _) =>
+      s.conf.set(graft.functions.ZonedTimestamps.ConfKey, "true")
+      try s.sql(
+        """WITH t AS (
+          |  SELECT o_orderkey AS k,
+          |    element_at(array('Asia/Tokyo', 'America/New_York', 'Australia/Lord_Howe',
+          |      'Asia/Kolkata', 'UTC'), CAST(o_orderkey % 5 AS INT) + 1) AS zone,
+          |    concat(CAST(CAST(o_orderdate AS DATE) AS STRING), ' ',
+          |      lpad(CAST(10 + o_custkey % 4 AS STRING), 2, '0'), ':30:00') AS ws
+          |  FROM orders),
+          |z AS (
+          |  SELECT k, with_timezone(CAST(ws AS TIMESTAMP), zone) AS zt
+          |  FROM t)
+          |SELECT k,
+          |  CAST(date_trunc('day', zt) AS VARCHAR) AS trunc_day,
+          |  CAST(date_trunc('hour', zt) AS VARCHAR) AS trunc_hour,
+          |  CAST(zt + INTERVAL '26' HOUR AS VARCHAR) AS plus_dt,
+          |  CAST(zt + INTERVAL '1' MONTH AS VARCHAR) AS plus_ym,
+          |  CAST(date_add('day', 3, zt) AS VARCHAR) AS dadd,
+          |  date_diff('day', zt, date_add('day', 3, zt)) AS dd_day,
+          |  date_diff('hour', zt, zt + INTERVAL '26' HOUR) AS dd_hour,
+          |  zt > TIMESTAMP '1995-06-15 00:00:00 UTC' AS cmp_lit,
+          |  at_timezone(zt, 'Asia/Tokyo') = at_timezone(zt, 'America/New_York') AS eq_cross
+          |FROM z ORDER BY k LIMIT 500""".stripMargin)
+      finally s.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
+    },
+
     // ORDER BY inside array_agg (Presto grammar aggregate sortItem;
     // Spark has no in-aggregate sort): rewritten to a comparator
     // array_sort over (value, keys) structs. Single-key DESC, multi-key

@@ -1,0 +1,237 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ZonedTimestamps
+
+/** Pins the opt-in zone-carrying TIMESTAMP WITH TIME ZONE mode
+  * (ZonedTimestamps; reference presto-spi TimestampWithTimeZoneType.java
+  * / DateTimeEncoding.java, presto-main DateTimeFunctions.java). Every
+  * family asserts BOTH states: conf off (the engine's documented
+  * UTC-instant approximation — provably untouched) and on (carried-zone
+  * reference semantics).
+  */
+class ZonedTimestampsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def withZoned[T](f: => T): T = {
+    spark.conf.set(ZonedTimestamps.ConfKey, "true")
+    try f finally spark.conf.unset(ZonedTimestamps.ConfKey)
+  }
+
+  private def one(sql: String): Any =
+    spark.sql(sql).collect()(0).get(0)
+
+  private val TokyoLit = "TIMESTAMP '2001-08-22 03:04:05.321 Asia/Tokyo'"
+
+  test("zoned literal: carried zone renders, instant is the zone-shifted UTC") {
+    withZoned {
+      assert(one(s"SELECT CAST($TokyoLit AS VARCHAR)") ==
+        "2001-08-22 03:04:05.321 Asia/Tokyo")
+      // the instant is 18:04:05.321 UTC of the previous day (UTC+9)
+      assert(one(s"SELECT to_unixtime($TokyoLit)") ==
+        one("SELECT to_unixtime(TIMESTAMP '2001-08-21 18:04:05.321')"))
+      // offset-zone literal
+      assert(one("SELECT CAST(TIMESTAMP '2001-08-22 03:04:05.321 +05:30' AS VARCHAR)") ==
+        "2001-08-22 03:04:05.321 +05:30")
+    }
+    // conf off: Spark's own literal parse consumes the zone into the
+    // instant (documented approximation), renders in session UTC
+    assert(one(s"SELECT CAST($TokyoLit AS STRING)").toString
+      .startsWith("2001-08-21 18:04:05.321"))
+  }
+
+  test("at_timezone keeps the instant and sets the zone; with_timezone interprets the wall clock") {
+    withZoned {
+      assert(one(s"SELECT CAST(at_timezone($TokyoLit, 'America/Los_Angeles') AS VARCHAR)") ==
+        "2001-08-21 11:04:05.321 America/Los_Angeles")
+      // same instant in any zone ⇒ equal (millisUtc comparison)
+      assert(one(s"SELECT at_timezone($TokyoLit, 'America/Los_Angeles') = $TokyoLit") == true)
+      assert(one(
+        "SELECT CAST(with_timezone(TIMESTAMP '2020-06-01 12:00:00', 'Asia/Tokyo') AS VARCHAR)") ==
+        "2020-06-01 12:00:00.000 Asia/Tokyo")
+      // AT TIME ZONE spelling routes through the same construct
+      assert(one(s"SELECT CAST($TokyoLit AT TIME ZONE 'UTC' AS VARCHAR)") ==
+        "2001-08-21 18:04:05.321 UTC")
+    }
+    // conf off: at_timezone is the documented wall-clock shift
+    assert(one("SELECT CAST(at_timezone(TIMESTAMP '2020-01-01 00:00:00', 'Asia/Tokyo') AS STRING)")
+      .toString.startsWith("2020-01-01 09:00:00"))
+  }
+
+  test("timezone_hour / timezone_minute read the carried zone's offset at the instant") {
+    withZoned {
+      assert(one("SELECT timezone_hour(TIMESTAMP '2020-01-01 10:00:00 +05:30')") == 5L)
+      assert(one("SELECT timezone_minute(TIMESTAMP '2020-01-01 10:00:00 +05:30')") == 30L)
+      // negative offsets truncate toward zero on BOTH fields
+      assert(one("SELECT timezone_hour(TIMESTAMP '2020-01-01 10:00:00 -05:30')") == -5L)
+      assert(one("SELECT timezone_minute(TIMESTAMP '2020-01-01 10:00:00 -05:30')") == -30L)
+      // DST-varying offset: New York is -5 in January, -4 in July
+      assert(one("SELECT timezone_hour(TIMESTAMP '2020-01-15 10:00:00 America/New_York')") == -5L)
+      assert(one("SELECT timezone_hour(TIMESTAMP '2020-07-15 10:00:00 America/New_York')") == -4L)
+      // half-hour DST zone: Lord Howe +10:30 standard, +11:00 daylight
+      assert(one("SELECT timezone_minute(TIMESTAMP '2020-07-15 10:00:00 Australia/Lord_Howe')") == 30L)
+      assert(one("SELECT timezone_minute(TIMESTAMP '2020-01-15 10:00:00 Australia/Lord_Howe')") == 0L)
+    }
+    // conf off: pinned constant-0 approximation
+    assert(one("SELECT timezone_hour(TIMESTAMP '2020-01-15 10:00:00')") == 0L)
+  }
+
+  test("field extraction reads the wall clock in the value's own zone") {
+    withZoned {
+      assert(one(s"SELECT hour($TokyoLit)") == 3)
+      assert(one(s"SELECT day($TokyoLit)") == 22)
+      assert(one(s"SELECT EXTRACT(HOUR FROM $TokyoLit)") == 3)
+      assert(one(s"SELECT minute($TokyoLit)") == 4)
+      assert(one(s"SELECT year_of_week($TokyoLit)") == 2001L)
+      // format functions observe the wall clock too
+      assert(one(s"SELECT format_datetime($TokyoLit, 'yyyy-MM-dd HH:mm')") ==
+        "2001-08-22 03:04")
+    }
+    // conf off: naive literal extraction unchanged
+    assert(one("SELECT hour(TIMESTAMP '2001-08-22 03:04:05')") == 3)
+  }
+
+  test("casts: VARCHAR renders, TIMESTAMP yields the wall clock, DATE its date") {
+    withZoned {
+      assert(one(s"SELECT CAST(CAST($TokyoLit AS TIMESTAMP) AS VARCHAR)").toString
+        .startsWith("2001-08-22 03:04:05.321"))
+      assert(one(s"SELECT CAST(CAST($TokyoLit AS DATE) AS VARCHAR)") == "2001-08-22")
+      // CAST(varchar AS TIMESTAMP WITH TIME ZONE) keeps the string's zone
+      assert(one(
+        "SELECT CAST(CAST('2001-08-22 03:04:05.321 Asia/Tokyo' AS TIMESTAMP WITH TIME ZONE) AS VARCHAR)") ==
+        "2001-08-22 03:04:05.321 Asia/Tokyo")
+      // naive sources attach the session zone (UTC)
+      assert(one(
+        "SELECT CAST(CAST(TIMESTAMP '2001-08-22 03:04:05' AS TIMESTAMP WITH TIME ZONE) AS VARCHAR)") ==
+        "2001-08-22 03:04:05.000 UTC")
+    }
+    // conf off: the cast maps to the documented TIMESTAMP approximation
+    assert(one("SELECT CAST(CAST('2001-08-22 03:04:05 Asia/Tokyo' AS TIMESTAMP WITH TIME ZONE) AS STRING)")
+      .toString.startsWith("2001-08-21 18:04:05"))
+  }
+
+  test("iso8601: to_iso8601 prints the numeric offset; from_iso8601_timestamp carries it") {
+    withZoned {
+      assert(one(s"SELECT to_iso8601($TokyoLit)") == "2001-08-22T03:04:05.321+09:00")
+      assert(one("SELECT to_iso8601(TIMESTAMP '2001-08-22 03:04:05.321 UTC')") ==
+        "2001-08-22T03:04:05.321Z")
+      assert(one("SELECT CAST(from_iso8601_timestamp('2001-08-22T03:04:05.321+09:00') AS VARCHAR)") ==
+        "2001-08-22 03:04:05.321 +09:00")
+      assert(one("SELECT CAST(from_iso8601_timestamp('2001-08-22T03:04:05.321Z') AS VARCHAR)") ==
+        "2001-08-22 03:04:05.321 UTC")
+    }
+    // conf off unchanged: UTC-instant 'Z' rendering
+    assert(one("SELECT to_iso8601(TIMESTAMP '2001-08-22 03:04:05.321')") ==
+      "2001-08-22T03:04:05.321Z")
+  }
+
+  test("comparisons and IN-lists are instant-based across zones") {
+    withZoned {
+      // 03:04 Tokyo == 18:04 previous day UTC — equal instants
+      assert(one(s"SELECT $TokyoLit = TIMESTAMP '2001-08-21 18:04:05.321 UTC'") == true)
+      assert(one(s"SELECT $TokyoLit > TIMESTAMP '2001-08-21 18:04:05.320 UTC'") == true)
+      assert(one(s"SELECT $TokyoLit < TIMESTAMP '2001-08-21 18:04:05.322 UTC'") == true)
+      // zoned vs naive: the naive side is the documented UTC instant
+      assert(one(s"SELECT $TokyoLit = TIMESTAMP '2001-08-21 18:04:05.321'") == true)
+      assert(one(s"SELECT $TokyoLit BETWEEN TIMESTAMP '2001-08-21 18:00:00 UTC' AND TIMESTAMP '2001-08-21 19:00:00 UTC'") == true)
+      assert(one(s"SELECT $TokyoLit IN (TIMESTAMP '2001-08-21 18:04:05.321 UTC', TIMESTAMP '2030-01-01 00:00:00 UTC')") == true)
+    }
+  }
+
+  test("interval arithmetic: precise units add to the instant, day+ adds wall-clock in zone") {
+    withZoned {
+      // spring forward in New York, 2026-03-08 02:00 EST → 03:00 EDT.
+      val z = "with_timezone(TIMESTAMP '2026-03-08 00:30:00', 'America/New_York')"
+      // +26 hours of REAL time crosses the gap: wall advances 27h
+      assert(one(s"SELECT CAST($z + INTERVAL '26' HOUR AS VARCHAR)") ==
+        "2026-03-09 03:30:00.000 America/New_York")
+      // INTERVAL DAY TO SECOND is an EXACT duration in the reference
+      // (DateTimeOperators.java adds raw millis): +1 DAY = +24 real
+      // hours, so the wall clock lands one hour later across the gap
+      assert(one(s"SELECT CAST($z + INTERVAL '1' DAY AS VARCHAR)") ==
+        "2026-03-09 01:30:00.000 America/New_York")
+      // …whereas the date_add FIELD spelling is wall-aware; the two
+      // notions really differ by one hour of real time
+      assert(one(s"SELECT date_diff('hour', date_add('day', 1, $z), $z + INTERVAL '1' DAY)") == 1L)
+      // year-month adds on the wall clock too
+      assert(one(s"SELECT CAST($z + INTERVAL '1' MONTH AS VARCHAR)") ==
+        "2026-04-08 00:30:00.000 America/New_York")
+      // subtraction mirrors addition
+      assert(one(s"SELECT CAST(($z + INTERVAL '1' DAY) - INTERVAL '1' DAY AS VARCHAR)") ==
+        "2026-03-08 00:30:00.000 America/New_York")
+      // date_add field spelling: day+ fields are wall-aware (Joda
+      // chronology add), hour and below act on the instant
+      assert(one(s"SELECT CAST(date_add('day', 1, $z) AS VARCHAR)") ==
+        "2026-03-09 00:30:00.000 America/New_York")
+      assert(one(s"SELECT CAST(date_add('hour', 26, $z) AS VARCHAR)") ==
+        "2026-03-09 03:30:00.000 America/New_York")
+      // date_diff: 'day' counts wall days (1), 'hour' counts real hours (23)
+      assert(one(s"SELECT date_diff('day', $z, date_add('day', 1, $z))") == 1L)
+      assert(one(s"SELECT date_diff('hour', $z, date_add('day', 1, $z))") == 23L)
+    }
+    // conf off: naive interval arithmetic unchanged
+    assert(one("SELECT CAST(TIMESTAMP '2026-03-08 00:30:00' + INTERVAL '1' DAY AS STRING)")
+      .toString.startsWith("2026-03-09 00:30:00"))
+  }
+
+  test("date_trunc truncates the wall clock in the zone and keeps the zone") {
+    withZoned {
+      assert(one(s"SELECT CAST(date_trunc('day', $TokyoLit) AS VARCHAR)") ==
+        "2001-08-22 00:00:00.000 Asia/Tokyo")
+      assert(one(s"SELECT CAST(date_trunc('hour', $TokyoLit) AS VARCHAR)") ==
+        "2001-08-22 03:00:00.000 Asia/Tokyo")
+      // truncation result still compares by instant
+      assert(one(s"SELECT date_trunc('day', $TokyoLit) < $TokyoLit") == true)
+    }
+    // conf off unchanged
+    assert(one("SELECT CAST(date_trunc('day', TIMESTAMP '2001-08-22 03:04:05') AS STRING)")
+      .toString.startsWith("2001-08-22 00:00:00"))
+  }
+
+  test("nulls propagate; min/max and ORDER BY follow instant order") {
+    withZoned {
+      assert(one("SELECT at_timezone(CAST(NULL AS TIMESTAMP), 'Asia/Tokyo') IS NULL") == true)
+      assert(one("SELECT timezone_hour(CAST(NULL AS TIMESTAMP))") == null)
+      // min/max pick by instant (struct ordering is instant-first)
+      assert(one(
+        s"""SELECT CAST(min(z) AS VARCHAR) FROM (
+           |  SELECT $TokyoLit AS z
+           |  UNION ALL SELECT TIMESTAMP '2001-08-21 17:00:00.000 UTC')""".stripMargin) ==
+        "2001-08-21 17:00:00.000 UTC")
+      val ordered = spark.sql(
+        s"""SELECT CAST(z AS VARCHAR) FROM (
+           |  SELECT $TokyoLit AS z
+           |  UNION ALL SELECT TIMESTAMP '2001-08-21 17:00:00.000 UTC'
+           |  UNION ALL SELECT TIMESTAMP '2001-08-22 05:00:00.000 +09:00')
+           |ORDER BY z""".stripMargin).collect().map(_.getString(0))
+      assert(ordered.head == "2001-08-21 17:00:00.000 UTC")
+      assert(ordered.last == "2001-08-22 05:00:00.000 +09:00")
+    }
+  }
+
+  test("documented residual: GROUP BY on a raw zoned value keys (instant, zone); at_timezone-normalize for instant grouping") {
+    withZoned {
+      val twoZonesOneInstant =
+        s"(SELECT $TokyoLit AS z UNION ALL SELECT TIMESTAMP '2001-08-21 18:04:05.321 UTC')"
+      // raw grouping sees two (instant, zone) pairs — the residual
+      assert(spark.sql(s"SELECT z FROM $twoZonesOneInstant GROUP BY z").count() == 2)
+      // the documented normalization groups by instant
+      assert(spark.sql(
+        s"SELECT at_timezone(z, 'UTC') FROM $twoZonesOneInstant GROUP BY at_timezone(z, 'UTC')")
+        .count() == 1)
+    }
+  }
+
+  test("the zoned mode leaves ordinary queries untouched (casts, comparisons, intervals all stock)") {
+    withZoned {
+      assert(one("SELECT CAST(1.9 AS STRING)") == "1.9")
+      assert(one("SELECT CAST('2020-01-02' AS DATE) > CAST('2020-01-01' AS DATE)") == true)
+      assert(one("SELECT CAST(TIMESTAMP '2020-01-01 00:00:00' + INTERVAL '2' HOUR AS STRING)")
+        .toString.startsWith("2020-01-01 02:00:00"))
+      assert(one("SELECT date_diff('day', DATE '2020-01-01', DATE '2020-02-01')") == 31L)
+      assert(one("SELECT 3 IN (1, 2, 3)") == true)
+      assert(one("SELECT hour(TIMESTAMP '2020-01-01 07:08:09')") == 7)
+    }
+  }
+}
