@@ -145,6 +145,51 @@ object GraftFnUtils {
     })
   }
 
+  /** The text with a trailing zone token removed — the time-of-day part
+    * of a zone-suffixed TIME string (reference parseTimeWithTimeZone).
+    */
+  def stripZoneToken(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      ztzTrailingZone.findFirstMatchIn(str) match {
+        case Some(m) => str.substring(0, m.start).trim
+        case None => str
+      })
+  }
+
+  // ── TIME WITH TIME ZONE helpers (reference presto-spi
+  // TimeWithTimeZoneType.java / SqlTimeWithTimeZone: wall millis-of-day
+  // + packed zone, normalized and compared at the EPOCH date — the
+  // type's documented 1970-01-01 offset-evaluation quirk) ──
+  private val ttzRenderFmt =
+    java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss.SSS")
+
+  def renderZonedTime(nanos: Long, zone: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      ttzRenderFmt.format(java.time.LocalTime.ofNanoOfDay(nanos)) + " " + zone.toString)
+
+  private def ttzEpochOffsetSeconds(zone: org.apache.spark.unsafe.types.UTF8String): Int =
+    ztzZone(zone).getRules.getOffset(java.time.Instant.EPOCH).getTotalSeconds
+
+  def tzTimeOffsetHour(nanos: Long, zone: org.apache.spark.unsafe.types.UTF8String): Long =
+    (ttzEpochOffsetSeconds(zone) / 3600).toLong
+
+  def tzTimeOffsetMinute(nanos: Long, zone: org.apache.spark.unsafe.types.UTF8String): Long =
+    ((ttzEpochOffsetSeconds(zone) % 3600) / 60).toLong
+
+  /** UTC-normalized nanos (wall − offset) — the reference's packed
+    * millisUtc that TIME WITH TIME ZONE comparisons order by.
+    */
+  def zonedTimeUtcNanos(nanos: Long, zone: org.apache.spark.unsafe.types.UTF8String): Long =
+    nanos - ttzEpochOffsetSeconds(zone) * 1000000000L
+
+  /** Time-of-day (TIME nanos) of a timestamp's micros — Spark has no
+    * TIMESTAMP→TIME cast, so CAST(tstz AS TIME WITH TIME ZONE) extracts
+    * the wall clock's nanos directly.
+    */
+  def microsToNanosOfDay(micros: Long): Long =
+    Math.floorMod(micros, 86400000000L) * 1000L
+
   /** reference operator/scalar/StringFunctions.java (hamming_distance). */
   def hammingDistance(a: String, b: String): Long = {
     require(a.codePointCount(0, a.length) == b.codePointCount(0, b.length),
@@ -1049,9 +1094,11 @@ object GraftFunctions {
     "with_timezone" -> { case Seq(t, z) =>
       if (ZonedTimestamps.enabled) ZonedWithTimezone(t, z)
       else ToUTCTimestamp(Cast(t, TimestampType), z) },
-    // CAST(x AS TIMESTAMP WITH TIME ZONE) spelled by the parser's cast
-    // rewrite when the zoned mode is on
+    // CAST(x AS TIMESTAMP/TIME WITH TIME ZONE) + the zoned TIME literal,
+    // spelled by the parser's rewrites when the zoned mode is on
     "zoned_tstz" -> { case Seq(t) => ZonedCastToZoned(t) },
+    "zoned_ttz" -> { case Seq(t, z) => ZonedTimeAttach(t, z) },
+    "zoned_ttz_cast" -> { case Seq(t) => ZonedCastToZonedTime(t) },
 
     // ── math family (MathFunctions.java:65) ──
     // Presto to_base/from_base are SIGNED (MathFunctions.java to_base

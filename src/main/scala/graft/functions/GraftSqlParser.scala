@@ -601,12 +601,24 @@ object GraftSqlParser {
   private val ZonedTsLit =
     raw"(?is)\bTIMESTAMP\s*'([^']+?)\s+((?:[A-Za-z][A-Za-z0-9_\-]*/[A-Za-z][A-Za-z0-9_\-+/]*)|UTC|GMT|UT|[+-]\d{1,2}:\d{2})'".r
 
-  private def rewriteZonedTsLiterals(sql: String): String =
-    ZonedTsLit.replaceAllIn(sql, m =>
+  /** Zoned TIME literal: `TIME '<wall> <zone>'` (the \bTIME\s*' shape
+    * cannot match inside TIMESTAMP literals — 'STAMP' intervenes).
+    */
+  private val ZonedTimeLit =
+    raw"(?is)\bTIME\s*'([^']+?)\s+((?:[A-Za-z][A-Za-z0-9_\-]*/[A-Za-z][A-Za-z0-9_\-+/]*)|UTC|GMT|UT|[+-]\d{1,2}:\d{2})'".r
+
+  private def rewriteZonedTsLiterals(sql: String): String = {
+    val ts = ZonedTsLit.replaceAllIn(sql, m =>
       if (insideQuoteOrComment(sql, m.start))
         java.util.regex.Matcher.quoteReplacement(m.group(0))
       else java.util.regex.Matcher.quoteReplacement(
         s"with_timezone(TIMESTAMP '${m.group(1)}', '${m.group(2)}')"))
+    ZonedTimeLit.replaceAllIn(ts, m =>
+      if (insideQuoteOrComment(ts, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else java.util.regex.Matcher.quoteReplacement(
+        s"zoned_ttz(TIME '${m.group(1)}', '${m.group(2)}')"))
+  }
 
   /** Presto's bare temporal keywords (grammar specialExpression):
     * LOCALTIMESTAMP / LOCALTIME / CURRENT_TIME have no parenthesized
@@ -621,6 +633,10 @@ object GraftSqlParser {
       if (insideQuoteOrComment(sql, m.start)) java.util.regex.Matcher.quoteReplacement(m.group(0))
       else m.group(1).toUpperCase match {
         case "LOCALTIMESTAMP" => "localtimestamp()"
+        // CURRENT_TIME is zone-carrying in the reference — under the
+        // zoned mode it returns TIME WITH TIME ZONE in the session zone
+        case "CURRENT_TIME" if ZonedTimestamps.enabled =>
+          "zoned_ttz(localtime(), 'UTC')"
         case _ => "localtime()"
       })
 
@@ -1007,12 +1023,15 @@ object GraftSqlParser {
           val tpe = body.substring(asIdx + 3).trim
           val up = tpe.toUpperCase
           if (up == "JSON") s"cast_to_json($expr)"
-          // TIMESTAMP WITH TIME ZONE: zone-carrying under the opt-in conf
-          // (string sources keep their own trailing zone token); the
-          // documented UTC-instant approximation otherwise
+          // TIMESTAMP/TIME WITH TIME ZONE: zone-carrying under the opt-in
+          // conf (string sources keep their own trailing zone token); the
+          // documented zoneless approximation otherwise
           else if (up.replaceAll("\\s+", " ") == "TIMESTAMP WITH TIME ZONE")
             if (ZonedTimestamps.enabled) s"zoned_tstz($expr)"
             else s"CAST($expr AS TIMESTAMP)"
+          else if (up.replaceAll("\\s+", " ") == "TIME WITH TIME ZONE")
+            if (ZonedTimestamps.enabled) s"zoned_ttz_cast($expr)"
+            else s"CAST($expr AS TIME)"
           else if (up.startsWith("ARRAY(") || up.startsWith("MAP(") || up.startsWith("ROW("))
             // source type decides JSON-parse vs structural cast — the
             // late-binding ComplexCastDispatch picks after resolution

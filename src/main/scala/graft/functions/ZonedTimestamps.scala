@@ -93,6 +93,29 @@ object ZonedTimestamps {
     FromUTCTimestamp(utcOf(z), tzOf(z))
   private[functions] def nullZ: Expression = Literal(null, zonedType)
 
+  // ── TIME WITH TIME ZONE (reference presto-spi TimeWithTimeZoneType /
+  // SqlTimeWithTimeZone): wall time-of-day + carried zone, re-expressed
+  // as struct<ztz_tod: time(6), ztz_tz: string>. Comparisons order by
+  // the UTC-normalized nanos with the zone's offset evaluated at the
+  // EPOCH date — the deprecated type's documented 1970-01-01 quirk. ──
+  val TodField = "ztz_tod"
+
+  val zonedTimeType: StructType = StructType(Seq(
+    StructField(TodField, TimeType(6)), StructField(TzField, StringType)))
+
+  def isZonedTime(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.length == 2 &&
+      s.fields(0).name == TodField && s.fields(0).dataType.isInstanceOf[TimeType] &&
+      s.fields(1).name == TzField && s.fields(1).dataType == StringType
+    case _ => false
+  }
+
+  private[functions] def mkTime(tod: Expression, tz: Expression): Expression =
+    CreateNamedStruct(Seq(Literal(TodField), tod, Literal(TzField), tz))
+  private[functions] def todOf(z: Expression): Expression =
+    GetStructField(z, 0, Some(TodField))
+  private[functions] def nullZT: Expression = Literal(null, zonedTimeType)
+
   /** Joda field precision (reference getTimestampField / chronology
     * duration fields): hour and below are precise (instant arithmetic);
     * day and above are imprecise (wall-clock arithmetic in the zone).
@@ -134,7 +157,7 @@ object ZonedTimestamps {
       In(ZonedInstant(v), list.map(ZonedInstant(_)))
     case c: Cast
         if c.dataType == StringType || c.dataType == TimestampType ||
-          c.dataType == DateType =>
+          c.dataType == DateType || c.dataType.isInstanceOf[TimeType] =>
       ZonedRenderCast(c.child, c.dataType, c.evalMode)
     case u: UnresolvedFunction
         if WallArgFns.contains(fnName(u)) && u.arguments.nonEmpty &&
@@ -175,9 +198,14 @@ object ZonedTimestamps {
   */
 case class ZonedInstant(child: Expression) extends Expression
     with RuntimeReplaceable with UnaryLike[Expression] {
+  import ZonedTimestamps._
   override def prettyName: String = "zoned_instant"
   override lazy val replacement: Expression =
-    if (ZonedTimestamps.isZoned(child.dataType)) ZonedTimestamps.utcOf(child)
+    if (isZoned(child.dataType)) utcOf(child)
+    else if (isZonedTime(child.dataType)) StaticInvoke(
+      GraftFnUtils.getClass, LongType, "zonedTimeUtcNanos",
+      Seq(todOf(child), tzOf(child)),
+      inputTypes = Seq(TimeType(6), StringType), propagateNull = true)
     else child
   override protected def withNewChildInternal(c: Expression): ZonedInstant =
     copy(child = c)
@@ -188,9 +216,11 @@ case class ZonedInstant(child: Expression) extends Expression
   */
 case class ZonedWall(child: Expression) extends Expression
     with RuntimeReplaceable with UnaryLike[Expression] {
+  import ZonedTimestamps._
   override def prettyName: String = "zoned_wall"
   override lazy val replacement: Expression =
-    if (ZonedTimestamps.isZoned(child.dataType)) ZonedTimestamps.wallOf(child)
+    if (isZoned(child.dataType)) wallOf(child)
+    else if (isZonedTime(child.dataType)) todOf(child)
     else child
   override protected def withNewChildInternal(c: Expression): ZonedWall =
     copy(child = c)
@@ -221,7 +251,19 @@ case class ZonedRenderCast(child: Expression, target: DataType,
         Seq(utcOf(child), tzOf(child)),
         inputTypes = Seq(TimestampType, StringType), propagateNull = true)
       case TimestampType => wallOf(child)
-      case _ => Cast(wallOf(child), DateType, timeZoneId, evalMode)
+      // CAST(tstz AS TIME): the wall clock's time-of-day (no Spark
+      // TIMESTAMP→TIME cast exists — extract the nanos directly)
+      case t: TimeType => StaticInvoke(GraftFnUtils.getClass, t,
+        "microsToNanosOfDay", Seq(wallOf(child)),
+        inputTypes = Seq(TimestampType), propagateNull = true)
+      case _ => Cast(wallOf(child), target, timeZoneId, evalMode)
+    } else if (isZonedTime(child.dataType)) target match {
+      case StringType => StaticInvoke(
+        GraftFnUtils.getClass, StringType, "renderZonedTime",
+        Seq(todOf(child), tzOf(child)),
+        inputTypes = Seq(TimeType(6), StringType), propagateNull = true)
+      // CAST(timetz AS TIME) drops the zone, keeping the wall time
+      case _ => Cast(todOf(child), target, timeZoneId, evalMode)
     } else Cast(child, target, timeZoneId, evalMode)
   override protected def withNewChildInternal(c: Expression): ZonedRenderCast =
     copy(child = c)
@@ -299,6 +341,11 @@ case class ZonedTzOffset(child: Expression, minuteUnit: Boolean)
       if (minuteUnit) "tzOffsetMinute" else "tzOffsetHour",
       Seq(utcOf(child), tzOf(child)),
       inputTypes = Seq(TimestampType, StringType), propagateNull = true)
+    else if (isZonedTime(child.dataType)) StaticInvoke(
+      GraftFnUtils.getClass, LongType,
+      if (minuteUnit) "tzTimeOffsetMinute" else "tzTimeOffsetHour",
+      Seq(todOf(child), tzOf(child)),
+      inputTypes = Seq(TimeType(6), StringType), propagateNull = true)
     else If(IsNull(child), Literal(null, LongType), Literal(0L))
   override protected def withNewChildInternal(c: Expression): ZonedTzOffset =
     copy(child = c)
@@ -536,4 +583,65 @@ case class ZonedTimestampDiffX(unit: String, startTs: Expression, endTs: Express
   }
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): ZonedTimestampDiffX = copy(startTs = l, endTs = r)
+}
+
+/** `TIME '<wall> <zone>'` literal: attach the zone to a wall time-of-day
+  * (reference parseTimeWithTimeZone — the zoned TIME literal grammar).
+  */
+case class ZonedTimeAttach(t: Expression, z: Expression,
+    timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable with BinaryLike[Expression]
+    with TimeZoneAwareExpression {
+  import ZonedTimestamps._
+  override def prettyName: String = "zoned_ttz"
+  override def left: Expression = t
+  override def right: Expression = z
+  override def withTimeZone(tz: String): ZonedTimeAttach = copy(timeZoneId = Some(tz))
+  override def nodePatternsInternal(): Seq[TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+  override lazy val replacement: Expression = {
+    val tod =
+      if (isZonedTime(t.dataType)) todOf(t)
+      else Cast(t, TimeType(6), timeZoneId)
+    If(Or(IsNull(t), IsNull(z)), nullZT, mkTime(tod, z))
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ZonedTimeAttach = copy(t = l, z = r)
+}
+
+/** CAST(x AS TIME WITH TIME ZONE): a zoned time passes through; a string
+  * carries its own trailing zone token (time part parsed separately); a
+  * zoned TIMESTAMP keeps its wall time-of-day AND its zone; plain
+  * times/timestamps attach the session zone (UTC).
+  */
+case class ZonedCastToZonedTime(child: Expression, timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression]
+    with TimeZoneAwareExpression {
+  import ZonedTimestamps._
+  override def prettyName: String = "zoned_ttz_cast"
+  override def withTimeZone(tz: String): ZonedCastToZonedTime = copy(timeZoneId = Some(tz))
+  override def nodePatternsInternal(): Seq[TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+  override lazy val replacement: Expression =
+    if (isZonedTime(child.dataType)) child
+    else if (isZoned(child.dataType))
+      If(IsNull(child), nullZT,
+        mkTime(StaticInvoke(GraftFnUtils.getClass, TimeType(6),
+            "microsToNanosOfDay", Seq(wallOf(child)),
+            inputTypes = Seq(TimestampType), propagateNull = true),
+          tzOf(child)))
+    else child.dataType match {
+      case _: StringType =>
+        If(IsNull(child), nullZT,
+          mkTime(Cast(StaticInvoke(GraftFnUtils.getClass, StringType,
+              "stripZoneToken", Seq(child), inputTypes = Seq(StringType),
+              propagateNull = true), TimeType(6), timeZoneId),
+            StaticInvoke(GraftFnUtils.getClass, StringType, "zoneTokenOf",
+              Seq(child), inputTypes = Seq(StringType), propagateNull = true)))
+      case _ =>
+        If(IsNull(child), nullZT,
+          mkTime(Cast(child, TimeType(6), timeZoneId), Literal("UTC")))
+    }
+  override protected def withNewChildInternal(c: Expression): ZonedCastToZonedTime =
+    copy(child = c)
 }

@@ -70,7 +70,12 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // round 10: exhaustive IVF probe must equal brute-force under every
     // config (the k-means fit itself runs driver-coordinated; the probe
     // join + ranked cutoff are the partition-sensitive parts)
-    "sim_ivf_exhaustive")
+    "sim_ivf_exhaustive",
+    // round 10: the zone-carrying dialect rows — parse-time rewrites
+    // plus per-row zone dispatch (renderZoned/offset StaticInvokes)
+    // must not depend on partitions/AQE, and the conf set/unset inside
+    // the query lambda must leave the shared session clean either way
+    "dialect_ztz_observe", "dialect_ztz_arith")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)

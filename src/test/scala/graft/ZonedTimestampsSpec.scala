@@ -223,6 +223,51 @@ class ZonedTimestampsSpec extends AnyFunSuite {
     }
   }
 
+  test("TIME WITH TIME ZONE: literal, rendering, extraction, offsets, casts") {
+    withZoned {
+      assert(one("SELECT CAST(TIME '03:04:05.321 +05:30' AS VARCHAR)") ==
+        "03:04:05.321 +05:30")
+      assert(one("SELECT CAST(TIME '03:04:05 Asia/Tokyo' AS VARCHAR)") ==
+        "03:04:05.000 Asia/Tokyo")
+      // wall-clock extraction
+      assert(one("SELECT hour(TIME '03:04:05 +05:30')") == 3)
+      assert(one("SELECT minute(TIME '03:04:05 +05:30')") == 4)
+      // offsets evaluate at the type's epoch date (fixed offsets exact;
+      // region zones take their 1970-01-01 offset — the reference's
+      // packed-chronology quirk)
+      assert(one("SELECT timezone_hour(TIME '03:04:05 -05:30')") == -5L)
+      assert(one("SELECT timezone_minute(TIME '03:04:05 -05:30')") == -30L)
+      assert(one("SELECT timezone_hour(TIME '03:04:05 Asia/Tokyo')") == 9L)
+      // casts: TIME drops the zone; strings carry their token; TIME
+      // sources attach the session zone; a zoned TIMESTAMP keeps its
+      // wall time AND zone
+      assert(one("SELECT CAST(CAST(TIME '03:04:05.321 +05:30' AS TIME) AS VARCHAR)")
+        .toString.startsWith("03:04:05.321"))
+      assert(one("SELECT CAST(CAST('07:08:09 +05:30' AS TIME WITH TIME ZONE) AS VARCHAR)") ==
+        "07:08:09.000 +05:30")
+      assert(one("SELECT CAST(CAST(TIME '07:08:09' AS TIME WITH TIME ZONE) AS VARCHAR)") ==
+        "07:08:09.000 UTC")
+      assert(one(s"SELECT CAST(CAST($TokyoLit AS TIME WITH TIME ZONE) AS VARCHAR)") ==
+        "03:04:05.321 Asia/Tokyo")
+      // CURRENT_TIME carries the session zone under the conf
+      assert(one("SELECT CAST(CURRENT_TIME AS VARCHAR)").toString.endsWith(" UTC"))
+    }
+    // conf off: the cast maps to the documented zoneless TIME
+    assert(one("SELECT CAST(CAST(TIME '07:08:09' AS TIME WITH TIME ZONE) AS STRING)")
+      .toString.startsWith("07:08:09"))
+  }
+
+  test("TIME WITH TIME ZONE comparisons order by UTC-normalized wall time") {
+    withZoned {
+      // 10:00 +05:30 is the same UTC-normalized instant as 04:30 UTC
+      assert(one("SELECT TIME '10:00:00 +05:30' = TIME '04:30:00 UTC'") == true)
+      assert(one("SELECT TIME '10:00:00 +05:30' < TIME '04:30:01 UTC'") == true)
+      assert(one("SELECT TIME '10:00:00 +05:30' > TIME '04:29:59 UTC'") == true)
+      // a LATER wall clock in a FURTHER-east zone can be the earlier value
+      assert(one("SELECT TIME '23:00:00 Asia/Tokyo' < TIME '20:00:00 UTC'") == true)
+    }
+  }
+
   test("the zoned mode leaves ordinary queries untouched (casts, comparisons, intervals all stock)") {
     withZoned {
       assert(one("SELECT CAST(1.9 AS STRING)") == "1.9")
