@@ -14,11 +14,27 @@ object Verify {
     val spark = GraftSession("graft-verify")
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val decimalOut = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(q._1.startsWith))
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Representation gate (round-10 lesson): a DecimalType column in a
+        // COMPARED result parquet is hash-doomed in the driver — it reads
+        // the Spark side via pyarrow (decimal.Decimal objects) but fetches
+        // the DuckDB oracle as float64, so even numerically-identical
+        // values stringify differently. Project unscaled BIGINTs (exact)
+        // or DOUBLE instead; flag loudly here so it never ships again.
+        if (SparkEntry.oracleSql.contains(name) &&
+            df.schema.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])) {
+          decimalOut += name
+          System.err.println(s"[verify] DECIMAL OUTPUT GATE: $name ships a " +
+            "DecimalType column in a compared result — the driver hash " +
+            "WILL mismatch on representation; unscale to BIGINT or cast DOUBLE")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
         System.err.println(s"[verify] QUERY FAILED: $name — ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -57,7 +73,8 @@ object Verify {
     val summary =
       s"""{"queries": ${SparkEntry.queries.size}, "oracle_compared": $oracle, """ +
       s""""rows_only": ${SparkEntry.queries.size - oracle}, """ +
-      s""""verify_errors": ${errors.size}, "codegen_fallbacks": $fallbacks}"""
+      s""""verify_errors": ${errors.size}, "codegen_fallbacks": $fallbacks, """ +
+      s""""decimal_outputs": ${decimalOut.size}}"""
     Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
     println(s"[verify] summary: $summary")
     if (fallbacks > 0) {
@@ -77,6 +94,7 @@ object Verify {
            |- rows-only (no SQL oracle; ScalaTest-spec-verified): **${SparkEntry.queries.size - oracle}**
            |- verify errors this run: **${errors.size}**
            |- codegen fallbacks this run: **$fallbacks**
+           |- compared results shipping DecimalType (must be 0): **${decimalOut.size}**
            |""".stripMargin)
     }
     spark.stop()

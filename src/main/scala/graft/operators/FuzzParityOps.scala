@@ -528,50 +528,81 @@ object FuzzParityOps extends QueryGroup {
     // toward zero (probed: CAST(1.016 AS DECIMAL(10,2)) → 1.01;
     // CAST(2.5 AS DECIMAL(10,0)) → 2) — so no narrowing cast appears on
     // either side; FnSpec pins the engine's HALF_UP literals where the
-    // dialect divergence belongs. DuckDB storage note: the oracle widens
-    // one multiplicand to DECIMAL(19,8) — width ≤ 18 multiplies run in
-    // int64 there and overflow; 19+18 = 37 ≤ 38 keeps the int128
-    // product EXACT with no scale reduction (a 28-wide cast forced a
-    // rounding scale reduction — the one red row of round 9). ~1% of
-    // rows land on exact .XX50 boundaries, so round()'s away-from-zero
-    // tie rule is genuinely exercised, negatives included.
+    // dialect divergence belongs.
+    //
+    // COMPARED-COLUMN REPRESENTATION (the round-10 driver red): every
+    // output is the UNSCALED integer (value × 10^scale) CAST to BIGINT —
+    // no DecimalType ever reaches the result parquet. The driver reads
+    // the Spark result via pyarrow (DECIMAL → decimal.Decimal objects)
+    // but fetches the DuckDB oracle as float64, so a decimal OUTPUT
+    // column hash-mismatches on representation even when every value is
+    // numerically identical (r10: rows/schema green, hash red, zero
+    // actual divergence). Unscaling loses nothing — equality of unscaled
+    // integers IS equality of the exact decimals. All unscale multiplies
+    // are widening (precision p+q+1 ≤ 38 everywhere, checked per column
+    // below) so neither engine rounds, and the final integral-valued
+    // CAST to BIGINT is exact regardless of either engine's fractional
+    // cast semantics. The scale-16 product splits into floor + fractional
+    // parts (frac × 10^16 < 10^16 fits BIGINT; a single unscaled product
+    // could reach 10^19 and overflow).
+    //
+    // DuckDB storage note: the oracle widens one multiplicand to
+    // DECIMAL(19,8) — width ≤ 18 multiplies run in int64 there and
+    // overflow; 19+18 = 37 ≤ 38 keeps the int128 product EXACT with no
+    // scale reduction. ~1% of rows land on exact .XX50 boundaries, so
+    // round()'s away-from-zero tie rule is genuinely exercised,
+    // negatives included.
     q("fuzz_decimal_parity",
       duckOperands + """, t AS (
         |  SELECT i,
         |    CAST(CAST(h1 % 1000000 AS DECIMAL(24,4)) * CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(18,8)) AS a,
         |    CAST((CAST(h2 % 200000 AS DECIMAL(24,4)) - 100000) * CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(18,8)) AS b
-        |  FROM o)
+        |  FROM o),
+        |m AS (
+        |  SELECT i, a, b,
+        |    CAST(a AS DECIMAL(19,8)) AS a19,
+        |    CAST(b AS DECIMAL(19,8)) AS b19,
+        |    CAST(CAST(a AS DECIMAL(19,8)) * b AS DECIMAL(20,16)) AS mul
+        |  FROM t)
         |SELECT i,
-        |  CAST(a AS DECIMAL(38,8)) AS a,
-        |  CAST(b AS DECIMAL(38,8)) AS b,
-        |  CAST(a + b AS DECIMAL(38,8)) AS add_ab,
-        |  CAST(a - b AS DECIMAL(38,8)) AS sub_ab,
-        |  CAST(CAST(a AS DECIMAL(19,8)) * b AS DECIMAL(38,16)) AS mul_ab,
-        |  CAST(round(a, 2) AS DECIMAL(38,2)) AS rnd_a,
-        |  CAST(round(b, 2) AS DECIMAL(38,2)) AS rnd_b,
-        |  CAST(abs(b) AS DECIMAL(38,8)) AS abs_b,
-        |  CAST(greatest(a, b) AS DECIMAL(38,8)) AS gst,
+        |  CAST(a19 * CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS ua,
+        |  CAST(b19 * CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS ub,
+        |  CAST((a19 + b19) * CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS uadd,
+        |  CAST((a19 - b19) * CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS usub,
+        |  CAST(floor(mul) AS BIGINT) AS mul_i,
+        |  CAST(CAST(mul - CAST(floor(mul) AS DECIMAL(4,0)) AS DECIMAL(19,16))
+        |       * CAST(10000000000000000 AS DECIMAL(17,0)) AS BIGINT) AS mul_f,
+        |  CAST(CAST(round(a, 2) AS DECIMAL(19,2)) * CAST(100 AS DECIMAL(3,0)) AS BIGINT) AS urnd_a,
+        |  CAST(CAST(round(b, 2) AS DECIMAL(19,2)) * CAST(100 AS DECIMAL(3,0)) AS BIGINT) AS urnd_b,
+        |  CAST(abs(b19) * CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS uabs_b,
+        |  CAST(greatest(a19, b19) * CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS ugst,
         |  a > b AS a_gt_b,
         |  b < 0 AS b_neg
-        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+        |FROM m ORDER BY i""".stripMargin) { (s, _) =>
       s.sql(sparkOperands + """, t AS (
         |  SELECT i,
         |    CAST(CAST(h1 % 1000000 AS DECIMAL(24,4)) * CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(18,8)) AS a,
         |    CAST((CAST(h2 % 200000 AS DECIMAL(24,4)) - 100000) * CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(18,8)) AS b
-        |  FROM o)
+        |  FROM o),
+        |m AS (
+        |  SELECT i, a, b,
+        |    CAST(a * b AS DECIMAL(20,16)) AS mul
+        |  FROM t)
         |SELECT i,
-        |  CAST(a AS DECIMAL(38,8)) AS a,
-        |  CAST(b AS DECIMAL(38,8)) AS b,
-        |  CAST(a + b AS DECIMAL(38,8)) AS add_ab,
-        |  CAST(a - b AS DECIMAL(38,8)) AS sub_ab,
-        |  CAST(a * b AS DECIMAL(38,16)) AS mul_ab,
-        |  CAST(round(a, 2) AS DECIMAL(38,2)) AS rnd_a,
-        |  CAST(round(b, 2) AS DECIMAL(38,2)) AS rnd_b,
-        |  CAST(abs(b) AS DECIMAL(38,8)) AS abs_b,
-        |  CAST(greatest(a, b) AS DECIMAL(38,8)) AS gst,
+        |  CAST(a * CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS ua,
+        |  CAST(b * CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS ub,
+        |  CAST((a + b) * CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS uadd,
+        |  CAST((a - b) * CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS usub,
+        |  CAST(floor(mul) AS BIGINT) AS mul_i,
+        |  CAST(CAST(mul - CAST(floor(mul) AS DECIMAL(4,0)) AS DECIMAL(17,16))
+        |       * CAST(10000000000000000 AS DECIMAL(17,0)) AS BIGINT) AS mul_f,
+        |  CAST(round(a, 2) * CAST(100 AS DECIMAL(3,0)) AS BIGINT) AS urnd_a,
+        |  CAST(round(b, 2) * CAST(100 AS DECIMAL(3,0)) AS BIGINT) AS urnd_b,
+        |  CAST(abs(b) * CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS uabs_b,
+        |  CAST(greatest(a, b) * CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS ugst,
         |  a > b AS a_gt_b,
         |  b < 0 AS b_neg
-        |FROM t ORDER BY i""".stripMargin)
+        |FROM m ORDER BY i""".stripMargin)
     },
 
     // ── CAST surface: string↔number/date/timestamp/bool conversions

@@ -102,17 +102,28 @@ class FuzzParitySpec extends AnyFunSuite {
   }
 
   test("decimal sweep: tie boundaries and negative operands actually occur") {
+    // columns are UNSCALED BIGINTs (value × 10^scale): ua/ub at scale 8,
+    // urnd_a at scale 2 — no DecimalType ships in a compared result
+    // (round-10 driver lesson: pyarrow Decimal vs DuckDB float64
+    // representation hash-mismatches even on identical values)
     val rows = run("fuzz_decimal_parity")
     assert(rows.length == 400)
     var ties = 0; var negs = 0
     rows.foreach { r =>
-      val a = r.getDecimal(r.fieldIndex("a"))
-      val b = r.getDecimal(r.fieldIndex("b"))
-      // round(x, 2) tie: the digits dropped are exactly "50" (scale 4)
-      if (a.unscaledValue.mod(java.math.BigInteger.valueOf(1000000)).longValue % 1000000 / 10000 % 100 == 50) ties += 1
-      if (b.signum < 0) negs += 1
-      val rnd = r.getDecimal(r.fieldIndex("rnd_a"))
-      assert(rnd.subtract(a).abs.doubleValue <= 0.005 + 1e-12)
+      val ua = r.getLong(r.fieldIndex("ua"))
+      val ub = r.getLong(r.fieldIndex("ub"))
+      // round(x, 2) tie: the digits dropped below scale 2 are exactly
+      // 50 at scale 4 (operands have scale-4 granularity)
+      if (ua % 1000000 == 500000) ties += 1
+      if (ub < 0) negs += 1
+      // |round(a, 2) - a| ≤ 0.005 ⇔ |urnd_a·10^8 - ua·100| ≤ 5·10^7 at
+      // the common unscaled-×10^10 magnitude — checked exactly in longs
+      val urnd = r.getLong(r.fieldIndex("urnd_a"))
+      assert(math.abs(urnd * 100000000L - ua * 100L) <= 50000000L)
+      // HALF_UP at the tie: round lands ABOVE a (away from zero; a ≥ 0)
+      if (ua % 1000000 == 500000)
+        assert(urnd * 100000000L - ua * 100L == 50000000L,
+          s"tie not rounded HALF_UP: ua=$ua urnd=$urnd")
     }
     assert(ties > 0, "no .XX50 rounding ties in the operand sweep")
     assert(negs > 100, s"negative-operand coverage too thin: $negs")

@@ -19,9 +19,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime as _dt
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object:
+        # datetime-representation drift is NOT a divergence: the driver
+        # hash is empirically tolerant of date-vs-timestamp-at-midnight
+        # and ns-vs-us (all ev_*/fn_datetime/tpcds_q51 rows green in r10
+        # despite pyarrow dates vs DuckDB datetime64[us]); normalize every
+        # datetime-like column to datetime64[us] before comparing.
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            nn = df[c].dropna()
+            if len(nn) and nn.map(lambda v: isinstance(
+                    v, (_dt.date, _dt.datetime))).all():
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+                continue
             has_arr = df[c].map(lambda v: hasattr(v, "__len__")
                                 and not isinstance(v, (str, bytes))).any()
             if has_arr:
@@ -69,8 +82,25 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        spark = duckdb.connect().execute(
-            f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchdf()
+        # Read the Spark result the way the DRIVER does: pandas/pyarrow,
+        # NOT through DuckDB. Reading via DuckDB coerces DECIMAL columns
+        # to float64 on BOTH sides and masked the round-10 driver red:
+        # pyarrow keeps decimal.Decimal objects, the DuckDB oracle fetch
+        # gives float64, and the driver's value hash then mismatches on
+        # representation even when every value is numerically equal.
+        import glob
+        parts = sorted(glob.glob(f"{res_dir}/*.parquet"))
+        spark = pd.concat([pd.read_parquet(p) for p in parts],
+                          ignore_index=True)
+        import decimal as _dec
+        dec_cols = [c for c in spark.columns
+                    if spark[c].map(lambda v: isinstance(v, _dec.Decimal)).any()]
+        if dec_cols:
+            print(f"FAIL {name}: DecimalType output columns {dec_cols} — "
+                  "driver hash mismatches on representation (pyarrow Decimal "
+                  "vs DuckDB float64); unscale to BIGINT or cast DOUBLE")
+            n_fail += 1
+            continue
         o, s = canon(oracle), canon(spark)
         problems = []
         if list(o.columns) != list(s.columns):
@@ -89,6 +119,12 @@ def main():
                         "uint8", "uint16", "uint32", "uint64"}
             serious = [d for d in drift
                        if not (d[1] in int_like and d[2] in int_like)]
+            # a 0-row frame has no values to infer dtypes from (pyarrow
+            # reports `object` for an empty date column); nothing to hash
+            # either, so drift on an empty result is noise, not a failure
+            if serious and len(o) == 0:
+                print(f"WARN {name}: dtype drift on empty result {serious}")
+                serious = []
             if serious:
                 problems.append(f"dtypes {serious}")
             elif drift:
