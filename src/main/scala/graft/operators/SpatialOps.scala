@@ -67,66 +67,129 @@ object SpatialOps extends QueryGroup {
     * driver-collect discipline as the IVF centroid read-back) and the
     * leaf set is broadcast-tiny.
     */
-  def kdbLeaves(sample: Array[(Double, Double)], leafCap: Int): Array[KdbLeaf] = {
+  /** KD-B tree node: interior splits carry the axis + threshold so
+    * point→leaf lookup is an O(depth) descent, not a linear scan over
+    * the leaf array (the round-11 SpatialStress m100 cliff: 1.6M points
+    * × ~60 leaves of interpreted rectangle tests made the KD-B join
+    * 5.8× slower than the uniform grid; the descent closes that to
+    * parity — see BENCHLOG).
+    */
+  sealed trait KdbNode extends Serializable
+  final case class KdbBranch(onX: Boolean, at: Double,
+      lo: KdbNode, hi: KdbNode) extends KdbNode
+  final case class KdbLeafRef(id: Int) extends KdbNode
+
+  def kdbLeaves(sample: Array[(Double, Double)], leafCap: Int): Array[KdbLeaf] =
+    kdbTree(sample, leafCap)._2
+
+  /** Build the KD-B tree: returns (root, leaves). The leaf array is what
+    * partitions the plane; the root is the O(depth) lookup structure.
+    */
+  def kdbTree(sample: Array[(Double, Double)],
+      leafCap: Int): (KdbNode, Array[KdbLeaf]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[KdbLeaf]
     val inf = Double.PositiveInfinity
     def split(pts: Array[(Double, Double)], xmin: Double, ymin: Double,
-        xmax: Double, ymax: Double, onX: Boolean, triedOther: Boolean): Unit = {
+        xmax: Double, ymax: Double, onX: Boolean, triedOther: Boolean): KdbNode = {
       val axis = (p: (Double, Double)) => if (onX) p._1 else p._2
       lazy val sorted = pts.sortBy(axis)
       lazy val m = axis(sorted(pts.length / 2))
       if (pts.length <= leafCap) {
         out += KdbLeaf(out.length, xmin, ymin, xmax, ymax)
+        KdbLeafRef(out.length - 1)
       } else if (axis(sorted.head) == m) {
         // degenerate axis (median == minimum, e.g. all x equal): retry
         // the OTHER axis before giving up — a sample collinear on x but
         // spread on y still splits on y. Only when both axes are
         // degenerate (all points identical) emit the oversized leaf.
-        if (triedOther) out += KdbLeaf(out.length, xmin, ymin, xmax, ymax)
-        else split(pts, xmin, ymin, xmax, ymax, !onX, triedOther = true)
+        if (triedOther) {
+          out += KdbLeaf(out.length, xmin, ymin, xmax, ymax)
+          KdbLeafRef(out.length - 1)
+        } else split(pts, xmin, ymin, xmax, ymax, !onX, triedOther = true)
       } else {
         val (lo, hi) = pts.partition(p => axis(p) < m)
-        if (onX) {
-          split(lo, xmin, ymin, m, ymax, onX = false, triedOther = false)
-          split(hi, m, ymin, xmax, ymax, onX = false, triedOther = false)
-        } else {
-          split(lo, xmin, ymin, xmax, m, onX = true, triedOther = false)
-          split(hi, xmin, m, xmax, ymax, onX = true, triedOther = false)
-        }
+        if (onX)
+          KdbBranch(onX = true, m,
+            split(lo, xmin, ymin, m, ymax, onX = false, triedOther = false),
+            split(hi, m, ymin, xmax, ymax, onX = false, triedOther = false))
+        else
+          KdbBranch(onX = false, m,
+            split(lo, xmin, ymin, xmax, m, onX = true, triedOther = false),
+            split(hi, xmin, m, xmax, ymax, onX = true, triedOther = false))
       }
     }
-    split(sample, -inf, -inf, inf, inf, onX = true, triedOther = false)
-    out.toArray
+    val root = split(sample, -inf, -inf, inf, inf, onX = true, triedOther = false)
+    (root, out.toArray)
   }
 
+  /** O(depth) point→leaf descent (half-open: lo covers < at). */
+  @annotation.tailrec
+  private[operators] def leafOfPoint(node: KdbNode, x: Double, y: Double): Int =
+    node match {
+      case KdbLeafRef(id) => id
+      case KdbBranch(onX, at, lo, hi) =>
+        leafOfPoint(if ((if (onX) x else y) < at) lo else hi, x, y)
+    }
+
+  /** All leaves whose rectangle overlaps the radius-box around (x, y) —
+    * descends BOTH sides only where the box straddles the split.
+    */
+  private[operators] def leavesNearPoint(node: KdbNode, x: Double, y: Double,
+      radius: Double, acc: scala.collection.mutable.ArrayBuffer[Int]): Unit =
+    node match {
+      case KdbLeafRef(id) => acc += id
+      case KdbBranch(onX, at, lo, hi) =>
+        val c = if (onX) x else y
+        if (c - radius < at) leavesNearPoint(lo, x, y, radius, acc)
+        if (c + radius >= at) leavesNearPoint(hi, x, y, radius, acc)
+    }
+
   /** Distance join partitioned by a KD-B tree built from `sample` — the
-    * skew-proof variant of [[distanceJoin]]: left points key on their
-    * containing leaf, right points replicate to every leaf their
-    * radius-box overlaps (O(1) leaves for radius ≪ leaf extent), then a
-    * plain equi-join on the leaf id + exact distance filter. A point pair
-    * within the radius always meets: the left point lies inside the right
-    * point's radius-box, so that box overlaps the left point's leaf.
+    * skew-proof variant of [[distanceJoin]]: left points key on
+    * (containing leaf, radius-grid cell); right points replicate to
+    * every leaf their radius-box overlaps (O(1) leaves for radius ≪
+    * leaf extent) × the 3×3 cell neighborhood, then a plain equi-join +
+    * exact distance filter. A qualifying pair always meets: the left
+    * point lies inside the right point's radius-box, so that box
+    * overlaps the left leaf, and cell adjacency holds as in
+    * [[distanceJoin]]. The left key is unique per point, so no pair
+    * duplicates.
+    *
+    * WHY BOTH KEYS (round-11 SpatialStress find): leaf-only joining is
+    * a within-leaf cartesian — the leaf count is bounded by the driver
+    * sample, so per-leaf population grows ∝ N and the join does
+    * Σ|leaf_l|·|leaf_r| work (measured 6.5× slower than the grid at
+    * 1.6M points, and heading quadratic). The reference composes its
+    * KDB partitioning with a PER-PARTITION R-tree
+    * (presto-geospatial/.../SpatialJoinOperator + PagesRTreeIndex);
+    * the radius grid is this engine's codegen-friendly local-index
+    * stand-in, while the leaf key keeps the SHUFFLE balanced under
+    * skew (the property the grid alone lacks when density clumps).
     */
   def kdbDistanceJoin(left: DataFrame, right: DataFrame, radius: Double,
       leftId: String, rightId: String, sample: Array[(Double, Double)],
       leafCap: Int = 64): DataFrame = {
-    val leaves = kdbLeaves(sample, leafCap)
-    val leafOf = udf { (x: Double, y: Double) =>
-      leaves.collectFirst {
-        case l if x >= l.xmin && x < l.xmax && y >= l.ymin && y < l.ymax => l.id
-      }.get // leaves partition the plane: every point has exactly one leaf
-    }
+    val (root, _) = kdbTree(sample, leafCap)
+    // O(depth) tree descents, not per-leaf rectangle scans
+    val leafOf = udf { (x: Double, y: Double) => leafOfPoint(root, x, y) }
     val leavesNear = udf { (x: Double, y: Double) =>
-      leaves.collect {
-        case l if x - radius < l.xmax && x + radius >= l.xmin &&
-          y - radius < l.ymax && y + radius >= l.ymin => l.id
-      }
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Int]
+      leavesNearPoint(root, x, y, radius, acc)
+      acc.toArray
     }
+    def cell(c: Column): Column = floor(c / lit(radius)).cast("long")
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
     val l = left.select(col(leftId), col("x").as("lx"), col("y").as("ly"))
       .withColumn("leaf", leafOf(col("lx"), col("ly")))
+      .withColumn("cx", cell(col("lx"))).withColumn("cy", cell(col("ly")))
     val r = right.select(col(rightId), col("x").as("rx"), col("y").as("ry"))
       .withColumn("leaf", explode(leavesNear(col("rx"), col("ry"))))
-    l.join(r, Seq("leaf"))
+      .withColumn("o", explode(offsets))
+      .select(col(rightId), col("rx"), col("ry"), col("leaf"),
+        (cell(col("rx")) + col("o.dx")).as("cx"),
+        (cell(col("ry")) + col("o.dy")).as("cy"))
+    l.join(r, Seq("leaf", "cx", "cy"))
       .withColumn("dist",
         sqrt(pow(col("lx") - col("rx"), 2) + pow(col("ly") - col("ry"), 2)))
       .filter(col("dist") < radius)
