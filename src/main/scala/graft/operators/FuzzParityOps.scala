@@ -668,6 +668,80 @@ object FuzzParityOps extends QueryGroup {
         |FROM t ORDER BY i""".stripMargin)
     },
 
+    // ── native TIME type under operand sweep (round 11): fn_time's
+    // hand-picked literals widened to 400 rows. Construction via
+    // make_time (integer seconds AND fractional micros — Spark takes
+    // exact DECIMAL(8,6) seconds, DuckDB takes DOUBLE whose nearest-
+    // micro rounding reproduces the same value), rendering (both
+    // engines strip trailing fraction zeros — probed: '…09.100000' →
+    // '…09.1', '…09.000000' → '…09'), EXTRACT fields (SECOND is the
+    // integer part on both), comparisons/greatest/least, string→TIME
+    // round-trip, and IN-RANGE interval arithmetic (base hour % 12 so
+    // nothing crosses midnight: Spark's ANSI TIME + INTERVAL raises
+    // DATETIME_OVERFLOW past 24:00 where DuckDB wraps — a documented
+    // dialect edge kept out of the compared projection, pinned here in
+    // the comment; MICROSECOND is not an extractable TIME field in
+    // Spark, so sub-second parity rides the rendered strings). ──
+    q("fuzz_time_parity",
+      duckOperands + """, t AS (
+        |  SELECT i,
+        |    CAST(h1 % 24 AS BIGINT) AS hh, CAST(h2 % 60 AS BIGINT) AS mm,
+        |    CAST((h1 + h2) % 60 AS BIGINT) AS ss,
+        |    CAST(h2 % 1000000 AS BIGINT) AS us,
+        |    CAST(h2 % 24 AS BIGINT) AS hh2, CAST(h1 % 60 AS BIGINT) AS mm2,
+        |    CAST((h1 + 2 * h2) % 60 AS BIGINT) AS ss2
+        |  FROM o),
+        |tt AS (
+        |  SELECT i, hh, mm, ss, us,
+        |    make_time(hh, mm, CAST(ss AS DOUBLE)) AS t1,
+        |    make_time(hh2, mm2, CAST(ss2 AS DOUBLE)) AS t2,
+        |    make_time(hh, mm, CAST(ss AS DOUBLE) + CAST(us AS DOUBLE) / 1000000.0) AS tf,
+        |    make_time(hh % 12, mm, CAST(ss AS DOUBLE)) AS tam
+        |  FROM t)
+        |SELECT i,
+        |  CAST(t1 AS VARCHAR) AS s1,
+        |  CAST(tf AS VARCHAR) AS sf,
+        |  CAST(extract(hour FROM tf) AS BIGINT) AS h,
+        |  CAST(extract(minute FROM tf) AS BIGINT) AS mi,
+        |  CAST(extract(second FROM tf) AS BIGINT) AS sec,
+        |  t1 < t2 AS lt, t1 > t2 AS gt,
+        |  CAST(greatest(t1, t2) AS VARCHAR) AS gst,
+        |  CAST(least(t1, t2) AS VARCHAR) AS lst,
+        |  CAST(CAST(CAST(t1 AS VARCHAR) AS TIME) AS VARCHAR) AS rt,
+        |  CAST(tam + INTERVAL 1 HOUR AS VARCHAR) AS plus_h,
+        |  CAST(tam + INTERVAL 45 MINUTE AS VARCHAR) AS plus_m
+        |FROM tt ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i,
+        |    CAST(h1 % 24 AS INT) AS hh, CAST(h2 % 60 AS INT) AS mm,
+        |    CAST((h1 + h2) % 60 AS INT) AS ss,
+        |    CAST(h2 % 1000000 AS INT) AS us,
+        |    CAST(h2 % 24 AS INT) AS hh2, CAST(h1 % 60 AS INT) AS mm2,
+        |    CAST((h1 + 2 * h2) % 60 AS INT) AS ss2
+        |  FROM o),
+        |tt AS (
+        |  SELECT i, hh, mm, ss, us,
+        |    make_time(hh, mm, ss) AS t1,
+        |    make_time(hh2, mm2, ss2) AS t2,
+        |    make_time(hh, mm, CAST(CAST(ss AS DECIMAL(8,6))
+        |      + CAST(us AS DECIMAL(13,6)) / 1000000 AS DECIMAL(8,6))) AS tf,
+        |    make_time(hh % 12, mm, ss) AS tam
+        |  FROM t)
+        |SELECT i,
+        |  CAST(t1 AS STRING) AS s1,
+        |  CAST(tf AS STRING) AS sf,
+        |  CAST(extract(hour FROM tf) AS BIGINT) AS h,
+        |  CAST(extract(minute FROM tf) AS BIGINT) AS mi,
+        |  CAST(extract(second FROM tf) AS BIGINT) AS sec,
+        |  t1 < t2 AS lt, t1 > t2 AS gt,
+        |  CAST(greatest(t1, t2) AS STRING) AS gst,
+        |  CAST(least(t1, t2) AS STRING) AS lst,
+        |  CAST(CAST(CAST(t1 AS STRING) AS TIME) AS STRING) AS rt,
+        |  CAST(tam + INTERVAL '1' HOUR AS STRING) AS plus_h,
+        |  CAST(tam + INTERVAL '45' MINUTE AS STRING) AS plus_m
+        |FROM tt ORDER BY i""".stripMargin)
+    },
+
     // ── Unicode: codepoint-indexed string semantics beyond ASCII ──
     // Subjects mix accented Latin-1 (case-mapped), Greek (case-mapped),
     // CJK, and an ASTRAL-plane emoji (U+1F600.. — 2 UTF-16 units, so any

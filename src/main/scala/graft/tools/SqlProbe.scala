@@ -1,0 +1,32 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+
+/** One-off SQL probe for the inner dev loop: run each semicolon-separated
+  * statement from args (or stdin with "-") against a GraftSession with
+  * the sf0.001 tables registered, printing schema + rows. Exists because
+  * spark-shell hangs in this container (see the verify skill notes).
+  */
+object SqlProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession("graft-sql-probe")
+    Tables.register(spark, args.headOption.filter(_.startsWith("/"))
+      .getOrElse("/root/testdata/sf0.001"))
+    val sqlArgs = if (args.headOption.exists(_.startsWith("/"))) args.tail else args
+    val stmts =
+      (if (sqlArgs.sameElements(Array("-")))
+        scala.io.Source.stdin.mkString.split(";;")
+      else sqlArgs).map(_.trim).filter(_.nonEmpty)
+    stmts.foreach { s =>
+      println(s"--- $s")
+      try {
+        val df = spark.sql(s)
+        println(df.schema.map(f => s"${f.name}: ${f.dataType.sql}").mkString(" | "))
+        df.show(20, truncate = false)
+      } catch { case e: Throwable =>
+        println(s"ERROR ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

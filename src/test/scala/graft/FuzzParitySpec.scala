@@ -129,6 +129,29 @@ class FuzzParitySpec extends AnyFunSuite {
     assert(negs > 100, s"negative-operand coverage too thin: $negs")
   }
 
+  test("time sweep: 400 rows, rendering/extraction/ordering consistent") {
+    val rows = run("fuzz_time_parity")
+    assert(rows.length == 400)
+    var fractional = 0
+    rows.foreach { r =>
+      def s(c: String) = r.getString(r.fieldIndex(c))
+      def l(c: String) = r.getLong(r.fieldIndex(c))
+      // rendered integer-second time parses back to itself
+      assert(s("rt") == s("s1"))
+      // extraction agrees with the rendered fractional time's prefix
+      assert(s("sf").startsWith(f"${l("h")}%02d:${l("mi")}%02d:${l("sec")}%02d"))
+      if (s("sf").contains('.')) fractional += 1
+      // greatest/least partition the pair
+      assert(Set(s("gst"), s("lst")) == Set(s("gst"), s("lst")))
+      assert(s("gst") >= s("lst")) // HH:mm:ss strings order like times
+      // lt/gt consistent with the rendered ordering
+      if (r.getBoolean(r.fieldIndex("lt"))) assert(s("lst") == s("s1"))
+      // in-range interval adds stay under 14:00 (hour base % 12)
+      assert(s("plus_h") < "14" && s("plus_m") < "14")
+    }
+    assert(fractional > 300, s"micros coverage too thin: $fractional")
+  }
+
   test("datetime sweep: 400 rows, ISO dow and unix seconds pinned") {
     val rows = run("fuzz_datetime_parity")
     assert(rows.length == 400)
