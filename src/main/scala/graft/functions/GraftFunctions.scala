@@ -57,6 +57,15 @@ object GraftFnUtils {
     org.apache.spark.unsafe.types.UTF8String.fromString(
       java.util.regex.Pattern.quote(s.toString))
 
+  /** Reference DateTimeOperators.timePlusIntervalDayToSecond: the sum
+    * wraps modulo 24h (modulo24Hour — floorMod, so a subtraction past
+    * midnight wraps UP). Physical values: TIME is nanos-of-day, the
+    * day-time interval is micros.
+    */
+  def wrapTimeAdd(timeNanos: Long, intervalMicros: Long): Long =
+    java.lang.Math.floorMod(timeNanos + intervalMicros * 1000L,
+      86400L * 1000L * 1000L * 1000L)
+
   // ── zone-carrying TIMESTAMP WITH TIME ZONE helpers (ZonedTimestamps;
   // reference presto-spi DateTimeEncoding.java packs millis+zoneKey into
   // one long — here the zone rides as the struct's second field and these

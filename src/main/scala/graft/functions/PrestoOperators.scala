@@ -71,6 +71,24 @@ object PrestoOperators {
           (u.arguments.size == 2 || u.arguments.size == 3) =>
       u.copy(arguments = u.arguments.head +:
         QuotedDelimiter(u.arguments(1)) +: u.arguments.drop(2))
+    // TIME ± INTERVAL wraps modulo 24h in the reference
+    // (DateTimeOperators.java:65-74 modulo24Hour; YEAR TO MONTH
+    // intervals are a NO-OP on TIME, :137-147) where Spark's ANSI TIME
+    // raises DATETIME_OVERFLOW past midnight. Late-binding on the
+    // resolved left type — every non-TIME left keeps stock Add/Subtract
+    // bit-for-bit. Matched on interval LITERALS (the porting shape;
+    // same guard as ZonedTimestamps.intervalish).
+    case Add(l, r, _) if intervalish(r) => PrestoTimeIntervalAdd(l, r, negate = false)
+    case Add(l, r, _) if intervalish(l) => PrestoTimeIntervalAdd(r, l, negate = false)
+    case Subtract(l, r, _) if intervalish(r) => PrestoTimeIntervalAdd(l, r, negate = true)
+  }
+
+  private def intervalish(e: Expression): Boolean = e match {
+    case Literal(_, _: DayTimeIntervalType) => true
+    case Literal(_, _: YearMonthIntervalType) => true
+    case UnaryMinus(Literal(_, _: DayTimeIntervalType), _) => true
+    case UnaryMinus(Literal(_, _: YearMonthIntervalType), _) => true
+    case _ => false
   }
 
   /** Regex-quote the split delimiter: literal delimiters fold at plan
@@ -227,4 +245,88 @@ case class PrestoCastToIntegral(child: Expression, target: DataType)
 
   override protected def withNewChildInternal(c: Expression): PrestoCastToIntegral =
     copy(child = c)
+}
+
+/** TIME ± INTERVAL with the reference's wraparound (dialect tranche 3):
+  * `DateTimeOperators.timePlusIntervalDayToSecond` wraps the sum modulo
+  * 24h (`modulo24Hour`), and YEAR TO MONTH intervals on a TIME are a
+  * NO-OP (`timePlusIntervalYearToMonth` returns the time unchanged,
+  * DateTimeOperators.java:137) — where Spark's ANSI TIME arithmetic
+  * raises DATETIME_OVERFLOW past midnight and rejects YM intervals.
+  * Late-binding like [[PrestoDivide]]: the parser can't see the left
+  * type, so the replacement dispatches once it resolves; every non-TIME
+  * left keeps stock Add/Subtract (built post-coercion exactly as Spark's
+  * own analysis would leave them — both operand types are already final
+  * for date/timestamp ± interval-literal shapes).
+  */
+case class PrestoTimeIntervalAdd(left: Expression, right: Expression,
+    negate: Boolean, timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
+    with TimeZoneAwareExpression {
+
+  override def prettyName: String = "presto_time_interval_add"
+  override def withTimeZone(tz: String): PrestoTimeIntervalAdd =
+    copy(timeZoneId = Some(tz))
+  // TimeZoneAwareExpression's final nodePatterns overwrites the
+  // RUNTIME_REPLACEABLE bit (same plumbing note as ZonedIntervalAdd)
+  override def nodePatternsInternal():
+      Seq[org.apache.spark.sql.catalyst.trees.TreePattern.TreePattern] =
+    Seq(org.apache.spark.sql.catalyst.trees.TreePattern.RUNTIME_REPLACEABLE)
+
+  private def ivx: Expression = if (negate) UnaryMinus(right) else right
+
+  // The non-TIME cases re-state what the analyzer's binary-arithmetic
+  // resolution would have built (it never revisits a replacement), same
+  // case table as ZonedIntervalAdd's stock rows.
+  override lazy val replacement: Expression = (left.dataType, right.dataType) match {
+    case (_: TimeType, _: DayTimeIntervalType) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, left.dataType, "wrapTimeAdd",
+        Seq(left, ivx),
+        inputTypes = Seq(left.dataType, right.dataType),
+        propagateNull = true)
+    case (_: TimeType, _: YearMonthIntervalType) => left
+    // zone-carrying operands (both confs on): GraftSqlParser applies this
+    // rewrite BEFORE ZonedTimestamps', so the zoned rows from
+    // ZonedIntervalAdd are restated here — otherwise a zoned value would
+    // fall into the stock Add fallback and fail resolution
+    case (z, _: DayTimeIntervalType) if ZonedTimestamps.isZoned(z) =>
+      If(IsNull(left), ZonedTimestamps.nullZ,
+        ZonedTimestamps.mk(
+          TimestampAddInterval(ZonedTimestamps.utcOf(left), ivx, timeZoneId),
+          ZonedTimestamps.tzOf(left)))
+    case (z, _: YearMonthIntervalType) if ZonedTimestamps.isZoned(z) =>
+      If(IsNull(left), ZonedTimestamps.nullZ,
+        ZonedTimestamps.mk(
+          ToUTCTimestamp(
+            TimestampAddYMInterval(ZonedTimestamps.wallOf(left), ivx, timeZoneId),
+            ZonedTimestamps.tzOf(left)),
+          ZonedTimestamps.tzOf(left)))
+    case (TimestampType, _: DayTimeIntervalType) =>
+      TimestampAddInterval(left, ivx, timeZoneId)
+    case (TimestampType, _: YearMonthIntervalType) =>
+      TimestampAddYMInterval(left, ivx, timeZoneId)
+    case (TimestampNTZType, _: DayTimeIntervalType) =>
+      TimestampAddInterval(left, ivx, timeZoneId)
+    case (TimestampNTZType, _: YearMonthIntervalType) =>
+      TimestampAddYMInterval(left, ivx, timeZoneId)
+    // DAY-only interval keeps the DATE type (stock ResolveBinaryArithmetic
+    // special case AND reference intervalDayToSecondPlusDate — both return
+    // DATE; routing through a timestamp would silently widen the type)
+    case (DateType, DayTimeIntervalType(DayTimeIntervalType.DAY, DayTimeIntervalType.DAY)) =>
+      DateAdd(left, ExtractANSIIntervalDays(ivx))
+    case (DateType, _: DayTimeIntervalType) =>
+      TimestampAddInterval(Cast(left, TimestampType, timeZoneId), ivx, timeZoneId)
+    case (DateType, _: YearMonthIntervalType) => DateAddYMInterval(left, ivx)
+    case (_: StringType, _: DayTimeIntervalType) =>
+      TimestampAddInterval(Cast(left, TimestampType, timeZoneId), ivx, timeZoneId)
+    case (_: StringType, _: YearMonthIntervalType) =>
+      TimestampAddYMInterval(Cast(left, TimestampType, timeZoneId), ivx, timeZoneId)
+    case _ => if (negate) Subtract(left, right) else Add(left, right)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PrestoTimeIntervalAdd =
+    copy(left = l, right = r)
 }

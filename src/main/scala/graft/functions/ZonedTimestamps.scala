@@ -500,6 +500,12 @@ case class ZonedIntervalAdd(ts: Expression, iv: Expression, negate: Boolean,
       TimestampAddInterval(ts, ivx, timeZoneId)
     case (TimestampType, _: YearMonthIntervalType) =>
       TimestampAddYMInterval(ts, ivx, timeZoneId)
+    // DAY-only interval keeps the DATE type (stock ResolveBinaryArithmetic
+    // special case — fixed in round 11 alongside PrestoTimeIntervalAdd:
+    // routing through a timestamp silently widened DATE + INTERVAL '1'
+    // DAY to TIMESTAMP under the conf)
+    case (DateType, DayTimeIntervalType(DayTimeIntervalType.DAY, DayTimeIntervalType.DAY)) =>
+      DateAdd(ts, ExtractANSIIntervalDays(ivx))
     case (DateType, _: DayTimeIntervalType) =>
       TimestampAddInterval(Cast(ts, TimestampType, timeZoneId), ivx, timeZoneId)
     case (DateType, _: YearMonthIntervalType) => DateAddYMInterval(ts, ivx)

@@ -305,6 +305,46 @@ object DialectOps extends QueryGroup {
       finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
     },
 
+    // ── dialect tranche 3 (round 11): TIME ± INTERVAL wraps modulo 24h
+    // in the reference (DateTimeOperators.java:65-74 modulo24Hour;
+    // YEAR TO MONTH on a TIME is a NO-OP, :137-147) where stock Spark's
+    // ANSI TIME raises DATETIME_OVERFLOW past midnight. DuckDB wraps
+    // natively — including the YM no-op — so the oracle pins values.
+    // DATE/TIMESTAMP ± interval keep stock behavior through the same
+    // dispatch (d_ok/ts_ok guard the fallback rows, incl. the DAY-only
+    // interval keeping the DATE type). ──
+    q("dialect_time_wrap",
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    make_time(CAST(o_orderkey % 24 AS BIGINT), CAST(o_orderkey % 60 AS BIGINT),
+        |              CAST(o_orderkey % 60 AS DOUBLE)) AS tod
+        |  FROM orders WHERE o_orderkey < 700)
+        |SELECT o_orderkey,
+        |  CAST(tod + INTERVAL 90 MINUTE AS VARCHAR) AS plus90m,
+        |  CAST(tod + INTERVAL 23 HOUR AS VARCHAR) AS plus23h,
+        |  CAST(tod - INTERVAL 2 HOUR AS VARCHAR) AS minus2h,
+        |  CAST(tod + INTERVAL 3 MONTH AS VARCHAR) AS ym_noop,
+        |  CAST(CAST(DATE '2020-01-31' + INTERVAL 1 DAY AS DATE) AS VARCHAR) AS d_ok,
+        |  CAST(TIMESTAMP '2020-01-01 10:00:00' + INTERVAL 2 HOUR AS VARCHAR) AS ts_ok
+        |FROM t ORDER BY o_orderkey""".stripMargin) { (s, _) =>
+      s.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+      try s.sql(
+        """WITH t AS (
+          |  SELECT o_orderkey,
+          |    make_time(CAST(o_orderkey % 24 AS INT), CAST(o_orderkey % 60 AS INT),
+          |              CAST(o_orderkey % 60 AS INT)) AS tod
+          |  FROM orders WHERE o_orderkey < 700)
+          |SELECT o_orderkey,
+          |  CAST(tod + INTERVAL '90' MINUTE AS STRING) AS plus90m,
+          |  CAST(tod + INTERVAL '23' HOUR AS STRING) AS plus23h,
+          |  CAST(tod - INTERVAL '2' HOUR AS STRING) AS minus2h,
+          |  CAST(tod + INTERVAL '3' MONTH AS STRING) AS ym_noop,
+          |  CAST(DATE '2020-01-31' + INTERVAL '1' DAY AS STRING) AS d_ok,
+          |  CAST(TIMESTAMP '2020-01-01 10:00:00' + INTERVAL '2' HOUR AS STRING) AS ts_ok
+          |FROM t ORDER BY o_orderkey""".stripMargin)
+      finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
+    },
+
     // double-quoted identifiers: Presto lexes "…" as an identifier in
     // every position (quotedIdentifier; strings are single-quoted only),
     // Spark as a string literal. This engine makes the Presto semantics

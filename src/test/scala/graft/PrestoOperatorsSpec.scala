@@ -127,6 +127,32 @@ class PrestoOperatorsSpec extends AnyFunSuite {
       "on: reference HALF_UP rounding")
   }
 
+  test("TIME ± INTERVAL wraps modulo 24h under the dialect, raises off") {
+    // reference DateTimeOperators.java:65-74 (modulo24Hour) / :137-147
+    // (YEAR TO MONTH no-op on TIME); stock ANSI Spark raises
+    // DATETIME_OVERFLOW past midnight
+    withDialect {
+      assert(one("SELECT CAST(TIME '23:59:59' + INTERVAL '2' SECOND AS STRING)") == "00:00:01")
+      assert(one("SELECT CAST(TIME '00:00:01' - INTERVAL '2' SECOND AS STRING)") == "23:59:59",
+        "subtraction past midnight wraps UP (floorMod)")
+      assert(one("SELECT CAST(TIME '12:00:00' + INTERVAL '36' HOUR AS STRING)") == "00:00:00")
+      assert(one("SELECT CAST(TIME '07:08:09.123456' + INTERVAL '1' SECOND AS STRING)") ==
+        "07:08:10.123456", "micros survive the wrap arithmetic")
+      assert(one("SELECT CAST(TIME '07:08:09' + INTERVAL '3' MONTH AS STRING)") == "07:08:09",
+        "YEAR TO MONTH interval is a no-op on TIME (reference :137)")
+      // the dispatch's fallback rows keep stock semantics and TYPES
+      assert(one("SELECT CAST(DATE '2020-01-31' + INTERVAL '1' DAY AS STRING)") == "2020-02-01",
+        "DAY-only interval keeps the DATE type (no timestamp widening)")
+      assert(one("SELECT DATE '2020-01-31' + INTERVAL '1' DAY").isInstanceOf[java.sql.Date])
+      assert(one("SELECT CAST(DATE '2020-01-31' + INTERVAL '1' MONTH AS STRING)") == "2020-02-29")
+      assert(one("SELECT CAST(TIMESTAMP '2020-01-01 10:00:00' + INTERVAL '2' HOUR AS STRING)")
+        .toString.startsWith("2020-01-01 12:00:00"))
+    }
+    // conf off: stock ANSI overflow error
+    val e = intercept[Exception](one("SELECT TIME '23:59:59' + INTERVAL '2' SECOND"))
+    assert(e.getMessage.contains("DATETIME_OVERFLOW"))
+  }
+
   test("dialect reaches inside subqueries and CTEs") {
     withDialect {
       assert(one("WITH t AS (SELECT 7 / 2 AS v) SELECT v FROM t") == 3)
