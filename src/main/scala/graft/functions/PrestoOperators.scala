@@ -303,6 +303,16 @@ case class PrestoTimeIntervalAdd(left: Expression, right: Expression,
             TimestampAddYMInterval(ZonedTimestamps.wallOf(left), ivx, timeZoneId),
             ZonedTimestamps.tzOf(left)),
           ZonedTimestamps.tzOf(left)))
+    case (z, _: DayTimeIntervalType) if ZonedTimestamps.isZonedTime(z) =>
+      If(IsNull(left), ZonedTimestamps.nullZT,
+        ZonedTimestamps.mkTime(
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            GraftFnUtils.getClass, TimeType(6), "wrapTimeAdd",
+            Seq(ZonedTimestamps.todOf(left), ivx),
+            inputTypes = Seq(TimeType(6), ivx.dataType),
+            propagateNull = true),
+          ZonedTimestamps.tzOf(left)))
+    case (z, _: YearMonthIntervalType) if ZonedTimestamps.isZonedTime(z) => left
     case (TimestampType, _: DayTimeIntervalType) =>
       TimestampAddInterval(left, ivx, timeZoneId)
     case (TimestampType, _: YearMonthIntervalType) =>

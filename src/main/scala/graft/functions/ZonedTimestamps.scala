@@ -492,6 +492,18 @@ case class ZonedIntervalAdd(ts: Expression, iv: Expression, negate: Boolean,
     case (z, _: DayTimeIntervalType) if isZoned(z) =>
       If(IsNull(ts), nullZ,
         mk(TimestampAddInterval(utcOf(ts), ivx, timeZoneId), tzOf(ts)))
+    // zoned TIME ± interval: the wall time-of-day wraps modulo 24h and
+    // the zone rides along (reference DateTimeOperators.java:79-88
+    // timeWithTimeZonePlusIntervalDayToSecond — modulo24Hour in the
+    // value's chronology); YEAR TO MONTH is a no-op on any TIME (:137)
+    case (z, _: DayTimeIntervalType) if isZonedTime(z) =>
+      If(IsNull(ts), nullZT,
+        mkTime(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, TimeType(6), "wrapTimeAdd",
+          Seq(todOf(ts), ivx),
+          inputTypes = Seq(TimeType(6), ivx.dataType),
+          propagateNull = true), tzOf(ts)))
+    case (z, _: YearMonthIntervalType) if isZonedTime(z) => ts
     case (z, _: YearMonthIntervalType) if isZoned(z) =>
       If(IsNull(ts), nullZ,
         mk(ToUTCTimestamp(TimestampAddYMInterval(wallOf(ts), ivx, timeZoneId), tzOf(ts)),

@@ -257,6 +257,21 @@ class ZonedTimestampsSpec extends AnyFunSuite {
       .toString.startsWith("07:08:09"))
   }
 
+  test("TIME WITH TIME ZONE ± INTERVAL wraps modulo 24h, zone carried (round 11)") {
+    // reference DateTimeOperators.java:79-88 (modulo24Hour on the zoned
+    // time's chronology); YEAR TO MONTH is a no-op on any TIME (:137)
+    withZoned {
+      assert(one("SELECT CAST(TIME '23:30:00 Asia/Tokyo' + INTERVAL '45' MINUTE AS VARCHAR)") ==
+        "00:15:00.000 Asia/Tokyo")
+      assert(one("SELECT CAST(TIME '00:10:00 +05:30' - INTERVAL '20' MINUTE AS VARCHAR)") ==
+        "23:50:00.000 +05:30", "subtraction past midnight wraps up, zone kept")
+      assert(one("SELECT CAST(TIME '07:08:09 UTC' + INTERVAL '2' MONTH AS VARCHAR)") ==
+        "07:08:09.000 UTC", "year-month interval is a no-op")
+      assert(one("SELECT CAST(CAST(NULL AS TIME WITH TIME ZONE) + INTERVAL '1' HOUR AS VARCHAR)")
+        == null)
+    }
+  }
+
   test("TIME WITH TIME ZONE comparisons order by UTC-normalized wall time") {
     withZoned {
       // 10:00 +05:30 is the same UTC-normalized instant as 04:30 UTC
