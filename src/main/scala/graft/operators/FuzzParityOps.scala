@@ -742,6 +742,59 @@ object FuzzParityOps extends QueryGroup {
         |FROM tt ORDER BY i""".stripMargin)
     },
 
+    // ── MAP family under operand sweep (round 11): construction from
+    // arrays, key/value order preservation, cardinality, lookup,
+    // disjoint-key concat (GraftSession pins mapKeyDedupPolicy=EXCEPTION
+    // — the reference also rejects duplicate map keys), and the lambda
+    // surface (map_filter / transform_values), which DuckDB lacks — the
+    // oracle recomputes those results through independent LIST ops over
+    // the keys/values, making this a genuine second implementation of
+    // the lambda semantics rather than a same-function echo. Keys are
+    // banded (0-9 / 10-19 / 20-29 / 30-39) so lookups always hit and
+    // concat never collides. ──
+    q("fuzz_map_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, h1, h2,
+        |    map([h1 % 10, 10 + h2 % 10, 20 + (h1 + h2) % 10],
+        |        ['a' || CAST(h1 % 7 AS VARCHAR), 'b' || CAST(h2 % 7 AS VARCHAR),
+        |         'c' || CAST((h1 + h2) % 7 AS VARCHAR)]) AS m,
+        |    map([30 + h2 % 10], ['d' || CAST(h1 % 5 AS VARCHAR)]) AS m2
+        |  FROM o)
+        |SELECT i,
+        |  array_to_string(map_keys(m), ',') AS keys_csv,
+        |  array_to_string(map_values(m), ',') AS vals_csv,
+        |  CAST(cardinality(m) AS BIGINT) AS card,
+        |  map_extract(m, 10 + h2 % 10)[1] AS look2,
+        |  list_contains(map_keys(m), 20 + (h1 + h2) % 10) AS has3,
+        |  list_contains(map_keys(m), 15) AS has_nope,
+        |  array_to_string(map_keys(map_concat(m, m2)), ',') AS cat_keys,
+        |  array_to_string(map_values(map_concat(m, m2)), ',') AS cat_vals,
+        |  array_to_string(list_filter(map_keys(m), k -> k % 2 = 0), ',') AS even_keys,
+        |  array_to_string(list_transform(map_values(m), v -> v || '!'), ',') AS bang_vals
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i, h1, h2,
+        |    map_from_arrays(
+        |      array(h1 % 10, 10 + h2 % 10, 20 + (h1 + h2) % 10),
+        |      array(concat('a', CAST(h1 % 7 AS STRING)), concat('b', CAST(h2 % 7 AS STRING)),
+        |            concat('c', CAST((h1 + h2) % 7 AS STRING)))) AS m,
+        |    map_from_arrays(array(30 + h2 % 10),
+        |      array(concat('d', CAST(h1 % 5 AS STRING)))) AS m2
+        |  FROM o)
+        |SELECT i,
+        |  array_join(map_keys(m), ',') AS keys_csv,
+        |  array_join(map_values(m), ',') AS vals_csv,
+        |  CAST(cardinality(m) AS BIGINT) AS card,
+        |  element_at(m, 10 + h2 % 10) AS look2,
+        |  map_contains_key(m, 20 + (h1 + h2) % 10) AS has3,
+        |  map_contains_key(m, 15) AS has_nope,
+        |  array_join(map_keys(map_concat(m, m2)), ',') AS cat_keys,
+        |  array_join(map_values(map_concat(m, m2)), ',') AS cat_vals,
+        |  array_join(map_keys(map_filter(m, (k, v) -> k % 2 = 0)), ',') AS even_keys,
+        |  array_join(map_values(transform_values(m, (k, v) -> concat(v, '!'))), ',') AS bang_vals
+        |FROM t ORDER BY i""".stripMargin)
+    },
+
     // ── Unicode: codepoint-indexed string semantics beyond ASCII ──
     // Subjects mix accented Latin-1 (case-mapped), Greek (case-mapped),
     // CJK, and an ASTRAL-plane emoji (U+1F600.. — 2 UTF-16 units, so any

@@ -129,6 +129,31 @@ class FuzzParitySpec extends AnyFunSuite {
     assert(negs > 100, s"negative-operand coverage too thin: $negs")
   }
 
+  test("map sweep: 400 rows, banded keys and lambda results consistent") {
+    val rows = run("fuzz_map_parity")
+    assert(rows.length == 400)
+    rows.foreach { r =>
+      def s(c: String) = r.getString(r.fieldIndex(c))
+      assert(r.getLong(r.fieldIndex("card")) == 3L)
+      // key 15 sits inside the second band (10..19): present iff that
+      // band's key landed on 15, so the probe exercises BOTH outcomes
+      assert(r.getBoolean(r.fieldIndex("has_nope")) ==
+        s("keys_csv").split(',').contains("15"))
+      assert(r.getBoolean(r.fieldIndex("has3")))
+      assert(s("look2").startsWith("b"))
+      // concat appends the disjoint-banded m2 key/value at the end
+      assert(s("cat_keys").startsWith(s("keys_csv")) &&
+        s("cat_vals").startsWith(s("vals_csv")))
+      assert(s("cat_keys").split(',').length == 4)
+      // map_filter keeps a SUBSET of keys; transform_values keeps arity
+      val keys = s("keys_csv").split(',').toSet
+      assert(s("even_keys").split(',').filter(_.nonEmpty).forall(k =>
+        keys.contains(k) && k.toLong % 2 == 0))
+      assert(s("bang_vals").split(',').length == 3 &&
+        s("bang_vals").split(',').forall(_.endsWith("!")))
+    }
+  }
+
   test("time sweep: 400 rows, rendering/extraction/ordering consistent") {
     val rows = run("fuzz_time_parity")
     assert(rows.length == 400)

@@ -88,6 +88,12 @@ class SpatialSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"kdb join went cartesian:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"kdb join must be an equi hash join:\n$plan")
+    // round-11 scale fix: the join must key on the radius-grid CELLS as
+    // well as the leaf — leaf-only keys are a within-leaf cartesian once
+    // per-leaf population outgrows the sample-bounded leaf count
+    // (SpatialStress m100: 4.65 s → 0.81 s; see BENCHLOG)
+    assert(plan.contains("cx") && plan.contains("cy"),
+      s"kdb join lost the per-leaf grid-cell key:\n$plan")
   }
 
   test("simplify_geometry is Douglas-Peucker; ST_Buffer is the point n-gon") {
