@@ -795,6 +795,46 @@ object FuzzParityOps extends QueryGroup {
         |FROM t ORDER BY i""".stripMargin)
     },
 
+    // ── ROW/struct semantics under operand sweep (round 11; reference
+    // presto-spi RowType + RowComparisonOperators): construction, field
+    // access, nesting, structs inside arrays, and ordered comparison —
+    // lexicographic by field POSITION with the second field deciding
+    // forced first-field ties (tie1/tie2 share `k`). Both engines
+    // compare structs positionally; rendering casts stay out (the text
+    // formats differ: DuckDB quotes keys, Spark doesn't). ──
+    q("fuzz_row_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, h1, h2,
+        |    struct_pack(a := h1 % 100, b := 'v' || CAST(h2 % 50 AS VARCHAR)) AS r1,
+        |    struct_pack(a := h2 % 100, b := 'v' || CAST(h1 % 50 AS VARCHAR)) AS r2,
+        |    struct_pack(k := h1 % 5, x := h1 % 90) AS tie1,
+        |    struct_pack(k := h1 % 5, x := h2 % 90) AS tie2
+        |  FROM o)
+        |SELECT i,
+        |  CAST(r1.a AS BIGINT) AS fa, r1.b AS fb,
+        |  r1 = r2 AS eq, r1 < r2 AS lt, r1 > r2 AS gt,
+        |  tie1 < tie2 AS tie_lt, tie1 = tie2 AS tie_eq,
+        |  CAST(struct_pack(o := r1).o.a AS BIGINT) AS nested_a,
+        |  CAST([r1, r2][2].a AS BIGINT) AS arr_a,
+        |  CAST((CASE WHEN r1 < r2 THEN r1 ELSE r2 END).a AS BIGINT) AS min_a
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i, h1, h2,
+        |    named_struct('a', h1 % 100, 'b', concat('v', CAST(h2 % 50 AS STRING))) AS r1,
+        |    named_struct('a', h2 % 100, 'b', concat('v', CAST(h1 % 50 AS STRING))) AS r2,
+        |    named_struct('k', h1 % 5, 'x', h1 % 90) AS tie1,
+        |    named_struct('k', h1 % 5, 'x', h2 % 90) AS tie2
+        |  FROM o)
+        |SELECT i,
+        |  CAST(r1.a AS BIGINT) AS fa, r1.b AS fb,
+        |  r1 = r2 AS eq, r1 < r2 AS lt, r1 > r2 AS gt,
+        |  tie1 < tie2 AS tie_lt, tie1 = tie2 AS tie_eq,
+        |  CAST(named_struct('o', r1).o.a AS BIGINT) AS nested_a,
+        |  CAST(array(r1, r2)[1].a AS BIGINT) AS arr_a,
+        |  CAST((CASE WHEN r1 < r2 THEN r1 ELSE r2 END).a AS BIGINT) AS min_a
+        |FROM t ORDER BY i""".stripMargin)
+    },
+
     // ── Unicode: codepoint-indexed string semantics beyond ASCII ──
     // Subjects mix accented Latin-1 (case-mapped), Greek (case-mapped),
     // CJK, and an ASTRAL-plane emoji (U+1F600.. — 2 UTF-16 units, so any

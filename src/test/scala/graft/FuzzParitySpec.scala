@@ -154,6 +154,22 @@ class FuzzParitySpec extends AnyFunSuite {
     }
   }
 
+  test("row sweep: 400 rows, positional comparison with second-field tie-breaks") {
+    val rows = run("fuzz_row_parity")
+    assert(rows.length == 400)
+    var ties = 0
+    rows.foreach { r =>
+      def b(c: String) = r.getBoolean(r.fieldIndex(c))
+      def l(c: String) = r.getLong(r.fieldIndex(c))
+      // trichotomy and consistency of struct ordering
+      assert(Seq(b("eq"), b("lt"), b("gt")).count(identity) == 1)
+      assert(l("min_a") <= math.max(l("fa"), l("arr_a")))
+      assert(l("nested_a") == l("fa"))
+      if (b("tie_eq")) ties += 1
+    }
+    assert(ties > 0, "forced first-field ties never became full ties")
+  }
+
   test("time sweep: 400 rows, rendering/extraction/ordering consistent") {
     val rows = run("fuzz_time_parity")
     assert(rows.length == 400)
