@@ -75,7 +75,14 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // plus per-row zone dispatch (renderZoned/offset StaticInvokes)
     // must not depend on partitions/AQE, and the conf set/unset inside
     // the query lambda must leave the shared session clean either way
-    "dialect_ztz_observe", "dialect_ztz_arith")
+    "dialect_ztz_observe", "dialect_ztz_arith",
+    // round 11: the TIME-wrap dialect row (parse-time rewrite + the
+    // wrapTimeAdd StaticInvoke), the composed-key KD-B join (leaf +
+    // grid-cell shuffle keys must partition identically at any
+    // parallelism), and the new sweeps with per-row lambda/struct
+    // evaluation
+    "dialect_time_wrap", "spatial_kdb_join",
+    "fuzz_time_parity", "fuzz_map_parity", "fuzz_row_parity")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)
