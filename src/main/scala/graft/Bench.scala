@@ -71,7 +71,11 @@ object Bench {
     // round-9 op: BM25 keyword retrieval — map-side term filter vs the
     // broadcast query terms, document-frequency broadcast, per-query
     // top-k via WindowGroupLimit (no global sort)
-    "sim_bm25_topk")
+    "sim_bm25_topk",
+    // round-11 op promotion: exact-substring duplication (Lee et al.) —
+    // after the census+join → single hashed-key window rework (−75% at
+    // the m10 stress point) it earns headline visibility
+    "dd_exact_substring")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
