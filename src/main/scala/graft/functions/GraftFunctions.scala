@@ -66,6 +66,20 @@ object GraftFnUtils {
     java.lang.Math.floorMod(timeNanos + intervalMicros * 1000L,
       86400L * 1000L * 1000L * 1000L)
 
+  // ── interval field decomposition (reference DateTimeFunctions.java
+  // *FromInterval, :787-1191): total-millis fields with Java division
+  // semantics — negatives truncate toward zero, sub-day fields carry
+  // the interval's sign. Inputs are the physical values Spark hands a
+  // StaticInvoke: day-time interval = total micros, year-month = total
+  // months (ResolveIntervalFields). ──
+  def intervalDay(micros: Long): Long = micros / 1000 / 86400000L
+  def intervalHour(micros: Long): Long = micros / 1000 % 86400000L / 3600000L
+  def intervalMinute(micros: Long): Long = micros / 1000 % 3600000L / 60000L
+  def intervalSecond(micros: Long): Long = micros / 1000 % 60000L / 1000L
+  def intervalMillisecond(micros: Long): Long = micros / 1000 % 1000L
+  def intervalYmYear(months: Int): Long = months / 12L
+  def intervalYmMonth(months: Int): Long = months % 12L
+
   // ── zone-carrying TIMESTAMP WITH TIME ZONE helpers (ZonedTimestamps;
   // reference presto-spi DateTimeEncoding.java packs millis+zoneKey into
   // one long — here the zone rides as the struct's second field and these
@@ -1581,6 +1595,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectResolutionRule(_ => org.apache.spark.sql.graft.ResolveReduceAgg)
     ext.injectResolutionRule(_ => graft.plans.ResolveDateSubToDays)
+    ext.injectResolutionRule(_ => graft.plans.ResolveIntervalFields)
     ext.injectResolutionRule(_ => graft.plans.EmptyGroupingSetsRule)
     ext.injectOptimizerRule(_ => graft.plans.SimplifyElementAt)
   }

@@ -835,6 +835,68 @@ object FuzzParityOps extends QueryGroup {
         |FROM t ORDER BY i""".stripMargin)
     },
 
+    // ── INTERVAL field decomposition under operand sweep (round 11;
+    // exercises plans/ResolveIntervalFields — the reference's
+    // *FromInterval field functions, DateTimeFunctions.java:787-1191,
+    // total-millis fields with Java toward-zero division). DuckDB's own
+    // interval EXTRACT disagrees by design (it keeps components
+    // separate: extract(day from INTERVAL 50 HOUR) = 0 there, 2 here
+    // and in the reference), so the oracle computes every expected
+    // field LONGHAND from the operand integers (the construct-then-
+    // derive trick of fuzz_url_parity) — DuckDB's `//` and `%` truncate
+    // toward zero exactly like Java (probed: -26//12 = -2). Intervals
+    // are built by exact integer multiplies of INTERVAL '0.001' SECOND
+    // (no floating construction), signs included; the derived shapes
+    // cover scalar multiply, interval+interval, and the
+    // timestamp-subtraction interval. ──
+    q("fuzz_interval_parity",
+      duckOperands + """, t AS (
+        |  SELECT i,
+        |    h1 % 500000000 - 250000000 AS ms,
+        |    CAST(h2 % 60 - 30 AS BIGINT) AS mm
+        |  FROM o)
+        |SELECT i,
+        |  ms // 86400000 AS d,
+        |  ms % 86400000 // 3600000 AS h,
+        |  ms % 3600000 // 60000 AS mi,
+        |  ms % 60000 // 1000 AS ss,
+        |  ms % 1000 AS msf,
+        |  (ms * 3) // 86400000 AS d3,
+        |  (ms * 3) % 86400000 // 3600000 AS h3,
+        |  (ms + 3600000) // 86400000 AS ds,
+        |  (ms + 3600000) % 86400000 // 3600000 AS hs,
+        |  (ms + 129600000) // 86400000 AS dt,
+        |  (ms + 129600000) % 86400000 // 3600000 AS ht,
+        |  mm // 12 AS yy,
+        |  mm % 12 AS mo
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i,
+        |    h1 % 500000000 - 250000000 AS ms,
+        |    CAST(h2 % 60 - 30 AS INT) AS mm
+        |  FROM o),
+        |iv AS (
+        |  SELECT i, ms, mm,
+        |    INTERVAL '0.001' SECOND * ms AS dv,
+        |    make_ym_interval(0, mm) AS yv
+        |  FROM t)
+        |SELECT i,
+        |  day(dv) AS d,
+        |  hour(dv) AS h,
+        |  minute(dv) AS mi,
+        |  second(dv) AS ss,
+        |  millisecond(dv) AS msf,
+        |  day(dv * 3) AS d3,
+        |  hour(dv * 3) AS h3,
+        |  day(dv + INTERVAL '1' HOUR) AS ds,
+        |  hour(dv + INTERVAL '1' HOUR) AS hs,
+        |  day((TIMESTAMP '2020-01-10 00:00:00' + dv) - TIMESTAMP '2020-01-08 12:00:00') AS dt,
+        |  hour((TIMESTAMP '2020-01-10 00:00:00' + dv) - TIMESTAMP '2020-01-08 12:00:00') AS ht,
+        |  year(yv) AS yy,
+        |  month(yv) AS mo
+        |FROM iv ORDER BY i""".stripMargin)
+    },
+
     // ── Unicode: codepoint-indexed string semantics beyond ASCII ──
     // Subjects mix accented Latin-1 (case-mapped), Greek (case-mapped),
     // CJK, and an ASTRAL-plane emoji (U+1F600.. — 2 UTF-16 units, so any

@@ -13,6 +13,31 @@ class FnSpec extends AnyFunSuite {
 
   private def ready(): Unit = Tables.register(spark, TestSession.sf)
 
+  test("datetime field functions decompose intervals like the reference (ResolveIntervalFields)") {
+    // reference DateTimeFunctions.java *FromInterval (:787-1191):
+    // total-millis fields, Java toward-zero division; EXTRACT delegates
+    // to the same scalars. Stock Spark's date-typed builtins rejected
+    // interval args through the graft EXTRACT rewrite until round 11.
+    val r = spark.sql(
+      """SELECT day(INTERVAL '3 04:05:06.789' DAY TO SECOND) d,
+        |  hour(INTERVAL '3 04:05:06.789' DAY TO SECOND) h,
+        |  minute(INTERVAL '3 04:05:06.789' DAY TO SECOND) mi,
+        |  second(INTERVAL '3 04:05:06.789' DAY TO SECOND) ss,
+        |  millisecond(INTERVAL '3 04:05:06.789' DAY TO SECOND) ms,
+        |  CAST(EXTRACT(HOUR FROM INTERVAL '50' HOUR) AS BIGINT) eh,
+        |  CAST(EXTRACT(DAY FROM INTERVAL '50' HOUR) AS BIGINT) ed,
+        |  day(INTERVAL '-50' HOUR) negd, hour(INTERVAL '-50' HOUR) negh,
+        |  year(INTERVAL '26' MONTH) y, month(INTERVAL '26' MONTH) m,
+        |  year(INTERVAL '-26' MONTH) negy, month(INTERVAL '-26' MONTH) negm,
+        |  day(DATE '2020-03-15') plain_day""".stripMargin).collect()(0)
+    assert(Seq(0, 1, 2, 3, 4).map(r.getLong) == Seq(3L, 4L, 5L, 6L, 789L))
+    assert(r.getLong(5) == 2L && r.getLong(6) == 2L) // 50h = 2d 2h (DuckDB's own EXTRACT says 0d 50h — components kept separate there)
+    assert(r.getLong(7) == -2L && r.getLong(8) == -2L) // Java toward-zero
+    assert(r.getLong(9) == 2L && r.getLong(10) == 2L)
+    assert(r.getLong(11) == -2L && r.getLong(12) == -2L)
+    assert(r.getInt(13) == 15) // non-interval args keep the stock builtin
+  }
+
   test("narrowing decimal CAST rounds HALF_UP (reference DecimalCasts semantics; DuckDB truncates)") {
     // The one pinned engine-vs-oracle dialect divergence of the decimal
     // family: the reference narrows decimal scale with HALF_UP

@@ -154,6 +154,25 @@ class FuzzParitySpec extends AnyFunSuite {
     }
   }
 
+  test("interval sweep: 400 rows, negative operands, fields consistent") {
+    val rows = run("fuzz_interval_parity")
+    assert(rows.length == 400)
+    var negs = 0
+    rows.foreach { r =>
+      def l(c: String) = r.getLong(r.fieldIndex(c))
+      if (l("d") < 0 || l("h") < 0) negs += 1
+      // field ranges (sign-carrying, Java toward-zero semantics)
+      assert(math.abs(l("h")) <= 23 && math.abs(l("mi")) <= 59 &&
+        math.abs(l("ss")) <= 59 && math.abs(l("msf")) <= 999)
+      assert(math.abs(l("mo")) <= 11 && math.abs(l("yy")) <= 2)
+      // a negative interval's fields all carry the same sign or are zero
+      val signs = Seq(l("d"), l("h"), l("mi"), l("ss"), l("msf"))
+        .filter(_ != 0).map(_.signum).distinct
+      assert(signs.size <= 1, s"mixed field signs: $signs")
+    }
+    assert(negs > 100, s"negative-interval coverage too thin: $negs")
+  }
+
   test("row sweep: 400 rows, positional comparison with second-field tie-breaks") {
     val rows = run("fuzz_row_parity")
     assert(rows.length == 400)
