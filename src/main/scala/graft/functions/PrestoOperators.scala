@@ -46,6 +46,9 @@ object PrestoOperators {
     case _ => false
   }
 
+  private def fnName(u: UnresolvedFunction): String =
+    if (u.nameParts.length == 1) u.nameParts.head.toLowerCase else ""
+
   val exprRewrite: PartialFunction[Expression, Expression] = {
     case d: Divide => PrestoDivide(d.left, d.right)
     // CAST(x AS <integral>): the reference rounds floating/decimal
@@ -71,6 +74,21 @@ object PrestoOperators {
           (u.arguments.size == 2 || u.arguments.size == 3) =>
       u.copy(arguments = u.arguments.head +:
         QuotedDelimiter(u.arguments(1)) +: u.arguments.drop(2))
+    // greatest/least return NULL when ANY argument is NULL in the
+    // reference (AbstractGreatestLeast.java:120 RETURN_NULL_ON_NULL) —
+    // Spark and DuckDB both SKIP nulls, so a ported query silently
+    // returns the wrong extremum instead of NULL (round-11 find while
+    // probing 3-valued logic). Rewritten to a null-propagating CaseWhen
+    // over the RESOLVED Greatest/Least expression classes — not a new
+    // UnresolvedFunction, so transformDown's descent into the rewritten
+    // children cannot wrap again.
+    case u: UnresolvedFunction
+        if Seq("greatest", "least").contains(fnName(u)) &&
+          u.arguments.size >= 2 && !u.isDistinct =>
+      val anyNull = u.arguments.map(IsNull(_): Expression).reduce(Or(_, _))
+      val ext: Expression =
+        if (fnName(u) == "greatest") Greatest(u.arguments) else Least(u.arguments)
+      CaseWhen(Seq((anyNull, Literal(null))), Some(ext))
     // TIME ± INTERVAL wraps modulo 24h in the reference
     // (DateTimeOperators.java:65-74 modulo24Hour; YEAR TO MONTH
     // intervals are a NO-OP on TIME, :137-147) where Spark's ANSI TIME

@@ -345,6 +345,33 @@ object DialectOps extends QueryGroup {
       finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
     },
 
+    // ── dialect tranche 3 (round 11): greatest/least NULL propagation.
+    // The reference returns NULL when ANY argument is NULL
+    // (AbstractGreatestLeast.java:120 RETURN_NULL_ON_NULL); Spark AND
+    // DuckDB both skip nulls, so the oracle states the semantics
+    // longhand (the NULL cases computed by an explicit CASE). ──
+    q("dialect_greatest_null",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |       ELSE greatest(o_orderkey, (o_orderkey % 7) * 100) END AS g,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |       ELSE least(o_orderkey, (o_orderkey % 11) * 50) END AS l,
+        |  greatest(o_orderkey, (o_orderkey % 7) * 100, 42) AS g_ctrl
+        |FROM orders WHERE o_orderkey < 700 ORDER BY o_orderkey""".stripMargin) { (s, _) =>
+      s.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+      try s.sql(
+        """SELECT o_orderkey,
+          |  greatest(o_orderkey,
+          |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+          |         ELSE (o_orderkey % 7) * 100 END) AS g,
+          |  least(o_orderkey,
+          |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+          |         ELSE (o_orderkey % 11) * 50 END) AS l,
+          |  greatest(o_orderkey, (o_orderkey % 7) * 100, 42) AS g_ctrl
+          |FROM orders WHERE o_orderkey < 700 ORDER BY o_orderkey""".stripMargin)
+      finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
+    },
+
     // double-quoted identifiers: Presto lexes "…" as an identifier in
     // every position (quotedIdentifier; strings are single-quoted only),
     // Spark as a string literal. This engine makes the Presto semantics

@@ -81,8 +81,9 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // grid-cell shuffle keys must partition identically at any
     // parallelism), and the new sweeps with per-row lambda/struct
     // evaluation
-    "dialect_time_wrap", "spatial_kdb_join",
-    "fuzz_time_parity", "fuzz_map_parity", "fuzz_row_parity")
+    "dialect_time_wrap", "dialect_greatest_null", "spatial_kdb_join",
+    "fuzz_time_parity", "fuzz_map_parity", "fuzz_row_parity",
+    "fuzz_interval_parity")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)

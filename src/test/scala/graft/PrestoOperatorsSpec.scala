@@ -127,6 +127,20 @@ class PrestoOperatorsSpec extends AnyFunSuite {
       "on: reference HALF_UP rounding")
   }
 
+  test("greatest/least propagate NULL under the dialect, skip nulls off") {
+    // reference AbstractGreatestLeast.java:120 RETURN_NULL_ON_NULL;
+    // Spark and DuckDB both skip nulls (the silent-wrong-extremum class)
+    assert(one("SELECT greatest(1, NULL)") == 1)  // conf off: stock skip
+    withDialect {
+      assert(one("SELECT greatest(1, NULL)") == null)
+      assert(one("SELECT least(NULL, 2)") == null)
+      assert(one("SELECT greatest(3, 1, 2)") == 3)
+      assert(one("SELECT least(3, 1, 2)") == 1)
+      assert(one("SELECT greatest(1.5D, 2.5D, NULL)") == null)
+    }
+    assert(one("SELECT least(NULL, 2)") == 2, "conf resets cleanly")
+  }
+
   test("TIME ± INTERVAL wraps modulo 24h under the dialect, raises off") {
     // reference DateTimeOperators.java:65-74 (modulo24Hour) / :137-147
     // (YEAR TO MONTH no-op on TIME); stock ANSI Spark raises
