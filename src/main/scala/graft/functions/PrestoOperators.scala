@@ -89,6 +89,23 @@ object PrestoOperators {
       val ext: Expression =
         if (fnName(u) == "greatest") Greatest(u.arguments) else Least(u.arguments)
       CaseWhen(Seq((anyNull, Literal(null))), Some(ext))
+    // array_min/array_max return NULL when the array CONTAINS a null in
+    // the reference (ArrayMinMaxUtils.java:41-43) — Spark and DuckDB
+    // both skip null elements. Same CaseWhen-over-resolved-class shape
+    // as greatest/least; the null probe is exists(a, x -> x IS NULL)
+    // (a NULL array makes the condition NULL → falls through to the
+    // stock expression, which is NULL anyway).
+    case u: UnresolvedFunction
+        if Seq("array_min", "array_max").contains(fnName(u)) &&
+          u.arguments.size == 1 && !u.isDistinct =>
+      val x = UnresolvedNamedLambdaVariable(Seq("graft_amx"))
+      val hasNull = UnresolvedFunction("exists",
+        Seq(u.arguments.head, LambdaFunction(IsNull(x), Seq(x))),
+        isDistinct = false)
+      val ext: Expression =
+        if (fnName(u) == "array_min") ArrayMin(u.arguments.head)
+        else ArrayMax(u.arguments.head)
+      CaseWhen(Seq((hasNull, Literal(null))), Some(ext))
     // TIME ± INTERVAL wraps modulo 24h in the reference
     // (DateTimeOperators.java:65-74 modulo24Hour; YEAR TO MONTH
     // intervals are a NO-OP on TIME, :137-147) where Spark's ANSI TIME

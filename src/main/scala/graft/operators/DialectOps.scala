@@ -345,18 +345,23 @@ object DialectOps extends QueryGroup {
       finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
     },
 
-    // ── dialect tranche 3 (round 11): greatest/least NULL propagation.
-    // The reference returns NULL when ANY argument is NULL
-    // (AbstractGreatestLeast.java:120 RETURN_NULL_ON_NULL); Spark AND
-    // DuckDB both skip nulls, so the oracle states the semantics
-    // longhand (the NULL cases computed by an explicit CASE). ──
+    // ── dialect tranche 3 (round 11): extremum NULL propagation.
+    // The reference's greatest/least return NULL when ANY argument is
+    // NULL (AbstractGreatestLeast.java:120 RETURN_NULL_ON_NULL) and
+    // array_min/array_max return NULL when the array CONTAINS a null
+    // (ArrayMinMaxUtils.java:41-43); Spark AND DuckDB both skip nulls
+    // in all four, so the oracle states the semantics longhand (the
+    // NULL cases computed by an explicit CASE). ──
     q("dialect_greatest_null",
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
         |       ELSE greatest(o_orderkey, (o_orderkey % 7) * 100) END AS g,
         |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
         |       ELSE least(o_orderkey, (o_orderkey % 11) * 50) END AS l,
-        |  greatest(o_orderkey, (o_orderkey % 7) * 100, 42) AS g_ctrl
+        |  greatest(o_orderkey, (o_orderkey % 7) * 100, 42) AS g_ctrl,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN NULL
+        |       ELSE list_min([o_orderkey, o_orderkey % 13]) END AS amn,
+        |  list_max([o_orderkey, o_orderkey % 13]) AS amx_ctrl
         |FROM orders WHERE o_orderkey < 700 ORDER BY o_orderkey""".stripMargin) { (s, _) =>
       s.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
       try s.sql(
@@ -367,7 +372,11 @@ object DialectOps extends QueryGroup {
           |  least(o_orderkey,
           |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
           |         ELSE (o_orderkey % 11) * 50 END) AS l,
-          |  greatest(o_orderkey, (o_orderkey % 7) * 100, 42) AS g_ctrl
+          |  greatest(o_orderkey, (o_orderkey % 7) * 100, 42) AS g_ctrl,
+          |  array_min(array(o_orderkey,
+          |    CASE WHEN o_orderkey % 4 = 0 THEN NULL
+          |         ELSE o_orderkey % 13 END)) AS amn,
+          |  array_max(array(o_orderkey, o_orderkey % 13)) AS amx_ctrl
           |FROM orders WHERE o_orderkey < 700 ORDER BY o_orderkey""".stripMargin)
       finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
     },

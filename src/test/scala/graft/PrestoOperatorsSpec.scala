@@ -137,8 +137,15 @@ class PrestoOperatorsSpec extends AnyFunSuite {
       assert(one("SELECT greatest(3, 1, 2)") == 3)
       assert(one("SELECT least(3, 1, 2)") == 1)
       assert(one("SELECT greatest(1.5D, 2.5D, NULL)") == null)
+      // array extrema: NULL when the array CONTAINS a null
+      // (ArrayMinMaxUtils.java:41-43)
+      assert(one("SELECT array_min(array(3, NULL, 2))") == null)
+      assert(one("SELECT array_max(array(3, NULL))") == null)
+      assert(one("SELECT array_min(array(3, 1, 2))") == 1)
+      assert(one("SELECT array_min(CAST(NULL AS ARRAY<INT>))") == null)
     }
     assert(one("SELECT least(NULL, 2)") == 2, "conf resets cleanly")
+    assert(one("SELECT array_min(array(3, NULL, 2))") == 2, "stock skips nulls")
   }
 
   test("TIME ± INTERVAL wraps modulo 24h under the dialect, raises off") {
