@@ -60,10 +60,14 @@ object GraftFnUtils {
   /** Reference DateTimeOperators.timePlusIntervalDayToSecond: the sum
     * wraps modulo 24h (modulo24Hour — floorMod, so a subtraction past
     * midnight wraps UP). Physical values: TIME is nanos-of-day, the
-    * day-time interval is micros.
+    * day-time interval is micros. The interval is reduced mod 24h in
+    * the micros domain BEFORE the ×1000 to nanos — multiplying the raw
+    * micros first overflows Long for intervals beyond ~292 years and
+    * would silently wrap to a wrong time-of-day.
     */
   def wrapTimeAdd(timeNanos: Long, intervalMicros: Long): Long =
-    java.lang.Math.floorMod(timeNanos + intervalMicros * 1000L,
+    java.lang.Math.floorMod(
+      timeNanos + java.lang.Math.floorMod(intervalMicros, 86400000000L) * 1000L,
       86400L * 1000L * 1000L * 1000L)
 
   // ── interval field decomposition (reference DateTimeFunctions.java

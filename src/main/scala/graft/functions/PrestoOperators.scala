@@ -78,51 +78,58 @@ object PrestoOperators {
     // reference (AbstractGreatestLeast.java:120 RETURN_NULL_ON_NULL) —
     // Spark and DuckDB both SKIP nulls, so a ported query silently
     // returns the wrong extremum instead of NULL (round-11 find while
-    // probing 3-valued logic). Rewritten to a null-propagating CaseWhen
-    // over the RESOLVED Greatest/Least expression classes — not a new
-    // UnresolvedFunction, so transformDown's descent into the rewritten
-    // children cannot wrap again.
+    // probing 3-valued logic). Late-binding node (round-12 rework): the
+    // replacement binds each argument ONCE through With/
+    // CommonExpressionDef, so nondeterministic or expensive arguments
+    // are evaluated a single time like the reference — the old CaseWhen
+    // shape duplicated every argument into both the null probe and the
+    // extremum.
     case u: UnresolvedFunction
         if Seq("greatest", "least").contains(fnName(u)) &&
           u.arguments.size >= 2 && !u.isDistinct =>
-      val anyNull = u.arguments.map(IsNull(_): Expression).reduce(Or(_, _))
-      val ext: Expression =
-        if (fnName(u) == "greatest") Greatest(u.arguments) else Least(u.arguments)
-      CaseWhen(Seq((anyNull, Literal(null))), Some(ext))
+      PrestoNullPropExtremum(u.arguments, isMax = fnName(u) == "greatest")
     // array_min/array_max return NULL when the array CONTAINS a null in
     // the reference (ArrayMinMaxUtils.java:41-43) — Spark and DuckDB
-    // both skip null elements. Same CaseWhen-over-resolved-class shape
-    // as greatest/least; the null probe is exists(a, x -> x IS NULL)
-    // (a NULL array makes the condition NULL → falls through to the
-    // stock expression, which is NULL anyway).
+    // both skip null elements. Same With-bound single-evaluation shape
+    // as greatest/least (the array argument feeds both the null probe
+    // and the extremum).
     case u: UnresolvedFunction
         if Seq("array_min", "array_max").contains(fnName(u)) &&
           u.arguments.size == 1 && !u.isDistinct =>
-      val x = UnresolvedNamedLambdaVariable(Seq("graft_amx"))
-      val hasNull = UnresolvedFunction("exists",
-        Seq(u.arguments.head, LambdaFunction(IsNull(x), Seq(x))),
-        isDistinct = false)
-      val ext: Expression =
-        if (fnName(u) == "array_min") ArrayMin(u.arguments.head)
-        else ArrayMax(u.arguments.head)
-      CaseWhen(Seq((hasNull, Literal(null))), Some(ext))
+      PrestoArrayExtremum(u.arguments.head, isMax = fnName(u) == "array_max")
     // TIME ± INTERVAL wraps modulo 24h in the reference
     // (DateTimeOperators.java:65-74 modulo24Hour; YEAR TO MONTH
     // intervals are a NO-OP on TIME, :137-147) where Spark's ANSI TIME
     // raises DATETIME_OVERFLOW past midnight. Late-binding on the
     // resolved left type — every non-TIME left keeps stock Add/Subtract
-    // bit-for-bit. Matched on interval LITERALS (the porting shape;
-    // same guard as ZonedTimestamps.intervalish).
-    case Add(l, r, _) if intervalish(r) => PrestoTimeIntervalAdd(l, r, negate = false)
-    case Add(l, r, _) if intervalish(l) => PrestoTimeIntervalAdd(r, l, negate = false)
-    case Subtract(l, r, _) if intervalish(r) => PrestoTimeIntervalAdd(l, r, negate = true)
+    // bit-for-bit. Matched on every parse-time shape that provably
+    // resolves to an interval: literals, CAST to an interval type, and
+    // arithmetic over those (round-12 widening — the literal-only match
+    // missed `t + INTERVAL '1' HOUR * 2`). Interval-typed COLUMNS are
+    // not derivable at parse time and stay out of scope (pinned in
+    // COVERAGE.md; the reference's connectors expose no interval-typed
+    // table columns, so the shape cannot appear in a ported query's
+    // scans).
+    // interval+interval stays stock (left cannot be a TIME, and wrapping
+    // would skip the analyzer's interval field-range coercion)
+    case Add(l, r, _) if intervalish(r) && !intervalish(l) =>
+      PrestoTimeIntervalAdd(l, r, negate = false)
+    case Add(l, r, _) if intervalish(l) && !intervalish(r) =>
+      PrestoTimeIntervalAdd(r, l, negate = false)
+    case Subtract(l, r, _) if intervalish(r) && !intervalish(l) =>
+      PrestoTimeIntervalAdd(l, r, negate = true)
   }
 
   private def intervalish(e: Expression): Boolean = e match {
     case Literal(_, _: DayTimeIntervalType) => true
     case Literal(_, _: YearMonthIntervalType) => true
-    case UnaryMinus(Literal(_, _: DayTimeIntervalType), _) => true
-    case UnaryMinus(Literal(_, _: YearMonthIntervalType), _) => true
+    case c: Cast => c.dataType.isInstanceOf[DayTimeIntervalType] ||
+      c.dataType.isInstanceOf[YearMonthIntervalType]
+    case UnaryMinus(c, _) => intervalish(c)
+    case Multiply(l, r, _) => intervalish(l) || intervalish(r)
+    case Divide(l, _, _) => intervalish(l)
+    case Add(l, r, _) => intervalish(l) && intervalish(r)
+    case Subtract(l, r, _) => intervalish(l) && intervalish(r)
     case _ => false
   }
 
@@ -374,4 +381,64 @@ case class PrestoTimeIntervalAdd(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): PrestoTimeIntervalAdd =
     copy(left = l, right = r)
+}
+
+/** greatest/least with the reference's RETURN_NULL_ON_NULL convention
+  * (`AbstractGreatestLeast.java:120`): NULL if ANY argument is NULL.
+  * Late-binding like [[PrestoDivide]]; the replacement coerces the
+  * arguments to their widest common type (what Spark's
+  * FunctionArgumentConversion would do for the stock Greatest/Least) and
+  * binds each one ONCE through `With`, so the null probe and the
+  * extremum read the same evaluated value — nondeterministic arguments
+  * cannot disagree between the two and expensive arguments evaluate a
+  * single time, matching the reference's evaluate-once codegen.
+  */
+case class PrestoNullPropExtremum(children: Seq[Expression], isMax: Boolean)
+    extends Expression with RuntimeReplaceable {
+
+  override def prettyName: String = if (isMax) "presto_greatest" else "presto_least"
+
+  override lazy val replacement: Expression = {
+    val wider = org.apache.spark.sql.graft.ColumnBridge
+      .widerCommonType(children.map(_.dataType))
+      .getOrElse(children.head.dataType)
+    val cast = children.map(c => if (c.dataType == wider) c else Cast(c, wider))
+    With(cast: _*) { refs =>
+      val anyNull = refs.map(IsNull(_): Expression).reduce(Or(_, _))
+      val ext: Expression = if (isMax) Greatest(refs) else Least(refs)
+      If(anyNull, Literal.create(null, wider), ext)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): PrestoNullPropExtremum = copy(children = cs)
+}
+
+/** array_min/array_max with the reference's null-element convention
+  * (`ArrayMinMaxUtils.java:41-43`): NULL if the array CONTAINS a null.
+  * The array argument is bound once through `With` and probed with an
+  * already-bound exists(x -> x IS NULL) lambda (the replacement is built
+  * post-analysis, so the lambda is constructed in bound form — a
+  * NamedLambdaVariable over the resolved element type — rather than
+  * through ResolveLambdaVariables). A NULL array makes the probe NULL →
+  * If falls to the stock extremum, which is NULL anyway.
+  */
+case class PrestoArrayExtremum(child: Expression, isMax: Boolean)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def prettyName: String = if (isMax) "presto_array_max" else "presto_array_min"
+
+  override lazy val replacement: Expression = {
+    val at = child.dataType.asInstanceOf[ArrayType]
+    With(child) { case Seq(a) =>
+      val v = NamedLambdaVariable("graft_amx", at.elementType, at.containsNull)
+      val hasNull = ArrayExists(a, LambdaFunction(IsNull(v), Seq(v)))
+      val ext: Expression = if (isMax) ArrayMax(a) else ArrayMin(a)
+      If(hasNull, Literal.create(null, at.elementType), ext)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): PrestoArrayExtremum =
+    copy(child = c)
 }

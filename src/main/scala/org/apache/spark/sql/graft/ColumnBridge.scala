@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** TypeCoercion.findWiderCommonType is private[sql]; PrestoOperators'
+    * null-propagating extremum rewrite needs it to coerce mixed-type
+    * greatest/least arguments exactly as Spark's own coercion rule
+    * (FunctionArgumentConversion) would have.
+    */
+  def widerCommonType(dts: Seq[org.apache.spark.sql.types.DataType]):
+      Option[org.apache.spark.sql.types.DataType] =
+    org.apache.spark.sql.catalyst.analysis.TypeCoercion.findWiderCommonType(dts)
 }

@@ -174,6 +174,60 @@ class PrestoOperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DATETIME_OVERFLOW"))
   }
 
+  test("TIME wrap covers derivable non-literal interval shapes (round-12 widening)") {
+    withDialect {
+      // interval ARITHMETIC (the literal-only r11 match raised
+      // DATETIME_OVERFLOW on these)
+      assert(one("SELECT CAST(TIME '23:00:00' + INTERVAL '2' HOUR * 3 AS STRING)") ==
+        "05:00:00", "multiplied interval wraps")
+      assert(one("SELECT CAST(TIME '01:00:00' - INTERVAL '1' HOUR * 2 AS STRING)") ==
+        "23:00:00", "subtracted multiplied interval wraps up")
+      assert(one("SELECT CAST(TIME '23:00:00' + (INTERVAL '1' HOUR + INTERVAL '90' MINUTE) AS STRING)") ==
+        "01:30:00", "interval sum wraps")
+      assert(one("SELECT CAST(TIME '23:00:00' + CAST('02:00:00' AS INTERVAL HOUR TO SECOND) AS STRING)") ==
+        "01:00:00", "CAST-to-interval wraps")
+      assert(one("SELECT CAST(TIME '12:00:00' + INTERVAL '4' HOUR / 2 AS STRING)") ==
+        "14:00:00", "divided interval dispatches")
+      // ~292k-year interval: the micros→nanos multiply would overflow Long
+      // without the mod-24h pre-reduction (ADVICE r11); whole days ≡ 0 mod 24h
+      assert(one("SELECT CAST(TIME '12:00:00' + INTERVAL '106751990' DAY AS STRING)") ==
+        "12:00:00", "huge interval reduces mod 24h before the nanos multiply")
+    }
+  }
+
+  test("wrapTimeAdd is overflow-safe at the Long boundary (unit)") {
+    import graft.functions.GraftFnUtils.wrapTimeAdd
+    val day = 86400000000L // micros
+    assert(wrapTimeAdd(0L, 106751990L * day) == 0L)
+    assert(wrapTimeAdd(43200L * 1000000000L, 106751990L * day + 3600000000L) ==
+      46800L * 1000000000L, "12:00 + huge+1h = 13:00")
+    assert(wrapTimeAdd(0L, -106751990L * day - 3600000000L) ==
+      82800L * 1000000000L, "negative huge interval wraps up")
+  }
+
+  test("null-propagating extrema evaluate each argument exactly once") {
+    // the r11 CaseWhen shape duplicated every argument into both the null
+    // probe and the extremum; With-bound refs must hit the UDF once per row
+    PrestoOperatorsSpec.evalCount.set(0L)
+    val counting = org.apache.spark.sql.functions.udf { (x: Long) =>
+      PrestoOperatorsSpec.evalCount.incrementAndGet(); x
+    }.asNondeterministic()
+    spark.udf.register("graft_count_eval", counting)
+    withDialect {
+      val rows = spark.sql(
+        "SELECT greatest(graft_count_eval(id), 2L) FROM range(10)").collect()
+      assert(rows.length == 10)
+      assert(PrestoOperatorsSpec.evalCount.get() == 10L,
+        s"each argument evaluated once, got ${PrestoOperatorsSpec.evalCount.get()}")
+      PrestoOperatorsSpec.evalCount.set(0L)
+      val arr = spark.sql(
+        "SELECT array_min(array(graft_count_eval(id), id + 1)) FROM range(10)").collect()
+      assert(arr.length == 10)
+      assert(PrestoOperatorsSpec.evalCount.get() == 10L,
+        s"array argument evaluated once, got ${PrestoOperatorsSpec.evalCount.get()}")
+    }
+  }
+
   test("dialect reaches inside subqueries and CTEs") {
     withDialect {
       assert(one("WITH t AS (SELECT 7 / 2 AS v) SELECT v FROM t") == 3)
@@ -283,4 +337,11 @@ class PrestoOperatorsSpec extends AnyFunSuite {
       assert(row.get(1) == 20, "Column apply stays 0-based")
     }
   }
+}
+
+object PrestoOperatorsSpec {
+  /** Shared across executor threads in local mode — counts UDF invocations
+    * for the single-evaluation pin.
+    */
+  val evalCount = new java.util.concurrent.atomic.AtomicLong(0L)
 }
