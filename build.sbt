@@ -32,4 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // A/B experiment hook (BENCHLOG cold-start work): extra JVM flags,
+  // space-separated. Gate runs never set it.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(' ')).filter(_.nonEmpty)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(appName: String = "graft"): SparkSession.Builder = {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    SparkSession
+    val base = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -60,6 +60,15 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
+    // A/B experiment hook (tools/BENCHLOG only): extra session confs via
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v". Gate runs never set it — the
+    // pinned defaults above stay the configuration of record.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .foldLeft(base) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      }
   }
 
   def apply(appName: String = "graft"): SparkSession = {
