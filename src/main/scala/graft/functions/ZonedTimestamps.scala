@@ -54,10 +54,13 @@ import org.apache.spark.sql.types._
   *    reference's millisUtc ordering — two values of the same instant in
   *    different zones are equal.
   *
-  * Documented residuals (pinned in ZonedTimestampsSpec): GROUP BY /
-  * DISTINCT on a raw zoned value hashes (instant, zone) pairs where the
-  * reference hashes the instant alone — group on `at_timezone(z, 'UTC')`
-  * for instant grouping; ORDER BY sorts instant-first with the zone
+  * GROUP BY / DISTINCT / count(DISTINCT) / window PARTITION BY on a raw
+  * zoned value key the INSTANT alone — the reference's millisUtc
+  * hashing — via [[graft.plans.ZonedGroupingRule]] (round 12; oracle row
+  * `dialect_ztz_groupby`). Documented residuals (pinned in
+  * ZonedTimestampsSpec): set operations (INTERSECT/EXCEPT) on a zoned
+  * column still compare (instant, zone) pairs — normalize with
+  * `at_timezone(z, 'UTC')`; ORDER BY sorts instant-first with the zone
   * string as a deterministic tie-break (any reference-valid order);
   * `now()` stays the naive session-zone (UTC) timestamp.
   */

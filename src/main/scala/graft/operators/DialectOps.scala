@@ -549,6 +549,48 @@ object DialectOps extends QueryGroup {
       finally s.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
     },
 
+    // zone-carrying GROUP BY / DISTINCT key the INSTANT (round 12
+    // ZonedGroupingRule — reference TimestampWithTimeZoneType.java
+    // hashes/compares the unpacked millisUtc, ignoring the zone bits):
+    // the same order-date instant is carried in five different zones via
+    // at_timezone (instant-preserving), and grouping must merge them.
+    // The DuckDB twin never sees a zone at all — it groups the plain
+    // instants — so the row is green ONLY if the struct encoding's
+    // (instant, zone) pair key is rewritten away. The -1/-2 sentinel
+    // rows pin count(DISTINCT z) and the SELECT DISTINCT node path.
+    q("dialect_ztz_groupby",
+      """WITH t AS (
+        |  SELECT CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders),
+        |agg AS (
+        |  SELECT CAST(epoch(ts) AS BIGINT) AS instant_s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM t GROUP BY 1)
+        |SELECT instant_s, n FROM agg
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), (SELECT CAST(count(DISTINCT ts) AS BIGINT) FROM t)
+        |UNION ALL
+        |SELECT CAST(-2 AS BIGINT), (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT ts FROM t))
+        |ORDER BY instant_s""".stripMargin) { (s, _) =>
+      s.conf.set(graft.functions.ZonedTimestamps.ConfKey, "true")
+      try s.sql(
+        """WITH t AS (
+          |  SELECT at_timezone(CAST(CAST(o_orderdate AS TIMESTAMP) AS TIMESTAMP WITH TIME ZONE),
+          |    element_at(array('Asia/Tokyo', 'America/New_York', 'Australia/Lord_Howe',
+          |      'Asia/Kolkata', 'UTC'), CAST(o_orderkey % 5 AS INT) + 1)) AS zt
+          |  FROM orders),
+          |agg AS (
+          |  SELECT CAST(to_unixtime(zt) AS BIGINT) AS instant_s,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM t GROUP BY zt)
+          |SELECT instant_s, n FROM agg
+          |UNION ALL
+          |SELECT CAST(-1 AS BIGINT), (SELECT CAST(count(DISTINCT zt) AS BIGINT) FROM t)
+          |UNION ALL
+          |SELECT CAST(-2 AS BIGINT), (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT zt FROM t))
+          |ORDER BY instant_s""".stripMargin)
+      finally s.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
+    },
+
     // ORDER BY inside array_agg (Presto grammar aggregate sortItem;
     // Spark has no in-aggregate sort): rewritten to a comparator
     // array_sort over (value, keys) structs. Single-key DESC, multi-key

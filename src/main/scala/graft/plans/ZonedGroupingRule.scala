@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, First}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.{ZonedTimestamps, ZonedInstant}
+
+/** Instant-based grouping for the zone-carrying temporal types (opt-in
+  * `spark.graft.zonedTimestamps`, see [[graft.functions.ZonedTimestamps]]).
+  *
+  * The reference hashes and compares TIMESTAMP WITH TIME ZONE values by
+  * their instant alone — `TimestampWithTimeZoneType.java` delegates
+  * equality/hash/compare to the unpacked millisUtc
+  * (`DateTimeEncoding.java` packs zone bits that the type's operators
+  * ignore), and TIME WITH TIME ZONE normalizes to UTC nanos the same way
+  * — so `GROUP BY z` merges same-instant values carried in different
+  * zones, and the surviving group-key value is an arbitrary member of the
+  * group. The struct encoding `(ztz_utc, ztz_tz)` would instead key the
+  * (instant, zone) PAIR. This rule closes that residual (the round-11
+  * verdict's last zoned semantic gap):
+  *
+  *  - `Aggregate`: every zoned grouping expression `g` becomes
+  *    [[ZonedInstant]]`(g)` (the same instant key the comparison rewrite
+  *    uses), and occurrences of `g` in the output list OUTSIDE aggregate
+  *    functions become `first(g)` — the reference's
+  *    arbitrary-representative group-key value.
+  *  - `Distinct`: rewritten to the equivalent instant-keyed Aggregate
+  *    (stock Spark does the same rewrite, just later and zone-keyed);
+  *    output attribute ids are preserved so parent plans are untouched.
+  *  - `count(DISTINCT z)`: the distinct operand becomes its instant —
+  *    Count never exposes the operand value, so only the (instant-based)
+  *    distinction matters. Other DISTINCT aggregates over zoned values
+  *    (min/max are instant-ordered anyway; array_agg of a zoned value
+  *    must keep the carried zone) are left zone-keyed — pinned in
+  *    ZonedTimestampsSpec.
+  *  - `Window` partition keys: zoned partition expressions key the
+  *    instant (same-instant rows share a frame in the reference).
+  *
+  * Set-operation keying (INTERSECT/EXCEPT on a zoned column) still
+  * compares (instant, zone) — documented residual in COVERAGE.md; an
+  * explicit `at_timezone(z, 'UTC')` normalization is the portable shape.
+  *
+  * Scale note: grouping moves from a 2-field struct key to its 8-byte
+  * instant, so the rewrite also SHRINKS shuffle keys — never widens them.
+  */
+object ZonedGroupingRule extends Rule[LogicalPlan] {
+
+  private def zoned(e: Expression): Boolean = e.resolved &&
+    (ZonedTimestamps.isZoned(e.dataType) || ZonedTimestamps.isZonedTime(e.dataType))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!ZonedTimestamps.enabled) return plan
+    if (!plan.resolved) return plan
+    plan.transformUpWithSubqueries {
+      case agg @ Aggregate(gexprs, aggExprs, child, hint)
+          if gexprs.exists(zoned) || aggExprs.exists(_.exists {
+            case AggregateExpression(c: Count, _, true, _, _) =>
+              c.children.exists(zoned)
+            case _ => false
+          }) =>
+        val zonedGroups = gexprs.filter(zoned)
+        val newG = gexprs.map(g => if (zoned(g)) ZonedInstant(g) else g)
+        val newAggs = aggExprs.map { ne =>
+          replaceOutsideAgg(ne, zonedGroups) match {
+            case n: NamedExpression => n
+            case other => Alias(other, ne.name)(exprId = ne.exprId)
+          }
+        }
+        Aggregate(newG, newAggs, child, hint)
+
+      case d @ Distinct(child) if child.output.exists(zoned) =>
+        val groups = child.output.map(a =>
+          if (zoned(a)) ZonedInstant(a): Expression else a)
+        val aggs: Seq[NamedExpression] = child.output.map { a =>
+          if (zoned(a))
+            Alias(new First(a).toAggregateExpression(), a.name)(exprId = a.exprId)
+          else a
+        }
+        Aggregate(groups, aggs, child)
+
+      case w @ Window(_, partitionSpec, _, _, _)
+          if partitionSpec.exists(zoned) =>
+        w.copy(partitionSpec =
+          partitionSpec.map(p => if (zoned(p)) ZonedInstant(p) else p))
+    }
+  }
+
+  /** Replace occurrences of zoned grouping expressions with `first(g)`
+    * without descending into aggregate functions (whose arguments are
+    * input-relative, not group-relative). `count(DISTINCT z)` instead
+    * gets its operand instant-keyed in place.
+    */
+  private def replaceOutsideAgg(
+      e: Expression, zonedGroups: Seq[Expression]): Expression = e match {
+    case ae @ AggregateExpression(c: Count, _, true, _, _)
+        if c.children.exists(zoned) =>
+      ae.copy(aggregateFunction =
+        Count(c.children.map(x => if (zoned(x)) ZonedInstant(x) else x)))
+    case ae: AggregateExpression => ae
+    case x if zonedGroups.exists(_.semanticEquals(x)) =>
+      new First(x).toAggregateExpression()
+    case other => other.mapChildren(replaceOutsideAgg(_, zonedGroups))
+  }
+}

@@ -210,17 +210,43 @@ class ZonedTimestampsSpec extends AnyFunSuite {
     }
   }
 
-  test("documented residual: GROUP BY on a raw zoned value keys (instant, zone); at_timezone-normalize for instant grouping") {
+  test("GROUP BY / DISTINCT / count(DISTINCT) / window partition on a raw zoned value key the INSTANT") {
     withZoned {
-      val twoZonesOneInstant =
+      // same instant carried in two zones — the reference hashes millisUtc
+      // alone (TimestampWithTimeZoneType.java), so this is ONE group.
+      // Round 12's ZonedGroupingRule closed what was previously the
+      // documented (instant, zone)-pair residual.
+      val t =
         s"(SELECT $TokyoLit AS z UNION ALL SELECT TIMESTAMP '2001-08-21 18:04:05.321 UTC')"
-      // raw grouping sees two (instant, zone) pairs — the residual
-      assert(spark.sql(s"SELECT z FROM $twoZonesOneInstant GROUP BY z").count() == 2)
-      // the documented normalization groups by instant
-      assert(spark.sql(
-        s"SELECT at_timezone(z, 'UTC') FROM $twoZonesOneInstant GROUP BY at_timezone(z, 'UTC')")
-        .count() == 1)
+      assert(spark.sql(s"SELECT z FROM $t GROUP BY z").count() == 1)
+      assert(spark.sql(s"SELECT DISTINCT z FROM $t").count() == 1)
+      // the aggregate observes the WHOLE merged group
+      assert(spark.sql(s"SELECT count(*) AS n FROM $t GROUP BY z")
+        .collect().head.getLong(0) == 2L)
+      // the surviving group-key value is an arbitrary MEMBER of the group
+      // (reference: whichever packed value the hash table saw first)
+      val r = spark.sql(s"SELECT CAST(z AS VARCHAR) AS r FROM $t GROUP BY z")
+        .collect().head.getString(0)
+      assert(Set("2001-08-22 03:04:05.321 Asia/Tokyo",
+        "2001-08-21 18:04:05.321 UTC").contains(r), r)
+      // count(DISTINCT z) counts instants
+      assert(one(s"SELECT count(DISTINCT z) FROM $t") == 1L)
+      // window partitioning shares a frame across zones of one instant
+      val rn = spark.sql(
+        s"SELECT count(*) OVER (PARTITION BY z) AS c FROM $t")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rn == Seq(2L, 2L))
+      // an ORDINARY 2-field struct is untouched — still keys the pair
+      val s2 =
+        "(SELECT named_struct('a', 1, 'b', 'x') AS g UNION ALL SELECT named_struct('a', 1, 'b', 'y'))"
+      assert(spark.sql(s"SELECT g FROM $s2 GROUP BY g").count() == 2)
     }
+    // conf OFF: the rule must not fire at all (no zoned type exists;
+    // struct grouping is stock)
+    val off = spark.sql(
+      """SELECT g FROM (SELECT named_struct('ztz_utc', TIMESTAMP '2001-01-01 00:00:00', 'ztz_tz', 'UTC') AS g
+        |  UNION ALL SELECT named_struct('ztz_utc', TIMESTAMP '2001-01-01 00:00:00', 'ztz_tz', 'Asia/Tokyo')) GROUP BY g""".stripMargin)
+    assert(off.count() == 2)
   }
 
   test("TIME WITH TIME ZONE: literal, rendering, extraction, offsets, casts") {
