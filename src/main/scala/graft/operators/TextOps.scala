@@ -664,15 +664,64 @@ object TextOps extends QueryGroup {
     // map side, and the explode runs once. A 64-bit collision would
     // mark one stray position duplicated (~1e-6 birthday odds against
     // the FIXED gate/stress corpora — deterministic, verified green);
-    // at true 100 TB scale swap in a 128-bit hash column the same way.
-    val grams = docs.where(length(col("text")) >= k)
+    // spark.graft.exactSubstring.wideHash=true keys on TWO independent
+    // xxhash64 columns (128 bits — collision odds vanish) for corpora
+    // where exactness must hold unconditionally.
+    //
+    // Skew (round 12, GramSkewStress): one ultra-hot gram (repeated
+    // boilerplate — real in web data) puts ALL its positions in a
+    // single window partition; the window cannot be split. Setting
+    // spark.graft.exactSubstring.salt = S > 1 switches to a salted
+    // two-level window: ONE shuffle keyed (salt(doc_id,p) % S, gh) —
+    // the hot gram spreads across S tasks — computes per-bucket counts
+    // plus a per-bucket representative row. Rows whose bucket count
+    // c > 1 are duplicated outright; the cross-salt residue (bucket
+    // singletons, plus one representative per multi-row bucket so
+    // "another bucket exists" is visible) is ≤ 2S rows per gram, so
+    // its per-gh count window is skew-free by construction: a
+    // singleton's gram is duplicated iff any other bucket row exists.
+    // Same duplicated-position set (spec-pinned equal); the price is
+    // the two branches re-running the window over the reused exchange.
+    // Default off: on non-skewed corpora the single-window plan wins
+    // (BENCHLOG skew table).
+    val spark = docs.sparkSession
+    val wideHash = spark.conf.getOption("spark.graft.exactSubstring.wideHash")
+      .exists(_.toBoolean)
+    val saltN = spark.conf.getOption("spark.graft.exactSubstring.salt")
+      .map(_.toInt).getOrElse(0)
+    val keyCols = if (wideHash) Seq("gh", "gh2") else Seq("gh")
+    val grams0 = docs.where(length(col("text")) >= k)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
       .select(col("doc_id"), col("p"),
-        xxhash64(col("text").substr(col("p"), lit(k))).as("gh"))
-    val dpos = grams
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("gh")))
-      .where(col("n") > 1).select("doc_id", "p")
+        col("text").substr(col("p"), lit(k)).as("g"))
+    val grams = grams0.select(
+      Seq(col("doc_id"), col("p"), xxhash64(col("g")).as("gh")) ++
+        (if (wideHash) Seq(xxhash64(lit(0x9E3779B9L), col("g")).as("gh2"))
+         else Nil): _*)
+    val dpos =
+      if (saltN <= 1) {
+        grams
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+          .where(col("n") > 1).select("doc_id", "p")
+      } else {
+        val salted = grams.withColumn("salt",
+          pmod(xxhash64(col("doc_id"), col("p")), lit(saltN.toLong)))
+        val w1 = Window.partitionBy(("salt" +: keyCols).map(col): _*)
+        val marked = salted
+          .withColumn("c", count(lit(1)).over(w1))
+          .withColumn("rn",
+            row_number().over(w1.orderBy(col("doc_id"), col("p"))))
+        val sure = marked.where(col("c") > 1).select("doc_id", "p")
+        val w2 = Window.partitionBy(keyCols.map(col): _*)
+        val fromSingles = marked
+          .where(col("c") === 1 || col("rn") === 1)
+          .withColumn("m", count(lit(1)).over(w2))
+          .where(col("c") === 1 && col("m") > 1)
+          .select("doc_id", "p")
+        sure.union(fromSingles)
+      }
     val w = Window.partitionBy("doc_id").orderBy("p")
     val spans = dpos.withColumn("grp", col("p") - row_number().over(w))
       .groupBy("doc_id", "grp")

@@ -57,6 +57,29 @@ class TextOpsSpec extends AnyFunSuite {
       "within-document repetition yields two spans")
   }
 
+  test("exact-substring salted/wide-hash variants match the default plan") {
+    // the conf-gated skew variants (round 12: salted two-level window,
+    // 128-bit gram key) must emit the IDENTICAL result set — pinned on
+    // the gate corpus, which is rich in cross-doc duplicate grams
+    Tables.register(spark, TestSession.sf)
+    val docs = spark.table("documents").select(col("doc_id"), col("text"))
+    val base = operators.TextOps.duplicatedSpans(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(base.nonEmpty, "gate corpus must contain duplicated spans")
+    for ((salt, wide) <- Seq(("5", "false"), ("0", "true"), ("3", "true"))) {
+      spark.conf.set("spark.graft.exactSubstring.salt", salt)
+      spark.conf.set("spark.graft.exactSubstring.wideHash", wide)
+      try {
+        val v = operators.TextOps.duplicatedSpans(docs)
+          .orderBy("doc_id").collect().toSeq
+        assert(v == base, s"variant salt=$salt wideHash=$wide diverges")
+      } finally {
+        spark.conf.unset("spark.graft.exactSubstring.salt")
+        spark.conf.unset("spark.graft.exactSubstring.wideHash")
+      }
+    }
+  }
+
   test("minhash LSH pairs are genuinely similar (precision)") {
     val pairs = run("dd_minhash_lsh").collect()
     // every emitted pair passed the exact-jaccard >= 0.5 verification
