@@ -83,12 +83,21 @@ object Verify {
         "expression change (see plans/SimplifyElementAt.scala for the recipe)")
     }
     if (only.isEmpty) {
+      // Machine-derived round stamp (round-12 VERDICT ask 6: COVERAGE's
+      // hand-written "(round 9)" header drifted for two rounds): the
+      // driver drops CORRECTNESS_r{N}.json per completed round, so the
+      // in-progress round is max(N)+1. Prose cites this file.
+      val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "^CORRECTNESS_r(\\d+)\\.json$".r
+          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .maxOption.map(_ + 1).getOrElse(1)
       Files.writeString(Paths.get("GATE_COUNTS.md"),
         s"""# Gate counts (machine-emitted — do not hand-edit)
            |
            |Written by `graft.Verify` on each full run; README cites this
            |file so prose counts can never drift from the gate.
            |
+           |- build round (max driver CORRECTNESS_r\\*.json + 1): **$round**
            |- declared queries: **${SparkEntry.queries.size}**
            |- oracle-compared (DuckDB): **$oracle**
            |- rows-only (no SQL oracle; ScalaTest-spec-verified): **${SparkEntry.queries.size - oracle}**
