@@ -63,10 +63,14 @@ case class CastToJson(child: Expression)
     case _: StringType =>
       StaticInvokeJsonQuote(child)
     case _: ArrayType | _: MapType | _: StructType =>
-      // the replacement is not a child, so ResolveTimeZone never visits
-      // it — pin the session zone here or the expression stays unresolved
-      StructsToJson(Map.empty, child,
-        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      // round 12 (dialect tranche 4): the reference renders complex
+      // values with its own writers, NOT Spark's to_json shapes — rows
+      // become JSON ARRAYS (field names discarded) and map keys are
+      // stringified then sorted as strings (JsonUtil.java
+      // RowJsonGeneratorWriter writeStartArray, MapJsonGeneratorWriter
+      // TreeMap). StructsToJson would emit objects for rows and
+      // map-order keys — a probed, real porting divergence.
+      PrestoJsonRender(child)
     case BooleanType | _: NumericType =>
       Cast(child, StringType)
     case DateType | TimestampType | TimestampNTZType =>
@@ -78,6 +82,129 @@ case class CastToJson(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CastToJson =
+    copy(child = newChild)
+}
+
+/** Reference-faithful JSON rendering of complex values (JsonUtil.java
+  * JsonGeneratorWriter family, used by ArrayToJsonCast / MapToJsonCast /
+  * RowToJsonCast): rows are JSON ARRAYS (`RowJsonGeneratorWriter`
+  * writes start/end-array — field names are DISCARDED, unlike Spark's
+  * to_json objects); map keys are stringified per `ObjectKeyProvider`
+  * and emitted in SORTED STRING order (the TreeMap in
+  * `MapJsonGeneratorWriter` — map(10→a, 2→b) renders {"10":…,"2":…});
+  * nested NULLs render as JSON null while a top-level NULL is SQL NULL
+  * (RETURN_NULL_ON_NULL); timestamps/dates render quoted in the
+  * reference's millisecond format; non-finite doubles quote like
+  * Jackson's default ("NaN"). Long-tail cast, never a scan hot path —
+  * CodegenFallback is the right cost.
+  */
+case class PrestoJsonRender(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "presto_json_render"
+  override def dataType: DataType = StringType
+
+  // not serializable — rebuild on the executor after task deserialization
+  @transient private lazy val tsFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+
+  private def renderString(s: String): String =
+    GraftFnUtils.jsonQuote(UTF8String.fromString(s)).toString
+
+  private def renderDouble(d: Double): String =
+    if (d.isNaN || d.isInfinite) "\"" + d.toString + "\"" else d.toString
+
+  private def mapKey(dt: DataType, v: Any): String = dt match {
+    case BooleanType => if (v.asInstanceOf[Boolean]) "true" else "false"
+    case ByteType | ShortType | IntegerType | LongType => v.toString
+    case FloatType => java.lang.Float.toString(v.asInstanceOf[Float])
+    case DoubleType => java.lang.Double.toString(v.asInstanceOf[Double])
+    case _: DecimalType =>
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toJavaBigDecimal.toPlainString
+    case _: StringType => v.asInstanceOf[UTF8String].toString
+    case other => throw new IllegalArgumentException(
+      s"CAST(... AS JSON): unsupported map key type ${other.catalogString}")
+  }
+
+  private def render(dt: DataType, v: Any, sb: java.lang.StringBuilder): Unit = {
+    if (v == null) { sb.append("null"); return }
+    dt match {
+      case BooleanType => sb.append(if (v.asInstanceOf[Boolean]) "true" else "false")
+      case ByteType | ShortType | IntegerType | LongType => sb.append(v.toString)
+      case FloatType =>
+        // Jackson writeNumber(float) prints the FLOAT's own toString
+        val f = v.asInstanceOf[Float]
+        sb.append(if (f.isNaN || f.isInfinite) "\"" + f.toString + "\"" else f.toString)
+      case DoubleType => sb.append(renderDouble(v.asInstanceOf[Double]))
+      case _: DecimalType =>
+        sb.append(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal.toString)
+      case _: StringType => sb.append(renderString(v.asInstanceOf[UTF8String].toString))
+      case DateType =>
+        sb.append('"')
+          .append(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+          .append('"')
+      case TimestampType | TimestampNTZType =>
+        // reference printTimestampWithoutTimeZone: millis precision,
+        // session zone (pinned UTC here); micros truncate toward -inf
+        val micros = v.asInstanceOf[Long]
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) / 1000L).toInt * 1000000,
+          java.time.ZoneOffset.UTC)
+        sb.append('"').append(tsFmt.format(ldt)).append('"')
+      case ArrayType(et, _) =>
+        val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        sb.append('[')
+        var i = 0
+        while (i < a.numElements()) {
+          if (i > 0) sb.append(',')
+          render(et, if (a.isNullAt(i)) null else a.get(i, et), sb)
+          i += 1
+        }
+        sb.append(']')
+      case MapType(kt, vt, _) =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val ks = m.keyArray(); val vs = m.valueArray()
+        val sorted = new java.util.TreeMap[String, Int]()
+        var i = 0
+        while (i < m.numElements()) {
+          sorted.put(mapKey(kt, ks.get(i, kt)), i)
+          i += 1
+        }
+        sb.append('{')
+        var first = true
+        sorted.forEach { (k, idx) =>
+          if (!first) sb.append(',')
+          first = false
+          sb.append(renderString(k)).append(':')
+          render(vt, if (vs.isNullAt(idx)) null else vs.get(idx, vt), sb)
+        }
+        sb.append('}')
+      case st: StructType =>
+        val r = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        sb.append('[')
+        var i = 0
+        while (i < st.length) {
+          if (i > 0) sb.append(',')
+          val fdt = st(i).dataType
+          render(fdt, if (r.isNullAt(i)) null else r.get(i, fdt), sb)
+          i += 1
+        }
+        sb.append(']')
+      case other => throw new IllegalArgumentException(
+        s"CAST(... AS JSON): unsupported source type ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val sb = new java.lang.StringBuilder(40)
+    render(child.dataType, v, sb)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PrestoJsonRender =
     copy(child = newChild)
 }
 

@@ -750,6 +750,42 @@ object DialectOps extends QueryGroup {
       finally s.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
     },
 
+    // ── dialect tranche 4 (round 12, probed against SqlBase.g4 +
+    // JsonUtil.java): CAST(complex AS JSON) semantics. The reference
+    // renders ROWs as JSON ARRAYS (RowJsonGeneratorWriter writes
+    // start/end-array — field names discarded) and map keys
+    // stringified then SORTED AS STRINGS (MapJsonGeneratorWriter's
+    // TreeMap: map(10→…, 2→…) renders {"10":…,"2":…}) — both diverge
+    // from Spark's to_json (objects, map order). PrestoJsonRender
+    // (ScalarExprs.scala) implements the writer family; the DuckDB
+    // oracle builds the expected texts by string construction from the
+    // same source rows. Probed-identical constructs shipped WITHOUT
+    // rows (no divergence): DECIMAL '1.2' / X'ab' typed literals,
+    // row-field access r.f; TRY(subquery) divergence documented in
+    // COVERAGE (we catch subquery errors the reference propagates). ──
+    q("dialect_json_complex",
+      """SELECT o_orderkey AS k,
+        |  '[' || o_orderkey || ',"q\"' || o_orderstatus || '",true,null]' AS rj,
+        |  '{"10":' || (o_orderkey + 2) || ',"2":' || (o_orderkey + 3) ||
+        |    ',"alpha":' || (o_orderkey + 1) || ',"beta":' || o_orderkey || '}' AS mj,
+        |  '[[' || o_orderkey || ',"' || o_orderstatus || '"],null]' AS aj,
+        |  '[' || o_orderkey || '.00,1.20]' AS dj
+        |FROM orders ORDER BY k LIMIT 500""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT o_orderkey AS k,
+          |  CAST(ROW(o_orderkey, concat('q"', o_orderstatus), true,
+          |           CAST(NULL AS INTEGER)) AS JSON) AS rj,
+          |  CAST(MAP(ARRAY['beta', 'alpha', '10', '2'],
+          |           ARRAY[o_orderkey, o_orderkey + 1, o_orderkey + 2,
+          |                 o_orderkey + 3]) AS JSON) AS mj,
+          |  CAST(ARRAY[ROW(o_orderkey, o_orderstatus),
+          |             CAST(NULL AS STRUCT<o_orderkey: BIGINT,
+          |                                 o_orderstatus: STRING>)] AS JSON) AS aj,
+          |  CAST(ROW(CAST(o_orderkey AS DECIMAL(12,2)),
+          |           CAST(1.20 AS DECIMAL(5,2))) AS JSON) AS dj
+          |FROM orders ORDER BY k LIMIT 500""".stripMargin)
+    },
+
     // ORDER BY inside array_agg (Presto grammar aggregate sortItem;
     // Spark has no in-aggregate sort): rewritten to a comparator
     // array_sort over (value, keys) structs. Single-key DESC, multi-key

@@ -13,6 +13,27 @@ class FnSpec extends AnyFunSuite {
 
   private def ready(): Unit = Tables.register(spark, TestSession.sf)
 
+  test("CAST(complex AS JSON): rows are arrays, map keys string-sorted, reference temporal/float text (JsonUtil.java writers)") {
+    // oracle row dialect_json_complex pins row-as-array/sorted-map/
+    // decimal over the corpus; these are the surfaces DuckDB can't
+    // replay textually: temporal quoting, NaN/Infinity quoting (Jackson
+    // default), REAL toString, map nested IN a row, top-level NULL
+    val r = spark.sql(
+      """SELECT
+        |  CAST(ROW(DATE '2001-08-22',
+        |           TIMESTAMP '2001-08-22 03:04:05.321999') AS JSON) tj,
+        |  CAST(ROW(sqrt(-1E0), CAST('Infinity' AS DOUBLE),
+        |           CAST(2.5 AS REAL)) AS JSON) fj,
+        |  CAST(ROW(MAP(ARRAY['b', 'a'], ARRAY[1, 2])) AS JSON) nj,
+        |  CAST(CAST(NULL AS STRUCT<x: INT>) AS JSON) z""".stripMargin)
+      .collect()(0)
+    // millis precision (printTimestampWithoutTimeZone): micros truncate
+    assert(r.getString(0) == "[\"2001-08-22\",\"2001-08-22 03:04:05.321\"]")
+    assert(r.getString(1) == "[\"NaN\",\"Infinity\",2.5]")
+    assert(r.getString(2) == "[{\"a\":2,\"b\":1}]")
+    assert(r.isNullAt(3)) // RETURN_NULL_ON_NULL: SQL NULL, not "null"
+  }
+
   test("datetime field functions decompose intervals like the reference (ResolveIntervalFields)") {
     // reference DateTimeFunctions.java *FromInterval (:787-1191):
     // total-millis fields, Java toward-zero division; EXTRACT delegates
