@@ -344,10 +344,10 @@ object GraftSqlParser {
       out = ArrayLiteral.replaceAllIn(out, m => s"array(${m.group(1)})")
     }
     rewriteSortNulls(rewriteCasts(rewriteMapCtor(rewriteUnnest(rewriteExplain(
-      rewriteDecimalLiterals(rewriteExtract(rewriteAtTimeZone(
+      rewriteDecimalLiterals(rewriteJsonLiterals(rewriteExtract(rewriteAtTimeZone(
         rewriteBareTemporals(rewriteCharLiterals(rewriteRawBackslashes(rewriteUnicodeLiterals(rewriteFromUnnest(
           rewriteTablesample(rewriteQuantified(rewriteArrayAggOrderBy(
-            rewriteArrayAggDistinct(out)))))))))))))))))
+            rewriteArrayAggDistinct(out))))))))))))))))))
   }
 
   /** Presto allows UNNEST as a STANDALONE relation (`SELECT * FROM
@@ -803,6 +803,18 @@ object GraftSqlParser {
     }
     sql.substring(0, from) + rewritten.mkString(",") + sql.substring(end)
   }
+
+  private val JsonLiteral = raw"(?i)\bJSON\s*'((?:[^']|'')*)'".r
+
+  /** Presto's typed JSON literal `JSON '…'` (grammar SqlBase.g4
+    * primaryExpression `JSON' string`): the canonical JSON value of the
+    * text — parse-validated and re-serialized, which is exactly
+    * `json_parse` (JsonFunctions.java); invalid text errors at runtime
+    * like the reference's literal evaluation. Quote doubling preserved.
+    */
+  private def rewriteJsonLiterals(sql: String): String =
+    JsonLiteral.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(s"json_parse('${m.group(1)}')"))
 
   private val DecimalLiteral = raw"(?i)\bDECIMAL\s*'\s*(-?)(\d*)(?:\.(\d*))?\s*'".r
 

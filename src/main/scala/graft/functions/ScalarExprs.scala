@@ -309,11 +309,142 @@ case class ComplexCastDispatch(child: Expression, ddl: String)
 
   override lazy val replacement: Expression = child.dataType match {
     case _: StringType =>
-      JsonToStructs(targetType, Map.empty[String, String], child,
-        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      // round 12: JsonToStructs (from_json) only accepts the OBJECT form
+      // for struct targets and silently nulls mismatches; the reference
+      // (JsonUtil.java BlockBuilderAppender family) accepts JSON ARRAYS
+      // positionally for rows, coerces across token types, and ERRORS on
+      // malformed input — PrestoJsonDecode implements that contract
+      PrestoJsonDecode(child, ddl)
     case _ => Cast(child, targetType)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ComplexCastDispatch =
+    copy(child = newChild)
+}
+
+/** `CAST(json AS ROW/ARRAY/MAP(...))` — reference JsonUtil.java
+  * BlockBuilderAppender semantics (JsonToRowCast / JsonToArrayCast /
+  * JsonToMapCast):
+  *  - a ROW target accepts a JSON ARRAY positionally (arity must match)
+  *    OR a JSON OBJECT by lower-cased field name (unknown names skipped,
+  *    duplicate names error, missing fields null);
+  *  - a MAP target takes a JSON object, keys parsed from the field-name
+  *    TEXT into the key type;
+  *  - primitives coerce across token classes like the
+  *    `currentTokenAs*` helpers: numbers↔strings parse, booleans map to
+  *    1/0 / "true"/"false", double→integral rounds HALF_UP
+  *    (DoubleOperators.castToLong → DoubleMath HALF_UP), decimals
+  *    rescale HALF_UP;
+  *  - malformed input ERRORS (JsonCastException ≙ INVALID_CAST_ARGUMENT)
+  *    instead of from_json's silent nulls.
+  * Long-tail cast — CodegenFallback.
+  */
+case class PrestoJsonDecode(child: Expression, ddl: String)
+    extends UnaryExpression with CodegenFallback {
+
+  import com.fasterxml.jackson.databind.JsonNode
+
+  override def prettyName: String = "presto_json_decode"
+  override lazy val dataType: DataType = DataType.fromDDL(ddl)
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"Cannot cast to JSON target: $msg")
+
+  private def asLong(n: JsonNode, what: String): Any =
+    if (n.isNull) null
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber)
+      com.google.common.math.DoubleMath.roundToLong(
+        n.asDouble(), java.math.RoundingMode.HALF_UP)
+    else if (n.isTextual) java.lang.Long.parseLong(n.asText().trim)
+    else if (n.isBoolean) (if (n.asBoolean()) 1L else 0L)
+    else fail(s"unexpected token for $what: $n")
+
+  private def decode(n: JsonNode, dt: DataType): Any = {
+    if (n == null || n.isNull) return null
+    dt match {
+      case LongType => asLong(n, "BIGINT")
+      case IntegerType => Math.toIntExact(asLong(n, "INTEGER").asInstanceOf[Long])
+      case ShortType => asLong(n, "SMALLINT").asInstanceOf[Long].toShort
+      case ByteType => asLong(n, "TINYINT").asInstanceOf[Long].toByte
+      case DoubleType =>
+        if (n.isNumber) n.asDouble()
+        else if (n.isTextual) java.lang.Double.parseDouble(n.asText().trim)
+        else if (n.isBoolean) (if (n.asBoolean()) 1.0 else 0.0)
+        else fail(s"unexpected token for DOUBLE: $n")
+      case FloatType =>
+        decode(n, DoubleType).asInstanceOf[Double].toFloat
+      case t: DecimalType =>
+        val bd =
+          if (n.isNumber) n.decimalValue()
+          else if (n.isTextual) new java.math.BigDecimal(n.asText().trim)
+          else if (n.isBoolean) java.math.BigDecimal.valueOf(if (n.asBoolean()) 1 else 0)
+          else fail(s"unexpected token for DECIMAL: $n")
+        org.apache.spark.sql.types.Decimal(
+          bd.setScale(t.scale, java.math.RoundingMode.HALF_UP), t.precision, t.scale)
+      case BooleanType =>
+        if (n.isBoolean) n.asBoolean()
+        else if (n.isTextual) n.asText().trim.toLowerCase match {
+          case "true" | "t" | "1" => true
+          case "false" | "f" | "0" => false
+          case other => fail(s"invalid boolean text '$other'")
+        }
+        else if (n.isIntegralNumber) n.asLong() != 0L
+        else fail(s"unexpected token for BOOLEAN: $n")
+      case _: StringType =>
+        // currentTokenAsVarchar: strings as-is, scalars as their text
+        if (n.isTextual) UTF8String.fromString(n.asText())
+        else if (n.isNumber || n.isBoolean) UTF8String.fromString(n.asText())
+        else fail(s"unexpected token for VARCHAR: $n")
+      case ArrayType(et, _) =>
+        if (!n.isArray) fail(s"expected a json array, got $n")
+        val out = new Array[Any](n.size())
+        var i = 0
+        while (i < n.size()) { out(i) = decode(n.get(i), et); i += 1 }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case MapType(kt, vt, _) =>
+        if (!n.isObject) fail(s"expected a json object, got $n")
+        val ks = scala.collection.mutable.ArrayBuffer.empty[Any]
+        val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
+        val it = n.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          ks += decode(mapper.getNodeFactory.textNode(e.getKey), kt)
+          vs += decode(e.getValue, vt)
+        }
+        org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks.toArray, vs.toArray)
+      case st: StructType =>
+        val out = new Array[Any](st.length)
+        if (n.isArray) {
+          if (n.size() != st.length)
+            fail(s"json array of ${n.size()} elements for ROW of ${st.length} fields")
+          var i = 0
+          while (i < st.length) { out(i) = decode(n.get(i), st(i).dataType); i += 1 }
+        } else if (n.isObject) {
+          val idx = st.fieldNames.map(_.toLowerCase(java.util.Locale.ENGLISH))
+            .zipWithIndex.toMap
+          val seen = new Array[Boolean](st.length)
+          val it = n.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            idx.get(e.getKey.toLowerCase(java.util.Locale.ENGLISH)).foreach { i =>
+              if (seen(i)) fail(s"duplicate field: ${e.getKey}")
+              seen(i) = true
+              out(i) = decode(e.getValue, st(i).dataType)
+            }
+          }
+        } else fail(s"expected a json array or object, but got $n")
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(out.toIndexedSeq)
+      case other => fail(s"unsupported target type ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    decode(mapper.readTree(v.asInstanceOf[UTF8String].toString), dataType)
+
+  override protected def withNewChildInternal(newChild: Expression): PrestoJsonDecode =
     copy(child = newChild)
 }

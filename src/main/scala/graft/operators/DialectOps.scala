@@ -786,6 +786,50 @@ object DialectOps extends QueryGroup {
           |FROM orders ORDER BY k LIMIT 500""".stripMargin)
     },
 
+    // The REVERSE direction (round 12): CAST(json AS ROW/ARRAY/MAP) +
+    // the `JSON '…'` typed literal (SqlBase.g4 primaryExpression).
+    // Reference JsonUtil.java BlockBuilderAppenders accept JSON ARRAYS
+    // positionally for ROW targets (and objects by lower-cased name,
+    // missing→null), parse MAP keys from field-name TEXT, and coerce
+    // across token classes (string→number parse, boolean→1,
+    // double→BIGINT rounds HALF_UP) — all places from_json silently
+    // nulls or rejects; PrestoJsonDecode (ScalarExprs.scala) implements
+    // the contract. DuckDB oracle computes every expected value
+    // arithmetically from the same source rows. ──
+    q("dialect_json_decode",
+      """SELECT o_orderkey AS k,
+        |  o_orderkey AS a, 's' || o_orderstatus AS b, o_orderkey + 5 AS c,
+        |  CAST(3 AS BIGINT) AS d, CAST(1 AS BIGINT) AS e,
+        |  o_orderkey AS x, o_orderkey * 2 AS y, CAST(NULL AS VARCHAR) AS z,
+        |  o_orderkey + 1 AS mv, CAST(8 AS BIGINT) AS m7,
+        |  CAST(1 AS BIGINT) AS a1, CAST(2 AS BIGINT) AS a2,
+        |  CAST(4 AS BIGINT) AS a3, CAST(1 AS BIGINT) AS a4,
+        |  CAST(NULL AS BIGINT) AS a5
+        |FROM orders ORDER BY k LIMIT 500""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH t AS (
+          |  SELECT o_orderkey AS k,
+          |    CAST('[' || CAST(o_orderkey AS VARCHAR) || ',"s' || o_orderstatus ||
+          |         '","' || CAST(o_orderkey + 5 AS VARCHAR) || '",2.5,true]'
+          |      AS ROW(a BIGINT, b VARCHAR, c BIGINT, d BIGINT, e BIGINT)) AS pr,
+          |    CAST('{"x":' || CAST(o_orderkey AS VARCHAR) || ',"Y":"' ||
+          |         CAST(o_orderkey * 2 AS VARCHAR) || '"}'
+          |      AS ROW(y BIGINT, x BIGINT, z VARCHAR)) AS nr,
+          |    CAST('{"' || CAST(o_orderkey + 100000 AS VARCHAR) || '":' ||
+          |         CAST(o_orderkey + 1 AS VARCHAR) || ',"7":"8"}'
+          |      AS MAP(BIGINT, BIGINT)) AS m,
+          |    CAST(JSON ' [1, "2", 3.5, true, null] ' AS ARRAY(BIGINT)) AS arr
+          |  FROM orders)
+          |SELECT k,
+          |  pr.a AS a, pr.b AS b, pr.c AS c, pr.d AS d, pr.e AS e,
+          |  nr.x AS x, nr.y AS y, nr.z AS z,
+          |  element_at(m, k + 100000) AS mv, element_at(m, 7) AS m7,
+          |  element_at(arr, 1) AS a1, element_at(arr, 2) AS a2,
+          |  element_at(arr, 3) AS a3, element_at(arr, 4) AS a4,
+          |  element_at(arr, 5) AS a5
+          |FROM t ORDER BY k LIMIT 500""".stripMargin)
+    },
+
     // ORDER BY inside array_agg (Presto grammar aggregate sortItem;
     // Spark has no in-aggregate sort): rewritten to a comparator
     // array_sort over (value, keys) structs. Single-key DESC, multi-key

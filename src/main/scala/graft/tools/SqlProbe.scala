@@ -13,10 +13,17 @@ object SqlProbe {
     Tables.register(spark, args.headOption.filter(_.startsWith("/"))
       .getOrElse("/root/testdata/sf0.001"))
     val sqlArgs = if (args.headOption.exists(_.startsWith("/"))) args.tail else args
+    // "@/path/file.sql" reads ";;"-separated statements from the file —
+    // sbt's forked run neither forwards stdin nor survives embedded
+    // double quotes in args, so file-based is the reliable quoting path
     val stmts =
       (if (sqlArgs.sameElements(Array("-")))
         scala.io.Source.stdin.mkString.split(";;")
-      else sqlArgs).map(_.trim).filter(_.nonEmpty)
+      else sqlArgs.flatMap { a =>
+        if (a.startsWith("@"))
+          scala.io.Source.fromFile(a.drop(1)).mkString.split(";;")
+        else Array(a)
+      }).map(_.trim).filter(_.nonEmpty)
     stmts.foreach { s =>
       println(s"--- $s")
       try {

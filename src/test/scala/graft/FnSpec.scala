@@ -34,6 +34,32 @@ class FnSpec extends AnyFunSuite {
     assert(r.isNullAt(3)) // RETURN_NULL_ON_NULL: SQL NULL, not "null"
   }
 
+  test("CAST(json AS complex): positional rows, coercions, error contract (JsonUtil.java appenders)") {
+    // oracle row dialect_json_decode pins the value surface over the
+    // corpus; these are the shapes DuckDB can't replay: the ERROR
+    // contract (from_json would silently null), duplicate-name and
+    // arity failures, and nested row-in-array decode
+    ready() // JSON '…' literal lowers to the registered json_parse
+    val r = spark.sql(
+      """SELECT
+        |  CAST('[[1,"a"],{"b":"x","A":7}]'
+        |    AS ARRAY(ROW(a BIGINT, b VARCHAR))) AS nested,
+        |  CAST(JSON '{"k": [1, 2]}' AS MAP(VARCHAR, ARRAY(BIGINT))) AS mj""".stripMargin)
+      .collect()(0)
+    val nested = r.getSeq[org.apache.spark.sql.Row](0)
+    // element 0: positional array; element 1: object by LOWER-CASED name
+    assert(nested(0).getLong(0) == 1L && nested(0).getString(1) == "a")
+    assert(nested(1).getLong(0) == 7L && nested(1).getString(1) == "x")
+    assert(r.getMap[String, scala.collection.Seq[Long]](1)("k").toSeq == Seq(1L, 2L))
+    // malformed input ERRORS (INVALID_CAST_ARGUMENT), not null
+    def fails(sql: String): Unit =
+      assertThrows[Exception](spark.sql(sql).collect())
+    fails("SELECT CAST('not json' AS ARRAY(BIGINT))")
+    fails("SELECT CAST('[1,2]' AS ROW(a BIGINT))") // arity mismatch
+    fails("""SELECT CAST('{"a":1,"A":2}' AS ROW(a BIGINT))""") // dup name
+    fails("SELECT CAST('{\"a\":1}' AS ARRAY(BIGINT))") // object for array
+  }
+
   test("datetime field functions decompose intervals like the reference (ResolveIntervalFields)") {
     // reference DateTimeFunctions.java *FromInterval (:787-1191):
     // total-millis fields, Java toward-zero division; EXTRACT delegates
