@@ -981,6 +981,76 @@ object FuzzParityOps extends QueryGroup {
         |FROM t ORDER BY i""".stripMargin)
     },
 
+    // ── JSON decode: CAST(json AS ROW/ARRAY/MAP) coercion parity under
+    // operand sweep (PrestoJsonDecode, round 12 — JsonUtil.java
+    // appenders). The oracle computes every expected value
+    // ARITHMETICALLY (DuckDB's own json casts have different coercion
+    // rules). Pins per row: positional ROW decode; by-name ROW with
+    // case-fold ("A"→a), unknown-key skip, missing-field NULL;
+    // string→number parse; boolean→1; double→BIGINT ties AWAY FROM
+    // ZERO ("n.5" → n±1 — half-even would give the even neighbor);
+    // text map keys parsed into BIGINT; DECIMAL rescale HALF_UP
+    // (".25"→".3" at scale 1, emitted unscaled ×10 per the no-decimal-
+    // output rule); backslash-quote, double-backslash, and unicode
+    // escape unescapes (the escape is u003D for hex digit D∈1..9, and
+    // U+0031..U+0039 IS the digit character, so the expected value on
+    // the oracle side is just D); "true"/"false"/"1"/"0" text→boolean.
+    // p = h1 % 37 + 1
+    // replaces the shared m operand, which is CONSTANT (69069 ≡ 0
+    // mod 23 makes h2 ≡ 99991 ≡ 10 mod 23 for every i). ──
+    q("fuzz_json_decode_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, h1, h2, n, CAST(h1 % 37 + 1 AS INT) AS p,
+        |    chr(CAST(97 + i % 26 AS INTEGER)) AS L,
+        |    chr(CAST(49 + i % 9 AS INTEGER)) AS D
+        |  FROM o)
+        |SELECT i,
+        |  h1 AS a, h2 % 1000 AS b,
+        |  CAST(CASE WHEN n >= 0 THEN n + 1 ELSE n - 1 END AS BIGINT) AS c,
+        |  CAST(1 AS BIGINT) AS d, 's' || L AS e,
+        |  h1 % 100 AS a2, h2 % 100 AS b2, CAST(p AS BIGINT) AS c2,
+        |  CAST(NULL AS VARCHAR) AS z,
+        |  CAST(n AS BIGINT) AS mv1, CAST(p AS BIGINT) AS mv2,
+        |  'q"' || L AS e1, 'b\' || L AS e2, D AS e3,
+        |  CAST(CAST(h2 % 1000 AS VARCHAR) || '.' || CAST(h1 % 10 AS VARCHAR) AS DOUBLE) AS dbl,
+        |  (h1 % 2 = 1) AS b_1, true AS b_2, false AS b_3, (h2 % 2 = 1) AS b_4,
+        |  CAST(p * 10 + 3 AS BIGINT) AS dec_u
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t0 AS (
+        |  SELECT i, h1, h2, n, CAST(h1 % 37 + 1 AS INT) AS p,
+        |    chr(97 + i % 26) AS L, chr(49 + i % 9) AS D
+        |  FROM o),
+        |t AS (
+        |  SELECT i, h1, h2, n, p, L, D,
+        |    CAST(concat('[', CAST(h1 AS STRING), ',"', CAST(h2 % 1000 AS STRING), '",',
+        |                CAST(n AS STRING), '.5,true,"s', L, '"]')
+        |      AS ROW(a BIGINT, b BIGINT, c BIGINT, d BIGINT, e VARCHAR)) AS r1,
+        |    CAST(concat('{"A":', CAST(h1 % 100 AS STRING), ',"b":"', CAST(h2 % 100 AS STRING),
+        |                '","Unknown":9,"C":', CAST(p AS STRING), '.2}')
+        |      AS ROW(a BIGINT, b BIGINT, c BIGINT, z VARCHAR)) AS r2,
+        |    CAST(concat('{"', CAST(h1 % 50 AS STRING), '":', CAST(n AS STRING), ',"',
+        |                CAST(1000 + i AS STRING), '":"', CAST(p AS STRING), '"}')
+        |      AS MAP(BIGINT, BIGINT)) AS mp,
+        |    CAST(concat('["q\"', L, '","b\\', L, '","\', 'u003', D, '"]')
+        |      AS ARRAY(VARCHAR)) AS esc,
+        |    CAST(concat('["', CAST(h2 % 1000 AS STRING), '.', CAST(h1 % 10 AS STRING), '"]')
+        |      AS ARRAY(DOUBLE)) AS darr,
+        |    CAST(concat('[', CAST(h1 % 2 AS STRING), ',"true","false","', CAST(h2 % 2 AS STRING), '"]')
+        |      AS ARRAY(BOOLEAN)) AS barr,
+        |    CAST(concat('[', CAST(p AS STRING), '.25]') AS ARRAY(DECIMAL(10,1))) AS dec1
+        |  FROM t0)
+        |SELECT i,
+        |  r1.a AS a, r1.b AS b, r1.c AS c, r1.d AS d, r1.e AS e,
+        |  r2.a AS a2, r2.b AS b2, r2.c AS c2, r2.z AS z,
+        |  element_at(mp, h1 % 50) AS mv1, element_at(mp, 1000 + i) AS mv2,
+        |  element_at(esc, 1) AS e1, element_at(esc, 2) AS e2, element_at(esc, 3) AS e3,
+        |  element_at(darr, 1) AS dbl,
+        |  element_at(barr, 1) AS b_1, element_at(barr, 2) AS b_2,
+        |  element_at(barr, 3) AS b_3, element_at(barr, 4) AS b_4,
+        |  CAST(element_at(dec1, 1) * 10 AS BIGINT) AS dec_u
+        |FROM t ORDER BY i""".stripMargin)
+    },
+
     // ── window functions: 13 over 7 partitions × ~57 rows each ──
     // The order key h1 % 50 is deliberately tie-PRONE so rank vs
     // dense_rank vs row_number diverge and peer-group semantics
