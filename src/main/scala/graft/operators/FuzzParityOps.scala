@@ -1117,5 +1117,152 @@ object FuzzParityOps extends QueryGroup {
         s.sql(sparkOperands + derive + aggBody)
       }
     },
+
+    // ── sweep 20: zoned TIMESTAMP WITH TIME ZONE parity vs DuckDB's
+    // native instant-based TIMESTAMPTZ (round 12 — extends the six
+    // dialect_ztz_* rows to operand-grid density). Construction is
+    // INSTANT-based (at_timezone over a UTC epoch; DuckDB to_timestamp),
+    // so rows INSIDE DST gaps/overlaps are unambiguous on both engines —
+    // unlike wall-based with_timezone, whose gap handling is pinned
+    // separately in dialect_ztz_dst. Two of every three rows cluster
+    // ±2 h around ten real transition instants (NY/Berlin spring+fall
+    // 2026, Lord Howe Oct-2025/Apr-2026 — a HALF-HOUR dst delta —
+    // Chatham 2025/2026 at +12:45/+13:45, St. John's at -03:30), the
+    // rest spread 1990–2028; zones include the +05:45/+08:45/+14:00
+    // fixed oddities. Every wall-observing field, both offset fields,
+    // rendering (CAST + to_iso8601), wall-truncation, exact-duration
+    // interval arithmetic ACROSS the transitions, instant-preserving
+    // re-zoning, and cross-zone instant comparison with mixed outcomes
+    // (shift ∈ {-1,0,+1} s) are compared per row. Millis are eighths
+    // (k·125 ms) so the epoch doubles are binary-exact on both engines.
+    // Reference semantics: TimestampWithTimeZoneType.java (instant
+    // compare/hash), DateTimeFunctions.java unpackChronology (wall
+    // fields), DateTimeOperators.java (exact-duration interval add).
+    // Oracle notes: DuckDB millisecond() includes seconds·1000 (hence
+    // % 1000), and its naive-wall date_trunc is round-tripped through
+    // the zone (timezone(z, timezone(z, …))) so a truncation target
+    // INSIDE a DST gap — real on the grid: trunc-hour of the first
+    // post-transition hour in Chatham lands on the nonexistent 03:00 —
+    // resolves forward exactly like the engine's wall re-anchoring
+    // (Java and ICU agree on gap-forward resolution; probed).
+    {
+      val zones = "'UTC','America/New_York','Europe/Berlin','Asia/Tokyo'," +
+        "'Asia/Kathmandu','Australia/Eucla','Australia/Lord_Howe'," +
+        "'Pacific/Chatham','America/St_Johns','Pacific/Kiritimati'"
+      val transitions = "1772953200, 1793512800, 1774746000, 1792890000, " +
+        "1759591800, 1775314800, 1758981600, 1775311200, 1772947800, 1793507400"
+      val zN = 600
+      q("fuzz_ztz_parity",
+        s"""WITH g AS (
+           |  SELECT i,
+           |    (i * 1103515245 + 12345) % 2147483648 AS h1,
+           |    (i * 69069 + 99991) % 2147483648 AS h2
+           |  FROM range(0, $zN) t(i)
+           |), o AS (
+           |  SELECT i, h1, h2,
+           |    ([$zones])[CAST(i % 10 AS INTEGER) + 1] AS zone,
+           |    ([$zones])[CAST((i + 3) % 10 AS INTEGER) + 1] AS zone2,
+           |    CAST(CASE WHEN i % 3 = 0
+           |      THEN 631152000 + (h1 * 37) % 1200000000
+           |      ELSE ([$transitions])[CAST(h1 % 10 AS INTEGER) + 1]
+           |        + (h2 % 14400) - 7200 END AS DOUBLE)
+           |      + CAST(h2 % 8 AS DOUBLE) * 0.125 AS es,
+           |    CAST(h2 % 3 AS INTEGER) - 1 AS shift
+           |  FROM g
+           |), z AS (
+           |  SELECT i, zone, zone2, es, shift,
+           |    to_timestamp(es) AS tstz,
+           |    timezone(zone, to_timestamp(es)) AS wall
+           |  FROM o
+           |), w AS (
+           |  SELECT i, zone, zone2, es, shift, tstz, wall,
+           |    CAST(round(epoch(wall) - es) AS BIGINT) AS off,
+           |    timezone(zone2, tstz) AS wall2,
+           |    timezone(zone, tstz + INTERVAL 90 MINUTE) AS wall90
+           |  FROM z
+           |)
+           |SELECT i,
+           |  strftime(wall, '%Y-%m-%d %H:%M:%S.%g') || ' ' || zone AS render,
+           |  strftime(wall, '%Y-%m-%dT%H:%M:%S.%g') ||
+           |    CASE WHEN off = 0 THEN 'Z' ELSE
+           |      (CASE WHEN off < 0 THEN '-' ELSE '+' END ||
+           |       lpad(CAST(CAST((abs(off) - (abs(off) % 3600)) / 3600 AS BIGINT) AS VARCHAR), 2, '0') || ':' ||
+           |       lpad(CAST(CAST((abs(off) % 3600) / 60 AS BIGINT) AS VARCHAR), 2, '0')) END AS iso,
+           |  CAST(hour(wall) AS BIGINT) AS hr,
+           |  CAST(minute(wall) AS BIGINT) AS mi,
+           |  CAST(second(wall) AS BIGINT) AS sec,
+           |  CAST(millisecond(wall) % 1000 AS BIGINT) AS ms,
+           |  CAST(day(wall) AS BIGINT) AS dy,
+           |  CAST(month(wall) AS BIGINT) AS mo,
+           |  CAST(year(wall) AS BIGINT) AS yr,
+           |  CAST(quarter(wall) AS BIGINT) AS qtr,
+           |  CAST(isodow(wall) AS BIGINT) AS dow,
+           |  CAST(dayofyear(wall) AS BIGINT) AS doy,
+           |  CAST(weekofyear(wall) AS BIGINT) AS wk,
+           |  CAST(isoyear(wall) AS BIGINT) AS yow,
+           |  CAST(CAST((off - (off % 3600)) / 3600 AS BIGINT) AS BIGINT) AS tzh,
+           |  CAST(CAST((off % 3600) / 60 AS BIGINT) AS BIGINT) AS tzm,
+           |  CAST(es * 1000 AS BIGINT) AS unix_ms,
+           |  strftime(timezone(zone, timezone(zone, date_trunc('day', wall))), '%Y-%m-%d %H:%M:%S.%g') || ' ' || zone AS trunc_day,
+           |  strftime(timezone(zone, timezone(zone, date_trunc('hour', wall))), '%Y-%m-%d %H:%M:%S.%g') || ' ' || zone AS trunc_hour,
+           |  strftime(timezone(zone, timezone(zone, date_trunc('week', wall))), '%Y-%m-%d %H:%M:%S.%g') || ' ' || zone AS trunc_week,
+           |  strftime(wall90, '%Y-%m-%d %H:%M:%S.%g') || ' ' || zone AS plus90m,
+           |  strftime(wall2, '%Y-%m-%d %H:%M:%S.%g') || ' ' || zone2 AS rezone,
+           |  shift = 0 AS eq_shift,
+           |  shift > 0 AS lt_shift
+           |FROM w ORDER BY i""".stripMargin) { (s, _) =>
+        s.conf.set(graft.functions.ZonedTimestamps.ConfKey, "true")
+        try s.sql(
+          s"""WITH g AS (
+             |  SELECT id AS i,
+             |    (id * 1103515245 + 12345) % 2147483648 AS h1,
+             |    (id * 69069 + 99991) % 2147483648 AS h2
+             |  FROM range(0, $zN)
+             |), o AS (
+             |  SELECT i, h1, h2,
+             |    element_at(array($zones), CAST(i % 10 AS INT) + 1) AS zone,
+             |    element_at(array($zones), CAST((i + 3) % 10 AS INT) + 1) AS zone2,
+             |    CAST(CASE WHEN i % 3 = 0
+             |      THEN 631152000 + (h1 * 37) % 1200000000
+             |      ELSE element_at(array($transitions), CAST(h1 % 10 AS INT) + 1)
+             |        + (h2 % 14400) - 7200 END AS DOUBLE)
+             |      + CAST(h2 % 8 AS DOUBLE) * 0.125 AS es,
+             |    CAST(h2 % 3 AS INT) - 1 AS shift
+             |  FROM g
+             |), z AS (
+             |  SELECT i, zone, zone2, es, shift,
+             |    at_timezone(from_unixtime(es), zone) AS zt,
+             |    at_timezone(from_unixtime(es + CAST(shift AS DOUBLE)), zone2) AS zs
+             |  FROM o
+             |)
+             |SELECT i,
+             |  CAST(zt AS VARCHAR) AS render,
+             |  to_iso8601(zt) AS iso,
+             |  CAST(hour(zt) AS BIGINT) AS hr,
+             |  CAST(minute(zt) AS BIGINT) AS mi,
+             |  CAST(second(zt) AS BIGINT) AS sec,
+             |  CAST(millisecond(zt) AS BIGINT) AS ms,
+             |  CAST(day(zt) AS BIGINT) AS dy,
+             |  CAST(month(zt) AS BIGINT) AS mo,
+             |  CAST(year(zt) AS BIGINT) AS yr,
+             |  CAST(quarter(zt) AS BIGINT) AS qtr,
+             |  CAST(day_of_week(zt) AS BIGINT) AS dow,
+             |  CAST(day_of_year(zt) AS BIGINT) AS doy,
+             |  CAST(week(zt) AS BIGINT) AS wk,
+             |  CAST(year_of_week(zt) AS BIGINT) AS yow,
+             |  CAST(timezone_hour(zt) AS BIGINT) AS tzh,
+             |  CAST(timezone_minute(zt) AS BIGINT) AS tzm,
+             |  CAST(to_unixtime(zt) * 1000 AS BIGINT) AS unix_ms,
+             |  CAST(date_trunc('day', zt) AS VARCHAR) AS trunc_day,
+             |  CAST(date_trunc('hour', zt) AS VARCHAR) AS trunc_hour,
+             |  CAST(date_trunc('week', zt) AS VARCHAR) AS trunc_week,
+             |  CAST(zt + INTERVAL '90' MINUTE AS VARCHAR) AS plus90m,
+             |  CAST(at_timezone(zt, zone2) AS VARCHAR) AS rezone,
+             |  zt = zs AS eq_shift,
+             |  zt < zs AS lt_shift
+             |FROM z ORDER BY i""".stripMargin)
+        finally s.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
+      }
+    },
   )
 }

@@ -83,7 +83,11 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // evaluation
     "dialect_time_wrap", "dialect_greatest_null", "spatial_kdb_join",
     "fuzz_time_parity", "fuzz_map_parity", "fuzz_row_parity",
-    "fuzz_interval_parity")
+    "fuzz_interval_parity",
+    // round 12: the zoned sweep (conf set/unset inside the lambda plus
+    // per-row zone-dispatch StaticInvokes across DST boundaries must be
+    // partition-/AQE-invariant and leave the shared session clean)
+    "fuzz_ztz_parity")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)

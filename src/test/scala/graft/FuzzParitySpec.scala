@@ -226,4 +226,29 @@ class FuzzParitySpec extends AnyFunSuite {
       assert(mins % 60 == 0 && mins >= 0 && mins / 60 < 100000)
     }
   }
+
+  test("ztz sweep: 600 rows, UTC spot row and instant-compare law pinned") {
+    val rows = run("fuzz_ztz_parity")
+    assert(rows.length == 600)
+    val byI = rows.map(r => r.getLong(r.fieldIndex("i")) -> r).toMap
+    // i=0: spread row, zone=UTC, zone2=Asia/Tokyo; h1=12345, h2=99991 →
+    // e = 631152000 + 12345·37 = 631608765 (1990-01-06 06:52:45 UTC),
+    // ms = (99991 % 8)·125 = 875
+    val r0 = byI(0L)
+    def s0(c: String) = r0.getString(r0.fieldIndex(c))
+    def l0(c: String) = r0.getLong(r0.fieldIndex(c))
+    assert(s0("render") == "1990-01-06 06:52:45.875 UTC")
+    assert(s0("iso") == "1990-01-06T06:52:45.875Z")
+    assert(l0("hr") == 6L && l0("mi") == 52L && l0("sec") == 45L && l0("ms") == 875L)
+    assert(l0("tzh") == 0L && l0("tzm") == 0L)
+    assert(l0("unix_ms") == 631608765875L)
+    // instant-based comparison ignores the zone: eq/lt outcomes are a
+    // pure function of the ±1 s shift derived from h2
+    rows.foreach { r =>
+      val i = r.getLong(r.fieldIndex("i"))
+      val h2 = (i * 69069L + 99991L) % 2147483648L
+      assert(r.getBoolean(r.fieldIndex("eq_shift")) == (h2 % 3 == 1))
+      assert(r.getBoolean(r.fieldIndex("lt_shift")) == (h2 % 3 == 2))
+    }
+  }
 }
