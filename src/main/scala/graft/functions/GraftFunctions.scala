@@ -43,7 +43,42 @@ case class GeoDistanceExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** millisecond(x): late-binding dispatch — the reference accepts TIME as
+  * well as timestamps (DateTimeFunctions.java millisecondFromTime /
+  * millisecondFromTimestamp). A parse-time Cast-to-TIMESTAMP rejects
+  * TIME operands at analysis, so the branch must wait for the child's
+  * resolved type: TIME reads its nanos-of-day directly; everything else
+  * keeps the session-zone format path. (Zone-carrying operands arrive
+  * here already unwrapped to TIME by ZonedTimestamps' wall rewrite.)
+  */
+case class MillisecondOf(child: Expression, timeZoneId: Option[String] = None)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression]
+    with TimeZoneAwareExpression {
+  override def prettyName: String = "millisecond"
+  override def withTimeZone(tz: String): MillisecondOf = copy(timeZoneId = Some(tz))
+  // TimeZoneAwareExpression's final nodePatterns overwrites the
+  // RUNTIME_REPLACEABLE bit RuntimeReplaceable's init set (same fix as
+  // ZonedTimestamps' zone-aware replaceables).
+  override def nodePatternsInternal(): Seq[org.apache.spark.sql.catalyst.trees.TreePattern.TreePattern] =
+    Seq(org.apache.spark.sql.catalyst.trees.TreePattern.RUNTIME_REPLACEABLE)
+  override lazy val replacement: Expression = child.dataType match {
+    case _: TimeType =>
+      StaticInvoke(GraftFnUtils.getClass, LongType, "millisOfTimeNanos",
+        Seq(child), inputTypes = Seq(child.dataType), propagateNull = true)
+    case _ =>
+      Cast(DateFormatClass(Cast(child, TimestampType, timeZoneId),
+        Literal("SSS"), timeZoneId), LongType)
+  }
+  override protected def withNewChildInternal(c: Expression): MillisecondOf =
+    copy(child = c)
+}
+
 object GraftFnUtils {
+
+  /** millisecond-of-second of a TIME's physical nanos-of-day. */
+  def millisOfTimeNanos(timeNanos: Long): Long =
+    (timeNanos / 1000000L) % 1000L
   /** Reference DoubleOperators.castToLong/castToInteger rounding:
     * DoubleMath.roundToLong(value, HALF_UP) — half away from zero.
     * NaN/overflow are handled by the OUTER ANSI cast on the rounded
@@ -1174,9 +1209,9 @@ object GraftFunctions {
     // combine_hash (CombineHashFunction.java: h1 * 31 + h2)
     "combine_hash" -> { case Seq(a, b) =>
       Add(Multiply(Cast(a, LongType), Literal(31L)), Cast(b, LongType)) },
-    // millisecond-of-second (DateTimeFunctions.java millisecond)
-    "millisecond" -> { case Seq(t) =>
-      Cast(DateFormatClass(Cast(t, TimestampType), Literal("SSS")), LongType) },
+    // millisecond-of-second (DateTimeFunctions.java millisecond) —
+    // late-binding so TIME operands resolve (MillisecondOf)
+    "millisecond" -> { case Seq(t) => MillisecondOf(t) },
     // ISO week-year (year_of_week/yow); Spark spells it YEAROFWEEK
     "year_of_week" -> { case Seq(t) =>
       Cast(org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(

@@ -750,6 +750,117 @@ object DialectOps extends QueryGroup {
       finally s.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
     },
 
+    // ── TIME WITH TIME ZONE under the zoned mode, oracle-compared
+    // (round 12 — the last zoned surface that had no oracle at all;
+    // DuckDB's own TIMETZ orders (wall, offset) where the reference
+    // orders raw UTC-normalized nanos, so every expected value is
+    // computed LONGHAND from the same operand grid instead — the
+    // dialect_time_wrap pattern). 500 rows × 7 zones (fixed offsets
+    // incl. ±fractional and +13:45, named zones incl. the Kathmandu
+    // 1970-epoch-offset quirk: the reference's packed chronology takes
+    // a region zone's offset AT 1970-01-01, so Asia/Kathmandu is
+    // +05:30 here, not today's +05:45 — TimeWithTimeZoneType /
+    // DateTimeFunctions.java). Covers rendering, wall fields,
+    // epoch-date offset fields, modulo-24h interval wrap in BOTH
+    // directions plus the 26h (>1 day) and YEAR-TO-MONTH-no-op shapes
+    // (DateTimeOperators.java:79-137), and raw-UTC-nanos comparison
+    // incl. constructed cross-zone equality (gated on the re-zoned
+    // wall staying inside [0, 24h) — outside it the unwrapped UTC
+    // nanos differ by a day and equality must FAIL; the gate itself is
+    // a compared column).
+    {
+      val zoneList = "'UTC','+05:30','-03:30','+13:45','Asia/Tokyo'," +
+        "'America/New_York','Asia/Kathmandu'"
+      val offList = "0, 19800, -12600, 49500, 32400, -18000, 19800"
+      def p(e: String, n: Int) =
+        s"lpad(CAST(CAST($e AS BIGINT) AS STRING), $n, '0')"
+      def todTxt(tod: String, ms: String) =
+        s"concat(${p(s"(($tod) - ($tod) % 3600) / 3600", 2)}, ':', " +
+          s"${p(s"(($tod) % 3600 - ($tod) % 60) / 60", 2)}, ':', " +
+          s"${p(s"($tod) % 60", 2)}, '.', ${p(ms, 3)})"
+      val gridDuck =
+        """WITH g AS (
+          |  SELECT i,
+          |    (i * 1103515245 + 12345) % 2147483648 AS h1,
+          |    (i * 69069 + 99991) % 2147483648 AS h2
+          |  FROM range(0, 500) t(i)
+          |)""".stripMargin
+      val gridSpark =
+        """WITH g AS (
+          |  SELECT id AS i,
+          |    (id * 1103515245 + 12345) % 2147483648 AS h1,
+          |    (id * 69069 + 99991) % 2147483648 AS h2
+          |  FROM range(0, 500)
+          |)""".stripMargin
+      q("dialect_ttz_parity",
+        gridDuck +
+          s""", o AS (
+             |  SELECT i,
+             |    ([$zoneList])[CAST(i % 7 AS INTEGER) + 1] AS zone,
+             |    ([$zoneList])[CAST((i + 3) % 7 AS INTEGER) + 1] AS zone2,
+             |    ([$offList])[CAST(i % 7 AS INTEGER) + 1] AS off1,
+             |    ([$offList])[CAST((i + 3) % 7 AS INTEGER) + 1] AS off2,
+             |    h1 % 86400 AS tod,
+             |    h2 % 86400 AS tod2,
+             |    (h2 % 8) * 125 AS ms
+             |  FROM g
+             |)
+             |SELECT i,
+             |  concat(${todTxt("tod", "ms")}, ' ', zone) AS render,
+             |  CAST((tod - tod % 3600) / 3600 AS BIGINT) AS hr,
+             |  CAST((tod % 3600 - tod % 60) / 60 AS BIGINT) AS mi,
+             |  CAST(tod % 60 AS BIGINT) AS sec,
+             |  CAST(ms AS BIGINT) AS msec,
+             |  CAST((off1 - (off1 % 3600)) / 3600 AS BIGINT) AS tzh,
+             |  CAST((off1 % 3600) / 60 AS BIGINT) AS tzm,
+             |  concat(${todTxt("(tod + 5700) % 86400", "ms")}, ' ', zone) AS plus95m,
+             |  concat(${todTxt("((tod - 12000) % 86400 + 86400) % 86400", "ms")}, ' ', zone) AS minus200m,
+             |  concat(${todTxt("(tod + 93600) % 86400", "ms")}, ' ', zone) AS plus26h,
+             |  concat(${todTxt("tod", "ms")}, ' ', zone) AS ym_noop,
+             |  (tod - off1) < (tod2 - off2) AS lt,
+             |  (tod - off1 + off2) BETWEEN 0 AND 86399 AS eq_rezone,
+             |  (tod - off1 + off2) BETWEEN 0 AND 86399 AS eq_possible
+             |FROM o ORDER BY i""".stripMargin) { (s, _) =>
+        s.conf.set(graft.functions.ZonedTimestamps.ConfKey, "true")
+        try s.sql(
+          gridSpark +
+            s""", o AS (
+               |  SELECT i,
+               |    element_at(array($zoneList), CAST(i % 7 AS INT) + 1) AS zone,
+               |    element_at(array($zoneList), CAST((i + 3) % 7 AS INT) + 1) AS zone2,
+               |    element_at(array($offList), CAST(i % 7 AS INT) + 1) AS off1,
+               |    element_at(array($offList), CAST((i + 3) % 7 AS INT) + 1) AS off2,
+               |    h1 % 86400 AS tod,
+               |    h2 % 86400 AS tod2,
+               |    (h2 % 8) * 125 AS ms
+               |  FROM g
+               |), z AS (
+               |  SELECT i, off1, off2, tod, tod2, ms,
+               |    CAST(concat(${todTxt("tod", "ms")}, ' ', zone) AS TIME WITH TIME ZONE) AS t1,
+               |    CAST(concat(${todTxt("tod2", "ms")}, ' ', zone2) AS TIME WITH TIME ZONE) AS t2,
+               |    CAST(concat(${todTxt("((tod - off1 + off2) % 86400 + 86400) % 86400", "ms")}, ' ', zone2) AS TIME WITH TIME ZONE) AS te
+               |  FROM o
+               |)
+               |SELECT i,
+               |  CAST(t1 AS VARCHAR) AS render,
+               |  CAST(hour(t1) AS BIGINT) AS hr,
+               |  CAST(minute(t1) AS BIGINT) AS mi,
+               |  CAST(second(t1) AS BIGINT) AS sec,
+               |  CAST(millisecond(t1) AS BIGINT) AS msec,
+               |  CAST(timezone_hour(t1) AS BIGINT) AS tzh,
+               |  CAST(timezone_minute(t1) AS BIGINT) AS tzm,
+               |  CAST(t1 + INTERVAL '95' MINUTE AS VARCHAR) AS plus95m,
+               |  CAST(t1 - INTERVAL '200' MINUTE AS VARCHAR) AS minus200m,
+               |  CAST(t1 + INTERVAL '26' HOUR AS VARCHAR) AS plus26h,
+               |  CAST(t1 + INTERVAL '2' MONTH AS VARCHAR) AS ym_noop,
+               |  t1 < t2 AS lt,
+               |  t1 = te AS eq_rezone,
+               |  (tod - off1 + off2) BETWEEN 0 AND 86399 AS eq_possible
+               |FROM z ORDER BY i""".stripMargin)
+        finally s.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
+      }
+    },
+
     // ── dialect tranche 4 (round 12, probed against SqlBase.g4 +
     // JsonUtil.java): CAST(complex AS JSON) semantics. The reference
     // renders ROWs as JSON ARRAYS (RowJsonGeneratorWriter writes

@@ -704,6 +704,7 @@ object FuzzParityOps extends QueryGroup {
         |  CAST(extract(hour FROM tf) AS BIGINT) AS h,
         |  CAST(extract(minute FROM tf) AS BIGINT) AS mi,
         |  CAST(extract(second FROM tf) AS BIGINT) AS sec,
+        |  CAST(millisecond(tf) % 1000 AS BIGINT) AS msec,
         |  t1 < t2 AS lt, t1 > t2 AS gt,
         |  CAST(greatest(t1, t2) AS VARCHAR) AS gst,
         |  CAST(least(t1, t2) AS VARCHAR) AS lst,
@@ -733,6 +734,7 @@ object FuzzParityOps extends QueryGroup {
         |  CAST(extract(hour FROM tf) AS BIGINT) AS h,
         |  CAST(extract(minute FROM tf) AS BIGINT) AS mi,
         |  CAST(extract(second FROM tf) AS BIGINT) AS sec,
+        |  CAST(millisecond(tf) AS BIGINT) AS msec,
         |  t1 < t2 AS lt, t1 > t2 AS gt,
         |  CAST(greatest(t1, t2) AS STRING) AS gst,
         |  CAST(least(t1, t2) AS STRING) AS lst,

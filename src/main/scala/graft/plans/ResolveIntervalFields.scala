@@ -53,11 +53,10 @@ object ResolveIntervalFields extends Rule[LogicalPlan] {
       case Hour(iv, _) if isDt(iv) => invoke("intervalHour", iv)
       case Minute(iv, _) if isDt(iv) => invoke("intervalMinute", iv)
       case Second(iv, _) if isDt(iv) => invoke("intervalSecond", iv)
-      // millisecond(iv): the graft builder wraps its arg in
-      // Cast(_, TimestampType) before DateFormatClass — intercept the
-      // interval-typed cast inside that exact shape
-      case Cast(DateFormatClass(Cast(iv, TimestampType, _, _), Literal(fmt, StringType), _), LongType, _, _)
-          if fmt != null && fmt.toString == "SSS" && isDt(iv) =>
+      // millisecond(iv): the graft builder is the late-binding
+      // MillisecondOf (TIME/timestamp dispatch) — intervals take the
+      // reference's total-millis decomposition instead
+      case graft.functions.MillisecondOf(iv, _) if isDt(iv) =>
         invoke("intervalMillisecond", iv)
       case Year(iv) if isYm(iv) => invoke("intervalYmYear", iv)
       case Month(iv) if isYm(iv) => invoke("intervalYmMonth", iv)

@@ -86,8 +86,10 @@ class ConfigMatrixSpec extends AnyFunSuite {
     "fuzz_interval_parity",
     // round 12: the zoned sweep (conf set/unset inside the lambda plus
     // per-row zone-dispatch StaticInvokes across DST boundaries must be
-    // partition-/AQE-invariant and leave the shared session clean)
-    "fuzz_ztz_parity")
+    // partition-/AQE-invariant and leave the shared session clean), and
+    // the TIME-WTZ grid (parse-time literal rewrite + MillisecondOf
+    // late-binding + wrap StaticInvokes)
+    "fuzz_ztz_parity", "dialect_ttz_parity")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)

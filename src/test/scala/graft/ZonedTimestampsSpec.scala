@@ -258,6 +258,10 @@ class ZonedTimestampsSpec extends AnyFunSuite {
       // wall-clock extraction
       assert(one("SELECT hour(TIME '03:04:05 +05:30')") == 3)
       assert(one("SELECT minute(TIME '03:04:05 +05:30')") == 4)
+      // millisecond accepts TIME like the reference (round 12:
+      // MillisecondOf late-binding — the format path rejects TIME)
+      assert(one("SELECT millisecond(TIME '03:04:05.321 +05:30')") == 321L)
+      assert(one("SELECT millisecond(TIME '03:04:05.321')") == 321L)
       // offsets evaluate at the type's epoch date (fixed offsets exact;
       // region zones take their 1970-01-01 offset — the reference's
       // packed-chronology quirk)
