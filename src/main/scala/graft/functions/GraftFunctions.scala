@@ -79,6 +79,54 @@ object GraftFnUtils {
   /** millisecond-of-second of a TIME's physical nanos-of-day. */
   def millisOfTimeNanos(timeNanos: Long): Long =
     (timeNanos / 1000000L) % 1000L
+
+  /** Identity on a TIME's physical nanos — lets expression code lift a
+    * TIME value into the BIGINT domain (no such Cast exists).
+    */
+  def timeNanosOf(timeNanos: Long): Long = timeNanos
+
+  private val DayNanos = 86400000000000L
+
+  /** The TIME-valid field units (reference DateTimeFunctions.getTimeField:
+    * millisecond/second/minute/hour; anything else — day and up — is
+    * "'unit' is not a valid TIME field", same message class).
+    */
+  def timeFieldNanos(unit: String): Long = unit.toLowerCase match {
+    case "millisecond" => 1000000L
+    case "second" => 1000000000L
+    case "minute" => 60000000000L
+    case "hour" => 3600000000000L
+    case other =>
+      throw new IllegalArgumentException(s"'$other' is not a valid TIME field")
+  }
+
+  /** date_add(unit, value, TIME): field add wrapped modulo 24h
+    * (DateTimeFunctions.addFieldValueTime — toIntExact like the
+    * reference, then the value is reduced mod fields-per-day BEFORE the
+    * nanos multiply so the product cannot overflow Long).
+    */
+  def timeAddUnit(unit: org.apache.spark.unsafe.types.UTF8String,
+      value: Long, timeNanos: Long): Long = {
+    val f = timeFieldNanos(unit.toString)
+    val v = java.lang.Math.toIntExact(value).toLong
+    java.lang.Math.floorMod(
+      timeNanos + java.lang.Math.floorMod(v, DayNanos / f) * f, DayNanos)
+  }
+
+  /** date_diff(unit, TIME, TIME): field difference truncated toward zero
+    * (Joda DurationField.getDifference — DateTimeFunctions.diffTime).
+    */
+  def timeDiffUnit(unit: org.apache.spark.unsafe.types.UTF8String,
+      t1Nanos: Long, t2Nanos: Long): Long =
+    (t2Nanos - t1Nanos) / timeFieldNanos(unit.toString)
+
+  /** date_trunc(unit, TIME): precise-field roundFloor
+    * (DateTimeFunctions.truncateTime; nanos-of-day is non-negative so
+    * plain remainder IS the floor).
+    */
+  def timeTruncUnit(unit: org.apache.spark.unsafe.types.UTF8String,
+      timeNanos: Long): Long =
+    timeNanos - timeNanos % timeFieldNanos(unit.toString)
   /** Reference DoubleOperators.castToLong/castToInteger rounding:
     * DoubleMath.roundToLong(value, HALF_UP) — half away from zero.
     * NaN/overflow are handled by the OUTER ANSI cast on the rounded
@@ -1136,9 +1184,10 @@ object GraftFunctions {
     "from_iso8601_timestamp" -> { case Seq(s) =>
       if (ZonedTimestamps.enabled) ZonedFromIso(s) else Cast(s, TimestampType) },
     "from_iso8601_date" -> { case Seq(s) => Cast(s, DateType) },
-    "to_iso8601" -> { case Seq(t) =>
-      if (ZonedTimestamps.enabled) ZonedIso(t)
-      else DateFormatClass(Cast(t, TimestampType), Literal("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")) },
+    // late-binding in BOTH modes: the DATE overload prints date-only
+    // (toISO8601FromDate), timestamps keep the 'Z' rendering, zoned
+    // values their wall+offset form
+    "to_iso8601" -> { case Seq(t) => ZonedIso(t) },
     // at_timezone / with_timezone (DateTimeFunctions.java). The engine's
     // documented TIMESTAMP WITH TIME ZONE approximation (SURVEY.md §1.2):
     // instants are UTC timestamps (session TZ pinned to UTC), the zone
@@ -1635,6 +1684,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => org.apache.spark.sql.graft.ResolveReduceAgg)
     ext.injectResolutionRule(_ => graft.plans.ResolveDateSubToDays)
     ext.injectResolutionRule(_ => graft.plans.ResolveIntervalFields)
+    ext.injectResolutionRule(_ => graft.plans.ResolveTimeArithmetic)
     ext.injectResolutionRule(_ => graft.plans.EmptyGroupingSetsRule)
     ext.injectResolutionRule(_ => graft.plans.ZonedGroupingRule)
     ext.injectOptimizerRule(_ => graft.plans.SimplifyElementAt)

@@ -378,6 +378,21 @@ case class ZonedTrunc(fmt: Expression, t: Expression,
     if (isZoned(t.dataType))
       If(IsNull(t), nullZ,
         mk(ToUTCTimestamp(TruncTimestamp(fmt, wallOf(t), timeZoneId), tzOf(t)), tzOf(t)))
+    else if (isZonedTime(t.dataType))
+      // reference truncateTimeWithTimeZone: wall-field roundFloor (the
+      // zone chronology floors LOCAL time), zone kept
+      If(IsNull(t), nullZT,
+        mkTime(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, TimeType(6), "timeTruncUnit",
+          Seq(fmt, todOf(t)),
+          inputTypes = Seq(StringType, TimeType(6)), propagateNull = true),
+          tzOf(t)))
+    else if (t.dataType.isInstanceOf[TimeType])
+      // reference truncateTime on a plain TIME
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, TimeType(6), "timeTruncUnit",
+        Seq(fmt, t), inputTypes = Seq(StringType, TimeType(6)),
+        propagateNull = true)
     else TruncTimestamp(fmt, Cast(t, TimestampType, timeZoneId), timeZoneId)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): ZonedTrunc = copy(fmt = l, t = r)
@@ -404,6 +419,12 @@ case class ZonedIso(child: Expression, timeZoneId: Option[String] = None)
       GraftFnUtils.getClass, StringType, "isoZoned",
       Seq(utcOf(child), tzOf(child)),
       inputTypes = Seq(TimestampType, StringType), propagateNull = true)
+    else if (child.dataType == DateType)
+      // reference toISO8601FromDate: ISODateTimeFormat.date() — the
+      // DATE overload prints the date alone, no time part (round-12
+      // find; the timestamp format applied to dates diverged)
+      DateFormatClass(Cast(child, TimestampType, timeZoneId),
+        Literal("yyyy-MM-dd"), timeZoneId)
     else DateFormatClass(Cast(child, TimestampType, timeZoneId),
       Literal("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"), timeZoneId)
   override protected def withNewChildInternal(c: Expression): ZonedIso =
@@ -565,7 +586,23 @@ case class ZonedTimestampAddX(unit: String, quantity: Expression, ts: Expression
         If(IsNull(ts), nullZ,
           mk(ToUTCTimestamp(TimestampAdd(unit, q, wallOf(ts), timeZoneId), tzOf(ts)),
             tzOf(ts)))
-    } else TimestampAdd(unit, q, Cast(ts, TimestampType, timeZoneId), timeZoneId)
+    } else if (isZonedTime(ts.dataType))
+      // reference addFieldValueTimeWithTimeZone: wall-field add wrapped
+      // modulo 24h, zone kept
+      If(IsNull(ts), nullZT,
+        mkTime(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, TimeType(6), "timeAddUnit",
+          Seq(Literal(unit), q, todOf(ts)),
+          inputTypes = Seq(StringType, LongType, TimeType(6)),
+          propagateNull = true), tzOf(ts)))
+    else if (ts.dataType.isInstanceOf[TimeType])
+      // reference addFieldValueTime: same wrap on a plain TIME
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, TimeType(6), "timeAddUnit",
+        Seq(Literal(unit), q, ts),
+        inputTypes = Seq(StringType, LongType, TimeType(6)),
+        propagateNull = true)
+    else TimestampAdd(unit, q, Cast(ts, TimestampType, timeZoneId), timeZoneId)
   }
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): ZonedTimestampAddX = copy(quantity = l, ts = r)
@@ -596,7 +633,27 @@ case class ZonedTimestampDiffX(unit: String, startTs: Expression, endTs: Express
       if (isZoned(e.dataType)) utcOf(e) else Cast(e, TimestampType, timeZoneId)
     def wall(e: Expression) =
       if (isZoned(e.dataType)) wallOf(e) else Cast(e, TimestampType, timeZoneId)
-    if (isZoned(startTs.dataType) || isZoned(endTs.dataType)) {
+    def isTimeish(e: Expression) =
+      isZonedTime(e.dataType) || e.dataType.isInstanceOf[TimeType]
+    // UTC-normalized nanos of a (maybe zoned) TIME operand — reference
+    // diffTimeWithTimeZone diffs unpacked millisUtc; a plain TIME is
+    // the session (UTC) wall, i.e. already normalized
+    def todUtc(e: Expression): Expression =
+      if (isZonedTime(e.dataType))
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, LongType, "zonedTimeUtcNanos",
+          Seq(todOf(e), tzOf(e)),
+          inputTypes = Seq(TimeType(6), StringType), propagateNull = true)
+      else org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, LongType, "timeNanosOf",
+        Seq(e), inputTypes = Seq(TimeType(6)), propagateNull = true)
+    if (isTimeish(startTs) && isTimeish(endTs))
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, LongType, "timeDiffUnit",
+        Seq(Literal(unit), todUtc(startTs), todUtc(endTs)),
+        inputTypes = Seq(StringType, LongType, LongType),
+        propagateNull = true)
+    else if (isZoned(startTs.dataType) || isZoned(endTs.dataType)) {
       if (PreciseUnits.contains(unit.toUpperCase))
         TimestampDiff(unit, inst(startTs), inst(endTs), timeZoneId)
       else TimestampDiff(unit, wall(startTs), wall(endTs), timeZoneId)

@@ -202,7 +202,9 @@ object FuzzParityOps extends QueryGroup {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS fmt,
         |  CAST(epoch(ts) AS BIGINT) AS unix_s,
         |  CAST(hour(ts) AS BIGINT) AS hh,
-        |  CAST(minute(ts) AS BIGINT) AS mi
+        |  CAST(minute(ts) AS BIGINT) AS mi,
+        |  strftime(d, '%Y-%m-%d') AS iso_d,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso_ts
         |FROM t ORDER BY i""".stripMargin) { (s, _) =>
       s.sql(sparkOperands + """, t AS (
         |  SELECT i, m, n,
@@ -225,7 +227,9 @@ object FuzzParityOps extends QueryGroup {
         |  date_format(ts, '%Y-%m-%d %H:%i:%s') AS fmt,
         |  CAST(to_unixtime(ts) AS BIGINT) AS unix_s,
         |  CAST(hour(ts) AS BIGINT) AS hh,
-        |  CAST(minute(ts) AS BIGINT) AS mi
+        |  CAST(minute(ts) AS BIGINT) AS mi,
+        |  to_iso8601(d) AS iso_d,
+        |  to_iso8601(ts) AS iso_ts
         |FROM t ORDER BY i""".stripMargin)
     },
 
@@ -689,15 +693,24 @@ object FuzzParityOps extends QueryGroup {
         |    CAST((h1 + h2) % 60 AS BIGINT) AS ss,
         |    CAST(h2 % 1000000 AS BIGINT) AS us,
         |    CAST(h2 % 24 AS BIGINT) AS hh2, CAST(h1 % 60 AS BIGINT) AS mm2,
-        |    CAST((h1 + 2 * h2) % 60 AS BIGINT) AS ss2
+        |    CAST((h1 + 2 * h2) % 60 AS BIGINT) AS ss2,
+        |    CAST(h2 % 50 - 25 AS BIGINT) AS dh,
+        |    CAST(h1 % 5000 - 2500 AS BIGINT) AS dm
         |  FROM o),
         |tt AS (
-        |  SELECT i, hh, mm, ss, us,
+        |  SELECT i, hh, mm, ss, us, dh, dm,
+        |    hh * 3600 + mm * 60 + ss AS t1s,
+        |    hh2 * 3600 + mm2 * 60 + ss2 AS t2s,
         |    make_time(hh, mm, CAST(ss AS DOUBLE)) AS t1,
         |    make_time(hh2, mm2, CAST(ss2 AS DOUBLE)) AS t2,
         |    make_time(hh, mm, CAST(ss AS DOUBLE) + CAST(us AS DOUBLE) / 1000000.0) AS tf,
         |    make_time(hh % 12, mm, CAST(ss AS DOUBLE)) AS tam
-        |  FROM t)
+        |  FROM t),
+        |tw AS (
+        |  SELECT *,
+        |    ((t1s + dh * 3600) % 86400 + 86400) % 86400 AS wa,
+        |    ((t1s + dm * 60) % 86400 + 86400) % 86400 AS wm
+        |  FROM tt)
         |SELECT i,
         |  CAST(t1 AS VARCHAR) AS s1,
         |  CAST(tf AS VARCHAR) AS sf,
@@ -710,18 +723,30 @@ object FuzzParityOps extends QueryGroup {
         |  CAST(least(t1, t2) AS VARCHAR) AS lst,
         |  CAST(CAST(CAST(t1 AS VARCHAR) AS TIME) AS VARCHAR) AS rt,
         |  CAST(tam + INTERVAL 1 HOUR AS VARCHAR) AS plus_h,
-        |  CAST(tam + INTERVAL 45 MINUTE AS VARCHAR) AS plus_m
-        |FROM tt ORDER BY i""".stripMargin) { (s, _) =>
+        |  CAST(tam + INTERVAL 45 MINUTE AS VARCHAR) AS plus_m,
+        |  CAST(make_time(CAST((wa - wa % 3600) / 3600 AS BIGINT),
+        |    CAST((wa % 3600 - wa % 60) / 60 AS BIGINT),
+        |    CAST(wa % 60 AS DOUBLE)) AS VARCHAR) AS da_h,
+        |  CAST(make_time(CAST((wm - wm % 3600) / 3600 AS BIGINT),
+        |    CAST((wm % 3600 - wm % 60) / 60 AS BIGINT),
+        |    CAST(wm % 60 AS DOUBLE) + CAST(us AS DOUBLE) / 1000000.0) AS VARCHAR) AS da_m,
+        |  CAST(trunc(CAST(t2s - t1s AS DOUBLE) / 60) AS BIGINT) AS dd_m,
+        |  CAST(t1s - t2s AS BIGINT) AS dd_s,
+        |  CAST(make_time(hh, 0, 0.0) AS VARCHAR) AS tr_h,
+        |  CAST(make_time(hh, mm, 0.0) AS VARCHAR) AS tr_m
+        |FROM tw ORDER BY i""".stripMargin) { (s, _) =>
       s.sql(sparkOperands + """, t AS (
         |  SELECT i,
         |    CAST(h1 % 24 AS INT) AS hh, CAST(h2 % 60 AS INT) AS mm,
         |    CAST((h1 + h2) % 60 AS INT) AS ss,
         |    CAST(h2 % 1000000 AS INT) AS us,
         |    CAST(h2 % 24 AS INT) AS hh2, CAST(h1 % 60 AS INT) AS mm2,
-        |    CAST((h1 + 2 * h2) % 60 AS INT) AS ss2
+        |    CAST((h1 + 2 * h2) % 60 AS INT) AS ss2,
+        |    CAST(h2 % 50 - 25 AS INT) AS dh,
+        |    CAST(h1 % 5000 - 2500 AS INT) AS dm
         |  FROM o),
         |tt AS (
-        |  SELECT i, hh, mm, ss, us,
+        |  SELECT i, hh, mm, ss, us, dh, dm,
         |    make_time(hh, mm, ss) AS t1,
         |    make_time(hh2, mm2, ss2) AS t2,
         |    make_time(hh, mm, CAST(CAST(ss AS DECIMAL(8,6))
@@ -740,7 +765,13 @@ object FuzzParityOps extends QueryGroup {
         |  CAST(least(t1, t2) AS STRING) AS lst,
         |  CAST(CAST(CAST(t1 AS STRING) AS TIME) AS STRING) AS rt,
         |  CAST(tam + INTERVAL '1' HOUR AS STRING) AS plus_h,
-        |  CAST(tam + INTERVAL '45' MINUTE AS STRING) AS plus_m
+        |  CAST(tam + INTERVAL '45' MINUTE AS STRING) AS plus_m,
+        |  CAST(date_add('hour', dh, t1) AS STRING) AS da_h,
+        |  CAST(date_add('minute', dm, tf) AS STRING) AS da_m,
+        |  CAST(date_diff('minute', t1, t2) AS BIGINT) AS dd_m,
+        |  CAST(date_diff('second', t2, t1) AS BIGINT) AS dd_s,
+        |  CAST(date_trunc('hour', tf) AS STRING) AS tr_h,
+        |  CAST(date_trunc('minute', tf) AS STRING) AS tr_m
         |FROM tt ORDER BY i""".stripMargin)
     },
 

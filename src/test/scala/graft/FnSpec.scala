@@ -996,6 +996,49 @@ class FnSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT rgb(256, 0, 0)").collect() }
   }
 
+  test("date_add/date_diff/date_trunc accept TIME and return DATE for DATE (ResolveTimeArithmetic)") {
+    // reference DateTimeFunctions.java addFieldValueTime:414 (wrap mod
+    // 24h), diffTime:482 (truncate toward zero), truncateTime:356,
+    // addFieldValueDate:405 / truncateDate:347 (DATE in → DATE out,
+    // where stock timestampadd/TruncTimestamp return TIMESTAMP)
+    val df = spark.sql(
+      """SELECT
+        |  date_add('hour', 3, TIME '23:10:05.125') AS ta,
+        |  date_diff('minute', TIME '10:00:00', TIME '11:30:59') AS td,
+        |  date_diff('hour', TIME '11:30:59', TIME '10:00:00') AS tdn,
+        |  date_trunc('hour', TIME '10:22:33.125') AS tt,
+        |  date_add('quarter', 2, DATE '2020-01-31') AS dq,
+        |  date_trunc('month', DATE '2020-02-15') AS dtm,
+        |  date_trunc('day', DATE '2020-02-15') AS dtd""".stripMargin)
+    val sch = df.schema
+    assert(sch("ta").dataType.typeName.startsWith("time"))
+    assert(sch("tt").dataType.typeName.startsWith("time"))
+    assert(sch("dq").dataType == org.apache.spark.sql.types.DateType)
+    assert(sch("dtm").dataType == org.apache.spark.sql.types.DateType)
+    assert(sch("dtd").dataType == org.apache.spark.sql.types.DateType)
+    val r = df.selectExpr("CAST(ta AS STRING)", "td", "tdn",
+      "CAST(tt AS STRING)", "CAST(dq AS STRING)", "CAST(dtm AS STRING)",
+      "CAST(dtd AS STRING)").collect()(0)
+    assert(r.getString(0) == "02:10:05.125", "wraps past midnight")
+    assert(r.getLong(1) == 90L)
+    assert(r.getLong(2) == -1L, "truncates toward zero")
+    assert(r.getString(3) == "10:00:00")
+    assert(r.getString(4) == "2020-07-31", "chronology month add")
+    assert(r.getString(5) == "2020-02-01")
+    assert(r.getString(6) == "2020-02-15", "'day' is the identity on DATE")
+    // day and up are not valid TIME fields (reference getTimeField)
+    val err = intercept[Exception](
+      spark.sql("SELECT date_trunc('day', TIME '10:22:33')").collect())
+    assert(err.getMessage.contains("not a valid TIME field"))
+    // to_iso8601's DATE overload prints date-only (toISO8601FromDate)
+    val iso = spark.sql(
+      """SELECT to_iso8601(DATE '2020-02-15') AS a,
+        |  to_iso8601(TIMESTAMP '2020-02-15 10:30:45.123') AS b""".stripMargin)
+      .collect()(0)
+    assert(iso.getString(0) == "2020-02-15")
+    assert(iso.getString(1) == "2020-02-15T10:30:45.123Z")
+  }
+
   test("localtime returns the session-zone time-of-day as TIME") {
     Tables.register(spark, TestSession.sf)
     val r = spark.sql(
