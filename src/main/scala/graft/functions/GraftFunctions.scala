@@ -1685,6 +1685,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => graft.plans.ResolveDateSubToDays)
     ext.injectResolutionRule(_ => graft.plans.ResolveIntervalFields)
     ext.injectResolutionRule(_ => graft.plans.ResolveTimeArithmetic)
+    ext.injectResolutionRule(_ => graft.plans.ResolveZonedTimeCompare)
     ext.injectResolutionRule(_ => graft.plans.EmptyGroupingSetsRule)
     ext.injectResolutionRule(_ => graft.plans.ZonedGroupingRule)
     ext.injectOptimizerRule(_ => graft.plans.SimplifyElementAt)

@@ -818,6 +818,7 @@ object DialectOps extends QueryGroup {
              |  concat(${todTxt("(tod + 93600) % 86400", "ms")}, ' ', zone) AS plus26h,
              |  concat(${todTxt("tod", "ms")}, ' ', zone) AS ym_noop,
              |  (tod - off1) < (tod2 - off2) AS lt,
+             |  (tod - off1) < tod2 AS ltm,
              |  (tod - off1 + off2) BETWEEN 0 AND 86399 AS eq_rezone,
              |  (tod - off1 + off2) BETWEEN 0 AND 86399 AS eq_possible
              |FROM o ORDER BY i""".stripMargin) { (s, _) =>
@@ -854,6 +855,7 @@ object DialectOps extends QueryGroup {
                |  CAST(t1 + INTERVAL '26' HOUR AS VARCHAR) AS plus26h,
                |  CAST(t1 + INTERVAL '2' MONTH AS VARCHAR) AS ym_noop,
                |  t1 < t2 AS lt,
+               |  t1 < CAST(${todTxt("tod2", "ms")} AS TIME) AS ltm,
                |  t1 = te AS eq_rezone,
                |  (tod - off1 + off2) BETWEEN 0 AND 86399 AS eq_possible
                |FROM z ORDER BY i""".stripMargin)

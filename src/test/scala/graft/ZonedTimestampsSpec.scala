@@ -310,6 +310,14 @@ class ZonedTimestampsSpec extends AnyFunSuite {
       assert(one("SELECT TIME '10:00:00 +05:30' > TIME '04:29:59 UTC'") == true)
       // a LATER wall clock in a FURTHER-east zone can be the earlier value
       assert(one("SELECT TIME '23:00:00 Asia/Tokyo' < TIME '20:00:00 UTC'") == true)
+      // MIXED TIME vs TIME WITH TIME ZONE: the plain side coerces to
+      // the session (UTC) zone and compares UTC-normalized (round 12,
+      // ResolveZonedTimeCompare — previously failed analysis)
+      assert(one("SELECT TIME '10:00:00' = TIME '10:00:00 UTC'") == true)
+      assert(one("SELECT TIME '15:30:00 +05:30' = TIME '10:00:00'") == true)
+      assert(one("SELECT TIME '15:30:00 +05:30' < TIME '10:00:01'") == true)
+      assert(one(
+        "SELECT TIME '10:00:00' IN (TIME '15:30:00 +05:30', TIME '01:00:00')") == true)
     }
   }
 
