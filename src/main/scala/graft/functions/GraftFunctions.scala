@@ -1239,6 +1239,24 @@ object GraftFunctions {
     "from_hex" -> { case Seq(s) => Unhex(s) },
     "sha256" -> { case Seq(b) => Unhex(Sha2(b, Literal(256))) },
     "sha512" -> { case Seq(b) => Unhex(Sha2(b, Literal(512))) },
+    // md5/sha1/xxhash64 return VARBINARY digests over VARBINARY input
+    // in the reference (VarbinaryFunctions.java:246-300) where Spark's
+    // same-named builtins emit hex text (md5/sha1) or a seed-42
+    // typed-value BIGINT (xxhash64) — `to_hex(md5(x))`, the standard
+    // Presto idiom, would otherwise hex-encode the hex TEXT. Dispatch
+    // is on the RESOLVED input type (DigestDispatch), NOT a blanket
+    // name override: Spark 4's functions.md5/functions.xxhash64 route
+    // by name too (Column.fn), so non-binary operands — shapes no
+    // Presto query can produce, used by the engine's own minhash/bloom
+    // pipelines — must keep the builtin behavior bit-for-bit
+    // (round-12 find; KATs in fn_extra_scalars + FnSpec).
+    "md5" -> { case Seq(b) => DigestDispatch(b, "md5") },
+    "sha1" -> { case Seq(b) => DigestDispatch(b, "sha1") },
+    "xxhash64" -> {
+      case Seq(b) => DigestDispatch(b, "xxhash64")
+      // multi-arg: Spark's builtin (internal stress-harness spelling)
+      case args => new XxHash64(args)
+    },
     // Presto ROW(...) constructor (RowConstructor; Spark spells it
     // struct — anonymous field names differ, access by position/.field
     // works the same)

@@ -242,7 +242,12 @@ object PrestoFnOps extends QueryGroup {
     // combine_hash, ISO week-year, millisecond, duration/data-size
     // parsing, regexp_split (BitwiseFunctions.java,
     // VarbinaryFunctions.java, DateTimeFunctions.java,
-    // DataSizeFunctions.java)
+    // DataSizeFunctions.java). Round 12 appends the digest KATs from
+    // the reference's own TestVarbinaryFunctions.java:303-387 —
+    // md5/sha1/xxhash64 as VARBINARY digests (the Spark builtins of
+    // the same name emit hex text / a seed-42 BIGINT; the graft
+    // registration shadows them), crc32, and the signed-32-bit fnv
+    // family.
     q("fn_extra_scalars",
       """SELECT n_nationkey,
         |  CAST(n_nationkey & 12 AS BIGINT) AS band,
@@ -263,7 +268,18 @@ object PrestoFnOps extends QueryGroup {
         |  CAST(2560 AS BIGINT) AS dsize,
         |  'a|b||c' AS rs,
         |  'D382E6CA' AS spooky32,
-        |  '3768826AD382E6CA' AS spooky64
+        |  '3768826AD382E6CA' AS spooky64,
+        |  '533F6357E0210E67D91F651BC49E1278' AS md5k,
+        |  'FB78992E561929A6967D5328F49413FA99048D06' AS sha1k,
+        |  'EF46DB3751D8E999' AS xxh_e,
+        |  'F9D96E0E1165E892' AS xxh_h,
+        |  CAST(38028046 AS BIGINT) AS crc_a,
+        |  CAST(1129618807 AS BIGINT) AS crc_b,
+        |  CAST(1739062764 AS BIGINT) AS fnv1_32k,
+        |  CAST(-1625136141 AS BIGINT) AS fnv1_32s,
+        |  CAST(-343882906 AS BIGINT) AS fnv1a_32k,
+        |  CAST(5360971952898613043 AS BIGINT) AS fnv1_64k,
+        |  CAST(7542926890985303135 AS BIGINT) AS fnv1a_64k
         |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, _) =>
       s.sql("""SELECT n_nationkey,
               |  bitwise_and(n_nationkey, 12) AS band,
@@ -284,7 +300,18 @@ object PrestoFnOps extends QueryGroup {
               |  CAST(parse_presto_data_size('2.5kB') AS BIGINT) AS dsize,
               |  array_join(regexp_split('a,b,,c', ','), '|') AS rs,
               |  to_hex(spooky_hash_v2_32(to_utf8('hello'))) AS spooky32,
-              |  to_hex(spooky_hash_v2_64(to_utf8('hello'))) AS spooky64
+              |  to_hex(spooky_hash_v2_64(to_utf8('hello'))) AS spooky64,
+              |  to_hex(md5(to_utf8('hashme'))) AS md5k,
+              |  to_hex(sha1(to_utf8('hashme'))) AS sha1k,
+              |  to_hex(xxhash64(to_utf8(''))) AS xxh_e,
+              |  to_hex(xxhash64(to_utf8('hashme'))) AS xxh_h,
+              |  crc32(to_utf8('CRC me!')) AS crc_a,
+              |  crc32(to_utf8('ABCDEFGHIJK')) AS crc_b,
+              |  fnv1_32(from_hex('F50919')) AS fnv1_32k,
+              |  fnv1_32(from_hex('232706FC6BF50919')) AS fnv1_32s,
+              |  fnv1a_32(from_hex('F50919')) AS fnv1a_32k,
+              |  fnv1_64(from_hex('232706FC6BF50919')) AS fnv1_64k,
+              |  fnv1a_64(from_hex('232706FC6BF50919')) AS fnv1a_64k
               |FROM nation ORDER BY n_nationkey""".stripMargin)
     },
 

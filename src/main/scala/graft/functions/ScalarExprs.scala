@@ -448,3 +448,72 @@ case class PrestoJsonDecode(child: Expression, ddl: String)
   override protected def withNewChildInternal(newChild: Expression): PrestoJsonDecode =
     copy(child = newChild)
 }
+
+/** `xxhash64(varbinary)` → VARBINARY — the reference's standard XXH64
+  * (seed 0) digest emitted as 8 big-endian bytes
+  * (VarbinaryFunctions.java:292-300: `Long.reverseBytes(XxHash64
+  * .hash(slice))` into a little-endian slot ≡ big-endian byte order).
+  * NOT Spark's builtin `xxhash64`, which is a seed-42 hash of the
+  * SQL-typed value returning BIGINT — same name, entirely different
+  * function; the session registration shadows it. The digest itself is
+  * Spark's own `XXH64.hashUnsafeBytes` (a standard-vector-verified
+  * xxHash64), so no hash code is re-implemented here; reference test
+  * vectors are pinned in the `fn_extra_scalars` oracle row and FnSpec.
+  * Long-tail scalar — CodegenFallback per house style.
+  */
+case class XxHash64Varbinary(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "xxhash64"
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"xxhash64 expects VARBINARY, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    val h = XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 0L)
+    java.nio.ByteBuffer.allocate(8).putLong(h).array()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): XxHash64Varbinary =
+    copy(child = newChild)
+}
+
+/** Type-dispatching md5/sha1/xxhash64 (round 12). The reference defines
+  * these ONLY over VARBINARY, returning VARBINARY digests
+  * (VarbinaryFunctions.java:246-300) — but Spark 4's `functions.md5`/
+  * `functions.xxhash64` route through the session registry BY NAME
+  * (Column.fn), so a blanket name override would silently rewire the
+  * engine's own internal Scala pipelines (minhash signatures, bloom
+  * digest indexes) that rely on the Spark builtins' string-hex / seed-42
+  * BIGINT behavior. Dispatch on the RESOLVED input type instead: a
+  * VARBINARY operand — the only shape a Presto query can produce — gets
+  * the reference digest; every other type keeps the Spark builtin
+  * bit-for-bit.
+  */
+case class DigestDispatch(child: Expression, algo: String)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def prettyName: String = algo
+
+  // the replacement must resolve AS BUILT (no implicit-cast pass runs
+  // inside a RuntimeReplaceable), so the builtin arms cast explicitly —
+  // the same string→utf8-bytes cast the analyzer would have inserted
+  override lazy val replacement: Expression = (algo, child.dataType) match {
+    case ("md5", BinaryType) => Unhex(Md5(child))
+    case ("md5", _) => Md5(Cast(child, BinaryType))
+    case ("sha1", BinaryType) => Unhex(Sha1(child))
+    case ("sha1", _) => Sha1(Cast(child, BinaryType))
+    case ("xxhash64", BinaryType) => XxHash64Varbinary(child)
+    case ("xxhash64", _) => new XxHash64(Seq(child))
+    case (other, _) => throw new IllegalArgumentException(s"DigestDispatch: $other")
+  }
+
+  override protected def withNewChildInternal(c: Expression): DigestDispatch =
+    copy(child = c)
+}

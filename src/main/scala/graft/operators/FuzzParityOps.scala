@@ -347,13 +347,102 @@ object FuzzParityOps extends QueryGroup {
         |           chr(97 + i % 26), chr(19968 + h2 % 50)) AS s
         |  FROM o)
         |SELECT i, s,
-        |  md5(s) AS d_md5,
-        |  sha2(s, 256) AS d_sha256,
-        |  base64(CAST(s AS BINARY)) AS b64,
-        |  CAST(unbase64(base64(CAST(s AS BINARY))) AS STRING) = s AS b64_roundtrip,
-        |  lower(hex(s)) AS hx,
-        |  md5(concat(s, s)) AS d_md5_double
+        |  lower(to_hex(md5(to_utf8(s)))) AS d_md5,
+        |  lower(to_hex(sha256(to_utf8(s)))) AS d_sha256,
+        |  to_base64(to_utf8(s)) AS b64,
+        |  from_utf8(from_base64(to_base64(to_utf8(s)))) = s AS b64_roundtrip,
+        |  lower(to_hex(to_utf8(s))) AS hx,
+        |  lower(to_hex(md5(to_utf8(concat(s, s))))) AS d_md5_double
         |FROM t ORDER BY i""".stripMargin)
+    },
+
+    // ── VARBINARY family under operand sweep (round 12; reference
+    // VarbinaryFunctions.java): big-endian integer codecs, IEEE-754
+    // codecs, byte-wise substr/lpad/rpad/length, and hex round-trips.
+    // DuckDB has none of the *_endian/*_ieee754 functions, so the
+    // oracle builds the expected HEX TEXT arithmetically — nibble k of
+    // the two's-complement value via arithmetic shift-and-mask (DuckDB
+    // `>>` sign-extends like Java), joined 15..0. IEEE-754 bit patterns
+    // avoid float introspection entirely: the operand is constructed as
+    // 2^20 + m20 (m20 < 2^20), so the exponent field is pinned at
+    // 1023+20 (double) / 127+20 (float) and the mantissa field is
+    // exactly m20<<32 / m20<<3 — the expected pattern is pure integer
+    // arithmetic, with the sign bit added as +8 on the top nibble.
+    // Extreme rows i=0..3 pin Long.MinValue/MaxValue/-1/0. Byte-wise
+    // ops run on ASCII payloads so DuckDB's character-based
+    // substr/lpad/rpad + hex(VARCHAR) are byte-exact oracles; length
+    // runs on a CJK-bearing string against octet_length(encode(..)). ──
+    q("fuzz_binary_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, h1, h2,
+        |    CASE WHEN i = 0 THEN -9223372036854775807 - 1
+        |         WHEN i = 1 THEN 9223372036854775807
+        |         WHEN i = 2 THEN -1
+        |         WHEN i = 3 THEN 0
+        |         ELSE h1 * 2097152 + h2 - 1125899906842624 END AS v,
+        |    h1 % 1048576 AS m20,
+        |    concat('binary-payload-', CAST(h1 AS VARCHAR), '-', CAST(h2 AS VARCHAR)) AS s,
+        |    concat('bp', CAST(h2 % 100 AS VARCHAR)) AS s2
+        |  FROM o),
+        |u AS (
+        |  SELECT i, h2, v, m20, s, s2,
+        |    v % 2147483648 AS v32,
+        |    1043 * 4503599627370496 + m20 * 4294967296 AS bd,
+        |    147 * 8388608 + m20 * 8 AS bf
+        |  FROM t)
+        |SELECT i,
+        |  array_to_string(list_transform(range(15,-1,-1), k ->
+        |    substr('0123456789ABCDEF', CAST(((v >> (k*4)) & 15) AS INTEGER)+1, 1)), '') AS be64,
+        |  v AS rt64,
+        |  array_to_string(list_transform(range(7,-1,-1), k ->
+        |    substr('0123456789ABCDEF', CAST(((v32 >> (k*4)) & 15) AS INTEGER)+1, 1)), '') AS be32,
+        |  v32 AS rt32,
+        |  concat(substr('0123456789ABCDEF', CAST(((bd >> 60) & 15) + 8*(i % 2) AS INTEGER)+1, 1),
+        |         array_to_string(list_transform(range(14,-1,-1), k ->
+        |           substr('0123456789ABCDEF', CAST(((bd >> (k*4)) & 15) AS INTEGER)+1, 1)), '')) AS ie64,
+        |  (1048576 + m20) * (CASE WHEN i % 2 = 1 THEN -1.0 ELSE 1.0 END) AS rt_ie64,
+        |  array_to_string(list_transform(range(7,-1,-1), k ->
+        |    substr('0123456789ABCDEF', CAST(((bf >> (k*4)) & 15) AS INTEGER)+1, 1)), '') AS ie32,
+        |  CAST(1048576 + m20 AS DOUBLE) AS rt_ie32,
+        |  upper(hex(substr(s, i % 10 + 1, i % 5 + 2))) AS bsub,
+        |  upper(hex(substr(s, -(i % 8 + 2)))) AS bsub_neg,
+        |  upper(hex(lpad(s2, CAST(i % 9 + 1 AS INTEGER), 'xy'))) AS blpad,
+        |  upper(hex(rpad(s2, CAST(i % 9 + 1 AS INTEGER), 'xy'))) AS brpad,
+        |  upper(hex(s2)) AS fh_rt,
+        |  CAST(octet_length(encode(concat(s2, chr(CAST(19968 + h2 % 50 AS INTEGER))))) AS BIGINT) AS blen
+        |FROM u ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i, h1, h2,
+        |    CASE WHEN i = 0 THEN -9223372036854775807 - 1
+        |         WHEN i = 1 THEN 9223372036854775807
+        |         WHEN i = 2 THEN -1
+        |         WHEN i = 3 THEN 0
+        |         ELSE h1 * 2097152 + h2 - 1125899906842624 END AS v,
+        |    h1 % 1048576 AS m20,
+        |    concat('binary-payload-', CAST(h1 AS STRING), '-', CAST(h2 AS STRING)) AS s,
+        |    concat('bp', CAST(h2 % 100 AS STRING)) AS s2
+        |  FROM o),
+        |u AS (
+        |  SELECT i, h2, v, m20, s, s2,
+        |    CAST(v % 2147483648 AS INT) AS v32,
+        |    CAST(1048576 + m20 AS DOUBLE) * (CASE WHEN i % 2 = 1 THEN -1.0 ELSE 1.0 END) AS d
+        |  FROM t)
+        |SELECT i,
+        |  to_hex(to_big_endian_64(v)) AS be64,
+        |  from_big_endian_64(to_big_endian_64(v)) AS rt64,
+        |  to_hex(to_big_endian_32(v32)) AS be32,
+        |  CAST(from_big_endian_32(to_big_endian_32(v32)) AS BIGINT) AS rt32,
+        |  to_hex(to_ieee754_64(d)) AS ie64,
+        |  from_ieee754_64(to_ieee754_64(d)) AS rt_ie64,
+        |  to_hex(to_ieee754_32(CAST(1048576 + m20 AS FLOAT))) AS ie32,
+        |  CAST(from_ieee754_32(to_ieee754_32(CAST(1048576 + m20 AS FLOAT))) AS DOUBLE) AS rt_ie32,
+        |  to_hex(substr(to_utf8(s), i % 10 + 1, i % 5 + 2)) AS bsub,
+        |  to_hex(substr(to_utf8(s), -(i % 8 + 2))) AS bsub_neg,
+        |  to_hex(lpad(to_utf8(s2), i % 9 + 1, to_utf8('xy'))) AS blpad,
+        |  to_hex(rpad(to_utf8(s2), i % 9 + 1, to_utf8('xy'))) AS brpad,
+        |  to_hex(from_hex(lower(to_hex(to_utf8(s2))))) AS fh_rt,
+        |  CAST(length(to_utf8(concat(s2, chr(19968 + h2 % 50)))) AS BIGINT) AS blen
+        |FROM u ORDER BY i""".stripMargin)
     },
 
     // ── URL family: construct-then-extract ground truth ──

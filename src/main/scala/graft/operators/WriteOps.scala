@@ -67,10 +67,13 @@ object WriteOps extends QueryGroup {
         loc.listFiles().foreach(_.delete())
         loc.delete()
       }
+      // md5 returns a VARBINARY digest under the Presto registration
+      // (round 12) — render to hex so content_hash stays a string
+      // column the sentinel INSERT below can populate
       s.sql("""CREATE TABLE graft_dedup_survivors USING parquet AS
-              |SELECT min(doc_id) AS keeper, md5(text) AS content_hash,
+              |SELECT min(doc_id) AS keeper, lower(to_hex(md5(to_utf8(text)))) AS content_hash,
               |       count(*) AS n_copies
-              |FROM documents GROUP BY md5(text)""".stripMargin)
+              |FROM documents GROUP BY md5(to_utf8(text))""".stripMargin)
       s.sql("""INSERT INTO graft_dedup_survivors
               |SELECT CAST(min(doc_id) AS BIGINT) - 1, 'sentinel', CAST(0 AS BIGINT)
               |FROM documents""".stripMargin)
