@@ -1252,6 +1252,13 @@ object GraftFunctions {
     // (round-12 find; KATs in fn_extra_scalars + FnSpec).
     "md5" -> { case Seq(b) => DigestDispatch(b, "md5") },
     "sha1" -> { case Seq(b) => DigestDispatch(b, "sha1") },
+    // NOTE (round 12): log/trim/ltrim/rtrim/element_at — where the
+    // reference and Spark share the NAME but disagree on argument order
+    // or bounds behavior — are deliberately NOT in this map. Spark 4's
+    // functions API resolves by name (Column.fn), so a registry
+    // override would swap semantics under the Scala DataFrame API too.
+    // Those live at the parser seam: PrestoCallConventions, applied by
+    // GraftSqlParser to SQL text only.
     "xxhash64" -> {
       case Seq(b) => DigestDispatch(b, "xxhash64")
       // multi-arg: Spark's builtin (internal stress-harness spelling)

@@ -73,7 +73,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * plans.
     */
   private def dialectPlan(plan: LogicalPlan): LogicalPlan = {
-    val p1 = if (PrestoOperators.enabled) PrestoOperators(plan) else plan
+    // always-on SQL call conventions (log/trim arg order, element_at
+    // bounds — PrestoCallConventions): parser seam, never DataFrame API
+    val p0 = PrestoCallConventions(plan)
+    val p1 = if (PrestoOperators.enabled) PrestoOperators(p0) else p0
     if (ZonedTimestamps.enabled) ZonedTimestamps(p1) else p1
   }
 
@@ -94,7 +97,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseQuery(sqlText: String): LogicalPlan =
     dialectPlan(delegate.parseQuery(rewrite(sqlText)))
   override def parseExpression(sqlText: String): Expression = {
-    val e0 = delegate.parseExpression(rewrite(sqlText))
+    val e00 = delegate.parseExpression(rewrite(sqlText))
+    val e0 = e00.transformDown(PrestoCallConventions.exprRewrite)
     val e1 = if (PrestoOperators.enabled) e0.transformDown(PrestoOperators.exprRewrite) else e0
     if (ZonedTimestamps.enabled) e1.transformDown(ZonedTimestamps.exprRewrite) else e1
   }

@@ -61,7 +61,12 @@ object PrestoOperators {
           c.evalMode != EvalMode.TRY =>
       PrestoCastToIntegral(c.child, c.dataType)
     case UnresolvedExtractValue(child, key) if !isStringLiteral(key) =>
-      UnresolvedFunction("element_at", Seq(child, key), isDistinct = false)
+      // strict ElementAt, NOT the element_at registry name: the
+      // reference's subscript errors on out-of-bounds
+      // (ArraySubscriptOperator) while its element_at function returns
+      // NULL — the round-12 element_at override must not leak into
+      // subscripts
+      ElementAt(child, key)
     // split(s, delim[, limit]): the delimiter is a LITERAL string in
     // Presto (StringFunctions.java split — Slice indexOf) but a REGEX in
     // Spark, so `split(s, '.')` silently explodes per character. Quote
@@ -441,4 +446,66 @@ case class PrestoArrayExtremum(child: Expression, isMax: Boolean)
 
   override protected def withNewChildInternal(c: Expression): PrestoArrayExtremum =
     copy(child = c)
+}
+
+/** Always-on SQL call conventions where the reference and Spark share a
+  * function NAME but disagree on argument order or bounds behavior
+  * (round-12 finds via the name-collision audit, tools/AuditNames):
+  *
+  *  - `log(number, base)` — MathFunctions.java:171; Spark's builtin is
+  *    log(base, number). log(8, 2) = 3 in the reference, 1/3 raw.
+  *  - `trim/ltrim/rtrim(string, chars)` — StringFunctions.java:586-614
+  *    put the SOURCE first; Spark's deprecated 2-arg spellings put the
+  *    trim SET first. trim('zzhizz', 'z') = 'hi' there, 'zz' raw.
+  *  - `element_at(array, i)` with |i| > cardinality returns NULL
+  *    (ArrayElementAtFunction.java:124-126) where Spark's ANSI builtin
+  *    throws; index 0 still errors, negatives count from the back. The
+  *    SUBSCRIPT rewrite above stays strict like the reference's
+  *    ArraySubscriptOperator.
+  *
+  * Applied at the PARSER seam (not the function registry): Spark 4's
+  * `functions.log` etc. resolve through the registry BY NAME
+  * (Column.fn), so a registry override would silently swap semantics
+  * under the Scala DataFrame API too — which both users' existing Spark
+  * code and the engine's own internal pipelines depend on. SQL text is
+  * exactly the Presto-dialect surface; the DataFrame API is exactly the
+  * Spark surface.
+  */
+object PrestoCallConventions {
+
+  private def simple(u: UnresolvedFunction): Boolean =
+    u.nameParts.length == 1 && !u.isDistinct && u.filter.isEmpty
+
+  private def name(u: UnresolvedFunction): String =
+    u.nameParts.head.toLowerCase
+
+  val exprRewrite: PartialFunction[Expression, Expression] = {
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "log" && u.arguments.size == 2 =>
+      Logarithm(u.arguments(1), u.arguments(0))
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "trim" && u.arguments.size == 2 =>
+      StringTrim(u.arguments(0), u.arguments(1))
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "ltrim" && u.arguments.size == 2 =>
+      StringTrimLeft(u.arguments(0), u.arguments(1))
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "rtrim" && u.arguments.size == 2 =>
+      StringTrimRight(u.arguments(0), u.arguments(1))
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "element_at" && u.arguments.size == 2 =>
+      ElementAt(u.arguments(0), u.arguments(1), None, failOnError = false)
+  }
+
+  /** Same traversal contract as [[PrestoOperators.apply]] (explicit CTE
+    * descent — UnresolvedWith keeps cteRelations outside `children`).
+    */
+  def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDownWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, r, m) =>
+          (n, apply(r).asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias], m)
+        })
+      case p => p.transformExpressionsDown(exprRewrite)
+    }
 }

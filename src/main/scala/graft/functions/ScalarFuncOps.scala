@@ -27,6 +27,8 @@ object ScalarFuncOps extends QueryGroup {
         |  rpad(CAST(c_custkey AS VARCHAR), 8, 'x') AS rpadded,
         |  trim('  ' || c_name || ' ') AS trimmed,
         |  ltrim('xx' || c_name, 'x') AS ltrimmed,
+        |  rtrim(c_name || 'yxy', 'xy') AS rtrimmed,
+        |  trim('z' || c_name || 'zz', 'z') AS trimmed2,
         |  concat(c_name, '|', c_mktsegment) AS joined,
         |  split_part(c_name, '#', 2) AS part2,
         |  CAST(strpos(c_name, '#') AS BIGINT) AS hashpos,
@@ -53,7 +55,9 @@ object ScalarFuncOps extends QueryGroup {
               |  lpad(CAST(c_custkey AS STRING), 8, '0') AS pad,
               |  rpad(CAST(c_custkey AS STRING), 8, 'x') AS rpadded,
               |  trim('  ' || c_name || ' ') AS trimmed,
-              |  ltrim('x', 'xx' || c_name) AS ltrimmed,
+              |  ltrim('xx' || c_name, 'x') AS ltrimmed,
+              |  rtrim(c_name || 'yxy', 'xy') AS rtrimmed,
+              |  trim('z' || c_name || 'zz', 'z') AS trimmed2,
               |  concat(c_name, '|', c_mktsegment) AS joined,
               |  split_part(c_name, '#', 2) AS part2,
               |  CAST(instr(c_name, '#') AS BIGINT) AS hashpos,

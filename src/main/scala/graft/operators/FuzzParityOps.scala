@@ -88,6 +88,7 @@ object FuzzParityOps extends QueryGroup {
         |  round(ln(y), 4) AS lny,
         |  round(log10(y), 4) AS l10,
         |  round(log2(y), 4) AS l2,
+        |  round(log(CAST(m + 1 AS DOUBLE), y), 4) AS lgb,
         |  round(power(y, 1.5), 3) AS pw,
         |  round(sin(x / 100.0), 4) AS sn,
         |  round(cos(x / 100.0), 4) AS cs,
@@ -114,6 +115,7 @@ object FuzzParityOps extends QueryGroup {
           |  round(ln(y), 4) AS lny,
           |  round(log10(y), 4) AS l10,
           |  round(log2(y), 4) AS l2,
+          |  round(log(y, CAST(m + 1 AS DOUBLE)), 4) AS lgb,
           |  round(power(y, 1.5), 3) AS pw,
           |  round(sin(x / 100.0), 4) AS sn,
           |  round(cos(x / 100.0), 4) AS cs,
@@ -256,6 +258,8 @@ object FuzzParityOps extends QueryGroup {
         |  array_to_string(list_slice(arr, 2, 3), '|') AS mid2,
         |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
         |  CAST(coalesce(nullif(CAST(n % 5 AS BIGINT), 0), -1) AS BIGINT) AS nz5,
+        |  list_extract(arr, CAST(i % 4 + 6 AS INTEGER)) AS ea_oob,
+        |  list_extract(arr, CAST(-(i % 5 + 1) AS INTEGER)) AS ea_neg,
         |  CASE WHEN n > 0 THEN 'pos' WHEN n < 0 THEN 'neg' ELSE 'zero' END AS sgn,
         |  if(m > 11, m, -m) AS half_flip
         |FROM t ORDER BY i""".stripMargin) { (s, _) =>
@@ -276,6 +280,8 @@ object FuzzParityOps extends QueryGroup {
         |  array_join(slice(arr, 2, 2), '|') AS mid2,
         |  CAST(size(filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
         |  CAST(coalesce(nullif(CAST(n % 5 AS BIGINT), 0), -1) AS BIGINT) AS nz5,
+        |  element_at(arr, CAST(i % 4 + 6 AS INT)) AS ea_oob,
+        |  element_at(arr, CAST(-(i % 5 + 1) AS INT)) AS ea_neg,
         |  CASE WHEN n > 0 THEN 'pos' WHEN n < 0 THEN 'neg' ELSE 'zero' END AS sgn,
         |  if(m > 11, m, -m) AS half_flip
         |FROM t ORDER BY i""".stripMargin)

@@ -998,6 +998,55 @@ class FnSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.lit(7))).collect()(0).getLong(0))
   }
 
+  test("log/trim argument order and element_at bounds follow the reference (round 12)") {
+    ready()
+    // log(number, base) — MathFunctions.java:171; Spark's builtin is
+    // log(base, number), a silent swap for any ported query
+    val lg = spark.sql("SELECT log(8, 2), log(100, 10), log(2.0)").collect()(0)
+    assert(lg.getDouble(0) == 3.0, s"log(8, 2) = ${lg.getDouble(0)}")
+    assert(lg.getDouble(1) == 2.0)
+    assert(math.abs(lg.getDouble(2) - math.log(2.0)) < 1e-15,
+      "1-arg log stays ln")
+    // the Scala functions API must keep SPARK semantics — it feeds the
+    // engine's internal pipelines (and users' DataFrame code)
+    import org.apache.spark.sql.functions.{lit, log => slog}
+    val apiLog = spark.range(1).select(slog(2.0, lit(8.0))).collect()(0).getDouble(0)
+    assert(apiLog == 3.0, s"functions.log(2.0, 8.0) must stay log base 2 = $apiLog")
+    // trim/ltrim/rtrim(string, chars) — StringFunctions.java:586-614
+    // source-first; Spark's 2-arg spelling is trim-set-first
+    val tr = spark.sql(
+      """SELECT trim('zzhizz', 'z'), ltrim('xxhixx', 'x'), rtrim('hixx', 'x'),
+        |  trim('abhiba', 'ab')""".stripMargin).collect()(0)
+    assert(tr.getString(0) == "hi")
+    assert(tr.getString(1) == "hixx")
+    assert(tr.getString(2) == "hi")
+    assert(tr.getString(3) == "hi", "2-arg trim trims by codepoint SET")
+    // element_at: |index| > cardinality returns NULL
+    // (ArrayElementAtFunction.java:124-126); index 0 still errors;
+    // negative indexes count from the back
+    val ea = spark.sql(
+      """SELECT element_at(ARRAY(1, 2, 3), 9), element_at(ARRAY(1, 2, 3), -9),
+        |  element_at(ARRAY(1, 2, 3), -1), element_at(map(1, 'a'), 99)""".stripMargin)
+      .collect()(0)
+    assert(ea.isNullAt(0) && ea.isNullAt(1))
+    assert(ea.getInt(2) == 3)
+    assert(ea.isNullAt(3))
+    val zeroErr = intercept[Exception] {
+      spark.sql("SELECT element_at(ARRAY(1, 2, 3), 0)").collect()
+    }
+    assert(zeroErr.getMessage.toLowerCase.contains("index"),
+      s"index 0 must still error: ${zeroErr.getMessage.take(100)}")
+    // the SUBSCRIPT path stays strict (reference ArraySubscriptOperator
+    // errors on OOB) — the element_at leniency must not leak into it
+    spark.sql("SET spark.graft.prestoOperators=true")
+    try {
+      assert(spark.sql("SELECT ARRAY(1, 2, 3)[2]").collect()(0).getInt(0) == 2)
+      intercept[Exception] {
+        spark.sql("SELECT ARRAY(1, 2, 3)[9]").collect()
+      }
+    } finally spark.sql("SET spark.graft.prestoOperators=false")
+  }
+
   test("Presto type spellings translate to Spark DDL") {
     import graft.functions.GraftSqlParser.translateType
     assert(translateType("ARRAY(VARCHAR)") == "ARRAY<STRING>")

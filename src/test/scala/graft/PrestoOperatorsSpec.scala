@@ -322,8 +322,11 @@ class PrestoOperatorsSpec extends AnyFunSuite {
       intercept[Exception](one("SELECT array(10, 20, 30)[5]"))
       intercept[Exception](one("SELECT array(10, 20, 30)[0]"))
     }
-    // stock element_at, statically out of bounds: still the runtime error
-    intercept[Exception](one("SELECT element_at(array(10, 20, 30), 9)"))
+    // element_at, statically out of bounds: NULL like the reference
+    // (ArrayElementAtFunction.java:124-126 — round 12; the erroring
+    // subscript above is the reference's ArraySubscriptOperator dual)
+    assert(spark.sql("SELECT element_at(array(10, 20, 30), 9)")
+      .collect()(0).isNullAt(0))
   }
 
   test("DataFrame API is never rewritten") {
