@@ -495,6 +495,29 @@ object PrestoCallConventions {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "element_at" && u.arguments.size == 2 =>
       ElementAt(u.arguments(0), u.arguments(1), None, failOnError = false)
+    // regexp_extract: default group 0 (whole match — Spark defaults 1),
+    // no-match and unmatched-group return NULL (Spark returns '')
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "regexp_extract" &&
+          (u.arguments.size == 2 || u.arguments.size == 3) =>
+      RegexpExtractPresto(u.arguments(0), u.arguments(1),
+        u.arguments.lift(2).getOrElse(Literal(0)))
+    // split_part: index past the fields returns NULL (Spark returns '')
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "split_part" && u.arguments.size == 3 =>
+      SplitPartPresto(u.arguments(0), u.arguments(1), u.arguments(2))
+    // random(n)/rand(n): a random INTEGER in [0, n) of the bound's type
+    // (MathFunctions.java:574-610) — Spark's builtin reads the argument
+    // as a SEED for a double
+    case u: UnresolvedFunction
+        if simple(u) && Seq("rand", "random").contains(name(u)) &&
+          u.arguments.size == 1 =>
+      RandomBound(u.arguments.head)
+    // typeof renders the reference's display names (TypeOfFunction.java:
+    // integer/varchar/row(...)), not Spark's catalog names (int/string)
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "typeof" && u.arguments.size == 1 =>
+      PrestoTypeOf(u.arguments.head)
   }
 
   /** Same traversal contract as [[PrestoOperators.apply]] (explicit CTE

@@ -517,3 +517,185 @@ case class DigestDispatch(child: Expression, algo: String)
   override protected def withNewChildInternal(c: Expression): DigestDispatch =
     copy(child = c)
 }
+
+/** `regexp_extract(source, pattern[, group])` with the reference's
+  * contract (JoniRegexpFunctions.java:245-276): the default group is 0
+  * (the WHOLE match — Spark's builtin defaults to group 1), no match
+  * returns NULL (Spark returns ''), and a group that did not
+  * participate in the match returns NULL; a group index past
+  * groupCount errors. Patterns are the Java∩RE2 common subset the
+  * regex sweep pins (the reference runs Joni). Long-tail scalar —
+  * CodegenFallback; the compiled pattern is memoized per instance
+  * (patterns are literals in every realistic call).
+  */
+case class RegexpExtractPresto(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def prettyName: String = "regexp_extract"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private var lastPattern: String = _
+  @transient private var compiled: java.util.regex.Pattern = _
+
+  override def nullSafeEval(src: Any, pat: Any, grp: Any): Any = {
+    val p = pat.asInstanceOf[UTF8String].toString
+    if (compiled == null || lastPattern != p) {
+      compiled = java.util.regex.Pattern.compile(p)
+      lastPattern = p
+    }
+    val g = grp.asInstanceOf[Number].intValue
+    val m = compiled.matcher(src.asInstanceOf[UTF8String].toString)
+    require(g >= 0 && g <= m.groupCount(),
+      s"Pattern has ${m.groupCount()} groups. Cannot access group $g")
+    if (!m.find()) null
+    else {
+      val v = m.group(g)
+      if (v == null) null else UTF8String.fromString(v)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RegexpExtractPresto =
+    copy(first = f, second = s, third = t)
+}
+
+/** `split_part(string, delimiter, index)` with the reference's contract
+  * (StringFunctions.java:449-492): the delimiter is a LITERAL string
+  * (not a regex), index must be positive (errors otherwise), an index
+  * past the number of fields returns NULL (Spark's builtin returns ''),
+  * and an EMPTY delimiter splits per codepoint. Long-tail scalar —
+  * CodegenFallback.
+  */
+case class SplitPartPresto(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def prettyName: String = "split_part"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(str: Any, del: Any, idx: Any): Any = {
+    val s = str.asInstanceOf[UTF8String].toString
+    val d = del.asInstanceOf[UTF8String].toString
+    val i = idx.asInstanceOf[Number].longValue
+    require(i > 0, "Index must be greater than zero")
+    if (d.isEmpty) {
+      // per-codepoint fields; index past the end -> NULL
+      val n = s.codePointCount(0, s.length)
+      if (i > n) null
+      else {
+        val start = s.offsetByCodePoints(0, (i - 1).toInt)
+        val cp = s.codePointAt(start)
+        UTF8String.fromString(new String(Character.toChars(cp)))
+      }
+    } else {
+      var fieldStart = 0
+      var remaining = i
+      while (true) {
+        val hit = s.indexOf(d, fieldStart)
+        remaining -= 1
+        if (remaining == 0) {
+          val end = if (hit < 0) s.length else hit
+          return UTF8String.fromString(s.substring(fieldStart, end))
+        }
+        if (hit < 0) return null // index past the last field
+        fieldStart = hit + d.length
+      }
+      null // unreachable
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SplitPartPresto =
+    copy(first = f, second = s, third = t)
+}
+
+/** `random(n)` / `rand(n)` — a pseudo-random INTEGER in [0, n) of the
+  * bound's own type in the reference (MathFunctions.java:574-610,
+  * `ThreadLocalRandom.nextLong(bound)`; bound must be positive), where
+  * Spark's same-named builtin treats the argument as a SEED for a
+  * DOUBLE in [0, 1) — silent type-and-semantics divergence. Parser-seam
+  * only (PrestoCallConventions): functions.rand(seed) keeps Spark
+  * semantics for DataFrame code.
+  */
+case class RandomBound(child: Expression)
+    extends UnaryExpression with Nondeterministic with CodegenFallback {
+
+  override def prettyName: String = "random"
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+
+  override protected def initializeInternal(partitionIndex: Int): Unit = ()
+
+  override protected def evalInternal(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val b = child.eval(input)
+    if (b == null) null
+    else {
+      val n = b.asInstanceOf[Number].longValue
+      require(n > 0, "bound must be positive")
+      val v = java.util.concurrent.ThreadLocalRandom.current().nextLong(n)
+      child.dataType match {
+        case LongType => v
+        case IntegerType => v.toInt
+        case ShortType => v.toShort
+        case ByteType => v.toByte
+        case other => throw new IllegalArgumentException(
+          s"random(n): integral bound required, got ${other.catalogString}")
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomBound =
+    copy(child = newChild)
+}
+
+/** `typeof(x)` rendering the reference's type display names
+  * (TypeOfFunction.java:39 `type.getDisplayName()`): integer/bigint/
+  * varchar/varbinary/row(...)/etc., where Spark's builtin prints its own
+  * catalog names (int/string/binary/struct<...>). Pure type dispatch —
+  * folds to a literal once the child resolves. VARCHAR renders without a
+  * length (Spark's string type carries none); the zoned struct twins
+  * render as their zone-carrying SQL types.
+  */
+case class PrestoTypeOf(child: Expression)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def prettyName: String = "typeof"
+
+  private def render(dt: DataType): String = dt match {
+    case _ if ZonedTimestamps.isZonedTime(dt) => "time with time zone"
+    case _ if ZonedTimestamps.isZoned(dt) => "timestamp with time zone"
+    case ByteType => "tinyint"
+    case ShortType => "smallint"
+    case IntegerType => "integer"
+    case LongType => "bigint"
+    case FloatType => "real"
+    case DoubleType => "double"
+    case BooleanType => "boolean"
+    case _: StringType => "varchar"
+    case BinaryType => "varbinary"
+    case DateType => "date"
+    case TimestampType | TimestampNTZType => "timestamp"
+    case _: org.apache.spark.sql.types.TimeType => "time"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case _: DayTimeIntervalType => "interval day to second"
+    case _: YearMonthIntervalType => "interval year to month"
+    case ArrayType(e, _) => s"array(${render(e)})"
+    case MapType(k, v, _) => s"map(${render(k)}, ${render(v)})"
+    case st: StructType =>
+      st.fields.map(f => s"${f.name} ${render(f.dataType)}")
+        .mkString("row(", ", ", ")")
+    case NullType => "unknown"
+    case other => other.catalogString
+  }
+
+  override lazy val replacement: Expression =
+    Literal(UTF8String.fromString(render(child.dataType)), StringType)
+
+  override protected def withNewChildInternal(newChild: Expression): PrestoTypeOf =
+    copy(child = newChild)
+}

@@ -148,6 +148,7 @@ object FuzzParityOps extends QueryGroup {
         |  lpad(s, 12, '*') AS lp, rpad(s, 12, '#') AS rp,
         |  trim(concat('  ', s, ' ')) AS trm,
         |  split_part(s, '_', 2) AS sp2,
+        |  CAST(NULL AS VARCHAR) AS sp_oob,
         |  starts_with(s, 'W1') AS sw,
         |  CAST(levenshtein(s, reverse(s)) AS BIGINT) AS lev,
         |  CAST(hamming(substr(s, 1, 3), reverse(substr(s, 1, 3))) AS BIGINT) AS ham,
@@ -168,6 +169,7 @@ object FuzzParityOps extends QueryGroup {
         |  lpad(s, 12, '*') AS lp, rpad(s, 12, '#') AS rp,
         |  trim(concat('  ', s, ' ')) AS trm,
         |  split_part(s, '_', 2) AS sp2,
+        |  split_part(s, '_', 9) AS sp_oob,
         |  startswith(s, 'W1') AS sw,
         |  CAST(levenshtein_distance(s, reverse(s)) AS BIGINT) AS lev,
         |  CAST(hamming_distance(substr(s, 1, 3), reverse(substr(s, 1, 3))) AS BIGINT) AS ham,
@@ -302,6 +304,8 @@ object FuzzParityOps extends QueryGroup {
         |SELECT i, s,
         |  regexp_extract(s, 'W([0-9]+)', 1) AS grp1,
         |  regexp_extract(s, '_([a-z])([0-9]+)', 2) AS grp2,
+        |  regexp_extract(s, 'W[0-9]+') AS grp0,
+        |  CAST(NULL AS VARCHAR) AS nomatch,
         |  regexp_replace(s, '[0-9]+', '#', 'g') AS repl_all,
         |  regexp_matches(s, '^W[0-9]+_[a-z]') AS is_match,
         |  regexp_matches(s, '[13579]$') AS odd_tail,
@@ -318,6 +322,8 @@ object FuzzParityOps extends QueryGroup {
         |SELECT i, s,
         |  regexp_extract(s, 'W([0-9]+)', 1) AS grp1,
         |  regexp_extract(s, '_([a-z])([0-9]+)', 2) AS grp2,
+        |  regexp_extract(s, 'W[0-9]+') AS grp0,
+        |  regexp_extract(s, 'Q([0-9]{9})', 1) AS nomatch,
         |  regexp_replace(s, '[0-9]+', '#') AS repl_all,
         |  s RLIKE '^W[0-9]+_[a-z]' AS is_match,
         |  s RLIKE '[13579]$' AS odd_tail,

@@ -1047,6 +1047,75 @@ class FnSpec extends AnyFunSuite {
     } finally spark.sql("SET spark.graft.prestoOperators=false")
   }
 
+  test("regexp_extract/split_part/random follow the reference contracts (round 12)") {
+    ready()
+    // regexp_extract (JoniRegexpFunctions.java:245-276): default group 0
+    // = whole match (Spark defaults 1); no match and unmatched group are
+    // NULL (Spark returns '')
+    val re = spark.sql(
+      """SELECT regexp_extract('W12_ab', 'W[0-9]+'),
+        |  regexp_extract('W12_ab', 'W([0-9]+)', 1),
+        |  regexp_extract('abc', 'zz(q)', 1),
+        |  regexp_extract('xy', '(a)|(x)', 1)""".stripMargin).collect()(0)
+    assert(re.getString(0) == "W12", "default group is 0 — the whole match")
+    assert(re.getString(1) == "12")
+    assert(re.isNullAt(2), "no match -> NULL, not ''")
+    assert(re.isNullAt(3), "group that did not participate -> NULL")
+    intercept[Exception] {
+      spark.sql("SELECT regexp_extract('abc', 'a(b)', 5)").collect()
+    }
+    // split_part (StringFunctions.java:449-492): literal delimiter,
+    // index past the fields -> NULL, empty delimiter -> per codepoint,
+    // index 0 errors
+    val sp = spark.sql(
+      """SELECT split_part('a_b_c', '_', 2), split_part('a_b', '_', 9),
+        |  split_part('hi', '', 2), split_part('a.b', '.', 2)""".stripMargin)
+      .collect()(0)
+    assert(sp.getString(0) == "b")
+    assert(sp.isNullAt(1), "index past the fields -> NULL, not ''")
+    assert(sp.getString(2) == "i")
+    assert(sp.getString(3) == "b", "delimiter is literal, not a regex")
+    intercept[Exception] {
+      spark.sql("SELECT split_part('a_b', '_', 0)").collect()
+    }
+    // random(n)/rand(n): a random INTEGER in [0, n) of the bound's type
+    // (MathFunctions.java:574-610) — Spark reads the argument as a seed
+    val rnd = spark.sql(
+      "SELECT random(10), rand(CAST(7 AS BIGINT)) FROM range(50)")
+    assert(rnd.schema.fields(0).dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(rnd.schema.fields(1).dataType ==
+      org.apache.spark.sql.types.LongType)
+    val vals = rnd.collect()
+    assert(vals.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 10))
+    assert(vals.forall(r => r.getLong(1) >= 0L && r.getLong(1) < 7L))
+    assert(vals.map(_.getInt(0)).distinct.length > 1, "actually random")
+    intercept[Exception] {
+      spark.sql("SELECT random(0)").collect()
+    }
+    // the Scala functions API keeps Spark semantics on all of these
+    import org.apache.spark.sql.functions.{lit, regexp_extract => sre}
+    val api = spark.range(1).select(
+      sre(lit("abc"), "zz(q)", 1).as("r"),
+      org.apache.spark.sql.functions.rand(10).as("d"),
+      org.apache.spark.sql.functions.split_part(lit("a_b"), lit("_"), lit(9)).as("s"))
+      .collect()(0)
+    assert(api.getString(0) == "", "functions.regexp_extract keeps '' on no-match")
+    assert(api.getDouble(1) >= 0.0 && api.getDouble(1) < 1.0,
+      "functions.rand(10) stays a seeded double")
+    assert(api.getString(2) == "", "functions.split_part keeps '' out of range")
+    // typeof renders the reference's display names (TypeOfFunction.java)
+    val to = spark.sql(
+      """SELECT typeof(1), typeof('ab'), typeof(to_utf8('x')),
+        |  typeof(ARRAY(CAST(1 AS BIGINT))), typeof(named_struct('a', 1.5))""".stripMargin)
+      .collect()(0)
+    assert(to.getString(0) == "integer")
+    assert(to.getString(1) == "varchar")
+    assert(to.getString(2) == "varbinary")
+    assert(to.getString(3) == "array(bigint)")
+    assert(to.getString(4) == "row(a decimal(2,1))")
+  }
+
   test("Presto type spellings translate to Spark DDL") {
     import graft.functions.GraftSqlParser.translateType
     assert(translateType("ARRAY(VARCHAR)") == "ARRAY<STRING>")
