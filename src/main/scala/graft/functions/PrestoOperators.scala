@@ -502,6 +502,18 @@ object PrestoCallConventions {
           (u.arguments.size == 2 || u.arguments.size == 3) =>
       RegexpExtractPresto(u.arguments(0), u.arguments(1),
         u.arguments.lift(2).getOrElse(Literal(0)))
+    // regexp_extract_all: default group 0 like regexp_extract; a group
+    // not participating in a match contributes a NULL element
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "regexp_extract_all" &&
+          (u.arguments.size == 2 || u.arguments.size == 3) =>
+      RegexpExtractAllPresto(u.arguments(0), u.arguments(1),
+        u.arguments.lift(2).getOrElse(Literal(0)))
+    // regexp_replace 2-arg removes matches (JoniRegexpFunctions.java:73
+    // — replacement ''); Spark's builtin has no 2-arg form at all
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "regexp_replace" && u.arguments.size == 2 =>
+      RegExpReplace(u.arguments(0), u.arguments(1), Literal(""))
     // split_part: index past the fields returns NULL (Spark returns '')
     case u: UnresolvedFunction
         if simple(u) && name(u) == "split_part" && u.arguments.size == 3 =>
@@ -518,6 +530,18 @@ object PrestoCallConventions {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "typeof" && u.arguments.size == 1 =>
       PrestoTypeOf(u.arguments.head)
+    // skewness/kurtosis: the reference's kurtosis is SAMPLE-corrected
+    // excess (G2, NULL below 4 rows) where Spark's is population excess
+    // — they disagree on every input; skewness shares the population
+    // formula but NULLs below 3 rows (CentralMomentsAggregation.java)
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "skewness" && u.arguments.size == 1 =>
+      org.apache.spark.sql.graft.PrestoSkewness(u.arguments.head)
+        .toAggregateExpression()
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "kurtosis" && u.arguments.size == 1 =>
+      org.apache.spark.sql.graft.PrestoKurtosis(u.arguments.head)
+        .toAggregateExpression()
   }
 
   /** Same traversal contract as [[PrestoOperators.apply]] (explicit CTE

@@ -699,3 +699,47 @@ case class PrestoTypeOf(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): PrestoTypeOf =
     copy(child = newChild)
 }
+
+/** `regexp_extract_all(source, pattern[, group])` with the reference's
+  * contract (JoniRegexpFunctions.java:196-240): default group 0 (Spark
+  * defaults 1), and a group that did not participate in a match
+  * contributes a NULL element (Spark appends ''). Zero-length matches
+  * advance by one codepoint like the reference's getEnd == getBegin
+  * branch. Long-tail scalar — CodegenFallback.
+  */
+case class RegexpExtractAllPresto(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def prettyName: String = "regexp_extract_all"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  @transient private var lastPattern: String = _
+  @transient private var compiled: java.util.regex.Pattern = _
+
+  override def nullSafeEval(src: Any, pat: Any, grp: Any): Any = {
+    val p = pat.asInstanceOf[UTF8String].toString
+    if (compiled == null || lastPattern != p) {
+      compiled = java.util.regex.Pattern.compile(p)
+      lastPattern = p
+    }
+    val g = grp.asInstanceOf[Number].intValue
+    val s = src.asInstanceOf[UTF8String].toString
+    val m = compiled.matcher(s)
+    require(g >= 0 && g <= m.groupCount(),
+      s"Pattern has ${m.groupCount()} groups. Cannot access group $g")
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var next = 0
+    while (next <= s.length && m.find(next)) {
+      val v = m.group(g)
+      out += (if (v == null) null else UTF8String.fromString(v))
+      next = if (m.end == m.start) m.end + 1 else m.end
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RegexpExtractAllPresto =
+    copy(first = f, second = s, third = t)
+}

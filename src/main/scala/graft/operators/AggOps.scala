@@ -44,22 +44,27 @@ object AggOps extends QueryGroup {
         round(covar_pop(col("l_extendedprice"), col("l_quantity")), 4).as("covp_pq"))
     },
 
-    // skewness/kurtosis: Spark computes population central moments
-    // (g1 = m3/m2^1.5, excess g2 = m4/m2^2 - 3); the oracle spells the
-    // same formula out so the semantics are pinned, not assumed
-    // (reference: CentralMomentsAggregation.java, SURVEY.md §2.4).
+    // skewness/kurtosis with the REFERENCE's definitions (round 12;
+    // CentralMomentsAggregation.java:55-86): skewness is the population
+    // g1 = sqrt(n)·m3/m2^1.5 (oracle spells it longhand — DuckDB's own
+    // skewness() is sample-corrected, a different statistic), kurtosis
+    // is the SAMPLE-corrected excess G2 — which IS DuckDB's kurtosis(),
+    // so that column compares engine-vs-engine directly. Spark's
+    // builtins (population g1/g2) are what the Scala functions API
+    // still exposes; the SQL names route through PrestoSkewness/
+    // PrestoKurtosis at the parser seam.
     q("agg_central_moments",
       """WITH s AS (SELECT avg(l_quantity) AS mu, count(*) AS n FROM lineitem),
-        |m AS (SELECT sum(pow(l_quantity - mu, 2)) / max(n) AS m2,
-        |             sum(pow(l_quantity - mu, 3)) / max(n) AS m3,
-        |             sum(pow(l_quantity - mu, 4)) / max(n) AS m4
+        |m AS (SELECT sum(pow(l_quantity - mu, 2)) AS m2,
+        |             sum(pow(l_quantity - mu, 3)) AS m3,
+        |             max(n) AS n
         |      FROM lineitem, s)
-        |SELECT round(m3 / pow(m2, 1.5), 6) AS skew_qty,
-        |       round(m4 / pow(m2, 2) - 3, 6) AS kurt_qty
+        |SELECT round(sqrt(n) * m3 / pow(m2, 1.5), 6) AS skew_qty,
+        |       (SELECT round(kurtosis(l_quantity), 6) FROM lineitem) AS kurt_qty
         |FROM m""".stripMargin) { (s, _) =>
-      s.table("lineitem").agg(
-        round(skewness(col("l_quantity")), 6).as("skew_qty"),
-        round(kurtosis(col("l_quantity")), 6).as("kurt_qty"))
+      s.sql("""SELECT round(skewness(l_quantity), 6) AS skew_qty,
+              |  round(kurtosis(l_quantity), 6) AS kurt_qty
+              |FROM lineitem""".stripMargin)
     },
 
     // multiple DISTINCT aggregates in one pass (reference

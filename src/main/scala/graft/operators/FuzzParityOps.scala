@@ -307,6 +307,8 @@ object FuzzParityOps extends QueryGroup {
         |  regexp_extract(s, 'W[0-9]+') AS grp0,
         |  CAST(NULL AS VARCHAR) AS nomatch,
         |  regexp_replace(s, '[0-9]+', '#', 'g') AS repl_all,
+        |  regexp_replace(s, '[0-9]+', '', 'g') AS repl_rm,
+        |  array_to_string(regexp_extract_all(s, '[A-Za-z]+'), '|') AS all0,
         |  regexp_matches(s, '^W[0-9]+_[a-z]') AS is_match,
         |  regexp_matches(s, '[13579]$') AS odd_tail,
         |  array_to_string(regexp_extract_all(s, '[0-9]+'), '|') AS all_nums,
@@ -325,6 +327,8 @@ object FuzzParityOps extends QueryGroup {
         |  regexp_extract(s, 'W[0-9]+') AS grp0,
         |  regexp_extract(s, 'Q([0-9]{9})', 1) AS nomatch,
         |  regexp_replace(s, '[0-9]+', '#') AS repl_all,
+        |  regexp_replace(s, '[0-9]+') AS repl_rm,
+        |  array_join(regexp_extract_all(s, '[A-Za-z]+'), '|') AS all0,
         |  s RLIKE '^W[0-9]+_[a-z]' AS is_match,
         |  s RLIKE '[13579]$' AS odd_tail,
         |  array_join(regexp_extract_all(s, '[0-9]+', 0), '|') AS all_nums,

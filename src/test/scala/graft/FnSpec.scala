@@ -1064,6 +1064,16 @@ class FnSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT regexp_extract('abc', 'a(b)', 5)").collect()
     }
+    // regexp_extract_all shares the contract: default group 0, and a
+    // group not participating in a match contributes a NULL element
+    // (Spark appends ''); regexp_replace 2-arg removes matches
+    val rea = spark.sql(
+      """SELECT array_join(regexp_extract_all('W12_a W9_b', 'W[0-9]+'), '|'),
+        |  regexp_extract_all('xa', '(x)|(q)', 2)[0] IS NULL,
+        |  regexp_replace('a1b22c', '[0-9]+')""".stripMargin).collect()(0)
+    assert(rea.getString(0) == "W12|W9", "default group 0 over all matches")
+    assert(rea.getBoolean(1), "non-participating group -> NULL element")
+    assert(rea.getString(2) == "abc", "2-arg regexp_replace removes matches")
     // split_part (StringFunctions.java:449-492): literal delimiter,
     // index past the fields -> NULL, empty delimiter -> per codepoint,
     // index 0 errors
@@ -1104,6 +1114,27 @@ class FnSpec extends AnyFunSuite {
     assert(api.getDouble(1) >= 0.0 && api.getDouble(1) < 1.0,
       "functions.rand(10) stays a seeded double")
     assert(api.getString(2) == "", "functions.split_part keeps '' out of range")
+    // skewness/kurtosis (CentralMomentsAggregation.java:55-86):
+    // kurtosis is SAMPLE-corrected excess G2 (Spark's builtin is
+    // population excess — different on every input); NULL below 4 rows
+    // (skewness below 3). The Scala API keeps Spark's definitions.
+    val mo = spark.sql(
+      """SELECT skewness(x) AS s, kurtosis(x) AS k,
+        |  (SELECT kurtosis(y) FROM (SELECT CAST(id AS DOUBLE) y FROM range(3))) AS k3,
+        |  (SELECT skewness(y) FROM (SELECT CAST(id AS DOUBLE) y FROM range(2))) AS s2
+        |FROM (SELECT CAST(id * id % 17 AS DOUBLE) AS x FROM range(20))""".stripMargin)
+      .collect()(0)
+    assert(math.abs(mo.getDouble(0) - 0.31183600641636594) < 1e-12,
+      "population skewness like the reference")
+    assert(math.abs(mo.getDouble(1) - (-1.479528828015647)) < 1e-12,
+      "sample-corrected G2 kurtosis like the reference")
+    assert(mo.isNullAt(2) && mo.isNullAt(3), "n<4 / n<3 -> NULL")
+    import org.apache.spark.sql.functions.{kurtosis => skurt}
+    val sparkKurt = spark.sql(
+      "SELECT CAST(id * id % 17 AS DOUBLE) AS x FROM range(20)")
+      .agg(skurt(org.apache.spark.sql.functions.col("x"))).collect()(0).getDouble(0)
+    assert(math.abs(sparkKurt - (-1.479528828015647)) > 1e-3,
+      "functions.kurtosis stays Spark's population excess (they differ here)")
     // typeof renders the reference's display names (TypeOfFunction.java)
     val to = spark.sql(
       """SELECT typeof(1), typeof('ab'), typeof(to_utf8('x')),
