@@ -1099,7 +1099,10 @@ object GraftFunctions {
     "contains" -> { case Seq(a, e) => ContainsDispatch(a, e) },
 
     // ── JSON family (JsonFunctions.java:64, JsonExtract.java:116) ──
-    "json_extract" -> { case Seq(j, p) => GetJsonObject(j, p) },
+    // json_extract returns the subtree AS JSON TEXT — string scalars
+    // keep their quotes (JsonFunctions.java:460-467 ObjectExtractor);
+    // Spark's GetJsonObject unquotes them (round-12 fix)
+    "json_extract" -> { case Seq(j, p) => JsonExtractPresto(j, p) },
     // json_extract_scalar decides scalar-vs-container on the PARSED node
     // (GraftFnUtils.jsonExtractScalar) — a regex on GetJsonObject's
     // rendered output would wrongly null string scalars that merely

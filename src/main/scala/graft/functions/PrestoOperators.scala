@@ -514,6 +514,13 @@ object PrestoCallConventions {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "regexp_replace" && u.arguments.size == 2 =>
       RegExpReplace(u.arguments(0), u.arguments(1), Literal(""))
+    // get_json_object is the reference's json_extract — the subtree as
+    // JSON TEXT, string scalars quoted (JsonFunctions.java:443-450);
+    // Spark's same-named builtin unquotes scalars. Parser seam: Spark's
+    // functions.get_json_object keeps Spark semantics
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "get_json_object" && u.arguments.size == 2 =>
+      JsonExtractPresto(u.arguments(0), u.arguments(1))
     // split_part: index past the fields returns NULL (Spark returns '')
     case u: UnresolvedFunction
         if simple(u) && name(u) == "split_part" && u.arguments.size == 3 =>

@@ -743,3 +743,85 @@ case class RegexpExtractAllPresto(first: Expression, second: Expression,
       f: Expression, s: Expression, t: Expression): RegexpExtractAllPresto =
     copy(first = f, second = s, third = t)
 }
+
+/** `json_extract(json, path)` / `get_json_object(json, path)` with the
+  * reference's contract (JsonFunctions.java:443-467, JsonExtract
+  * ObjectExtractor): returns the selected SUBTREE AS JSON TEXT — a
+  * string scalar keeps its quotes (`"x"`), objects/arrays re-emit
+  * compact — where Spark's GetJsonObject unquotes string scalars.
+  * Missing path or malformed input → NULL; an explicit JSON null
+  * renders as the text `null` (the ObjectExtractor writes the token).
+  * Path subset the reference's JsonPath grammar accepts: `$`,
+  * `.field`, `['field']`/`["field"]`, `[index]`. Long-tail scalar —
+  * CodegenFallback; path parse memoized.
+  */
+case class JsonExtractPresto(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "json_extract"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  @transient private var lastPath: String = _
+  @transient private var steps: Array[Either[String, Int]] = _
+
+  private def parsePath(p: String): Array[Either[String, Int]] = {
+    // NB scala.Left/Right, not catalyst's string expressions of the
+    // same names (wildcard-imported above)
+    require(p.startsWith("$"), s"Invalid JSON path: '$p'")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Either[String, Int]]
+    var i = 1
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '.' =>
+          val start = i + 1
+          var j = start
+          while (j < p.length && p.charAt(j) != '.' && p.charAt(j) != '[') j += 1
+          require(j > start, s"Invalid JSON path: '$p'")
+          out += scala.Left(p.substring(start, j))
+          i = j
+        case '[' =>
+          val end = p.indexOf(']', i)
+          require(end > i + 1, s"Invalid JSON path: '$p'")
+          val inner = p.substring(i + 1, end).trim
+          if ((inner.startsWith("'") && inner.endsWith("'")) ||
+              (inner.startsWith("\"") && inner.endsWith("\"")))
+            out += scala.Left(inner.substring(1, inner.length - 1))
+          else out += scala.Right(inner.toInt)
+          i = end + 1
+        case other => throw new IllegalArgumentException(s"Invalid JSON path: '$p'")
+      }
+    }
+    out.toArray
+  }
+
+  override def nullSafeEval(json: Any, path: Any): Any = {
+    val p = path.asInstanceOf[UTF8String].toString
+    if (steps == null || lastPath != p) {
+      steps = parsePath(p)
+      lastPath = p
+    }
+    val root =
+      try mapper.readTree(json.asInstanceOf[UTF8String].toString)
+      catch { case _: Exception => return null }
+    var node: com.fasterxml.jackson.databind.JsonNode = root
+    var i = 0
+    while (i < steps.length) {
+      if (node == null) return null
+      node = steps(i) match {
+        case scala.Left(f) => if (node.isObject) node.get(f) else null
+        case scala.Right(ix) => if (node.isArray) node.get(ix) else null
+      }
+      i += 1
+    }
+    if (node == null) null
+    else UTF8String.fromString(mapper.writeValueAsString(node))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JsonExtractPresto =
+    copy(left = l, right = r)
+}

@@ -1097,6 +1097,8 @@ object FuzzParityOps extends QueryGroup {
         |  json_extract_string(j, '$.meta.lang') AS lang,
         |  CAST(json_extract_string(j, '$.meta.score') AS BIGINT) AS score,
         |  json_extract_string(j, '$.missing') AS absent,
+        |  concat('"', chr(CAST(97 + i % 26 AS INTEGER)), '"') AS lang_json,
+        |  CAST(NULL AS VARCHAR) AS je_miss,
         |  (h2 % 50 = n OR h2 % 50 = m OR h2 % 50 = i % 7) AS has_v
         |FROM t ORDER BY i""".stripMargin) { (s, _) =>
       s.sql(sparkOperands + """, t AS (
@@ -1115,6 +1117,8 @@ object FuzzParityOps extends QueryGroup {
         |  json_extract_scalar(j, '$.meta.lang') AS lang,
         |  CAST(json_extract_scalar(j, '$.meta.score') AS BIGINT) AS score,
         |  json_extract_scalar(j, '$.missing') AS absent,
+        |  json_extract(j, '$.meta.lang') AS lang_json,
+        |  json_extract(j, '$.missing') AS je_miss,
         |  json_array_contains(get_json_object(j, '$.tags'), CAST(h2 % 50 AS BIGINT)) AS has_v
         |FROM t ORDER BY i""".stripMargin)
     },

@@ -1074,6 +1074,25 @@ class FnSpec extends AnyFunSuite {
     assert(rea.getString(0) == "W12|W9", "default group 0 over all matches")
     assert(rea.getBoolean(1), "non-participating group -> NULL element")
     assert(rea.getString(2) == "abc", "2-arg regexp_replace removes matches")
+    // json_extract / get_json_object return the subtree AS JSON TEXT —
+    // string scalars keep their quotes (JsonFunctions.java:443-467);
+    // Spark's get_json_object unquotes them. json_extract_scalar is the
+    // unquoting spelling.
+    val je = spark.sql(
+      """SELECT json_extract('{"a": "x"}', '$.a'),
+        |  get_json_object('{"a": "x"}', '$.a'),
+        |  json_extract('{"a": {"b": [1, 2]}}', '$.a["b"]'),
+        |  json_extract('{"a": 1}', '$.missing'),
+        |  json_extract_scalar('{"a": "x"}', '$.a')""".stripMargin).collect()(0)
+    assert(je.getString(0) == "\"x\"", "string scalar keeps quotes")
+    assert(je.getString(1) == "\"x\"", "get_json_object = json_extract")
+    assert(je.getString(2) == "[1,2]", "bracket field access, compact re-emit")
+    assert(je.isNullAt(3), "missing path -> NULL")
+    assert(je.getString(4) == "x", "json_extract_scalar unquotes")
+    // functions.get_json_object keeps Spark's unquoting semantics
+    assert(spark.range(1).select(org.apache.spark.sql.functions
+      .get_json_object(org.apache.spark.sql.functions.lit("{\"a\": \"x\"}"), "$.a"))
+      .collect()(0).getString(0) == "x")
     // split_part (StringFunctions.java:449-492): literal delimiter,
     // index past the fields -> NULL, empty delimiter -> per codepoint,
     // index 0 errors
