@@ -1712,6 +1712,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => org.apache.spark.sql.graft.ResolveReduceAgg)
     ext.injectResolutionRule(_ => graft.plans.ResolveDateSubToDays)
     ext.injectResolutionRule(_ => graft.plans.ResolveIntervalFields)
+    ext.injectResolutionRule(_ => graft.plans.ResolveArrayConcatElement)
     ext.injectResolutionRule(_ => graft.plans.ResolveTimeArithmetic)
     ext.injectResolutionRule(_ => graft.plans.ResolveZonedTimeCompare)
     ext.injectResolutionRule(_ => graft.plans.EmptyGroupingSetsRule)

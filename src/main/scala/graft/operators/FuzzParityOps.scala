@@ -262,6 +262,8 @@ object FuzzParityOps extends QueryGroup {
         |  CAST(coalesce(nullif(CAST(n % 5 AS BIGINT), 0), -1) AS BIGINT) AS nz5,
         |  list_extract(arr, CAST(i % 4 + 6 AS INTEGER)) AS ea_oob,
         |  list_extract(arr, CAST(-(i % 5 + 1) AS INTEGER)) AS ea_neg,
+        |  array_to_string(list_append(arr, CAST(n AS BIGINT)), ',') AS app,
+        |  array_to_string(list_prepend(CAST(m AS BIGINT), arr), ',') AS pre,
         |  CASE WHEN n > 0 THEN 'pos' WHEN n < 0 THEN 'neg' ELSE 'zero' END AS sgn,
         |  if(m > 11, m, -m) AS half_flip
         |FROM t ORDER BY i""".stripMargin) { (s, _) =>
@@ -284,6 +286,8 @@ object FuzzParityOps extends QueryGroup {
         |  CAST(coalesce(nullif(CAST(n % 5 AS BIGINT), 0), -1) AS BIGINT) AS nz5,
         |  element_at(arr, CAST(i % 4 + 6 AS INT)) AS ea_oob,
         |  element_at(arr, CAST(-(i % 5 + 1) AS INT)) AS ea_neg,
+        |  array_join(arr || CAST(n AS BIGINT), ',') AS app,
+        |  array_join(CAST(m AS BIGINT) || arr, ',') AS pre,
         |  CASE WHEN n > 0 THEN 'pos' WHEN n < 0 THEN 'neg' ELSE 'zero' END AS sgn,
         |  if(m > 11, m, -m) AS half_flip
         |FROM t ORDER BY i""".stripMargin)

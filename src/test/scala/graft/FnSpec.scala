@@ -1093,6 +1093,18 @@ class FnSpec extends AnyFunSuite {
     assert(spark.range(1).select(org.apache.spark.sql.functions
       .get_json_object(org.apache.spark.sql.functions.lit("{\"a\": \"x\"}"), "$.a"))
       .collect()(0).getString(0) == "x")
+    // array || element appends, element || array prepends
+    // (ArrayConcatUtils.java — ResolveArrayConcatElement); string and
+    // array-array || stay stock Spark
+    val ac = spark.sql(
+      """SELECT array_join(ARRAY(1, 2) || 3, ','),
+        |  array_join(0 || ARRAY(1, 2), ','),
+        |  array_join(ARRAY(1) || ARRAY(2), ','),
+        |  'a' || 'b' || 1""".stripMargin).collect()(0)
+    assert(ac.getString(0) == "1,2,3")
+    assert(ac.getString(1) == "0,1,2")
+    assert(ac.getString(2) == "1,2")
+    assert(ac.getString(3) == "ab1")
     // split_part (StringFunctions.java:449-492): literal delimiter,
     // index past the fields -> NULL, empty delimiter -> per codepoint,
     // index 0 errors
