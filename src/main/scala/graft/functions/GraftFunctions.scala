@@ -1688,8 +1688,11 @@ object GraftFunctions {
       (s: String) => ExtraFns.parseDataSize(s))
     spark.udf.register("split_to_multimap",
       (s: String, ed: String, kd: String) => ExtraFns.splitToMultimap(s, ed, kd))
+    // NB padded: the reference uses Base64.getUrlEncoder() WITH '='
+    // padding (VarbinaryFunctions.java:97) — round-12 fix of a
+    // withoutPadding drift, oracle-pinned in fuzz_binary_parity
     spark.udf.register("to_base64url",
-      (b: Array[Byte]) => java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b))
+      (b: Array[Byte]) => java.util.Base64.getUrlEncoder.encodeToString(b))
     spark.udf.register("from_base64url",
       (s: String) => java.util.Base64.getUrlDecoder.decode(s))
   }

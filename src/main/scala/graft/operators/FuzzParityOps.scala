@@ -429,6 +429,7 @@ object FuzzParityOps extends QueryGroup {
         |  upper(hex(lpad(s2, CAST(i % 9 + 1 AS INTEGER), 'xy'))) AS blpad,
         |  upper(hex(rpad(s2, CAST(i % 9 + 1 AS INTEGER), 'xy'))) AS brpad,
         |  upper(hex(s2)) AS fh_rt,
+        |  replace(replace(to_base64(encode(s)), '+', '-'), '/', '_') AS b64u,
         |  CAST(octet_length(encode(concat(s2, chr(CAST(19968 + h2 % 50 AS INTEGER))))) AS BIGINT) AS blen
         |FROM u ORDER BY i""".stripMargin) { (s, _) =>
       s.sql(sparkOperands + """, t AS (
@@ -461,6 +462,7 @@ object FuzzParityOps extends QueryGroup {
         |  to_hex(lpad(to_utf8(s2), i % 9 + 1, to_utf8('xy'))) AS blpad,
         |  to_hex(rpad(to_utf8(s2), i % 9 + 1, to_utf8('xy'))) AS brpad,
         |  to_hex(from_hex(lower(to_hex(to_utf8(s2))))) AS fh_rt,
+        |  to_base64url(to_utf8(s)) AS b64u,
         |  CAST(length(to_utf8(concat(s2, chr(19968 + h2 % 50)))) AS BIGINT) AS blen
         |FROM u ORDER BY i""".stripMargin)
     },
