@@ -467,6 +467,57 @@ object FuzzParityOps extends QueryGroup {
         |FROM u ORDER BY i""".stripMargin)
     },
 
+    // ── Three-valued logic under operand sweep (round 12): AND/OR/NOT
+    // over nullable booleans, NULL-propagating comparisons, IS [NOT]
+    // DISTINCT FROM, IN/NOT IN with NULL members (the scalar dual of
+    // the null-aware anti join), CASE fall-through on a NULL condition,
+    // BETWEEN with NULL bounds, coalesce/nullif chains. The reference's
+    // 3VL is ANSI (presto-spi operators); DuckDB's is too, so the SQL
+    // text is IDENTICAL on both sides — any graft deviation (e.g. a
+    // rewrite rule breaking null-awareness) localizes to a cell. ──
+    q("fuzz_null_logic_parity",
+      duckOperands + """, t AS (
+        |  SELECT i,
+        |    CASE h1 % 3 WHEN 0 THEN NULL WHEN 1 THEN true ELSE false END AS a,
+        |    CASE h2 % 3 WHEN 0 THEN NULL WHEN 1 THEN true ELSE false END AS b,
+        |    nullif(CAST(h1 % 5 AS BIGINT), 0) AS x,
+        |    nullif(CAST(h2 % 5 AS BIGINT), 0) AS y
+        |  FROM o)
+        |SELECT i, a, b, x, y,
+        |  a AND b AS conj, a OR b AS disj, NOT a AS neg,
+        |  x = y AS eq, x < y AS lt,
+        |  x IS DISTINCT FROM y AS idf,
+        |  x IS NOT DISTINCT FROM y AS nidf,
+        |  x IN (y, 7) AS in2, x NOT IN (y, 7) AS nin2,
+        |  x IN (y) AS in1,
+        |  CAST(CASE WHEN a THEN 1 WHEN NOT a THEN 2 ELSE 3 END AS BIGINT) AS cse,
+        |  x BETWEEN y AND 50 AS btw,
+        |  CAST(coalesce(x, y, -1) AS BIGINT) AS coal,
+        |  nullif(x, y) AS nif,
+        |  (x = y) IS NULL AS eq_unknown
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i,
+        |    CASE h1 % 3 WHEN 0 THEN NULL WHEN 1 THEN true ELSE false END AS a,
+        |    CASE h2 % 3 WHEN 0 THEN NULL WHEN 1 THEN true ELSE false END AS b,
+        |    nullif(CAST(h1 % 5 AS BIGINT), 0) AS x,
+        |    nullif(CAST(h2 % 5 AS BIGINT), 0) AS y
+        |  FROM o)
+        |SELECT i, a, b, x, y,
+        |  a AND b AS conj, a OR b AS disj, NOT a AS neg,
+        |  x = y AS eq, x < y AS lt,
+        |  x IS DISTINCT FROM y AS idf,
+        |  x IS NOT DISTINCT FROM y AS nidf,
+        |  x IN (y, 7) AS in2, x NOT IN (y, 7) AS nin2,
+        |  x IN (y) AS in1,
+        |  CAST(CASE WHEN a THEN 1 WHEN NOT a THEN 2 ELSE 3 END AS BIGINT) AS cse,
+        |  x BETWEEN y AND 50 AS btw,
+        |  CAST(coalesce(x, y, -1) AS BIGINT) AS coal,
+        |  nullif(x, y) AS nif,
+        |  (x = y) IS NULL AS eq_unknown
+        |FROM t ORDER BY i""".stripMargin)
+    },
+
     // ── URL family: construct-then-extract ground truth ──
     // URLs are ASSEMBLED from LCG components (scheme/host/port/path/
     // query/fragment, each optionally absent on a deterministic cycle),
