@@ -532,6 +532,15 @@ object PrestoCallConventions {
         if simple(u) && Seq("rand", "random").contains(name(u)) &&
           u.arguments.size == 1 =>
       RandomBound(u.arguments.head)
+    // map_concat: duplicate keys keep the LAST map's value
+    // (MapConcatFunction.java) — Spark's builtin honors the session's
+    // EXCEPTION dedup policy (pinned for the erroring map CONSTRUCTOR)
+    // and would wrongly throw on overlap; key order is the reference's
+    // last-map-first merge order. Parser seam: functions.map_concat
+    // keeps Spark behavior
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "map_concat" && u.arguments.size >= 2 =>
+      MapConcatPresto(u.arguments)
     // typeof renders the reference's display names (TypeOfFunction.java:
     // integer/varchar/row(...)), not Spark's catalog names (int/string)
     case u: UnresolvedFunction

@@ -825,3 +825,70 @@ case class JsonExtractPresto(left: Expression, right: Expression)
       l: Expression, r: Expression): JsonExtractPresto =
     copy(left = l, right = r)
 }
+
+/** `map_concat(m1, m2, ...)` with the reference's contract
+  * (MapConcatFunction.java:127-185): duplicate keys are allowed and the
+  * LAST map's value wins — Spark's builtin honors the session
+  * mapKeyDedupPolicy, which the engine pins to EXCEPTION for Presto's
+  * erroring map CONSTRUCTOR, so stock map_concat wrongly errors on
+  * overlap. Key order follows the reference's merge loop: the last
+  * map's entries first (in their order), then each earlier map's
+  * not-yet-seen entries, iterating maps backward. Keys dedupe by VALUE
+  * through BufferKeyNormalization (binary/struct/array keys included).
+  * NULL input map → NULL. Long-tail scalar — CodegenFallback.
+  */
+case class MapConcatPresto(children: Seq[Expression])
+    extends Expression with CodegenFallback with BufferKeyNormalization {
+
+  override def prettyName: String = "map_concat"
+
+  @transient private lazy val mapType: MapType =
+    children.head.dataType.asInstanceOf[MapType]
+  override protected def keyType: DataType = mapType.keyType
+  override def dataType: DataType = mapType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.isEmpty)
+      TypeCheckResult.TypeCheckFailure("map_concat needs at least one map")
+    else if (!children.forall(_.dataType.isInstanceOf[MapType]))
+      TypeCheckResult.TypeCheckFailure(
+        s"map_concat expects maps, got ${children.map(_.dataType.catalogString).mkString(", ")}")
+    else if (children.map(_.dataType).distinct.size != 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"map_concat arguments must share one map type, got ${children.map(_.dataType.catalogString).mkString(", ")}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val maps = children.map(_.eval(input))
+    if (maps.contains(null)) return null
+    val seen = scala.collection.mutable.HashSet.empty[Any]
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    maps.reverseIterator.foreach { m =>
+      val md = m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val ks = md.keyArray()
+      val vs = md.valueArray()
+      var i = 0
+      while (i < md.numElements()) {
+        val k = ks.get(i, mapType.keyType)
+        if (seen.add(normKey(k))) {
+          keys += org.apache.spark.sql.catalyst.InternalRow.copyValue(k)
+          vals += org.apache.spark.sql.catalyst.InternalRow.copyValue(
+            if (vs.isNullAt(i)) null else vs.get(i, mapType.valueType))
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys.toArray),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals.toArray))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MapConcatPresto =
+    copy(children = newChildren)
+}

@@ -962,8 +962,9 @@ object FuzzParityOps extends QueryGroup {
         |  map_extract(m, 10 + h2 % 10)[1] AS look2,
         |  list_contains(map_keys(m), 20 + (h1 + h2) % 10) AS has3,
         |  list_contains(map_keys(m), 15) AS has_nope,
-        |  array_to_string(map_keys(map_concat(m, m2)), ',') AS cat_keys,
-        |  array_to_string(map_values(map_concat(m, m2)), ',') AS cat_vals,
+        |  array_to_string(map_keys(map_concat(m2, m)), ',') AS cat_keys,
+        |  array_to_string(map_values(map_concat(m2, m)), ',') AS cat_vals,
+        |  'Z' || CAST(h2 % 9 AS VARCHAR) AS cat_lastwin,
         |  array_to_string(list_filter(map_keys(m), k -> k % 2 = 0), ',') AS even_keys,
         |  array_to_string(list_transform(map_values(m), v -> v || '!'), ',') AS bang_vals
         |FROM t ORDER BY i""".stripMargin) { (s, _) =>
@@ -985,6 +986,7 @@ object FuzzParityOps extends QueryGroup {
         |  map_contains_key(m, 15) AS has_nope,
         |  array_join(map_keys(map_concat(m, m2)), ',') AS cat_keys,
         |  array_join(map_values(map_concat(m, m2)), ',') AS cat_vals,
+        |  element_at(map_concat(m, map(h1 % 10, concat('Z', CAST(h2 % 9 AS STRING)))), h1 % 10) AS cat_lastwin,
         |  array_join(map_keys(map_filter(m, (k, v) -> k % 2 = 0)), ',') AS even_keys,
         |  array_join(map_values(transform_values(m, (k, v) -> concat(v, '!'))), ',') AS bang_vals
         |FROM t ORDER BY i""".stripMargin)

@@ -1105,6 +1105,25 @@ class FnSpec extends AnyFunSuite {
     assert(ac.getString(1) == "0,1,2")
     assert(ac.getString(2) == "1,2")
     assert(ac.getString(3) == "ab1")
+    // map_concat: duplicate keys keep the LAST map's value and key
+    // order is the reference's last-map-first merge
+    // (MapConcatFunction.java) — Spark's builtin under the session's
+    // EXCEPTION dedup policy would throw on overlap
+    val mc = spark.sql(
+      """SELECT element_at(map_concat(map(1, 'a'), map(1, 'X')), 1),
+        |  array_join(map_keys(map_concat(map(1, 'a', 2, 'b'), map(3, 'c'))), ',')""".stripMargin)
+      .collect()(0)
+    assert(mc.getString(0) == "X", "last map wins on duplicate keys")
+    assert(mc.getString(1) == "3,1,2", "last-map-first key order")
+    // functions.map_concat keeps Spark behavior (errors under the
+    // session's EXCEPTION policy on overlap)
+    intercept[Exception] {
+      spark.range(1).select(org.apache.spark.sql.functions.map_concat(
+        org.apache.spark.sql.functions.map(org.apache.spark.sql.functions.lit(1),
+          org.apache.spark.sql.functions.lit("a")),
+        org.apache.spark.sql.functions.map(org.apache.spark.sql.functions.lit(1),
+          org.apache.spark.sql.functions.lit("X")))).collect()
+    }
     // split_part (StringFunctions.java:449-492): literal delimiter,
     // index past the fields -> NULL, empty delimiter -> per codepoint,
     // index 0 errors

@@ -141,10 +141,13 @@ class FuzzParitySpec extends AnyFunSuite {
         s("keys_csv").split(',').contains("15"))
       assert(r.getBoolean(r.fieldIndex("has3")))
       assert(s("look2").startsWith("b"))
-      // concat appends the disjoint-banded m2 key/value at the end
-      assert(s("cat_keys").startsWith(s("keys_csv")) &&
-        s("cat_vals").startsWith(s("vals_csv")))
+      // concat order is the reference's last-map-first merge (round 12,
+      // MapConcatFunction.java): m2's single entry LEADS, m follows
+      assert(s("cat_keys").endsWith(s("keys_csv")) &&
+        s("cat_vals").endsWith(s("vals_csv")))
       assert(s("cat_keys").split(',').length == 4)
+      assert(s("cat_lastwin").startsWith("Z"),
+        "overlapping key keeps the LAST map's value")
       // map_filter keeps a SUBSET of keys; transform_values keeps arity
       val keys = s("keys_csv").split(',').toSet
       assert(s("even_keys").split(',').filter(_.nonEmpty).forall(k =>
