@@ -445,6 +445,14 @@ object GraftFnUtils {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   /** HmacFunctions.java: HMAC digests over varbinary with a varbinary key. */
+  // Reference log family (MathFunctions.java): raw Java Math — negative
+  // input gives NaN, zero gives -Infinity, where Spark's Log expressions
+  // return NULL out of domain (round 12; wired in PrestoCallConventions)
+  def prestoLn(x: Double): Double = Math.log(x)
+  def prestoLog10(x: Double): Double = Math.log10(x)
+  def prestoLog2(x: Double): Double = Math.log(x) / Math.log(2)
+  def prestoLogB(x: Double, b: Double): Double = Math.log(x) / Math.log(b)
+
   def hmac(algo: String, data: Array[Byte], key: Array[Byte]): Array[Byte] = {
     val mac = javax.crypto.Mac.getInstance(algo)
     mac.init(new javax.crypto.spec.SecretKeySpec(key, algo))

@@ -479,10 +479,28 @@ object PrestoCallConventions {
   private def name(u: UnresolvedFunction): String =
     u.nameParts.head.toLowerCase
 
+  private def mathInvoke(method: String, args: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      GraftFnUtils.getClass, DoubleType, method,
+      args.map(Cast(_, DoubleType)),
+      inputTypes = args.map(_ => DoubleType), propagateNull = true)
+
   val exprRewrite: PartialFunction[Expression, Expression] = {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "log" && u.arguments.size == 2 =>
-      Logarithm(u.arguments(1), u.arguments(0))
+      mathInvoke("prestoLogB", Seq(u.arguments(0), u.arguments(1)))
+    // ln/log10/log2 out of domain: the reference computes raw Java Math
+    // (NaN for negative, -Infinity at zero — MathFunctions.java) where
+    // Spark's Log expressions return NULL
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "ln" && u.arguments.size == 1 =>
+      mathInvoke("prestoLn", u.arguments)
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "log10" && u.arguments.size == 1 =>
+      mathInvoke("prestoLog10", u.arguments)
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "log2" && u.arguments.size == 1 =>
+      mathInvoke("prestoLog2", u.arguments)
     case u: UnresolvedFunction
         if simple(u) && name(u) == "trim" && u.arguments.size == 2 =>
       StringTrim(u.arguments(0), u.arguments(1))

@@ -89,6 +89,12 @@ object FuzzParityOps extends QueryGroup {
         |  round(log10(y), 4) AS l10,
         |  round(log2(y), 4) AS l2,
         |  round(log(CAST(m + 1 AS DOUBLE), y), 4) AS lgb,
+        |  CASE WHEN x > 0.0 THEN CAST(round(ln(x), 4) AS VARCHAR)
+        |       WHEN x = 0.0 THEN '-Inf' ELSE 'NaN' END AS lnx,
+        |  CASE WHEN x > 0.0 THEN CAST(round(log2(x), 4) AS VARCHAR)
+        |       WHEN x = 0.0 THEN '-Inf' ELSE 'NaN' END AS l2x,
+        |  CASE WHEN x > 0.0 THEN CAST(round(log10(x), 4) AS VARCHAR)
+        |       WHEN x = 0.0 THEN '-Inf' ELSE 'NaN' END AS l10x,
         |  round(power(y, 1.5), 3) AS pw,
         |  round(sin(x / 100.0), 4) AS sn,
         |  round(cos(x / 100.0), 4) AS cs,
@@ -116,6 +122,15 @@ object FuzzParityOps extends QueryGroup {
           |  round(log10(y), 4) AS l10,
           |  round(log2(y), 4) AS l2,
           |  round(log(y, CAST(m + 1 AS DOUBLE)), 4) AS lgb,
+          |  CASE WHEN isnan(ln(x)) THEN 'NaN'
+          |       WHEN ln(x) = double('-Infinity') THEN '-Inf'
+          |       ELSE CAST(round(ln(x), 4) AS STRING) END AS lnx,
+          |  CASE WHEN isnan(log2(x)) THEN 'NaN'
+          |       WHEN log2(x) = double('-Infinity') THEN '-Inf'
+          |       ELSE CAST(round(log2(x), 4) AS STRING) END AS l2x,
+          |  CASE WHEN isnan(log10(x)) THEN 'NaN'
+          |       WHEN log10(x) = double('-Infinity') THEN '-Inf'
+          |       ELSE CAST(round(log10(x), 4) AS STRING) END AS l10x,
           |  round(power(y, 1.5), 3) AS pw,
           |  round(sin(x / 100.0), 4) AS sn,
           |  round(cos(x / 100.0), 4) AS cs,

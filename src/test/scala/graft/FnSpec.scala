@@ -1012,6 +1012,18 @@ class FnSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{lit, log => slog}
     val apiLog = spark.range(1).select(slog(2.0, lit(8.0))).collect()(0).getDouble(0)
     assert(apiLog == 3.0, s"functions.log(2.0, 8.0) must stay log base 2 = $apiLog")
+    // log-family domain edges: raw Java Math like the reference
+    // (MathFunctions.java) — NaN for negative, -Infinity at zero —
+    // where Spark's Log expressions return NULL; the functions API
+    // keeps Spark's NULL
+    val dom = spark.sql(
+      "SELECT ln(-1.0), ln(0.0), log10(-5.0), log2(0.0), log(-8.0, 2.0)")
+      .collect()(0)
+    assert(dom.getDouble(0).isNaN && dom.getDouble(2).isNaN && dom.getDouble(4).isNaN)
+    assert(dom.getDouble(1).isNegInfinity && dom.getDouble(3).isNegInfinity)
+    assert(spark.range(1).select(org.apache.spark.sql.functions
+      .log(org.apache.spark.sql.functions.lit(-1.0))).collect()(0).isNullAt(0),
+      "functions.log keeps Spark's NULL out of domain")
     // trim/ltrim/rtrim(string, chars) — StringFunctions.java:586-614
     // source-first; Spark's 2-arg spelling is trim-set-first
     val tr = spark.sql(
