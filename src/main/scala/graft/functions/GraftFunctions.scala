@@ -445,6 +445,28 @@ object GraftFnUtils {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   /** HmacFunctions.java: HMAC digests over varbinary with a varbinary key. */
+  /** Reference from_hex (VarbinaryFunctions.java:150-165 fromHexVarchar):
+    * odd input length ERRORS and any non-hex character ERRORS, where
+    * Spark's unhex silently zero-pads odd input and NULLs invalid chars
+    * (round 12; TRY(from_hex(..)) relies on the error).
+    */
+  def fromHexStrict(s: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+    val str = s.toString
+    require(str.length % 2 == 0, s"invalid input length ${str.length}")
+    val out = new Array[Byte](str.length / 2)
+    var i = 0
+    while (i < str.length) {
+      val hi = Character.digit(str.charAt(i), 16)
+      val lo = Character.digit(str.charAt(i + 1), 16)
+      if (hi < 0 || lo < 0)
+        throw new IllegalArgumentException(
+          s"invalid hex character: ${str.charAt(if (hi < 0) i else i + 1)}")
+      out(i / 2) = ((hi << 4) | lo).toByte
+      i += 2
+    }
+    out
+  }
+
   // Reference log family (MathFunctions.java): raw Java Math — negative
   // input gives NaN, zero gives -Infinity, where Spark's Log expressions
   // return NULL out of domain (round 12; wired in PrestoCallConventions)
@@ -1247,7 +1269,13 @@ object GraftFunctions {
     "to_base64" -> { case Seq(b) => Base64(b) },
     "from_base64" -> { case Seq(s) => new UnBase64(s) },
     "to_hex" -> { case Seq(b) => Hex(b) },
-    "from_hex" -> { case Seq(s) => Unhex(s) },
+    // strict per the reference: odd length and non-hex chars ERROR
+    // (fromHexVarchar) — Spark's Unhex zero-pads / NULLs them
+    "from_hex" -> { case Seq(s) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, BinaryType, "fromHexStrict",
+        Seq(Cast(s, StringType)), inputTypes = Seq(StringType),
+        propagateNull = true) },
     "sha256" -> { case Seq(b) => Unhex(Sha2(b, Literal(256))) },
     "sha512" -> { case Seq(b) => Unhex(Sha2(b, Literal(512))) },
     // md5/sha1/xxhash64 return VARBINARY digests over VARBINARY input

@@ -533,6 +533,57 @@ object FuzzParityOps extends QueryGroup {
         |FROM t ORDER BY i""".stripMargin)
     },
 
+    // ── TRY(...) under operand sweep (round 12): the reference's TRY
+    // (TryFunction / the $internal$try projection wrapper) turns
+    // evaluation errors into NULL. Each column pairs a graft TRY over
+    // an error-prone shape with a DuckDB oracle that computes the
+    // expected value LONGHAND (CASE on the failure condition — DuckDB
+    // has no TRY, only TRY_CAST): integral ÷0 and %0 (ANSI errors →
+    // NULL), numeric cast of a non-numeric string, odd-length
+    // from_hex, malformed json_parse, and DECIMAL overflow (emitted as
+    // DOUBLE per the no-decimal-output rule). ──
+    q("fuzz_try_parity",
+      duckOperands + """, t AS (
+        |  SELECT i, h1, h2,
+        |    h1 % 97 AS a,
+        |    h2 % 7 AS z,
+        |    CASE WHEN i % 2 = 0 THEN CAST(h1 % 1000 AS VARCHAR)
+        |         ELSE 'x' || CAST(h1 % 1000 AS VARCHAR) END AS s,
+        |    CASE WHEN i % 2 = 0 THEN 'ab12' ELSE 'ab1' END AS hx,
+        |    CASE WHEN i % 3 = 0 THEN '{nope'
+        |         ELSE '{"k":' || CAST(h2 % 50 AS VARCHAR) || '}' END AS j
+        |  FROM o)
+        |SELECT i,
+        |  CASE WHEN z = 0 THEN NULL ELSE a // z END AS td,
+        |  CASE WHEN z = 0 THEN NULL ELSE a % z END AS tm,
+        |  CASE WHEN i % 2 = 0 THEN CAST(h1 % 1000 AS BIGINT) ELSE NULL END AS tc,
+        |  CASE WHEN i % 2 = 0 THEN 'AB12' ELSE NULL END AS th,
+        |  CASE WHEN i % 3 = 0 THEN NULL
+        |       ELSE '{"k":' || CAST(h2 % 50 AS VARCHAR) || '}' END AS tj,
+        |  CASE WHEN a >= 10 THEN NULL ELSE CAST(a AS DOUBLE) * 100.5 END AS tdec,
+        |  CAST(coalesce(CASE WHEN z = 0 THEN NULL ELSE a // z END, -1) AS BIGINT) AS tfb
+        |FROM t ORDER BY i""".stripMargin) { (s, _) =>
+      s.sql(sparkOperands + """, t AS (
+        |  SELECT i, h1, h2,
+        |    CAST(h1 % 97 AS BIGINT) AS a,
+        |    CAST(h2 % 7 AS BIGINT) AS z,
+        |    CASE WHEN i % 2 = 0 THEN CAST(h1 % 1000 AS STRING)
+        |         ELSE concat('x', CAST(h1 % 1000 AS STRING)) END AS s,
+        |    CASE WHEN i % 2 = 0 THEN 'ab12' ELSE 'ab1' END AS hx,
+        |    CASE WHEN i % 3 = 0 THEN '{nope'
+        |         ELSE concat('{"k":', CAST(h2 % 50 AS STRING), '}') END AS j
+        |  FROM o)
+        |SELECT i,
+        |  try(a div z) AS td,
+        |  try(a % z) AS tm,
+        |  try(CAST(s AS BIGINT)) AS tc,
+        |  to_hex(try(from_hex(hx))) AS th,
+        |  try(json_parse(j)) AS tj,
+        |  CAST(try(CAST(a * 100.5 AS DECIMAL(4, 1))) AS DOUBLE) AS tdec,
+        |  coalesce(try(a div z), -1) AS tfb
+        |FROM t ORDER BY i""".stripMargin)
+    },
+
     // ── URL family: construct-then-extract ground truth ──
     // URLs are ASSEMBLED from LCG components (scheme/host/port/path/
     // query/fragment, each optionally absent on a deterministic cycle),

@@ -1197,6 +1197,19 @@ class FnSpec extends AnyFunSuite {
       .agg(skurt(org.apache.spark.sql.functions.col("x"))).collect()(0).getDouble(0)
     assert(math.abs(sparkKurt - (-1.479528828015647)) > 1e-3,
       "functions.kurtosis stays Spark's population excess (they differ here)")
+    // from_hex is STRICT like the reference (fromHexVarchar): odd
+    // length and non-hex characters ERROR — Spark's unhex zero-pads /
+    // NULLs them — which is what makes TRY(from_hex(..)) meaningful
+    intercept[Exception] {
+      spark.sql("SELECT from_hex('ab1')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT from_hex('zz')").collect()
+    }
+    val fh = spark.sql(
+      "SELECT to_hex(from_hex('Ab12')), try(from_hex('ab1'))").collect()(0)
+    assert(fh.getString(0) == "AB12")
+    assert(fh.isNullAt(1), "TRY turns the strict error into NULL")
     // typeof renders the reference's display names (TypeOfFunction.java)
     val to = spark.sql(
       """SELECT typeof(1), typeof('ab'), typeof(to_utf8('x')),
