@@ -445,6 +445,57 @@ object GraftFnUtils {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   /** HmacFunctions.java: HMAC digests over varbinary with a varbinary key. */
+  /** Reference from_utf8 (StringFunctions.java:854-894, SliceUtf8
+    * .fixInvalidUtf8): decode UTF-8 REPLACING invalid sequences instead
+    * of erroring — default replacement U+FFFD, a custom replacement of
+    * at most one codepoint (empty strips). Each invalid lead byte,
+    * overlong form, surrogate encoding, or out-of-range/truncated
+    * sequence emits ONE replacement and decoding resumes at the next
+    * byte (W3C-style advance; the reference's published vectors —
+    * lone continuation, lone DF/F7 leads — are pinned in FnSpec).
+    */
+  def fromUtf8Fix(b: Array[Byte], replU: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val repl = replU.toString
+    if (repl.codePointCount(0, repl.length) > 1)
+      throw new IllegalArgumentException(
+        "Replacement character string must empty or a single character")
+    val sb = new java.lang.StringBuilder(b.length)
+    var i = 0
+    def cont(k: Int): Boolean =
+      i + k < b.length && (b(i + k) & 0xC0) == 0x80
+    while (i < b.length) {
+      val b0 = b(i) & 0xFF
+      if (b0 < 0x80) { sb.append(b0.toChar); i += 1 }
+      else if (b0 >= 0xC2 && b0 <= 0xDF && cont(1)) {
+        sb.appendCodePoint(((b0 & 0x1F) << 6) | (b(i + 1) & 0x3F)); i += 2
+      } else if (b0 >= 0xE0 && b0 <= 0xEF && cont(1) && cont(2)) {
+        val cp = ((b0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
+        if (cp >= 0x800 && !(cp >= 0xD800 && cp <= 0xDFFF)) { sb.appendCodePoint(cp); i += 3 }
+        else { sb.append(repl); i += 1 }
+      } else if (b0 >= 0xF0 && b0 <= 0xF4 && cont(1) && cont(2) && cont(3)) {
+        val cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
+        if (cp >= 0x10000 && cp <= 0x10FFFF) { sb.appendCodePoint(cp); i += 4 }
+        else { sb.append(repl); i += 1 }
+      } else { sb.append(repl); i += 1 }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  def fromUtf8FixCp(b: Array[Byte], cp: Long): org.apache.spark.unsafe.types.UTF8String = {
+    if (cp > Character.MAX_CODE_POINT ||
+        Character.getType(cp.toInt) == Character.SURROGATE)
+      throw new IllegalArgumentException("Invalid replacement character")
+    fromUtf8Fix(b, org.apache.spark.unsafe.types.UTF8String.fromString(
+      new String(Character.toChars(cp.toInt))))
+  }
+
+  /** StaticInvoke-compatible normalize (the UDF twin takes String). */
+  def normalizeStrU(s: org.apache.spark.unsafe.types.UTF8String,
+      form: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      normalizeStr(s.toString, form.toString))
+
   /** Reference from_hex (VarbinaryFunctions.java:150-165 fromHexVarchar):
     * odd input length ERRORS and any non-hex character ERRORS, where
     * Spark's unhex silently zero-pads odd input and NULLs invalid chars
@@ -1099,7 +1150,15 @@ object GraftFunctions {
         Seq(Cast(n, LongType)), inputTypes = Seq(LongType),
         propagateNull = true)
     },
-    "from_utf8" -> { case Seq(b) => StringDecode(b, Literal("UTF-8")) },
+    // from_utf8 REPLACES invalid sequences (U+FFFD by default; optional
+    // one-codepoint or empty replacement, or a codepoint number) —
+    // Spark's decode ERRORS under ANSI (StringFunctions.java:854-894;
+    // round-12 fix). FromUtf8Repl dispatches the 2-arg form on the
+    // resolved replacement type (varchar vs bigint overloads).
+    "from_utf8" -> {
+      case Seq(b) => FromUtf8Repl(b, Literal("�"))
+      case Seq(b, r) => FromUtf8Repl(b, r)
+    },
     "to_utf8" -> { case Seq(s) => Encode(s, Literal("UTF-8")) },
     "split_to_map" -> { case Seq(s, ed, kd) => StringToMap(s, ed, kd) },
     // full Porter algorithm; 2-arg form dispatches on language like the

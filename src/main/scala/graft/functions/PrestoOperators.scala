@@ -564,6 +564,26 @@ object PrestoCallConventions {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "typeof" && u.arguments.size == 1 =>
       PrestoTypeOf(u.arguments.head)
+    // normalize(x, NFD): the normalization form is a bare KEYWORD in
+    // the reference grammar (SqlBase.g4 normalForm) that Spark parses
+    // as a column reference; lowered to the normalizeStr helper with
+    // the form as a literal (string-literal forms accepted leniently)
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "normalize" && u.arguments.size == 2 =>
+      val form = u.arguments(1) match {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if Set("nfc", "nfd", "nfkc", "nfkd")(a.name.toLowerCase) =>
+          a.name.toUpperCase
+        case Literal(s, _: StringType)
+            if Set("NFC", "NFD", "NFKC", "NFKD")(s.toString.toUpperCase) =>
+          s.toString.toUpperCase
+        case other => throw new IllegalArgumentException(
+          s"normalize: unknown normalization form $other")
+      }
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, StringType, "normalizeStrU",
+        Seq(Cast(u.arguments.head, StringType), Literal(form)),
+        inputTypes = Seq(StringType, StringType), propagateNull = true)
     // skewness/kurtosis: the reference's kurtosis is SAMPLE-corrected
     // excess (G2, NULL below 4 rows) where Spark's is population excess
     // — they disagree on every input; skewness shares the population

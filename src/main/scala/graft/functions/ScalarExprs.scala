@@ -892,3 +892,34 @@ case class MapConcatPresto(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): MapConcatPresto =
     copy(children = newChildren)
 }
+
+/** `from_utf8(binary[, replacement])` — type-dispatching 2-arg form
+  * (StringFunctions.java:854-894): a VARCHAR replacement (≤ 1
+  * codepoint, empty strips) or a BIGINT codepoint; both route to
+  * GraftFnUtils.fromUtf8Fix via codegen-friendly StaticInvoke.
+  */
+case class FromUtf8Repl(left: Expression, right: Expression)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def prettyName: String = "from_utf8"
+
+  override lazy val replacement: Expression = right.dataType match {
+    case _: StringType =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, StringType, "fromUtf8Fix",
+        Seq(Cast(left, BinaryType), right),
+        inputTypes = Seq(BinaryType, StringType), propagateNull = true)
+    case ByteType | ShortType | IntegerType | LongType =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, StringType, "fromUtf8FixCp",
+        Seq(Cast(left, BinaryType), Cast(right, LongType)),
+        inputTypes = Seq(BinaryType, LongType), propagateNull = true)
+    case other => throw new IllegalArgumentException(
+      s"from_utf8 replacement must be a string or a codepoint, got ${other.catalogString}")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): FromUtf8Repl =
+    copy(left = l, right = r)
+}

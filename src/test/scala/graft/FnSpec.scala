@@ -1210,6 +1210,35 @@ class FnSpec extends AnyFunSuite {
       "SELECT to_hex(from_hex('Ab12')), try(from_hex('ab1'))").collect()(0)
     assert(fh.getString(0) == "AB12")
     assert(fh.isNullAt(1), "TRY turns the strict error into NULL")
+    // normalize(x, NFD): the form is a bare KEYWORD in the reference
+    // grammar (SqlBase.g4 normalForm) that Spark would read as a
+    // column; vectors from TestStringFunctions.java:977-984
+    val nz = spark.sql(
+      """SELECT normalize(concat('scho', chr(776), 'n'), NFC),
+        |  normalize(concat('scho', chr(776), 'n')),
+        |  length(normalize(concat('sch', chr(246), 'n'), NFD)),
+        |  normalize(concat(chr(65313), 'b'), NFKC)""".stripMargin).collect()(0)
+    assert(nz.getString(0) == "sch\u00f6n", "NFC composes to precomposed o-umlaut")
+    assert(nz.getString(1) == "sch\u00f6n", "1-arg normalize is NFC")
+    assert(nz.getInt(2) == 6, "NFD decomposes o-umlaut to o + combining diaeresis")
+    assert(nz.getString(3) == "Ab", "NFKC folds fullwidth")
+    // from_utf8 REPLACES invalid sequences (U+FFFD default, one-char or
+    // codepoint or empty replacement) — vectors from
+    // TestStringFunctions.java:1013-1020; Spark's decode would error
+    val fu = spark.sql(
+      """SELECT from_utf8(from_hex('58BF')), from_utf8(from_hex('58BF'), '#'),
+        |  from_utf8(from_hex('58DF'), 35), from_utf8(from_hex('58BF'), ''),
+        |  from_utf8(from_hex('58F7')), from_utf8(to_utf8('hello'))""".stripMargin)
+      .collect()(0)
+    assert(fu.getString(0) == "X�")
+    assert(fu.getString(1) == "X#")
+    assert(fu.getString(2) == "X#")
+    assert(fu.getString(3) == "X")
+    assert(fu.getString(4) == "X�")
+    assert(fu.getString(5) == "hello")
+    intercept[Exception] {
+      spark.sql("SELECT from_utf8(to_utf8('x'), 'toolong')").collect()
+    }
     // typeof renders the reference's display names (TypeOfFunction.java)
     val to = spark.sql(
       """SELECT typeof(1), typeof('ab'), typeof(to_utf8('x')),
