@@ -1300,6 +1300,17 @@ object GraftFunctions {
     // CAST(x AS TIMESTAMP/TIME WITH TIME ZONE) + the zoned TIME literal,
     // spelled by the parser's rewrites when the zoned mode is on
     "zoned_tstz" -> { case Seq(t) => ZonedCastToZoned(t) },
+    // now()/current_timestamp under the zoned mode: TIMESTAMP WITH TIME
+    // ZONE carrying the SESSION zone (DateTimeFunctions.java
+    // currentTimestamp packs session.getTimeZoneKey()); spelled by the
+    // ZonedTimestamps parse rewrite — a graft-only name so the Spark
+    // builtins (and the DataFrame API) are never rewired. localtimestamp
+    // stays naive by design (the reference's localtimestamp returns
+    // plain TIMESTAMP). ComputeCurrentTime folds the nested
+    // CurrentTimestamp per-query exactly as it does the builtin's.
+    "zoned_now" -> { case Seq() =>
+      ZonedTimestamps.mk(CurrentTimestamp(),
+        Literal(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)) },
     "zoned_ttz" -> { case Seq(t, z) => ZonedTimeAttach(t, z) },
     "zoned_ttz_cast" -> { case Seq(t) => ZonedCastToZonedTime(t) },
 

@@ -57,12 +57,14 @@ import org.apache.spark.sql.types._
   * GROUP BY / DISTINCT / count(DISTINCT) / window PARTITION BY on a raw
   * zoned value key the INSTANT alone — the reference's millisUtc
   * hashing — via [[graft.plans.ZonedGroupingRule]] (round 12; oracle row
-  * `dialect_ztz_groupby`). Documented residuals (pinned in
-  * ZonedTimestampsSpec): set operations (INTERSECT/EXCEPT) on a zoned
-  * column still compare (instant, zone) pairs — normalize with
-  * `at_timezone(z, 'UTC')`; ORDER BY sorts instant-first with the zone
-  * string as a deterministic tie-break (any reference-valid order);
-  * `now()` stays the naive session-zone (UTC) timestamp.
+  * `dialect_ztz_groupby`), and set operations (INTERSECT/EXCEPT/UNION
+  * DISTINCT, plus the DataFrame dropDuplicates path) key the instant the
+  * same way (round 13; oracle row `dialect_ztz_setop`). `now()`/
+  * `current_timestamp` return a zone-carrying value in the SESSION zone
+  * (DateTimeFunctions.java currentTimestamp; the zoned_now seam).
+  * Documented residual (pinned in ZonedTimestampsSpec): ORDER BY sorts
+  * instant-first with the zone string as a deterministic tie-break (any
+  * reference-valid order).
   */
 object ZonedTimestamps {
 
@@ -173,6 +175,18 @@ object ZonedTimestamps {
     case u: UnresolvedFunction
         if fnName(u) == "date_trunc" && u.arguments.size == 2 =>
       ZonedTrunc(u.arguments.head, u.arguments(1))
+    // now()/current_timestamp() return TIMESTAMP WITH TIME ZONE carrying
+    // the session zone (DateTimeFunctions.java currentTimestamp) —
+    // renamed to the graft-only zoned_now registration so the rewrite
+    // can't loop and the Spark builtins stay untouched. Bare
+    // CURRENT_TIMESTAMP parses as the literal-function attribute.
+    case u: UnresolvedFunction
+        if Seq("now", "current_timestamp").contains(fnName(u)) &&
+          u.arguments.isEmpty =>
+      u.copy(nameParts = Seq("zoned_now"))
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.map(_.toLowerCase) == Seq("current_timestamp") =>
+      UnresolvedFunction(Seq("zoned_now"), Nil, isDistinct = false)
     case ta: TimestampAdd =>
       ZonedTimestampAddX(ta.unit, ta.quantity, ta.timestamp)
     case td: TimestampDiff =>

@@ -750,6 +750,81 @@ object DialectOps extends QueryGroup {
       finally s.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
     },
 
+    // set operations on zoned values key the INSTANT (round 13 —
+    // ZonedGroupingRule's Intersect/Except/Union-DISTINCT arms;
+    // reference TimestampWithTimeZoneType.java millisUtc equality). The
+    // two sides carry the SAME instants in DIFFERENT zones (Tokyo vs
+    // New York via instant-preserving at_timezone), so INTERSECT is
+    // nonempty ONLY if (instant, zone) pair keying is rewritten away —
+    // the unfixed engine returns 0 rows here. The DuckDB twin never
+    // sees a zone. Sums of surviving instants pin the VALUES, not just
+    // the counts.
+    q("dialect_ztz_setop",
+      """WITH a AS (
+        |  SELECT CAST(o_orderdate AS TIMESTAMP) AS zt
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (
+        |  SELECT CAST(o_orderdate AS TIMESTAMP) AS zt
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT op, n, s FROM (
+        |  SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(epoch(zt)) AS BIGINT) AS s
+        |  FROM (SELECT zt FROM a INTERSECT SELECT zt FROM b)
+        |  UNION ALL
+        |  SELECT 'except', CAST(count(*) AS BIGINT), CAST(sum(epoch(zt)) AS BIGINT)
+        |  FROM (SELECT zt FROM a EXCEPT SELECT zt FROM b)
+        |  UNION ALL
+        |  SELECT 'union_d', CAST(count(*) AS BIGINT), CAST(sum(epoch(zt)) AS BIGINT)
+        |  FROM (SELECT zt FROM a UNION SELECT zt FROM b))
+        |ORDER BY op""".stripMargin) { (s, _) =>
+      s.conf.set(graft.functions.ZonedTimestamps.ConfKey, "true")
+      try s.sql(
+        """WITH a AS (
+          |  SELECT at_timezone(CAST(CAST(o_orderdate AS TIMESTAMP) AS TIMESTAMP WITH TIME ZONE),
+          |    'Asia/Tokyo') AS zt
+          |  FROM orders WHERE o_orderkey % 3 = 0),
+          |b AS (
+          |  SELECT at_timezone(CAST(CAST(o_orderdate AS TIMESTAMP) AS TIMESTAMP WITH TIME ZONE),
+          |    'America/New_York') AS zt
+          |  FROM orders WHERE o_orderkey % 2 = 0)
+          |SELECT op, n, s FROM (
+          |  SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(to_unixtime(zt)) AS BIGINT) AS s
+          |  FROM (SELECT zt FROM a INTERSECT SELECT zt FROM b)
+          |  UNION ALL
+          |  SELECT 'except', CAST(count(*) AS BIGINT), CAST(sum(to_unixtime(zt)) AS BIGINT)
+          |  FROM (SELECT zt FROM a EXCEPT SELECT zt FROM b)
+          |  UNION ALL
+          |  SELECT 'union_d', CAST(count(*) AS BIGINT), CAST(sum(to_unixtime(zt)) AS BIGINT)
+          |  FROM (SELECT zt FROM a UNION SELECT zt FROM b))
+          |ORDER BY op""".stripMargin)
+      finally s.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
+    },
+
+    // now()/current_timestamp under the zoned mode return TIMESTAMP WITH
+    // TIME ZONE in the SESSION zone (round 13; DateTimeFunctions.java
+    // currentTimestamp). The value itself is wall-clock-dependent, so
+    // the oracle compares INVARIANTS: the carried zone is the session
+    // zone (offset fields 0, rendering ends in ' UTC'), the instant
+    // agrees with localtimestamp (same ComputeCurrentTime epoch), and
+    // the bare CURRENT_TIMESTAMP keyword matches now().
+    q("dialect_ztz_now",
+      """SELECT CAST(0 AS BIGINT) AS tzh, CAST(0 AS BIGINT) AS tzm,
+        |  CAST(1 AS BIGINT) AS zone_tok, CAST(1 AS BIGINT) AS same_epoch,
+        |  CAST(1 AS BIGINT) AS kw_parity""".stripMargin) { (s, _) =>
+      s.conf.set(graft.functions.ZonedTimestamps.ConfKey, "true")
+      try s.sql(
+        """SELECT
+          |  CAST(timezone_hour(now()) AS BIGINT) AS tzh,
+          |  CAST(timezone_minute(now()) AS BIGINT) AS tzm,
+          |  CAST(CASE WHEN CAST(now() AS VARCHAR) LIKE '% UTC' THEN 1 ELSE 0 END AS BIGINT) AS zone_tok,
+          |  CAST(CASE WHEN abs(to_unixtime(now()) - to_unixtime(localtimestamp)) < 2.0
+          |    THEN 1 ELSE 0 END AS BIGINT) AS same_epoch,
+          |  CAST(CASE WHEN to_unixtime(current_timestamp) = to_unixtime(now())
+          |    THEN 1 ELSE 0 END AS BIGINT) AS kw_parity""".stripMargin)
+      finally s.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
+    },
+
     // ── TIME WITH TIME ZONE under the zoned mode, oracle-compared
     // (round 12 — the last zoned surface that had no oracle at all;
     // DuckDB's own TIMETZ orders (wall, offset) where the reference

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, First}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, Except, Intersect, Join, JoinHint, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.functions.{ZonedTimestamps, ZonedInstant}
@@ -38,9 +39,17 @@ import graft.functions.{ZonedTimestamps, ZonedInstant}
   *  - `Window` partition keys: zoned partition expressions key the
   *    instant (same-instant rows share a frame in the reference).
   *
-  * Set-operation keying (INTERSECT/EXCEPT on a zoned column) still
-  * compares (instant, zone) — documented residual in COVERAGE.md; an
-  * explicit `at_timezone(z, 'UTC')` normalization is the portable shape.
+  *  - `Intersect`/`Except` (DISTINCT — the only forms the reference
+  *    supports; `SetOperationNode` INTERSECT ALL/EXCEPT ALL raise "not
+  *    yet implemented" in 0.235): rewritten at RESOLUTION time — before
+  *    Catalyst lowers them to zone-keyed joins/aggregates — into the
+  *    semi/anti join + instant-keyed distinct the reference's
+  *    instant-hashing implies (round 13; oracle row `dialect_ztz_setop`).
+  *    UNION DISTINCT needs no new case: it parses as Distinct(Union) and
+  *    the Distinct arm above fires.
+  *  - `Deduplicate` (the DataFrame dropDuplicates path): zoned dedup
+  *    keys key the instant; every output column survives through
+  *    `first` — the same arbitrary-representative contract.
   *
   * Scale note: grouping moves from a 2-field struct key to its 8-byte
   * instant, so the rewrite also SHRINKS shuffle keys — never widens them.
@@ -71,12 +80,28 @@ object ZonedGroupingRule extends Rule[LogicalPlan] {
         Aggregate(newG, newAggs, child, hint)
 
       case d @ Distinct(child) if child.output.exists(zoned) =>
-        val groups = child.output.map(a =>
-          if (zoned(a)) ZonedInstant(a): Expression else a)
+        instantDistinct(child)
+
+      // INTERSECT/EXCEPT DISTINCT: the same rewrite stock Spark applies
+      // later (ReplaceIntersectWithSemiJoin / ReplaceExceptWithAntiJoin)
+      // but with instant-keyed join condition and instant-keyed distinct.
+      // Null-safe equality matches the set-op NULL contract (NULL keys
+      // match each other), and ZonedInstant is transparent on non-zoned
+      // columns, so mixed outputs need no special-casing.
+      case Intersect(l, r, false) if l.output.exists(zoned) =>
+        instantDistinct(Join(l, r, LeftSemi, Some(instantCond(l, r)), JoinHint.NONE))
+      case Except(l, r, false) if l.output.exists(zoned) =>
+        instantDistinct(Join(l, r, LeftAnti, Some(instantCond(l, r)), JoinHint.NONE))
+
+      // dropDuplicates(keys): zoned keys group by instant; EVERY output
+      // column (zoned or not) survives via first() — Deduplicate keeps an
+      // arbitrary row per group, so first is a valid representative.
+      case Deduplicate(keys, child) if keys.exists(zoned) =>
+        val keySet = AttributeSet(keys)
+        val groups = keys.map(k => if (zoned(k)) ZonedInstant(k): Expression else k)
         val aggs: Seq[NamedExpression] = child.output.map { a =>
-          if (zoned(a))
-            Alias(new First(a).toAggregateExpression(), a.name)(exprId = a.exprId)
-          else a
+          if (keySet.contains(a) && !zoned(a)) a
+          else Alias(new First(a).toAggregateExpression(), a.name)(exprId = a.exprId)
         }
         Aggregate(groups, aggs, child)
 
@@ -86,6 +111,29 @@ object ZonedGroupingRule extends Rule[LogicalPlan] {
           partitionSpec.map(p => if (zoned(p)) ZonedInstant(p) else p))
     }
   }
+
+  /** The instant-keyed equivalent of Distinct(child): group on instants,
+    * surface a `first` representative for each zoned column, preserving
+    * output attribute ids so parent plans are untouched.
+    */
+  private def instantDistinct(child: LogicalPlan): Aggregate = {
+    val groups = child.output.map(a =>
+      if (zoned(a)) ZonedInstant(a): Expression else a)
+    val aggs: Seq[NamedExpression] = child.output.map { a =>
+      if (zoned(a))
+        Alias(new First(a).toAggregateExpression(), a.name)(exprId = a.exprId)
+      else a
+    }
+    Aggregate(groups, aggs, child)
+  }
+
+  /** Pairwise instant-keyed null-safe equality between the two sides'
+    * outputs (the set-op matching contract, instant-keyed).
+    */
+  private def instantCond(l: LogicalPlan, r: LogicalPlan): Expression =
+    l.output.zip(r.output).map { case (a, b) =>
+      EqualNullSafe(ZonedInstant(a), ZonedInstant(b)): Expression
+    }.reduce(And)
 
   /** Replace occurrences of zoned grouping expressions with `first(g)`
     * without descending into aggregate functions (whose arguments are

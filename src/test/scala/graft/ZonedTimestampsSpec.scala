@@ -249,6 +249,67 @@ class ZonedTimestampsSpec extends AnyFunSuite {
     assert(off.count() == 2)
   }
 
+  test("set operations and dropDuplicates on zoned values key the INSTANT (round 13)") {
+    withZoned {
+      // same instant in two zones: INTERSECT matches, EXCEPT is empty,
+      // UNION DISTINCT merges — reference millisUtc equality
+      // (TimestampWithTimeZoneType.java; SetOperationNode hashes the
+      // type's own hash). Closes what was the documented set-op residual.
+      val a = s"(SELECT $TokyoLit AS z)"
+      val b = "(SELECT TIMESTAMP '2001-08-21 18:04:05.321 UTC' AS z)"
+      assert(spark.sql(s"SELECT z FROM $a INTERSECT SELECT z FROM $b").count() == 1)
+      assert(spark.sql(s"SELECT z FROM $a EXCEPT SELECT z FROM $b").count() == 0)
+      assert(spark.sql(s"SELECT z FROM $a UNION SELECT z FROM $b").count() == 1)
+      // the surviving value is an arbitrary MEMBER (zone from one input)
+      val surv = spark.sql(
+        s"SELECT CAST(z AS VARCHAR) AS r FROM ($a INTERSECT $b)")
+        .collect().head.getString(0)
+      assert(Set("2001-08-22 03:04:05.321 Asia/Tokyo",
+        "2001-08-21 18:04:05.321 UTC").contains(surv), surv)
+      // a DIFFERENT instant still separates
+      val c = "(SELECT TIMESTAMP '2001-08-21 18:04:05.322 UTC' AS z)"
+      assert(spark.sql(s"SELECT z FROM $a INTERSECT SELECT z FROM $c").count() == 0)
+      assert(spark.sql(s"SELECT z FROM $a UNION SELECT z FROM $c").count() == 2)
+      // the DataFrame dropDuplicates path (Deduplicate) keys instants too
+      val dd = spark.sql(s"SELECT 'k' AS k, z FROM $a UNION ALL SELECT 'k', z FROM $b")
+        .dropDuplicates("z")
+      assert(dd.count() == 1)
+      // ordinary struct set-ops are untouched (the rule only fires on the
+      // zoned shape)
+      val s2a = "(SELECT named_struct('a', 1, 'b', 'x') AS g)"
+      val s2b = "(SELECT named_struct('a', 1, 'b', 'y') AS g)"
+      assert(spark.sql(s"SELECT g FROM $s2a INTERSECT SELECT g FROM $s2b").count() == 0)
+    }
+    // conf OFF: raw 2-field structs keep stock pair keying
+    val off = spark.sql(
+      """SELECT g FROM (SELECT named_struct('ztz_utc', TIMESTAMP '2001-01-01 00:00:00', 'ztz_tz', 'UTC') AS g)
+        |INTERSECT
+        |SELECT g FROM (SELECT named_struct('ztz_utc', TIMESTAMP '2001-01-01 00:00:00', 'ztz_tz', 'Asia/Tokyo') AS g)""".stripMargin)
+    assert(off.count() == 0)
+  }
+
+  test("now()/current_timestamp carry the session zone under the zoned mode (round 13)") {
+    withZoned {
+      // zone is the session zone (UTC here) — DateTimeFunctions.java
+      // currentTimestamp packs session.getTimeZoneKey()
+      assert(one("SELECT timezone_hour(now())") == 0L)
+      assert(one("SELECT timezone_minute(now())") == 0L)
+      assert(one("SELECT CAST(now() AS VARCHAR)").toString.endsWith(" UTC"))
+      // instant agrees with localtimestamp (one ComputeCurrentTime epoch)
+      assert(one(
+        "SELECT abs(to_unixtime(now()) - to_unixtime(localtimestamp)) < 2.0") == true)
+      // the bare keyword resolves to the same zoned value
+      assert(one("SELECT to_unixtime(current_timestamp) = to_unixtime(now())") == true)
+      assert(one("SELECT CAST(current_timestamp AS VARCHAR)").toString.endsWith(" UTC"))
+      // comparisons against zoned columns are instant-based (no analysis
+      // error from mixed zoned/zoned operands)
+      assert(one(s"SELECT $TokyoLit < now()") == true)
+    }
+    // conf OFF: now() stays Spark's plain TIMESTAMP
+    assert(spark.sql("SELECT now() AS t").schema.head.dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("TIME WITH TIME ZONE: literal, rendering, extraction, offsets, casts") {
     withZoned {
       assert(one("SELECT CAST(TIME '03:04:05.321 +05:30' AS VARCHAR)") ==
