@@ -504,11 +504,20 @@ object GraftFnUtils {
   def fromHexStrict(s: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
     val str = s.toString
     require(str.length % 2 == 0, s"invalid input length ${str.length}")
+    // ASCII-only digits like the reference's hexDigitCharToInt char-range
+    // checks — Character.digit also accepts non-ASCII Unicode digits
+    // (Arabic-Indic, fullwidth), which must ERROR here (round-13 ADVICE
+    // fix; TRY(from_hex(..)) parity depends on the rejection)
+    def hexDigit(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
     val out = new Array[Byte](str.length / 2)
     var i = 0
     while (i < str.length) {
-      val hi = Character.digit(str.charAt(i), 16)
-      val lo = Character.digit(str.charAt(i + 1), 16)
+      val hi = hexDigit(str.charAt(i))
+      val lo = hexDigit(str.charAt(i + 1))
       if (hi < 0 || lo < 0)
         throw new IllegalArgumentException(
           s"invalid hex character: ${str.charAt(if (hi < 0) i else i + 1)}")

@@ -67,16 +67,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case _ => parsePlanRest(sqlText)
   }
 
-  /** Opt-in Presto operator semantics (integer `/` truncation, 1-based
-    * subscripts — PrestoOperators) applied on the PARSED plan, so the
+  /** Opt-in Presto operator semantics applied on the PARSED plan, so the
     * rewrite sees structure (not text) and never touches DataFrame-API
-    * plans.
+    * plans. ONE flag selects ONE coherent dialect (round 13, was
+    * previously mixed): `spark.graft.prestoOperators` turns on BOTH the
+    * operator semantics (integer `/` truncation, 1-based subscripts —
+    * PrestoOperators) and the call conventions where the two engines
+    * share a NAME but disagree on meaning (log/trim argument order,
+    * element_at bounds, regexp_extract group-0 + NULL contracts,
+    * kurtosis definition — PrestoCallConventions). With the flag off,
+    * SQL is pure Spark SQL, semantics untouched.
     */
   private def dialectPlan(plan: LogicalPlan): LogicalPlan = {
-    // always-on SQL call conventions (log/trim arg order, element_at
-    // bounds — PrestoCallConventions): parser seam, never DataFrame API
-    val p0 = PrestoCallConventions(plan)
-    val p1 = if (PrestoOperators.enabled) PrestoOperators(p0) else p0
+    val p1 =
+      if (PrestoOperators.enabled) PrestoOperators(PrestoCallConventions(plan))
+      else plan
     if (ZonedTimestamps.enabled) ZonedTimestamps(p1) else p1
   }
 
@@ -97,9 +102,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseQuery(sqlText: String): LogicalPlan =
     dialectPlan(delegate.parseQuery(rewrite(sqlText)))
   override def parseExpression(sqlText: String): Expression = {
-    val e00 = delegate.parseExpression(rewrite(sqlText))
-    val e0 = e00.transformDown(PrestoCallConventions.exprRewrite)
-    val e1 = if (PrestoOperators.enabled) e0.transformDown(PrestoOperators.exprRewrite) else e0
+    val e0 = delegate.parseExpression(rewrite(sqlText))
+    val e1 =
+      if (PrestoOperators.enabled)
+        e0.transformDown(PrestoCallConventions.exprRewrite)
+          .transformDown(PrestoOperators.exprRewrite)
+      else e0
     if (ZonedTimestamps.enabled) e1.transformDown(ZonedTimestamps.exprRewrite) else e1
   }
 

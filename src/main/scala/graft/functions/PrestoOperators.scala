@@ -448,9 +448,13 @@ case class PrestoArrayExtremum(child: Expression, isMax: Boolean)
     copy(child = c)
 }
 
-/** Always-on SQL call conventions where the reference and Spark share a
-  * function NAME but disagree on argument order or bounds behavior
-  * (round-12 finds via the name-collision audit, tools/AuditNames):
+/** SQL call conventions where the reference and Spark share a function
+  * NAME but disagree on argument order or bounds behavior (round-12
+  * finds via the name-collision audit, tools/AuditNames), applied under
+  * the SAME `spark.graft.prestoOperators` conf as [[PrestoOperators]]
+  * (round 13 — one flag, one coherent dialect: previously these were
+  * always-on, so flag-off SQL was a mixed dialect where e.g. a
+  * Spark-semantics `log(b, x)` silently flipped argument order):
   *
   *  - `log(number, base)` — MathFunctions.java:171; Spark's builtin is
   *    log(base, number). log(8, 2) = 3 in the reference, 1/3 raw.
@@ -532,13 +536,10 @@ object PrestoCallConventions {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "regexp_replace" && u.arguments.size == 2 =>
       RegExpReplace(u.arguments(0), u.arguments(1), Literal(""))
-    // get_json_object is the reference's json_extract — the subtree as
-    // JSON TEXT, string scalars quoted (JsonFunctions.java:443-450);
-    // Spark's same-named builtin unquotes scalars. Parser seam: Spark's
-    // functions.get_json_object keeps Spark semantics
-    case u: UnresolvedFunction
-        if simple(u) && name(u) == "get_json_object" && u.arguments.size == 2 =>
-      JsonExtractPresto(u.arguments(0), u.arguments(1))
+    // (get_json_object deliberately NOT rewritten: the name exists only
+    // in Spark/Hive — no ported reference query can contain it — so it
+    // keeps Spark's unquoting semantics; the reference contract lives on
+    // json_extract alone. Round-13 ADVICE fix.)
     // split_part: index past the fields returns NULL (Spark returns '')
     case u: UnresolvedFunction
         if simple(u) && name(u) == "split_part" && u.arguments.size == 3 =>

@@ -734,7 +734,14 @@ case class RegexpExtractAllPresto(first: Expression, second: Expression,
     while (next <= s.length && m.find(next)) {
       val v = m.group(g)
       out += (if (v == null) null else UTF8String.fromString(v))
-      next = if (m.end == m.start) m.end + 1 else m.end
+      // zero-length match: advance one CODEPOINT (not one UTF-16 char —
+      // m.end + 1 could resume mid-surrogate-pair on non-BMP input;
+      // round-13 ADVICE fix). The reference (Joni) advances one UTF-8
+      // byte, which for valid input lands on the same next codepoint.
+      next =
+        if (m.end == m.start)
+          (if (m.end < s.length) s.offsetByCodePoints(m.end, 1) else m.end + 1)
+        else m.end
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
   }

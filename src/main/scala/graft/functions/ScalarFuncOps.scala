@@ -44,7 +44,10 @@ object ScalarFuncOps extends QueryGroup {
         |  ends_with(c_name, '0') AS sfx
         |FROM customer
         |ORDER BY c_custkey""".stripMargin) { (s, _) =>
-      s.sql("""SELECT c_custkey,
+      // 2-arg trim family + split_part follow the reference's call
+      // conventions — dialect-flag scope since round 13 (parse-time)
+      s.conf.set(PrestoOperators.ConfKey, "true")
+      try s.sql("""SELECT c_custkey,
               |  CAST(length(c_name) AS BIGINT) AS len,
               |  upper(c_name) AS up,
               |  lower(c_name) AS lo,
@@ -73,6 +76,7 @@ object ScalarFuncOps extends QueryGroup {
               |  endswith(c_name, '0') AS sfx
               |FROM customer
               |ORDER BY c_custkey""".stripMargin)
+      finally s.conf.unset(PrestoOperators.ConfKey)
     },
 
     // datetime family (reference operator/scalar/DateTimeFunctions.java:68)

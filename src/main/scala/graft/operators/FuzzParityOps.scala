@@ -31,6 +31,20 @@ object FuzzParityOps extends QueryGroup {
 
   private val N = 400
 
+  /** Sweeps that exercise the reference's CALL CONVENTIONS (log/trim
+    * argument order, element_at bounds, regexp_extract group-0 + NULL
+    * contracts, split_part NULL, map_concat last-wins) run under the
+    * Presto dialect flag — round 13 made the flag select ONE coherent
+    * dialect, so these conventions are no longer applied to default
+    * (pure-Spark-SQL) statements. Conf scoping is parse-time: s.sql
+    * parses and analyzes eagerly, so unsetting after return is safe.
+    */
+  private def withPresto(s: org.apache.spark.sql.SparkSession)(
+      f: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    s.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+    try f finally s.conf.unset(graft.functions.PrestoOperators.ConfKey)
+  }
+
   /** Engine-side operand CTE (Spark SQL + graft registrations). */
   private val sparkOperands =
     s"""WITH g AS (
@@ -104,7 +118,7 @@ object FuzzParityOps extends QueryGroup {
         |  round(radians(n), 4) AS rd,
         |  CAST(floor(y * 10.0 / 101.0) + 1 AS BIGINT) AS wb
         |FROM o ORDER BY i""".stripMargin) { (s, _) =>
-      s.sql(sparkOperands +
+      withPresto(s) { s.sql(sparkOperands +
         """SELECT i,
           |  CAST(abs(n) AS BIGINT) AS abs_n,
           |  CAST(sign(n) AS BIGINT) AS sign_n,
@@ -139,7 +153,7 @@ object FuzzParityOps extends QueryGroup {
           |  round(degrees(x / 100.0), 3) AS dg,
           |  round(radians(n), 4) AS rd,
           |  CAST(width_bucket(y, 0.0, 101.0, 10) AS BIGINT) AS wb
-          |FROM o ORDER BY i""".stripMargin)
+          |FROM o ORDER BY i""".stripMargin) }
     },
 
     // ── strings: 16 functions over generated string shapes ──
@@ -170,7 +184,7 @@ object FuzzParityOps extends QueryGroup {
         |  CAST(ascii(chr(CAST(97 + i % 26 AS INTEGER))) AS BIGINT) AS cp,
         |  translate(s, '_W', '-V') AS tr
         |FROM t ORDER BY i""".stripMargin) { (s, _) =>
-      s.sql(sparkOperands + """, t AS (
+      withPresto(s) { s.sql(sparkOperands + """, t AS (
         |  SELECT i, m,
         |    concat('W', CAST(h1 % 1000 AS VARCHAR), '_',
         |           chr(97 + i % 26), chr(65 + h2 % 26)) AS s
@@ -190,7 +204,7 @@ object FuzzParityOps extends QueryGroup {
         |  CAST(hamming_distance(substr(s, 1, 3), reverse(substr(s, 1, 3))) AS BIGINT) AS ham,
         |  CAST(codepoint(chr(97 + i % 26)) AS BIGINT) AS cp,
         |  translate(s, '_W', '-V') AS tr
-        |FROM t ORDER BY i""".stripMargin)
+        |FROM t ORDER BY i""".stripMargin) }
     },
 
     // ── datetime: 15 functions over a ±48-week date sweep and a
@@ -282,7 +296,7 @@ object FuzzParityOps extends QueryGroup {
         |  CASE WHEN n > 0 THEN 'pos' WHEN n < 0 THEN 'neg' ELSE 'zero' END AS sgn,
         |  if(m > 11, m, -m) AS half_flip
         |FROM t ORDER BY i""".stripMargin) { (s, _) =>
-      s.sql(sparkOperands + """, t AS (
+      withPresto(s) { s.sql(sparkOperands + """, t AS (
         |  SELECT i, n, m,
         |    array(h1 % 100, h2 % 97, CAST(n AS BIGINT), CAST(m AS BIGINT), i % 7) AS arr
         |  FROM o)
@@ -305,7 +319,7 @@ object FuzzParityOps extends QueryGroup {
         |  array_join(CAST(m AS BIGINT) || arr, ',') AS pre,
         |  CASE WHEN n > 0 THEN 'pos' WHEN n < 0 THEN 'neg' ELSE 'zero' END AS sgn,
         |  if(m > 11, m, -m) AS half_flip
-        |FROM t ORDER BY i""".stripMargin)
+        |FROM t ORDER BY i""".stripMargin) }
     },
 
     // ── regex + LIKE over generated subjects ──
@@ -335,7 +349,7 @@ object FuzzParityOps extends QueryGroup {
         |  s LIKE 'W%' AS like_pfx,
         |  s LIKE '%a_%' AS like_one_after_a
         |FROM t ORDER BY i""".stripMargin) { (s, _) =>
-      s.sql(sparkOperands + """, t AS (
+      withPresto(s) { s.sql(sparkOperands + """, t AS (
         |  SELECT i, concat('W', CAST(h1 % 1000 AS VARCHAR), '_',
         |                   chr(97 + i % 26),
         |                   CAST(h2 % 100 AS VARCHAR)) AS s
@@ -351,10 +365,10 @@ object FuzzParityOps extends QueryGroup {
         |  s RLIKE '^W[0-9]+_[a-z]' AS is_match,
         |  s RLIKE '[13579]$' AS odd_tail,
         |  array_join(regexp_extract_all(s, '[0-9]+', 0), '|') AS all_nums,
-        |  CAST(size(split(s, '[0-9]+')) AS BIGINT) AS n_splits,
+        |  CAST(size(regexp_split(s, '[0-9]+')) AS BIGINT) AS n_splits,
         |  s LIKE 'W%' AS like_pfx,
         |  s LIKE '%a_%' AS like_one_after_a
-        |FROM t ORDER BY i""".stripMargin)
+        |FROM t ORDER BY i""".stripMargin) }
     },
 
     // ── Crypto/binary: digest and codec wiring over generated subjects
@@ -1034,7 +1048,7 @@ object FuzzParityOps extends QueryGroup {
         |  array_to_string(list_filter(map_keys(m), k -> k % 2 = 0), ',') AS even_keys,
         |  array_to_string(list_transform(map_values(m), v -> v || '!'), ',') AS bang_vals
         |FROM t ORDER BY i""".stripMargin) { (s, _) =>
-      s.sql(sparkOperands + """, t AS (
+      withPresto(s) { s.sql(sparkOperands + """, t AS (
         |  SELECT i, h1, h2,
         |    map_from_arrays(
         |      array(h1 % 10, 10 + h2 % 10, 20 + (h1 + h2) % 10),
@@ -1055,7 +1069,7 @@ object FuzzParityOps extends QueryGroup {
         |  element_at(map_concat(m, map(h1 % 10, concat('Z', CAST(h2 % 9 AS STRING)))), h1 % 10) AS cat_lastwin,
         |  array_join(map_keys(map_filter(m, (k, v) -> k % 2 = 0)), ',') AS even_keys,
         |  array_join(map_values(transform_values(m, (k, v) -> concat(v, '!'))), ',') AS bang_vals
-        |FROM t ORDER BY i""".stripMargin)
+        |FROM t ORDER BY i""".stripMargin) }
     },
 
     // ── ROW/struct semantics under operand sweep (round 11; reference

@@ -13,6 +13,16 @@ class FnSpec extends AnyFunSuite {
 
   private def ready(): Unit = Tables.register(spark, TestSession.sf)
 
+  /** Reference CALL CONVENTIONS (log/trim argument order, regexp/
+    * split_part/element_at contracts, random(n), kurtosis definition)
+    * are part of the Presto dialect flag since round 13 — one flag, one
+    * coherent dialect. The DataFrame API is untouched by the flag.
+    */
+  private def withDialect[T](f: => T): T = {
+    spark.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+    try f finally spark.conf.unset(graft.functions.PrestoOperators.ConfKey)
+  }
+
   test("CAST(complex AS JSON): rows are arrays, map keys string-sorted, reference temporal/float text (JsonUtil.java writers)") {
     // oracle row dialect_json_complex pins row-as-array/sorted-map/
     // decimal over the corpus; these are the surfaces DuckDB can't
@@ -1000,6 +1010,7 @@ class FnSpec extends AnyFunSuite {
 
   test("log/trim argument order and element_at bounds follow the reference (round 12)") {
     ready()
+    withDialect {
     // log(number, base) — MathFunctions.java:171; Spark's builtin is
     // log(base, number), a silent swap for any ported query
     val lg = spark.sql("SELECT log(8, 2), log(100, 10), log(2.0)").collect()(0)
@@ -1050,17 +1061,16 @@ class FnSpec extends AnyFunSuite {
       s"index 0 must still error: ${zeroErr.getMessage.take(100)}")
     // the SUBSCRIPT path stays strict (reference ArraySubscriptOperator
     // errors on OOB) — the element_at leniency must not leak into it
-    spark.sql("SET spark.graft.prestoOperators=true")
-    try {
-      assert(spark.sql("SELECT ARRAY(1, 2, 3)[2]").collect()(0).getInt(0) == 2)
-      intercept[Exception] {
-        spark.sql("SELECT ARRAY(1, 2, 3)[9]").collect()
-      }
-    } finally spark.sql("SET spark.graft.prestoOperators=false")
+    assert(spark.sql("SELECT ARRAY(1, 2, 3)[2]").collect()(0).getInt(0) == 2)
+    intercept[Exception] {
+      spark.sql("SELECT ARRAY(1, 2, 3)[9]").collect()
+    }
+    }
   }
 
   test("regexp_extract/split_part/random follow the reference contracts (round 12)") {
     ready()
+    withDialect {
     // regexp_extract (JoniRegexpFunctions.java:245-276): default group 0
     // = whole match (Spark defaults 1); no match and unmatched group are
     // NULL (Spark returns '')
@@ -1081,15 +1091,16 @@ class FnSpec extends AnyFunSuite {
     // (Spark appends ''); regexp_replace 2-arg removes matches
     val rea = spark.sql(
       """SELECT array_join(regexp_extract_all('W12_a W9_b', 'W[0-9]+'), '|'),
-        |  regexp_extract_all('xa', '(x)|(q)', 2)[0] IS NULL,
+        |  regexp_extract_all('xa', '(x)|(q)', 2)[1] IS NULL,
         |  regexp_replace('a1b22c', '[0-9]+')""".stripMargin).collect()(0)
     assert(rea.getString(0) == "W12|W9", "default group 0 over all matches")
     assert(rea.getBoolean(1), "non-participating group -> NULL element")
     assert(rea.getString(2) == "abc", "2-arg regexp_replace removes matches")
-    // json_extract / get_json_object return the subtree AS JSON TEXT —
-    // string scalars keep their quotes (JsonFunctions.java:443-467);
-    // Spark's get_json_object unquotes them. json_extract_scalar is the
-    // unquoting spelling.
+    // json_extract returns the subtree AS JSON TEXT — string scalars
+    // keep their quotes (JsonFunctions.java:443-467); json_extract_scalar
+    // is the unquoting spelling. get_json_object is a Spark/Hive-only
+    // name (no ported reference query can contain it) and keeps Spark's
+    // unquoting builtin in BOTH dialect states — round-13 ADVICE fix.
     val je = spark.sql(
       """SELECT json_extract('{"a": "x"}', '$.a'),
         |  get_json_object('{"a": "x"}', '$.a'),
@@ -1097,7 +1108,7 @@ class FnSpec extends AnyFunSuite {
         |  json_extract('{"a": 1}', '$.missing'),
         |  json_extract_scalar('{"a": "x"}', '$.a')""".stripMargin).collect()(0)
     assert(je.getString(0) == "\"x\"", "string scalar keeps quotes")
-    assert(je.getString(1) == "\"x\"", "get_json_object = json_extract")
+    assert(je.getString(1) == "x", "get_json_object keeps Spark's unquoting")
     assert(je.getString(2) == "[1,2]", "bracket field access, compact re-emit")
     assert(je.isNullAt(3), "missing path -> NULL")
     assert(je.getString(4) == "x", "json_extract_scalar unquotes")
@@ -1117,6 +1128,27 @@ class FnSpec extends AnyFunSuite {
     assert(ac.getString(1) == "0,1,2")
     assert(ac.getString(2) == "1,2")
     assert(ac.getString(3) == "ab1")
+    // mixed-width NUMERIC shapes widen like the reference's implicit
+    // coercions (round-13 ADVICE fix: exact-type-only used to fail
+    // analysis with DATA_DIFF_TYPES); non-numeric mismatch still errors
+    val acw = spark.sql(
+      """SELECT array_join(ARRAY(CAST(1 AS BIGINT), CAST(2 AS BIGINT)) || 3, ','),
+        |  array_join(0.5 || ARRAY(1, 2), ','),
+        |  typeof(ARRAY(CAST(1 AS BIGINT)) || 2)""".stripMargin).collect()(0)
+    assert(acw.getString(0) == "1,2,3", "array(bigint) || int literal widens")
+    assert(acw.getString(1) == "0.5,1.0,2.0" || acw.getString(1) == "0.5,1,2",
+      s"decimal || array(int) widens: ${acw.getString(1)}")
+    assert(acw.getString(2) == "array(bigint)")
+    // a non-numeric, non-coercible mismatch keeps the analysis error
+    intercept[Exception] {
+      spark.sql("SELECT ARRAY(1, 2) || DATE '2001-01-01'").collect()
+    }
+    // zero-length regex matches advance one CODEPOINT (round-13 ADVICE
+    // fix — +1 UTF-16 char used to resume mid-surrogate-pair, emitting
+    // an extra element on non-BMP input)
+    assert(spark.sql("SELECT size(regexp_extract_all('a😀b', ''))")
+      .collect()(0).getInt(0) == 4,
+      "empty-match count = codepoints + 1, surrogate pair not split")
     // map_concat: duplicate keys keep the LAST map's value and key
     // order is the reference's last-map-first merge
     // (MapConcatFunction.java) — Spark's builtin under the session's
@@ -1210,6 +1242,14 @@ class FnSpec extends AnyFunSuite {
       "SELECT to_hex(from_hex('Ab12')), try(from_hex('ab1'))").collect()(0)
     assert(fh.getString(0) == "AB12")
     assert(fh.isNullAt(1), "TRY turns the strict error into NULL")
+    // non-ASCII Unicode digits (Arabic-Indic '٣', fullwidth '３') must
+    // ERROR like the reference's ASCII-only hexDigitCharToInt — round-13
+    // ADVICE fix: Character.digit accepted them, breaking TRY parity
+    intercept[Exception] {
+      spark.sql("SELECT from_hex('٣٣')").collect()
+    }
+    assert(spark.sql("SELECT try(from_hex('３３'))").collect()(0).isNullAt(0),
+      "TRY(from_hex) is NULL on fullwidth digits, not bytes")
     // normalize(x, NFD): the form is a bare KEYWORD in the reference
     // grammar (SqlBase.g4 normalForm) that Spark would read as a
     // column; vectors from TestStringFunctions.java:977-984
@@ -1249,6 +1289,45 @@ class FnSpec extends AnyFunSuite {
     assert(to.getString(2) == "varbinary")
     assert(to.getString(3) == "array(bigint)")
     assert(to.getString(4) == "row(a decimal(2,1))")
+    }
+  }
+
+  test("flag OFF: SQL is pure Spark SQL — no call convention applies (round 13)") {
+    ready()
+    // the round-13 coherence contract: with spark.graft.prestoOperators
+    // unset, every name keeps its stock Spark meaning (previously the
+    // call conventions were always-on, silently changing Spark-semantics
+    // SQL — the ADVICE-flagged mixed dialect)
+    val r = spark.sql(
+      """SELECT log(8, 2), ln(-1.0) IS NULL,
+        |  trim('zzhizz', 'z'),
+        |  regexp_extract('W12_ab', 'W([0-9]+)'),
+        |  regexp_extract('abc', 'zz(q)', 1),
+        |  split_part('a_b', '_', 9)""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-12,
+      "log(base, number) — Spark order")
+    assert(r.getBoolean(1), "ln out of domain stays NULL")
+    // Spark's 2-arg trim is trim(trimSet, source): 'zzhizz' is the SET,
+    // so every char of 'z' (all in the set) is stripped -> ''
+    assert(r.getString(2) == "", "2-arg trim stays trim-set-first")
+    assert(r.getString(3) == "12", "regexp_extract default group stays 1")
+    assert(r.getString(4) == "", "no-match stays ''")
+    assert(r.getString(5) == "", "split_part OOB stays ''")
+    // kurtosis in SQL = Spark's population excess = the functions API
+    val ks = spark.sql(
+      """SELECT kurtosis(x) FROM
+        |(SELECT CAST(id * id % 17 AS DOUBLE) AS x FROM range(20))""".stripMargin)
+      .collect()(0).getDouble(0)
+    val ka = spark.sql("SELECT CAST(id * id % 17 AS DOUBLE) AS x FROM range(20)")
+      .agg(org.apache.spark.sql.functions.kurtosis(
+        org.apache.spark.sql.functions.col("x"))).collect()(0).getDouble(0)
+    assert(ks == ka, "kurtosis stays Spark's population excess")
+    // rand(5) stays a seeded double; element_at stays ANSI-erroring
+    val rd = spark.sql("SELECT rand(5) FROM range(3)").collect()
+    assert(rd.forall(x => x.getDouble(0) >= 0.0 && x.getDouble(0) < 1.0))
+    intercept[Exception] {
+      spark.sql("SELECT element_at(array(1, 2, 3), 9)").collect()
+    }
   }
 
   test("Presto type spellings translate to Spark DDL") {

@@ -321,12 +321,17 @@ class PrestoOperatorsSpec extends AnyFunSuite {
     withDialect {
       intercept[Exception](one("SELECT array(10, 20, 30)[5]"))
       intercept[Exception](one("SELECT array(10, 20, 30)[0]"))
+      // element_at, statically out of bounds: NULL like the reference
+      // (ArrayElementAtFunction.java:124-126 — round 12; the erroring
+      // subscript above is the reference's ArraySubscriptOperator dual).
+      // Dialect-flag scope since round 13.
+      assert(spark.sql("SELECT element_at(array(10, 20, 30), 9)")
+        .collect()(0).isNullAt(0))
     }
-    // element_at, statically out of bounds: NULL like the reference
-    // (ArrayElementAtFunction.java:124-126 — round 12; the erroring
-    // subscript above is the reference's ArraySubscriptOperator dual)
-    assert(spark.sql("SELECT element_at(array(10, 20, 30), 9)")
-      .collect()(0).isNullAt(0))
+    // flag off: element_at keeps Spark's ANSI erroring contract
+    intercept[Exception] {
+      spark.sql("SELECT element_at(array(10, 20, 30), 9)").collect()
+    }
   }
 
   test("DataFrame API is never rewritten") {
