@@ -536,10 +536,17 @@ object PrestoCallConventions {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "regexp_replace" && u.arguments.size == 2 =>
       RegExpReplace(u.arguments(0), u.arguments(1), Literal(""))
-    // (get_json_object deliberately NOT rewritten: the name exists only
-    // in Spark/Hive — no ported reference query can contain it — so it
-    // keeps Spark's unquoting semantics; the reference contract lives on
-    // json_extract alone. Round-13 ADVICE fix.)
+    // get_json_object EXISTS in the reference (JsonFunctions.java:443 —
+    // the ObjectExtractor, i.e. json_extract semantics: subtree as JSON
+    // text, string scalars kept quoted) where Spark's same-named builtin
+    // unquotes scalars. Round 13: flag-scoped like every convention —
+    // ported Presto queries get the reference contract, flag-off SQL
+    // and the DataFrame API keep Spark's unquoting builtin. (The round-13
+    // advice to drop this case assumed the name was Spark/Hive-only;
+    // the reference source says otherwise.)
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "get_json_object" && u.arguments.size == 2 =>
+      JsonExtractPresto(u.arguments(0), u.arguments(1))
     // split_part: index past the fields returns NULL (Spark returns '')
     case u: UnresolvedFunction
         if simple(u) && name(u) == "split_part" && u.arguments.size == 3 =>

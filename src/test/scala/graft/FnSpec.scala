@@ -1096,11 +1096,12 @@ class FnSpec extends AnyFunSuite {
     assert(rea.getString(0) == "W12|W9", "default group 0 over all matches")
     assert(rea.getBoolean(1), "non-participating group -> NULL element")
     assert(rea.getString(2) == "abc", "2-arg regexp_replace removes matches")
-    // json_extract returns the subtree AS JSON TEXT — string scalars
-    // keep their quotes (JsonFunctions.java:443-467); json_extract_scalar
-    // is the unquoting spelling. get_json_object is a Spark/Hive-only
-    // name (no ported reference query can contain it) and keeps Spark's
-    // unquoting builtin in BOTH dialect states — round-13 ADVICE fix.
+    // json_extract / get_json_object (JsonFunctions.java:443-467 — BOTH
+    // reference names share the ObjectExtractor) return the subtree AS
+    // JSON TEXT, string scalars keep their quotes; json_extract_scalar
+    // is the unquoting spelling. Under the flag get_json_object follows
+    // the reference; flag-off keeps Spark's unquoting builtin (pinned in
+    // the flag-OFF test below).
     val je = spark.sql(
       """SELECT json_extract('{"a": "x"}', '$.a'),
         |  get_json_object('{"a": "x"}', '$.a'),
@@ -1108,7 +1109,7 @@ class FnSpec extends AnyFunSuite {
         |  json_extract('{"a": 1}', '$.missing'),
         |  json_extract_scalar('{"a": "x"}', '$.a')""".stripMargin).collect()(0)
     assert(je.getString(0) == "\"x\"", "string scalar keeps quotes")
-    assert(je.getString(1) == "x", "get_json_object keeps Spark's unquoting")
+    assert(je.getString(1) == "\"x\"", "get_json_object = json_extract under the flag")
     assert(je.getString(2) == "[1,2]", "bracket field access, compact re-emit")
     assert(je.isNullAt(3), "missing path -> NULL")
     assert(je.getString(4) == "x", "json_extract_scalar unquotes")
@@ -1313,6 +1314,9 @@ class FnSpec extends AnyFunSuite {
     assert(r.getString(3) == "12", "regexp_extract default group stays 1")
     assert(r.getString(4) == "", "no-match stays ''")
     assert(r.getString(5) == "", "split_part OOB stays ''")
+    assert(spark.sql("SELECT get_json_object('{\"a\": \"x\"}', '$.a')")
+      .collect()(0).getString(0) == "x",
+      "get_json_object keeps Spark's unquoting builtin with the flag off")
     // kurtosis in SQL = Spark's population excess = the functions API
     val ks = spark.sql(
       """SELECT kurtosis(x) FROM

@@ -189,4 +189,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val padded = spark.sql("SELECT CAST(CHAR 'ab' AS CHAR(4)) p").collect()(0).getString(0)
     assert(padded == "ab  ", s"[$padded]")
   }
+
+  test("every reference∩Spark builtin name collision carries a disposition (AUDIT_NAMES gate)") {
+    // the round-12 audit class caught log(8,2)=1/3 and friends; from
+    // round 13 its remainder is machine-checked — a new collision (or a
+    // dropped override) with no recorded disposition fails the gate, and
+    // the committed AUDIT_NAMES.md must match the live classification.
+    Tables.register(spark, TestSession.sf) // registerAll incl. udf overrides
+    val refNames = scala.io.Source.fromFile("tools/ref_all_names.txt")
+      .getLines().map(_.trim).filter(_.nonEmpty).toSeq
+    val (rows, missing) = graft.tools.AuditNames.classify(
+      refNames, spark.sessionState.functionRegistry)
+    assert(missing.isEmpty, s"undispositioned collisions: ${missing.mkString(", ")}")
+    val committed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("AUDIT_NAMES.md"))
+    assert(committed == graft.tools.AuditNames.render(rows),
+      "AUDIT_NAMES.md is stale — rerun `runMain graft.tools.AuditNames`")
+  }
 }
