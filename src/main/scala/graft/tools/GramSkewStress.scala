@@ -74,19 +74,37 @@ object GramSkewStress {
       try { time(TextOps.duplicatedSpans(df)); time(TextOps.duplicatedSpans(df)) }
       finally spark.conf.unset("spark.graft.exactSubstring.salt")
     }
+    // adaptive cells (round 13): salt conf UNSET, so the census probe
+    // picks the plan; threshold lowered to mult-scale so the hot fixture
+    // crosses it (the default 10M trigger corresponds to mult≈13 here)
+    def runAuto(df: DataFrame, threshold: Long): (Double, String) = {
+      spark.conf.set("spark.graft.exactSubstring.autoThreshold", threshold.toString)
+      try {
+        val t = math.min(time(TextOps.duplicatedSpans(df)),
+          time(TextOps.duplicatedSpans(df)))
+        (t, spark.conf.getOption("spark.graft.exactSubstring.lastPlan")
+          .getOrElse("?"))
+      } finally spark.conf.unset("spark.graft.exactSubstring.autoThreshold")
+    }
     // window plan (salt off) vs salted census, uniform then hot;
     // min-of-2 warm (first call per (df, plan) pays codegen)
     val uw = run(uniform, 0)
     val us = run(uniform, saltN)
     val hw = run(hot, 0)
     val hs = run(hot, saltN)
+    val threshold = math.max(1000000L, 500000L * mult)
+    val (ua, uaPlan) = runAuto(uniform, threshold)
+    val (ha, haPlan) = runAuto(hot, threshold)
 
     def fmt(v: Double) = f"$v%.2f"
     println(
       s"""{"metric":"gram_skew_stress","mult":$mult,"salt":$saltN,""" +
       s""""hot_gram_positions":$hotPos,""" +
       s""""uniform_window_sec":${fmt(uw)},"uniform_salted_sec":${fmt(us)},""" +
-      s""""hot_window_sec":${fmt(hw)},"hot_salted_sec":${fmt(hs)}}""")
+      s""""hot_window_sec":${fmt(hw)},"hot_salted_sec":${fmt(hs)},""" +
+      s""""auto_threshold":$threshold,""" +
+      s""""uniform_auto_sec":${fmt(ua)},"uniform_auto_plan":"$uaPlan",""" +
+      s""""hot_auto_sec":${fmt(ha)},"hot_auto_plan":"$haPlan"}""")
     spark.stop()
   }
 }

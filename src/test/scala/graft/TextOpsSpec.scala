@@ -78,6 +78,28 @@ class TextOpsSpec extends AnyFunSuite {
         spark.conf.unset("spark.graft.exactSubstring.wideHash")
       }
     }
+    // the SELF-TRIGGERING census probe (round 13): salt conf unset, a
+    // tiny threshold forces the salted pick, the default keeps the
+    // window — both adaptive results equal the base, and the recorded
+    // decision names the chosen plan
+    for ((threshold, expectPlan) <- Seq(("1", "salted-32"), (null, "window"))) {
+      if (threshold != null)
+        spark.conf.set("spark.graft.exactSubstring.autoThreshold", threshold)
+      try {
+        val v = operators.TextOps.duplicatedSpans(docs)
+          .orderBy("doc_id").collect().toSeq
+        assert(v == base, s"adaptive (threshold=$threshold) diverges")
+        val plan = spark.conf.get("spark.graft.exactSubstring.lastPlan")
+        assert(plan.startsWith(expectPlan),
+          s"adaptive threshold=$threshold picked [$plan], expected $expectPlan")
+      } finally if (threshold != null)
+        spark.conf.unset("spark.graft.exactSubstring.autoThreshold")
+    }
+    // auto=false restores the unconditional single-window plan (no probe)
+    spark.conf.set("spark.graft.exactSubstring.auto", "false")
+    try assert(operators.TextOps.duplicatedSpans(docs)
+      .orderBy("doc_id").collect().toSeq == base)
+    finally spark.conf.unset("spark.graft.exactSubstring.auto")
   }
 
   test("minhash LSH pairs are genuinely similar (precision)") {
