@@ -1833,6 +1833,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => graft.plans.ResolveArrayConcatElement)
     ext.injectResolutionRule(_ => graft.plans.ResolveTimeArithmetic)
     ext.injectResolutionRule(_ => graft.plans.ResolveZonedTimeCompare)
+    ext.injectResolutionRule(_ => graft.functions.PrestoComparisonRule)
     ext.injectResolutionRule(_ => graft.plans.EmptyGroupingSetsRule)
     ext.injectResolutionRule(_ => graft.plans.ZonedGroupingRule)
     ext.injectOptimizerRule(_ => graft.plans.SimplifyElementAt)

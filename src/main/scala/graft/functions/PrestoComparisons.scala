@@ -1,0 +1,407 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** Reference comparison semantics under the operator dialect
+  * (`spark.graft.prestoOperators`, see [[PrestoOperators]]) for the two
+  * places Spark's comparisons legitimately differ:
+  *
+  *  - **Floating NaN**: the reference's scalar comparison operators are
+  *    raw Java (DoubleOperators.java:139-176 `left == right` /
+  *    `left > right`), so `NaN = NaN` is FALSE, `NaN > x` is FALSE and
+  *    `NaN <> NaN` is TRUE; Spark's ordering-based comparisons treat NaN
+  *    as equal-to-itself and larger-than-everything (`NaN = NaN` → true,
+  *    `NaN > 5` → true). Grouping/DISTINCT/ORDER BY agree between the
+  *    engines (both key NaN as one group and sort it last) and stay
+  *    stock; `IS [NOT] DISTINCT FROM` agrees too (DoubleOperators
+  *    distinctFrom special-cases NaN≡NaN exactly like Spark's `<=>`)
+  *    and stays stock.
+  *
+  *  - **Structural equality is three-valued**: `ARRAY[1,NULL] =
+  *    ARRAY[1,NULL]` is NULL in the reference (ArrayEqualOperator.java:
+  *    any NULL element or indeterminate element-compare makes the result
+  *    indeterminate unless some pair is definitely unequal — then FALSE;
+  *    RowEqualOperator.java and MapEqualOperator.java/
+  *    MapGenericEquality.java recurse the same way, with map size or a
+  *    missing key deciding FALSE outright), where Spark's structural
+  *    equality treats nested NULLs as equal (→ true). Spark also rejects
+  *    `=` on maps entirely (INVALID_ORDERING_TYPE) which the reference
+  *    supports. Array/row ORDERING comparisons in the reference ERROR on
+  *    NULL elements (ArrayLessThanOperator/RowComparisonOperator
+  *    checkElementNotNull) and compare elements with pairwise raw
+  *    less-than (a NaN element is neither less nor greater — it reads as
+  *    equal and the scan moves on), where Spark sorts NULL first and NaN
+  *    last. `<=>` on arrays/rows agrees between engines (nested NULLs
+  *    equal, NaN equal) and stays stock; on maps Spark errors, so the
+  *    dialect supplies the reference's MapDistinctFromOperator contract.
+  *
+  * All rewrites fire only under the conf, only on resolved operands of
+  * the affected types, and produce node types this rule never matches —
+  * the resolution fixed point can't loop. IN lists over these types
+  * follow by OR-composition (the reference's IN is defined over EQUAL:
+  * TRUE if any member equals, NULL if none do but some compare
+  * indeterminate — exactly `Or`'s three-valued fold). Everything else
+  * (ints, decimals, strings, dates) is value-identical between the
+  * engines and never rewritten; the DataFrame API keeps pure Spark
+  * semantics like every other dialect seam.
+  */
+object PrestoComparisons {
+
+  /** Scalar float/double comparisons keep their STOCK node and gain a
+    * conjoined NaN guard: `cmp AND (CASE WHEN l IS NULL OR r IS NULL
+    * THEN NULL ELSE NOT (isnan(l) OR isnan(r)) END)`. The conjunction is
+    * exact for all five operators — whenever either operand is NaN (and
+    * none is NULL) the reference's raw-Java result is false for
+    * `= < <= > >=` (and Not() then yields true for `<>`), and Spark's
+    * NaN-as-largest answer is overridden by the false guard; NULL
+    * operands keep NULL because the guard itself goes NULL with them
+    * (a bare `NOT isnan(..)` guard would evaluate AND(NULL, false) =
+    * false for a NULL-vs-NaN pair, where the reference's
+    * RETURN_NULL_ON_NULL convention says NULL — caught by the sweep's
+    * dn2-NULL rows). Keeping the
+    * stock node — rather than a custom raw-compare expression — is what
+    * preserves the two scale paths: parquet filter pushdown translates
+    * the And's comparison conjunct (PushedFilters survive the dialect),
+    * and ExtractEquiJoinKeys still finds the EqualTo inside the And, so
+    * float-keyed joins stay hash joins (with the guard as a post-join
+    * condition) instead of degrading to nested loops.
+    *
+    * The tag stops the analyzer's next fixed-point pass from re-wrapping
+    * the comparison we just guarded (tags survive withNewChildren; a
+    * rule that rebuilds the node from scratch would merely cause one
+    * redundant — still correct — extra guard).
+    */
+  private val NanGuardedTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.presto.nanGuarded")
+
+  private[functions] def nanGuarded(cmp: BinaryComparison): Expression = {
+    cmp.setTagValue(NanGuardedTag, ())
+    val guard = If(
+      Or(IsNull(cmp.left), IsNull(cmp.right)),
+      Literal(null, BooleanType),
+      Not(Or(IsNaN(cmp.left), IsNaN(cmp.right))))
+    And(cmp, guard)
+  }
+
+  private[functions] def notYetGuarded(cmp: BinaryComparison): Boolean =
+    cmp.getTagValue(NanGuardedTag).isEmpty
+
+  private[functions] def isFloat(dt: DataType): Boolean =
+    dt == DoubleType || dt == FloatType
+
+  /** Shared recursion for the structural expressions below. */
+  private object Structural {
+
+    /** Three-valued equality (null = indeterminate), reference EQUAL
+      * operator semantics at every level.
+      */
+    def eq(dt: DataType, a: Any, b: Any): java.lang.Boolean = dt match {
+      case DoubleType =>
+        java.lang.Boolean.valueOf(a.asInstanceOf[Double] == b.asInstanceOf[Double])
+      case FloatType =>
+        java.lang.Boolean.valueOf(a.asInstanceOf[Float] == b.asInstanceOf[Float])
+      case ArrayType(et, _) =>
+        val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+        if (x.numElements != y.numElements) return java.lang.Boolean.FALSE
+        var indeterminate = false
+        var i = 0
+        while (i < x.numElements) {
+          if (x.isNullAt(i) || y.isNullAt(i)) indeterminate = true
+          else {
+            val r = eq(et, x.get(i, et), y.get(i, et))
+            if (r == null) indeterminate = true
+            else if (!r) return java.lang.Boolean.FALSE
+          }
+          i += 1
+        }
+        if (indeterminate) null else java.lang.Boolean.TRUE
+      case st: StructType =>
+        val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+          b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+        var indeterminate = false
+        var i = 0
+        while (i < st.fields.length) {
+          val ft = st.fields(i).dataType
+          if (x.isNullAt(i) || y.isNullAt(i)) indeterminate = true
+          else {
+            val r = eq(ft, x.get(i, ft), y.get(i, ft))
+            if (r == null) indeterminate = true
+            else if (!r) return java.lang.Boolean.FALSE
+          }
+          i += 1
+        }
+        if (indeterminate) null else java.lang.Boolean.TRUE
+      case MapType(kt, vt, _) =>
+        val (x, y) = (a.asInstanceOf[MapData], b.asInstanceOf[MapData])
+        if (x.numElements != y.numElements) return java.lang.Boolean.FALSE
+        val (xk, xv, yk, yv) = (x.keyArray, x.valueArray, y.keyArray, y.valueArray)
+        var indeterminate = false
+        var i = 0
+        while (i < xk.numElements) {
+          // seekKey: a key matches only on DEFINITE equality (the
+          // reference seeks with the key's EQUAL+hash — a NaN key never
+          // finds itself); a missing key decides FALSE outright
+          val j = findKey(kt, xk.get(i, kt), yk)
+          if (j < 0) return java.lang.Boolean.FALSE
+          if (xv.isNullAt(i) || yv.isNullAt(j)) indeterminate = true
+          else {
+            val r = eq(vt, xv.get(i, vt), yv.get(j, vt))
+            if (r == null) indeterminate = true
+            else if (!r) return java.lang.Boolean.FALSE
+          }
+          i += 1
+        }
+        if (indeterminate) null else java.lang.Boolean.TRUE
+      case other =>
+        java.lang.Boolean.valueOf(
+          TypeUtils.getInterpretedOrdering(other).equiv(a, b))
+    }
+
+    def findKey(kt: DataType, key: Any, keys: ArrayData): Int = {
+      var j = 0
+      while (j < keys.numElements) {
+        // map keys are non-null in both engines
+        if (eq(kt, key, keys.get(j, kt)) == java.lang.Boolean.TRUE) return j
+        j += 1
+      }
+      -1
+    }
+
+    /** Two-valued equality for the map `<=>` path (reference
+      * IS_DISTINCT_FROM recursion: nested NULLs equal, NaN equal —
+      * MapDistinctFromOperator / the per-type distinctFrom operators).
+      */
+    def nullSafeEq(dt: DataType, a: Any, b: Any): Boolean = dt match {
+      case ArrayType(et, _) =>
+        val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+        if (x.numElements != y.numElements) return false
+        var i = 0
+        while (i < x.numElements) {
+          val (ln, rn) = (x.isNullAt(i), y.isNullAt(i))
+          if (ln != rn) return false
+          if (!ln && !nullSafeEq(et, x.get(i, et), y.get(i, et))) return false
+          i += 1
+        }
+        true
+      case st: StructType =>
+        val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+          b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+        var i = 0
+        while (i < st.fields.length) {
+          val ft = st.fields(i).dataType
+          val (ln, rn) = (x.isNullAt(i), y.isNullAt(i))
+          if (ln != rn) return false
+          if (!ln && !nullSafeEq(ft, x.get(i, ft), y.get(i, ft))) return false
+          i += 1
+        }
+        true
+      case MapType(kt, vt, _) =>
+        val (x, y) = (a.asInstanceOf[MapData], b.asInstanceOf[MapData])
+        if (x.numElements != y.numElements) return false
+        val (xk, xv, yk, yv) = (x.keyArray, x.valueArray, y.keyArray, y.valueArray)
+        var i = 0
+        while (i < xk.numElements) {
+          val j = findKey(kt, xk.get(i, kt), yk)
+          if (j < 0) return false
+          val (ln, rn) = (xv.isNullAt(i), yv.isNullAt(j))
+          if (ln != rn) return false
+          if (!ln && !nullSafeEq(vt, xv.get(i, vt), yv.get(j, vt))) return false
+          i += 1
+        }
+        true
+      case other =>
+        // distinctFrom ≡ Spark's null-safe equality at the scalar level
+        // (incl. NaN≡NaN — doubles use doubleToLongBits-style identity)
+        TypeUtils.getInterpretedOrdering(other).equiv(a, b)
+    }
+
+    /** Pairwise-less lexicographic compare, reference LESS_THAN loop
+      * (ArrayLessThanOperator / RowComparisonOperator): a NULL element
+      * ERRORS, a NaN element is neither less nor greater (reads equal).
+      * Returns <0 / 0 / >0; length breaks the tie for arrays.
+      */
+    def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+      case DoubleType =>
+        val (x, y) = (a.asInstanceOf[Double], b.asInstanceOf[Double])
+        if (x < y) -1 else if (y < x) 1 else 0
+      case FloatType =>
+        val (x, y) = (a.asInstanceOf[Float], b.asInstanceOf[Float])
+        if (x < y) -1 else if (y < x) 1 else 0
+      case ArrayType(et, _) =>
+        val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+        val len = math.min(x.numElements, y.numElements)
+        var i = 0
+        while (i < len) {
+          if (x.isNullAt(i) || y.isNullAt(i)) throw new RuntimeException(
+            "ARRAY comparison not supported for arrays with null elements")
+          val c = cmp(et, x.get(i, et), y.get(i, et))
+          if (c != 0) return c
+          i += 1
+        }
+        Integer.compare(x.numElements, y.numElements)
+      case st: StructType =>
+        val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+          b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+        var i = 0
+        while (i < st.fields.length) {
+          if (x.isNullAt(i) || y.isNullAt(i)) throw new RuntimeException(
+            s"ROW comparison not supported for fields with null elements")
+          val ft = st.fields(i).dataType
+          val c = cmp(ft, x.get(i, ft), y.get(i, ft))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      case other =>
+        TypeUtils.getInterpretedOrdering(other).compare(a, b)
+    }
+  }
+
+  /** Three-valued structural `=` (reference ArrayEqualOperator /
+    * RowEqualOperator / MapEqualOperator). Long-tail comparison, never a
+    * scan hot path — CodegenFallback per house style.
+    */
+  case class StructuralEqual(left: Expression, right: Expression)
+      extends BinaryExpression with Predicate with CodegenFallback {
+
+    override def prettyName: String = "presto_structural_eq"
+    override def nullable: Boolean = true
+    override def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val a = left.eval(input)
+      if (a == null) return null
+      val b = right.eval(input)
+      if (b == null) return null
+      val r = Structural.eq(left.dataType, a, b)
+      if (r == null) null else r.booleanValue
+    }
+  }
+
+  /** Structural ordering comparison (reference Array/Row LessThan and
+    * friends): lexicographic pairwise-less, error on NULL elements.
+    */
+  case class StructuralCompare(symbol: String, left: Expression, right: Expression)
+      extends BinaryExpression with Predicate with CodegenFallback {
+
+    override def prettyName: String = "presto_structural_cmp"
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val c = Structural.cmp(left.dataType, a, b)
+      symbol match {
+        case "<"  => c < 0
+        case "<=" => c <= 0
+        case ">"  => c > 0
+        case ">=" => c >= 0
+      }
+    }
+  }
+
+  /** `<=>` on maps (Spark rejects the type; the reference's
+    * MapDistinctFromOperator recursion, negated).
+    */
+  case class MapNotDistinct(left: Expression, right: Expression)
+      extends BinaryExpression with Predicate with CodegenFallback {
+
+    override def prettyName: String = "presto_map_not_distinct"
+    override def nullable: Boolean = false
+    override def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val a = left.eval(input)
+      val b = right.eval(input)
+      if (a == null || b == null) a == null && b == null
+      else Structural.nullSafeEq(left.dataType, a, b)
+    }
+  }
+
+  /** The zoned-temporal carrier structs are VALUES of scalar types, not
+    * rows — their comparisons belong to the zoned rewrites
+    * ([[ZonedTimestamps]] instant comparison, ResolveZonedTimeCompare),
+    * which fire in the same fixed-point batch; never treat them as
+    * structural here.
+    */
+  private[functions] def structural(dt: DataType): Boolean = dt match {
+    case _ if ZonedTimestamps.isZoned(dt) || ZonedTimestamps.isZonedTime(dt) => false
+    case _: ArrayType | _: StructType | _: MapType => true
+    case _ => false
+  }
+
+  /** Array/row ordering is defined in the reference only when the
+    * element chain is orderable (maps never are — Spark rejects those
+    * shapes too, and so does the reference's orderableWithVariadicBound).
+    */
+  private[functions] def orderable(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => orderable(et)
+    case st: StructType => st.fields.forall(f => orderable(f.dataType))
+    case _: MapType => false
+    case _ => true
+  }
+
+  private[functions] def mkEqual(l: Expression, r: Expression): Expression =
+    if (isFloat(l.dataType)) nanGuarded(EqualTo(l, r))
+    else StructuralEqual(l, r)
+
+  /** sameType (nullability-insensitive): array/struct operands routinely
+    * differ only in containsNull between a column and a literal.
+    */
+  private[functions] def ready(es: Expression*): Boolean =
+    es.forall(_.resolved) && es.tail.forall(e =>
+      org.apache.spark.sql.graft.ColumnBridge.sameType(
+        e.dataType, es.head.dataType))
+}
+
+/** The dialect-gated resolution rule. Fires after type coercion has
+  * settled operand types (same fixed-point batch as the other injected
+  * rules); every produced node is a type the matcher ignores, so the
+  * rewrite is single-shot.
+  */
+object PrestoComparisonRule extends Rule[LogicalPlan] {
+  import PrestoComparisons._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!PrestoOperators.enabled) plan
+    else plan.resolveExpressions {
+      case cmp: BinaryComparison
+          if !cmp.isInstanceOf[EqualNullSafe] && notYetGuarded(cmp) &&
+            ready(cmp.left, cmp.right) && isFloat(cmp.left.dataType) =>
+        nanGuarded(cmp)
+
+      case EqualTo(l, r) if ready(l, r) && structural(l.dataType) =>
+        StructuralEqual(l, r)
+      case LessThan(l, r)
+          if ready(l, r) && structural(l.dataType) && orderable(l.dataType) =>
+        StructuralCompare("<", l, r)
+      case LessThanOrEqual(l, r)
+          if ready(l, r) && structural(l.dataType) && orderable(l.dataType) =>
+        StructuralCompare("<=", l, r)
+      case GreaterThan(l, r)
+          if ready(l, r) && structural(l.dataType) && orderable(l.dataType) =>
+        StructuralCompare(">", l, r)
+      case GreaterThanOrEqual(l, r)
+          if ready(l, r) && structural(l.dataType) && orderable(l.dataType) =>
+        StructuralCompare(">=", l, r)
+
+      case EqualNullSafe(l, r)
+          if ready(l, r) && l.dataType.isInstanceOf[MapType] =>
+        MapNotDistinct(l, r)
+
+      // IN over these types: the reference defines IN by EQUAL, which is
+      // exactly Or's three-valued fold over the member equalities
+      case In(v, list)
+          if list.nonEmpty && !list.exists(_.isInstanceOf[ListQuery]) &&
+            ready(v +: list: _*) &&
+            (isFloat(v.dataType) || structural(v.dataType)) =>
+        list.map(e => mkEqual(v, e)).reduceLeft[Expression](Or(_, _))
+    }
+}

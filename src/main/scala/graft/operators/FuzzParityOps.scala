@@ -1545,5 +1545,112 @@ object FuzzParityOps extends QueryGroup {
         finally s.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
       }
     },
+
+    // ── Sweep 24 (round 13): comparison semantics under the operator
+    // dialect. The reference's scalar float comparisons are raw Java
+    // (DoubleOperators.java: NaN = NaN → false, NaN > x → false) and its
+    // structural equality is THREE-VALUED (ArrayEqualOperator/
+    // RowEqualOperator/MapEqualOperator: a NULL element makes the result
+    // indeterminate unless some pair is definitely unequal; map size
+    // mismatch or a missing key decides false outright); array/row
+    // ordering is pairwise-less lexicographic where a NaN element reads
+    // as equal. Spark (and DuckDB!) treat NaN as self-equal-and-largest
+    // and nested NULLs as equal, so the oracle computes every expected
+    // value LONGHAND from the generating operands (CASE on isnan/IS
+    // NULL) rather than with its own comparison operators.
+    // IS [NOT] DISTINCT FROM is engine-vs-engine (all three agree). ──
+    q("fuzz_cmp_parity",
+      duckOperands + """, t AS (
+        |  SELECT i,
+        |    CASE CAST(h1 % 6 AS INT) WHEN 0 THEN CAST('NaN' AS DOUBLE) WHEN 1 THEN CAST('Infinity' AS DOUBLE) WHEN 2 THEN CAST('-Infinity' AS DOUBLE) WHEN 3 THEN CAST(0.0 AS DOUBLE) WHEN 4 THEN CAST('-0.0' AS DOUBLE) ELSE x END AS d1,
+        |    CASE CAST(h2 % 6 AS INT) WHEN 0 THEN CAST('NaN' AS DOUBLE) WHEN 1 THEN CAST('Infinity' AS DOUBLE) WHEN 2 THEN CAST(0.0 AS DOUBLE) WHEN 3 THEN CAST('-0.0' AS DOUBLE) WHEN 4 THEN CAST(7.0 AS DOUBLE) ELSE y END AS d2,
+        |    CASE WHEN h1 % 5 = 0 THEN NULL ELSE CAST(h1 % 3 AS INT) END AS p1,
+        |    CASE WHEN h2 % 7 = 0 THEN NULL ELSE CAST(h2 % 3 AS INT) END AS p2,
+        |    CASE WHEN h2 % 5 = 0 THEN NULL ELSE CAST(h2 % 3 AS INT) END AS q1,
+        |    CASE WHEN h1 % 7 = 0 THEN NULL ELSE CAST(h1 % 3 AS INT) END AS q2
+        |  FROM o), u AS (
+        |  SELECT *,
+        |    CASE WHEN i % 11 = 0 THEN NULL ELSE d1 END AS dn1,
+        |    CASE WHEN i % 13 = 0 THEN NULL ELSE d2 END AS dn2,
+        |    coalesce(p1, 9) AS cp1, coalesce(p2, 9) AS cp2,
+        |    coalesce(q1, 9) AS cq1, coalesce(q2, 9) AS cq2
+        |  FROM t)
+        |SELECT i,
+        |  CASE WHEN dn1 IS NULL OR dn2 IS NULL THEN NULL WHEN isnan(dn1) OR isnan(dn2) THEN false ELSE dn1 = dn2 END AS c_eq,
+        |  CASE WHEN dn1 IS NULL OR dn2 IS NULL THEN NULL WHEN isnan(dn1) OR isnan(dn2) THEN true ELSE dn1 <> dn2 END AS c_ne,
+        |  CASE WHEN dn1 IS NULL OR dn2 IS NULL THEN NULL WHEN isnan(dn1) OR isnan(dn2) THEN false ELSE dn1 < dn2 END AS c_lt,
+        |  CASE WHEN dn1 IS NULL OR dn2 IS NULL THEN NULL WHEN isnan(dn1) OR isnan(dn2) THEN false ELSE dn1 <= dn2 END AS c_le,
+        |  CASE WHEN dn1 IS NULL OR dn2 IS NULL THEN NULL WHEN isnan(dn1) OR isnan(dn2) THEN false ELSE dn1 > dn2 END AS c_gt,
+        |  CASE WHEN dn1 IS NULL OR dn2 IS NULL THEN NULL WHEN isnan(dn1) OR isnan(dn2) THEN false ELSE dn1 >= dn2 END AS c_ge,
+        |  CASE WHEN dn1 IS NULL THEN NULL WHEN isnan(dn1) THEN false ELSE dn1 BETWEEN -1.0 AND 1.0 END AS c_btw,
+        |  CASE WHEN dn1 IS NULL THEN NULL
+        |       WHEN NOT isnan(dn1) AND dn1 = 7.0 THEN true
+        |       WHEN dn2 IS NULL THEN NULL
+        |       WHEN NOT isnan(dn1) AND NOT isnan(dn2) AND dn1 = dn2 THEN true
+        |       ELSE false END AS c_in,
+        |  dn1 IS DISTINCT FROM dn2 AS c_idf,
+        |  CASE WHEN (p1 IS NOT NULL AND q1 IS NOT NULL AND p1 <> q1) OR (p2 IS NOT NULL AND q2 IS NOT NULL AND p2 <> q2) THEN false
+        |       WHEN p1 IS NULL OR q1 IS NULL OR p2 IS NULL OR q2 IS NULL THEN NULL
+        |       ELSE true END AS c_arr_eq,
+        |  false AS c_arr_len,
+        |  CASE WHEN (p1 IS NOT NULL AND q1 IS NOT NULL AND p1 <> q1) OR (p2 IS NOT NULL AND q2 IS NOT NULL AND p2 <> q2) THEN false
+        |       WHEN p1 IS NULL OR q1 IS NULL OR p2 IS NULL OR q2 IS NULL THEN NULL
+        |       ELSE true END AS c_row_eq,
+        |  CASE WHEN (p1 IS NOT NULL AND q1 IS NOT NULL AND p1 <> q1) OR (p2 IS NOT NULL AND q2 IS NOT NULL AND p2 <> q2) THEN false
+        |       WHEN p1 IS NULL OR q1 IS NULL OR p2 IS NULL OR q2 IS NULL THEN NULL
+        |       ELSE true END AS c_map_eq,
+        |  i % 2 = 0 AS c_map_miss,
+        |  (p1 IS NULL AND q1 IS NULL) OR (p1 IS NOT NULL AND q1 IS NOT NULL AND p1 = q1) AS c_map_nsd,
+        |  CASE WHEN cp1 <> cq1 THEN cp1 < cq1 WHEN cp2 <> cq2 THEN cp2 < cq2 ELSE false END AS c_arr_lt,
+        |  CASE WHEN cp1 <> cq1 THEN cp1 > cq1 ELSE false END AS c_arr_ge,
+        |  CASE WHEN isnan(d1) OR isnan(d2) THEN false ELSE d1 < d2 END AS c_arr_nan_lt,
+        |  CASE WHEN isnan(d1) OR isnan(d2) THEN true ELSE d1 <= d2 END AS c_arr_nan_le,
+        |  (CASE WHEN (p1 IS NOT NULL AND q1 IS NOT NULL AND p1 <> q1) OR (p2 IS NOT NULL AND q2 IS NOT NULL AND p2 <> q2) THEN false
+        |        WHEN p1 IS NULL OR q1 IS NULL OR p2 IS NULL OR q2 IS NULL THEN NULL
+        |        ELSE true END)
+        |  OR
+        |  (CASE WHEN (p1 IS NOT NULL AND p1 <> 0) OR (p2 IS NOT NULL AND p2 <> 0) THEN false
+        |        WHEN p1 IS NULL OR p2 IS NULL THEN NULL
+        |        ELSE true END) AS c_arr_in
+        |FROM u ORDER BY i""".stripMargin) { (s, _) =>
+      withPresto(s) { s.sql(sparkOperands + """, t AS (
+        |  SELECT i,
+        |    CASE CAST(h1 % 6 AS INT) WHEN 0 THEN CAST('NaN' AS DOUBLE) WHEN 1 THEN CAST('Infinity' AS DOUBLE) WHEN 2 THEN CAST('-Infinity' AS DOUBLE) WHEN 3 THEN CAST(0.0 AS DOUBLE) WHEN 4 THEN CAST('-0.0' AS DOUBLE) ELSE x END AS d1,
+        |    CASE CAST(h2 % 6 AS INT) WHEN 0 THEN CAST('NaN' AS DOUBLE) WHEN 1 THEN CAST('Infinity' AS DOUBLE) WHEN 2 THEN CAST(0.0 AS DOUBLE) WHEN 3 THEN CAST('-0.0' AS DOUBLE) WHEN 4 THEN CAST(7.0 AS DOUBLE) ELSE y END AS d2,
+        |    CASE WHEN h1 % 5 = 0 THEN NULL ELSE CAST(h1 % 3 AS INT) END AS p1,
+        |    CASE WHEN h2 % 7 = 0 THEN NULL ELSE CAST(h2 % 3 AS INT) END AS p2,
+        |    CASE WHEN h2 % 5 = 0 THEN NULL ELSE CAST(h2 % 3 AS INT) END AS q1,
+        |    CASE WHEN h1 % 7 = 0 THEN NULL ELSE CAST(h1 % 3 AS INT) END AS q2
+        |  FROM o), u AS (
+        |  SELECT *,
+        |    CASE WHEN i % 11 = 0 THEN NULL ELSE d1 END AS dn1,
+        |    CASE WHEN i % 13 = 0 THEN NULL ELSE d2 END AS dn2,
+        |    coalesce(p1, 9) AS cp1, coalesce(p2, 9) AS cp2,
+        |    coalesce(q1, 9) AS cq1, coalesce(q2, 9) AS cq2
+        |  FROM t)
+        |SELECT i,
+        |  dn1 = dn2 AS c_eq,
+        |  dn1 <> dn2 AS c_ne,
+        |  dn1 < dn2 AS c_lt,
+        |  dn1 <= dn2 AS c_le,
+        |  dn1 > dn2 AS c_gt,
+        |  dn1 >= dn2 AS c_ge,
+        |  dn1 BETWEEN -1.0D AND 1.0D AS c_btw,
+        |  dn1 IN (dn2, CAST(7.0 AS DOUBLE)) AS c_in,
+        |  dn1 IS DISTINCT FROM dn2 AS c_idf,
+        |  array(p1, p2) = array(q1, q2) AS c_arr_eq,
+        |  array(cp1) = array(cp1, cq2) AS c_arr_len,
+        |  named_struct('a', p1, 'b', p2) = named_struct('a', q1, 'b', q2) AS c_row_eq,
+        |  map(1, p1, 2, p2) = map(2, q2, 1, q1) AS c_map_eq,
+        |  map(CAST(1 + i % 2 AS INT), 1) = map(1, 1) AS c_map_miss,
+        |  map(1, p1) <=> map(1, q1) AS c_map_nsd,
+        |  array(cp1, cp2) < array(cq1, cq2) AS c_arr_lt,
+        |  array(cp1) >= array(cq1, 0) AS c_arr_ge,
+        |  array(d1) < array(d2) AS c_arr_nan_lt,
+        |  array(d1) <= array(d2) AS c_arr_nan_le,
+        |  array(p1, p2) IN (array(q1, q2), array(0, 0)) AS c_arr_in
+        |FROM u ORDER BY i""".stripMargin)
+      }
+    },
   )
 }

@@ -22,4 +22,11 @@ object ColumnBridge {
   def widerCommonType(dts: Seq[org.apache.spark.sql.types.DataType]):
       Option[org.apache.spark.sql.types.DataType] =
     org.apache.spark.sql.catalyst.analysis.TypeCoercion.findWiderCommonType(dts)
+
+  /** DataType.sameType (nullability-insensitive equality) is
+    * private[sql]; the dialect comparison rule needs it to recognize a
+    * column-vs-literal array/struct operand pair.
+    */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
 }

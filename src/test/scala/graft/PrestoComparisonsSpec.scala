@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the dialect comparison semantics (functions/PrestoComparisons):
+  * raw-Java NaN scalar comparisons, three-valued structural equality,
+  * error-on-null array/row ordering, map equality — each matching the
+  * reference (DoubleOperators.java, ArrayEqualOperator.java,
+  * RowEqualOperator.java, MapEqualOperator.java/MapGenericEquality.java,
+  * ArrayLessThanOperator.java, MapDistinctFromOperator.java) — plus the
+  * both-state contract: flag OFF keeps stock Spark on every one of those
+  * shapes, and the flag-ON plan keeps its scale paths (parquet filter
+  * pushdown of the guarded comparison, hash-join extraction of a
+  * float-keyed equi-join). Value parity across a 400-row operand grid is
+  * oracle-checked by `fuzz_cmp_parity`; this spec pins the cells DuckDB
+  * can't express directly plus the plan shapes.
+  */
+class PrestoComparisonsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def withDialect[T](f: => T): T = {
+    spark.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+    try f finally spark.conf.unset(graft.functions.PrestoOperators.ConfKey)
+  }
+
+  private def one(sql: String): org.apache.spark.sql.Row =
+    spark.sql(sql).collect()(0)
+
+  test("dialect ON: NaN scalar comparisons are raw Java (DoubleOperators.java)") {
+    withDialect {
+      val r = one(
+        """SELECT
+          |  CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE)  AS eq,
+          |  CAST('NaN' AS DOUBLE) <> CAST('NaN' AS DOUBLE) AS ne,
+          |  CAST('NaN' AS DOUBLE) > 5.0D                   AS gt,
+          |  5.0D < CAST('NaN' AS DOUBLE)                   AS lt,
+          |  CAST('NaN' AS DOUBLE) >= CAST('NaN' AS DOUBLE) AS ge,
+          |  CAST('NaN' AS DOUBLE) <=> CAST('NaN' AS DOUBLE) AS nsd,
+          |  CAST('NaN' AS DOUBLE) BETWEEN 0.0D AND 10.0D   AS btw,
+          |  CAST(NULL AS DOUBLE) = CAST('NaN' AS DOUBLE)   AS null_vs_nan""".stripMargin)
+      assert(r.getBoolean(0) === false, "NaN = NaN")
+      assert(r.getBoolean(1) === true, "NaN <> NaN")
+      assert(r.getBoolean(2) === false, "NaN > 5")
+      assert(r.getBoolean(3) === false, "5 < NaN")
+      assert(r.getBoolean(4) === false, "NaN >= NaN")
+      assert(r.getBoolean(5) === true, "<=> keeps NaN-self-equal (distinctFrom)")
+      assert(r.getBoolean(6) === false, "NaN BETWEEN")
+      assert(r.isNullAt(7), "NULL vs NaN propagates NULL (RETURN_NULL_ON_NULL)")
+    }
+  }
+
+  test("dialect ON: structural equality is three-valued; map equality works (ArrayEqualOperator/MapGenericEquality)") {
+    withDialect {
+      val r = one(
+        """SELECT
+          |  array(1, NULL) = array(1, NULL)                          AS arr_ind,
+          |  array(1, NULL) = array(2, NULL)                          AS arr_false,
+          |  array(1, 2) = array(1, 2, 3)                             AS arr_len,
+          |  array(CAST('NaN' AS DOUBLE)) = array(CAST('NaN' AS DOUBLE)) AS arr_nan,
+          |  named_struct('a', 1, 'b', CAST(NULL AS INT)) =
+          |    named_struct('a', 1, 'b', CAST(NULL AS INT))           AS row_ind,
+          |  map(1, 'a', 2, 'b') = map(2, 'b', 1, 'a')                AS map_true,
+          |  map(1, 'a') = map(2, 'a')                                AS map_misskey,
+          |  map(1, CAST(NULL AS STRING)) = map(1, CAST(NULL AS STRING)) AS map_ind,
+          |  map(1, 'a') <=> map(1, 'a')                              AS map_nsd""".stripMargin)
+      assert(r.isNullAt(0), "NULL element => indeterminate")
+      assert(r.getBoolean(1) === false, "definite unequal beats indeterminate")
+      assert(r.getBoolean(2) === false, "length mismatch decides false")
+      assert(r.getBoolean(3) === false, "nested NaN uses raw equality")
+      assert(r.isNullAt(4), "row NULL field => indeterminate")
+      assert(r.getBoolean(5) === true, "map equality is key-order-insensitive")
+      assert(r.getBoolean(6) === false, "missing key decides false")
+      assert(r.isNullAt(7), "map NULL value => indeterminate")
+      assert(r.getBoolean(8) === true, "map <=> (MapDistinctFromOperator)")
+    }
+  }
+
+  test("dialect ON: array/row ordering errors on NULL elements, NaN element reads equal (ArrayLessThanOperator)") {
+    withDialect {
+      val r = one(
+        """SELECT
+          |  array(1, 2) < array(1, 3)      AS lt,
+          |  array(1, 2) < array(1, 2, 0)   AS lt_len,
+          |  array(CAST('NaN' AS DOUBLE)) <= array(5.0D) AS nan_le,
+          |  array(CAST('NaN' AS DOUBLE)) <  array(5.0D) AS nan_lt,
+          |  named_struct('a', 2, 'b', 0) > named_struct('a', 1, 'b', 9) AS row_gt""".stripMargin)
+      assert(r.getBoolean(0) && r.getBoolean(1))
+      assert(r.getBoolean(2) === true, "NaN element neither less nor greater; length ties <=")
+      assert(r.getBoolean(3) === false)
+      assert(r.getBoolean(4) === true)
+      val e = intercept[Exception] {
+        one("SELECT array(1, NULL) < array(1, 2)")
+      }
+      assert(e.getMessage.contains("null element"),
+        s"reference errors on null array elements, got: ${e.getMessage}")
+    }
+  }
+
+  test("dialect OFF: every shape keeps stock Spark semantics") {
+    val r = one(
+      """SELECT
+        |  CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS nan_eq,
+        |  CAST('NaN' AS DOUBLE) > 5.0D                  AS nan_gt,
+        |  array(1, NULL) = array(1, NULL)               AS arr_eq,
+        |  array(1, NULL) < array(1, 2)                  AS arr_lt""".stripMargin)
+    assert(r.getBoolean(0) === true, "stock Spark: NaN self-equal")
+    assert(r.getBoolean(1) === true, "stock Spark: NaN largest")
+    assert(r.getBoolean(2) === true, "stock Spark: nested NULLs equal")
+    assert(r.getBoolean(3) === true, "stock Spark: NULL sorts first, no error")
+    // stock Spark rejects map equality — the dialect-only surface stays off
+    val e = intercept[Exception] { one("SELECT map(1, 'a') = map(1, 'a')") }
+    assert(e.getMessage.contains("INVALID_ORDERING_TYPE"))
+  }
+
+  test("dialect ON: guarded float comparisons keep pushdown and hash joins (the scale paths)") {
+    withDialect {
+      Tables.register(spark, TestSession.sf)
+      val scan = spark.sql(
+        "SELECT l_orderkey FROM lineitem WHERE l_extendedprice > 1000.0")
+        .queryExecution.executedPlan.toString
+      assert(scan.contains("GreaterThan(l_extendedprice,1000.0)"),
+        s"comparison must stay in PushedFilters under the dialect:\n$scan")
+      val join = spark.sql(
+        """SELECT a.l_orderkey FROM lineitem a
+          |JOIN lineitem b ON a.l_extendedprice = b.l_extendedprice
+          |WHERE a.l_quantity < 2""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(join.contains("HashJoin"),
+        s"float-keyed equi-join must stay a hash join under the dialect:\n$join")
+      assert(!join.contains("NestedLoop") && !join.contains("Cartesian"))
+    }
+  }
+}
