@@ -306,6 +306,79 @@ object PrestoComparisons {
     }
   }
 
+  /** Member search (`contains` / `array_position` / `array_remove`) with
+    * the reference's EQUAL operator (ArrayContains.java,
+    * ArrayPositionFunction.java, ArrayRemoveFunction.java): a NaN value
+    * is never found (raw-Java element equality), and an INDETERMINATE
+    * element comparison (structural elements containing NULLs) ERRORS
+    * with the reference's NOT_SUPPORTED message — where Spark finds NaN
+    * and treats nested NULLs as equal. Constructed only for float/
+    * structural element types; every other element type keeps Spark's
+    * codegen'd builtins (value-identical). Top-level NULL elements keep
+    * the builtin contracts the engines share: contains → NULL when
+    * nothing matched, position skips them, remove keeps them.
+    */
+  case class MemberSearch(kind: String, left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    override def prettyName: String = s"presto_$kind"
+    override def nullable: Boolean = true
+    override def dataType: DataType = kind match {
+      case "contains" => BooleanType
+      case "position" => LongType
+      case "remove" => left.dataType
+    }
+    override def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+
+    private def et: DataType =
+      left.dataType.asInstanceOf[ArrayType].elementType
+
+    private def indeterminate(): Nothing = throw new RuntimeException(
+      s"${if (kind == "contains") "contains" else s"array_$kind"} does not " +
+        "support arrays with elements that are null or contain null")
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      kind match {
+        case "contains" =>
+          var foundNull = false
+          var i = 0
+          while (i < arr.numElements) {
+            if (arr.isNullAt(i)) foundNull = true
+            else Structural.eq(et, arr.get(i, et), b) match {
+              case null => indeterminate()
+              case r => if (r) return true
+            }
+            i += 1
+          }
+          if (foundNull) null else false
+        case "position" =>
+          var i = 0
+          while (i < arr.numElements) {
+            if (!arr.isNullAt(i)) Structural.eq(et, arr.get(i, et), b) match {
+              case null => indeterminate()
+              case r => if (r) return (i + 1).toLong
+            }
+            i += 1
+          }
+          0L
+        case "remove" =>
+          val kept = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var i = 0
+          while (i < arr.numElements) {
+            if (arr.isNullAt(i)) kept += null
+            else Structural.eq(et, arr.get(i, et), b) match {
+              case null => indeterminate()
+              case r => if (!r) kept += arr.get(i, et)
+            }
+            i += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(kept.toArray)
+      }
+    }
+  }
+
   /** `<=>` on maps (Spark rejects the type; the reference's
     * MapDistinctFromOperator recursion, negated).
     */
@@ -396,6 +469,25 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
           if ready(l, r) && l.dataType.isInstanceOf[MapType] =>
         MapNotDistinct(l, r)
 
+      // member search over float/structural elements follows the
+      // reference EQUAL operator (NaN never found; indeterminate errors).
+      // `contains` arrives as the graft ContainsDispatch (matched here
+      // during analysis — its own replacement is picked at optimizer
+      // time, after a `withPresto` scope has already closed);
+      // array_position/array_remove arrive as Spark's builtins.
+      case cd: ContainsDispatch
+          if cd.left.resolved && cd.right.resolved && memberSearched(cd.left) =>
+        MemberSearch("contains", cd.left, cd.right)
+      case ArrayContains(arr, v)
+          if arr.resolved && v.resolved && memberSearched(arr) =>
+        MemberSearch("contains", arr, v)
+      case ArrayPosition(arr, v)
+          if arr.resolved && v.resolved && memberSearched(arr) =>
+        MemberSearch("position", arr, v)
+      case ArrayRemove(left, right)
+          if left.resolved && right.resolved && memberSearched(left) =>
+        MemberSearch("remove", left, right)
+
       // IN over these types: the reference defines IN by EQUAL, which is
       // exactly Or's three-valued fold over the member equalities
       case In(v, list)
@@ -404,4 +496,12 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
             (isFloat(v.dataType) || structural(v.dataType)) =>
         list.map(e => mkEqual(v, e)).reduceLeft[Expression](Or(_, _))
     }
+
+  /** Member-search rewrites apply when element equality diverges: float
+    * (NaN) or structural (indeterminate) element types.
+    */
+  private def memberSearched(arr: Expression): Boolean = arr.dataType match {
+    case ArrayType(et, _) => isFloat(et) || structural(et)
+    case _ => false
+  }
 }

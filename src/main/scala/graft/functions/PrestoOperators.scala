@@ -410,7 +410,19 @@ case class PrestoNullPropExtremum(children: Seq[Expression], isMax: Boolean)
     val cast = children.map(c => if (c.dataType == wider) c else Cast(c, wider))
     With(cast: _*) { refs =>
       val anyNull = refs.map(IsNull(_): Expression).reduce(Or(_, _))
-      val ext: Expression = if (isMax) Greatest(refs) else Least(refs)
+      val ext0: Expression = if (isMax) Greatest(refs) else Least(refs)
+      // the reference REJECTS NaN arguments (AbstractGreatestLeast.java:
+      // 125-129 checkNotNaN, INVALID_FUNCTION_ARGUMENT) where Spark's
+      // extremum would return NaN-as-largest; checked only inside the
+      // all-non-null branch, matching RETURN_NULL_ON_NULL ordering
+      val ext: Expression =
+        if (wider == DoubleType || wider == FloatType) {
+          val anyNaN = refs.map(IsNaN(_): Expression).reduce(Or(_, _))
+          val name = if (isMax) "greatest" else "least"
+          If(anyNaN,
+            Cast(RaiseError(Literal(s"Invalid argument to $name(): NaN")), wider),
+            ext0)
+        } else ext0
       If(anyNull, Literal.create(null, wider), ext)
     }
   }

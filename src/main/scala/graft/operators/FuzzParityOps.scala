@@ -1611,7 +1611,24 @@ object FuzzParityOps extends QueryGroup {
         |  OR
         |  (CASE WHEN (p1 IS NOT NULL AND p1 <> 0) OR (p2 IS NOT NULL AND p2 <> 0) THEN false
         |        WHEN p1 IS NULL OR p2 IS NULL THEN NULL
-        |        ELSE true END) AS c_arr_in
+        |        ELSE true END) AS c_arr_in,
+        |  CASE WHEN dn1 IS NULL THEN NULL
+        |       WHEN (NOT isnan(d1) AND NOT isnan(dn1) AND d1 = dn1)
+        |         OR (NOT isnan(d2) AND NOT isnan(dn1) AND d2 = dn1) THEN true
+        |       ELSE false END AS c_member,
+        |  CASE WHEN dn1 IS NULL THEN NULL
+        |       WHEN NOT isnan(d1) AND NOT isnan(dn1) AND d1 = dn1 THEN CAST(1 AS BIGINT)
+        |       WHEN NOT isnan(d2) AND NOT isnan(dn1) AND d2 = dn1 THEN CAST(2 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS c_pos,
+        |  CASE WHEN dn1 IS NULL THEN NULL
+        |       ELSE CAST(2
+        |         - CASE WHEN NOT isnan(d1) AND NOT isnan(dn1) AND d1 = dn1 THEN 1 ELSE 0 END
+        |         - CASE WHEN NOT isnan(d2) AND NOT isnan(dn1) AND d2 = dn1 THEN 1 ELSE 0 END
+        |         AS BIGINT) END AS c_rm_sz,
+        |  CASE WHEN dn1 IS NULL OR isnan(dn1) OR isnan(d2) THEN NULL
+        |       ELSE round(greatest(dn1, d2), 3) END AS c_gl,
+        |  CASE WHEN dn1 IS NULL OR isnan(dn1) OR isnan(d2) THEN NULL
+        |       ELSE round(least(dn1, d2), 3) END AS c_ll
         |FROM u ORDER BY i""".stripMargin) { (s, _) =>
       withPresto(s) { s.sql(sparkOperands + """, t AS (
         |  SELECT i,
@@ -1648,7 +1665,12 @@ object FuzzParityOps extends QueryGroup {
         |  array(cp1) >= array(cq1, 0) AS c_arr_ge,
         |  array(d1) < array(d2) AS c_arr_nan_lt,
         |  array(d1) <= array(d2) AS c_arr_nan_le,
-        |  array(p1, p2) IN (array(q1, q2), array(0, 0)) AS c_arr_in
+        |  array(p1, p2) IN (array(q1, q2), array(0, 0)) AS c_arr_in,
+        |  contains(array(d1, d2), dn1) AS c_member,
+        |  array_position(array(d1, d2), dn1) AS c_pos,
+        |  CAST(size(array_remove(array(d1, d2), dn1)) AS BIGINT) AS c_rm_sz,
+        |  round(TRY(greatest(dn1, d2)), 3) AS c_gl,
+        |  round(TRY(least(dn1, d2)), 3) AS c_ll
         |FROM u ORDER BY i""".stripMargin)
       }
     },

@@ -124,13 +124,13 @@ object AuditNames {
     "percentile_approx" -> ("IDENTICAL",
       "approximate-percentile contract (reference alias of approx_percentile; the Presto signature resolves to the graft approx_percentile registration)"),
     // arrays / lambdas
-    "array_distinct" -> ("SWEEP", "fuzz_array_parity n_dist (first-occurrence order both)"),
-    "array_except" -> ("IDENTICAL", "distinct left-minus-right, first-occurrence order both (ArrayExceptFunction)"),
-    "array_intersect" -> ("IDENTICAL", "distinct intersection both (ArrayIntersectFunction)"),
-    "array_union" -> ("IDENTICAL", "distinct union both (ArrayUnionFunction)"),
-    "arrays_overlap" -> ("IDENTICAL", "true on common non-null; NULL when only nulls could match — both (ArraysOverlapFunction)"),
-    "array_position" -> ("SWEEP", "fuzz_array_parity pos_m (1-based, 0 when absent both)"),
-    "array_remove" -> ("IDENTICAL", "removes value-equal elements both (ArrayRemoveFunction)"),
+    "array_distinct" -> ("SWEEP", "fuzz_array_parity n_dist (first-occurrence order both); NaN-multiplicity leniency documented in COVERAGE.md tranche 6 (reference TypedSet raw-equality never dedups NaNs — a 0.235 wart fixed upstream; we keep one)"),
+    "array_except" -> ("LENIENCY", "distinct left-minus-right, first-occurrence order both (ArrayExceptFunction); same TypedSet NaN-multiplicity leniency as array_distinct"),
+    "array_intersect" -> ("LENIENCY", "distinct intersection both (ArrayIntersectFunction); same TypedSet NaN-multiplicity leniency as array_distinct"),
+    "array_union" -> ("LENIENCY", "distinct union both (ArrayUnionFunction); same TypedSet NaN-multiplicity leniency as array_distinct"),
+    "arrays_overlap" -> ("LENIENCY", "true on common non-null; NULL when only nulls could match — both (ArraysOverlapFunction); NaN-common-element edge follows Spark (reference raw equality would miss it)"),
+    "array_position" -> ("SWEEP", "fuzz_array_parity pos_m (1-based, 0 when absent both); dialect: reference EQUAL — NaN never found, structural-indeterminate errors (fuzz_cmp_parity c_pos, PrestoComparisonRule)"),
+    "array_remove" -> ("SWEEP", "removes value-equal elements both (ArrayRemoveFunction); dialect: reference EQUAL — NaN never removed, structural-indeterminate errors (fuzz_cmp_parity c_rm_sz, PrestoComparisonRule)"),
     "array_sort" -> ("IDENTICAL", "1-arg natural order, nulls LAST both (ArraySortFunction; Spark's sort_array — nulls first — is a different name)"),
     "filter" -> ("SWEEP", "fuzz_array_parity n_even"),
     "slice" -> ("SWEEP", "fuzz_array_parity mid2 (1-based start + length both)"),

@@ -96,17 +96,65 @@ class PrestoComparisonsSpec extends AnyFunSuite {
     }
   }
 
+  test("dialect ON: member search uses the reference EQUAL (ArrayContains/ArrayPosition/ArrayRemoveFunction)") {
+    withDialect {
+      val r = one(
+        """SELECT
+          |  contains(array(CAST('NaN' AS DOUBLE), 1.0D), CAST('NaN' AS DOUBLE)) AS c_nan,
+          |  contains(array(1.0D, CAST(NULL AS DOUBLE)), 3.0D)                   AS c_nullmiss,
+          |  array_position(array(CAST('NaN' AS DOUBLE), 1.0D), CAST('NaN' AS DOUBLE)) AS p_nan,
+          |  size(array_remove(array(CAST('NaN' AS DOUBLE), 1.0D, 1.0D), 1.0D))  AS r_keepnan,
+          |  size(array_remove(array(CAST('NaN' AS DOUBLE)), CAST('NaN' AS DOUBLE))) AS r_nan,
+          |  contains(array('x', 'y'), 'y')                                      AS c_str""".stripMargin)
+      assert(r.getBoolean(0) === false, "NaN is never found (raw EQUAL)")
+      assert(r.isNullAt(1), "no match + null element => NULL")
+      assert(r.getLong(2) === 0L, "array_position NaN => 0")
+      assert(r.getInt(3) === 1, "remove drops value-equal, keeps NaN")
+      assert(r.getInt(4) === 1, "remove never matches NaN")
+      assert(r.getBoolean(5) === true, "non-float element types keep the builtin")
+      val e = intercept[Exception] { one(
+        """SELECT contains(array(named_struct('a', 1, 'b', CAST(NULL AS INT))),
+          |                named_struct('a', 1, 'b', CAST(NULL AS INT)))""".stripMargin) }
+      assert(e.getMessage.contains("does not support arrays"),
+        s"indeterminate element compare errors like the reference: ${e.getMessage}")
+    }
+  }
+
+  test("dialect ON: greatest/least reject NaN (AbstractGreatestLeast.checkNotNaN), NULL-prop stays outermost") {
+    withDialect {
+      val r = one(
+        """SELECT
+          |  TRY(greatest(1.0D, CAST('NaN' AS DOUBLE))) AS g_nan,
+          |  TRY(least(CAST('NaN' AS DOUBLE), 5.0D))    AS l_nan,
+          |  greatest(1.0D, 2.0D)                       AS g_ok,
+          |  greatest(CAST(NULL AS DOUBLE), CAST('NaN' AS DOUBLE)) AS g_null_first""".stripMargin)
+      assert(r.isNullAt(0) && r.isNullAt(1), "NaN argument errors (TRY => NULL)")
+      assert(r.getDouble(2) === 2.0)
+      assert(r.isNullAt(3), "RETURN_NULL_ON_NULL wins before the NaN check")
+      val e = intercept[Exception] {
+        one("SELECT greatest(CAST('NaN' AS DOUBLE), 1.0D)")
+      }
+      assert(e.getMessage.contains("Invalid argument to greatest(): NaN"))
+    }
+  }
+
   test("dialect OFF: every shape keeps stock Spark semantics") {
     val r = one(
       """SELECT
         |  CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS nan_eq,
         |  CAST('NaN' AS DOUBLE) > 5.0D                  AS nan_gt,
         |  array(1, NULL) = array(1, NULL)               AS arr_eq,
-        |  array(1, NULL) < array(1, 2)                  AS arr_lt""".stripMargin)
+        |  array(1, NULL) < array(1, 2)                  AS arr_lt,
+        |  contains(array(CAST('NaN' AS DOUBLE)), CAST('NaN' AS DOUBLE)) AS c_nan,
+        |  array_position(array(CAST('NaN' AS DOUBLE)), CAST('NaN' AS DOUBLE)) AS p_nan,
+        |  isnan(greatest(1.0D, CAST('NaN' AS DOUBLE)))  AS g_nan""".stripMargin)
     assert(r.getBoolean(0) === true, "stock Spark: NaN self-equal")
     assert(r.getBoolean(1) === true, "stock Spark: NaN largest")
     assert(r.getBoolean(2) === true, "stock Spark: nested NULLs equal")
     assert(r.getBoolean(3) === true, "stock Spark: NULL sorts first, no error")
+    assert(r.getBoolean(4) === true, "stock Spark: contains finds NaN")
+    assert(r.getLong(5) === 1L, "stock Spark: array_position finds NaN")
+    assert(r.getBoolean(6) === true, "stock Spark: greatest returns NaN")
     // stock Spark rejects map equality — the dialect-only surface stays off
     val e = intercept[Exception] { one("SELECT map(1, 'a') = map(1, 'a')") }
     assert(e.getMessage.contains("INVALID_ORDERING_TYPE"))
