@@ -1628,7 +1628,14 @@ object FuzzParityOps extends QueryGroup {
         |  CASE WHEN dn1 IS NULL OR isnan(dn1) OR isnan(d2) THEN NULL
         |       ELSE round(greatest(dn1, d2), 3) END AS c_gl,
         |  CASE WHEN dn1 IS NULL OR isnan(dn1) OR isnan(d2) THEN NULL
-        |       ELSE round(least(dn1, d2), 3) END AS c_ll
+        |       ELSE round(least(dn1, d2), 3) END AS c_ll,
+        |  CASE WHEN dn1 IS NULL THEN true WHEN dn2 IS NULL THEN false
+        |       WHEN isnan(dn1) OR isnan(dn2) THEN false
+        |       ELSE dn1 = dn2 END AS c_nullif_null,
+        |  CAST(CASE WHEN dn1 IS NULL THEN 0
+        |       WHEN dn2 IS NOT NULL AND NOT isnan(dn1) AND NOT isnan(dn2) AND dn1 = dn2 THEN 1
+        |       WHEN NOT isnan(dn1) AND dn1 = 7.0 THEN 2
+        |       ELSE 0 END AS BIGINT) AS c_case
         |FROM u ORDER BY i""".stripMargin) { (s, _) =>
       withPresto(s) { s.sql(sparkOperands + """, t AS (
         |  SELECT i,
@@ -1670,7 +1677,9 @@ object FuzzParityOps extends QueryGroup {
         |  array_position(array(d1, d2), dn1) AS c_pos,
         |  CAST(size(array_remove(array(d1, d2), dn1)) AS BIGINT) AS c_rm_sz,
         |  round(TRY(greatest(dn1, d2)), 3) AS c_gl,
-        |  round(TRY(least(dn1, d2)), 3) AS c_ll
+        |  round(TRY(least(dn1, d2)), 3) AS c_ll,
+        |  nullif(dn1, dn2) IS NULL AS c_nullif_null,
+        |  CAST(CASE dn1 WHEN dn2 THEN 1 WHEN CAST(7.0 AS DOUBLE) THEN 2 ELSE 0 END AS BIGINT) AS c_case
         |FROM u ORDER BY i""".stripMargin)
       }
     },

@@ -138,6 +138,29 @@ class PrestoComparisonsSpec extends AnyFunSuite {
     }
   }
 
+  test("dialect ON: NULLIF and simple CASE consume the reference EQUAL (via the lowered EqualTo)") {
+    // Spark lowers both constructs to EqualTo during analysis, so the
+    // guarded-comparison rule covers them without a dedicated rewrite —
+    // this pin makes that coverage a contract instead of an accident
+    withDialect {
+      val r = one(
+        """SELECT
+          |  isnan(nullif(CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE))) AS nullif_nan,
+          |  nullif(1.5D, 1.5D) AS nullif_eq,
+          |  CASE CAST('NaN' AS DOUBLE) WHEN CAST('NaN' AS DOUBLE) THEN 'hit' ELSE 'miss' END AS case_nan,
+          |  CASE array(1, CAST(NULL AS INT)) WHEN array(1, CAST(NULL AS INT)) THEN 'hit' ELSE 'miss' END AS case_arr""".stripMargin)
+      assert(r.getBoolean(0), "nullif(NaN, NaN) keeps NaN (raw EQUAL is false)")
+      assert(r.isNullAt(1))
+      assert(r.getString(2) === "miss", "simple CASE never matches NaN")
+      assert(r.getString(3) === "miss", "indeterminate candidate is no-match")
+    }
+    // stock Spark: both constructs match NaN
+    val s = one(
+      """SELECT nullif(CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE)) AS n,
+        |  CASE CAST('NaN' AS DOUBLE) WHEN CAST('NaN' AS DOUBLE) THEN 'hit' ELSE 'miss' END AS c""".stripMargin)
+    assert(s.isNullAt(0) && s.getString(1) === "hit")
+  }
+
   test("dialect OFF: every shape keeps stock Spark semantics") {
     val r = one(
       """SELECT
