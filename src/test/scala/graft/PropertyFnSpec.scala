@@ -246,4 +246,85 @@ class PropertyFnSpec extends AnyFunSuite {
       assert(Option(r.getString(6)) == frag, s"fragment: $r vs $frag")
     }
   }
+
+  test("property: dialect structural comparison invariants (reference EQUAL recursion)") {
+    // Independent test-side model of the reference's ArrayEqualOperator
+    // recursion over ARRAY<DOUBLE>: three-valued equality with raw-Java
+    // element compares. The engine path under test is the full SQL one
+    // (parser seam → PrestoComparisonRule → interpreted expressions).
+    def refEq(a: List[Option[Double]], b: List[Option[Double]]): Option[Boolean] = {
+      if (a.length != b.length) return Some(false)
+      var ind = false
+      a.zip(b).foreach {
+        // raw Java ==: NaN never equal (incl. NaN vs NaN) — definite
+        case (Some(x), Some(y)) => if (!(x == y)) return Some(false)
+        case _ => ind = true
+      }
+      if (ind) None else Some(true)
+    }
+    def refContains(a: List[Option[Double]], e: Option[Double]): Option[Boolean] = {
+      if (e.isEmpty) return None
+      var foundNull = false
+      a.foreach {
+        case Some(x) => if (x == e.get) return Some(true)
+        case None => foundNull = true
+      }
+      if (foundNull) None else Some(false)
+    }
+
+    val elem: Gen[Option[Double]] = Gen.frequency(
+      3 -> Gen.oneOf(0.0, 1.5, -2.5, 7.0).map(Some(_)),
+      1 -> Gen.const(Some(Double.NaN)),
+      1 -> Gen.const(Some(Double.PositiveInfinity)),
+      1 -> Gen.const(None))
+    val arr: Gen[List[Option[Double]]] = Gen.choose(0, 3).flatMap(Gen.listOfN(_, elem))
+    val gen = for { a <- arr; b <- arr; e <- elem } yield (a, b, e)
+    val rows = samples(gen, 250, 49L)
+
+    def lit(v: Option[Double]): String = v match {
+      case None => "CAST(NULL AS DOUBLE)"
+      case Some(d) if d.isNaN => "CAST('NaN' AS DOUBLE)"
+      case Some(d) if d.isPosInfinity => "CAST('Infinity' AS DOUBLE)"
+      case Some(d) => s"CAST($d AS DOUBLE)"
+    }
+    def alit(a: List[Option[Double]]): String =
+      if (a.isEmpty) "CAST(array() AS ARRAY<DOUBLE>)"
+      else s"array(${a.map(lit).mkString(", ")})"
+
+    val values = rows.map { case (a, b, e) =>
+      s"(${alit(a)}, ${alit(b)}, ${lit(e)})"
+    }.mkString(",\n")
+    spark.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+    val got =
+      try spark.sql(
+        s"""SELECT a = b AS eq, b = a AS eq_sym, a <=> b AS nsd,
+           |  contains(a, e) AS mem, array_position(a, e) AS pos,
+           |  size(array_remove(a, e)) AS rmsz
+           |FROM VALUES $values t(a, b, e)""".stripMargin).collect()
+      finally spark.conf.unset(graft.functions.PrestoOperators.ConfKey)
+
+    got.zip(rows).foreach { case (r, (a, b, e)) =>
+      val eq = if (r.isNullAt(0)) None else Some(r.getBoolean(0))
+      val eqSym = if (r.isNullAt(1)) None else Some(r.getBoolean(1))
+      assert(eq == refEq(a, b), s"eq: a=$a b=$b")
+      assert(eqSym == refEq(b, a), s"symmetry: a=$a b=$b")
+      // <=> must agree with every DEFINITE eq verdict
+      if (eq.contains(true)) assert(r.getBoolean(2), s"nsd vs eq-true: $a $b")
+      if (eq.contains(false) && a.length == b.length &&
+          a.zip(b).forall { case (x, y) => x.isDefined == y.isDefined &&
+            x.forall(!_.isNaN) && y.forall(!_.isNaN) })
+        assert(!r.getBoolean(2), s"nsd vs eq-false: $a $b")
+      val mem = if (r.isNullAt(3)) None else Some(r.getBoolean(3))
+      assert(mem == refContains(a, e), s"contains: a=$a e=$e")
+      // position/remove consistency with contains
+      if (e.isDefined) {
+        val pos = r.getLong(4)
+        if (mem.contains(true)) {
+          assert(pos >= 1 && a(pos.toInt - 1) == e, s"pos: a=$a e=$e pos=$pos")
+        } else assert(pos == 0L, s"pos-absent: a=$a e=$e pos=$pos")
+        val removed = a.count(x => x.isDefined && x.get == e.get)
+        assert(r.getInt(5) == a.length - removed, s"remove: a=$a e=$e")
+      } else assert(r.isNullAt(4) && r.isNullAt(5), s"null value: $a")
+    }
+  }
 }
