@@ -379,8 +379,11 @@ object PrestoComparisons {
     }
   }
 
-  /** `<=>` on maps (Spark rejects the type; the reference's
-    * MapDistinctFromOperator recursion, negated).
+  /** `<=>` on any map-containing type (Spark rejects the ordering; the
+    * reference's MapDistinctFromOperator / recursing Array- and
+    * RowDistinctFromOperator semantics, negated). nullSafeEq dispatches
+    * on the full type, so top-level maps and maps nested in arrays/rows
+    * share this node.
     */
   case class MapNotDistinct(left: Expression, right: Expression)
       extends BinaryExpression with Predicate with CodegenFallback {
@@ -465,8 +468,13 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
           if ready(l, r) && structural(l.dataType) && orderable(l.dataType) =>
         StructuralCompare(">=", l, r)
 
+      // `<=>` (IS NOT DISTINCT FROM) anywhere a MAP appears in the type:
+      // Spark rejects the ordering, the reference recurses distinctFrom
+      // (MapDistinctFromOperator; Array/RowDistinctFromOperator recurse
+      // into map-typed elements). Map-free arrays/structs stay on
+      // Spark's builtin — it already matches the reference.
       case EqualNullSafe(l, r)
-          if ready(l, r) && l.dataType.isInstanceOf[MapType] =>
+          if ready(l, r) && containsMap(l.dataType) =>
         MapNotDistinct(l, r)
 
       // member search over float/structural elements follows the
@@ -502,6 +510,13 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
     */
   private def memberSearched(arr: Expression): Boolean = arr.dataType match {
     case ArrayType(et, _) => isFloat(et) || structural(et)
+    case _ => false
+  }
+
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case ArrayType(et, _) => containsMap(et)
+    case st: StructType => st.fields.exists(f => containsMap(f.dataType))
     case _ => false
   }
 }

@@ -72,6 +72,14 @@ class PrestoComparisonsSpec extends AnyFunSuite {
       assert(r.getBoolean(6) === false, "missing key decides false")
       assert(r.isNullAt(7), "map NULL value => indeterminate")
       assert(r.getBoolean(8) === true, "map <=> (MapDistinctFromOperator)")
+      val nested = one(
+        """SELECT
+          |  array(map(1, 'a')) <=> array(map(1, 'a')) AS am_t,
+          |  array(map(1, 'a')) <=> array(map(1, 'b')) AS am_f,
+          |  array(map(1, 'a')) = array(map(1, 'a'))   AS am_eq""".stripMargin)
+      assert(nested.getBoolean(0) && !nested.getBoolean(1),
+        "map nested in array: <=> recurses distinctFrom")
+      assert(nested.getBoolean(2), "map nested in array: = recurses EQUAL")
     }
   }
 
