@@ -497,7 +497,12 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
         MemberSearch("remove", left, right)
 
       // IN over these types: the reference defines IN by EQUAL, which is
-      // exactly Or's three-valued fold over the member equalities
+      // exactly Or's three-valued fold over the member equalities. The
+      // fold deliberately forgoes Spark's InSet fast path: a v-side-only
+      // guard cannot reproduce the reference's NULL verdict for
+      // `NaN IN (NULL)` (member-side indeterminacy), and float literal
+      // IN-lists long enough for InSet to matter are not a realistic
+      // shape (ID lists are integral and stay stock).
       case In(v, list)
           if list.nonEmpty && !list.exists(_.isInstanceOf[ListQuery]) &&
             ready(v +: list: _*) &&

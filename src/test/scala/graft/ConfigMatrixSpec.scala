@@ -89,7 +89,12 @@ class ConfigMatrixSpec extends AnyFunSuite {
     // partition-/AQE-invariant and leave the shared session clean), and
     // the TIME-WTZ grid (parse-time literal rewrite + MillisecondOf
     // late-binding + wrap StaticInvokes)
-    "fuzz_ztz_parity", "dialect_ttz_parity")
+    "fuzz_ztz_parity", "dialect_ttz_parity",
+    // round 13: the comparison-semantics sweep (NaN-guarded float
+    // comparisons, interpreted structural equality, member-search and
+    // extremum rewrites — all per-row expressions that must be
+    // partition-/AQE-invariant and leave the shared session clean)
+    "fuzz_cmp_parity")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSession.sf)

@@ -191,6 +191,27 @@ class PrestoComparisonsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("INVALID_ORDERING_TYPE"))
   }
 
+  test("both confs ON: zoned values keep instant comparison, never the structural path") {
+    spark.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+    spark.conf.set(graft.functions.ZonedTimestamps.ConfKey, "true")
+    try {
+      // same instant in two zones: the zoned rewrite compares instants
+      // (equal); the structural path would compare the carrier struct
+      // fields (zone strings differ => definitely unequal)
+      val r = one(
+        """SELECT
+          |  TIMESTAMP '2001-08-22 03:04:05 Asia/Tokyo' =
+          |    at_timezone(TIMESTAMP '2001-08-22 03:04:05 Asia/Tokyo', 'America/New_York') AS same_instant,
+          |  TIMESTAMP '2001-08-22 03:04:05 Asia/Tokyo' <
+          |    TIMESTAMP '2001-08-22 03:04:06 Asia/Tokyo' AS lt""".stripMargin)
+      assert(r.getBoolean(0), "instant equality must win over struct equality")
+      assert(r.getBoolean(1))
+    } finally {
+      spark.conf.unset(graft.functions.ZonedTimestamps.ConfKey)
+      spark.conf.unset(graft.functions.PrestoOperators.ConfKey)
+    }
+  }
+
   test("dialect ON: guarded float comparisons keep pushdown and hash joins (the scale paths)") {
     withDialect {
       Tables.register(spark, TestSession.sf)
