@@ -79,14 +79,30 @@ object PrestoComparisons {
   private val NanGuardedTag =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.presto.nanGuarded")
 
-  private[functions] def nanGuarded(cmp: BinaryComparison): Expression = {
-    cmp.setTagValue(NanGuardedTag, ())
-    val guard = If(
-      Or(IsNull(cmp.left), IsNull(cmp.right)),
-      Literal(null, BooleanType),
-      Not(Or(IsNaN(cmp.left), IsNaN(cmp.right))))
-    And(cmp, guard)
-  }
+  private[functions] def nanGuarded(cmp: BinaryComparison): Expression =
+    if (cmp.left.deterministic && cmp.right.deterministic) {
+      cmp.setTagValue(NanGuardedTag, ())
+      val guard = If(
+        Or(IsNull(cmp.left), IsNull(cmp.right)),
+        Literal(null, BooleanType),
+        Not(Or(IsNaN(cmp.left), IsNaN(cmp.right))))
+      And(cmp, guard)
+    } else {
+      // a non-deterministic operand must evaluate ONCE (the reference
+      // evaluates comparison operands once per row; re-evaluating e.g. a
+      // NaN-producing expression over rand() in the guard would let the
+      // comparison and the guard see different draws) — bind through
+      // With. Pushdown doesn't apply to non-deterministic filters, so
+      // nothing is lost by the opaque shape.
+      With(cmp.left, cmp.right) { case Seq(l, r) =>
+        val bound = cmp.withNewChildren(Seq(l, r)).asInstanceOf[BinaryComparison]
+        bound.setTagValue(NanGuardedTag, ())
+        And(bound, If(
+          Or(IsNull(l), IsNull(r)),
+          Literal(null, BooleanType),
+          Not(Or(IsNaN(l), IsNaN(r)))))
+      }
+    }
 
   private[functions] def notYetGuarded(cmp: BinaryComparison): Boolean =
     cmp.getTagValue(NanGuardedTag).isEmpty
@@ -507,7 +523,16 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
           if list.nonEmpty && !list.exists(_.isInstanceOf[ListQuery]) &&
             ready(v +: list: _*) &&
             (isFloat(v.dataType) || structural(v.dataType)) =>
-        list.map(e => mkEqual(v, e)).reduceLeft[Expression](Or(_, _))
+        if ((v +: list).forall(_.deterministic))
+          list.map(e => mkEqual(v, e)).reduceLeft[Expression](Or(_, _))
+        else
+          // IN evaluates the probe and each member once per row in the
+          // reference — bind every operand before the Or-fold repeats
+          // the probe across member equalities
+          With(v +: list: _*) { refs =>
+            refs.tail.map(e => mkEqual(refs.head, e))
+              .reduceLeft[Expression](Or(_, _))
+          }
     }
 
   /** Member-search rewrites apply when element equality diverges: float

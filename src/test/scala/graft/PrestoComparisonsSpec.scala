@@ -191,6 +191,30 @@ class PrestoComparisonsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("INVALID_ORDERING_TYPE"))
   }
 
+  test("dialect ON: non-deterministic operands evaluate once (With-bound guard)") {
+    withDialect {
+      // ln(rand()-2) is always NaN: the reference's raw > is false for
+      // every row (stock Spark's NaN-largest would keep all 100); the
+      // operand is non-deterministic, so the guard must share ONE
+      // evaluation with the comparison rather than re-drawing
+      val r = one(
+        "SELECT count(*) AS n FROM range(0, 100) WHERE ln(rand() - 2.0D) > -999.0D")
+      assert(r.getLong(0) === 0L)
+      val in = one(
+        "SELECT count(*) AS n FROM range(0, 100) WHERE ln(rand() - 2.0D) IN (1.0D, 2.0D)")
+      assert(in.getLong(0) === 0L)
+      // sanity: the bound comparison still passes real values through
+      val half = one(
+        "SELECT count(*) AS n FROM range(0, 1000) WHERE rand() < 0.5").getLong(0)
+      assert(half > 350 && half < 650, s"rand() < 0.5 kept $half of 1000")
+    }
+    val off = one(
+      "SELECT count(*) AS n FROM range(0, 100) WHERE ln(rand() - 2.0D) > -999.0D")
+    // stock Spark: ln out of domain is NULL -> filter drops all rows too;
+    // the flag-off contrast that matters is NaN-largest, pinned above
+    assert(off.getLong(0) === 0L)
+  }
+
   test("both confs ON: zoned values keep instant comparison, never the structural path") {
     spark.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
     spark.conf.set(graft.functions.ZonedTimestamps.ConfKey, "true")
