@@ -316,8 +316,11 @@ object GraftSqlParser {
 
   private val DateAddDiff =
     raw"(?i)\bdate_(add|diff)\s*\(\s*'(\w+)'\s*,".r
+  // whitespace before `[` allowed — the reference grammar (and its own
+  // test corpus: TestArrayOperators.java writes `ARRAY [1, 2, 3]`)
+  // treats ARRAY and the bracket as separate tokens
   private val ArrayLiteral =
-    raw"(?i)\bARRAY\[([^\[\]]*)\]".r
+    raw"(?i)\bARRAY\s*\[([^\[\]]*)\]".r
   private val CastStart = raw"(?i)\bCAST\s*\(".r
   private val UnnestStart = raw"(?is)\bCROSS\s+JOIN\s+UNNEST\s*\(".r
   private val UnnestAlias = raw"(?is)^\s+(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(([^()]*)\)".r

@@ -191,6 +191,33 @@ class PrestoComparisonsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("INVALID_ORDERING_TYPE"))
   }
 
+  test("dialect ON: reference known-answer vectors (TestArrayOperators/TestMapOperators/TestDoubleOperators)") {
+    withDialect {
+      val r = one(
+        """SELECT
+          |  ARRAY [1, 2, 3] = ARRAY [1, 2, 3]                 AS a1,  -- TestArrayOperators.java:1235
+          |  ARRAY [10, 20, 30] < ARRAY [10, 20, 40, 50]       AS a2,  -- :1307
+          |  ARRAY [10, 20, 30] < ARRAY [10, 40]               AS a3,  -- :1309
+          |  ARRAY [10, 20] < ARRAY [10, 20, 30]               AS a4,  -- :1311
+          |  ARRAY [1.1E0, 2.2E0, 3.3E0, 4.4E0] < ARRAY [1.1E0, 2.2E0, 5.5E0] AS a5, -- :1321
+          |  MAP(ARRAY[1], ARRAY[2]) = MAP(ARRAY[1], ARRAY[2]) AS m1,  -- TestMapOperators.java:630
+          |  MAP(ARRAY[3], ARRAY[1]) = MAP(ARRAY[2], ARRAY[1]) AS m2,  -- :632
+          |  MAP(ARRAY[1], ARRAY[2]) = MAP(ARRAY[1, 3], ARRAY[2, 4]) AS m3, -- :641
+          |  37.7 IS DISTINCT FROM 37.7                        AS d1,  -- TestDoubleOperators.java:242
+          |  CAST(NULL AS DOUBLE) IS DISTINCT FROM CAST(NULL AS DOUBLE) AS d2, -- :241
+          |  CAST('NaN' AS DOUBLE) IS DISTINCT FROM CAST('NaN' AS DOUBLE) AS d3 -- :246 nan()
+          |""".stripMargin)
+      assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))
+      assert(r.getBoolean(5) && !r.getBoolean(6) && !r.getBoolean(7))
+      assert(!r.getBoolean(8) && !r.getBoolean(9) && !r.getBoolean(10))
+      // CONTAINS over structural elements with a null INSIDE the probe
+      // value errors NOT_SUPPORTED (TestArrayOperators.java:536)
+      val e = intercept[Exception] { one(
+        "SELECT contains(ARRAY [ARRAY [1.1E0, 2.2E0], ARRAY [3.3E0, 4.3E0]], ARRAY [1.1E0, CAST(NULL AS DOUBLE)])") }
+      assert(e.getMessage.contains("does not support arrays"))
+    }
+  }
+
   test("dialect ON: non-deterministic operands evaluate once (With-bound guard)") {
     withDialect {
       // ln(rand()-2) is always NaN: the reference's raw > is false for
