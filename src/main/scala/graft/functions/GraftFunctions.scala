@@ -1195,6 +1195,9 @@ object GraftFunctions {
     // ArrayContains.java `contains` — type-dispatched so Spark's string
     // contains keeps working
     "contains" -> { case Seq(a, e) => ContainsDispatch(a, e) },
+    // parser-veneer-only spelling for two-arg MAP(a, b) (never reachable
+    // from the DataFrame API; Spark's own map() is untouched)
+    "graft_map_ctor" -> { case Seq(k, v) => MapCtorDispatch(k, v) },
 
     // ── JSON family (JsonFunctions.java:64, JsonExtract.java:116) ──
     // json_extract returns the subtree AS JSON TEXT — string scalars
@@ -1385,7 +1388,14 @@ object GraftFunctions {
     // Presto ROW(...) constructor (RowConstructor; Spark spells it
     // struct — anonymous field names differ, access by position/.field
     // works the same)
-    "row" -> { args => CreateStruct(args) },
+    // anonymous ROW fields are named field0..fieldN-1 in the reference
+    // (RowType.anonymous; TestRowOperators accesses row(1,2).field0) —
+    // Spark's struct() would name them col1..colN
+    "row" -> { args =>
+      CreateNamedStruct(args.zipWithIndex.flatMap { case (a, i) =>
+        Seq(Literal(s"field$i"), a)
+      })
+    },
     // array lambda predicates (ArrayAllMatchFunction.java et al.)
     "all_match" -> { case Seq(a, f) => ArrayForAll(a, f) },
     "any_match" -> { case Seq(a, f) => ArrayExists(a, f) },

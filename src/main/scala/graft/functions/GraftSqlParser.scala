@@ -319,8 +319,7 @@ object GraftSqlParser {
   // whitespace before `[` allowed — the reference grammar (and its own
   // test corpus: TestArrayOperators.java writes `ARRAY [1, 2, 3]`)
   // treats ARRAY and the bracket as separate tokens
-  private val ArrayLiteral =
-    raw"(?i)\bARRAY\s*\[([^\[\]]*)\]".r
+  private val ArrayKw = raw"(?i)\bARRAY\s*\[".r
   private val CastStart = raw"(?i)\bCAST\s*\(".r
   private val UnnestStart = raw"(?is)\bCROSS\s+JOIN\s+UNNEST\s*\(".r
   private val UnnestAlias = raw"(?is)^\s+(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(([^()]*)\)".r
@@ -352,17 +351,56 @@ object GraftSqlParser {
       "\"" + m.group(1) + "\" AS \"" + m.group(2) + "\"")
     out = DateAddDiff.replaceAllIn(out, m =>
       s"timestamp${m.group(1).toLowerCase}(${m.group(2)},")
-    // innermost-first so ARRAY[ARRAY[1], ARRAY[2]] converges
-    var prev: String = null
-    while (prev != out) {
-      prev = out
-      out = ArrayLiteral.replaceAllIn(out, m => s"array(${m.group(1)})")
-    }
-    rewriteSortNulls(rewriteCasts(rewriteMapCtor(rewriteUnnest(rewriteExplain(
+    out = rewriteArrayLiterals(out)
+    rewriteSortNulls(rewriteMapCtor(rewriteCasts(rewriteUnnest(rewriteExplain(
+      rewriteTypedLiterals(
       rewriteDecimalLiterals(rewriteJsonLiterals(rewriteExtract(rewriteAtTimeZone(
         rewriteBareTemporals(rewriteCharLiterals(rewriteRawBackslashes(rewriteUnicodeLiterals(rewriteFromUnnest(
           rewriteTablesample(rewriteQuantified(rewriteArrayAggOrderBy(
-            rewriteArrayAggDistinct(out))))))))))))))))))
+            rewriteArrayAggDistinct(out)))))))))))))))))))
+  }
+
+  /** `ARRAY [..]` literals → `array(..)` via a QUOTE-AWARE bracket scan
+    * (round 13 — the old regex corrupted brackets inside embedded string
+    * literals, e.g. `ARRAY[JSON '[1, "a"]']`, the documented veneer
+    * caveat; the reference's own TestArrayOperators corpus hits it).
+    * Recursion rewrites inner literals first, so nesting converges;
+    * occurrences inside quotes/comments are left untouched.
+    */
+  private def rewriteArrayLiterals(sql: String): String =
+    ArrayKw.findAllMatchIn(sql).toList
+      .find(m => !insideQuoteOrComment(sql, m.start)) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchingBracket(sql, open)
+        if (close < 0) sql // unbalanced — let the real parser error
+        else {
+          val inner = rewriteArrayLiterals(sql.substring(open + 1, close))
+          sql.substring(0, m.start) + s"array($inner)" +
+            rewriteArrayLiterals(sql.substring(close + 1))
+        }
+    }
+
+  /** Index of the ']' matching the '[' at `open`, skipping single-quoted
+    * text; -1 when unbalanced.
+    */
+  private def matchingBracket(s: String, open: Int): Int = {
+    var depth = 0
+    var inQuote = false
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '[' if !inQuote => depth += 1
+        case ']' if !inQuote =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Presto allows UNNEST as a STANDALONE relation (`SELECT * FROM
@@ -833,6 +871,30 @@ object GraftSqlParser {
 
   private val DecimalLiteral = raw"(?i)\bDECIMAL\s*'\s*(-?)(\d*)(?:\.(\d*))?\s*'".r
 
+  /** Presto's GENERIC typed literal `TYPE 'text'` (grammar SqlBase.g4
+    * primaryExpression `identifier string` — a cast shorthand valid for
+    * any type; the reference's own test corpus writes BIGINT '1',
+    * DOUBLE '002.100', VARCHAR 'x' throughout). Spark's grammar only
+    * knows DATE/TIMESTAMP/INTERVAL/X'..' (and the graft rewrites for
+    * DECIMAL/JSON/CHAR), so the remaining scalar type keywords rewrite
+    * to the equivalent explicit CAST. Spellings are mapped to Spark
+    * types (REAL→FLOAT, VARCHAR→STRING — Spark's bare VARCHAR demands a
+    * length). Found by replaying TestArrayOperators vectors (round 13).
+    */
+  private val TypedLiteral =
+    raw"(?i)\b(BIGINT|INTEGER|INT|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR)\s+'((?:[^']|'')*)'".r
+
+  private def rewriteTypedLiterals(sql: String): String =
+    TypedLiteral.replaceAllIn(sql, m => {
+      val t = m.group(1).toUpperCase match {
+        case "REAL" => "FLOAT"
+        case "VARCHAR" => "STRING"
+        case "INTEGER" => "INT"
+        case other => other
+      }
+      java.util.regex.Matcher.quoteReplacement(s"CAST('${m.group(2)}' AS $t)")
+    })
+
   /** Presto's typed decimal literal `DECIMAL '12.3'` → DECIMAL(3,1)
     * (grammar SqlBase.g4 DECIMAL_VALUE; precision/scale taken from the
     * literal text, DecimalParseResult). Spark's grammar has no such
@@ -889,7 +951,11 @@ object GraftSqlParser {
     * keys defeat every map operation) and documented away.
     */
   private def rewriteMapCtor(sql: String): String = {
-    MapCtorStart.findFirstMatchIn(sql) match {
+    // runs AFTER rewriteCasts (type text is already encoded into quoted
+    // Spark DDL by then), so a quote guard suffices to keep MAP(..)
+    // inside type strings / literals untouched
+    MapCtorStart.findAllMatchIn(sql)
+      .find(m => !insideQuoteOrComment(sql, m.start)) match {
       case None => sql
       case Some(m) =>
         val open = m.end - 1
@@ -898,11 +964,14 @@ object GraftSqlParser {
         val body = rewriteMapCtor(sql.substring(open + 1, close))
         val tail = rewriteMapCtor(sql.substring(close + 1))
         val args = splitTopLevel(body)
-        val isTwoArrays = args.length == 2 &&
-          args.forall(a => a.toLowerCase.startsWith("array") &&
-            a.drop(5).trim.startsWith("("))
+        // round 13: EVERY two-argument MAP(a, b) dispatches on the
+        // RESOLVED types (MapCtorDispatch — array pair → map_from_arrays,
+        // anything else keeps Spark's pair map). The old textual
+        // `array(`-prefix check silently built a one-entry Spark map for
+        // MAP(CAST(.. AS ARRAY(..)), ..) or MAP(key_col, val_col) —
+        // found replaying TestMapOperators vectors.
         val ctor =
-          if (isTwoArrays) s"map_from_arrays($body)"
+          if (args.length == 2) s"graft_map_ctor($body)"
           else sql.substring(m.start, open) + s"($body)" // keep original spelling
         sql.substring(0, m.start) + ctor + tail
     }
@@ -942,7 +1011,9 @@ object GraftSqlParser {
     }
   }
 
-  /** Split on commas at paren depth 0, outside single quotes. */
+  /** Split on commas at paren/angle depth 0, outside single quotes
+    * (angle depth: the legacy `ARRAY<..>`/`MAP<..>` type spellings).
+    */
   private def splitTopLevel(s: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
@@ -952,8 +1023,8 @@ object GraftSqlParser {
     while (i < s.length) {
       s.charAt(i) match {
         case '\'' => inQuote = !inQuote
-        case '(' if !inQuote => depth += 1
-        case ')' if !inQuote => depth -= 1
+        case '(' | '<' if !inQuote => depth += 1
+        case ')' | '>' if !inQuote => depth -= 1
         case ',' if !inQuote && depth == 0 =>
           parts += s.substring(start, i).trim
           start = i + 1
@@ -1017,20 +1088,53 @@ object GraftSqlParser {
     val up = t.toUpperCase
     if (up.startsWith("ARRAY(") && t.endsWith(")"))
       s"ARRAY<${translateType(t.substring(6, t.length - 1))}>"
-    else if (up.startsWith("MAP(") && t.endsWith(")")) {
+    // the reference grammar's LEGACY angle spellings (SqlBase.g4 type:
+    // ARRAY '<' type '>' / MAP '<' type ',' type '>') — its own test
+    // corpus writes CAST(.. AS ARRAY<BIGINT>) throughout
+    else if (up.startsWith("ARRAY<") && t.endsWith(">"))
+      s"ARRAY<${translateType(t.substring(6, t.length - 1))}>"
+    else if (up.startsWith("MAP<") && t.endsWith(">")) {
+      val kv = splitTopLevel(t.substring(4, t.length - 1))
+      require(kv.length == 2, s"bad MAP type: $t0")
+      s"MAP<${translateType(kv.head)}, ${translateType(kv(1))}>"
+    } else if (up.startsWith("MAP(") && t.endsWith(")")) {
       val kv = splitTopLevel(t.substring(4, t.length - 1))
       require(kv.length == 2, s"bad MAP type: $t0")
       s"MAP<${translateType(kv.head)}, ${translateType(kv(1))}>"
     } else if (up.startsWith("ROW(") && t.endsWith(")")) {
-      val fields = splitTopLevel(t.substring(4, t.length - 1)).map { f =>
-        val sp = f.trim.indexOf(' ')
-        require(sp > 0, s"ROW field needs 'name type': $f")
-        s"${f.trim.substring(0, sp)}: ${translateType(f.trim.substring(sp + 1))}"
+      // the reference allows ANONYMOUS row fields (`ROW(INTEGER,
+      // INTEGER)` — RowType.anonymous, named field0..fieldN-1 like the
+      // reference's own ROW() constructor); Spark structs need names
+      val fields = splitTopLevel(t.substring(4, t.length - 1)).zipWithIndex.map {
+        case (f, i) =>
+          val ft = f.trim
+          // a field is ANONYMOUS when its first word is a type keyword
+          // standing alone or opening its own parameter list — DECIMAL(10,
+          // 5), ARRAY(..), multi-word TIME/TIMESTAMP/DOUBLE spellings. A
+          // named field is `identifier type` (a name that shadows a type
+          // keyword would need quoting, as in the reference).
+          val word = ft.takeWhile(c => c.isLetterOrDigit || c == '_')
+          val afterWord = ft.drop(word.length)
+          val isTypeWord = word.toUpperCase.matches(
+            "ARRAY|MAP|ROW|DOUBLE|TIME|TIMESTAMP|DECIMAL|VARCHAR|CHAR|INTEGER|INT|BIGINT|SMALLINT|TINYINT|BOOLEAN|REAL|DATE|JSON|VARBINARY|UNKNOWN")
+          val bareType = isTypeWord && (afterWord.trim.isEmpty ||
+            afterWord.trim.startsWith("(") || afterWord.trim.startsWith("<") ||
+            Seq("TIME", "TIMESTAMP", "DOUBLE").contains(word.toUpperCase))
+          if (bareType) s"field$i: ${translateType(ft)}"
+          else {
+            val sp = ft.indexOf(' ')
+            require(sp > 0, s"ROW field needs 'name type': $f")
+            s"${ft.substring(0, sp)}: ${translateType(ft.substring(sp + 1))}"
+          }
       }
       s"STRUCT<${fields.mkString(", ")}>"
     } else if (up == "VARCHAR") "STRING"
     else if (up == "INTEGER") "INT"
     else if (up == "REAL") "FLOAT"
+    else if (up == "VARBINARY") "BINARY"
+    // the reference's bottom type (UnknownType.java; the type of a bare
+    // NULL / empty-array literal) — Spark's spelling is VOID
+    else if (up == "UNKNOWN") "VOID"
     else t
   }
 
@@ -1059,12 +1163,17 @@ object GraftSqlParser {
           else if (up.replaceAll("\\s+", " ") == "TIME WITH TIME ZONE")
             if (ZonedTimestamps.enabled) s"zoned_ttz_cast($expr)"
             else s"CAST($expr AS TIME)"
-          else if (up.startsWith("ARRAY(") || up.startsWith("MAP(") || up.startsWith("ROW("))
+          else if (up.startsWith("ARRAY(") || up.startsWith("MAP(") ||
+              up.startsWith("ROW(") ||
+              up.startsWith("ARRAY<") || up.startsWith("MAP<"))
             // source type decides JSON-parse vs structural cast — the
             // late-binding ComplexCastDispatch picks after resolution
-            // (a ROW(...) source must structurally cast, not from_json)
+            // (a ROW(...) source must structurally cast, not from_json);
+            // angle forms are the grammar's legacy spellings
             s"complex_cast($expr, '${translateType(tpe)}')"
+          else if (up == "UNKNOWN") s"CAST($expr AS VOID)"
           else if (up == "VARCHAR") s"CAST($expr AS STRING)"
+          else if (up == "VARBINARY") s"CAST($expr AS BINARY)"
           else s"CAST($expr AS $tpe)"
         }
         sql.substring(0, m.start) + rewritten + tail

@@ -493,6 +493,60 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
           if ready(l, r) && containsMap(l.dataType) =>
         MapNotDistinct(l, r)
 
+      // member-function argument shapes Spark's analysis rejects but the
+      // reference accepts (TestArrayOperators vectors, round 13):
+      // a NULL-typed probe is RETURN_NULL_ON_NULL (constant NULL of the
+      // result type), an untyped-empty/all-NULL array adopts the probe's
+      // element type, and mixed-width numeric probe/element pairs widen
+      // to the common type (the reference's implicit numeric coercions).
+      case MemberFn(fn, arr, v, _) if v.dataType == NullType =>
+        Literal(null, fn match {
+          case "remove" => arr.dataType
+          case "position" => LongType
+          case _ => BooleanType
+        })
+      case MemberFn(fn, arr, v, rebuild)
+          if arr.dataType.asInstanceOf[ArrayType].elementType == NullType &&
+            v.dataType != NullType =>
+        rebuild(Cast(arr, ArrayType(v.dataType)), v)
+      case MemberFn(fn, arr, v, rebuild)
+          if numericish(arr.dataType.asInstanceOf[ArrayType].elementType) &&
+            numericish(v.dataType) &&
+            arr.dataType.asInstanceOf[ArrayType].elementType != v.dataType &&
+            widenPair(arr, v).isDefined =>
+        val (a2, v2) = widenPair(arr, v).get
+        rebuild(a2, v2)
+
+      // map_concat over heterogeneous-but-coercible argument types
+      // (MapConcatFunction accepts empty maps, bare NULLs, and maps whose
+      // key/value widths differ — TestMapOperators MAP_CONCAT vectors):
+      // compute the wider common map type across the arguments and cast
+      // every argument to it; fires only when the types actually differ,
+      // so it cannot loop
+      case mc: MapConcatPresto
+          if mc.children.forall(_.resolved) &&
+            mc.children.map(_.dataType).distinct.size > 1 &&
+            commonMapType(mc.children).isDefined =>
+        val target = commonMapType(mc.children).get
+        MapConcatPresto(mc.children.map { c =>
+          if (c.dataType == NullType) Literal.create(null, target)
+          else if (c.dataType == target) c
+          else Cast(c, target)
+        })
+
+      // binary array set operations over MIXED-width numeric element
+      // types (the reference's implicit coercions accept
+      // array_intersect(ARRAY[2, 3], ARRAY[2.0, 3.0]); Spark demands
+      // identical element types) — widen both sides
+      case ai @ ArrayIntersect(l, r) if widenArrays(l, r).isDefined =>
+        val (l2, r2) = widenArrays(l, r).get; ArrayIntersect(l2, r2)
+      case ae @ ArrayExcept(l, r) if widenArrays(l, r).isDefined =>
+        val (l2, r2) = widenArrays(l, r).get; ArrayExcept(l2, r2)
+      case au @ ArrayUnion(l, r) if widenArrays(l, r).isDefined =>
+        val (l2, r2) = widenArrays(l, r).get; ArrayUnion(l2, r2)
+      case ao @ ArraysOverlap(l, r) if widenArrays(l, r).isDefined =>
+        val (l2, r2) = widenArrays(l, r).get; ArraysOverlap(l2, r2)
+
       // member search over float/structural elements follows the
       // reference EQUAL operator (NaN never found; indeterminate errors).
       // `contains` arrives as the graft ContainsDispatch (matched here
@@ -548,5 +602,77 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
     case ArrayType(et, _) => containsMap(et)
     case st: StructType => st.fields.exists(f => containsMap(f.dataType))
     case _ => false
+  }
+
+  /** Extractor unifying the four member-function shapes into
+    * (name, array, value, rebuild) for the argument-coercion cases.
+    * Matches only RESOLVED array-typed forms.
+    */
+  private object MemberFn {
+    def unapply(e: Expression)
+        : Option[(String, Expression, Expression, (Expression, Expression) => Expression)] = e match {
+      case cd: ContainsDispatch
+          if cd.left.resolved && cd.right.resolved &&
+            cd.left.dataType.isInstanceOf[ArrayType] =>
+        Some(("contains", cd.left, cd.right, (a, v) => ContainsDispatch(a, v)))
+      case ArrayContains(a, v) if a.resolved && v.resolved =>
+        Some(("contains", a, v, (a2, v2) => ArrayContains(a2, v2)))
+      case ArrayPosition(a, v) if a.resolved && v.resolved =>
+        Some(("position", a, v, (a2, v2) => ArrayPosition(a2, v2)))
+      case ArrayRemove(a, v) if a.resolved && v.resolved =>
+        Some(("remove", a, v, (a2, v2) => ArrayRemove(a2, v2)))
+      case _ => None
+    }
+  }
+
+  private def numericish(dt: DataType): Boolean =
+    dt.isInstanceOf[NumericType]
+
+  /** Wider common MAP type across map_concat arguments: bare NULLs and
+    * VOID-typed empty maps adopt the others' type; numeric widths widen
+    * through findWiderCommonType. None when any argument is neither a
+    * map nor NULL, or no common type exists.
+    */
+  private def commonMapType(args: Seq[Expression]): Option[MapType] = {
+    val mapTypes = args.map(_.dataType).collect { case m: MapType => m }
+    if (mapTypes.isEmpty ||
+        !args.forall(a => a.dataType.isInstanceOf[MapType] || a.dataType == NullType))
+      return None
+    val wider = org.apache.spark.sql.graft.ColumnBridge.widerCommonType _
+    for {
+      k <- wider(mapTypes.map(_.keyType))
+      v <- wider(mapTypes.map(_.valueType))
+    } yield MapType(k, v, mapTypes.exists(_.valueContainsNull))
+  }
+
+  /** Both-arrays widening for the set operations: fires only when the
+    * element types are numeric AND differ (same-type pairs resolve on
+    * Spark's own path, so this cannot loop).
+    */
+  private def widenArrays(l: Expression, r: Expression)
+      : Option[(Expression, Expression)] = (l, r) match {
+    case _ if !l.resolved || !r.resolved => None
+    case _ => (l.dataType, r.dataType) match {
+      case (ArrayType(le, ln), ArrayType(re, rn))
+          if le != re && numericish(le) && numericish(re) =>
+        org.apache.spark.sql.graft.ColumnBridge
+          .widerCommonType(Seq(le, re)).map { w =>
+            (if (le == w) l else Cast(l, ArrayType(w, ln)),
+             if (re == w) r else Cast(r, ArrayType(w, rn)))
+          }
+      case _ => None
+    }
+  }
+
+  private def widenPair(arr: Expression, v: Expression)
+      : Option[(Expression, Expression)] = {
+    val at = arr.dataType.asInstanceOf[ArrayType]
+    org.apache.spark.sql.graft.ColumnBridge
+      .widerCommonType(Seq(at.elementType, v.dataType)).map { w =>
+        val a2 =
+          if (at.elementType == w) arr else Cast(arr, ArrayType(w, at.containsNull))
+        val v2 = if (v.dataType == w) v else Cast(v, w)
+        (a2, v2)
+      }
   }
 }

@@ -227,6 +227,30 @@ case class ContainsDispatch(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Two-argument `MAP(a, b)` from SQL text (the parser veneer routes every
+  * two-arg spelling here): the reference's only two-arg constructor is
+  * MapConstructor.java — key ARRAY + value ARRAY — so an array pair
+  * builds map_from_arrays; any other operand pair keeps Spark's own
+  * two-arg `map(k, v)` single-entry meaning. Dispatch must be on the
+  * RESOLVED types (a textual `array(`-prefix check misses
+  * CAST(.. AS ARRAY(..)) and plain array-typed columns — silently
+  * building a one-entry map of arrays).
+  */
+case class MapCtorDispatch(left: Expression, right: Expression)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def prettyName: String = "map"
+
+  override lazy val replacement: Expression = (left.dataType, right.dataType) match {
+    case (_: ArrayType, _: ArrayType) => MapFromArrays(left, right)
+    case _ => CreateMap(Seq(left, right))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MapCtorDispatch =
+    copy(left = l, right = r)
+}
+
 object StaticInvokeJsonQuote {
   def apply(child: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
@@ -315,7 +339,12 @@ case class ComplexCastDispatch(child: Expression, ddl: String)
       // positionally for rows, coerces across token types, and ERRORS on
       // malformed input — PrestoJsonDecode implements that contract
       PrestoJsonDecode(child, ddl)
-    case _ => Cast(child, targetType)
+    case _ =>
+      // the replacement materializes AFTER ResolveTimeZone has run, so a
+      // zone-needing leg (timestamp→varchar inside the target) must carry
+      // the session zone itself or stay forever unresolved
+      Cast(child, targetType,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
   }
 
   override protected def withNewChildInternal(newChild: Expression): ComplexCastDispatch =

@@ -967,8 +967,8 @@ object DialectOps extends QueryGroup {
           |           ARRAY[o_orderkey, o_orderkey + 1, o_orderkey + 2,
           |                 o_orderkey + 3]) AS JSON) AS mj,
           |  CAST(ARRAY[ROW(o_orderkey, o_orderstatus),
-          |             CAST(NULL AS STRUCT<o_orderkey: BIGINT,
-          |                                 o_orderstatus: STRING>)] AS JSON) AS aj,
+          |             CAST(NULL AS STRUCT<field0: BIGINT,
+          |                                 field1: STRING>)] AS JSON) AS aj,
           |  CAST(ROW(CAST(o_orderkey AS DECIMAL(12,2)),
           |           CAST(1.20 AS DECIMAL(5,2))) AS JSON) AS dj
           |FROM orders ORDER BY k LIMIT 500""".stripMargin)

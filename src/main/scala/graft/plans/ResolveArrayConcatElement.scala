@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, CreateArray, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, CreateArray, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DataType, NullType, NumericType, StringType}
@@ -58,6 +58,9 @@ object ResolveArrayConcatElement extends Rule[LogicalPlan] {
     else None
   }
 
+  private def sameType(a: DataType, b: DataType): Boolean =
+    org.apache.spark.sql.graft.ColumnBridge.sameType(a, b)
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveExpressions {
       case c @ Concat(Seq(l, r)) if l.resolved && r.resolved &&
@@ -69,5 +72,44 @@ object ResolveArrayConcatElement extends Rule[LogicalPlan] {
             widened(r, strip(l, et), prepend = true).getOrElse(c)
           case _ => c
         }
+      // BOTH sides arrays but one nests the other: the reference resolves
+      // `array(array(T)) || array(T)` as element APPEND (and mirrored as
+      // prepend) through the same ArrayConcatUtils signature — Spark's
+      // Concat sees DATA_DIFF_TYPES. Same-type pairs never reach here
+      // (Concat accepts them) so the match cannot shadow plain concat.
+      case c @ Concat(Seq(l, r)) if l.resolved && r.resolved &&
+          l.dataType.isInstanceOf[ArrayType] && r.dataType.isInstanceOf[ArrayType] &&
+          !sameType(l.dataType, r.dataType) =>
+        if (sameType(l.dataType.asInstanceOf[ArrayType].elementType, r.dataType))
+          widened(l, r, prepend = false).getOrElse(c)
+        else if (sameType(r.dataType.asInstanceOf[ArrayType].elementType, l.dataType))
+          widened(r, l, prepend = true).getOrElse(c)
+        else c
+      // a bare NULL among array-concat arguments: the reference's concat
+      // is RETURN_NULL_ON_NULL (the whole result is NULL); Spark's Concat
+      // null-propagates the same way but its type check rejects the
+      // argument — by the time this rule sees the pair, ConcatCoercion
+      // has usually cast the untyped NULL to STRING, so both the raw
+      // NullType and that compensating-cast artifact re-type to match
+      // the array siblings
+      case c @ Concat(children)
+          if children.length >= 2 && children.forall(_.resolved) &&
+            children.exists(isNullish) &&
+            children.exists(_.dataType.isInstanceOf[ArrayType]) &&
+            children.filterNot(isNullish)
+              .forall(e => sameType(e.dataType,
+                children.find(_.dataType.isInstanceOf[ArrayType]).get.dataType)) =>
+        val at = children.find(_.dataType.isInstanceOf[ArrayType]).get.dataType
+        Concat(children.map(e =>
+          if (isNullish(e)) Literal.create(null, at) else e))
     }
+
+  /** An untyped NULL argument, possibly wearing ConcatCoercion's
+    * compensating string cast.
+    */
+  private def isNullish(e: Expression): Boolean = e match {
+    case Literal(null, NullType) => true
+    case Cast(inner, StringType, _, _) => isNullish(inner)
+    case _ => false
+  }
 }

@@ -928,8 +928,10 @@ class FnSpec extends AnyFunSuite {
       spark.sql("SELECT fail('boom')").collect()
     }
     assert(err.getMessage.contains("boom"))
-    // ROW(...) constructor + positional access
-    val rw = spark.sql("SELECT row(1, 'a').col1, row(1, 'a').col2").collect()(0)
+    // ROW(...) constructor + positional access — anonymous fields carry
+    // the reference's field0..fieldN-1 names (round 13; RowType.anonymous,
+    // TestRowOperators row(1,2).field0)
+    val rw = spark.sql("SELECT row(1, 'a').field0, row(1, 'a').field1").collect()(0)
     assert(rw.getInt(0) == 1 && rw.getString(1) == "a")
     // multimap_from_entries: grouped values, first-occurrence key order
     val mm = spark.sql(

@@ -38,7 +38,12 @@ class ParserSpec extends AnyFunSuite {
     assert(rewrite("SELECT CAST(x AS BIGINT)") == "SELECT CAST(x AS BIGINT)")
     assert(rewrite("SELECT CAST(x AS DECIMAL(10,2))") == "SELECT CAST(x AS DECIMAL(10,2))")
     assert(rewrite("SELECT CAST(x AS VARCHAR(10))") == "SELECT CAST(x AS VARCHAR(10))")
-    assert(rewrite("SELECT CAST(x AS ARRAY<STRING>)") == "SELECT CAST(x AS ARRAY<STRING>)")
+    // the angle spelling is ALSO the reference grammar's legacy complex
+    // form (round 13), so it routes through the complex-cast dispatch —
+    // structurally identical for every input Spark's own CAST accepted,
+    // additive (reference JSON-decode) for string sources Spark rejected
+    assert(rewrite("SELECT CAST(x AS ARRAY<STRING>)") ==
+      "SELECT complex_cast(x, 'ARRAY<STRING>')")
   }
 
   test("UNNEST forms: single, map, multi-arg zip, WITH ORDINALITY") {
@@ -56,8 +61,12 @@ class ParserSpec extends AnyFunSuite {
   }
 
   test("MAP constructor: two-array Presto form only") {
+    // round 13: EVERY two-arg MAP(a, b) routes through the late-binding
+    // MapCtorDispatch (array pair → map_from_arrays on RESOLVED types;
+    // the old textual array(-prefix check silently built a one-entry
+    // Spark map for MAP(CAST(..), ..) / MAP(key_col, val_col))
     assert(rewrite("SELECT MAP(ARRAY['a'], ARRAY[1])") ==
-      "SELECT map_from_arrays(array('a'), array(1))")
+      "SELECT graft_map_ctor(array('a'), array(1))")
     // Spark's variadic map() untouched
     assert(rewrite("SELECT map('k', 1, 'j', 2)") == "SELECT map('k', 1, 'j', 2)")
     // CAST type text MAP(...) is handled by the cast rewrite, not this one
