@@ -535,6 +535,17 @@ object GraftFnUtils {
   def prestoLog2(x: Double): Double = Math.log(x) / Math.log(2)
   def prestoLogB(x: Double, b: Double): Double = Math.log(x) / Math.log(b)
 
+  /** MathFunctions.java:750-762 round(double, s) — NaN/Infinity pass
+    * through, half-away-from-zero at pow(10, s) (negatives mirrored so
+    * Math.round's half-UP becomes half-away).
+    */
+  def prestoRoundDouble(num: Double, decimals: Int): Double = {
+    if (num.isNaN || num.isInfinite) return num
+    val factor = Math.pow(10, decimals)
+    if (num < 0) -(Math.round(-num * factor) / factor)
+    else Math.round(num * factor) / factor
+  }
+
   def hmac(algo: String, data: Array[Byte], key: Array[Byte]): Array[Byte] = {
     val mac = javax.crypto.Mac.getInstance(algo)
     mac.init(new javax.crypto.spec.SecretKeySpec(key, algo))
@@ -1820,6 +1831,42 @@ object GraftFunctions {
       (b: Array[Byte]) => java.util.Base64.getUrlEncoder.encodeToString(b))
     spark.udf.register("from_base64url",
       (s: String) => java.util.Base64.getUrlDecoder.decode(s))
+
+    // Presto's default scalar null convention is RETURN_NULL_ON_NULL
+    // (the engine returns NULL without invoking the function when any
+    // argument is NULL). Spark passes reference-typed nulls INTO Scala
+    // UDFs, so 68 of the registrations above crashed on NULL input
+    // (found by a systematic NULL-argument probe in round 13:
+    // is_json_scalar(NULL) threw instead of returning NULL). Rather than
+    // hand-guarding every lambda, every UDF registered through
+    // spark.udf.register above is re-wrapped at the registry level:
+    // NULL in any argument short-circuits to a typed NULL. Re-running
+    // registerAll re-registers the raw UDFs and re-wraps them, so the
+    // pass stays idempotent.
+    val registry = spark.sessionState.functionRegistry
+    registry.listFunction()
+      .filter { fi =>
+        registry.lookupFunction(fi).exists { info =>
+          info.getClassName != null && info.getClassName.contains("UDFRegistration")
+        }
+      }
+      .foreach { fi =>
+        registry.lookupFunctionBuilder(fi).foreach { builder =>
+          registry.createOrReplaceTempFunction(fi.funcName, args => {
+            builder(args) match {
+              // scalars only: aggregates registered the same way
+              // (geometry_union_agg et al.) follow the separate
+              // ignore-null-inputs aggregate convention, and wrapping
+              // them would put a non-aggregate IsNull beside the
+              // aggregate call (MISSING_AGGREGATION)
+              case u: ScalaUDF if args.nonEmpty =>
+                If(args.map(IsNull(_): Expression).reduce(Or(_, _)),
+                  Literal.create(null, u.dataType), u)
+              case other => other
+            }
+          }, "scala_udf")
+        }
+      }
   }
 }
 

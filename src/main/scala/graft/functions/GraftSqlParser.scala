@@ -881,8 +881,11 @@ object GraftSqlParser {
     * types (REAL→FLOAT, VARCHAR→STRING — Spark's bare VARCHAR demands a
     * length). Found by replaying TestArrayOperators vectors (round 13).
     */
+  // juxtaposed form TINYINT'123' allowed too (the grammar treats the
+  // type word and the string as separate tokens; TestMathFunctions
+  // writes it without the space)
   private val TypedLiteral =
-    raw"(?i)\b(BIGINT|INTEGER|INT|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR)\s+'((?:[^']|'')*)'".r
+    raw"(?i)\b(BIGINT|INTEGER|INT|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR)\s*'((?:[^']|'')*)'".r
 
   private def rewriteTypedLiterals(sql: String): String =
     TypedLiteral.replaceAllIn(sql, m => {

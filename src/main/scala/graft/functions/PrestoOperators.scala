@@ -89,9 +89,11 @@ object PrestoOperators {
     // are evaluated a single time like the reference — the old CaseWhen
     // shape duplicated every argument into both the null probe and the
     // extremum.
+    // size >= 1: the reference accepts a single argument (returns it
+    // after the NaN check) where Spark's Greatest/Least demand two
     case u: UnresolvedFunction
         if Seq("greatest", "least").contains(fnName(u)) &&
-          u.arguments.size >= 2 && !u.isDistinct =>
+          u.arguments.nonEmpty && !u.isDistinct =>
       PrestoNullPropExtremum(u.arguments, isMax = fnName(u) == "greatest")
     // array_min/array_max return NULL when the array CONTAINS a null in
     // the reference (ArrayMinMaxUtils.java:41-43) — Spark and DuckDB
@@ -410,7 +412,9 @@ case class PrestoNullPropExtremum(children: Seq[Expression], isMax: Boolean)
     val cast = children.map(c => if (c.dataType == wider) c else Cast(c, wider))
     With(cast: _*) { refs =>
       val anyNull = refs.map(IsNull(_): Expression).reduce(Or(_, _))
-      val ext0: Expression = if (isMax) Greatest(refs) else Least(refs)
+      val ext0: Expression =
+        if (refs.size == 1) refs.head
+        else if (isMax) Greatest(refs) else Least(refs)
       // the reference REJECTS NaN arguments (AbstractGreatestLeast.java:
       // 125-129 checkNotNaN, INVALID_FUNCTION_ARGUMENT) where Spark's
       // extremum would return NaN-as-largest; checked only inside the
@@ -563,6 +567,12 @@ object PrestoCallConventions {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "split_part" && u.arguments.size == 3 =>
       SplitPartPresto(u.arguments(0), u.arguments(1), u.arguments(2))
+    // round(x, s): the reference's scale is any integer EXPRESSION
+    // (MathFunctions.java:725-762) where Spark's Round demands a foldable
+    // INT literal — late-binding dispatch on the resolved x type
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "round" && u.arguments.size == 2 =>
+      RoundDispatch(u.arguments(0), u.arguments(1))
     // random(n)/rand(n): a random INTEGER in [0, n) of the bound's type
     // (MathFunctions.java:574-610) — Spark's builtin reads the argument
     // as a SEED for a double

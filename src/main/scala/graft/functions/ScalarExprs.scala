@@ -236,6 +236,40 @@ case class ContainsDispatch(left: Expression, right: Expression)
   * CAST(.. AS ARRAY(..)) and plain array-typed columns — silently
   * building a one-entry map of arrays).
   */
+/** `round(x, s)` with a NON-LITERAL scale — the reference's round takes
+  * any integer expression (MathFunctions.java:725-762) where Spark's
+  * Round demands a foldable literal. Reference semantics: integral x is
+  * returned unchanged for any scale (the 0.235 `decimals < 0` TODO),
+  * double x rounds half-away-from-zero at pow(10, s) with NaN/Infinity
+  * passing through; a NULL operand is NULL. Literal scales stay on
+  * Spark's builtin (value-identical, codegen'd, sweep-pinned).
+  */
+case class RoundDispatch(left: Expression, right: Expression)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def prettyName: String = "round"
+
+  override lazy val replacement: Expression = left.dataType match {
+    case DoubleType | FloatType =>
+      val out = org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, DoubleType, "prestoRoundDouble",
+        Seq(Cast(left, DoubleType), Cast(right, IntegerType)),
+        inputTypes = Seq(DoubleType, IntegerType), propagateNull = true)
+      if (left.dataType == FloatType) Cast(out, FloatType) else out
+    case ByteType | ShortType | IntegerType | LongType =>
+      // num unchanged, but the scale's NULL still propagates
+      If(IsNull(right), Literal.create(null, left.dataType), left)
+    case _ => // decimal shapes keep Spark's builtin (loud on a
+      // non-foldable scale, which the reference's decimal round also
+      // cannot type); the scale is int-typed for it
+      Round(left, Cast(right, IntegerType))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RoundDispatch =
+    copy(left = l, right = r)
+}
+
 case class MapCtorDispatch(left: Expression, right: Expression)
     extends Expression with RuntimeReplaceable
     with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {

@@ -95,6 +95,8 @@ object FuzzParityOps extends QueryGroup {
         |  CAST(floor(x) AS BIGINT) AS flr,
         |  CAST(ceiling(x) AS BIGINT) AS cl,
         |  round(x, 3) AS rnd3,
+        |  round(round(x, CAST(h2 % 7 - 3 AS INT)), 4) AS rdyn,
+        |  CAST(n AS BIGINT) AS rdyn_int,
         |  CAST(trunc(x) AS DOUBLE) AS trunc_x,
         |  round(sqrt(y), 4) AS sq,
         |  round(cbrt(y), 4) AS cb,
@@ -128,6 +130,8 @@ object FuzzParityOps extends QueryGroup {
           |  CAST(floor(x) AS BIGINT) AS flr,
           |  CAST(ceiling(x) AS BIGINT) AS cl,
           |  round(x, 3) AS rnd3,
+          |  round(round(x, CAST(h2 % 7 - 3 AS INT)), 4) AS rdyn,
+          |  round(CAST(n AS BIGINT), CAST(h2 % 7 - 3 AS INT)) AS rdyn_int,
           |  CAST(truncate(x) AS DOUBLE) AS trunc_x,
           |  round(sqrt(y), 4) AS sq,
           |  round(cbrt(y), 4) AS cb,

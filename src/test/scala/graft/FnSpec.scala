@@ -928,6 +928,15 @@ class FnSpec extends AnyFunSuite {
       spark.sql("SELECT fail('boom')").collect()
     }
     assert(err.getMessage.contains("boom"))
+    // RETURN_NULL_ON_NULL (round 13): every Scala-UDF-backed function
+    // returns NULL on a NULL argument instead of crashing — the
+    // reference's default scalar null convention, applied uniformly at
+    // the registry seam (TestJsonFunctions IS_JSON_SCALAR(null) et al.)
+    val nulls = spark.sql(
+      """SELECT is_json_scalar(NULL), json_array_contains(NULL, true),
+        |  hamming_distance(NULL, 'x'), normalize(NULL),
+        |  json_size(NULL, '$'), url_encode(NULL)""".stripMargin).collect()(0)
+    (0 until 6).foreach(i => assert(nulls.isNullAt(i), s"col $i must be NULL"))
     // ROW(...) constructor + positional access — anonymous fields carry
     // the reference's field0..fieldN-1 names (round 13; RowType.anonymous,
     // TestRowOperators row(1,2).field0)
