@@ -885,13 +885,14 @@ object GraftSqlParser {
   // type word and the string as separate tokens; TestMathFunctions
   // writes it without the space)
   private val TypedLiteral =
-    raw"(?i)\b(BIGINT|INTEGER|INT|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR)\s*'((?:[^']|'')*)'".r
+    raw"(?i)\b(BIGINT|INTEGER|INT|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR|VARBINARY)\s*'((?:[^']|'')*)'".r
 
   private def rewriteTypedLiterals(sql: String): String =
     TypedLiteral.replaceAllIn(sql, m => {
       val t = m.group(1).toUpperCase match {
         case "REAL" => "FLOAT"
         case "VARCHAR" => "STRING"
+        case "VARBINARY" => "BINARY" // utf8 bytes of the text, both engines
         case "INTEGER" => "INT"
         case other => other
       }
