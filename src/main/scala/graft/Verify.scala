@@ -15,6 +15,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val decimalOut = scala.collection.mutable.ArrayBuffer.empty[String]
+    val negZeroOut = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(q._1.startsWith))
       .foreach { case (name, fn) =>
@@ -34,6 +35,43 @@ object Verify {
             "WILL mismatch on representation; unscale to BIGINT or cast DOUBLE")
         }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // Signed-zero gate (round-13 lesson, sibling of the DECIMAL gate):
+        // the driver's value hash is representation-level and distinguishes
+        // -0.0 from +0.0, while float == (and r13's local gate) does not —
+        // fuzz_cmp_parity shipped locally-"green" and driver-red on exactly
+        // this. Any -0.0 cell in a compared result is a hash hazard whenever
+        // DuckDB's sign behavior differs (e.g. round: reference strips the
+        // sign, DuckDB preserves it). Warn loudly; the copysign-aware
+        // check_oracle.py compare is the hard gate. Top-level double/float
+        // columns only — the one extra scan reads back the tiny coalesced
+        // output, not the source tables.
+        if (SparkEntry.oracleSql.contains(name)) {
+          import org.apache.spark.sql.functions.{col, when, sum}
+          import org.apache.spark.sql.types.{DoubleType, FloatType}
+          val written = spark.read.parquet(s"$outDir/$name")
+          val dbl = written.schema.fields
+            .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+            .map(_.name)
+          if (dbl.nonEmpty) {
+            val aggs = dbl.map { c =>
+              // -0.0 detector via string form (sign-preserving; no 1/x
+              // reciprocal trick — that throws DIVIDE_BY_ZERO under ANSI)
+              sum(when(col(c).cast("double").cast("string") === "-0.0", 1L)
+                .otherwise(0L)).as(c)
+            }
+            val row = written.agg(aggs.head, aggs.drop(1).toSeq: _*).collect()(0)
+            dbl.zipWithIndex.foreach { case (c, i) =>
+              if (!row.isNullAt(i) && row.getLong(i) > 0) {
+                negZeroOut += s"$name.$c"
+                System.err.println(s"[verify] SIGNED-ZERO GATE: $name column " +
+                  s"$c ships ${row.getLong(i)} -0.0 cell(s) in a compared " +
+                  "result — driver hash distinguishes -0.0 from +0.0; ensure " +
+                  "the oracle longhand produces the SAME sign (normalize " +
+                  "with `+ 0.0` if the engines' sign behavior differs)")
+              }
+            }
+          }
+        }
       }
       catch { case e: Throwable =>
         errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
@@ -74,7 +112,8 @@ object Verify {
       s"""{"queries": ${SparkEntry.queries.size}, "oracle_compared": $oracle, """ +
       s""""rows_only": ${SparkEntry.queries.size - oracle}, """ +
       s""""verify_errors": ${errors.size}, "codegen_fallbacks": $fallbacks, """ +
-      s""""decimal_outputs": ${decimalOut.size}}"""
+      s""""decimal_outputs": ${decimalOut.size}, """ +
+      s""""neg_zero_outputs": ${negZeroOut.size}}"""
     Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
     println(s"[verify] summary: $summary")
     if (fallbacks > 0) {
@@ -104,6 +143,7 @@ object Verify {
            |- verify errors this run: **${errors.size}**
            |- codegen fallbacks this run: **$fallbacks**
            |- compared results shipping DecimalType (must be 0): **${decimalOut.size}**
+           |- compared double/float columns with -0.0 cells (hash hazard; each needs an oracle-sign audit): **${negZeroOut.size}**${if (negZeroOut.nonEmpty) negZeroOut.mkString(" (", ", ", ")") else ""}
            |""".stripMargin)
     }
     spark.stop()

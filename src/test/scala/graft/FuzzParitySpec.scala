@@ -254,4 +254,29 @@ class FuzzParitySpec extends AnyFunSuite {
       assert(r.getBoolean(r.fieldIndex("lt_shift")) == (h2 % 3 == 2))
     }
   }
+
+  test("signed zero: round(-0.0, s) strips the sign in BOTH flag states") {
+    // Reference quirk pinned (MathFunctions.java:750-762): `num < 0` is
+    // false for -0.0, so round(-0.0, s) takes the positive branch and
+    // returns +0.0 — unlike DuckDB, whose round preserves -0.0. This is
+    // the exact cell that shipped driver-red in r13 (fuzz_cmp_parity
+    // c_ll); the oracle longhand now normalizes with `+ 0.0`.
+    // Representation check via bits: +0.0 = 0L, -0.0 = Long.MinValue.
+    def bits(sql: String): Long = {
+      val d = spark.sql(sql).collect()(0).getDouble(0)
+      java.lang.Double.doubleToRawLongBits(d)
+    }
+    val probes = Seq(
+      "SELECT round(CAST('-0.0' AS DOUBLE), 3)",
+      "SELECT round(least(CAST('-0.0' AS DOUBLE), CAST(7.0 AS DOUBLE)), 3)")
+    for (sql <- probes) {
+      assert(bits(sql) == 0L, s"flag-off: $sql must be +0.0")
+      spark.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+      try assert(bits(sql) == 0L, s"flag-on: $sql must be +0.0")
+      finally spark.conf.unset(graft.functions.PrestoOperators.ConfKey)
+    }
+    // and the sign DOES survive where the reference keeps it: unary minus
+    val neg = spark.sql("SELECT -CAST('0.0' AS DOUBLE)").collect()(0).getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(neg) == Long.MinValue)
+  }
 }

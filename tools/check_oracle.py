@@ -50,6 +50,11 @@ def values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        # Representation-faithful like the driver's hash: -0.0 != +0.0
+        # (plain float == treats them equal, which is how r13 shipped a
+        # locally-"green" row the driver scored red — fuzz_cmp_parity).
+        if a == 0.0 and b == 0.0:
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     try:
         if pd.isna(a) and pd.isna(b):
