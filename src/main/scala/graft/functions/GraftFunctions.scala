@@ -546,6 +546,19 @@ object GraftFnUtils {
     else Math.round(num * factor) / factor
   }
 
+  /** Raw IEEE-754 division — floating division NEVER errors in the
+    * reference (x/0 → ±Infinity, 0/0 → NaN): stock 0.235
+    * DoubleOperators.divide is the bare primitive, and the fork's own
+    * test corpus asserts exactly that (TestMathFunctions.java:576-612:
+    * `0.0E0/0.0E0 → NaN`, `is_infinite(1.0E0/0.0E0) → true`). The
+    * fork's production divide was edited to return NULL on a zero
+    * divisor (DoubleOperators.java:108) without updating those tests —
+    * an internal inconsistency resolved here in favor of the test
+    * corpus (= stock behavior), which the KAT replay gate enforces.
+    * Spark can express neither: ANSI throws, legacy returns NULL.
+    */
+  def ieeeDivDouble(l: Double, r: Double): Double = l / r
+
   def hmac(algo: String, data: Array[Byte], key: Array[Byte]): Array[Byte] = {
     val mac = javax.crypto.Mac.getInstance(algo)
     mac.init(new javax.crypto.spec.SecretKeySpec(key, algo))
@@ -1126,7 +1139,11 @@ object GraftFunctions {
         SketchDispatch.getClass, BinaryType, "scale",
         Seq(s, Cast(f, DoubleType)), inputTypes = Seq(BinaryType, DoubleType),
         propagateNull = true) },
-    "multimap_from_entries" -> { case Seq(e) => MultimapFromEntries(e) },
+    "multimap_from_entries" -> { case Seq(e) => EntriesCtorDispatch(e, multi = true) },
+    // overrides Spark's builtin ONLY for the NullType edge (bare NULL /
+    // untyped empty array — reference returns NULL / {}); typed inputs
+    // delegate straight back to Spark's MapFromEntries
+    "map_from_entries" -> { case Seq(e) => EntriesCtorDispatch(e, multi = false) },
     "values_at_quantiles" -> { case Seq(s, qs) =>
       ValuesAtQuantiles(s, Cast(qs, ArrayType(DoubleType))) },
 
@@ -1860,8 +1877,24 @@ object GraftFunctions {
               // them would put a non-aggregate IsNull beside the
               // aggregate call (MISSING_AGGREGATION)
               case u: ScalaUDF if args.nonEmpty =>
-                If(args.map(IsNull(_): Expression).reduce(Or(_, _)),
-                  Literal.create(null, u.dataType), u)
+                // a NON-DETERMINISTIC argument must evaluate ONCE: the
+                // naive If(IsNull..) probe re-evaluates each argument, so
+                // e.g. a nullable rand()-derived arg could pass the probe
+                // non-null and re-draw NULL inside the UDF, resurfacing
+                // the crash this wrapper exists to prevent — bind through
+                // With (same once-only discipline as
+                // PrestoComparisons.nanGuarded). Deterministic args keep
+                // the flat If shape (codegen/CSE-friendly; double textual
+                // evaluation is value-identical there).
+                if (args.exists(!_.deterministic) && args.forall(_.resolved))
+                  With(args: _*) { refs =>
+                    If(refs.map(IsNull(_): Expression).reduce(Or(_, _)),
+                      Literal.create(null, u.dataType),
+                      u.withNewChildren(refs))
+                  }
+                else
+                  If(args.map(IsNull(_): Expression).reduce(Or(_, _)),
+                    Literal.create(null, u.dataType), u)
               case other => other
             }
           }, "scala_udf")

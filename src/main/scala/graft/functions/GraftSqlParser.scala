@@ -889,6 +889,13 @@ object GraftSqlParser {
 
   private def rewriteTypedLiterals(sql: String): String =
     TypedLiteral.replaceAllIn(sql, m => {
+      // quote/comment guard (as rewriteArrayLiterals/rewriteMapCtor):
+      // TYPE 'text' shaped content INSIDE a string literal must pass
+      // through untouched — the ('')-aware body otherwise matches across
+      // a doubled-quote escape and corrupts the literal.
+      if (insideQuoteOrComment(sql, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
       val t = m.group(1).toUpperCase match {
         case "REAL" => "FLOAT"
         case "VARCHAR" => "STRING"
@@ -897,6 +904,7 @@ object GraftSqlParser {
         case other => other
       }
       java.util.regex.Matcher.quoteReplacement(s"CAST('${m.group(2)}' AS $t)")
+      }
     })
 
   /** Presto's typed decimal literal `DECIMAL '12.3'` → DECIMAL(3,1)
@@ -1015,10 +1023,27 @@ object GraftSqlParser {
     }
   }
 
-  /** Split on commas at paren/angle depth 0, outside single quotes
-    * (angle depth: the legacy `ARRAY<..>`/`MAP<..>` type spellings).
+  /** Split on commas at paren depth 0, outside single quotes. EXPRESSION
+    * lists only count '('/')' — a top-level comparison (`a < b`) or
+    * lambda arrow (`x -> ..`) must NOT shift depth, or later commas stop
+    * splitting (r13 counted '<'/'>' for every caller, so
+    * `MAP(ARRAY[a < b], ARRAY[c])` failed its 2-arg split and silently
+    * fell back to Spark's one-entry map). Legacy `ARRAY<..>` spellings
+    * inside an expression are always wrapped by their `CAST(..)` parens,
+    * so paren-only depth still covers their inner commas.
     */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private def splitTopLevel(s: String): Seq[String] =
+    splitTopLevelImpl(s, typeMode = false)
+
+  /** Split a TYPE-text list (translateType call sites): here '<'/'>' are
+    * the legacy `ARRAY<..>`/`MAP<..>` brackets and DO nest — `MAP<ARRAY
+    * <INT>, INT>`'s inner comma is not a field boundary — while
+    * comparisons/lambdas cannot occur.
+    */
+  private def splitTypeList(s: String): Seq[String] =
+    splitTopLevelImpl(s, typeMode = true)
+
+  private def splitTopLevelImpl(s: String, typeMode: Boolean): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var inQuote = false
@@ -1027,8 +1052,10 @@ object GraftSqlParser {
     while (i < s.length) {
       s.charAt(i) match {
         case '\'' => inQuote = !inQuote
-        case '(' | '<' if !inQuote => depth += 1
-        case ')' | '>' if !inQuote => depth -= 1
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case '<' | '>' if !inQuote && typeMode =>
+          depth += (if (s.charAt(i) == '<') 1 else -1)
         case ',' if !inQuote && depth == 0 =>
           parts += s.substring(start, i).trim
           start = i + 1
@@ -1098,18 +1125,18 @@ object GraftSqlParser {
     else if (up.startsWith("ARRAY<") && t.endsWith(">"))
       s"ARRAY<${translateType(t.substring(6, t.length - 1))}>"
     else if (up.startsWith("MAP<") && t.endsWith(">")) {
-      val kv = splitTopLevel(t.substring(4, t.length - 1))
+      val kv = splitTypeList(t.substring(4, t.length - 1))
       require(kv.length == 2, s"bad MAP type: $t0")
       s"MAP<${translateType(kv.head)}, ${translateType(kv(1))}>"
     } else if (up.startsWith("MAP(") && t.endsWith(")")) {
-      val kv = splitTopLevel(t.substring(4, t.length - 1))
+      val kv = splitTypeList(t.substring(4, t.length - 1))
       require(kv.length == 2, s"bad MAP type: $t0")
       s"MAP<${translateType(kv.head)}, ${translateType(kv(1))}>"
     } else if (up.startsWith("ROW(") && t.endsWith(")")) {
       // the reference allows ANONYMOUS row fields (`ROW(INTEGER,
       // INTEGER)` — RowType.anonymous, named field0..fieldN-1 like the
       // reference's own ROW() constructor); Spark structs need names
-      val fields = splitTopLevel(t.substring(4, t.length - 1)).zipWithIndex.map {
+      val fields = splitTypeList(t.substring(4, t.length - 1)).zipWithIndex.map {
         case (f, i) =>
           val ft = f.trim
           // a field is ANONYMOUS when its first word is a type keyword
