@@ -464,6 +464,27 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!PrestoOperators.enabled) plan
     else plan.resolveExpressions {
+      // structural operands whose nested NUMERIC WIDTHS differ (array of
+      // decimal(22,10) vs array of decimal(20,10), map value widths, …):
+      // the reference's implicit coercions widen them, Spark's
+      // DecimalPrecision only handles TOP-LEVEL decimals and rejects the
+      // nested mismatch (KAT replay r14, TestArrayOperators/
+      // TestMapOperators comparison vectors). Cast both sides to the
+      // wider common type; the produced comparison has equal types, so
+      // this arm cannot refire.
+      case cmp: BinaryComparison
+          if cmp.left.resolved && cmp.right.resolved &&
+            structural(cmp.left.dataType) && structural(cmp.right.dataType) &&
+            !org.apache.spark.sql.graft.ColumnBridge.sameType(
+              cmp.left.dataType, cmp.right.dataType) &&
+            org.apache.spark.sql.graft.ColumnBridge.widerCommonType(
+              Seq(cmp.left.dataType, cmp.right.dataType)).isDefined =>
+        val w = org.apache.spark.sql.graft.ColumnBridge.widerCommonType(
+          Seq(cmp.left.dataType, cmp.right.dataType)).get
+        cmp.withNewChildren(Seq(
+          if (cmp.left.dataType == w) cmp.left else Cast(cmp.left, w),
+          if (cmp.right.dataType == w) cmp.right else Cast(cmp.right, w)))
+
       case cmp: BinaryComparison
           if !cmp.isInstanceOf[EqualNullSafe] && notYetGuarded(cmp) &&
             ready(cmp.left, cmp.right) && isFloat(cmp.left.dataType) =>
@@ -615,11 +636,20 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
           if cd.left.resolved && cd.right.resolved &&
             cd.left.dataType.isInstanceOf[ArrayType] =>
         Some(("contains", cd.left, cd.right, (a, v) => ContainsDispatch(a, v)))
-      case ArrayContains(a, v) if a.resolved && v.resolved =>
+      // every arm requires an ARRAY-typed first argument (not just
+      // ContainsDispatch): array_position(5, NULL) must NOT rewrite to a
+      // typed NULL (both engines raise an analysis error there), and
+      // array_position(5, 3) must fall through to Spark's normal
+      // type-check error rather than a ClassCastException in the
+      // coercion guards' ArrayType casts
+      case ArrayContains(a, v)
+          if a.resolved && v.resolved && a.dataType.isInstanceOf[ArrayType] =>
         Some(("contains", a, v, (a2, v2) => ArrayContains(a2, v2)))
-      case ArrayPosition(a, v) if a.resolved && v.resolved =>
+      case ArrayPosition(a, v)
+          if a.resolved && v.resolved && a.dataType.isInstanceOf[ArrayType] =>
         Some(("position", a, v, (a2, v2) => ArrayPosition(a2, v2)))
-      case ArrayRemove(a, v) if a.resolved && v.resolved =>
+      case ArrayRemove(a, v)
+          if a.resolved && v.resolved && a.dataType.isInstanceOf[ArrayType] =>
         Some(("remove", a, v, (a2, v2) => ArrayRemove(a2, v2)))
       case _ => None
     }

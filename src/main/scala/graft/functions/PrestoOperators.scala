@@ -182,8 +182,10 @@ object PrestoOperators {
   * Presto caps result scale at max(s1,s2), Spark gives s1+p2+1-ish; the
   * VALUE is the correctly-rounded quotient in both); real÷real → real;
   * any other numeric mix → double; intervals keep Spark's interval
-  * division. Division by zero throws under the session's ANSI mode,
-  * matching the reference's PrestoException(DIVISION_BY_ZERO).
+  * division. INTEGRAL/DECIMAL division by zero throws under the
+  * session's ANSI mode, matching the reference's
+  * PrestoException(DIVISION_BY_ZERO); FLOATING division is raw IEEE
+  * (±Infinity/NaN, never an error — round 14, KAT replay).
   */
 case class PrestoDivide(left: Expression, right: Expression)
     extends Expression with RuntimeReplaceable
@@ -231,6 +233,18 @@ case class PrestoDivide(left: Expression, right: Expression)
     Cast(Divide(Cast(left, w), Cast(right, w)), prestoDivType(l, r))
   }
 
+  /** Floating division is raw IEEE in the reference — x/0 → ±Infinity,
+    * 0/0 → NaN, never an error (see GraftFnUtils.ieeeDivDouble for the
+    * fork-vs-test-corpus adjudication). Spark's Divide can't express it
+    * in either eval mode (ANSI throws, legacy NULLs), so the codegen'd
+    * StaticInvoke primitive is used instead.
+    */
+  private def ieeeDiv: Expression =
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      GraftFnUtils.getClass, DoubleType, "ieeeDivDouble",
+      Seq(Cast(left, DoubleType), Cast(right, DoubleType)),
+      inputTypes = Seq(DoubleType, DoubleType), propagateNull = true)
+
   override lazy val replacement: Expression = (left.dataType, right.dataType) match {
     case (l, r) if isIntegral(l) && isIntegral(r) =>
       Cast(IntegralDivide(Cast(left, LongType), Cast(right, LongType)),
@@ -239,19 +253,19 @@ case class PrestoDivide(left: Expression, right: Expression)
     case (l: DecimalType, r) if isIntegral(r) => decimalDivide(l, decimalFor(r))
     case (l, r: DecimalType) if isIntegral(l) => decimalDivide(decimalFor(l), r)
     case (FloatType, FloatType) =>
-      Cast(Divide(Cast(left, DoubleType), Cast(right, DoubleType)), FloatType)
+      Cast(ieeeDiv, FloatType)
     // REAL ÷ integral (either side): the reference coerces the integral
     // operand to REAL and returns REAL (TypeCoercion + RealOperators) —
     // not the generic double promotion below
     case (FloatType, r) if isIntegral(r) =>
-      Cast(Divide(Cast(left, DoubleType), Cast(right, DoubleType)), FloatType)
+      Cast(ieeeDiv, FloatType)
     case (l, FloatType) if isIntegral(l) =>
-      Cast(Divide(Cast(left, DoubleType), Cast(right, DoubleType)), FloatType)
+      Cast(ieeeDiv, FloatType)
     case (_: DayTimeIntervalType, _) => DivideDTInterval(left, right)
     case (_: YearMonthIntervalType, _) => DivideYMInterval(left, right)
     case (lt, rt) if (lt.isInstanceOf[NumericType] || lt == NullType) &&
         (rt.isInstanceOf[NumericType] || rt == NullType) =>
-      Divide(Cast(left, DoubleType), Cast(right, DoubleType))
+      ieeeDiv
     case _ =>
       // non-numeric: surface Spark's own error for the construct
       Divide(left, right)

@@ -236,13 +236,19 @@ case class ContainsDispatch(left: Expression, right: Expression)
   * CAST(.. AS ARRAY(..)) and plain array-typed columns — silently
   * building a one-entry map of arrays).
   */
-/** `round(x, s)` with a NON-LITERAL scale — the reference's round takes
-  * any integer expression (MathFunctions.java:725-762) where Spark's
-  * Round demands a foldable literal. Reference semantics: integral x is
-  * returned unchanged for any scale (the 0.235 `decimals < 0` TODO),
-  * double x rounds half-away-from-zero at pow(10, s) with NaN/Infinity
-  * passing through; a NULL operand is NULL. Literal scales stay on
-  * Spark's builtin (value-identical, codegen'd, sweep-pinned).
+/** `round(x, s)` under the dialect — the dispatch matches on the OPERAND
+  * TYPE only, so EVERY two-arg double/float round goes through
+  * prestoRoundDouble, literal scale or not (r13 triage was misled by a
+  * prior claim that literal scales stayed on Spark's builtin — they do
+  * not, and must not: the reference's signed-zero behavior,
+  * round(-0.0, s) = +0.0, is pinned by FuzzParitySpec and differs from
+  * a sign-preserving engine). Reference semantics
+  * (MathFunctions.java:725-762): the scale is any integer expression
+  * (Spark's Round demands a foldable literal); integral x is returned
+  * unchanged for any scale (the 0.235 `decimals < 0` TODO); double x
+  * rounds half-away-from-zero at pow(10, s) with NaN/Infinity passing
+  * through; a NULL operand is NULL. Only DECIMAL shapes keep Spark's
+  * builtin Round.
   */
 case class RoundDispatch(left: Expression, right: Expression)
     extends Expression with RuntimeReplaceable
@@ -278,11 +284,54 @@ case class MapCtorDispatch(left: Expression, right: Expression)
 
   override lazy val replacement: Expression = (left.dataType, right.dataType) match {
     case (_: ArrayType, _: ArrayType) => MapFromArrays(left, right)
+    // the two-array constructor is RETURN_NULL_ON_NULL in the reference
+    // (MapConstructor — TestMapOperators.java:934-936: MAP(null,
+    // ARRAY[..]) is NULL of map(unknown, elem)); Spark's map_from_arrays
+    // would raise NULL_MAP_KEY instead. Scalar pairs with a null VALUE
+    // (map(1, NULL)) keep Spark's single-entry map below.
+    case (NullType, ArrayType(et, _)) =>
+      Literal.create(null, MapType(NullType, et))
+    case (ArrayType(et, _), NullType) =>
+      Literal.create(null, MapType(et, NullType))
+    case (NullType, NullType) =>
+      Literal.create(null, MapType(NullType, NullType))
     case _ => CreateMap(Seq(left, right))
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MapCtorDispatch =
     copy(left = l, right = r)
+}
+
+/** map_from_entries / multimap_from_entries over a bare NULL or an
+  * untyped empty array — the reference returns NULL :: map(unknown, …)
+  * and {} respectively (TestMapOperators.java:848-849/894-895,
+  * RETURN_NULL_ON_NULL + MapFromEntriesFunction), where Spark's builtins
+  * reject the NullType operand at analysis. A non-empty array<unknown>
+  * (ARRAY[null]) still errors like the reference ("map entry cannot be
+  * null"). Typed inputs delegate to the stock implementations.
+  */
+case class EntriesCtorDispatch(child: Expression, multi: Boolean)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression] {
+
+  override def prettyName: String =
+    if (multi) "multimap_from_entries" else "map_from_entries"
+
+  private def vt(base: DataType): DataType =
+    if (multi) ArrayType(base) else base
+
+  override lazy val replacement: Expression = child.dataType match {
+    case NullType =>
+      Literal.create(null, MapType(NullType, vt(NullType)))
+    case ArrayType(NullType, _) =>
+      val mt = MapType(NullType, vt(NullType))
+      If(EqualTo(Size(child), Literal(0)),
+        Literal.create(Map.empty[Any, Any], mt),
+        Cast(RaiseError(Literal("map entry cannot be null")), mt))
+    case _ => if (multi) MultimapFromEntries(child) else MapFromEntries(child)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EntriesCtorDispatch =
+    copy(child = newChild)
 }
 
 object StaticInvokeJsonQuote {
@@ -350,6 +399,84 @@ case class MultimapFromEntries(child: Expression)
     copy(child = newChild)
 }
 
+/** JSON-typed leaves inside a complex cast target (`CAST(json AS
+  * ARRAY(JSON))` etc.). The parser's translateType passes the JSON
+  * token through into the DDL (`ARRAY<JSON>`), which Spark's
+  * DataType.fromDDL cannot parse — until round 14 that was the
+  * documented-by-error residual. Here the JSON-ness is split off: a
+  * structural MASK marks which leaves were spelled JSON, and the DDL
+  * handed to Spark erases them to STRING. At a JSON leaf the reference
+  * keeps the element's SUBTREE TEXT (JsonUtil.java:892-896 — the JSON
+  * BlockBuilderAppender serializes `parser.readValueAsTree()` compactly,
+  * key order preserved, a JSON null element becoming the text "null",
+  * NOT SQL NULL), which is what [[PrestoJsonDecode]] now implements.
+  */
+private[functions] object JsonTargets {
+  sealed trait Mask
+  case object Json extends Mask
+  case object Prim extends Mask
+  final case class Arr(e: Mask) extends Mask
+  final case class MapM(k: Mask, v: Mask) extends Mask
+  final case class Row(fs: Seq[Mask]) extends Mask
+
+  /** The DDL with JSON leaves erased to STRING (a field NAMED json —
+    * `STRUCT<json: INT>` — is left alone via the `:` lookahead).
+    */
+  def erase(ddl: String): String =
+    "(?i)\\bJSON\\b(?!\\s*:)".r.replaceAllIn(ddl, "STRING")
+
+  def parse(t0: String): Mask = {
+    val t = t0.trim
+    val up = t.toUpperCase(java.util.Locale.ENGLISH)
+    if (up == "JSON") Json
+    else if (up.startsWith("ARRAY<") && t.endsWith(">"))
+      Arr(parse(t.substring(6, t.length - 1)))
+    else if (up.startsWith("MAP<") && t.endsWith(">")) {
+      val kv = splitTop(t.substring(4, t.length - 1))
+      if (kv.length == 2) MapM(parse(kv.head), parse(kv(1))) else Prim
+    } else if (up.startsWith("STRUCT<") && t.endsWith(">")) {
+      Row(splitTop(t.substring(7, t.length - 1)).map { f =>
+        val c = topLevelColon(f)
+        parse(if (c < 0) f else f.substring(c + 1))
+      })
+    } else Prim
+  }
+
+  def hasJson(m: Mask): Boolean = m match {
+    case Json => true
+    case Prim => false
+    case Arr(e) => hasJson(e)
+    case MapM(k, v) => hasJson(k) || hasJson(v)
+    case Row(fs) => fs.exists(hasJson)
+  }
+
+  /** Commas at `<`/`(` depth 0 — DDL type text, so angles always nest. */
+  private def splitTop(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    for (i <- 0 until s.length) s.charAt(i) match {
+      case '<' | '(' => depth += 1
+      case '>' | ')' => depth -= 1
+      case ',' if depth == 0 => parts += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    parts += s.substring(start)
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def topLevelColon(s: String): Int = {
+    var depth = 0
+    for (i <- 0 until s.length) s.charAt(i) match {
+      case '<' | '(' => depth += 1
+      case '>' | ')' => depth -= 1
+      case ':' if depth == 0 => return i
+      case _ =>
+    }
+    -1
+  }
+}
+
 /** `CAST(x AS ROW(...)/ARRAY(...)/MAP(...))` — Presto's complex-target
   * casts. The parser rewrite can't see the SOURCE type, which decides
   * the semantics: a VARCHAR source is the JSON-to-complex cast family
@@ -363,7 +490,7 @@ case class ComplexCastDispatch(child: Expression, ddl: String)
 
   override def prettyName: String = "complex_cast"
 
-  private lazy val targetType: DataType = DataType.fromDDL(ddl)
+  private lazy val targetType: DataType = DataType.fromDDL(JsonTargets.erase(ddl))
 
   override lazy val replacement: Expression = child.dataType match {
     case _: StringType =>
@@ -374,11 +501,49 @@ case class ComplexCastDispatch(child: Expression, ddl: String)
       // malformed input — PrestoJsonDecode implements that contract
       PrestoJsonDecode(child, ddl)
     case _ =>
+      // JSON-element targets are only defined from a JSON/VARCHAR source
+      // (JsonToArrayCast et al.); a structural cast would silently
+      // produce non-JSON text for the "JSON" leaves — stay loud instead
+      if (JsonTargets.hasJson(JsonTargets.parse(ddl)))
+        throw new IllegalArgumentException(
+          s"CAST to $ddl: JSON-typed elements are supported from a " +
+            "JSON/VARCHAR source only")
       // the replacement materializes AFTER ResolveTimeZone has run, so a
       // zone-needing leg (timestamp→varchar inside the target) must carry
       // the session zone itself or stay forever unresolved
-      Cast(child, targetType,
-        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      val zone = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      val direct = Cast(child, targetType, zone)
+      (child.dataType, targetType) match {
+        // ROW source with JSON-typed (= VARCHAR-modeled) fields whose
+        // target field is complex — `cast(row(json '[1,2]', ..) as
+        // row(e ARRAY(BIGINT), ..))` (TestRowOperators, KAT replay r14):
+        // Spark's structural Cast cannot cast a string field to an
+        // array/map/row field, so those fields route through the same
+        // JSON decode the top-level VARCHAR source uses (the JSON-as-
+        // VARCHAR model cannot tell a JSON field from a plain VARCHAR
+        // one, so this is the model's uniform string→complex policy).
+        // Fields the structural cast CAN convert keep the plain Cast.
+        case (st: StructType, tt: StructType)
+            if st.length == tt.length &&
+              direct.checkInputDataTypes().isFailure =>
+          val parts = tt.fields.zipWithIndex.flatMap { case (tf, i) =>
+            val f = GetStructField(child, i, Some(st(i).name))
+            // once this mode engages, EVERY string field is read as JSON
+            // (so `json '"abc"'` → VARCHAR unquotes like the reference's
+            // JSON→VARCHAR cast, not an identity copy of the quoted
+            // text); non-string fields keep the structural Cast. A
+            // JSON-typed TARGET field cannot occur here — the hasJson
+            // guard above already rejected it loudly.
+            val conv =
+              if (st(i).dataType.isInstanceOf[StringType])
+                PrestoJsonDecode(f, tf.dataType.sql)
+              else Cast(f, tf.dataType, zone)
+            Seq(Literal(tf.name), conv)
+          }
+          If(IsNull(child), Literal.create(null, tt),
+            CreateNamedStruct(parts.toIndexedSeq))
+        case _ => direct
+      }
   }
 
   override protected def withNewChildInternal(newChild: Expression): ComplexCastDispatch =
@@ -408,7 +573,10 @@ case class PrestoJsonDecode(child: Expression, ddl: String)
   import com.fasterxml.jackson.databind.JsonNode
 
   override def prettyName: String = "presto_json_decode"
-  override lazy val dataType: DataType = DataType.fromDDL(ddl)
+  override lazy val dataType: DataType = DataType.fromDDL(JsonTargets.erase(ddl))
+
+  /** Which leaves keep SUBTREE TEXT (spelled JSON in the cast target). */
+  @transient private lazy val mask: JsonTargets.Mask = JsonTargets.parse(ddl)
 
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
@@ -426,8 +594,24 @@ case class PrestoJsonDecode(child: Expression, ddl: String)
     else if (n.isBoolean) (if (n.asBoolean()) 1L else 0L)
     else fail(s"unexpected token for $what: $n")
 
-  private def decode(n: JsonNode, dt: DataType): Any = {
-    if (n == null || n.isNull) return null
+  private def decode(n: JsonNode, dt: DataType,
+      m: JsonTargets.Mask = JsonTargets.Prim): Any = {
+    if (n == null) return null
+    // a JSON leaf keeps the element's subtree TEXT (JsonUtil.java:
+    // 892-896): compact serialization, input key order preserved, and a
+    // JSON null element becomes the text "null" — NOT SQL NULL (the
+    // reference's JSON appender has no null check; readValueAsTree's
+    // NullNode serializes to "null")
+    if (m eq JsonTargets.Json)
+      return UTF8String.fromString(mapper.writeValueAsString(n))
+    if (n.isNull) return null
+    def elemMask = m match { case JsonTargets.Arr(e) => e; case _ => JsonTargets.Prim }
+    def keyMask = m match { case JsonTargets.MapM(k, _) => k; case _ => JsonTargets.Prim }
+    def valMask = m match { case JsonTargets.MapM(_, v) => v; case _ => JsonTargets.Prim }
+    def fieldMask(i: Int) = m match {
+      case JsonTargets.Row(fs) if i < fs.length => fs(i)
+      case _ => JsonTargets.Prim
+    }
     dt match {
       case LongType => asLong(n, "BIGINT")
       case IntegerType => Math.toIntExact(asLong(n, "INTEGER").asInstanceOf[Long])
@@ -456,6 +640,9 @@ case class PrestoJsonDecode(child: Expression, ddl: String)
           case other => fail(s"invalid boolean text '$other'")
         }
         else if (n.isIntegralNumber) n.asLong() != 0L
+        // currentTokenAsBoolean VALUE_NUMBER_FLOAT →
+        // DoubleOperators.castToBoolean: value != 0 (KAT replay r14)
+        else if (n.isFloatingPointNumber) n.asDouble() != 0.0
         else fail(s"unexpected token for BOOLEAN: $n")
       case _: StringType =>
         // currentTokenAsVarchar: strings as-is, scalars as their text
@@ -466,17 +653,20 @@ case class PrestoJsonDecode(child: Expression, ddl: String)
         if (!n.isArray) fail(s"expected a json array, got $n")
         val out = new Array[Any](n.size())
         var i = 0
-        while (i < n.size()) { out(i) = decode(n.get(i), et); i += 1 }
+        while (i < n.size()) { out(i) = decode(n.get(i), et, elemMask); i += 1 }
         new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
       case MapType(kt, vt, _) =>
         if (!n.isObject) fail(s"expected a json object, got $n")
+        // canCastFromJson (JsonUtil.java): map KEYS must be a primitive
+        // type — a JSON-typed key is not castable in the reference either
+        if (keyMask eq JsonTargets.Json) fail("JSON map keys are not castable")
         val ks = scala.collection.mutable.ArrayBuffer.empty[Any]
         val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
         val it = n.fields()
         while (it.hasNext) {
           val e = it.next()
           ks += decode(mapper.getNodeFactory.textNode(e.getKey), kt)
-          vs += decode(e.getValue, vt)
+          vs += decode(e.getValue, vt, valMask)
         }
         org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks.toArray, vs.toArray)
       case st: StructType =>
@@ -485,7 +675,7 @@ case class PrestoJsonDecode(child: Expression, ddl: String)
           if (n.size() != st.length)
             fail(s"json array of ${n.size()} elements for ROW of ${st.length} fields")
           var i = 0
-          while (i < st.length) { out(i) = decode(n.get(i), st(i).dataType); i += 1 }
+          while (i < st.length) { out(i) = decode(n.get(i), st(i).dataType, fieldMask(i)); i += 1 }
         } else if (n.isObject) {
           val idx = st.fieldNames.map(_.toLowerCase(java.util.Locale.ENGLISH))
             .zipWithIndex.toMap
@@ -496,7 +686,7 @@ case class PrestoJsonDecode(child: Expression, ddl: String)
             idx.get(e.getKey.toLowerCase(java.util.Locale.ENGLISH)).foreach { i =>
               if (seen(i)) fail(s"duplicate field: ${e.getKey}")
               seen(i) = true
-              out(i) = decode(e.getValue, st(i).dataType)
+              out(i) = decode(e.getValue, st(i).dataType, fieldMask(i))
             }
           }
         } else fail(s"expected a json array or object, but got $n")
@@ -506,7 +696,7 @@ case class PrestoJsonDecode(child: Expression, ddl: String)
   }
 
   override def nullSafeEval(v: Any): Any =
-    decode(mapper.readTree(v.asInstanceOf[UTF8String].toString), dataType)
+    decode(mapper.readTree(v.asInstanceOf[UTF8String].toString), dataType, mask)
 
   override protected def withNewChildInternal(newChild: Expression): PrestoJsonDecode =
     copy(child = newChild)

@@ -414,6 +414,39 @@ object DialectOps extends QueryGroup {
           |ORDER BY y""".stripMargin)
     },
 
+    // ── CAST(json AS ARRAY(JSON)) keeps per-element SUBTREE TEXT
+    // (JsonToArrayCast.java via JsonUtil.java:892-896 — round 14, closes
+    // r13 missing #1). Heterogeneous elements (nested array, object,
+    // string, null) round-trip as compact JSON text with input key
+    // order; the JSON null element is the TEXT 'null', not SQL NULL.
+    // The DuckDB oracle states every expected subtree longhand from the
+    // generating operands. ──
+    q("dialect_json_array_elems",
+      """WITH j AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(o_orderkey % 7 AS VARCHAR) AS a, CAST(o_custkey % 5 AS VARCHAR) AS b,
+        |    CAST(o_orderkey % 3 AS VARCHAR) AS c, CAST(o_custkey % 9 AS VARCHAR) AS d
+        |  FROM orders WHERE o_orderkey < 500)
+        |SELECT k, CAST(i AS BIGINT) AS idx,
+        |  CASE i WHEN 1 THEN '[' || a || ',' || b || ']'
+        |         WHEN 2 THEN '{"k":' || c || '}'
+        |         WHEN 3 THEN '"s' || d || '"'
+        |         ELSE 'null' END AS elem
+        |FROM j CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i)
+        |ORDER BY k, idx""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH j AS (
+          |  SELECT o_orderkey AS k,
+          |    '[[' || CAST(o_orderkey % 7 AS VARCHAR) || ',' || CAST(o_custkey % 5 AS VARCHAR) ||
+          |    '], {"k": ' || CAST(o_orderkey % 3 AS VARCHAR) || '}, "s' ||
+          |    CAST(o_custkey % 9 AS VARCHAR) || '", null]' AS txt
+          |  FROM orders WHERE o_orderkey < 500)
+          |SELECT k, CAST(idx AS BIGINT) AS idx, elem
+          |FROM j CROSS JOIN UNNEST(CAST(json_parse(txt) AS ARRAY(JSON)))
+          |  WITH ORDINALITY AS t(elem, idx)
+          |ORDER BY k, idx""".stripMargin)
+    },
+
     // ── zone-carrying TIMESTAMP WITH TIME ZONE (opt-in conf;
     // ZonedTimestamps — reference presto-spi TimestampWithTimeZoneType /
     // DateTimeEncoding, presto-main DateTimeFunctions). Operands are

@@ -141,7 +141,11 @@ object AuditNames {
     // maps
     "map" -> ("IDENTICAL", "empty-map ctor; duplicate keys ERROR both (session mapKeyDedupPolicy=EXCEPTION pins the reference ctor error; two-array MAP(a,b) is a parser rewrite to map_from_arrays)"),
     "map_entries" -> ("IDENTICAL", "row(key, value) array in map order both"),
-    "map_from_entries" -> ("IDENTICAL", "duplicate keys ERROR both (policy above)"),
+    // map_from_entries: auto-detected GRAFT-OVERRIDDEN since round 14 —
+    // EntriesCtorDispatch handles the NullType edge only (bare NULL →
+    // NULL map, untyped empty array → {}, TestMapOperators.java:848-849);
+    // typed inputs delegate to Spark's MapFromEntries (duplicate keys
+    // ERROR both, same as the pre-override IDENTICAL disposition)
     "map_keys" -> ("SWEEP", "fuzz_map_parity keys_csv"),
     "map_values" -> ("SWEEP", "fuzz_map_parity vals_csv"),
     // strings
