@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends QueryGroup {
 
+  /** Census decisions for the exact-substring adaptive salt, keyed by
+    * (input plan semanticHash, k, threshold) → (picked salt, lastPlan
+    * text): the probe is a real job (~0.3 s at bench scale — round-14
+    * A/B), so repeated invocations over the same input reuse the
+    * decision instead of re-probing.
+    */
+  private val censusCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), (Integer, String)]()
+
   /** Normalized token array: lowercase, strip non-alphanumerics, split. */
   private def tokensCol: Column =
     filter(
@@ -693,8 +702,17 @@ object TextOps extends QueryGroup {
     // (default 10M positions, the measured trigger where the unsplittable
     // single-task window sort dominates; GramSkewStress table). The
     // probe is one sampled hash-aggregate job (map-side combined, 8-byte
-    // keys) — measured ~5-10% of the operator at bench scale, and O(1/16
-    // of one pass) at any scale. Explicitly setting the salt conf (0/1 =
+    // keys) — measured ~0.3 s at bench scale (round-14 interleaved
+    // auto-on/auto-off A/B: plan 0.40-0.46 s vs 0.10-0.19 s, exec
+    // identical — the r13 "free at bench scale" claim was wrong, it was
+    // ~10% of the query), and O(1/16 of one pass) at any scale. Since
+    // round 14 the census is CACHED per (input plan semanticHash, k):
+    // repeated invocations over the same input (bench reruns, iterative
+    // pipelines) probe once; a new batch/path is a new plan hash and
+    // re-probes. Caveat: same-path data overwritten mid-session reuses
+    // the cached decision — consistent with Spark's own session-scoped
+    // file-listing caches, and the decision only picks a plan SHAPE.
+    // Explicitly setting the salt conf (0/1 =
     // single window, >1 = salted) bypasses the probe in both directions;
     // `spark.graft.exactSubstring.auto=false` disables probing entirely.
     // The decision is recorded in spark.graft.exactSubstring.lastPlan
@@ -721,6 +739,13 @@ object TextOps extends QueryGroup {
           val threshold = spark.conf
             .getOption("spark.graft.exactSubstring.autoThreshold")
             .map(_.toLong).getOrElse(10000000L)
+          val cacheKey = (docs.queryExecution.analyzed.semanticHash(), k, threshold)
+          val cachedPick = censusCache.get(cacheKey)
+          if (cachedPick != null) {
+            spark.conf.set("spark.graft.exactSubstring.lastPlan",
+              cachedPick._2 + " (cached census)")
+            cachedPick._1.intValue()
+          } else {
           // DOCUMENT-level sample (filter BEFORE the explode, so the
           // probe scans 1/16 of the text — position-level sampling costs
           // a full explode pass, measured +15% on the bench query).
@@ -740,10 +765,12 @@ object TextOps extends QueryGroup {
             .agg(max(col("c")).as("m")).collect()(0)
           val est = (if (probe.isNullAt(0)) 0L else probe.getLong(0)) * 16L
           val pick = if (est > threshold) 32 else 0
-          spark.conf.set("spark.graft.exactSubstring.lastPlan",
-            s"${if (pick > 1) s"salted-$pick" else "window"}" +
-              s" (hottest-gram census est ~$est positions, threshold $threshold)")
+          val plan = s"${if (pick > 1) s"salted-$pick" else "window"}" +
+            s" (hottest-gram census est ~$est positions, threshold $threshold)"
+          spark.conf.set("spark.graft.exactSubstring.lastPlan", plan)
+          censusCache.put(cacheKey, (Integer.valueOf(pick), plan))
           pick
+          }
         }
       }
     val dpos =
