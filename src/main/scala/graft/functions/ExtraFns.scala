@@ -121,6 +121,20 @@ object ExtraFns {
     out
   }
 
+  /** IPADDRESS literal semantics (IpAddressType canonical text): the
+    * typed literal `IPADDRESS '::ffff:1.2.3.4'` reads as '1.2.3.4' in
+    * the reference; the parser veneer rewrites it through this.
+    */
+  def ipCanonical(ip: String): String = canonical(ipBytes(ip))
+
+  /** IPPREFIX literal semantics (IpPrefixType): canonical network
+    * address (host bits zeroed) + '/bits'.
+    */
+  def ipPrefixCanonical(cidr: String): String = {
+    val (b, bits) = parseCidr(cidr)
+    s"${canonical(maskedLow(b, bits))}/$bits"
+  }
+
   /** ip_prefix(ip, bits) → canonical 'network/bits'. */
   def ipPrefix(ip: String, bits: Int): String = {
     val b = ipBytes(ip)
@@ -166,6 +180,14 @@ object ExtraFns {
   // ── parse_presto_data_size (DataSizeFunctions.java; 1024-based units) ─
   private val dataSizeUnits = Map("B" -> 0, "kB" -> 1, "MB" -> 2, "GB" -> 3,
     "TB" -> 4, "PB" -> 5, "EB" -> 6, "ZB" -> 7, "YB" -> 8)
+
+  /** Typed seam for the registry: the reference returns decimal(38,0)
+    * (DataSizeFunctions.java:39) — a plain BigDecimal UDF would map to
+    * Spark's default DECIMAL(38,18) and overflow past ~1e20 ('7ZB').
+    */
+  def parseDataSizeDecimal(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.types.Decimal =
+    org.apache.spark.sql.types.Decimal(parseDataSize(s.toString), 38, 0)
 
   def parseDataSize(s: String): JBigDecimal = {
     val m = raw"^\s*(\d+(?:\.\d+)?)\s*([A-Za-z]+)\s*$$".r

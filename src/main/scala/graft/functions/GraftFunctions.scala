@@ -1226,6 +1226,12 @@ object GraftFunctions {
     // parser-veneer-only spelling for two-arg MAP(a, b) (never reachable
     // from the DataFrame API; Spark's own map() is untouched)
     "graft_map_ctor" -> { case Seq(k, v) => MapCtorDispatch(k, v) },
+    "ngrams" -> { case Seq(a, n) => ArrayNgramsExpr(a, n) },
+    "combinations" -> { case Seq(a, n) => ArrayCombinationsExpr(a, n) },
+    "parse_presto_data_size" -> { case Seq(e) =>
+      StaticInvoke(ExtraFns.getClass, DecimalType(38, 0), "parseDataSizeDecimal",
+        Seq(Cast(e, StringType)), inputTypes = Seq(StringType),
+        propagateNull = true) },
 
     // ── JSON family (JsonFunctions.java:64, JsonExtract.java:116) ──
     // json_extract returns the subtree AS JSON TEXT — string scalars
@@ -1610,10 +1616,10 @@ object GraftFunctions {
       (j: String, v: String) => GraftFnUtils.jsonArrayContains(j, v))
     spark.udf.register("json_array_get",
       (j: String, i: Long) => GraftFnUtils.jsonArrayGet(j, i))
-    spark.udf.register("ngrams",
-      (ts: Seq[String], n: Int) => GraftFnUtils.ngrams(ts, n))
-    spark.udf.register("combinations",
-      (ts: Seq[String], n: Int) => GraftFnUtils.combinations(ts, n))
+    // ngrams/combinations moved to the builders map (round 14): generic
+    // Catalyst expressions over ANY element type — the Seq[String] UDFs
+    // silently stringified non-string arrays via implicit coercion and
+    // missed the reference's n-greater-than-length ngram (whole array)
     spark.udf.register("wilson_interval_lower",
       (s: Long, n: Long, z: Double) => GraftFnUtils.wilsonLower(s, n, z))
     spark.udf.register("wilson_interval_upper",
@@ -1830,6 +1836,11 @@ object GraftFunctions {
       (a: Double, b: Double, p: Double) => ExtraFns.inverseBetaCdf(a, b, p))
     spark.udf.register("ip_prefix",
       (ip: String, bits: Int) => ExtraFns.ipPrefix(ip, bits))
+    // IPADDRESS/IPPREFIX typed-literal canonicalization (the parser
+    // veneer rewrites the literals through these; KAT replay r14)
+    spark.udf.register("ip_canonical", (ip: String) => ExtraFns.ipCanonical(ip))
+    spark.udf.register("ip_prefix_canonical",
+      (c: String) => ExtraFns.ipPrefixCanonical(c))
     spark.udf.register("ip_subnet_min", (c: String) => ExtraFns.ipSubnetMin(c))
     spark.udf.register("ip_subnet_max", (c: String) => ExtraFns.ipSubnetMax(c))
     spark.udf.register("ip_subnet_range", (c: String) => ExtraFns.ipSubnetRange(c))
@@ -1837,8 +1848,9 @@ object GraftFunctions {
       (c: String, target: String) =>
         if (target.contains("/")) ExtraFns.isSubnetOfCidr(c, target)
         else ExtraFns.isSubnetOfIp(c, target))
-    spark.udf.register("parse_presto_data_size",
-      (s: String) => ExtraFns.parseDataSize(s))
+    // parse_presto_data_size lives in the builders map (round 14): the
+    // reference's return type is decimal(38,0); the old BigDecimal UDF
+    // mapped to DECIMAL(38,18) and overflowed past ~1e20 ('7ZB')
     spark.udf.register("split_to_multimap",
       (s: String, ed: String, kd: String) => ExtraFns.splitToMultimap(s, ed, kd))
     // NB padded: the reference uses Base64.getUrlEncoder() WITH '='

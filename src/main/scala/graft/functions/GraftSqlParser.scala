@@ -352,6 +352,8 @@ object GraftSqlParser {
     out = DateAddDiff.replaceAllIn(out, m =>
       s"timestamp${m.group(1).toLowerCase}(${m.group(2)},")
     out = rewriteArrayLiterals(out)
+    out = rewriteBinarySpaces(out)
+    out = rewriteInternalTry(out)
     rewriteSortNulls(rewriteMapCtor(rewriteCasts(rewriteUnnest(rewriteExplain(
       rewriteTypedLiterals(
       rewriteDecimalLiterals(rewriteJsonLiterals(rewriteExtract(rewriteAtTimeZone(
@@ -359,6 +361,33 @@ object GraftSqlParser {
           rewriteTablesample(rewriteQuantified(rewriteArrayAggOrderBy(
             rewriteArrayAggDistinct(out)))))))))))))))))))
   }
+
+  /** `X'00 7b 22'` — the reference's binary literal allows internal
+    * whitespace (BinaryLiteral strips it before hex-decoding); Spark's
+    * X'..' demands contiguous hex digits. Strip the whitespace, quote/
+    * comment-guarded (KAT replay r14, TestJsonExtract vectors).
+    */
+  /** The reference desugars TRY(x) to `"$internal$try"(() -> x)`
+    * (TryExpressionRewriter) and its tests call the internal spelling
+    * directly — map it back to the graft `try` function: replacing the
+    * prefix through the 0-arg lambda arrow leaves the expression
+    * parenthesized inside try(..) with the call's own closing paren.
+    */
+  private val InternalTry = "(?i)\"\\$internal\\$try\"\\s*\\(\\s*\\(\\s*\\)\\s*->".r
+  private def rewriteInternalTry(sql: String): String =
+    InternalTry.replaceAllIn(sql, m =>
+      if (insideQuoteOrComment(sql, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else "try(")
+
+  private val SpacedBinary = raw"(?i)\bX'([0-9A-Fa-f\s]*\s[0-9A-Fa-f\s]*)'".r
+  private def rewriteBinarySpaces(sql: String): String =
+    SpacedBinary.replaceAllIn(sql, m =>
+      if (insideQuoteOrComment(sql, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else
+        java.util.regex.Matcher.quoteReplacement(
+          s"X'${m.group(1).replaceAll("\\s+", "")}'"))
 
   /** `ARRAY [..]` literals → `array(..)` via a QUOTE-AWARE bracket scan
     * (round 13 — the old regex corrupted brackets inside embedded string
@@ -885,7 +914,7 @@ object GraftSqlParser {
   // type word and the string as separate tokens; TestMathFunctions
   // writes it without the space)
   private val TypedLiteral =
-    raw"(?i)\b(BIGINT|INTEGER|INT|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR|VARBINARY)\s*'((?:[^']|'')*)'".r
+    raw"(?i)\b(DOUBLE\s+PRECISION|BIGINT|INTEGER|INT|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR|VARBINARY|IPADDRESS|IPPREFIX)\s*'((?:[^']|'')*)'".r
 
   private def rewriteTypedLiterals(sql: String): String =
     TypedLiteral.replaceAllIn(sql, m => {
@@ -896,14 +925,26 @@ object GraftSqlParser {
       if (insideQuoteOrComment(sql, m.start))
         java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
-      val t = m.group(1).toUpperCase match {
-        case "REAL" => "FLOAT"
-        case "VARCHAR" => "STRING"
-        case "VARBINARY" => "BINARY" // utf8 bytes of the text, both engines
-        case "INTEGER" => "INT"
-        case other => other
+      m.group(1).toUpperCase.replaceAll("\\s+", " ") match {
+        // IPADDRESS/IPPREFIX literals CANONICALIZE in the reference
+        // (IpAddressType/IpPrefixType: '::ffff:1.2.3.4' reads as
+        // '1.2.3.4', a prefix zeroes its host bits) — route through the
+        // graft canonicalizers instead of a bare CAST (KAT replay r14)
+        case "IPADDRESS" =>
+          java.util.regex.Matcher.quoteReplacement(s"ip_canonical('${m.group(2)}')")
+        case "IPPREFIX" =>
+          java.util.regex.Matcher.quoteReplacement(s"ip_prefix_canonical('${m.group(2)}')")
+        case other =>
+          val t = other match {
+            case "REAL" => "FLOAT"
+            case "VARCHAR" => "STRING"
+            case "VARBINARY" => "BINARY" // utf8 bytes of the text, both engines
+            case "INTEGER" => "INT"
+            case "DOUBLE PRECISION" => "DOUBLE" // SQL-standard spelling
+            case x => x
+          }
+          java.util.regex.Matcher.quoteReplacement(s"CAST('${m.group(2)}' AS $t)")
       }
-      java.util.regex.Matcher.quoteReplacement(s"CAST('${m.group(2)}' AS $t)")
       }
     })
 
@@ -1163,6 +1204,7 @@ object GraftSqlParser {
     else if (up == "INTEGER") "INT"
     else if (up == "REAL") "FLOAT"
     else if (up == "VARBINARY") "BINARY"
+    else if (up.replaceAll("\\s+", " ") == "DOUBLE PRECISION") "DOUBLE"
     // the reference's bottom type (UnknownType.java; the type of a bare
     // NULL / empty-array literal) — Spark's spelling is VOID
     else if (up == "UNKNOWN") "VOID"
@@ -1205,6 +1247,8 @@ object GraftSqlParser {
           else if (up == "UNKNOWN") s"CAST($expr AS VOID)"
           else if (up == "VARCHAR") s"CAST($expr AS STRING)"
           else if (up == "VARBINARY") s"CAST($expr AS BINARY)"
+          else if (up.replaceAll("\\s+", " ") == "DOUBLE PRECISION")
+            s"CAST($expr AS DOUBLE)" // SQL-standard spelling (KAT r14)
           else s"CAST($expr AS $tpe)"
         }
         sql.substring(0, m.start) + rewritten + tail

@@ -555,6 +555,51 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
           else Cast(c, target)
         })
 
+      // reduce/aggregate with a NARROWER initial state than the merge
+      // lambda's result — `reduce(bigint_array, 0, (s, x) -> s + x, ..)`
+      // — unifies the state type in the reference's signature resolution
+      // (S is bound once across initialState and the lambdas) where
+      // Spark demands zero.dataType == merge result and rejects the
+      // int-literal zero (KAT replay r14, TestArrayReduceFunction).
+      // Widen: cast the zero and RE-TYPE each lambda's accumulator
+      // variable (body references replaced by exprId — the old variable
+      // object would otherwise keep receiving the evaluated state).
+      case aa: ArrayAggregate
+          if aa.childrenResolved && aa.merge.resolved && aa.finish.resolved &&
+            numericish(aa.zero.dataType) &&
+            aa.merge.asInstanceOf[LambdaFunction].function.dataType != aa.zero.dataType &&
+            numericish(aa.merge.asInstanceOf[LambdaFunction].function.dataType) &&
+            org.apache.spark.sql.graft.ColumnBridge.widerCommonType(Seq(
+              aa.zero.dataType,
+              aa.merge.asInstanceOf[LambdaFunction].function.dataType))
+              .contains(aa.merge.asInstanceOf[LambdaFunction].function.dataType) =>
+        val target = aa.merge.asInstanceOf[LambdaFunction].function.dataType
+        def retypeAcc(e: Expression): LambdaFunction = {
+          val lf = e.asInstanceOf[LambdaFunction]
+          val acc = lf.arguments.head.asInstanceOf[NamedLambdaVariable]
+          val acc2 = acc.copy(dataType = target)
+          val body2 = lf.function.transform {
+            case v: NamedLambdaVariable if v.exprId == acc.exprId => acc2
+          }
+          LambdaFunction(body2, acc2 +: lf.arguments.tail, lf.hidden)
+        }
+        ArrayAggregate(aa.argument, Cast(aa.zero, target),
+          retypeAcc(aa.merge), retypeAcc(aa.finish))
+
+      // binary array set operations with a bare-NULL argument:
+      // RETURN_NULL_ON_NULL in the reference (array_except(NULL, NULL)
+      // → NULL :: array(unknown), TestArrayExcept/IntersectFunction
+      // vectors — KAT replay r14) where Spark rejects the NullType
+      // operand at analysis
+      case ArrayIntersect(l, r) if nullSetOpArg(l, r) =>
+        Literal.create(null, setOpType(l, r))
+      case ArrayExcept(l, r) if nullSetOpArg(l, r) =>
+        Literal.create(null, setOpType(l, r))
+      case ArrayUnion(l, r) if nullSetOpArg(l, r) =>
+        Literal.create(null, setOpType(l, r))
+      case ArraysOverlap(l, r) if nullSetOpArg(l, r) =>
+        Literal.create(null, BooleanType)
+
       // binary array set operations over MIXED-width numeric element
       // types (the reference's implicit coercions accept
       // array_intersect(ARRAY[2, 3], ARRAY[2.0, 3.0]); Spark demands
@@ -657,6 +702,22 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
 
   private def numericish(dt: DataType): Boolean =
     dt.isInstanceOf[NumericType]
+
+  /** A bare-NULL operand to a binary array set op (both sides resolved,
+    * at least one NullType, the other NULL or an array).
+    */
+  private def nullSetOpArg(l: Expression, r: Expression): Boolean =
+    l.resolved && r.resolved &&
+      (l.dataType == NullType || r.dataType == NullType) &&
+      Seq(l, r).forall(e =>
+        e.dataType == NullType || e.dataType.isInstanceOf[ArrayType])
+
+  /** Result type for the NULL-argument set-op rewrite: the non-null
+    * side's array type, else array(unknown).
+    */
+  private def setOpType(l: Expression, r: Expression): DataType =
+    Seq(l, r).map(_.dataType).collectFirst { case a: ArrayType => a }
+      .getOrElse(ArrayType(NullType))
 
   /** Wider common MAP type across map_concat arguments: bare NULLs and
     * VOID-typed empty maps adopt the others' type; numeric widths widen

@@ -556,8 +556,8 @@ object PrestoFnOps extends QueryGroup {
               |    filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +'), x -> x <> '') AS toks
               |  FROM documents WHERE doc_id < 100)
               |SELECT doc_id,
-              |  greatest(size(ngrams(toks, 2)), 0) AS n_bigrams,
-              |  greatest(size(ngrams(toks, 3)), 0) AS n_trigrams,
+              |  size(filter(ngrams(toks, 2), g -> size(g) = 2)) AS n_bigrams,
+              |  size(filter(ngrams(toks, 3), g -> size(g) = 3)) AS n_trigrams,
               |  size(combinations(slice(toks, 1, least(size(toks), 10)), 2)) AS n_pairs
               |FROM t ORDER BY doc_id""".stripMargin)
     },

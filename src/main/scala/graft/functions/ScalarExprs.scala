@@ -334,6 +334,80 @@ case class EntriesCtorDispatch(child: Expression, multi: Boolean)
     copy(child = newChild)
 }
 
+/** `ngrams(array(T), n)` — ArrayNgramsFunction.java, generic over the
+  * element type (the old Seq[String] UDF silently STRINGIFIED non-string
+  * arrays through implicit coercion and returned [] where the reference
+  * returns the whole array when n > length — KAT replay r14). Exact
+  * semantics: n > 0 required; windows of min(n, length) consecutive
+  * elements, so length < n yields ONE ngram = the whole array (and an
+  * empty array yields one empty ngram).
+  */
+case class ArrayNgramsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "ngrams"
+  override def dataType: DataType = ArrayType(left.dataType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] &&
+        Seq(IntegerType, LongType, ShortType, ByteType).contains(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ngrams expects (array, integer), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(a: Any, nAny: Any): Any = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = nAny match { case l: java.lang.Long => l.toInt; case i: java.lang.Integer => i.toInt; case s: java.lang.Short => s.toInt; case b: java.lang.Byte => b.toInt }
+    require(n > 0, "N must be positive")
+    val et = left.dataType.asInstanceOf[ArrayType].elementType
+    val elems = arr.toObjectArray(et)
+    val epr = math.min(elems.length, n)
+    val total = elems.length - epr + 1
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      (0 until total).map(r =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          java.util.Arrays.copyOfRange(elems.asInstanceOf[Array[AnyRef]], r, r + epr))).toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayNgramsExpr =
+    copy(left = l, right = r)
+}
+
+/** `combinations(array(T), n)` — ArrayCombinationsFunction.java, generic
+  * over the element type: positional n-subsets in lexicographic index
+  * order (duplicate values yield duplicate subsets), 0 ≤ n ≤ 5, result
+  * elements capped at 100,000 like the reference.
+  */
+case class ArrayCombinationsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "combinations"
+  override def dataType: DataType = ArrayType(left.dataType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] &&
+        Seq(IntegerType, LongType, ShortType, ByteType).contains(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"combinations expects (array, integer), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(a: Any, nAny: Any): Any = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = nAny match { case l: java.lang.Long => l.toInt; case i: java.lang.Integer => i.toInt; case s: java.lang.Short => s.toInt; case b: java.lang.Byte => b.toInt }
+    require(n >= 0, s"combination size must not be negative: $n")
+    require(n <= 5, s"combination size must not exceed 5: $n")
+    val et = left.dataType.asInstanceOf[ArrayType].elementType
+    val elems = arr.toObjectArray(et).asInstanceOf[Array[AnyRef]]
+    val combos = elems.indices.combinations(n).toArray
+    require(combos.length.toLong * n <= 100000L, "combinations exceed max size")
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      combos.map(c =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          c.map(elems).toArray[AnyRef]): Any))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayCombinationsExpr =
+    copy(left = l, right = r)
+}
+
 object StaticInvokeJsonQuote {
   def apply(child: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(

@@ -16,12 +16,14 @@ object SqlProbe {
     // "@/path/file.sql" reads ";;"-separated statements from the file —
     // sbt's forked run neither forwards stdin nor survives embedded
     // double quotes in args, so file-based is the reliable quoting path
+    // explicit UTF-8: the forked JVM's default charset is POSIX/ASCII in
+    // this container, and KAT files carry emoji/multibyte subjects
     val stmts =
       (if (sqlArgs.sameElements(Array("-")))
         scala.io.Source.stdin.mkString.split(";;")
       else sqlArgs.flatMap { a =>
         if (a.startsWith("@"))
-          scala.io.Source.fromFile(a.drop(1)).mkString.split(";;")
+          scala.io.Source.fromFile(a.drop(1), "UTF-8").mkString.split(";;")
         else Array(a)
       }).map(_.trim).filter(_.nonEmpty)
     stmts.foreach { s =>

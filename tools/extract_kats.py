@@ -46,9 +46,22 @@ def java_unescape(s: str) -> str:
                 out.append(chr(int(s[i + 2:i + 6], 16)))
                 i += 6
                 continue
+            if n.isdigit():
+                # Java octal escape (\0 .. \377)
+                j = i + 1
+                while j < len(s) and j < i + 4 and s[j].isdigit() and \
+                        int(s[i + 1:j + 1], 8) <= 0o377:
+                    j += 1
+                out.append(chr(int(s[i + 1:j], 8)))
+                i = j
+                continue
         out.append(c)
         i += 1
-    return "".join(out)
+    # Java 🚀-style escapes decode to a surrogate PAIR of code
+    # units; combine them into the real code point (a lone surrogate
+    # would make the output unencodable as UTF-8)
+    return ("".join(out).encode("utf-16", "surrogatepass")
+            .decode("utf-16", "replace"))
 
 
 def balanced_args(text: str, open_idx: int) -> str:
