@@ -811,6 +811,114 @@ object GraftFnUtils {
     if (fmt == null) null
     else org.apache.spark.unsafe.types.UTF8String.fromString(jodaToJavaPattern(fmt.toString))
 
+  /** Runtime MySQL-pattern parser for `date_parse` (DateTimeFunctions
+    * DATE_FORMATTER semantics via Joda in the reference, rebuilt on
+    * java.time here — round 14, KAT replay): unlike a translated Spark
+    * pattern string, a programmatic DateTimeFormatterBuilder can express
+    * the reference's leniencies — 1-2 digit numeric fields, bare
+    * time-only text defaulting to 1970-01-01 (`date_parse('1.1',
+    * '%s.%f')`), ISO week-based `%x %v` (java.time week-based-year
+    * PATTERN letters are banned by Spark but the FIELDS are appendable),
+    * fractional seconds of any length, and literal TEXT around the
+    * fields without per-letter quote corruption. Formatters cached per
+    * pattern. Unsupported specifiers error with the reference's message.
+    */
+  private val mysqlParserCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.time.format.DateTimeFormatter]()
+
+  def prestoDateParse(text: org.apache.spark.unsafe.types.UTF8String,
+      fmt: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val f = mysqlParserCache.computeIfAbsent(fmt.toString, buildMysqlParser(_))
+    val ta = f.parse(text.toString)
+    val ldt = java.time.LocalDateTime.from(ta)
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+  }
+
+  private def buildMysqlParser(fmt: String): java.time.format.DateTimeFormatter = {
+    import java.time.format.{DateTimeFormatterBuilder, ResolverStyle, SignStyle, TextStyle}
+    import java.time.temporal.{ChronoField => CF, IsoFields}
+    // Joda (the reference's engine) parses text fields case-insensitively
+    // ('28-JAN-16' for %b)
+    val b = new DateTimeFormatterBuilder().parseCaseInsensitive()
+    var sawYear, sawMonth, sawDay, sawDoy, sawWeek = false
+    var sawHod, sawAmpmHour, sawAmpm = false
+    var sawMin, sawSec = false
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => b.appendValue(CF.YEAR, 4); sawYear = true
+          // MySQL 2-digit year: 70-99 → 19xx, 00-69 → 20xx
+          case 'y' => b.appendValueReduced(CF.YEAR, 2, 2, 1970); sawYear = true
+          case 'm' | 'c' =>
+            b.appendValue(CF.MONTH_OF_YEAR, 1, 2, SignStyle.NOT_NEGATIVE); sawMonth = true
+          case 'M' => b.appendText(CF.MONTH_OF_YEAR, TextStyle.FULL); sawMonth = true
+          case 'b' => b.appendText(CF.MONTH_OF_YEAR, TextStyle.SHORT); sawMonth = true
+          case 'd' | 'e' =>
+            b.appendValue(CF.DAY_OF_MONTH, 1, 2, SignStyle.NOT_NEGATIVE); sawDay = true
+          case 'j' =>
+            b.appendValue(CF.DAY_OF_YEAR, 1, 3, SignStyle.NOT_NEGATIVE); sawDoy = true
+          case 'H' | 'k' =>
+            b.appendValue(CF.HOUR_OF_DAY, 1, 2, SignStyle.NOT_NEGATIVE); sawHod = true
+          case 'h' | 'I' | 'l' =>
+            b.appendValue(CF.CLOCK_HOUR_OF_AMPM, 1, 2, SignStyle.NOT_NEGATIVE)
+            sawAmpmHour = true
+          case 'i' =>
+            b.appendValue(CF.MINUTE_OF_HOUR, 1, 2, SignStyle.NOT_NEGATIVE); sawMin = true
+          case 's' | 'S' =>
+            b.appendValue(CF.SECOND_OF_MINUTE, 1, 2, SignStyle.NOT_NEGATIVE); sawSec = true
+          case 'f' => b.appendFraction(CF.NANO_OF_SECOND, 1, 9, false)
+          case 'p' => b.appendText(CF.AMPM_OF_DAY); sawAmpm = true
+          case 'r' =>
+            b.appendValue(CF.CLOCK_HOUR_OF_AMPM, 2)
+              .appendLiteral(':').appendValue(CF.MINUTE_OF_HOUR, 2)
+              .appendLiteral(':').appendValue(CF.SECOND_OF_MINUTE, 2)
+              .appendLiteral(' ').appendText(CF.AMPM_OF_DAY)
+            sawAmpmHour = true; sawAmpm = true; sawMin = true; sawSec = true
+          case 'T' =>
+            b.appendValue(CF.HOUR_OF_DAY, 2)
+              .appendLiteral(':').appendValue(CF.MINUTE_OF_HOUR, 2)
+              .appendLiteral(':').appendValue(CF.SECOND_OF_MINUTE, 2)
+            sawHod = true; sawMin = true; sawSec = true
+          case 'W' => b.appendText(CF.DAY_OF_WEEK, TextStyle.FULL)
+          case 'a' => b.appendText(CF.DAY_OF_WEEK, TextStyle.SHORT)
+          case 'x' => b.appendValue(IsoFields.WEEK_BASED_YEAR, 4); sawWeek = true
+          case 'v' =>
+            b.appendValue(IsoFields.WEEK_OF_WEEK_BASED_YEAR, 1, 2, SignStyle.NOT_NEGATIVE)
+            sawWeek = true
+          case '%' => b.appendLiteral('%')
+          case bad @ ('D' | 'U' | 'u' | 'V' | 'X' | 'w') =>
+            // DateTimeFunctions.java:1203-1219: these error in the
+            // reference's parser too
+            throw new IllegalArgumentException(
+              s"%$bad not supported in date format string")
+          case other => b.appendLiteral(other)
+        }
+        i += 2
+      } else {
+        b.appendLiteral(c)
+        i += 1
+      }
+    }
+    // Joda's epoch defaults (the reference parses bare fields against
+    // 1970-01-01T00:00:00)
+    if (sawWeek) {
+      b.parseDefaulting(CF.DAY_OF_WEEK, 1)
+    } else {
+      if (!sawYear) b.parseDefaulting(CF.YEAR, 1970)
+      if (!sawMonth && !sawDoy) b.parseDefaulting(CF.MONTH_OF_YEAR, 1)
+      if (!sawDay && !sawDoy) b.parseDefaulting(CF.DAY_OF_MONTH, 1)
+    }
+    if (sawAmpmHour) {
+      if (!sawAmpm) b.parseDefaulting(CF.AMPM_OF_DAY, 0)
+    } else if (!sawHod) b.parseDefaulting(CF.HOUR_OF_DAY, 0)
+    if (!sawMin) b.parseDefaulting(CF.MINUTE_OF_HOUR, 0)
+    if (!sawSec) b.parseDefaulting(CF.SECOND_OF_MINUTE, 0)
+    b.toFormatter(java.util.Locale.ENGLISH)
+      .withResolverStyle(ResolverStyle.STRICT)
+  }
+
   def mysqlToJavaPattern(fmt: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -835,9 +943,16 @@ object GraftFnUtils {
           case other => other.toString
         })
         i += 2
+      } else if (c.isLetter) {
+        // quote literal letters as ONE run: per-letter quoting produced
+        // 'a''b''c', which java.time reads as the literal a'b'c (''
+        // inside a quoted section is an escaped quote) — KAT replay r14
+        var j = i
+        while (j < fmt.length && fmt.charAt(j).isLetter) j += 1
+        out.append('\'').append(fmt.substring(i, j)).append('\'')
+        i = j
       } else {
-        // quote any literal letters so java.time doesn't interpret them
-        if (c.isLetter) out.append('\'').append(c).append('\'') else out.append(c)
+        out.append(c)
         i += 1
       }
     }
@@ -873,7 +988,7 @@ object GraftFunctions {
     // MergeHyperLogLogAggregation.java — sketch union
     "merge" -> { args => MergeHllAgg(args.head).toAggregateExpression() },
     // explicit reference spelling for the HLL merge aggregate
-    "merge_hll" -> { args => MergeHllAgg(args.head).toAggregateExpression() },
+    "merge_hll" -> { case Seq(e) => MergeHllScalar(e) },
     // ApproximateCountDistinctAggregation.java:41
     "approx_distinct" -> {
       case Seq(c) => HyperLogLogPlusPlus(c).toAggregateExpression()
@@ -1297,9 +1412,16 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(s"date_format: bad args $args")
     },
     "date_parse" -> {
-      case Seq(s, StringLiteral(fmt)) if fmt.contains('%') =>
-        GetTimestamp(s, Literal(GraftFnUtils.mysqlToJavaPattern(fmt)), TimestampType)
-      case Seq(s, f) => GetTimestamp(s, f, TimestampType)
+      // runtime MySQL-pattern parser (GraftFnUtils.prestoDateParse):
+      // expresses the reference's leniencies a translated Spark pattern
+      // cannot — 1-2 digit fields, epoch defaults for bare time text,
+      // %x %v week-based parsing, any-length fractions, unquoted
+      // literal text (round 14; was GetTimestamp over a translated
+      // pattern, which rejected all of those)
+      case Seq(s, f) =>
+        StaticInvoke(GraftFnUtils.getClass, TimestampType, "prestoDateParse",
+          Seq(Cast(s, StringType), Cast(f, StringType)),
+          inputTypes = Seq(StringType, StringType), propagateNull = true)
       case args => throw new IllegalArgumentException(s"date_parse: bad args $args")
     },
     // Joda-style format_datetime/parse_datetime (DateTimeFunctions.java:68)

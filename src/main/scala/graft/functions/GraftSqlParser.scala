@@ -354,6 +354,7 @@ object GraftSqlParser {
     out = rewriteArrayLiterals(out)
     out = rewriteBinarySpaces(out)
     out = rewriteInternalTry(out)
+    out = rewritePartialIntervals(out)
     rewriteSortNulls(rewriteMapCtor(rewriteCasts(rewriteUnnest(rewriteExplain(
       rewriteTypedLiterals(
       rewriteDecimalLiterals(rewriteJsonLiterals(rewriteExtract(rewriteAtTimeZone(
@@ -367,6 +368,62 @@ object GraftSqlParser {
     * X'..' demands contiguous hex digits. Strip the whitespace, quote/
     * comment-guarded (KAT replay r14, TestJsonExtract vectors).
     */
+  /** Partial-field interval literals — the reference's `INTERVAL '12 10'
+    * DAY TO SECOND` fills the missing LOWER fields with zeros
+    * (TestIntervalDayTime.java:49-60) and `INTERVAL '124-30' YEAR TO
+    * MONTH` normalizes overflowing months into years; Spark demands the
+    * full canonical field count. Pad/normalize the text (KAT replay
+    * r14); unparseable text passes through for Spark's own error.
+    */
+  private val PartialInterval =
+    raw"(?i)\bINTERVAL\s+'([^']*)'\s+(DAY|HOUR|MINUTE|YEAR)\s+TO\s+(SECOND|MINUTE|HOUR|MONTH)".r
+  private def rewritePartialIntervals(sql: String): String =
+    PartialInterval.replaceAllIn(sql, m => {
+      if (insideQuoteOrComment(sql, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val text = m.group(1).trim
+        val from = m.group(2).toUpperCase
+        val to = m.group(3).toUpperCase
+        val (sign, body) =
+          if (text.startsWith("-")) ("-", text.substring(1).trim)
+          else if (text.startsWith("+")) ("", text.substring(1).trim)
+          else ("", text)
+        val canon: Option[String] = (from, to) match {
+          case ("YEAR", "MONTH") =>
+            raw"^(\d+)(?:-(\d+))?$$".r.findFirstMatchIn(body).map { g =>
+              val tot = g.group(1).toLong * 12 +
+                Option(g.group(2)).map(_.toLong).getOrElse(0L)
+              s"${tot / 12}-${tot % 12}"
+            }
+          case _ =>
+            val order = Seq("DAY", "HOUR", "MINUTE", "SECOND")
+            val needed = order.indexOf(to) - order.indexOf(from) + 1
+            val re = from match {
+              case "DAY" => raw"^(\d+)(?:\s+(\d+)(?::(\d+)(?::(\d+(?:\.\d+)?))?)?)?$$".r
+              case "HOUR" => raw"^(\d+)(?::(\d+)(?::(\d+(?:\.\d+)?))?)?$$".r
+              case "MINUTE" => raw"^(\d+)(?::(\d+(?:\.\d+)?))?$$".r
+              case _ => raw"a^".r
+            }
+            if (needed < 1) None
+            else re.findFirstMatchIn(body).map { g =>
+              val given = (1 to g.groupCount)
+                .map(i => Option(g.group(i))).takeWhile(_.isDefined).flatten
+              val padded = given.padTo(needed, "0").take(needed)
+              if (from == "DAY")
+                padded.head + (if (needed > 1) " " + padded.tail.mkString(":") else "")
+              else padded.mkString(":")
+            }
+        }
+        canon match {
+          case Some(c) =>
+            java.util.regex.Matcher.quoteReplacement(
+              s"INTERVAL '$sign$c' $from TO $to")
+          case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        }
+      }
+    })
+
   /** The reference desugars TRY(x) to `"$internal$try"(() -> x)`
     * (TryExpressionRewriter) and its tests call the internal spelling
     * directly — map it back to the graft `try` function: replacing the
@@ -1205,6 +1262,12 @@ object GraftSqlParser {
     else if (up == "REAL") "FLOAT"
     else if (up == "VARBINARY") "BINARY"
     else if (up.replaceAll("\\s+", " ") == "DOUBLE PRECISION") "DOUBLE"
+    // the sketch family's SQL type spellings are all VARBINARY-modeled
+    // here (the digests ARE their serialized bytes — §2.4 sketches):
+    // CAST(NULL AS qdigest(bigint)) et al. must type-check (KAT r14)
+    else if (up.startsWith("QDIGEST") || up.startsWith("TDIGEST") ||
+      up == "HYPERLOGLOG" || up == "P4HYPERLOGLOG" || up == "SETDIGEST" ||
+      up == "KHYPERLOGLOG") "BINARY"
     // the reference's bottom type (UnknownType.java; the type of a bare
     // NULL / empty-array literal) — Spark's spelling is VOID
     else if (up == "UNKNOWN") "VOID"
@@ -1249,6 +1312,11 @@ object GraftSqlParser {
           else if (up == "VARBINARY") s"CAST($expr AS BINARY)"
           else if (up.replaceAll("\\s+", " ") == "DOUBLE PRECISION")
             s"CAST($expr AS DOUBLE)" // SQL-standard spelling (KAT r14)
+          else if (up.startsWith("QDIGEST") || up.startsWith("TDIGEST") ||
+              up == "HYPERLOGLOG" || up == "P4HYPERLOGLOG" ||
+              up == "SETDIGEST" || up == "KHYPERLOGLOG")
+            // sketch types are VARBINARY-modeled (digests ARE their bytes)
+            s"CAST($expr AS BINARY)"
           else s"CAST($expr AS $tpe)"
         }
         sql.substring(0, m.start) + rewritten + tail

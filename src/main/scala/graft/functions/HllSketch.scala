@@ -124,6 +124,46 @@ case class ApproxSetAgg(
     copy(child = newChild)
 }
 
+/** `merge_hll(array(hll))` — the SCALAR union of an array of sketches
+  * (HyperLogLogFunctions.java:56-90 scalarMerge — distinct from the
+  * `merge` AGGREGATE below; round 14 fixed the registration, which had
+  * wrongly pointed this name at the aggregate): NULL for a NULL, empty,
+  * or all-NULL array; NULL elements skipped.
+  */
+case class MergeHllScalar(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "merge_hll"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case NullType | ArrayType(BinaryType, _) | ArrayType(NullType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"merge_hll expects an ARRAY of VARBINARY sketches, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var acc: Array[Byte] = null
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && child.dataType != NullType &&
+          child.dataType.asInstanceOf[ArrayType].elementType == BinaryType) {
+        val s = arr.getBinary(i)
+        if (acc == null) acc = s.clone() else Hll.mergeInto(acc, s)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MergeHllScalar =
+    copy(child = newChild)
+}
+
 /** `merge(hll)` — union of HLL sketches (MergeHyperLogLogAggregation). */
 case class MergeHllAgg(
     child: Expression,
