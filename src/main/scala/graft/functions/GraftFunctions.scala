@@ -287,6 +287,34 @@ object GraftFnUtils {
   def tzTimeOffsetMinute(nanos: Long, zone: org.apache.spark.unsafe.types.UTF8String): Long =
     ((ttzEpochOffsetSeconds(zone) % 3600) / 60).toLong
 
+  /** at_timezone over TIME WITH TIME ZONE: keep the instant (epoch-date
+    * offsets, the engine's documented model for the deprecated type),
+    * re-render the time-of-day in the target zone, normalized into
+    * [0, 24h) (DateTimeFunctions.java:1351 timeAtTimeZone — the
+    * reference evaluates offsets at session start; divergence only for
+    * zones whose offset changed between 1970 and the session date,
+    * consistent with every other TTZ surface here).
+    */
+  def zonedTimeShift(nanos: Long, from: org.apache.spark.unsafe.types.UTF8String,
+      to: org.apache.spark.unsafe.types.UTF8String): Long =
+    Math.floorMod(
+      nanos + (ttzEpochOffsetSeconds(to).toLong - ttzEpochOffsetSeconds(from).toLong)
+        * 1000000000L,
+      86400000000000L)
+
+  /** `at_timezone(x, INTERVAL '2' HOUR)` — the offset-interval zone form
+    * (DateTimeFunctions.java:319: whole minutes only, errors on a
+    * seconds component).
+    */
+  def intervalOffsetZone(micros: Long): org.apache.spark.unsafe.types.UTF8String = {
+    require(micros % 60000000L == 0L,
+      "Invalid time zone offset interval: interval contains seconds")
+    val m = micros / 60000000L
+    val sign = if (m < 0) "-" else "+"
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      f"$sign${math.abs(m) / 60}%02d:${math.abs(m) % 60}%02d")
+  }
+
   /** UTC-normalized nanos (wall − offset) — the reference's packed
     * millisUtc that TIME WITH TIME ZONE comparisons order by.
     */

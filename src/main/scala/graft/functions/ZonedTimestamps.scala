@@ -307,10 +307,28 @@ case class ZonedAtTimezone(t: Expression, z: Expression,
   override def nodePatternsInternal(): Seq[TreePattern] =
     Seq(TreePattern.RUNTIME_REPLACEABLE)
   override lazy val replacement: Expression = {
+    // the offset-interval zone form (at_timezone(x, INTERVAL '2' HOUR),
+    // DateTimeFunctions.java:319) renders the interval as a fixed-offset
+    // zone id; whole minutes only, errors on seconds
+    val zs = z.dataType match {
+      case _: DayTimeIntervalType => StaticInvoke(
+        GraftFnUtils.getClass, StringType, "intervalOffsetZone",
+        Seq(Cast(z, DayTimeIntervalType())),
+        inputTypes = Seq(DayTimeIntervalType()), propagateNull = true)
+      case _ => Cast(z, StringType)
+    }
     val inner =
-      if (isZoned(t.dataType)) mk(utcOf(t), z)
-      else mk(Cast(t, TimestampType, timeZoneId), z)
-    If(Or(IsNull(t), IsNull(z)), nullZ, inner)
+      if (isZoned(t.dataType)) mk(utcOf(t), zs)
+      else if (isZonedTime(t.dataType))
+        // TIME WTZ: same instant, time-of-day re-rendered in the target
+        // zone (GraftFnUtils.zonedTimeShift — epoch-date offsets)
+        mkTime(StaticInvoke(
+          GraftFnUtils.getClass, TimeType(6), "zonedTimeShift",
+          Seq(todOf(t), tzOf(t), zs),
+          inputTypes = Seq(TimeType(6), StringType, StringType),
+          propagateNull = true), zs)
+      else mk(Cast(t, TimestampType, timeZoneId), zs)
+    If(Or(IsNull(t), IsNull(z)), if (isZonedTime(t.dataType)) nullZT else nullZ, inner)
   }
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): ZonedAtTimezone = copy(t = l, z = r)

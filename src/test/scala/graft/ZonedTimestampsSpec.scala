@@ -382,6 +382,30 @@ class ZonedTimestampsSpec extends AnyFunSuite {
     }
   }
 
+  test("at_timezone over TIME WITH TIME ZONE keeps the instant (round 14)") {
+    // reference KAT vectors (TestDateTimeFunctionsBase testTimeWithTimeZone
+    // atTimeZone family), epoch-date offsets per the engine's TTZ model;
+    // incl. the offset-INTERVAL zone form (DateTimeFunctions.java:319)
+    withZoned {
+      assert(one("SELECT CAST(at_timezone(TIME '10:00 Europe/Warsaw', 'UTC') AS VARCHAR)")
+        == "09:00:00.000 UTC")
+      assert(one("SELECT CAST(at_timezone(TIME '10:00 +01:00', INTERVAL '2' HOUR) AS VARCHAR)")
+        == "11:00:00.000 +02:00")
+      // wraps into [0, 24h)
+      assert(one("SELECT CAST(at_timezone(TIME '00:00 +14:00', '-14:00') AS VARCHAR)")
+        == "20:00:00.000 -14:00")
+      // identity zone
+      assert(one("SELECT CAST(at_timezone(TIME '10:00 Asia/Kabul', 'Asia/Kabul') AS VARCHAR)")
+        == "10:00:00.000 Asia/Kabul")
+      // seconds in the offset interval error like the reference
+      val e = intercept[Exception] {
+        one("SELECT CAST(at_timezone(TIME '10:00 +01:00', INTERVAL '130' SECOND) AS VARCHAR)")
+      }
+      assert(e.getMessage.contains("interval contains seconds") ||
+        Option(e.getCause).exists(_.getMessage.contains("interval contains seconds")))
+    }
+  }
+
   test("the zoned mode leaves ordinary queries untouched (casts, comparisons, intervals all stock)") {
     withZoned {
       assert(one("SELECT CAST(1.9 AS STRING)") == "1.9")
