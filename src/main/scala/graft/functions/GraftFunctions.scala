@@ -574,6 +574,24 @@ object GraftFnUtils {
     else Math.round(num * factor) / factor
   }
 
+  /** Decimal division at the reference's exact result type
+    * (DecimalOperators.java divideRoundUp: BigDecimal quotient rounded
+    * HALF_UP at scale max(s1, s2)); overflow past the result precision
+    * errors like NUMERIC_VALUE_OUT_OF_RANGE, division by zero like
+    * DIVISION_BY_ZERO.
+    */
+  def prestoDecimalDivide(a: org.apache.spark.sql.types.Decimal,
+      b: org.apache.spark.sql.types.Decimal, p: Int, s: Int)
+      : org.apache.spark.sql.types.Decimal = {
+    val bj = b.toJavaBigDecimal
+    if (bj.signum == 0) throw new ArithmeticException("Division by zero")
+    val q = a.toJavaBigDecimal.divide(bj, s, java.math.RoundingMode.HALF_UP)
+    if (q.precision > p)
+      throw new ArithmeticException(
+        s"Cannot cast DECIMAL quotient '$q' to DECIMAL($p, $s): value out of range")
+    org.apache.spark.sql.types.Decimal(q, p, s)
+  }
+
   /** Raw IEEE-754 division — floating division NEVER errors in the
     * reference (x/0 → ±Infinity, 0/0 → NaN): stock 0.235
     * DoubleOperators.divide is the bare primitive, and the fork's own

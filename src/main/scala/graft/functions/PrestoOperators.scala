@@ -229,8 +229,18 @@ case class PrestoDivide(left: Expression, right: Expression)
       math.max(a.scale, b.scale))
 
   private def decimalDivide(l: DecimalType, r: DecimalType): Expression = {
-    val w = widerDecimal(l, r)
-    Cast(Divide(Cast(left, w), Cast(right, w)), prestoDivType(l, r))
+    // exact BigDecimal quotient at the reference's result type
+    // (DecimalOperators divideRoundUp — HALF_UP at max(s1, s2)); going
+    // through Spark's Divide overflowed on large operands because its
+    // INTERMEDIATE result type exceeds DECIMAL(38) even when the
+    // reference's result fits (KAT replay r14:
+    // DECIMAL '2e35' / DECIMAL '0.30' → 38-digit quotient, fine)
+    val t = prestoDivType(l, r)
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      GraftFnUtils.getClass, t, "prestoDecimalDivide",
+      Seq(Cast(left, l), Cast(right, r),
+        Literal(t.precision), Literal(t.scale)),
+      inputTypes = Seq(l, r, IntegerType, IntegerType), propagateNull = true)
   }
 
   /** Floating division is raw IEEE in the reference — x/0 → ±Infinity,

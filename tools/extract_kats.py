@@ -23,7 +23,7 @@ expects, prefixed with the dialect SET. Stats go to stderr.
 import re
 import sys
 
-CALL = re.compile(r"\bassertFunction\s*\(")
+CALL = re.compile(r"\b(?:assertFunction|assertDecimalFunction)\s*\(")
 
 # a Java string literal (double-quoted, backslash escapes)
 STR_LIT = re.compile(r'"((?:[^"\\]|\\.)*)"')
