@@ -85,6 +85,17 @@ object GraftFnUtils {
     */
   def timeNanosOf(timeNanos: Long): Long = timeNanos
 
+  /** CAST(TIME AS TIMESTAMP): the epoch date carries the time-of-day
+    * (TimeOperators castToTimestamp — 1970-01-01T<tod>, KAT r14).
+    */
+  def todNanosToMicros(timeNanos: Long): Long = timeNanos / 1000L
+
+  /** CAST(TIME WTZ AS TIMESTAMP WTZ): the UTC instant of the epoch-date
+    * time-of-day in its zone, in micros.
+    */
+  def zonedTimeUtcMicros(nanos: Long, zone: org.apache.spark.unsafe.types.UTF8String): Long =
+    zonedTimeUtcNanos(nanos, zone) / 1000L
+
   private val DayNanos = 86400000000000L
 
   /** The TIME-valid field units (reference DateTimeFunctions.getTimeField:

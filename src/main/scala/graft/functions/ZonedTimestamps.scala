@@ -279,9 +279,24 @@ case class ZonedRenderCast(child: Expression, target: DataType,
         GraftFnUtils.getClass, StringType, "renderZonedTime",
         Seq(todOf(child), tzOf(child)),
         inputTypes = Seq(TimeType(6), StringType), propagateNull = true)
+      // CAST(timetz AS TIMESTAMP): the epoch date carries the wall tod
+      case TimestampType => StaticInvoke(GraftFnUtils.getClass,
+        TimestampType, "todNanosToMicros", Seq(todOf(child)),
+        inputTypes = Seq(TimeType(6)), propagateNull = true)
       // CAST(timetz AS TIME) drops the zone, keeping the wall time
       case _ => Cast(todOf(child), target, timeZoneId, evalMode)
-    } else Cast(child, target, timeZoneId, evalMode)
+    } else (child.dataType, target) match {
+      // naive TIME → TIMESTAMP: 1970-01-01 + tod (TimeOperators
+      // castToTimestamp; Spark has no such cast — KAT replay r14)
+      case (_: TimeType, TimestampType) => StaticInvoke(
+        GraftFnUtils.getClass, TimestampType, "todNanosToMicros",
+        Seq(child), inputTypes = Seq(TimeType(6)), propagateNull = true)
+      // naive TIMESTAMP → TIME: the wall clock's time-of-day
+      case (TimestampType, t: TimeType) => StaticInvoke(
+        GraftFnUtils.getClass, t, "microsToNanosOfDay", Seq(child),
+        inputTypes = Seq(TimestampType), propagateNull = true)
+      case _ => Cast(child, target, timeZoneId, evalMode)
+    }
   override protected def withNewChildInternal(c: Expression): ZonedRenderCast =
     copy(child = c)
 }
@@ -514,6 +529,21 @@ case class ZonedCastToZoned(child: Expression, timeZoneId: Option[String] = None
           mk(Cast(child, TimestampType, timeZoneId),
             StaticInvoke(GraftFnUtils.getClass, StringType, "zoneTokenOf",
               Seq(child), inputTypes = Seq(StringType), propagateNull = true)))
+      // TIME WTZ → TIMESTAMP WTZ: epoch-date wall tod, zone kept
+      // (the stored instant is the tod UTC-normalized in that zone)
+      case st if isZonedTime(st) =>
+        If(IsNull(child), nullZ,
+          mk(StaticInvoke(GraftFnUtils.getClass, TimestampType,
+            "zonedTimeUtcMicros", Seq(todOf(child), tzOf(child)),
+            inputTypes = Seq(TimeType(6), StringType), propagateNull = true),
+            tzOf(child)))
+      // naive TIME → TIMESTAMP WTZ: epoch date + tod, session zone UTC
+      case _: TimeType =>
+        If(IsNull(child), nullZ,
+          mk(StaticInvoke(GraftFnUtils.getClass, TimestampType,
+            "todNanosToMicros", Seq(child),
+            inputTypes = Seq(TimeType(6)), propagateNull = true),
+            Literal("UTC")))
       case _ =>
         If(IsNull(child), nullZ,
           mk(Cast(child, TimestampType, timeZoneId), Literal("UTC")))
@@ -748,6 +778,14 @@ case class ZonedCastToZonedTime(child: Expression, timeZoneId: Option[String] = 
               propagateNull = true), TimeType(6), timeZoneId),
             StaticInvoke(GraftFnUtils.getClass, StringType, "zoneTokenOf",
               Seq(child), inputTypes = Seq(StringType), propagateNull = true)))
+      // naive TIMESTAMP → TIME WTZ: the wall clock's time-of-day in the
+      // session zone (Spark has no TIMESTAMP→TIME cast — KAT replay r14)
+      case TimestampType =>
+        If(IsNull(child), nullZT,
+          mkTime(StaticInvoke(GraftFnUtils.getClass, TimeType(6),
+            "microsToNanosOfDay", Seq(child),
+            inputTypes = Seq(TimestampType), propagateNull = true),
+            Literal("UTC")))
       case _ =>
         If(IsNull(child), nullZT,
           mkTime(Cast(child, TimeType(6), timeZoneId), Literal("UTC")))

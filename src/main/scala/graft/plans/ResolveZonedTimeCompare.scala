@@ -65,6 +65,44 @@ object ResolveZonedTimeCompare extends Rule[LogicalPlan] {
             case ZTimeSide(_) => true; case _ => false
           } =>
         In(nanos(v), list.map { case PTimeSide(t) => nanos(t); case other => other })
+
+      // RAW mixed operands — shapes the parse-time ZonedInstant wrap
+      // cannot reach (KAT replay r14). Same semantics: both sides
+      // lifted to UTC-normalized nanos (TIME) or the UTC instant
+      // (TIMESTAMP; a naive timestamp is the documented session-UTC
+      // instant).
+      case bc: BinaryComparison
+          if bc.left.resolved && bc.right.resolved && rawMixed(bc.left, bc.right) =>
+        bc.withNewChildren(Seq(lift(bc.left), lift(bc.right)))
+
+      // `x BETWEEN l AND u` is a RuntimeReplaceable Between whose LAZY
+      // With-desugar no analysis rule can reach — the comparisons
+      // materialize at optimizer time and a zoned-vs-naive mix fails to
+      // resolve there. Lift the three operands on the Between itself.
+      case bt: Between
+          if bt.input.resolved && bt.lower.resolved && bt.upper.resolved && {
+            val ops = Seq(bt.input, bt.lower, bt.upper)
+            ops.exists(e => ZonedTimestamps.isZonedTime(e.dataType) ||
+              ZonedTimestamps.isZoned(e.dataType)) &&
+              ops.exists(e => e.dataType.isInstanceOf[TimeType] ||
+                e.dataType == TimestampType)
+          } =>
+        Between(lift(bt.input), lift(bt.lower), lift(bt.upper))
     }
   }
+
+  private def rawMixed(l: Expression, r: Expression): Boolean = {
+    def zt(e: Expression) = ZonedTimestamps.isZonedTime(e.dataType)
+    def zs(e: Expression) = ZonedTimestamps.isZoned(e.dataType)
+    (zt(l) && r.dataType.isInstanceOf[TimeType]) ||
+      (zt(r) && l.dataType.isInstanceOf[TimeType]) ||
+      (zs(l) && r.dataType == TimestampType) ||
+      (zs(r) && l.dataType == TimestampType)
+  }
+
+  private def lift(e: Expression): Expression =
+    if (ZonedTimestamps.isZonedTime(e.dataType)) ZonedInstant(e)
+    else if (e.dataType.isInstanceOf[TimeType]) nanos(e)
+    else if (ZonedTimestamps.isZoned(e.dataType)) ZonedInstant(e)
+    else e // naive TIMESTAMP: already the UTC instant
 }
