@@ -76,7 +76,17 @@ object ExtraFns {
   }
 
   // ── IP / CIDR (InetAddress covers v4 + v6) ───────────────────────────
-  private def ipBytes(ip: String): Array[Byte] = InetAddress.getByName(ip).getAddress
+  // literal guard: InetAddress.getByName resolves HOSTNAMES via DNS; the
+  // reference uses Guava's InetAddresses.forString, which parses literals
+  // only (IpAddressOperators.java:130) — reject anything that can't be a
+  // numeric v4/v6 literal BEFORE getByName so 'facebook.com' errors
+  // immediately instead of attempting a lookup
+  private val IpLiteral = "[0-9a-fA-F:.]+".r
+  private def ipBytes(ip: String): Array[Byte] = {
+    if (ip == null || !IpLiteral.pattern.matcher(ip).matches())
+      throw new IllegalArgumentException(s"Cannot cast value to IPADDRESS: $ip")
+    InetAddress.getByName(ip).getAddress
+  }
 
   /** Canonical text form: dotted-quad for v4; RFC 5952 for v6 (lowercase
     * hex, no leading zeros, longest run of ≥2 zero groups compressed to
@@ -162,6 +172,87 @@ object ExtraFns {
   }
   def ipSubnetRange(cidr: String): Array[String] =
     Array(ipSubnetMin(cidr), ipSubnetMax(cidr))
+
+  // ── IPADDRESS / IPPREFIX cast + comparison surface (KAT wave 9;
+  //    IpAddressOperators.java / IpPrefixOperators.java). The engine
+  //    models both types as their canonical TEXT; these runtime statics
+  //    supply the reference's cast family and the 16/17-byte comparison
+  //    keys (the reference compares the fixed-width binary form —
+  //    canonical-text order diverges for mixed-family or multi-digit
+  //    operands, e.g. '::1' < '1.2.3.5' holds in bytes, not in text).
+  private def bytes16(b: Array[Byte]): Array[Byte] =
+    if (b.length == 16) b
+    else {
+      // v4 → v4-mapped ::ffff:a.b.c.d (IpAddressOperators.java:137-141)
+      val out = new Array[Byte](16)
+      out(10) = 0xFF.toByte; out(11) = 0xFF.toByte
+      System.arraycopy(b, 0, out, 12, 4)
+      out
+    }
+
+  /** CAST(varbinary AS IPADDRESS): 4 bytes read v4-mapped, 16 read as
+    * v6; any other length errors (IpAddressOperators.java:167-183).
+    */
+  def ipFromVarbinary(b: Array[Byte]): String =
+    if (b.length == 4 || b.length == 16) canonical(b)
+    else throw new IllegalArgumentException(
+      s"Invalid IP address binary length: ${b.length}")
+
+  /** CAST(ipaddress AS VARBINARY): always the 16-byte form
+    * (IpAddressOperators.java:187-190 — the stored slice IS 16 bytes).
+    */
+  def ipToVarbinary(ip: String): Array[Byte] = bytes16(ipBytes(ip))
+
+  /** CAST(ipprefix-valued AS IPADDRESS): the network address
+    * (IpPrefixOperators.java:199-202 — the first 16 bytes of the slice,
+    * which hold the canonical/zeroed network address).
+    */
+  def ipPrefixToAddress(cidr: String): String = ipSubnetMin(cidr)
+
+  /** CAST(ipaddress-valued AS IPPREFIX): full-length prefix — /32 for
+    * v4, /128 for v6 (IpPrefixOperators.java:206-224).
+    */
+  def ipAddressToPrefix(ip: String): String = {
+    val b = ipBytes(ip)
+    s"${canonical(b)}/${b.length * 8}"
+  }
+
+  /** Order key: the reference compares IPADDRESS as its 16-byte slice
+    * and IPPREFIX as its 17-byte slice (network bytes + length byte) —
+    * both unsigned lexicographic, which is exactly Spark's BinaryType
+    * ordering.
+    */
+  def ipOrderKey(v: String): Array[Byte] = {
+    val slash = v.indexOf('/')
+    if (slash < 0) bytes16(ipBytes(v))
+    else {
+      val net = bytes16(ipBytes(v.substring(0, slash)))
+      val out = java.util.Arrays.copyOf(net, 17)
+      out(16) = v.substring(slash + 1).toInt.toByte
+      out
+    }
+  }
+
+  // UTF8String adapters for the codegen'd StaticInvoke call sites
+  // (StringType-valued StaticInvoke methods must speak UTF8String)
+  def ipCastTextU(s: UTF8String): UTF8String =
+    UTF8String.fromString(ipCanonical(s.toString))
+  def ipPrefixCastTextU(s: UTF8String): UTF8String = {
+    val t = s.toString
+    // the reference's varchar→IPPREFIX requires the '/length' part
+    // (IpPrefixOperators.java:139-141)
+    if (!t.contains("/"))
+      throw new IllegalArgumentException(s"Cannot cast value to IPPREFIX: $t")
+    UTF8String.fromString(ipPrefixCanonical(t))
+  }
+  def ipFromVarbinaryU(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(ipFromVarbinary(b))
+  def ipToVarbinaryU(s: UTF8String): Array[Byte] = ipToVarbinary(s.toString)
+  def ipPrefixToAddressU(s: UTF8String): UTF8String =
+    UTF8String.fromString(ipPrefixToAddress(s.toString))
+  def ipAddressToPrefixU(s: UTF8String): UTF8String =
+    UTF8String.fromString(ipAddressToPrefix(s.toString))
+  def ipOrderKeyU(s: UTF8String): Array[Byte] = ipOrderKey(s.toString)
 
   /** is_subnet_of(cidr, ip) and is_subnet_of(cidr, cidr2). */
   def isSubnetOfIp(cidr: String, ip: String): Boolean = {

@@ -616,6 +616,12 @@ object GraftFnUtils {
     */
   def ieeeDivDouble(l: Double, r: Double): Double = l / r
 
+  /** Raw IEEE-754 remainder — floating `%` never errors in the reference
+    * (DoubleOperators.java:122-130 is plain Java `left % right`; `x % 0.0`
+    * is NaN), where Spark's ANSI Remainder raises REMAINDER_BY_ZERO.
+    */
+  def ieeeModDouble(l: Double, r: Double): Double = l % r
+
   def hmac(algo: String, data: Array[Byte], key: Array[Byte]): Array[Byte] = {
     val mac = javax.crypto.Mac.getInstance(algo)
     mac.init(new javax.crypto.spec.SecretKeySpec(key, algo))
@@ -1423,6 +1429,9 @@ object GraftFunctions {
     // lowering target for Presto's `CAST(x AS JSON)` (GraftSqlParser
     // rewrites the cast; JsonOperators.java semantics in CastToJson)
     "cast_to_json" -> { case Seq(e) => CastToJson(e) },
+    // CAST(e AS IPADDRESS/IPPREFIX) — source-type dispatch (IpOps.scala)
+    "ip_cast" -> { case Seq(e) => IpCastExpr(e, toPrefix = false) },
+    "ip_prefix_cast" -> { case Seq(e) => IpCastExpr(e, toPrefix = true) },
     // CAST(x AS ROW/ARRAY/MAP(...)) — source-type dispatch (string ⇒
     // JSON-to-complex, complex ⇒ structural Cast); the parser emits this
     "complex_cast" -> { case Seq(e, Literal(ddl: org.apache.spark.unsafe.types.UTF8String, _: StringType)) =>

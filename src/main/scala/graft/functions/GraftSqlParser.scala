@@ -1308,6 +1308,11 @@ object GraftSqlParser {
             // angle forms are the grammar's legacy spellings
             s"complex_cast($expr, '${translateType(tpe)}')"
           else if (up == "UNKNOWN") s"CAST($expr AS VOID)"
+          // IPADDRESS/IPPREFIX: late-binding dispatch on the source type
+          // (varchar canonicalizes, varbinary reads 4/16 bytes, prefix ↔
+          // address convert — IpAddressOperators/IpPrefixOperators)
+          else if (up == "IPADDRESS") s"ip_cast($expr)"
+          else if (up == "IPPREFIX") s"ip_prefix_cast($expr)"
           else if (up == "VARCHAR") s"CAST($expr AS STRING)"
           else if (up == "VARBINARY") s"CAST($expr AS BINARY)"
           else if (up.replaceAll("\\s+", " ") == "DOUBLE PRECISION")

@@ -444,6 +444,16 @@ object PrestoComparisons {
     if (isFloat(l.dataType)) nanGuarded(EqualTo(l, r))
     else StructuralEqual(l, r)
 
+  /** Scalar targets the JSON cast family defines (JsonOperators.java) —
+    * integral targets route through PrestoCastToIntegral instead.
+    */
+  private[functions] def jsonScalarTarget(t: DataType): Boolean = t match {
+    case DoubleType | FloatType | BooleanType => true
+    case _: DecimalType => true
+    case _: StringType => true
+    case _ => false
+  }
+
   /** sameType (nullability-insensitive): array/struct operands routinely
     * differ only in containsNull between a column and a literal.
     */
@@ -489,6 +499,69 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
           if !cmp.isInstanceOf[EqualNullSafe] && notYetGuarded(cmp) &&
             ready(cmp.left, cmp.right) && isFloat(cmp.left.dataType) =>
         nanGuarded(cmp)
+
+      // JSON → scalar casts (JsonOperators.java castToBigint/…/castToVarchar
+      // via JsonUtil currentTokenAs*): the engine models JSON as VARCHAR,
+      // so `cast(JSON '128.9' AS DOUBLE)` reaches the analyzer as a plain
+      // string cast — which parses by Java rules instead of by JSON token
+      // class (`'true'` → error, `'"128"'` keeps quotes, `cast(JSON 'null'
+      // AS x)` errors instead of SQL NULL). Recover the JSON-ness from the
+      // producer expression and route through the same token-coercing
+      // decoder the complex JSON casts use. Integral targets are handled
+      // inside PrestoCastToIntegral (the parser rewrites those casts before
+      // analysis); TRY casts keep Spark's null-on-error node untouched.
+      case c: Cast
+          if c.child.resolved && c.child.dataType.isInstanceOf[StringType] &&
+            c.evalMode != EvalMode.TRY && jsonScalarTarget(c.dataType) &&
+            JsonTargets.isJsonExpr(c.child) =>
+        PrestoJsonDecode(c.child, c.dataType.sql)
+
+      // Floating `%` is raw IEEE in the reference (DoubleOperators.java:
+      // 122-130 / RealOperators.java:124-127 — plain Java `left % right`,
+      // `x % 0.0` → NaN, never an error), where Spark's ANSI Remainder
+      // raises REMAINDER_BY_ZERO (KAT wave 9, TestRealOperators
+      // `REAL'-0.0' % REAL'0.0'`). Rewritten POST-coercion — both
+      // operands already share the float/double type, so no re-stated
+      // coercion (the pre-analysis RuntimeReplaceable attempt broke
+      // mixed-width integral `%` for exactly that reason). Integral and
+      // decimal `%` keep Spark's node: both engines error on zero there.
+      case r: Remainder
+          if ready(r.left, r.right) &&
+            (r.left.dataType == FloatType || r.left.dataType == DoubleType) =>
+        val mod = org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, DoubleType, "ieeeModDouble",
+          Seq(Cast(r.left, DoubleType), Cast(r.right, DoubleType)),
+          inputTypes = Seq(DoubleType, DoubleType), propagateNull = true)
+        if (r.left.dataType == FloatType) Cast(mod, FloatType) else mod
+
+      // IPADDRESS/IPPREFIX ordering comparisons use the reference's
+      // fixed-width binary key — 16 bytes per address, network+length
+      // for prefixes (IpAddressOperators/IpPrefixOperators compare the
+      // stored slice) — because canonical-TEXT order diverges for
+      // mixed-family or multi-digit operands ('::1' < '1.2.3.5' holds
+      // in bytes, not in text). Equality/IS DISTINCT FROM stay textual
+      // (the canonical form is injective). The produced children are
+      // BinaryType, so the arm cannot refire.
+      case cmp @ (_: LessThan | _: LessThanOrEqual | _: GreaterThan |
+          _: GreaterThanOrEqual)
+          if ready(cmp.asInstanceOf[BinaryComparison].left,
+              cmp.asInstanceOf[BinaryComparison].right) &&
+            cmp.asInstanceOf[BinaryComparison].left.dataType
+              .isInstanceOf[StringType] &&
+            (IpOps.isIpExpr(cmp.asInstanceOf[BinaryComparison].left) ||
+              IpOps.isIpExpr(cmp.asInstanceOf[BinaryComparison].right)) =>
+        val b = cmp.asInstanceOf[BinaryComparison]
+        b.withNewChildren(Seq(IpOps.orderKey(b.left), IpOps.orderKey(b.right)))
+
+      // CAST(ipaddress AS VARBINARY): the 16-byte form, not the utf8
+      // bytes of the text (IpAddressOperators.java:187-190)
+      case c: Cast
+          if c.dataType == BinaryType && c.child.resolved &&
+            c.child.dataType.isInstanceOf[StringType] &&
+            c.evalMode != EvalMode.TRY && IpOps.isIpAddressExpr(c.child) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          ExtraFns.getClass, BinaryType, "ipToVarbinaryU",
+          Seq(c.child), inputTypes = Seq(StringType), propagateNull = true)
 
       case EqualTo(l, r) if ready(l, r) && structural(l.dataType) =>
         StructuralEqual(l, r)

@@ -285,6 +285,7 @@ case class PrestoDivide(left: Expression, right: Expression)
       l: Expression, r: Expression): PrestoDivide = copy(left = l, right = r)
 }
 
+
 /** Floating/decimal → integral CAST with Presto's rounding (dialect
   * tranche 3): the reference rounds HALF_UP — half away from zero —
   * (`DoubleOperators.castToLong`: DoubleMath.roundToLong(HALF_UP);
@@ -313,6 +314,12 @@ case class PrestoCastToIntegral(child: Expression, target: DataType)
         propagateNull = true), target)
     case _: DecimalType =>
       Cast(Round(child, Literal(0)), target)
+    // a JSON-typed source (modeled as VARCHAR) casts by JSON token class
+    // (JsonUtil currentTokenAsBigint/…: 'null' → SQL NULL, 'true' → 1,
+    // '"128"' unquotes and parses, float tokens round HALF_UP) — not by
+    // Java string parsing (KAT replay wave 9, TestJsonOperators)
+    case _: StringType if JsonTargets.isJsonExpr(child) =>
+      PrestoJsonDecode(child, target.sql)
     case _ => Cast(child, target)
   }
 
@@ -576,6 +583,21 @@ object PrestoCallConventions {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "regexp_replace" && u.arguments.size == 2 =>
       RegExpReplace(u.arguments(0), u.arguments(1), Literal(""))
+    // regexp_replace(s, p, x -> …): the reference's lambda-replacement
+    // form (JoniRegexpReplaceLambdaFunction) — Spark has no higher-order
+    // regexp builtin. The plain 3-arg string form keeps Spark's builtin.
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "regexp_replace" && u.arguments.size == 3 &&
+          u.arguments(2).isInstanceOf[LambdaFunction] =>
+      // a bare NULL argument types as VOID, which ExpectsInputTypes
+      // rejects — cast it (RETURN_NULL_ON_NULL either way)
+      def str(e: Expression): Expression = e match {
+        case Literal(null, NullType) => Cast(e, StringType)
+        case _ => e
+      }
+      org.apache.spark.sql.graft.RegexpReplaceLambda(
+        str(u.arguments(0)), str(u.arguments(1)),
+        u.arguments(2).asInstanceOf[LambdaFunction])
     // get_json_object EXISTS in the reference (JsonFunctions.java:443 —
     // the ObjectExtractor, i.e. json_extract semantics: subtree as JSON
     // text, string scalars kept quoted) where Spark's same-named builtin

@@ -74,7 +74,14 @@ case class CastToJson(child: Expression)
     case BooleanType | _: NumericType =>
       Cast(child, StringType)
     case DateType | TimestampType | TimestampNTZType =>
-      StaticInvokeJsonQuote(Cast(child, StringType))
+      // TimestampJsonGeneratorWriter/DateGeneratorWriter (JsonUtil.java:
+      // 490-510): quoted, millisecond rendering. PrestoJsonRender already
+      // implements exactly that format, and — unlike a bare
+      // Cast(child, StringType) — needs no session zone, so the
+      // replacement cannot materialize unresolved after ResolveTimeZone
+      // has run (KAT replay wave 9: CAST(TIMESTAMP .. AS JSON) was an
+      // INTERNAL_ERROR for that reason).
+      PrestoJsonRender(child)
     case NullType => Literal(UTF8String.fromString("null"), StringType)
     case other =>
       throw new IllegalArgumentException(
@@ -524,6 +531,29 @@ private[functions] object JsonTargets {
     case Row(fs) => fs.exists(hasJson)
   }
 
+  /** Is this string-typed expression a JSON VALUE by construction? The
+    * engine models the JSON type as VARCHAR, so a `CAST(json AS
+    * <scalar>)` reaches the analyzer as a plain string cast — this is
+    * the static-type recovery for the producers the parser/registry
+    * emit for JSON-typed reference functions: `JSON 'x'` → json_parse,
+    * `CAST(x AS JSON)` → CastToJson/PrestoJsonRender, json_extract /
+    * json_array_get (both return JSON in the reference). Aliases are
+    * looked through; anything else is an ordinary VARCHAR.
+    */
+  def isJsonExpr(e: Expression): Boolean = e match {
+    case a: Alias => isJsonExpr(a.child)
+    // the registry's RETURN_NULL_ON_NULL seam wraps every Scala UDF in
+    // If(anyNull, NULL, udf) — optionally under a With binding for
+    // non-deterministic args — so the producer sits one or two nodes in
+    case If(_, Literal(null, _), inner) => isJsonExpr(inner)
+    case w: With => isJsonExpr(w.child)
+    case _: CastToJson | _: PrestoJsonRender => true
+    case _: JsonExtractPresto => true
+    case u: ScalaUDF =>
+      u.udfName.exists(n => n == "json_parse" || n == "json_array_get")
+    case _ => false
+  }
+
   /** Commas at `<`/`(` depth 0 — DDL type text, so angles always nest. */
   private def splitTop(s: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -719,8 +749,15 @@ case class PrestoJsonDecode(child: Expression, ddl: String)
         else if (n.isFloatingPointNumber) n.asDouble() != 0.0
         else fail(s"unexpected token for BOOLEAN: $n")
       case _: StringType =>
-        // currentTokenAsVarchar: strings as-is, scalars as their text
+        // currentTokenAsVarchar: strings as-is, INT tokens keep their
+        // literal text (the reference avoids the long round-trip so huge
+        // integers can't overflow), FLOAT tokens render the PARSED double
+        // (DoubleOperators.castToVarchar — `1e-324` reads as "0.0"),
+        // booleans "true"/"false"; containers are NOT castable to
+        // VARCHAR (JsonCastException — json_format is the rendering path)
         if (n.isTextual) UTF8String.fromString(n.asText())
+        else if (n.isFloatingPointNumber)
+          UTF8String.fromString(String.valueOf(n.asDouble()))
         else if (n.isNumber || n.isBoolean) UTF8String.fromString(n.asText())
         else fail(s"unexpected token for VARCHAR: $n")
       case ArrayType(et, _) =>

@@ -334,6 +334,68 @@ class PrestoOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("JSON scalar casts coerce by token class under the dialect (wave 9)") {
+    withDialect {
+      // JsonOperators.java castToBigint/…: JSON 'null' is SQL NULL, float
+      // tokens round HALF_UP, quoted numbers parse, booleans map to 1/0
+      assert(spark.sql("SELECT cast(JSON 'null' as BIGINT)").collect()(0).isNullAt(0))
+      assert(one("SELECT cast(JSON '128.9' as BIGINT)") == 129L)
+      assert(one("SELECT cast(JSON 'true' as BIGINT)") == 1L)
+      assert(one("SELECT cast(JSON '\"128\"' as INTEGER)") == 128)
+      assert(one("SELECT cast(JSON '1e309' as DOUBLE)") == Double.PositiveInfinity)
+      assert(one("SELECT cast(JSON '\"NaN\"' as REAL)").asInstanceOf[Float].isNaN)
+      assert(one("SELECT cast(JSON '\"True\"' as BOOLEAN)") == true)
+      // castToVarchar UNQUOTES string tokens (not an identity copy)
+      assert(one("SELECT cast(JSON '\"abc\"' as VARCHAR)") == "abc")
+      assert(one("SELECT cast(JSON 'true' as VARCHAR)") == "true")
+      // timestamp → JSON: quoted millisecond rendering
+      // (JsonUtil TimestampJsonGeneratorWriter)
+      assert(one("SELECT CAST(TIMESTAMP '1970-01-01 00:00:01' AS JSON)")
+        == "\"1970-01-01 00:00:01.000\"")
+      assert(spark.sql("SELECT cast(cast(null as timestamp) as JSON)")
+        .collect()(0).isNullAt(0))
+    }
+    // conf off: plain string semantics keep Spark's cast (errors on 'true')
+    intercept[Exception](spark.sql("SELECT cast(json_parse('true') as BIGINT)").collect())
+  }
+
+  test("floating % is raw IEEE under the dialect (never errors)") {
+    withDialect {
+      assert(one("SELECT REAL'-0.0' % REAL'0.0'").asInstanceOf[Float].isNaN)
+      assert(one("SELECT DOUBLE '7.5' % 0.0").asInstanceOf[Double].isNaN)
+      assert(one("SELECT 17 % 5") == 2, "integral % keeps the stock node")
+      intercept[Exception](one("SELECT 5 % 0"))
+    }
+    intercept[Exception](one("SELECT DOUBLE '7.5' % 0.0")) // ANSI off-dialect
+  }
+
+  test("IPADDRESS/IPPREFIX cast family and byte-order comparisons (wave 9)") {
+    withDialect {
+      // IpAddressOperators: v4-mapped text canonicalizes, varbinary reads
+      // 4 bytes v4-mapped / 16 bytes v6, varbinary output is 16 bytes
+      assert(one("SELECT CAST('::ffff:1.2.3.4' AS IPADDRESS)") == "1.2.3.4")
+      assert(one("SELECT CAST('2001:0db8:0000:0000:0000:ff00:0042:8329' AS IPADDRESS)")
+        == "2001:db8::ff00:42:8329")
+      assert(one("SELECT CAST(x'01020304' AS IPADDRESS)") == "1.2.3.4")
+      assert(one("SELECT CAST(CAST('1.2.3.4' AS IPADDRESS) AS VARBINARY)")
+        .asInstanceOf[Array[Byte]].length == 16)
+      // ordering uses the 16-byte key, not canonical text ('::1' maps
+      // below v4-mapped space; '2.' > '10.' textually but not in bytes)
+      assert(one("SELECT IPADDRESS '::1' <= CAST('1.2.3.5' AS IPADDRESS)") == true)
+      assert(one("SELECT CAST('2.0.0.0' AS IPADDRESS) < CAST('10.0.0.0' AS IPADDRESS)") == true)
+      // IpPrefixOperators: host bits zero, address↔prefix casts
+      assert(one("SELECT CAST('192.168.0.1/24' AS IPPREFIX)") == "192.168.0.0/24")
+      assert(one("SELECT CAST(CAST('1.2.3.4' AS IPADDRESS) AS IPPREFIX)") == "1.2.3.4/32")
+      assert(one("SELECT CAST(CAST('::1' AS IPADDRESS) AS IPPREFIX)") == "::1/128")
+      assert(one("SELECT CAST(CAST('64:ff9b::10.0.0.0/64' AS IPPREFIX) AS IPADDRESS)")
+        == "64:ff9b::")
+      // loud errors: hostnames never resolve, bad binary lengths reject
+      intercept[Exception](one("SELECT CAST('facebook.com' AS IPADDRESS)"))
+      intercept[Exception](one("SELECT CAST(x'f000001100' AS IPADDRESS)"))
+      intercept[Exception](one("SELECT CAST('1.2.3.4' AS IPPREFIX)"))
+    }
+  }
+
   test("DataFrame API is never rewritten") {
     import org.apache.spark.sql.functions._
     withDialect {
