@@ -15,7 +15,7 @@ import graft.functions.GeometryFns.{GPoint, Polygon}
   */
 object GeometryExtras {
 
-  // ── parsed-geometry sum type over the supported WKT subset ──────────
+  // ── parsed-geometry sum type over the full OGC WKT surface ──────────
   sealed trait Geo
   final case class PGeo(p: GPoint) extends Geo
   final case class MPGeo(pts: Seq[GPoint]) extends Geo
@@ -23,12 +23,26 @@ object GeometryExtras {
   final case class MLGeo(lines: Seq[Array[GPoint]]) extends Geo
   /** comps empty = POLYGON EMPTY; 1 = POLYGON; >1 = MULTIPOLYGON. */
   final case class PolyGeo(comps: Seq[Polygon]) extends Geo
+  /** The EMPTY spelling of any type (kind = the WKT type word) — every
+    * EMPTY form is its own value in the reference (ST_GeometryType
+    * keeps the type, ST_Dimension keeps the type's dimension); POLYGON/
+    * MULTIPOLYGON EMPTY keep PolyGeo(Seq.empty) where the overlay
+    * machinery already produces and consumes it (KAT wave 9).
+    */
+  final case class EmptyGeo(kind: String) extends Geo
+  /** GEOMETRYCOLLECTION — heterogeneous members, possibly nested. */
+  final case class CGeo(geoms: Seq[Geo]) extends Geo
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
   def parseGeo(wkt: String): Geo = {
     val up = wkt.trim.toUpperCase
     if (up == "POLYGON EMPTY" || up == "MULTIPOLYGON EMPTY") PolyGeo(Seq.empty)
+    else if (up.endsWith("EMPTY") &&
+        Set("POINT", "LINESTRING", "MULTIPOINT", "MULTILINESTRING",
+          "GEOMETRYCOLLECTION").contains(up.dropRight(5).trim))
+      EmptyGeo(up.dropRight(5).trim)
+    else if (up.startsWith("GEOMETRYCOLLECTION")) CGeo(parseCollection(wkt))
     else if (up.startsWith("MULTIPOLYGON"))
       PolyGeo(GeometryFns.multiPolygonParts(wkt).map(GeometryFns.parsePolygon))
     else if (up.startsWith("POLYGON")) PolyGeo(Seq(GeometryFns.parsePolygon(wkt)))
@@ -37,6 +51,31 @@ object GeometryExtras {
     else if (up.startsWith("LINESTRING")) LGeo(GeometryFns.parseLineString(wkt))
     else if (up.startsWith("POINT")) PGeo(GeometryFns.parsePoint(wkt))
     else fail(s"Unsupported WKT geometry: $wkt")
+  }
+
+  /** GEOMETRYCOLLECTION (g1, g2, …) — members split at depth-0 commas
+    * and parsed recursively.
+    */
+  private def parseCollection(wkt: String): Seq[Geo] = {
+    val body = wkt.trim.drop("GEOMETRYCOLLECTION".length).trim
+    if (!body.startsWith("(") || !body.endsWith(")"))
+      fail(s"Invalid GEOMETRYCOLLECTION: $wkt")
+    val inner = body.drop(1).dropRight(1)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var k = 0
+    while (k < inner.length) {
+      inner(k) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => parts += inner.substring(start, k); start = k + 1
+        case _ =>
+      }
+      k += 1
+    }
+    parts += inner.substring(start)
+    val members = parts.toSeq.map(_.trim).filter(_.nonEmpty)
+    if (members.isEmpty) fail(s"Invalid GEOMETRYCOLLECTION: $wkt")
+    members.map(parseGeo)
   }
 
   private def parseMultiLine(wkt: String): Seq[Array[GPoint]] = {
@@ -77,8 +116,11 @@ object GeometryExtras {
     if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
+  /** Reference canonical form parenthesizes each member point
+    * (TestGeoFunctions testSTGeometries: `MULTIPOINT ((0 0), (1 1))`).
+    */
   def multiPointWkt(pts: Seq[GPoint]): String =
-    "MULTIPOINT (" + pts.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ") + ")"
+    "MULTIPOINT (" + pts.map(p => s"(${fmt(p.x)} ${fmt(p.y)})").mkString(", ") + ")"
 
   def multiLineWkt(lines: Seq[Array[GPoint]]): String =
     "MULTILINESTRING (" + lines.map(l =>
@@ -87,14 +129,25 @@ object GeometryExtras {
 
   def formatGeo(g: Geo): String = g match {
     case PGeo(p)        => GeometryFns.pointWkt(p.x, p.y)
-    case MPGeo(pts)     => multiPointWkt(pts)
-    case LGeo(pts)      => GeometryFns.lineStringWkt(pts)
-    case MLGeo(lines)   => multiLineWkt(lines)
+    case MPGeo(pts)     => if (pts.isEmpty) "MULTIPOINT EMPTY" else multiPointWkt(pts)
+    case LGeo(pts)      =>
+      if (pts.isEmpty) "LINESTRING EMPTY" else GeometryFns.lineStringWkt(pts)
+    case MLGeo(lines)   =>
+      if (lines.isEmpty) "MULTILINESTRING EMPTY" else multiLineWkt(lines)
     case PolyGeo(cs)    =>
       if (cs.isEmpty) "POLYGON EMPTY"
       else if (cs.length == 1) GeometryFns.polygonWkt(cs.head)
       else GeometryFns.multiPolygonWkt(cs)
+    case EmptyGeo(kind) => s"$kind EMPTY"
+    case CGeo(gs)       =>
+      if (gs.isEmpty) "GEOMETRYCOLLECTION EMPTY"
+      else "GEOMETRYCOLLECTION (" + gs.map(formatGeo).mkString(", ") + ")"
   }
+
+  /** Canonicalizing parse-and-print over the full WKT surface — the
+    * front door for ST_GeometryFromText / ST_AsText / to_geometry.
+    */
+  def canonicalWkt(wkt: String): String = formatGeo(parseGeo(wkt))
 
   // ── type metadata ───────────────────────────────────────────────────
 
@@ -105,30 +158,43 @@ object GeometryExtras {
     case _: MLGeo                      => "ST_MultiLineString"
     case PolyGeo(cs) if cs.length <= 1 => "ST_Polygon"
     case _: PolyGeo                    => "ST_MultiPolygon"
+    case _: CGeo                       => "ST_GeomCollection"
+    case EmptyGeo(kind) => kind match {
+      case "POINT"              => "ST_Point"
+      case "LINESTRING"         => "ST_LineString"
+      case "MULTIPOINT"         => "ST_MultiPoint"
+      case "MULTILINESTRING"    => "ST_MultiLineString"
+      case _                    => "ST_GeomCollection"
+    }
   }
 
-  def stDimension(wkt: String): Int = parseGeo(wkt) match {
-    case _: PGeo | _: MPGeo => 0
-    case _: LGeo | _: MLGeo => 1
-    case _: PolyGeo         => 2
-  }
+  def stDimension(wkt: String): Int = dimOf(parseGeo(wkt))
 
   /** All supported geometries are planar xy. */
   def stCoordDim(wkt: String): Int = { parseGeo(wkt); 2 }
 
-  def stIsEmpty(wkt: String): Boolean = parseGeo(wkt) match {
+  def stIsEmpty(wkt: String): Boolean = isEmptyGeo(parseGeo(wkt))
+
+  private def isEmptyGeo(g: Geo): Boolean = g match {
     case PolyGeo(cs) => cs.isEmpty
+    case _: EmptyGeo => true
+    case MPGeo(ps)   => ps.isEmpty
+    case LGeo(pts)   => pts.isEmpty
+    case MLGeo(ls)   => ls.isEmpty
+    case CGeo(gs)    => gs.forall(isEmptyGeo)
     case _           => false
   }
 
   def stIsClosed(wkt: String): Boolean = parseGeo(wkt) match {
     case LGeo(pts)   => pts.head == pts.last
     case MLGeo(lines) => lines.forall(l => l.head == l.last)
+    case EmptyGeo("LINESTRING") | EmptyGeo("MULTILINESTRING") => false
     case _ => fail("ST_IsClosed supports LINESTRING geometries")
   }
 
   def stIsRing(wkt: String): Boolean = parseGeo(wkt) match {
     case LGeo(pts) => pts.head == pts.last && lineIsSimple(pts)
+    case EmptyGeo("LINESTRING") => false
     case _ => fail("ST_IsRing supports LINESTRING geometries")
   }
 
@@ -162,6 +228,8 @@ object GeometryExtras {
     case LGeo(pts)  => lineIsSimple(pts)
     case MLGeo(ls)  => ls.forall(lineIsSimple)
     case _: PolyGeo => geometryInvalidReason(wkt) == null
+    case _: EmptyGeo => true // an empty geometry has no anomalous points
+    case CGeo(gs)   => gs.forall(g => stIsSimple(formatGeo(g)))
   }
 
   /** null when valid; otherwise a human-readable reason (reference
@@ -191,7 +259,10 @@ object GeometryExtras {
         }.toSeq.headOption
         ringIssue.orElse(holeIssue).orElse(crossIssue)
       }.toSeq.headOption.orNull
-    case _ => null // points/multipoints/linestrings in the subset are valid
+    case CGeo(gs) =>
+      gs.iterator.map(g => geometryInvalidReason(formatGeo(g)))
+        .find(_ != null).orNull
+    case _ => null // points/multipoints/linestrings/empties are valid
   }
 
   def stIsValid(wkt: String): Boolean = geometryInvalidReason(wkt) == null
@@ -213,17 +284,20 @@ object GeometryExtras {
 
   private def asLine(wkt: String, op: String): Array[GPoint] = parseGeo(wkt) match {
     case LGeo(pts) => pts
+    case EmptyGeo("LINESTRING") => Array.empty
     case _ => fail(s"$op supports LINESTRING geometries")
   }
 
   def stStartPoint(wkt: String): String = {
-    val p = asLine(wkt, "ST_StartPoint").head
-    GeometryFns.pointWkt(p.x, p.y)
+    val pts = asLine(wkt, "ST_StartPoint")
+    if (pts.isEmpty) null // reference: empty line → NULL (GeoFunctions.java:753)
+    else GeometryFns.pointWkt(pts.head.x, pts.head.y)
   }
 
   def stEndPoint(wkt: String): String = {
-    val p = asLine(wkt, "ST_EndPoint").last
-    GeometryFns.pointWkt(p.x, p.y)
+    val pts = asLine(wkt, "ST_EndPoint")
+    if (pts.isEmpty) null
+    else GeometryFns.pointWkt(pts.last.x, pts.last.y)
   }
 
   /** 1-based; null out of range (reference semantics). */
@@ -236,37 +310,42 @@ object GeometryExtras {
   /** Vertices as POINT array: line vertices in order; multipoint members;
     * polygon ring vertices (closing duplicate omitted).
     */
-  def stPoints(wkt: String): Array[String] = parseGeo(wkt) match {
-    case PGeo(p)    => Array(GeometryFns.pointWkt(p.x, p.y))
-    case MPGeo(ps)  => ps.map(p => GeometryFns.pointWkt(p.x, p.y)).toArray
-    case LGeo(pts)  => pts.map(p => GeometryFns.pointWkt(p.x, p.y))
-    case MLGeo(ls)  => ls.flatten.map(p => GeometryFns.pointWkt(p.x, p.y)).toArray
-    case PolyGeo(cs) =>
-      cs.flatMap(_.rings.flatMap(_.dropRight(1)))
-        .map(p => GeometryFns.pointWkt(p.x, p.y)).toArray
+  def stPoints(wkt: String): Array[String] = {
+    val g = parseGeo(wkt)
+    if (isEmptyGeo(g)) null // reference: empty → NULL (GeoFunctions.java:795)
+    else allVertices(g).map(p => GeometryFns.pointWkt(p.x, p.y)).toArray
   }
 
-  private def asSinglePolygon(wkt: String, op: String): Polygon = parseGeo(wkt) match {
-    case PolyGeo(Seq(p)) => p
-    case _ => fail(s"$op supports POLYGON geometries")
-  }
+  /** None = POLYGON EMPTY (accessors return NULL — the reference's
+    * @SqlNullable empty-input contract, GeoFunctions.java:538/947).
+    */
+  private def asSinglePolygon(wkt: String, op: String): Option[Polygon] =
+    parseGeo(wkt) match {
+      case PolyGeo(Seq(p)) => Some(p)
+      case PolyGeo(Seq()) => None
+      case _ => fail(s"$op supports POLYGON geometries")
+    }
 
   def stExteriorRing(wkt: String): String =
-    GeometryFns.lineStringWkt(asSinglePolygon(wkt, "ST_ExteriorRing").rings.head)
+    asSinglePolygon(wkt, "ST_ExteriorRing")
+      .map(p => GeometryFns.lineStringWkt(p.rings.head)).orNull
 
-  def stNumInteriorRing(wkt: String): Int =
-    asSinglePolygon(wkt, "ST_NumInteriorRing").rings.length - 1
+  def stNumInteriorRing(wkt: String): java.lang.Integer =
+    asSinglePolygon(wkt, "ST_NumInteriorRing")
+      .map(p => java.lang.Integer.valueOf(p.rings.length - 1)).orNull
 
   /** 1-based; null out of range. */
-  def stInteriorRingN(wkt: String, n: Int): String = {
-    val holes = asSinglePolygon(wkt, "ST_InteriorRingN").rings.tail
-    if (n < 1 || n > holes.length) null
-    else GeometryFns.lineStringWkt(holes(n - 1))
-  }
+  def stInteriorRingN(wkt: String, n: Int): String =
+    asSinglePolygon(wkt, "ST_InteriorRingN").map(_.rings.tail) match {
+      case None => null
+      case Some(holes) =>
+        if (n < 1 || n > holes.length) null
+        else GeometryFns.lineStringWkt(holes(n - 1))
+    }
 
   def stInteriorRings(wkt: String): Array[String] =
-    asSinglePolygon(wkt, "ST_InteriorRings").rings.tail
-      .map(GeometryFns.lineStringWkt).toArray
+    asSinglePolygon(wkt, "ST_InteriorRings")
+      .map(_.rings.tail.map(GeometryFns.lineStringWkt).toArray).orNull
 
   // ── sub-geometry accessors ──────────────────────────────────────────
 
@@ -274,6 +353,8 @@ object GeometryExtras {
     case PolyGeo(cs) => cs.length
     case MPGeo(ps)   => ps.length
     case MLGeo(ls)   => ls.length
+    case CGeo(gs)    => gs.length
+    case _: EmptyGeo => 0 // reference: empty → 0 (GeoFunctions.java:574)
     case _           => 1
   }
 
@@ -281,6 +362,7 @@ object GeometryExtras {
     * component.
     */
   def stGeometryN(wkt: String, n: Int): String = parseGeo(wkt) match {
+    case g if isEmptyGeo(g) => null // reference: empty → NULL for any index
     case PolyGeo(cs) =>
       if (n < 1 || n > cs.length) null else GeometryFns.polygonWkt(cs(n - 1))
     case MPGeo(ps) =>
@@ -288,28 +370,118 @@ object GeometryExtras {
       else GeometryFns.pointWkt(ps(n - 1).x, ps(n - 1).y)
     case MLGeo(ls) =>
       if (n < 1 || n > ls.length) null else GeometryFns.lineStringWkt(ls(n - 1))
+    case CGeo(gs) =>
+      if (n < 1 || n > gs.length) null else formatGeo(gs(n - 1))
     case g => if (n == 1) formatGeo(g) else null
   }
 
   def stGeometries(wkt: String): Array[String] = parseGeo(wkt) match {
-    case PolyGeo(cs) if cs.isEmpty => null // reference: null for empty input
+    case g if isEmptyGeo(g) => null // reference: null for empty input
     case PolyGeo(cs) => cs.map(GeometryFns.polygonWkt).toArray
     case MPGeo(ps)   => ps.map(p => GeometryFns.pointWkt(p.x, p.y)).toArray
     case MLGeo(ls)   => ls.map(GeometryFns.lineStringWkt).toArray
+    case CGeo(gs)    => gs.map(formatGeo).toArray
     case g           => Array(formatGeo(g))
   }
 
   // ── constructors ────────────────────────────────────────────────────
 
+  /** Reference readPointCoordinates contract (GeoFunctions.java:182-218):
+    * null elements and non-point elements error with the indexed
+    * message; ST_LineString additionally rejects consecutive duplicates
+    * and collapses < 2 points to LINESTRING EMPTY; ST_MultiPoint of an
+    * empty array is NULL.
+    */
+  private def readPoints(points: Array[String], fn: String,
+      forbidDuplicates: Boolean): Seq[GPoint] = {
+    var last: GPoint = null
+    points.toSeq.zipWithIndex.map { case (w, i) =>
+      if (w == null)
+        fail(s"Invalid input to $fn: null at index ${i + 1}")
+      val g = try parseGeo(w) catch {
+        case _: IllegalArgumentException =>
+          fail(s"Invalid input to $fn: geometry is not a point at index ${i + 1}")
+      }
+      val p = g match {
+        case PGeo(p) => p
+        case EmptyGeo("POINT") =>
+          fail(s"Invalid input to $fn: empty point at index ${i + 1}")
+        case other =>
+          fail(s"Invalid input to $fn: geometry is not a point: " +
+            s"${stGeometryType(formatGeo(other)).stripPrefix("ST_").toUpperCase} " +
+            s"at index ${i + 1}")
+      }
+      if (forbidDuplicates && p == last)
+        fail(s"Invalid input to $fn: consecutive duplicate points at index ${i + 1}")
+      last = p
+      p
+    }
+  }
+
   def stMultiPoint(points: Array[String]): String = {
-    if (points == null || points.isEmpty) fail("ST_MultiPoint requires at least one point")
-    multiPointWkt(points.toSeq.map(GeometryFns.parsePoint))
+    if (points == null) return null
+    val pts = readPoints(points, "ST_MultiPoint", forbidDuplicates = false)
+    if (pts.isEmpty) null else multiPointWkt(pts)
   }
 
   def stLineStringFromPoints(points: Array[String]): String = {
-    if (points == null || points.length < 2)
-      fail("ST_LineString requires at least two points")
-    GeometryFns.lineStringWkt(points.map(GeometryFns.parsePoint))
+    if (points == null) return null
+    val pts = readPoints(points, "ST_LineString", forbidDuplicates = true)
+    if (pts.length < 2) "LINESTRING EMPTY"
+    else GeometryFns.lineStringWkt(pts.toArray)
+  }
+
+  def canonicalWktU(w: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(canonicalWkt(w.toString))
+
+  /** ST_Length: LINESTRING/MULTILINESTRING only, empties → 0
+    * (GeoFunctions.java:428-436).
+    */
+  def stLength(wkt: String): Double = {
+    def one(pts: Array[GPoint]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < pts.length - 1) {
+        s += math.hypot(pts(i + 1).x - pts(i).x, pts(i + 1).y - pts(i).y)
+        i += 1
+      }
+      s
+    }
+    parseGeo(wkt) match {
+      case LGeo(pts) => one(pts)
+      case MLGeo(ls) => ls.map(one).sum
+      case EmptyGeo("LINESTRING") | EmptyGeo("MULTILINESTRING") => 0.0
+      case _ => fail("ST_Length supports LINESTRING geometries")
+    }
+  }
+
+  /** ST_X / ST_Y over WKT: POINT only, empty point → NULL
+    * (GeoFunctions.java:834-858).
+    */
+  def pointCoordWkt(wkt: String, isX: Boolean): java.lang.Double =
+    parseGeo(wkt) match {
+      case PGeo(p) => java.lang.Double.valueOf(if (isX) p.x else p.y)
+      case EmptyGeo("POINT") => null
+      case _ => fail(s"${if (isX) "ST_X" else "ST_Y"} supports POINT geometries")
+    }
+
+  def pointCoordWktU(w: org.apache.spark.unsafe.types.UTF8String,
+      isX: Boolean): java.lang.Double = pointCoordWkt(w.toString, isX)
+
+  /** ST_LineFromText / ST_Polygon: parse + validate the declared type
+    * (GeoFunctions.java:139/221 validateType) — EMPTY spellings pass.
+    */
+  def lineFromText(wkt: String): String = parseGeo(wkt) match {
+    case g @ (_: LGeo | EmptyGeo("LINESTRING")) => formatGeo(g)
+    case g => fail("ST_LineFromText only applies to LINE_STRING. " +
+      s"Input type is: ${stGeometryType(formatGeo(g)).stripPrefix("ST_")}")
+  }
+
+  def polygonFromText(wkt: String): String = parseGeo(wkt) match {
+    case g @ PolyGeo(cs) if cs.length <= 1 => formatGeo(g)
+    case g => fail("ST_Polygon only applies to POLYGON. " +
+      s"Input type is: ${stGeometryType(formatGeo(g)).stripPrefix("ST_")}")
   }
 
   /** Andrew's monotone-chain convex hull over every vertex of the input;
@@ -339,8 +511,10 @@ object GeometryExtras {
 
   def stConvexHull(wkt: String): String = {
     val g = parseGeo(wkt)
-    if (g.isInstanceOf[PolyGeo] && g.asInstanceOf[PolyGeo].comps.isEmpty)
-      return "POLYGON EMPTY"
+    // reference: an empty input is returned unchanged (testSTConvexHull:
+    // "MULTIPOINT EMPTY" → "MULTIPOINT EMPTY"); empty members of a
+    // collection contribute no vertices
+    if (isEmptyGeo(g)) return formatGeo(g)
     convexHullOf(allVertices(g))
   }
 
@@ -350,6 +524,8 @@ object GeometryExtras {
     case LGeo(pts)   => pts.toSeq
     case MLGeo(ls)   => ls.flatMap(_.toSeq)
     case PolyGeo(cs) => cs.flatMap(_.rings.flatMap(_.dropRight(1)))
+    case _: EmptyGeo => Seq.empty
+    case CGeo(gs)    => gs.flatMap(allVertices)
   }
 
   // ── predicates on the declared subset ───────────────────────────────
@@ -497,6 +673,14 @@ object GeometryExtras {
     case _: PGeo | _: MPGeo => 0
     case _: LGeo | _: MLGeo => 1
     case _: PolyGeo         => 2
+    // empties keep their type's inherent dimension (testSTDimension:
+    // POLYGON EMPTY → 2, LINESTRING EMPTY → 1)
+    case EmptyGeo(kind) => kind match {
+      case "LINESTRING" | "MULTILINESTRING" => 1
+      case "POINT" | "MULTIPOINT" | "GEOMETRYCOLLECTION" => 0
+      case _ => 2
+    }
+    case CGeo(gs) => if (gs.isEmpty) 0 else gs.map(dimOf).max
   }
 
   /** DE-9IM intersection matrix (reference ST_Relate over the Esri
@@ -593,11 +777,12 @@ object GeometryExtras {
   }
 
   private def segments(g: Geo): Seq[(GPoint, GPoint)] = g match {
-    case PGeo(_) | MPGeo(_) => Seq.empty
+    case PGeo(_) | MPGeo(_) | _: EmptyGeo => Seq.empty
     case MLGeo(ls) => ls.flatMap(l => l.toSeq.zip(l.tail.toSeq))
     case LGeo(pts) => pts.toSeq.zip(pts.tail.toSeq)
     case PolyGeo(cs) =>
       cs.flatMap(_.rings.flatMap(r => (0 until r.length - 1).map(i => (r(i), r(i + 1)))))
+    case CGeo(gs) => gs.flatMap(segments)
   }
 
   /** Planar distance between any two supported geometries: 0 when they
@@ -606,9 +791,26 @@ object GeometryExtras {
     * for non-intersecting polylines since the closest approach of two
     * disjoint segments is at an endpoint.
     */
-  def distanceWkt(wktA: String, wktB: String): Double = {
-    if (GeometryFns.stIntersects(wktA, wktB)) return 0.0
+  def distanceWkt(wktA: String, wktB: String): java.lang.Double = {
     val ga = parseGeo(wktA); val gb = parseGeo(wktB)
+    // reference: a distance against any EMPTY geometry is NULL
+    // (GeoFunctions.java:935 @SqlNullable; testSTDistance POINT EMPTY)
+    if (isEmptyGeo(ga) || isEmptyGeo(gb)) return null
+    // interior containment / crossing → 0 (component-wise: collections
+    // and multis reduce to their parts)
+    val arealA = arealParts(ga); val arealB = arealParts(gb)
+    val zero =
+      arealB.exists(p => allVertices(ga).exists(v => GeometryFns.containsPoint(p, v.x, v.y))) ||
+      arealA.exists(p => allVertices(gb).exists(v => GeometryFns.containsPoint(p, v.x, v.y))) || {
+        val sa = segments(ga); val sb = segments(gb)
+        sa.exists { case (p1, p2) =>
+          sb.exists { case (q1, q2) => GeometryFns.segIntersects(p1, p2, q1, q2) }
+        }
+      } || {
+        val va = allVertices(ga).toSet; val vb = allVertices(gb).toSet
+        (va intersect vb).nonEmpty
+      }
+    if (zero) return java.lang.Double.valueOf(0.0)
     val (ptsA, ptsB) = (allVertices(ga), allVertices(gb))
     val (segA, segB) = (segments(ga), segments(gb))
     val viaA = for (p <- ptsA.iterator; s <- segB.iterator)
@@ -617,34 +819,331 @@ object GeometryExtras {
       yield segPointDist(s._1, s._2, p)
     val pp = for (p <- ptsA.iterator; q <- ptsB.iterator)
       yield math.hypot(p.x - q.x, p.y - q.y)
-    (viaA ++ viaB ++ pp).min
+    java.lang.Double.valueOf((viaA ++ viaB ++ pp).min)
+  }
+
+  private[functions] def arealParts(g: Geo): Seq[Polygon] = g match {
+    case PolyGeo(cs) => cs
+    case CGeo(gs)    => gs.flatMap(arealParts)
+    case _           => Seq.empty
   }
 
   def distanceWktU(a: org.apache.spark.unsafe.types.UTF8String,
-      b: org.apache.spark.unsafe.types.UTF8String): Double =
+      b: org.apache.spark.unsafe.types.UTF8String): java.lang.Double =
     distanceWkt(a.toString, b.toString)
 
   // ── envelope utilities ──────────────────────────────────────────────
 
-  private def envelopeOf(wkt: String): (GPoint, GPoint) = {
+  private def envelopeOf(wkt: String): Option[(GPoint, GPoint)] = {
     val vs = allVertices(parseGeo(wkt))
-    if (vs.isEmpty) fail("envelope of an empty geometry")
-    (GPoint(vs.map(_.x).min, vs.map(_.y).min), GPoint(vs.map(_.x).max, vs.map(_.y).max))
+    if (vs.isEmpty) None
+    else Some((GPoint(vs.map(_.x).min, vs.map(_.y).min),
+      GPoint(vs.map(_.x).max, vs.map(_.y).max)))
   }
 
   def expandEnvelope(wkt: String, d: Double): String = {
-    if (d.isNaN || d < 0) fail("expand_envelope distance must be >= 0")
-    val (lo, hi) = envelopeOf(wkt)
-    GeometryFns.polygonWkt(Polygon(Seq(Array(
-      GPoint(lo.x - d, lo.y - d), GPoint(hi.x + d, lo.y - d),
-      GPoint(hi.x + d, hi.y + d), GPoint(lo.x - d, hi.y + d),
-      GPoint(lo.x - d, lo.y - d)))))
+    if (d.isNaN) fail("expand_envelope: distance is NaN")
+    if (d < 0) fail(s"expand_envelope: distance $d is negative")
+    // an infinite envelope collapses to POLYGON EMPTY in the reference
+    // (TestGeoFunctions:748 — "a tricky concept", kept as-is)
+    if (d.isInfinity) return "POLYGON EMPTY"
+    envelopeOf(wkt) match {
+      case None => "POLYGON EMPTY" // reference: GeoFunctions.java:916
+      case Some((lo, hi)) =>
+        GeometryFns.polygonWkt(Polygon(Seq(Array(
+          GPoint(lo.x - d, lo.y - d), GPoint(hi.x + d, lo.y - d),
+          GPoint(hi.x + d, hi.y + d), GPoint(lo.x - d, hi.y + d),
+          GPoint(lo.x - d, lo.y - d)))))
+    }
   }
 
-  /** Reference ST_EnvelopeAsPts: the two corner points. */
-  def stEnvelopeAsPts(wkt: String): Array[String] = {
-    val (lo, hi) = envelopeOf(wkt)
-    Array(GeometryFns.pointWkt(lo.x, lo.y), GeometryFns.pointWkt(hi.x, hi.y))
+  /** Reference ST_EnvelopeAsPts: the two corner points; empty → NULL. */
+  def stEnvelopeAsPts(wkt: String): Array[String] = envelopeOf(wkt) match {
+    case None => null
+    case Some((lo, hi)) =>
+      Array(GeometryFns.pointWkt(lo.x, lo.y), GeometryFns.pointWkt(hi.x, hi.y))
+  }
+
+  /** ST_Envelope over any geometry; empty → POLYGON EMPTY
+    * (GeoFunctions.java:869).
+    */
+  def stEnvelope(wkt: String): String = envelopeOf(wkt) match {
+    case None => "POLYGON EMPTY"
+    case Some((lo, hi)) =>
+      GeometryFns.polygonWkt(Polygon(Seq(Array(
+        lo, GPoint(lo.x, hi.y), hi, GPoint(hi.x, lo.y), lo))))
+  }
+
+  /** ST_XMin/YMin/XMax/YMax over any geometry; empty → NULL
+    * (GeoFunctions.java:486-534).
+    */
+  def envelopeCoord(wkt: String, which: String): java.lang.Double =
+    envelopeOf(wkt) match {
+      case None => null
+      case Some((lo, hi)) => java.lang.Double.valueOf(which match {
+        case "xmin" => lo.x
+        case "ymin" => lo.y
+        case "xmax" => hi.x
+        case "ymax" => hi.y
+      })
+    }
+
+  // ── point-set operations (0-dimensional operand pairs — the areal
+  //    overlay lives in GeometryFns/PolygonOverlay; these carry the
+  //    POINT/MULTIPOINT pairs the reference corpus exercises,
+  //    GeoFunctions stIntersection/stDifference/stSymmetricDifference) ──
+
+  def isPointy(g: Geo): Boolean = g match {
+    case _: PGeo | _: MPGeo => true
+    case EmptyGeo("POINT") | EmptyGeo("MULTIPOINT") => true
+    case CGeo(gs) => gs.nonEmpty && gs.forall(isPointy)
+    case _ => false
+  }
+
+  private def ptsOf(g: Geo): Seq[GPoint] = g match {
+    case PGeo(p)   => Seq(p)
+    case MPGeo(ps) => ps
+    case CGeo(gs)  => gs.flatMap(ptsOf)
+    case _         => Seq.empty
+  }
+
+  /** Point-set results keep first-operand order; an empty result is the
+    * reference's "MULTIPOLYGON EMPTY" quirk (testSTIntersection:800 —
+    * Esri's empty intersection serializes as an empty multipolygon).
+    */
+  private def renderPointSet(pts: Seq[GPoint]): String = {
+    val d = pts.distinct
+    if (d.isEmpty) "MULTIPOLYGON EMPTY"
+    else if (d.size == 1) GeometryFns.pointWkt(d.head.x, d.head.y)
+    else multiPointWkt(d)
+  }
+
+  def pointIntersection(a: Geo, b: Geo): String = {
+    val bs = ptsOf(b).toSet
+    renderPointSet(ptsOf(a).filter(bs))
+  }
+  def pointDifference(a: Geo, b: Geo): String = {
+    val bs = ptsOf(b).toSet
+    renderPointSet(ptsOf(a).filterNot(bs))
+  }
+  def pointSymDifference(a: Geo, b: Geo): String = {
+    val as = ptsOf(a).toSet; val bs = ptsOf(b).toSet
+    renderPointSet(ptsOf(a).filterNot(bs) ++ ptsOf(b).filterNot(as))
+  }
+  def pointUnion(a: Geo, b: Geo): String =
+    renderPointSet(ptsOf(a) ++ ptsOf(b))
+
+  // ── line-arrangement set operations (1-dimensional operand pairs —
+  //    TestGeoFunctions ST_Intersection/Difference/SymDifference over
+  //    (MULTI)LINESTRINGs). The reference's Esri engine nodes BOTH
+  //    operands' segments at every intersection event (inter- AND
+  //    intra-operand — its symdifference splits a path where the other
+  //    path of the SAME operand touches it) and emits the sub-segments
+  //    sorted by start point (y, then x); shared collinear pieces decide
+  //    membership. This reproduces that arrangement exactly on the test
+  //    corpus (vectors 759-831 pinned in GeometryExtrasSpec). ─────────
+
+  def isLiney(g: Geo): Boolean = g match {
+    case _: LGeo | _: MLGeo => true
+    case EmptyGeo("LINESTRING") | EmptyGeo("MULTILINESTRING") => true
+    case _ => false
+  }
+
+  private def linePaths(g: Geo): Seq[Array[GPoint]] = g match {
+    case LGeo(pts) => Seq(pts)
+    case MLGeo(ls) => ls
+    case _ => Seq.empty
+  }
+
+  /** Split one segment at the given parameters, dropping zero-length
+    * pieces.
+    */
+  private def splitSeg(a: GPoint, b: GPoint, ts0: Seq[Double]): Seq[(GPoint, GPoint)] = {
+    val ts = (0.0 +: 1.0 +: ts0.filter(t => t > 0 && t < 1)).distinct.sorted
+    def at(t: Double) =
+      if (t == 0.0) a else if (t == 1.0) b
+      else GPoint(a.x + t * (b.x - a.x), a.y + t * (b.y - a.y))
+    ts.zip(ts.tail).collect { case (t0, t1) if t1 - t0 > 1e-12 => (at(t0), at(t1)) }
+  }
+
+  /** Intersection parameters of segment (a,b) against (c,d): a crossing
+    * contributes one t, collinear overlap its two projection ts.
+    */
+  private def segEventTs(a: GPoint, b: GPoint, c: GPoint, d: GPoint): Seq[Double] = {
+    if (!GeometryFns.segIntersects(a, b, c, d)) return Seq.empty
+    val dx = b.x - a.x; val dy = b.y - a.y
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0) return Seq.empty
+    def orient(p: GPoint, q: GPoint, r: GPoint) =
+      (q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x)
+    val collinear = orient(a, b, c) == 0 && orient(a, b, d) == 0
+    if (collinear)
+      Seq(((c.x - a.x) * dx + (c.y - a.y) * dy) / len2,
+        ((d.x - a.x) * dx + (d.y - a.y) * dy) / len2)
+    else {
+      val den = dx * (d.y - c.y) - dy * (d.x - c.x)
+      if (den == 0) Seq.empty
+      else Seq(((c.x - a.x) * (d.y - c.y) - (c.y - a.y) * (d.x - c.x)) / den)
+    }
+  }
+
+  /** Is point p strictly on segment (a,b) (inclusive of endpoints)? */
+  private def onSeg(a: GPoint, b: GPoint, p: GPoint): Boolean = {
+    val cross = (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)
+    math.abs(cross) < 1e-9 &&
+      p.x >= math.min(a.x, b.x) - 1e-12 && p.x <= math.max(a.x, b.x) + 1e-12 &&
+      p.y >= math.min(a.y, b.y) - 1e-12 && p.y <= math.max(a.y, b.y) + 1e-12
+  }
+
+  private def mid(s: (GPoint, GPoint)): GPoint =
+    GPoint((s._1.x + s._2.x) / 2, (s._1.y + s._2.y) / 2)
+
+  /** Node every segment of both operands at every intersection event and
+    * return (aPieces, bPieces, sharedFlagA, sharedFlagB): per-operand
+    * sub-segments in path order, with a flag for "collinear-shared with
+    * the other operand".
+    */
+  private def nodedArrangement(a: Geo, b: Geo)
+      : (Seq[((GPoint, GPoint), Boolean)], Seq[((GPoint, GPoint), Boolean)]) = {
+    val segsA = linePaths(a).flatMap(p => p.toSeq.zip(p.tail.toSeq))
+    val segsB = linePaths(b).flatMap(p => p.toSeq.zip(p.tail.toSeq))
+    val all = segsA ++ segsB
+    def pieces(segs: Seq[(GPoint, GPoint)], other: Seq[(GPoint, GPoint)])
+        : Seq[((GPoint, GPoint), Boolean)] =
+      segs.flatMap { case (p, q) =>
+        val ts = all.filter(s => s != ((p, q))).flatMap { case (c, d) =>
+          segEventTs(p, q, c, d)
+        }
+        splitSeg(p, q, ts).map { piece =>
+          val m = mid(piece)
+          (piece, other.exists { case (c, d) => onSeg(c, d, m) })
+        }
+      }
+    (pieces(segsA, segsB), pieces(segsB, segsA))
+  }
+
+  private def sortPieces(ps: Seq[(GPoint, GPoint)]): Seq[(GPoint, GPoint)] =
+    ps.sortBy(s => (s._1.y, s._1.x, s._2.y, s._2.x))
+
+  private def renderLinePieces(ps0: Seq[(GPoint, GPoint)], emptyAs: String): String = {
+    val ps = sortPieces(ps0)
+    if (ps.isEmpty) emptyAs
+    else if (ps.length == 1) GeometryFns.lineStringWkt(Array(ps.head._1, ps.head._2))
+    else multiLineWkt(ps.map(s => Array(s._1, s._2)))
+  }
+
+  def lineDifference(a: Geo, b: Geo): String = {
+    val (pa, _) = nodedArrangement(a, b)
+    renderLinePieces(pa.collect { case (s, false) => s }, "MULTILINESTRING EMPTY")
+  }
+
+  def lineSymDifference(a: Geo, b: Geo): String = {
+    val (pa, pb) = nodedArrangement(a, b)
+    renderLinePieces(
+      pa.collect { case (s, false) => s } ++ pb.collect { case (s, false) => s },
+      "MULTILINESTRING EMPTY")
+  }
+
+  def lineIntersection(a: Geo, b: Geo): String = {
+    val (pa, _) = nodedArrangement(a, b)
+    val shared = sortPieces(pa.collect { case (s, true) => s })
+    // isolated crossing points: inter-operand intersection events not
+    // covered by a shared piece (testSTIntersection:802/803)
+    val segsA = linePaths(a).flatMap(p => p.toSeq.zip(p.tail.toSeq))
+    val segsB = linePaths(b).flatMap(p => p.toSeq.zip(p.tail.toSeq))
+    val crossPts = (for {
+      (p, q) <- segsA
+      (c, d) <- segsB
+      t <- segEventTs(p, q, c, d)
+      if t >= -1e-12 && t <= 1 + 1e-12
+    } yield GPoint(p.x + t * (q.x - p.x), p.y + t * (q.y - p.y)))
+      .filterNot(pt => shared.exists { case (s1, s2) => onSeg(s1, s2, pt) })
+      .distinct.sortBy(p => (p.y, p.x))
+    renderMixed(crossPts, shared)
+  }
+
+  /** Points-then-lines collection render; an empty result keeps the
+    * reference's MULTIPOLYGON EMPTY quirk.
+    */
+  private def renderMixed(pts: Seq[GPoint], lines: Seq[(GPoint, GPoint)]): String = {
+    val lineArrays = lines.map(s => Array(s._1, s._2))
+    (pts.isEmpty, lineArrays.isEmpty) match {
+      case (true, true)  => "MULTIPOLYGON EMPTY"
+      case (false, true) =>
+        if (pts.length == 1) GeometryFns.pointWkt(pts.head.x, pts.head.y)
+        else multiPointWkt(pts)
+      case (true, false) =>
+        if (lineArrays.length == 1) GeometryFns.lineStringWkt(lineArrays.head)
+        else multiLineWkt(lineArrays)
+      case (false, false) =>
+        val ptTexts = pts.map(p =>
+          if (pts.length == 1) GeometryFns.pointWkt(p.x, p.y)
+          else GeometryFns.pointWkt(p.x, p.y))
+        val lineText =
+          if (lineArrays.length == 1) GeometryFns.lineStringWkt(lineArrays.head)
+          else multiLineWkt(lineArrays)
+        "GEOMETRYCOLLECTION (" + (ptTexts :+ lineText).mkString(", ") + ")"
+    }
+  }
+
+  /** Areal ∩ line: clip the line to the polygon's closed region (kept
+    * sub-segments have their midpoint inside or on the boundary;
+    * boundary-touch points with no kept piece surface as POINTs —
+    * testSTIntersection:806/807). Contiguous kept pieces merge along
+    * the path.
+    */
+  def polyLineIntersection(polys: Seq[Polygon], line: Geo): String = {
+    val boundary = polys.flatMap(_.rings.flatMap(r =>
+      (0 until r.length - 1).map(i => (r(i), r(i + 1)))))
+    def insideOrOn(p: GPoint): Boolean =
+      boundary.exists { case (a, b) => onSeg(a, b, p) } ||
+        polys.count(c => GeometryFns.containsPoint(c, p.x, p.y)) % 2 == 1
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Array[GPoint]]
+    val touchPts = scala.collection.mutable.ArrayBuffer.empty[GPoint]
+    linePaths(line).foreach { path =>
+      var current = scala.collection.mutable.ArrayBuffer.empty[GPoint]
+      def flush(): Unit = {
+        if (current.length >= 2) kept += current.toArray
+        current = scala.collection.mutable.ArrayBuffer.empty[GPoint]
+      }
+      path.toSeq.zip(path.tail.toSeq).foreach { case (p, q) =>
+        val ts = boundary.flatMap { case (c, d) => segEventTs(p, q, c, d) }
+        splitSeg(p, q, ts).foreach { piece =>
+          if (insideOrOn(mid(piece))) {
+            if (current.isEmpty) current ++= Seq(piece._1, piece._2)
+            else if (current.last == piece._1) current += piece._2
+            else { flush(); current ++= Seq(piece._1, piece._2) }
+          } else flush()
+        }
+        // boundary-touch candidates at the raw intersection events
+        ts.filter(t => t >= -1e-12 && t <= 1 + 1e-12).foreach { t =>
+          touchPts += GPoint(p.x + t * (q.x - p.x), p.y + t * (q.y - p.y))
+        }
+      }
+      flush()
+    }
+    val keptArrays = kept.toSeq
+    val isolated = touchPts.toSeq
+      .filterNot(pt => keptArrays.exists(arr =>
+        arr.toSeq.zip(arr.tail.toSeq).exists { case (a, b) => onSeg(a, b, pt) }))
+      .distinct.sortBy(p => (p.y, p.x))
+    // render with full paths (not 2-point segments)
+    val lineText = keptArrays match {
+      case Seq() => null
+      case Seq(one) => GeometryFns.lineStringWkt(one)
+      case many => multiLineWkt(many)
+    }
+    (isolated.isEmpty, lineText == null) match {
+      case (true, true) => "MULTIPOLYGON EMPTY"
+      case (true, false) => lineText
+      case (false, true) =>
+        if (isolated.length == 1) GeometryFns.pointWkt(isolated.head.x, isolated.head.y)
+        else multiPointWkt(isolated)
+      case (false, false) =>
+        "GEOMETRYCOLLECTION (" +
+          (isolated.map(p => GeometryFns.pointWkt(p.x, p.y)) :+ lineText)
+            .mkString(", ") + ")"
+    }
   }
 
   // ── linear referencing ──────────────────────────────────────────────
@@ -669,9 +1168,24 @@ object GeometryExtras {
   }
 
   /** Fraction of the line's length at the closest approach to the point. */
-  def lineLocatePoint(wkt: String, pointWkt: String): Double = {
-    val pts = asLine(wkt, "line_locate_point")
-    val p = GeometryFns.parsePoint(pointWkt)
+  def lineLocatePoint(wkt: String, pointWkt: String): java.lang.Double = {
+    // reference (GeoFunctions.java:439-461): empty inputs → NULL; the
+    // line may be a LINESTRING or MULTILINESTRING (index over the
+    // concatenated paths / total length)
+    val lineGeo = parseGeo(wkt)
+    val pointGeo = parseGeo(pointWkt)
+    if (isEmptyGeo(lineGeo) || isEmptyGeo(pointGeo)) return null
+    val pts: Array[GPoint] = lineGeo match {
+      case LGeo(ps) => ps
+      case MLGeo(ls) => ls.flatten.toArray // length-indexed over all paths
+      case g => fail("First argument to line_locate_point must be a LineString " +
+        s"or a MultiLineString. Got: ${stGeometryType(formatGeo(g)).stripPrefix("ST_")}")
+    }
+    val p = pointGeo match {
+      case PGeo(q) => q
+      case g => fail("Second argument to line_locate_point must be a Point. " +
+        s"Got: ${stGeometryType(formatGeo(g)).stripPrefix("ST_")}")
+    }
     var best = Double.MaxValue
     var bestAt = 0.0
     var walked = 0.0
@@ -689,7 +1203,7 @@ object GeometryExtras {
       walked += segLen
       i += 1
     }
-    if (walked == 0) 0.0 else bestAt / walked
+    java.lang.Double.valueOf(if (walked == 0) 0.0 else bestAt / walked)
   }
 
   // ── boundary ────────────────────────────────────────────────────────
@@ -699,19 +1213,55 @@ object GeometryExtras {
     * its rings as (MULTI)LINESTRING.
     */
   def stBoundary(wkt: String): String = parseGeo(wkt) match {
-    case _: PGeo | _: MPGeo => "POLYGON EMPTY"
+    // reference/Esri conventions (TestGeoFunctions.testSTBoundary):
+    // 0-dim → GEOMETRYCOLLECTION EMPTY, closed/empty lines →
+    // MULTIPOINT EMPTY, line endpoints SORTED by (x, y), polygon shells
+    // emitted CLOCKWISE keeping the first vertex
+    case _: PGeo | _: MPGeo | EmptyGeo("POINT") | EmptyGeo("MULTIPOINT") =>
+      "GEOMETRYCOLLECTION EMPTY"
+    case EmptyGeo("LINESTRING") | EmptyGeo("MULTILINESTRING") =>
+      "MULTIPOINT EMPTY"
     case LGeo(pts) =>
-      if (pts.head == pts.last) "POLYGON EMPTY"
-      else multiPointWkt(Seq(pts.head, pts.last))
+      if (pts.head == pts.last) "MULTIPOINT EMPTY"
+      else multiPointWkt(Seq(pts.head, pts.last).sortBy(p => (p.x, p.y)))
     case MLGeo(ls) =>
       val ends = ls.filter(l => l.head != l.last).flatMap(l => Seq(l.head, l.last))
       val odd = ends.groupBy(identity).collect { case (p, os) if os.size % 2 == 1 => p }
-      if (odd.isEmpty) "POLYGON EMPTY" else multiPointWkt(odd.toSeq)
+      if (odd.isEmpty) "MULTIPOINT EMPTY"
+      else multiPointWkt(odd.toSeq.sortBy(p => (p.x, p.y)))
     case PolyGeo(cs) =>
-      val rings = cs.flatMap(_.rings)
-      if (rings.isEmpty) "POLYGON EMPTY"
+      val rings = cs.flatMap(p => p.rings.zipWithIndex.map { case (r, i) =>
+        orientRing(r, clockwise = i == 0)
+      })
+      if (rings.isEmpty) "MULTILINESTRING EMPTY"
       else if (rings.length == 1) GeometryFns.lineStringWkt(rings.head)
       else multiLineWkt(rings)
+    case _: CGeo | _: EmptyGeo =>
+      fail("ST_Boundary: GEOMETRYCOLLECTION is not supported")
+  }
+
+  /** Signed shoelace area: > 0 for counter-clockwise rings. */
+  private def ringSigned(ring: Array[GPoint]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < ring.length - 1) {
+      s += ring(i).x * ring(i + 1).y - ring(i + 1).x * ring(i).y
+      i += 1
+    }
+    s / 2.0
+  }
+
+  /** The reference's serializer orients shells clockwise and holes
+    * counter-clockwise, keeping the ring's first vertex (testSTBoundary:
+    * `(1 1, 4 1, 1 4, 1 1)` → `(1 1, 1 4, 4 1, 1 1)`).
+    */
+  private def orientRing(ring: Array[GPoint], clockwise: Boolean): Array[GPoint] = {
+    val cw = ringSigned(ring) < 0
+    if (cw == clockwise) ring
+    // closed ring [A, B, …, A]: keep the first vertex, reverse the walk
+    // → [A, …, B, A] (the naive tail.reverse duplicates A and drops the
+    // closure)
+    else (ring.head +: ring.tail.reverse.tail) :+ ring.head
   }
 
   // ── aggregates (reference ConvexHullAggregation.java /

@@ -113,17 +113,10 @@ object GeometryFns {
     s
   }
 
-  /** Validate + canonicalize any supported WKT. */
-  def geometryFromText(wkt: String): String = {
-    val up = wkt.trim.toUpperCase
-    if (up == "POLYGON EMPTY") "POLYGON EMPTY"
-    else if (up.startsWith("MULTIPOLYGON"))
-      multiPolygonWkt(multiPolygonParts(wkt).map(parsePolygon))
-    else if (up.startsWith("POLYGON")) polygonWkt(parsePolygon(wkt))
-    else if (up.startsWith("POINT")) { val p = parsePoint(wkt); pointWkt(p.x, p.y) }
-    else if (up.startsWith("LINESTRING")) lineStringWkt(parseLineString(wkt))
-    else fail(s"Unsupported WKT geometry (POINT/LINESTRING/POLYGON subset): $wkt")
-  }
+  /** Validate + canonicalize any WKT — all seven OGC types plus every
+    * EMPTY form (GeometryExtras carries the parse/render pair).
+    */
+  def geometryFromText(wkt: String): String = GeometryExtras.canonicalWkt(wkt)
 
   // ── predicates / measures ────────────────────────────────────────────
 
@@ -178,19 +171,27 @@ object GeometryFns {
       onSegment(c, d, a) || onSegment(c, d, b)
   }
 
-  /** Parsed geometry as segment paths + an optional polygon for interior
-    * tests: points are 1-point paths, linestrings open paths, polygons
-    * their rings.
+  /** Parsed geometry as segment paths + its areal components for
+    * interior tests: points are 1-point paths, linestrings open paths,
+    * polygons their rings. Built over the full WKT surface via
+    * GeometryExtras.parseGeo (KAT wave 9 — multi-type, EMPTY, and
+    * collection operands flow through every pairwise predicate).
     */
-  private final case class Geom(paths: Seq[Array[GPoint]], poly: Option[Polygon])
+  private final case class Geom(paths: Seq[Array[GPoint]], polys: Seq[Polygon])
 
   private def parseGeom(wkt: String): Geom = {
-    val up = wkt.trim.toUpperCase
-    if (up.startsWith("POLYGON")) {
-      val p = parsePolygon(wkt); Geom(p.rings, Some(p))
-    } else if (up.startsWith("LINESTRING")) Geom(Seq(parseLineString(wkt)), None)
-    else if (up.startsWith("POINT")) { val p = parsePoint(wkt); Geom(Seq(Array(p)), None) }
-    else fail(s"Unsupported WKT geometry (POINT/LINESTRING/POLYGON subset): $wkt")
+    def conv(g: GeometryExtras.Geo): Geom = g match {
+      case GeometryExtras.PGeo(p)     => Geom(Seq(Array(p)), Seq.empty)
+      case GeometryExtras.MPGeo(ps)   => Geom(ps.map(p => Array(p)), Seq.empty)
+      case GeometryExtras.LGeo(pts)   => Geom(Seq(pts), Seq.empty)
+      case GeometryExtras.MLGeo(ls)   => Geom(ls, Seq.empty)
+      case GeometryExtras.PolyGeo(cs) => Geom(cs.flatMap(_.rings), cs)
+      case GeometryExtras.EmptyGeo(_) => Geom(Seq.empty, Seq.empty)
+      case GeometryExtras.CGeo(gs) =>
+        gs.map(conv).foldLeft(Geom(Seq.empty, Seq.empty))((a, b) =>
+          Geom(a.paths ++ b.paths, a.polys ++ b.polys))
+    }
+    conv(GeometryExtras.parseGeo(wkt))
   }
 
   private def onAnyBoundary(g: Geom, p: GPoint): Boolean =
@@ -200,7 +201,7 @@ object GeometryFns {
     }
 
   private def interiorContains(g: Geom, p: GPoint): Boolean =
-    g.poly.exists(containsPoint(_, p.x, p.y))
+    g.polys.exists(containsPoint(_, p.x, p.y))
 
   /** Boundary-inclusive intersection across the POINT/LINESTRING/POLYGON
     * subset: any edge pair crossing or touching, or either geometry lying
@@ -400,8 +401,29 @@ object GeometryFns {
   private def parseMultiOrPolygon(wkt: String): Seq[Polygon] = {
     val up = wkt.trim.toUpperCase
     if (up == "POLYGON EMPTY" || up == "MULTIPOLYGON EMPTY") Seq.empty
-    else if (up.startsWith("MULTIPOLYGON")) multiPolygonParts(wkt).map(parsePolygon)
+    else if (up.startsWith("MULTIPOLYGON"))
+      selfUnion(multiPolygonParts(wkt).map(parsePolygon))
     else Seq(parsePolygon(wkt))
+  }
+
+  /** The overlay assumes DISJOINT multipolygon components; the
+    * reference's Esri engine accepts overlapping ones (its own tests
+    * feed them — TestGeoFunctions:762/805/833) because it unions the
+    * operand first. Do the same: fold overlapping components through
+    * the overlay union before any binary operation. Pairwise-disjoint
+    * inputs (the common case) return unchanged.
+    */
+  private def selfUnion(comps: Seq[Polygon]): Seq[Polygon] = {
+    if (comps.length <= 1) return comps
+    val anyOverlap = comps.indices.exists { i =>
+      (i + 1 until comps.length).exists { j =>
+        stIntersects(polygonWkt(comps(i)), polygonWkt(comps(j)))
+      }
+    }
+    if (!anyOverlap) comps
+    else comps.tail.foldLeft(Seq(comps.head)) { (acc, p) =>
+      PolygonOverlay.overlay(acc, Seq(p), PolygonOverlay.OpUnion)
+    }
   }
 
   private def formatOverlay(comps: Seq[Polygon]): String =
@@ -673,17 +695,63 @@ object GeometryFns {
     * sums its disjoint components (st_union's disjoint-input result).
     */
   def area(wkt: String): Double = {
-    if (wkt.trim.equalsIgnoreCase("POLYGON EMPTY")) return 0.0
-    if (wkt.trim.toUpperCase.startsWith("MULTIPOLYGON"))
-      return multiPolygonParts(wkt).map(area).sum
-    val p = parsePolygon(wkt)
-    val shell = math.abs(ringSignedArea(p.rings.head))
-    shell - p.rings.tail.map(r => math.abs(ringSignedArea(r))).sum
+    def of(g: GeometryExtras.Geo): Double = g match {
+      case GeometryExtras.PolyGeo(cs) => cs.map { p =>
+        val shell = math.abs(ringSignedArea(p.rings.head))
+        shell - p.rings.tail.map(r => math.abs(ringSignedArea(r))).sum
+      }.sum
+      // collections sum their members, nested included (testSTArea:163-169)
+      case GeometryExtras.CGeo(gs) => gs.map(of).sum
+      case _ => 0.0 // points/lines/empties have zero area (Esri getArea)
+    }
+    of(GeometryExtras.parseGeo(wkt))
+  }
+
+  /** ST_Centroid over any supported type (GeoFunctions stCentroid):
+    * points are themselves, multipoints average their members, (multi)
+    * linestrings weight segment midpoints by length, areal inputs use
+    * the area-weighted polygon centroid; empty → NULL (@SqlNullable).
+    */
+  def centroid(wkt: String): GPoint = {
+    def lineCentroid(lines: Seq[Array[GPoint]]): GPoint = {
+      var wx = 0.0; var wy = 0.0; var wSum = 0.0
+      lines.foreach { pts =>
+        var i = 0
+        while (i < pts.length - 1) {
+          val len = math.hypot(pts(i + 1).x - pts(i).x, pts(i + 1).y - pts(i).y)
+          wx += len * (pts(i).x + pts(i + 1).x) / 2
+          wy += len * (pts(i).y + pts(i + 1).y) / 2
+          wSum += len
+          i += 1
+        }
+      }
+      if (wSum == 0.0) fail("Zero-length linestring has no centroid")
+      GPoint(wx / wSum, wy / wSum)
+    }
+    GeometryExtras.parseGeo(wkt) match {
+      case GeometryExtras.PGeo(p) => p
+      case GeometryExtras.MPGeo(ps) =>
+        GPoint(ps.map(_.x).sum / ps.length, ps.map(_.y).sum / ps.length)
+      case GeometryExtras.LGeo(pts) => lineCentroid(Seq(pts))
+      case GeometryExtras.MLGeo(ls) => lineCentroid(ls)
+      case GeometryExtras.EmptyGeo(_) => null
+      case GeometryExtras.PolyGeo(cs) if cs.isEmpty => null
+      case GeometryExtras.PolyGeo(cs) if cs.length > 1 =>
+        // area-weighted average of component centroids
+        val parts = cs.map(p => (centroidPoly(p), {
+          val shell = math.abs(ringSignedArea(p.rings.head))
+          shell - p.rings.tail.map(r => math.abs(ringSignedArea(r))).sum
+        }))
+        val w = parts.map(_._2).sum
+        if (w == 0.0) fail("Zero-area polygon has no centroid")
+        GPoint(parts.map(t => t._1.x * t._2).sum / w,
+          parts.map(t => t._1.y * t._2).sum / w)
+      case _ => centroidPoly(parsePolygon(wkt))
+    }
   }
 
   /** Area-weighted centroid: shell positive, holes negative. */
-  def centroid(wkt: String): GPoint = {
-    val p = parsePolygon(wkt)
+  private def centroidPoly(p: Polygon): GPoint = {
     var ax = 0.0; var ay = 0.0; var aSum = 0.0
     p.rings.zipWithIndex.foreach { case (r, idx) =>
       val signed = ringSignedArea(r)
@@ -733,12 +801,21 @@ object GeometryFns {
   def xMax(wkt: String): Double = bounds(wkt)._3
   def yMax(wkt: String): Double = bounds(wkt)._4
 
-  /** Vertex count (closing points not double-counted), ST_NumPoints. */
+  /** Vertex count (closing points not double-counted), ST_NumPoints —
+    * any geometry type (testSTNumPoints: GEOMETRYCOLLECTION sums its
+    * members, empties count 0).
+    */
   def numPoints(wkt: String): Long = {
-    val up = wkt.trim.toUpperCase
-    if (up.startsWith("POINT")) 1L
-    else if (up.startsWith("LINESTRING")) parseLineString(wkt).length.toLong
-    else parsePolygon(wkt).rings.map(_.length - 1).sum.toLong
+    def count(g: GeometryExtras.Geo): Long = g match {
+      case GeometryExtras.PGeo(_)     => 1L
+      case GeometryExtras.MPGeo(ps)   => ps.length.toLong
+      case GeometryExtras.LGeo(pts)   => pts.length.toLong
+      case GeometryExtras.MLGeo(ls)   => ls.map(_.length.toLong).sum
+      case GeometryExtras.PolyGeo(cs) => cs.map(_.rings.map(_.length - 1).sum.toLong).sum
+      case GeometryExtras.EmptyGeo(_) => 0L
+      case GeometryExtras.CGeo(gs)    => gs.map(count).sum
+    }
+    count(GeometryExtras.parseGeo(wkt))
   }
 
   // ── Bing tiles (public Bing Maps tile-system math) ───────────────────
@@ -939,20 +1016,50 @@ object GeometryFns {
   def stBuffer(wkt: String, dist: Double): String = {
     if (dist.isNaN) fail("buffer distance must be a number")
     if (dist == 0) return wkt.trim
+    val g = GeometryExtras.parseGeo(wkt)
+    // reference: the buffer of any EMPTY geometry is NULL
+    // (GeoFunctions.java:292-294); an INFINITE distance collapses to
+    // POLYGON EMPTY (Esri quirk, TestGeoFunctions:200)
+    val empty = g match {
+      case GeometryExtras.EmptyGeo(_) => true
+      case GeometryExtras.PolyGeo(cs) => cs.isEmpty
+      case _ => false
+    }
+    if (empty) return null
+    if (dist.isInfinity && dist > 0) return "POLYGON EMPTY"
     if (dist < 0) return erodeBuffer(wkt, -dist)
-    val up = wkt.trim.toUpperCase
-    if (up.startsWith("POINT")) {
-      val c = parsePoint(wkt)
-      polygonWkt(Polygon(Seq(gonRing(c, dist))))
-    } else if (up.startsWith("LINESTRING")) {
-      val pts = parseLineString(wkt)
-      formatOverlay(foldUnion(pathPieces(pts, dist)))
-    } else if (up == "POLYGON EMPTY") "POLYGON EMPTY"
-    else if (up.startsWith("POLYGON") || up.startsWith("MULTIPOLYGON")) {
-      val comps = parseMultiOrPolygon(wkt)
-      val rims = comps.flatMap(_.rings.flatMap(r => pathPieces(r, dist)))
-      formatOverlay(foldUnion(comps ++ rims))
-    } else fail("ST_Buffer: POINT/LINESTRING/POLYGON/MULTIPOLYGON subset")
+    g match {
+      case GeometryExtras.PGeo(c) =>
+        polygonWkt(Polygon(Seq(gonRing(c, dist))))
+      case GeometryExtras.MPGeo(ps) =>
+        formatOverlay(foldUnion(ps.map(p => Polygon(Seq(gonRing(p, dist))))))
+      case GeometryExtras.LGeo(pts) =>
+        formatOverlay(foldUnion(pathPieces(pts, dist)))
+      case GeometryExtras.MLGeo(ls) =>
+        formatOverlay(foldUnion(ls.flatMap(pathPieces(_, dist))))
+      case GeometryExtras.PolyGeo(comps) =>
+        // a feature tiny relative to the distance degenerates the rim
+        // overlay (the reference's Esri engine had the dual bug — an NPE,
+        // geometry-api-java#243); buffer its centroid as a point instead
+        // (error < the feature's own diameter)
+        val vs = comps.flatMap(_.rings.flatten)
+        val diag = math.hypot(vs.map(_.x).max - vs.map(_.x).min,
+          vs.map(_.y).max - vs.map(_.y).min)
+        if (diag < dist * 1e-4) {
+          val cx = vs.map(_.x).sum / vs.size; val cy = vs.map(_.y).sum / vs.size
+          polygonWkt(Polygon(Seq(gonRing(GPoint(cx, cy), dist))))
+        } else {
+          val rims = comps.flatMap(_.rings.flatMap(r => pathPieces(r, dist)))
+          formatOverlay(foldUnion(comps ++ rims))
+        }
+      case GeometryExtras.CGeo(gs) =>
+        // buffer the members, union the areal results
+        formatOverlay(foldUnion(gs.flatMap { m =>
+          val b = stBuffer(GeometryExtras.formatGeo(m), dist)
+          if (b == null) Seq.empty else parseMultiOrPolygon(b)
+        }))
+      case _ => fail("ST_Buffer: unsupported geometry")
+    }
   }
 
   private def gonRing(c: GPoint, r: Double): Array[GPoint] = {

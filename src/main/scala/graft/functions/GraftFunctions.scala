@@ -22,22 +22,38 @@ import org.apache.spark.sql.types._
   */
 case class GeoDistanceExpr(left: Expression, right: Expression)
     extends BinaryExpression with RuntimeReplaceable {
-  override lazy val replacement: Expression =
-    if (left.dataType == StringType && right.dataType == StringType)
-      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-        GeometryExtras.getClass, DoubleType, "distanceWktU",
-        Seq(left, right), inputTypes = Seq(StringType, StringType),
-        propagateNull = true)
-    else {
-      def f(p: Expression, n: String) = p.dataType match {
-        case st: StructType => GetStructField(p, st.fieldIndex(n), Some(n))
-        case other => throw new IllegalArgumentException(
-          s"st_distance expects two points or two WKT strings, got $other")
+  override lazy val replacement: Expression = {
+    // a struct point mixed with a WKT string renders to text and takes
+    // the general kernel (KAT wave 9: ST_Distance(ST_Point(..),
+    // ST_GeometryFromText(..)) — both orders)
+    def asWkt(p: Expression): Expression = p.dataType match {
+      case _: StringType => p
+      case st: StructType =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GeometryFns.getClass, StringType, "pointWktU",
+          Seq(Cast(GetStructField(p, st.fieldIndex("x"), Some("x")), DoubleType),
+            Cast(GetStructField(p, st.fieldIndex("y"), Some("y")), DoubleType)),
+          inputTypes = Seq(DoubleType, DoubleType), propagateNull = true)
+      case other => throw new IllegalArgumentException(
+        s"st_distance expects points or WKT strings, got $other")
+    }
+    if (left.dataType.isInstanceOf[StructType] &&
+        right.dataType.isInstanceOf[StructType]) {
+      // both struct points: keep the fully codegen'd arithmetic — the
+      // distance-join hot path
+      def f(p: Expression, n: String) = {
+        val st = p.dataType.asInstanceOf[StructType]
+        GetStructField(p, st.fieldIndex(n), Some(n))
       }
       val dx = Subtract(f(left, "x"), f(right, "x"))
       val dy = Subtract(f(left, "y"), f(right, "y"))
       Sqrt(Add(Multiply(dx, dx), Multiply(dy, dy)))
-    }
+    } else
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GeometryExtras.getClass, DoubleType, "distanceWktU",
+        Seq(asWkt(left), asWkt(right)), inputTypes = Seq(StringType, StringType),
+        propagateNull = true)
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GeoDistanceExpr =
     copy(left = newLeft, right = newRight)
@@ -420,15 +436,15 @@ object GraftFnUtils {
       Porter2Stemmer.stem(w.toString.toLowerCase))
 
   /** word_stem(word, lang) — the reference dispatches to per-language
-    * Snowball stemmers (WordStemFunction.java STEMMERS map); this engine
-    * carries the English algorithm and errors on other languages the way
-    * the reference errors on unknown codes.
+    * Snowball stemmers (WordStemFunction.java STEMMERS map); the engine
+    * carries from-spec transcriptions for en/fr/es/pt/it/de
+    * (SnowballStemmers.scala) and errors on other codes the way the
+    * reference errors on unknown ones.
     */
   def wordStemLang(w: org.apache.spark.unsafe.types.UTF8String,
       lang: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
-    if (lang.toString == "en") wordStem(w)
-    else throw new IllegalArgumentException(
-      s"Unknown stemmer language: $lang")
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      SnowballStemmers.stem(w.toString, lang.toString))
 
   /** reference JsonFunctions.java:92 is_json_scalar: parses the input —
     * true for a single scalar token (number/string/true/false/null),
@@ -889,6 +905,37 @@ object GraftFnUtils {
   private val mysqlParserCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.time.format.DateTimeFormatter]()
 
+  /** The session's rendering locale (reference Session.getLocale —
+    * `SET SESSION graft.locale = 'ko'` renders date_format's %a/%W/%p/%r
+    * day/meridiem names in that language). BCP-47 tag, default 'en'.
+    */
+  def sessionLocaleTag: String =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.locale", "en")
+    catch { case _: Throwable => "en" }
+
+  private val localeFmtCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.time.format.DateTimeFormatter]()
+
+  /** Locale-carrying date_format (MySQL pattern → java.time with the
+    * given locale's text forms). Session zone is pinned UTC here like
+    * the rest of the temporal layer.
+    */
+  def prestoDateFormatLocale(micros: Long,
+      fmt: org.apache.spark.unsafe.types.UTF8String,
+      tag: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val f = localeFmtCache.computeIfAbsent((fmt.toString, tag.toString), { case (p, t) =>
+      java.time.format.DateTimeFormatter.ofPattern(
+        mysqlToJavaPattern(p), java.util.Locale.forLanguageTag(t))
+    })
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    org.apache.spark.unsafe.types.UTF8String.fromString(f.format(ldt))
+  }
+
   def prestoDateParse(text: org.apache.spark.unsafe.types.UTF8String,
       fmt: org.apache.spark.unsafe.types.UTF8String): Long = {
     val f = mysqlParserCache.computeIfAbsent(fmt.toString, buildMysqlParser(_))
@@ -897,12 +944,67 @@ object GraftFnUtils {
     ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
   }
 
+  /** Parse-and-ignore fields for Joda's last-field-wins duplicate
+    * handling (`date_parse('2013 14', '%Y %y')` → 2014: the earlier
+    * `%Y` consumes its digits but binds nothing). A custom field stays
+    * unresolved in the parsed TemporalAccessor — LocalDateTime.from
+    * never queries it; a pool of them keeps two discarded occurrences
+    * from colliding in the parse map.
+    */
+  private final class DiscardField(id: Int) extends java.time.temporal.TemporalField {
+    import java.time.temporal._
+    override def getBaseUnit: TemporalUnit = ChronoUnit.FOREVER
+    override def getRangeUnit: TemporalUnit = ChronoUnit.FOREVER
+    override def range(): ValueRange = ValueRange.of(0, 999999999L)
+    override def isDateBased: Boolean = false
+    override def isTimeBased: Boolean = false
+    override def isSupportedBy(t: TemporalAccessor): Boolean = false
+    override def rangeRefinedBy(t: TemporalAccessor): ValueRange = range()
+    override def getFrom(t: TemporalAccessor): Long = 0L
+    override def adjustInto[R <: Temporal](t: R, v: Long): R = t
+    override def toString: String = s"GraftDiscard$id"
+  }
+  private val discardFields = IndexedSeq.tabulate(16)(new DiscardField(_))
+
+  /** The pattern-group a numeric specifier binds (for last-wins dedupe). */
+  private def mysqlFieldGroup(c: Char): Int = c match {
+    case 'Y' | 'y' => 1
+    case 'm' | 'c' => 2
+    case 'd' | 'e' => 3
+    case 'j' => 4
+    case 'H' | 'k' => 5
+    case 'h' | 'I' | 'l' => 6
+    case 'i' => 7
+    case 's' | 'S' => 8
+    case _ => 0 // not deduped
+  }
+
   private def buildMysqlParser(fmt: String): java.time.format.DateTimeFormatter = {
     import java.time.format.{DateTimeFormatterBuilder, ResolverStyle, SignStyle, TextStyle}
     import java.time.temporal.{ChronoField => CF, IsoFields}
     // Joda (the reference's engine) parses text fields case-insensitively
     // ('28-JAN-16' for %b)
     val b = new DateTimeFormatterBuilder().parseCaseInsensitive()
+    // Joda's LAST-field-wins for duplicate specifiers of one group: all
+    // but the last occurrence parse into a discard field
+    val lastOfGroup: Map[Int, Int] = {
+      var m = Map.empty[Int, Int]
+      var k = 0
+      while (k < fmt.length - 1) {
+        if (fmt.charAt(k) == '%') {
+          val g = mysqlFieldGroup(fmt.charAt(k + 1))
+          if (g != 0) m += (g -> k)
+          k += 2
+        } else k += 1
+      }
+      m
+    }
+    var discardIdx = 0
+    def discarded(minW: Int, maxW: Int): Unit = {
+      b.appendValue(discardFields(discardIdx % discardFields.length),
+        minW, maxW, SignStyle.NOT_NEGATIVE)
+      discardIdx += 1
+    }
     var sawYear, sawMonth, sawDay, sawDoy, sawWeek = false
     var sawHod, sawAmpmHour, sawAmpm = false
     var sawMin, sawSec = false
@@ -910,7 +1012,20 @@ object GraftFnUtils {
     while (i < fmt.length) {
       val c = fmt.charAt(i)
       if (c == '%' && i + 1 < fmt.length) {
-        fmt.charAt(i + 1) match {
+        val spec = fmt.charAt(i + 1)
+        val dup = {
+          val g = mysqlFieldGroup(spec)
+          g != 0 && lastOfGroup.get(g).exists(_ != i)
+        }
+        if (dup) spec match {
+          // earlier duplicate of a later-winning group: consume, bind
+          // nothing (Joda last-field-wins)
+          case 'Y' => discarded(4, 4)
+          case 'y' => discarded(2, 2)
+          case 'j' => discarded(1, 3)
+          case _ => discarded(1, 2)
+        }
+        else spec match {
           case 'Y' => b.appendValue(CF.YEAR, 4); sawYear = true
           // MySQL 2-digit year: 70-99 → 19xx, 00-69 → 20xx
           case 'y' => b.appendValueReduced(CF.YEAR, 2, 2, 1970); sawYear = true
@@ -1001,6 +1116,7 @@ object GraftFnUtils {
           case 'W' => "EEEE"; case 'a' => "EEE"
           case 'j' => "DDD"
           case 'T' => "HH:mm:ss"
+          case 'r' => "hh:mm:ss a" // 12-hour clock with meridiem
           case 'v' => "ww"
           case '%' => "%"
           case other => other.toString
@@ -1472,6 +1588,18 @@ object GraftFunctions {
     // before function resolution), rewritten to timestampdiff/timestampadd.
     // MySQL-style %-patterns (Presto dialect); non-% patterns pass through
     "date_format" -> {
+      // a non-English session locale (reference: Session.getLocale —
+      // its Korean-locale vectors render %a/%W/%p/%r in that language)
+      // routes through a runtime java.time formatter carrying the
+      // locale; the default stays on Spark's codegen'd DateFormatClass
+      case Seq(t, StringLiteral(fmt))
+          if fmt.contains('%') && GraftFnUtils.sessionLocaleTag != "en" =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, StringType, "prestoDateFormatLocale",
+          Seq(Cast(t, TimestampType), Literal(fmt),
+            Literal(GraftFnUtils.sessionLocaleTag)),
+          inputTypes = Seq(TimestampType, StringType, StringType),
+          propagateNull = true)
       case Seq(t, StringLiteral(fmt)) if fmt.contains('%') =>
         DateFormatClass(Cast(t, TimestampType), Literal(GraftFnUtils.mysqlToJavaPattern(fmt)))
       case Seq(t, f) => DateFormatClass(t, f)
@@ -1685,16 +1813,16 @@ object GraftFunctions {
     // geometry runtime descoped — no geometry lib in the container) ──
     "st_point" -> { case Seq(x, y) =>
       CreateNamedStruct(Seq(Literal("x"), Cast(x, DoubleType), Literal("y"), Cast(y, DoubleType))) },
-    // struct point → WKT text, bridging the point subset to the WKT
-    // polygon family (GeometryFns)
-    "st_as_text" -> { case Seq(p) =>
-      def f(n: String) =
-        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(p, Literal(n))
-      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-        GeometryFns.getClass, StringType, "pointWktU",
-        Seq(Cast(f("x"), DoubleType), Cast(f("y"), DoubleType)),
-        inputTypes = Seq(DoubleType, DoubleType), propagateNull = true)
-    },
+    // ST_AsText over either representation — struct points render
+    // `POINT (x y)`, WKT text canonicalizes through the full parser
+    // (late-binding dispatch, GeoExprs.scala)
+    "st_as_text" -> { case Seq(p) => GeoAsTextExpr(p) },
+    "st_astext" -> { case Seq(p) => GeoAsTextExpr(p) },
+    // point constructors accept struct OR WKT point elements
+    "st_multipoint" -> { case Seq(a) => GeoPointsCtor(a, line = false) },
+    "st_multi_point" -> { case Seq(a) => GeoPointsCtor(a, line = false) },
+    "st_linestring" -> { case Seq(a) => GeoPointsCtor(a, line = true) },
+    "st_line_string" -> { case Seq(a) => GeoPointsCtor(a, line = true) },
     // bing_tile has two reference spellings: (x, y, zoom) and (quadkey)
     "bing_tile" -> {
       case Seq(x, y, z) =>
@@ -1708,10 +1836,10 @@ object GraftFunctions {
           GeometryFns.getClass, LongType, "fromQuadKeyU",
           Seq(qk), inputTypes = Seq(StringType), propagateNull = true)
     },
-    "st_x" -> { case Seq(p) =>
-      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(p, Literal("x")) },
-    "st_y" -> { case Seq(p) =>
-      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(p, Literal("y")) },
+    // struct points read their field; WKT text validates POINT and
+    // returns NULL for POINT EMPTY (GeoExprs.scala dispatch)
+    "st_x" -> { case Seq(p) => GeoCoordExpr(p, isX = true) },
+    "st_y" -> { case Seq(p) => GeoCoordExpr(p, isX = false) },
     // planar distance (GeoFunctions ST_Distance). Struct points keep the
     // fully codegen'd arithmetic fast path (the distance-join hot path);
     // WKT string geometries dispatch to the general geometry kernel —
@@ -1863,11 +1991,10 @@ object GraftFunctions {
     spark.udf.register("st_geometryfromtext",
       (w: String) => GeometryFns.geometryFromText(w))
     spark.udf.register("st_linefromtext",
-      (w: String) => { GeometryFns.parseLineString(w); GeometryFns.geometryFromText(w) })
+      (w: String) => GeometryExtras.lineFromText(w))
     spark.udf.register("st_numpoints", (w: String) => GeometryFns.numPoints(w))
-    // ST_AsText: GEOMETRY already carries WKT here, so this is the
-    // canonicalizing parse-and-print (same normalization as the parser)
-    spark.udf.register("st_astext", (w: String) => GeometryFns.geometryFromText(w))
+    // st_astext / st_as_text are BUILDERS (GeoAsTextExpr — struct-point
+    // dispatch); no UDF registration here or it would shadow them
     // GEOMETRY ↔ SPHERICAL_GEOGRAPHY: checked identities over the WKT
     // representation; to_spherical_geography validates lon/lat ranges
     spark.udf.register("to_spherical_geography",
@@ -1876,36 +2003,73 @@ object GraftFunctions {
     spark.udf.register("geometry_to_bing_tiles",
       (w: String, zoom: Int) => GeometryFns.geometryToBingTiles(w, zoom))
     spark.udf.register("st_polygon",
-      (w: String) => { GeometryFns.parsePolygon(w); GeometryFns.geometryFromText(w) })
+      (w: String) => GeometryExtras.polygonFromText(w))
     spark.udf.register("st_contains",
       (poly: String, pt: String) => GeometryFns.stContains(poly, pt))
     spark.udf.register("st_within",
       (pt: String, poly: String) => GeometryFns.stContains(poly, pt))
     spark.udf.register("st_area", (w: String) => GeometryFns.area(w))
     spark.udf.register("st_centroid", (w: String) => GeometryFns.centroid(w))
-    spark.udf.register("st_envelope", (w: String) => GeometryFns.envelope(w))
-    spark.udf.register("st_xmin", (w: String) => GeometryFns.xMin(w))
-    spark.udf.register("st_ymin", (w: String) => GeometryFns.yMin(w))
-    spark.udf.register("st_xmax", (w: String) => GeometryFns.xMax(w))
-    spark.udf.register("st_ymax", (w: String) => GeometryFns.yMax(w))
+    spark.udf.register("st_envelope", (w: String) => GeometryExtras.stEnvelope(w))
+    spark.udf.register("st_xmin", (w: String) => GeometryExtras.envelopeCoord(w, "xmin"))
+    spark.udf.register("st_ymin", (w: String) => GeometryExtras.envelopeCoord(w, "ymin"))
+    spark.udf.register("st_xmax", (w: String) => GeometryExtras.envelopeCoord(w, "xmax"))
+    spark.udf.register("st_ymax", (w: String) => GeometryExtras.envelopeCoord(w, "ymax"))
     spark.udf.register("st_num_points", (w: String) => GeometryFns.numPoints(w))
     spark.udf.register("st_line_from_text",
-      (w: String) => { GeometryFns.parseLineString(w); GeometryFns.geometryFromText(w) })
-    spark.udf.register("st_length", (w: String) => GeometryFns.lineLength(w))
+      (w: String) => GeometryExtras.lineFromText(w))
+    spark.udf.register("st_length", (w: String) => GeometryExtras.stLength(w))
     spark.udf.register("st_buffer",
       (w: String, d: Double) => GeometryFns.stBuffer(w, d))
     spark.udf.register("simplify_geometry",
       (w: String, t: Double) => GeometryFns.simplifyGeometry(w, t))
     spark.udf.register("st_intersects",
       (a: String, b: String) => GeometryFns.stIntersects(a, b))
+    // set operations: 0-dimensional operand pairs take the exact
+    // point-set path (testSTIntersection/Difference/SymDifference over
+    // POINT/MULTIPOINT — incl. the reference's MULTIPOLYGON EMPTY
+    // rendering of an empty result); areal pairs keep the overlay
+    def pointyPair(a: String, b: String): Option[(GeometryExtras.Geo, GeometryExtras.Geo)] = {
+      val (ga, gb) = (GeometryExtras.parseGeo(a), GeometryExtras.parseGeo(b))
+      if (GeometryExtras.isPointy(ga) && GeometryExtras.isPointy(gb)) Some((ga, gb))
+      else None
+    }
+    def bothLiney(a: GeometryExtras.Geo, b: GeometryExtras.Geo): Boolean =
+      GeometryExtras.isLiney(a) && GeometryExtras.isLiney(b)
     spark.udf.register("st_intersection",
-      (a: String, b: String) => GeometryFns.stIntersection(a, b))
+      (a: String, b: String) => {
+        val (ga, gb) = (GeometryExtras.parseGeo(a), GeometryExtras.parseGeo(b))
+        if (GeometryExtras.isPointy(ga) && GeometryExtras.isPointy(gb))
+          GeometryExtras.pointIntersection(ga, gb)
+        else if (bothLiney(ga, gb)) GeometryExtras.lineIntersection(ga, gb)
+        // areal ∩ line clips the line (testSTIntersection:806/807)
+        else if (GeometryExtras.arealParts(ga).nonEmpty && GeometryExtras.isLiney(gb))
+          GeometryExtras.polyLineIntersection(GeometryExtras.arealParts(ga), gb)
+        else if (GeometryExtras.arealParts(gb).nonEmpty && GeometryExtras.isLiney(ga))
+          GeometryExtras.polyLineIntersection(GeometryExtras.arealParts(gb), ga)
+        else GeometryFns.stIntersection(a, b)
+      })
     spark.udf.register("st_union",
-      (a: String, b: String) => GeometryFns.stUnion(a, b))
+      (a: String, b: String) => pointyPair(a, b) match {
+        case Some((ga, gb)) => GeometryExtras.pointUnion(ga, gb)
+        case None => GeometryFns.stUnion(a, b)
+      })
     spark.udf.register("st_difference",
-      (a: String, b: String) => GeometryFns.stDifference(a, b))
+      (a: String, b: String) => {
+        val (ga, gb) = (GeometryExtras.parseGeo(a), GeometryExtras.parseGeo(b))
+        if (GeometryExtras.isPointy(ga) && GeometryExtras.isPointy(gb))
+          GeometryExtras.pointDifference(ga, gb)
+        else if (bothLiney(ga, gb)) GeometryExtras.lineDifference(ga, gb)
+        else GeometryFns.stDifference(a, b)
+      })
     spark.udf.register("st_symdifference",
-      (a: String, b: String) => GeometryFns.stSymDifference(a, b))
+      (a: String, b: String) => {
+        val (ga, gb) = (GeometryExtras.parseGeo(a), GeometryExtras.parseGeo(b))
+        if (GeometryExtras.isPointy(ga) && GeometryExtras.isPointy(gb))
+          GeometryExtras.pointSymDifference(ga, gb)
+        else if (bothLiney(ga, gb)) GeometryExtras.lineSymDifference(ga, gb)
+        else GeometryFns.stSymDifference(a, b)
+      })
     // geospatial registry remainder (GeometryExtras): each function is
     // registered under the engine's snake_case dialect spelling AND the
     // reference's lowercased spelling where they differ, so verbatim
@@ -1951,11 +2115,8 @@ object GraftFunctions {
       spark.udf.register(n, (w: String, i: Int) => GeometryExtras.stGeometryN(w, i)))
     spark.udf.register("st_geometries",
       (w: String) => GeometryExtras.stGeometries(w))
-    reg2(Seq("st_multi_point", "st_multipoint"))(n =>
-      spark.udf.register(n, (ps: Array[String]) => GeometryExtras.stMultiPoint(ps)))
-    reg2(Seq("st_line_string", "st_linestring"))(n =>
-      spark.udf.register(n,
-        (ps: Array[String]) => GeometryExtras.stLineStringFromPoints(ps)))
+    // st_multipoint / st_linestring are BUILDERS (GeoPointsCtor — they
+    // accept struct-point or WKT-text elements); no UDF here
     reg2(Seq("st_convex_hull", "st_convexhull"))(n =>
       spark.udf.register(n, (w: String) => GeometryExtras.stConvexHull(w)))
     reg2(Seq("st_boundary"))(n =>
@@ -2118,6 +2279,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectResolutionRule(_ => org.apache.spark.sql.graft.ResolveReduceAgg)
+    ext.injectResolutionRule(_ => org.apache.spark.sql.graft.GeoUdfArgsRule)
     ext.injectResolutionRule(_ => graft.plans.ResolveDateSubToDays)
     ext.injectResolutionRule(_ => graft.plans.ResolveIntervalFields)
     ext.injectResolutionRule(_ => graft.plans.ResolveArrayConcatElement)

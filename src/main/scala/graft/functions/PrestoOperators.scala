@@ -586,6 +586,14 @@ object PrestoCallConventions {
     // regexp_replace(s, p, x -> …): the reference's lambda-replacement
     // form (JoniRegexpReplaceLambdaFunction) — Spark has no higher-order
     // regexp builtin. The plain 3-arg string form keeps Spark's builtin.
+    // apply(x, v -> …): the reference test framework's lambda-apply
+    // helper (FunctionAssertions APPLY_FUNCTION) — the geospatial test
+    // corpus uses it pervasively; replay-support, dialect-gated
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "apply" && u.arguments.size == 2 &&
+          u.arguments(1).isInstanceOf[LambdaFunction] =>
+      org.apache.spark.sql.graft.LambdaApply(
+        u.arguments(0), u.arguments(1).asInstanceOf[LambdaFunction])
     case u: UnresolvedFunction
         if simple(u) && name(u) == "regexp_replace" && u.arguments.size == 3 &&
           u.arguments(2).isInstanceOf[LambdaFunction] =>

@@ -355,7 +355,7 @@ object SpatialOps extends QueryGroup {
            |  round(st_area(poly), 4) AS ar,
            |  round(st_x(st_centroid(poly)), 4) AS cx,
            |  round(st_y(st_centroid(poly)), 4) AS cy,
-           |  st_envelope(poly) = poly AS env_roundtrip,
+           |  st_equals(st_envelope(poly), poly) AS env_roundtrip,
            |  CAST(st_num_points(poly) AS INT) AS np
            |FROM w ORDER BY c_custkey""".stripMargin)
     },

@@ -102,3 +102,42 @@ case class RegexpReplaceLambda(
       newChildren: IndexedSeq[Expression]): RegexpReplaceLambda =
     copy(source = newChildren(0), pattern = newChildren(1), function = newChildren(2))
 }
+
+/** `apply(x, v -> …)` — the reference test framework's lambda-apply
+  * helper (ApplyFunction, registered by FunctionAssertions for its
+  * operator tests and used throughout the geospatial corpus:
+  * `apply(bing_tile_polygon(..), g -> ST_Point(ST_XMax(g), ..))`).
+  * Dialect-gated like the rest of the replay surface; the lambda's
+  * argument type binds to the resolved input type.
+  */
+case class LambdaApply(arg: Expression, function: Expression)
+    extends HigherOrderFunction with CodegenFallback {
+
+  override def prettyName: String = "apply"
+  override def dataType: DataType = function.dataType
+  override def nullable: Boolean = true
+
+  override def arguments: Seq[Expression] = Seq(arg)
+  override def argumentTypes: Seq[AbstractDataType] = Seq(AnyDataType)
+  override def functions: Seq[Expression] = Seq(function)
+  override def functionTypes: Seq[AbstractDataType] = Seq(AnyDataType)
+
+  override def bindInternal(
+      f: (Expression, Seq[(DataType, Boolean)]) => LambdaFunction): HigherOrderFunction =
+    copy(function = f(function, Seq((arg.dataType, arg.nullable))))
+
+  @transient private lazy val LambdaFunction(_, Seq(argVar: NamedLambdaVariable), _) =
+    function
+
+  @transient private lazy val functionForEval: Expression = functionsForEval.head
+
+  override def eval(input: InternalRow): Any = {
+    argVar.value.set(arg.eval(input))
+    functionForEval.eval(input)
+  }
+
+  override def children: Seq[Expression] = Seq(arg, function)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LambdaApply =
+    copy(arg = newChildren(0), function = newChildren(1))
+}

@@ -681,8 +681,20 @@ class FnSpec extends AnyFunSuite {
       "SELECT word_stem('Running'), word_stem('presumably', 'en')").collect()(0)
     assert(r.getString(0) == "run")
     assert(r.getString(1) == "presum")
+    // the non-English Snowball transcriptions (wave 9) — the reference's
+    // own vectors (TestWordStemFunction.java:38-42, as checked out)
+    val langs = spark.sql(
+      "SELECT word_stem('continuerait', 'fr'), word_stem('torpedearon', 'es'), " +
+        "word_stem('quilomtricos', 'pt'), word_stem('pronunziare', 'it'), " +
+        "word_stem('auferstnde', 'de')").collect()(0)
+    assert(langs.getString(0) == "continu")
+    assert(langs.getString(1) == "torped")
+    assert(langs.getString(2) == "quilomtr")
+    assert(langs.getString(3) == "pronunz")
+    assert(langs.getString(4) == "auferstnd")
+    // unknown codes stay loud (WordStemFunction.java:95)
     intercept[Exception] {
-      spark.sql("SELECT word_stem('maison', 'fr')").collect()
+      spark.sql("SELECT word_stem('test', 'xx')").collect()
     }
   }
 
@@ -710,7 +722,10 @@ class FnSpec extends AnyFunSuite {
          |  st_num_points('$donut'),
          |  st_as_text(st_point(3.5D, 4.0D))""".stripMargin).collect()(0)
     assert(!r.getBoolean(0) && r.getBoolean(1))
-    assert(r.getString(2) == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    // reference envelope vertex order: (xmin ymin, xmin ymax, xmax ymax,
+    // xmax ymin) — TestGeoFunctions.testSTEnvelope:707 (wave 9 aligned
+    // the engine's previous reversed ring)
+    assert(r.getString(2) == "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))")
     assert(r.getLong(3) == 8L)
     assert(r.getString(4) == "POINT (3.5 4)")
     intercept[Exception] {

@@ -72,7 +72,9 @@ class GeometryExtrasSpec extends AnyFunSuite {
   }
 
   test("constructors: multipoint, linestring-from-points, convex hull") {
-    assert(stMultiPoint(Array("POINT (1 2)", "POINT (3 4)")) == "MULTIPOINT (1 2, 3 4)")
+    // reference canonical form parenthesizes each member (wave 9;
+    // TestGeoFunctions testSTGeometries: `MULTIPOINT ((0 0), (1 1))`)
+    assert(stMultiPoint(Array("POINT (1 2)", "POINT (3 4)")) == "MULTIPOINT ((1 2), (3 4))")
     assert(stLineStringFromPoints(Array("POINT (0 0)", "POINT (1 1)")) ==
       "LINESTRING (0 0, 1 1)")
     // hull of a plus-sign point cloud is the bounding diamond corners
@@ -192,14 +194,18 @@ class GeometryExtrasSpec extends AnyFunSuite {
   }
 
   test("boundary: rings, endpoints, mod-2 rule, empties") {
-    assert(stBoundary(sq) == "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)")
+    // wave-9 reference conventions (TestGeoFunctions.testSTBoundary):
+    // shells render CLOCKWISE keeping the first vertex, endpoints sort
+    // by (x, y), 0-dim → GEOMETRYCOLLECTION EMPTY, closed lines →
+    // MULTIPOINT EMPTY, members parenthesized
+    assert(stBoundary(sq) == "LINESTRING (0 0, 0 4, 4 4, 4 0, 0 0)")
     assert(stBoundary(donut).startsWith("MULTILINESTRING"))
-    assert(stBoundary(line) == "MULTIPOINT (0 0, 3 4)")
-    assert(stBoundary("LINESTRING (0 0, 1 0, 1 1, 0 0)") == "POLYGON EMPTY")
-    assert(stBoundary("POINT (1 1)") == "POLYGON EMPTY")
+    assert(stBoundary(line) == "MULTIPOINT ((0 0), (3 4))")
+    assert(stBoundary("LINESTRING (0 0, 1 0, 1 1, 0 0)") == "MULTIPOINT EMPTY")
+    assert(stBoundary("POINT (1 1)") == "GEOMETRYCOLLECTION EMPTY")
     // two open lines sharing one endpoint: the shared point cancels (mod 2)
     val shared = stBoundary("MULTILINESTRING ((0 0, 1 1), (1 1, 2 0))")
-    assert(shared == "MULTIPOINT (0 0, 2 0)" || shared == "MULTIPOINT (2 0, 0 0)", shared)
+    assert(shared == "MULTIPOINT ((0 0), (2 0))", shared)
   }
 
   test("SQL surface: registration incl. reference spellings and st_distance dispatch") {
@@ -242,6 +248,51 @@ class GeometryExtrasSpec extends AnyFunSuite {
     // a point maps to exactly its own tile
     val pt = GeometryFns.geometryToBingTiles("POINT (10 20)", 12)
     assert(pt.length == 1 && pt.head == GeometryFns.bingTileAt(20, 10, 12))
+  }
+
+  test("wave 9: full WKT surface — reference test vectors verbatim") {
+    import graft.functions.{GeometryExtras => GE, GeometryFns => GF}
+    // parse/render all seven types + EMPTY forms (TestGeoFunctions)
+    assert(GE.canonicalWkt("MULTIPOINT (1 2, 3 4)") == "MULTIPOINT ((1 2), (3 4))")
+    assert(GE.canonicalWkt("GEOMETRYCOLLECTION(MULTIPOINT(0 0, 1 1))") ==
+      "GEOMETRYCOLLECTION (MULTIPOINT ((0 0), (1 1)))")
+    assert(GE.canonicalWkt("POINT EMPTY") == "POINT EMPTY")
+    // accessors over multis/collections/empties (reference expectations)
+    assert(GF.numPoints(
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (8 4, 5 7), POLYGON EMPTY)") == 3L)
+    assert(GF.numPoints(
+      "MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((2 4, 2 6, 6 6, 6 4, 2 4)))") == 8L)
+    assert(GE.stGeometryN("MULTIPOINT EMPTY", 1) == null)
+    assert(GE.stGeometries("GEOMETRYCOLLECTION (POINT (2 3), LINESTRING (2 3, 3 4))")
+      .toSeq == Seq("POINT (2 3)", "LINESTRING (2 3, 3 4)"))
+    assert(GE.stEnvelope("MULTIPOINT (1 2, 2 4, 3 6, 4 8)") ==
+      "POLYGON ((1 2, 1 8, 4 8, 4 2, 1 2))")
+    assert(GE.envelopeCoord("POLYGON EMPTY", "xmax") == null)
+    assert(GE.stLength("MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))") == 6.0)
+    // point-set and line-arrangement set operations (testSTIntersection/
+    // Difference/SymDifference — exact reference values)
+    assert(GE.pointDifference(GE.parseGeo("MULTIPOINT (50 100, 50 200)"),
+      GE.parseGeo("POINT (50 100)")) == "POINT (50 200)")
+    assert(GE.lineIntersection(GE.parseGeo("MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))"),
+      GE.parseGeo("MULTILINESTRING ((3 4, 6 4), (5 0, 5 4))")) ==
+      "GEOMETRYCOLLECTION (POINT (5 1), LINESTRING (3 4, 4 4))")
+    assert(GE.lineDifference(GE.parseGeo("MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))"),
+      GE.parseGeo("MULTILINESTRING ((2 1, 4 1), (3 3, 7 3))")) ==
+      "MULTILINESTRING ((1 1, 2 1), (4 1, 5 1), (2 4, 4 4))")
+    assert(GE.lineSymDifference(GE.parseGeo("LINESTRING (50 100, 50 200)"),
+      GE.parseGeo("LINESTRING (50 50, 50 150)")) ==
+      "MULTILINESTRING ((50 50, 50 100), (50 150, 50 200))")
+    assert(GE.polyLineIntersection(
+      Seq(GF.parsePolygon("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))")),
+      GE.parseGeo("LINESTRING (0 0, 1 -1, 1 2)")) ==
+      "GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (1 0, 1 1))")
+    // distance over multis; NULL against empties
+    assert(math.abs(GE.distanceWkt("MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))",
+      "LINESTRING (10 20, 20 50)") - 17.08800749063506) < 1e-12)
+    assert(GE.distanceWkt("POINT EMPTY", "POINT (150 150)") == null)
+    // buffer edges: EMPTY → NULL, +Infinity → POLYGON EMPTY
+    assert(GF.stBuffer("POINT EMPTY", 1.0) == null)
+    assert(GF.stBuffer("POINT (0 0)", Double.PositiveInfinity) == "POLYGON EMPTY")
   }
 
   test("to_spherical_geography validates lon/lat; to_geometry round-trips") {

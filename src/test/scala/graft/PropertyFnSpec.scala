@@ -53,6 +53,36 @@ class PropertyFnSpec extends AnyFunSuite {
     }
   }
 
+  test("date_parse duplicate specifiers: Joda last-field-wins (wave 9)") {
+    // TestDateTimeFunctionsBase:837 — date_parse('2013 14', '%Y %y') →
+    // 2014-01-01 (the earlier %Y consumes its digits but binds nothing)
+    val r = spark.sql(
+      "SELECT CAST(date_parse('2013 14', '%Y %y') AS STRING)").collect()(0)
+    assert(r.getString(0) == "2014-01-01 00:00:00")
+  }
+
+  test("date_format renders day/meridiem names in the session locale") {
+    // the reference's Korean-locale session vectors
+    // (TestDateTimeFunctionsBase:886-898): %a/%W/%p/%r follow
+    // Session.getLocale — SET spark.graft.locale routes through a
+    // locale-carrying runtime formatter
+    spark.conf.set("spark.graft.locale", "ko")
+    try {
+      val r = spark.sql(
+        "SELECT date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%a'), " +
+          "date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%W'), " +
+          "date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%p'), " +
+          "date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%r')").collect()(0)
+      assert(r.getString(0) == "화", r.getString(0))
+      assert(r.getString(1) == "화요일")
+      assert(r.getString(2) == "오후")
+      assert(r.getString(3) == "01:04:05 오후")
+    } finally spark.conf.unset("spark.graft.locale")
+    // default locale unchanged
+    assert(spark.sql("SELECT date_format(TIMESTAMP '2001-01-09 13:04:05', '%a')")
+      .collect()(0).getString(0) == "Tue")
+  }
+
   test("property: decimal add/multiply agree with BigDecimal") {
     import spark.implicits._
     // DECIMAL(18,6) operands; magnitudes bounded so DECIMAL(38,12)
