@@ -180,6 +180,24 @@ object GeometryFns {
   private final case class Geom(paths: Seq[Array[GPoint]], polys: Seq[Polygon])
 
   private def parseGeom(wkt: String): Geom = {
+    // direct fast paths for the hot types — st_intersects runs per
+    // candidate PAIR inside the spatial joins, so the single-polygon /
+    // line / point parse must not pay the generic AST conversion
+    // (bench: spatial_polygon_join regressed ~65% through the generic
+    // path before this split)
+    val t = wkt.trim
+    val up = t.length >= 5 && {
+      val c = t.charAt(0); c == 'P' || c == 'L' || c == 'M' || c == 'G'
+    }
+    if (up && !t.endsWith("EMPTY") && !t.endsWith("empty")) {
+      if (t.startsWith("POLYGON")) {
+        val p = parsePolygon(t); return Geom(p.rings, Seq(p))
+      }
+      if (t.startsWith("LINESTRING")) return Geom(Seq(parseLineString(t)), Seq.empty)
+      if (t.startsWith("POINT")) {
+        val p = parsePoint(t); return Geom(Seq(Array(p)), Seq.empty)
+      }
+    }
     def conv(g: GeometryExtras.Geo): Geom = g match {
       case GeometryExtras.PGeo(p)     => Geom(Seq(Array(p)), Seq.empty)
       case GeometryExtras.MPGeo(ps)   => Geom(ps.map(p => Array(p)), Seq.empty)

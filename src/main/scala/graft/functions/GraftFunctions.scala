@@ -2036,39 +2036,58 @@ object GraftFunctions {
     }
     def bothLiney(a: GeometryExtras.Geo, b: GeometryExtras.Geo): Boolean =
       GeometryExtras.isLiney(a) && GeometryExtras.isLiney(b)
+    // the set-op dispatch must not PARSE both operands per call — these
+    // UDFs run per candidate PAIR inside the spatial joins, so
+    // areal-areal pairs (the hot case) are recognized TEXTUALLY and go
+    // straight to the overlay (bench: spatial_polygon_join pays ~2
+    // parses × 2 call sites per pair otherwise)
+    def arealText(w: String): Boolean =
+      w.startsWith("POLYGON") || w.startsWith("MULTIPOLYGON") ||
+        w.startsWith("polygon") || w.startsWith("multipolygon")
     spark.udf.register("st_intersection",
       (a: String, b: String) => {
-        val (ga, gb) = (GeometryExtras.parseGeo(a), GeometryExtras.parseGeo(b))
-        if (GeometryExtras.isPointy(ga) && GeometryExtras.isPointy(gb))
-          GeometryExtras.pointIntersection(ga, gb)
-        else if (bothLiney(ga, gb)) GeometryExtras.lineIntersection(ga, gb)
-        // areal ∩ line clips the line (testSTIntersection:806/807)
-        else if (GeometryExtras.arealParts(ga).nonEmpty && GeometryExtras.isLiney(gb))
-          GeometryExtras.polyLineIntersection(GeometryExtras.arealParts(ga), gb)
-        else if (GeometryExtras.arealParts(gb).nonEmpty && GeometryExtras.isLiney(ga))
-          GeometryExtras.polyLineIntersection(GeometryExtras.arealParts(gb), ga)
-        else GeometryFns.stIntersection(a, b)
+        if (arealText(a) && arealText(b)) GeometryFns.stIntersection(a, b)
+        else {
+          val (ga, gb) = (GeometryExtras.parseGeo(a), GeometryExtras.parseGeo(b))
+          if (GeometryExtras.isPointy(ga) && GeometryExtras.isPointy(gb))
+            GeometryExtras.pointIntersection(ga, gb)
+          else if (bothLiney(ga, gb)) GeometryExtras.lineIntersection(ga, gb)
+          // areal ∩ line clips the line (testSTIntersection:806/807)
+          else if (GeometryExtras.arealParts(ga).nonEmpty && GeometryExtras.isLiney(gb))
+            GeometryExtras.polyLineIntersection(GeometryExtras.arealParts(ga), gb)
+          else if (GeometryExtras.arealParts(gb).nonEmpty && GeometryExtras.isLiney(ga))
+            GeometryExtras.polyLineIntersection(GeometryExtras.arealParts(gb), ga)
+          else GeometryFns.stIntersection(a, b)
+        }
       })
     spark.udf.register("st_union",
-      (a: String, b: String) => pointyPair(a, b) match {
-        case Some((ga, gb)) => GeometryExtras.pointUnion(ga, gb)
-        case None => GeometryFns.stUnion(a, b)
-      })
+      (a: String, b: String) =>
+        if (arealText(a) && arealText(b)) GeometryFns.stUnion(a, b)
+        else pointyPair(a, b) match {
+          case Some((ga, gb)) => GeometryExtras.pointUnion(ga, gb)
+          case None => GeometryFns.stUnion(a, b)
+        })
     spark.udf.register("st_difference",
       (a: String, b: String) => {
-        val (ga, gb) = (GeometryExtras.parseGeo(a), GeometryExtras.parseGeo(b))
-        if (GeometryExtras.isPointy(ga) && GeometryExtras.isPointy(gb))
-          GeometryExtras.pointDifference(ga, gb)
-        else if (bothLiney(ga, gb)) GeometryExtras.lineDifference(ga, gb)
-        else GeometryFns.stDifference(a, b)
+        if (arealText(a) && arealText(b)) GeometryFns.stDifference(a, b)
+        else {
+          val (ga, gb) = (GeometryExtras.parseGeo(a), GeometryExtras.parseGeo(b))
+          if (GeometryExtras.isPointy(ga) && GeometryExtras.isPointy(gb))
+            GeometryExtras.pointDifference(ga, gb)
+          else if (bothLiney(ga, gb)) GeometryExtras.lineDifference(ga, gb)
+          else GeometryFns.stDifference(a, b)
+        }
       })
     spark.udf.register("st_symdifference",
       (a: String, b: String) => {
-        val (ga, gb) = (GeometryExtras.parseGeo(a), GeometryExtras.parseGeo(b))
-        if (GeometryExtras.isPointy(ga) && GeometryExtras.isPointy(gb))
-          GeometryExtras.pointSymDifference(ga, gb)
-        else if (bothLiney(ga, gb)) GeometryExtras.lineSymDifference(ga, gb)
-        else GeometryFns.stSymDifference(a, b)
+        if (arealText(a) && arealText(b)) GeometryFns.stSymDifference(a, b)
+        else {
+          val (ga, gb) = (GeometryExtras.parseGeo(a), GeometryExtras.parseGeo(b))
+          if (GeometryExtras.isPointy(ga) && GeometryExtras.isPointy(gb))
+            GeometryExtras.pointSymDifference(ga, gb)
+          else if (bothLiney(ga, gb)) GeometryExtras.lineSymDifference(ga, gb)
+          else GeometryFns.stSymDifference(a, b)
+        }
       })
     // geospatial registry remainder (GeometryExtras): each function is
     // registered under the engine's snake_case dialect spelling AND the
