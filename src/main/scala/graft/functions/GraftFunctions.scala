@@ -282,6 +282,32 @@ object GraftFnUtils {
     })
   }
 
+  /** Lenient zoned-text normalizer for CAST(varchar AS TIMESTAMP WITH
+    * TIME ZONE): the reference's Joda parser accepts date-only or
+    * seconds-less wall text before the zone token ('2001-1-22 03:04
+    * +07:09', '2001-1-22 Europe/Berlin' — KAT wave 9), where Spark's
+    * string→timestamp cast requires seconds once a zone is attached.
+    * Pads the wall part to a shape Spark accepts; zone-less text passes
+    * through untouched (Spark is already lenient there).
+    */
+  def normalizeZonedTextU(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    ztzTrailingZone.findFirstMatchIn(str) match {
+      case None => s
+      case Some(m) =>
+        val wall = str.substring(0, m.start).trim
+        val zone = str.substring(m.start).trim
+        val padded =
+          if (raw"^\d{1,4}-\d{1,2}-\d{1,2}$$".r.findFirstIn(wall).isDefined)
+            wall + " 00:00:00"
+          else if (raw"[ T]\d{1,2}:\d{1,2}$$".r.findFirstIn(wall).isDefined)
+            wall + ":00"
+          else wall
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$padded $zone")
+    }
+  }
+
   /** The text with a trailing zone token removed — the time-of-day part
     * of a zone-suffixed TIME string (reference parseTimeWithTimeZone).
     */

@@ -737,26 +737,31 @@ object GraftSqlParser {
     * when the text carries a zone, TestDateTimeFunctionsBase literals).
     * Applied only when ZonedTimestamps is enabled.
     */
+  // named zones need whitespace before them; a numeric offset may be
+  // juxtaposed directly (the reference's Joda text parser accepts
+  // TIME '3:4+07:09' and TIMESTAMP '2001-1-2+07:09' — KAT wave 9)
   private val ZonedTsLit =
-    raw"(?is)\bTIMESTAMP\s*'([^']+?)\s+((?:[A-Za-z][A-Za-z0-9_\-]*/[A-Za-z][A-Za-z0-9_\-+/]*)|UTC|GMT|UT|[+-]\d{1,2}:\d{2})'".r
+    raw"(?is)\bTIMESTAMP\s*'([^']+?)(?:\s+((?:[A-Za-z][A-Za-z0-9_\-]*/[A-Za-z][A-Za-z0-9_\-+/]*)|UTC|GMT|UT)|\s*([+-]\d{1,2}:\d{2}))'".r
 
   /** Zoned TIME literal: `TIME '<wall> <zone>'` (the \bTIME\s*' shape
     * cannot match inside TIMESTAMP literals — 'STAMP' intervenes).
     */
   private val ZonedTimeLit =
-    raw"(?is)\bTIME\s*'([^']+?)\s+((?:[A-Za-z][A-Za-z0-9_\-]*/[A-Za-z][A-Za-z0-9_\-+/]*)|UTC|GMT|UT|[+-]\d{1,2}:\d{2})'".r
+    raw"(?is)\bTIME\s*'([^']+?)(?:\s+((?:[A-Za-z][A-Za-z0-9_\-]*/[A-Za-z][A-Za-z0-9_\-+/]*)|UTC|GMT|UT)|\s*([+-]\d{1,2}:\d{2}))'".r
 
   private def rewriteZonedTsLiterals(sql: String): String = {
+    def zoneOf(m: scala.util.matching.Regex.Match): String =
+      if (m.group(2) != null) m.group(2) else m.group(3)
     val ts = ZonedTsLit.replaceAllIn(sql, m =>
       if (insideQuoteOrComment(sql, m.start))
         java.util.regex.Matcher.quoteReplacement(m.group(0))
       else java.util.regex.Matcher.quoteReplacement(
-        s"with_timezone(TIMESTAMP '${m.group(1)}', '${m.group(2)}')"))
+        s"with_timezone(TIMESTAMP '${m.group(1)}', '${zoneOf(m)}')"))
     ZonedTimeLit.replaceAllIn(ts, m =>
       if (insideQuoteOrComment(ts, m.start))
         java.util.regex.Matcher.quoteReplacement(m.group(0))
       else java.util.regex.Matcher.quoteReplacement(
-        s"zoned_ttz(TIME '${m.group(1)}', '${m.group(2)}')"))
+        s"zoned_ttz(TIME '${m.group(1)}', '${zoneOf(m)}')"))
   }
 
   /** Presto's bare temporal keywords (grammar specialExpression):

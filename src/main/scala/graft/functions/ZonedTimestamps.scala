@@ -525,8 +525,14 @@ case class ZonedCastToZoned(child: Expression, timeZoneId: Option[String] = None
     if (isZoned(child.dataType)) child
     else child.dataType match {
       case _: StringType =>
+        // normalizeZonedTextU pads seconds-less / date-only wall text in
+        // front of a zone token to the shape Spark's cast accepts (the
+        // reference's Joda parser is lenient there — KAT wave 9)
         If(IsNull(child), nullZ,
-          mk(Cast(child, TimestampType, timeZoneId),
+          mk(Cast(StaticInvoke(GraftFnUtils.getClass, StringType,
+              "normalizeZonedTextU", Seq(child),
+              inputTypes = Seq(StringType), propagateNull = true),
+            TimestampType, timeZoneId),
             StaticInvoke(GraftFnUtils.getClass, StringType, "zoneTokenOf",
               Seq(child), inputTypes = Seq(StringType), propagateNull = true)))
       // TIME WTZ → TIMESTAMP WTZ: epoch-date wall tod, zone kept

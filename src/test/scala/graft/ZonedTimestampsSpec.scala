@@ -406,6 +406,25 @@ class ZonedTimestampsSpec extends AnyFunSuite {
     }
   }
 
+  test("lenient literal/cast text: 1-digit fields, juxtaposed offsets, padded walls (wave 9)") {
+    withZoned {
+      // the reference's Joda text parser is maximally lenient
+      // (TestTimestampWithTimeZoneBase:273-318, TestTimeWithTimeZoneBase:67)
+      assert(one("SELECT cast(TIMESTAMP '2001-1-22 03:04 +07:09' as varchar)")
+        == "2001-01-22 03:04:00.000 +07:09")
+      assert(one("SELECT cast(TIMESTAMP '2001-1-22 +07:09' as varchar)")
+        == "2001-01-22 00:00:00.000 +07:09")
+      assert(one("SELECT cast(TIME '3:4+07:09' AS VARCHAR)")
+        == "03:04:00.000 +07:09")
+      assert(one(
+        "SELECT cast(cast('2001-1-22 03:04 +07:09' as timestamp with time zone) AS VARCHAR)")
+        == "2001-01-22 03:04:00.000 +07:09")
+      assert(one(
+        "SELECT cast(cast('2001-1-22 Europe/Berlin' as timestamp with time zone) AS VARCHAR)")
+        == "2001-01-22 00:00:00.000 Europe/Berlin")
+    }
+  }
+
   test("the zoned mode leaves ordinary queries untouched (casts, comparisons, intervals all stock)") {
     withZoned {
       assert(one("SELECT CAST(1.9 AS STRING)") == "1.9")
