@@ -586,6 +586,12 @@ object PrestoCallConventions {
     // regexp_replace(s, p, x -> …): the reference's lambda-replacement
     // form (JoniRegexpReplaceLambdaFunction) — Spark has no higher-order
     // regexp builtin. The plain 3-arg string form keeps Spark's builtin.
+    // null_function(): the reference test framework's UNKNOWN-typed NULL
+    // producer (CustomFunctions.java, used by TestUnknownOperators'
+    // cast probes) — replay-support, dialect-gated like apply below
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "null_function" && u.arguments.isEmpty =>
+      Literal.create(null, NullType)
     // apply(x, v -> …): the reference test framework's lambda-apply
     // helper (FunctionAssertions APPLY_FUNCTION) — the geospatial test
     // corpus uses it pervasively; replay-support, dialect-gated
