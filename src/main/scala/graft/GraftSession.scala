@@ -18,6 +18,10 @@ object GraftSession {
       .withExtensions(new functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // no Hive-style ${var} substitution in SQL text — the reference
+      // has no such notion, and it silently EMPTIES regexp_replace
+      // replacement references like '${name}' (KAT value gate)
+      .config("spark.sql.variable.substitute", "false")
       // Presto errors on overflow/div-by-zero/bad casts — ANSI mode is the
       // Spark equivalent (SURVEY.md §7.0; reference ArithmeticExceptions
       // in e.g. presto-main/.../type/BigintOperators.java)

@@ -96,6 +96,12 @@ object ExtraFns {
     */
   private def canonical(b: Array[Byte]): String =
     if (b.length == 4) InetAddress.getByAddress(b).getHostAddress
+    // a 16-byte v4-MAPPED address renders as its dotted quad (the
+    // reference's InetAddress.getByAddress returns an Inet4Address for
+    // ::ffff:a.b.c.d — KAT value gate, CAST(x'..ffff..' AS IPADDRESS))
+    else if ((0 until 10).forall(b(_) == 0) &&
+        b(10) == 0xFF.toByte && b(11) == 0xFF.toByte)
+      InetAddress.getByAddress(b.drop(12)).getHostAddress
     else {
       val groups = (0 until 8).map(i => ((b(2 * i) & 0xFF) << 8) | (b(2 * i + 1) & 0xFF))
       // longest run of zero groups, length ≥ 2, leftmost wins ties

@@ -495,11 +495,33 @@ object GraftFnUtils {
     try {
       val node = jsonMapper.readTree(s)
       if (node == null) throw new IllegalArgumentException(s"Cannot convert value to JSON: '$s'")
-      jsonMapper.writeValueAsString(node)
+      jsonMapper.writeValueAsString(sortJsonKeys(node))
     } catch {
       case _: com.fasterxml.jackson.core.JacksonException =>
         throw new IllegalArgumentException(s"Cannot convert value to JSON: '$s'")
     }
+  }
+
+  /** The reference's json_parse canonicalizes with SORTED object keys
+    * (JsonFunctions.java:72/147 — SORTED_MAPPER with
+    * ORDER_MAP_ENTRIES_BY_KEYS), which is what makes JSON '=' a plain
+    * byte comparison there ({"a":1,"b":2} = {"b":2,"a":1} — KAT value
+    * gate). Recursive: nested objects sort too; array order is data.
+    */
+  private def sortJsonKeys(n: com.fasterxml.jackson.databind.JsonNode)
+      : com.fasterxml.jackson.databind.JsonNode = n match {
+    case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+      val sorted = jsonMapper.createObjectNode()
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = o.fieldNames(); while (it.hasNext) names += it.next()
+      names.sorted.foreach(k =>
+        sorted.set[com.fasterxml.jackson.databind.JsonNode](k, sortJsonKeys(o.get(k))))
+      sorted
+    case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+      val out = jsonMapper.createArrayNode()
+      (0 until a.size()).foreach(i => out.add(sortJsonKeys(a.get(i))))
+      out
+    case other => other
   }
 
   /** json_format (JsonFunctions.java): the JSON text of a JSON value —
@@ -658,6 +680,117 @@ object GraftFnUtils {
     */
   def ieeeDivDouble(l: Double, r: Double): Double = l / r
 
+  /** 1-arg trim/ltrim/rtrim over ALL Unicode whitespace (the reference's
+    * StringFunctions trims Character.isWhitespace — its own vectors trim
+    * U+2028 — where Spark's builtins strip ASCII space only). mode:
+    * 0 = both, 1 = left, 2 = right.
+    */
+  def unicodeTrim(s: org.apache.spark.unsafe.types.UTF8String,
+      mode: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    var a = 0
+    var b = str.length
+    if (mode != 2) while (a < b && Character.isWhitespace(str.charAt(a))) a += 1
+    if (mode != 1) while (b > a && Character.isWhitespace(str.charAt(b - 1))) b -= 1
+    org.apache.spark.unsafe.types.UTF8String.fromString(str.substring(a, b))
+  }
+
+  /** replace(s, '', r): the reference interleaves the replacement
+    * between every CODE POINT (StringFunctions.replace with an empty
+    * search — 'abc','xx' → 'xxaxxbxxcxx'); Spark's builtin returns the
+    * input unchanged for an empty search.
+    */
+  def interleaveReplace(s: org.apache.spark.unsafe.types.UTF8String,
+      r: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    val rep = r.toString
+    val b = new java.lang.StringBuilder(rep)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      b.appendCodePoint(cp).append(rep)
+      i += Character.charCount(cp)
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(b.toString)
+  }
+
+  /** Bare interval renderings for CAST(interval AS VARCHAR) — the
+    * reference prints SqlIntervalDayTime/SqlIntervalYearMonth toString
+    * ('12 10:45:32.123' / '126-6'), not a typed INTERVAL literal.
+    */
+  def renderDayTimeInterval(micros: Long): org.apache.spark.unsafe.types.UTF8String = {
+    val sign = if (micros < 0) "-" else ""
+    val a = math.abs(micros)
+    val ms = a / 1000 % 1000
+    val s = a / 1000000 % 60
+    val m = a / 60000000L % 60
+    val h = a / 3600000000L % 24
+    val d = a / 86400000000L
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      f"$sign$d $h%02d:$m%02d:$s%02d.$ms%03d")
+  }
+
+  def renderYearMonthInterval(months: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val sign = if (months < 0) "-" else ""
+    val a = math.abs(months)
+    org.apache.spark.unsafe.types.UTF8String.fromString(s"$sign${a / 12}-${a % 12}")
+  }
+
+  private val regexReplCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  /** regexp_replace with full Java replacement-reference syntax — the
+    * reference supports named-group references (`${name}`), which
+    * Spark's RegExpReplace drops (KAT value gate). An unmatched group
+    * reference substitutes the empty string, like the reference.
+    */
+  def prestoRegexpReplace(s: org.apache.spark.unsafe.types.UTF8String,
+      p: org.apache.spark.unsafe.types.UTF8String,
+      r: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val pat = regexReplCache.computeIfAbsent(p.toString, java.util.regex.Pattern.compile(_))
+    val m = pat.matcher(s.toString)
+    val out = new java.lang.StringBuilder
+    val repl = r.toString
+    while (m.find()) {
+      try m.appendReplacement(out, repl)
+      catch {
+        // Java throws on a reference to a NON-PARTICIPATING group in
+        // alternations; the reference substitutes '' — expand manually
+        case _: Exception =>
+          m.appendReplacement(out, "")
+          out.append(expandRefs(m, repl))
+      }
+    }
+    m.appendTail(out)
+    org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
+  }
+
+  private def expandRefs(m: java.util.regex.Matcher, repl: String): String = {
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i < repl.length) {
+      val c = repl.charAt(i)
+      if (c == '\\' && i + 1 < repl.length) { out.append(repl.charAt(i + 1)); i += 2 }
+      else if (c == '$' && i + 1 < repl.length) {
+        if (repl.charAt(i + 1) == '{') {
+          val end = repl.indexOf('}', i + 2)
+          val name = repl.substring(i + 2, end)
+          val g = try m.group(name) catch { case _: Exception => null }
+          out.append(if (g == null) "" else g)
+          i = end + 1
+        } else {
+          var j = i + 1
+          while (j < repl.length && repl.charAt(j).isDigit) j += 1
+          val g = try m.group(repl.substring(i + 1, j).toInt)
+            catch { case _: Exception => null }
+          out.append(if (g == null) "" else g)
+          i = j
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Raw IEEE-754 remainder — floating `%` never errors in the reference
     * (DoubleOperators.java:122-130 is plain Java `left % right`; `x % 0.0`
     * is NaN), where Spark's ANSI Remainder raises REMAINDER_BY_ZERO.
@@ -707,13 +840,19 @@ object GraftFnUtils {
     * map<varchar,double>): sparse-vector cosine; NULL when either norm
     * is zero (matches the reference's NaN-avoidance contract).
     */
-  def cosineSimilarityMaps(a: Map[String, Double], b: Map[String, Double]): java.lang.Double = {
+  def cosineSimilarityMaps(a: Map[String, java.lang.Double],
+      b: Map[String, java.lang.Double]): java.lang.Double = {
     if (a == null || b == null) return null
+    // a NULL map value nulls the result (RETURN_NULL_ON_NULL over the
+    // map's entries — KAT value gate, TestMathFunctions)
+    if (a.valuesIterator.exists(_ == null) || b.valuesIterator.exists(_ == null))
+      return null
     val (small, large) = if (a.size <= b.size) (a, b) else (b, a)
     var dot = 0.0
-    small.foreach { case (k, v) => large.get(k).foreach(w => dot += v * w) }
-    val na = math.sqrt(a.valuesIterator.map(x => x * x).sum)
-    val nb = math.sqrt(b.valuesIterator.map(x => x * x).sum)
+    small.foreach { case (k, v) =>
+      large.get(k).foreach(w => dot += v.doubleValue * w.doubleValue) }
+    val na = math.sqrt(a.valuesIterator.map(x => x.doubleValue * x.doubleValue).sum)
+    val nb = math.sqrt(b.valuesIterator.map(x => x.doubleValue * x.doubleValue).sum)
     if (na == 0.0 || nb == 0.0) null else Double.box(dot / (na * nb))
   }
 
@@ -806,6 +945,63 @@ object GraftFnUtils {
     } catch { case _: com.fasterxml.jackson.core.JacksonException => null }
   }
 
+  /** url_extract_parameter (UrlFunctions.java): FIRST occurrence of the
+    * key in the query string; a present key with no '=' yields '';
+    * absent key yields NULL. (Spark's ParseUrl needs '=' and returns
+    * the LAST match — KAT value gate.)
+    */
+  def urlExtractParameter(url: org.apache.spark.unsafe.types.UTF8String,
+      key: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val u = url.toString
+    val k = key.toString
+    val qStart = u.indexOf('?')
+    if (qStart < 0) return null
+    val hash = u.indexOf('#', qStart)
+    val query = u.substring(qStart + 1, if (hash < 0) u.length else hash)
+    query.split("&").iterator.map { part =>
+      val eq = part.indexOf('=')
+      if (eq < 0) (part, "") else (part.substring(0, eq), part.substring(eq + 1))
+    }.find(_._1 == k) match {
+      case Some((_, v)) => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      case None => null
+    }
+  }
+
+  /** json_array_contains with the probe's SQL TYPE deciding which JSON
+    * token class can match (JsonFunctions.java: a BOOLEAN probe matches
+    * only true/false tokens, numerics only number tokens, varchar only
+    * string tokens — '"8"' never equals 8; KAT value gate). kind:
+    * 0 = varchar, 1 = boolean, 2 = bigint, 3 = double.
+    */
+  def jsonArrayContainsTyped(jsonU: org.apache.spark.unsafe.types.UTF8String,
+      valueU: org.apache.spark.unsafe.types.UTF8String, kind: Int): java.lang.Boolean = {
+    val json = jsonU.toString
+    val value = valueU.toString
+    try {
+      val node = jsonMapper.readTree(json)
+      if (node == null || !node.isArray) return null
+      val it = node.elements()
+      while (it.hasNext) {
+        val e = it.next()
+        val hit = kind match {
+          case 0 => e.isTextual && e.asText() == value
+          case 1 => e.isBoolean && e.asBoolean() == (value == "true")
+          // canConvertToLong guards BigInteger tokens (asLong WRAPS:
+          // '[92233720368547758071]' must not equal -9 — KAT value gate)
+          case 2 => e.isIntegralNumber && e.canConvertToLong &&
+            e.asLong() == value.toLong
+          // a DOUBLE probe matches FLOAT tokens only (JsonFunctions
+          // jsonArrayContains(double): '[1]' does not contain 1.0)
+          case 3 => e.isFloatingPointNumber && e.asDouble() == value.toDouble
+          case _ => false
+        }
+        if (hit) return java.lang.Boolean.TRUE
+      }
+      java.lang.Boolean.FALSE
+    } catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+  }
+
   /** json_array_get: element at index (negative = from the end) as its
     * JSON text (JsonFunctions.java json_array_get).
     */
@@ -816,7 +1012,9 @@ object GraftFnUtils {
       else {
         val i = if (index < 0) node.size() + index else index
         val e = node.get(i.toInt)
-        if (e == null) null
+        // a JSON null ELEMENT is SQL NULL here (unlike the ARRAY<JSON>
+        // cast, which keeps the "null" subtree text — KAT value gate)
+        if (e == null || e.isNull) null
         else if (e.isTextual) e.asText()
         else e.toString
       }
@@ -1571,6 +1769,9 @@ object GraftFunctions {
     // lowering target for Presto's `CAST(x AS JSON)` (GraftSqlParser
     // rewrites the cast; JsonOperators.java semantics in CastToJson)
     "cast_to_json" -> { case Seq(e) => CastToJson(e) },
+    // the probe's SQL type picks the matching JSON token class
+    // (JsonFunctions.java — '"8"' never equals the number 8)
+    "json_array_contains" -> { case Seq(j, v) => JsonArrayContainsDispatch(j, v) },
     // CAST(e AS IPADDRESS/IPPREFIX) — source-type dispatch (IpOps.scala)
     "ip_cast" -> { case Seq(e) => IpCastExpr(e, toPrefix = false) },
     "ip_prefix_cast" -> { case Seq(e) => IpCastExpr(e, toPrefix = true) },
@@ -1590,8 +1791,14 @@ object GraftFunctions {
       val port = RegExpExtract(new ParseUrl(Seq(u, Literal("AUTHORITY"))),
         Literal(":([0-9]+)$"), Literal(1))
       Cast(If(EqualTo(port, Literal("")), Literal(null, StringType), port), LongType) },
+    // FIRST occurrence wins and a bare key (no '=') returns '' — the
+    // reference splits the query itself (UrlFunctions.urlExtractParameter;
+    // Spark's ParseUrl regex needs '=' and finds the last match)
     "url_extract_parameter" -> { case Seq(u, k) =>
-      new ParseUrl(Seq(u, Literal("QUERY"), k)) },
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, StringType, "urlExtractParameter",
+        Seq(u, k), inputTypes = Seq(StringType, StringType),
+        propagateNull = true, returnNullable = true) },
 
     // ── datetime family (DateTimeFunctions.java:68) ──
     // to_unixtime → DOUBLE epoch seconds
@@ -1820,7 +2027,10 @@ object GraftFunctions {
         inputTypes = Seq(DayTimeIntervalType()), propagateNull = true) },
     "infinity" -> { _ => Literal(Double.PositiveInfinity) },
     "nan" -> { _ => Literal(Double.NaN) },
-    "is_nan" -> { case Seq(x) => IsNaN(x) },
+    // RETURN_NULL_ON_NULL: the reference's is_nan(NULL) is NULL where
+    // Spark's IsNaN says false (KAT value gate, TestMathFunctions)
+    "is_nan" -> { case Seq(x) =>
+      If(IsNull(x), Literal.create(null, BooleanType), IsNaN(x)) },
     "is_finite" -> { case Seq(x) =>
       And(Not(IsNaN(x)), LessThan(Abs(x), Literal(Double.PositiveInfinity))) },
     "is_infinite" -> { case Seq(x) =>
@@ -1954,8 +2164,8 @@ object GraftFunctions {
     spark.udf.register("is_json_scalar", (s: String) => GraftFnUtils.isJsonScalar(s))
     spark.udf.register("json_size",
       (j: String, p: String) => GraftFnUtils.jsonSize(j, p))
-    spark.udf.register("json_array_contains",
-      (j: String, v: String) => GraftFnUtils.jsonArrayContains(j, v))
+    // json_array_contains is a BUILDER (type-dispatching probe); no UDF
+    // here or it would shadow it
     spark.udf.register("json_array_get",
       (j: String, i: Long) => GraftFnUtils.jsonArrayGet(j, i))
     // ngrams/combinations moved to the builders map (round 14): generic
@@ -1985,8 +2195,10 @@ object GraftFunctions {
     spark.udf.register("from_big_endian_64", (b: Array[Byte]) => GraftFnUtils.fromBigEndian64(b))
     spark.udf.register("to_big_endian_32", (v: Int) => GraftFnUtils.toBigEndian32(v))
     spark.udf.register("from_big_endian_32", (b: Array[Byte]) => GraftFnUtils.fromBigEndian32(b))
+    // boxed values so a NULL map entry survives into the function
+    // (a Double-typed UDF parameter would silently zero it)
     spark.udf.register("cosine_similarity",
-      (a: Map[String, Double], b: Map[String, Double]) =>
+      (a: Map[String, java.lang.Double], b: Map[String, java.lang.Double]) =>
         GraftFnUtils.cosineSimilarityMaps(a, b))
     // Teradata compatibility family (presto-teradata-functions —
     // TeradataFns scaladoc has the token contract). `index` (strpos's

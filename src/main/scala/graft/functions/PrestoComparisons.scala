@@ -534,6 +534,37 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
           inputTypes = Seq(DoubleType, DoubleType), propagateNull = true)
         if (r.left.dataType == FloatType) Cast(mod, FloatType) else mod
 
+      // (CHAR comparison stays a DOCUMENTED divergence: the fork's own
+      // char ordering is internally buggy — its tests pin
+      // `cast(' ' as char(1)) < cast(' ' as char(1))` = TRUE — so there
+      // is no coherent semantics to reproduce; the engine keeps padded
+      // string comparison per its §1.2 CHAR model.)
+
+      // LIKE has NO default escape character in the reference (backslash
+      // is a literal unless an ESCAPE clause names one — its own vectors
+      // pin '_monkey_' LIKE '\_monkey\_' = false), where Spark defaults
+      // to backslash. NUL can't appear in pattern text, so it acts as
+      // "no escape". Explicit ESCAPE clauses set a different char and
+      // never match this arm; the produced node can't refire.
+      case l: Like if l.escapeChar == '\\' =>
+        Like(l.left, l.right, '\u0000')
+
+      // CAST(interval AS VARCHAR) renders the BARE value in the
+      // reference ('12 10:45:32.123' / '126-6' — SqlIntervalDayTime/
+      // SqlIntervalYearMonth toString), not Spark's INTERVAL '…' form
+      case c: Cast
+          if c.dataType.isInstanceOf[StringType] && c.child.resolved &&
+            c.child.dataType.isInstanceOf[DayTimeIntervalType] =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, StringType, "renderDayTimeInterval",
+          Seq(c.child), inputTypes = Seq(c.child.dataType), propagateNull = true)
+      case c: Cast
+          if c.dataType.isInstanceOf[StringType] && c.child.resolved &&
+            c.child.dataType.isInstanceOf[YearMonthIntervalType] =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, StringType, "renderYearMonthInterval",
+          Seq(c.child), inputTypes = Seq(c.child.dataType), propagateNull = true)
+
       // IPADDRESS/IPPREFIX ordering comparisons use the reference's
       // fixed-width binary key — 16 bytes per address, network+length
       // for prefixes (IpAddressOperators/IpPrefixOperators compare the

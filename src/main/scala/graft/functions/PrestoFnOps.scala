@@ -534,7 +534,7 @@ object PrestoFnOps extends QueryGroup {
               |  CAST(json_size(doc, '$.a') AS INT) AS size_a,
               |  CAST(json_size(doc, '$.arr') AS INT) AS size_arr,
               |  CAST(json_size(doc, '$.a.x') AS INT) AS size_scalar,
-              |  json_array_contains(get_json_object(doc, '$.arr'), '7') AS has7,
+              |  json_array_contains(get_json_object(doc, '$.arr'), 7) AS has7,
               |  json_array_get(get_json_object(doc, '$.arr'), 0) AS first_elem,
               |  json_array_get(get_json_object(doc, '$.arr'), -1) AS last_elem
               |FROM j ORDER BY n_nationkey""".stripMargin)
@@ -749,7 +749,9 @@ object PrestoFnOps extends QueryGroup {
         |    '[1, 2, ' || CAST(n_nationkey AS VARCHAR) || ']' AS arrtxt
         |  FROM nation)
         |SELECT k,
-        |  '{"a":' || CAST(k AS VARCHAR) || ',"xs":[1,2,3],"s":"hi","b":"[tag]","c":"{y}"}' AS canon,
+        |  -- json_parse canonicalizes with SORTED object keys (the
+        |  -- reference's SORTED_MAPPER, JsonFunctions.java:72/147)
+        |  '{"a":' || CAST(k AS VARCHAR) || ',"b":"[tag]","c":"{y}","s":"hi","xs":[1,2,3]}' AS canon,
         |  '1,2,' || CAST(k AS VARCHAR) AS arr_joined,
         |  CAST(k AS BIGINT) AS third,
         |  '"q\"x"' AS quoted,

@@ -536,6 +536,30 @@ object PrestoCallConventions {
       args.map(Cast(_, DoubleType)),
       inputTypes = args.map(_ => DoubleType), propagateNull = true)
 
+  /** Marks a Substring the dialect already guarded — the rewrite below
+    * would otherwise refire on its own output forever.
+    */
+  private val SubstrTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.presto.substr")
+
+  /** Reference substr semantics (StringFunctions.substr): start 0 or a
+    * negative start reaching past the front returns '' — Spark's
+    * Substring returns the whole string for both shapes.
+    */
+  private def prestoSubstr(args: Seq[Expression]): Expression = {
+    val str = args(0)
+    val start = Cast(args(1), LongType)
+    val inner =
+      if (args.size == 2)
+        Substring(str, Cast(args(1), IntegerType), Literal(Integer.MAX_VALUE))
+      else Substring(str, Cast(args(1), IntegerType), Cast(args(2), IntegerType))
+    inner.setTagValue(SubstrTag, ())
+    If(Or(EqualTo(start, Literal(0L)),
+        And(LessThan(start, Literal(0L)),
+          GreaterThan(UnaryMinus(start), Cast(Length(str), LongType)))),
+      Literal(""), inner)
+  }
+
   val exprRewrite: PartialFunction[Expression, Expression] = {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "log" && u.arguments.size == 2 =>
@@ -561,6 +585,46 @@ object PrestoCallConventions {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "rtrim" && u.arguments.size == 2 =>
       StringTrimRight(u.arguments(0), u.arguments(1))
+    // 1-arg trim family: the reference trims ALL Unicode whitespace
+    // (StringFunctions whitespace ≙ Character.isWhitespace — its own
+    // vectors trim U+2028), Spark's builtins only ASCII space
+    // (KAT value gate, TestStringFunctions)
+    case u: UnresolvedFunction
+        if simple(u) &&
+          Seq("trim", "ltrim", "rtrim").contains(name(u)) &&
+          u.arguments.size == 1 =>
+      val mode = name(u) match {
+        case "trim" => 0; case "ltrim" => 1; case _ => 2
+      }
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, StringType, "unicodeTrim",
+        Seq(u.arguments(0), Literal(mode)),
+        inputTypes = Seq(StringType, IntegerType), propagateNull = true)
+    // substr/substring: start 0 or past-the-negative-range is EMPTY in
+    // the reference (StringFunctions.substr — Spark returns the whole
+    // string for both; KAT value gate). The produced Substring carries a
+    // tag so the Substring-node arm below cannot refire on it.
+    case u: UnresolvedFunction
+        if simple(u) &&
+          Seq("substr", "substring").contains(name(u)) &&
+          (u.arguments.size == 2 || u.arguments.size == 3) =>
+      prestoSubstr(u.arguments)
+    // the SQL-standard SUBSTRING(x FROM y [FOR z]) form parses straight
+    // to a Substring node — same guard
+    case s: Substring if s.getTagValue(SubstrTag).isEmpty =>
+      prestoSubstr(Seq(s.str, s.pos, s.len))
+    // replace(s, '', r) interleaves the replacement between every
+    // character in the reference (StringFunctions.replace — Spark
+    // returns the input unchanged; KAT value gate). Non-empty search
+    // keeps the codegen'd builtin branch.
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "replace" && u.arguments.size == 3 =>
+      If(EqualTo(Length(u.arguments(1)), Literal(0)),
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, StringType, "interleaveReplace",
+          Seq(u.arguments(0), u.arguments(2)),
+          inputTypes = Seq(StringType, StringType), propagateNull = true),
+        StringReplace(u.arguments(0), u.arguments(1), u.arguments(2)))
     case u: UnresolvedFunction
         if simple(u) && name(u) == "element_at" && u.arguments.size == 2 =>
       ElementAt(u.arguments(0), u.arguments(1), None, failOnError = false)
@@ -583,6 +647,18 @@ object PrestoCallConventions {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "regexp_replace" && u.arguments.size == 2 =>
       RegExpReplace(u.arguments(0), u.arguments(1), Literal(""))
+    // regexp_replace(s, p, r) with a STRING replacement: the reference
+    // supports named-group references (${name}) that Spark's builtin
+    // drops — route through the Java-replacement runtime (KAT value
+    // gate; pattern compiled once per distinct text)
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "regexp_replace" && u.arguments.size == 3 &&
+          !u.arguments(2).isInstanceOf[LambdaFunction] =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, StringType, "prestoRegexpReplace",
+        u.arguments.map(Cast(_, StringType)),
+        inputTypes = Seq(StringType, StringType, StringType),
+        propagateNull = true)
     // regexp_replace(s, p, x -> …): the reference's lambda-replacement
     // form (JoniRegexpReplaceLambdaFunction) — Spark has no higher-order
     // regexp builtin. The plain 3-arg string form keeps Spark's builtin.

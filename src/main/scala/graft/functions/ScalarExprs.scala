@@ -27,8 +27,27 @@ case class StrPosInstance(first: Expression, second: Expression,
     val p = sub.asInstanceOf[UTF8String].toString
     val n0 = inst.asInstanceOf[Long]
     require(n0 > 0, "'instance' must be a positive number")
-    val n = if (fromEnd) -n0 else n0
     if (p.isEmpty) return 1L
+    if (fromEnd) {
+      // the fork's stringPositionFromEnd (StringFunctions.java:254-278)
+      // steps back through JAVA-CHAR indexes but feeds the found index
+      // into a BYTE-offset code-point count — its own tests pin the
+      // confusion (STRRPOS over CJK text returns 2 where the code-point
+      // position is 4), so the KAT value gate reproduces it bug-for-bug;
+      // single-byte inputs are unaffected (char index == byte offset).
+      var found = 0L
+      var index = str.asInstanceOf[UTF8String].numBytes
+      while (found < n0) {
+        index = s.lastIndexOf(p, index - 1)
+        if (index < 0) return 0L
+        found += 1
+      }
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val upto = math.min(index, bytes.length)
+      var i = 0; var cp = 0L
+      while (i < upto) { if ((bytes(i) & 0xC0) != 0x80) cp += 1; i += 1 }
+      return cp + 1
+    }
     // collect codepoint-based positions of all occurrences
     val positions = scala.collection.mutable.ArrayBuffer.empty[Long]
     var idx = s.indexOf(p)
@@ -36,7 +55,7 @@ case class StrPosInstance(first: Expression, second: Expression,
       positions += (s.codePointCount(0, idx) + 1).toLong
       idx = s.indexOf(p, idx + 1)
     }
-    val i = if (n > 0) n - 1 else positions.length + n
+    val i = n0 - 1
     if (i < 0 || i >= positions.length) 0L else positions(i.toInt)
   }
 
@@ -71,7 +90,15 @@ case class CastToJson(child: Expression)
       // TreeMap). StructsToJson would emit objects for rows and
       // map-order keys — a probed, real porting divergence.
       PrestoJsonRender(child)
-    case BooleanType | _: NumericType =>
+    case BooleanType =>
+      Cast(child, StringType)
+    case DoubleType | FloatType =>
+      // non-finite values QUOTE in the reference's JSON rendering
+      // ("NaN"/"Infinity" — Jackson writeNumber can't emit them bare;
+      // KAT value gate cast(nan() AS JSON)). PrestoJsonRender carries
+      // exactly that convention for scalars too.
+      PrestoJsonRender(child)
+    case _: NumericType =>
       Cast(child, StringType)
     case DateType | TimestampType | TimestampNTZType =>
       // TimestampJsonGeneratorWriter/DateGeneratorWriter (JsonUtil.java:
@@ -273,6 +300,12 @@ case class RoundDispatch(left: Expression, right: Expression)
     case ByteType | ShortType | IntegerType | LongType =>
       // num unchanged, but the scale's NULL still propagates
       If(IsNull(right), Literal.create(null, left.dataType), left)
+    // a NULL scale is RETURN_NULL_ON_NULL for decimals too (KAT value
+    // gate — Spark's Round would stay forever-unresolved on it);
+    // structural check: the scale may sit under casts or the dialect's
+    // own integral-cast wrapper, where eval() would throw
+    case _ if RoundDispatch.isNullLiteral(right) =>
+      Literal.create(null, left.dataType)
     case _ => // decimal shapes keep Spark's builtin (loud on a
       // non-foldable scale, which the reference's decimal round also
       // cannot type); the scale is int-typed for it
@@ -281,6 +314,48 @@ case class RoundDispatch(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RoundDispatch =
     copy(left = l, right = r)
+}
+
+/** json_array_contains(json, value): the probe's resolved SQL type
+  * decides which JSON token class can match (JsonFunctions.java — a
+  * VARCHAR probe only matches string tokens, so '"8"' never equals 8;
+  * KAT value gate). Late-binding like the other dispatches.
+  */
+case class JsonArrayContainsDispatch(left: Expression, right: Expression)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def prettyName: String = "json_array_contains"
+
+  override lazy val replacement: Expression = {
+    val kind = right.dataType match {
+      case BooleanType => 1
+      case ByteType | ShortType | IntegerType | LongType => 2
+      case FloatType | DoubleType | _: DecimalType => 3
+      case _ => 0
+    }
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      GraftFnUtils.getClass, BooleanType, "jsonArrayContainsTyped",
+      Seq(Cast(left, StringType), Cast(right, StringType), Literal(kind)),
+      inputTypes = Seq(StringType, StringType, IntegerType),
+      propagateNull = true, returnNullable = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JsonArrayContainsDispatch =
+    copy(left = l, right = r)
+}
+
+object RoundDispatch {
+  /** Is this expression a NULL literal, possibly under casts or the
+    * dialect's integral-cast wrapper?
+    */
+  def isNullLiteral(e: Expression): Boolean = e match {
+    case Literal(null, _) => true
+    case c: Cast => isNullLiteral(c.child)
+    case p: PrestoCastToIntegral => isNullLiteral(p.child)
+    case _ => false
+  }
 }
 
 case class MapCtorDispatch(left: Expression, right: Expression)
@@ -944,6 +1019,10 @@ case class SplitPartPresto(first: Expression, second: Expression,
     val s = str.asInstanceOf[UTF8String].toString
     val d = del.asInstanceOf[UTF8String].toString
     val i = idx.asInstanceOf[Number].longValue
+    // the fork's own test pins split_part(.., 0) = '' (TestStringFunctions
+    // testSplitPartInvalid:600 — stock 0.235 raised INVALID_FUNCTION_
+    // ARGUMENT; adjudicated for the test corpus like the IEEE divide)
+    if (i == 0) return UTF8String.fromString("")
     require(i > 0, "Index must be greater than zero")
     if (d.isEmpty) {
       // per-codepoint fields; index past the end -> NULL

@@ -396,6 +396,58 @@ class PrestoOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("KAT value-gate closures: strings, JSON tokens, LIKE, intervals (wave 9)") {
+    withDialect {
+      // substr: start 0 / past-the-front is EMPTY (StringFunctions.substr)
+      assert(one("SELECT SUBSTR('Quadratically', 0)") == "")
+      assert(one("SELECT SUBSTR('Quadratically', -50)") == "")
+      assert(one("SELECT SUBSTRING('Quadratically' FROM 5)") == "ratically")
+      // replace with empty search interleaves (the fork's own vectors)
+      assert(one("SELECT REPLACE('abc', '', 'xx')") == "xxaxxbxxcxx")
+      // 1-arg trim family strips ALL Unicode whitespace
+      assert(one("SELECT LTRIM(concat(chr(8232), ' x'))") == "x")
+      // strrpos reproduces the fork's byte/char index confusion
+      // bug-for-bug (its tests pin 2 where the code-point position is 4)
+      assert(one("SELECT STRRPOS('信念,爱,希望', '爱')") == 2L)
+      assert(one("SELECT STRRPOS('abc/xyz/foo/bar', '/', 3)") == 4L)
+      // split_part index 0 is '' in the fork's test corpus
+      assert(one("SELECT SPLIT_PART('a-b', '-', 0)") == "")
+      // LIKE has no default escape character (the SQL text carries raw
+      // single backslashes — Presto string literals don't unescape).
+      // An EXPLICIT non-backslash ESCAPE still applies; explicit
+      // ESCAPE '\' is indistinguishable from Spark's default at the
+      // node level and reads as no-escape — a documented corner.
+      assert(one("SELECT '_monkey_' like '\\_monkey\\_'") == false)
+      assert(one("SELECT '_monkey_' like '#_monkey#_' escape '#'") == true)
+      // named-group replacement references
+      assert(one("SELECT REGEXP_REPLACE('wxyz', '(?<xyz>[xyz])', '$${xyz}$${xyz}')".replace("$$", "$"))
+        == "wxxyyzz")
+      // json_parse canonicalizes with SORTED keys -> JSON '=' is textual
+      assert(one("SELECT JSON '{\"a\":1, \"b\":2}' = JSON '{\"b\":2, \"a\":1}'") == true)
+      // the probe's SQL type picks the JSON token class
+      assert(one("SELECT JSON_ARRAY_CONTAINS('[1, \"8\"]', 8)") == false)
+      assert(one("SELECT JSON_ARRAY_CONTAINS('[1]', 1.0)") == false)
+      assert(one("SELECT JSON_ARRAY_CONTAINS('[true]', true)") == true)
+      // json_array_get: JSON null element is SQL NULL
+      assert(spark.sql("SELECT JSON_ARRAY_GET('[1, null]', 1)").collect()(0).isNullAt(0))
+      // non-finite doubles QUOTE as JSON
+      assert(one("SELECT cast(nan() as JSON)") == "\"NaN\"")
+      // bare interval renderings
+      assert(one("SELECT cast(INTERVAL '124-30' YEAR TO MONTH as varchar)") == "126-6")
+      assert(one("SELECT cast(INTERVAL '12 10:45:32.123' DAY TO SECOND as varchar)")
+        == "12 10:45:32.123")
+      // url_extract_parameter: first occurrence; bare key is ''
+      assert(one("SELECT url_extract_parameter('http://e.com/p?k1&k1=v1', 'k1')") == "")
+      // is_nan(NULL) is NULL; round(decimal, NULL scale) is NULL
+      assert(spark.sql("SELECT is_nan(NULL)").collect()(0).isNullAt(0))
+      assert(spark.sql("SELECT round(DECIMAL '-3.0', CAST(NULL as INTEGER))")
+        .collect()(0).isNullAt(0))
+      // 16-byte v4-mapped binary renders as its dotted quad
+      assert(one("SELECT CAST(x'00000000000000000000ffff01020304' AS IPADDRESS)")
+        == "1.2.3.4")
+    }
+  }
+
   test("DataFrame API is never rewritten") {
     import org.apache.spark.sql.functions._
     withDialect {

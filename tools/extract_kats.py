@@ -143,9 +143,71 @@ def literal_only_sql(expr: str):
     return "".join(parts) if parts else None
 
 
+def split_args(args: str):
+    """All top-level-comma-delimited arguments."""
+    out = []
+    depth = 0
+    start = 0
+    i = 0
+    n = len(args)
+    while i < n:
+        c = args[i]
+        if c == '"':
+            i += 1
+            while i < n and args[i] != '"':
+                i += 2 if args[i] == "\\" else 1
+        elif c == "'":
+            i += 1
+            while i < n and args[i] != "'":
+                i += 2 if args[i] == "\\" else 1
+        elif c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(args[start:i])
+            start = i + 1
+        i += 1
+    out.append(args[start:])
+    return [a.strip() for a in out]
+
+
+NUM_LIT = re.compile(
+    r"^[+-]?(?:\d[\d_]*\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)[LlFfDd]?$")
+CAST_PREFIX = re.compile(r"^\(\s*(?:long|int|short|byte|double|float)\s*\)\s*")
+
+
+def literal_expected(expr: str):
+    """(kind, value) when the expected-value argument is a plain Java
+    literal this harness can compare: a string (possibly concatenated),
+    a number, true/false, or null. None otherwise."""
+    e = CAST_PREFIX.sub("", expr.strip())
+    if e == "null":
+        return ("null", "")
+    if e in ("true", "false"):
+        return ("bool", e)
+    s = literal_only_sql(e)
+    if s is not None and e.lstrip().startswith('"'):
+        return ("str", s)
+    if NUM_LIT.match(e):
+        v = e.replace("_", "")
+        if v[-1] in "LlFfDd" and not v[-1].isdigit():
+            v = v[:-1]
+        kind = "num" if ("." in v or "e" in v or "E" in v) else "int"
+        return (kind, v)
+    return None
+
+
 def main():
+    argv = sys.argv[1:]
+    values_path = None
+    if "--values" in argv:
+        k = argv.index("--values")
+        values_path = argv[k + 1]
+        argv = argv[:k] + argv[k + 2:]
     stmts = []
-    for path in sys.argv[1:]:
+    value_rows = []
+    for path in argv:
         text = open(path).read()
         total = ok = interp = 0
         for m in CALL.finditer(text):
@@ -160,11 +222,30 @@ def main():
                       file=sys.stderr)
                 continue
             ok += 1
-            stmts.append("SELECT " + sql if not
-                         sql.lstrip().upper().startswith(("SELECT", "VALUES",
-                                                          "WITH")) else sql)
+            stmt = ("SELECT " + sql if not
+                    sql.lstrip().upper().startswith(("SELECT", "VALUES",
+                                                     "WITH")) else sql)
+            stmts.append(stmt)
+            # value-assertion mode: keep (sql, kind, expected) when the
+            # LAST argument is a plain literal (assertFunction's shape is
+            # (sql, type, expected); assertDecimalFunction likewise)
+            if values_path is not None:
+                parts = split_args(args)
+                if len(parts) >= 3:
+                    lit = literal_expected(parts[-1])
+                    if lit is not None:
+                        esc = stmt.replace("\\", "\\\\") \
+                            .replace("\t", "\\t").replace("\n", "\\n")
+                        val = lit[1].replace("\\", "\\\\") \
+                            .replace("\t", "\\t").replace("\n", "\\n")
+                        value_rows.append(f"{esc}\t{lit[0]}\t{val}")
         print(f"{path}: {total} vectors, {ok} extracted, "
               f"{interp} interpolated residual", file=sys.stderr)
+    if values_path is not None:
+        with open(values_path, "w") as f:
+            f.write("\n".join(value_rows) + ("\n" if value_rows else ""))
+        print(f"values: {len(value_rows)} comparable vectors -> {values_path}",
+              file=sys.stderr)
     print("SET spark.graft.prestoOperators=true")
     for s in stmts:
         print(";;")
