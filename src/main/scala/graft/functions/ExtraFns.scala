@@ -78,12 +78,21 @@ object ExtraFns {
   // ── IP / CIDR (InetAddress covers v4 + v6) ───────────────────────────
   // literal guard: InetAddress.getByName resolves HOSTNAMES via DNS; the
   // reference uses Guava's InetAddresses.forString, which parses literals
-  // only (IpAddressOperators.java:130) — reject anything that can't be a
-  // numeric v4/v6 literal BEFORE getByName so 'facebook.com' errors
-  // immediately instead of attempting a lookup
-  private val IpLiteral = "[0-9a-fA-F:.]+".r
+  // only (IpAddressOperators.java:130). Require a ':' (v6) or a FULL
+  // dotted-quad of decimal octets (v4) — a loose char-class would still
+  // admit hex-only names ('cafe', 'dead.beef') and Java's legacy
+  // inet_aton forms ('12345', '1.2.3'), triggering a DNS lookup from a
+  // cast or accepting forms Guava rejects (ADVICE r14).
+  private val V4Literal = raw"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})".r
+  private def isIpLiteral(ip: String): Boolean = ip match {
+    case V4Literal(a, b, c, d) =>
+      Seq(a, b, c, d).forall(_.toInt <= 255)
+    case s =>
+      s.indexOf(':') >= 0 && s.nonEmpty && s.forall(ch =>
+        ch == ':' || ch == '.' || Character.digit(ch, 16) >= 0)
+  }
   private def ipBytes(ip: String): Array[Byte] = {
-    if (ip == null || !IpLiteral.pattern.matcher(ip).matches())
+    if (ip == null || !isIpLiteral(ip))
       throw new IllegalArgumentException(s"Cannot cast value to IPADDRESS: $ip")
     InetAddress.getByName(ip).getAddress
   }

@@ -736,6 +736,19 @@ object GraftFnUtils {
     org.apache.spark.unsafe.types.UTF8String.fromString(s"$sign${a / 12}-${a % 12}")
   }
 
+  /** Clear-on-overflow bound for the runtime-keyed compile caches: a
+    * NON-LITERAL pattern/format column caches one entry per distinct row
+    * value — unbounded executor memory on high-cardinality data (ADVICE
+    * r14). The literal / low-cardinality case (the hot one) never hits
+    * the cap; an overflow costs a re-compile, not memory.
+    */
+  private val FnCacheMax = 1024
+  private def boundedGet[K, V](
+      m: java.util.concurrent.ConcurrentHashMap[K, V], k: K, f: K => V): V = {
+    if (m.size >= FnCacheMax) m.clear()
+    m.computeIfAbsent(k, f(_))
+  }
+
   private val regexReplCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
 
@@ -747,7 +760,7 @@ object GraftFnUtils {
   def prestoRegexpReplace(s: org.apache.spark.unsafe.types.UTF8String,
       p: org.apache.spark.unsafe.types.UTF8String,
       r: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
-    val pat = regexReplCache.computeIfAbsent(p.toString, java.util.regex.Pattern.compile(_))
+    val pat = boundedGet(regexReplCache, p.toString, (x: String) => java.util.regex.Pattern.compile(x))
     val m = pat.matcher(s.toString)
     val out = new java.lang.StringBuilder
     val repl = r.toString
@@ -1149,10 +1162,11 @@ object GraftFnUtils {
       fmt: org.apache.spark.unsafe.types.UTF8String,
       tag: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {
-    val f = localeFmtCache.computeIfAbsent((fmt.toString, tag.toString), { case (p, t) =>
-      java.time.format.DateTimeFormatter.ofPattern(
-        mysqlToJavaPattern(p), java.util.Locale.forLanguageTag(t))
-    })
+    val f = boundedGet[(String, String), java.time.format.DateTimeFormatter](
+      localeFmtCache, (fmt.toString, tag.toString), { case (p, t) =>
+        java.time.format.DateTimeFormatter.ofPattern(
+          mysqlToJavaPattern(p), java.util.Locale.forLanguageTag(t))
+      })
     val ldt = java.time.LocalDateTime.ofEpochSecond(
       Math.floorDiv(micros, 1000000L),
       (Math.floorMod(micros, 1000000L) * 1000L).toInt,
@@ -1162,7 +1176,7 @@ object GraftFnUtils {
 
   def prestoDateParse(text: org.apache.spark.unsafe.types.UTF8String,
       fmt: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val f = mysqlParserCache.computeIfAbsent(fmt.toString, buildMysqlParser(_))
+    val f = boundedGet(mysqlParserCache, fmt.toString, (x: String) => buildMysqlParser(x))
     val ta = f.parse(text.toString)
     val ldt = java.time.LocalDateTime.from(ta)
     ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L

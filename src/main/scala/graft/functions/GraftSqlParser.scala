@@ -341,6 +341,7 @@ object GraftSqlParser {
     // NULL INPUT is left to error loudly: silently dropping it would
     // change null propagation.
     var out = CalledOnNull.replaceAllIn(sql, "")
+    out = rewriteExplicitBsEscape(out)
     // zone-carrying TIMESTAMP WITH TIME ZONE literals (opt-in conf;
     // ZonedTimestamps): `TIMESTAMP '<wall> <zone>'` constructs a zoned
     // value by interpreting the wall clock in the zone — exactly
@@ -362,6 +363,21 @@ object GraftSqlParser {
           rewriteTablesample(rewriteQuantified(rewriteArrayAggOrderBy(
             rewriteArrayAggDistinct(out)))))))))))))))))))
   }
+
+  /** An explicit `ESCAPE '\'` clause is legal in the reference (same
+    * behavior as Spark's DEFAULT LIKE escape) but parses to
+    * `Like(_,_,'\\')` — indistinguishable from Spark's default node, so
+    * the dialect's no-default-escape analysis arm would silently strip
+    * it (ADVICE r14). Rewrite the clause to the '\u0001' sentinel BEFORE
+    * backslash doubling; ResolvePrestoComparisons turns the sentinel
+    * into [[org.apache.spark.sql.graft.LikeBackslash]].
+    */
+  private val ExplicitBsEscape = raw"(?i)\bESCAPE\s+'\\'".r
+  private def rewriteExplicitBsEscape(sql: String): String =
+    ExplicitBsEscape.replaceAllIn(sql, m =>
+      if (insideQuoteOrComment(sql, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else "ESCAPE '\u0001'")
 
   /** `X'00 7b 22'` — the reference's binary literal allows internal
     * whitespace (BinaryLiteral strips it before hex-decoding); Spark's

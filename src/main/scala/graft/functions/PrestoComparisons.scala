@@ -546,6 +546,14 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
       // to backslash. NUL can't appear in pattern text, so it acts as
       // "no escape". Explicit ESCAPE clauses set a different char and
       // never match this arm; the produced node can't refire.
+      case l: Like if l.escapeChar == '\u0001' =>
+        // an EXPLICIT `ESCAPE '\'` clause (legal in the reference; same
+        // semantics as Spark's default LIKE) parses identically to the
+        // default-escape node, so the parser rewrites the clause to the
+        // '\u0001' sentinel (rewriteExplicitBsEscape) and it lands here
+        // instead of being stripped by the arm below. LikeBackslash is
+        // not a Like, so neither arm can refire on the output.
+        org.apache.spark.sql.graft.LikeBackslash(l.left, l.right)
       case l: Like if l.escapeChar == '\\' =>
         Like(l.left, l.right, '\u0000')
 

@@ -1019,10 +1019,10 @@ case class SplitPartPresto(first: Expression, second: Expression,
     val s = str.asInstanceOf[UTF8String].toString
     val d = del.asInstanceOf[UTF8String].toString
     val i = idx.asInstanceOf[Number].longValue
-    // the fork's own test pins split_part(.., 0) = '' (TestStringFunctions
-    // testSplitPartInvalid:600 — stock 0.235 raised INVALID_FUNCTION_
-    // ARGUMENT; adjudicated for the test corpus like the IEEE divide)
-    if (i == 0) return UTF8String.fromString("")
+    // index <= 0 errors (StringFunctions.splitPart:453 raises
+    // INVALID_FUNCTION_ARGUMENT). testSplitPartInvalid:600 carries an
+    // assertFunction literal but is @Test(expectedExceptions=...) — the
+    // literal never validates; the exception IS the contract.
     require(i > 0, "Index must be greater than zero")
     if (d.isEmpty) {
       // per-codepoint fields; index past the end -> NULL

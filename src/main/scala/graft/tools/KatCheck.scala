@@ -11,10 +11,69 @@ import graft.{GraftSession, Tables}
   *
   * Usage: runMain graft.tools.KatCheck /path/vals.tsv [setStmt…]
   * Comparison: strings exact; integrals by long value; floating
-  * numerically (ULP-exact is the bar — both engines compute IEEE);
-  * booleans/null literally. Prints each mismatch and a final summary.
+  * numerically (ULP-exact is the bar — both engines compute IEEE;
+  * NaN/±Infinity spelled out); booleans/null literally. Round 15 adds
+  * the constant-folded COMPUTED expecteds: kind 'json' compares
+  * recursively (arrays ordered, maps as unordered {"__kat_map__":
+  * [[k,v],...]} pair sets, structs positionally, {"__kat_num__": ...}
+  * for IEEE specials) and kind 'dec' compares scale-exact decimal
+  * text. Prints each mismatch and a final summary.
   */
 object KatCheck {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def numMatches(n: java.lang.Number, want: String): Boolean =
+    want match {
+      case "NaN" => n.doubleValue.isNaN
+      case "Infinity" => n.doubleValue == Double.PositiveInfinity
+      case "-Infinity" => n.doubleValue == Double.NegativeInfinity
+      case _ =>
+        n.doubleValue == want.toDouble || n.floatValue == want.toFloat
+    }
+
+  /** Recursive structural compare of a Spark result value against the
+    * extractor's folded-JSON expected tree. */
+  private def cmpJson(node: com.fasterxml.jackson.databind.JsonNode,
+      got: Any): Boolean = {
+    if (node.isNull) return got == null
+    if (node.isObject && node.has("__kat_num__")) return got match {
+      case n: java.lang.Number => numMatches(n, node.get("__kat_num__").asText)
+      case _ => false
+    }
+    if (node.isObject && node.has("__kat_map__")) return got match {
+      case m: scala.collection.Map[_, _] =>
+        val pairs = node.get("__kat_map__")
+        m.size == pairs.size && (0 until pairs.size).forall { i =>
+          val kv = pairs.get(i)
+          m.exists { case (k, v) => cmpJson(kv.get(0), k) && cmpJson(kv.get(1), v) }
+        }
+      case m: java.util.Map[_, _] =>
+        cmpJson(node, scala.jdk.CollectionConverters.MapHasAsScala(m).asScala)
+      case _ => false
+    }
+    if (node.isArray) return got match {
+      case s: scala.collection.Seq[_] =>
+        s.length == node.size && s.indices.forall(i => cmpJson(node.get(i), s(i)))
+      case a: Array[_] => cmpJson(node, a.toSeq)
+      case r: org.apache.spark.sql.Row => // struct: positional tuple
+        r.length == node.size && (0 until r.length).forall(i => cmpJson(node.get(i), r.get(i)))
+      case _ => false
+    }
+    if (node.isTextual) return got != null && got.toString == node.asText
+    if (node.isBoolean) return got == node.asBoolean
+    if (node.isNumber) return got match {
+      case n: java.lang.Number =>
+        if (node.isIntegralNumber) n match {
+          case _: java.lang.Double | _: java.lang.Float =>
+            n.doubleValue == node.asDouble
+          case d: java.math.BigDecimal => d.doubleValue == node.asDouble
+          case _ => n.longValue == node.asLong
+        } else n.doubleValue == node.asDouble || n.floatValue == node.asDouble.toFloat
+      case _ => false
+    }
+    false
+  }
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("graft-kat-check")
     Tables.register(spark, "/root/testdata/sf0.001")
@@ -56,11 +115,18 @@ object KatCheck {
                 }
               case "num" =>
                 got match {
-                  case n: java.lang.Number =>
-                    // ULP-exact for doubles; a float expected literal
-                    // compares at float precision
-                    n.doubleValue == want.toDouble ||
-                      n.floatValue == want.toFloat
+                  // ULP-exact for doubles; a float expected literal
+                  // compares at float precision; IEEE specials by name
+                  case n: java.lang.Number => numMatches(n, want)
+                  case _ => false
+                }
+              case "json" =>
+                cmpJson(mapper.readTree(want), got)
+              case "dec" =>
+                got match {
+                  // scale-exact decimal text (the reference's SqlDecimal
+                  // comparison is scale-sensitive)
+                  case d: java.math.BigDecimal => d.toString == want
                   case _ => false
                 }
               case _ => false

@@ -1197,7 +1197,7 @@ class FnSpec extends AnyFunSuite {
     }
     // split_part (StringFunctions.java:449-492): literal delimiter,
     // index past the fields -> NULL, empty delimiter -> per codepoint,
-    // split_part contracts (incl. the fork’s index-0 empty string)
+    // split_part contracts (index 0 errors)
     val sp = spark.sql(
       """SELECT split_part('a_b_c', '_', 2), split_part('a_b', '_', 9),
         |  split_part('hi', '', 2), split_part('a.b', '.', 2)""".stripMargin)
@@ -1206,11 +1206,14 @@ class FnSpec extends AnyFunSuite {
     assert(sp.isNullAt(1), "index past the fields -> NULL, not ''")
     assert(sp.getString(2) == "i")
     assert(sp.getString(3) == "b", "delimiter is literal, not a regex")
-    // index 0 is '' in the FORK's own test corpus (TestStringFunctions
-    // testSplitPartInvalid:600 — stock errored; adjudicated for the
-    // tests like the IEEE divide, wave-9 value gate)
-    assert(spark.sql("SELECT split_part('a_b', '_', 0)")
-      .collect()(0).getString(0) == "")
+    // index 0 raises (StringFunctions.splitPart:453); the fork's
+    // testSplitPartInvalid is @Test(expectedExceptions) — its literal
+    // never validates, so the exception is the pinned contract
+    val spErr = intercept[Exception] {
+      spark.sql("SELECT split_part('a_b', '_', 0)").collect()
+    }
+    assert(spErr.getMessage != null &&
+      spErr.toString.contains("Index must be greater than zero"))
     // random(n)/rand(n): a random INTEGER in [0, n) of the bound's type
     // (MathFunctions.java:574-610) — Spark reads the argument as a seed
     val rnd = spark.sql(

@@ -391,6 +391,14 @@ class PrestoOperatorsSpec extends AnyFunSuite {
         == "64:ff9b::")
       // loud errors: hostnames never resolve, bad binary lengths reject
       intercept[Exception](one("SELECT CAST('facebook.com' AS IPADDRESS)"))
+      // hex-only names would pass a loose char-class but are HOSTNAMES
+      // to getByName (DNS from a cast — ADVICE r14); legacy inet_aton
+      // shorthands are rejected by the reference's Guava parser too
+      intercept[Exception](one("SELECT CAST('cafe' AS IPADDRESS)"))
+      intercept[Exception](one("SELECT CAST('dead.beef' AS IPADDRESS)"))
+      intercept[Exception](one("SELECT CAST('12345' AS IPADDRESS)"))
+      intercept[Exception](one("SELECT CAST('1.2.3' AS IPADDRESS)"))
+      intercept[Exception](one("SELECT CAST('1.2.3.444' AS IPADDRESS)"))
       intercept[Exception](one("SELECT CAST(x'f000001100' AS IPADDRESS)"))
       intercept[Exception](one("SELECT CAST('1.2.3.4' AS IPPREFIX)"))
     }
@@ -410,15 +418,22 @@ class PrestoOperatorsSpec extends AnyFunSuite {
       // bug-for-bug (its tests pin 2 where the code-point position is 4)
       assert(one("SELECT STRRPOS('信念,爱,希望', '爱')") == 2L)
       assert(one("SELECT STRRPOS('abc/xyz/foo/bar', '/', 3)") == 4L)
-      // split_part index 0 is '' in the fork's test corpus
-      assert(one("SELECT SPLIT_PART('a-b', '-', 0)") == "")
+      // split_part index 0 errors (the fork's testSplitPartInvalid is
+      // @Test(expectedExceptions) — the exception is the contract)
+      assert(intercept[Exception] { one("SELECT SPLIT_PART('a-b', '-', 0)") }
+        .toString.contains("Index must be greater than zero"))
       // LIKE has no default escape character (the SQL text carries raw
       // single backslashes — Presto string literals don't unescape).
-      // An EXPLICIT non-backslash ESCAPE still applies; explicit
-      // ESCAPE '\' is indistinguishable from Spark's default at the
-      // node level and reads as no-escape — a documented corner.
+      // An EXPLICIT ESCAPE still applies — including an explicit
+      // backslash, which the parser rewrites to a sentinel so the
+      // no-default-escape analysis arm can't strip it (ADVICE r14).
       assert(one("SELECT '_monkey_' like '\\_monkey\\_'") == false)
       assert(one("SELECT '_monkey_' like '#_monkey#_' escape '#'") == true)
+      assert(one("SELECT '_monkey_' like '\\_monkey\\_' escape '\\'") == true)
+      assert(one("SELECT 'Xmonkey_' like '\\_monkey\\_' escape '\\'") == false)
+      // and the rewrite never fires on dialect-shaped text INSIDE a
+      // string literal (quote-doubled ESCAPE '\' as literal content)
+      assert(one("SELECT ' ESCAPE ''\\'''") == " ESCAPE '\\'")
       // named-group replacement references
       assert(one("SELECT REGEXP_REPLACE('wxyz', '(?<xyz>[xyz])', '$${xyz}$${xyz}')".replace("$$", "$"))
         == "wxxyyzz")

@@ -172,9 +172,304 @@ def split_args(args: str):
     return [a.strip() for a in out]
 
 
+EXPECTED_EXC = re.compile(r"@Test\s*\(")
+
+
+def expected_exception_spans(text: str):
+    """Body spans of methods annotated @Test(expectedExceptions=...).
+    assertFunction literals inside such methods never validate — the
+    exception is the contract — so they must not become replay
+    statements or value vectors (ADVICE r14: the split_part(...,0)
+    vector was exactly this false positive)."""
+    spans = []
+    for m in EXPECTED_EXC.finditer(text):
+        ann = balanced_args(text, m.end() - 1)
+        if "expectedExceptions" not in ann:
+            continue
+        # skip past the annotation's closing ')' then find the method
+        # body '{' (after the signature's balanced parens)
+        i = m.end() - 1
+        depth = 0
+        n = len(text)
+        while i < n:
+            c = text[i]
+            if c == '"':
+                i += 1
+                while i < n and text[i] != '"':
+                    i += 2 if text[i] == "\\" else 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+            i += 1
+        # signature: run to the first '{' (skipping throws-clause etc.,
+        # honoring any parenthesized parameter list)
+        while i < n and text[i] != "{":
+            if text[i] == "(":
+                end = balanced_args(text, i)
+                i += len(end) + 2
+            else:
+                i += 1
+        if i >= n:
+            continue
+        body_start = i
+        depth = 0
+        while i < n:
+            c = text[i]
+            if c == '"':
+                i += 1
+                while i < n and text[i] != '"':
+                    i += 2 if text[i] == "\\" else 1
+            elif c == "'":
+                i += 1
+                while i < n and text[i] != "'":
+                    i += 2 if text[i] == "\\" else 1
+            elif c == "/" and i + 1 < n and text[i + 1] == "/":
+                while i < n and text[i] != "\n":
+                    i += 1
+                continue
+            elif c == "/" and i + 1 < n and text[i + 1] == "*":
+                i = text.find("*/", i + 2)
+                if i < 0:
+                    break
+                i += 1
+            elif c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+                if depth == 0:
+                    spans.append((body_start, i))
+                    break
+            i += 1
+    return spans
+
+
 NUM_LIT = re.compile(
     r"^[+-]?(?:\d[\d_]*\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)[LlFfDd]?$")
 CAST_PREFIX = re.compile(r"^\(\s*(?:long|int|short|byte|double|float)\s*\)\s*")
+
+# ---- round-15 value-gate widening: constant-fold COMPUTED expecteds ----
+# The r14 literal sweep found 8 real divergences the error gate missed;
+# the computed-expected tail (lists, maps, literal arithmetic, infinity
+# constants, Math.* on literals, decimal()) is where the next ones hide
+# (VERDICT r14 ask #5). Folded vectors carry kind 'json' (recursive
+# structure; maps as {"__kat_map__": [[k,v],...]}) or 'dec'; KatCheck
+# compares structurally / by scale-exact decimal text.
+
+INF_CONSTS = {
+    "POSITIVE_INFINITY": float("inf"), "NEGATIVE_INFINITY": float("-inf"),
+    "Double.POSITIVE_INFINITY": float("inf"),
+    "Double.NEGATIVE_INFINITY": float("-inf"),
+    "Float.POSITIVE_INFINITY": float("inf"),
+    "Float.NEGATIVE_INFINITY": float("-inf"),
+    "NaN": float("nan"), "Double.NaN": float("nan"),
+    "Float.NaN": float("nan"),
+    "Integer.MAX_VALUE": 2147483647, "Integer.MIN_VALUE": -2147483648,
+    "Long.MAX_VALUE": 9223372036854775807,
+    "Long.MIN_VALUE": -9223372036854775808,
+    "Math.PI": __import__("math").pi, "Math.E": __import__("math").e,
+}
+
+MATH_FNS = {
+    "Math.abs": abs, "Math.sqrt": lambda x: x ** 0.5,
+    "Math.cbrt": lambda x: __import__("math").copysign(abs(x) ** (1 / 3), x),
+    "Math.acos": __import__("math").acos, "Math.asin": __import__("math").asin,
+    "Math.atan": __import__("math").atan, "Math.cos": __import__("math").cos,
+    "Math.sin": __import__("math").sin, "Math.tan": __import__("math").tan,
+    "Math.cosh": __import__("math").cosh, "Math.sinh": __import__("math").sinh,
+    "Math.tanh": __import__("math").tanh, "Math.exp": __import__("math").exp,
+    "Math.log": __import__("math").log, "Math.log10": __import__("math").log10,
+    "Math.floor": __import__("math").floor, "Math.ceil": lambda x: float(__import__("math").ceil(x)),
+    "Math.toRadians": __import__("math").radians,
+    "Math.toDegrees": __import__("math").degrees,
+    "Math.pow": __import__("math").pow, "Math.atan2": __import__("math").atan2,
+}
+
+LIST_HEADS = ("ImmutableList.of", "asList", "Arrays.asList", "list",
+              "Collections.singletonList", "singletonList")
+
+_MARK = object()  # fold failure sentinel (None is a valid folded null)
+
+
+def _num_value(e):
+    """Numeric literal (with Java suffix/underscores) -> int or float."""
+    v = e.replace("_", "")
+    is_float = False
+    if v and v[-1] in "LlFfDd" and not v[-1].isdigit():
+        is_float = v[-1] in "FfDd"
+        v = v[:-1]
+    if "." in v or "e" in v.lower():
+        is_float = True
+    return float(v) if is_float else int(v)
+
+
+def fold_scalar(expr):
+    """Java scalar expected expression -> python value, or _MARK."""
+    e = CAST_PREFIX.sub("", expr.strip())
+    if e == "null":
+        return None
+    if e == "true":
+        return True
+    if e == "false":
+        return False
+    if e in INF_CONSTS:
+        return INF_CONSTS[e]
+    if NUM_LIT.match(e):
+        try:
+            return _num_value(e)
+        except ValueError:
+            return _MARK
+    if e.lstrip().startswith('"'):
+        s = literal_only_sql(e)
+        return s if s is not None else _MARK
+    folded = fold_arith(e)
+    if folded is not _MARK:
+        return folded
+    m = re.match(r"^(Math\.\w+)\s*\(", e)
+    if m and m.group(1) in MATH_FNS and e.endswith(")"):
+        inner = balanced_args(e, e.index("("))
+        argvals = [fold_scalar(a) for a in split_args(inner)]
+        if all(isinstance(a, (int, float)) and not isinstance(a, bool)
+               for a in argvals):
+            try:
+                return float(MATH_FNS[m.group(1)](*argvals))
+            except (ValueError, OverflowError, ZeroDivisionError):
+                return _MARK
+    return _MARK
+
+
+ARITH_SAFE = re.compile(r"^[\d_.eE\s+\-*()LlFfDd]+$")
+
+
+def fold_arith(e):
+    """Literal +,-,* arithmetic (Java semantics are value-identical for
+    these ops at the magnitudes the tests use; '/' is skipped — Java int
+    division truncates and the tests' intent is ambiguous in text)."""
+    if not ARITH_SAFE.match(e) or not re.search(r"[+\-*]", e.strip()[1:]):
+        return _MARK
+    # strip Java numeric suffixes; track float-ness
+    is_float = "." in e or re.search(r"\d[FfDd]\b", e) is not None
+    cleaned = re.sub(r"(\d)[LlFfDd]\b", r"\1", e).replace("_", "")
+    if re.search(r"[a-df-zA-DF-Z]", cleaned):
+        return _MARK
+    try:
+        v = eval(cleaned, {"__builtins__": {}}, {})  # literals-only by regex
+    except Exception:
+        return _MARK
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v) if is_float and not isinstance(v, float) else v
+    return _MARK
+
+
+def fold_structure(expr):
+    """Recursive fold: scalars, list builders, ImmutableMap.of. Returns a
+    python JSON-able value (maps -> {"__kat_map__": [[k,v],...]}), or
+    _MARK when any part is not foldable."""
+    e = expr.strip()
+    for head in LIST_HEADS:
+        if e.startswith(head + "(") or re.match(
+                re.escape(head) + r"\s*\(", e):
+            op = e.index("(")
+            if not e.endswith(")"):
+                return _MARK
+            inner = balanced_args(e, op)
+            if inner.strip() == "":
+                return []
+            elems = [fold_structure(a) for a in split_args(inner)]
+            return _MARK if any(x is _MARK for x in elems) else elems
+    if re.match(r"^ImmutableMap\.(of|builder)\s*\(", e):
+        if not e.startswith("ImmutableMap.of"):
+            return _MARK  # builder chains: not folded (rare)
+        op = e.index("(")
+        if not e.endswith(")"):
+            return _MARK
+        inner = balanced_args(e, op)
+        if inner.strip() == "":
+            return {"__kat_map__": []}
+        parts = [fold_structure(a) for a in split_args(inner)]
+        if any(x is _MARK for x in parts) or len(parts) % 2 != 0:
+            return _MARK
+        return {"__kat_map__": [[parts[i], parts[i + 1]]
+                                for i in range(0, len(parts), 2)]}
+    return fold_scalar(e)
+
+
+def render_json(v):
+    """JSON text with Java-compatible specials (Infinity/NaN emitted as
+    strings tagged for the comparator; plain floats via repr which is
+    numerically exact)."""
+    import math as _m
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') \
+            .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r") + '"'
+    if isinstance(v, float):
+        if _m.isnan(v):
+            return '{"__kat_num__":"NaN"}'
+        if _m.isinf(v):
+            return '{"__kat_num__":"%sInfinity"}' % ("-" if v < 0 else "")
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, list):
+        return "[" + ",".join(render_json(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return '{"__kat_map__":[' + ",".join(
+            "[%s,%s]" % (render_json(k), render_json(w))
+            for k, w in v["__kat_map__"]) + "]}"
+    raise ValueError(str(v))
+
+
+DEC_CALL = re.compile(r'^(?:decimal|SqlDecimal\.of)\s*\(\s*"((?:[^"\\]|\\.)*)"\s*\)$')
+
+
+def computed_expected(expr):
+    """(kind, rendered) for a foldable COMPUTED expected, else None.
+    Scalars fold into the existing literal kinds so the comparator's
+    numeric rules apply; structures into 'json'; decimal() into 'dec'."""
+    e = expr.strip()
+    m = DEC_CALL.match(e)
+    if m:
+        # canonicalize like SqlDecimal.toString (Decimals.toString of
+        # unscaled+scale): leading zeros drop, the literal's scale stays
+        # ('0000.00' -> '0.00')
+        import decimal as _d
+        try:
+            v = _d.Decimal(java_unescape(m.group(1)))
+            if v == 0:
+                v = abs(v)  # BigDecimal drops the sign of a zero
+            return ("dec", str(v))
+        except _d.InvalidOperation:
+            return ("dec", java_unescape(m.group(1)))
+    v = fold_structure(e)
+    if v is _MARK:
+        return None
+    import math as _m
+    if isinstance(v, (list, dict)):
+        return ("json", render_json(v))
+    if v is None:
+        return ("null", "")
+    if v is True or v is False:
+        return ("bool", "true" if v else "false")
+    if isinstance(v, float):
+        if _m.isnan(v):
+            return ("num", "NaN")
+        if _m.isinf(v):
+            return ("num", "-Infinity" if v < 0 else "Infinity")
+        return ("num", repr(v))
+    if isinstance(v, int):
+        return ("int", str(v))
+    if isinstance(v, str):
+        return ("str", v)
+    return None
 
 
 def literal_expected(expr: str):
@@ -207,11 +502,17 @@ def main():
         argv = argv[:k] + argv[k + 2:]
     stmts = []
     value_rows = []
+    folded = 0
+    unchecked = 0
     for path in argv:
         text = open(path).read()
-        total = ok = interp = 0
+        exc_spans = expected_exception_spans(text)
+        total = ok = interp = exc_skipped = 0
         for m in CALL.finditer(text):
             total += 1
+            if any(a <= m.start() < b for a, b in exc_spans):
+                exc_skipped += 1
+                continue
             args = balanced_args(text, m.end() - 1)
             sql = literal_only_sql(first_arg(args))
             if sql is None:
@@ -233,6 +534,12 @@ def main():
                 parts = split_args(args)
                 if len(parts) >= 3:
                     lit = literal_expected(parts[-1])
+                    if lit is None:
+                        lit = computed_expected(parts[-1])
+                        if lit is None:
+                            unchecked += 1
+                        else:
+                            folded += 1
                     if lit is not None:
                         esc = stmt.replace("\\", "\\\\") \
                             .replace("\t", "\\t").replace("\n", "\\n")
@@ -240,11 +547,14 @@ def main():
                             .replace("\t", "\\t").replace("\n", "\\n")
                         value_rows.append(f"{esc}\t{lit[0]}\t{val}")
         print(f"{path}: {total} vectors, {ok} extracted, "
-              f"{interp} interpolated residual", file=sys.stderr)
+              f"{interp} interpolated residual, "
+              f"{exc_skipped} expectedExceptions-skipped", file=sys.stderr)
     if values_path is not None:
         with open(values_path, "w") as f:
             f.write("\n".join(value_rows) + ("\n" if value_rows else ""))
-        print(f"values: {len(value_rows)} comparable vectors -> {values_path}",
+        print(f"values: {len(value_rows)} comparable vectors "
+              f"({folded} constant-folded from computed expecteds; "
+              f"{unchecked} still unchecked) -> {values_path}",
               file=sys.stderr)
     print("SET spark.graft.prestoOperators=true")
     for s in stmts:
