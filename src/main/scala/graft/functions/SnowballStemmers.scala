@@ -609,9 +609,217 @@ object SnowballStemmers {
     }
   }
 
-  /** Dispatch for word_stem(word, lang) — the five transcribed
-    * languages; anything else keeps the loud unknown-language error
-    * (WordStemFunction.java:95).
+  // ── Scandinavian shared: R1 with a 3-letter minimum prefix ───────────
+
+  private def scandiR1(w: String, isV: Char => Boolean): Int = {
+    val (r1, _) = r1r2(w, isV)
+    math.min(math.max(r1, math.min(3, w.length)), w.length)
+  }
+
+  // ── Danish ────────────────────────────────────────────────────────────
+
+  private val daVowels = "aeiouyæåø".toSet
+  private val daSEnding = "abcdfghjklmnoprtvyzå".toSet
+  private val daStep1 = Seq("hed", "ethed", "ered", "e", "erede", "ende",
+    "erende", "ene", "erne", "ere", "en", "heden", "eren", "er", "heder",
+    "erer", "heds", "es", "endes", "erendes", "enes", "ernes", "eres",
+    "ens", "hedens", "erens", "ers", "ets", "erets", "et", "eret")
+
+  def danish(input: String): String = {
+    var w = input
+    val isV = (c: Char) => daVowels(c)
+    def r1 = scandiR1(w, isV)
+    def inR1(s: String) = w.endsWith(s) && w.length - s.length >= r1
+    // step 1: longest d-suffix in R1 deleted; bare s only after a valid
+    // s-ending letter
+    longest(w, r1, daStep1) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case None =>
+        if (inR1("s") && w.length >= 2 && daSEnding(w.charAt(w.length - 2)))
+          w = w.dropRight(1)
+    }
+    // step 2: consonant-pair endings lose the final letter
+    def step2(): Unit =
+      if (Seq("gd", "dt", "gt", "kt").exists(inR1)) w = w.dropRight(1)
+    step2()
+    // step 3: igst drops st; then ig/lig/elig/els delete (and step 2
+    // repeats); løst -> løs
+    if (w.endsWith("igst")) w = w.dropRight(2)
+    longest(w, r1, Seq("elig", "lig", "els", "ig")) match {
+      case Some(s) => w = w.dropRight(s.length); step2()
+      case None => if (inR1("løst")) w = w.dropRight(1)
+    }
+    // step 4: undouble a final double consonant in R1
+    if (w.length >= 2 && w.charAt(w.length - 1) == w.charAt(w.length - 2) &&
+        !isV(w.charAt(w.length - 1)) && w.length - 1 >= r1)
+      w = w.dropRight(1)
+    w
+  }
+
+  // ── Norwegian ─────────────────────────────────────────────────────────
+
+  private val noVowels = "aeiouyæåø".toSet
+  private val noSEnding = "bcdfghjlmnoprtvyz".toSet
+  private val noStep1 = Seq("a", "e", "ede", "ande", "ende", "ane", "ene",
+    "hetene", "en", "heten", "ar", "er", "heter", "as", "es", "edes",
+    "endes", "enes", "hetenes", "ens", "hetens", "ers", "ets", "et",
+    "het", "ast")
+
+  def norwegian(input: String): String = {
+    var w = input
+    val isV = (c: Char) => noVowels(c)
+    def r1 = scandiR1(w, isV)
+    def inR1(s: String) = w.endsWith(s) && w.length - s.length >= r1
+    // step 1: longest among the d-suffixes deleted; erte/ert -> er;
+    // bare s after a valid s-ending (k counts only after a non-vowel)
+    val erte = Seq("erte", "ert").find(inR1)
+    longest(w, r1, noStep1) match {
+      case Some(s) if erte.forall(_.length <= s.length) =>
+        w = w.dropRight(s.length)
+      case _ if erte.isDefined =>
+        w = w.dropRight(erte.get.length) + "er"
+      case None =>
+        if (inR1("s") && w.length >= 2 && {
+          val p = w.charAt(w.length - 2)
+          noSEnding(p) ||
+            (p == 'k' && (w.length < 3 || !isV(w.charAt(w.length - 3))))
+        }) w = w.dropRight(1)
+      case _ =>
+    }
+    // step 2: dt/vt lose the t
+    if (Seq("dt", "vt").exists(inR1)) w = w.dropRight(1)
+    // step 3
+    longest(w, r1, Seq("hetslov", "slov", "elov", "lov", "eleg", "leg",
+      "elig", "lig", "eig", "ig", "els")).foreach(s => w = w.dropRight(s.length))
+    w
+  }
+
+  // ── Swedish ───────────────────────────────────────────────────────────
+
+  private val svVowels = "aeiouyäåö".toSet
+  private val svSEnding = "bcdfghjklmnoprtvy".toSet
+  private val svStep1 = Seq("a", "arna", "erna", "heterna", "orna", "ad",
+    "e", "ade", "ande", "arne", "are", "aste", "en", "anden", "aren",
+    "heten", "ern", "ar", "er", "heter", "or", "as", "arnas", "ernas",
+    "ornas", "es", "ades", "andes", "ens", "arens", "hetens", "erns",
+    "at", "andet", "het", "ast")
+
+  def swedish(input: String): String = {
+    var w = input
+    val isV = (c: Char) => svVowels(c)
+    def r1 = scandiR1(w, isV)
+    def inR1(s: String) = w.endsWith(s) && w.length - s.length >= r1
+    // step 1
+    longest(w, r1, svStep1) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case None =>
+        if (inR1("s") && w.length >= 2 && svSEnding(w.charAt(w.length - 2)))
+          w = w.dropRight(1)
+    }
+    // step 2: consonant-pair endings lose the final letter
+    if (Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt").exists(inR1))
+      w = w.dropRight(1)
+    // step 3
+    longest(w, r1, Seq("lig", "ig", "els")) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case None =>
+        if (inR1("löst")) w = w.dropRight(1)
+        else if (inR1("fullt")) w = w.dropRight(1)
+    }
+    w
+  }
+
+  // ── Dutch ─────────────────────────────────────────────────────────────
+
+  private val nlVowels = "aeiouyè".toSet
+
+  def dutch(input: String): String = {
+    // remove umlauts and acutes (grave stays — è is a Dutch vowel)
+    var w = input.map {
+      case 'ä' | 'á' => 'a'; case 'ë' | 'é' => 'e'; case 'ï' | 'í' => 'i'
+      case 'ö' | 'ó' => 'o'; case 'ü' | 'ú' => 'u'; case c => c
+    }
+    // consonant markers: initial y, y after a vowel, i between vowels
+    val cs = w.toCharArray
+    if (cs.nonEmpty && cs(0) == 'y') cs(0) = 'Y'
+    for (i <- 1 until cs.length) {
+      if (cs(i) == 'y' && nlVowels(cs(i - 1))) cs(i) = 'Y'
+      if (cs(i) == 'i' && i + 1 < cs.length && nlVowels(cs(i - 1)) &&
+          nlVowels(cs(i + 1))) cs(i) = 'I'
+    }
+    w = new String(cs)
+    val isV = (c: Char) => nlVowels(c)
+    def regions: (Int, Int) = {
+      var (r1, r2) = r1r2(w, isV)
+      r1 = math.max(r1, math.min(3, w.length))
+      (r1, r2)
+    }
+    def inR1(s: String) = { val (r1, _) = regions
+      w.endsWith(s) && w.length - s.length >= r1 }
+    def inR2(s: String) = { val (_, r2) = regions
+      w.endsWith(s) && w.length - s.length >= r2 }
+    def undouble(): Unit =
+      if (Seq("kk", "dd", "tt").exists(w.endsWith)) w = w.dropRight(1)
+    def validS(c: Char) = !isV(c) && c != 'j'
+    def enEnding(stem: String) =
+      stem.nonEmpty && !isV(stem.last) && !stem.endsWith("gem")
+
+    // step 1
+    if (inR1("heden")) w = w.dropRight(5) + "heid"
+    else {
+      val en = Seq("ene", "en").find(s =>
+        inR1(s) && enEnding(w.dropRight(s.length)))
+      en match {
+        case Some(s) => w = w.dropRight(s.length); undouble()
+        case None =>
+          val se = Seq("se", "s").find(s =>
+            inR1(s) && w.length > s.length && validS(w.charAt(w.length - s.length - 1)))
+          se.foreach(s => w = w.dropRight(s.length))
+      }
+    }
+    // step 2: e in R1 after a non-vowel
+    var eFound = false
+    def step2(): Unit =
+      if (inR1("e") && w.length >= 2 && !isV(w.charAt(w.length - 2))) {
+        eFound = true
+        w = w.dropRight(1); undouble()
+      }
+    step2()
+    // step 3a: heid (not after c), then a following en as in step 1
+    if (inR2("heid") && (w.length < 5 || w.charAt(w.length - 5) != 'c')) {
+      w = w.dropRight(4)
+      if (inR1("en") && enEnding(w.dropRight(2))) { w = w.dropRight(2); undouble() }
+    }
+    // step 3b: d-suffixes
+    if (Seq("end", "ing").exists(inR2)) {
+      w = w.dropRight(3)
+      if (inR2("ig") && (w.length < 3 || w.charAt(w.length - 3) != 'e'))
+        w = w.dropRight(2)
+      else undouble()
+    } else if (inR2("ig") && (w.length < 3 || w.charAt(w.length - 3) != 'e'))
+      w = w.dropRight(2)
+    else if (inR2("lijk")) { w = w.dropRight(4); step2() }
+    else if (inR2("baar")) w = w.dropRight(4)
+    else if (inR2("bar") && eFound) w = w.dropRight(3)
+    // step 4: undouble vowel in C-VV-D
+    if (w.length >= 4) {
+      val d = w.charAt(w.length - 1)
+      val v1 = w.charAt(w.length - 2); val v2 = w.charAt(w.length - 3)
+      val c = w.charAt(w.length - 4)
+      if (!isV(d) && d != 'I' && v1 == v2 && "aeou".contains(v1) && !isV(c))
+        w = w.dropRight(2) + d
+    }
+    w.toLowerCase
+  }
+
+  /** Dispatch for word_stem(word, lang) — the ten transcribed
+    * languages (en/fr/es/pt/it/de exercised by the reference's own
+    * tests, da/no/sv/nl added round 15); the remaining codes of the
+    * reference's STEMMERS map (ca/eu/fi/hu/hy/ir/lt/ro/ru/tr) stay
+    * LOUD documented deltas — their Snowball programs are not
+    * transcribed, and a silent wrong stem would be worse than the
+    * error (FnSpec pins the full 20-language matrix either way;
+    * WordStemFunction.java:57-77 is the dispatch being mirrored).
     */
   def stem(word: String, lang: String): String = lang match {
     case "en" => Porter2Stemmer.stem(word.toLowerCase)
@@ -620,6 +828,17 @@ object SnowballStemmers {
     case "pt" => portuguese(word.toLowerCase)
     case "it" => italian(word.toLowerCase)
     case "de" => german(word.toLowerCase)
+    case "da" => danish(word.toLowerCase)
+    case "no" => norwegian(word.toLowerCase)
+    case "sv" => swedish(word.toLowerCase)
+    case "nl" => dutch(word.toLowerCase)
+    case "ca" | "eu" | "fi" | "hu" | "hy" | "ir" | "lt" | "ro" | "ru" |
+        "tr" =>
+      // in the reference's STEMMERS map but not transcribed here —
+      // loud, named delta (see scaladoc above)
+      throw new IllegalArgumentException(
+        s"Unknown stemmer language: $lang (reference dispatches it; " +
+          "not transcribed — documented delta)")
     case other =>
       throw new IllegalArgumentException(s"Unknown stemmer language: $other")
   }

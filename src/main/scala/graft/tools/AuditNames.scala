@@ -96,7 +96,9 @@ object AuditNames {
     "power" -> ("SWEEP", "fuzz_math_parity pw"),
     "radians" -> ("SWEEP", "fuzz_math_parity rd"),
     "round" -> ("SWEEP", "fuzz_math_parity rnd3 (HALF_UP away from zero both)"),
-    "sign" -> ("SWEEP", "fuzz_math_parity sign_n"),
+    // sign: auto-detected GRAFT-OVERRIDDEN since round 15 (typed
+    // SignDispatch builder — operand-typed results); value parity still
+    // swept by fuzz_math_parity sign_n
     "sin" -> ("SWEEP", "fuzz_math_parity sn"),
     "sqrt" -> ("SWEEP", "fuzz_math_parity sq (NaN on negative both)"),
     "tan" -> ("IDENTICAL", "raw Math.tan both"),
