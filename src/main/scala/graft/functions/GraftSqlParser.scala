@@ -910,18 +910,26 @@ object GraftSqlParser {
   private def insideQuoteOrComment(s: String, pos: Int): Boolean = {
     var i = 0
     var q: Char = 0
+    var block = 0 // bracketed-comment depth (Spark comments NEST)
     while (i < pos) {
       val c = s.charAt(i)
-      if (q != 0) { if (c == q) q = 0 }
+      if (block > 0) {
+        if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') { block -= 1; i += 1 }
+        else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') { block += 1; i += 1 }
+      }
+      else if (q != 0) { if (c == q) q = 0 }
       else if (c == '\'' || c == '"') q = c
       else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         val nl = s.indexOf('\n', i)
         i = if (nl < 0) s.length else nl
         if (i >= pos) return true
       }
+      else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        block += 1; i += 1
+      }
       i += 1
     }
-    q != 0
+    q != 0 || block > 0
   }
 
   /** Append NULLS LAST to each unmarked non-DESC sort item of the ORDER
@@ -974,7 +982,10 @@ object GraftSqlParser {
     */
   private def rewriteJsonLiterals(sql: String): String =
     JsonLiteral.replaceAllIn(sql, m =>
-      java.util.regex.Matcher.quoteReplacement(s"json_parse('${m.group(1)}')"))
+      if (insideQuoteOrComment(sql, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else
+        java.util.regex.Matcher.quoteReplacement(s"json_parse('${m.group(1)}')"))
 
   private val DecimalLiteral = raw"(?i)\bDECIMAL\s*'\s*(-?)(\d*)(?:\.(\d*))?\s*'".r
 
@@ -1032,7 +1043,10 @@ object GraftSqlParser {
     * form — rewrite to an explicit CAST with the same derived type.
     */
   private def rewriteDecimalLiterals(sql: String): String =
-    DecimalLiteral.replaceAllIn(sql, m => {
+    DecimalLiteral.replaceAllIn(sql, m =>
+      if (insideQuoteOrComment(sql, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else {
       val sign = m.group(1)
       val whole = Option(m.group(2)).getOrElse("")
       val frac = Option(m.group(3)).getOrElse("")
@@ -1042,7 +1056,7 @@ object GraftSqlParser {
       val wholeDigits = whole.dropWhile(_ == '0').length
       val precision = math.max(wholeDigits + scale, math.max(scale, 1))
       s"CAST('$sign$whole${if (scale > 0) s".$frac" else ""}' AS DECIMAL($precision, $scale))"
-    })
+      })
 
   private val ExplainOpts = raw"(?is)^(\s*)EXPLAIN\s*\(([^)]*)\)".r
   private val ExplainAnalyze = raw"(?is)^(\s*)EXPLAIN\s+ANALYZE(\s+VERBOSE)?\b".r
@@ -1111,8 +1125,17 @@ object GraftSqlParser {
   /** `CROSS JOIN UNNEST(args) AS t(cols)` → LATERAL VIEW form (see class
     * doc); paren-balanced so args may be arbitrary expressions.
     */
+  /** First match of `re` that is not inside a string literal or line
+    * comment (round 15: the quote-safety property test generalizes the
+    * pointwise ADVICE fixes — every structural rewrite selects its
+    * anchor through this).
+    */
+  private def firstUnquoted(re: scala.util.matching.Regex, sql: String)
+      : Option[scala.util.matching.Regex.Match] =
+    re.findAllMatchIn(sql).find(m => !insideQuoteOrComment(sql, m.start))
+
   private def rewriteUnnest(sql: String): String = {
-    UnnestStart.findFirstMatchIn(sql) match {
+    firstUnquoted(UnnestStart, sql) match {
       case None => sql
       case Some(m) =>
         val open = m.end - 1
@@ -1297,7 +1320,7 @@ object GraftSqlParser {
 
   /** Rewrite Presto-specific CASTs (innermost-first so nesting works). */
   private def rewriteCasts(sql: String): String = {
-    CastStart.findFirstMatchIn(sql) match {
+    firstUnquoted(CastStart, sql) match {
       case None => sql
       case Some(m) =>
         val open = m.end - 1

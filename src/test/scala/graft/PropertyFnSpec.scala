@@ -357,4 +357,47 @@ class PropertyFnSpec extends AnyFunSuite {
       } else assert(r.isNullAt(4) && r.isNullAt(5), s"null value: $a")
     }
   }
+
+  test("property: dialect text rewrites never fire inside string literals or comments (round 15)") {
+    // The ADVICE class fixed pointwise four times by round 14
+    // (angle-bracket splitTopLevel, typed-literal quote guard, …):
+    // dialect-SHAPED text inside a string literal or comment must pass
+    // through every rewrite pass untouched. The check is SEMANTIC, not
+    // textual — rewriteRawBackslashes legitimately re-escapes literal
+    // text, so the property is "executing the rewritten statement
+    // yields exactly the payload", which also catches bad re-escapes.
+    Tables.register(spark, TestSession.sf)
+    spark.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+    try {
+      val frags = Seq("ARRAY [1, 2]", "MAP(", "TYPE 'x'", "ORDER BY 1",
+        "--", "/*", "*/", "ESCAPE '\\'", "CAST(x AS JSON)", "U&'d\\0061'",
+        "X'0A 1B'", "TIMESTAMP '2020-01-01 12:00:00 UTC'",
+        "INTERVAL '12 10' DAY TO SECOND", "5 / 2", "TRY(1/0)",
+        "AT TIME ZONE 'UTC'", "DECIMAL '1.5'", "a[1]", "''quoted''",
+        "\\d+", "FROM unnest(x) WITH ORDINALITY", "TABLESAMPLE BERNOULLI (10)",
+        "CHAR 'y'", "JSON '{\"a\":1}'", "col AS \"alias\"", "EXTRACT(YEAR FROM d)")
+      val gen = for {
+        n <- Gen.choose(1, 6)
+        parts <- Gen.listOfN(n,
+          Gen.oneOf(Gen.oneOf(frags), Gen.alphaNumStr.map(_.take(8))))
+        sep <- Gen.oneOf(" ", "", " x ")
+      } yield parts.mkString(sep)
+      val payloads = samples(gen, 150, 1501L)
+      payloads.foreach { p =>
+        val lit = p.replace("'", "''")
+        val got = spark.sql(s"SELECT '$lit' AS c").collect()(0).getString(0)
+        assert(got == p, s"literal corrupted: <$p> -> <$got>")
+      }
+      // comments: dialect-shaped comment text must not trigger rewrites
+      // or corrupt the statement around it
+      payloads.foreach { p =>
+        // Spark brackets NEST: strip both comment tokens from the probe
+        val line = p.replace("*/", "xx").replace("/*", "yy").replace("\n", " ")
+        val r1 = spark.sql(s"SELECT 7 AS c /* $line */").collect()(0).get(0)
+        assert(r1 == 7, s"block comment broke the statement: <$line>")
+        val r2 = spark.sql(s"SELECT 7 AS c -- $line").collect()(0).get(0)
+        assert(r2 == 7, s"line comment broke the statement: <$line>")
+      }
+    } finally spark.conf.unset(graft.functions.PrestoOperators.ConfKey)
+  }
 }
