@@ -134,6 +134,29 @@ class GeometryExtrasSpec extends AnyFunSuite {
     assert(stRelate(sq, overlap, "T*T***T**"))      // overlaps (areal)
     assert(stRelate(sq, inside, "T*****FF*"))       // contains
     assert(!stRelate(sq, overlap, "FF*FF****"))
+    // ── round 15: non-areal rows (closes the last ST_Relate KAT
+    // residual — TestGeoRelations.java:202, boundary-boundary of two
+    // lines meeting at one line's endpoint is F)
+    assert(!stRelate("LINESTRING (0 0, 3 3)", "LINESTRING (1 1, 4 1)",
+      "****T****"))
+    assert(de9im("LINESTRING (0 0, 3 3)", "LINESTRING (1 1, 4 1)")
+      == "F01FF0102") // B's endpoint touches A's interior
+    assert(de9im("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)")
+      == "0F1FF0102") // proper crossing: interiors meet at a point
+    assert(de9im("LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)")
+      == "1010F0102") // collinear overlap of positive length
+    assert(de9im("LINESTRING (0 0, 1 1)", "LINESTRING (0 0, 1 1)")
+      == "1FFF0FFF2") // equal lines
+    assert(de9im("POINT (1 1)", "LINESTRING (0 0, 2 2)") == "0FFFFF102")
+    assert(de9im("POINT (0 0)", "LINESTRING (0 0, 2 2)") == "F0FFFF102")
+    assert(de9im("POINT (5 5)", "LINESTRING (0 0, 2 2)") == "FF0FFF102")
+    assert(de9im("POINT (1 1)", "POINT (1 1)") == "0FFFFFFF2")
+    assert(de9im("POINT (1 1)", "POINT (2 2)") == "FF0FFF0F2")
+    // mixed line↔polygon masks stay a LOUD documented delta
+    val e = intercept[Exception] {
+      stRelate("LINESTRING (0 0, 1 1)", sq, "*********")
+    }
+    assert(e.getMessage.contains("line↔polygon masks are not implemented"))
   }
 
   test("general geometry distance: exact for disjoint shapes, 0 on contact") {
