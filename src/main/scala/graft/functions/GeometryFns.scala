@@ -1149,16 +1149,42 @@ object GeometryFns {
     val lonLo = math.max(xMin(w), -180.0); val lonHi = math.min(xMax(w), 180.0)
     if (latLo > latHi || lonLo > lonHi) return Array.empty
     val tl = bingTileAt(latHi, lonLo, zoom)
-    val br = bingTileAt(latLo, lonHi, zoom)
-    val nCand = (tileX(br) - tileX(tl) + 1).toLong * (tileY(br) - tileY(tl) + 1).toLong
+    var brX = tileX(bingTileAt(latLo, lonHi, zoom))
+    var brY = tileY(bingTileAt(latLo, lonHi, zoom))
+    // the reference shifts the lower-right tile left/up when it touches
+    // the envelope only at its border (BingTileFunctions.java:401-414:
+    // the tile's upper-left corner EQUALS the envelope's xMax/yMin)
+    val (cornerLon, cornerLat) = tileCorner(brX, brY, zoom)
+    if (brX > tileX(tl) && cornerLon == lonHi) brX -= 1
+    if (brY > tileY(tl) && cornerLat == latLo) brY -= 1
+    val nCand = (brX - tileX(tl) + 1).toLong * (brY - tileY(tl) + 1).toLong
     if (nCand > 1000000L)
       fail(s"geometry_to_bing_tiles: too many tiles at zoom $zoom: $nCand")
+    // points and envelope-equal rectangles skip the per-tile test (by
+    // definition every bbox tile intersects them — reference :422-427)
+    val skipCheck = isPointOrRectangle(w)
     (for {
-      x <- tileX(tl) to tileX(br)
-      y <- tileY(tl) to tileY(br)
+      x <- tileX(tl) to brX
+      y <- tileY(tl) to brY
       t = encode(x, y, zoom)
-      if stIntersects(tilePolygon(t), w)
+      if skipCheck || stIntersects(tilePolygon(t), w)
     } yield t).toArray
+  }
+
+  /** Point, or a single 5-point ring exactly equal to its own envelope
+    * (reference isPointOrRectangle).
+    */
+  private def isPointOrRectangle(w: String): Boolean = {
+    val g = parseGeom(w)
+    if (g.polys.isEmpty && g.paths.length == 1 && g.paths.head.length == 1)
+      return true
+    if (g.polys.length != 1 || g.polys.head.rings.length != 1) return false
+    val ring = g.polys.head.rings.head
+    if (ring.length != 5) return false
+    val xs = ring.map(_.x); val ys = ring.map(_.y)
+    val (x0, x1) = (xs.min, xs.max); val (y0, y1) = (ys.min, ys.max)
+    val corners = Set((x0, y0), (x0, y1), (x1, y0), (x1, y1))
+    ring.take(4).map(p => (p.x, p.y)).toSet == corners
   }
 
   /** to_spherical_geography (reference GeoFunctions.java
@@ -1179,16 +1205,27 @@ object GeometryFns {
     geometryFromText(w)
   }
 
+  /** Tile corner lat/lon with the reference's EXACT formula
+    * (BingTileFunctions.java:601-610: `90 - 360*atan(exp(-y*2π))/π`) —
+    * the asin(tanh(..)) form is mathematically equal but differs in the
+    * last ulps at the latitude clamp (85.05112877980659 vs ...663, KAT
+    * value gate r15).
+    */
+  private def tileCorner(tx: Double, ty: Double, z: Int): (Double, Double) = {
+    val mapSize = (256L << z).toDouble
+    val x = clip(tx * 256.0, 0, mapSize) / mapSize - 0.5
+    val y = 0.5 - clip(ty * 256.0, 0, mapSize) / mapSize
+    val lat = 90 - 360 * math.atan(math.exp(-y * 2 * math.Pi)) / math.Pi
+    (360 * x, lat)
+  }
+
   def tilePolygon(t: Long): String = {
     val z = tileZoom(t)
-    val mapSize = (256L << z).toDouble
-    def lonOf(px: Double): Double = 360.0 * (px / mapSize) - 180.0
-    def latOf(py: Double): Double =
-      math.toDegrees(math.asin(math.tanh((0.5 - py / mapSize) * 2 * math.Pi)))
-    val x0 = tileX(t) * 256.0; val y0 = tileY(t) * 256.0
-    val (w, e) = (lonOf(x0), lonOf(x0 + 256))
-    val (n, s) = (latOf(y0), latOf(y0 + 256))
-    polygonWkt(Polygon(Seq(Array(GPoint(w, s), GPoint(e, s), GPoint(e, n),
-      GPoint(w, n), GPoint(w, s)))))
+    val (w, n) = tileCorner(tileX(t), tileY(t), z)
+    val (e, s) = tileCorner(tileX(t) + 1, tileY(t) + 1, z)
+    // the reference's vertex order (BingTileFunctions.tileToEnvelope →
+    // Esri envelope ring): SW, NW, NE, SE, SW (KAT value gate r15)
+    polygonWkt(Polygon(Seq(Array(GPoint(w, s), GPoint(w, n), GPoint(e, n),
+      GPoint(e, s), GPoint(w, s)))))
   }
 }

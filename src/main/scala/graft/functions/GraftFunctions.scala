@@ -334,6 +334,37 @@ object GraftFnUtils {
   private def ttzEpochOffsetSeconds(zone: org.apache.spark.unsafe.types.UTF8String): Int =
     ztzZone(zone).getRules.getOffset(java.time.Instant.EPOCH).getTotalSeconds
 
+  /** CAST(TIME AS VARCHAR) / CAST(TIMESTAMP AS VARCHAR): the reference
+    * renders with MILLISECONDS always (SqlTime/SqlTimestamp.toString —
+    * '03:04:05.000'; KAT value gate r15), Spark's cast drops the
+    * fraction when zero.
+    */
+  def renderTimeVarchar(nanos: Long): org.apache.spark.unsafe.types.UTF8String = {
+    val t = java.time.LocalTime.ofNanoOfDay(nanos)
+    // sub-millisecond digits survive when nonzero — the engine's TIME is
+    // micros-capable (§1.2 documented widening over the reference's
+    // millis SqlTime)
+    val s =
+      if (nanos % 1000000L != 0) t.format(
+        java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS"))
+      else ttzRenderFmt.format(t)
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  }
+
+  private val tsMicroFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  def renderTimestampVarchar(micros: Long): org.apache.spark.unsafe.types.UTF8String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val s =
+      if (micros % 1000L != 0) tsMicroFmt.format(ldt)
+      else ztzRenderFmt.format(ldt)
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  }
+
   def tzTimeOffsetHour(nanos: Long, zone: org.apache.spark.unsafe.types.UTF8String): Long =
     (ttzEpochOffsetSeconds(zone) / 3600).toLong
 
@@ -642,6 +673,44 @@ object GraftFnUtils {
     * through, half-away-from-zero at pow(10, s) (negatives mirrored so
     * Math.round's half-UP becomes half-away).
     */
+  /** truncate(double) — signum*floor(abs) in DOUBLE space
+    * (MathFunctions.java:316-319); the 2-arg form at pow(10, n). */
+  def truncDouble(num: Double): Double =
+    Math.signum(num) * Math.floor(Math.abs(num))
+
+  def truncDoubleN(num: Double, n: Int): Double = {
+    val factor = Math.pow(10.0, n)
+    Math.signum(num) * Math.floor(Math.abs(num) * factor) / factor
+  }
+
+  /** regexp_split with the reference's Joni split loop
+    * (JoniRegexpFunctions.regexpSplit): a piece per match INCLUDING
+    * leading/trailing empties; a zero-width match advances one position,
+    * so `regexp_split('abcd','')` is ["","a","b","c","d",""] where
+    * java.util.Pattern.split drops the boundary empties (KAT r15).
+    */
+  def prestoRegexpSplit(s: org.apache.spark.unsafe.types.UTF8String,
+      p: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val m = boundedGet(regexReplCache, p.toString,
+      (x: String) => java.util.regex.Pattern.compile(x)).matcher(str)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var lastEnd = 0
+    var next = 0
+    var go = next <= str.length
+    while (go && m.find(next)) {
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(
+        str.substring(lastEnd, m.start))
+      lastEnd = m.end
+      next = if (m.end == m.start) m.start + 1 else m.end
+      go = next <= str.length
+    }
+    out += org.apache.spark.unsafe.types.UTF8String.fromString(
+      str.substring(lastEnd))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   def prestoRoundDouble(num: Double, decimals: Int): Double = {
     if (num.isNaN || num.isInfinite) return num
     val factor = Math.pow(10, decimals)
@@ -1729,7 +1798,14 @@ object GraftFunctions {
       case Seq(b, r) => FromUtf8Repl(b, r)
     },
     "to_utf8" -> { case Seq(s) => Encode(s, Literal("UTF-8")) },
-    "split_to_map" -> { case Seq(s, ed, kd) => StringToMap(s, ed, kd) },
+    // the reference's split_to_map('') is an EMPTY map
+    // (SplitToMapFunction — no entries in empty input; Spark's
+    // str_to_map gives {"": null}; KAT value gate r15)
+    "split_to_map" -> { case Seq(s, ed, kd) =>
+      If(EqualTo(Length(s), Literal(0)),
+        org.apache.spark.sql.catalyst.expressions.CreateMap(
+          Seq.empty, useStringTypeWhenEmpty = true),
+        StringToMap(s, ed, kd)) },
     // full Porter algorithm; 2-arg form dispatches on language like the
     // reference's Snowball map (en only here)
     "word_stem" -> {
@@ -2002,7 +2078,14 @@ object GraftFunctions {
     "none_match" -> { case Seq(a, f: LambdaFunction) =>
       ArrayForAll(a, f.copy(function = Not(f.function))) },
     // regexp_split keeps trailing empties like the reference
-    "regexp_split" -> { case Seq(s, p) => StringSplit(s, p, Literal(-1)) },
+    // the reference's Joni split loop keeps boundary empties and steps
+    // zero-width matches one position (JoniRegexpFunctions.regexpSplit;
+    // Spark's split drops them — KAT value gate r15)
+    "regexp_split" -> { case Seq(s, p) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, ArrayType(StringType, containsNull = false),
+        "prestoRegexpSplit", Seq(s, p),
+        inputTypes = Seq(StringType, StringType), propagateNull = true) },
     // fail(message) → error of class GENERIC_USER_ERROR (FailureFunction)
     "fail" -> { case Seq(m) => RaiseError(m) },
     // combine_hash (CombineHashFunction.java: h1 * 31 + h2)
@@ -2049,14 +2132,17 @@ object GraftFunctions {
       And(Not(IsNaN(x)), LessThan(Abs(x), Literal(Double.PositiveInfinity))) },
     "is_infinite" -> { case Seq(x) =>
       EqualTo(Abs(Cast(x, DoubleType)), Literal(Double.PositiveInfinity)) },
+    // type-dispatched: decimal keeps DECIMAL with the reference's result
+    // types; double/real truncate in DOUBLE space (the old builder's
+    // Spark Floor is LONG-typed — overflow past 2^63; KAT value gate r15)
     "truncate" -> {
-      case Seq(x) => Multiply(Signum(x), Floor(Abs(x)))
-      // truncate(x, n): drop digits past n decimal places (MathFunctions)
-      case Seq(x, n) =>
-        val xd = Cast(x, DoubleType)
-        val factor = Pow(Literal(10.0), Cast(n, DoubleType))
-        Multiply(Signum(xd), Divide(Cast(Floor(Multiply(Abs(xd), factor)), DoubleType), factor))
+      case Seq(x) => TruncateOneDispatch(x)
+      case Seq(x, n) => TruncateDispatch(x, n)
     },
+    // sign keeps the OPERAND's type family in the reference
+    // (MathFunctions sign: bigint→bigint, decimal→decimal(1,0),
+    // real→real) where Spark's signum is always double (KAT value r15)
+    "sign" -> { case Seq(x) => SignDispatch(x) },
     "mod" -> { case Seq(a, b) => Remainder(a, b) },
 
     // ── spatial, points subset (presto-geospatial/GeoFunctions.java;

@@ -51,6 +51,14 @@ import org.apache.spark.sql.types._
   * semantics like every other dialect seam.
   */
 object PrestoComparisons {
+  /** Refire guard for the flatten null-skip arm: an ArrayFilter whose
+    * lambda is exactly `x -> x IS NOT NULL`. */
+  private[functions] def isNotNullFilter(e: Expression): Boolean = e match {
+    case ArrayFilter(_, LambdaFunction(IsNotNull(v1: NamedLambdaVariable),
+        Seq(v2: NamedLambdaVariable), _)) => v1.exprId == v2.exprId
+    case _ => false
+  }
+
 
   /** Scalar float/double comparisons keep their STOCK node and gain a
     * conjoined NaN guard: `cmp AND (CASE WHEN l IS NULL OR r IS NULL
@@ -557,6 +565,18 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
       case l: Like if l.escapeChar == '\\' =>
         Like(l.left, l.right, '\u0000')
 
+      // flatten SKIPS null sub-arrays in the reference
+      // (ArrayFlattenFunction.flatten:97-98 writes only non-null
+      // positions) where Spark's builtin nulls the whole result on any
+      // null element (KAT value gate r15). The IsNotNull-filter shape is
+      // the refire guard.
+      case f: Flatten
+          if f.child.resolved && f.child.dataType.isInstanceOf[ArrayType] &&
+            !PrestoComparisons.isNotNullFilter(f.child) =>
+        val at = f.child.dataType.asInstanceOf[ArrayType]
+        val v = NamedLambdaVariable("graft_fl", at.elementType, at.containsNull)
+        Flatten(ArrayFilter(f.child, LambdaFunction(IsNotNull(v), Seq(v))))
+
       // CAST(interval AS VARCHAR) renders the BARE value in the
       // reference ('12 10:45:32.123' / '126-6' — SqlIntervalDayTime/
       // SqlIntervalYearMonth toString), not Spark's INTERVAL '…' form
@@ -571,6 +591,23 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
             c.child.dataType.isInstanceOf[YearMonthIntervalType] =>
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           GraftFnUtils.getClass, StringType, "renderYearMonthInterval",
+          Seq(c.child), inputTypes = Seq(c.child.dataType), propagateNull = true)
+
+      // CAST(TIME/TIMESTAMP AS VARCHAR) renders with MILLISECONDS always
+      // (SqlTime/SqlTimestamp.toString — '03:04:05.000'; KAT value gate
+      // r15), where Spark's cast drops a zero fraction
+      case c: Cast
+          if c.dataType.isInstanceOf[StringType] && c.child.resolved &&
+            c.child.dataType.isInstanceOf[org.apache.spark.sql.types.TimeType] =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, StringType, "renderTimeVarchar",
+          Seq(c.child), inputTypes = Seq(c.child.dataType), propagateNull = true)
+      case c: Cast
+          if c.dataType.isInstanceOf[StringType] && c.child.resolved &&
+            (c.child.dataType == TimestampType ||
+              c.child.dataType == TimestampNTZType) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftFnUtils.getClass, StringType, "renderTimestampVarchar",
           Seq(c.child), inputTypes = Seq(c.child.dataType), propagateNull = true)
 
       // IPADDRESS/IPPREFIX ordering comparisons use the reference's
@@ -718,6 +755,20 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
       // identical element types) — widen both sides
       case ai @ ArrayIntersect(l, r) if widenArrays(l, r).isDefined =>
         val (l2, r2) = widenArrays(l, r).get; ArrayIntersect(l2, r2)
+
+      // array_intersect emits the LONGER operand's first-occurrence
+      // order (ArrayIntersectFunction.java:38-42 swaps so the shorter
+      // side becomes the membership set; KAT value gate r15) — Spark's
+      // builtin always iterates the left. CommonExpressionRef children
+      // mark the already-rewritten inner nodes.
+      case ArrayIntersect(l, r)
+          if l.resolved && r.resolved &&
+            !l.isInstanceOf[CommonExpressionRef] &&
+            widenArrays(l, r).isEmpty && !nullSetOpArg(l, r) =>
+        With(l, r) { case Seq(a, b) =>
+          If(LessThan(Size(a), Size(b)),
+            ArrayIntersect(b, a), ArrayIntersect(a, b))
+        }
       case ae @ ArrayExcept(l, r) if widenArrays(l, r).isDefined =>
         val (l2, r2) = widenArrays(l, r).get; ArrayExcept(l2, r2)
       case au @ ArrayUnion(l, r) if widenArrays(l, r).isDefined =>

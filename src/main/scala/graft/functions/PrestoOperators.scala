@@ -487,12 +487,57 @@ case class PrestoArrayExtremum(child: Expression, isMax: Boolean)
       val v = NamedLambdaVariable("graft_amx", at.elementType, at.containsNull)
       val hasNull = ArrayExists(a, LambdaFunction(IsNull(v), Seq(v)))
       val ext: Expression = if (isMax) ArrayMax(a) else ArrayMin(a)
-      If(hasNull, Literal.create(null, at.elementType), ext)
+      val nullOrExt = If(hasNull, Literal.create(null, at.elementType), ext)
+      at.elementType match {
+        case DoubleType | FloatType =>
+          // a NaN element wins over BOTH the extremum and the
+          // null-poisoning (ArrayMinMaxUtils.doubleArrayMinMax:101-103
+          // returns NaN the moment it sees one — KAT value gate r15)
+          val v2 = NamedLambdaVariable("graft_anan", at.elementType, at.containsNull)
+          val hasNaN = ArrayExists(a,
+            LambdaFunction(And(IsNotNull(v2), IsNaN(v2)), Seq(v2)))
+          If(And(IsNotNull(hasNaN), hasNaN),
+            Literal.create(
+              if (at.elementType == FloatType) Float.NaN else Double.NaN,
+              at.elementType),
+            nullOrExt)
+        case _ => nullOrExt
+      }
     }
   }
 
   override protected def withNewChildInternal(c: Expression): PrestoArrayExtremum =
     copy(child = c)
+}
+
+/** 2-arg `concat` under the dialect: element-append forms null the whole
+  * result on a NULL scalar (see the dispatch arm above). Late-binding on
+  * the resolved operand types.
+  */
+case class ConcatElementDispatch(left: Expression, right: Expression)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def prettyName: String = "concat"
+
+  private def asArr(at: ArrayType, e: Expression): Expression =
+    If(IsNull(e),
+      Literal.create(null, ArrayType(at.elementType, containsNull = true)),
+      CreateArray(Seq(Cast(e, at.elementType))))
+
+  override lazy val replacement: Expression =
+    (left.dataType, right.dataType) match {
+      case (_: ArrayType, _: ArrayType) => Concat(Seq(left, right))
+      case (at: ArrayType, _) => Concat(Seq(left, asArr(at, right)))
+      case (_, at: ArrayType) => Concat(Seq(asArr(at, left), right))
+      case (BinaryType, BinaryType) => Concat(Seq(left, right))
+      case _ => // Spark's ConcatCoercion: everything else concats as text
+        Concat(Seq(Cast(left, StringType), Cast(right, StringType)))
+    }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ConcatElementDispatch =
+    copy(left = l, right = r)
 }
 
 /** SQL call conventions where the reference and Spark share a function
@@ -703,6 +748,15 @@ object PrestoCallConventions {
     case u: UnresolvedFunction
         if simple(u) && name(u) == "split_part" && u.arguments.size == 3 =>
       SplitPartPresto(u.arguments(0), u.arguments(1), u.arguments(2))
+    // concat(array, element) / concat(element, array): a NULL scalar
+    // nulls the WHOLE result in the reference (the appended element is
+    // RETURN_NULL_ON_NULL — ArrayConcatUtils appendElement), where
+    // Spark's coercion wraps the scalar as array(NULL) and appends a
+    // null element (KAT value gate r15). Plain string/binary/array-array
+    // concat delegates unchanged.
+    case u: UnresolvedFunction
+        if simple(u) && name(u) == "concat" && u.arguments.size == 2 =>
+      ConcatElementDispatch(u.arguments(0), u.arguments(1))
     // round(x, s): the reference's scale is any integer EXPRESSION
     // (MathFunctions.java:725-762) where Spark's Round demands a foldable
     // INT literal — late-binding dispatch on the resolved x type

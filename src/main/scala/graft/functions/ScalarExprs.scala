@@ -88,8 +88,9 @@ case class CastToJson(child: Expression)
       // stringified then sorted as strings (JsonUtil.java
       // RowJsonGeneratorWriter writeStartArray, MapJsonGeneratorWriter
       // TreeMap). StructsToJson would emit objects for rows and
-      // map-order keys — a probed, real porting divergence.
-      PrestoJsonRender(child)
+      // map-order keys — a probed, real porting divergence. JSON-typed
+      // members detected from the expression shape embed RAW (r15).
+      PrestoJsonRender(child, PrestoJsonRender.shapeOf(child))
     case BooleanType =>
       Cast(child, StringType)
     case DoubleType | FloatType =>
@@ -132,7 +133,58 @@ case class CastToJson(child: Expression)
   * Jackson's default ("NaN"). Long-tail cast, never a scan hot path —
   * CodegenFallback is the right cost.
   */
-case class PrestoJsonRender(child: Expression)
+object PrestoJsonRender {
+  /** Which positions carry JSON-TYPED values (modeled as VARCHAR —
+    * their text embeds RAW instead of re-quoting; r15 value gate:
+    * CAST(ARRAY[JSON '1'] AS JSON) is [1], not ["1"]). Built from the
+    * EXPRESSION shape at analysis (CreateArray/CreateMap/
+    * CreateNamedStruct positions are static); container columns stay
+    * Plain — the erased type cannot be recovered, a documented delta.
+    */
+  sealed trait Shape
+  case object Plain extends Shape
+  case object Raw extends Shape
+  final case class PerPos(positions: Seq[Shape]) extends Shape
+
+  private def isJsonProducer(e: Expression): Boolean = e match {
+    case a: Alias => isJsonProducer(a.child)
+    case _: CastToJson | _: PrestoJsonRender => true
+    // the UDF null-probe wrapper (round 14): If(x IS NULL, NULL, udf(x))
+    case If(IsNull(_), Literal(null, _), inner) => isJsonProducer(inner)
+    case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+      u.udfName.exists(n => n == "json_parse" || n == "json_extract")
+    case _ => false
+  }
+
+  def shapeOf(e: Expression): Shape = e match {
+    case a: Alias => shapeOf(a.child)
+    case x if isJsonProducer(x) => Raw
+    case CreateArray(elems, _) => PerPos(elems.map(shapeOf))
+    case CreateMap(kvs, _) =>
+      PerPos(kvs.grouped(2).map(kv => shapeOf(kv(1))).toSeq)
+    case s: CreateNamedStruct => PerPos(s.valExprs.map(shapeOf))
+    // the dialect's MAP(keys, values) ctor: value positions follow the
+    // value-array literal (MapCtorDispatch → map_from_arrays)
+    case m: MapFromArrays => m.right match {
+      case CreateArray(vals, _) => PerPos(vals.map(shapeOf))
+      case _ => Plain
+    }
+    case m: MapCtorDispatch => m.right match {
+      case CreateArray(vals, _) => PerPos(vals.map(shapeOf))
+      case _ => Plain
+    }
+    case _ => Plain
+  }
+
+  def hasRaw(sh: Shape): Boolean = sh match {
+    case Raw => true
+    case PerPos(ps) => ps.exists(hasRaw)
+    case Plain => false
+  }
+}
+
+case class PrestoJsonRender(child: Expression,
+    shape: PrestoJsonRender.Shape = PrestoJsonRender.Plain)
     extends UnaryExpression with CodegenFallback {
 
   override def prettyName: String = "presto_json_render"
@@ -161,8 +213,19 @@ case class PrestoJsonRender(child: Expression)
       s"CAST(... AS JSON): unsupported map key type ${other.catalogString}")
   }
 
-  private def render(dt: DataType, v: Any, sb: java.lang.StringBuilder): Unit = {
+  private def render(dt: DataType, v: Any, sb: java.lang.StringBuilder,
+      sh: PrestoJsonRender.Shape = PrestoJsonRender.Plain): Unit = {
     if (v == null) { sb.append("null"); return }
+    if (sh == PrestoJsonRender.Raw) dt match {
+      // a JSON-typed value: its canonical text embeds as a raw subtree
+      case _: StringType =>
+        sb.append(v.asInstanceOf[UTF8String].toString); return
+      case _ => // non-string JSON-typed shapes don't arise
+    }
+    def posShape(i: Int): PrestoJsonRender.Shape = sh match {
+      case PrestoJsonRender.PerPos(ps) if i < ps.length => ps(i)
+      case _ => PrestoJsonRender.Plain
+    }
     dt match {
       case BooleanType => sb.append(if (v.asInstanceOf[Boolean]) "true" else "false")
       case ByteType | ShortType | IntegerType | LongType => sb.append(v.toString)
@@ -194,7 +257,7 @@ case class PrestoJsonRender(child: Expression)
         var i = 0
         while (i < a.numElements()) {
           if (i > 0) sb.append(',')
-          render(et, if (a.isNullAt(i)) null else a.get(i, et), sb)
+          render(et, if (a.isNullAt(i)) null else a.get(i, et), sb, posShape(i))
           i += 1
         }
         sb.append(']')
@@ -213,7 +276,8 @@ case class PrestoJsonRender(child: Expression)
           if (!first) sb.append(',')
           first = false
           sb.append(renderString(k)).append(':')
-          render(vt, if (vs.isNullAt(idx)) null else vs.get(idx, vt), sb)
+          render(vt, if (vs.isNullAt(idx)) null else vs.get(idx, vt), sb,
+            posShape(idx))
         }
         sb.append('}')
       case st: StructType =>
@@ -223,7 +287,7 @@ case class PrestoJsonRender(child: Expression)
         while (i < st.length) {
           if (i > 0) sb.append(',')
           val fdt = st(i).dataType
-          render(fdt, if (r.isNullAt(i)) null else r.get(i, fdt), sb)
+          render(fdt, if (r.isNullAt(i)) null else r.get(i, fdt), sb, posShape(i))
           i += 1
         }
         sb.append(']')
@@ -234,7 +298,7 @@ case class PrestoJsonRender(child: Expression)
 
   override def nullSafeEval(v: Any): Any = {
     val sb = new java.lang.StringBuilder(40)
-    render(child.dataType, v, sb)
+    render(child.dataType, v, sb, shape)
     UTF8String.fromString(sb.toString)
   }
 
@@ -306,14 +370,158 @@ case class RoundDispatch(left: Expression, right: Expression)
     // own integral-cast wrapper, where eval() would throw
     case _ if RoundDispatch.isNullLiteral(right) =>
       Literal.create(null, left.dataType)
-    case _ => // decimal shapes keep Spark's builtin (loud on a
-      // non-foldable scale, which the reference's decimal round also
-      // cannot type); the scale is int-typed for it
+    case dt: DecimalType =>
+      // decimal(p,s) rounds half-away-from-zero at scale n but KEEPS
+      // scale s in the result type — decimal(min(38,p+1), s)
+      // (MathFunctions.java:838-865 roundN; KAT value gate r15: Spark's
+      // Round re-scales to n, so round(3.449, 1) read 3.4 not 3.400)
+      RoundDecimalN(left, Cast(right, IntegerType), dt.precision, dt.scale)
+    case _ =>
       Round(left, Cast(right, IntegerType))
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RoundDispatch =
     copy(left = l, right = r)
+}
+
+/** `truncate(x[, n])` under the dialect — type-dispatched like round
+  * (KAT value gate r15: the old double-only builder lost DECIMAL
+  * results entirely and its Spark `Floor` is LONG-typed, overflowing
+  * past 2^63). Reference semantics (MathFunctions.java:898-936
+  * Truncate / 938-1004 TruncateN):
+  *  - truncate(decimal(p,s)) → decimal(max(1,p-s),0), digits after the
+  *    point dropped toward zero;
+  *  - truncate(decimal(p,s), n) → decimal(p,s), digits below scale n
+  *    zeroed toward zero (n ≥ s unchanged; p-s+n ≤ 0 → 0);
+  *  - truncate(double/real) = signum*floor(abs) in DOUBLE space;
+  *    2-arg double keeps the same shape at pow(10,n).
+  * Long-tail scalar — CodegenFallback.
+  */
+/** `sign(x)` with the reference's operand-typed results
+  * (MathFunctions.java sign overloads: integral → same integral type,
+  * real → real, decimal(p,s) → decimal(1,0), double → double) where
+  * Spark's signum is always DOUBLE. Values are identical (−1/0/1, NaN
+  * passes through the double arm); only the result type sharpens.
+  */
+case class SignDispatch(child: Expression)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression] {
+
+  override def prettyName: String = "sign"
+
+  override lazy val replacement: Expression = {
+    val sg = Signum(Cast(child, DoubleType))
+    child.dataType match {
+      case _: DecimalType => Cast(sg, DecimalType(1, 0))
+      case ByteType | ShortType | IntegerType | LongType => Cast(sg, child.dataType)
+      case FloatType => Cast(sg, FloatType)
+      case _ => sg
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignDispatch =
+    copy(child = c)
+}
+
+case class TruncateOneDispatch(child: Expression)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression] {
+
+  override def prettyName: String = "truncate"
+
+  override lazy val replacement: Expression = child.dataType match {
+    case dt: DecimalType =>
+      TruncateDecimal(child, Literal(0), dt.precision, dt.scale, oneArg = true)
+    case _ =>
+      val out = org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, DoubleType, "truncDouble",
+        Seq(Cast(child, DoubleType)),
+        inputTypes = Seq(DoubleType), propagateNull = true)
+      if (child.dataType == FloatType) Cast(out, FloatType) else out
+  }
+
+  override protected def withNewChildInternal(c: Expression): TruncateOneDispatch =
+    copy(child = c)
+}
+
+case class TruncateDispatch(left: Expression, right: Expression)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def prettyName: String = "truncate"
+
+  override lazy val replacement: Expression = left.dataType match {
+    case dt: DecimalType =>
+      TruncateDecimal(left, Cast(right, IntegerType), dt.precision, dt.scale)
+    case _ =>
+      val xd = Cast(left, DoubleType)
+      val out = org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        GraftFnUtils.getClass, DoubleType, "truncDoubleN",
+        Seq(xd, Cast(right, IntegerType)),
+        inputTypes = Seq(DoubleType, IntegerType), propagateNull = true)
+      if (left.dataType == FloatType) Cast(out, FloatType) else out
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TruncateDispatch =
+    copy(left = l, right = r)
+}
+
+/** Decimal round-at-scale-n kernel: half away from zero at scale n,
+  * result scale stays s (decimal(min(38,p+1), s) — see RoundDispatch's
+  * decimal arm). Long-tail scalar — CodegenFallback.
+  */
+case class RoundDecimalN(first: Expression, second: Expression,
+    p: Int, s: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = first
+  override def right: Expression = second
+  override def prettyName: String = "round"
+  override def dataType: DataType = DecimalType(math.min(38, p + 1), s)
+
+  override def nullSafeEval(x: Any, n: Any): Any = {
+    val bd = x.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+    val scale = n.asInstanceOf[Number].intValue
+    val out = bd.setScale(math.min(scale, s), java.math.RoundingMode.HALF_UP)
+      .setScale(s, java.math.RoundingMode.UNNECESSARY)
+    org.apache.spark.sql.types.Decimal(out,
+      dataType.asInstanceOf[DecimalType].precision, s)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RoundDecimalN =
+    copy(first = l, second = r)
+}
+
+/** Decimal truncate kernel: `n >= s` unchanged, otherwise digits below
+  * scale n zeroed toward zero; `oneArg` drops the scale entirely
+  * (result decimal(max(1,p-s),0)). See TruncateDispatch.
+  */
+case class TruncateDecimal(first: Expression, second: Expression,
+    p: Int, s: Int, oneArg: Boolean = false)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = first
+  override def right: Expression = second
+  override def prettyName: String = "truncate"
+  override def dataType: DataType =
+    if (oneArg) DecimalType(math.max(1, p - s), 0) else DecimalType(p, s)
+
+  override def nullSafeEval(x: Any, n: Any): Any = {
+    val bd = x.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+    val scale = n.asInstanceOf[Number].intValue
+    val out =
+      if (oneArg)
+        bd.setScale(0, java.math.RoundingMode.DOWN)
+      else
+        bd.setScale(math.min(scale, s), java.math.RoundingMode.DOWN)
+          .setScale(s, java.math.RoundingMode.UNNECESSARY)
+    org.apache.spark.sql.types.Decimal(out,
+      dataType.asInstanceOf[DecimalType].precision,
+      dataType.asInstanceOf[DecimalType].scale)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TruncateDecimal =
+    copy(first = l, second = r)
 }
 
 /** json_array_contains(json, value): the probe's resolved SQL type
@@ -455,9 +663,11 @@ case class ArrayNgramsExpr(left: Expression, right: Expression)
 }
 
 /** `combinations(array(T), n)` — ArrayCombinationsFunction.java, generic
-  * over the element type: positional n-subsets in lexicographic index
-  * order (duplicate values yield duplicate subsets), 0 ≤ n ≤ 5, result
-  * elements capped at 100,000 like the reference.
+  * over the element type: positional n-subsets in the REFERENCE's
+  * enumeration order (nextCombination:114-129 increments the leftmost
+  * index with headroom and resets the prefix — [0,1],[0,2],[1,2],[0,3]…
+  * — NOT lexicographic; KAT value gate r15), duplicate values yield
+  * duplicate subsets, 0 ≤ n ≤ 5, result elements capped at 100,000.
   */
 case class ArrayCombinationsExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -478,10 +688,38 @@ case class ArrayCombinationsExpr(left: Expression, right: Expression)
     require(n <= 5, s"combination size must not exceed 5: $n")
     val et = left.dataType.asInstanceOf[ArrayType].elementType
     val elems = arr.toObjectArray(et).asInstanceOf[Array[AnyRef]]
-    val combos = elems.indices.combinations(n).toArray
+    val len = elems.length
+    val combos = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    if (n <= len) {
+      val c = Array.tabulate(n)(identity)
+      var more = true
+      while (more) {
+        combos += c.clone()
+        // reference nextCombination: leftmost index with headroom steps,
+        // prefix resets to 0..i-1
+        var i = 0
+        var stepped = false
+        while (!stepped && i < n - 1) {
+          if (c(i) + 1 < c(i + 1)) {
+            c(i) += 1
+            var j = 0
+            while (j < i) { c(j) = j; j += 1 }
+            stepped = true
+          }
+          i += 1
+        }
+        if (!stepped) {
+          if (n > 0 && c(n - 1) + 1 < len) {
+            c(n - 1) += 1
+            var j = 0
+            while (j < n - 1) { c(j) = j; j += 1 }
+          } else more = false
+        }
+      }
+    }
     require(combos.length.toLong * n <= 100000L, "combinations exceed max size")
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      combos.map(c =>
+      combos.toArray.map(c =>
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
           c.map(elems).toArray[AnyRef]): Any))
   }
@@ -757,8 +995,15 @@ case class PrestoJsonDecode(child: Expression, ddl: String)
   /** Which leaves keep SUBTREE TEXT (spelled JSON in the cast target). */
   @transient private lazy val mask: JsonTargets.Mask = JsonTargets.parse(ddl)
 
-  @transient private lazy val mapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
+  @transient private lazy val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // big/precise number tokens must reach the DECIMAL arm as
+    // BigDecimal — the default DoubleNode loses digits past 2^53
+    // (KAT value gate r15: DECIMAL '…30 digits…' JSON round-trip)
+    m.configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .USE_BIG_DECIMAL_FOR_FLOATS, true)
+    m
+  }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"Cannot cast to JSON target: $msg")

@@ -309,7 +309,9 @@ object DialectOps extends QueryGroup {
     // in the reference (DateTimeOperators.java:65-74 modulo24Hour;
     // YEAR TO MONTH on a TIME is a NO-OP, :137-147) where stock Spark's
     // ANSI TIME raises DATETIME_OVERFLOW past midnight. DuckDB wraps
-    // natively — including the YM no-op — so the oracle pins values.
+    // natively — including the YM no-op — so the oracle pins values
+    // (r15: the engine renders TIME/TIMESTAMP varchar with MILLIS like
+    // the reference's SqlTime.toString, so the oracle appends '.000').
     // DATE/TIMESTAMP ± interval keep stock behavior through the same
     // dispatch (d_ok/ts_ok guard the fallback rows, incl. the DAY-only
     // interval keeping the DATE type). ──
@@ -320,12 +322,12 @@ object DialectOps extends QueryGroup {
         |              CAST(o_orderkey % 60 AS DOUBLE)) AS tod
         |  FROM orders WHERE o_orderkey < 700)
         |SELECT o_orderkey,
-        |  CAST(tod + INTERVAL 90 MINUTE AS VARCHAR) AS plus90m,
-        |  CAST(tod + INTERVAL 23 HOUR AS VARCHAR) AS plus23h,
-        |  CAST(tod - INTERVAL 2 HOUR AS VARCHAR) AS minus2h,
-        |  CAST(tod + INTERVAL 3 MONTH AS VARCHAR) AS ym_noop,
+        |  CAST(tod + INTERVAL 90 MINUTE AS VARCHAR) || '.000' AS plus90m,
+        |  CAST(tod + INTERVAL 23 HOUR AS VARCHAR) || '.000' AS plus23h,
+        |  CAST(tod - INTERVAL 2 HOUR AS VARCHAR) || '.000' AS minus2h,
+        |  CAST(tod + INTERVAL 3 MONTH AS VARCHAR) || '.000' AS ym_noop,
         |  CAST(CAST(DATE '2020-01-31' + INTERVAL 1 DAY AS DATE) AS VARCHAR) AS d_ok,
-        |  CAST(TIMESTAMP '2020-01-01 10:00:00' + INTERVAL 2 HOUR AS VARCHAR) AS ts_ok
+        |  CAST(TIMESTAMP '2020-01-01 10:00:00' + INTERVAL 2 HOUR AS VARCHAR) || '.000' AS ts_ok
         |FROM t ORDER BY o_orderkey""".stripMargin) { (s, _) =>
       s.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
       try s.sql(

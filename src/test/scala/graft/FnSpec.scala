@@ -1478,4 +1478,84 @@ class FnSpec extends AnyFunSuite {
     val diff = math.abs(lt - tod)
     assert(diff < 120 || diff > 86280, s"localtime $lt s vs localtimestamp $tod s")
   }
+
+  test("word_stem covers the reference's full 20-language STEMMERS matrix (round 15)") {
+    Tables.register(spark, TestSession.sf)
+    def stem(w: String, l: String): String =
+      spark.sql(s"SELECT word_stem('$w', '$l')").collect()(0).getString(0)
+    // the six languages the reference's own tests exercise
+    // (TestWordStemFunction.java:26-42)
+    assert(stem("authorized", "en") == "author")
+    assert(stem("continuerait", "fr") == "continu")
+    assert(stem("torpedearon", "es") == "torped")
+    assert(stem("quilomtricos", "pt") == "quilomtr")
+    assert(stem("pronunziare", "it") == "pronunz")
+    assert(stem("auferstnde", "de") == "auferstnd")
+    // round-15 additions, hand-derived against the published Snowball
+    // specs (snowballstem.org): da step1 e + step3 els + step4
+    // undouble; no step1 ene; sv step1 arne/heten + step3 fullt;
+    // nl 3b lijk + repeated step 2, heid in R2 + ig
+    assert(stem("bestemmelse", "da") == "bestem")
+    assert(stem("indtagelse", "da") == "indtag")
+    assert(stem("havnedistriktene", "no") == "havnedistrikt")
+    assert(stem("possessivt", "no") == "possessiv")
+    assert(stem("hans", "no") == "han")
+    assert(stem("jaktkarlarne", "sv") == "jaktkarl")
+    assert(stem("klokheten", "sv") == "klok")
+    // fullt only strips inside R1 — the bare word is its own stem, the
+    // compound strips (the spec's suffix-in-R1 discipline)
+    assert(stem("fullt", "sv") == "fullt")
+    assert(stem("framgangsfullt", "sv") == "framgangsfull")
+    assert(stem("lichamelijk", "nl") == "licham")
+    assert(stem("gezelligheid", "nl") == "gezell")
+    // the ten remaining codes of WordStemFunction.java's STEMMERS map
+    // (ca da... ca eu fi hu hy ir lt ro ru tr) are NOT transcribed —
+    // pinned LOUD documented deltas, never silent wrong stems
+    for (l <- Seq("ca", "eu", "fi", "hu", "hy", "ir", "lt", "ro", "ru", "tr")) {
+      val e = intercept[Exception] { stem("test", l) }
+      assert(e.toString.contains("Unknown stemmer language"), s"$l must error loudly")
+      assert(e.toString.contains("documented delta"), s"$l names the delta")
+    }
+    // a code OUTSIDE the reference's map errors with the reference's text
+    val e = intercept[Exception] { stem("test", "xx") }
+    assert(e.toString.contains("Unknown stemmer language: xx"))
+  }
+
+  test("truncate/round/sign keep the reference's DECIMAL result types (round 15)") {
+    Tables.register(spark, TestSession.sf)
+    spark.conf.set(graft.functions.PrestoOperators.ConfKey, "true")
+    try {
+      def one(sql: String): Any = spark.sql(sql).collect()(0).get(0)
+      // truncate(decimal(p,s)) -> decimal(max(1,p-s),0) toward zero
+      // (MathFunctions.java:898-936)
+      assert(one("SELECT truncate(DECIMAL '1234.56')").toString == "1234")
+      assert(one("SELECT truncate(DECIMAL '-1234.56')").toString == "-1234")
+      assert(one("SELECT truncate(DECIMAL '1234567890123456789012.999')").toString
+        == "1234567890123456789012", "no long overflow on wide decimals")
+      // truncate(decimal(p,s), n) -> decimal(p,s), digits below n zeroed
+      assert(one("SELECT truncate(DECIMAL '1234.56', 1)").toString == "1234.50")
+      assert(one("SELECT truncate(DECIMAL '-1239.99', 1)").toString == "-1239.90")
+      assert(one("SELECT truncate(DECIMAL '1234.56', -4)").toString == "0.00")
+      assert(one("SELECT truncate(DECIMAL '1234.56', 3)").toString == "1234.56")
+      // round(decimal(p,s), n) keeps scale s (decimal(min(38,p+1),s)) —
+      // half away from zero at scale n (MathFunctions.java:838-865)
+      assert(one("SELECT round(DECIMAL '3.449', 1)").toString == "3.400")
+      assert(one("SELECT round(DECIMAL '-3.450', 1)").toString == "-3.500")
+      assert(one("SELECT round(DECIMAL '1254.5678', -2)").toString == "1300.0000")
+      assert(one("SELECT round(DECIMAL '9.99', 1)").toString == "10.00")
+      // runtime (non-literal) scale works — the decimal dynamic-scale
+      // KAT residual class is CLOSED by the dispatch kernel
+      val dyn = spark.sql(
+        "SELECT round(DECIMAL '3.449', CAST(x AS INT)) FROM VALUES (1), (2) t(x)")
+        .collect().map(_.get(0).toString).sorted
+      assert(dyn.sameElements(Array("3.400", "3.450")), dyn.mkString(","))
+      // truncate(double) stays in DOUBLE space (no Floor-long overflow)
+      assert(one("SELECT truncate(1.0E300)") == 1.0e300)
+      // sign keeps the operand's type family (decimal -> decimal(1,0))
+      assert(one("SELECT sign(DECIMAL '-123.000000000000000')").toString == "-1")
+      assert(one("SELECT sign(CAST(7 AS BIGINT))") == 1L)
+      assert(one("SELECT sign(CAST(-2 AS INTEGER))") == -1)
+      assert(one("SELECT sign(CAST(0.0 AS DOUBLE))") == 0.0)
+    } finally spark.conf.unset(graft.functions.PrestoOperators.ConfKey)
+  }
 }

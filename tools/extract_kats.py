@@ -350,9 +350,14 @@ def fold_arith(e):
     division truncates and the tests' intent is ambiguous in text)."""
     if not ARITH_SAFE.match(e) or not re.search(r"[+\-*]", e.strip()[1:]):
         return _MARK
+    # float32 arithmetic does NOT fold: Java computes `-17.34f + -22.891f`
+    # in float space and python would fold it in double space — the two
+    # differ in the low bits and the comparator is ULP-exact (r15)
+    if re.search(r"\d[Ff]\b", e):
+        return _MARK
     # strip Java numeric suffixes; track float-ness
-    is_float = "." in e or re.search(r"\d[FfDd]\b", e) is not None
-    cleaned = re.sub(r"(\d)[LlFfDd]\b", r"\1", e).replace("_", "")
+    is_float = "." in e or re.search(r"\d[Dd]\b", e) is not None
+    cleaned = re.sub(r"(\d)[LlDd]\b", r"\1", e).replace("_", "")
     if re.search(r"[a-df-zA-DF-Z]", cleaned):
         return _MARK
     try:
