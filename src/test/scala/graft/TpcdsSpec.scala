@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.TpcdsSynth
+import graft.operators.{TpcdsQueries, TpcdsSynth}
 
 /** Scale + semantics pins for the adapted TPC-DS corpus (TpcdsQueries /
   * TpcdsSynth). Correctness is oracle-gated; these tests pin what the
@@ -53,10 +53,24 @@ class TpcdsSpec extends AnyFunSuite {
   test("q64: the 17-table join plans without cartesian, dims broadcast") {
     // the corpus' widest join graph: every dim join must stay keyed
     // (broadcast or shuffle), never degrade to a cross product — at
-    // 100 TB a single accidental cartesian in this graph is fatal
+    // 100 TB a single accidental cartesian in this graph is fatal.
+    // Round 15 materializes the twice-referenced cross_sales CTE once
+    // (the q14 treatment, kills the per-run AQE/janino replan storm), so
+    // the 17-table properties are asserted on the MATERIALIZATION plan
+    // and the outer query must be a keyed 2-table self-join of it.
+    SparkEntry.queries("tpcds_q64")(spark, TestSession.sf) // views + warm
+    val inner = spark.sql(
+      "WITH cs_ui AS (\n" +
+        TpcdsQueries.q64CsUiBody.replace("tpcds.", "graft_tpcds_") + "\n)\n" +
+        TpcdsQueries.q64CrossBody.replace("tpcds.", "graft_tpcds_"))
+      .queryExecution.executedPlan.toString
+    assert(!inner.contains("CartesianProduct"),
+      s"cartesian in q64 cross_sales:\n${inner.take(4000)}")
+    assert(inner.contains("BroadcastHashJoin"),
+      "q64's generated dims must broadcast")
     val p = plan("tpcds_q64")
-    assert(!p.contains("CartesianProduct"), s"cartesian in q64:\n${p.take(4000)}")
-    assert(p.contains("BroadcastHashJoin"), "q64's generated dims must broadcast")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q64 outer:\n${p.take(4000)}")
+    assert(p.contains("Join"), "outer self-join must be a keyed join")
   }
 
   test("q22: rollup grand-total row equals the ungrouped average") {
