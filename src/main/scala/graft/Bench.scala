@@ -77,6 +77,107 @@ object Bench {
     // the m10 stress point) it earns headline visibility
     "dd_exact_substring")
 
+  /** Load-normalized control (round 15): a pinned checkout at the
+    * previous round's verdict commit (tools/setup_bench_control.sh)
+    * runs as a lockstep subprocess — each headline query is measured
+    * HEAD-then-control seconds apart in the SAME session, so the
+    * per-query HEAD/control ratio separates code movers from machine
+    * load (the r14 driver point regressed +29% with zero code-attributed
+    * movers and could not arbitrate itself). Degrades gracefully: no
+    * compiled control dir → ratios absent, bench unchanged.
+    */
+  private final class Control(dir: java.io.File, sfDir: String) {
+    private val tag = {
+      val f = new java.io.File(dir, "CONTROL_TAG")
+      if (f.exists)
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      else "unknown"
+    }
+    def controlTag: String = tag
+    private var proc: Process = _
+    private var toCtrl: java.io.PrintWriter = _
+    private var fromCtrl: java.util.concurrent.BlockingQueue[String] = _
+    private var dead = false
+
+    private def readLine(timeoutSec: Long): Option[String] = {
+      val v = fromCtrl.poll(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (v == null) { kill("timeout"); None } else Some(v)
+    }
+
+    private def kill(why: String): Unit = if (!dead) {
+      dead = true
+      System.err.println(s"[bench] control disabled: $why")
+      if (proc != null) proc.destroyForcibly()
+    }
+
+    def start(): Boolean = {
+      try {
+        val classes = new java.io.File(dir, "target/scala-2.13/classes")
+        val javaBin = sys.props("java.home") + "/bin/java"
+        val cp = classes.getAbsolutePath + ":/opt/spark/jars/*"
+        val pb = new ProcessBuilder(
+          javaBin, "-Xmx8g", "--add-opens=java.base/java.nio=ALL-UNNAMED",
+          "--add-opens=java.base/java.lang=ALL-UNNAMED",
+          "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+          "--add-opens=java.base/java.util=ALL-UNNAMED",
+          "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+          "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+          "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
+          "--enable-native-access=ALL-UNNAMED",
+          "-cp", cp, "graft.tools.ControlServer", sfDir)
+        pb.redirectErrorStream(false)
+        proc = pb.start()
+        // drain stderr so the control can't block on a full pipe
+        val errDrain = new Thread(() => {
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(proc.getErrorStream))
+          while (r.readLine() != null) {}
+        })
+        errDrain.setDaemon(true); errDrain.start()
+        fromCtrl = new java.util.concurrent.LinkedBlockingQueue[String]()
+        val outPump = new Thread(() => {
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(proc.getInputStream))
+          var l = r.readLine()
+          while (l != null) {
+            if (l.startsWith("CTRLPROTO ")) fromCtrl.put(l)
+            l = r.readLine()
+          }
+        })
+        outPump.setDaemon(true); outPump.start()
+        toCtrl = new java.io.PrintWriter(proc.getOutputStream, true)
+        readLine(300) match {
+          case Some("CTRLPROTO READY") => true
+          case other => kill(s"bad handshake: $other"); false
+        }
+      } catch {
+        case e: Throwable => kill(s"launch failed: ${e.getMessage}"); false
+      }
+    }
+
+    /** Min-of-N control time for the query, or None (absent in the
+      * control tag / failed / control dead). */
+    def measure(name: String): Option[Double] = {
+      if (dead) return None
+      toCtrl.println(name)
+      readLine(600).flatMap { l =>
+        l.split(' ') match {
+          case Array("CTRLPROTO", "DONE", `name`, secs) =>
+            try Some(secs.toDouble) catch { case _: Throwable => None }
+          case Array("CTRLPROTO", "ABSENT", `name`) => None
+          case Array("CTRLPROTO", "FAILED", `name`) => None
+          case _ => kill(s"protocol drift: $l"); None
+        }
+      }
+    }
+
+    def stop(): Unit = if (!dead) {
+      try { toCtrl.println("quit"); readLine(30) } catch { case _: Throwable => }
+      if (proc != null) proc.destroyForcibly()
+      dead = true
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val prewarm = sys.env.getOrElse("SPARK_GRAFT_PREWARM", "1").toInt
@@ -108,6 +209,23 @@ object Bench {
     val unknown = headline.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty,
       s"headline names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    // pinned-control lockstep (SPARK_GRAFT_CONTROL_DIR, default
+    // .bench-control; SPARK_GRAFT_CONTROL=0 disables): started before
+    // the first measurement so both JVMs share the whole session window
+    val controlDir = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_CONTROL_DIR", ".bench-control"))
+    val control: Option[Control] =
+      if (sys.env.get("SPARK_GRAFT_CONTROL").contains("0")) None
+      else if (!new java.io.File(controlDir,
+          "target/scala-2.13/classes/graft/tools/ControlServer.class").exists) {
+        System.err.println("[bench] no compiled control at " +
+          controlDir.getPath + " — ratios absent (tools/setup_bench_control.sh)")
+        None
+      } else {
+        val c = new Control(controlDir, sfDir)
+        if (c.start()) Some(c) else None
+      }
+    val controlTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = headline
       .filter(n => only.forall(_.contains(n))).map { name =>
       val times =
@@ -119,8 +237,11 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             Seq(-1.0)
         }
+      // control measurement immediately after HEAD's — same load window
+      control.flatMap(_.measure(name)).foreach(controlTimes(name) = _)
       name -> times
     }
+    control.foreach(_.stop())
 
     def fmt(v: Double) = f"$v%.3f"
     val qs = results.map { case (k, t) => "\"" + k + "\":" + fmt(t.head) }
@@ -158,7 +279,26 @@ object Bench {
       System.err.println(s"[bench] CODEGEN FALLBACK GATE: $fallbacks ERROR " +
         "CodeGenerator events during the measured runs")
     }
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"min-of-$runs%d","queries":$qs,"queries_median":$medians,"total_median":$totalMedian%.3f,"raw_runs":$raw,"tail_flags":$tailFlags,"codegen_fallbacks":$fallbacks,"sf":"$sfDir"}"""
+    // control artifact: per-query HEAD/control ratios (same-session →
+    // load cancels), the control total, and the arbitration — every
+    // ratio > 1.15 is a CODE mover; a slow absolute point with flat
+    // ratios is control-excused as machine load, by the artifact itself
+    val controlTag = control.map(_.controlTag).getOrElse("")
+    val ctrlQs = controlTimes.map { case (k, t) => "\"" + k + "\":" + fmt(t) }
+      .mkString("{", ",", "}")
+    val ratios = results.collect {
+      case (k, t) if t.head > 0 && controlTimes.get(k).exists(_ > 0) =>
+        k -> t.head / controlTimes(k)
+    }
+    val ratioJson = ratios.map { case (k, r) => f""""$k":$r%.2f""" }
+      .mkString("{", ",", "}")
+    val codeMovers = ratios.filter(_._2 > 1.15)
+      .map { case (k, r) => f""""$k":$r%.2f""" }.mkString("{", ",", "}")
+    val controlTotal = controlTimes.values.sum
+    val controlJson =
+      if (control.isEmpty) "\"control\":null"
+      else f""""control":{"tag":"$controlTag","total":$controlTotal%.3f,"queries":$ctrlQs,"ratio":$ratioJson,"code_movers":$codeMovers,"ratio_gate":1.15}"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"min-of-$runs%d","queries":$qs,"queries_median":$medians,"total_median":$totalMedian%.3f,"raw_runs":$raw,"tail_flags":$tailFlags,"codegen_fallbacks":$fallbacks,$controlJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
@@ -169,6 +309,9 @@ object Bench {
     // noise emitted after an earlier println could push the JSON line out
     // of that window. Only sbt's short "[success]" trailer follows this.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"min-of-$runs%d","queries":$qs,"tail_flags":$tailFlags,"codegen_fallbacks":$fallbacks,"sf":"$sfDir"}""")
+    val ctrlStdout =
+      if (control.isEmpty) ""
+      else f""""control_tag":"$controlTag","control_total":$controlTotal%.3f,"code_movers":$codeMovers,"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"min-of-$runs%d","queries":$qs,"tail_flags":$tailFlags,"codegen_fallbacks":$fallbacks,$ctrlStdout"sf":"$sfDir"}""")
   }
 }

@@ -1,0 +1,28 @@
+#!/bin/bash
+# Pin the bench control: a git worktree at the PREVIOUS round's verdict
+# commit, compiled once. Bench.scala discovers it (SPARK_GRAFT_CONTROL_DIR,
+# default .bench-control) and interleaves each headline query HEAD-then-
+# control in the same session, emitting per-query HEAD/control ratios
+# into bench_detail.json — the scored bench point then carries its own
+# load normalization (round-15 verdict ask #1).
+#
+# Usage: tools/setup_bench_control.sh [control-commit]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+TAG="${1:-8af51e9}"   # round-14 verdict commit
+
+git worktree remove --force .bench-control 2>/dev/null || true
+rm -rf .bench-control
+git worktree prune
+git worktree add --detach .bench-control "$TAG"
+
+# older tags predate ControlServer — inject the HEAD copy (stable APIs
+# only: GraftSession, SparkEntry.queries, noop sink)
+if [ ! -f .bench-control/src/main/scala/graft/tools/ControlServer.scala ]; then
+  cp src/main/scala/graft/tools/ControlServer.scala \
+     .bench-control/src/main/scala/graft/tools/ControlServer.scala
+fi
+
+(cd .bench-control && sbt -batch compile)
+git -C . rev-parse --short "$TAG" > .bench-control/CONTROL_TAG
+echo "bench control ready at $(cat .bench-control/CONTROL_TAG)"
