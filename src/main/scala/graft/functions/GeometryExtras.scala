@@ -952,7 +952,25 @@ object GeometryExtras {
   /** ST_XMin/YMin/XMax/YMax over any geometry; empty → NULL
     * (GeoFunctions.java:486-534).
     */
-  def envelopeCoord(wkt: String, which: String): java.lang.Double =
+  def envelopeCoord(wkt: String, which: String): java.lang.Double = {
+    // hot path: the spatial joins call this FOUR times per row over the
+    // same WKT — the cached single-geometry parse (GeometryFns.bounds)
+    // covers everything non-empty; empties keep the generic NULL arm
+    // (round-15 polygon-join A/B: the generic parse here was ~0.9 s of
+    // the bench query)
+    val t = wkt.trim
+    if (!(t.endsWith("EMPTY") || t.endsWith("empty")) &&
+        !t.startsWith("GEOMETRYCOLLECTION") && !t.startsWith("geometrycollection")) {
+      try {
+        val (xmin, ymin, xmax, ymax) = GeometryFns.bounds(wkt)
+        return java.lang.Double.valueOf(which match {
+          case "xmin" => xmin
+          case "ymin" => ymin
+          case "xmax" => xmax
+          case "ymax" => ymax
+        })
+      } catch { case _: IllegalArgumentException => /* generic arm */ }
+    }
     envelopeOf(wkt) match {
       case None => null
       case Some((lo, hi)) => java.lang.Double.valueOf(which match {
@@ -962,6 +980,7 @@ object GeometryExtras {
         case "ymax" => hi.y
       })
     }
+  }
 
   // ── point-set operations (0-dimensional operand pairs — the areal
   //    overlay lives in GeometryFns/PolygonOverlay; these carry the

@@ -179,6 +179,29 @@ object GeometryFns {
     */
   private final case class Geom(paths: Seq[Array[GPoint]], polys: Seq[Polygon])
 
+  /** Per-thread LRU over parsed geometries. The spatial-join kernels
+    * call st_intersects once per CANDIDATE PAIR and the envelope UDFs
+    * four times per row over the SAME WKT strings — at 100x scale a
+    * per-pair parse multiplies into the dominant cost (round-15 A/B vs
+    * the r13 tag: ~2x on spatial_polygon_join, both stages parse-bound).
+    * Geom is immutable after parse; 1024 entries bound executor memory.
+    */
+  private val geomCache =
+    new ThreadLocal[java.util.LinkedHashMap[String, Geom]] {
+      override def initialValue(): java.util.LinkedHashMap[String, Geom] =
+        new java.util.LinkedHashMap[String, Geom](256, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Geom]): Boolean = size > 1024
+        }
+    }
+
+  private def parseGeomCached(wkt: String): Geom = {
+    val m = geomCache.get
+    val hit = m.get(wkt)
+    if (hit != null) hit
+    else { val g = parseGeom(wkt); m.put(wkt, g); g }
+  }
+
   private def parseGeom(wkt: String): Geom = {
     // direct fast paths for the hot types — st_intersects runs per
     // candidate PAIR inside the spatial joins, so the single-polygon /
@@ -228,7 +251,7 @@ object GeometryFns {
     * and no edges cross).
     */
   def stIntersects(wktA: String, wktB: String): Boolean = {
-    val ga = parseGeom(wktA); val gb = parseGeom(wktB)
+    val ga = parseGeomCached(wktA); val gb = parseGeomCached(wktB)
     // edge/vertex-vs-edge tests
     val edgeHit = ga.paths.exists { pa =>
       gb.paths.exists { pb =>
@@ -793,12 +816,10 @@ object GeometryFns {
     GPoint(ax / aSum, ay / aSum)
   }
 
-  private def bounds(wkt: String): (Double, Double, Double, Double) = {
-    val up = wkt.trim.toUpperCase
-    val pts: Iterator[GPoint] =
-      if (up.startsWith("POINT")) Iterator(parsePoint(wkt))
-      else if (up.startsWith("LINESTRING")) parseLineString(wkt).iterator
-      else parsePolygon(wkt).rings.iterator.flatten
+  private[functions] def bounds(wkt: String): (Double, Double, Double, Double) = {
+    val paths = parseGeomCached(wkt).paths
+    if (paths.forall(_.isEmpty)) fail(s"envelope of an empty geometry: $wkt")
+    val pts: Iterator[GPoint] = paths.iterator.flatten
     var xmin = Double.MaxValue; var xmax = Double.MinValue
     var ymin = Double.MaxValue; var ymax = Double.MinValue
     pts.foreach { p =>
