@@ -292,12 +292,21 @@ object Bench {
     }
     val ratioJson = ratios.map { case (k, r) => f""""$k":$r%.2f""" }
       .mkString("{", ",", "}")
-    val codeMovers = ratios.filter(_._2 > 1.15)
-      .map { case (k, r) => f""""$k":$r%.2f""" }.mkString("{", ",", "}")
+    // the control JVM is systematically colder (fresh session, fewer
+    // warm runs), so raw ratios sit below 1 — gate movers on the ratio
+    // NORMALIZED by the session's median ratio, or a real regression
+    // hides under the cold-control bias
+    val medianRatio =
+      if (ratios.isEmpty) 1.0
+      else ratios.map(_._2).sorted.apply(ratios.size / 2)
+    val codeMovers = ratios
+      .filter { case (_, r) => medianRatio > 0 && r / medianRatio > 1.15 }
+      .map { case (k, r) => f""""$k":${r / medianRatio}%.2f""" }
+      .mkString("{", ",", "}")
     val controlTotal = controlTimes.values.sum
     val controlJson =
       if (control.isEmpty) "\"control\":null"
-      else f""""control":{"tag":"$controlTag","total":$controlTotal%.3f,"queries":$ctrlQs,"ratio":$ratioJson,"code_movers":$codeMovers,"ratio_gate":1.15}"""
+      else f""""control":{"tag":"$controlTag","total":$controlTotal%.3f,"queries":$ctrlQs,"ratio":$ratioJson,"median_ratio":$medianRatio%.2f,"code_movers":$codeMovers,"ratio_gate":"normalized>1.15"}"""
     val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"min-of-$runs%d","queries":$qs,"queries_median":$medians,"total_median":$totalMedian%.3f,"raw_runs":$raw,"tail_flags":$tailFlags,"codegen_fallbacks":$fallbacks,$controlJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
