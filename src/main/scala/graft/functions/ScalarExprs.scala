@@ -573,6 +573,14 @@ case class MapCtorDispatch(left: Expression, right: Expression)
   override def prettyName: String = "map"
 
   override lazy val replacement: Expression = (left.dataType, right.dataType) match {
+    case (ArrayType(_: MapType, _), _: ArrayType) =>
+      // the reference allows ANY comparable key type incl. maps
+      // (MapType.java:39); Spark hard-rejects map-typed keys — keep
+      // the delta LOUD with a named error instead of the unresolved-
+      // replacement INTERNAL_ERROR (r15, pinned in PrestoOperatorsSpec)
+      throw new IllegalArgumentException(
+        "map type cannot be used as a MAP key in this engine " +
+          "(the reference allows any comparable key type — documented delta)")
     case (_: ArrayType, _: ArrayType) => MapFromArrays(left, right)
     // the two-array constructor is RETURN_NULL_ON_NULL in the reference
     // (MapConstructor — TestMapOperators.java:934-936: MAP(null,
@@ -617,6 +625,11 @@ case class EntriesCtorDispatch(child: Expression, multi: Boolean)
       If(EqualTo(Size(child), Literal(0)),
         Literal.create(Map.empty[Any, Any], mt),
         Cast(RaiseError(Literal("map entry cannot be null")), mt))
+    case ArrayType(st: StructType, _)
+        if st.length == 2 && st.head.dataType.isInstanceOf[MapType] =>
+      throw new IllegalArgumentException(
+        "map type cannot be used as a MAP key in this engine " +
+          "(the reference allows any comparable key type — documented delta)")
     case _ => if (multi) MultimapFromEntries(child) else MapFromEntries(child)
   }
 

@@ -203,8 +203,13 @@ class PrestoOperatorsSpec extends AnyFunSuite {
       val e = intercept[Exception] {
         one("SELECT MAP(ARRAY[MAP(ARRAY[1], ARRAY[2])], ARRAY[3])")
       }
-      assert(e.toString.toLowerCase.contains("map"),
-        s"map-key rejection must name the type: $e")
+      assert(e.toString.contains("map type cannot be used as a MAP key"),
+        s"map-key rejection must name the delta: $e")
+      val e2 = intercept[Exception] {
+        one("SELECT map_from_entries(ARRAY[(MAP(ARRAY[1], ARRAY[2]), 3)])")
+      }
+      assert(e2.toString.contains("map type cannot be used as a MAP key"),
+        s"entries-ctor map-key rejection must name the delta: $e2")
     }
   }
 
