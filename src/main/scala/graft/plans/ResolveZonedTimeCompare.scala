@@ -82,9 +82,14 @@ object ResolveZonedTimeCompare extends Rule[LogicalPlan] {
       case bt: Between
           if bt.input.resolved && bt.lower.resolved && bt.upper.resolved && {
             val ops = Seq(bt.input, bt.lower, bt.upper)
-            ops.exists(e => ZonedTimestamps.isZonedTime(e.dataType) ||
-              ZonedTimestamps.isZoned(e.dataType)) &&
-              ops.exists(e => e.dataType.isInstanceOf[TimeType] ||
+            def zoned(e: Expression) =
+              ZonedTimestamps.isZonedTime(e.dataType) ||
+                ZonedTimestamps.isZoned(e.dataType)
+            // ANY zoned operand lifts the whole triple — the all-zoned
+            // shape compared struct-wise (WALL-first for zoned TIME)
+            // before round 15; instants are the contract
+            ops.exists(zoned) &&
+              ops.forall(e => zoned(e) || e.dataType.isInstanceOf[TimeType] ||
                 e.dataType == TimestampType)
           } =>
         Between(lift(bt.input), lift(bt.lower), lift(bt.upper))

@@ -379,6 +379,16 @@ class ZonedTimestampsSpec extends AnyFunSuite {
       assert(one("SELECT TIME '15:30:00 +05:30' < TIME '10:00:01'") == true)
       assert(one(
         "SELECT TIME '10:00:00' IN (TIME '15:30:00 +05:30', TIME '01:00:00')") == true)
+      // ALL-ZONED BETWEEN lifts to instants too (round 15 — the raw
+      // Between node compared the zoned struct WALL-first before;
+      // TestTimestampWithTimeZoneBase.java:218 class, KAT value gate)
+      assert(one("SELECT TIME '03:04:05.321 +07:09' between " +
+        "TIME '02:04:05.111 +06:09' and TIME '02:04:05.333 +06:09'") == true)
+      assert(one("SELECT TIMESTAMP '2001-01-22 03:04:05.321 +07:09' between " +
+        "TIMESTAMP '2001-01-22 02:04:05.111 +06:09' and " +
+        "TIMESTAMP '2001-01-22 02:04:05.321 +06:09'") == true)
+      assert(one("SELECT TIME '03:04:05.321 +07:09' between " +
+        "TIME '02:04:05.322 +06:09' and TIME '02:04:05.333 +06:09'") == false)
     }
   }
 
