@@ -925,9 +925,11 @@ object GeometryExtras {
     envelopeOf(wkt) match {
       case None => "POLYGON EMPTY" // reference: GeoFunctions.java:916
       case Some((lo, hi)) =>
+        // Esri envelope ring order: SW, NW, NE, SE (KAT value gate r15
+        // — same convention as bing_tile_polygon)
         GeometryFns.polygonWkt(Polygon(Seq(Array(
-          GPoint(lo.x - d, lo.y - d), GPoint(hi.x + d, lo.y - d),
-          GPoint(hi.x + d, hi.y + d), GPoint(lo.x - d, hi.y + d),
+          GPoint(lo.x - d, lo.y - d), GPoint(lo.x - d, hi.y + d),
+          GPoint(hi.x + d, hi.y + d), GPoint(hi.x + d, lo.y - d),
           GPoint(lo.x - d, lo.y - d)))))
     }
   }

@@ -51,6 +51,17 @@ import org.apache.spark.sql.types._
   * semantics like every other dialect seam.
   */
 object PrestoComparisons {
+  /** CHAR(n) length of an expression's resolved type (the session
+    * preserves CharType — GraftSession preserveCharVarcharTypeInfo). */
+  private[functions] def charLen(e: Expression): Option[Int] =
+    e.dataType match {
+      case c: CharType => Some(c.length)
+      case _ => None
+    }
+
+  private[functions] def repadChar(inner: Expression, n: Int): Expression =
+    StringRPad(inner, Literal(n), Literal(" "))
+
   /** Refire guard for the flatten null-skip arm: an ArrayFilter whose
     * lambda is exactly `x -> x IS NOT NULL`. */
   private[functions] def isNotNullFilter(e: Expression): Boolean = e match {
@@ -564,6 +575,45 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
         org.apache.spark.sql.graft.LikeBackslash(l.left, l.right)
       case l: Like if l.escapeChar == '\\' =>
         Like(l.left, l.right, '\u0000')
+
+      // TRIM-family and SUBSTR over CHAR(x) return char(x) in the
+      // reference — the result re-pads to the declared length
+      // (TestStringFunctions CHAR vectors: LTRIM(CAST('  hello  ' AS
+      // CHAR(9))) = 'hello    '; KAT value gate r15). The inner source
+      // recasts to STRING so the arm cannot refire.
+      case t: StringTrim
+          if t.srcStr.resolved && PrestoComparisons.charLen(t.srcStr).isDefined &&
+            t.trimStr.isEmpty =>
+        PrestoComparisons.repadChar(
+          StringTrim(Cast(t.srcStr, StringType), None),
+          PrestoComparisons.charLen(t.srcStr).get)
+      case t: StringTrimLeft
+          if t.srcStr.resolved && PrestoComparisons.charLen(t.srcStr).isDefined &&
+            t.trimStr.isEmpty =>
+        PrestoComparisons.repadChar(
+          StringTrimLeft(Cast(t.srcStr, StringType), None),
+          PrestoComparisons.charLen(t.srcStr).get)
+      case t: StringTrimRight
+          if t.srcStr.resolved && PrestoComparisons.charLen(t.srcStr).isDefined &&
+            t.trimStr.isEmpty =>
+        PrestoComparisons.repadChar(
+          StringTrimRight(Cast(t.srcStr, StringType), None),
+          PrestoComparisons.charLen(t.srcStr).get)
+      // the dialect's 1-arg trim family resolves to the unicodeTrim
+      // StaticInvoke before this rule sees it — same re-pad contract
+      case si: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+          if si.functionName == "unicodeTrim" && si.arguments.nonEmpty &&
+            si.arguments.head.resolved &&
+            PrestoComparisons.charLen(si.arguments.head).isDefined =>
+        val n = PrestoComparisons.charLen(si.arguments.head).get
+        PrestoComparisons.repadChar(
+          si.copy(arguments =
+            Cast(si.arguments.head, StringType) +: si.arguments.tail), n)
+      case sub: Substring
+          if sub.str.resolved && PrestoComparisons.charLen(sub.str).isDefined =>
+        PrestoComparisons.repadChar(
+          Substring(Cast(sub.str, StringType), sub.pos, sub.len),
+          PrestoComparisons.charLen(sub.str).get)
 
       // flatten SKIPS null sub-arrays in the reference
       // (ArrayFlattenFunction.flatten:97-98 writes only non-null

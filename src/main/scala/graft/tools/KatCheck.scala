@@ -129,6 +129,14 @@ object KatCheck {
                   case d: java.math.BigDecimal => d.toString == want
                   case _ => false
                 }
+              case "bin" =>
+                got match {
+                  // binary cells compare as lowercase hex (r15: the
+                  // sqlVarbinary/sqlVarbinaryHex helper folds)
+                  case b: Array[Byte] =>
+                    b.map(x => f"$x%02x").mkString == want
+                  case _ => false
+                }
               case _ => false
             }
             if (matches) ok += 1

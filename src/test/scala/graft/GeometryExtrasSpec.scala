@@ -170,7 +170,8 @@ class GeometryExtrasSpec extends AnyFunSuite {
   }
 
   test("envelope utilities and linear referencing") {
-    assert(expandEnvelope(line, 1.0) == "POLYGON ((-1 -1, 4 -1, 4 5, -1 5, -1 -1))")
+    // Esri envelope ring order (SW, NW, NE, SE — r15)
+    assert(expandEnvelope(line, 1.0) == "POLYGON ((-1 -1, -1 5, 4 5, 4 -1, -1 -1))")
     assert(stEnvelopeAsPts(donut).toSeq == Seq("POINT (0 0)", "POINT (8 8)"))
     // line has length 7: fraction 3/7 is the corner
     assert(lineInterpolatePoint(line, 3.0 / 7) == "POINT (3 0)")

@@ -289,7 +289,8 @@ MATH_FNS = {
 }
 
 LIST_HEADS = ("ImmutableList.of", "asList", "Arrays.asList", "list",
-              "Collections.singletonList", "singletonList")
+              "Collections.singletonList", "singletonList",
+              "Lists.newArrayList")
 
 _MARK = object()  # fold failure sentinel (None is a valid folded null)
 
@@ -325,6 +326,37 @@ def fold_scalar(expr):
     if e.lstrip().startswith('"'):
         s = literal_only_sql(e)
         return s if s is not None else _MARK
+    # java cast prefixes on object scalars: (Object) null etc.
+    m_obj = re.match(r"^\(\s*Object\s*\)\s*(.*)$", e)
+    if m_obj:
+        return fold_scalar(m_obj.group(1))
+    # test-helper folds (r15 second wave): padRight pads with spaces to
+    # n (TestStringFunctions.padRight:72-75); utf8Slice of a literal or
+    # String.valueOf(literal) is the text itself
+    m_pad = re.match(r"^padRight\s*\(", e)
+    if m_pad and e.endswith(")"):
+        args = split_args(balanced_args(e, e.index("(")))
+        if len(args) == 2:
+            sv = fold_scalar(args[0])
+            nv = fold_scalar(args[1])
+            if isinstance(sv, str) and isinstance(nv, int):
+                return sv.ljust(nv)
+    m_u8 = re.match(r"^utf8Slice\s*\(", e)
+    if m_u8 and e.endswith(")"):
+        inner = balanced_args(e, e.index("(")).strip()
+        mv = re.match(r"^String\.valueOf\s*\((.*)\)$", inner)
+        if mv:
+            v = fold_scalar(mv.group(1))
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, (int, str)):
+                return str(v)
+            if isinstance(v, float):
+                return repr(v)
+        else:
+            v = fold_scalar(inner)
+            if isinstance(v, str):
+                return v
     folded = fold_arith(e)
     if folded is not _MARK:
         return folded
@@ -434,6 +466,7 @@ def render_json(v):
 
 
 DEC_CALL = re.compile(r'^(?:decimal|SqlDecimal\.of)\s*\(\s*"((?:[^"\\]|\\.)*)"\s*\)$')
+BIN_CALL = re.compile(r"^(sqlVarbinaryHex|sqlVarbinary|varbinary|sqlVarbinaryFromHex)\s*\(")
 
 
 def computed_expected(expr):
@@ -441,6 +474,24 @@ def computed_expected(expr):
     Scalars fold into the existing literal kinds so the comparator's
     numeric rules apply; structures into 'json'; decimal() into 'dec'."""
     e = expr.strip()
+    mb = BIN_CALL.match(e)
+    if mb and e.endswith(")"):
+        # binary expecteds compare as lowercase hex (kind 'bin'):
+        # sqlVarbinary("s")/varbinary("s") are the UTF-8 bytes,
+        # sqlVarbinaryHex("AB") decodes base16
+        inner = balanced_args(e, e.index("(")).strip()
+        args = split_args(inner)
+        vals = [fold_scalar(a) for a in args]
+        if all(isinstance(v, str) for v in vals):
+            import binascii
+            try:
+                if mb.group(1) in ("sqlVarbinaryHex", "sqlVarbinaryFromHex"):
+                    raw = binascii.unhexlify("".join(vals).replace(" ", ""))
+                else:
+                    raw = "".join(vals).encode("utf-8")
+                return ("bin", raw.hex())
+            except binascii.Error:
+                return None
     m = DEC_CALL.match(e)
     if m:
         # canonicalize like SqlDecimal.toString (Decimals.toString of
