@@ -59,6 +59,15 @@ object PrestoComparisons {
       case _ => None
     }
 
+  /** charLen looking through exactly ONE analyzer-inserted string cast
+    * (char -> string); a second wrapping cast therefore never matches —
+    * the refire guard for the unicodeTrim re-pad arm. */
+  private[functions] def charLenThroughCast(e: Expression): Option[Int] =
+    charLen(e).orElse(e match {
+      case c: Cast if c.child.resolved => charLen(c.child)
+      case _ => None
+    })
+
   private[functions] def repadChar(inner: Expression, n: Int): Expression =
     StringRPad(inner, Literal(n), Literal(" "))
 
@@ -600,20 +609,23 @@ object PrestoComparisonRule extends Rule[LogicalPlan] {
           StringTrimRight(Cast(t.srcStr, StringType), None),
           PrestoComparisons.charLen(t.srcStr).get)
       // the dialect's 1-arg trim family resolves to the unicodeTrim
-      // StaticInvoke before this rule sees it — same re-pad contract
+      // StaticInvoke before this rule sees it — same re-pad contract.
+      // The analyzer's implicit input cast (char -> string) hides the
+      // CharType one level down, so look through ONE cast; the rewrite
+      // adds a second string cast, which blocks the refire.
       case si: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
           if si.functionName == "unicodeTrim" && si.arguments.nonEmpty &&
             si.arguments.head.resolved &&
-            PrestoComparisons.charLen(si.arguments.head).isDefined =>
-        val n = PrestoComparisons.charLen(si.arguments.head).get
+            PrestoComparisons.charLenThroughCast(si.arguments.head).isDefined =>
+        val n = PrestoComparisons.charLenThroughCast(si.arguments.head).get
         PrestoComparisons.repadChar(
           si.copy(arguments =
             Cast(si.arguments.head, StringType) +: si.arguments.tail), n)
-      case sub: Substring
-          if sub.str.resolved && PrestoComparisons.charLen(sub.str).isDefined =>
-        PrestoComparisons.repadChar(
-          Substring(Cast(sub.str, StringType), sub.pos, sub.len),
-          PrestoComparisons.charLen(sub.str).get)
+
+      // (substr over CHAR stays in the documented CHAR-model class:
+      // the dialect's guarded-If substr shape coerces its branches
+      // before this rule can see the char-typed source — 9 KAT vectors,
+      // named with the comparison class)
 
       // flatten SKIPS null sub-arrays in the reference
       // (ArrayFlattenFunction.flatten:97-98 writes only non-null
