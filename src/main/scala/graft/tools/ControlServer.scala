@@ -14,11 +14,21 @@ package graft.tools
   *
   * Protocol (stdout lines are prefixed so interleaved log noise can't
   * corrupt the channel):
-  *   CTRLPROTO READY                 — session up, accepting names
-  *   CTRLPROTO DONE <name> <secs>    — min-of-N measured time
+  *   CTRLPROTO READY v2              — session up, accepting commands
+  *   CTRLPROTO DONE <name> <secs>    — min-of-N measured time (block mode)
+  *   CTRLPROTO RAN <name> <secs>     — one run ("run <name>", v2)
+  *   CTRLPROTO WARM <name>           — one prewarm ("prewarm <name>", v2)
   *   CTRLPROTO ABSENT <name>         — query not in this tag's registry
   *   CTRLPROTO FAILED <name>         — query threw (logged to stderr)
   *   CTRLPROTO BYE                   — clean shutdown after "quit"
+  *
+  * v2 (round 16, VERDICT r15 ask #1): the r15 block protocol ran HEAD's
+  * whole prewarm+5 block, THEN the control's, per query — a 30–60 s
+  * load wave aligned with one block defeated min-of-N and shipped two
+  * false 4.7–6.8x code-mover flags the judge had to clear by hand. The
+  * single-run commands let Bench alternate HEAD/control per RUN so both
+  * sides of every ratio share the same seconds-wide load window. The
+  * legacy one-shot block command is kept so an old Bench still works.
   */
 object ControlServer {
   def main(args: Array[String]): Unit = {
@@ -39,20 +49,34 @@ object ControlServer {
       (System.nanoTime() - t0) / 1e9
     }
 
-    out.println("CTRLPROTO READY"); out.flush()
+    out.println("CTRLPROTO READY v2"); out.flush()
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(System.in))
     var line = in.readLine()
     while (line != null && line.trim != "quit") {
-      val name = line.trim
-      if (name.nonEmpty) {
+      val cmd = line.trim
+      if (cmd.nonEmpty) {
+        val (mode, name) = cmd.split(' ') match {
+          case Array("run", n)     => ("run", n)
+          case Array("prewarm", n) => ("prewarm", n)
+          case _                   => ("block", cmd)
+        }
         if (!graft.SparkEntry.queries.contains(name)) {
           out.println(s"CTRLPROTO ABSENT $name")
         } else {
           try {
-            (1 to prewarm).foreach(_ => execute(name))
-            val t = (1 to runs).map(_ => execute(name)).min
-            out.println(f"CTRLPROTO DONE $name $t%.3f")
+            mode match {
+              case "run" =>
+                val t = execute(name)
+                out.println(f"CTRLPROTO RAN $name $t%.3f")
+              case "prewarm" =>
+                execute(name)
+                out.println(s"CTRLPROTO WARM $name")
+              case _ =>
+                (1 to prewarm).foreach(_ => execute(name))
+                val t = (1 to runs).map(_ => execute(name)).min
+                out.println(f"CTRLPROTO DONE $name $t%.3f")
+            }
           } catch {
             case e: Throwable =>
               System.err.println(s"[control] $name failed: ${e.getMessage}")

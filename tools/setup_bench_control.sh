@@ -9,19 +9,19 @@
 # Usage: tools/setup_bench_control.sh [control-commit]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-TAG="${1:-8af51e9}"   # round-14 verdict commit
+TAG="${1:-4a257e6}"   # round-15 verdict commit
 
 git worktree remove --force .bench-control 2>/dev/null || true
 rm -rf .bench-control
 git worktree prune
 git worktree add --detach .bench-control "$TAG"
 
-# older tags predate ControlServer — inject the HEAD copy (stable APIs
-# only: GraftSession, SparkEntry.queries, noop sink)
-if [ ! -f .bench-control/src/main/scala/graft/tools/ControlServer.scala ]; then
-  cp src/main/scala/graft/tools/ControlServer.scala \
-     .bench-control/src/main/scala/graft/tools/ControlServer.scala
-fi
+# the control always runs HEAD's ControlServer harness (stable APIs
+# only: GraftSession, SparkEntry.queries, noop sink) so protocol
+# upgrades (v2 per-run lockstep, round 16) reach the pinned tag — the
+# MEASURED code (SparkEntry and below) stays the tag's own
+cp src/main/scala/graft/tools/ControlServer.scala \
+   .bench-control/src/main/scala/graft/tools/ControlServer.scala
 
 (cd .bench-control && sbt -batch compile)
 git -C . rev-parse --short "$TAG" > .bench-control/CONTROL_TAG
