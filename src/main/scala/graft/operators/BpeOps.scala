@@ -155,7 +155,7 @@ object BpeOps extends QueryGroup {
   def trainedMerges(s: SparkSession, dir: String): Vector[(Int, String, String, Long)] =
     cache.computeIfAbsent((s, dir), _ => {
       val wordsUdf = udf((t: String) => words(if (t == null) "" else t))
-      val freq = s.table("documents")
+      val freq = Spread.bySize(s.table("documents"), col("doc_id"))
         .select(explode(wordsUdf(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("f"))
         .orderBy(col("f").desc, col("w"))

@@ -104,7 +104,9 @@ object CurationOps extends QueryGroup {
     * run planted-contamination corpora through the real pipeline.
     */
   def decontaminate(docs: DataFrame): DataFrame = {
-    val toks = docs
+    // size-gated scan spread (guide §2.5): tokenize + 5-gram explode is
+    // map-side work on a one-split gate fixture — see Spread
+    val toks = Spread.bySize(docs, col("doc_id"))
       .withColumn("tokens", tokensCol)
       .filter(size(col("tokens")) >= 5)
     val grams = toks.select(
@@ -526,8 +528,11 @@ object CurationOps extends QueryGroup {
       // runs on per-doc gram COUNTS (≤37³ distinct per doc), so the
       // explode is scanned twice (model build, probe) and never more; the
       // grand total needs no explode at all (Σ len(t)−2 off the base).
-      val norm = s.table("documents").select(col("doc_id"),
-        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
+      // size-gated scan spread (guide §2.5): the regex normalize + chunk
+      // + trigram explode below is all map-side on a one-split fixture
+      val norm = Spread.bySize(s.table("documents"), col("doc_id"))
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
         .filter(length(col("t")) >= 3)
       // two-level extraction: a tiny interpreted lambda cuts t into
       // ~len/64 overlapping 66-char chunks, then a codegen'd
@@ -546,7 +551,14 @@ object CurationOps extends QueryGroup {
       // checkpoint/CTAS between the "train LM" and "score corpus" passes)
       val docGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .localCheckpoint()
-      val total = norm.agg(sum(length(col("t")) - 2).cast("double")).scalar()
+      // grand total off the CHECKPOINTED counts, not a second corpus
+      // pass: every one of a document's len(t)−2 gram positions lands in
+      // exactly ONE chunk (64-stride, 66-char overlap), so Σc over
+      // docGram ≡ Σ(len(t)−2) — same value, and the regex-normalize scan
+      // runs once per query instead of twice (guide §2.4: remove
+      // redundant passes; measured in plans/r16/tx_perplexity_after.txt:
+      // one documents scan instead of two)
+      val total = docGram.agg(sum("c").cast("double")).scalar()
       val model = docGram.groupBy("g").agg(sum("c").as("cnt"))
         .select(col("g"), log(col("cnt").cast("double") / total).as("logp"))
       docGram.join(broadcast(model), "g")
@@ -581,7 +593,7 @@ object CurationOps extends QueryGroup {
          |FROM cnt
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (s, _) =>
-      val toks = s.table("documents")
+      val toks = Spread.bySize(s.table("documents"), col("doc_id"))
         .withColumn("tokens", tokensCol)
         .filter(size(col("tokens")) >= 2)
       val tokStats = toks.select(col("doc_id"),

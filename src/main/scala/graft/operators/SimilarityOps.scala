@@ -253,11 +253,15 @@ object SimilarityOps extends QueryGroup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    cand.join(a, "id_a").join(b, "id_b")
+    // alias-shared embedding sides (same pattern as minhashPairs' verify
+    // join): one broadcast exchange of (vec_id, embedding), reused for
+    // both ends of the pair re-score
+    val ea = emb.select(col("vec_id"), col("embedding")).as("ea")
+    val eb = emb.select(col("vec_id"), col("embedding")).as("eb")
+    cand.join(ea, col("id_a") === col("ea.vec_id"))
+      .join(eb, col("id_b") === col("eb.vec_id"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("sim"))
+        cosine(col("ea.embedding"), col("eb.embedding")).as("sim"))
       .filter(col("sim") >= tau)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")
@@ -342,11 +346,13 @@ object SimilarityOps extends QueryGroup {
       .select(least(col("id_new"), col("id_other")).as("id_a"),
         greatest(col("id_new"), col("id_other")).as("id_b"))
       .distinct()
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    cands.join(a, "id_a").join(b, "id_b")
+    // alias-shared embedding sides — one broadcast exchange, reused
+    val ea = emb.select(col("vec_id"), col("embedding")).as("ea")
+    val eb = emb.select(col("vec_id"), col("embedding")).as("eb")
+    cands.join(ea, col("id_a") === col("ea.vec_id"))
+      .join(eb, col("id_b") === col("eb.vec_id"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("sim"))
+        cosine(col("ea.embedding"), col("eb.embedding")).as("sim"))
       .filter(col("sim") >= tau)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")

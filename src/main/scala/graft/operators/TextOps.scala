@@ -60,7 +60,10 @@ object TextOps extends QueryGroup {
     * profile (measured: 60 s → 1.1 s at sf0.1 with the barrier).
     */
   def withShingles(docs: DataFrame): DataFrame =
-    docs.withColumn("tokens", tokensCol)
+    // size-gated scan spread (guide §2.5): the tokenize+shingle work is
+    // map-side and the gate fixture is a one-split file — see Spread
+    Spread.bySize(docs, col("doc_id"))
+      .withColumn("tokens", tokensCol)
       .filter(size(col("tokens")) >= 3)
       .withColumn("shingles", array_distinct(shinglesCol(col("tokens"))))
 
@@ -157,6 +160,14 @@ object TextOps extends QueryGroup {
   }
 
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
+      keyFn: DataFrame => DataFrame = bandedDocKeys(_)): DataFrame =
+    // presentation order only here: the clusters consumer takes the
+    // UNORDERED pairs so its checkpoint never materializes a global sort
+    // it immediately destroys (guide §2.4 "an orderBy used only to make
+    // output deterministic")
+    minhashPairsUnordered(docs, threshold, keyFn).orderBy("doc_a", "doc_b")
+
+  private[graft] def minhashPairsUnordered(docs: DataFrame, threshold: Double = 0.5,
       keyFn: DataFrame => DataFrame = bandedDocKeys(_)): DataFrame = {
     // no size(shingles) filter here: withShingles already guarantees ≥1
     // shingle (≥3 tokens), and a filter on `shingles` would be pushed
@@ -173,16 +184,23 @@ object TextOps extends QueryGroup {
       .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
       .select(col("doc_a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("doc_b"))
       .distinct()
-    // exact-Jaccard verification on candidates only
+    // exact-Jaccard verification on candidates only. The two shingle
+    // sides are the SAME subtree joined on different keys: aliasing the
+    // one DataFrame (instead of renaming columns below the exchange)
+    // keeps the two broadcast subtrees canonically identical, so the
+    // exchange is built once and REUSED — one tokenize+shingle pass for
+    // the verify join instead of two (guide §2.4; ReusedExchange pinned
+    // in plans/r16/dd_minhash_lsh_after.txt).
+    val sa = sh.as("sa")
+    val sb = sh.as("sb")
     pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(sa, col("doc_a") === col("sa.doc_id"))
+      .join(sb, col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
+          size(array_union(col("sa.shingles"), col("sb.shingles"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Build counter for the incremental index — the spec asserts a reuse
@@ -268,12 +286,16 @@ object TextOps extends QueryGroup {
         greatest(col("id_new"), col("id_other")).as("doc_b"))
       .distinct()
     val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
+    // same alias-shared broadcast subtree as minhashPairs: the verify
+    // join's two shingle sides build ONE exchange, reused at runtime
+    val sa = sh.as("sa")
+    val sb = sh.as("sb")
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(sa, col("doc_a") === col("sa.doc_id"))
+      .join(sb, col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
+          size(array_union(col("sa.shingles"), col("sb.shingles"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -721,7 +743,10 @@ object TextOps extends QueryGroup {
     val wideHash = spark.conf.getOption("spark.graft.exactSubstring.wideHash")
       .exists(_.toBoolean)
     val keyCols = if (wideHash) Seq("gh", "gh2") else Seq("gh")
-    val grams0 = docs.where(length(col("text")) >= k)
+    // size-gated scan spread (guide §2.5): the L-per-document gram
+    // explode + hash is map-side work on a one-split gate fixture
+    val sdocs = Spread.bySize(docs, col("doc_id"))
+    val grams0 = sdocs.where(length(col("text")) >= k)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
       .select(col("doc_id"), col("p"),
@@ -755,7 +780,7 @@ object TextOps extends QueryGroup {
           // corpus size; the cross-document boilerplate that actually
           // grows with corpus size spans thousands of docs and is
           // cluster-sampled accurately (stress: est 7.94M vs 7.96M true).
-          val probe = docs.where(length(col("text")) >= k)
+          val probe = sdocs.where(length(col("text")) >= k)
             .where(pmod(xxhash64(col("doc_id")), lit(16L)) === 0)
             .select(col("doc_id"),
               explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"),
@@ -1218,7 +1243,8 @@ object TextOps extends QueryGroup {
     // No SQL oracle (minhash); TextOpsSpec pins chain transitivity and
     // planted-copy collapse through this exact pipeline.
     qNoOracle("dd_minhash_clusters") { (s, _) =>
-      clustersOf(minhashPairs(s.table("documents")).select("doc_a", "doc_b"))
+      clustersOf(minhashPairsUnordered(s.table("documents"))
+        .select("doc_a", "doc_b"))
     },
 
     // ── LSH-clusters ORACLE twin: the SAME production pipeline as the
@@ -1253,7 +1279,8 @@ object TextOps extends QueryGroup {
         |SELECT doc_id, cluster,
         |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
         |FROM labels ORDER BY doc_id""".stripMargin) { (s, _) =>
-      clustersOf(minhashPairs(s.table("documents"), keyFn = portableBandedDocKeys)
+      clustersOf(minhashPairsUnordered(s.table("documents"),
+          keyFn = portableBandedDocKeys)
         .select("doc_a", "doc_b"))
     },
 

@@ -860,9 +860,8 @@ object TpcdsQueries extends QueryGroup {
     // 1999/2000 (the fixture epoch ends 2001; the spec's second year is
     // empty). One row per qualifying customer, so customer_id totally
     // orders the LIMIT cut.
-    adapted("tpcds_q74",
-      """WITH year_total AS (
-        |  SELECT c_customer_id AS customer_id,
+    {
+      val q74YearTotalBody = """SELECT c_customer_id AS customer_id,
         |    c_first_name AS customer_first_name,
         |    c_last_name AS customer_last_name,
         |    d_year AS year_, sum(ss_net_paid) AS year_total, 's' AS sale_type
@@ -878,8 +877,8 @@ object TpcdsQueries extends QueryGroup {
         |  FROM tpcds.customer customer, tpcds.web_sales web_sales, tpcds.date_dim date_dim
         |  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
         |    AND d_year IN (1999, 2000)
-        |  GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
-        |SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+        |  GROUP BY c_customer_id, c_first_name, c_last_name, d_year""".stripMargin
+      val q74MainBody = """SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
         |  t_s_secyear.customer_last_name
         |FROM year_total t_s_firstyear, year_total t_s_secyear,
         |  year_total t_w_firstyear, year_total t_w_secyear
@@ -903,10 +902,34 @@ object TpcdsQueries extends QueryGroup {
         |        THEN t_s_secyear.year_total / t_s_firstyear.year_total
         |        ELSE null END)
         |ORDER BY 1, 1, 1
-        |LIMIT 100""".stripMargin,
-      Seq("customer_id", "customer_first_name", "customer_last_name"),
-      Seq("customer_id", "customer_first_name", "customer_last_name"),
-      "customer_id"),
+        |LIMIT 100""".stripMargin
+      val aliases = Seq("customer_id", "customer_first_name", "customer_last_name")
+      val text = s"WITH year_total AS (\n$q74YearTotalBody)\n$q74MainBody"
+      val oracle = TpcdsSynth.duckCtePreamble +
+        wrapNorm(text.replace("tpcds.", "tpcds_"), aliases, aliases, "customer_id")
+      // engine-side structural fix (round 16, guide §3.3): year_total is
+      // referenced FOUR times; Spark inlines a full copy per reference,
+      // so the two channel aggregations scan their fact tables twice
+      // each (the constant-folded sale_type filter prunes the opposite
+      // union branch of every copy). Materialized once, both channels ×
+      // both years aggregate in a single pass and the outer query is a
+      // 4-way self-join of the small per-customer-year relation — the
+      // per-reference (sale_type, year_) filters apply unchanged on top,
+      // so the output is identical (the oracle runs the untouched
+      // WITH-text). On a cluster localCheckpoint becomes checkpoint/CTAS.
+      QueryDef("tpcds_q74", Some(oracle), (s, dir) => {
+        Tables.register(s, dir)
+        ensureTpcdsViews(s, dir)
+        def fast(sql: String) = sql.replace("tpcds.", "graft_tpcds_")
+        s.sql(fast(q74YearTotalBody))
+          .localCheckpoint()
+          .createOrReplaceTempView("q74_year_total")
+        // only the FROM-clause references ("year_total t_…") retarget the
+        // materialized view; "year_total" as a COLUMN stays untouched
+        s.sql(wrapNorm(q74MainBody.replace("year_total t_", "q74_year_total t_"),
+          aliases, aliases, "customer_id"))
+      })
+    },
 
     // q11: same 4-way self-join over (ext_list_price - ext_discount_amt)
     // revenue with the customer-profile columns carried through the CTE
@@ -1571,9 +1594,8 @@ object TpcdsQueries extends QueryGroup {
     // catalog_returns / web_returns. `prev.sales_cnt <> 0` guards the
     // ANSI-mode ratio (a fully-returned group would divide by zero on
     // both engines).
-    adapted("tpcds_q75",
-      """WITH all_sales AS (
-        |  SELECT d_year, i_brand_id, i_class_id, i_category_id,
+    {
+      val q75AllSalesBody = """SELECT d_year, i_brand_id, i_class_id, i_category_id,
         |    i_manufact_id, sum(sales_cnt) sales_cnt, sum(sales_amt) sales_amt
         |  FROM (
         |    SELECT d_year, i_brand_id, i_class_id, i_category_id,
@@ -1609,9 +1631,8 @@ object TpcdsQueries extends QueryGroup {
         |      ON ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk
         |    WHERE i_category = 'Books') sales_detail
         |  GROUP BY d_year, i_brand_id, i_class_id, i_category_id,
-        |    i_manufact_id
-        |)
-        |SELECT prev_yr.d_year prev_year, curr_yr.d_year curr_year,
+        |    i_manufact_id""".stripMargin
+      val q75MainBody = """SELECT prev_yr.d_year prev_year, curr_yr.d_year curr_year,
         |  curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
         |  curr_yr.i_manufact_id,
         |  prev_yr.sales_cnt prev_yr_cnt, curr_yr.sales_cnt curr_yr_cnt,
@@ -1628,14 +1649,40 @@ object TpcdsQueries extends QueryGroup {
         |    / CAST(prev_yr.sales_cnt AS DOUBLE) < 0.9
         |ORDER BY sales_cnt_diff, curr_yr.i_brand_id, curr_yr.i_class_id,
         |  curr_yr.i_category_id, curr_yr.i_manufact_id
-        |LIMIT 100""".stripMargin,
-      Seq("prev_year", "curr_year", "i_brand_id", "i_class_id",
+        |LIMIT 100""".stripMargin
+      val aliases = Seq("prev_year", "curr_year", "i_brand_id", "i_class_id",
         "i_category_id", "i_manufact_id", "prev_yr_cnt", "curr_yr_cnt",
-        "sales_cnt_diff", "sales_amt_diff"),
-      Seq("prev_year", "curr_year", "i_brand_id", "i_class_id",
+        "sales_cnt_diff", "sales_amt_diff")
+      val norm = Seq("prev_year", "curr_year", "i_brand_id", "i_class_id",
         "i_category_id", "i_manufact_id", big("prev_yr_cnt"),
-        big("curr_yr_cnt"), big("sales_cnt_diff"), r2("sales_amt_diff")),
-      "i_brand_id, i_class_id, i_category_id, i_manufact_id"),
+        big("curr_yr_cnt"), big("sales_cnt_diff"), r2("sales_amt_diff"))
+      val order = "i_brand_id, i_class_id, i_category_id, i_manufact_id"
+      val text = s"WITH all_sales AS (\n$q75AllSalesBody\n)\n$q75MainBody"
+      val oracle = TpcdsSynth.duckCtePreamble +
+        wrapNorm(text.replace("tpcds.", "tpcds_"), aliases, norm, order)
+      // engine-side structural fix (round 16, guide §3.3 "materialise a
+      // 2x-referenced CTE"): all_sales — a 12-join three-channel UNION —
+      // is referenced twice (curr_yr/prev_yr), and Spark inlines a full
+      // copy per reference, planning and executing the union twice. The
+      // q64/q14 treatment applies, with one addition: the two references
+      // carry d_year = 2000 / 1999 pushdowns the shared materialization
+      // would lose, so the UNION of the per-reference filters
+      // (d_year IN (1999, 2000)) is pushed INTO the materialization —
+      // the self-join's own year predicates then imply it, so the output
+      // is unchanged (the oracle runs the untouched WITH-text). On a
+      // cluster localCheckpoint becomes checkpoint/CTAS.
+      QueryDef("tpcds_q75", Some(oracle), (s, dir) => {
+        Tables.register(s, dir)
+        ensureTpcdsViews(s, dir)
+        def fast(sql: String) = sql.replace("tpcds.", "graft_tpcds_")
+        s.sql(s"SELECT * FROM (\n${fast(q75AllSalesBody)}\n) all_sales\n" +
+            "WHERE d_year IN (1999, 2000)")
+          .localCheckpoint()
+          .createOrReplaceTempView("q75_all_sales")
+        s.sql(wrapNorm(q75MainBody.replace("all_sales ", "q75_all_sales "),
+          aliases, norm, order))
+      })
+    },
 
     // q30: customers whose web-return total beats 1.2× their state's
     // average — the correlated state-average family over the round-6

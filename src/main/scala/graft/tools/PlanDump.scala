@@ -24,8 +24,35 @@ object PlanDump {
     names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
-        val txt = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+        // SPARK_GRAFT_PLAN_EXEC=1: execute first and dump the FINAL
+        // adaptive plan of the noop write (runtime stage/broadcast reuse
+        // visible) — the write has its own QueryExecution, captured via
+        // a listener because df.queryExecution is never the one executed
+        val txt =
+          if (sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")) {
+            @volatile var captured: String = null
+            val l = new org.apache.spark.sql.util.QueryExecutionListener {
+              override def onSuccess(f: String,
+                  qe: org.apache.spark.sql.execution.QueryExecution,
+                  d: Long): Unit =
+                captured = qe.explainString(
+                  org.apache.spark.sql.execution.FormattedMode)
+              override def onFailure(f: String,
+                  qe: org.apache.spark.sql.execution.QueryExecution,
+                  e: Exception): Unit = ()
+            }
+            spark.listenerManager.register(l)
+            try {
+              df.write.format("noop").mode("overwrite").save()
+              // listener bus is async
+              var waited = 0
+              while (captured == null && waited < 100) { Thread.sleep(100); waited += 1 }
+            } finally spark.listenerManager.unregister(l)
+            if (captured != null) captured
+            else df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+          } else df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
           txt.getBytes("UTF-8"))

@@ -14,8 +14,11 @@ import scala.collection.mutable
 object ProfileBreakdown {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val name = args(0)
-    val runs = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    // args: query [query …] [runs] — trailing integer = measured runs
+    val (names, runs) = args.lastOption.flatMap(a => a.toIntOption) match {
+      case Some(n) if args.length > 1 => (args.dropRight(1).toSeq, n)
+      case _ => (args.toSeq, 2)
+    }
     val spark = GraftSession("graft-breakdown")
     case class Job(id: Int, desc: String, start: Long, var end: Long)
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
@@ -31,7 +34,7 @@ object ProfileBreakdown {
         jobs.get(je.jobId).foreach(_.end = je.time)
       }
     })
-    def run(label: String): Unit = {
+    def run(name: String, label: String): Unit = {
       jobs.synchronized(jobs.clear())
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -51,8 +54,10 @@ object ProfileBreakdown {
         if (d >= 20) println(f"    job ${j.id}%4d ${d}%6d ms  ${j.desc}")
       }
     }
-    run("prewarm")
-    (1 to runs).foreach(i => run(s"run$i"))
+    names.foreach { name =>
+      run(name, "prewarm")
+      (1 to runs).foreach(i => run(name, s"run$i"))
+    }
     spark.stop()
   }
 }
