@@ -35,6 +35,19 @@ object GraftSession {
       .config("spark.sql.preserveCharVarcharTypeInfo", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Hash-first join planning (optimization guide §3.1; round 16).
+      // The reference engine is hash-join-first (presto-main
+      // HashBuilderOperator — sort-merge exists only as a fallback), and
+      // Spark's sort-merge default pays two sorts a hash join skips.
+      // preferSortMergeJoin=false lets the planner pick shuffled-hash
+      // when its build-side size conditions hold; the AQE threshold
+      // additionally rewrites a planned sort-merge to shuffled-hash at
+      // runtime when EVERY post-shuffle build partition is under 64 MB —
+      // a per-task memory bound that holds at any corpus size because it
+      // is checked against the ACTUAL runtime partition sizes (skewed or
+      // oversized partitions keep sort-merge and its graceful spill).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.mapKeyDedupPolicy", "EXCEPTION")

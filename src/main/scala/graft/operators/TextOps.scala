@@ -516,6 +516,8 @@ object TextOps extends QueryGroup {
     * (banding by 16-bit quarters guarantees recall for hamming ≤ 3).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // NOT spread (round-16 A/B: ratio 1.00–1.19 vs control — the token
+    // hash map work is too light to amortize the extra exchange here)
     val toks = docs.withColumn("tokens", tokensCol)
       .filter(size(col("tokens")) > 0)
       .select(col("doc_id"), array_distinct(col("tokens")).as("tokens"))
@@ -569,12 +571,54 @@ object TextOps extends QueryGroup {
     * shuffle (groupBy on dst); `localCheckpoint` truncates the growing
     * lineage (on a real cluster: `checkpoint` to reliable storage).
     */
+  /** Edge-count ceiling for the driver union-find fast path — the same
+    * order of magnitude Spark itself collects for a broadcast relation
+    * (1M (long,long) edges ≈ 16 MB). Chosen by measured edge count at
+    * run time, not configuration, so corpus-scale graphs always take the
+    * distributed loop.
+    */
+  private[graft] def driverCcMaxEdges: Long =
+    sys.props.get("graft.cc.driverMaxEdges").map(_.toLong).getOrElse(1000000L)
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // materialize the pair generation ONCE before mirroring: the union
     // references `pairs` twice, and without this the (possibly
     // quadratic) pair join runs twice — measured 11.6 s → 6 s at sf0.1
     // on the exact-Jaccard graph
     val p0 = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    // Small-graph fast path (round 16, guide §1.2: the distributed loop
+    // costs ~5 scheduler round-trips per round REGARDLESS of size —
+    // pure latency when the pair graph is tiny). Counting the
+    // checkpointed edges is one cheap job; under the broadcast-sized
+    // ceiling the components close on the driver in one pass with
+    // union-find. The result is IDENTICAL by construction (label = min
+    // doc_id reachable — the loop's fixpoint), TextOpsSpec pins the
+    // chain/planted cases, and the distributed loop remains the path
+    // for corpus-scale graphs.
+    val nEdges = p0.count()
+    if (nEdges <= driverCcMaxEdges) {
+      val spark = p0.sparkSession
+      import spark.implicits._
+      val es = p0.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // roots carry the component minimum because union always keeps the
+      // smaller root
+      val labels = parent.keysIterator.map(id => (id, find(id))).toSeq
+      return labels.toDF("id", "label")
+    }
     val edges = p0.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()

@@ -159,12 +159,39 @@ class TextOpsSpec extends AnyFunSuite {
     }
     // a component whose diameter exceeds the iteration cap fails LOUDLY
     // instead of returning partial (wrong) labels: a 10-node chain needs
-    // 9 propagation rounds, so maxIters = 3 cannot converge
+    // 9 propagation rounds, so maxIters = 3 cannot converge. (The cap
+    // contract belongs to the DISTRIBUTED loop — force it via the
+    // driver-path ceiling override; the driver union-find is exact at
+    // any diameter.)
     val chain = spark.createDataFrame(
       spark.sparkContext.parallelize((1L until 10L).map(i => Row(i, i + 1))), schema)
-    val e = intercept[IllegalStateException](
-      TextOps.connectedComponents(chain, maxIters = 3))
-    assert(e.getMessage.contains("did not converge"))
+    sys.props("graft.cc.driverMaxEdges") = "0"
+    try {
+      val e = intercept[IllegalStateException](
+        TextOps.connectedComponents(chain, maxIters = 3))
+      assert(e.getMessage.contains("did not converge"))
+    } finally sys.props.remove("graft.cc.driverMaxEdges")
+  }
+
+  test("connected components: driver union-find ≡ distributed loop") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.operators.TextOps
+    val schema = StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    // mixed graph: a chain, a triangle-with-tail, an isolated pair, and
+    // edges in both id orientations
+    val edges = Seq(Row(5L, 4L), Row(4L, 3L), Row(7L, 9L), Row(9L, 8L),
+      Row(8L, 7L), Row(9L, 12L), Row(20L, 21L), Row(2L, 3L))
+    val pairs = spark.createDataFrame(spark.sparkContext.parallelize(edges), schema)
+    val fast = TextOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sys.props("graft.cc.driverMaxEdges") = "0"
+    val loop =
+      try TextOps.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally sys.props.remove("graft.cc.driverMaxEdges")
+    assert(fast == loop, s"driver fast path diverged: $fast vs $loop")
+    assert(fast(5L) == 2L && fast(12L) == 7L && fast(21L) == 20L)
   }
 
   test("large-star/small-star components: deep chains converge in O(log n) rounds") {
@@ -178,7 +205,9 @@ class TextOpsSpec extends AnyFunSuite {
     // exists for
     val chain = spark.createDataFrame(
       spark.sparkContext.parallelize((1L until 60L).map(i => Row(i, i + 1))), schema)
-    assertThrows[IllegalStateException](TextOps.connectedComponents(chain))
+    sys.props("graft.cc.driverMaxEdges") = "0"
+    try assertThrows[IllegalStateException](TextOps.connectedComponents(chain))
+    finally sys.props.remove("graft.cc.driverMaxEdges")
     val cc = TextOps.connectedComponentsLogN(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 60 && cc.values.forall(_ == 1L),
