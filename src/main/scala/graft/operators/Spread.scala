@@ -51,6 +51,9 @@ object Spread {
   }
 
   def bySize(df: DataFrame, key: Column*): DataFrame = {
+    // streaming frames: repartition is illegal mid-stream and inputFiles
+    // would force a batch analysis — pass through untouched
+    if (df.isStreaming) return df
     val sess = df.sparkSession
     val p = sess.sparkContext.defaultParallelism
     val openCost = sess.sessionState.conf.filesOpenCostInBytes
