@@ -240,6 +240,9 @@ object SimilarityOps extends QueryGroup {
     // bucket) longs — far cheaper than recomputing the contribution
     // pipeline at any scale (cluster analog: checkpoint/CTAS, same
     // pattern as TextOps.connectedComponents)
+    // NOT spread (round-16 A/B ×2: ratio 1.07–1.12 vs control — the
+    // 512 KB embeddings file's explode work is too small to amortize the
+    // extra exchange at gate scale)
     val sig = bucketKeys(emb, tables, rbits).localCheckpoint(true)
     // same hot-bucket cap as the incremental path: a degenerate bucket
     // (hash collapse, adversarial vectors) drops loudly out of pair
