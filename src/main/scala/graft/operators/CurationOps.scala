@@ -27,11 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps extends QueryGroup {
 
-  /** Normalized token array (same normalization as TextOps). */
+  /** Normalized token array (same normalization as TextOps — see the
+    * equivalence note there: one extract-all pass ≡ replace+split+filter).
+    */
   private def tokensCol: Column =
-    filter(
-      split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +"),
-      t => t =!= "")
+    regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
 
   /** Word n-grams of a *bound* token attribute. Callers must keep a
     * projection barrier (filter on size) between tokenization and this
@@ -530,9 +530,12 @@ object CurationOps extends QueryGroup {
       // grand total needs no explode at all (Σ len(t)−2 off the base).
       // size-gated scan spread (guide §2.5): the regex normalize + chunk
       // + trigram explode below is all map-side on a one-split fixture
+      // normalize = tokens joined by single spaces: trim(replace(runs →
+      // one space)) ≡ array_join(extract-all runs, " ") — one regex pass
       val norm = Spread.bySize(s.table("documents"), col("doc_id"))
         .select(col("doc_id"),
-          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
+          array_join(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0)), " ").as("t"))
         .filter(length(col("t")) >= 3)
       // two-level extraction: a tiny interpreted lambda cuts t into
       // ~len/64 overlapping 66-char chunks, then a codegen'd

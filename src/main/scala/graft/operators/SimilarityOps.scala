@@ -809,7 +809,8 @@ object SimilarityOps extends QueryGroup {
       val k1 = 1.2
       val b = 0.75
       val toks = s.table("documents").select(col("doc_id"),
-        expr("filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +'), t -> t != '')")
+        // one extract-all pass ≡ replace+split+filter (TextOps.tokensCol)
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
           .as("tokens"))
       val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("tokens"))).as("avgdl"))
       val tf = toks
