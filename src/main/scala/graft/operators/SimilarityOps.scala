@@ -246,15 +246,23 @@ object SimilarityOps extends QueryGroup {
     val sig = bucketKeys(emb, tables, rbits).localCheckpoint(true)
     // same hot-bucket cap as the incremental path: a degenerate bucket
     // (hash collapse, adversarial vectors) drops loudly out of pair
-    // generation instead of turning the join quadratic
-    val okKeys = sig.groupBy("bucket").agg(count(lit(1)).as("m"))
-      .filter(col("m") > 1 && col("m") <= EmbMaxBucket)
-      .select("bucket")
-    val capped = sig.join(okKeys, "bucket")
-    val cand = capped.select(col("vec_id").as("id_a"), col("bucket"))
-      .join(capped.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // generation instead of turning the join quadratic.
+    // Round-16 shape: ONE bounded collect + in-bucket pair explosion
+    // (the minhashPairs pattern) replaces the census + capped join +
+    // self-join — the old plan computed the bucket census TWICE and ran
+    // three sort-merge joins over the checkpoint (plan-verified,
+    // plans/r16/dd_embedding_lsh_before2.txt). Drop semantics are
+    // IDENTICAL: collecting at cap+1 bounds the buffer, and a bucket
+    // that reaches cap+1 members fails the size ≤ cap filter — exactly
+    // the buckets the census dropped — while every surviving bucket
+    // holds its complete membership.
+    val cand = sig.groupBy("bucket")
+      .agg(sort_array(expr(
+        s"bounded_collect_list(vec_id, ${EmbMaxBucket + 1})")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= EmbMaxBucket)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
       .distinct()
     // alias-shared embedding sides (same pattern as minhashPairs' verify
     // join): one broadcast exchange of (vec_id, embedding), reused for
@@ -559,14 +567,22 @@ object SimilarityOps extends QueryGroup {
     * rounded — the survivor window orders on the emitted value.
     */
   private[graft] def semDedupFrom(assigned: DataFrame, tau: Double): DataFrame = {
-    val okCells = assigned.groupBy("cell").agg(count(lit(1)).as("m"))
-      .filter(col("m") > 1 && col("m") <= EmbMaxBucket).select("cell")
-    val members = assigned.join(okCells, "cell")
-    val pairs = members.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      .join(members.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b")), "cell")
-      .filter(col("id_a") < col("id_b"))
-      .filter(cosine(col("emb_a"), col("emb_b")) >= tau)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // Round-16 shape (same rework as lshCosinePairs): one bounded
+    // collect + in-cell pair explosion replaces the cell census + capped
+    // join + self-join. Collecting struct(vec_id, embedding) at cap+1
+    // bounds the buffer; a cell that reaches cap+1 members fails the
+    // size ≤ cap filter — the census's drop set exactly — and sort_array
+    // on the struct (vec_id leads) gives the a.vec_id < b.vec_id
+    // orientation the old id_a < id_b filter produced.
+    val pairs = assigned.groupBy("cell")
+      .agg(sort_array(expr(
+        s"bounded_collect_list(struct(vec_id, embedding), ${EmbMaxBucket + 1})")).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= EmbMaxBucket)
+      .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + 2, size(col("ms")))).as("b"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
     val groups = TextOps.connectedComponents(pairs)
       .select(col("id").as("vec_id"), col("label").as("group"))
     val labeled = assigned.join(groups, Seq("vec_id"), "left")
