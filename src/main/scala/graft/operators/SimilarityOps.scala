@@ -337,25 +337,25 @@ object SimilarityOps extends QueryGroup {
         .write.mode("overwrite").parquet(indexDir)
     }
     val index = spark.read.parquet(indexDir)
-    // materialized once: `fresh` is referenced three times below (the
-    // union census, the new side, and through `all` the other side) —
-    // without this the batch's signature aggregation runs three times
+    // single consumer now (the union below), so no checkpoint needed —
+    // the batch signature pipeline runs exactly once
     val fresh = bf(emb.filter(col("vec_id") % 2 === 1))
-      .localCheckpoint(true)
     val all = index.unionByName(fresh)
-    val okKeys = all.groupBy("bucket").agg(count(lit(1)).as("m"))
-      .filter(col("m") > 1 && col("m") <= EmbMaxBucket)
-      .select("bucket")
-    val n = fresh.join(okKeys, "bucket")
-      .select(col("bucket"), col("vec_id").as("id_new"))
-    val o = all.join(okKeys, "bucket")
-      .select(col("bucket"), col("vec_id").as("id_other"))
-    // every new↔old pair once (the old side never initiates); new↔new
-    // deduped by id order; canonical (id_a < id_b) orientation
-    val cands = n.join(o, "bucket")
-      .filter(col("id_other") % 2 === 0 || col("id_other") < col("id_new"))
-      .select(least(col("id_new"), col("id_other")).as("id_a"),
-        greatest(col("id_new"), col("id_other")).as("id_b"))
+    // Round-16 shape (same rework as lshCosinePairs): ONE bounded collect
+    // + in-bucket pair explosion replaces the census + two joins + the
+    // new×other join. Drop semantics identical (cap+1 collect fails the
+    // size ≤ cap filter exactly where the census dropped); "at least one
+    // side is new" is vec_id parity — the new batch IS the odd half, the
+    // same contract the old id_other%2 filter keyed on. Sorted ids give
+    // the canonical id_a < id_b orientation directly.
+    val cands = all.groupBy("bucket")
+      .agg(sort_array(expr(
+        s"bounded_collect_list(vec_id, ${EmbMaxBucket + 1})")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= EmbMaxBucket)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
+      .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
       .distinct()
     // alias-shared embedding sides — one broadcast exchange, reused
     val ea = emb.select(col("vec_id"), col("embedding")).as("ea")

@@ -266,30 +266,27 @@ object TextOps extends QueryGroup {
         .write.mode("overwrite").parquet(indexDir)
     }
     val index = spark.read.parquet(indexDir)
-    // the fresh batch's banded keys feed three consumers (the bucket
-    // census, the new side, and the ∪-side of the other-join) — without
-    // materialization the whole signature pipeline (shingle explode + 64
-    // hashes + min-agg) runs three times. The rows are narrow (two
-    // LONGs), the measured-cheap side of the BENCHLOG materialization
-    // rule (checkpoint narrow keyed tables referenced >1×; never wide
-    // array payloads — the shingle-table twin of this change regressed).
+    // single consumer now (the union below), so no checkpoint needed —
+    // the batch signature pipeline (shingle explode + 64 hashes +
+    // min-agg) runs exactly once
     val fresh = kf(docs.filter(col("doc_id") % 2 === 1))
-      .localCheckpoint()
     val all = index.unionByName(fresh)
-    val okKeys = all.groupBy("band_key").agg(count(lit(1)).as("m"))
-      .filter(col("m") > 1 && col("m") <= MinhashMaxBucket)
-      .select("band_key")
-    val n = fresh.join(okKeys, "band_key")
-      .select(col("band_key"), col("doc_id").as("id_new"))
-    val o = all.join(okKeys, "band_key")
-      .select(col("band_key"), col("doc_id").as("id_other"))
-    // keep every new↔old pair (the old side never initiates, so each
-    // appears once), and dedupe new↔new pairs by id order; canonical
-    // (doc_a < doc_b) orientation via least/greatest
-    val cands = n.join(o, "band_key")
-      .filter(col("id_other") % 2 === 0 || col("id_other") < col("id_new"))
-      .select(least(col("id_new"), col("id_other")).as("doc_a"),
-        greatest(col("id_new"), col("id_other")).as("doc_b"))
+    // Round-16 shape (same rework as the embedding incremental path):
+    // ONE bounded collect + in-bucket pair explosion replaces the
+    // census + two joins + the new×other join. Drop semantics identical
+    // (cap+1 collect fails the size ≤ cap filter exactly where the
+    // census dropped); "at least one side is new" is doc_id parity —
+    // the new batch IS the odd half, the same contract the old
+    // id_other%2 filter keyed on. Sorted ids give the canonical
+    // doc_a < doc_b orientation directly.
+    val cands = all.groupBy("band_key")
+      .agg(sort_array(expr(
+        s"bounded_collect_list(doc_id, ${MinhashMaxBucket + 1})")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MinhashMaxBucket)
+      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("doc_b"))
+      .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
       .distinct()
     val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
     // same alias-shared broadcast subtree as minhashPairs: the verify
