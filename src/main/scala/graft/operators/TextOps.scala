@@ -519,16 +519,20 @@ object TextOps extends QueryGroup {
     * (banding by 16-bit quarters guarantees recall for hamming ≤ 3).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // NOT spread (round-16 A/B: ratio 1.00–1.19 vs control — the token
-    // hash map work is too light to amortize the extra exchange here)
+    // NOT spread (A/B'd twice in round 16, incl. once after the one-pass
+    // tokenizer landed: lockstep ratio 0.97 spread vs 0.78 unspread —
+    // the extra exchange + stage costs more than the ~0.3 s single-task
+    // map work it parallelizes at gate scale)
     val toks = docs.withColumn("tokens", tokensCol)
       .filter(size(col("tokens")) > 0)
       .select(col("doc_id"), array_distinct(col("tokens")).as("tokens"))
     val th = toks.select(col("doc_id"), explode(col("tokens")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    // branch-free sign: bit 1 → +1, bit 0 → -1 as 2·bit - 1 (same value
+    // as the when() form, no ~50%-mispredicted branch on a random bit)
     val contrib = th.select(
       col("doc_id") +: (0 until 64).map { b =>
-        when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)).as(s"c$b")
+        (shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"c$b")
       }: _*)
     val sums = contrib.groupBy("doc_id")
       .agg(sum("c0").as("b0"), (1 until 64).map(b => sum(s"c$b").as(s"b$b")): _*)
