@@ -202,9 +202,14 @@ object TextOps extends QueryGroup {
     pairs
       .join(sa, col("doc_a") === col("sa.doc_id"))
       .join(sb, col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
-          size(array_union(col("sa.shingles"), col("sb.shingles"))))
+      // |∪| derived from counts: shingle arrays are distinct (withShingles
+      // applies array_distinct), so |A∪B| = |A|+|B|−|A∩B| — one set
+      // operation per pair instead of two, bit-identical jaccard (the
+      // dd_jaccard_clusters precedent, integer-valued arithmetic)
+      .withColumn("inter",
+        size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sa.shingles")) + size(col("sb.shingles")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -296,9 +301,11 @@ object TextOps extends QueryGroup {
     cands
       .join(sa, col("doc_a") === col("sa.doc_id"))
       .join(sb, col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
-          size(array_union(col("sa.shingles"), col("sb.shingles"))))
+      // count-derived |∪| — see minhashPairsUnordered (bit-identical)
+      .withColumn("inter",
+        size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sa.shingles")) + size(col("sb.shingles")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -502,9 +509,11 @@ object TextOps extends QueryGroup {
     mapSideBandKeys(streamDocs)
       .join(okIndex, "band_key")                     // stream-static, stateless
       .join(oldSh, "doc_old")                        // stream-static, stateless
-      .withColumn("jaccard",
-        size(array_intersect(col("shingles"), col("sh_old"))).cast("double") /
-          size(array_union(col("shingles"), col("sh_old"))))
+      // count-derived |∪| — see minhashPairsUnordered (bit-identical)
+      .withColumn("inter",
+        size(array_intersect(col("shingles"), col("sh_old"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("shingles")) + size(col("sh_old")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(least(col("doc_id"), col("doc_old")).as("doc_a"),
         greatest(col("doc_id"), col("doc_old")).as("doc_b"),
