@@ -270,13 +270,19 @@ object SimilarityOps extends QueryGroup {
       .distinct()
     // alias-shared embedding sides (same pattern as minhashPairs' verify
     // join): one broadcast exchange of (vec_id, embedding), reused for
-    // both ends of the pair re-score
-    val ea = emb.select(col("vec_id"), col("embedding")).as("ea")
-    val eb = emb.select(col("vec_id"), col("embedding")).as("eb")
+    // both ends of the pair re-score. Norms ride the broadcast: computed
+    // ONCE per vector instead of once per pair instance (the re-score is
+    // the dominant stage at the 10× point — 3 ArrayDots/pair → 1), and
+    // sqrt(dot(x,x)) is deterministic so sim is bit-identical.
+    val ea = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")).as("ea")
+    val eb = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")).as("eb")
     cand.join(ea, col("id_a") === col("ea.vec_id"))
       .join(eb, col("id_b") === col("eb.vec_id"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("ea.embedding"), col("eb.embedding")).as("sim"))
+        (dot(col("ea.embedding"), col("eb.embedding")) /
+          (col("ea.nrm") * col("eb.nrm"))).as("sim"))
       .filter(col("sim") >= tau)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")
@@ -361,13 +367,17 @@ object SimilarityOps extends QueryGroup {
         explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
       .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
       .distinct()
-    // alias-shared embedding sides — one broadcast exchange, reused
-    val ea = emb.select(col("vec_id"), col("embedding")).as("ea")
-    val eb = emb.select(col("vec_id"), col("embedding")).as("eb")
+    // alias-shared embedding sides — one broadcast exchange, reused;
+    // norms precomputed per vector (see lshCosinePairs — bit-identical)
+    val ea = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")).as("ea")
+    val eb = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")).as("eb")
     cands.join(ea, col("id_a") === col("ea.vec_id"))
       .join(eb, col("id_b") === col("eb.vec_id"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("ea.embedding"), col("eb.embedding")).as("sim"))
+        (dot(col("ea.embedding"), col("eb.embedding")) /
+          (col("ea.nrm") * col("eb.nrm"))).as("sim"))
       .filter(col("sim") >= tau)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")
@@ -578,14 +588,20 @@ object SimilarityOps extends QueryGroup {
     // size ≤ cap filter — the census's drop set exactly — and sort_array
     // on the struct (vec_id leads) gives the a.vec_id < b.vec_id
     // orientation the old id_a < id_b filter produced.
-    val pairs = assigned.groupBy("cell")
+    // norm rides the collected struct — computed once per vector, not
+    // once per pair (bit-identical: sqrt(dot(x,x)) is deterministic);
+    // vec_id leads the struct so sort_array's order is unchanged
+    val pairs = assigned
+      .withColumn("nrm", norm(col("embedding")))
+      .groupBy("cell")
       .agg(sort_array(expr(
-        s"bounded_collect_list(struct(vec_id, embedding), ${EmbMaxBucket + 1})")).as("ms"))
+        s"bounded_collect_list(struct(vec_id, embedding, nrm), ${EmbMaxBucket + 1})")).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= EmbMaxBucket)
       .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
       .select(col("a"),
         explode(slice(col("ms"), col("i") + 2, size(col("ms")))).as("b"))
-      .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
+      .filter(dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm")) >= tau)
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
     val groups = TextOps.connectedComponents(pairs)
       .select(col("id").as("vec_id"), col("label").as("group"))
