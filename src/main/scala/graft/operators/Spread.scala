@@ -50,6 +50,26 @@ object Spread {
     } catch { case _: Throwable => None }
   }
 
+  /** Width law (round 17): at least this many source bytes per spread
+    * task. The round-16 spread used the full defaultParallelism, which
+    * produced 32 tasks of ~18 KB each on the 584 KB sf0.1 documents
+    * fixture — per-task work so small that the fixed per-task cost
+    * (launch + codegen'd regex warmup + shuffle-writer setup, ~5–15 ms)
+    * plus 32-thread allocation contention DOMINATED: the driver's own
+    * round-16 scaling block caught tx_perplexity running 3.7× FASTER at
+    * 8 cores than at 32. Measured width curve on that query (min-of-5,
+    * same box, 32-core session): width 4 → 1.28 s, 8 → 1.23 s, 16 →
+    * 1.27 s, 32 → 1.95 s; the minhash family is flat-to-better at
+    * width 10 vs 32 (dd_minhash_lsh 1.38 vs 1.60, dd_exact_substring
+    * 1.34 vs 1.32). 64 KB/task keeps every task ≥ ~10× the fixed cost
+    * at the cheapest measured per-byte map work while still widening
+    * with the data: a 2 MB input already spreads to the full core count,
+    * so this is a data-volume law, not a core-count constant — the
+    * driver's 8-core bench (8 ≤ ceil(584/64)) sees the identical width
+    * it saw in round 16.
+    */
+  private val TargetBytesPerTask = 64L * 1024
+
   def bySize(df: DataFrame, key: Column*): DataFrame = {
     // streaming frames: repartition is illegal mid-stream and inputFiles
     // would force a batch analysis — pass through untouched
@@ -59,7 +79,9 @@ object Spread {
     val openCost = sess.sessionState.conf.filesOpenCostInBytes
     sourceBytes(df) match {
       case Some(bytes) if bytes < p.toLong * openCost =>
-        df.repartition(p, key: _*)
+        val width = math.min(p.toLong,
+          math.max(2L, (bytes + TargetBytesPerTask - 1) / TargetBytesPerTask)).toInt
+        df.repartition(width, key: _*)
       case _ => df
     }
   }
