@@ -907,27 +907,45 @@ object TpcdsQueries extends QueryGroup {
       val text = s"WITH year_total AS (\n$q74YearTotalBody)\n$q74MainBody"
       val oracle = TpcdsSynth.duckCtePreamble +
         wrapNorm(text.replace("tpcds.", "tpcds_"), aliases, aliases, "customer_id")
-      // engine-side structural fix (round 16, guide §3.3): year_total is
-      // referenced FOUR times; Spark inlines a full copy per reference,
-      // so the two channel aggregations scan their fact tables twice
-      // each (the constant-folded sale_type filter prunes the opposite
-      // union branch of every copy). Materialized once, both channels ×
-      // both years aggregate in a single pass and the outer query is a
-      // 4-way self-join of the small per-customer-year relation — the
-      // per-reference (sale_type, year_) filters apply unchanged on top,
-      // so the output is identical (the oracle runs the untouched
-      // WITH-text). On a cluster localCheckpoint becomes checkpoint/CTAS.
+      // engine-side structural fix, round 17 (guide §2.4 "remove shuffles
+      // outright"; supersedes the round-16 materialize-once, whose eager
+      // localCheckpoint serialized all of year_total before the outer
+      // join could start and measured as a 0.91× sf0.1 regression in the
+      // r16 driver bench): the 4-way self-join on customer_id is exactly
+      // a per-customer PIVOT, because c_customer_id is injective in the
+      // customer primary key ('AAAAAAAA' || c_custkey — TpcdsSynth, and
+      // the TPC-DS spec's business key), so (customer_id → first, last)
+      // is functional and every join side contributes at most one row
+      // per (sale_type, year_) — the grain year_total is grouped on.
+      // One aggregation over year_total replaces checkpoint + 3 joins:
+      // each fact table is scanned ONCE (year_total now has a single
+      // consumer, so Spark plans the CTE once inline — the r16 at-scale
+      // contract is kept without any materialization barrier).
+      // Equivalence of the filters: an inner-join side "exists" iff its
+      // pivoted total is non-NULL — a missing row pivots to NULL and a
+      // NULL year_total row is excluded by the original predicates too
+      // (NULL > 0 and NULL-ratio comparisons are never true); the CASE
+      // guards are kept verbatim so a zero first-year total can never
+      // divide (ANSI mode). The oracle runs the untouched WITH-text, so
+      // the rewrite is machine-checked at every SF.
       QueryDef("tpcds_q74", Some(oracle), (s, dir) => {
         Tables.register(s, dir)
         ensureTpcdsViews(s, dir)
         def fast(sql: String) = sql.replace("tpcds.", "graft_tpcds_")
-        s.sql(fast(q74YearTotalBody))
-          .localCheckpoint()
-          .createOrReplaceTempView("q74_year_total")
-        // only the FROM-clause references ("year_total t_…") retarget the
-        // materialized view; "year_total" as a COLUMN stays untouched
-        s.sql(wrapNorm(q74MainBody.replace("year_total t_", "q74_year_total t_"),
-          aliases, aliases, "customer_id"))
+        import org.apache.spark.sql.functions._
+        def tot(st: String, yr: Int) = max(when(
+          col("sale_type") === st && col("year_") === yr, col("year_total")))
+        val wide = s.sql(fast(q74YearTotalBody))
+          .groupBy("customer_id", "customer_first_name", "customer_last_name")
+          .agg(tot("s", 1999).as("s_first"), tot("s", 2000).as("s_sec"),
+            tot("w", 1999).as("w_first"), tot("w", 2000).as("w_sec"))
+        wide.filter(col("s_first") > 0 && col("w_first") > 0 &&
+            (when(col("w_first") > 0, col("w_sec") / col("w_first")) >
+              when(col("s_first") > 0, col("s_sec") / col("s_first"))))
+          .select(col("customer_id"), col("customer_first_name"),
+            col("customer_last_name"))
+          .orderBy("customer_id").limit(100)
+          .orderBy("customer_id")
       })
     },
 
