@@ -187,10 +187,17 @@ object SimilarityOps extends QueryGroup {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    val qEmb = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val nEmb = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    // norms ride the embedding sides — computed once per vector instead
+    // of once per candidate pair (one ArrayDot per pair instead of three;
+    // bit-identical: sqrt(dot(x,x)) is deterministic — the same round-16
+    // treatment the pair queries got)
+    val qEmb = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm"))
+    val nEmb = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      norm(col("embedding")).as("n_nrm"))
     val scored = cand.join(broadcast(qEmb), "q_id").join(nEmb, "n_id")
-      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -203,11 +210,16 @@ object SimilarityOps extends QueryGroup {
     * LSH path's recall, same role as TextOps' dd_jaccard_clusters.
     */
   def cosinePairsExact(emb: DataFrame, tau: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    // norms below the join: once per vector, not once per N²/2 pair
+    // (bit-identical — sqrt(dot(x,x)) is deterministic)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      norm(col("embedding")).as("nrm_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      norm(col("embedding")).as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("sim"))
+        (dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("sim"))
       .filter(col("sim") >= tau)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")
@@ -237,13 +249,13 @@ object SimilarityOps extends QueryGroup {
   def lshCosinePairs(emb: DataFrame, tau: Double,
                      tables: Int = 16, bits: Int = -1): DataFrame = {
     val rbits = if (bits > 0) bits else autoBits(estimatedRows(emb))
-    // materialize the signatures ONCE: the plan references `sig` twice
-    // (bucket-size census + the capped join) and without this the whole
-    // T×B signature aggregation runs twice — SpikeHunt showed two
-    // identical 2.1 s stages at sf0.1. The checkpoint is N×T (vec_id,
-    // bucket) longs — far cheaper than recomputing the contribution
-    // pipeline at any scale (cluster analog: checkpoint/CTAS, same
-    // pattern as TextOps.connectedComponents)
+    // The checkpoint predates round 16's bounded-collect rework, which
+    // left `sig` with exactly ONE consumer — so the old "referenced
+    // twice" justification is stale. It is KEPT on measurement, not by
+    // that argument: a round-17 lockstep A/B of its removal read
+    // 1.06–1.31 (≈ +10% consistently) — materializing the T×B signature
+    // aggregation truncates the adaptive plan, so the collect/re-score
+    // stages re-optimize against known sizes instead of estimates.
     // NOT spread (round-16 A/B ×2: ratio 1.07–1.12 vs control — the
     // 512 KB embeddings file's explode work is too small to amortize the
     // extra exchange at gate scale)
@@ -417,11 +429,15 @@ object SimilarityOps extends QueryGroup {
     })
     val qs = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"),
         explode(probe(col("embedding"))).as("cell"))
-    val scored = qs.join(assigned, "cell")
+    // norms below the join: once per vector, not once per (q, n) match
+    val scored = qs.join(
+        assigned.withColumn("n_nrm", norm(col("embedding"))), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("q_emb"), col("embedding")).as("sim"))
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("n_nrm"))).as("sim"))
       .distinct()
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -502,13 +518,17 @@ object SimilarityOps extends QueryGroup {
     })
     val qs = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"),
         explode(probe(col("embedding"))).as("cell"))
     val probedCells = qs.select("cell").distinct().collect().map(_.getInt(0))
+    // norm below the join: once per pruned index row, not per (q, n)
     val pruned = index.filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .withColumn("n_nrm", norm(col("embedding")))
     val scored = broadcast(qs).join(pruned, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("q_emb"), col("embedding")).as("sim"))
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("n_nrm"))).as("sim"))
       .distinct()
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -882,11 +902,17 @@ object SimilarityOps extends QueryGroup {
         |ORDER BY q_id, rk""".stripMargin) { (s, _) =>
       val emb = s.table("embeddings")
       val qs = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val scored = broadcast(qs).crossJoin(emb)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          norm(col("embedding")).as("q_nrm"))
+      // corpus-side norm computed once per vector, not once per (q, n)
+      // pair — 10 queries × N pairs previously re-derived each corpus
+      // norm 10 times (bit-identical: sqrt(dot(x,x)) is deterministic)
+      val scored = broadcast(qs)
+        .crossJoin(emb.withColumn("n_nrm", norm(col("embedding"))))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          cosine(col("q_emb"), col("embedding")).as("sim"))
+          (dot(col("q_emb"), col("embedding")) /
+            (col("q_nrm") * col("n_nrm"))).as("sim"))
       val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
