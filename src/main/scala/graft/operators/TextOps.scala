@@ -1531,6 +1531,20 @@ object TextOps extends QueryGroup {
          |ORDER BY source""".stripMargin
     }) { (s, _) =>
       val pat = raw"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+"
+      // round 17 (guide §2.3 "aggregate before you shuffle"): the md5
+      // dedup is a min_by hash aggregation with map-side partials
+      // instead of a shuffle+sort+row_number window — doc_id is unique,
+      // so "row with the smallest doc_id per md5" is exactly the old
+      // rn = 1 row; only (source, n_chars, n_bpe) ride the shuffle, not
+      // the text, and duplicate texts collapse map-side where the window
+      // shipped and sorted every kept row. Lockstep-flat at sf0.1 (1.02;
+      // the sort it removes is small there) — kept for the at-scale
+      // shape. A/B'd and REJECTED in the same session: deferring the
+      // 10-arm BPE alternation to post-dedup (1.33× — AQE coalesces the
+      // dedup output to one partition, serializing the heaviest regex)
+      // and a scan spread even at the round-17 width (1.12–1.18× — the
+      // extra exchange ships the full text to save a ~0.3 s map job,
+      // the same negative the round-16 32-wide A/B found).
       val m = s.table("documents").select(
         col("doc_id"), col("source"), col("text"), col("n_chars"),
         size(tokensCol).as("n_tokens"),
@@ -1541,9 +1555,11 @@ object TextOps extends QueryGroup {
         col("n_stop").cast("double") / col("n_tokens") >= 0.02 &&
         (col("n_chars").cast("double") / col("n_tokens")).between(3, 10))
       val deduped = kept
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-        .filter(col("rn") === 1)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min_by(struct(col("source"), col("n_chars"), col("n_bpe")),
+          col("doc_id")).as("r"))
+        .select(col("r.source").as("source"), col("r.n_chars").as("n_chars"),
+          col("r.n_bpe").as("n_bpe"))
       deduped.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_bpe").cast("bigint").as("total_bpe_tokens"),
