@@ -1057,17 +1057,12 @@ object TpcdsQueries extends QueryGroup {
       val order = "channel, i_brand_id, i_class_id, i_category_id"
       val oracle = TpcdsSynth.duckCtePreamble +
         wrapNorm(text.replace("tpcds.", "tpcds_"), aliases, norm, order)
-      // split the verbatim WITH-clause at its two (md5-guarded, stable)
-      // CTE delimiters; each body is the text between "<name> AS (" and
-      // the matching close just before the next clause
-      val iCross = text.indexOf("cross_items AS (") + "cross_items AS (".length
-      val iAvgClause = text.indexOf(", avg_sales AS (")
-      val iAvg = iAvgClause + ", avg_sales AS (".length
-      val iMain = text.indexOf("SELECT\n  \"channel\"", iAvg)
-      require(iCross > 16 && iAvgClause > iCross && iMain > iAvg,
-        "q14 CTE delimiters not found — verbatim text changed upstream")
-      val crossBody = text.substring(iCross, iAvgClause).trim.dropRight(1)
-      val avgBody = text.substring(iAvg, iMain).trim.dropRight(1)
+      // split the verbatim WITH-clause at its (md5-guarded, stable) main
+      // delimiter; the two shared CTEs are rebuilt below from ONE fact
+      // scan, the main body runs textually unchanged against them
+      val iMain = text.indexOf("SELECT\n  \"channel\"")
+      require(iMain > 0,
+        "q14 main delimiter not found — verbatim text changed upstream")
       val mainBody = text.substring(iMain)
       QueryDef("tpcds_q14", Some(oracle), (s, dir) => {
         Tables.register(s, dir)
@@ -1076,6 +1071,27 @@ object TpcdsQueries extends QueryGroup {
         // channel facts more than any other query, so the per-reference
         // catalog-view re-analysis cost was largest here
         def fast(sql: String) = sql.replace("tpcds.", "graft_tpcds_")
+        import org.apache.spark.sql.functions._
+        // Round 17 (guide §2.4): cross_items and avg_sales each scanned
+        // all three channel facts — six scans of the same lineitem file
+        // per run. The channels are disjoint slices of lineitem with
+        // identical (sold_date_sk, item_sk, quantity, list_price)
+        // derivations (TpcdsSynth.allChannelSalesSql), so both CTEs now
+        // read ONE shared fact scan carrying the channel as a column:
+        //  - avg_sales: the UNION ALL of the three slices IS the full
+        //    scan (same multiset of rows, same decimal types, same AVG);
+        //  - cross_items: INTERSECT over per-channel DISTINCT triples ≡
+        //    grouping the triples and requiring all three channel flags
+        //    (GROUP BY and INTERSECT share NULL-collation semantics, and
+        //    the final item equality join drops NULL triples either way).
+        // The oracle runs the untouched WITH-text, so both rewrites are
+        // machine-checked at every SF.
+        val all = s.sql(TpcdsSynth.allChannelSalesSql(
+          b => s"tpcds.base_$b"))
+        val dd = s.table("graft_tpcds_date_dim")
+          .filter(col("d_year").between(1999, 2001)).select("d_date_sk")
+        val inWindow = all.join(dd, all("sold_date_sk") === dd("d_date_sk"))
+        val item = s.table("graft_tpcds_item")
         // the two shared-CTE materializations are independent Spark
         // jobs — run them concurrently so the wall cost is max(), not
         // sum() (the 32-slot scheduler interleaves their stages; on a
@@ -1083,8 +1099,28 @@ object TpcdsQueries extends QueryGroup {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.DurationInt
-        val fCross = Future(s.sql(fast(crossBody)).localCheckpoint())
-        val fAvg = Future(s.sql(fast(avgBody)).localCheckpoint())
+        val fCross = Future {
+          val triples = inWindow
+            .join(item, inWindow("item_sk") === item("i_item_sk"))
+            .groupBy("i_brand_id", "i_class_id", "i_category_id")
+            .agg(max(when(col("channel") === 0, 1)).as("in_s"),
+              max(when(col("channel") === 1, 1)).as("in_w"),
+              max(when(col("channel") === 2, 1)).as("in_c"))
+            .filter(col("in_s") === 1 && col("in_w") === 1 && col("in_c") === 1)
+            .select(col("i_brand_id").as("brand_id"),
+              col("i_class_id").as("class_id"),
+              col("i_category_id").as("category_id"))
+          item.join(triples,
+              item("i_brand_id") === triples("brand_id") &&
+                item("i_class_id") === triples("class_id") &&
+                item("i_category_id") === triples("category_id"))
+            .select(col("i_item_sk").as("ss_item_sk"))
+            .localCheckpoint()
+        }
+        val fAvg = Future {
+          inWindow.agg(avg(col("quantity") * col("list_price"))
+            .as("average_sales")).localCheckpoint()
+        }
         Await.result(fCross, 10.minutes).createOrReplaceTempView("cross_items")
         Await.result(fAvg, 10.minutes).createOrReplaceTempView("avg_sales")
         s.sql(wrapNorm(fast(mainBody), aliases, norm, order))

@@ -120,6 +120,25 @@ object TpcdsSynth {
        |  ${money(s"(($cents * 7 + CAST(round(l_discount * 100) AS BIGINT) * 13) % 90000 + 50) * $qty + 2 * CAST(round(l_tax * 100) AS BIGINT) * $qty")} AS ${p}_net_paid_inc_tax""".stripMargin
   }
 
+  /** One-scan projection of ALL THREE channel slices to the columns
+    * tpcds_q14's shared CTEs need (round 17, guide §2.4). The channel
+    * fact views are disjoint `(l_orderkey + l_linenumber) % 3` slices of
+    * lineitem whose sold_date_sk / item_sk / quantity / list_price
+    * derivations are textually identical (saleCols above), so the UNION
+    * ALL of the three channels over any common predicate equals one scan
+    * of lineitem with `channel = (l_orderkey + l_linenumber) % 3`
+    * carried as a column — same rows, same values, one fact read instead
+    * of three. Built from the same `cents`/`money` snippets as saleCols
+    * so the derivations can never drift apart.
+    */
+  def allChannelSalesSql(ref: String => String): String =
+    s"""SELECT CAST(l_shipdate AS DATE) AS sold_date_sk,
+       |  l_partkey AS item_sk,
+       |  CAST((l_orderkey + l_linenumber) % 3 AS INT) AS channel,
+       |  CAST(l_quantity AS INT) AS quantity,
+       |  ${money(s"$cents % 90000 + 100")} AS list_price
+       |FROM ${ref("lineitem")}""".stripMargin
+
   /** Connector-style SELECT producing the TPC-DS column subset the corpus
     * touches; `ref(table)` supplies the FROM-clause reference for a base
     * fixture table.
