@@ -148,7 +148,27 @@ object SimilarityOps extends QueryGroup {
     // Statistically identical hyperplanes (independent fair sign flips),
     // ~48× less hashing; A/B in BENCHLOG round 10. Formula change ⇒
     // EmbLshFormulaVersion bumped so persisted indexes rebuild.
-    val dims = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+    // ROW-gated scan spread (round 17): at the 10× point the whole T×B
+    // contribution pipeline (≈184M multiply-adds at 20k vectors) ran as
+    // ONE task — the embeddings file is a single split — profiled at
+    // ~6 s of dd_embedding_lsh's ~10 s; spread it runs ~1.6 s. At the
+    // 2k-vector gate point the same exchange measured 8–16% AGAINST
+    // (lockstep ×2, confirming the round-16 negative). The gate is on
+    // ROWS, not bytes (Spread.bySize's currency), because replicated
+    // float vectors compress so well that the 10× parquet is barely
+    // bigger than the 1× one — parquet footer row counts are exact and
+    // free. Work per task ≈ rows × dims × T×B multiply-adds; 1 024
+    // rows/task ≈ 0.3 s at the measured per-row cost. Repartition is
+    // physical only — signatures, persisted indexes and downstream pair
+    // sets are value-identical.
+    val nRows = estimatedRows(emb)
+    val spreadEmb =
+      if (nRows >= 8192) {
+        val p = emb.sparkSession.sparkContext.defaultParallelism
+        emb.repartition(math.min(p.toLong, nRows / 1024).toInt, col("vec_id"))
+      } else emb
+    val dims = spreadEmb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
     val nHashes = (tables * bits + 63) / 64
     val hashed = dims.select(col("vec_id") +: col("x") +:
