@@ -560,10 +560,15 @@ object CurationOps extends QueryGroup {
       // docGram ≡ Σ(len(t)−2) — same value, and the regex-normalize scan
       // runs once per query instead of twice (guide §2.4: remove
       // redundant passes; measured in plans/r16/tx_perplexity_after.txt:
-      // one documents scan instead of two)
-      val total = docGram.agg(sum("c").cast("double")).scalar()
+      // one documents scan instead of two). Round 17: the total is an
+      // unpartitioned window over the MODEL (Σ_g cnt ≡ Σ c — grouping
+      // preserves the sum, integer-exact so the double is bit-identical),
+      // which folds the former driver-scalar job into the broadcast
+      // build; the single-partition window is safe at any corpus size
+      // because the model is alphabet-bounded (≤ 37³ rows).
       val model = docGram.groupBy("g").agg(sum("c").as("cnt"))
-        .select(col("g"), log(col("cnt").cast("double") / total).as("logp"))
+        .select(col("g"), log(col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy()).cast("double")).as("logp"))
       docGram.join(broadcast(model), "g")
         .groupBy("doc_id")
         .agg(sum("c").cast("bigint").as("n_trigrams"),
