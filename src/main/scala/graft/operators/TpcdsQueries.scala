@@ -950,10 +950,18 @@ object TpcdsQueries extends QueryGroup {
     },
 
     // q11: same 4-way self-join over (ext_list_price - ext_discount_amt)
-    // revenue with the customer-profile columns carried through the CTE
-    adapted("tpcds_q11",
-      """WITH year_total AS (
-        |  SELECT c_customer_id AS customer_id,
+    // revenue with the customer-profile columns carried through the CTE.
+    // Round 17: engine side runs the q74 pivot rework (one aggregation
+    // over year_total instead of four inlined CTE copies = one scan per
+    // fact table; equivalence argument at tpcds_q74 above — customer_id
+    // is injective, all carried customer columns are functionally
+    // dependent on it). The CTE has no year filter of its own, but only
+    // dyear ∈ {1999, 2000} can satisfy any reference, so the UNION of
+    // the per-reference pushdowns is applied before the aggregation —
+    // the q75 materialization precedent. Oracle runs the untouched
+    // WITH-text.
+    {
+      val q11YearTotalBody = """SELECT c_customer_id AS customer_id,
         |    c_first_name AS customer_first_name,
         |    c_last_name AS customer_last_name,
         |    c_preferred_cust_flag AS customer_preferred_cust_flag,
@@ -983,8 +991,8 @@ object TpcdsQueries extends QueryGroup {
         |  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
         |  GROUP BY c_customer_id, c_first_name, c_last_name,
         |    c_preferred_cust_flag, c_birth_country, c_login,
-        |    c_email_address, d_year)
-        |SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+        |    c_email_address, d_year""".stripMargin
+      val q11MainBody = """SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
         |  t_s_secyear.customer_last_name,
         |  t_s_secyear.customer_preferred_cust_flag,
         |  t_s_secyear.customer_birth_country, t_s_secyear.customer_login
@@ -1010,14 +1018,44 @@ object TpcdsQueries extends QueryGroup {
         |        THEN t_s_secyear.year_total / t_s_firstyear.year_total
         |        ELSE null END)
         |ORDER BY t_s_secyear.customer_id
-        |LIMIT 100""".stripMargin,
-      Seq("customer_id", "customer_first_name", "customer_last_name",
+        |LIMIT 100""".stripMargin
+      val aliases = Seq("customer_id", "customer_first_name", "customer_last_name",
         "customer_preferred_cust_flag", "customer_birth_country",
-        "customer_login"),
-      Seq("customer_id", "customer_first_name", "customer_last_name",
-        "customer_preferred_cust_flag", "customer_birth_country",
-        "customer_login"),
-      "customer_id"),
+        "customer_login")
+      val text = s"WITH year_total AS (\n$q11YearTotalBody)\n$q11MainBody"
+      val oracle = TpcdsSynth.duckCtePreamble +
+        wrapNorm(text.replace("tpcds.", "tpcds_"), aliases, aliases, "customer_id")
+      QueryDef("tpcds_q11", Some(oracle), (s, dir) => {
+        Tables.register(s, dir)
+        ensureTpcdsViews(s, dir)
+        def fast(sql: String) = sql.replace("tpcds.", "graft_tpcds_")
+        import org.apache.spark.sql.functions._
+        // union-of-reference year pushdown: only dyear 1999/2000 can
+        // satisfy any of the four references' filters
+        val ytSql = fast(q11YearTotalBody).replace(
+          "AND ss_sold_date_sk = d_date_sk",
+          "AND ss_sold_date_sk = d_date_sk AND d_year IN (1999, 2000)")
+          .replace(
+            "AND ws_sold_date_sk = d_date_sk",
+            "AND ws_sold_date_sk = d_date_sk AND d_year IN (1999, 2000)")
+        def tot(st: String, yr: Int) = max(when(
+          col("sale_type") === st && col("dyear") === yr, col("year_total")))
+        val wide = s.sql(ytSql)
+          .groupBy("customer_id", "customer_first_name", "customer_last_name",
+            "customer_preferred_cust_flag", "customer_birth_country",
+            "customer_login", "customer_email_address")
+          .agg(tot("s", 1999).as("s_first"), tot("s", 2000).as("s_sec"),
+            tot("w", 1999).as("w_first"), tot("w", 2000).as("w_sec"))
+        wide.filter(col("s_first") > 0 && col("w_first") > 0 &&
+            (when(col("w_first") > 0, col("w_sec") / col("w_first")) >
+              when(col("s_first") > 0, col("s_sec") / col("s_first"))))
+          .select(col("customer_id"), col("customer_first_name"),
+            col("customer_last_name"), col("customer_preferred_cust_flag"),
+            col("customer_birth_country"), col("customer_login"))
+          .orderBy("customer_id").limit(100)
+          .orderBy("customer_id")
+      })
+    },
 
     // q14: cross-channel item INTERSECT + avg-sales scalar CTE + 4-level
     // ROLLUP — the heaviest TPC-DS composite shape. Derived MECHANICALLY
@@ -1131,17 +1169,60 @@ object TpcdsQueries extends QueryGroup {
     // derived mechanically from the embedded md5-guarded verbatim text
     // with only view refs and the year pair retuned (2001/2002 →
     // 1999/2000; the spec's second year is outside the fixture epoch).
-    // Completes the q4/q11/q74 growth-ratio trio.
-    adapted("tpcds_q04",
-      BenchtoTpcdsTexts.q04
+    // Completes the q4/q11/q74 growth-ratio trio. Round 17: engine side
+    // runs the q74/q11 pivot rework — SIX inlined year_total copies
+    // (two fact scans per channel) become one aggregation over one scan
+    // per channel, with the union-of-reference year filter pushed in
+    // (equivalence arguments at tpcds_q74; all six pivoted totals must
+    // be non-NULL to pass the original predicates, exactly the 6-way
+    // inner join's existence requirement). Oracle runs the untouched
+    // WITH-text.
+    {
+      val text = BenchtoTpcdsTexts.q04
         .replace("${database}.${schema}.", "tpcds.")
         .replace("\"dyear\" = 2001", "\"dyear\" = 1999")
-        .replace("\"dyear\" = (2001 + 1)", "\"dyear\" = (1999 + 1)"),
-      Seq("customer_id", "customer_first_name", "customer_last_name",
-        "customer_preferred_cust_flag"),
-      Seq("customer_id", "customer_first_name", "customer_last_name",
-        "customer_preferred_cust_flag"),
-      "customer_id"),
+        .replace("\"dyear\" = (2001 + 1)", "\"dyear\" = (1999 + 1)")
+      val aliases = Seq("customer_id", "customer_first_name",
+        "customer_last_name", "customer_preferred_cust_flag")
+      val oracle = TpcdsSynth.duckCtePreamble +
+        wrapNorm(text.replace("tpcds.", "tpcds_"), aliases, aliases,
+          "customer_id")
+      val iYt = text.indexOf("year_total AS (") + "year_total AS (".length
+      val iMain = text.indexOf("SELECT\n  \"t_s_secyear\"")
+      require(iYt > 15 && iMain > iYt,
+        "q04 CTE delimiters not found — verbatim text changed upstream")
+      val ytBody = text.substring(iYt, iMain).trim.dropRight(1)
+      QueryDef("tpcds_q04", Some(oracle), (s, dir) => {
+        Tables.register(s, dir)
+        ensureTpcdsViews(s, dir)
+        def fast(sql: String) = sql.replace("tpcds.", "graft_tpcds_")
+        import org.apache.spark.sql.functions._
+        val ytSql = Seq("ss", "cs", "ws").foldLeft(fast(ytBody)) { (t, p) =>
+          t.replace(s"""AND ("${p}_sold_date_sk" = "d_date_sk")""",
+            s"""AND ("${p}_sold_date_sk" = "d_date_sk") AND ("d_year" IN (1999, 2000))""")
+        }
+        def tot(st: String, yr: Int) = max(when(
+          col("sale_type") === st && col("dyear") === yr, col("year_total")))
+        def ratio(sec: String, first: String) =
+          when(col(first) > 0, col(sec) / col(first))
+        val wide = s.sql(ytSql)
+          .groupBy("customer_id", "customer_first_name", "customer_last_name",
+            "customer_preferred_cust_flag", "customer_birth_country",
+            "customer_login", "customer_email_address")
+          .agg(tot("s", 1999).as("s_first"), tot("s", 2000).as("s_sec"),
+            tot("c", 1999).as("c_first"), tot("c", 2000).as("c_sec"),
+            tot("w", 1999).as("w_first"), tot("w", 2000).as("w_sec"))
+        wide.filter(col("s_first") > 0 && col("c_first") > 0 &&
+            col("w_first") > 0 &&
+            (ratio("c_sec", "c_first") > ratio("s_sec", "s_first")) &&
+            (ratio("c_sec", "c_first") > ratio("w_sec", "w_first")))
+          .select(col("customer_id"), col("customer_first_name"),
+            col("customer_last_name"), col("customer_preferred_cust_flag"))
+          .orderBy("customer_id", "customer_first_name",
+            "customer_last_name", "customer_preferred_cust_flag").limit(100)
+          .orderBy("customer_id")
+      })
+    },
 
     // Round-5 widening: with store_returns / promotion / reason /
     // time_dim and the d_dow/d_day_name/store-name domains synthesized,
