@@ -338,6 +338,17 @@ object SimilarityOps extends QueryGroup {
     * candidate join quadratic; capped buckets drop loudly out of pair
     * generation, and a capped vector still pairs through its other
     * tables (same argument as the minhash bucket cap).
+    *
+    * Memory bound (ADVICE r16): semDedupFrom's bounded collect carries
+    * full embeddings in its per-cell buffer — at the fixture's 64-dim
+    * float vectors that is ≤ (cap+1) × (64×4 B + struct overhead)
+    * ≈ 0.4 MB per hot cell, and ≈ 6 MB/cell at a production 1024-dim
+    * float32 embedding — one buffer per GROUP in flight per task, the
+    * same order Spark's own broadcast relations and sort buffers hold.
+    * The alternative (collect only (vec_id, nrm), join embeddings back
+    * through the alias-shared broadcast) re-introduces the two joins the
+    * round-16 rework removed; switch to it only if a profile ever shows
+    * agg-buffer spill here.
     */
   private val EmbMaxBucket = 1024
 
